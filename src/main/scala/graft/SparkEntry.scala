@@ -1,13 +1,595 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.query.{Clauses, GQuery}
+import graft.store.KeyedStore
+import graft.functions.GraftFunctions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * Driver contract — the operator inventory of SURVEY.md §2 (+ the north-star
+ * LLM-pipeline operators) as named queries, each with a DuckDB oracle where the
+ * semantics are ANSI-SQL-expressible.
+ *
+ * FP-parity rule for oracles: every floating aggregate is rounded to exactly the
+ * decimal grid its inputs live on (prices 2dp, price*discount products 4dp), so
+ * accumulated summation-order error (≪ grid/2) can never flip a rounding
+ * boundary between Spark and DuckDB. Ranks/top-k order by grid-rounded values
+ * with unique-key tie-breaks, never by raw doubles.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which Spark's
+    * vectorized reader rejects; read them as raw nanos and convert with exact
+    * integer division (ns epoch values overflow double precision, so no `/`). */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // =========================================================================
+  // Queries. Names sort in execution-group order; every key here either has an
+  // oracleSql twin (strong check) or is verified by ScalaTest (rows-only check).
+  // =========================================================================
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // --- G3/G4: scan → group → aggregate (partial agg = combiner) ------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // --- P2-P9: the predicate algebra (Clauses), pushed into the parquet scan
+    "q02_filter_predicates" -> ((s, dir) => {
+      GQuery(T(s, dir, "part"))
+        .filter(
+          Clauses.mustBeIn(col("p_type"), "STANDARD", "SMALL", "PROMO"),
+          Clauses.mustContain(col("p_name"), "widget"),
+          Clauses.mustBeGreaterThan(col("p_size"), 10),
+          Clauses.mustNotEqual(col("p_brand"), "Brand#13"),
+          Clauses.mustPassRegex(col("p_brand"), "^Brand#[0-9]$"))
+        .toDF
+        .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_size"))
+    }),
+
+    // --- joins + group + deterministic top-k (broadcast the dimension) ------
+    "q03_top_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // --- semi-join (EXISTS) --------------------------------------------------
+    "q04_exists_orders" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem").where(col("l_returnflag") === "R")
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // --- 5-way star join through region/nation (broadcast small dims) -------
+    "q05_region_revenue" -> ((s, dir) => {
+      val r = T(s, dir, "region")
+      val n = T(s, dir, "nation")
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // --- pushdown-friendly filter + single aggregate -------------------------
+    "q06_forecast_revenue" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+    }),
+
+    // --- window: rank-per-group on grid-rounded measure ----------------------
+    "q07_rank_customers" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val rev = o.groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      val joined = c.join(rev, c("c_custkey") === rev("o_custkey"))
+      val w = Window.partitionBy(col("c_nationkey")).orderBy(col("rev").desc, col("c_custkey"))
+      joined.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("rev"))
+    }),
+
+    // --- grouping sets / rollup ----------------------------------------------
+    "q08_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).cast("bigint").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- set ops: INTERSECT / EXCEPT (distinct semantics) --------------------
+    "q09_setops" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      def buyers(yr: Int) =
+        o.where(year(col("o_orderdate")) === yr).select(col("o_custkey")).distinct()
+      val both = buyers(1995).intersect(buyers(1996))
+        .withColumn("cohort", lit("both"))
+      val only95 = buyers(1995).except(buyers(1996))
+        .withColumn("cohort", lit("only_1995"))
+      both.unionAll(only95)
+    }),
+
+    // --- S3: multi-get (withKeys) --------------------------------------------
+    "q10_multiget" -> ((s, dir) => {
+      new GQuery(T(s, dir, "customer"), keyCol = "c_custkey")
+        .withKeys(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+        .toDF
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // --- S5/P17: range scan with start/end row + time-range predicate --------
+    "q11_range_scan" -> ((s, dir) => {
+      new GQuery(T(s, dir, "orders"), keyCol = "o_orderkey")
+        .withStartRow(1000L).withEndRow(2000L)
+        .betweenDates("o_orderdate", java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
+          java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))
+        .filter(Clauses.mustEqual(col("o_orderstatus"), "F"))
+        .toDF
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+    }),
+
+    // --- time-bucketed aggregation over the events stream table --------------
+    "q12_events_daily" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    }),
+
+    // --- sessionization via window lag (30-min inactivity gap) ---------------
+    "q13_sessionize" -> ((s, dir) => {
+      val e = events(s, dir)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_sess")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // --- the WebSearchAggregation slice (SURVEY §3.3): events → dynamic-family
+    //     map<day,long> per user (the searchesByDay model) → exploded back for
+    //     the oracle. Exercises map_from_entries / explode round-trip.
+    "q14_family_rollup" -> ((s, dir) => {
+      val perDay = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val asFamily = perDay.groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("byDay"))
+      asFamily.select(col("user_id"), explode(col("byDay")).as(Seq("day", "searches")))
+    }),
+
+    // --- P13: per-family column pagination (page 2 of 5, qualifier-sorted) ---
+    "q15_family_pagination" -> ((s, dir) => {
+      val perDay = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val asFamily = perDay.groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("byDay"))
+      asFamily
+        .select(col("user_id"),
+          Clauses.paginateFamily(col("byDay"), 5, 5).as("page2"))
+        .select(col("user_id"), explode(col("page2")).as(Seq("day", "searches")))
+    }),
+
+    // --- M4: increment merge (coalesce(old,0)+delta, batch pre-summed) -------
+    "q16_increment_merge" -> ((s, dir) => {
+      val current = T(s, dir, "customer").select(col("c_custkey").as("key"), col("c_acctbal"))
+      val deltas = T(s, dir, "orders").select(col("o_custkey").as("key"),
+        col("o_totalprice").as("c_acctbal"))
+      KeyedStore.increment(current, deltas)
+        .select(col("key").as("c_custkey"), round(col("c_acctbal"), 2).as("acctbal_new"))
+    }),
+
+    // --- M1/M5: last-write-wins upsert merge ---------------------------------
+    "q17_upsert_merge" -> ((s, dir) => {
+      val current = T(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name"), col("c_mktsegment"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey").desc)
+      val puts = T(s, dir, "orders")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("o_custkey").as("key"),
+          concat(lit("P:"), col("o_orderpriority")).as("c_mktsegment"))
+      KeyedStore.upsert(current, puts)
+        .select(col("key").as("c_custkey"), col("c_name"), col("c_mktsegment"))
+    }),
+
+    // --- M3: delete merge (anti-join) ----------------------------------------
+    "q18_delete_merge" -> ((s, dir) => {
+      val current = T(s, dir, "customer")
+      val noOrders = current.join(T(s, dir, "orders"),
+        current("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+      KeyedStore.deleteRows(current, noOrders, keyCol = "c_custkey")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // --- text analysis: token counting ---------------------------------------
+    "q19_token_count" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(token_count(col("text"))).cast("bigint").as("total_tokens"),
+          round(avg(token_count(col("text"))), 4).as("avg_tokens"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // --- text analysis: language-ID heuristic vs labeled lang ----------------
+    "q20_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // --- text analysis: quality scoring --------------------------------------
+    "q21_quality_score" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("source"), TextOps.qualityScore(col("text")).as("q"))
+        .groupBy(col("source"))
+        .agg(round(sum(col("q")), 4).as("sum_quality"), count(lit(1)).as("n_docs"))
+    }),
+
+    // --- text analysis: content fingerprinting (md5, cross-engine stable) ----
+    "q22_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .where(col("doc_id") < 100)
+    }),
+
+    // --- dedup: exact (hash-groupBy on content) ------------------------------
+    "q23_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(T(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_dups"))
+    }),
+
+    // --- dedup: exact n-gram Jaccard via inverted-index join -----------------
+    "q24_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.2)
+    }),
+
+    // --- similarity: brute-force cosine top-k (native codegen expression) ----
+    "q25_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.bruteForceTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- similarity: threshold scan aggregated by label ----------------------
+    "q26_cosine_by_label" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val qc = array(q.map(v => lit(v)): _*)
+      emb.where(col("vec_id") =!= 0)
+        .groupBy(col("label"))
+        .agg(round(avg(cosine_sim(col("embedding"), qc)), 4).as("avg_cos"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- dedup: MinHash-LSH candidate pairs (rows-only check; spec test
+    //     cross-validates against exact Jaccard at sf0.001) -------------------
+    "q27_minhash_pairs" -> ((s, dir) => {
+      Dedup.minHashLSH(T(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }),
+
+    // --- dedup: SimHash near-dup pairs (rows-only check + spec test) ---------
+    "q28_simhash_pairs" -> ((s, dir) => {
+      Dedup.simHash(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+    }),
+
+    // --- similarity: LSH-bucketed ANN (rows-only; recall vs brute force in spec)
+    "q29_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      Similarity.annTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 8)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- multimodal: binary payload + typed metadata (decode is STUBBED) -----
+    "q30_multimodal_meta" -> ((s, dir) => {
+      Multimodal.attachPayload(T(s, dir, "documents"), "text")
+        .groupBy(col("media_meta.format").as("format"))
+        .agg(sum(col("media_meta.bytes")).cast("bigint").as("total_bytes"),
+          sum(col("media_meta.width")).cast("bigint").as("sum_width"),
+          count(lit(1)).as("n"))
+    })
+  )
+
+  // =========================================================================
+  // DuckDB oracles. Same column names as the Spark side (the driver sorts
+  // columns by name and hashes values). Tables are the raw parquet files.
+  // =========================================================================
+  def oracleSql: Map[String, String] = ListMap(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(l_quantity) as bigint) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_predicates" ->
+      """SELECT p_partkey, p_name, p_brand, p_size FROM part
+        |WHERE p_type IN ('STANDARD','SMALL','PROMO')
+        |  AND p_name LIKE '%widget%'
+        |  AND p_size > 10
+        |  AND p_brand <> 'Brand#13'
+        |  AND regexp_matches(p_brand, '^Brand#[0-9]$')""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q04_exists_orders" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_region_revenue" ->
+      """SELECT r_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q07_rank_customers" ->
+      """WITH rev AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_nationkey, rn, c_custkey, rev FROM (
+        |  SELECT c_nationkey, c_custkey, rev,
+        |    cast(row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY rev DESC, c_custkey) as integer) AS rn
+        |  FROM customer JOIN rev ON c_custkey = o_custkey)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q08_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | cast(sum(l_quantity) as bigint) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q09_setops" ->
+      """SELECT o_custkey, 'both' AS cohort FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS cohort FROM (
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)""".stripMargin,
+
+    "q10_multiget" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (1,2,3,5,8,13,21,34,55,89)""".stripMargin,
+
+    "q11_range_scan" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        | round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND o_orderstatus = 'F'""".stripMargin,
+
+    "q12_events_daily" ->
+      """SELECT cast(ts as date) AS day, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q13_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "q14_family_rollup" ->
+      """SELECT user_id, cast(ts as date) AS day, count(*) AS searches
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q15_family_pagination" ->
+      """SELECT user_id, day, searches FROM (
+        |  SELECT user_id, cast(ts as date) AS day, count(*) AS searches,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY cast(ts as date)) AS rn
+        |  FROM events GROUP BY user_id, cast(ts as date))
+        |WHERE rn BETWEEN 6 AND 10""".stripMargin,
+
+    "q16_increment_merge" ->
+      """SELECT c_custkey, round(c_acctbal + coalesce(d.total, 0), 2) AS acctbal_new
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, sum(o_totalprice) AS total FROM orders GROUP BY o_custkey
+        |) d ON c_custkey = d.o_custkey""".stripMargin,
+
+    "q17_upsert_merge" ->
+      """SELECT c_custkey, c_name,
+        | coalesce('P:' || p.pri, c_mktsegment) AS c_mktsegment
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, o_orderpriority AS pri FROM (
+        |    SELECT o_custkey, o_orderpriority,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders) WHERE rn = 1
+        |) p ON c_custkey = p.o_custkey""".stripMargin,
+
+    "q18_delete_merge" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q19_token_count" ->
+      """SELECT lang,
+        | cast(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) as bigint)
+        |   AS total_tokens,
+        | round(avg(len(list_filter(string_split(text, ' '), t -> t <> ''))), 4)
+        |   AS avg_tokens,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q20_lang_id" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |        t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |        t -> t IN ('der','die','das','und'))) AS s_de,
+        |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |        t -> t IN ('le','la','les','et'))) AS s_fr,
+        |    len(list_filter(list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |        t -> t IN ('el','los','y','que'))) AS s_es
+        |  FROM documents),
+        |pred AS (
+        |  SELECT lang, CASE
+        |    WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+        |    WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+        |    WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+        |    WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+        |    ELSE 'es' END AS lang_pred
+        |  FROM scored)
+        |SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY lang, lang_pred""".stripMargin,
+
+    "q21_quality_score" ->
+      """WITH toks AS (
+        |  SELECT source, text,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |q AS (
+        |  SELECT source,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, t -> t IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END) * 0.3,
+        |    6) AS q
+        |  FROM toks)
+        |SELECT source, round(sum(q), 4) AS sum_quality, count(*) AS n_docs
+        |FROM q GROUP BY source""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id < 100""".stripMargin,
+
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q24_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(inter / cast(na.n + nb.n - inter as double), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE inter / cast(na.n + nb.n - inter as double) >= 0.2""".stripMargin,
+
+    "q25_cosine_topk" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(cast(embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)), 4) AS cos
+        |FROM embeddings WHERE vec_id <> 0
+        |ORDER BY list_cosine_similarity(cast(embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q26_cosine_by_label" ->
+      """SELECT label,
+        | round(avg(list_cosine_similarity(cast(embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 0))), 4) AS avg_cos,
+        | count(*) AS n
+        |FROM embeddings WHERE vec_id <> 0 GROUP BY label""".stripMargin,
+
+    "q30_multimodal_meta" ->
+      """SELECT 'fake/raw' AS format,
+        | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
+        | cast(sum(octet_length(encode(text)) % 640) as bigint) AS sum_width,
+        | count(*) AS n
+        |FROM documents GROUP BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines — the north-star
+ * extension surface (SURVEY §7 module 5; BASELINE.json). The reference has no
+ * dedup; these are designed Spark-first for 100 TB:
+ *
+ *  - **exact**: one hash-partitioned groupBy on the content key; map-side partial
+ *    aggregation collapses duplicates before the shuffle.
+ *  - **MinHash-LSH**: per-row signature (shuffle-free, codegen'd) → explode band
+ *    keys → self-join on (band, bandHash). The join key space is ~uniform 64-bit
+ *    hashes, so the shuffle is skew-free by construction; candidate verification
+ *    touches only colliding pairs (candidate count ≪ n²).
+ *  - **SimHash**: 64-bit signature + pigeonhole banding on 16-bit chunks —
+ *    guarantees recall for Hamming distance ≤ 3 with a 4-way band join.
+ *  - **n-gram Jaccard**: exact, via an inverted-index join on shared shingles
+ *    (never materializes the n² pair matrix).
+ *  - **embedding near-dup**: hyperplane-LSH buckets, cosine verified inside the
+ *    bucket with the native codegen'd `cosine_sim`.
+ *
+ * All candidate-pair generators emit `(id_a < id_b)` ordered pairs, deduplicated.
+ */
+object Dedup {
+
+  /** Exact dedup: keep the smallest id per distinct value of `contentCol`.
+    * Returns (id, content, n_dups). One shuffle, partial-agg combined. */
+  def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.groupBy(col(contentCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+      .select(col(idCol), col(contentCol), col("n_dups"))
+
+  /** Exact dedup on a fingerprint of the content (cheap shuffle key for long
+    * documents: 16-byte md5 instead of the full text). */
+  def exactByFingerprint(df: DataFrame, idCol: String, contentCol: String): DataFrame =
+    df.select(col(idCol), fingerprint_md5(col(contentCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /**
+   * MinHash-LSH candidate pairs above an estimated Jaccard threshold.
+   * numHashes=128, rowsPerBand=4 → 32 bands: collision probability for
+   * similarity s is 1-(1-s^4)^32 (≥0.97 for s≥0.5). Returns
+   * (id_a, id_b, jaccard) with exact Jaccard verified on candidates only.
+   */
+  def minHashLSH(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val sigs = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .withColumn("sig", minhash_signature(col("sh"), numHashes))
+    val banded = sigs
+      .select(col("id"), col("sh"), explode(minhash_bands(col("sig"), rowsPerBand)).as("b"))
+      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for full
+   * recall via 16-bit pigeonhole banding). Returns (id_a, id_b, hamming).
+   */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "pigeonhole banding on 4 chunks guarantees recall only for ≤3")
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(tokens(col(textCol))).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"), explode(simhash_chunks(col("sig"))).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * Exact n-gram Jaccard pairs ≥ threshold via inverted-index join: explode
+   * distinct shingles, self-join on the shingle (shared-shingle pairs only),
+   * count intersections, then |A∪B| = |A|+|B|-|A∩B|. Pure relational algebra —
+   * DuckDB-oracle-expressible, no UDFs, no n² blowup (pairs sharing nothing
+   * never meet). Returns (id_a, id_b, jaccard).
+   */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = toks.select(col("id"), size(col("sh")).as("n"))
+    val inv = toks.select(col("id"), explode(col("sh")).as("s"))
+    val pairs = inv.alias("a").join(inv.alias("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * Embedding near-dup: hyperplane-LSH bucket join + exact cosine verification.
+   * `nBits` controls bucket granularity (recall/cost tradeoff); cosine is the
+   * native codegen'd expression. Returns (id_a, id_b, cos).
+   */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      hyperplane_bucket(col(vecCol), nBits).as("bucket"))
+    bucketed.alias("a").join(bucketed.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
+      .where(col("cos") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+}

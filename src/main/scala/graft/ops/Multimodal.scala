@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing (north-star extension, BASELINE.json): treat
+ * image/audio/video payloads as opaque `binary` columns with a typed metadata
+ * struct, and run decode / feature-extraction as **batched partition-local**
+ * transforms. The Spark-side mechanics — schema, partition sizing, batch shape,
+ * null handling — are real and tested; the actual media codecs are STUBBED with a
+ * deterministic fake (no image/audio libraries exist in this environment), each
+ * clearly marked `STUB`.
+ *
+ * Scale design: media blobs dominate row size, so operators here
+ * (a) never shuffle the blob — metadata-only projections are separate columns
+ *     the optimizer can prune the blob away from;
+ * (b) repartition by target byte size, not row count (`repartitionForBlobs`);
+ * (c) use `mapPartitions` for batch-amortized native-decoder calls (the Scala
+ *     analogue of `mapInPandas` batches).
+ */
+object Multimodal {
+
+  /** Metadata carried with every media payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("bytes", LongType)))
+
+  /**
+   * Wrap a table with a media payload: `media: binary` + `media_meta: struct`.
+   * In tests the payload is synthesized deterministically from a text column
+   * (UTF-8 bytes); in production it would come from the storage layer as-is.
+   */
+  def attachPayload(df: DataFrame, srcCol: String): DataFrame =
+    df.withColumn("media", encode(col(srcCol), "UTF-8").cast(BinaryType))
+      .withColumn("media_meta", struct(
+        lit("fake/raw").as("format"),
+        (octet_length(col("media")) % 640).cast("int").as("width"),
+        (octet_length(col("media")) % 480).cast("int").as("height"),
+        (octet_length(col("media")) % 30 + 1).cast("int").as("n_frames"),
+        octet_length(col("media")).cast("long").as("bytes")))
+
+  /**
+   * Repartition so each partition holds ≈ `targetBytes` of payload — the blob
+   * analogue of `spark.sql.files.maxPartitionBytes`. Prevents 2 GB partition
+   * blowups when blobs are MBs each.
+   */
+  def repartitionForBlobs(df: DataFrame, blobCol: String, targetBytes: Long): DataFrame = {
+    val stats = df.agg(sum(octet_length(col(blobCol)).cast("long"))).head()
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val parts = math.max(1, (total / math.max(1L, targetBytes)).toInt)
+    df.repartition(parts)
+  }
+
+  /**
+   * STUB decode: batched per-partition "decode" producing a deterministic
+   * feature vector per blob (first 8 bytes as floats, normalized). A real
+   * deployment replaces `decodeBatch` with a JNI/FFI call into an image/audio
+   * codec — the batching, schema, and null contract stay identical.
+   */
+  def decodeFeatures(df: DataFrame, idCol: String, blobCol: String, dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("features", ArrayType(FloatType))))
+    val rows = df.select(col(idCol), col(blobCol)).rdd.mapPartitions { it =>
+      // batch loop: a real decoder would be initialized once per partition here
+      it.map { r =>
+        val id = r.get(0)
+        val blob = r.getAs[Array[Byte]](1)
+        Row(id, decodeBatch(blob, dim)) // STUB call
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** STUB — deterministic fake decoder: byte n → float (byte/128 - 1), padded. */
+  private def decodeBatch(blob: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      out(i) = if (blob != null && i < blob.length) blob(i).toFloat / 128f - 1f else 0f
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * Frame sampling plumbing: pick every `stride`-th frame index up to
+   * `media_meta.n_frames` (the decode of those frames is the STUB above).
+   * Pure expression — prunes to metadata, never touches the blob.
+   */
+  def sampleFrameIndexes(df: DataFrame, stride: Int): DataFrame =
+    df.withColumn("frame_idx",
+      sequence(lit(0), greatest(col("media_meta.n_frames") - 1, lit(0)), lit(stride)))
+}

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column (north-star
+ * extension, BASELINE.json). Two tiers:
+ *
+ *  - **brute force**: score every row with the codegen'd `cosine_sim` and take
+ *    top-k. Correct baseline; on a cluster this is a full scan + a tiny
+ *    `TakeOrderedAndProject` (no shuffle of the data, only of k rows per
+ *    partition) — viable even at 10^9 vectors when the scan is the bottleneck.
+ *  - **LSH-bucketed (IVF-style)**: restrict scoring to rows whose hyperplane
+ *    bucket matches one of the query's probe buckets (the bucket itself plus
+ *    single-bit flips). At 100 TB the bucket column is a Parquet partition or
+ *    Z-order key, so probing reads only matching row groups.
+ */
+object Similarity {
+
+  /** Exact top-k by cosine against a constant query vector.
+    * Returns (id, cos) ordered desc, ties broken by id. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs top-k: for each row in `queries`, the k nearest in `corpus`.
+    * Broadcast the query side (it is small by assumption) so the corpus never
+    * shuffles; rank with a window per query id. */
+  def crossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("corpus_id"), cosine_sim(col("cv"), col("qv")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k && col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
+  }
+
+  /** Probe buckets for a query bucket id: itself + all single-bit flips
+    * (multi-probe LSH — recovers most near neighbors lost to one wrong bit). */
+  private def probeBuckets(bucket: Column, nBits: Int): Column =
+    array_union(array(bucket),
+      (0 until nBits).foldLeft(array().cast("array<bigint>")) { (acc, b) =>
+        array_union(acc, array(bucket.bitwiseXOR(lit(1L << b))))
+      })
+
+  /**
+   * ANN top-k: hyperplane-LSH bucketing with multi-probe. The corpus is bucketed
+   * once (in practice: persisted partitioned by bucket); each query probes
+   * 1 + nBits buckets and scores only those rows.
+   */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, nBits: Int = 8): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qBucket = hyperplane_bucket(q, nBits)
+    val bucketed = df.select(col(idCol), col(vecCol),
+      hyperplane_bucket(col(vecCol), nBits).as("bucket"))
+    bucketed
+      .where(array_contains(probeBuckets(qBucket, nBits), col("bucket")))
+      .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+}

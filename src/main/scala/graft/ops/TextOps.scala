@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * Text-analysis operators for training-data pipelines (north-star extension,
+ * BASELINE.json): language ID, quality scoring, token counting, fingerprinting.
+ * Everything is a Catalyst expression (codegen'd, no UDFs) and deliberately
+ * DuckDB-expressible so the correctness oracle can replay it in SQL.
+ */
+object TextOps {
+
+  /** Per-language stopword marker lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, and SQL-replicable. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und"),
+    "fr" -> Seq("le", "la", "les", "et"),
+    "es" -> Seq("el", "los", "y", "que"))
+
+  /** Count of tokens that appear in `markers`. */
+  private def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+
+  /**
+   * Language-ID heuristic: argmax of stopword-marker hits, first-listed language
+   * wins ties, "und" (undetermined) when no marker hits. The deterministic
+   * tie-break makes it hash-stable against the SQL oracle.
+   */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scores = langMarkers.map { case (l, ms) => (l, markerHits(toks, ms)) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
+      acc.when(s === best, lit(l))
+    }.otherwise(lit("und"))
+  }
+
+  /**
+   * Quality score in [0,1]: 0.4·length score (chars/500 capped) + 0.3·stopword
+   * ratio (capped at 3×) + 0.3·vocabulary diversity (distinct/total tokens).
+   * Deterministic per-row double arithmetic → identical in Spark and DuckDB.
+   */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val stop = markerHits(toks, langMarkers.flatMap(_._2)).cast("double")
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopScore = least(stop / greatest(n, lit(1.0)) * 10.0, lit(1.0))
+    val diversity = when(n === 0, 0.0)
+      .otherwise(size(array_distinct(toks)).cast("double") / n)
+    round(lenScore * 0.4 + stopScore * 0.3 + diversity * 0.3, 6)
+  }
+
+  /** Whitespace token count (see GraftFunctions.tokens for the exact contract). */
+  def tokenCount(text: Column): Column = token_count(text)
+
+  /** BPE-ish subword count: whitespace tokens further split into ≤4-char pieces. */
+  def subwordCount(text: Column): Column = size(subword_tokens(text))
+
+  /** Content fingerprint: hex MD5 (cross-engine stable). */
+  def fingerprint(text: Column): Column = fingerprint_md5(text)
+
+  /** Rolling Karp–Rabin fingerprint (for shingle-window fingerprinting pipelines). */
+  def rollingFingerprint(text: Column): Column = rolling_hash(text)
+
+  /** Full document profile: one pass, all text metrics. */
+  def profile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      langId(col(textCol)).as("lang_pred"),
+      qualityScore(col(textCol)).as("quality"),
+      token_count(col(textCol)).as("n_tokens"),
+      fingerprint_md5(col(textCol)).as("fp"))
+}

@@ -1,0 +1,169 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Keyed-table persistence + the mutation merge algebra — the Spark-native analogue
+ * of the reference's write path (`PutOp`/`DeleteOp`/`IncrementOp`/`OpBase`,
+ * reference: src/main/scala/com/gravity/hbase/schema/{PutOp.scala:21,
+ * DeleteOp.scala:21, IncrementOp.scala:19, OpBase.scala:22}).
+ *
+ * Key design decisions (SURVEY §2.3, §7 "hard parts"):
+ *  - A mutation batch is applied **deletes → puts → increments**, matching the
+ *    reference's documented batch precedence (reference README.markdown:299).
+ *  - Put merge is last-write-wins per (key, family, qualifier): struct fields
+ *    coalesce new-over-old; map (dynamic-family) columns merge with new keys
+ *    winning (reference PutOp.scala:28-50 `valueMap` semantics).
+ *  - Increment merge is `coalesce(old, 0) + delta`, per scalar column or per map
+ *    key (reference IncrementOp.scala:19-39). HBase's per-cell atomicity becomes
+ *    job-level atomicity: increments inside one `execute()` batch are summed;
+ *    concurrent jobs are last-committer-wins. This is the documented semantic
+ *    difference of a batch engine (SURVEY §7).
+ *
+ * Scale notes (100 TB): every merge here is a key-partitioned shuffle join — no
+ * driver-side collection anywhere. Mutation batches are themselves DataFrames, so
+ * a billion-row put batch is just another shuffle input. Increment aggregation is
+ * a partial-agg-then-merge (`groupBy(key).agg(sum)`) so hot keys combine map-side
+ * before the shuffle.
+ */
+object KeyedStore {
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  /** Overwrite the table dir. For huge tables prefer `writePartitioned`. */
+  def write(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Key-bucketed layout so future merges co-partition without a full shuffle. */
+  def writePartitioned(df: DataFrame, path: String, numBuckets: Int, keyCol: String = "key"): Unit =
+    df.repartition(numBuckets, col(keyCol)).write.mode("overwrite").parquet(path)
+
+  /** Mirror of the reference's `OpsResult(numDeletes, numPuts, numIncrements)`
+    * (reference OpBase.scala:98-114). */
+  final case class OpsResult(numDeletes: Long, numPuts: Long, numIncrements: Long) {
+    def +(o: OpsResult): OpsResult =
+      OpsResult(numDeletes + o.numDeletes, numPuts + o.numPuts, numIncrements + o.numIncrements)
+  }
+
+  private def isMap(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[MapType]
+
+  private def isStruct(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[StructType]
+
+  /** Spark's map_concat needs LAST_WIN to express "new cell value wins". */
+  private[graft] def ensureConf(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+
+  /**
+   * Last-write-wins upsert (PutOp analogue). `puts` must share `current`'s schema
+   * (missing columns are treated as untouched). Per column:
+   *  - map column: `map_concat(old, new)` with LAST_WIN — new qualifiers win,
+   *    untouched qualifiers survive (reference valueMap semantics, PutOp.scala:38-50);
+   *  - struct column: field-wise `coalesce(new.f, old.f)` — a put sets cells, never
+   *    nulls them (nulling is DeleteOp's job, as in HBase);
+   *  - scalar column: `coalesce(new, old)`.
+   */
+  def upsert(current: DataFrame, puts: DataFrame, keyCol: String = "key"): DataFrame = {
+    ensureConf(current.sparkSession)
+    val o = current.alias("o")
+    val n = puts.alias("n")
+    val putCols = puts.columns.toSet
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    val merged = current.columns.map {
+      case `keyCol` =>
+        coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol)
+      case c if !putCols.contains(c) => col(s"o.$c").as(c)
+      case c if isMap(current, c) =>
+        (when(col(s"o.$c").isNull, col(s"n.$c"))
+          .when(col(s"n.$c").isNull, col(s"o.$c"))
+          .otherwise(map_concat(col(s"o.$c"), col(s"n.$c")))).as(c)
+      case c if isStruct(current, c) =>
+        val st = current.schema(c).dataType.asInstanceOf[StructType]
+        val fields = st.fields.map { f =>
+          coalesce(col(s"n.$c").getField(f.name), col(s"o.$c").getField(f.name)).as(f.name)
+        }
+        when(col(s"o.$c").isNull && col(s"n.$c").isNull, lit(null).cast(st))
+          .otherwise(struct(fields.toIndexedSeq: _*)).as(c)
+      case c =>
+        coalesce(col(s"n.$c"), col(s"o.$c")).as(c)
+    }
+    joined.select(merged.toIndexedSeq: _*)
+  }
+
+  /** Whole-row delete (reference DeleteOp `delete(key)`, DeleteOp.scala:21-39). */
+  def deleteRows(current: DataFrame, keys: DataFrame, keyCol: String = "key"): DataFrame =
+    current.join(keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")
+
+  /** Family delete: null the family column for the given keys
+    * (reference `.family(_)`). */
+  def deleteFamily(current: DataFrame, keys: DataFrame, famCol: String,
+      keyCol: String = "key"): DataFrame = {
+    val k = keys.select(col(keys.columns.head).as(keyCol)).withColumn("__del", lit(true))
+    current.join(k, Seq(keyCol), "left_outer")
+      .withColumn(famCol,
+        when(col("__del"), lit(null).cast(current.schema(famCol).dataType))
+          .otherwise(col(famCol)))
+      .drop("__del")
+  }
+
+  /** Qualifier delete on a dynamic family: drop the given map keys
+    * (reference `.values(_, Set(q))`). */
+  def deleteQualifiers(current: DataFrame, keys: DataFrame, famCol: String,
+      qualifiers: Seq[Any], keyCol: String = "key"): DataFrame = {
+    val k = keys.select(col(keys.columns.head).as(keyCol)).withColumn("__del", lit(true))
+    val quals = array(qualifiers.map(lit): _*)
+    current.join(k, Seq(keyCol), "left_outer")
+      .withColumn(famCol,
+        when(col("__del"), map_filter(col(famCol), (q, _) => !array_contains(quals, q)))
+          .otherwise(col(famCol)))
+      .drop("__del")
+  }
+
+  /**
+   * Increment merge (IncrementOp analogue). `deltas` columns: the key plus numeric
+   * scalar columns and/or `map<K, long/double>` columns to add. Multiple delta rows
+   * for one key are pre-summed (the "increments within one batch are summed" rule).
+   * Map increments union-merge keys via `map_zip_with(o, d, coalesce(v1,0)+coalesce(v2,0))`.
+   */
+  def increment(current: DataFrame, deltas: DataFrame, keyCol: String = "key"): DataFrame = {
+    val deltaCols = deltas.columns.filter(_ != keyCol)
+    // Pre-aggregate the batch: map-side combine handles hot keys before the shuffle.
+    val (mapCols, scalarCols) = deltaCols.partition(c => isMap(deltas, c))
+    var summed: DataFrame =
+      if (scalarCols.nonEmpty)
+        deltas.groupBy(col(keyCol)).agg(
+          sum(col(scalarCols.head)).as(scalarCols.head),
+          scalarCols.tail.map(c => sum(col(c)).as(c)).toIndexedSeq: _*)
+      else deltas.select(col(keyCol)).distinct()
+    mapCols.foreach { mc =>
+      val vt = deltas.schema(mc).dataType.asInstanceOf[MapType].valueType
+      val perKey = deltas
+        .select(col(keyCol), explode_outer(col(mc)).as(Seq("__q", "__v")))
+        .groupBy(col(keyCol), col("__q")).agg(sum(col("__v")).as("__v"))
+        .groupBy(col(keyCol))
+        .agg(map_from_entries(collect_list(when(col("__q").isNotNull,
+          struct(col("__q"), col("__v").cast(vt))))).as(mc))
+      summed = summed.join(perKey, Seq(keyCol), "left_outer")
+    }
+    val o = current.alias("o")
+    val n = summed.alias("n")
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    val merged = current.columns.map {
+      case `keyCol` => coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol)
+      case c if mapCols.contains(c) =>
+        val mt = current.schema(c).dataType.asInstanceOf[MapType]
+        (when(col(s"o.$c").isNull, col(s"n.$c").cast(mt))
+          .when(col(s"n.$c").isNull, col(s"o.$c"))
+          .otherwise(map_zip_with(col(s"o.$c"), col(s"n.$c").cast(mt),
+            (_, v1, v2) => coalesce(v1, lit(0)) + coalesce(v2, lit(0))))).as(c)
+      case c if scalarCols.contains(c) =>
+        (coalesce(col(s"o.$c"), lit(0)) +
+          coalesce(col(s"n.$c"), lit(0))).cast(current.schema(c).dataType).as(c)
+      case c => col(s"o.$c").as(c)
+    }
+    joined.select(merged.toIndexedSeq: _*)
+  }
+}
