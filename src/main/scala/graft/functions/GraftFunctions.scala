@@ -17,9 +17,11 @@ import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, HammingDistance64}
  */
 object GraftFunctions {
 
-  /** Cosine similarity of two `array<float>` columns (native codegen expression). */
+  /** Cosine similarity of two vector columns (native codegen expression).
+    * Inputs are normalized to `array<float>` (no-op when already float). */
   def cosine_sim(a: Column, b: Column): Column =
-    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+    Bridge.column(CosineSimilarity(
+      Bridge.expression(a.cast("array<float>")), Bridge.expression(b.cast("array<float>"))))
 
   /** Hamming distance of two 64-bit signatures (native codegen expression). */
   def hamming64(a: Column, b: Column): Column =

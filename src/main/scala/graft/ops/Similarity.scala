@@ -37,12 +37,13 @@ object Similarity {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id")) // self-match excluded pre-rank
       .select(col("query_id"), col("corpus_id"), cosine_sim(col("cv"), col("qv")).as("cos"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k && col("query_id") =!= col("corpus_id"))
+      .where(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.functions.GraftFunctions._
+
+/**
+ * North-star operator behavior: dedup recall on planted near-dups, ANN recall
+ * vs brute force, multimodal plumbing, text metrics.
+ */
+class OpsSpec extends SparkSpec {
+  _quiet
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+
+  /** documents ∪ slightly-edited copies of doc_id < 40 (planted near-dups at
+    * id+1_000_000: last token dropped → shingle Jaccard (n-2)/n ≥ ~0.85). */
+  private lazy val withPlanted = {
+    val ts = tokens(col("text"))
+    val edited = docs.where(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ts, lit(1), size(ts) - 1)).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(edited)
+  }
+
+  test("minHashLSH finds planted near-dups (recall ≥ 0.9), no self-pairs") {
+    val pairs = Dedup.minHashLSH(withPlanted, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 40L).count(i => pairs.contains((i, i + 1000000L)))
+    assert(hits >= 36, s"recall $hits/40")
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("simHash: order-invariant — token-permuted copies at hamming 0") {
+    // SimHash is a bag-of-tokens signature: reordering tokens must not change it.
+    val permuted = docs.where(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", reverse(tokens(col("text")))).as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(permuted)
+    val pairs = Dedup.simHash(all, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val hits = (0L until 40L).count(i => pairs.get((i, i + 1000000L)).contains(0))
+    assert(hits == 40, s"simhash hamming-0 hits $hits/40")
+  }
+
+  test("ngramJaccard agrees with brute-force jaccard on a sample") {
+    val sample = docs.where(col("doc_id") < 60)
+    val got = Dedup.ngramJaccard(sample, "doc_id", "text", 3, 0.05)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // brute force over all pairs of the sample
+    val sh = sample.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b) {
+      val inter = (sh(a) & sh(b)).size
+      val j = inter.toDouble / (sh(a).size + sh(b).size - inter)
+      if (j >= 0.05)
+        assert(got.contains((a, b)) &&
+          math.abs(got((a, b)) - BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6,
+          s"pair ($a,$b) j=$j got=${got.get((a, b))}")
+      else assert(!got.contains((a, b)))
+    }
+  }
+
+  test("exact dedup finds planted identical copies") {
+    val dup = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.where(col("doc_id") < 5)
+        .select((col("doc_id") + 5000L).as("doc_id"), col("text")))
+    val out = Dedup.exact(dup, "doc_id", "text")
+    assert(out.where(col("n_dups") === 2).count() == 5)
+    assert(out.count() == docs.count()) // 500 distinct texts
+    val fp = Dedup.exactByFingerprint(dup, "doc_id", "text")
+    assert(fp.where(col("n_dups") === 2).count() == 5)
+  }
+
+  test("annTopK finds planted true neighbors (recall ≥ 0.9 at k=20)") {
+    // plant 20 positive-scaled copies of the query: cosine exactly 1.0 and the
+    // hyperplane bucket is scale-invariant, so a correct ANN must return them.
+    val q = emb.where(col("vec_id") === 7).select(col("embedding")).head().getSeq[Float](0)
+    val copies = emb.where(col("vec_id") === 7)
+      .crossJoin(spark.range(1, 21).select(col("id")))
+      .select((col("id") + 8000L).as("vec_id"),
+        transform(col("embedding"), x => x * (lit(1.0f) + col("id").cast("float") / 100f))
+          .as("embedding"))
+    val corpus = emb.where(col("vec_id") =!= 7).select(col("vec_id"), col("embedding"))
+      .unionByName(copies)
+    val brute = Similarity.bruteForceTopK(corpus, "vec_id", "embedding", q, 20)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(corpus, "vec_id", "embedding", q, 20, nBits = 8)
+      .collect().map(_.getLong(0)).toSet
+    assert(brute.count(_ >= 8000L) == 20) // the planted copies ARE the top-20
+    val recall = (brute & ann).size.toDouble / 20
+    assert(recall >= 0.9, s"ANN recall $recall")
+  }
+
+  test("embeddingNearDup finds planted duplicate vectors") {
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDup(planted, "vec_id", "embedding",
+      threshold = 0.999, nBits = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = (0L until 10L).count(i => pairs.contains((i, i + 9000L)))
+    assert(hits == 10, s"identical-vector pairs found $hits/10")
+  }
+
+  test("crossTopK ranks within each query, excludes self") {
+    val small = emb.where(col("vec_id") < 30)
+    val out = Similarity.crossTopK(small, small.where(col("vec_id") < 3),
+      "vec_id", "embedding", 5).collect()
+    assert(out.length == 15)
+    assert(out.forall(r => r.getLong(0) != r.getLong(1)))
+    val perQ = out.groupBy(_.getLong(0))
+    perQ.values.foreach { rs =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (hi, lo) => hi >= lo })
+    }
+  }
+
+  test("multimodal: payload schema, deterministic stub decode, frame sampling") {
+    val m = Multimodal.attachPayload(docs.limit(20), "text")
+    assert(m.schema("media").dataType.typeName == "binary")
+    assert(m.schema("media_meta").dataType.typeName == "struct")
+    val feats = Multimodal.decodeFeatures(m, "doc_id", "media")
+    val f1 = feats.orderBy(col("doc_id")).collect().map(_.getSeq[Float](1))
+    val f2 = Multimodal.decodeFeatures(m, "doc_id", "media")
+      .orderBy(col("doc_id")).collect().map(_.getSeq[Float](1))
+    assert(f1.zip(f2).forall { case (a, b) => a == b }) // deterministic
+    assert(f1.forall(_.size == 8))
+    val sampled = Multimodal.sampleFrameIndexes(m, stride = 5)
+    sampled.select(col("media_meta.n_frames"), col("frame_idx")).collect().foreach { r =>
+      val nf = r.getInt(0); val idx = r.getSeq[Int](1)
+      assert(idx.head == 0 && idx.forall(_ < nf.max(1)))
+    }
+    val repart = Multimodal.repartitionForBlobs(m, "media", 1024)
+    assert(repart.rdd.getNumPartitions >= 1)
+  }
+
+  test("text metrics: profile columns, langId deterministic tie-break") {
+    val p = TextOps.profile(docs.limit(50), "doc_id", "text")
+    assert(p.columns.toSeq == Seq("doc_id", "lang_pred", "quality", "n_tokens", "fp"))
+    assert(p.where(col("quality") < 0 || col("quality") > 1).count() == 0)
+    val l = Seq("the la le", "zzz yyy", "der und la le").toDF("text")
+      .select(TextOps.langId(col("text"))).collect().map(_.getString(0))
+    assert(l(0) == "fr")  // en=1 ('the') < fr=2 ('la','le') → fr
+    assert(l(1) == "und") // no marker hits
+    assert(l(2) == "de")  // de=2 ties fr=2 → first-listed tied language wins
+  }
+}
