@@ -259,7 +259,8 @@ object SparkEntry {
     // --- text analysis: language-ID heuristic vs labeled lang ----------------
     "q20_lang_id" -> ((s, dir) => {
       T(s, dir, "documents")
-        .select(col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        .withColumn("toks", tokens(lower(col("text")))) // tokenize once
+        .select(col("lang"), TextOps.langIdFromTokens(col("toks")).as("lang_pred"))
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
     }),

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{Bridge, CosineSimilarity, HammingDistance64}
+import org.apache.spark.sql.graft._
 
 /**
  * Column-function library for the engine. The reference has **no** scalar-function
@@ -54,35 +54,37 @@ object GraftFunctions {
 
   // ---- Hash signatures (dedup/similarity primitives) ----
 
-  /**
-   * MinHash signature: `numHashes` minima of per-token 64-bit hashes under
-   * independent hash functions h_i(t) = xxhash64(i ⊕ t). Entirely built-ins →
-   * codegen'd, shuffle-free, O(numHashes · tokens) per row.
-   */
+  /** One 64-bit xxhash per token (`array<string>` -> `array<long>`): the single
+    * string-touching pass of the signature pipelines. Native expression — the
+    * HOF (`transform`) formulation is CodegenFallback and ~1000x slower. */
+  def token_hashes(tokenArr: Column): Column =
+    Bridge.column(TokenHashes(Bridge.expression(tokenArr)))
+
+  /** MinHash signature over pre-hashed tokens: slot i = min over tokens of
+    * XXH64(h, seed=i). Tight primitive loop, no boxing. */
+  def minhash_signature_from_hashes(hashArr: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(hashArr), numHashes))
+
+  /** MinHash signature from raw tokens (convenience: [[token_hashes]] then
+    * [[minhash_signature_from_hashes]]). */
   def minhash_signature(tokenArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(tokenArr, t => xxhash64(concat(i.cast("string"), lit(""), t)))))
+    minhash_signature_from_hashes(token_hashes(tokenArr), numHashes)
 
-  /** LSH band keys from a MinHash signature: one 64-bit hash per band of
-    * `rowsPerBand` signature slots. Docs sharing any band key become candidates. */
+  /** LSH band keys from a MinHash signature: one XXH64 chain per band of
+    * `rowsPerBand` slots, seeded by the band index. Docs sharing any band key
+    * become candidate pairs. Output explodes to (band, sig). */
   def minhash_bands(sig: Column, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), floor(size(sig) / lit(rowsPerBand)).cast("int") - 1), b =>
-      struct(b.as("band"),
-        xxhash64(concat_ws(",", transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          v => v.cast("string")))).as("sig")))
+    Bridge.column(MinHashBands(Bridge.expression(sig), rowsPerBand))
 
-  /**
-   * 64-bit SimHash over a token array: bit b of the result is set iff the sum of
-   * ±1 votes (bit b of each token's xxhash64) is positive. Assembled with
-   * bitwise OR of shifted bits — no ANSI overflow. One `aggregate` per bit keeps
-   * everything in whole-stage codegen.
-   */
+  /** 64-bit SimHash over pre-hashed tokens: bit b set iff the +-1 votes from
+    * bit b of each token hash sum positive. One pass, 64 counters. */
+  def simhash64_from_hashes(hashArr: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(hashArr)))
+
+  /** SimHash from raw tokens (convenience; hot pipelines materialize
+    * [[token_hashes]] once — Dedup.simHash does). */
   def simhash64(tokenArr: Column): Column =
-    (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
-      val vote = aggregate(tokenArr, lit(0L),
-        (s, t) => s + (shiftright(xxhash64(t), b).bitwiseAND(lit(1L)) * 2 - 1))
-      acc.bitwiseOR(when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-    }
+    simhash64_from_hashes(token_hashes(tokenArr))
 
   /** The 16-bit chunks of a 64-bit SimHash — pigeonhole banding: two signatures
     * within Hamming distance 3 share at least one of the 4 chunks. */
@@ -98,23 +100,12 @@ object GraftFunctions {
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
-  /**
-   * Signed-random-projection (hyperplane) LSH bucket for a float vector:
-   * `nBits` sign bits of dot products with pseudo-random hyperplanes derived
-   * deterministically from xxhash64(bit:dim) — no stored model, identical on
-   * every executor. Returns a long bucket id of `nBits` bits.
-   */
+  /** Signed-random-projection (hyperplane) LSH bucket: `nBits` sign bits of
+    * dot products with XXH64-derived pseudo-random hyperplanes (native
+    * expression; driver-side twin: `HyperplaneBucket.compute`). */
   def hyperplane_bucket(vec: Column, nBits: Int): Column =
-    (0 until nBits).foldLeft(lit(0L)) { (acc, b) =>
-      val dot = aggregate(
-        zip_with(vec, transform(sequence(lit(0), size(vec) - 1), d =>
-          // deterministic pseudo-uniform weight in [-1, 1)
-          (pmod(xxhash64(concat(lit(s"$b:"), d.cast("string"))), lit(1000000L))
-            .cast("double") / 500000.0) - 1.0),
-          (x, w) => x.cast("double") * w),
-        lit(0.0), (s, p) => s + p)
-      acc.bitwiseOR(when(dot > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-    }
+    Bridge.column(org.apache.spark.sql.graft.HyperplaneBucket(
+      Bridge.expression(vec.cast("array<float>")), nBits))
 
   /** Karp–Rabin rolling fingerprint of a string: base-31 polynomial over chars,
     * modulo 2^31-1 (Mersenne prime) — overflow-free under ANSI. */

@@ -49,21 +49,31 @@ object Dedup {
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    val sigs = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .withColumn("sig", minhash_signature(col("sh"), numHashes))
-    val banded = sigs
-      .select(col("id"), col("sh"), explode(minhash_bands(col("sig"), rowsPerBand)).as("b"))
-      .select(col("id"), col("sh"), col("b.band").as("band"), col("b.sig").as("bsig"))
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b,
+    // One string-touching pass: shingle + hash each doc to array<long>, then
+    // everything downstream (signature, banding, verification) is long-only.
+    // Persisted because three branches reuse it (signatures + both sides of the
+    // verification join); without it the shingling scan runs three times.
+    val hashed = df
+      .select(col(idCol).as("id"),
+        array_distinct(token_hashes(shingles(col(textCol), shingleSize))).as("th"))
+      .persist()
+    val banded = hashed
+      .select(col("id"),
+        explode(minhash_bands(
+          minhash_signature_from_hashes(col("th"), numHashes), rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    // Band self-join carries only (id, band, sig) — never the shingle arrays,
+    // which would be duplicated bands-per-doc times through the shuffle.
+    val candidates = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    // Exact Jaccard verified on the hashed shingle sets (collision odds 2^-64).
+    candidates
+      .join(hashed.select(col("id").as("id_a"), col("th").as("th_a")), "id_a")
+      .join(hashed.select(col("id").as("id_b"), col("th").as("th_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("th_a"), col("th_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -75,8 +85,9 @@ object Dedup {
   def simHash(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "pigeonhole banding on 4 chunks guarantees recall only for ≤3")
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(tokens(col(textCol))).as("sig"))
+    val sigs = df
+      .select(col(idCol).as("id"), token_hashes(tokens(col(textCol))).as("th"))
+      .select(col("id"), simhash64_from_hashes(col("th")).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), explode(simhash_chunks(col("sig"))).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.sig").as("bsig"))
     val a = banded.alias("a")
@@ -101,10 +112,15 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    // Inverted index keyed by the 64-bit shingle hash, not the shingle string:
+    // the self-join shuffles 8-byte keys instead of n-gram text (same result —
+    // a hash collision altering a count has odds ~2^-64). Persisted: the index
+    // feeds both join sides and the per-doc sizes.
     val toks = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleSize)).as("sh"))
-    val sizes = toks.select(col("id"), size(col("sh")).as("n"))
-    val inv = toks.select(col("id"), explode(col("sh")).as("s"))
+      array_distinct(token_hashes(shingles(col(textCol), shingleSize))).as("th"))
+      .persist()
+    val sizes = toks.select(col("id"), size(col("th")).as("n"))
+    val inv = toks.select(col("id"), explode(col("th")).as("s"))
     val pairs = inv.alias("a").join(inv.alias("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -47,27 +47,23 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
-  /** Probe buckets for a query bucket id: itself + all single-bit flips
-    * (multi-probe LSH — recovers most near neighbors lost to one wrong bit). */
-  private def probeBuckets(bucket: Column, nBits: Int): Column =
-    array_union(array(bucket),
-      (0 until nBits).foldLeft(array().cast("array<bigint>")) { (acc, b) =>
-        array_union(acc, array(bucket.bitwiseXOR(lit(1L << b))))
-      })
-
   /**
    * ANN top-k: hyperplane-LSH bucketing with multi-probe. The corpus is bucketed
    * once (in practice: persisted partitioned by bucket); each query probes
-   * 1 + nBits buckets and scores only those rows.
+   * 1 + nBits buckets — its own plus every single-bit flip (recovering most
+   * near neighbors lost to one wrong sign bit) — and scores only those rows.
+   * The query's bucket is computed driver-side (`HyperplaneBucket.compute`) so
+   * the probe set is a literal IN-list the scan can filter on directly.
    */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, nBits: Int = 8): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val qBucket = hyperplane_bucket(q, nBits)
+    val qBucket = org.apache.spark.sql.graft.HyperplaneBucket.compute(query.toArray, nBits)
+    val probes = (qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))).distinct
     val bucketed = df.select(col(idCol), col(vecCol),
       hyperplane_bucket(col(vecCol), nBits).as("bucket"))
     bucketed
-      .where(array_contains(probeBuckets(qBucket, nBits), col("bucket")))
+      .where(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -26,16 +26,20 @@ object TextOps {
 
   /**
    * Language-ID heuristic: argmax of stopword-marker hits, first-listed language
-   * wins ties, "und" (undetermined) when no marker hits. The deterministic
-   * tie-break makes it hash-stable against the SQL oracle.
+   * wins ties (array_position returns the first max), "und" when no marker hits.
+   * The deterministic tie-break makes it hash-stable against the SQL oracle.
+   * Hot pipelines should materialize the token array once and call
+   * [[langIdFromTokens]] — the convenience form re-derives it from text.
    */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scores = langMarkers.map { case (l, ms) => (l, markerHits(toks, ms)) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldLeft(when(best <= 0, lit("und"))) { case (acc, (l, s)) =>
-      acc.when(s === best, lit(l))
-    }.otherwise(lit("und"))
+  def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
+
+  /** Argmax form over a pre-tokenized (lowercased) token array. */
+  def langIdFromTokens(toks: Column): Column = {
+    val scoresArr = array(langMarkers.map { case (_, ms) => markerHits(toks, ms) }: _*)
+    val names = array(langMarkers.map { case (l, _) => lit(l) }: _*)
+    val maxS = array_max(scoresArr)
+    when(maxS <= 0, lit("und"))
+      .otherwise(element_at(names, array_position(scoresArr, maxS).cast("int")))
   }
 
   /**
