@@ -1,0 +1,64 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/**
+ * SQL surface for graft's native expressions. Two registration paths:
+ *
+ *  1. `spark.sql.extensions=org.apache.spark.sql.graft.GraftExtensions` (or
+ *     `SparkSession.builder.withExtensions(new GraftExtensions)`) — the
+ *     standard deployment path, wired at session construction;
+ *  2. [[GraftExtensions.register]] — imperative registration on a live session
+ *     (tests, notebooks).
+ *
+ * After either, the functions work in plain SQL:
+ * {{{ SELECT cosine_sim(a.embedding, b.embedding) FROM ... }}}
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  private def req(n: Int, name: String)(args: Seq[Expression]): Seq[Expression] = {
+    require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+    args
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      args => { val a = req(2, "cosine_sim")(args); CosineSimilarity(a(0), a(1)) }),
+    ("hamming64", info("hamming64", "hamming64(a, b) - hamming distance of two int64 signatures"),
+      args => { val a = req(2, "hamming64")(args); HammingDistance64(a(0), a(1)) }),
+    ("token_hashes", info("token_hashes", "token_hashes(arr) - xxh64 of each string element"),
+      args => TokenHashes(req(1, "token_hashes")(args).head)),
+    ("simhash64", info("simhash64", "simhash64(hashArr) - 64-bit simhash over token hashes"),
+      args => SimHash64(req(1, "simhash64")(args).head)),
+    ("minhash_signature", info("minhash_signature",
+      "minhash_signature(hashArr, n) - n-slot minhash signature over token hashes"),
+      args => { val a = req(2, "minhash_signature")(args)
+        MinHashSignature(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("minhash_bands", info("minhash_bands",
+      "minhash_bands(sig, rowsPerBand) - LSH band keys from a minhash signature"),
+      args => { val a = req(2, "minhash_bands")(args)
+        MinHashBands(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("hyperplane_bucket", info("hyperplane_bucket",
+      "hyperplane_bucket(vec, nBits) - signed-random-projection LSH bucket"),
+      args => { val a = req(2, "hyperplane_bucket")(args)
+        HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }))
+
+  /** Imperative registration on a live session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
