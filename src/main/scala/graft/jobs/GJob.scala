@@ -77,6 +77,24 @@ object GJob {
    */
   def groupByExtractor(df: DataFrame, keyExpr: Column, aggs: Column*): DataFrame =
     df.groupBy(keyExpr.as("group_key")).agg(aggs.head, aggs.tail: _*)
+
+  /**
+   * Skew-safe two-phase aggregation (the 100 TB hot-key path, SURVEY §7):
+   * phase 1 groups by (key, random salt) so a hot key spreads over `numSalts`
+   * reducers; phase 2 merges the partials per key. Correct for any commutative
+   * mergeable aggregate — sums here; extend per-aggregate as needed. AQE's
+   * skew handling covers sort-merge joins, but aggregation skew still needs
+   * salting when one key dominates a partition.
+   */
+  def saltedSum(df: DataFrame, keyCols: Seq[String], sumCol: String,
+      numSalts: Int): DataFrame = {
+    val keyRefs = keyCols.map(col)
+    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(numSalts)))
+      .groupBy(keyRefs :+ col("__salt"): _*)
+      .agg(sum(col(sumCol)).as("__partial"))
+      .groupBy(keyRefs: _*)
+      .agg(sum(col("__partial")).as(s"sum_$sumCol"))
+  }
 }
 
 /**

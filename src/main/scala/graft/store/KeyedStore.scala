@@ -40,6 +40,22 @@ object KeyedStore {
   def writePartitioned(df: DataFrame, path: String, numBuckets: Int, keyCol: String = "key"): Unit =
     df.repartition(numBuckets, col(keyCol)).write.mode("overwrite").parquet(path)
 
+  /**
+   * True bucketed table (catalog-backed): hash-bucketed AND sorted by the key.
+   * Two tables bucketed the same way join/merge with ZERO exchange — the
+   * 100 TB answer to "every upsert re-shuffles the whole table". Requires a
+   * table catalog (any warehouse dir works locally).
+   */
+  def writeBucketed(df: DataFrame, tableName: String, numBuckets: Int,
+      keyCol: String = "key"): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .format("parquet")
+      .saveAsTable(tableName)
+
+  def readTable(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(tableName)
+
   /** Mirror of the reference's `OpsResult(numDeletes, numPuts, numIncrements)`
     * (reference OpBase.scala:98-114). */
   final case class OpsResult(numDeletes: Long, numPuts: Long, numIncrements: Long) {

@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints plan-quality signals per query: pushed filters, join strategies,
+  * codegen spans, exchange counts. Run: sbt "Test/runMain graft.PlanAudit". */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.001"
+    val skip = Set("q31_stream_hourly") // streaming plan not comparable here
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!skip.contains(name)) {
+        val plan = fn(spark, dir).queryExecution.executedPlan.toString
+        val pushed = (plan.split("PushedFilters: \\[").length - 1) -
+          (plan.split("PushedFilters: \\[\\]").length - 1)
+        val bhj = plan.split("BroadcastHashJoin").length - 1
+        val smj = plan.split("SortMergeJoin").length - 1
+        val shj = plan.split("ShuffledHashJoin").length - 1
+        val bnl = plan.split("BroadcastNestedLoopJoin").length - 1
+        val ex = plan.split("Exchange").length - 1
+        val wsc = plan.split("WholeStageCodegen").length - 1
+        println(f"PLAN $name%-24s pushed=$pushed bhj=$bhj smj=$smj shj=$shj bnl=$bnl exchange=$ex codegen=$wsc")
+      }
+    }
+    spark.stop()
+  }
+}
