@@ -432,6 +432,32 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(col("doc_id"), rolling_hash(col("text")).as("rfp"))
         .where(col("doc_id") < 100)
+    }),
+
+    // --- versioned cells: "maxVersions=1" read = latest value per cell ------
+    "q40_latest_version" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("latest_event_id"),
+          round(col("value"), 2).as("latest_value"))
+    }),
+
+    // --- range join: clicks within 10 min after each error, binned equi-join -
+    "q41_range_join" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"))
+      val errors = e.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("us").as("us_b"))
+      graft.ops.Joins.pointInWindow(errors, clicks, "user_id", "us", "us_b",
+          windowUs = 600000000L)
+        .groupBy(col("event_id"))
+        .agg(count(col("us_b")).as("n_clicks_10m"))
     })
   )
 
@@ -721,6 +747,26 @@ object SparkEntry {
         |   list_filter(string_split(lower(text), ' '), t -> t <> ''),
         |   t -> (length(t) - 1) // 4 + 1))) as bigint) AS n_subwords,
         | count(*) AS n_docs
-        |FROM documents GROUP BY lang""".stripMargin
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q40_latest_version" ->
+      """SELECT user_id, event_type,
+        | event_id AS latest_event_id,
+        | round(value, 2) AS latest_value
+        |FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    "q41_range_join" ->
+      """SELECT a.event_id, count(b.user_id) AS n_clicks_10m
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |      WHERE event_type = 'error') a
+        |LEFT JOIN (SELECT user_id, epoch_us(ts) AS us_b FROM events
+        |           WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id AND b.us_b > a.us AND b.us_b <= a.us + 600000000
+        |GROUP BY a.event_id""".stripMargin
   )
 }

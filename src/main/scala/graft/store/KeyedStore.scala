@@ -109,6 +109,34 @@ object KeyedStore {
     joined.select(merged.toIndexedSeq: _*)
   }
 
+  /**
+   * Timestamp-versioned upsert — HBase cell semantics (reference: every cell
+   * carries a timestamp, reads return maxVersions=1 i.e. the newest,
+   * DeserializedResult.scala:120-135, Query2.scala:491): a put wins only if
+   * its `tsCol` is >= the current row's; the stored timestamp becomes the max.
+   * This is what `PutOp.value(_, v, timestamp)` writes converge to under
+   * "latest version wins" reads. Plain [[upsert]] is the untimestamped
+   * last-write-wins form.
+   */
+  def upsertVersioned(current: DataFrame, puts: DataFrame, tsCol: String,
+      keyCol: String = "key"): DataFrame = {
+    val o = current.alias("o")
+    val n = puts.alias("n")
+    val putCols = puts.columns.toSet
+    val newWins = col(s"o.$tsCol").isNull ||
+      (col(s"n.$tsCol").isNotNull && col(s"n.$tsCol") >= col(s"o.$tsCol"))
+    val joined = o.join(n, col(s"o.$keyCol") === col(s"n.$keyCol"), "full_outer")
+    val merged = current.columns.map {
+      case `keyCol` => coalesce(col(s"o.$keyCol"), col(s"n.$keyCol")).as(keyCol)
+      case `tsCol` => greatest(col(s"o.$tsCol"), col(s"n.$tsCol")).as(tsCol)
+      case c if !putCols.contains(c) => col(s"o.$c").as(c)
+      case c =>
+        when(newWins, coalesce(col(s"n.$c"), col(s"o.$c")))
+          .otherwise(coalesce(col(s"o.$c"), col(s"n.$c"))).as(c)
+    }
+    joined.select(merged.toIndexedSeq: _*)
+  }
+
   /** Whole-row delete (reference DeleteOp `delete(key)`, DeleteOp.scala:21-39). */
   def deleteRows(current: DataFrame, keys: DataFrame, keyCol: String = "key"): DataFrame =
     current.join(keys.select(col(keys.columns.head).as(keyCol)), Seq(keyCol), "left_anti")

@@ -107,6 +107,24 @@ class StoreSpec extends SparkSpec {
     assert(res == KeyedStore.OpsResult(1, 1, 2))
   }
 
+  test("upsertVersioned: newer timestamp wins, older put is ignored (HBase cell semantics)") {
+    val vSchema = StructType(Seq(
+      StructField("key", StringType), StructField("v", StringType),
+      StructField("ts", LongType)))
+    def mk(rows: Seq[Row]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), vSchema)
+    val current = mk(Seq(Row("a", "old", 100L), Row("b", "keep", 200L)))
+    val puts = mk(Seq(
+      Row("a", "new", 150L),   // newer → wins
+      Row("b", "stale", 50L),  // older → ignored, ts stays 200
+      Row("c", "fresh", 10L))) // brand-new row
+    val out = KeyedStore.upsertVersioned(current, puts, "ts")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out("a") == (("new", 150L)))
+    assert(out("b") == (("keep", 200L)))
+    assert(out("c") == (("fresh", 10L)))
+  }
+
   test("schema DSL: structure + DDL emission") {
     val s = tdef.schema
     assert(s.fieldNames.toSeq == Seq("key", "meta", "byDay"))
