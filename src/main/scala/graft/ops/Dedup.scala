@@ -33,6 +33,15 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .select(col(idCol), col(contentCol), col("n_dups"))
 
+  /**
+   * Apply a candidate-pair set to the corpus: drop every row that appears as
+   * the larger id of a duplicate pair (the standard keep-first policy — each
+   * cluster's minimum id survives because only non-minimum members ever appear
+   * on the `id_b` side of some pair). One anti-join, no driver-side graph.
+   */
+  def removeDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    df.join(pairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_anti")
+
   /** Exact dedup on a fingerprint of the content (cheap shuffle key for long
     * documents: 16-byte md5 instead of the full text). */
   def exactByFingerprint(df: DataFrame, idCol: String, contentCol: String): DataFrame =

@@ -107,6 +107,19 @@ class OpsSpec extends SparkSpec {
     assert(hits == 10, s"identical-vector pairs found $hits/10")
   }
 
+  test("removeDuplicates: every duplicate pair loses its larger id; minima survive") {
+    val pairs = Dedup.minHashLSH(withPlanted, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.7)
+    val pairRows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cleaned = Dedup.removeDuplicates(withPlanted, pairs, "doc_id")
+    val ids = cleaned.select("doc_id").collect().map(_.getLong(0)).toSet
+    pairRows.foreach { case (_, b) => assert(!ids.contains(b), s"id_b $b survived") }
+    assert(ids.contains(0L)) // the global minimum can never be an id_b
+    val survivingCopies = (0L until 40L).count(i => ids.contains(i + 1000000L))
+    assert(survivingCopies <= 4, s"$survivingCopies planted copies survived")
+    assert(cleaned.count() == withPlanted.count() - pairRows.map(_._2).distinct.length)
+  }
+
   test("crossTopK ranks within each query, excludes self") {
     val small = emb.where(col("vec_id") < 30)
     val out = Similarity.crossTopK(small, small.where(col("vec_id") < 3),
