@@ -81,6 +81,11 @@ object KeyedStore {
    *  - struct column: field-wise `coalesce(new.f, old.f)` — a put sets cells, never
    *    nulls them (nulling is DeleteOp's job, as in HBase);
    *  - scalar column: `coalesce(new, old)`.
+   *
+   * `puts` must hold at most one row per key (like one `PutOp` per key in a
+   * reference batch) — duplicate keys would fan out the full-outer join.
+   * Order-dependent multi-put sequences belong in [[MutationBatch]], which
+   * applies its puts sequentially (last put wins, as in the reference).
    */
   def upsert(current: DataFrame, puts: DataFrame, keyCol: String = "key"): DataFrame = {
     ensureConf(current.sparkSession)

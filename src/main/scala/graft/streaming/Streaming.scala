@@ -64,6 +64,37 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /**
+   * Streaming write-back: merge each micro-batch into a keyed table with the
+   * store's increment semantics — the streaming analogue of the reference's
+   * reducer→table write path (`ToTableReducer`, SURVEY G8), e.g. a live
+   * searchesByDay rollup. `foreachBatch` gives exactly-once-per-batch merge
+   * over any sink the batch writer supports.
+   */
+  def incrementIntoTable(deltas: DataFrame, tablePath: String,
+      keyCol: String = "key"): org.apache.spark.sql.streaming.StreamingQuery =
+    deltas.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val current =
+          try spark.read.parquet(tablePath)
+          catch { case _: Exception => batch.limit(0) } // first batch bootstraps
+        val merged = graft.store.KeyedStore.increment(current, batch.toDF(), keyCol)
+        // write to a staging dir then swap: the read above and overwrite below
+        // would otherwise race on the same files
+        val tmp = tablePath + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(tablePath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)

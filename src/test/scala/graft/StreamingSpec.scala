@@ -28,6 +28,19 @@ class StreamingSpec extends SparkSpec {
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("streaming write-back: micro-batch increments merge into a keyed table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_swb").resolve("t").toString
+    val deltas = Streaming.eventsStream(spark, sf())
+      .select(col("user_id").cast("string").as("key"), lit(1L).as("n_events"))
+    val q = Streaming.incrementIntoTable(deltas, dir)
+    q.awaitTermination()
+    val merged = spark.read.parquet(dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = SparkEntry.queries("q13_sessionize")(spark, sf())
+      .collect().map(r => r.getLong(0).toString -> r.getLong(2)).toMap
+    assert(merged == expect) // per-user event counts match the batch world
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),
