@@ -15,11 +15,14 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
  * LLM-pipeline operators) as named queries, each with a DuckDB oracle where the
  * semantics are ANSI-SQL-expressible.
  *
- * FP-parity rule for oracles: every floating aggregate is rounded to exactly the
- * decimal grid its inputs live on (prices 2dp, price*discount products 4dp), so
- * accumulated summation-order error (≪ grid/2) can never flip a rounding
- * boundary between Spark and DuckDB. Ranks/top-k order by grid-rounded values
- * with unique-key tie-breaks, never by raw doubles.
+ * FP-parity rules for oracles (hash-compared against DuckDB):
+ *  - Large price sums aggregate in DECIMAL (exact at any scale factor — double
+ *    summation drift crossed a round-4 boundary at sf0.1), then cast to double
+ *    once at the end, identically on both engines.
+ *  - Remaining floating aggregates round to the decimal grid their inputs live
+ *    on, so bounded error cannot flip a rounding boundary.
+ *  - Ranks/top-k order by exact (decimal/grid-rounded) values with unique-key
+ *    tie-breaks, never by raw doubles; timestamps compare in epoch-µs.
  */
 object SparkEntry {
 
@@ -51,8 +54,11 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).cast("bigint").as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("sum_base_price"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))), 4)
+            .cast("double").as("sum_disc_price"),
           round(avg(col("l_quantity")), 4).as("avg_qty"),
           count(lit(1)).as("count_order"))
     }),
@@ -78,7 +84,9 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 4)
+          .cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -104,7 +112,9 @@ object SparkEntry {
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"),
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)"))), 4)
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     }),
 
@@ -114,7 +124,8 @@ object SparkEntry {
         .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)")), 4).cast("double").as("revenue"))
     }),
 
     // --- window: rank-per-group on grid-rounded measure ----------------------
@@ -469,8 +480,10 @@ object SparkEntry {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | cast(sum(l_quantity) as bigint) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+        | cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double)
+        |   AS sum_base_price,
+        | cast(round(sum(cast(l_extendedprice as decimal(18,2)) *
+        |   (1 - cast(l_discount as decimal(18,2)))), 4) as double) AS sum_disc_price,
         | round(avg(l_quantity), 4) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -485,7 +498,8 @@ object SparkEntry {
 
     "q03_top_orders" ->
       """SELECT o_orderkey, o_orderdate,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        | cast(round(sum(cast(l_extendedprice as decimal(18,2)) *
+        |   (1 - cast(l_discount as decimal(18,2)))), 4) as double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -501,7 +515,8 @@ object SparkEntry {
 
     "q05_region_revenue" ->
       """SELECT r_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+        | cast(round(sum(cast(l_extendedprice as decimal(18,2)) *
+        |   (1 - cast(l_discount as decimal(18,2)))), 4) as double) AS revenue,
         | count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -511,7 +526,8 @@ object SparkEntry {
         |GROUP BY r_name""".stripMargin,
 
     "q06_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+      """SELECT cast(round(sum(cast(l_extendedprice as decimal(18,2)) *
+        |   cast(l_discount as decimal(18,2))), 4) as double) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
