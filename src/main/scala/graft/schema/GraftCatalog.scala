@@ -1,0 +1,39 @@
+package graft.schema
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Table registry — the analogue of the reference's mutable `Schema` object
+ * (`Schema.table(t)` registers + inits each table,
+ * reference: src/main/scala/com/gravity/hbase/schema/Schema.scala:246-256).
+ * Binds each [[TableDef]] to its storage path so application code addresses
+ * tables by name, and DDL for the whole schema can be emitted at once.
+ */
+final class GraftCatalog {
+  private val tables = mutable.LinkedHashMap.empty[String, (TableDef, String)]
+
+  /** Register a table (the reference's `table(t)` call). Returns the def for
+    * the reference's assign-while-registering idiom. */
+  def register(tdef: TableDef, path: String): TableDef = {
+    tables(tdef.name) = (tdef, path)
+    tdef
+  }
+
+  def tableDef(name: String): TableDef = tables(name)._1
+  def path(name: String): String = tables(name)._2
+  def tableNames: Seq[String] = tables.keys.toSeq
+
+  /** Read a registered table (empty frame with the declared schema when the
+    * path does not exist yet — a just-registered, never-written table). */
+  def table(spark: SparkSession, name: String): DataFrame = {
+    val (tdef, p) = tables(name)
+    try spark.read.schema(tdef.schema).parquet(p)
+    catch { case _: Exception => tdef.empty(spark) }
+  }
+
+  /** DDL for every registered table (reference `createScript` per table,
+    * HbaseTable.scala:234-290). */
+  def createAllScript: String =
+    tables.values.map { case (t, p) => t.createScript(p) }.mkString(";\n")
+}

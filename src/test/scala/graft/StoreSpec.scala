@@ -134,4 +134,20 @@ class StoreSpec extends SparkSpec {
     assert(withTs.schema.fieldNames.toSeq == Seq("key", "f", "f_ts"))
     assert(withTs.schema("f_ts").dataType == MapType(StringType, TimestampType))
   }
+
+  test("catalog registers tables, reads by name, emits whole-schema DDL") {
+    val cat = new graft.schema.GraftCatalog
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat")
+    cat.register(tdef, dir.resolve("web").toString)
+    cat.register(TableDef("sites").col("meta", "name", StringType),
+      dir.resolve("sites").toString)
+    assert(cat.tableNames == Seq("web", "sites"))
+    // unwritten table → declared empty frame
+    assert(cat.table(spark, "sites").schema.fieldNames.toSeq == Seq("key", "meta"))
+    assert(cat.table(spark, "sites").count() == 0)
+    // written table → read back through the catalog
+    KeyedStore.write(base, cat.path("web"))
+    assert(cat.table(spark, "web").count() == 3)
+    assert(cat.createAllScript.split(";\n").length == 2)
+  }
 }
