@@ -430,11 +430,17 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
-    // --- dedup: embedding near-dup via hyperplane LSH + cosine verify
-    //     (rows-only; recall spec-tested on planted duplicates) ---------------
+    // --- dedup: embedding near-dup via hyperplane LSH + cosine verify.
+    //     Ten 2x-scaled copies are planted (float doubling is exact, so
+    //     cosine rounds to exactly 1.0 and the LSH bucket is identical);
+    //     the operator must recover precisely those ten pairs -> oracle.
     "q38_embedding_neardup" -> ((s, dir) => {
-      Dedup.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.9, nBits = 8)
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = emb.where(col("vec_id") < 10)
+        .select((col("vec_id") + 9000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+      Dedup.embeddingNearDup(emb.unionByName(copies), "vec_id", "embedding",
+        threshold = 0.999, nBits = 8)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
     }),
 
@@ -764,6 +770,11 @@ object SparkEntry {
         |   t -> (length(t) - 1) // 4 + 1))) as bigint) AS n_subwords,
         | count(*) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "q38_embedding_neardup" ->
+      """SELECT cast(i as bigint) AS id_a, cast(i + 9000 as bigint) AS id_b,
+        | 1.0 AS cos
+        |FROM range(10) t(i)""".stripMargin,
 
     "q40_latest_version" ->
       """SELECT user_id, event_type,
