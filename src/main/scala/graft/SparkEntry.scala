@@ -463,6 +463,21 @@ object SparkEntry {
           round(col("value"), 2).as("latest_value"))
     }),
 
+    // --- SQL surface: the native expressions registered via GraftExtensions,
+    //     driven through plain spark.sql with a scalar subquery --------------
+    "q42_sql_cosine" -> ((s, dir) => {
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      T(s, dir, "embeddings").createOrReplaceTempView("emb_v")
+      s.sql(
+        """SELECT vec_id,
+          |  round(cosine_sim(embedding,
+          |    (SELECT embedding FROM emb_v WHERE vec_id = 1)), 4) AS cos
+          |FROM emb_v WHERE vec_id <> 1
+          |ORDER BY cosine_sim(embedding,
+          |    (SELECT embedding FROM emb_v WHERE vec_id = 1)) DESC, vec_id
+          |LIMIT 5""".stripMargin)
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -786,6 +801,15 @@ object SparkEntry {
         |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events)
         |WHERE rn = 1""".stripMargin,
+
+    "q42_sql_cosine" ->
+      """SELECT vec_id,
+        | round(list_cosine_similarity(cast(embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 1)), 4) AS cos
+        |FROM embeddings WHERE vec_id <> 1
+        |ORDER BY list_cosine_similarity(cast(embedding as double[]),
+        |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 1)) DESC, vec_id
+        |LIMIT 5""".stripMargin,
 
     "q41_range_join" ->
       """SELECT a.event_id, count(b.user_id) AS n_clicks_10m
