@@ -58,6 +58,12 @@ object TextOps {
     round(lenScore * 0.4 + stopScore * 0.3 + diversity * 0.3, 6)
   }
 
+  /** Normalization for dedup preprocessing: lowercase, strip non-alphanumerics
+    * to spaces, collapse whitespace. Run before shingling so near-dup detection
+    * ignores case/punctuation noise (the usual first stage of a corpus dedup). */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
   /** Whitespace token count (see GraftFunctions.tokens for the exact contract). */
   def tokenCount(text: Column): Column = token_count(text)
 

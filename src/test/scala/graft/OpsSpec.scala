@@ -152,6 +152,12 @@ class OpsSpec extends SparkSpec {
     assert(repart.rdd.getNumPartitions >= 1)
   }
 
+  test("normalize: case/punctuation-insensitive equality for dedup preprocessing") {
+    val df = Seq("Hello,   World! (v2)", "hello world v2", "different").toDF("t")
+    val n = df.select(TextOps.normalize(col("t"))).collect().map(_.getString(0))
+    assert(n(0) == "hello world v2" && n(0) == n(1) && n(2) == "different")
+  }
+
   test("text metrics: profile columns, langId deterministic tie-break") {
     val p = TextOps.profile(docs.limit(50), "doc_id", "text")
     assert(p.columns.toSeq == Seq("doc_id", "lang_pred", "quality", "n_tokens", "fp"))
