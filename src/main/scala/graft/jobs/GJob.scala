@@ -79,6 +79,21 @@ object GJob {
     df.groupBy(keyExpr.as("group_key")).agg(aggs.head, aggs.tail: _*)
 
   /**
+   * Group-wise top-k: the rank-filter formulation, which Spark 4's
+   * InferWindowGroupLimit rewrites into a group-limit physical operator
+   * (bounded per-group state instead of a full per-partition sort) — the
+   * reason this stays composed rather than a custom SparkPlan.
+   */
+  def topKPerKey(df: DataFrame, keyCols: Seq[Column], orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(orderBy: _*)
+    df.withColumn("__rank", row_number().over(w))
+      .where(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /**
    * Skew-safe two-phase aggregation (the 100 TB hot-key path, SURVEY §7):
    * phase 1 groups by (key, random salt) so a hot key spreads over `numSalts`
    * reducers; phase 2 merges the partials per key. Correct for any commutative

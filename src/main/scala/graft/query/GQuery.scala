@@ -61,6 +61,10 @@ final case class GQuery(
   /** P12/P1: `withFamilies` — project whole family columns (Query2.scala:292-305). */
   def withFamilies(fams: String*): GQuery = withColumns(fams.map(col): _*)
 
+  /** P1: `withAllColumns` — clear any projection, return every column
+    * (Query2Builder.scala:24). */
+  def withAllColumns(): GQuery = copy(projections = None)
+
   /** P13: per-family column pagination (Query2.scala:307-326). */
   def withPaginationForFamily(fam: String, pageSize: Int, pageOffset: Int): GQuery =
     withColumns(Clauses.paginateFamily(col(fam), pageSize, pageOffset).as(fam))

@@ -56,6 +56,24 @@ object KeyedStore {
   def readTable(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 
+  /**
+   * Schema-drift-tolerant read — the reference skips cells it has no converter
+   * for and synthesizes nothing for missing ones (HbaseTable.scala:177-198);
+   * here a stored table is aligned to the *declared* schema: unknown columns
+   * are dropped, missing ones come back null, and matching names cast to the
+   * declared type. Lets old data and new schemas coexist, as in HBase.
+   */
+  def readAligned(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val have = raw.columns.toSet
+    val aligned = schema.fields.map { f =>
+      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    raw.select(aligned.toIndexedSeq: _*)
+  }
+
   /** Mirror of the reference's `OpsResult(numDeletes, numPuts, numIncrements)`
     * (reference OpBase.scala:98-114). */
   final case class OpsResult(numDeletes: Long, numPuts: Long, numIncrements: Long) {

@@ -34,6 +34,33 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == o.count()) // every aggregated custkey has a customer row
   }
 
+  test("readAligned tolerates schema drift: missing cols null, unknown dropped, casts applied") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").resolve("t").toString
+    spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .write.parquet(dir) // "old" data: 3 columns
+    val declared = StructType(Seq(
+      StructField("c_custkey", LongType),          // same
+      StructField("c_acctbal", StringType),        // type drift -> cast
+      StructField("c_new_flag", BooleanType)))     // added later -> null
+    val out = KeyedStore.readAligned(spark, dir, declared)
+    assert(out.schema.fieldNames.toSeq == Seq("c_custkey", "c_acctbal", "c_new_flag"))
+    assert(out.schema("c_acctbal").dataType == StringType)
+    assert(out.where(col("c_new_flag").isNotNull).count() == 0)
+    assert(out.count() == 150)
+  }
+
+  test("topKPerKey returns k ordered rows per key (group-limit plan)") {
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    val top = GJob.topKPerKey(li, Seq(col("l_suppkey")),
+      Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), 2)
+    val grouped = top.groupBy(col("l_suppkey")).count().collect()
+    assert(grouped.forall(_.getLong(1) <= 2))
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), "expected group-limit physical op")
+  }
+
   test("writePartitioned keeps key-grouped layout readable") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bucket").resolve("t").toString
     val c = spark.read.parquet(s"${sf()}/customer.parquet")
