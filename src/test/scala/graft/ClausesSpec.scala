@@ -76,6 +76,22 @@ class ClausesSpec extends SparkSpec {
     assert(q.multiMap().size == 1)
   }
 
+  test("scan terminal forms: scan callback, scanToIterable, scanUntil, limit (S5, P14)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("scanned")
+    GQuery(df).filter(Clauses.mustBePresent(col("v"))).scan(_ => acc.add(1))
+    assert(acc.value == 2) // distributed handler saw both non-null-v rows
+    val names = GQuery(df).scanToIterable(_.getString(0)).sorted
+    assert(names == Seq("jack", "manny", "moe"))
+    assert(GQuery(df).scanUntil(2).count() == 2)
+    assert(GQuery(df).limit(1).toDF.count() == 1)
+  }
+
+  test("withAllColumns resets projection") {
+    val q = GQuery(df).withColumns(col("v")).withAllColumns()
+    assert(q.toDF.columns.toSeq == df.columns.toSeq)
+  }
+
   test("point get singleOption / key range (S2, P17)") {
     assert(GQuery(df).withKey("moe").singleOption().map(_.getString(1)) == Some("ab"))
     assert(GQuery(df).withKey("nope").singleOption().isEmpty)
