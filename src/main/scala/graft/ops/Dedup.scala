@@ -145,15 +145,25 @@ object Dedup {
 
   /**
    * Embedding near-dup: hyperplane-LSH bucket join + exact cosine verification.
-   * `nBits` controls bucket granularity (recall/cost tradeoff); cosine is the
-   * native codegen'd expression. Returns (id_a, id_b, cos).
+   * Multi-probe: the left side explodes its bucket plus every single-bit flip,
+   * so pairs whose buckets differ by one hyperplane sign still meet — exact
+   * equality alone would miss ~nBits·θ/π of true neighbors (≈11% at 8 bits for
+   * cos 0.999). A pair meets via exactly one probe (equal → identity probe,
+   * 1-bit apart → that flip), so no post-join dedup is needed. Cost: the left
+   * side fans out (nBits+1)×; the join stays an equi-join on ~uniform longs.
+   * Returns (id_a, id_b, cos).
    */
   def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, nBits: Int = 8): DataFrame = {
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       hyperplane_bucket(col(vecCol), nBits).as("bucket"))
-    bucketed.alias("a").join(bucketed.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    val probes = (0 until nBits).foldLeft(Seq(col("bucket"))) { (acc, b) =>
+      acc :+ col("bucket").bitwiseXOR(lit(1L << b))
+    }
+    val probed = bucketed
+      .select(col("id"), col("v"), explode(array(probes: _*)).as("probe"))
+    probed.alias("a").join(bucketed.alias("b"),
+        col("a.probe") === col("b.bucket") && col("a.id") < col("b.id"))
       .withColumn("cos", cosine_sim(col("a.v"), col("b.v")))
       .where(col("cos") >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
