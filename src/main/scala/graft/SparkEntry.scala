@@ -26,6 +26,18 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
  */
 object SparkEntry {
 
+  /** Shared constants of the relational HyperLogLog (q37): m=4096 registers,
+    * registers capped at 40 so the harmonic sum stays an exact integer
+    * (max 4096·2^40 = 2^52 < 2^63). `C` = α_m·m²·2^40 is interpolated into BOTH
+    * the Spark plan and the DuckDB SQL from this one value — `Double.toString`
+    * round-trips, so the two engines parse the identical IEEE double and the
+    * estimate (one multiply + one divide + floor) is bit-identical. */
+  private[graft] object Hll {
+    val m = 4096
+    val alpha: Double = 0.7213 / (1 + 1.079 / m)
+    val C: Double = alpha * m.toDouble * m.toDouble * (1L << 40).toDouble
+  }
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -324,8 +336,11 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
-    // --- dedup: MinHash-LSH candidate pairs (rows-only check; spec test
-    //     cross-validates against exact Jaccard at sf0.001) -------------------
+    // --- dedup: MinHash-LSH candidate pairs. Oracle-checked: at threshold 0.8
+    //     with 32 bands x 4 rows the planted duplicates are caught by every
+    //     band (verified exhaustively at sf0.01 AND sf0.1 — LSH output equals
+    //     the exact-Jaccard pair set, deterministic because the hash seeds are
+    //     fixed), so DuckDB's exact inverted-index Jaccard is a true oracle. --
     "q27_minhash_pairs" -> ((s, dir) => {
       Dedup.minHashLSH(T(s, dir, "documents"), "doc_id", "text",
         shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
@@ -422,12 +437,34 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
     }),
 
-    // --- sketch: HLL distinct-count (rows-only; spec asserts ≤5% error) ------
+    // --- sketch: HyperLogLog distinct-count as pure relational algebra, so the
+    //     sketch itself is oracle-checkable. Register hash = top 60 bits of
+    //     md5 (cross-engine stable); p=12 (4096 registers); rho via the binary
+    //     string length (exact integer op, no log2 rounding hazard); harmonic
+    //     sum kept in integer-scaled form sum(2^(40-M)) so addition order
+    //     cannot drift; the final estimate uses only IEEE-exact * and /. ------
     "q37_hll_sketch" -> ((s, dir) => {
-      T(s, dir, "lineitem")
+      val h = conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 15),
+        16, 10).cast("bigint")
+      val rho = least(
+        when(col("w") === 0L, lit(49))
+          .otherwise(lit(49) - length(bin(col("w")))), lit(40))
+      val byBucket = T(s, dir, "lineitem")
+        .select(col("l_returnflag"), pmod(h, lit(4096L)).as("bucket"),
+          shiftrightunsigned(h, 12).as("w"))
+        .select(col("l_returnflag"), col("bucket"), rho.as("rho"))
+        .groupBy(col("l_returnflag"), col("bucket"))
+        .agg(max(col("rho")).as("m"), count(lit(1)).as("cnt"))
+      byBucket
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-          count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 40 - m)")).as("sp"),
+          sum(col("cnt")).as("n"))
+        .select(col("l_returnflag"),
+          floor(lit(Hll.C) /
+            (col("sp") + (lit(4096L) - col("nb")) * lit(1L << 40)).cast("double"))
+            .cast("bigint").as("approx_orders"),
+          col("n"))
     }),
 
     // --- dedup: embedding near-dup via hyperplane LSH + cosine verify.
@@ -785,6 +822,61 @@ object SparkEntry {
         |   t -> (length(t) - 1) // 4 + 1))) as bigint) AS n_subwords,
         | count(*) AS n_docs
         |FROM documents GROUP BY lang""".stripMargin,
+
+    // LSH at 32 bands × 4 rows recovers every exact pair at ≥0.8 on this corpus
+    // (verified at sf0.01 and sf0.1; deterministic — fixed hash seeds), so the
+    // exact inverted-index Jaccard is a true oracle for the candidate pipeline.
+    "q27_minhash_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b,
+        |  round(inter / cast(na.n + nb.n - inter as double), 4) AS jaccard
+        |FROM pairs
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8""".stripMargin,
+
+    "q37_hll_sketch" ->
+      s"""WITH h AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(cast(l_orderkey as varchar)), 1, 15))::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (
+        |  SELECT l_returnflag, h % 4096 AS bucket,
+        |    least(CASE WHEN h // 4096 = 0 THEN 49
+        |               ELSE 49 - length(bin(h // 4096)) END, 40) AS rho
+        |  FROM h),
+        |b AS (
+        |  SELECT l_returnflag, bucket, max(rho) AS m, count(*) AS cnt
+        |  FROM r GROUP BY l_returnflag, bucket)
+        |SELECT l_returnflag,
+        |  CAST(floor(${SparkEntry.Hll.C} /
+        |    (CAST(sum(1::BIGINT << (40 - m)) AS BIGINT)
+        |      + (4096 - count(*)) * 1099511627776)) AS BIGINT) AS approx_orders,
+        |  CAST(sum(cnt) AS BIGINT) AS n
+        |FROM b GROUP BY l_returnflag""".stripMargin,
+
+    "q39_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS rfp
+        |FROM documents WHERE doc_id < 100""".stripMargin,
 
     "q38_embedding_neardup" ->
       """SELECT cast(i as bigint) AS id_a, cast(i + 9000 as bigint) AS id_b,
