@@ -347,17 +347,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
-    // --- dedup: SimHash near-dup pairs (rows-only check + spec test) ---------
+    // --- dedup: SimHash near-dup pairs, oracle-checked end to end. Token
+    //     hashes are the md5-60-bit scheme (DuckDB-replayable); pigeonhole
+    //     banding GUARANTEES recall for Hamming ≤ 3 (3 differing bits touch at
+    //     most 3 of the 4 chunks), so the output is exactly the set of pairs
+    //     the oracle's all-pairs bit_count(xor) scan finds — no recall gamble.
     "q28_simhash_pairs" -> ((s, dir) => {
-      Dedup.simHash(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+      Dedup.simHash(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3,
+        tokenHasher = md5_token_hashes)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("bigint").as("hamming"))
     }),
 
-    // --- similarity: LSH-bucketed ANN (rows-only; recall vs brute force in spec)
+    // --- similarity: LSH-bucketed ANN, oracle-checked end to end. ANN output
+    //     is approximate BY CONTRACT (it differs from brute-force top-k on
+    //     near-uniform data), so the oracle replays the algorithm itself: the
+    //     md5 SRP scheme quantizes vectors to integers and derives plane
+    //     weights from md5, making bucket + probes + cosine top-k exactly
+    //     computable in DuckDB SQL. Recall vs brute force stays spec-tested. --
     "q29_ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val q = emb.where(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
-      Similarity.annTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding", q, 10, nBits = 8)
+      Similarity.annTopK(emb.where(col("vec_id") =!= 0), "vec_id", "embedding",
+          q, 10, nBits = 8, scheme = Similarity.SrpScheme.md5)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     }),
 
@@ -849,6 +861,57 @@ object SparkEntry {
         |JOIN sizes na ON na.doc_id = id_a
         |JOIN sizes nb ON nb.doc_id = id_b
         |WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8""".stripMargin,
+
+    // The ANN pipeline replayed in SQL: md5-derived integer plane weights,
+    // floor-quantized integer dot products (bit b set iff dot > 0), the query
+    // vector's bucket plus its 1-bit-flip probes, cosine top-k inside probes.
+    "q29_ann_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(
+        |      [CASE WHEN list_sum(
+        |         [(floor(v[d + 1] * 1000000))::BIGINT *
+        |            ((('0x' || substr(md5(pb::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+        |              % 1000001) - 500000)
+        |          FOR d IN generate_series(0, len(v) - 1)]) > 0
+        |       THEN 1::BIGINT << pb ELSE 0::BIGINT END
+        |       FOR pb IN generate_series(0, 7)]) AS BIGINT) AS bucket
+        |  FROM e),
+        |q AS (SELECT bucket AS qb, v AS qv FROM bk WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT qb AS p FROM q
+        |  UNION ALL
+        |  SELECT xor(qb, 1::BIGINT << i) AS p
+        |  FROM q, generate_series(0, 7) t(i))
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(v, (SELECT qv FROM q)), 4) AS cos
+        |FROM bk
+        |WHERE vec_id <> 0 AND bucket IN (SELECT p FROM probes)
+        |ORDER BY list_cosine_similarity(v, (SELECT qv FROM q)) DESC, vec_id
+        |LIMIT 10""".stripMargin,
+
+    // SimHash replayed in SQL: same md5-60-bit token hashes, same bit-vote
+    // (bit set iff 2·ones > n), then an all-pairs Hamming scan. Pigeonhole
+    // banding makes the Spark side's recall exact, so the sets are identical.
+    "q28_simhash_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(
+        |      [CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |            THEN 1::BIGINT << b ELSE 0::BIGINT END
+        |       FOR b IN generate_series(0, 59)]) AS BIGINT) AS sig
+        |  FROM tk)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
 
     "q37_hll_sketch" ->
       s"""WITH h AS (

@@ -60,6 +60,12 @@ object GraftFunctions {
   def token_hashes(tokenArr: Column): Column =
     Bridge.column(TokenHashes(Bridge.expression(tokenArr)))
 
+  /** Cross-engine-stable token hashing: top 60 bits of each token's MD5 —
+    * DuckDB twin `('0x' || substr(md5(t),1,15))::BIGINT`. Use for signature
+    * pipelines that must be replayable as an exact SQL oracle. */
+  def md5_token_hashes(tokenArr: Column): Column =
+    Bridge.column(Md5TokenHashes(Bridge.expression(tokenArr)))
+
   /** MinHash signature over pre-hashed tokens: slot i = min over tokens of
     * XXH64(h, seed=i). Tight primitive loop, no boxing. */
   def minhash_signature_from_hashes(hashArr: Column, numHashes: Int): Column =
@@ -105,6 +111,13 @@ object GraftFunctions {
     * expression; driver-side twin: `HyperplaneBucket.compute`). */
   def hyperplane_bucket(vec: Column, nBits: Int): Column =
     Bridge.column(org.apache.spark.sql.graft.HyperplaneBucket(
+      Bridge.expression(vec.cast("array<float>")), nBits))
+
+  /** Cross-engine-stable SRP bucket (md5 integer weights + floor-quantized
+    * integer dot product — exactly replayable in DuckDB SQL; see
+    * `Md5HyperplaneBucket`). Driver-side twin: `Md5HyperplaneBucket.compute`. */
+  def md5_hyperplane_bucket(vec: Column, nBits: Int): Column =
+    Bridge.column(org.apache.spark.sql.graft.Md5HyperplaneBucket(
       Bridge.expression(vec.cast("array<float>")), nBits))
 
   /** Karp–Rabin rolling fingerprint of a string: base-31 polynomial over chars,

@@ -92,10 +92,11 @@ object Dedup {
    * recall via 16-bit pigeonhole banding). Returns (id_a, id_b, hamming).
    */
   def simHash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      tokenHasher: Column => Column = token_hashes): DataFrame = {
     require(maxHamming <= 3, "pigeonhole banding on 4 chunks guarantees recall only for ≤3")
     val sigs = df
-      .select(col(idCol).as("id"), token_hashes(tokens(col(textCol))).as("th"))
+      .select(col(idCol).as("id"), tokenHasher(tokens(col(textCol))).as("th"))
       .select(col("id"), simhash64_from_hashes(col("th")).as("sig"))
     val banded = sigs.select(col("id"), col("sig"), explode(simhash_chunks(col("sig"))).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.sig").as("bsig"))

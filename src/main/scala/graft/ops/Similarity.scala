@@ -47,21 +47,36 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /** Pluggable SRP bucket scheme for [[annTopK]]: the Column expression plus
+    * its driver-side twin (the query vector's probe bucket is computed on the
+    * driver so the probe set is a literal IN-list the scan filters on). */
+  final case class SrpScheme(bucketCol: (Column, Int) => Column,
+      compute: (Array[Float], Int) => Long)
+  object SrpScheme {
+    /** XXH64 planes + double dot — the fast default. */
+    val xxh: SrpScheme =
+      SrpScheme(hyperplane_bucket, org.apache.spark.sql.graft.HyperplaneBucket.compute)
+    /** md5 integer planes + integer dot — exactly replayable in DuckDB SQL. */
+    val md5: SrpScheme =
+      SrpScheme(md5_hyperplane_bucket, org.apache.spark.sql.graft.Md5HyperplaneBucket.compute)
+  }
+
   /**
    * ANN top-k: hyperplane-LSH bucketing with multi-probe. The corpus is bucketed
    * once (in practice: persisted partitioned by bucket); each query probes
    * 1 + nBits buckets — its own plus every single-bit flip (recovering most
    * near neighbors lost to one wrong sign bit) — and scores only those rows.
-   * The query's bucket is computed driver-side (`HyperplaneBucket.compute`) so
+   * The query's bucket is computed driver-side (`scheme.compute`) so
    * the probe set is a literal IN-list the scan can filter on directly.
    */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
-      query: Seq[Float], k: Int, nBits: Int = 8): DataFrame = {
+      query: Seq[Float], k: Int, nBits: Int = 8,
+      scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    val qBucket = org.apache.spark.sql.graft.HyperplaneBucket.compute(query.toArray, nBits)
+    val qBucket = scheme.compute(query.toArray, nBits)
     val probes = (qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))).distinct
     val bucketed = df.select(col(idCol), col(vecCol),
-      hyperplane_bucket(col(vecCol), nBits).as("bucket"))
+      scheme.bucketCol(col(vecCol), nBits).as("bucket"))
     bucketed
       .where(col("bucket").isin(probes: _*))
       .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))

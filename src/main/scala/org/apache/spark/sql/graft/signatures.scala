@@ -126,6 +126,58 @@ case class MinHashBands(child: Expression, rowsPerBand: Int)
     copy(child = newChild)
 }
 
+/**
+ * Cross-engine-stable token hashing: `array<string>` → `array<long>` where each
+ * hash is the top 60 bits of the token's MD5 (= the first 15 hex digits of the
+ * digest parsed as an integer). DuckDB computes the identical value with
+ * `('0x' || substr(md5(t), 1, 15))::BIGINT`, which makes every signature built
+ * on these hashes (SimHash votes, Jaccard over hashed sets) replayable as an
+ * exact SQL oracle. Use [[TokenHashes]] (XXH64) when oracle parity is not
+ * needed — it is ~4× faster per token.
+ */
+case class Md5TokenHashes(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_token_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    val md = Md5TokenHashes.digest.get()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      out(i) =
+        if (s == null) 0L
+        else {
+          md.reset()
+          val d = md.digest(s.getBytes)
+          // first 8 digest bytes big-endian = first 16 hex digits; >>> 4 keeps
+          // the leading 15 (60 bits, safely inside a signed long under ANSI)
+          var v = 0L
+          var b = 0
+          while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+          v >>> 4
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5TokenHashes {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Token hashing: `array<string>` → `array<long>` of XXH64(utf8 bytes), the
   * single string-touching pass the signature pipeline runs. */
 case class TokenHashes(child: Expression)
