@@ -14,8 +14,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: pay one-time session/codegen/parquet-footer costs outside timings
-    try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warmup: run every query once on the smoke corpus (sf0.001) so one-time
+    // costs — whole-stage codegen compilation, JIT, parquet footer/catalog
+    // caches, streaming machinery init — are paid outside the timed loop. The
+    // timed run below measures steady-state throughput at the target SF.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory) SparkEntry.queries.foreach {
+      case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+    }
+    else try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -388,7 +388,8 @@ object SparkEntry {
       graft.streaming.Streaming.runToTable(
         graft.streaming.Streaming.hourlyRollup(
           graft.streaming.Streaming.eventsStream(s, dir)),
-        "q31_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+        "q31_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        statePartitions = Some(8)) // ~3.6k state keys; see runToTable scaladoc
     }),
 
     // --- as-of join (operator Spark lacks; composed union+window, one shuffle)

@@ -54,6 +54,13 @@ object GraftFunctions {
 
   // ---- Hash signatures (dedup/similarity primitives) ----
 
+  /** Hashed shingles in one compiled pass (`array<string>` raw split →
+    * `array<long>`): byte-identical to `token_hashes(shingles(text, n))` but
+    * ~15× faster — the shingling HOF chain is CodegenFallback. Feed it
+    * `split(text, " ")` directly; empties are skipped inside the loop. */
+  def shingle_hashes(rawTokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(rawTokens), n))
+
   /** One 64-bit xxhash per token (`array<string>` -> `array<long>`): the single
     * string-touching pass of the signature pipelines. Native expression — the
     * HOF (`transform`) formulation is CodegenFallback and ~1000x slower. */
@@ -98,6 +105,16 @@ object GraftFunctions {
     array((0 until 4).map(c =>
       struct(lit(c).as("band"),
         shiftrightunsigned(sig, c * 16).bitwiseAND(lit(0xFFFFL)).as("sig"))): _*)
+
+  /** All `id_a < id_b` pairs from one posting list of `struct<id, n>` entries
+    * (native; see `OrderedPairs`) — the join-free inverted-index pair stream. */
+  def ordered_pairs(docs: Column): Column =
+    Bridge.column(OrderedPairs(Bridge.expression(docs)))
+
+  /** Count of array elements in a constant set, with multiplicity (native —
+    * one hash probe per token; the `filter`+`isin` HOF form is interpreted). */
+  def count_in_set(arr: Column, set: Seq[String]): Column =
+    Bridge.column(CountInSet(Bridge.expression(arr), set))
 
   /** Exact Jaccard similarity of two token-array columns (distinct semantics). */
   def jaccard(a: Column, b: Column): Column = {

@@ -17,8 +17,8 @@ import graft.functions.GraftFunctions._
  *    touches only colliding pairs (candidate count ≪ n²).
  *  - **SimHash**: 64-bit signature + pigeonhole banding on 16-bit chunks —
  *    guarantees recall for Hamming distance ≤ 3 with a 4-way band join.
- *  - **n-gram Jaccard**: exact, via an inverted-index join on shared shingles
- *    (never materializes the n² pair matrix).
+ *  - **n-gram Jaccard**: exact, via a join-free inverted index (postings →
+ *    native ordered-pair stream; never materializes the n² pair matrix).
  *  - **embedding near-dup**: hyperplane-LSH buckets, cosine verified inside the
  *    bucket with the native codegen'd `cosine_sim`.
  *
@@ -64,7 +64,7 @@ object Dedup {
     // verification join); without it the shingling scan runs three times.
     val hashed = df
       .select(col(idCol).as("id"),
-        array_distinct(token_hashes(shingles(col(textCol), shingleSize))).as("th"))
+        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
       .persist()
     val banded = hashed
       .select(col("id"),
@@ -114,30 +114,36 @@ object Dedup {
   }
 
   /**
-   * Exact n-gram Jaccard pairs ≥ threshold via inverted-index join: explode
-   * distinct shingles, self-join on the shingle (shared-shingle pairs only),
-   * count intersections, then |A∪B| = |A|+|B|-|A∩B|. Pure relational algebra —
-   * DuckDB-oracle-expressible, no UDFs, no n² blowup (pairs sharing nothing
-   * never meet). Returns (id_a, id_b, jaccard).
+   * Exact n-gram Jaccard pairs ≥ threshold via a join-free inverted index:
+   * explode distinct shingle hashes, group postings per shingle, emit the
+   * ordered pair stream natively (`ordered_pairs`, with each doc's set size
+   * carried inside the pair), count intersections, then
+   * |A∪B| = |A|+|B|-|A∩B|. One scan, TWO shuffles (postings, pair counts),
+   * ZERO joins — the classic formulation needs a self-join plus two size
+   * lookups. Single-document shingles never form a pair and are dropped before
+   * pair generation. Returns (id_a, id_b, jaccard).
+   *
+   * Scale note: a shingle shared by k docs yields k(k-1)/2 pairs — identical
+   * blowup to the self-join formulation (exactness requires it). At 100 TB,
+   * cap posting-list length (drop stop-shingles by document frequency) before
+   * calling this, as every similarity-join system does.
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Inverted index keyed by the 64-bit shingle hash, not the shingle string:
-    // the self-join shuffles 8-byte keys instead of n-gram text (same result —
-    // a hash collision altering a count has odds ~2^-64). Persisted: the index
-    // feeds both join sides and the per-doc sizes.
-    val toks = df.select(col(idCol).as("id"),
-      array_distinct(token_hashes(shingles(col(textCol), shingleSize))).as("th"))
-      .persist()
-    val sizes = toks.select(col("id"), size(col("th")).as("n"))
-    val inv = toks.select(col("id"), explode(col("th")).as("s"))
-    val pairs = inv.alias("a").join(inv.alias("b"),
-        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // Index keyed by the 64-bit shingle hash, not the shingle string: postings
+    // shuffle 8-byte keys instead of n-gram text (same result — a hash
+    // collision altering a count has odds ~2^-64).
+    val inv = df.select(col(idCol).as("id"),
+        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
+    val postings = inv.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .where(size(col("docs")) > 1)
+    postings
+      .select(explode(ordered_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.n_a").as("n_a"),
+        col("p.id_b").as("id_b"), col("p.n_b").as("n_b"))
       .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)

@@ -20,9 +20,10 @@ object TextOps {
     "fr" -> Seq("le", "la", "les", "et"),
     "es" -> Seq("el", "los", "y", "que"))
 
-  /** Count of tokens that appear in `markers`. */
+  /** Count of tokens that appear in `markers` (native hash-set probe — the
+    * `filter`+`isin` HOF formulation is CodegenFallback, interpreted per token). */
   private def markerHits(toks: Column, markers: Seq[String]): Column =
-    size(filter(toks, t => t.isin(markers.map(lit): _*)))
+    count_in_set(toks, markers)
 
   /**
    * Language-ID heuristic: argmax of stopword-marker hits, first-listed language
