@@ -528,6 +528,33 @@ object SparkEntry {
           |LIMIT 5""".stripMargin)
     }),
 
+    // --- training-data hygiene: deterministic hash split (train/test) --------
+    "q43_train_split" -> ((s, dir) => {
+      graft.ops.Sampling.hashSplit(T(s, dir, "documents"), "doc_id", 80)
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // --- the full dedup pipeline applied: corpus minus near-duplicates -------
+    //     (minhash-LSH pairs -> keep-first removal -> per-lang survivor count)
+    "q44_dedup_apply" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minHashLSH(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+      Dedup.removeDuplicates(docs, pairs, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // --- k-NN join: top-3 corpus neighbors for each of 5 query vectors -------
+    "q45_knn_join" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.crossTopK(emb, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", 3)
+        .select(col("query_id"), col("corpus_id"), col("rank").cast("int").as("rank"),
+          round(col("cos"), 4).as("cos"))
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -966,6 +993,55 @@ object SparkEntry {
         |ORDER BY list_cosine_similarity(cast(embedding as double[]),
         |   (SELECT cast(embedding as double[]) FROM embeddings WHERE vec_id = 1)) DESC, vec_id
         |LIMIT 5""".stripMargin,
+
+    "q43_train_split" ->
+      """SELECT lang,
+        |  CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |            % 100 < 80
+        |       THEN 'train' ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Survivors after keep-first near-dup removal. The LSH pair set equals the
+    // exact-Jaccard >= 0.8 pair set on this corpus (verified both SFs), so the
+    // exact inverted-index pairs define the removed id_b side.
+    "q44_dedup_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |dups AS (
+        |  SELECT DISTINCT id_b FROM pairs
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT lang, count(*) AS n_docs FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM dups)
+        |GROUP BY lang""".stripMargin,
+
+    "q45_knn_join" ->
+      """SELECT query_id, corpus_id, rank, cos FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    round(list_cosine_similarity(cast(c.embedding as double[]),
+        |      cast(q.embedding as double[])), 4) AS cos,
+        |    cast(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(cast(c.embedding as double[]),
+        |        cast(q.embedding as double[])) DESC, c.vec_id) as integer) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 3""".stripMargin,
 
     "q41_range_join" ->
       """SELECT a.event_id, count(b.user_id) AS n_clicks_10m

@@ -1,0 +1,39 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / splitting for training-data pipelines (north-star
+ * extension, BASELINE.json). Everything is keyed on a content-independent,
+ * engine-portable hash of the row id — the split a row lands in never changes
+ * across runs, engines, partitionings, or cluster sizes, which is the property
+ * training pipelines need for train/test hygiene (a re-shuffled rerun must not
+ * leak yesterday's test rows into today's train set).
+ *
+ * The hash is the top-60-bits-of-md5 scheme shared with the oracle-stable
+ * signature expressions: DuckDB twin
+ * `('0x' || substr(md5(cast(id as varchar)), 1, 15))::BIGINT`.
+ */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the id's md5 — stable everywhere.
+    * One md5 per row, no shuffle, prunes to a scan-level filter. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("bigint"), lit(buckets.toLong))
+
+  /** Deterministic train/test split: `trainPct` percent of ids (by hash
+    * bucket) get "train", the rest "test". */
+  def hashSplit(df: DataFrame, idCol: String, trainPct: Int): DataFrame = {
+    require(trainPct >= 0 && trainPct <= 100, "trainPct must be in [0, 100]")
+    df.withColumn("split",
+      when(hashBucket(col(idCol)) < trainPct, "train").otherwise("test"))
+  }
+
+  /** Deterministic ~`pct`% sample: rows whose hash bucket falls below `pct`.
+    * Unlike `df.sample`, membership is a pure function of the id — stable
+    * under re-runs and repartitioning, and the predicate pushes into the scan. */
+  def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
+    df.where(hashBucket(col(idCol)) < pct)
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+/** Deterministic hash split/sample (q43): stability, partition laws, nesting. */
+class SamplingSpec extends SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("hashSplit is a stable, exhaustive, disjoint partition") {
+    val s1 = Sampling.hashSplit(docs, "doc_id", 80)
+    val s2 = Sampling.hashSplit(docs, "doc_id", 80)
+    // stable: the same id lands in the same split on every evaluation
+    assert(s1.select("doc_id", "split").except(s2.select("doc_id", "split")).isEmpty)
+    // exhaustive + disjoint: every row gets exactly one split
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "test")))
+    assert(counts.values.sum == docs.count())
+    // roughly the requested proportion (md5 buckets are near-uniform)
+    val frac = counts("train").toDouble / docs.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+  }
+
+  test("hashSample(pct) nests: a 10% sample is a subset of the 20% sample") {
+    val s10 = Sampling.hashSample(docs, "doc_id", 10).select("doc_id")
+    val s20 = Sampling.hashSample(docs, "doc_id", 20).select("doc_id")
+    assert(s10.except(s20).isEmpty)
+    assert(s10.count() > 0 && s10.count() < s20.count())
+  }
+
+  test("boundary percentages: 0 selects nothing, 100 selects everything") {
+    assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
+    assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())
+  }
+}
