@@ -26,18 +26,26 @@ object Joins {
   def pointInWindow(left: DataFrame, right: DataFrame, keyCol: String,
       leftTsUs: String, rightTsUs: String, windowUs: Long,
       joinType: String = "left_outer"): DataFrame = {
+    // explicit aliases: both sides often derive from the SAME base scan
+    // (e.g. two filters of one events table), and unaliased l(key) === r(key)
+    // relies on dataset-id disambiguation (logs a trivially-true-predicate
+    // warning while it untangles the self-join)
     val l = left
       .withColumn("__bin0", expr(s"$leftTsUs div $windowUs"))
       .withColumn("__bin", explode(array(col("__bin0"), col("__bin0") + 1)))
       .drop("__bin0")
+      .alias("__pw_l")
     val r = right.withColumn("__bin", expr(s"$rightTsUs div $windowUs"))
+      .alias("__pw_r")
     val residual = col(rightTsUs) > col(leftTsUs) &&
       col(rightTsUs) <= col(leftTsUs) + windowUs
     // each qualifying right row matches via exactly one of the two exploded
     // bins, so no post-join dedup is needed
     l.join(r,
-      l(keyCol) === r(keyCol) && l("__bin") === r("__bin") && residual,
+      col(s"__pw_l.$keyCol") === col(s"__pw_r.$keyCol") &&
+        col("__pw_l.__bin") === col("__pw_r.__bin") && residual,
       joinType)
-      .drop(r(keyCol)).drop(l("__bin")).drop(r("__bin"))
+      .drop(col(s"__pw_r.$keyCol"))
+      .drop(col("__pw_l.__bin")).drop(col("__pw_r.__bin"))
   }
 }

@@ -11,6 +11,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      // audit the STATIC plan: AQE wraps everything in AdaptiveSparkPlan whose
+      // toString hides codegen spans until execution finalizes each stage
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
@@ -25,8 +28,12 @@ object PlanAudit {
         val shj = plan.split("ShuffledHashJoin").length - 1
         val bnl = plan.split("BroadcastNestedLoopJoin").length - 1
         val ex = plan.split("Exchange").length - 1
-        val wsc = plan.split("WholeStageCodegen").length - 1
-        println(f"PLAN $name%-24s pushed=$pushed bhj=$bhj smj=$smj shj=$shj bnl=$bnl exchange=$ex codegen=$wsc")
+        // codegen'd operators render as "*(spanId) Op"; count ops inside spans
+        // and the number of distinct spans
+        val codegenOps = plan.split("\\*\\(").length - 1
+        val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet.size
+        println(f"PLAN $name%-24s pushed=$pushed bhj=$bhj smj=$smj shj=$shj bnl=$bnl " +
+          f"exchange=$ex codegenOps=$codegenOps spans=$spans")
       }
     }
     spark.stop()
