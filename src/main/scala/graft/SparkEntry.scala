@@ -555,6 +555,34 @@ object SparkEntry {
           round(col("cos"), 4).as("cos"))
     }),
 
+    // --- per-label embedding centroids, quantized-exact (bit-identical under
+    //     any partitioning — floor(v·1e6) bigint sums, no float-order drift) --
+    "q46_label_centroid" -> ((s, dir) => {
+      Similarity.centroids(T(s, dir, "embeddings"), "label", "embedding")
+    }),
+
+    // --- vocabulary: top-20 tokens across the corpus, count-desc/token ties --
+    "q47_vocab_topk" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(20)
+    }),
+
+    // --- streaming sessionize (flatMapGroupsWithState) — the custom-state
+    //     operator drained deterministically and checked against the BATCH
+    //     sessionization oracle (q13's SQL): stream and batch agree exactly. --
+    "q48_stream_sessionize" -> ((s, dir) => {
+      graft.streaming.Streaming.runToTable(
+        graft.streaming.Streaming.sessionize(
+          graft.streaming.Streaming.eventsStream(s, dir)).toDF(),
+        "q48_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8)) // ~150 user keys
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1042,6 +1070,34 @@ object SparkEntry {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 5)
         |WHERE rank <= 3""".stripMargin,
+
+    "q46_label_centroid" ->
+      """SELECT label, dim,
+        |  CAST(sum(q) AS BIGINT) / (count(*) * 1000000.0) AS centroid
+        |FROM (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |    (floor(unnest(embedding)::DOUBLE * 1000000))::BIGINT AS q
+        |  FROM embeddings)
+        |GROUP BY label, dim""".stripMargin,
+
+    "q47_vocab_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    t -> t <> '')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    // Stream/batch agreement: the stateful streaming sessionizer must produce
+    // exactly the batch sessionization (same SQL as q13).
+    "q48_stream_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, count(*) AS n_events
+        |FROM g GROUP BY user_id""".stripMargin,
 
     "q41_range_join" ->
       """SELECT a.event_id, count(b.user_id) AS n_clicks_10m

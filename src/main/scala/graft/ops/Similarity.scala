@@ -62,6 +62,27 @@ object Similarity {
   }
 
   /**
+   * Per-group centroid of an embedding column, over floor(v·10⁶) integer
+   * quantization. The quantized sum is exact bigint arithmetic, so the result
+   * is bit-identical under ANY partitioning, task retry, or cluster size —
+   * float summation is not (its rounding depends on accumulation order, which
+   * reshuffles between runs). Training pipelines want reproducible features;
+   * the 1e-6 quantization error is far below embedding noise. Returns
+   * (groupCol, dim [1-based], centroid).
+   */
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col(groupCol), (col("pos") + 1).cast("bigint").as("dim"),
+        floor(col("v").cast("double") * 1000000.0).cast("bigint").as("q"))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      // no round(): the quotient of exact integers (sums < 2^53) through one
+      // IEEE division is already bit-identical on every engine — rounding
+      // would only reintroduce engine-specific half-way rules at tie points
+      .select(col(groupCol), col("dim"),
+        (col("sq") / (col("n") * lit(1000000.0))).as("centroid"))
+
+  /**
    * ANN top-k: hyperplane-LSH bucketing with multi-probe. The corpus is bucketed
    * once (in practice: persisted partitioned by bucket); each query probes
    * 1 + nBits buckets — its own plus every single-bit flip (recovering most
