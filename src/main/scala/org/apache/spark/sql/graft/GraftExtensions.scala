@@ -53,7 +53,27 @@ object GraftExtensions {
     ("hyperplane_bucket", info("hyperplane_bucket",
       "hyperplane_bucket(vec, nBits) - signed-random-projection LSH bucket"),
       args => { val a = req(2, "hyperplane_bucket")(args)
-        HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }))
+        HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("md5_token_hashes", info("md5_token_hashes",
+      "md5_token_hashes(arr) - top 60 md5 bits of each string element (engine-portable)"),
+      args => Md5TokenHashes(req(1, "md5_token_hashes")(args).head)),
+    ("md5_hyperplane_bucket", info("md5_hyperplane_bucket",
+      "md5_hyperplane_bucket(vec, nBits) - SRP bucket with md5 integer weights (engine-portable)"),
+      args => { val a = req(2, "md5_hyperplane_bucket")(args)
+        Md5HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("shingle_hashes", info("shingle_hashes",
+      "shingle_hashes(rawTokens, n) - xxh64 of each word n-gram, one compiled pass"),
+      args => { val a = req(2, "shingle_hashes")(args)
+        ShingleHashes(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("count_in_set", info("count_in_set",
+      "count_in_set(arr, s1, s2, ...) - elements of arr contained in the constant set"),
+      args => {
+        require(args.length >= 2, s"count_in_set expects >=2 arguments, got ${args.length}")
+        CountInSet(args.head, args.tail.map(_.eval().toString))
+      }),
+    ("ordered_pairs", info("ordered_pairs",
+      "ordered_pairs(arr of struct<id,n>) - all id_a < id_b pairs from a posting list"),
+      args => OrderedPairs(req(1, "ordered_pairs")(args).head)))
 
   /** Imperative registration on a live session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -62,5 +62,21 @@ class SourcesSpec extends SparkSpec {
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) == 16)
     assert(r.getLong(4) >= 0L)
+
+    val r2 = spark.sql(
+      """SELECT md5_token_hashes(array('hello')) AS mh,
+        |        md5_hyperplane_bucket(array(cast(1.0 as float)), 4) AS mb,
+        |        size(shingle_hashes(array('a','b','c','d'), 3)) AS sh,
+        |        count_in_set(array('a','b','a','c'), 'a', 'c') AS cs,
+        |        size(ordered_pairs(array(named_struct('id', 1L, 'n', 2),
+        |                                 named_struct('id', 2L, 'n', 3),
+        |                                 named_struct('id', 3L, 'n', 4)))) AS op
+        |""".stripMargin).head()
+    // md5('hello') top 60 bits = 0x5d41402abc4b2a7 (cross-engine contract)
+    assert(r2.getSeq[Long](0) == Seq(0x5d41402abc4b2a7L))
+    assert(r2.getLong(1) >= 0L)
+    assert(r2.getInt(2) == 2)
+    assert(r2.getInt(3) == 3)
+    assert(r2.getInt(4) == 3)
   }
 }
