@@ -125,11 +125,18 @@ object Dedup {
    *
    * Scale note: a shingle shared by k docs yields k(k-1)/2 pairs — identical
    * blowup to the self-join formulation (exactness requires it). At 100 TB,
-   * cap posting-list length (drop stop-shingles by document frequency) before
-   * calling this, as every similarity-join system does.
+   * cap posting-list length with `maxDf` (drop stop-shingles by document
+   * frequency) as every similarity-join system does: near-duplicates still
+   * share plenty of RARE shingles, so recall on true near-dups survives while
+   * the worst-case quadratic term disappears. `maxDf = None` keeps the result
+   * exact (the oracle-checked configuration); with a cap, intersections count
+   * only uncapped shingles, so the reported jaccard is a LOWER BOUND of the
+   * true value (capped pairs can only be missed or under-scored, never
+   * over-scored past the threshold).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Int] = None): DataFrame = {
     // Index keyed by the 64-bit shingle hash, not the shingle string: postings
     // shuffle 8-byte keys instead of n-gram text (same result — a hash
     // collision altering a count has odds ~2^-64).
@@ -138,7 +145,8 @@ object Dedup {
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
     val postings = inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
-      .where(size(col("docs")) > 1)
+      .where(size(col("docs")) > 1 &&
+        maxDf.map(size(col("docs")) <= _).getOrElse(lit(true)))
     postings
       .select(explode(ordered_pairs(col("docs"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.n_a").as("n_a"),

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions._
+
+/**
+ * The native expressions exist for speed; these properties pin them to the
+ * declarative formulations they replaced, on real corpus text — a regression
+ * here means the "fast path" silently changed semantics.
+ */
+class NativeEquivalenceSpec extends SparkSpec {
+
+  lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(200)
+
+  test("shingle_hashes(split) == token_hashes(shingles) byte-for-byte") {
+    for (n <- Seq(1, 2, 3, 5)) {
+      val diff = docs.select(
+          shingle_hashes(split(col("text"), " "), n).as("fast"),
+          token_hashes(shingles(col("text"), n)).as("ref"))
+        .where(not(col("fast") === col("ref")))
+      assert(diff.isEmpty, s"shingle size $n diverged")
+    }
+  }
+
+  test("count_in_set == size(filter(isin)) on corpus tokens") {
+    val markers = Seq("the", "of", "und", "la")
+    val diff = docs
+      .select(tokens(lower(col("text"))).as("tk"))
+      .select(count_in_set(col("tk"), markers).as("fast"),
+        size(filter(col("tk"), t => t.isin(markers.map(lit): _*))).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
+  test("md5_token_hashes matches md5-hex-prefix arithmetic per token") {
+    val diff = docs
+      .select(explode(tokens(col("text"))).as("t")).limit(500)
+      .select(
+        element_at(md5_token_hashes(array(col("t"))), 1).as("fast"),
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+          .cast("bigint").as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
+  test("ordered_pairs == the self-join pair set, with sizes attached") {
+    val posting = spark.range(6).select(
+      lit(1).as("g"), col("id"), (col("id") * 10 + 1).cast("int").as("n"))
+    val viaExpr = posting.groupBy("g")
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .select(explode(ordered_pairs(col("docs"))).as("p"))
+      .select(col("p.id_a"), col("p.n_a"), col("p.id_b"), col("p.n_b"))
+    val viaJoin = posting.alias("a").join(posting.alias("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.n").as("n_a"),
+        col("b.id").as("id_b"), col("b.n").as("n_b"))
+    assert(viaExpr.except(viaJoin).isEmpty && viaJoin.except(viaExpr).isEmpty)
+    assert(viaExpr.count() == 15) // C(6,2)
+  }
+
+  test("md5_hyperplane_bucket: expression eval == driver-side compute twin") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
+    val rows = emb.select(col("vec_id"), col("embedding"),
+        graft.functions.GraftFunctions.md5_hyperplane_bucket(col("embedding"), 8).as("b"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      assert(r.getLong(2) ==
+        org.apache.spark.sql.graft.Md5HyperplaneBucket.compute(v, 8),
+        s"vec ${r.getLong(0)} bucket mismatch")
+    }
+  }
+}

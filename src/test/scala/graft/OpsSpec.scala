@@ -65,6 +65,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard maxDf cap: near-identical pairs survive, scores lower-bound") {
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(exact.nonEmpty) // the corpus plants near-duplicates
+    // a generous cap (shingle df <= 10) must keep every high-sim pair: their
+    // shared shingles are overwhelmingly rare ones
+    val capped = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = Some(10))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    exact.keys.foreach { k => assert(capped.contains(k), s"capped run lost pair $k") }
+    // lower-bound property: capped jaccard never exceeds the exact value
+    capped.foreach { case (k, j) =>
+      assert(exact.contains(k) && j <= exact(k) + 1e-9, s"pair $k capped=$j")
+    }
+  }
+
   test("exact dedup finds planted identical copies") {
     val dup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
