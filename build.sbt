@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout/stderr instead of routing through sbt's logger: the logger
+// prefixes every line with "[info] ", which breaks machine parsing of
+// Bench's single JSON output line (the driver's BENCH_r01.json shows
+// parsed=null for exactly this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
