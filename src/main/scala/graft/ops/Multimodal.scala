@@ -90,6 +90,23 @@ object Multimodal {
   }
 
   /**
+   * STUB resize: rewrite the metadata to the target geometry and (stub)
+   * truncate the payload to ≤ w·h bytes — a real deployment swaps the payload
+   * expression for a codec call; the schema contract (same columns, blob stays
+   * binary, metadata reflects the target geometry) is the tested part. Pure
+   * per-row expressions: the blob never shuffles and nulls pass through.
+   */
+  def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
+    df.withColumn("media",
+        substring(col("media"), 1, w * h)) // STUB: codec call goes here
+      .withColumn("media_meta", struct(
+        col("media_meta.format"),
+        lit(w).as("width"),
+        lit(h).as("height"),
+        col("media_meta.n_frames"),
+        octet_length(col("media")).cast("long").as("bytes")))
+
+  /**
    * Frame sampling plumbing: pick every `stride`-th frame index up to
    * `media_meta.n_frames` (the decode of those frames is the STUB above).
    * Pure expression — prunes to metadata, never touches the blob.

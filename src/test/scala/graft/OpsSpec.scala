@@ -165,6 +165,13 @@ class OpsSpec extends SparkSpec {
     }
     val repart = Multimodal.repartitionForBlobs(m, "media", 1024)
     assert(repart.rdd.getNumPartitions >= 1)
+    // resize stub: metadata reflects the target geometry, payload bounded by it
+    val resized = Multimodal.resizeStub(m, 16, 16)
+    resized.select(col("media_meta.width"), col("media_meta.height"),
+      col("media_meta.bytes"), octet_length(col("media"))).collect().foreach { r =>
+      assert(r.getInt(0) == 16 && r.getInt(1) == 16)
+      assert(r.getLong(2) <= 256 && r.getLong(2) == r.getInt(3).toLong)
+    }
   }
 
   test("normalize: case/punctuation-insensitive equality for dedup preprocessing") {
