@@ -457,8 +457,7 @@ object SparkEntry {
     //     sum kept in integer-scaled form sum(2^(40-M)) so addition order
     //     cannot drift; the final estimate uses only IEEE-exact * and /. ------
     "q37_hll_sketch" -> ((s, dir) => {
-      val h = conv(substring(md5(col("l_orderkey").cast("string").cast("binary")), 1, 15),
-        16, 10).cast("bigint")
+      val h = md5_prefix60(col("l_orderkey").cast("string"))
       val rho = least(
         when(col("w") === 0L, lit(49))
           .otherwise(lit(49) - length(bin(col("w")))), lit(40))

@@ -67,6 +67,12 @@ object GraftFunctions {
   def token_hashes(tokenArr: Column): Column =
     Bridge.column(TokenHashes(Bridge.expression(tokenArr)))
 
+  /** Top 60 md5 bits of a string column in one expression (no hex-string /
+    * substring / conv allocations per row). DuckDB twin:
+    * `('0x' || substr(md5(x),1,15))::BIGINT`. */
+  def md5_prefix60(s: Column): Column =
+    Bridge.column(Md5Prefix60(Bridge.expression(s)))
+
   /** Cross-engine-stable token hashing: top 60 bits of each token's MD5 —
     * DuckDB twin `('0x' || substr(md5(t),1,15))::BIGINT`. Use for signature
     * pipelines that must be replayable as an exact SQL oracle. */

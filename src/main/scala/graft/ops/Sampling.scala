@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Uniform bucket in [0, buckets) from the id's md5 — stable everywhere.
-    * One md5 per row, no shuffle, prunes to a scan-level filter. */
+    * One md5 per row (native `md5_prefix60`, no hex-string round-trip), no
+    * shuffle, prunes to a scan-level filter. */
   def hashBucket(id: Column, buckets: Int = 100): Column =
-    pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
-      .cast("bigint"), lit(buckets.toLong))
+    pmod(graft.functions.GraftFunctions.md5_prefix60(id.cast("string")),
+      lit(buckets.toLong))
 
   /** Deterministic train/test split: `trainPct` percent of ids (by hash
     * bucket) get "train", the rest "test". */

@@ -54,6 +54,9 @@ object GraftExtensions {
       "hyperplane_bucket(vec, nBits) - signed-random-projection LSH bucket"),
       args => { val a = req(2, "hyperplane_bucket")(args)
         HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("md5_prefix60", info("md5_prefix60",
+      "md5_prefix60(s) - top 60 md5 bits of a string (engine-portable register hash)"),
+      args => Md5Prefix60(req(1, "md5_prefix60")(args).head)),
     ("md5_token_hashes", info("md5_token_hashes",
       "md5_token_hashes(arr) - top 60 md5 bits of each string element (engine-portable)"),
       args => Md5TokenHashes(req(1, "md5_token_hashes")(args).head)),

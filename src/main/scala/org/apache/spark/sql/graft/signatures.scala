@@ -172,7 +172,7 @@ case class Md5TokenHashes(child: Expression)
 }
 
 object Md5TokenHashes {
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
+  private[graft] val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
@@ -232,6 +232,39 @@ case class ShingleHashes(child: Expression, n: Int)
 
 object ShingleHashes {
   private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+}
+
+/**
+ * Top 60 bits of the md5 of a string — the engine-portable register/bucket
+ * hash, as one expression. Identical to
+ * `conv(substring(md5(cast(x as binary)), 1, 15), 16, 10)` (and to DuckDB's
+ * `('0x' || substr(md5(x), 1, 15))::BIGINT`) but without materializing the
+ * 32-char hex string, the substring, and the base-conversion parse per row —
+ * the digest's first 8 bytes are consumed directly. Used by the relational
+ * HyperLogLog (q37) and the deterministic hash split (q43) on every row of
+ * the fact table, where the per-row allocation chain is what shows up at
+ * 100 TB row counts.
+ */
+case class Md5Prefix60(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val md = Md5TokenHashes.digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+    v >>> 4
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /**

@@ -58,6 +58,16 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(viaExpr.count() == 15) // C(6,2)
   }
 
+  test("md5_prefix60 == the md5-hex-prefix conv chain") {
+    val diff = spark.range(0, 5000)
+      .select(col("id").cast("string").as("s"))
+      .select(md5_prefix60(col("s")).as("fast"),
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("bigint").as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
   test("md5_hyperplane_bucket: expression eval == driver-side compute twin") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
     val rows = emb.select(col("vec_id"), col("embedding"),
