@@ -582,6 +582,26 @@ object SparkEntry {
         statePartitions = Some(8)) // ~150 user keys
     }),
 
+    // --- stream-stream interval join: the streaming twin of q41's range join,
+    //     watermark-bounded state on both sides, drained deterministically and
+    //     checked against the BATCH inner-pair oracle --------------------------
+    "q49_stream_interval_join" -> ((s, dir) => {
+      val errors = graft.streaming.Streaming.eventsStream(s, dir)
+        .where(col("event_type") === "error")
+        .select(col("user_id"), col("event_id"), col("ts").as("err_ts"))
+      val clicks = graft.streaming.Streaming.eventsStream(s, dir)
+        .where(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("clk_ts"))
+      val joined = graft.streaming.Streaming.intervalJoin(
+        errors, clicks, "user_id", "err_ts", "clk_ts", "6 hours")
+      graft.streaming.Streaming.runToTable(
+        joined.select(col("event_id"), col("user_id"),
+          unix_micros(col("clk_ts")).as("clk_us")),
+        "q49_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8))
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1097,6 +1117,17 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    // Stream/batch agreement: the interval join must emit exactly the batch
+    // range join's inner pairs.
+    "q49_stream_interval_join" ->
+      """SELECT a.event_id, a.user_id, epoch_us(b.ts) AS clk_us
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'error') a
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') b
+        |  ON a.user_id = b.user_id
+        | AND epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000""".stripMargin,
 
     "q41_range_join" ->
       """SELECT a.event_id, count(b.user_id) AS n_clicks_10m

@@ -108,6 +108,25 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * Stream-stream interval join: pair each left event with right events of the
+   * same key inside `(left.ts, left.ts + window]`. Both sides carry watermarks
+   * and the join condition bounds event time on both ends, so Spark can evict
+   * join state once the watermark passes — state is O(keys × in-window events),
+   * not stream length. The streaming analogue of `Joins.pointInWindow`.
+   * Columns: left keeps all its columns; the right contributes `rightTsCol`.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String, window: String): DataFrame = {
+    val l = left.withWatermark(leftTsCol, window).alias("l")
+    val r = right.withWatermark(rightTsCol, window).alias("r")
+    l.join(r,
+      expr(s"l.$keyCol = r.$keyCol AND " +
+        s"r.$rightTsCol > l.$leftTsCol AND " +
+        s"r.$rightTsCol <= l.$leftTsCol + INTERVAL $window"))
+      .drop(col(s"r.$keyCol"))
+  }
+
   final case class SessionEvent(user_id: Long, ts_us: Long)
   final case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
