@@ -582,6 +582,23 @@ object SparkEntry {
         statePartitions = Some(8)) // ~150 user keys
     }),
 
+    // --- IVF ANN: deterministic k-means coarse quantizer + cell probing.
+    //     Five exact copies of the query vector are planted: identical vectors
+    //     share the query's cell under any centroid set, and cosine rounds to
+    //     exactly 1.0, so the top-5 is provably the planted ids -> oracle. ----
+    "q50_ivf_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9100L).as("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") =!= 7).unionByName(planted)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8)
+      Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 5, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     // --- stream-stream interval join: the streaming twin of q41's range join,
     //     watermark-bounded state on both sides, drained deterministically and
     //     checked against the BATCH inner-pair oracle --------------------------
@@ -1117,6 +1134,10 @@ object SparkEntry {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, count(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    "q50_ivf_ann" ->
+      """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(5) t(i)""".stripMargin,
 
     // Stream/batch agreement: the interval join must emit exactly the batch
     // range join's inner pairs.

@@ -83,6 +83,73 @@ object Similarity {
         (col("sq") / (col("n") * lit(1000000.0))).as("centroid"))
 
   /**
+   * Deterministic IVF coarse quantizer: k centroids trained by `iters` Lloyd
+   * iterations. Every step is reproducible under any partitioning:
+   * seeding is hash-ordered (the k vectors with smallest md5 of their id, not
+   * a random sample), assignment ties break toward the lowest cell index, and
+   * means are the quantized-exact centroids of [[centroids]] (bigint sums — no
+   * float accumulation-order drift). Centroids are tiny (k × dim) and ride the
+   * driver ↔ executors as literals; each iteration is one scan + one shuffle.
+   */
+  def ivfCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): Array[Array[Double]] = {
+    var cents: Array[Array[Double]] = df
+      .select(col(idCol), col(vecCol))
+      .withColumn("__h", md5_prefix60(col(idCol).cast("string")))
+      .orderBy(col("__h"), col(idCol))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = df.select(col(vecCol).as("v"),
+        cellOf(col(vecCol), cents).as("cell"))
+      val means = centroids(assigned, "cell", "v")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
+      val next = cents.map(_.clone())
+      means.foreach { case (cell, dim, v) => next(cell)(dim - 1) = v }
+      cents = next // cells that lost all members keep their previous centroid
+    }
+    cents
+  }
+
+  /** Cell id (0-based) of a vector: argmax cosine against the centroid set,
+    * first-listed centroid wins ties. A pure Column expression, so corpus
+    * assignment and query-side probing run the SAME arithmetic. */
+  def cellOf(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scores = array(cents.map(c =>
+      cosine_sim(vec, array(c.map(x => lit(x.toFloat)): _*))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
+  /**
+   * IVF ANN top-k: score only the rows whose cell is among the query's
+   * `nProbe` nearest cells. The query's probe cells are computed with the same
+   * Column expressions as the corpus assignment (on a one-row frame), so no
+   * driver-vs-executor float divergence can misroute the probe. At 100 TB the
+   * corpus is written partitioned by cell, and probing prunes to nProbe/k of
+   * the data at the scan.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, cents: Array[Array[Double]],
+      nProbe: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qv = array(query.map(v => lit(v)): _*)
+    val qdf = Seq(1).toDF("one").select(qv.as("qv"))
+    val scores = qdf.select(array(cents.indices.map(i =>
+        cosine_sim(col("qv"), array(cents(i).map(x => lit(x.toFloat)): _*))): _*)
+      .as("s")).head().getSeq[Double](0)
+    val probeCells = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2)
+    df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
    * ANN top-k: hyperplane-LSH bucketing with multi-probe. The corpus is bucketed
    * once (in practice: persisted partitioned by bucket); each query probes
    * 1 + nBits buckets — its own plus every single-bit flip (recovering most

@@ -91,6 +91,25 @@ class OpsSpec extends SparkSpec {
     assert(fp.where(col("n_dups") === 2).count() == 5)
   }
 
+  test("ivfCentroids is deterministic and ivfTopK recalls planted neighbors") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val c1 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8)
+    val c2 = Similarity.ivfCentroids(emb, "vec_id", "embedding", k = 8)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq, "training not deterministic")
+    // plant 10 exact copies of vec 3; IVF with its own cell probed must return
+    // them all at k=10 (identical vectors share the query's cell, cos ~ 1)
+    val q = emb.where(col("vec_id") === 3).head().getSeq[Float](1)
+    val planted = emb.where(col("vec_id") === 3)
+      .select(explode(sequence(lit(0), lit(9))).as("i"), col("embedding"))
+      .select((col("i") + 8000L).as("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") =!= 3).unionByName(planted)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8)
+    val got = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nProbe = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 10).map(_ + 8000L).toSet, s"got $got")
+  }
+
   test("annTopK finds planted true neighbors (recall ≥ 0.9 at k=20)") {
     // plant 20 positive-scaled copies of the query: cosine exactly 1.0 and the
     // hyperplane bucket is scale-invariant, so a correct ANN must return them.
