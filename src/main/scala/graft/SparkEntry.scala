@@ -389,7 +389,7 @@ object SparkEntry {
         graft.streaming.Streaming.hourlyRollup(
           graft.streaming.Streaming.eventsStream(s, dir)),
         "q31_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
-        statePartitions = Some(8)) // ~3.6k state keys; see runToTable scaladoc
+        statePartitions = Some(4)) // ~3.6k state keys; see runToTable scaladoc
     }),
 
     // --- as-of join (operator Spark lacks; composed union+window, one shuffle)
@@ -579,7 +579,7 @@ object SparkEntry {
           graft.streaming.Streaming.eventsStream(s, dir)).toDF(),
         "q48_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
         mode = org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = Some(8)) // ~150 user keys
+        statePartitions = Some(4)) // user-key state is tiny at any SF
     }),
 
     // --- IVF ANN: deterministic k-means coarse quantizer + cell probing.

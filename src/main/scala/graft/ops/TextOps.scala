@@ -34,12 +34,17 @@ object TextOps {
    */
   def langId(text: Column): Column = langIdFromTokens(tokens(lower(text)))
 
-  /** Argmax form over a pre-tokenized (lowercased) token array. */
+  /** Argmax form over a pre-tokenized (lowercased) token array. The explicit
+    * null branch matters beyond semantics (null text → null language):
+    * without it, Spark's `ElementAt` over the constant name array reports
+    * nullable=false despite the nullable index, and a null row NPEs inside
+    * the optimizer's interpreted projection (ConvertToLocalRelation). */
   def langIdFromTokens(toks: Column): Column = {
     val scoresArr = array(langMarkers.map { case (_, ms) => markerHits(toks, ms) }: _*)
     val names = array(langMarkers.map { case (l, _) => lit(l) }: _*)
     val maxS = array_max(scoresArr)
-    when(maxS <= 0, lit("und"))
+    when(toks.isNull, lit(null).cast("string"))
+      .when(maxS <= 0, lit("und"))
       .otherwise(element_at(names, array_position(scoresArr, maxS).cast("int")))
   }
 

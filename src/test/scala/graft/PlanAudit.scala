@@ -17,7 +17,10 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
-    val skip = Set("q31_stream_hourly") // streaming plan not comparable here
+    // streaming queries drain through runToTable — the returned frame is a
+    // memory-table scan, so there is no batch plan to audit
+    val skip = Set("q31_stream_hourly", "q48_stream_sessionize",
+      "q49_stream_interval_join")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
