@@ -38,6 +38,51 @@ object Streaming {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /**
+   * Production-faithful replay: stage the events table as `nSplits` files in
+   * event-time order and stream them one file per micro-batch. Unlike the
+   * single-file replay (one batch — the watermark never advances mid-stream),
+   * this drives the watermark forward between batches, so state eviction and
+   * append-mode window finalization behave exactly as in a live deployment.
+   * Time-sorted splits guarantee no record is ever late, so nothing is
+   * dropped; batch k+1's minimum timestamp ≥ batch k's maximum.
+   */
+  def eventsReplay(spark: SparkSession, dir: String, nSplits: Int): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val schema = batch.schema
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_replay_")
+    stageDir.toFile.deleteOnExit()
+    // one sorted file per split, named in replay order (file-stream sources
+    // process discovered files in path order within a batch; one per trigger)
+    val n = batch.count()
+    val per = math.max(1L, (n + nSplits - 1) / nSplits)
+    // global row number = a one-partition sort: fine for a staging helper
+    // (production replays tail a real landing directory instead)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
+    val sorted = batch.withColumn("__rn", row_number().over(w).cast("long") - 1)
+    sorted.cache()
+    try {
+      (0 until nSplits).foreach { i =>
+        sorted.where(col("__rn") >= i * per && col("__rn") < (i + 1) * per)
+          .drop("__rn")
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$stageDir/split_$i")
+        // flatten the single part file up to a stable ordered name
+        val d = new java.io.File(s"$stageDir/split_$i")
+        val part = d.listFiles().find(_.getName.startsWith("part-")).get
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Path.of(s"$stageDir/" + f"$i%05d.parquet"))
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    } finally sorted.unpersist()
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Watermarked tumbling-window rollup: counts + value sums per
     * (window, event_type). Late rows beyond `watermark` are dropped — the
     * documented completeness/latency tradeoff. */

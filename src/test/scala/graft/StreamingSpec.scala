@@ -28,6 +28,42 @@ class StreamingSpec extends SparkSpec {
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
   }
 
+  test("multi-batch replay: watermark advances, append finalizes exactly the " +
+      "closed windows, state is evicted") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val stream = Streaming.eventsReplay(spark, sf(), nSplits = 4)
+    val agg = Streaming.hourlyRollup(stream, watermark = "1 hour")
+    val name = "t_replay_append"
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val progress = q.recentProgress
+    assert(progress.count(_.numInputRows > 0) >= 4, "expected one batch per split")
+    // append emits a window only once its end passes the watermark: the final
+    // watermark is maxTs - 1h, so emitted windows = batch windows that closed
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"${sf()}/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val watermarkUs = maxTs - 3600L * 1000000L
+    val closed = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .where(unix_micros(col("hour")) + 3600L * 1000000L <= watermarkUs)
+    val a = spark.table(name).orderBy("hour", "event_type").collect().map(_.toSeq)
+    val b = closed.orderBy("hour", "event_type").collect().map(_.toSeq)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      s"append emitted ${a.length} windows, batch closed ${b.length}")
+    // eviction: final state rows < total distinct windows (closed ones left)
+    val lastState = progress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head.numRowsTotal
+    val totalWindows = events
+      .select(date_trunc("hour", col("ts")), col("event_type")).distinct().count()
+    assert(lastState < totalWindows,
+      s"state rows $lastState should be below $totalWindows after eviction")
+  }
+
   test("streaming write-back: micro-batch increments merge into a keyed table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_swb").resolve("t").toString
     val deltas = Streaming.eventsStream(spark, sf())
