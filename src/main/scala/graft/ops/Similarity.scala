@@ -47,6 +47,35 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), col("cos"), col("rank"))
   }
 
+  /**
+   * Materialize the corpus partitioned by LSH bucket — the 100 TB layout for
+   * [[annTopKFromBucketed]]: each probe becomes a partition-directory prune at
+   * the scan, so a query reads ~(1+nBits)/2^nBits of the data instead of all
+   * of it. Rewrite the corpus once, probe it millions of times.
+   */
+  def writeBucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nBits: Int = 8,
+      scheme: SrpScheme = SrpScheme.xxh): Unit =
+    df.select(col(idCol), col(vecCol),
+        scheme.bucketCol(col(vecCol), nBits).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** ANN top-k over a [[writeBucketedCorpus]] layout: the probe set is a
+    * literal IN-list on the PARTITION column, so pruning happens before any
+    * row is read (`.explain` shows it in PartitionFilters). */
+  def annTopKFromBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int, nBits: Int = 8,
+      scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    val qBucket = scheme.compute(query.toArray, nBits)
+    val probes = (qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))).distinct
+    spark.read.parquet(path)
+      .where(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Pluggable SRP bucket scheme for [[annTopK]]: the Column expression plus
     * its driver-side twin (the query vector's probe bucket is computed on the
     * driver so the probe set is a literal IN-list the scan filters on). */

@@ -91,6 +91,27 @@ class OpsSpec extends SparkSpec {
     assert(fp.where(col("n_dups") === 2).count() == 5)
   }
 
+  test("bucketed ANN corpus: partition pruning at the scan, same results") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("graft_ann").toString + "/c"
+    Similarity.writeBucketedCorpus(corpus, "vec_id", "embedding", path, nBits = 6)
+    val pruned = Similarity.annTopKFromBucketed(spark, path,
+      "vec_id", "embedding", q, 10, nBits = 6)
+    // the probe IN-list must land in PartitionFilters (pre-read pruning),
+    // leaving no data filter on bucket
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket probe not pushed to partition pruning:\n${plan.take(800)}")
+    // and results are identical to the unpartitioned path
+    val a = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.annTopK(corpus, "vec_id", "embedding", q, 10, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("ivfCentroids is deterministic and ivfTopK recalls planted neighbors") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
