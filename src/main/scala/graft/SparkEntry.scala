@@ -582,6 +582,40 @@ object SparkEntry {
         statePartitions = Some(4)) // user-key state is tiny at any SF
     }),
 
+    // --- exact percentiles (continuous interpolation on integer grid) --------
+    "q51_percentiles" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_quantity, 0.95)").as("p95_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- CUBE over two dimensions (all 4 grouping sets) ----------------------
+    "q52_cube" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("total"))
+    }),
+
+    // --- scalar-function sampler: string/date library parity -----------------
+    "q53_scalar_funcs" -> ((s, dir) => {
+      T(s, dir, "customer").where(col("c_custkey") <= 200)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          length(col("c_name")).cast("bigint").as("name_len"),
+          substring(col("c_mktsegment"), 1, 3).as("seg3"),
+          concat_ws("-", col("c_mktsegment"), col("c_custkey").cast("string"))
+            .as("seg_key"),
+          levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("bigint")
+            .as("lev"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"))
+    }),
+
     // --- IVF ANN: deterministic k-means coarse quantizer + cell probing.
     //     Five exact copies of the query vector are planted: identical vectors
     //     share the query's cell under any centroid set, and cosine rounds to
@@ -1141,6 +1175,28 @@ object SparkEntry {
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    "q51_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS p50_qty,
+        | quantile_cont(l_quantity, 0.95) AS p95_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q52_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        | cast(round(sum(cast(o_totalprice as decimal(18,2))), 2) as double) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q53_scalar_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS uname,
+        | cast(length(c_name) as bigint) AS name_len,
+        | substr(c_mktsegment, 1, 3) AS seg3,
+        | concat_ws('-', c_mktsegment, cast(c_custkey as varchar)) AS seg_key,
+        | cast(levenshtein(c_mktsegment, 'BUILDING') as bigint) AS lev,
+        | lpad(cast(c_custkey as varchar), 8, '0') AS padded
+        |FROM customer WHERE c_custkey <= 200""".stripMargin,
 
     // Stream/batch agreement: the interval join must emit exactly the batch
     // range join's inner pairs.
