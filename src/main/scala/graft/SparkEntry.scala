@@ -582,6 +582,41 @@ object SparkEntry {
         statePartitions = Some(4)) // user-key state is tiny at any SF
     }),
 
+    // --- statistics from exact moments: mean/stddev/corr computed from
+    //     DECIMAL sums (grid inputs → exact, order-invariant) with ONE final
+    //     double formula — built-in corr/stddev float-accumulate in partition
+    //     order and are not reproducible across partitionings; this is. ------
+    "q54_exact_stats" -> ((s, dir) => {
+      val qd = col("l_quantity").cast("decimal(18,2)")
+      val pd = col("l_extendedprice").cast("decimal(18,2)")
+      val g = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n0"),
+          sum(qd).as("sx"), sum(pd).as("sy"),
+          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"),
+          sum(qd * pd).as("sxy"))
+      val n = col("n0").cast("double")
+      val (sx, sy, sxx, syy, sxy) = (col("sx").cast("double"),
+        col("sy").cast("double"), col("sxx").cast("double"),
+        col("syy").cast("double"), col("sxy").cast("double"))
+      g.select(col("l_returnflag"),
+        (sx / n).as("mean_qty"),
+        sqrt((n * sxx - sx * sx) / (n * (n - 1))).as("stddev_qty"),
+        ((n * sxy - sx * sy) /
+          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))).as("corr_qty_price"),
+        col("n0").as("n"))
+    }),
+
+    // --- pivot: per-linestatus quantity totals fanned out by returnflag ------
+    "q55_pivot" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(sum(col("l_quantity")).cast("bigint"))
+        .select(col("l_linestatus"), col("A").as("a_qty"),
+          col("N").as("n_qty"), col("R").as("r_qty"))
+    }),
+
     // --- exact percentiles (continuous interpolation on integer grid) --------
     "q51_percentiles" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -1175,6 +1210,42 @@ object SparkEntry {
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    // Identical one-shot double formulas over exact decimal moments: every
+    // operand reaches the formula bit-identical, and *, /, sqrt are correctly
+    // rounded, so the unrounded doubles hash-match.
+    "q54_exact_stats" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n0,
+        |    sum(cast(l_quantity as decimal(18,2))) AS sx,
+        |    sum(cast(l_extendedprice as decimal(18,2))) AS sy,
+        |    sum(cast(l_quantity as decimal(18,2)) *
+        |        cast(l_quantity as decimal(18,2))) AS sxx,
+        |    sum(cast(l_extendedprice as decimal(18,2)) *
+        |        cast(l_extendedprice as decimal(18,2))) AS syy,
+        |    sum(cast(l_quantity as decimal(18,2)) *
+        |        cast(l_extendedprice as decimal(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  cast(sx as double) / cast(n0 as double) AS mean_qty,
+        |  sqrt((cast(n0 as double) * cast(sxx as double)
+        |        - cast(sx as double) * cast(sx as double))
+        |       / (cast(n0 as double) * (cast(n0 as double) - 1))) AS stddev_qty,
+        |  (cast(n0 as double) * cast(sxy as double)
+        |     - cast(sx as double) * cast(sy as double))
+        |  / (sqrt(cast(n0 as double) * cast(sxx as double)
+        |          - cast(sx as double) * cast(sx as double))
+        |     * sqrt(cast(n0 as double) * cast(syy as double)
+        |            - cast(sy as double) * cast(sy as double))) AS corr_qty_price,
+        |  n0 AS n
+        |FROM m""".stripMargin,
+
+    "q55_pivot" ->
+      """SELECT l_linestatus,
+        | cast(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) as bigint) AS a_qty,
+        | cast(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) as bigint) AS n_qty,
+        | cast(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) as bigint) AS r_qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
     "q51_percentiles" ->
       """SELECT l_returnflag,
