@@ -582,6 +582,18 @@ object SparkEntry {
         statePartitions = Some(4)) // user-key state is tiny at any SF
     }),
 
+    // --- Spark's native session_window operator (merge events within a 30-min
+    //     gap): start/end/count per (user, session), vs a lag-derived oracle --
+    "q56_session_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"),
+          col("n_events"))
+    }),
+
     // --- statistics from exact moments: mean/stddev/corr computed from
     //     DECIMAL sums (grid inputs → exact, order-invariant) with ONE final
     //     double formula — built-in corr/stddev float-accumulate in partition
@@ -1210,6 +1222,26 @@ object SparkEntry {
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    // session_window semantics: a session extends while consecutive events are
+    // within the gap; end = last event + gap. Replayed via lag-gap numbering.
+    "q56_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, new_sess DESC
+        |      ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM g)
+        |SELECT user_id,
+        |  epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sess_id""".stripMargin,
 
     // Identical one-shot double formulas over exact decimal moments: every
     // operand reaches the formula bit-identical, and *, /, sqrt are correctly
