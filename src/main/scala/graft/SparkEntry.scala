@@ -582,6 +582,33 @@ object SparkEntry {
         statePartitions = Some(4)) // user-key state is tiny at any SF
     }),
 
+    // --- P-algebra OR groups: filterOr (OR list) composed with filter (AND) --
+    "q57_filter_or" -> ((s, dir) => {
+      GQuery(T(s, dir, "part"))
+        .filterOr(
+          Clauses.mustStartWith(col("p_name"), "large"),
+          Clauses.mustContain(col("p_name"), "gadget"))
+        .filter(Clauses.mustBeGreaterThan(col("p_size"), 25))
+        .toDF
+        .select(col("p_partkey"), col("p_name"), col("p_size"))
+    }),
+
+    // --- P10/P13 on a dynamic family: qualifier-range filter over the map
+    //     column (betweenColumnKeys), exploded back for the oracle ------------
+    "q58_family_qualifier_range" -> ((s, dir) => {
+      val perDay = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val asFamily = perDay.groupBy(col("user_id"))
+        .agg(map_from_entries(collect_list(struct(col("day"), col("n")))).as("byDay"))
+      asFamily
+        .select(col("user_id"),
+          Clauses.betweenColumnKeys(col("byDay"),
+            java.sql.Date.valueOf("2024-01-10"),
+            java.sql.Date.valueOf("2024-01-20")).as("midJan"))
+        .select(col("user_id"), explode(col("midJan")).as(Seq("day", "searches")))
+    }),
+
     // --- Spark's native session_window operator (merge events within a 30-min
     //     gap): start/end/count per (user, session), vs a lag-derived oracle --
     "q56_session_window" -> ((s, dir) => {
@@ -1222,6 +1249,18 @@ object SparkEntry {
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    "q57_filter_or" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE (p_name LIKE 'large%' OR p_name LIKE '%gadget%')
+        |  AND p_size > 25""".stripMargin,
+
+    "q58_family_qualifier_range" ->
+      """SELECT user_id, cast(ts as date) AS day, count(*) AS searches
+        |FROM events
+        |WHERE cast(ts as date) >= DATE '2024-01-10'
+        |  AND cast(ts as date) < DATE '2024-01-20'
+        |GROUP BY 1, 2""".stripMargin,
 
     // session_window semantics: a session extends while consecutive events are
     // within the gap; end = last event + gap. Replayed via lag-gap numbering.
