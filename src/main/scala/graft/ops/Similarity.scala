@@ -146,8 +146,8 @@ object Similarity {
     * first-listed centroid wins ties. A pure Column expression, so corpus
     * assignment and query-side probing run the SAME arithmetic. */
   def cellOf(vec: Column, cents: Array[Array[Double]]): Column = {
-    val scores = array(cents.map(c =>
-      cosine_sim(vec, array(c.map(x => lit(x.toFloat)): _*))): _*)
+    val scores = array(cents.toIndexedSeq.map(c =>
+      cosine_sim(vec, array(c.toIndexedSeq.map(x => lit(x.toFloat)): _*))): _*)
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
@@ -167,7 +167,8 @@ object Similarity {
     val qv = array(query.map(v => lit(v)): _*)
     val qdf = Seq(1).toDF("one").select(qv.as("qv"))
     val scores = qdf.select(array(cents.indices.map(i =>
-        cosine_sim(col("qv"), array(cents(i).map(x => lit(x.toFloat)): _*))): _*)
+        cosine_sim(col("qv"),
+          array(cents(i).toIndexedSeq.map(x => lit(x.toFloat)): _*))): _*)
       .as("s")).head().getSeq[Double](0)
     val probeCells = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
       .take(nProbe).map(_._2)
