@@ -534,6 +534,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // --- min-wise sampling: exact-size uniform sample as a pure function of
+    //     the id set (same sample on any engine/partitioning; k-row heap per
+    //     partition, no global sort) -----------------------------------------
+    "q59_minwise_sample" -> ((s, dir) => {
+      graft.ops.Sampling.minWiseSample(T(s, dir, "documents"), "doc_id", 100)
+        .select(col("doc_id"), col("lang"), col("source"))
+    }),
+
     // --- the full dedup pipeline applied: corpus minus near-duplicates -------
     //     (minhash-LSH pairs -> keep-first removal -> per-lang survivor count)
     "q44_dedup_apply" -> ((s, dir) => {
@@ -1249,6 +1257,12 @@ object SparkEntry {
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    "q59_minwise_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT,
+        |  doc_id
+        |LIMIT 100""".stripMargin,
 
     "q57_filter_or" ->
       """SELECT p_partkey, p_name, p_size FROM part

@@ -37,4 +37,14 @@ object Sampling {
     * under re-runs and repartitioning, and the predicate pushes into the scan. */
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.where(hashBucket(col(idCol)) < pct)
+
+  /** Min-wise sample: the `k` rows with the smallest id hashes — an exact-size
+    * uniform sample without replacement that is a pure function of the id set
+    * (two engines, or two runs over different partitionings, draw the SAME
+    * sample). Plans as `TakeOrderedAndProject`: a k-row heap per partition and
+    * a k-row merge at the driver — no global sort, no full shuffle. */
+  def minWiseSample(df: DataFrame, idCol: String, k: Int): DataFrame =
+    df.orderBy(graft.functions.GraftFunctions.md5_prefix60(
+        col(idCol).cast("string")), col(idCol))
+      .limit(k)
 }

@@ -30,6 +30,19 @@ class SamplingSpec extends SparkSpec {
     assert(s10.count() > 0 && s10.count() < s20.count())
   }
 
+  test("minWiseSample: exact size, deterministic, plans as a top-k not a sort") {
+    val s1 = Sampling.minWiseSample(docs, "doc_id", 50).select("doc_id")
+    val s2 = Sampling.minWiseSample(docs, "doc_id", 50).select("doc_id")
+    assert(s1.count() == 50)
+    assert(s1.except(s2).isEmpty) // pure function of the id set
+    // growing k keeps the previous sample (nested, like hashSample)
+    val s80 = Sampling.minWiseSample(docs, "doc_id", 80).select("doc_id")
+    assert(s1.except(s80).isEmpty)
+    val plan = Sampling.minWiseSample(docs, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("boundary percentages: 0 selects nothing, 100 selects everything") {
     assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())
