@@ -534,6 +534,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // --- G5 skew path: two-phase salted aggregation — salting is internally
+    //     invisible (phase 2 merges partials exactly), so the plain group-sum
+    //     is a true oracle -------------------------------------------------
+    "q60_salted_agg" -> ((s, dir) => {
+      graft.jobs.GJob.saltedSum(T(s, dir, "lineitem"),
+          Seq("l_suppkey"), "l_quantity", numSalts = 16)
+        .select(col("l_suppkey"),
+          col("sum_l_quantity").cast("bigint").as("sum_qty"))
+    }),
+
     // --- min-wise sampling: exact-size uniform sample as a pure function of
     //     the id set (same sample on any engine/partitioning; k-row heap per
     //     partition, no global sort) -----------------------------------------
@@ -1257,6 +1267,10 @@ object SparkEntry {
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    "q60_salted_agg" ->
+      """SELECT l_suppkey, cast(sum(l_quantity) as bigint) AS sum_qty
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
 
     "q59_minwise_sample" ->
       """SELECT doc_id, lang, source FROM documents
