@@ -22,14 +22,32 @@ object Bench {
     // costs — whole-stage codegen compilation, JIT, parquet footer/catalog
     // caches, streaming machinery init — are paid outside the timed loop. The
     // timed run below measures steady-state throughput at the target SF.
-    val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) SparkEntry.queries.foreach {
-      case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+    // Warmup dir: explicit env override, else the smallest sfN sibling of
+    // sfDir (so off-machine runs still warm up instead of silently skipping).
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR").getOrElse {
+      val self = new java.io.File(sfDir)
+      Option(self.getAbsoluteFile.getParentFile)
+        .flatMap(p => Option(p.listFiles()))
+        .map(_.filter(d => d.isDirectory && d.getName.startsWith("sf")).sortBy { d =>
+          scala.util.Try(d.getName.stripPrefix("sf").toDouble).getOrElse(Double.MaxValue)
+        })
+        .flatMap(_.headOption).map(_.getPath).getOrElse(sfDir)
     }
-    else try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    catch { case _: Throwable => () }
+    if (new java.io.File(warmDir).isDirectory) {
+      var failed = 0
+      SparkEntry.queries.foreach { case (name, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case t: Throwable =>
+          failed += 1
+          System.err.println(s"[bench] warmup of $name failed on $warmDir: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
+      }
+      if (failed > 0) System.err.println(s"[bench] $failed warmup queries failed — steady-state timings may include first-run costs")
+    } else {
+      System.err.println(s"[bench] no warmup dir found near $sfDir — timings include first-run codegen/JIT costs")
+      try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: forces evaluation of EVERY output column (a bare count()

@@ -1292,6 +1292,10 @@ object SparkEntry {
 
     // session_window semantics: a session extends while consecutive events are
     // within the gap; end = last event + gap. Replayed via lag-gap numbering.
+    // Tie rule (verified empirically, pinned in StreamingSpec): Spark MERGES an
+    // event at exactly lastTs+gap into the session — the merge condition is
+    // start <= previousEnd, inclusive — so the oracle's strict `>` (exact gap
+    // = same session) is the correct mirror.
     "q56_session_window" ->
       """WITH g AS (
         |  SELECT user_id, ts,

@@ -72,7 +72,20 @@ object GraftExtensions {
       "count_in_set(arr, s1, s2, ...) - elements of arr contained in the constant set"),
       args => {
         require(args.length >= 2, s"count_in_set expects >=2 arguments, got ${args.length}")
-        CountInSet(args.head, args.tail.map(_.eval().toString))
+        // The set members must be constants: a non-foldable column here would be
+        // silently evaluated against no input row, and a null literal would NPE.
+        // Fail analysis loudly instead (ADVICE r2).
+        def analysisError(msg: String): Nothing =
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg))
+        val bad = args.tail.filterNot(_.foldable)
+        if (bad.nonEmpty)
+          analysisError(
+            s"count_in_set: set members must be foldable constants, got ${bad.map(_.sql).mkString(", ")}")
+        val members = args.tail.map(_.eval())
+        if (members.contains(null))
+          analysisError("count_in_set: set members must be non-null constants")
+        CountInSet(args.head, members.map(_.toString))
       }),
     ("ordered_pairs", info("ordered_pairs",
       "ordered_pairs(arr of struct<id,n>) - all id_a < id_b pairs from a posting list"),

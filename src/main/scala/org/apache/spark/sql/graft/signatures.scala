@@ -293,6 +293,13 @@ case class OrderedPairs(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val k = arr.numElements()
+    // pair count computed in Long: a hot shingle shared by >=65536 docs would
+    // overflow k*(k-1)/2 in Int arithmetic and crash with a wrapped array size
+    val nPairs = k.toLong * (k - 1) / 2
+    if (nPairs > Int.MaxValue)
+      throw new IllegalStateException(
+        s"ordered_pairs: posting list of $k entries would emit $nPairs pairs — " +
+          "cap hot shingles with maxDf before exploding pairs")
     val ids = new Array[Long](k)
     val ns = new Array[Int](k)
     var i = 0
@@ -311,7 +318,7 @@ case class OrderedPairs(child: Expression)
       ids(j + 1) = id; ns(j + 1) = n
       i += 1
     }
-    val out = new Array[Any](k * (k - 1) / 2)
+    val out = new Array[Any](nPairs.toInt)
     var o = 0
     var a = 0
     while (a < k) {
