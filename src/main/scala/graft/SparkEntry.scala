@@ -173,17 +173,22 @@ object SparkEntry {
       both.unionAll(only95)
     }),
 
-    // --- S3: multi-get (withKeys) --------------------------------------------
+    // --- S3: multi-get (withKeys), routed through the graft DSv2 connector:
+    //     the IN-set reaches GraftScan as a pushed filter for key-range split
+    //     pruning + parquet row-group pruning (ConnectorSpec proves both) -----
     "q10_multiget" -> ((s, dir) => {
-      new GQuery(T(s, dir, "customer"), keyCol = "c_custkey")
+      new GQuery(KeyedStore.readKeyed(s, s"$dir/customer.parquet", "c_custkey"),
+        keyCol = "c_custkey")
         .withKeys(Seq(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
         .toDF
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     }),
 
-    // --- S5/P17: range scan with start/end row + time-range predicate --------
+    // --- S5/P17: range scan with start/end row + time-range predicate, over
+    //     the graft connector (start/end become pushed range filters) ---------
     "q11_range_scan" -> ((s, dir) => {
-      new GQuery(T(s, dir, "orders"), keyCol = "o_orderkey")
+      new GQuery(KeyedStore.readKeyed(s, s"$dir/orders.parquet", "o_orderkey"),
+        keyCol = "o_orderkey")
         .withStartRow(1000L).withEndRow(2000L)
         .betweenDates("o_orderdate", java.sql.Timestamp.valueOf("1995-01-01 00:00:00"),
           java.sql.Timestamp.valueOf("1999-01-01 00:00:00"))

@@ -36,6 +36,28 @@ object KeyedStore {
   def write(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /**
+   * The HBase-region-analogue layout: range-partition by key, sort within each
+   * file, and record every file's (min key, max key, rows) in the `_graft_index`
+   * sidecar. Read back through `spark.read.format("graft").option("key", keyCol)`
+   * and key predicates (point get, multi-get, start/end row) prune whole files
+   * at planning time — the Spark twin of HBase routing a scan to only the
+   * regions intersecting its key range (reference Query2.scala:888-929).
+   */
+  def writeIndexed(df: DataFrame, path: String, keyCol: String = "key",
+      numRanges: Int = 0): Unit = {
+    val ranged =
+      if (numRanges > 0) df.repartitionByRange(numRanges, col(keyCol))
+      else df.repartitionByRange(col(keyCol))
+    ranged.sortWithinPartitions(keyCol).write.mode("overwrite").parquet(path)
+    org.apache.spark.sql.graft.GraftIndex.write(df.sparkSession, path, keyCol)
+  }
+
+  /** Read through the `graft` connector: filter/column pushdown + key-range
+    * split pruning against the sidecar written by [[writeIndexed]]. */
+  def readKeyed(spark: SparkSession, path: String, keyCol: String = "key"): DataFrame =
+    spark.read.format("graft").option("key", keyCol).load(path)
+
   /** Key-bucketed layout so future merges co-partition without a full shuffle. */
   def writePartitioned(df: DataFrame, path: String, numBuckets: Int, keyCol: String = "key"): Unit =
     df.repartition(numBuckets, col(keyCol)).write.mode("overwrite").parquet(path)

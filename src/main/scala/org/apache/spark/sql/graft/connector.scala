@@ -1,0 +1,450 @@
+package org.apache.spark.sql.graft
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/**
+ * The `graft` DataSource-V2 connector — the Spark twin of the reference's
+ * server-side scan construction (reference: src/main/scala/com/gravity/hbase/
+ * schema/Query2.scala:888-929, where projections become HBase `addColumn` and
+ * clauses become a `FilterList` evaluated region-side, and
+ * HbaseTable.scala:373-423, the pooled table access those scans run against).
+ *
+ * What HBase gives the reference for free — key-ordered regions, so a
+ * `withStartRow/withEndRow` scan touches only the regions intersecting the key
+ * range — this connector reproduces over the [[graft.store.KeyedStore]] parquet
+ * layout with three cooperating mechanisms:
+ *
+ *  1. '''Key-range split pruning''' (the region-pruning analogue): a sidecar
+ *     index (`_graft_index`, written by `KeyedStore.writeIndexed`) records each
+ *     data file's (min, max, rowCount) for the key column. At planning time the
+ *     pushed key predicates are folded into a conjunctive key interval + IN-set
+ *     and files whose range cannot intersect are never turned into input splits
+ *     — a point-get on a range-sorted 100 TB table schedules ONE split. When no
+ *     sidecar exists the connector falls back to parquet footer statistics
+ *     (bounded by `graft.footerPruneMaxFiles`, since footer reads are a
+ *     driver-side O(files) cost — the sidecar is the 100 TB path, one small
+ *     file read instead of 100k footer fetches).
+ *  2. '''Filter pushdown''' ([[SupportsPushDownFilters]]): every pushed filter
+ *     also reaches the parquet reader for row-group/page pruning. ALL filters
+ *     are returned as residual, so Spark re-evaluates them post-scan: pruning
+ *     is a pure optimization and never a correctness dependency.
+ *  3. '''Column pruning''' ([[SupportsPushDownRequiredColumns]]): the reader
+ *     materializes only the required schema (the `addColumn` analogue).
+ *
+ * Reading delegates to Spark's own vectorized [[ParquetPartitionReaderFactory]]
+ * — the scan stays columnar, codegen-compatible and identical in per-row cost
+ * to the built-in parquet source; this connector only adds better planning.
+ *
+ * Usage: {{{ spark.read.format("graft").option("key", "c_custkey").load(path) }}}
+ */
+class GraftDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SparkSession.active.read.parquet(GraftDataSource.pathOf(options)).schema
+
+  override def getTable(tableSchema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new GraftTable(tableSchema, new CaseInsensitiveStringMap(properties))
+}
+
+object GraftDataSource {
+  private[graft] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft source requires a path — use .load(path)")
+    p
+  }
+}
+
+class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = GraftDataSource.pathOf(options)
+  override def name(): String = s"graft.`$path`"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
+    new GraftScanBuilder(SparkSession.active, tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+}
+
+class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = dataSchema
+
+  /** Record every filter (for split pruning + parquet row-group pruning) and
+    * return every filter as residual — see class doc: pruning never replaces
+    * post-scan evaluation, so a pruning bug cannot produce wrong rows. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(spark, dataSchema, required, pushed, options)
+}
+
+class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructType,
+    pushed: Array[Filter], options: CaseInsensitiveStringMap)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private val path = GraftDataSource.pathOf(options)
+  private val keyCol = options.getOrDefault("key", "key")
+  private val pruneEnabled = options.getBoolean("prune", true)
+  private val footerPruneMaxFiles = options.getInt("graft.footerPruneMaxFiles", 2048)
+
+  private val caseSensitiveOptions: Map[String, String] =
+    options.asCaseSensitiveMap().asScala.toMap
+  @transient private lazy val hadoopConf: Configuration =
+    spark.sessionState.newHadoopConfWithOptions(caseSensitiveOptions)
+
+  @transient private lazy val allFiles: Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val root = fs.getFileStatus(p)
+    if (root.isFile) Seq(root)
+    else fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+  }
+
+  private lazy val keyBounds: KeyBounds = KeyBounds.fromFilters(pushed, keyCol)
+
+  @transient private lazy val index: Option[GraftIndex] =
+    GraftIndex.read(new Path(path), hadoopConf).filter(_.keyCol == keyCol)
+
+  /** (kept files, total files, rows-if-known). Pruning order: sidecar index,
+    * else parquet footer stats (bounded), else keep everything. */
+  @transient private lazy val pruning: (Seq[FileStatus], Int, Option[Long]) = {
+    val total = allFiles.size
+    if (!pruneEnabled || keyBounds.unconstrained) (allFiles, total, index.map(_.totalRows))
+    else index match {
+      case Some(ix) =>
+        val kept = allFiles.filter { st =>
+          ix.ranges.get(st.getPath.getName) match {
+            case Some((lo, hi, _)) => keyBounds.intersects(lo, hi)
+            case None => true // file not in index (late arrival) — keep
+          }
+        }
+        val rows = Some(kept.map(st =>
+          ix.ranges.get(st.getPath.getName).map(_._3).getOrElse(0L)).sum)
+        (kept, total, rows)
+      case None if total <= footerPruneMaxFiles =>
+        val kept = allFiles.filter { st =>
+          FooterStats.keyRange(st, keyCol, hadoopConf) match {
+            case Some((lo, hi)) => keyBounds.intersects(lo, hi)
+            case None => true // no usable stats — keep
+          }
+        }
+        (kept, total, None)
+      case None => (allFiles, total, None)
+    }
+  }
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (kept, _, _) = pruning
+    val totalBytes = kept.map(_.getLen).sum
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      totalBytes + kept.size * spark.sessionState.conf.filesOpenCostInBytes)
+    val splits = kept.flatMap { st =>
+      (0L until st.getLen by maxSplit).map { off =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), off,
+          math.min(maxSplit, st.getLen - off), Array.empty, st.getModificationTime, st.getLen)
+      }
+    }
+    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Prime the hadoop conf exactly as Spark's own ParquetScan does — the
+    // task-side reader resolves its ReadSupport and requested schema from it.
+    val conf = spark.sessionState.conf
+    val hc = new Configuration(hadoopConf)
+    val readDataSchemaAsJson = required.json
+    hc.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    hc.set(org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+      .SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaAsJson)
+    hc.set(org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .SPARK_ROW_SCHEMA, readDataSchemaAsJson)
+    hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, conf.sessionLocalTimeZone)
+    hc.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key, conf.nestedSchemaPruningEnabled)
+    hc.setBoolean(SQLConf.CASE_SENSITIVE.key, conf.caseSensitiveAnalysis)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.setSchema(required, hc)
+    hc.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, conf.isParquetBinaryAsString)
+    hc.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, conf.isParquetINT96AsTimestamp)
+    hc.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, conf.legacyParquetNanosAsLong)
+    hc.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.parquetInferTimestampNTZEnabled)
+    hc.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, conf.parquetFieldIdReadEnabled)
+    val broadcastConf = spark.sparkContext.broadcast(new SerializableConfiguration(hc))
+    ParquetPartitionReaderFactory(conf, broadcastConf, dataSchema,
+      required, StructType(Nil), pushed, None,
+      new ParquetOptions(caseSensitiveOptions, conf))
+  }
+
+  /** Post-prune size/rows — lets Catalyst broadcast a range-pruned read that
+    * would look too big by raw directory size. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (kept, _, rows) = pruning
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(kept.map(_.getLen).sum)
+    override def numRows(): OptionalLong =
+      rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+
+  override def description(): String = {
+    val (kept, total, _) = pruning
+    s"GraftScan path=$path key=$keyCol files=${kept.size}/$total " +
+      s"index=${if (index.isDefined) "sidecar" else "footer"} " +
+      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+  }
+}
+
+/**
+ * Conjunctive key constraints extracted from pushed filters: an interval
+ * (lo/hi with inclusivity) plus an optional IN-set, compared in the key's own
+ * ordering (numeric via BigDecimal, strings lexicographic — matching both
+ * Spark's and parquet's ordering for these types).
+ */
+private[graft] final case class KeyBounds(
+    lo: Option[(BigDecimal, Boolean)], hi: Option[(BigDecimal, Boolean)],
+    sLo: Option[(String, Boolean)], sHi: Option[(String, Boolean)],
+    inSet: Option[Seq[Any]]) {
+
+  def unconstrained: Boolean =
+    lo.isEmpty && hi.isEmpty && sLo.isEmpty && sHi.isEmpty && inSet.isEmpty
+
+  /** Can any key in [fileLo, fileHi] satisfy the constraints? `fileLo`/`fileHi`
+    * are normalized values (BigDecimal or String) from the index/footer. */
+  def intersects(fileLo: Any, fileHi: Any): Boolean = (fileLo, fileHi) match {
+    case (fl: BigDecimal, fh: BigDecimal) =>
+      val loOk = lo.forall { case (v, incl) => if (incl) fh >= v else fh > v }
+      val hiOk = hi.forall { case (v, incl) => if (incl) fl <= v else fl < v }
+      val inOk = inSet.forall(_.exists { v =>
+        KeyBounds.num(v).exists(b => b >= fl && b <= fh)
+      })
+      loOk && hiOk && inOk
+    case (fl: String, fh: String) =>
+      val loOk = sLo.forall { case (v, incl) => if (incl) fh >= v else fh > v }
+      val hiOk = sHi.forall { case (v, incl) => if (incl) fl <= v else fl < v }
+      val inOk = inSet.forall(_.exists { v => v.toString >= fl && v.toString <= fh })
+      loOk && hiOk && inOk
+    case _ => true // unknown stats type — keep the file
+  }
+}
+
+private[graft] object KeyBounds {
+  private val none = KeyBounds(None, None, None, None, None)
+
+  private[graft] def num(v: Any): Option[BigDecimal] = v match {
+    case n: java.lang.Number => Some(BigDecimal(n.toString))
+    case _ => None
+  }
+
+  def fromFilters(filters: Array[Filter], keyCol: String): KeyBounds =
+    filters.foldLeft(none)((acc, f) => and(acc, fromFilter(f, keyCol)))
+
+  private def and(a: KeyBounds, b: KeyBounds): KeyBounds = KeyBounds(
+    tight(a.lo, b.lo)(_ > _), tight(a.hi, b.hi)(_ < _),
+    tight(a.sLo, b.sLo)(_ > _), tight(a.sHi, b.sHi)(_ < _),
+    (a.inSet, b.inSet) match {
+      case (Some(x), Some(y)) => Some(x.intersect(y))
+      case (x, y) => x.orElse(y)
+    })
+
+  /** Keep the tighter of two optional bounds (`wins` = strictly tighter). */
+  private def tight[T](a: Option[(T, Boolean)], b: Option[(T, Boolean)])(
+      wins: (T, T) => Boolean): Option[(T, Boolean)] = (a, b) match {
+    case (Some((av, ai)), Some((bv, bi))) =>
+      if (wins(av, bv)) a
+      else if (wins(bv, av)) b
+      else Some((av, ai && bi))
+    case (x, y) => x.orElse(y)
+  }
+
+  private def point(v: Any): KeyBounds = num(v) match {
+    case Some(b) => none.copy(lo = Some((b, true)), hi = Some((b, true)))
+    case None => none.copy(sLo = Some((v.toString, true)), sHi = Some((v.toString, true)))
+  }
+
+  private def fromFilter(f: Filter, key: String): KeyBounds = f match {
+    case EqualTo(`key`, v) if v != null => point(v)
+    case EqualNullSafe(`key`, v) if v != null => point(v)
+    case In(`key`, vs) if vs != null && vs.nonEmpty && !vs.contains(null) =>
+      none.copy(inSet = Some(vs.toSeq))
+    case GreaterThan(`key`, v) if v != null =>
+      num(v).map(b => none.copy(lo = Some((b, false))))
+        .getOrElse(none.copy(sLo = Some((v.toString, false))))
+    case GreaterThanOrEqual(`key`, v) if v != null =>
+      num(v).map(b => none.copy(lo = Some((b, true))))
+        .getOrElse(none.copy(sLo = Some((v.toString, true))))
+    case LessThan(`key`, v) if v != null =>
+      num(v).map(b => none.copy(hi = Some((b, false))))
+        .getOrElse(none.copy(sHi = Some((v.toString, false))))
+    case LessThanOrEqual(`key`, v) if v != null =>
+      num(v).map(b => none.copy(hi = Some((b, true))))
+        .getOrElse(none.copy(sHi = Some((v.toString, true))))
+    // A p-prefixed string s satisfies p <= s <= p + '￿'… ; a file range
+    // [lo, hi] can contain one iff hi >= p and lo's first |p| chars <= p.
+    case StringStartsWith(`key`, p) if p != null =>
+      none.copy(sLo = Some((p, true)), sHi = None) // lower bound is exact;
+      // the upper side is handled conservatively (no bound) — still prunes
+      // every file strictly below the prefix.
+    case And(l, r) => and(fromFilter(l, key), fromFilter(r, key))
+    // Or/Not could only prune if BOTH branches constrain the key; skip (keep).
+    case _ => none
+  }
+}
+
+/**
+ * The sidecar key-range index: one small `_graft_index` file per table dir
+ * mapping data-file name → (min key, max key, row count). TSV with URL-encoded
+ * values, written through the Hadoop FileSystem so any store works. The 100 TB
+ * read path: one index fetch replaces listing+opening 100k parquet footers.
+ */
+final case class GraftIndex(
+    keyCol: String, keyTag: String, ranges: Map[String, (Any, Any, Long)]) {
+  def totalRows: Long = ranges.valuesIterator.map(_._3).sum
+}
+
+object GraftIndex {
+  val FileName = "_graft_index"
+
+  private def tagOf(dt: DataType): Option[String] = dt match {
+    case LongType | IntegerType | ShortType | ByteType => Some("num")
+    case DoubleType | FloatType | _: DecimalType => Some("num")
+    case StringType => Some("str")
+    case _ => None // unsupported key type — no index, connector keeps all files
+  }
+
+  private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
+  private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
+
+  /** Compute per-file (min, max, count) of `keyCol` distributedly (one shuffle
+    * of #files rows) and write the sidecar. Driver memory is O(files). */
+  def write(spark: SparkSession, dir: String, keyCol: String): Unit = {
+    val df = spark.read.parquet(dir)
+    tagOf(df.schema(keyCol).dataType).foreach { tag =>
+      val rows = df
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"), count(lit(1)).as("n"))
+        .collect()
+      val sb = new StringBuilder(s"graft-index\tv1\t${enc(keyCol)}\t$tag\n")
+      rows.foreach { r =>
+        val name = r.getString(0).split('/').last
+        sb.append(s"${enc(name)}\t${enc(String.valueOf(r.get(1)))}\t" +
+          s"${enc(String.valueOf(r.get(2)))}\t${r.getLong(3)}\n")
+      }
+      val p = new Path(dir, FileName)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val out = fs.create(p, true)
+      try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+    }
+  }
+
+  def read(dir: Path, conf: Configuration): Option[GraftIndex] = {
+    val p = new Path(dir, FileName)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split('\n').filter(_.nonEmpty)
+    val header = lines.head.split('\t')
+    if (header.length < 4 || header(0) != "graft-index") return None
+    val tag = header(3)
+    def parse(s: String): Any =
+      if (tag == "num") BigDecimal(dec(s)) else dec(s)
+    val ranges = lines.tail.map { l =>
+      val c = l.split('\t')
+      dec(c(0)) -> ((parse(c(1)), parse(c(2)), c(3).toLong))
+    }.toMap
+    Some(GraftIndex(dec(header(2)), tag, ranges))
+  }
+}
+
+/** No-sidecar fallback: key min/max from parquet footer column statistics —
+  * the same stats the row-group pruner uses, lifted to file granularity. */
+private[graft] object FooterStats {
+  def keyRange(st: FileStatus, keyCol: String, conf: Configuration): Option[(Any, Any)] = {
+    try {
+      val reader = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        if (blocks.isEmpty) return None
+        val perBlock = blocks.map { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == keyCol).flatMap { c =>
+            val s = c.getStatistics
+            if (s == null || !s.hasNonNullValue) None
+            else normalize(c.getPrimitiveType.getPrimitiveTypeName,
+              s.genericGetMin.asInstanceOf[AnyRef], s.genericGetMax.asInstanceOf[AnyRef])
+          }
+        }
+        // every row group needs usable stats, else the file range is unknown
+        if (perBlock.exists(_.isEmpty)) None
+        else {
+          val rs = perBlock.map(_.get)
+          (rs.head._1, rs.head._2) match {
+            case (_: BigDecimal, _) =>
+              Some((rs.map(_._1.asInstanceOf[BigDecimal]).min,
+                rs.map(_._2.asInstanceOf[BigDecimal]).max))
+            case (_: String, _) =>
+              Some((rs.map(_._1.asInstanceOf[String]).min,
+                rs.map(_._2.asInstanceOf[String]).max))
+            case _ => None
+          }
+        }
+      } finally reader.close()
+    } catch { case _: Exception => None } // unreadable footer — just don't prune
+  }
+
+  private def normalize(t: PrimitiveTypeName, lo: AnyRef, hi: AnyRef): Option[(Any, Any)] =
+    (t, lo, hi) match {
+      case (PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 |
+            PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT,
+            a: java.lang.Number, b: java.lang.Number) =>
+        Some((BigDecimal(a.toString), BigDecimal(b.toString)))
+      case (PrimitiveTypeName.BINARY, a: Binary, b: Binary) =>
+        Some((a.toStringUsingUTF8, b.toStringUsingUTF8))
+      case _ => None
+    }
+}

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+
+import graft.store.KeyedStore
+
+/**
+ * The `graft` DSv2 connector: DataFrame parity with plain parquet, filter and
+ * column pushdown visible in the physical plan, and key-range split pruning
+ * from the sidecar index (with footer-stats fallback) — the HBase
+ * region-pruning analogue (reference Query2.scala:888-929).
+ */
+class ConnectorSpec extends SparkSpec {
+  _quiet
+
+  private def graftScan(df: org.apache.spark.sql.DataFrame): String = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+    assert(scans.nonEmpty, "plan should contain a graft BatchScan:\n" +
+      df.queryExecution.executedPlan)
+    scans.mkString("\n")
+  }
+
+  private def filesOf(desc: String): (Int, Int) = {
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc).get
+    (m.group(1).toInt, m.group(2).toInt)
+  }
+
+  private lazy val indexedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("cust").toString
+    val c = spark.read.parquet(s"${sf()}/customer.parquet")
+    KeyedStore.writeIndexed(c, dir, keyCol = "c_custkey", numRanges = 8)
+    dir
+  }
+
+  private def keyed = KeyedStore.readKeyed(spark, indexedDir, "c_custkey")
+
+  test("connector read equals plain parquet read (full scan, all columns)") {
+    val viaConnector = keyed.orderBy("c_custkey").collect()
+    val viaParquet = spark.read.parquet(indexedDir).orderBy("c_custkey").collect()
+    assert(viaConnector.length == viaParquet.length && viaConnector.length > 0)
+    assert(viaConnector.map(_.toString).sameElements(viaParquet.map(_.toString)))
+  }
+
+  test("filters and required columns are pushed into the graft scan") {
+    val q = keyed.where(col("c_custkey") >= 10 && col("c_custkey") < 20)
+      .select(col("c_custkey"), col("c_name"))
+    val desc = graftScan(q)
+    assert(desc.contains("PushedFilters:") && desc.contains("GreaterThanOrEqual(c_custkey,10)"),
+      desc)
+    assert(desc.contains("ReadSchema:") && desc.contains("c_name") &&
+      !desc.contains("c_acctbal"), desc)
+    assert(q.collect().map(_.getLong(0)).sorted.sameElements(10L until 20L))
+  }
+
+  test("sidecar index prunes files for a key range (and results stay exact)") {
+    val q = keyed.where(col("c_custkey") >= 10 && col("c_custkey") < 20)
+    val (kept, total) = filesOf(graftScan(q))
+    assert(total == 8, s"expected 8 range files, had $total")
+    assert(kept < total, s"range scan should prune files: kept=$kept/$total")
+    val expect = spark.read.parquet(indexedDir)
+      .where(col("c_custkey") >= 10 && col("c_custkey") < 20).count()
+    assert(q.count() == expect)
+  }
+
+  test("point get and IN multi-get prune to the single matching file") {
+    val point = keyed.where(col("c_custkey") === 42)
+    val (kept, total) = filesOf(graftScan(point))
+    assert(kept == 1 && total == 8, s"point get should hit one file, got $kept/$total")
+    assert(point.count() == 1)
+
+    val multi = keyed.where(col("c_custkey").isin(41, 42, 43))
+    val (keptIn, _) = filesOf(graftScan(multi))
+    assert(keptIn <= 2, s"tight IN-set should prune to its covering files, got $keptIn")
+    assert(multi.count() == 3)
+  }
+
+  test("contradictory range prunes every file and returns zero rows") {
+    val q = keyed.where(col("c_custkey") > 1000000)
+    val (kept, _) = filesOf(graftScan(q))
+    assert(kept == 0, s"out-of-range scan should schedule no splits, kept=$kept")
+    assert(q.count() == 0)
+  }
+
+  test("footer-statistics fallback prunes without a sidecar index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("nofoot").toString
+    val c = spark.read.parquet(s"${sf()}/customer.parquet")
+    c.repartitionByRange(8, col("c_custkey")).sortWithinPartitions("c_custkey")
+      .write.parquet(dir) // no _graft_index written
+    val q = KeyedStore.readKeyed(spark, dir, "c_custkey").where(col("c_custkey") === 42)
+    val desc = graftScan(q)
+    assert(desc.contains("index=footer"), desc)
+    val (kept, total) = filesOf(desc)
+    assert(total == 8 && kept == 1, s"footer stats should prune to one file, got $kept/$total")
+    assert(q.count() == 1)
+  }
+
+  test("string keys prune on ranges and prefixes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("strkey").toString
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id").cast("string").as("key"), col("lang"))
+      .withColumn("key", concat(lit("doc_"), lpad(col("key"), 8, "0")))
+    KeyedStore.writeIndexed(docs, dir, numRanges = 6)
+    val t = KeyedStore.readKeyed(spark, dir)
+    val ranged = t.where(col("key") >= "doc_00000010" && col("key") < "doc_00000020")
+    val (kept, total) = filesOf(graftScan(ranged))
+    assert(total == 6 && kept < total, s"string range should prune, got $kept/$total")
+    assert(ranged.count() ==
+      spark.read.parquet(dir).where(col("key") >= "doc_00000010" && col("key") < "doc_00000020").count())
+  }
+
+  test("reported statistics shrink after pruning (broadcast-decision input)") {
+    val full = keyed
+    val pruned = keyed.where(col("c_custkey") === 42)
+    def size(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(size(pruned) < size(full),
+      s"pruned scan should report smaller size: ${size(pruned)} vs ${size(full)}")
+  }
+
+  test("GQuery multi-get and range scan over the connector match plain-parquet results") {
+    import graft.query.GQuery
+    val viaConn = new GQuery(keyed, keyCol = "c_custkey")
+      .withKeys(Seq(1L, 2L, 3L, 5L, 8L)).toDF
+      .select(col("c_custkey"), col("c_name")).collect().map(_.toString).sorted
+    val viaPq = new GQuery(spark.read.parquet(indexedDir), keyCol = "c_custkey")
+      .withKeys(Seq(1L, 2L, 3L, 5L, 8L)).toDF
+      .select(col("c_custkey"), col("c_name")).collect().map(_.toString).sorted
+    assert(viaConn.sameElements(viaPq) && viaConn.length == 5)
+  }
+}
