@@ -549,6 +549,22 @@ object SparkEntry {
           col("sum_l_quantity").cast("bigint").as("sum_qty"))
     }),
 
+    // --- compile-time-checked column references: the query is written purely
+    //     against graft.schema.DocTable's typed refs (a typo in any of them
+    //     fails compilation — TypedSchemaSpec pins that with assertTypeError);
+    //     the family struct is built from the flat corpus, then filtered and
+    //     projected through `DocTable.meta.*` (reference HbaseTable.scala:
+    //     333-361, the (T) => Column compiler-checked projections) -----------
+    "q61_typed_refs" -> ((s, dir) => {
+      import graft.schema.DocTable
+      T(s, dir, "documents")
+        .select(col("doc_id").as("key"),
+          struct(col("lang"), col("source"), col("n_chars")).as("meta"))
+        .where(DocTable.meta.lang === "en" && DocTable.meta.nChars > 500L)
+        .select(DocTable.key.as("key"), DocTable.meta.source.as("source"),
+          DocTable.meta.nChars.as("n_chars"))
+    }),
+
     // --- min-wise sampling: exact-size uniform sample as a pure function of
     //     the id set (same sample on any engine/partitioning; k-row heap per
     //     partition, no global sort) -----------------------------------------
@@ -1276,6 +1292,10 @@ object SparkEntry {
     "q60_salted_agg" ->
       """SELECT l_suppkey, cast(sum(l_quantity) as bigint) AS sum_qty
         |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+
+    "q61_typed_refs" ->
+      """SELECT doc_id AS key, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars > 500""".stripMargin,
 
     "q59_minwise_sample" ->
       """SELECT doc_id, lang, source FROM documents
