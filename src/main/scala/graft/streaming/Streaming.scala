@@ -172,26 +172,43 @@ object Streaming {
       .drop(col(s"r.$keyCol"))
   }
 
-  final case class SessionEvent(user_id: Long, ts_us: Long)
+  /** `ts` rides along (even though `ts_us` drives the logic) so the input's
+    * watermark column survives the projection — EventTimeTimeout requires a
+    * watermarked column to be visible at the stateful operator. */
+  final case class SessionEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
   final case class SessionCount(user_id: Long, n_sessions: Long, n_events: Long)
   final case class SessionState(lastTsUs: Long, nSessions: Long, nEvents: Long)
 
   /**
    * Stateful sessionization via `flatMapGroupsWithState` — the streaming
    * analogue of the batch window-lag sessionize (SparkEntry q13): a new session
-   * starts after `gapSeconds` of inactivity. State per user is O(1); idle users
-   * are evicted by processing-time timeout in continuous deployments.
+   * starts after `gapSeconds` of inactivity. State per user is O(1).
+   *
+   * `idleTimeout` bounds state in continuous deployments: when set (and the
+   * input carries a watermark — required by `EventTimeTimeout`), a user idle
+   * past the timeout has their state REMOVED once the watermark passes
+   * `lastEvent + idleTimeout` — total state is O(recently-active users), not
+   * O(all users ever seen). A user returning after eviction restarts their
+   * cumulative counts (by then the inactivity gap has started a new session
+   * anyway — downstream consumers fold the per-emission counts). `None` keeps
+   * unbounded state for finite replays (the oracle drain).
    */
-  def sessionize(events: DataFrame, gapSeconds: Long = 1800): Dataset[SessionCount] = {
+  def sessionize(events: DataFrame, gapSeconds: Long = 1800,
+      idleTimeout: Option[String] = None): Dataset[SessionCount] = {
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
-      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
       .as[SessionEvent]
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     typed
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionCount](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
+        case (_, _, state: GroupState[SessionState]) if state.hasTimedOut =>
+          state.remove() // idle past the timeout: evict, emit nothing
+          Iterator.empty
         case (uid, it, state: GroupState[SessionState]) =>
           val sorted = it.toSeq.sortBy(_.ts_us)
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
@@ -201,6 +218,9 @@ object Streaming {
             st = SessionState(e.ts_us, st.nSessions + (if (gap) 1 else 0), st.nEvents + 1)
           }
           state.update(st)
+          idleTimeout.foreach { t =>
+            state.setTimeoutTimestamp(st.lastTsUs / 1000L, t) // last event + idle
+          }
           Iterator(SessionCount(uid, st.nSessions, st.nEvents))
       }
   }

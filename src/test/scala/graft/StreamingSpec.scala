@@ -77,6 +77,49 @@ class StreamingSpec extends SparkSpec {
     assert(merged == expect) // per-user event counts match the batch world
   }
 
+  test("sessionize with idleTimeout evicts idle users' state as the watermark passes") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts", TimestampType)))
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // three single-file batches: user 1 appears only in the first; user 2 keeps
+    // the stream alive, driving the watermark past user 1's idle timeout
+    val dir = java.nio.file.Files.createTempDirectory("graft_evict_")
+    Seq(
+      Seq((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:05"))),
+      Seq((2L, ts("2024-01-01 14:00:00"))),
+      Seq((2L, ts("2024-01-01 18:00:00")))
+    ).zipWithIndex.foreach { case (rows, i) =>
+      import spark.implicits._
+      val staged = s"$dir/stage_$i"
+      rows.toDF("user_id", "ts").coalesce(1).write.parquet(staged)
+      val part = new java.io.File(staged).listFiles().find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Path.of(s"$dir/" + f"$i%05d.parquet"))
+    }
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withWatermark("ts", "10 minutes")
+    val q = Streaming.sessionize(stream, idleTimeout = Some("1 hour")).toDF()
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("t_evict")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // user 1's timeout (10:00 + 1h) is far below the final watermark
+    // (18:00 - 10m): their state row must be gone; user 2 stays live
+    val finalState = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .last.stateOperators.head
+    assert(finalState.numRowsTotal == 1,
+      s"expected only user 2's state to survive, had ${finalState.numRowsTotal} rows")
+    // and eviction changed no emitted counts: user 1 emitted once, with 1 session
+    val u1 = spark.table("t_evict").where(col("user_id") === 1).collect()
+    assert(u1.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 1L)))
+    // user 2's final emission saw all 3 events as 3 sessions (4h gaps)
+    val u2 = spark.table("t_evict").where(col("user_id") === 2)
+      .orderBy(col("n_events").desc).head()
+    assert((u2.getLong(1), u2.getLong(2)) == (3L, 3L))
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),
