@@ -765,8 +765,10 @@ object SparkEntry {
         mode = org.apache.spark.sql.streaming.OutputMode.Append(),
         // a stream-stream join runs FOUR state stores per partition, each with
         // per-batch maintenance IO; 150 user keys need very few partitions
-        // (measured at sf0.1: 8 partitions 9.8s, 2 partitions 5.5s)
-        statePartitions = Some(2))
+        // (measured at sf0.1: 8 partitions 9.8s, 2 → 5.0s, 1 → 4.4s), and an
+        // inner join emits matches eagerly so the finite drain can skip the
+        // trailing no-data state-cleanup batch (4.4s → ~3.1s)
+        statePartitions = Some(1), noDataBatch = false)
     }),
 
     // --- range join: clicks within 10 min after each error, binned equi-join -

@@ -63,19 +63,19 @@ object Multimodal {
    * codec — the batching, schema, and null contract stay identical.
    */
   def decodeFeatures(df: DataFrame, idCol: String, blobCol: String, dim: Int = 8): DataFrame = {
-    val spark = df.sparkSession
     val outSchema = StructType(Seq(
       StructField(idCol, df.schema(idCol).dataType),
       StructField("features", ArrayType(FloatType))))
-    val rows = df.select(col(idCol), col(blobCol)).rdd.mapPartitions { it =>
-      // batch loop: a real decoder would be initialized once per partition here
-      it.map { r =>
-        val id = r.get(0)
-        val blob = r.getAs[Array[Byte]](1)
-        Row(id, decodeBatch(blob, dim)) // STUB call
-      }
-    }
-    spark.createDataFrame(rows, outSchema)
+    // Dataset.mapPartitions (not df.rdd): rows stay in Tungsten format across
+    // the boundary and Catalyst keeps pruning/planning through the operator.
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        // batch loop: a real decoder would be initialized once per partition here
+        it.map { r =>
+          Row(r.get(0), decodeBatch(r.getAs[Array[Byte]](1), dim)) // STUB call
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+      .toDF()
   }
 
   /** STUB — deterministic fake decoder: byte n → float (byte/128 - 1), padded. */

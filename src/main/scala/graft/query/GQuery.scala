@@ -99,7 +99,13 @@ final case class GQuery(
 
   /** S3: `multiMap` — results keyed by row id (Query2.scala:680-825). If
     * `returnEmptyRows`, absent keys map to None (empty-row synthesis,
-    * Query2.scala:831-886). */
+    * Query2.scala:831-886).
+    *
+    * CLIENT-SIDE collect, like the reference's `multiMap`: the result lands in
+    * driver memory, so it is bounded by the key count — intended for
+    * point-get/multi-get fan-ins (up to ~10^4-10^5 keys). A million-key lookup
+    * belongs in a distributed join: `withKeys(...).toDF` or a join on the key
+    * column keeps it on the executors. */
   def multiMap(returnEmptyRows: Boolean = false): Map[Any, Option[Row]] = {
     val found = toDF.collect().map(r => r.getAs[Any](keyCol) -> Option(r)).toMap
     if (returnEmptyRows)
@@ -111,7 +117,9 @@ final case class GQuery(
     * not a single client thread (Query2.scala:931-976 → SURVEY §3.2). */
   def scan(handler: Row => Unit): Unit = toDF.foreach(handler)
 
-  /** S5: `scanToIterable(map)` (Query2.scala:978-1014). */
+  /** S5: `scanToIterable(map)` (Query2.scala:978-1014). CLIENT-SIDE collect
+    * (the reference contract): result size must fit the driver — use `toDF`
+    * with distributed transforms when the scan is unbounded. */
   def scanToIterable[T](f: Row => T)(implicit enc: org.apache.spark.sql.Encoder[T]): Seq[T] =
     toDF.map(f).collect().toSeq
 

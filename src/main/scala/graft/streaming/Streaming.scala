@@ -54,29 +54,28 @@ object Streaming {
     val stageDir = java.nio.file.Files.createTempDirectory("graft_replay_")
     stageDir.toFile.deleteOnExit()
     // one sorted file per split, named in replay order (file-stream sources
-    // process discovered files in path order within a batch; one per trigger)
-    val n = batch.count()
-    val per = math.max(1L, (n + nSplits - 1) / nSplits)
-    // global row number = a one-partition sort: fine for a staging helper
-    // (production replays tail a real landing directory instead)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ts"), col("event_id"))
-    val sorted = batch.withColumn("__rn", row_number().over(w).cast("long") - 1)
-    sorted.cache()
-    try {
-      (0 until nSplits).foreach { i =>
-        sorted.where(col("__rn") >= i * per && col("__rn") < (i + 1) * per)
-          .drop("__rn")
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$stageDir/split_$i")
-        // flatten the single part file up to a stable ordered name
-        val d = new java.io.File(s"$stageDir/split_$i")
-        val part = d.listFiles().find(_.getName.startsWith("part-")).get
-        java.nio.file.Files.move(part.toPath,
-          java.nio.file.Path.of(s"$stageDir/" + f"$i%05d.parquet"))
-        d.listFiles().foreach(_.delete())
-        d.delete()
-      }
-    } finally sorted.unpersist()
+    // process discovered files in path order within a batch; one per trigger).
+    // repartitionByRange gives contiguous time ranges ordered by partition
+    // index — part-NNNNN file numbers ARE the range order — so the whole
+    // staging is one distributed range-sort pass, no single-partition global
+    // sort and no per-split re-scan.
+    batch.repartitionByRange(nSplits, col("ts"), col("event_id"))
+      .sortWithinPartitions(col("ts"), col("event_id"))
+      .write.mode("overwrite").parquet(stageDir.toString)
+    val staged = new java.io.File(stageDir.toString).listFiles().toSeq
+    staged.filterNot(_.getName.startsWith("part-")).foreach(_.delete())
+    val base = System.currentTimeMillis()
+    staged.filter(_.getName.startsWith("part-")).foreach { f =>
+      // part-00007-<uuid>.snappy.parquet -> 00007.parquet (stable replay name)
+      val idx = f.getName.stripPrefix("part-").takeWhile(_.isDigit)
+      val target = java.nio.file.Path.of(s"$stageDir/$idx.parquet")
+      java.nio.file.Files.move(f.toPath, target)
+      // the file-stream source orders discovered files by MODIFICATION TIME,
+      // not name — the one-pass write stamps near-identical mtimes, so restamp
+      // them in range order or batches would replay out of time order and the
+      // watermark would drop earlier ranges as late
+      target.toFile.setLastModified(base + idx.toLong * 1000L)
+    }
     spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stageDir.toString)
@@ -98,7 +97,8 @@ object Streaming {
     * (file-backed streams + AvailableNow = deterministic replay). */
   def runToTable(stream: DataFrame, queryName: String,
       mode: OutputMode = OutputMode.Complete(),
-      statePartitions: Option[Int] = None): DataFrame = {
+      statePartitions: Option[Int] = None,
+      noDataBatch: Boolean = true): DataFrame = {
     val spark = stream.sparkSession
     // Stateful operators allocate one state store per shuffle partition, and
     // each store pays task + snapshot overhead every micro-batch. A streaming
@@ -108,6 +108,14 @@ object Streaming {
     // on 8 partitions than 32. Restored after start — batch queries unaffected.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     statePartitions.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    // The trailing no-data micro-batch exists to advance the watermark and
+    // clean up state AFTER the last data batch. Operators whose OUTPUT needs
+    // that advance (append-mode aggregations, session windows) must keep it;
+    // ones that emit eagerly (inner stream-stream joins) can skip it in a
+    // finite drain — the batch costs a full state-store maintenance round.
+    val prevNoData = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if (!noDataBatch)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try {
       val q = stream.writeStream
         .outputMode(mode)
@@ -118,6 +126,7 @@ object Streaming {
       q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
     spark.table(queryName)
   }
