@@ -89,10 +89,13 @@ final class TableDef private (
 
   /** Declare a dynamic family: an open Map[K,V] whose qualifiers are data
     * (reference `family[DateMidnight, Long]("searchesByDay")`,
-    * src/test/.../WebCrawlSchemaTest.scala:33). */
+    * src/test/.../WebCrawlSchemaTest.scala:33). TTL requires
+    * `withCellTimestamps` to be enforceable per cell (see [[graft.store.Retention]]). */
   def dynFamily(fam: String, keyType: DataType, valueType: DataType,
-      withCellTimestamps: Boolean = false): TableDef = {
-    dynFams(fam) = DynFamilyDef(fam, keyType, valueType, withCellTimestamps)
+      withCellTimestamps: Boolean = false, compressed: Boolean = false,
+      versions: Int = 1, ttlSeconds: Int = Int.MaxValue): TableDef = {
+    dynFams(fam) = DynFamilyDef(fam, keyType, valueType, withCellTimestamps,
+      compressed, versions, ttlSeconds)
     this
   }
 
@@ -122,16 +125,66 @@ final class TableDef private (
   def fromRows(spark: SparkSession, rows: Seq[Row]): DataFrame =
     spark.createDataFrame(spark.sparkContext.parallelize(rows, math.max(1, rows.size / 1000)), schema)
 
+  /** Family attributes worth persisting — the analogue of the reference's
+    * `familyDef` fragment (`{NAME => 'html', VERSIONS => 1, TTL => '...'}`,
+    * HbaseTable.scala:288-291): non-default versions/ttl/compression become
+    * `graft.family.<fam>.*` table properties, consumed by
+    * [[graft.store.Retention]] (ttl) and documented for operators. */
+  private def familyProperties: Seq[String] = {
+    def props(fam: String, compressed: Boolean, versions: Int, ttl: Int): Seq[String] = {
+      val p = Seq.newBuilder[String]
+      if (compressed) p += s"'graft.family.$fam.compressed'='true'"
+      if (versions != 1) p += s"'graft.family.$fam.versions'='$versions'"
+      if (ttl != Int.MaxValue) p += s"'graft.family.$fam.ttlSeconds'='$ttl'"
+      p.result()
+    }
+    families.flatMap(f => props(f.name, f.compressed, f.versions, f.ttlSeconds)) ++
+      dynFamilies.flatMap(d => props(d.name, d.compressed, d.versions, d.ttlSeconds))
+  }
+
   /**
    * DDL emission — analogue of the reference's `createScript`
    * (HbaseTable.scala:234-290), but ANSI `CREATE TABLE` over Parquet.
-   * Compression/TTL/versions become table comments: they are storage-engine
-   * concerns handled by Parquet codecs / retention jobs in this engine.
+   * Compression is a Parquet codec concern; TTL/versions surface as table
+   * properties and are enforced by the [[graft.store.Retention]] job.
    */
   def createScript(location: String): String = {
     val colsSql = schema.fields.map(f => s"  ${f.name} ${f.dataType.sql}").mkString(",\n")
-    s"CREATE TABLE IF NOT EXISTS $name (\n$colsSql\n) USING parquet LOCATION '$location'"
+    val tblProps =
+      if (familyProperties.isEmpty) ""
+      else familyProperties.mkString("\nTBLPROPERTIES (", ", ", ")")
+    s"CREATE TABLE IF NOT EXISTS $name (\n$colsSql\n) USING parquet LOCATION '$location'" +
+      tblProps
   }
+
+  /**
+   * Production-friendly alter script (reference `alterScript`,
+   * HbaseTable.scala:270-285 — flush/disable/alter/enable): reconcile a stored
+   * table's schema with this declaration. Declared-but-missing columns become
+   * `ADD COLUMNS` (reads return null for old files — the same semantics
+   * [[graft.store.KeyedStore.readAligned]] applies without a catalog);
+   * stored-but-undeclared columns become `DROP COLUMN` (metadata-only over
+   * parquet: files keep the bytes, readers stop seeing them). Family
+   * attributes are re-asserted like the reference re-emits familyDefs.
+   */
+  def alterScript(current: StructType): String = {
+    val declared = schema
+    val have = current.fieldNames.toSet
+    val want = declared.fieldNames.toSet
+    val stmts = Seq.newBuilder[String]
+    val adds = declared.fields.filterNot(f => have.contains(f.name))
+    if (adds.nonEmpty)
+      stmts += adds.map(f => s"${f.name} ${f.dataType.sql}")
+        .mkString(s"ALTER TABLE $name ADD COLUMNS (", ", ", ")")
+    current.fields.filterNot(f => want.contains(f.name))
+      .foreach(f => stmts += s"ALTER TABLE $name DROP COLUMN ${f.name}")
+    familyProperties.foreach(p => stmts += s"ALTER TABLE $name SET TBLPROPERTIES ($p)")
+    stmts.result().mkString(";\n")
+  }
+
+  /** Reference `deleteScript` (HbaseTable.scala:262-266, disable + delete);
+    * no disable phase exists over parquet. */
+  def deleteScript: String = s"DROP TABLE IF EXISTS $name"
 }
 
 object TableDef {

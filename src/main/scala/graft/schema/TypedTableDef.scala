@@ -103,8 +103,11 @@ abstract class TypedTableDef[K](val tableName: String)(implicit kt: SparkType[K]
   /** A dynamic family: `map<FK, FV>` whose qualifiers are data; access is
     * typed on the qualifier (reference `family[DateMidnight, Long]`). */
   protected class DynFamily[FK, FV](val familyName: String,
-      withCellTimestamps: Boolean = false)(implicit fk: SparkType[FK], fv: SparkType[FV]) {
-    underlying.dynFamily(familyName, fk.dataType, fv.dataType, withCellTimestamps)
+      withCellTimestamps: Boolean = false, compressed: Boolean = false,
+      versions: Int = 1, ttlSeconds: Int = Int.MaxValue)(
+      implicit fk: SparkType[FK], fv: SparkType[FV]) {
+    underlying.dynFamily(familyName, fk.dataType, fv.dataType, withCellTimestamps,
+      compressed, versions, ttlSeconds)
     def column: Column = sqlCol(familyName)
     /** Typed qualifier lookup: `searchesByDay(day)`. */
     def apply(q: FK): Column = element_at(column, lit(q))
