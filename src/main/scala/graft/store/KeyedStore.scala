@@ -58,6 +58,94 @@ object KeyedStore {
   def readKeyed(spark: SparkSession, path: String, keyCol: String = "key"): DataFrame =
     spark.read.format("graft").option("key", keyCol).load(path)
 
+  /**
+   * Index-pruned merge — the write-side twin of the connector's split pruning,
+   * and the answer to "every upsert rewrites the whole 100 TB table": only the
+   * files whose key range actually CONTAINS a put key are read, merged and
+   * rewritten; every other file (and its index entry) is untouched. This is
+   * what HBase gives structurally — a put lands in exactly the region owning
+   * its key (reference HbaseTable.scala:373-423's pooled per-region writes) —
+   * reproduced over immutable parquet: rewrite cost is O(affected ranges +
+   * puts), not O(table).
+   *
+   * Put keys outside every file's range are pure inserts and ride along into
+   * the rewritten ranges (the merged output is re-range-partitioned), which
+   * can loosen range tightness across gaps; pruning stays sound (it tests
+   * intersection, not disjointness) and a periodic [[writeIndexed]] compaction
+   * restores the tight layout.
+   *
+   * `puts` follows [[upsert]]'s contract (at most one row per key).
+   */
+  def upsertIndexed(spark: SparkSession, path: String, puts: DataFrame,
+      keyCol: String = "key"): Unit = {
+    import org.apache.spark.sql.graft.GraftIndex
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
+    if (ix.isEmpty) { // no usable index: full merge + fresh layout
+      val merged = upsert(read(spark, path), puts, keyCol)
+      val staging = path + "__staging"
+      merged.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+        .write.mode("overwrite").parquet(staging)
+      fs.delete(dirPath, true)
+      fs.rename(new org.apache.hadoop.fs.Path(staging), dirPath)
+      GraftIndex.write(spark, path, keyCol)
+      return
+    }
+    val tag = ix.get.keyTag
+    val isNum = tag == "num"
+    // (name, lo, hi) sorted by lo — broadcast for a per-put binary search
+    val ranges: Array[(String, (Any, Any, Long))] =
+      if (isNum) ix.get.ranges.toArray.sortBy(_._2._1.asInstanceOf[BigDecimal])
+      else ix.get.ranges.toArray.sortBy(_._2._1.toString)
+    val bcLos = spark.sparkContext.broadcast(ranges.map(_._2._1))
+    val bcHis = spark.sparkContext.broadcast(ranges.map(_._2._2))
+    // binary search: index of the unique file whose [lo, hi] contains k, or -1
+    val fileOf = udf { (ks: String) =>
+      if (ks == null) -1
+      else {
+        val k: Any = if (isNum) BigDecimal(ks) else ks
+        def le(a: Any, b: Any): Boolean =
+          if (isNum) a.asInstanceOf[BigDecimal] <= b.asInstanceOf[BigDecimal]
+          else a.toString <= b.toString
+        var lo = 0; var hi = bcLos.value.length - 1; var found = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (le(bcLos.value(mid), k)) { found = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        if (found >= 0 && le(k, bcHis.value(found))) found else -1
+      }
+    }
+    val affectedIdx = puts
+      .select(fileOf(col(keyCol).cast("string")).as("__f")).where(col("__f") >= 0)
+      .distinct().collect().map(_.getInt(0)).toSet
+    val affectedNames = affectedIdx.toSeq.sorted.map(i => ranges(i)._1)
+    val current =
+      if (affectedNames.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(affectedNames.map(n => s"$path/$n"): _*)
+    val merged = upsert(current, puts, keyCol)
+    val staging = path + "__staging"
+    merged.repartitionByRange(math.max(1, affectedNames.size), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.mode("overwrite").parquet(staging)
+    // swap: drop rewritten originals, move staged parts in under unique names
+    affectedNames.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
+    val stamp = System.currentTimeMillis()
+    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .zipWithIndex.map { case (st, i) =>
+        val name = f"m$stamp%d-$i%05d.parquet"
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, name))
+        name
+      }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    val newEntries = GraftIndex.computeEntries(spark,
+      moved.map(n => s"$path/$n"), keyCol, tag)
+    GraftIndex.writeRanges(spark, path, keyCol, tag,
+      ix.get.ranges -- affectedNames ++ newEntries)
+  }
+
   /** Key-bucketed layout so future merges co-partition without a full shuffle. */
   def writePartitioned(df: DataFrame, path: String, numBuckets: Int, keyCol: String = "key"): Unit =
     df.repartition(numBuckets, col(keyCol)).write.mode("overwrite").parquet(path)

@@ -350,7 +350,7 @@ final case class GraftIndex(
 object GraftIndex {
   val FileName = "_graft_index"
 
-  private def tagOf(dt: DataType): Option[String] = dt match {
+  def tagOf(dt: DataType): Option[String] = dt match {
     case LongType | IntegerType | ShortType | ByteType => Some("num")
     case DoubleType | FloatType | _: DecimalType => Some("num")
     case StringType => Some("str")
@@ -360,25 +360,40 @@ object GraftIndex {
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
 
-  /** Compute per-file (min, max, count) of `keyCol` distributedly (one shuffle
-    * of #files rows) and write the sidecar. Driver memory is O(files). */
+  private def normalize(tag: String, v: Any): Any =
+    if (tag == "num") BigDecimal(v.toString) else v.toString
+
+  /** Per-file (min, max, count) of `keyCol` over the given files, computed
+    * distributedly (one shuffle of #paths rows; driver memory O(paths)). */
+  def computeEntries(spark: SparkSession, paths: Seq[String],
+      keyCol: String, tag: String): Map[String, (Any, Any, Long)] =
+    spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"), count(lit(1)).as("n"))
+      .collect()
+      .map { r =>
+        val name = URLDecoder.decode(r.getString(0).split('/').last, UTF_8)
+        name -> ((normalize(tag, r.get(1)), normalize(tag, r.get(2)), r.getLong(3)))
+      }.toMap
+
+  /** Serialize an index map to the sidecar (small file, one write). */
+  def writeRanges(spark: SparkSession, dir: String, keyCol: String,
+      tag: String, ranges: Map[String, (Any, Any, Long)]): Unit = {
+    val sb = new StringBuilder(s"graft-index\tv1\t${enc(keyCol)}\t$tag\n")
+    ranges.toSeq.sortBy(_._1).foreach { case (name, (lo, hi, n)) =>
+      sb.append(s"${enc(name)}\t${enc(lo.toString)}\t${enc(hi.toString)}\t$n\n")
+    }
+    val p = new Path(dir, FileName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+  }
+
+  /** Compute and write the sidecar for a whole table dir. */
   def write(spark: SparkSession, dir: String, keyCol: String): Unit = {
     val df = spark.read.parquet(dir)
     tagOf(df.schema(keyCol).dataType).foreach { tag =>
-      val rows = df
-        .groupBy(input_file_name().as("f"))
-        .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"), count(lit(1)).as("n"))
-        .collect()
-      val sb = new StringBuilder(s"graft-index\tv1\t${enc(keyCol)}\t$tag\n")
-      rows.foreach { r =>
-        val name = r.getString(0).split('/').last
-        sb.append(s"${enc(name)}\t${enc(String.valueOf(r.get(1)))}\t" +
-          s"${enc(String.valueOf(r.get(2)))}\t${r.getLong(3)}\n")
-      }
-      val p = new Path(dir, FileName)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      val out = fs.create(p, true)
-      try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+      writeRanges(spark, dir, keyCol, tag, computeEntries(spark, Seq(dir), keyCol, tag))
     }
   }
 

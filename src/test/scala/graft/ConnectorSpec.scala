@@ -120,6 +120,44 @@ class ConnectorSpec extends SparkSpec {
       s"pruned scan should report smaller size: ${size(pruned)} vs ${size(full)}")
   }
 
+  test("upsertIndexed rewrites only the files containing put keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("merge").toString
+    val c = spark.read.parquet(s"${sf()}/customer.parquet")
+    KeyedStore.writeIndexed(c, dir, keyCol = "c_custkey", numRanges = 8)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+
+    // puts: update two existing keys in (likely) one range file + one new key
+    val maxKey = c.agg(max(col("c_custkey"))).head().getLong(0)
+    val puts = c.where(col("c_custkey").isin(10, 12))
+      .withColumn("c_name", concat(lit("UPDATED_"), col("c_name")))
+      .unionByName(c.limit(1).withColumn("c_custkey", lit(maxKey + 1000L))
+        .withColumn("c_name", lit("BRAND_NEW")))
+    KeyedStore.upsertIndexed(spark, dir, puts, "c_custkey")
+
+    // parity with a full in-memory upsert
+    val expect = KeyedStore.upsert(c, puts, "c_custkey")
+      .orderBy("c_custkey").collect().map(_.toString)
+    val got = spark.read.parquet(dir).orderBy("c_custkey").collect().map(_.toString)
+    assert(got.sameElements(expect))
+
+    // untouched ranges were not rewritten (same file, same mtime)
+    val after = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    val untouched = before.keySet.intersect(after.keySet)
+    assert(untouched.size >= 6, s"most range files should survive untouched, kept $untouched")
+    untouched.foreach(n => assert(before(n) == after(n), s"$n was rewritten"))
+    assert(before.keySet != after.keySet, "affected ranges should have been replaced")
+
+    // the refreshed index still prunes (point get on an updated key = 1 file)
+    val point = KeyedStore.readKeyed(spark, dir, "c_custkey").where(col("c_custkey") === 10)
+    val desc = graftScan(point)
+    assert(desc.contains("index=sidecar"), desc)
+    assert(filesOf(desc)._1 == 1, s"post-merge point get should prune to one file: $desc")
+    assert(point.head().getAs[String]("c_name").startsWith("UPDATED_"))
+    assert(spark.read.parquet(dir).where(col("c_custkey") === maxKey + 1000L).count() == 1)
+  }
+
   test("GQuery multi-get and range scan over the connector match plain-parquet results") {
     import graft.query.GQuery
     val viaConn = new GQuery(keyed, keyCol = "c_custkey")
