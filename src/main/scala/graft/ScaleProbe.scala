@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The sf1 scale probe: synthesize a `factor`× corpus from sf0.1 (key-shifted
+ * copies that preserve join integrity — fact-table ids shift per copy,
+ * dimensions stay), then time a representative query subset at both scales and
+ * report the runtime ratio. The point is the TREND: a plan that holds its
+ * shape scales ~linearly in input (ratio ≈ factor for scan-bound work, below
+ * it when fixed costs dominate); a broadcast flipping to a shuffle join, a
+ * collect bottleneck, or a quadratic pair blowup shows up as a super-linear
+ * ratio. Run: `sbt "runMain graft.ScaleProbe [factor]"`.
+ *
+ * Documents get a per-copy marker token appended, so copies are deliberate
+ * NEAR-duplicates: the dedup probe (q27) sees a corpus where every doc has
+ * `factor` planted near-dups — its output (and work) grows with the planted
+ * pair count, which is the semantics, not a plan defect.
+ */
+object ScaleProbe {
+
+  val probeQueries: Seq[String] = Seq(
+    "q01_pricing_summary", // scan + partial/final agg
+    "q03_top_orders",      // 3-way join + top-k
+    "q05_region_revenue",  // broadcast dim chain
+    "q06_forecast_revenue",// pushdown-heavy filter agg
+    "q07_rank_customers",  // window rank per group
+    "q12_events_daily",    // time-bucketed agg
+    "q13_sessionize",      // window lag sessionize
+    "q20_lang_id",         // text ops (native exprs)
+    "q23_dedup_exact",     // hash-groupBy dedup
+    "q25_cosine_topk",     // brute-force ANN baseline
+    "q27_minhash_pairs",   // LSH near-dup (planted dups: output scales super-linearly by design)
+    "q33_distinct_agg",    // distinct + HLL
+    "q43_train_split",     // deterministic sampling
+    "q51_percentiles",     // exact percentiles
+    "q60_salted_agg")      // skew-safe two-phase agg
+
+  def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i)).reduce(_.unionByName(_))
+    def t(name: String) = spark.read.parquet(s"$srcDir/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    def off(df: DataFrame, c: String): Long = df.agg(max(col(c))).head().getLong(0) + 1
+
+    // dimensions: unchanged
+    Seq("region", "nation", "supplier", "part").foreach(n => write(t(n), n))
+
+    val (custOff, ordOff) = (off(t("customer"), "c_custkey"), off(t("orders"), "o_orderkey"))
+    write(copies(t("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + i * custOff) }, "customer")
+    write(copies(t("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + i * ordOff)
+        .withColumn("o_custkey", col("o_custkey") + i * custOff) }, "orders")
+    write(copies(t("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + i * ordOff) }, "lineitem")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t("events") // ts stays raw int64 nanos; SparkEntry.events handles both
+    val (evOff, userOff) = (off(ev, "event_id"), off(ev, "user_id"))
+    write(copies(ev) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + i * evOff)
+        .withColumn("user_id", col("user_id") + i * userOff) }, "events")
+
+    val docs = t("documents")
+    val docOff = off(docs, "doc_id")
+    write(copies(docs) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + i * docOff)
+        .withColumn("text", concat(col("text"), lit(s" cpy$i"))) }, "documents")
+
+    val emb = t("embeddings")
+    val vecOff = off(emb, "vec_id")
+    write(copies(emb) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + i * vecOff) }, "embeddings")
+  }
+
+  private def time(spark: SparkSession, name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    val cpus = math.min(32, Runtime.getRuntime.availableProcessors())
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory) {
+      System.err.println(s"[probe] generating ${factor}x corpus at $outDir")
+      generate(spark, srcDir, outDir, factor)
+    }
+    // warm both scales once (codegen/JIT), then measure
+    probeQueries.foreach { q =>
+      try { time(spark, q, srcDir); time(spark, q, outDir) }
+      catch { case t: Throwable => System.err.println(s"[probe] warm $q: $t") }
+    }
+    val rows = probeQueries.map { q =>
+      val small = time(spark, q, srcDir)
+      val big = time(spark, q, outDir)
+      val ratio = big / small
+      println(f"""{"query":"$q","sf01_sec":$small%.3f,"sf1_sec":$big%.3f,"ratio":$ratio%.2f}""")
+      (q, small, big, ratio)
+    }
+    val totS = rows.map(_._2).sum; val totB = rows.map(_._3).sum
+    println(f"""{"metric":"scale_probe","factor":$factor,"sf01_total":$totS%.2f,"sf1_total":$totB%.2f,"ratio":${totB / totS}%.2f}""")
+    spark.stop()
+  }
+}
