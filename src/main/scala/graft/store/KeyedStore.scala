@@ -77,14 +77,37 @@ object KeyedStore {
    * `puts` follows [[upsert]]'s contract (at most one row per key).
    */
   def upsertIndexed(spark: SparkSession, path: String, puts: DataFrame,
-      keyCol: String = "key"): Unit = {
+      keyCol: String = "key"): Unit =
+    mergeIndexed(spark, path, puts, keyCol, outsideKeysInsert = true)(upsert(_, _, keyCol))
+
+  /** Index-pruned [[deleteRows]]: only files whose range contains a delete key
+    * are rewritten; delete keys outside every range are no-ops. */
+  def deleteIndexed(spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String = "key"): Unit =
+    mergeIndexed(spark, path, keys, keyCol, outsideKeysInsert = false)(
+      deleteRows(_, _, keyCol))
+
+  /** Index-pruned [[increment]]: deltas for existing keys rewrite only their
+    * range files; deltas for new keys create rows (coalesce(old,0)+delta). */
+  def incrementIndexed(spark: SparkSession, path: String, deltas: DataFrame,
+      keyCol: String = "key"): Unit =
+    mergeIndexed(spark, path, deltas, keyCol, outsideKeysInsert = true)(
+      increment(_, _, keyCol))
+
+  /** The shared index-pruned write machinery: route each batch key to its
+    * range file via binary search, read+merge+swap only the affected files,
+    * refresh only their index entries. `outsideKeysInsert` = whether keys
+    * outside every range still produce rows (puts/increments yes, deletes no). */
+  private def mergeIndexed(spark: SparkSession, path: String, batch: DataFrame,
+      keyCol: String, outsideKeysInsert: Boolean)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.graft.GraftIndex
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
     val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
     if (ix.isEmpty) { // no usable index: full merge + fresh layout
-      val merged = upsert(read(spark, path), puts, keyCol)
+      val merged = merge(read(spark, path), batch)
       val staging = path + "__staging"
       merged.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
         .write.mode("overwrite").parquet(staging)
@@ -117,14 +140,15 @@ object KeyedStore {
         if (found >= 0 && le(k, bcHis.value(found))) found else -1
       }
     }
-    val affectedIdx = puts
+    val affectedIdx = batch
       .select(fileOf(col(keyCol).cast("string")).as("__f")).where(col("__f") >= 0)
       .distinct().collect().map(_.getInt(0)).toSet
     val affectedNames = affectedIdx.toSeq.sorted.map(i => ranges(i)._1)
+    if (affectedNames.isEmpty && !outsideKeysInsert) return // nothing to touch
     val current =
       if (affectedNames.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(affectedNames.map(n => s"$path/$n"): _*)
-    val merged = upsert(current, puts, keyCol)
+    val merged = merge(current, batch)
     val staging = path + "__staging"
     merged.repartitionByRange(math.max(1, affectedNames.size), col(keyCol))
       .sortWithinPartitions(keyCol)

@@ -158,6 +158,49 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.read.parquet(dir).where(col("c_custkey") === maxKey + 1000L).count() == 1)
   }
 
+  test("deleteIndexed and incrementIndexed route to affected range files only") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("dm").toString
+    val base = spark.range(0, 800).toDF("key")
+      .withColumn("n", col("key") % 7)
+    KeyedStore.writeIndexed(base, dir, numRanges = 8)
+    val before = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    // delete keys inside one range + one nonexistent key (no-op)
+    val delKeys = spark.range(100, 110).toDF("key")
+      .unionByName(spark.range(90000, 90001).toDF("key"))
+    KeyedStore.deleteIndexed(spark, dir, delKeys)
+    assert(spark.read.parquet(dir).count() == 790)
+    assert(spark.read.parquet(dir).where(col("key").between(100, 109)).count() == 0)
+    val afterDelete = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(before.intersect(afterDelete).size >= 6,
+      s"delete should leave unaffected ranges alone: $afterDelete")
+
+    // increment two existing keys and one new key
+    val deltaSchema = StructType(Seq(StructField("key", LongType), StructField("n", LongType)))
+    val deltas = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(5L, 100L), org.apache.spark.sql.Row(700L, 200L),
+        org.apache.spark.sql.Row(95000L, 1L))),
+      deltaSchema)
+    KeyedStore.incrementIndexed(spark, dir, deltas)
+    val got = spark.read.parquet(dir)
+      .where(col("key").isin(5, 700, 95000)).orderBy("key")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(5L -> (5L % 7 + 100L), 700L -> (700L % 7 + 200L), 95000L -> 1L), got)
+    assert(spark.read.parquet(dir).count() == 791)
+    // the refreshed index still prunes; the gap-spanning rewritten file may
+    // add one overlap (the documented loosening) until a compaction
+    val desc = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 400))
+    assert(desc.contains("index=sidecar") && filesOf(desc)._1 <= 2, desc)
+    // compaction (full writeIndexed) restores tight disjoint ranges
+    KeyedStore.writeIndexed(spark.read.parquet(dir), dir + "_c", numRanges = 8)
+    val desc2 = graftScan(KeyedStore.readKeyed(spark, dir + "_c").where(col("key") === 400))
+    assert(filesOf(desc2)._1 == 1, desc2)
+  }
+
   test("GQuery multi-get and range scan over the connector match plain-parquet results") {
     import graft.query.GQuery
     val viaConn = new GQuery(keyed, keyCol = "c_custkey")
