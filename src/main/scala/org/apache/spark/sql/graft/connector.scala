@@ -100,10 +100,12 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
 class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
+  private var limit: Option[Int] = None
 
   /** Record every filter (for split pruning + parquet row-group pruning) and
     * return every filter as residual — see class doc: pruning never replaces
@@ -116,13 +118,20 @@ class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
 
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
+  /** The reference's `scanUntil` early-stop (Query2.scala:931-976): with a
+    * sidecar index and no filters, an unfiltered LIMIT schedules only enough
+    * files to cover n rows. Returns false — Spark still applies its own limit
+    * (the capping is advisory, exact row counts come from the index). */
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
+
   override def build(): Scan =
-    new GraftScan(spark, dataSchema, required, pushed, options)
+    new GraftScan(spark, dataSchema, required, pushed, options, limit)
 }
 
 class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructType,
-    pushed: Array[Filter], options: CaseInsensitiveStringMap)
-    extends Scan with Batch with SupportsReportStatistics {
+    pushed: Array[Filter], options: CaseInsensitiveStringMap,
+    limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics with SupportsRuntimeFiltering {
 
   private val path = GraftDataSource.pathOf(options)
   private val keyCol = options.getOrDefault("key", "key")
@@ -145,37 +154,64 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
     }
   }
 
-  private lazy val keyBounds: KeyBounds = KeyBounds.fromFilters(pushed, keyCol)
+  /** Filters received at EXECUTION time (e.g. the key IN-set a broadcast join
+    * produces via dynamic pruning) — the multi-get-join analogue: the join's
+    * key set prunes splits the same way an explicit `withKeys` would. */
+  @transient private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes(): Array[
+      org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(keyCol))
+
+  override def filter(filters: Array[Filter]): Unit = runtimeFilters = filters
+
+  private def keyBounds: KeyBounds =
+    KeyBounds.fromFilters(pushed ++ runtimeFilters, keyCol)
 
   @transient private lazy val index: Option[GraftIndex] =
     GraftIndex.read(new Path(path), hadoopConf).filter(_.keyCol == keyCol)
 
   /** (kept files, total files, rows-if-known). Pruning order: sidecar index,
-    * else parquet footer stats (bounded), else keep everything. */
-  @transient private lazy val pruning: (Seq[FileStatus], Int, Option[Long]) = {
+    * else parquet footer stats (bounded), else keep everything. Recomputed per
+    * call — runtime filters can arrive after planning. */
+  private def pruning: (Seq[FileStatus], Int, Option[Long]) = {
     val total = allFiles.size
-    if (!pruneEnabled || keyBounds.unconstrained) (allFiles, total, index.map(_.totalRows))
-    else index match {
-      case Some(ix) =>
-        val kept = allFiles.filter { st =>
-          ix.ranges.get(st.getPath.getName) match {
-            case Some((lo, hi, _)) => keyBounds.intersects(lo, hi)
-            case None => true // file not in index (late arrival) — keep
+    val bounds = keyBounds
+    val filterKept: Seq[FileStatus] =
+      if (!pruneEnabled || bounds.unconstrained) allFiles
+      else index match {
+        case Some(ix) =>
+          allFiles.filter { st =>
+            ix.ranges.get(st.getPath.getName) match {
+              case Some((lo, hi, _)) => bounds.intersects(lo, hi)
+              case None => true // file not in index (late arrival) — keep
+            }
           }
-        }
-        val rows = Some(kept.map(st =>
-          ix.ranges.get(st.getPath.getName).map(_._3).getOrElse(0L)).sum)
-        (kept, total, rows)
-      case None if total <= footerPruneMaxFiles =>
-        val kept = allFiles.filter { st =>
-          FooterStats.keyRange(st, keyCol, hadoopConf) match {
-            case Some((lo, hi)) => keyBounds.intersects(lo, hi)
-            case None => true // no usable stats — keep
+        case None if total <= footerPruneMaxFiles =>
+          allFiles.filter { st =>
+            FooterStats.keyRange(st, keyCol, hadoopConf) match {
+              case Some((lo, hi)) => bounds.intersects(lo, hi)
+              case None => true // no usable stats — keep
+            }
           }
+        case None => allFiles
+      }
+    // scanUntil: an unfiltered LIMIT with exact index row counts schedules
+    // only enough files to cover n rows (any filter makes counts inexact)
+    val kept = (limit, index) match {
+      case (Some(n), Some(ix))
+          if pushed.isEmpty && runtimeFilters.isEmpty && pruneEnabled =>
+        var acc = 0L
+        filterKept.takeWhile { st =>
+          val take = acc < n
+          acc += ix.ranges.get(st.getPath.getName).map(_._3).getOrElse(Long.MaxValue / 2)
+          take
         }
-        (kept, total, None)
-      case None => (allFiles, total, None)
+      case _ => filterKept
     }
+    val rows = index.map(ix => kept.map(st =>
+      ix.ranges.get(st.getPath.getName).map(_._3).getOrElse(0L)).sum)
+    (kept, total, rows)
   }
 
   override def readSchema(): StructType = required
@@ -234,8 +270,11 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
 
   override def description(): String = {
     val (kept, total, _) = pruning
+    val lim = limit.map(n => s" limit=$n").getOrElse("")
+    val rt = if (runtimeFilters.nonEmpty)
+      s" runtimeFilters=[${runtimeFilters.mkString(", ")}]" else ""
     s"GraftScan path=$path key=$keyCol files=${kept.size}/$total " +
-      s"index=${if (index.isDefined) "sidecar" else "footer"} " +
+      s"index=${if (index.isDefined) "sidecar" else "footer"}$lim$rt " +
       s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
   }
 }

@@ -158,6 +158,37 @@ class ConnectorSpec extends SparkSpec {
     assert(spark.read.parquet(dir).where(col("c_custkey") === maxKey + 1000L).count() == 1)
   }
 
+  test("pushed limit schedules only enough files to cover n rows (scanUntil)") {
+    val limited = keyed.limit(5)
+    val desc = graftScan(limited)
+    assert(desc.contains("limit=5"), desc)
+    val (kept, total) = filesOf(desc)
+    assert(total == 8 && kept == 1, s"limit 5 needs one ~19-row file, scheduled $kept/$total")
+    assert(limited.count() == 5)
+    // a filtered limit must NOT cap files (residual filters make counts inexact)
+    val filtered = keyed.where(col("c_mktsegment") === "BUILDING").limit(5)
+    val (keptF, _) = filesOf(graftScan(filtered))
+    assert(keptF == 8, s"filtered limit must scan all candidate files, got $keptF")
+    assert(filtered.count() == 5)
+  }
+
+  test("runtime key filters re-prune splits at execution (multi-get join analogue)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // unit-level: a runtime IN-set arriving after planning shrinks the splits
+    val df = keyed.where(col("c_acctbal") > -100000) // non-key pushed filter only
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b.scan }
+    assert(scans.nonEmpty)
+    val scan = scans.head.asInstanceOf[org.apache.spark.sql.graft.GraftScan]
+    assert(scan.filterAttributes().map(_.describe()).toSeq == Seq("c_custkey"))
+    val before = scan.toBatch.planInputPartitions().length
+    val in: Array[org.apache.spark.sql.sources.Filter] =
+      Array(org.apache.spark.sql.sources.In("c_custkey", Array(42L)))
+    scan.filter(in)
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before && after == 1,
+      s"runtime IN should prune to the one covering file: $before -> $after")
+  }
+
   test("deleteIndexed and incrementIndexed route to affected range files only") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("dm").toString
