@@ -565,6 +565,27 @@ object SparkEntry {
           DocTable.meta.nChars.as("n_chars"))
     }),
 
+    // --- the indexed keyed-store round trip, end-to-end: range-sorted write
+    //     with sidecar index, an index-pruned upsert (only files containing
+    //     put keys rewrite — ConnectorSpec proves the pruning), read back
+    //     through the DSv2 connector. The oracle replays the merge in SQL ----
+    "q62_indexed_upsert" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q62_")
+        .resolve("t").toString
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      KeyedStore.writeIndexed(c, tmp, "c_custkey", numRanges = 8)
+      val updates = c.where(pmod(col("c_custkey"), lit(97)) === 0)
+        .withColumn("c_name", concat(lit("UPD_"), col("c_name")))
+      val inserts = c.where(pmod(col("c_custkey"), lit(131)) === 0)
+        .withColumn("c_custkey", col("c_custkey") + 10000000L)
+        .withColumn("c_name", concat(lit("NEW_"), col("c_name")))
+      KeyedStore.upsertIndexed(s, tmp, updates.unionByName(inserts), "c_custkey")
+      KeyedStore.readKeyed(s, tmp, "c_custkey")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
+    }),
+
     // --- min-wise sampling: exact-size uniform sample as a pure function of
     //     the id set (same sample on any engine/partitioning; k-row heap per
     //     partition, no global sort) -----------------------------------------
@@ -1298,6 +1319,18 @@ object SparkEntry {
     "q61_typed_refs" ->
       """SELECT doc_id AS key, source, n_chars FROM documents
         |WHERE lang = 'en' AND n_chars > 500""".stripMargin,
+
+    "q62_indexed_upsert" ->
+      """WITH c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer),
+        |upd AS (SELECT c_custkey, 'UPD_' || c_name AS c_name FROM c
+        |        WHERE c_custkey % 97 = 0)
+        |SELECT c.c_custkey AS key, coalesce(u.c_name, c.c_name) AS name,
+        |       c.c_mktsegment AS segment
+        |FROM c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        |UNION ALL
+        |SELECT c_custkey + 10000000 AS key, 'NEW_' || c_name AS name,
+        |       c_mktsegment AS segment
+        |FROM c WHERE c_custkey % 131 = 0""".stripMargin,
 
     "q59_minwise_sample" ->
       """SELECT doc_id, lang, source FROM documents
