@@ -36,4 +36,17 @@ final class GraftCatalog {
     * HbaseTable.scala:234-290). */
   def createAllScript: String =
     tables.values.map { case (t, p) => t.createScript(p) }.mkString(";\n")
+
+  /** Alter DDL for every registered table whose STORED schema has drifted from
+    * its declaration (reference `alterScript`, HbaseTable.scala:270-285) —
+    * tables that match (or don't exist yet) emit nothing. */
+  def alterAllScript(spark: SparkSession): String =
+    tables.values.flatMap { case (t, p) =>
+      val stored = try Some(spark.read.parquet(p).schema) catch { case _: Exception => None }
+      stored.filter(_ != t.schema).map(t.alterScript)
+    }.filter(_.nonEmpty).mkString(";\n")
+
+  /** Drop DDL for the whole schema (reference `deleteScript` per table). */
+  def deleteAllScript: String =
+    tables.values.map(_._1.deleteScript).mkString(";\n")
 }

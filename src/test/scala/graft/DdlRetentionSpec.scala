@@ -53,6 +53,23 @@ class DdlRetentionSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ttl_alter")
   }
 
+  test("catalog emits alter DDL only for drifted tables, and delete DDL for all") {
+    import graft.schema.GraftCatalog
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val cat = new GraftCatalog
+    val a = cat.register(TableDef("cat_a").col("meta", "title", StringType), s"$dir/a")
+    cat.register(TableDef("cat_b").col("meta", "title", StringType), s"$dir/b")
+    // table a stored with an extra legacy column => drifted; b matches exactly
+    a.empty(spark).withColumn("legacy", lit(1)).write.parquet(s"$dir/a")
+    cat.table(spark, "cat_b") // b never written — must emit nothing
+    val alter = cat.alterAllScript(spark)
+    assert(alter.contains("ALTER TABLE cat_a DROP COLUMN legacy"), alter)
+    assert(!alter.contains("cat_b"), alter)
+    assert(cat.deleteAllScript ==
+      "DROP TABLE IF EXISTS cat_a;\nDROP TABLE IF EXISTS cat_b")
+  }
+
   test("TTL sweep: cell-level expiry on timestamped dynamic families, row-level on fixed") {
     def ts(s: String) = Timestamp.valueOf(s)
     val t = tableWithTtl
