@@ -62,31 +62,41 @@ object Multimodal {
    * deployment replaces `decodeBatch` with a JNI/FFI call into an image/audio
    * codec — the batching, schema, and null contract stay identical.
    */
-  def decodeFeatures(df: DataFrame, idCol: String, blobCol: String, dim: Int = 8): DataFrame = {
+  def decodeFeatures(df: DataFrame, idCol: String, blobCol: String, dim: Int = 8,
+      batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, df.schema(idCol).dataType),
       StructField("features", ArrayType(FloatType))))
     // Dataset.mapPartitions (not df.rdd): rows stay in Tungsten format across
     // the boundary and Catalyst keeps pruning/planning through the operator.
+    // The decoder initializes ONCE per partition and consumes fixed-size blob
+    // batches — the amortized call shape a JNI/FFI codec needs (per-blob
+    // native calls would pay the boundary crossing per row).
     df.select(col(idCol), col(blobCol))
       .mapPartitions { it =>
-        // batch loop: a real decoder would be initialized once per partition here
-        it.map { r =>
-          Row(r.get(0), decodeBatch(r.getAs[Array[Byte]](1), dim)) // STUB call
+        val decoder = new StubDecoder(dim) // real codec: open once, close via task listener
+        it.grouped(batchSize).flatMap { rows =>
+          val feats = decoder.decodeBatch(rows.map(_.getAs[Array[Byte]](1)).toArray)
+          rows.iterator.zipWithIndex.map { case (r, i) => Row(r.get(0), feats(i)) }
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
       .toDF()
   }
 
-  /** STUB — deterministic fake decoder: byte n → float (byte/128 - 1), padded. */
-  private def decodeBatch(blob: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < dim) {
-      out(i) = if (blob != null && i < blob.length) blob(i).toFloat / 128f - 1f else 0f
-      i += 1
-    }
-    out
+  /** STUB decoder — deterministic fake with a real batched interface: byte n →
+    * float (byte/128 - 1), padded. A production build swaps the body for a
+    * native batch call; signature and lifecycle stay identical. */
+  private final class StubDecoder(dim: Int) extends Serializable {
+    def decodeBatch(blobs: Array[Array[Byte]]): Array[Array[Float]] =
+      blobs.map { blob =>
+        val out = new Array[Float](dim)
+        var i = 0
+        while (i < dim) {
+          out(i) = if (blob != null && i < blob.length) blob(i).toFloat / 128f - 1f else 0f
+          i += 1
+        }
+        out
+      }
   }
 
   /**

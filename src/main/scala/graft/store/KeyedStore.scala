@@ -98,7 +98,7 @@ object KeyedStore {
     * range file via binary search, read+merge+swap only the affected files,
     * refresh only their index entries. `outsideKeysInsert` = whether keys
     * outside every range still produce rows (puts/increments yes, deletes no). */
-  private def mergeIndexed(spark: SparkSession, path: String, batch: DataFrame,
+  private[store] def mergeIndexed(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, outsideKeysInsert: Boolean)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
     import org.apache.spark.sql.graft.GraftIndex

@@ -70,6 +70,36 @@ final class MutationBatch private (
     increments.foreach { d => nInc += d.count(); df = KeyedStore.increment(df, d, keyCol) }
     (df, KeyedStore.OpsResult(nDel, nPut, nInc))
   }
+
+  /**
+   * Apply the batch against an INDEXED store path (written by
+   * `KeyedStore.writeIndexed`) with index-pruned rewrites: each op in the
+   * deletes → puts → increments precedence touches only the files whose key
+   * range contains its batch keys — the region-routed form of [[execute]].
+   * The table lives on disk, so only the accounting is returned.
+   */
+  def executeIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String): KeyedStore.OpsResult = {
+    var nDel = 0L
+    deletes.foreach { k => nDel += k.count(); KeyedStore.deleteIndexed(spark, path, k, keyCol) }
+    familyDeletes.foreach { case (k, fam) =>
+      nDel += k.count()
+      KeyedStore.mergeIndexed(spark, path, k, keyCol, outsideKeysInsert = false)(
+        KeyedStore.deleteFamily(_, _, fam, keyCol))
+    }
+    qualifierDeletes.foreach { case (k, fam, qs) =>
+      nDel += k.count()
+      KeyedStore.mergeIndexed(spark, path, k, keyCol, outsideKeysInsert = false)(
+        KeyedStore.deleteQualifiers(_, _, fam, qs, keyCol))
+    }
+    var nPut = 0L
+    puts.foreach { p => nPut += p.count(); KeyedStore.upsertIndexed(spark, path, p, keyCol) }
+    var nInc = 0L
+    increments.foreach { d =>
+      nInc += d.count(); KeyedStore.incrementIndexed(spark, path, d, keyCol)
+    }
+    KeyedStore.OpsResult(nDel, nPut, nInc)
+  }
 }
 
 object MutationBatch {

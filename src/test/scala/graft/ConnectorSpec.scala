@@ -232,6 +232,31 @@ class ConnectorSpec extends SparkSpec {
     assert(filesOf(desc2)._1 == 1, desc2)
   }
 
+  test("executeIndexed applies a full mutation batch on disk, matching in-memory execute") {
+    import graft.store.MutationBatch
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("mb").toString
+    val base = spark.range(0, 400).toDF("key")
+      .withColumn("n", col("key") * 2)
+      .withColumn("tags", map(lit("a"), col("key"), lit("b"), col("key") + 1))
+    KeyedStore.writeIndexed(base, dir, numRanges = 6)
+
+    def batch() = MutationBatch()
+      .delete(spark.range(10, 20).toDF("key"))
+      .deleteQualifiers(spark.range(30, 40).toDF("key"), "tags", Seq("a"))
+      .put(spark.range(50, 60).toDF("key").withColumn("n", lit(999L)))
+      .increment(spark.range(70, 80).toDF("key").withColumn("n", lit(5L)))
+
+    val (expected, accMem) = batch().execute(base)
+    val accDisk = batch().executeIndexed(spark, dir)
+    assert(accMem == accDisk)
+    val got = spark.read.parquet(dir).orderBy("key").collect().map(_.toString)
+    val want = expected.orderBy("key").collect().map(_.toString)
+    assert(got.sameElements(want))
+    // index survived the whole batch: point get still prunes
+    val desc = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 200))
+    assert(desc.contains("index=sidecar") && filesOf(desc)._1 <= 2, desc)
+  }
+
   test("GQuery multi-get and range scan over the connector match plain-parquet results") {
     import graft.query.GQuery
     val viaConn = new GQuery(keyed, keyCol = "c_custkey")
