@@ -26,8 +26,12 @@ object ScaleProbe {
     "q05_region_revenue",  // broadcast dim chain
     "q06_forecast_revenue",// pushdown-heavy filter agg
     "q07_rank_customers",  // window rank per group
+    "q10_multiget",        // DSv2 connector point reads (footer-prune path)
     "q12_events_daily",    // time-bucketed agg
     "q13_sessionize",      // window lag sessionize
+    "q04_exists_orders",   // semi join
+    "q32_asof_join",       // as-of composition
+    "q41_range_join",      // binned range join
     "q20_lang_id",         // text ops (native exprs)
     "q23_dedup_exact",     // hash-groupBy dedup
     "q25_cosine_topk",     // brute-force ANN baseline

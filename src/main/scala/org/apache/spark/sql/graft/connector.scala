@@ -232,8 +232,10 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // Prime the hadoop conf exactly as Spark's own ParquetScan does — the
-    // task-side reader resolves its ReadSupport and requested schema from it.
+    // Prime the hadoop conf exactly as Spark's own ParquetScan.createReaderFactory
+    // does (apache/spark sql/core .../v2/parquet/ParquetScan.scala, Apache-2.0) —
+    // the task-side reader resolves its ReadSupport and requested schema from
+    // these keys and NPEs without them.
     val conf = spark.sessionState.conf
     val hc = new Configuration(hadoopConf)
     val readDataSchemaAsJson = required.json
