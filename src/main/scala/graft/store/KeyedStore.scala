@@ -49,8 +49,10 @@ object KeyedStore {
     val ranged =
       if (numRanges > 0) df.repartitionByRange(numRanges, col(keyCol))
       else df.repartitionByRange(col(keyCol))
-    ranged.sortWithinPartitions(keyCol).write.mode("overwrite").parquet(path)
-    org.apache.spark.sql.graft.GraftIndex.write(df.sparkSession, path, keyCol)
+    // the graft write path tracks per-file key stats as tasks write, so the
+    // sidecar index costs zero extra passes over the data
+    ranged.sortWithinPartitions(keyCol)
+      .write.format("graft").option("key", keyCol).mode("overwrite").save(path)
   }
 
   /** Read through the `graft` connector: filter/column pushdown + key-range

@@ -85,16 +85,24 @@ object GraftDataSource {
 }
 
 class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val path = GraftDataSource.pathOf(options)
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
     new GraftScanBuilder(SparkSession.active, tableSchema, new CaseInsensitiveStringMap(merged))
+  }
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+    merged.putAll(info.options().asCaseSensitiveMap())
+    new GraftWriteBuilder(info.schema(), path, new CaseInsensitiveStringMap(merged))
   }
 }
 
@@ -503,4 +511,191 @@ private[graft] object FooterStats {
         Some((a.toStringUsingUTF8, b.toStringUsingUTF8))
       case _ => None
     }
+}
+
+// ============================== write path ==============================
+
+/**
+ * The `graft` write path: `df.write.format("graft").option("key", k).save(p)`.
+ * Each task streams rows into one parquet file AND tracks the key column's
+ * (min, max, count) as it writes; the driver assembles the `_graft_index`
+ * sidecar from the task commit messages — the index costs ZERO extra passes
+ * (contrast `GraftIndex.write`, which re-scans). Overwrite mode truncates;
+ * append mode merges new file entries into the existing index.
+ */
+class GraftWriteBuilder(writeSchema: StructType, path: String,
+    options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val t = doTruncate
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftBatchWrite(SparkSession.active, writeSchema, path,
+          options.getOrDefault("key", "key"), t)
+    }
+  }
+}
+
+/** Per-task result: the written file plus its key stats for the index. */
+final case class GraftTaskCommit(fileName: String, lo: String, hi: String,
+    rows: Long, hasStats: Boolean)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String,
+    keyCol: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+
+  private val keyIdx: Int = writeSchema.fieldNames.indexOf(keyCol)
+  private val keyTag: Option[String] =
+    if (keyIdx < 0) None else GraftIndex.tagOf(writeSchema(keyIdx).dataType)
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DataWriterFactory = {
+    val conf = spark.sessionState.conf
+    val hc = new Configuration(spark.sessionState.newHadoopConf())
+    // Prime the conf as Spark's ParquetUtils.prepareWrite does (apache/spark,
+    // Apache-2.0): write support class, schema, and the SQLConf knobs
+    // ParquetWriteSupport.init reads on the task side.
+    hc.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport].getName)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(writeSchema, hc)
+    hc.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, conf.writeLegacyParquetFormat.toString)
+    hc.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, conf.parquetOutputTimestampType.toString)
+    hc.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, conf.parquetFieldIdWriteEnabled.toString)
+    hc.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, conf.sessionLocalTimeZone)
+    hc.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      conf.parquetInferTimestampNTZEnabled)
+    hc.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, conf.legacyParquetNanosAsLong)
+    hc.setBoolean(SQLConf.CASE_SENSITIVE.key, conf.caseSensitiveAnalysis)
+    hc.setBoolean(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      conf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE))
+    hc.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      conf.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    hc.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      conf.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    hc.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      new ParquetOptions(Map.empty[String, String], conf).compressionCodecClassName)
+    // ensure the target dir exists before tasks write into it
+    val p = new Path(path)
+    p.getFileSystem(hc).mkdirs(p)
+    GraftWriterFactory(new SerializableConfiguration(hc), path, keyIdx,
+      if (keyIdx < 0) NullType else writeSchema(keyIdx).dataType, keyTag)
+  }
+
+  override def commit(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val commits = messages.collect { case c: GraftTaskCommit if c.rows > 0 => c }
+    val written = commits.map(_.fileName).toSet
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (truncate) { // drop every pre-existing data file not written by this job
+      fs.listStatus(dirPath).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !written.contains(n)) fs.delete(st.getPath, false)
+      }
+    }
+    keyTag match {
+      case Some(tag) if commits.forall(_.hasStats) =>
+        def parse(s: String): Any = if (tag == "num") BigDecimal(s) else s
+        val newEntries = commits.map(c =>
+          c.fileName -> ((parse(c.lo), parse(c.hi), c.rows))).toMap
+        val base =
+          if (truncate) Map.empty[String, (Any, Any, Long)]
+          else GraftIndex.read(dirPath, fs.getConf).filter(_.keyCol == keyCol)
+            .map(_.ranges).getOrElse(Map.empty)
+        GraftIndex.writeRanges(spark, path, keyCol, tag, base ++ newEntries)
+      case _ => // no usable key stats: remove any stale index rather than lie
+        fs.delete(new Path(dirPath, GraftIndex.FileName), false)
+    }
+  }
+
+  override def abort(messages: Array[
+      org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    messages.collect { case c: GraftTaskCommit => c }
+      .foreach(c => fs.delete(new Path(dirPath, c.fileName), false))
+  }
+}
+
+final case class GraftWriterFactory(conf: SerializableConfiguration, dir: String,
+    keyIdx: Int, keyDt: DataType, keyTag: Option[String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(conf.value, dir,
+      f"part-$partitionId%05d-$taskId%d.parquet", partitionId, taskId,
+      keyIdx, keyDt, keyTag)
+}
+
+/** One parquet file per task; tracks key (min, max, count) while writing. */
+class GraftDataWriter(conf: Configuration, dir: String, fileName: String,
+    partitionId: Int, taskId: Long, keyIdx: Int, keyDt: DataType,
+    keyTag: Option[String])
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+  import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+  private var writer: org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter = _
+  private var rows = 0L
+  private var loNum: BigDecimal = _
+  private var hiNum: BigDecimal = _
+  private var loStr: String = _
+  private var hiStr: String = _
+  private var statsOk = keyTag.isDefined && keyIdx >= 0
+
+  private def ensureWriter(): Unit = if (writer == null) {
+    val ctx = new TaskAttemptContextImpl(conf,
+      new TaskAttemptID(new TaskID(new JobID("graft", 0), TaskType.MAP, partitionId),
+        (taskId % Int.MaxValue).toInt))
+    writer = new org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter(
+      s"$dir/$fileName", ctx)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    ensureWriter()
+    if (statsOk) {
+      if (row.isNullAt(keyIdx)) statsOk = false // null keys: no trustworthy range
+      else keyTag.get match {
+        case "num" =>
+          val v = BigDecimal(row.get(keyIdx, keyDt).toString)
+          if (loNum == null || v < loNum) loNum = v
+          if (hiNum == null || v > hiNum) hiNum = v
+        case _ =>
+          val v = row.get(keyIdx, keyDt).toString
+          if (loStr == null || v < loStr) loStr = v
+          if (hiStr == null || v > hiStr) hiStr = v
+      }
+    }
+    rows += 1
+    writer.write(row)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) writer.close()
+    val (lo, hi) = keyTag match {
+      case Some("num") if statsOk && loNum != null => (loNum.toString, hiNum.toString)
+      case Some(_) if statsOk && loStr != null => (loStr, hiStr)
+      case _ => ("", "")
+    }
+    GraftTaskCommit(fileName, lo, hi, rows, statsOk && rows > 0)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) {
+      try writer.close() catch { case _: Exception => () }
+      val p = new Path(s"$dir/$fileName")
+      p.getFileSystem(conf).delete(p, false)
+    }
+  }
+
+  override def close(): Unit = ()
 }

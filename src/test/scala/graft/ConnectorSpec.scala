@@ -232,6 +232,45 @@ class ConnectorSpec extends SparkSpec {
     assert(filesOf(desc2)._1 == 1, desc2)
   }
 
+  test("format(\"graft\") write builds the sidecar from task stats, append merges it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("w").toString
+    val a = spark.range(0, 300).toDF("key").withColumn("v", col("key") * 3)
+    a.repartitionByRange(4, col("key")).sortWithinPartitions("key")
+      .write.format("graft").option("key", "key").mode("overwrite").save(dir)
+    assert(new java.io.File(dir, "_graft_index").isFile, "write must emit the sidecar")
+    val point = KeyedStore.readKeyed(spark, dir).where(col("key") === 7)
+    val d1 = graftScan(point)
+    assert(d1.contains("index=sidecar") && filesOf(d1) == ((1, 4)), d1)
+    assert(point.head().getLong(1) == 21)
+
+    // append a disjoint key range: index gains the new files, old entries stay
+    spark.range(1000, 1100).toDF("key").withColumn("v", col("key") * 3)
+      .coalesce(1).write.format("graft").option("key", "key").mode("append").save(dir)
+    assert(spark.read.parquet(dir).count() == 400)
+    val d2 = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 1050))
+    assert(filesOf(d2) == ((1, 5)), d2)
+    val d3 = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 7))
+    assert(filesOf(d3) == ((1, 5)), d3)
+
+    // overwrite truncates: old files and index entries are gone
+    spark.range(0, 50).toDF("key").withColumn("v", lit(0L))
+      .coalesce(1).write.format("graft").option("key", "key").mode("overwrite").save(dir)
+    assert(spark.read.parquet(dir).count() == 50)
+    val d4 = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 7))
+    assert(filesOf(d4) == ((1, 1)), d4)
+  }
+
+  test("graft write round-trips timestamps, decimals, arrays and maps exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("types").toString
+    val src = spark.read.parquet(s"${sf()}/orders.parquet")
+      .withColumn("tags", map(lit("k"), col("o_orderkey")))
+      .withColumn("arr", array(col("o_totalprice")))
+    src.write.format("graft").option("key", "o_orderkey").mode("overwrite").save(dir)
+    val back = spark.read.parquet(dir).orderBy("o_orderkey").collect().map(_.toString)
+    val want = src.orderBy("o_orderkey").collect().map(_.toString)
+    assert(back.sameElements(want))
+  }
+
   test("executeIndexed applies a full mutation batch on disk, matching in-memory execute") {
     import graft.store.MutationBatch
     val dir = java.nio.file.Files.createTempDirectory("graft_conn").resolve("mb").toString
