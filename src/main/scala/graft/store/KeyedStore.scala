@@ -152,22 +152,28 @@ object KeyedStore {
       else spark.read.parquet(affectedNames.map(n => s"$path/$n"): _*)
     val merged = merge(current, batch)
     val staging = path + "__staging"
+    // stage through the graft write: each task records its file's key stats,
+    // so the staging dir arrives with its own sidecar — no re-scan needed
     merged.repartitionByRange(math.max(1, affectedNames.size), col(keyCol))
       .sortWithinPartitions(keyCol)
-      .write.mode("overwrite").parquet(staging)
+      .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
+    val stagingPath = new org.apache.hadoop.fs.Path(staging)
+    val stagedEntries = GraftIndex.read(stagingPath, hadoopConf)
+      .filter(_.keyCol == keyCol).map(_.ranges)
+      .getOrElse(GraftIndex.computeEntries(spark,
+        fs.listStatus(stagingPath).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString).toSeq, keyCol, tag))
     // swap: drop rewritten originals, move staged parts in under unique names
     affectedNames.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
     val stamp = System.currentTimeMillis()
-    val moved = fs.listStatus(new org.apache.hadoop.fs.Path(staging)).toSeq
-      .filter(_.getPath.getName.startsWith("part-"))
-      .zipWithIndex.map { case (st, i) =>
+    val newEntries = stagedEntries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((staged, entry), i) =>
         val name = f"m$stamp%d-$i%05d.parquet"
-        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(path, name))
-        name
-      }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-    val newEntries = GraftIndex.computeEntries(spark,
-      moved.map(n => s"$path/$n"), keyCol, tag)
+        fs.rename(new org.apache.hadoop.fs.Path(staging, staged),
+          new org.apache.hadoop.fs.Path(path, name))
+        name -> entry
+    }.toMap
+    fs.delete(stagingPath, true)
     GraftIndex.writeRanges(spark, path, keyCol, tag,
       ix.get.ranges -- affectedNames ++ newEntries)
   }
