@@ -144,19 +144,21 @@ object Streaming {
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
-        val current =
-          try spark.read.parquet(tablePath)
-          catch { case _: Exception => batch.limit(0) } // first batch bootstraps
-        val merged = graft.store.KeyedStore.increment(current, batch.toDF(), keyCol)
-        // write to a staging dir then swap: the read above and overwrite below
-        // would otherwise race on the same files
-        val tmp = tablePath + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(tablePath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        val exists =
+          try { spark.read.parquet(tablePath).schema; true }
+          catch { case _: Exception => false }
+        if (!exists)
+          // bootstrap: increments against an empty table ARE the first values
+          // (increment() also pre-sums duplicate keys within the batch), and
+          // writeIndexed leaves a range index for every later micro-batch
+          graft.store.KeyedStore.writeIndexed(
+            graft.store.KeyedStore.increment(batch.limit(0).toDF(), batch.toDF(), keyCol),
+            tablePath, keyCol)
+        else
+          // index-pruned merge: a micro-batch touching k of n key ranges
+          // rewrites k files, not the table — the streaming write-back stays
+          // O(batch) however large the standing table grows
+          graft.store.KeyedStore.incrementIndexed(spark, tablePath, batch.toDF(), keyCol)
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -295,7 +295,7 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
  * ordering (numeric via BigDecimal, strings lexicographic — matching both
  * Spark's and parquet's ordering for these types).
  */
-private[graft] final case class KeyBounds(
+final case class KeyBounds(
     lo: Option[(BigDecimal, Boolean)], hi: Option[(BigDecimal, Boolean)],
     sLo: Option[(String, Boolean)], sHi: Option[(String, Boolean)],
     inSet: Option[Seq[Any]]) {
@@ -322,10 +322,10 @@ private[graft] final case class KeyBounds(
   }
 }
 
-private[graft] object KeyBounds {
+object KeyBounds {
   private val none = KeyBounds(None, None, None, None, None)
 
-  private[graft] def num(v: Any): Option[BigDecimal] = v match {
+  private[sql] def num(v: Any): Option[BigDecimal] = v match {
     case n: java.lang.Number => Some(BigDecimal(n.toString))
     case _ => None
   }

@@ -64,12 +64,17 @@ class StreamingSpec extends SparkSpec {
       s"state rows $lastState should be below $totalWindows after eviction")
   }
 
-  test("streaming write-back: micro-batch increments merge into a keyed table") {
+  test("streaming write-back: micro-batch increments merge into a keyed table " +
+      "(bootstrap then index-pruned merges)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_swb").resolve("t").toString
-    val deltas = Streaming.eventsStream(spark, sf())
+    // 4 single-file batches: batch 0 bootstraps the indexed table, batches
+    // 1-3 go through the index-pruned incrementIndexed path
+    val deltas = Streaming.eventsReplay(spark, sf(), nSplits = 4)
       .select(col("user_id").cast("string").as("key"), lit(1L).as("n_events"))
     val q = Streaming.incrementIntoTable(deltas, dir)
     q.awaitTermination()
+    assert(new java.io.File(dir, "_graft_index").isFile,
+      "write-back table should carry the range index")
     val merged = spark.read.parquet(dir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val expect = SparkEntry.queries("q13_sessionize")(spark, sf())
