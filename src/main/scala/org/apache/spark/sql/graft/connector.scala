@@ -19,6 +19,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
@@ -109,11 +110,12 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = dataSchema
   private var limit: Option[Int] = None
+  private var aggRow: Option[(StructType, Array[Any])] = None
 
   /** Record every filter (for split pruning + parquet row-group pruning) and
     * return every filter as residual — see class doc: pruning never replaces
@@ -132,8 +134,116 @@ class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
     * (the capping is advisory, exact row counts come from the index). */
   override def pushLimit(n: Int): Boolean = { limit = Some(n); false }
 
-  override def build(): Scan =
-    new GraftScan(spark, dataSchema, required, pushed, options, limit)
+  /**
+   * The region-metadata answer: on a fully-indexed table with no filters, a
+   * global COUNT(*) / MIN(key) / MAX(key) is read from the `_graft_index`
+   * sidecar alone — zero data I/O at any table size (HBase analogue: region
+   * start/end keys + row counters replacing a full scan).
+   */
+  override def supportCompletePushDown(agg: aggregate.Aggregation): Boolean =
+    buildAggRow(agg).isDefined
+
+  override def pushAggregation(agg: aggregate.Aggregation): Boolean =
+    buildAggRow(agg) match {
+      case some @ Some(_) => aggRow = some; true
+      case None => false
+    }
+
+  private def buildAggRow(agg: aggregate.Aggregation): Option[(StructType, Array[Any])] = {
+    val keyCol = options.getOrDefault("key", "key")
+    if (pushed.nonEmpty || limit.isDefined || agg.groupByExpressions.nonEmpty) return None
+    if (!options.getBoolean("prune", true)) return None
+    val keyIdx = dataSchema.fieldNames.indexOf(keyCol)
+    if (keyIdx < 0) return None
+    val keyDt = dataSchema(keyIdx).dataType
+    val path = GraftDataSource.pathOf(options)
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val ix = GraftIndex.read(new Path(path), hadoopConf).filter(_.keyCol == keyCol)
+      .getOrElse(return None)
+    // every data file must be covered by the index, else counts are partial
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    val root = fs.getFileStatus(p)
+    val dataFiles =
+      if (root.isFile) return None
+      else fs.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath.getName)
+    if (!dataFiles.forall(ix.ranges.contains)) return None
+
+    def keyValue(v: Any): Any = keyDt match {
+      case LongType => v.asInstanceOf[BigDecimal].toLong
+      case IntegerType => v.asInstanceOf[BigDecimal].toInt
+      case ShortType => v.asInstanceOf[BigDecimal].toShort
+      case ByteType => v.asInstanceOf[BigDecimal].toByte
+      case DoubleType => v.asInstanceOf[BigDecimal].toDouble
+      case FloatType => v.asInstanceOf[BigDecimal].toFloat
+      case dt: DecimalType => org.apache.spark.sql.types.Decimal(v.asInstanceOf[BigDecimal])
+      case StringType => org.apache.spark.unsafe.types.UTF8String.fromString(v.toString)
+      case _ => return null
+    }
+    val entries = ix.ranges.values.toSeq
+    val isNum = ix.keyTag == "num"
+    def minKey: Any = if (entries.isEmpty) null else keyValue(
+      if (isNum) entries.map(_._1.asInstanceOf[BigDecimal]).min
+      else entries.map(_._1.toString).min)
+    def maxKey: Any = if (entries.isEmpty) null else keyValue(
+      if (isNum) entries.map(_._2.asInstanceOf[BigDecimal]).max
+      else entries.map(_._2.toString).max)
+    def isKeyRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean = e match {
+      case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+        n.fieldNames.length == 1 && n.fieldNames.head == keyCol
+      case _ => false
+    }
+    val fields = Seq.newBuilder[StructField]
+    val values = Seq.newBuilder[Any]
+    agg.aggregateExpressions.foreach {
+      case _: aggregate.CountStar =>
+        fields += StructField("count_star", LongType, nullable = false)
+        values += entries.map(_._3).sum
+      case m: aggregate.Min if isKeyRef(m.column) =>
+        fields += StructField("min_key", keyDt); values += minKey
+      case m: aggregate.Max if isKeyRef(m.column) =>
+        fields += StructField("max_key", keyDt); values += maxKey
+      case _ => return None
+    }
+    Some((StructType(fields.result()), values.result().toArray))
+  }
+
+  override def build(): Scan = aggRow match {
+    case Some((schema, values)) =>
+      new GraftAggScan(GraftDataSource.pathOf(options), schema, values)
+    case None =>
+      new GraftScan(spark, dataSchema, required, pushed, options, limit)
+  }
+}
+
+/** A scan whose single row was computed from the sidecar index at planning
+  * time — COUNT/MIN/MAX answered with zero data I/O. */
+class GraftAggScan(path: String, aggSchema: StructType, values: Array[Any])
+    extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = GraftAggReaderFactory()
+  override def description(): String =
+    s"GraftAggScan path=$path source=_graft_index aggregates=${aggSchema.fieldNames.mkString(",")}"
+}
+
+final case class GraftAggPartition(values: Array[Any]) extends InputPartition
+
+final case class GraftAggReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          partition.asInstanceOf[GraftAggPartition].values)
+      override def close(): Unit = ()
+    }
 }
 
 class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructType,
@@ -420,6 +530,10 @@ object GraftIndex {
       .groupBy(input_file_name().as("f"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"), count(lit(1)).as("n"))
       .collect()
+      // a file whose keys are all null has no usable range: leave it out of the
+      // index (the connector always keeps unindexed files) instead of writing
+      // an unparseable "null" bound
+      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
       .map { r =>
         val name = URLDecoder.decode(r.getString(0).split('/').last, UTF_8)
         name -> ((normalize(tag, r.get(1)), normalize(tag, r.get(2)), r.getLong(3)))

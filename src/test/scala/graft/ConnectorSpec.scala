@@ -15,9 +15,13 @@ class ConnectorSpec extends SparkSpec {
   _quiet
 
   private def graftScan(df: org.apache.spark.sql.DataFrame): String = {
-    val scans = df.queryExecution.executedPlan.collect {
-      case b: BatchScanExec => b.scan.description()
-    }
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def find(p: SparkPlan): Seq[String] = p.collect {
+      case b: BatchScanExec => Seq(b.scan.description())
+      case a: AdaptiveSparkPlanExec => find(a.executedPlan) // AQE hides the scan
+    }.flatten
+    val scans = find(df.queryExecution.executedPlan)
     assert(scans.nonEmpty, "plan should contain a graft BatchScan:\n" +
       df.queryExecution.executedPlan)
     scans.mkString("\n")
@@ -269,6 +273,29 @@ class ConnectorSpec extends SparkSpec {
     val back = spark.read.parquet(dir).orderBy("o_orderkey").collect().map(_.toString)
     val want = src.orderBy("o_orderkey").collect().map(_.toString)
     assert(back.sameElements(want))
+  }
+
+  test("count/min/max on an indexed table answer from the sidecar with zero data I/O") {
+    val agg = keyed.agg(count(lit(1)).as("n"),
+      min(col("c_custkey")).as("lo"), max(col("c_custkey")).as("hi"))
+    val desc = graftScan(agg)
+    assert(desc.contains("GraftAggScan") && desc.contains("source=_graft_index"), desc)
+    val row = agg.head()
+    val expect = spark.read.parquet(indexedDir)
+      .agg(count(lit(1)), min(col("c_custkey")), max(col("c_custkey"))).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (expect.getLong(0), expect.getLong(1), expect.getLong(2)))
+
+    // any filter disables the index answer (counts would be partial)
+    val filtered = keyed.where(col("c_mktsegment") === "BUILDING").agg(count(lit(1)).as("n"))
+    val d2 = graftScan(filtered)
+    assert(!d2.contains("GraftAggScan"), d2)
+    assert(filtered.head().getLong(0) ==
+      spark.read.parquet(indexedDir).where(col("c_mktsegment") === "BUILDING").count())
+    // group-by aggregates also run the normal path
+    val grouped = keyed.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(!graftScan(grouped).contains("GraftAggScan"))
+    assert(grouped.count() > 1)
   }
 
   test("executeIndexed applies a full mutation batch on disk, matching in-memory execute") {
