@@ -586,6 +586,33 @@ object SparkEntry {
           col("c_mktsegment").as("segment"))
     }),
 
+    // --- REAL image decode, oracle-checked end to end: synthesize genuine PNG
+    //     bytes (ImageIO's DEFLATE codec), decode them back, and also resize
+    //     through decode→nearest-neighbor→re-encode. The DuckDB oracle
+    //     recomputes every decoded statistic in closed form from the synthesis
+    //     formulas — one flipped pixel anywhere in the codec path breaks the
+    //     hash. The blob itself never shuffles (the 64-row join carries only
+    //     id + sums) ---------------------------------------------------------
+    "q63_image_decode" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").where(col("doc_id") < 64).select(col("doc_id"))
+      val media = Multimodal.synthesizeMedia(ids, "doc_id")
+      val decoded = Multimodal.decodeImageStats(media, "doc_id", "image")
+      val resized = Multimodal.decodeImageStats(
+          Multimodal.resizeMedia(media, "image", 5, 4), "doc_id", "image")
+        .select(col("doc_id"), col("pixel_sum").as("resized_sum"))
+      decoded.join(broadcast(resized), "doc_id")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("pixel_sum"), col("resized_sum"))
+    }),
+
+    // --- REAL audio decode: RIFF chunk walk + PCM16 fold; duration derives
+    //     from the parsed header's sample rate, not metadata ------------------
+    "q64_audio_decode" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").where(col("doc_id") < 100).select(col("doc_id"))
+      Multimodal.decodeAudioStats(
+        Multimodal.synthesizeMedia(ids, "doc_id"), "doc_id", "audio")
+    }),
+
     // --- min-wise sampling: exact-size uniform sample as a pure function of
     //     the id set (same sample on any engine/partitioning; k-row heap per
     //     partition, no global sort) -----------------------------------------
@@ -1331,6 +1358,31 @@ object SparkEntry {
         |SELECT c_custkey + 10000000 AS key, 'NEW_' || c_name AS name,
         |       c_mktsegment AS segment
         |FROM c WHERE c_custkey % 131 = 0""".stripMargin,
+
+    // Closed-form replay of the decoded statistics: pixel(x,y) =
+    // (id·31+x·7+y·13) mod 256 over w×h, and the 5×4 nearest-neighbor resample
+    // src(x·w//5, y·h//4). Matching Spark's output proves ImageIO's PNG
+    // round-trip (and the resize resample) is bit-exact.
+    "q63_image_decode" ->
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+        |           FROM documents WHERE doc_id < 64)
+        |SELECT doc_id, 'png' AS format,
+        |  cast(w as int) AS width, cast(h as int) AS height,
+        |  cast(list_sum([(doc_id*31 + (i % w)*7 + (i // w)*13) % 256
+        |    FOR i IN generate_series(0, w*h - 1)]) as bigint) AS pixel_sum,
+        |  cast(list_sum([(doc_id*31 + ((i % 5) * w // 5)*7 +
+        |      ((i // 5) * h // 4)*13) % 256
+        |    FOR i IN generate_series(0, 19)]) as bigint) AS resized_sum
+        |FROM p""".stripMargin,
+
+    "q64_audio_decode" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS n
+        |           FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, 8000 AS sample_rate, cast(n as bigint) AS n_samples,
+        |  cast(list_sum([abs((doc_id*7919 + i*104729) % 20001 - 10000)
+        |    FOR i IN generate_series(0, n - 1)]) as bigint) AS sum_abs,
+        |  cast(n * 125 as bigint) AS duration_us
+        |FROM p""".stripMargin,
 
     "q59_minwise_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -1,0 +1,159 @@
+package graft.ops
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.ImageIO
+
+/**
+ * Real pure-JVM media codecs for the multimodal column path (north-star
+ * extension, BASELINE.json) — no external libraries:
+ *
+ *  - '''PNG''' encode/decode through `javax.imageio` (java.desktop ships a
+ *    complete PNG codec: DEFLATE, scanline filters, chunk CRCs). 8-bit
+ *    grayscale round-trips losslessly, so decoded pixel statistics are exact.
+ *  - '''WAV/PCM16''' encode/decode via a hand-rolled RIFF parser (the format
+ *    is a 44-byte little-endian header + raw samples).
+ *
+ * Format dispatch is by magic bytes, the way a real ingest pipeline sniffs
+ * payloads it did not write. Everything here is deterministic: the same bytes
+ * decode to the same statistics on any JVM, which is what lets the DuckDB
+ * oracle verify the full encode→decode round trip in closed form (see
+ * SparkEntry q63/q64).
+ *
+ * Scale note: these run partition-local inside `Dataset.mapPartitions`
+ * (Multimodal.scala) — the blob never shuffles, and decode cost is linear in
+ * payload bytes with zero driver involvement.
+ */
+object MediaCodec {
+
+  /** Decoded image facts: exact because gray-8 PNG is lossless. */
+  final case class ImageInfo(format: String, width: Int, height: Int, pixelSum: Long)
+
+  /** Decoded audio facts for PCM16 WAV. */
+  final case class WavInfo(sampleRate: Int, channels: Int, nSamples: Long, sumAbs: Long)
+
+  /** Magic-byte sniff — dispatch the way file(1) does, not by trusting metadata. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b == null || b.length < 12) "unknown"
+    else if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else "unknown"
+
+  // ------------------------------- images --------------------------------
+
+  /** Encode an 8-bit grayscale image to real PNG bytes via ImageIO. */
+  def encodeGrayPng(width: Int, height: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val out = new ByteArrayOutputStream(width * height / 2 + 64)
+    ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Decode any ImageIO-supported payload (PNG/BMP/GIF/JPEG) to exact pixel
+    * facts. Luminance sum uses the first band — exact for grayscale sources.
+    * Returns None for undecodable bytes (a real pipeline quarantines those). */
+  def decodeImage(bytes: Array[Byte]): Option[ImageInfo] = {
+    if (bytes == null) return None
+    val fmt = sniffFormat(bytes)
+    if (fmt != "png" && fmt != "bmp" && fmt != "jpeg") return None
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val raster = img.getRaster
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Some(ImageInfo(fmt, img.getWidth, img.getHeight, sum))
+  }
+
+  /** Real nearest-neighbor resize: decode → resample → re-encode PNG.
+    * src(x·wIn/wOut, y·hIn/hOut) with floor division — deterministic, so the
+    * resized image's statistics stay closed-form checkable. */
+  def resizeNearestPng(bytes: Array[Byte], wOut: Int, hOut: Int): Option[Array[Byte]] = {
+    if (bytes == null || sniffFormat(bytes) != "png") return None
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val raster = img.getRaster
+    val (wIn, hIn) = (img.getWidth, img.getHeight)
+    Some(encodeGrayPng(wOut, hOut,
+      (x, y) => raster.getSample(x * wIn / wOut, y * hIn / hOut, 0)))
+  }
+
+  // ------------------------------- audio ---------------------------------
+
+  /** Encode mono PCM16 samples as a canonical 44-byte-header WAV file. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a PCM16 WAV: walk RIFF chunks (not a fixed 44-byte assumption —
+    * real files carry LIST/fact chunks), then fold the samples. */
+  def decodeWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes == null || sniffFormat(bytes) != "wav") return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(12) // past RIFF<len>WAVE
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var nSamples = 0L
+    var sumAbs = 0L
+    var sawData = false
+    while (buf.remaining() >= 8) {
+      val id = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      val next = buf.position() + len + (len & 1) // chunks are 2-byte aligned
+      id match {
+        case "fmt " =>
+          val audioFormat = buf.getShort
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort
+          bits = buf.getShort
+          if (audioFormat != 1 || bits != 16) return None // PCM16 only
+        case "data" =>
+          if (channels == 0) return None // fmt must precede data
+          sawData = true
+          var i = 0
+          val n = len / 2
+          while (i < n) { sumAbs += math.abs(buf.getShort.toLong); i += 1 }
+          nSamples += n / channels
+        case _ => // skip LIST/fact/etc.
+      }
+      buf.position(math.min(next, bytes.length))
+    }
+    if (sawData) Some(WavInfo(sampleRate, channels, nSamples, sumAbs)) else None
+  }
+}

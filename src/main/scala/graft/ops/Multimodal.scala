@@ -1,24 +1,30 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /**
- * Multimodal-column plumbing (north-star extension, BASELINE.json): treat
+ * Multimodal-column operators (north-star extension, BASELINE.json): treat
  * image/audio/video payloads as opaque `binary` columns with a typed metadata
  * struct, and run decode / feature-extraction as **batched partition-local**
- * transforms. The Spark-side mechanics — schema, partition sizing, batch shape,
- * null handling — are real and tested; the actual media codecs are STUBBED with a
- * deterministic fake (no image/audio libraries exist in this environment), each
- * clearly marked `STUB`.
+ * transforms.
+ *
+ * Decode is REAL here — [[MediaCodec]] carries a complete PNG codec
+ * (`javax.imageio`, pure JDK) and a hand-rolled RIFF/PCM16 WAV parser, so
+ * [[decodeImageStats]]/[[decodeAudioStats]]/[[resizeMedia]] operate on genuine
+ * format bytes and their outputs are oracle-checked end to end (SparkEntry
+ * q63/q64: the DuckDB oracle recomputes the decoded statistics in closed form
+ * from the synthesis formulas — a single corrupted pixel or sample would break
+ * the hash match). Formats the JDK cannot decode (proprietary video codecs)
+ * would slot into the same `mapPartitions` shape via JNI/FFI.
  *
  * Scale design: media blobs dominate row size, so operators here
  * (a) never shuffle the blob — metadata-only projections are separate columns
  *     the optimizer can prune the blob away from;
  * (b) repartition by target byte size, not row count (`repartitionForBlobs`);
- * (c) use `mapPartitions` for batch-amortized native-decoder calls (the Scala
- *     analogue of `mapInPandas` batches).
+ * (c) use `mapPartitions` for batch-amortized decoder calls (the Scala
+ *     analogue of `mapInPandas` batches), keeping rows in Tungsten format.
  */
 object Multimodal {
 
@@ -44,6 +50,104 @@ object Multimodal {
         (octet_length(col("media")) % 30 + 1).cast("int").as("n_frames"),
         octet_length(col("media")).cast("long").as("bytes")))
 
+  // ------------------------ deterministic synthesis ------------------------
+  // Real format bytes derived from an id — the encode half of the round trip
+  // the q63/q64 oracles verify. Formulas are chosen to be exactly replayable
+  // in ANSI SQL (small positive integers, no float math).
+
+  /** Real PNG: w=8+id%9, h=8+id%7, pixel(x,y) = (id·31 + x·7 + y·13) mod 256. */
+  def synthImageBytes(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    MediaCodec.encodeGrayPng(w, h, (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt)
+  }
+
+  /** Real WAV: 8 kHz mono PCM16, n=64+id%64 samples,
+    * sample(i) = (id·7919 + i·104729) mod 20001 − 10000. */
+  def synthAudioBytes(id: Long): Array[Byte] = {
+    val n = (64 + id % 64).toInt
+    MediaCodec.encodeWavPcm16(8000,
+      Array.tabulate(n)(i => ((id * 7919 + i.toLong * 104729) % 20001 - 10000).toShort))
+  }
+
+  /** Attach real PNG + WAV payload columns (`image`, `audio`) synthesized from
+    * a numeric id column. Partition-local encode; nothing shuffles. */
+  def synthesizeMedia(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema(idCol) +:
+      Seq(StructField("image", BinaryType), StructField("audio", BinaryType)))
+    df.select(col(idCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, synthImageBytes(id), synthAudioBytes(id))
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  // ------------------------------ real decode ------------------------------
+
+  /** Decode an image blob column to exact facts: (id, format, width, height,
+    * pixel_sum). Undecodable payloads yield nulls (quarantine semantics). */
+  def decodeImageStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          MediaCodec.decodeImage(r.getAs[Array[Byte]](1)) match {
+            case Some(i) => Row(r.get(0), i.format, i.width, i.height, i.pixelSum)
+            case None => Row(r.get(0), null, null, null, null)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Decode a WAV blob column: (id, sample_rate, n_samples, sum_abs,
+    * duration_us). Exact integer facts — PCM needs no float math. */
+  def decodeAudioStats(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("sample_rate", IntegerType),
+      StructField("n_samples", LongType),
+      StructField("sum_abs", LongType),
+      StructField("duration_us", LongType)))
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          MediaCodec.decodeWav(r.getAs[Array[Byte]](1)) match {
+            case Some(w) => Row(r.get(0), w.sampleRate, w.nSamples, w.sumAbs,
+              w.nSamples * 1000000L / w.sampleRate)
+            case None => Row(r.get(0), null, null, null, null)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** REAL resize: decode → nearest-neighbor resample → re-encode PNG, in
+    * place. Non-PNG payloads pass through unchanged. */
+  def resizeMedia(df: DataFrame, blobCol: String, w: Int, h: Int): DataFrame = {
+    val schema = StructType(df.schema.map {
+      case f if f.name == blobCol => f.copy(dataType = BinaryType)
+      case f => f
+    })
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        vals(blobIdx) = MediaCodec.resizeNearestPng(blob, w, h).getOrElse(blob)
+        Row(vals: _*)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
   /**
    * Repartition so each partition holds ≈ `targetBytes` of payload — the blob
    * analogue of `spark.sql.files.maxPartitionBytes`. Prevents 2 GB partition
@@ -57,58 +161,74 @@ object Multimodal {
   }
 
   /**
-   * STUB decode: batched per-partition "decode" producing a deterministic
-   * feature vector per blob (first 8 bytes as floats, normalized). A real
-   * deployment replaces `decodeBatch` with a JNI/FFI call into an image/audio
-   * codec — the batching, schema, and null contract stay identical.
+   * Generic feature extraction with real-codec dispatch: PNG blobs decode to
+   * pixel features, WAV blobs to sample features, anything else falls back to
+   * raw-byte features (the honest treatment for formats the JDK can't decode).
+   * Batched per-partition; decoder state initializes once per partition — the
+   * amortized call shape a JNI/FFI codec needs.
    */
   def decodeFeatures(df: DataFrame, idCol: String, blobCol: String, dim: Int = 8,
       batchSize: Int = 64): DataFrame = {
     val outSchema = StructType(Seq(
       StructField(idCol, df.schema(idCol).dataType),
       StructField("features", ArrayType(FloatType))))
-    // Dataset.mapPartitions (not df.rdd): rows stay in Tungsten format across
-    // the boundary and Catalyst keeps pruning/planning through the operator.
-    // The decoder initializes ONCE per partition and consumes fixed-size blob
-    // batches — the amortized call shape a JNI/FFI codec needs (per-blob
-    // native calls would pay the boundary crossing per row).
     df.select(col(idCol), col(blobCol))
       .mapPartitions { it =>
-        val decoder = new StubDecoder(dim) // real codec: open once, close via task listener
         it.grouped(batchSize).flatMap { rows =>
-          val feats = decoder.decodeBatch(rows.map(_.getAs[Array[Byte]](1)).toArray)
-          rows.iterator.zipWithIndex.map { case (r, i) => Row(r.get(0), feats(i)) }
+          rows.iterator.map { r =>
+            Row(r.get(0), featuresOf(r.getAs[Array[Byte]](1), dim))
+          }
         }
-      }(org.apache.spark.sql.Encoders.row(outSchema))
+      }(Encoders.row(outSchema))
       .toDF()
   }
 
-  /** STUB decoder — deterministic fake with a real batched interface: byte n →
-    * float (byte/128 - 1), padded. A production build swaps the body for a
-    * native batch call; signature and lifecycle stay identical. */
-  private final class StubDecoder(dim: Int) extends Serializable {
-    def decodeBatch(blobs: Array[Array[Byte]]): Array[Array[Float]] =
-      blobs.map { blob =>
-        val out = new Array[Float](dim)
+  private def featuresOf(blob: Array[Byte], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    MediaCodec.sniffFormat(blob) match {
+      case "png" =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+        if (img != null) {
+          val raster = img.getRaster
+          val (w, h) = (img.getWidth, img.getHeight)
+          var i = 0
+          while (i < dim && i < w * h) {
+            out(i) = raster.getSample(i % w, i / w, 0) / 255f
+            i += 1
+          }
+        }
+      case "wav" =>
+        MediaCodec.decodeWav(blob) match {
+          case Some(_) =>
+            val buf = java.nio.ByteBuffer.wrap(blob)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            buf.position(44) // canonical data offset for our writer
+            var i = 0
+            while (i < dim && buf.remaining() >= 2) {
+              out(i) = buf.getShort / 32768f
+              i += 1
+            }
+          case None => ()
+        }
+      case _ => // raw-byte fallback: byte n → byte/128 − 1
         var i = 0
         while (i < dim) {
           out(i) = if (blob != null && i < blob.length) blob(i).toFloat / 128f - 1f else 0f
           i += 1
         }
-        out
-      }
+    }
+    out
   }
 
   /**
-   * STUB resize: rewrite the metadata to the target geometry and (stub)
-   * truncate the payload to ≤ w·h bytes — a real deployment swaps the payload
-   * expression for a codec call; the schema contract (same columns, blob stays
-   * binary, metadata reflects the target geometry) is the tested part. Pure
-   * per-row expressions: the blob never shuffles and nulls pass through.
+   * Metadata-contract resize for NON-decodable payloads: rewrite the metadata
+   * to the target geometry and truncate the payload to ≤ w·h bytes. Kept for
+   * opaque formats; decodable payloads should use [[resizeMedia]], the real
+   * resample. Pure per-row expressions: the blob never shuffles.
    */
   def resizeStub(df: DataFrame, w: Int, h: Int): DataFrame =
     df.withColumn("media",
-        substring(col("media"), 1, w * h)) // STUB: codec call goes here
+        substring(col("media"), 1, w * h))
       .withColumn("media_meta", struct(
         col("media_meta.format"),
         lit(w).as("width"),
@@ -118,8 +238,8 @@ object Multimodal {
 
   /**
    * Frame sampling plumbing: pick every `stride`-th frame index up to
-   * `media_meta.n_frames` (the decode of those frames is the STUB above).
-   * Pure expression — prunes to metadata, never touches the blob.
+   * `media_meta.n_frames`. Pure expression — prunes to metadata, never
+   * touches the blob.
    */
   def sampleFrameIndexes(df: DataFrame, stride: Int): DataFrame =
     df.withColumn("frame_idx",

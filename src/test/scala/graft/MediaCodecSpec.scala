@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{MediaCodec, Multimodal}
+
+/** The real-codec contract: PNG (ImageIO) and WAV (RIFF parser) round-trip
+  * EXACTLY — decoded statistics equal the synthesis formulas bit for bit.
+  * This is the local half of the q63/q64 cross-engine oracle. */
+class MediaCodecSpec extends AnyFunSuite {
+
+  private def pngSum(id: Long): (Int, Int, Long) = {
+    val w = (8 + id % 9).toInt
+    val h = (8 + id % 7).toInt
+    var s = 0L
+    for (y <- 0 until h; x <- 0 until w) s += (id * 31 + x * 7 + y * 13) % 256
+    (w, h, s)
+  }
+
+  test("PNG encode/decode round-trips pixel-exactly (real DEFLATE codec)") {
+    for (id <- Seq(0L, 1L, 7L, 42L, 255L, 4095L)) {
+      val bytes = Multimodal.synthImageBytes(id)
+      assert(MediaCodec.sniffFormat(bytes) == "png")
+      // real PNG magic + IHDR chunk present
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+      assert(new String(bytes.slice(12, 16), "US-ASCII") == "IHDR")
+      val info = MediaCodec.decodeImage(bytes).get
+      val (w, h, s) = pngSum(id)
+      assert(info.format == "png" && info.width == w && info.height == h)
+      assert(info.pixelSum == s, s"pixel sum mismatch for id=$id")
+    }
+  }
+
+  test("WAV PCM16 encode/decode round-trips sample-exactly") {
+    for (id <- Seq(0L, 3L, 63L, 1000L)) {
+      val bytes = Multimodal.synthAudioBytes(id)
+      assert(MediaCodec.sniffFormat(bytes) == "wav")
+      val info = MediaCodec.decodeWav(bytes).get
+      val n = 64 + id % 64
+      val expSum = (0L until n).map(i => math.abs((id * 7919 + i * 104729) % 20001 - 10000)).sum
+      assert(info.sampleRate == 8000 && info.channels == 1)
+      assert(info.nSamples == n && info.sumAbs == expSum)
+    }
+  }
+
+  test("WAV parser walks chunks (extra chunk before data) and rejects non-PCM16") {
+    val base = MediaCodec.encodeWavPcm16(8000, Array[Short](100, -200, 300))
+    // splice a LIST chunk between fmt and data
+    val fmtEnd = 12 + 8 + 16
+    val list = Array[Byte]('L', 'I', 'S', 'T', 4, 0, 0, 0, 'I', 'N', 'F', 'O')
+    val spliced = base.slice(0, fmtEnd) ++ list ++ base.drop(fmtEnd)
+    // fix RIFF length field
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    val info = MediaCodec.decodeWav(spliced).get
+    assert(info.nSamples == 3 && info.sumAbs == 600)
+    // corrupt bits-per-sample → rejected, not misparsed
+    val bad = base.clone()
+    java.nio.ByteBuffer.wrap(bad).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(34, 8)
+    assert(MediaCodec.decodeWav(bad).isEmpty)
+  }
+
+  test("nearest-neighbor resize matches the closed-form resample") {
+    val id = 42L
+    val bytes = Multimodal.synthImageBytes(id)
+    val (w, h, _) = pngSum(id)
+    val resized = MediaCodec.resizeNearestPng(bytes, 5, 4).get
+    val info = MediaCodec.decodeImage(resized).get
+    var exp = 0L
+    for (y <- 0 until 4; x <- 0 until 5)
+      exp += (id * 31 + (x * w / 5) * 7 + (y * h / 4) * 13) % 256
+    assert(info.width == 5 && info.height == 4 && info.pixelSum == exp)
+  }
+
+  test("sniff + decode reject garbage and truncated payloads") {
+    assert(MediaCodec.sniffFormat(Array[Byte](1, 2, 3)) == "unknown")
+    assert(MediaCodec.decodeImage("not an image".getBytes).isEmpty)
+    assert(MediaCodec.decodeWav("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(MediaCodec.decodeImage(null).isEmpty)
+    val png = Multimodal.synthImageBytes(1L)
+    assert(MediaCodec.decodeImage(png.slice(0, 20)).isEmpty) // truncated
+  }
+}
+
+/** Spark-side plumbing over the real codecs. */
+class MultimodalDecodeSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private lazy val ids = {
+    _quiet
+    spark.range(0, 32).toDF("doc_id")
+  }
+
+  test("synthesizeMedia → decodeImageStats: distributed decode is exact") {
+    val media = Multimodal.synthesizeMedia(ids, "doc_id")
+    val stats = Multimodal.decodeImageStats(media, "doc_id", "image")
+      .orderBy(col("doc_id")).collect()
+    stats.foreach { case Row(id: Long, fmt: String, w: Int, h: Int, s: Long) =>
+      assert(fmt == "png")
+      assert(w == 8 + id % 9 && h == 8 + id % 7)
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w) exp += (id * 31 + x * 7 + y * 13) % 256
+      assert(s == exp)
+    }
+  }
+
+  test("decodeAudioStats: duration from real header, null row for bad blob") {
+    val media = Multimodal.synthesizeMedia(ids, "doc_id")
+      .withColumn("audio",
+        when(col("doc_id") === 5, lit("garbage".getBytes)).otherwise(col("audio")))
+    val stats = Multimodal.decodeAudioStats(media, "doc_id", "audio")
+    val bad = stats.where(col("doc_id") === 5).head()
+    assert(bad.isNullAt(1) && bad.isNullAt(4)) // quarantined, not crashed
+    val good = stats.where(col("doc_id") === 6).head()
+    assert(good.getInt(1) == 8000)
+    assert(good.getLong(4) == good.getLong(2) * 1000000L / 8000)
+  }
+
+  test("resizeMedia resizes PNG in place; decodeFeatures dispatches by format") {
+    val media = Multimodal.synthesizeMedia(ids.limit(4), "doc_id")
+    val resized = Multimodal.resizeMedia(media, "image", 6, 6)
+    Multimodal.decodeImageStats(resized, "doc_id", "image").collect().foreach { r =>
+      assert(r.getInt(2) == 6 && r.getInt(3) == 6)
+    }
+    // image features = first pixels/255 — all in [0,1]
+    val f = Multimodal.decodeFeatures(media, "doc_id", "image", dim = 4)
+      .collect().map(_.getSeq[Float](1))
+    assert(f.forall(v => v.size == 4 && v.forall(x => x >= 0f && x <= 1f)))
+    // audio features = first samples/32768 — in [-1,1], some negative
+    val fa = Multimodal.decodeFeatures(media, "doc_id", "audio", dim = 8)
+      .collect().map(_.getSeq[Float](1))
+    assert(fa.forall(v => v.forall(x => x >= -1f && x <= 1f)))
+  }
+}
