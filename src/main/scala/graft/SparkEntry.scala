@@ -613,6 +613,23 @@ object SparkEntry {
         Multimodal.synthesizeMedia(ids, "doc_id"), "doc_id", "audio")
     }),
 
+    // --- train/test contamination audit: distinct test shingles probed
+    //     against the train split's global shingle set (equi-join on 64-bit
+    //     hashes; only 8-byte keys shuffle). Split is the deterministic
+    //     md5-bucket split, so both engines draw identical train sets --------
+    "q65_contamination" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.hashSplit(T(s, dir, "documents"), "doc_id", 80)
+      TextOps.contamination(
+        sp.where(col("split") === "train"),
+        sp.where(col("split") === "test"),
+        "doc_id", "text", shingleSize = 3)
+    }),
+
+    // --- repetition quality profile: per-row native expressions only — the
+    //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
+    "q66_repetition" -> ((s, dir) =>
+      TextOps.repetitionProfile(T(s, dir, "documents"), "doc_id", "text")),
+
     // --- min-wise sampling: exact-size uniform sample as a pure function of
     //     the id set (same sample on any engine/partitioning; k-row heap per
     //     partition, no global sort) -----------------------------------------
@@ -1383,6 +1400,56 @@ object SparkEntry {
         |    FOR i IN generate_series(0, n - 1)]) as bigint) AS sum_abs,
         |  cast(n * 125 as bigint) AS duration_us
         |FROM p""".stripMargin,
+
+    // Shingle replay matches q24's tokenization (split on single space, drop
+    // empties, len<n ⇒ one whole-text shingle); the join is on shingle STRINGS
+    // where Spark joins 64-bit hashes — identical counts barring a 2^-64
+    // collision.
+    "q65_contamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |      % 100 < 80 AS is_train,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_train, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_train),
+        |te AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_train),
+        |hit AS (SELECT doc_id, count(*) AS n_cont FROM te JOIN tr USING (g)
+        |        GROUP BY 1)
+        |SELECT z.doc_id, cast(len(z.s) as bigint) AS n_shingles,
+        |  coalesce(h.n_cont, 0) AS n_contaminated,
+        |  round(coalesce(h.n_cont, 0) / cast(len(z.s) as double), 6)
+        |    AS contamination_rate
+        |FROM sh z LEFT JOIN hit h USING (doc_id) WHERE NOT z.is_train""".stripMargin,
+
+    "q66_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+1], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 1)] END AS g2,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END AS g3
+        |  FROM t),
+        |c2 AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(g2) AS g FROM g) GROUP BY 1, 2),
+        |a2 AS (SELECT doc_id, max(c) AS maxc, cast(sum(c) as bigint) AS tot
+        |       FROM c2 GROUP BY 1)
+        |SELECT g.doc_id, a2.tot AS n_2grams,
+        |  round(a2.maxc / cast(a2.tot as double), 6) AS top2gram_frac,
+        |  round(1.0 - len(list_distinct(g.g3)) / cast(len(g.g3) as double), 6)
+        |    AS dup3gram_frac
+        |FROM g JOIN a2 USING (doc_id)""".stripMargin,
 
     "q59_minwise_sample" ->
       """SELECT doc_id, lang, source FROM documents

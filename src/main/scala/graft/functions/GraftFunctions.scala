@@ -73,6 +73,11 @@ object GraftFunctions {
   def md5_prefix60(s: Column): Column =
     Bridge.column(Md5Prefix60(Bridge.expression(s)))
 
+  /** Max element multiplicity of an `array<long>` — per-row repetition
+    * statistic; keeps repetition profiling shuffle-free (see q66). */
+  def max_multiplicity(arr: Column): Column =
+    Bridge.column(MaxMultiplicity(Bridge.expression(arr)))
+
   /** Cross-engine-stable token hashing: top 60 bits of each token's MD5 —
     * DuckDB twin `('0x' || substr(md5(t),1,15))::BIGINT`. Use for signature
     * pipelines that must be replayable as an exact SQL oracle. */

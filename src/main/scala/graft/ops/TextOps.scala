@@ -90,4 +90,60 @@ object TextOps {
       qualityScore(col(textCol)).as("quality"),
       token_count(col(textCol)).as("n_tokens"),
       fingerprint_md5(col(textCol)).as("fp"))
+
+  /**
+   * Gopher-style repetition profile, entirely per-row — ZERO shuffle. For each
+   * document: `top2gram_frac` = occurrences of the most frequent word 2-gram /
+   * total 2-gram occurrences (native `max_multiplicity` over hashed grams —
+   * the explode→groupBy formulation would shuffle every gram occurrence of a
+   * 100 TB corpus; this moves only per-document scalars), and `dup3gram_frac`
+   * = fraction of 3-gram occurrences that are repeats. High values flag
+   * boilerplate/spam for quality filtering. Short docs follow the shingle
+   * contract (len < n ⇒ one whole-text shingle ⇒ frac 1.0 with itself — filter
+   * on `n_2grams` downstream if that matters).
+   */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val raw = split(col(textCol), " ")
+    df.select(
+        col(idCol),
+        shingle_hashes(raw, 2).as("g2"),
+        shingle_hashes(raw, 3).as("g3"))
+      .select(
+        col(idCol),
+        size(col("g2")).cast("bigint").as("n_2grams"),
+        round(max_multiplicity(col("g2")).cast("double") / size(col("g2")), 6)
+          .as("top2gram_frac"),
+        round(lit(1.0) - size(array_distinct(col("g3"))).cast("double") / size(col("g3")), 6)
+          .as("dup3gram_frac"))
+  }
+
+  /**
+   * Train/test contamination report: for every test document, how many of its
+   * distinct word n-gram shingles also occur anywhere in the train split.
+   * The mechanism of Brown/GPT-3-style decontamination audits, Spark-first:
+   * one string-touching pass hashes shingles to 64 bits, the train side
+   * collapses to DISTINCT shingle hashes, and the probe is an equi-join on
+   * uniform longs (skew-free by construction; only 8-byte keys shuffle — never
+   * text). At 100 TB the train side can additionally compress into a bloom
+   * filter broadcast (accepting a small false-positive overcount); the exact
+   * join here is the oracle-checkable form. Returns
+   * (id, n_shingles, n_contaminated, contamination_rate).
+   */
+  def contamination(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3): DataFrame = {
+    def hashed(d: DataFrame) = d.select(col(idCol).as("id"),
+      array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+    val trainSh = hashed(train).select(explode(col("th")).as("s")).distinct()
+    // persisted: sizes + probe branches both consume the test shingling scan
+    val testH = hashed(test).persist()
+    val hits = testH.select(col("id"), explode(col("th")).as("s"))
+      .join(trainSh, Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+    testH.select(col("id"), size(col("th")).cast("bigint").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination_rate"))
+  }
 }

@@ -401,3 +401,49 @@ case class TokenHashes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Maximum multiplicity of any element in an `array<long>` — the per-document
+ * "most repeated n-gram count" statistic of repetition-quality filtering.
+ * Sorts a copy and counts the longest run: O(k log k) inside the row. This is
+ * what makes repetition profiling (q66) SHUFFLE-FREE: the classic
+ * explode → groupBy(doc, gram) → max formulation pushes every n-gram
+ * occurrence of the corpus through an exchange, while this computes the same
+ * number per row and only the per-document scalars move.
+ */
+case class MaxMultiplicity(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "max_multiplicity"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val k = arr.numElements()
+    // copy skipping nulls — null grams carry no repetition signal
+    val a = new Array[Long](k)
+    var m = 0
+    var i = 0
+    while (i < k) {
+      if (!arr.isNullAt(i)) { a(m) = arr.getLong(i); m += 1 }
+      i += 1
+    }
+    if (m == 0) 0
+    else {
+      java.util.Arrays.sort(a, 0, m)
+      var best = 1
+      var run = 1
+      i = 1
+      while (i < m) {
+        if (a(i) == a(i - 1)) { run += 1; if (run > best) best = run }
+        else run = 1
+        i += 1
+      }
+      best
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+/** Contamination + repetition-quality operators (training-data hygiene). */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("max_multiplicity: native per-row mode count") {
+    val r = Seq(
+      (Seq(1L, 2L, 2L, 3L, 2L), 3),
+      (Seq(7L), 1),
+      (Seq.empty[Long], 0))
+      .toDF("a", "exp")
+      .select(graft.functions.GraftFunctions.max_multiplicity(col("a")), col("exp"))
+      .collect()
+    r.foreach(row => assert(row.getInt(0) == row.getInt(1)))
+  }
+
+  test("repetitionProfile: planted boilerplate scores high, diverse text low") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "a b")).toDF("doc_id", "text")
+    val p = TextOps.repetitionProfile(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: 9 bigrams, "buy now"×5 + "now buy"×4 → top = 5/9
+    assert(p(1L).getLong(1) == 9)
+    assert(math.abs(p(1L).getDouble(2) - 5.0 / 9) < 1e-6)
+    assert(p(1L).getDouble(3) > 0.5) // 3-grams heavily repeated
+    // doc 2: all bigrams distinct
+    assert(p(2L).getDouble(2) < 0.2 && p(2L).getDouble(3) == 0.0)
+    // doc 3: shorter than 3 tokens → single whole-text shingle contract
+    assert(p(3L).getLong(1) == 1 && p(3L).getDouble(2) == 1.0)
+  }
+
+  test("repetitionProfile plans with ZERO exchanges (per-row only)") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+    val plan = TextOps.repetitionProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("contamination: exact overlap counts, zero-hit docs included") {
+    val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val test = Seq(
+      (10L, "alpha beta gamma echo"), // shingles: {a b g, b g e? ...}
+      (11L, "zz yy xx ww vv")).toDF("doc_id", "text")
+    val c = TextOps.contamination(train, test, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // test 10: shingles {alpha beta gamma, beta gamma echo} — first hits train
+    assert(c(10L).getLong(1) == 2 && c(10L).getLong(2) == 1)
+    assert(math.abs(c(10L).getDouble(3) - 0.5) < 1e-9)
+    // test 11: no overlap — present with zero, not dropped by the join
+    assert(c(11L).getLong(2) == 0 && c(11L).getDouble(3) == 0.0)
+  }
+
+  test("contamination rate is monotone in planted overlap") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
+    val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 80)
+    val out = TextOps.contamination(
+      sp.where(col("split") === "train"), sp.where(col("split") === "test"),
+      "doc_id", "text")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1)) // hits ≤ shingles
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}
