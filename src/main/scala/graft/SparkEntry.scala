@@ -836,6 +836,28 @@ object SparkEntry {
         statePartitions = Some(1), noDataBatch = false)
     }),
 
+    // --- streaming dedup: every 7th event is planted to arrive TWICE inside
+    //     the replay; watermark-bounded dropDuplicatesWithinWatermark must
+    //     emit exactly the original stream (oracle = the raw events table).
+    //     Dedup emits eagerly on first sight (drops, never holds rows back),
+    //     so the finite drain skips the trailing no-data batch ---------------
+    "q67_stream_dedup" -> ((s, dir) => {
+      val replay = graft.streaming.Streaming.eventsReplay(s, dir, 4)
+      val withDups = replay
+        .select(col("event_id"), col("user_id"), col("ts"),
+          explode(when(pmod(col("event_id"), lit(7)) === 0,
+            array(lit(0), lit(1))).otherwise(array(lit(0)))).as("dup_copy"))
+        .drop("dup_copy")
+      val deduped = graft.streaming.Streaming.dedupStream(
+        withDups, Seq("event_id"), "ts", "1 hour")
+      graft.streaming.Streaming.runToTable(
+        deduped.select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us")),
+        "q67_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8), noDataBatch = false)
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1561,6 +1583,11 @@ object SparkEntry {
         |  ON a.user_id = b.user_id
         | AND epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000""".stripMargin,
+
+    // Stream dedup must reduce the planted-duplicate stream back to exactly
+    // the original event set.
+    "q67_stream_dedup" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events""".stripMargin,
 
     "q41_range_join" ->
       """SELECT a.event_id, count(b.user_id) AS n_clicks_10m

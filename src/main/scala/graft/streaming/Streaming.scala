@@ -165,6 +165,24 @@ object Streaming {
       .start()
 
   /**
+   * Streaming exact dedup with BOUNDED state: drop every re-arrival of a key
+   * seen within the watermark delay (`dropDuplicatesWithinWatermark`). The
+   * streaming twin of `Dedup.exact` for at-least-once ingest pipelines —
+   * upstream retries/replays land the same record twice and must not
+   * double-count downstream. State holds one entry per distinct key seen in
+   * the last `watermark` of event time and is evicted as the watermark
+   * advances — O(recent keys), not O(stream length), which is what survives an
+   * unbounded 100 TB/day feed (a plain `dropDuplicates` would pin every key
+   * forever). The guarantee is exactly the at-least-once contract: duplicates
+   * arriving within the delay are dropped, later ones are the upstream's SLA
+   * breach to fix.
+   */
+  def dedupStream(events: DataFrame, keys: Seq[String], tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /**
    * Stream-stream interval join: pair each left event with right events of the
    * same key inside `(left.ts, left.ts + window]`. Both sides carry watermarks
    * and the join condition bounds event time on both ends, so Spark can evict

@@ -125,6 +125,44 @@ class StreamingSpec extends SparkSpec {
     assert((u2.getLong(1), u2.getLong(2)) == (3L, 3L))
   }
 
+  test("dedupStream drops re-arrivals across micro-batches, keeps first-seen row") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("tag", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_").toString
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, tag) =>
+          org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), tag)
+        }), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime) // file-stream source orders by mtime
+    }
+    val base = System.currentTimeMillis()
+    write("00.parquet", base, Seq(
+      (1L, "2024-01-01 10:00:00", "first"),
+      (2L, "2024-01-01 10:01:00", "first"),
+      (3L, "2024-01-01 10:02:00", "first")))
+    write("01.parquet", base + 1000, Seq(
+      (3L, "2024-01-01 10:20:00", "RETRY"), // re-arrival within 1h watermark
+      (4L, "2024-01-01 10:21:00", "first")))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = Streaming.runToTable(
+      Streaming.dedupStream(stream, Seq("id"), "ts", "1 hour"),
+      "t_dedup", org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    // id 3 survives with its FIRST occurrence, the later retry row is dropped
+    assert(out.find(_.getLong(0) == 3L).get.getString(2) == "first")
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),
