@@ -858,6 +858,30 @@ object SparkEntry {
         statePartitions = Some(8), noDataBatch = false)
     }),
 
+    // --- the V2 catalog SQL lifecycle, end to end: CREATE TABLE / INSERT INTO
+    //     / DELETE FROM (one key-ranged, index-pruned; one content predicate)
+    //     / SELECT, all in plain SQL over the keyed store. The oracle replays
+    //     both deletes as negated predicates over the raw table ---------------
+    "q68_catalog_sql" -> ((s, dir) => {
+      if (s.conf.getOption("spark.sql.catalog.gcat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gcat",
+          "org.apache.spark.sql.graft.GraftTableCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_q68_").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      val t = "gcat.db.parts_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      s.sql(s"""CREATE TABLE $t (p_partkey BIGINT, p_name STRING,
+               |p_brand STRING, p_size INT) TBLPROPERTIES ('key'='p_partkey')""".stripMargin)
+      T(s, dir, "part").select(col("p_partkey"), col("p_name"), col("p_brand"),
+          col("p_size"))
+        .repartitionByRange(8, col("p_partkey")).sortWithinPartitions("p_partkey")
+        .writeTo(t).append()
+      s.sql(s"DELETE FROM $t WHERE p_partkey <= 50") // key range: prunes to 1 file
+      s.sql(s"DELETE FROM $t WHERE p_size < 10 OR p_brand = 'Brand#21'")
+      s.sql(s"SELECT p_partkey, p_name, p_size FROM $t WHERE p_partkey % 3 = 0")
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1588,6 +1612,14 @@ object SparkEntry {
     // the original event set.
     "q67_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events""".stripMargin,
+
+    // Both DELETEs replayed as negated predicates (part has no null brands/
+    // sizes, so NOT(pred) is the exact survivor set).
+    "q68_catalog_sql" ->
+      """SELECT p_partkey, p_name, p_size FROM part
+        |WHERE p_partkey > 50
+        |  AND NOT (p_size < 10 OR p_brand = 'Brand#21')
+        |  AND p_partkey % 3 = 0""".stripMargin,
 
     "q41_range_join" ->
       """SELECT a.event_id, count(b.user_id) AS n_clicks_10m

@@ -24,7 +24,7 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFil
 import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
 import org.apache.spark.sql.internal.SQLConf
-import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, max, min}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -87,13 +87,92 @@ object GraftDataSource {
 
 class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val path = GraftDataSource.pathOf(options)
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    FilterToColumn.all(filters).isDefined
+
+  /**
+   * `DELETE FROM t WHERE ...`, index-pruned: fold the predicate's key
+   * constraints into a [[KeyBounds]] interval and rewrite ONLY the data files
+   * whose key range can intersect it — the region-targeted-delete analogue
+   * (a key-ranged DELETE on a 100 TB table rewrites the affected ranges, not
+   * the table). Non-key predicates rewrite every file but still stream
+   * distributed (one filter job, no driver materialization). The sidecar
+   * index entries of rewritten files refresh from the staged write's own
+   * task-commit stats; untouched files and their entries survive byte-
+   * identical. `TRUNCATE TABLE` arrives here as AlwaysTrue via the
+   * SupportsDelete default bridge.
+   */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val keyCol = options.getOrDefault("key", "key")
+    val pred = FilterToColumn.all(filters).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unsupported DELETE predicate: ${filters.mkString(", ")}"))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(path)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    if (!fs.exists(dirPath)) return
+    val dataFiles = fs.listStatus(dirPath).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (dataFiles.isEmpty) return
+    val index = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
+    val bounds = KeyBounds.fromFilters(filters, keyCol)
+    val affected = index match {
+      case Some(ix) if !bounds.unconstrained =>
+        dataFiles.filter { st =>
+          ix.ranges.get(st.getPath.getName) match {
+            case Some((lo, hi, _)) => bounds.intersects(lo, hi)
+            case None => true // unindexed file — must assume it matches
+          }
+        }
+      case _ => dataFiles
+    }
+    if (affected.isEmpty) return
+    val affectedNames = affected.map(_.getPath.getName)
+    // one distributed job over the affected files: keep rows where the
+    // predicate is false or null (SQL DELETE removes only pred = TRUE)
+    val kept = spark.read.schema(tableSchema)
+      .parquet(affectedNames.map(n => s"$path/$n"): _*)
+      .where(!coalesce(pred, lit(false)))
+    val staging = path + "__delete_staging"
+    kept.repartitionByRange(math.max(1, affectedNames.size), col(keyCol))
+      .sortWithinPartitions(keyCol)
+      .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
+    val stagingPath = new Path(staging)
+    val stagedEntries = GraftIndex.read(stagingPath, hadoopConf)
+      .filter(_.keyCol == keyCol).map(_.ranges).getOrElse(Map.empty)
+    val stagedFiles = fs.listStatus(stagingPath).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    affectedNames.foreach(n => fs.delete(new Path(path, n), false))
+    val stamp = System.currentTimeMillis()
+    val moved = stagedFiles.sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+      val name = f"d$stamp%d-$i%05d.parquet"
+      fs.rename(st.getPath, new Path(path, name))
+      name -> stagedEntries.get(st.getPath.getName)
+    }
+    fs.delete(stagingPath, true)
+    index match {
+      case Some(ix) if moved.forall(_._2.isDefined) =>
+        GraftIndex.writeRanges(spark, path, keyCol, ix.keyTag,
+          ix.ranges -- affectedNames ++ moved.map { case (n, e) => n -> e.get })
+      case Some(_) => // staged stats unusable — drop the index rather than lie
+        fs.delete(new Path(dirPath, GraftIndex.FileName), false)
+      case None => ()
+    }
+  }
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
     merged.putAll(caseInsensitiveOptions.asCaseSensitiveMap())
