@@ -882,6 +882,40 @@ object SparkEntry {
       s.sql(s"SELECT p_partkey, p_name, p_size FROM $t WHERE p_partkey % 3 = 0")
     }),
 
+    // --- PII redaction: deterministic emails + digit runs injected per doc,
+    //     scrubbed by the codegen'd regexp chain; the md5 of every cleaned
+    //     text must match DuckDB's replay (patterns are RE2-safe on purpose) --
+    "q69_pii_redact" -> ((s, dir) => {
+      val inj = T(s, dir, "documents").where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or id "),
+            lpad((col("doc_id") % 10000).cast("string"), 8, "0")).as("t"))
+      val clean = TextOps.redactPII(col("t"))
+      inj.select(col("doc_id"),
+        fingerprint_md5(clean).as("fp"),
+        regexp_count(col("t"), lit(TextOps.emailRe)).cast("bigint")
+          .as("n_emails_before"),
+        regexp_count(clean, lit(TextOps.emailRe)).cast("bigint")
+          .as("n_emails_after"),
+        contains(clean, lit("<NUM>")).cast("int").as("has_num"))
+    }),
+
+    // --- streaming read THROUGH the connector: stage a keyed table, tail it
+    //     as a micro-batch stream, aggregate — batch/stream agreement oracle --
+    "q70_stream_keyed_read" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q70_")
+        .resolve("t").toString
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      KeyedStore.writeIndexed(c, tmp, "c_custkey", numRanges = 8)
+      val stream = s.readStream.format("graft").option("key", "c_custkey").load(tmp)
+      graft.streaming.Streaming.runToTable(
+        stream.groupBy(col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("n")),
+        "q70_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        statePartitions = Some(4))
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1612,6 +1646,32 @@ object SparkEntry {
     // the original event set.
     "q67_stream_dedup" ->
       """SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events""".stripMargin,
+
+    "q69_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com or id ' ||
+        |      lpad(cast(doc_id % 10000 as varchar), 8, '0') AS t
+        |  FROM documents WHERE doc_id < 200),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '[0-9]{7,}', '<NUM>', 'g') AS clean
+        |  FROM inj)
+        |SELECT doc_id, md5(clean) AS fp,
+        |  cast(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint)
+        |    AS n_emails_before,
+        |  cast(len(regexp_extract_all(clean,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) as bigint)
+        |    AS n_emails_after,
+        |  cast(contains(clean, '<NUM>') as int) AS has_num
+        |FROM red""".stripMargin,
+
+    "q70_stream_keyed_read" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
 
     // Both DELETEs replayed as negated predicates (part has no null brands/
     // sizes, so NOT(pred) is the exact survivor set).

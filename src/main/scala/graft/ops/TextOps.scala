@@ -117,6 +117,24 @@ object TextOps {
           .as("dup3gram_frac"))
   }
 
+  /** Email pattern shared by [[redactPII]] and its oracle (kept RE2-safe:
+    * no backrefs/lookarounds, so Java regex and DuckDB agree). */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Long digit runs (ids, phone fragments, account numbers). */
+  val longNumberRe = "[0-9]{7,}"
+
+  /**
+   * PII redaction for training corpora: replace emails and 7+-digit runs with
+   * typed placeholder tokens. Pure per-row `regexp_replace` chain — codegen'd,
+   * zero shuffle, scales with scan bandwidth. Patterns are deliberately
+   * RE2-compatible so the oracle replays them verbatim in DuckDB.
+   */
+  def redactPII(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailRe, "<EMAIL>"),
+      longNumberRe, "<NUM>")
+
   /**
    * Train/test contamination report: for every test document, how many of its
    * distinct word n-gram shingles also occur anywhere in the train split.

@@ -94,7 +94,7 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     FilterToColumn.all(filters).isDefined
@@ -416,23 +416,46 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (kept, _, _) = pruning
-    val totalBytes = kept.map(_.getLen).sum
-    val maxSplit = FilePartition.maxSplitBytes(spark,
-      totalBytes + kept.size * spark.sessionState.conf.filesOpenCostInBytes)
-    val splits = kept.flatMap { st =>
-      (0L until st.getLen by maxSplit).map { off =>
-        PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), off,
-          math.min(maxSplit, st.getLen - off), Array.empty, st.getModificationTime, st.getLen)
-      }
-    }
-    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+    GraftReaders.filePartitions(spark, kept)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    // Prime the hadoop conf exactly as Spark's own ParquetScan.createReaderFactory
-    // does (apache/spark sql/core .../v2/parquet/ParquetScan.scala, Apache-2.0) —
-    // the task-side reader resolves its ReadSupport and requested schema from
-    // these keys and NPEs without them.
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(spark, dataSchema, required, pushed, options)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaders.parquetFactory(spark, hadoopConf, dataSchema, required, pushed,
+      caseSensitiveOptions)
+
+  /** Post-prune size/rows — lets Catalyst broadcast a range-pruned read that
+    * would look too big by raw directory size. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val (kept, _, rows) = pruning
+    override def sizeInBytes(): OptionalLong = OptionalLong.of(kept.map(_.getLen).sum)
+    override def numRows(): OptionalLong =
+      rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  }
+
+  override def description(): String = {
+    val (kept, total, _) = pruning
+    val lim = limit.map(n => s" limit=$n").getOrElse("")
+    val rt = if (runtimeFilters.nonEmpty)
+      s" runtimeFilters=[${runtimeFilters.mkString(", ")}]" else ""
+    s"GraftScan path=$path key=$keyCol files=${kept.size}/$total " +
+      s"index=${if (index.isDefined) "sidecar" else "footer"}$lim$rt " +
+      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+  }
+}
+
+/** Shared reader-factory construction for the batch and micro-batch scans. */
+private[graft] object GraftReaders {
+  /** Prime the hadoop conf exactly as Spark's own ParquetScan.createReaderFactory
+    * does (apache/spark sql/core .../v2/parquet/ParquetScan.scala, Apache-2.0) —
+    * the task-side reader resolves its ReadSupport and requested schema from
+    * these keys and NPEs without them. */
+  def parquetFactory(spark: SparkSession, hadoopConf: Configuration,
+      dataSchema: StructType, required: StructType, pushed: Array[Filter],
+      caseSensitiveOptions: Map[String, String]): PartitionReaderFactory = {
     val conf = spark.sessionState.conf
     val hc = new Configuration(hadoopConf)
     val readDataSchemaAsJson = required.json
@@ -458,23 +481,146 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
       new ParquetOptions(caseSensitiveOptions, conf))
   }
 
-  /** Post-prune size/rows — lets Catalyst broadcast a range-pruned read that
-    * would look too big by raw directory size. */
-  override def estimateStatistics(): Statistics = new Statistics {
-    private val (kept, _, rows) = pruning
-    override def sizeInBytes(): OptionalLong = OptionalLong.of(kept.map(_.getLen).sum)
-    override def numRows(): OptionalLong =
-      rows.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+  /** Size-balanced splits over a file set (shared by batch and streaming). */
+  def filePartitions(spark: SparkSession, files: Seq[FileStatus]): Array[InputPartition] = {
+    val totalBytes = files.map(_.getLen).sum
+    val maxSplit = FilePartition.maxSplitBytes(spark,
+      totalBytes + files.size * spark.sessionState.conf.filesOpenCostInBytes)
+    val splits = files.flatMap { st =>
+      (0L until st.getLen by maxSplit).map { off =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath), off,
+          math.min(maxSplit, st.getLen - off), Array.empty, st.getModificationTime, st.getLen)
+      }
+    }
+    FilePartition.getFilePartitions(spark, splits, maxSplit).toArray
+  }
+}
+
+/**
+ * Streaming micro-batch reads of a keyed table:
+ * `spark.readStream.format("graft").option("key", k).load(path)` tails the
+ * table directory — each new data file (e.g. an indexed merge's output, or an
+ * append through the graft write path) is picked up once, in (mtime, name)
+ * order. Pushed filters STILL prune: a key-filtered stream skips non-
+ * intersecting new files via the sidecar index before they are ever
+ * scheduled, so "tail the hot key range of a 100 TB table" reads only the
+ * files that range touches. Offsets are the (mtime, name) high-water mark —
+ * restart-safe through the checkpoint, assuming append-style arrivals (new
+ * files get fresh mtimes, the keyed-store write paths' behavior).
+ *
+ * Spark's V2ScanRelationPushDown only runs for BATCH relations, so a
+ * streaming `.where(key = 42)` never reaches `pushFilters` — key pruning for
+ * streams is therefore declared via options, as a file-level prune HINT to be
+ * paired with the row-level `.where`:
+ * `graft.keyLowerBound` / `graft.keyUpperBound` (inclusive) and
+ * `graft.keyEquals` (comma-separated IN-set). Files whose key range cannot
+ * intersect the declared bounds are never scheduled; rows inside kept files
+ * still need the explicit filter.
+ */
+class GraftMicroBatchStream(spark: SparkSession, dataSchema: StructType,
+    required: StructType, pushed: Array[Filter], options: CaseInsensitiveStringMap)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private val path = GraftDataSource.pathOf(options)
+  private val keyCol = options.getOrDefault("key", "key")
+  private val pruneEnabled = options.getBoolean("prune", true)
+  private val caseSensitiveOptions: Map[String, String] =
+    options.asCaseSensitiveMap().asScala.toMap
+  @transient private lazy val hadoopConf: Configuration =
+    spark.sessionState.newHadoopConfWithOptions(caseSensitiveOptions)
+
+  private def listFiles(): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (!fs.exists(p)) return Seq.empty
+    val root = fs.getFileStatus(p)
+    if (root.isFile) Seq(root)
+    else fs.listStatus(p).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
   }
 
-  override def description(): String = {
-    val (kept, total, _) = pruning
-    val lim = limit.map(n => s" limit=$n").getOrElse("")
-    val rt = if (runtimeFilters.nonEmpty)
-      s" runtimeFilters=[${runtimeFilters.mkString(", ")}]" else ""
-    s"GraftScan path=$path key=$keyCol files=${kept.size}/$total " +
-      s"index=${if (index.isDefined) "sidecar" else "footer"}$lim$rt " +
-      s"PushedFilters: [${pushed.mkString(", ")}], ReadSchema: ${required.catalogString}"
+  private def ord(st: FileStatus): (Long, String) =
+    (st.getModificationTime, st.getPath.getName)
+
+  /** The option-declared key bounds (see class doc), typed by the key column
+    * so numeric keys compare numerically against the index. */
+  private def optionBoundFilters: Array[Filter] = {
+    val numeric = dataSchema.fieldNames.contains(keyCol) &&
+      dataSchema(keyCol).dataType.isInstanceOf[NumericType]
+    def parse(v: String): Any = if (numeric) new java.math.BigDecimal(v) else v
+    val b = Array.newBuilder[Filter]
+    Option(options.get("graft.keyLowerBound"))
+      .foreach(v => b += GreaterThanOrEqual(keyCol, parse(v)))
+    Option(options.get("graft.keyUpperBound"))
+      .foreach(v => b += LessThanOrEqual(keyCol, parse(v)))
+    Option(options.get("graft.keyEquals"))
+      .foreach(v => b += In(keyCol, v.split(',').map(s => parse(s.trim))))
+    b.result()
+  }
+
+  override def initialOffset(): Offset = GraftStreamOffset(-1L, "")
+
+  override def latestOffset(): Offset = {
+    val files = listFiles()
+    if (files.isEmpty) initialOffset()
+    else {
+      val (m, n) = files.map(ord).max
+      GraftStreamOffset(m, n)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = GraftStreamOffset.fromJson(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset]
+    import scala.math.Ordering.Implicits._
+    val window = listFiles().filter { st =>
+      val o = ord(st)
+      o > ((s.mtime, s.name)) && o <= ((e.mtime, e.name))
+    }
+    // same index pruning as the batch scan — a key-ranged tail never
+    // schedules files outside the key range
+    val bounds = KeyBounds.fromFilters(pushed ++ optionBoundFilters, keyCol)
+    val kept =
+      if (!pruneEnabled || bounds.unconstrained) window
+      else GraftIndex.read(new Path(path), hadoopConf).filter(_.keyCol == keyCol) match {
+        case Some(ix) => window.filter { st =>
+          ix.ranges.get(st.getPath.getName) match {
+            case Some((lo, hi, _)) => bounds.intersects(lo, hi)
+            case None => true
+          }
+        }
+        case None => window
+      }
+    GraftReaders.filePartitions(spark, kept)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaders.parquetFactory(spark, hadoopConf, dataSchema, required, pushed,
+      caseSensitiveOptions)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** (mtime, name) high-water mark, JSON-serialized into the checkpoint. */
+final case class GraftStreamOffset(mtime: Long, name: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    s"""{"mtime":$mtime,"name":"${name.replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
+}
+
+object GraftStreamOffset {
+  def fromJson(json: String): GraftStreamOffset = {
+    val m = "\"mtime\":(-?\\d+)".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    val n = "\"name\":\"(.*)\"".r.findFirstMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+    GraftStreamOffset(m, n)
   }
 }
 
