@@ -842,7 +842,10 @@ object SparkEntry {
     //     Dedup emits eagerly on first sight (drops, never holds rows back),
     //     so the finite drain skips the trailing no-data batch ---------------
     "q67_stream_dedup" -> ((s, dir) => {
-      val replay = graft.streaming.Streaming.eventsReplay(s, dir, 4)
+      // 2 replay splits: proves cross-batch dedup (the spec pins the
+      // semantics) at half the per-batch state-maintenance rounds of a
+      // finer replay — measured 6.0 s → ~3 s at sf0.1
+      val replay = graft.streaming.Streaming.eventsReplay(s, dir, 2)
       val withDups = replay
         .select(col("event_id"), col("user_id"), col("ts"),
           explode(when(pmod(col("event_id"), lit(7)) === 0,
@@ -855,7 +858,7 @@ object SparkEntry {
           unix_micros(col("ts")).as("ts_us")),
         "q67_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
         mode = org.apache.spark.sql.streaming.OutputMode.Append(),
-        statePartitions = Some(8), noDataBatch = false)
+        statePartitions = Some(4), noDataBatch = false)
     }),
 
     // --- the V2 catalog SQL lifecycle, end to end: CREATE TABLE / INSERT INTO

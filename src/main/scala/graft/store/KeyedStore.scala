@@ -178,6 +178,65 @@ object KeyedStore {
       ix.get.ranges -- affectedNames ++ newEntries)
   }
 
+  /**
+   * MINOR compaction — the HBase compaction analogue for a log-structured
+   * keyed table: repeated appends/merges accumulate small files; this merges
+   * runs of ADJACENT (key-ordered) files smaller than `smallFileBytes` into
+   * one file each, leaving every large file untouched (byte-identical, spec-
+   * proven). Each merge group is one tiny job over just its files — at scale,
+   * groups are independent and can run as parallel jobs. A full
+   * [[writeIndexed]] rewrite is the MAJOR compaction (also reclaims
+   * dropped-column bytes and re-tightens ranges loosened by gap inserts).
+   * Returns the number of groups merged.
+   */
+  def compact(spark: SparkSession, path: String, keyCol: String = "key",
+      smallFileBytes: Long = 32L << 20): Int = {
+    import org.apache.spark.sql.graft.GraftIndex
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
+      .getOrElse(throw new IllegalStateException(
+        s"compact requires a _graft_index (run writeIndexed first): $path"))
+    val sizes = fs.listStatus(dirPath).filter(_.isFile)
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val ordered =
+      if (ix.keyTag == "num") ix.ranges.toSeq.sortBy(_._2._1.asInstanceOf[BigDecimal])
+      else ix.ranges.toSeq.sortBy(_._2._1.toString)
+    // runs of consecutive small files -> merge groups of >= 2
+    val groups = Seq.newBuilder[Seq[String]]
+    var run = List.empty[String]
+    def flush(): Unit = { if (run.size >= 2) groups += run.reverse; run = Nil }
+    ordered.foreach { case (name, _) =>
+      if (sizes.getOrElse(name, Long.MaxValue) < smallFileBytes) run ::= name
+      else flush()
+    }
+    flush()
+    val merged = groups.result()
+    if (merged.isEmpty) return 0
+    val stamp = System.currentTimeMillis()
+    var newRanges = ix.ranges
+    merged.zipWithIndex.foreach { case (names, i) =>
+      val staging = new org.apache.hadoop.fs.Path(s"${path}__compact_$i")
+      spark.read.parquet(names.map(n => s"$path/$n"): _*)
+        .coalesce(1).sortWithinPartitions(keyCol)
+        .write.format("graft").option("key", keyCol).mode("overwrite")
+        .save(staging.toString)
+      val entry = GraftIndex.read(staging, hadoopConf)
+        .filter(_.keyCol == keyCol).map(_.ranges).getOrElse(Map.empty)
+      require(entry.size == 1, s"compaction group $i staged ${entry.size} files")
+      val (stagedName, stagedEntry) = entry.head
+      names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
+      val target = f"c$stamp%d-$i%05d.parquet"
+      fs.rename(new org.apache.hadoop.fs.Path(staging, stagedName),
+        new org.apache.hadoop.fs.Path(path, target))
+      fs.delete(staging, true)
+      newRanges = newRanges -- names + (target -> stagedEntry)
+    }
+    GraftIndex.writeRanges(spark, path, keyCol, ix.keyTag, newRanges)
+    merged.size
+  }
+
   /** Key-bucketed layout so future merges co-partition without a full shuffle. */
   def writePartitioned(df: DataFrame, path: String, numBuckets: Int, keyCol: String = "key"): Unit =
     df.repartition(numBuckets, col(keyCol)).write.mode("overwrite").parquet(path)

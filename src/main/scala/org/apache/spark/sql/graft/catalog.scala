@@ -107,9 +107,43 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       Map("path" -> dir.toString, "key" -> keyCol).asJava))
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft tables alter through TableDef.alterScript (DDL emission)")
+  /**
+   * Metadata-only schema evolution — the HBase add/drop-family analogue (a
+   * new column family costs an alter, never a table rewrite). ADD COLUMN:
+   * existing files simply lack the column and the parquet reader fills nulls;
+   * DROP COLUMN: the declared schema stops requesting it, so scans prune it
+   * at the reader (the bytes stay until the next compaction, exactly like
+   * HBase cells awaiting a major compaction after a family delete). Renames
+   * and type changes are rejected — they would silently orphan immutable
+   * data files.
+   */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    val meta = GraftTableMeta.read(dir, spark).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident))
+    var schema = meta.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft tables support top-level column adds only")
+        require(add.isNullable,
+          "added columns must be nullable — existing rows have no value")
+        schema = schema.add(add.fieldNames().head, add.dataType(), nullable = true)
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          "graft tables support top-level column drops only")
+        val name = del.fieldNames().head
+        require(name != meta.keyCol, s"cannot drop the key column '$name'")
+        require(schema.fieldNames.contains(name), s"no such column '$name'")
+        schema = StructType(schema.filterNot(_.name == name))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported alter for immutable graft data files: $other")
+    }
+    GraftTableMeta(meta.keyCol, schema).write(dir, spark)
+    new GraftTable(schema, new CaseInsensitiveStringMap(
+      Map("path" -> dir.toString, "key" -> meta.keyCol).asJava))
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

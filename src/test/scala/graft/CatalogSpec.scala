@@ -87,6 +87,27 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 0)
   }
 
+  test("ALTER TABLE ADD/DROP COLUMN: metadata-only, old files read with nulls") {
+    val t = freshTable("t5")
+    seed(t, n = 20, ranges = 2)
+    spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
+    // pre-alter files: new column arrives as null, no rewrite happened
+    val r = spark.sql(s"SELECT note FROM $t WHERE key = 5").head()
+    assert(r.isNullAt(0))
+    // new writes carry the column; both generations coexist in one scan
+    import spark.implicits._
+    Seq((100L, "name_100", 0, "hello")).toDF("key", "name", "size", "note")
+      .writeTo(t).append()
+    val mixed = spark.sql(s"SELECT key, note FROM $t WHERE key IN (5, 100)")
+      .collect().map(row => row.getLong(0) -> (if (row.isNullAt(1)) null else row.getString(1)))
+      .toMap
+    assert(mixed(5L) == null && mixed(100L) == "hello")
+    // DROP prunes at the reader; dropping the key is refused
+    spark.sql(s"ALTER TABLE $t DROP COLUMN size")
+    assert(!spark.sql(s"SELECT * FROM $t").columns.contains("size"))
+    intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN key") }
+  }
+
   test("catalog surface: list/rename/drop + meta round trip") {
     val t = freshTable("t4")
     seed(t, n = 10, ranges = 1)

@@ -135,6 +135,39 @@ class StoreSpec extends SparkSpec {
     assert(withTs.schema("f_ts").dataType == MapType(StringType, TimestampType))
   }
 
+  test("minor compaction merges adjacent small files, leaves big files untouched") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    // one big range file + a tail of small appended files
+    KeyedStore.writeIndexed(
+      (0L until 5000L).map(i => (i, s"v$i")).toDF("key", "value"), dir, "key",
+      numRanges = 1)
+    (0 until 4).foreach { g =>
+      Thread.sleep(5)
+      (5000L + g * 10 until 5010L + g * 10).map(i => (i, s"v$i")).toDF("key", "value")
+        .coalesce(1).sortWithinPartitions("key")
+        .write.format("graft").option("key", "key").mode("append").save(dir)
+    }
+    def files = new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val before = files
+    assert(before.size == 5)
+    val big = before.keys.maxBy(n => new java.io.File(dir, n).length())
+    val bigBefore = new java.io.File(dir, big).length()
+    val merged = KeyedStore.compact(spark, dir, "key", smallFileBytes = 16384L)
+    assert(merged == 1) // the 4 small tail files form one adjacent run
+    val after = files
+    assert(after.size == 2, s"expected big + 1 compacted, got ${after.keys}")
+    assert(new java.io.File(dir, big).length() == bigBefore && after.contains(big))
+    // data and pruning behavior unchanged through the connector
+    val back = KeyedStore.readKeyed(spark, dir, "key")
+    assert(back.count() == 5040)
+    assert(back.where(col("key") === 5035L).head().getString(1) == "v5035")
+    // idempotent: nothing left to merge
+    assert(KeyedStore.compact(spark, dir, "key", smallFileBytes = 16384L) == 0)
+  }
+
   test("catalog registers tables, reads by name, emits whole-schema DDL") {
     val cat = new graft.schema.GraftCatalog
     val dir = java.nio.file.Files.createTempDirectory("graft_cat")
