@@ -88,13 +88,51 @@ object GraftDataSource {
 class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   private val path = GraftDataSource.pathOf(options)
   override def name(): String = s"graft.`$path`"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
+
+  /**
+   * SQL `UPDATE` / `MERGE INTO` via group-based copy-on-write. The row-level
+   * scan runs with pruning DISABLED and the paired write replaces the whole
+   * table — deliberately: Spark may push complementary predicates (cond /
+   * NOT cond) into the rewrite's two union branches, and a scan that pruned
+   * files while the write truncated everything would silently drop the
+   * unscanned files' rows. Full-rewrite is the correct-by-construction form
+   * (a MAJOR rewrite, like an HBase major compaction); key-targeted mutations
+   * belong on the index-pruned API path (`KeyedStore.upsertIndexed`), which
+   * rewrites only affected ranges. Predicate-only DELETEs never come here —
+   * the optimizer prefers [[deleteWhere]], which IS index-pruned.
+   */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new org.apache.spark.sql.connector.write.RowLevelOperation {
+      override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+        info.command()
+
+      override def newScanBuilder(scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+        val merged = new java.util.HashMap[String, String](options.asCaseSensitiveMap())
+        merged.putAll(scanOptions.asCaseSensitiveMap())
+        merged.put("prune", "false") // every group must be read — see scaladoc
+        new GraftScanBuilder(SparkSession.active, tableSchema,
+          new CaseInsensitiveStringMap(merged))
+      }
+
+      override def newWriteBuilder(
+          writeInfo: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+          : org.apache.spark.sql.connector.write.WriteBuilder =
+        new GraftWriteBuilder(writeInfo.schema(), path, options,
+          forceTruncate = true)
+
+      override def description(): String =
+        s"GraftRowLevel(${info.command()}, copy-on-write, full rewrite)"
+    }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     FilterToColumn.all(filters).isDefined
@@ -863,10 +901,10 @@ private[graft] object FooterStats {
  * append mode merges new file entries into the existing index.
  */
 class GraftWriteBuilder(writeSchema: StructType, path: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap, forceTruncate: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
-  private var doTruncate = false
+  private var doTruncate = forceTruncate
   override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
     doTruncate = true; this
   }
@@ -875,7 +913,7 @@ class GraftWriteBuilder(writeSchema: StructType, path: String,
     new org.apache.spark.sql.connector.write.Write {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new GraftBatchWrite(SparkSession.active, writeSchema, path,
-          options.getOrDefault("key", "key"), t)
+          options.getOrDefault("key", "key"), t, rowLevel = forceTruncate)
     }
   }
 }
@@ -886,7 +924,7 @@ final case class GraftTaskCommit(fileName: String, lo: String, hi: String,
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String,
-    keyCol: String, truncate: Boolean)
+    keyCol: String, truncate: Boolean, rowLevel: Boolean = false)
     extends org.apache.spark.sql.connector.write.BatchWrite {
 
   private val keyIdx: Int = writeSchema.fieldNames.indexOf(keyCol)
@@ -925,7 +963,8 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
     val p = new Path(path)
     p.getFileSystem(hc).mkdirs(p)
     GraftWriterFactory(new SerializableConfiguration(hc), path, keyIdx,
-      if (keyIdx < 0) NullType else writeSchema(keyIdx).dataType, keyTag)
+      if (keyIdx < 0) NullType else writeSchema(keyIdx).dataType, keyTag,
+      if (rowLevel) Some(writeSchema) else None)
   }
 
   override def commit(messages: Array[
@@ -934,10 +973,13 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
     val written = commits.map(_.fileName).toSet
     val dirPath = new Path(path)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (truncate) { // drop every pre-existing data file not written by this job
+    if (truncate) { // drop every pre-existing DATA file not written by this job
+      // (sidecars — _graft_meta, _graft_index — survive; the index is
+      // rewritten below and the meta is the table's identity)
       fs.listStatus(dirPath).foreach { st =>
         val n = st.getPath.getName
-        if (st.isFile && !written.contains(n)) fs.delete(st.getPath, false)
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !written.contains(n)) fs.delete(st.getPath, false)
       }
     }
     keyTag match {
@@ -965,19 +1007,20 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
 }
 
 final case class GraftWriterFactory(conf: SerializableConfiguration, dir: String,
-    keyIdx: Int, keyDt: DataType, keyTag: Option[String])
+    keyIdx: Int, keyDt: DataType, keyTag: Option[String],
+    rowLevelSchema: Option[StructType] = None)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftDataWriter(conf.value, dir,
       f"part-$partitionId%05d-$taskId%d.parquet", partitionId, taskId,
-      keyIdx, keyDt, keyTag)
+      keyIdx, keyDt, keyTag, rowLevelSchema)
 }
 
 /** One parquet file per task; tracks key (min, max, count) while writing. */
 class GraftDataWriter(conf: Configuration, dir: String, fileName: String,
     partitionId: Int, taskId: Long, keyIdx: Int, keyDt: DataType,
-    keyTag: Option[String])
+    keyTag: Option[String], rowLevelSchema: Option[StructType] = None)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
   import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
@@ -999,7 +1042,22 @@ class GraftDataWriter(conf: Configuration, dir: String, fileName: String,
       s"$dir/$fileName", ctx)
   }
 
-  override def write(row: InternalRow): Unit = {
+  // Spark's ReplaceDataExec applies its row projection only when the table
+  // declares metadata attributes; without them the rewrite's leading
+  // __row_operation column reaches the writer raw (writingTask falls back to
+  // the plain DataWritingSparkTask). Strip it with the same ProjectingInternalRow
+  // the framework would have used — gated on exact arity so ordinary appends
+  // (schema-matching rows) pass through untouched.
+  @transient private lazy val rowLevelProj: org.apache.spark.sql.catalyst.ProjectingInternalRow =
+    org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      rowLevelSchema.get, (1 to rowLevelSchema.get.length).toIndexedSeq)
+
+  override def write(raw: InternalRow): Unit = {
+    val row = rowLevelSchema match {
+      case Some(s) if raw.numFields == s.length + 1 =>
+        rowLevelProj.project(raw); rowLevelProj
+      case _ => raw
+    }
     ensureWriter()
     if (statsOk) {
       if (row.isNullAt(keyIdx)) statsOk = false // null keys: no trustworthy range

@@ -78,11 +78,12 @@ class CatalogSpec extends SparkSpec {
     // kept: size < 25 minus name_3 → ids with i%50 < 25 except 3
     val kept = spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0)
     assert(kept == 49, s"expected 49 rows, got $kept")
-    // a predicate that cannot become a v1 filter must be rejected, not mis-run
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $t WHERE length(name) > 6")
-    }
-    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == kept)
+    // a predicate that cannot become a v1 filter falls back to the row-level
+    // copy-on-write rewrite (SupportsRowLevelOperations) and still works
+    spark.sql(s"DELETE FROM $t WHERE length(name) > 6")
+    // survivors: the 49 kept rows minus every two-digit key
+    val kept2 = spark.sql(s"SELECT key FROM $t").collect().map(_.getLong(0)).sorted
+    assert(kept2.toSeq == Seq(0L, 1L, 2L, 4L, 5L, 6L, 7L, 8L, 9L), s"got ${kept2.toSeq}")
     spark.sql(s"TRUNCATE TABLE $t")
     assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 0)
   }
@@ -106,6 +107,42 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $t DROP COLUMN size")
     assert(!spark.sql(s"SELECT * FROM $t").columns.contains("size"))
     intercept[Exception] { spark.sql(s"ALTER TABLE $t DROP COLUMN key") }
+  }
+
+  test("SQL UPDATE: copy-on-write rewrite, non-matching rows untouched") {
+    val t = freshTable("t6")
+    seed(t)
+    spark.sql(s"UPDATE $t SET name = concat('upd_', name), size = size + 1000 " +
+      s"WHERE key % 10 = 3")
+    val rows = spark.sql(s"SELECT key, name, size FROM $t").collect()
+    assert(rows.length == 100) // no row lost by the rewrite
+    rows.foreach { r =>
+      val (k, n, sz) = (r.getLong(0), r.getString(1), r.getInt(2))
+      if (k % 10 == 3) assert(n == s"upd_name_$k" && sz == (k % 50 + 1000))
+      else assert(n == s"name_$k" && sz == k % 50)
+    }
+    // table still key-addressable and pruned after the rewrite
+    assert(spark.sql(s"SELECT name FROM $t WHERE key = 13").head().getString(0)
+      == "upd_name_13")
+  }
+
+  test("SQL MERGE INTO: update matched, insert unmatched") {
+    import spark.implicits._
+    val t = freshTable("t7")
+    seed(t, n = 20, ranges = 2)
+    Seq((5L, "merged_5", -1), (200L, "merged_200", -2))
+      .toDF("key", "name", "size").createOrReplaceTempView("t7_src")
+    spark.sql(
+      s"""MERGE INTO $t g USING t7_src s ON g.key = s.key
+         |WHEN MATCHED THEN UPDATE SET g.name = s.name, g.size = s.size
+         |WHEN NOT MATCHED THEN INSERT (key, name, size) VALUES (s.key, s.name, s.size)
+         |""".stripMargin)
+    val m = spark.sql(s"SELECT key, name, size FROM $t").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(m.size == 21)
+    assert(m(5L) == (("merged_5", -1)))      // matched → updated
+    assert(m(200L) == (("merged_200", -2)))  // unmatched → inserted
+    assert(m(6L) == (("name_6", 6)))         // untouched rows survive
   }
 
   test("catalog surface: list/rename/drop + meta round trip") {
