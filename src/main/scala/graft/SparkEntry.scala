@@ -919,6 +919,42 @@ object SparkEntry {
         statePartitions = Some(4))
     }),
 
+    // --- SQL UPDATE + MERGE INTO through the catalog (row-level copy-on-
+    //     write); the oracle replays both mutations as CASE/anti-join algebra -
+    "q71_sql_update_merge" -> ((s, dir) => {
+      if (s.conf.getOption("spark.sql.catalog.gcat").isEmpty) {
+        s.conf.set("spark.sql.catalog.gcat",
+          "org.apache.spark.sql.graft.GraftTableCatalog")
+        s.conf.set("spark.sql.catalog.gcat.warehouse",
+          java.nio.file.Files.createTempDirectory("graft_cat_q71_").toString)
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+      val t = "gcat.db.cust_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      s.sql(s"""CREATE TABLE $t (c_custkey BIGINT, c_name STRING,
+               |c_acctbal DOUBLE) TBLPROPERTIES ('key'='c_custkey')""".stripMargin)
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+        .repartitionByRange(4, col("c_custkey")).sortWithinPartitions("c_custkey")
+        .writeTo(t).append()
+      s.sql(s"UPDATE $t SET c_acctbal = c_acctbal + 100.0 WHERE c_custkey % 7 = 0")
+      // MERGE source: %5 keys unchanged (WHEN MATCHED → bal := -1) plus the
+      // same rows key-shifted (WHEN NOT MATCHED → insert)
+      val src = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+        .where(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", lit(-1.0))
+      src.unionByName(src
+          .withColumn("c_custkey", col("c_custkey") + 5000000L)
+          .withColumn("c_name", concat(lit("NEW_"), col("c_name"))))
+        .createOrReplaceTempView("q71_src")
+      s.sql(s"""MERGE INTO $t g USING q71_src s ON g.c_custkey = s.c_custkey
+               |WHEN MATCHED THEN UPDATE SET g.c_acctbal = s.c_acctbal
+               |WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_acctbal)
+               |VALUES (s.c_custkey, s.c_name, s.c_acctbal)""".stripMargin)
+      s.sql(s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal
+               |FROM $t WHERE c_custkey % 3 = 0""".stripMargin)
+    }),
+
     // --- range join: clicks within 10 min after each error, binned equi-join -
     "q41_range_join" -> ((s, dir) => {
       val e = events(s, dir).select(col("event_id"), col("user_id"),
@@ -1675,6 +1711,20 @@ object SparkEntry {
     "q70_stream_keyed_read" ->
       """SELECT c_mktsegment AS segment, count(*) AS n
         |FROM customer GROUP BY 1""".stripMargin,
+
+    // UPDATE-then-MERGE replayed as CASE algebra (MERGE's update branch wins
+    // over the earlier UPDATE for %35 keys) + the inserted key-shifted rows.
+    "q71_sql_update_merge" ->
+      """SELECT c_custkey, c_name,
+        |  round(CASE WHEN c_custkey % 5 = 0 THEN cast(-1.0 as double)
+        |             WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+        |             ELSE c_acctbal END, 2) AS bal
+        |FROM customer WHERE c_custkey % 3 = 0
+        |UNION ALL
+        |SELECT c_custkey + 5000000 AS c_custkey, 'NEW_' || c_name AS c_name,
+        |  cast(-1.0 as double) AS bal
+        |FROM customer
+        |WHERE c_custkey % 5 = 0 AND (c_custkey + 5000000) % 3 = 0""".stripMargin,
 
     // Both DELETEs replayed as negated predicates (part has no null brands/
     // sizes, so NOT(pred) is the exact survivor set).
