@@ -352,6 +352,18 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }),
 
+    // --- dedup: transitive duplicate clustering — connected components over
+    //     the LSH pair graph (min-label propagation + pointer jumping, O(log n)
+    //     rounds). The oracle recomputes components with a recursive CTE over
+    //     the exact-Jaccard pair set (≡ LSH output at this threshold, the q27
+    //     guarantee), so reps AND sizes are cross-engine checked. ------------
+    "q72_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minHashLSH(T(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+      Dedup.clusterDuplicates(pairs)
+        .select(col("id").as("doc_id"), col("rep"), col("cluster_size"))
+    }),
+
     // --- dedup: SimHash near-dup pairs, oracle-checked end to end. Token
     //     hashes are the md5-60-bit scheme (DuckDB-replayable); pigeonhole
     //     banding GUARANTEES recall for Hamming ≤ 3 (3 differing bits touch at
@@ -629,6 +641,12 @@ object SparkEntry {
     //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
     "q66_repetition" -> ((s, dir) =>
       TextOps.repetitionProfile(T(s, dir, "documents"), "doc_id", "text")),
+
+    // --- corpus-trained bigram LM quality score (the perplexity-filter
+    //     mechanism): add-1-smoothed bigram log-probs, integer-quantized per
+    //     distinct bigram so the per-doc sum is partition-order-exact --------
+    "q73_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(T(s, dir, "documents"), "doc_id", "text")),
 
     // --- min-wise sampling: exact-size uniform sample as a pure function of
     //     the id set (same sample on any engine/partitioning; k-row heap per
@@ -1290,6 +1308,45 @@ object SparkEntry {
         |JOIN sizes nb ON nb.doc_id = id_b
         |WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8""".stripMargin,
 
+    // Connected components replayed with a recursive CTE over the exact
+    // Jaccard pair set (≡ the LSH output at threshold 0.8, q27's proven
+    // equivalence): rep = min reachable id, size = members per rep.
+    "q72_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+        |SELECT l.doc_id, l.rep, c.cluster_size
+        |FROM labels l JOIN csize c USING (rep)""".stripMargin,
+
     // The ANN pipeline replayed in SQL: md5-derived integer plane weights,
     // floor-quantized integer dot products (bit b set iff dot > 0), the query
     // vector's bucket plus its 1-bit-flip probes, cosine top-k inside probes.
@@ -1546,6 +1603,34 @@ object SparkEntry {
         |  round(coalesce(h.n_cont, 0) / cast(len(z.s) as double), 6)
         |    AS contamination_rate
         |FROM sh z LEFT JOIN hit h USING (doc_id) WHERE NOT z.is_train""".stripMargin,
+
+    // The bigram LM replayed on token STRINGS where Spark uses 64-bit hashes
+    // (counts identical barring a 2^-64 collision). Two same-length unnests
+    // zip positionally, giving consecutive-token pairs; each distinct
+    // bigram's log-prob quantizes to an integer before the per-doc sum, so
+    // summation order can't perturb the hash.
+    "q73_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |        (SELECT unnest(toks) AS w FROM t WHERE len(toks) >= 2)),
+        |model AS (
+        |  SELECT w1, w2,
+        |    cast(round(ln((c12 + 1.0) / (c1 + 1.0 * v)) * 1e9) AS BIGINT) AS qlp
+        |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  round(cast(sum(qlp) as double) / (count(*) * 1000000000.0), 6)
+        |    AS avg_logprob
+        |FROM b JOIN model USING (w1, w2)
+        |GROUP BY b.doc_id""".stripMargin,
 
     "q66_repetition" ->
       """WITH t AS (

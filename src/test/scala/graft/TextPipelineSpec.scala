@@ -42,6 +42,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("lmScore: in-distribution text outscores rare-token noise; exact under repartition") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat on the mat"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zqx wvu kjh gfd"), // tokens seen nowhere else
+      (5L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val scores = TextOps.lmScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(scores.size == 5)
+    // the repeated sentence's bigrams are 4x attested; the noise doc's are 1x
+    assert(scores(1L)._2 > scores(4L)._2,
+      s"common ${scores(1L)._2} should beat rare ${scores(4L)._2}")
+    assert(scores(1L) == scores(2L)) // identical text, identical score
+    // integer-quantized log-probs: bit-identical at any partitioning
+    val repart = TextOps.lmScore(docs.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(repart == scores)
+  }
+
+  test("lmScore: docs with fewer than two tokens are unscoreable and excluded") {
+    val docs = Seq((1L, "single"), (2L, ""), (3L, "two tokens")).toDF("doc_id", "text")
+    val out = TextOps.lmScore(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(3L))
+    assert(out.head.getLong(1) == 1) // one bigram
+  }
+
   test("contamination: exact overlap counts, zero-hit docs included") {
     val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val test = Seq(
