@@ -49,6 +49,21 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** One string-touching pass: shingle + hash each doc to `(id, th)` with
+    * `th: array<long>` — everything downstream of this is long-only. */
+  private[ops] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+
+  /** LSH band rows `(id, band, bsig)` from hashed shingle sets. */
+  private[ops] def bandRows(hashed: DataFrame, numHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    hashed.select(col("id"),
+        explode(minhash_bands(
+          minhash_signature_from_hashes(col("th"), numHashes), rowsPerBand)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+
   /**
    * MinHash-LSH candidate pairs above an estimated Jaccard threshold.
    * numHashes=128, rowsPerBand=4 → 32 bands: collision probability for
@@ -58,19 +73,10 @@ object Dedup {
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    // One string-touching pass: shingle + hash each doc to array<long>, then
-    // everything downstream (signature, banding, verification) is long-only.
     // Persisted because three branches reuse it (signatures + both sides of the
     // verification join); without it the shingling scan runs three times.
-    val hashed = df
-      .select(col(idCol).as("id"),
-        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
-      .persist()
-    val banded = hashed
-      .select(col("id"),
-        explode(minhash_bands(
-          minhash_signature_from_hashes(col("th"), numHashes), rowsPerBand)).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.sig").as("bsig"))
+    val hashed = hashedShingles(df, idCol, textCol, shingleSize).persist()
+    val banded = bandRows(hashed, numHashes, rowsPerBand)
     // Band self-join carries only (id, band, sig) — never the shingle arrays,
     // which would be duplicated bands-per-doc times through the shuffle.
     val candidates = banded.alias("a").join(banded.alias("b"),
