@@ -353,13 +353,16 @@ object SparkEntry {
     }),
 
     // --- dedup: transitive duplicate clustering — connected components over
-    //     the LSH pair graph (min-label propagation + pointer jumping, O(log n)
-    //     rounds). The oracle recomputes components with a recursive CTE over
-    //     the exact-Jaccard pair set (≡ LSH output at this threshold, the q27
-    //     guarantee), so reps AND sizes are cross-engine checked. ------------
+    //     the near-dup pair graph (min-label propagation + pointer jumping,
+    //     O(log n) rounds). Edges come from the EXACT inverted-index Jaccard
+    //     (ngramJaccard), so the oracle's recursive CTE over the same exact
+    //     pair set is a structural equivalence, not a banding-recall bet
+    //     (round-4 advisory); reps AND sizes are cross-engine checked. The
+    //     LSH pair generator remains the stated 100 TB edge source — the
+    //     clustering loop is agnostic to which generator feeds it. ----------
     "q72_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.minHashLSH(T(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+      val pairs = Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)
       Dedup.clusterDuplicates(pairs)
         .select(col("id").as("doc_id"), col("rep"), col("cluster_size"))
     }),

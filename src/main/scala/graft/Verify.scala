@@ -45,7 +45,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // oracle_sql.json is filtered by the same `only` predicate as the parquet
+    // dumps — otherwise a filtered dev run against a previously-used outDir
+    // would pair fresh oracle SQL with stale parquet from the earlier full run.
     val json = SparkEntry.oracleSql
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

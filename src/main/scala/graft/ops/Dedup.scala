@@ -72,26 +72,29 @@ object Dedup {
    */
   def minHashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    // Persisted because three branches reuse it (signatures + both sides of the
-    // verification join); without it the shingling scan runs three times.
-    val hashed = hashedShingles(df, idCol, textCol, shingleSize).persist()
-    val banded = bandRows(hashed, numHashes, rowsPerBand)
-    // Band self-join carries only (id, band, sig) — never the shingle arrays,
-    // which would be duplicated bands-per-doc times through the shuffle.
-    val candidates = banded.alias("a").join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-    // Exact Jaccard verified on the hashed shingle sets (collision odds 2^-64).
-    candidates
-      .join(hashed.select(col("id").as("id_a"), col("th").as("th_a")), "id_a")
-      .join(hashed.select(col("id").as("id_b"), col("th").as("th_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("th_a"), col("th_b")))
-      .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+      threshold: Double = 0.8): DataFrame =
+    // The hashed-shingle table is persisted because three branches reuse it
+    // (signatures + both sides of the verification join); the pair result is
+    // materialized eagerly so the cache can be released before returning
+    // (graft.Eager contract — repeated calls must not pin executor storage).
+    graft.Eager.withPersisted(
+        hashedShingles(df, idCol, textCol, shingleSize)) { hashed =>
+      val banded = bandRows(hashed, numHashes, rowsPerBand)
+      // Band self-join carries only (id, band, sig) — never the shingle arrays,
+      // which would be duplicated bands-per-doc times through the shuffle.
+      val candidates = banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      // Exact Jaccard verified on the hashed shingle sets (collision odds 2^-64).
+      candidates
+        .join(hashed.select(col("id").as("id_a"), col("th").as("th_a")), "id_a")
+        .join(hashed.select(col("id").as("id_b"), col("th").as("th_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("th_a"), col("th_b")))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
 
   /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for full
@@ -178,11 +181,17 @@ object Dedup {
    * one partial-agg'd groupBy on uniform id keys), then labels compress
    * through their representative (`rep := rep(rep)`, path halving) — the
    * doubling step that makes convergence O(log n) rounds instead of
-   * O(diameter). Each round materializes via the convergence check, so at
-   * most `maxIter` plans execute; lineage is truncated every round with a
-   * local checkpoint so planning cost stays constant per round. At cluster
-   * scale the same loop runs with a reliable checkpoint dir; rounds are
-   * log-bounded, and every shuffle key is a document id (uniform, skew-free).
+   * O(diameter). Each round materializes via a local checkpoint, so at most
+   * `maxIter` plans execute and planning cost stays constant per round; the
+   * prior round's checkpoint blocks are released explicitly, so the loop
+   * holds exactly one labels table at a time (round-4 advisory). Convergence
+   * is detected by the label-sum invariant: every vertex's rep is
+   * non-increasing round over round (least() only lowers it, and the jump
+   * target's rep is itself ≤ the pointer), so the decimal sum of reps is
+   * strictly decreasing until the fixpoint — one cheap aggregate over the
+   * already-materialized round, no comparison join. At cluster scale the
+   * same loop runs with a reliable checkpoint dir; rounds are log-bounded,
+   * and every shuffle key is a document id (uniform, skew-free).
    *
    * Returns (id, rep, cluster_size) for every vertex that appears in a pair —
    * rep is the cluster's minimum id, the member `removeDuplicates` keeps.
@@ -192,32 +201,57 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst")).agg(min(col("rep")).as("nrep"))
-      val minned = labels.join(neighborMin, col("id") === col("dst"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
-      // Pointer jumping: follow rep one hop (rep is itself a vertex, so the
-      // lookup is a self-join on id). Left + coalesce guards the fixpoint
-      // where rep already equals id.
-      val jumped = minned.alias("l")
-        .join(minned.select(col("id").as("rid"), col("rep").as("rrep")).alias("r"),
-          col("l.rep") === col("r.rid"), "left")
-        .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep"))
+    def repSum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: fixpoint immediately
+    // The pair graph is orders of magnitude smaller than the corpus (only
+    // near-dup members appear), so the session-wide shuffle parallelism is
+    // usually far too wide for the loop — per-round job overhead, not data,
+    // dominates. Size the loop's shuffles to the measured edge count
+    // (~2M edges/partition, capped at the session setting for huge graphs).
+    // Every round materializes eagerly inside the `try`, so the scoped conf
+    // never leaks into caller plans; the session conf is restored on exit.
+    val spark = edges.sparkSession
+    val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val loopParts = math.max(1L, math.min(sessionParts.toLong,
+      edges.count() / 2000000L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+    try {
+      var (labels, releaseLabels) = graft.Eager.checkpointed(
+        edges.select(col("src").as("id")).distinct().withColumn("rep", col("id")))
+      var lastSum = repSum(labels)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst")).agg(min(col("rep")).as("nrep"))
+        val minned = labels.join(neighborMin, col("id") === col("dst"), "left")
+          .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        // Pointer jumping: follow rep one hop (rep is itself a vertex, so the
+        // lookup is a self-join on id). Left + coalesce guards the fixpoint
+        // where rep already equals id.
+        val (jumped, releaseJumped) = graft.Eager.checkpointed(minned.alias("l")
+          .join(minned.select(col("id").as("rid"), col("rep").as("rrep")).alias("r"),
+            col("l.rep") === col("r.rid"), "left")
+          .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep")))
+        val s = repSum(jumped)
+        converged = s.compareTo(lastSum) == 0
+        lastSum = s
+        releaseLabels()
+        labels = jumped
+        releaseLabels = releaseJumped
+        i += 1
+      }
+      require(converged, s"clusterDuplicates did not converge in $maxIter rounds")
+      // Materialized before the conf restore so the size join also runs at
+      // loop parallelism; the result is small (near-dup members only).
+      labels.join(labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
+        .select(col("id"), col("rep"), col("cluster_size"))
         .localCheckpoint()
-      converged = jumped.alias("n").join(labels.alias("o"), "id")
-        .where(col("n.rep") =!= col("o.rep")).isEmpty
-      labels = jumped
-      i += 1
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      edges.unpersist()
     }
-    edges.unpersist()
-    require(converged, s"clusterDuplicates did not converge in $maxIter rounds")
-    labels.join(labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
-      .select(col("id"), col("rep"), col("cluster_size"))
   }
 
   /**

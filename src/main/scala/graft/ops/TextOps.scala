@@ -134,10 +134,14 @@ object TextOps {
    * against the (much smaller) distinct-bigram model.
    *
    * Cross-engine determinism: each distinct bigram's log-prob is quantized to
-   * an integer (round(ln·1e9) — measured JVM-vs-DuckDB ln disagreement is
-   * ≤1 ulp on ~1e-4 of inputs, which the quantization grid absorbs), so the
-   * per-document SUM is an integer sum — exact under any partitioning or
-   * summation order. Docs with <2 tokens have no bigrams and are excluded.
+   * an integer (round(ln·1e9)). Measured JVM-vs-DuckDB ln disagreement is
+   * ≤1 ulp on ~1e-4 of inputs; the quantization grid absorbs it except in the
+   * residual case where a log-prob lands within 1 ulp of a .5e-9 rounding
+   * boundary and the two engines quantize to adjacent integers — an
+   * astronomically rare tie that round(avg, 6) further masks but cannot fully
+   * rule out. The per-document SUM of the quantized values is an integer
+   * sum — exact under any partitioning or summation order. Docs with <2
+   * tokens have no bigrams and are excluded.
    * Returns (id, n_bigrams, avg_logprob).
    */
   def lmScore(df: DataFrame, idCol: String, textCol: String,
@@ -145,26 +149,30 @@ object TextOps {
     val th = token_hashes(tokens(lower(col(textCol))))
     val base = df.select(col(idCol).as("id"), th.as("th"))
       .where(size(col("th")) >= 2)
-    // consecutive-position pairs: zip the array against its own 1-shift
-    val bigrams = base.select(col("id"),
+    // consecutive-position pairs: zip the array against its own 1-shift.
+    // Persisted (three consumers: both count tables + the scoring join);
+    // the result materializes eagerly so the cache releases on return
+    // (graft.Eager contract).
+    val bigramsRaw = base.select(col("id"),
         explode(arrays_zip(
           slice(col("th"), lit(1), size(col("th")) - 1).as("w1"),
           slice(col("th"), lit(2), size(col("th")) - 1).as("w2"))).as("b"))
       .select(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .persist() // reused: both count tables + the scoring join
-    val cBi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-    val cPre = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = base.select(explode(col("th")).as("w"))
-      .agg(count_distinct(col("w")).as("v"))
-    val model = cBi.join(cPre, "w1").crossJoin(broadcast(vocab))
-      .select(col("w1"), col("w2"),
-        round(log((col("c12") + addK) / (col("c1") + col("v") * addK)) * 1e9, 0)
-          .cast("long").as("qlp"))
-    bigrams.join(model, Seq("w1", "w2"))
-      .groupBy(col("id"))
-      .agg(sum(col("qlp")).as("s"), count(lit(1)).as("n_bigrams"))
-      .select(col("id").as(idCol), col("n_bigrams"),
-        round(col("s").cast("double") / (col("n_bigrams") * 1e9), 6).as("avg_logprob"))
+    graft.Eager.withPersisted(bigramsRaw) { bigrams =>
+      val cBi = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cPre = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = base.select(explode(col("th")).as("w"))
+        .agg(count_distinct(col("w")).as("v"))
+      val model = cBi.join(cPre, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          round(log((col("c12") + addK) / (col("c1") + col("v") * addK)) * 1e9, 0)
+            .cast("long").as("qlp"))
+      bigrams.join(model, Seq("w1", "w2"))
+        .groupBy(col("id"))
+        .agg(sum(col("qlp")).as("s"), count(lit(1)).as("n_bigrams"))
+        .select(col("id").as(idCol), col("n_bigrams"),
+          round(col("s").cast("double") / (col("n_bigrams") * 1e9), 6).as("avg_logprob"))
+    }
   }
 
   /** Email pattern shared by [[redactPII]] and its oracle (kept RE2-safe:
@@ -202,16 +210,18 @@ object TextOps {
     def hashed(d: DataFrame) = d.select(col(idCol).as("id"),
       array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
     val trainSh = hashed(train).select(explode(col("th")).as("s")).distinct()
-    // persisted: sizes + probe branches both consume the test shingling scan
-    val testH = hashed(test).persist()
-    val hits = testH.select(col("id"), explode(col("th")).as("s"))
-      .join(trainSh, Seq("s"), "left_semi")
-      .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
-    testH.select(col("id"), size(col("th")).cast("bigint").as("n_shingles"))
-      .join(hits, Seq("id"), "left")
-      .na.fill(0L, Seq("n_contaminated"))
-      .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
-        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
-          .as("contamination_rate"))
+    // persisted: sizes + probe branches both consume the test shingling scan;
+    // eager result so the cache releases on return (graft.Eager contract)
+    graft.Eager.withPersisted(hashed(test)) { testH =>
+      val hits = testH.select(col("id"), explode(col("th")).as("s"))
+        .join(trainSh, Seq("s"), "left_semi")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+      testH.select(col("id"), size(col("th")).cast("bigint").as("n_shingles"))
+        .join(hits, Seq("id"), "left")
+        .na.fill(0L, Seq("n_contaminated"))
+        .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
+          round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+            .as("contamination_rate"))
+    }
   }
 }
