@@ -168,6 +168,41 @@ object Dedup {
   }
 
   /**
+   * Exact substring-overlap pairs: documents sharing at least one contiguous
+   * run of `minTokens` tokens (the document-pair form of exact-substring
+   * dedup à la Lee et al., "Deduplicating Training Data Makes Language
+   * Models Better" — which finds verbatim cross-document text that
+   * Jaccard-style whole-document similarity misses: a 30-token license
+   * header shared by two otherwise-unrelated documents).
+   *
+   * Identity that makes it one inverted-index pass: two documents share a
+   * ≥k-token contiguous substring IFF they share a k-token shingle (any
+   * longer shared run contains one; a shared k-shingle IS such a run). So
+   * the same join-free postings machinery as [[ngramJaccard]] applies, with
+   * k = `minTokens`: explode distinct k-shingle hashes, group postings,
+   * stream ordered pairs natively, count. `n_shared` = number of distinct
+   * shared k-shingles ≈ overlap extent (a shared run of length L ≥ k
+   * contributes L−k+1). Same 100 TB posture: 8-byte posting keys, `maxDf`
+   * stop-shingle cap for the quadratic tail (boilerplate shared by
+   * thousands of docs is exactly what `maxDf` prunes — flag it with
+   * [[TextOps.repetitionProfile]] instead of pairing it).
+   * Returns (id_a, id_b, n_shared).
+   */
+  def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxDf: Option[Int] = None): DataFrame = {
+    val inv = df.select(col(idCol).as("id"),
+        array_distinct(shingle_hashes(split(col(textCol), " "), minTokens)).as("th"))
+      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
+    inv.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+      .where(size(col("docs")) > 1 &&
+        maxDf.map(size(col("docs")) <= _).getOrElse(lit(true)))
+      .select(explode(ordered_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /**
    * Transitive duplicate clustering: connected components over the candidate
    * pair graph. `removeDuplicates` (keep-first) answers "which rows survive";
    * this answers "which rows belong together" — the canonical-document
