@@ -393,13 +393,26 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     }),
 
-    // --- multimodal: binary payload + typed metadata (decode is STUBBED) -----
+    // --- multimodal: REAL decode metadata rollup — synthesize genuine PNG +
+    //     WAV payloads, decode BOTH back (image + audio stats joined per doc),
+    //     and aggregate corpus-level media statistics. The DuckDB oracle
+    //     recomputes every decoded quantity in closed form from the synthesis
+    //     formulas, so a single corrupted pixel or sample anywhere in either
+    //     codec path breaks the hash. Blobs never shuffle: each decode is a
+    //     partition-local mapPartitions and only per-doc scalars reach the
+    //     join/aggregate -----------------------------------------------------
     "q30_multimodal_meta" -> ((s, dir) => {
-      Multimodal.attachPayload(T(s, dir, "documents"), "text")
-        .groupBy(col("media_meta.format").as("format"))
-        .agg(sum(col("media_meta.bytes")).cast("bigint").as("total_bytes"),
-          sum(col("media_meta.width")).cast("bigint").as("sum_width"),
-          count(lit(1)).as("n"))
+      val ids = T(s, dir, "documents").where(col("doc_id") < 256).select(col("doc_id"))
+      val media = Multimodal.synthesizeMedia(ids, "doc_id")
+      val img = Multimodal.decodeImageStats(media, "doc_id", "image")
+      val aud = Multimodal.decodeAudioStats(media, "doc_id", "audio")
+      img.join(aud, "doc_id")
+        .groupBy(col("format"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("width").cast("long") * col("height")).cast("bigint").as("total_pixels"),
+          sum(col("pixel_sum")).cast("bigint").as("total_pixel_sum"),
+          sum(col("n_samples")).cast("bigint").as("total_samples"),
+          sum(col("duration_us")).cast("bigint").as("total_duration_us"))
     }),
 
     // --- Structured Streaming: watermarked windowed agg, drained via
@@ -988,7 +1001,41 @@ object SparkEntry {
           windowUs = 600000000L)
         .groupBy(col("event_id"))
         .agg(count(col("us_b")).as("n_clicks_10m"))
-    })
+    }),
+
+    // --- exact-substring dedup pairs (Lee et al.): docs sharing a ≥20-token
+    //     contiguous run, via the k-shingle ⟺ ≥k-token-run identity over the
+    //     same join-free postings machinery as q24. Oracle replays the
+    //     postings on shingle STRINGS (Spark joins 64-bit hashes — identical
+    //     counts barring a 2^-64 collision, the q24/q27 precedent) ----------
+    "q74_shared_substring" -> ((s, dir) =>
+      Dedup.sharedSubstringPairs(T(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20)),
+
+    // --- the 100 TB dedup composition END TO END: LSH candidate pairs →
+    //     transitive clustering → keep one representative PER CLUSTER (not
+    //     per pair — a chain A~B~C with no A~C pair must still collapse to
+    //     one survivor, which pair-based keep-first q44 cannot guarantee).
+    //     LSH ≡ the exact-Jaccard pair set at these SFs (q27's proven
+    //     equivalence), so the oracle's recursive-CTE clustering over exact
+    //     pairs is a true oracle for the full pipeline ----------------------
+    "q75_dedup_pipeline" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minHashLSH(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+      val clusters = Dedup.clusterDuplicates(pairs)
+      docs.join(clusters.where(col("id") =!= col("rep"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- shared-substring SPANS: longest shared run length per pair
+    //     (gaps-and-islands over (pair, diagonal) in both engines) ----------
+    "q76_shared_spans" -> ((s, dir) =>
+      Dedup.sharedSubstringSpans(T(s, dir, "documents"), "doc_id", "text",
+        minTokens = 20))
   )
 
   // =========================================================================
@@ -1237,12 +1284,20 @@ object SparkEntry {
         | count(*) AS n
         |FROM embeddings WHERE vec_id <> 0 GROUP BY label""".stripMargin,
 
+    // Real-codec rollup: every decoded quantity recomputed in closed form
+    // from the synthesis formulas (see q63/q64 — same PNG pixel(x,y) and WAV
+    // sample(i) functions, here aggregated corpus-wide over both modalities).
     "q30_multimodal_meta" ->
-      """SELECT 'fake/raw' AS format,
-        | cast(sum(octet_length(encode(text))) as bigint) AS total_bytes,
-        | cast(sum(octet_length(encode(text)) % 640) as bigint) AS sum_width,
-        | count(*) AS n
-        |FROM documents GROUP BY 1""".stripMargin,
+      """WITH p AS (SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+        |             64 + doc_id % 64 AS ns
+        |           FROM documents WHERE doc_id < 256)
+        |SELECT 'png' AS format, count(*) AS n,
+        | cast(sum(w * h) as bigint) AS total_pixels,
+        | cast(sum(list_sum([(doc_id*31 + (i % w)*7 + (i // w)*13) % 256
+        |   FOR i IN generate_series(0, w*h - 1)])) as bigint) AS total_pixel_sum,
+        | cast(sum(ns) as bigint) AS total_samples,
+        | cast(sum(ns * 125) as bigint) AS total_duration_us
+        |FROM p GROUP BY 1""".stripMargin,
 
     "q31_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -1829,6 +1884,104 @@ object SparkEntry {
         |LEFT JOIN (SELECT user_id, epoch_us(ts) AS us_b FROM events
         |           WHERE event_type = 'click') b
         |  ON a.user_id = b.user_id AND b.us_b > a.us AND b.us_b <= a.us + 600000000
-        |GROUP BY a.event_id""".stripMargin
+        |GROUP BY a.event_id""".stripMargin,
+
+    // Shared ≥20-token runs via the k-shingle identity, replayed on shingle
+    // STRINGS (Spark joins 64-bit hashes; identical counts barring 2^-64).
+    // Tokenization matches q24: split on single space, drop empties, len<k ⇒
+    // one whole-text shingle.
+    "q74_shared_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+19], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 19)] END) AS s
+        |  FROM t),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The full dedup pipeline: exact-Jaccard pairs (≡ the LSH candidate set
+    // at threshold 0.8 — q27's proven equivalence) → recursive-CTE connected
+    // components → survivors are cluster representatives (min id) plus every
+    // unpaired doc.
+    "q75_dedup_pipeline" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |dropped AS (SELECT doc_id FROM labels WHERE doc_id <> rep)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  cast(sum(d.doc_id) as bigint) AS id_sum
+        |FROM documents d ANTI JOIN dropped USING (doc_id)
+        |GROUP BY d.lang""".stripMargin,
+
+    // Longest shared run per pair: positional shingle postings (two parallel
+    // unnests zip value+offset), occurrence pairs, then gaps-and-islands per
+    // (pair, diagonal) — max island + k−1 tokens. Same window algebra as the
+    // Spark plan, on shingle strings instead of hashes.
+    "q76_shared_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+19], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 19)] END AS s
+        |  FROM t),
+        |inv AS (SELECT doc_id, unnest(s) AS g,
+        |          unnest(range(len(s))) AS pos FROM sh),
+        |op AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         a.pos AS pos_a, b.pos AS pos_b, a.g AS g
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT id_a, id_b,
+        |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
+        |                               ORDER BY pos_a) AS isl,
+        |    pos_a - pos_b AS diag
+        |  FROM op),
+        |rl AS (SELECT id_a, id_b, count(*) AS run_len FROM runs
+        |       GROUP BY id_a, id_b, diag, isl),
+        |mx AS (SELECT id_a, id_b, cast(max(run_len) + 19 as bigint)
+        |         AS max_run_tokens FROM rl GROUP BY 1, 2),
+        |ns AS (SELECT id_a, id_b, count(DISTINCT g) AS n_shared FROM op
+        |       GROUP BY 1, 2)
+        |SELECT ns.id_a, ns.id_b, ns.n_shared, mx.max_run_tokens
+        |FROM ns JOIN mx USING (id_a, id_b)""".stripMargin
   )
 }

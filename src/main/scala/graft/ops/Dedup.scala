@@ -203,6 +203,68 @@ object Dedup {
   }
 
   /**
+   * [[sharedSubstringPairs]] with span extent: for each document pair sharing
+   * a ≥`minTokens`-token contiguous run, also report the length in tokens of
+   * the LONGEST shared run — the quantity Lee et al.'s exact-substring dedup
+   * actually cuts, enabling span-level dedup instead of whole-document drops.
+   *
+   * Mechanics: positional k-shingle postings (`posexplode` keeps each
+   * shingle's token offset; no `array_distinct`, so repeated text still maps
+   * to distinct offsets). A shared run of length L ≥ k shows up as L−k+1
+   * shared shingle occurrences on one DIAGONAL (pos_a − pos_b constant) at
+   * consecutive pos_a, so max run = longest consecutive-integer island per
+   * (pair, diagonal) + k − 1 — classic gaps-and-islands with island key
+   * pos_a − row_number() (the window partitions are per-(pair, diagonal),
+   * tiny and uniformly keyed). Occurrence pairs are generated inside each
+   * posting row with nested array HOFs — no self-join; the lists those HOFs
+   * walk are bounded by `maxDf` (cap counted in DISTINCT documents, same
+   * stop-shingle rationale as [[ngramJaccard]]). (pair, diag, pos_a) rows
+   * are unique by construction — a document has exactly one shingle per
+   * offset — so no pre-island dedup pass is needed. Short-document contract
+   * matches the shingle contract: a doc with < k tokens is one whole-text
+   * shingle, so two such identical docs report max_run_tokens = k.
+   * Returns (id_a, id_b, n_shared, max_run_tokens).
+   */
+  def sharedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxDf: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = df.select(col(idCol).as("id"),
+      posexplode(shingle_hashes(split(col(textCol), " "), minTokens)).as(Seq("pos", "s")))
+    val postings = inv.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("pos"))).as("occ"),
+        count_distinct(col("id")).as("ndocs"))
+      .where(col("ndocs") > 1 &&
+        maxDf.map(col("ndocs") <= _).getOrElse(lit(true)))
+    val occPairs = postings.select(col("s"), explode(flatten(transform(col("occ"), a =>
+        filter(transform(col("occ"), b => struct(
+            a("id").as("id_a"), a("pos").as("pos_a"),
+            b("id").as("id_b"), b("pos").as("pos_b"))),
+          p => p("id_a") < p("id_b"))))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
+        col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("s"))
+    // persisted: the island pass and the n_shared count both consume the
+    // occurrence-pair stream; eager result releases the cache on return
+    // (graft.Eager contract).
+    graft.Eager.withPersisted(occPairs) { op =>
+      val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+        .orderBy(col("pos_a"))
+      val runs = op
+        .select(col("id_a"), col("id_b"),
+          (col("pos_a") - col("pos_b")).as("diag"), col("pos_a"))
+        .withColumn("isl", col("pos_a") - row_number().over(w))
+        .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg((max(col("run_len")) + lit(minTokens - 1)).cast("bigint")
+          .as("max_run_tokens"))
+      op.groupBy(col("id_a"), col("id_b"))
+        .agg(count_distinct(col("s")).as("n_shared"))
+        .join(runs, Seq("id_a", "id_b"))
+        .select(col("id_a"), col("id_b"), col("n_shared"), col("max_run_tokens"))
+    }
+  }
+
+  /**
    * Transitive duplicate clustering: connected components over the candidate
    * pair graph. `removeDuplicates` (keep-first) answers "which rows survive";
    * this answers "which rows belong together" — the canonical-document
@@ -233,59 +295,100 @@ object Dedup {
    */
   def clusterDuplicates(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    import org.apache.spark.sql.types._
+    val edgesRaw = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().persist()
-    def repSum(l: DataFrame): java.math.BigDecimal =
-      Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: fixpoint immediately
     // The pair graph is orders of magnitude smaller than the corpus (only
     // near-dup members appear), so the session-wide shuffle parallelism is
     // usually far too wide for the loop — per-round job overhead, not data,
     // dominates. Size the loop's shuffles to the measured edge count
-    // (~2M edges/partition, capped at the session setting for huge graphs).
-    // Every round materializes eagerly inside the `try`, so the scoped conf
-    // never leaks into caller plans; the session conf is restored on exit.
-    val spark = edges.sparkSession
+    // (~2M edges/partition, capped at the session setting for huge graphs)
+    // via EXPLICIT repartition-by-key on every loop frame — never by mutating
+    // the session's spark.sql.shuffle.partitions, which would leak loop
+    // parallelism into any query running concurrently on the same session
+    // (round-5 advisory). A frame hash-partitioned on an operator's join/
+    // groupBy key already satisfies its required distribution, so Catalyst
+    // plans no second exchange: shuffle count is unchanged, only the width.
+    val spark = edgesRaw.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      edges.count() / 2000000L + 1L)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", loopParts)
+      edgesRaw.count() / 2000000L + 1L)).toInt
+    def part(df: DataFrame, c: String): DataFrame = df.repartition(loopParts, col(c))
+    // One persisted copy of the edges, pre-partitioned on the join key: every
+    // round's edge-side exchange is prepaid here; only the (small) labels
+    // side shuffles per round.
+    val edges = part(edgesRaw, "src").persist()
+    edges.count()
+    edgesRaw.unpersist(blocking = false)
+    // Convergence detection. Integral ids use the label-sum invariant: every
+    // vertex's rep is non-increasing round over round (least() only lowers
+    // it, and the jump target's rep is itself ≤ the pointer), so the sum of
+    // reps strictly decreases until the fixpoint — one cheap aggregate over
+    // the already-materialized round. Non-integral ids (string/UUID doc ids)
+    // would cast to null, making the sum constant-zero and declaring
+    // convergence after one round with silently under-merged clusters
+    // (round-5 advisory) — they use the type-agnostic changed-row check
+    // (one join between two already-checkpointed rounds) instead.
+    val integralId = edges.schema("src").dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType => d.scale == 0
+      case _ => false
+    }
+    def repSum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: fixpoint immediately
     try {
       var (labels, releaseLabels) = graft.Eager.checkpointed(
         edges.select(col("src").as("id")).distinct().withColumn("rep", col("id")))
-      var lastSum = repSum(labels)
+      var lastSum = if (integralId) repSum(labels) else null
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
-        val neighborMin = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        val neighborMin = edges
+          .join(part(labels.withColumnRenamed("id", "src"), "src"), "src")
+          .select(col("dst"), col("rep"))
+        val nmin = part(neighborMin, "dst")
           .groupBy(col("dst")).agg(min(col("rep")).as("nrep"))
-        val minned = labels.join(neighborMin, col("id") === col("dst"), "left")
+        val minned = part(labels, "id")
+          .join(nmin, col("id") === col("dst"), "left")
           .select(col("id"), least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         // Pointer jumping: follow rep one hop (rep is itself a vertex, so the
         // lookup is a self-join on id). Left + coalesce guards the fixpoint
         // where rep already equals id.
-        val (jumped, releaseJumped) = graft.Eager.checkpointed(minned.alias("l")
-          .join(minned.select(col("id").as("rid"), col("rep").as("rrep")).alias("r"),
-            col("l.rep") === col("r.rid"), "left")
-          .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep")))
-        val s = repSum(jumped)
-        converged = s.compareTo(lastSum) == 0
-        lastSum = s
+        val (jumped, releaseJumped) = graft.Eager.checkpointed(
+          part(minned, "rep").alias("l")
+            .join(part(minned.select(col("id").as("rid"), col("rep").as("rrep")), "rid")
+              .alias("r"),
+              col("l.rep") === col("r.rid"), "left")
+            .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep")))
+        converged =
+          if (integralId) {
+            val s = repSum(jumped)
+            val same = s.compareTo(lastSum) == 0
+            lastSum = s
+            same
+          } else {
+            jumped.alias("n").join(labels.alias("o"), "id")
+              .where(col("n.rep") =!= col("o.rep")).isEmpty
+          }
         releaseLabels()
         labels = jumped
         releaseLabels = releaseJumped
         i += 1
       }
       require(converged, s"clusterDuplicates did not converge in $maxIter rounds")
-      // Materialized before the conf restore so the size join also runs at
-      // loop parallelism; the result is small (near-dup members only).
-      labels.join(labels.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
+      // The result is small (near-dup members only); materialized eagerly so
+      // the final round's checkpoint blocks release deterministically below.
+      val lp = part(labels, "rep")
+      val result = lp
+        .join(lp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
         .select(col("id"), col("rep"), col("cluster_size"))
         .localCheckpoint()
+      releaseLabels()
+      result
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
-      edges.unpersist()
+      edges.unpersist(blocking = false)
     }
   }
 

@@ -208,6 +208,88 @@ class OpsSpec extends SparkSpec {
     clusters.foreach { case (id, rep) => assert(clusters(rep) == rep && rep <= id) }
   }
 
+  test("clusterDuplicates: string ids cluster correctly (type-agnostic convergence)") {
+    // A 5-node path needs >1 propagation round; the decimal-sum convergence
+    // shortcut nulls out on string ids and would stop after round 1 with
+    // under-merged clusters (round-5 advisory) — the changed-row fallback
+    // must keep iterating to the true fixpoint.
+    val pairs = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.clusterDuplicates(pairs)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.size == 5)
+    Seq("a", "b", "c", "d", "e").foreach(i =>
+      assert(got(i) == ("a", 5L), s"node $i -> ${got(i)}"))
+  }
+
+  test("clusterDuplicates: never mutates the session's shuffle partitions") {
+    // The loop sizes its own shuffles via explicit repartition; a query run
+    // concurrently on the same session must see the session setting at every
+    // point during the loop (round-5 advisory: the old implementation set
+    // spark.sql.shuffle.partitions globally for the loop's duration).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.sessionState.conf.numShufflePartitions
+    val chain = (0L until 60L).map(i => (i, i + 1))
+    val fut = Future(Dedup.clusterDuplicates(chain.toDF("id_a", "id_b")).count())
+    var observed = Set.empty[Int]
+    while (!fut.isCompleted) {
+      observed += spark.sessionState.conf.numShufflePartitions
+      Thread.sleep(2)
+    }
+    assert(Await.result(fut, 1.minute) == 61L)
+    assert(observed == Set(before),
+      s"session shuffle partitions drifted during the loop: $observed")
+    assert(spark.sessionState.conf.numShufflePartitions == before)
+  }
+
+  /** Planted shared-run corpus: docs 1 and 2 share one 30-token run at
+    * different offsets (license-header case); doc 3 is fully disjoint. */
+  private def plantedRunDocs = {
+    val shared = (0 until 30).map(i => s"s$i").mkString(" ")
+    Seq(
+      (1L, (0 until 50).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+        (0 until 40).map(i => s"b$i").mkString(" ")),
+      (2L, (0 until 25).map(i => s"c$i").mkString(" ") + " " + shared + " " +
+        (0 until 10).map(i => s"d$i").mkString(" ")),
+      (3L, (0 until 100).map(i => s"e$i").mkString(" "))
+    ).toDF("doc_id", "text")
+  }
+
+  test("sharedSubstringPairs: planted 30-token run found; disjoint docs absent") {
+    val got = Dedup.sharedSubstringPairs(plantedRunDocs, "doc_id", "text",
+        minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // a 30-token run shares 30-20+1 = 11 distinct 20-shingles
+    assert(got == Map((1L, 2L) -> 11L), s"got $got")
+    // no pair survives a minTokens above the planted run length
+    assert(Dedup.sharedSubstringPairs(plantedRunDocs, "doc_id", "text",
+      minTokens = 31).isEmpty)
+  }
+
+  test("sharedSubstringPairs: maxDf prunes boilerplate shared by many docs") {
+    val boiler = (0 until 25).map(i => s"x$i").mkString(" ")
+    val many = (0L until 5L).map(i =>
+      (i, (0 until 10).map(j => s"u${i}_$j").mkString(" ") + " " + boiler))
+      .toDF("doc_id", "text")
+    assert(Dedup.sharedSubstringPairs(many, "doc_id", "text",
+      minTokens = 20, maxDf = Some(10)).count() == 10) // C(5,2) pairs
+    // cap below the posting df: the boilerplate shingles drop, no pairs remain
+    assert(Dedup.sharedSubstringPairs(many, "doc_id", "text",
+      minTokens = 20, maxDf = Some(2)).isEmpty)
+  }
+
+  test("sharedSubstringSpans: planted run length recovered exactly") {
+    val got = Dedup.sharedSubstringSpans(plantedRunDocs, "doc_id", "text",
+        minTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // longest shared run = exactly the planted 30 tokens, despite different
+    // offsets in the two documents (diagonal ≠ 0)
+    assert(got == Map((1L, 2L) -> (11L, 30L)), s"got $got")
+  }
+
   test("crossTopK ranks within each query, excludes self") {
     val small = emb.where(col("vec_id") < 30)
     val out = Similarity.crossTopK(small, small.where(col("vec_id") < 3),
