@@ -18,6 +18,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Deterministic inter-query release: the CC-loop queries (q72/q75) and the
+    // Eager-pattern operators leave localCheckpoint blocks behind whose
+    // lifetime is otherwise GC-driven (ContextCleaner) — under a 32-thread
+    // local run, blocks from a finished query linger through the NEXT queries'
+    // timed windows and show up as storage/GC pressure in THEIR numbers (the
+    // round-5/round-6 bench-vs-re-run discrepancy: q27 reported 4.12 s vs
+    // 1.14 s actual). Sweeping every persistent RDD with a BLOCKING unpersist
+    // after each query's sink write — outside its timed window — makes each
+    // measurement start from an empty block manager. localCheckpoint'd RDDs
+    // are persisted RDDs, so one sweep covers both persist() and checkpoint
+    // blocks; Eager already releases its own, this is the backstop that makes
+    // timing independent of release ORDER.
+    def releaseBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
+    }
     // Warmup: run every query once on the smoke corpus (sf0.001) so one-time
     // costs — whole-stage codegen compilation, JIT, parquet footer/catalog
     // caches, streaming machinery init — are paid outside the timed loop. The
@@ -41,6 +58,7 @@ object Bench {
           failed += 1
           System.err.println(s"[bench] warmup of $name failed on $warmDir: ${t.getClass.getSimpleName}: ${t.getMessage}")
         }
+        releaseBlocks()
       }
       if (failed > 0) System.err.println(s"[bench] $failed warmup queries failed — steady-state timings may include first-run costs")
     } else {
@@ -54,7 +72,9 @@ object Bench {
       // would let Catalyst prune unconsumed projections and under-measure)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      releaseBlocks() // outside the timed window; see scaladoc above
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

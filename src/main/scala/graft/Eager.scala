@@ -38,13 +38,33 @@ private[graft] object Eager {
   /** Eagerly checkpoint `df` and return it with a release handle that frees
     * the checkpoint's blocks deterministically — for iterative loops where
     * waiting on the GC-driven ContextCleaner would accumulate one copy per
-    * round (round-4 advisory on clusterDuplicates). */
+    * round (round-4 advisory on clusterDuplicates).
+    *
+    * CONTRACT (round-6 advisory): the handle releases the checkpointed RDD's
+    * blocks WITHOUT unlinking the frame — any action on the frame after
+    * `release()` fails with a "checkpoint block not found"-style exception
+    * rather than recomputing (localCheckpoint truncates lineage; there is
+    * nothing left to recompute from). Call `release()` only once every
+    * consumer of the frame has materialized what it needs. The release is
+    * idempotent; double-release is safe.
+    *
+    * The handle is derived by matching the checkpointed plan's `LogicalRDD`
+    * root. If a Spark upgrade changes that plan shape, the match would fail
+    * and a silent no-op handle would reintroduce the storage leak this
+    * pattern exists to prevent — so match failure logs a loud warning
+    * instead of passing silently. */
   def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
     val cp = df.localCheckpoint()
     val release: () => Unit = cp.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
         () => { l.rdd.unpersist(blocking = false); () }
-      case _ => () => ()
+      case other =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"Eager.checkpointed: expected LogicalRDD root after localCheckpoint " +
+            s"but found ${other.getClass.getName}; release handle is a NO-OP and " +
+            s"checkpoint blocks will only be freed by the GC-driven ContextCleaner " +
+            s"(storage-leak hazard — plan shape changed under a Spark upgrade?)")
+        () => ()
     }
     (cp, release)
   }

@@ -83,7 +83,14 @@ object ScaleProbe {
   private def time(spark: SparkSession, name: String, dir: String): Double = {
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
-    (System.nanoTime() - t0) / 1e9
+    val dt = (System.nanoTime() - t0) / 1e9
+    // Deterministic inter-query block release (same rationale as Bench):
+    // lingering localCheckpoint blocks from a prior query would otherwise
+    // surface as GC pressure inside the NEXT query's timed window.
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    dt
   }
 
   def main(args: Array[String]): Unit = {

@@ -314,10 +314,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_dups"))
     }),
 
-    // --- dedup: exact n-gram Jaccard via inverted-index join -----------------
+    // --- dedup: exact n-gram Jaccard via inverted-index join. Shipped with
+    //     the stop-shingle cap active (maxDf=1000 — no shingle reaches it at
+    //     these SFs, but the oracle replays the identical rule, so the gate
+    //     checks the CAPPED configuration a 100 TB run would use) ------------
     "q24_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.2)
+        shingleSize = 3, threshold = 0.2, maxDf = Some(1000))
     }),
 
     // --- similarity: brute-force cosine top-k (native codegen expression) ----
@@ -362,7 +365,7 @@ object SparkEntry {
     //     clustering loop is agnostic to which generator feeds it. ----------
     "q72_dup_clusters" -> ((s, dir) => {
       val pairs = Dedup.ngramJaccard(T(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3, threshold = 0.8)
+        shingleSize = 3, threshold = 0.8, maxDf = Some(1000))
       Dedup.clusterDuplicates(pairs)
         .select(col("id").as("doc_id"), col("rep"), col("cluster_size"))
     }),
@@ -1007,10 +1010,13 @@ object SparkEntry {
     //     contiguous run, via the k-shingle ⟺ ≥k-token-run identity over the
     //     same join-free postings machinery as q24. Oracle replays the
     //     postings on shingle STRINGS (Spark joins 64-bit hashes — identical
-    //     counts barring a 2^-64 collision, the q24/q27 precedent) ----------
+    //     counts barring a 2^-64 collision, the q24/q27 precedent) and
+    //     applies the SAME maxDf stop-shingle cap, so the oracle-gated
+    //     configuration is the capped one a 100 TB run needs (round-6
+    //     verdict: the uncapped default was the suite's scale-killer) -------
     "q74_shared_substring" -> ((s, dir) =>
       Dedup.sharedSubstringPairs(T(s, dir, "documents"), "doc_id", "text",
-        minTokens = 20)),
+        minTokens = 20, maxDf = 1000)),
 
     // --- the 100 TB dedup composition END TO END: LSH candidate pairs →
     //     transitive clustering → keep one representative PER CLUSTER (not
@@ -1032,10 +1038,24 @@ object SparkEntry {
     }),
 
     // --- shared-substring SPANS: longest shared run length per pair
-    //     (gaps-and-islands over (pair, diagonal) in both engines) ----------
+    //     (gaps-and-islands over (pair, diagonal) in both engines). Both
+    //     caps active and replayed by the oracle: maxDf (stop-shingles by
+    //     doc frequency) and maxOccurrences (bounds the in-row occurrence-
+    //     pair build — round-6 advisory) --------------------------------------
     "q76_shared_spans" -> ((s, dir) =>
       Dedup.sharedSubstringSpans(T(s, dir, "documents"), "doc_id", "text",
-        minTokens = 20))
+        minTokens = 20, maxDf = 1000, maxOccurrences = 4000)),
+
+    // --- span-CUT dedup application (Lee et al.'s actual transform): splice
+    //     every ≥20-token run already seen in an earlier (smaller-id) doc out
+    //     of later docs, keeping the first occurrence. Oracle replays the cut
+    //     rule on shingle strings and md5-hashes the reassembled text, so a
+    //     single mis-cut token anywhere in the corpus breaks the hash --------
+    "q77_span_cut" -> ((s, dir) =>
+      Dedup.cutSharedSpans(T(s, dir, "documents"), "doc_id", "text",
+          minTokens = 20, maxDf = 1000, maxOccurrences = 4000)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("text_clean").cast("binary")).as("clean_md5")))
   )
 
   // =========================================================================
@@ -1257,9 +1277,11 @@ object SparkEntry {
         |  FROM t),
         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id)
         |SELECT id_a, id_b,
         |  round(inter / cast(na.n + nb.n - inter as double), 6) AS jaccard
@@ -1382,9 +1404,11 @@ object SparkEntry {
         |  FROM t),
         |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
         |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
         |cand AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id),
         |pairs AS (
         |  SELECT id_a, id_b FROM cand
@@ -1889,7 +1913,8 @@ object SparkEntry {
     // Shared ≥20-token runs via the k-shingle identity, replayed on shingle
     // STRINGS (Spark joins 64-bit hashes; identical counts barring 2^-64).
     // Tokenization matches q24: split on single space, drop empties, len<k ⇒
-    // one whole-text shingle.
+    // one whole-text shingle. The keep CTE replays the Spark side's maxDf
+    // stop-shingle cap (inv is distinct-per-doc, so count(*) = doc freq).
     "q74_shared_substring" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1901,9 +1926,11 @@ object SparkEntry {
         |         ELSE [array_to_string(toks[i:i+19], ' ')
         |               FOR i IN generate_series(1, len(toks) - 19)] END) AS s
         |  FROM t),
-        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh)
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
-        |FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
 
     // The full dedup pipeline: exact-Jaccard pairs (≡ the LSH candidate set
@@ -1951,7 +1978,9 @@ object SparkEntry {
     // Longest shared run per pair: positional shingle postings (two parallel
     // unnests zip value+offset), occurrence pairs, then gaps-and-islands per
     // (pair, diagonal) — max island + k−1 tokens. Same window algebra as the
-    // Spark plan, on shingle strings instead of hashes.
+    // Spark plan, on shingle strings instead of hashes. The keep CTE replays
+    // BOTH Spark-side caps: maxDf on distinct docs and maxOccurrences on
+    // total occurrences per shingle (inv here is positional, NOT distinct).
     "q76_shared_spans" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -1965,10 +1994,13 @@ object SparkEntry {
         |  FROM t),
         |inv AS (SELECT doc_id, unnest(s) AS g,
         |          unnest(range(len(s))) AS pos FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g
+        |         HAVING count(DISTINCT doc_id) <= 1000 AND count(*) <= 4000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
         |op AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |         a.pos AS pos_a, b.pos AS pos_b, a.g AS g
-        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id),
         |runs AS (
         |  SELECT id_a, id_b,
         |    pos_a - row_number() OVER (PARTITION BY id_a, id_b, pos_a - pos_b
@@ -1982,6 +2014,58 @@ object SparkEntry {
         |ns AS (SELECT id_a, id_b, count(DISTINCT g) AS n_shared FROM op
         |       GROUP BY 1, 2)
         |SELECT ns.id_a, ns.id_b, ns.n_shared, mx.max_run_tokens
-        |FROM ns JOIN mx USING (id_a, id_b)""".stripMargin
+        |FROM ns JOIN mx USING (id_a, id_b)""".stripMargin,
+
+    // Span-cut replay: same positional postings + caps as q76; b-side
+    // occurrences (doc_id > the shingle's min doc) expand to k covered token
+    // offsets; cut docs reassemble from their uncovered tokens in order
+    // (empty string when fully covered), untouched docs hash their ORIGINAL
+    // text verbatim — the Spark side's pass-through contract.
+    "q77_span_cut" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 20 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+19], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 19)] END AS s
+        |  FROM t),
+        |inv AS (SELECT doc_id, unnest(s) AS g,
+        |          unnest(range(len(s))) AS pos FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g
+        |         HAVING count(DISTINCT doc_id) BETWEEN 2 AND 1000
+        |            AND count(*) <= 4000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |minid AS (SELECT g, min(doc_id) AS min_id FROM invk GROUP BY g),
+        |cov AS (
+        |  SELECT DISTINCT i.doc_id, i.pos + o.off AS pos
+        |  FROM invk i JOIN minid m USING (g)
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS off) o
+        |  WHERE i.doc_id > m.min_id),
+        |cutdocs AS (SELECT DISTINCT doc_id FROM cov),
+        |tok AS (
+        |  SELECT t.doc_id, unnest(t.toks) AS tok,
+        |         unnest(range(len(t.toks))) AS pos
+        |  FROM t JOIN cutdocs USING (doc_id)),
+        |kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)),
+        |rebuilt AS (
+        |  SELECT c.doc_id,
+        |    coalesce(r.text_clean, '') AS text_clean,
+        |    coalesce(r.n_tokens, 0) AS n_tokens
+        |  FROM cutdocs c LEFT JOIN (
+        |    SELECT doc_id,
+        |      array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+        |      count(*) AS n_tokens
+        |    FROM kept GROUP BY doc_id) r USING (doc_id))
+        |SELECT d.doc_id, cast(len(t.toks) as bigint) AS n_tokens,
+        |  md5(d.text) AS clean_md5
+        |FROM documents d JOIN t USING (doc_id)
+        |ANTI JOIN cutdocs USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
+        |  md5(text_clean) AS clean_md5
+        |FROM rebuilt""".stripMargin
   )
 }

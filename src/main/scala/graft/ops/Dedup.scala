@@ -138,10 +138,12 @@ object Dedup {
    * frequency) as every similarity-join system does: near-duplicates still
    * share plenty of RARE shingles, so recall on true near-dups survives while
    * the worst-case quadratic term disappears. `maxDf = None` keeps the result
-   * exact (the oracle-checked configuration); with a cap, intersections count
+   * exact; with a cap (the oracle-checked q72 configuration — the DuckDB
+   * replay applies the identical stop-shingle rule), intersections count
    * only uncapped shingles, so the reported jaccard is a LOWER BOUND of the
    * true value (capped pairs can only be missed or under-scored, never
-   * over-scored past the threshold).
+   * over-scored past the threshold). Denominator sizes |A|,|B| always count
+   * ALL shingles, capped ones included.
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
@@ -182,21 +184,31 @@ object Dedup {
    * k = `minTokens`: explode distinct k-shingle hashes, group postings,
    * stream ordered pairs natively, count. `n_shared` = number of distinct
    * shared k-shingles ≈ overlap extent (a shared run of length L ≥ k
-   * contributes L−k+1). Same 100 TB posture: 8-byte posting keys, `maxDf`
-   * stop-shingle cap for the quadratic tail (boilerplate shared by
-   * thousands of docs is exactly what `maxDf` prunes — flag it with
-   * [[TextOps.repetitionProfile]] instead of pairing it).
+   * contributes L−k+1). Same 100 TB posture: 8-byte posting keys, and a
+   * `maxDf` stop-shingle cap for the quadratic tail — NOT optional here,
+   * because boilerplate shared by thousands of docs is precisely this
+   * operator's target corpus pathology (a license header in a million docs
+   * would otherwise build one million-entry posting row and 5·10¹¹ pairs).
+   * Shingles over the cap are dropped from pairing (flag them with
+   * [[TextOps.repetitionProfile]] instead); `n_shared` is therefore a LOWER
+   * BOUND when the cap bites. The number of dropped stop-shingles is
+   * emitted as the observed metric `shared_substring_pairs_stats.
+   * dropped_shingles` (read it with a `QueryExecutionListener` or
+   * `Observation`; best-effort under AQE — empty-relation propagation prunes
+   * the metric node along with a plan whose result is entirely empty).
    * Returns (id_a, id_b, n_shared).
    */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 20, maxDf: Option[Int] = None): DataFrame = {
+      minTokens: Int = 20, maxDf: Int = 1000): DataFrame = {
     val inv = df.select(col(idCol).as("id"),
         array_distinct(shingle_hashes(split(col(textCol), " "), minTokens)).as("th"))
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
     inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
-      .where(size(col("docs")) > 1 &&
-        maxDf.map(size(col("docs")) <= _).getOrElse(lit(true)))
+      .observe("shared_substring_pairs_stats",
+        sum(when(size(col("docs")) > maxDf, 1L).otherwise(0L))
+          .as("dropped_shingles"))
+      .where(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
       .select(explode(ordered_pairs(col("docs"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -216,9 +228,18 @@ object Dedup {
    * (pair, diagonal) + k − 1 — classic gaps-and-islands with island key
    * pos_a − row_number() (the window partitions are per-(pair, diagonal),
    * tiny and uniformly keyed). Occurrence pairs are generated inside each
-   * posting row with nested array HOFs — no self-join; the lists those HOFs
-   * walk are bounded by `maxDf` (cap counted in DISTINCT documents, same
-   * stop-shingle rationale as [[ngramJaccard]]). (pair, diag, pos_a) rows
+   * posting row with nested array HOFs — no self-join — which makes the
+   * posting-row SIZE the scale contract, bounded by TWO caps: `maxDf` caps
+   * DISTINCT documents per shingle (stop-shingle rationale, as in
+   * [[ngramJaccard]]), and `maxOccurrences` caps total occurrences per
+   * shingle — necessary because a shingle repeated m times across few docs
+   * passes `maxDf` yet would materialize ~m² pair structs inside ONE row
+   * (round-6 advisory). With both caps the in-row build is ≤
+   * maxOccurrences², and rows over either cap are dropped from pairing
+   * entirely (counted in the observed metric
+   * `shared_substring_spans_stats.dropped_shingles`), so `n_shared` and
+   * `max_run_tokens` are LOWER BOUNDS when a cap bites — the same
+   * deterministic rule the DuckDB oracle replays. (pair, diag, pos_a) rows
    * are unique by construction — a document has exactly one shingle per
    * offset — so no pre-island dedup pass is needed. Short-document contract
    * matches the shingle contract: a doc with < k tokens is one whole-text
@@ -226,15 +247,19 @@ object Dedup {
    * Returns (id_a, id_b, n_shared, max_run_tokens).
    */
   def sharedSubstringSpans(df: DataFrame, idCol: String, textCol: String,
-      minTokens: Int = 20, maxDf: Option[Int] = None): DataFrame = {
+      minTokens: Int = 20, maxDf: Int = 1000,
+      maxOccurrences: Int = 4000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = df.select(col(idCol).as("id"),
       posexplode(shingle_hashes(split(col(textCol), " "), minTokens)).as(Seq("pos", "s")))
     val postings = inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("pos"))).as("occ"),
         count_distinct(col("id")).as("ndocs"))
-      .where(col("ndocs") > 1 &&
-        maxDf.map(col("ndocs") <= _).getOrElse(lit(true)))
+      .observe("shared_substring_spans_stats",
+        sum(when(col("ndocs") > maxDf || size(col("occ")) > maxOccurrences, 1L)
+          .otherwise(0L)).as("dropped_shingles"))
+      .where(col("ndocs") > 1 && col("ndocs") <= maxDf &&
+        size(col("occ")) <= maxOccurrences)
     val occPairs = postings.select(col("s"), explode(flatten(transform(col("occ"), a =>
         filter(transform(col("occ"), b => struct(
             a("id").as("id_a"), a("pos").as("pos_a"),
@@ -242,10 +267,14 @@ object Dedup {
           p => p("id_a") < p("id_b"))))).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
         col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("s"))
-    // persisted: the island pass and the n_shared count both consume the
-    // occurrence-pair stream; eager result releases the cache on return
-    // (graft.Eager contract).
-    graft.Eager.withPersisted(occPairs) { op =>
+    // The island pass and the n_shared count both consume the occurrence-pair
+    // stream. Checkpointed (not persisted): a persist() would hide the
+    // CollectMetrics node inside an InMemoryRelation, where observedMetrics
+    // traversal cannot see it — the eager checkpoint executes the metric in a
+    // linear plan, then the blocks release deterministically once the (small)
+    // result materializes (graft.Eager contract).
+    val (op, releaseOp) = graft.Eager.checkpointed(occPairs)
+    try {
       val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
         .orderBy(col("pos_a"))
       val runs = op
@@ -261,7 +290,97 @@ object Dedup {
         .agg(count_distinct(col("s")).as("n_shared"))
         .join(runs, Seq("id_a", "id_b"))
         .select(col("id_a"), col("id_b"), col("n_shared"), col("max_run_tokens"))
-    }
+        .localCheckpoint()
+    } finally releaseOp()
+  }
+
+  /**
+   * Span-CUT dedup application — the transform Lee et al.'s exact-substring
+   * dedup actually performs: every ≥`minTokens`-token run that already
+   * occurs in an EARLIER document (smaller id — the same keep-first order as
+   * [[removeDuplicates]]) is spliced out of later documents; the first
+   * occurrence survives verbatim. Whole-document dropping
+   * ([[removeDuplicates]]) throws away unique content around a boilerplate
+   * span; this keeps it.
+   *
+   * Cut rule, chosen to be deterministic and oracle-replayable: a token at
+   * offset p of document X is cut IFF some k-shingle of X starting at an
+   * offset s ∈ [p−k+1, p] also occurs in a document with id < X (equivalent:
+   * X is the `id_b` side of an occurrence pair — the union of b-side spans
+   * [s, s+k−1]). Within-document repeats are NOT cut (cross-document dedup
+   * only), and the caps (`maxDf`, `maxOccurrences` — see
+   * [[sharedSubstringSpans]]) exclude stop-shingles from cutting, so an
+   * over-cap shingle's spans survive everywhere (UNDER-cutting, never
+   * over-cutting, when a cap bites).
+   *
+   * Shape for 100 TB: the shared-occurrence postings are the same
+   * inverted-index build as [[sharedSubstringSpans]]; covered positions
+   * explode only the b-side occurrences (k ints per occurrence, deduplicated
+   * by (id, pos)); and ONLY documents that actually need a cut are
+   * re-tokenized relationally (posexplode → anti-join covered positions →
+   * ordered reassembly, all shuffling on uniform doc-id keys) — untouched
+   * documents stream through with their ORIGINAL text, no token shuffle, no
+   * re-serialization artifacts. Cleaned text is single-space joined (the
+   * token-sequence definition of the contract); a fully-covered document
+   * comes back as the empty string with n_tokens = 0.
+   *
+   * Returns (idCol, text_clean, n_tokens, was_cut).
+   */
+  def cutSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxDf: Int = 1000,
+      maxOccurrences: Int = 4000): DataFrame = {
+    val k = minTokens
+    val inv = df.select(col(idCol).as("id"),
+      posexplode(shingle_hashes(split(col(textCol), " "), k)).as(Seq("pos", "s")))
+    val postings = inv.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("pos"))).as("occ"),
+        count_distinct(col("id")).as("ndocs"))
+      .where(col("ndocs") > 1 && col("ndocs") <= maxDf &&
+        size(col("occ")) <= maxOccurrences)
+    // b-side occurrence starts: shingle occurrences in any doc LATER than the
+    // shingle's first (min-id) doc. Expanding each start to its k covered
+    // token offsets and deduplicating gives the per-doc cut set.
+    // The cut set is the one intermediate every branch reuses (semi join,
+    // anti join, token anti-join). It is SMALL — (id, int) per covered token
+    // of cut docs only — while the RESULT is corpus-sized, so the usual
+    // Eager.withPersisted shape (eagerly materialize the result, release the
+    // intermediate) would localCheckpoint the whole corpus. Inverted here:
+    // checkpoint the small intermediate eagerly and return the corpus-sized
+    // result LAZY; the checkpoint's blocks are ContextCleaner-owned and free
+    // when the frame is collected (the documented Eager tradeoff — bounded,
+    // unlike a CacheManager entry).
+    val (cov, _) = graft.Eager.checkpointed(postings
+      .withColumn("min_id", array_min(transform(col("occ"), o => o("id"))))
+      .select(col("min_id"), explode(col("occ")).as("o"))
+      .where(col("o.id") > col("min_id"))
+      .select(col("o.id").as("id"),
+        explode(sequence(col("o.pos"), col("o.pos") + lit(k - 1))).as("pos"))
+      .distinct())
+    val cutIds = cov.select(col("id")).distinct()
+    // Only the to-be-cut slice of the corpus is re-tokenized; everything
+    // else passes through untouched below.
+    val toCut = df.join(cutIds.withColumnRenamed("id", idCol), Seq(idCol), "left_semi")
+    val tok = toCut.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val rebuilt = tok.join(cov, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x("tok")), " ").as("text_clean"),
+        count(lit(1)).cast("bigint").as("n_tokens"))
+    // left join back to the cut slice: a FULLY covered doc loses every token
+    // row and must still appear (empty text, zero tokens)
+    val cut = toCut.select(col(idCol))
+      .join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        lit(true).as("was_cut"))
+    val untouched = df.join(cutIds.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      .select(col(idCol), col(textCol).as("text_clean"),
+        token_count(col(textCol)).cast("bigint").as("n_tokens"),
+        lit(false).as("was_cut"))
+    untouched.unionByName(cut)
   }
 
   /**
@@ -335,13 +454,28 @@ object Dedup {
       case d: DecimalType => d.scale == 0
       case _ => false
     }
-    def repSum(l: DataFrame): java.math.BigDecimal =
+    // None ⇔ the decimal sum came back null: EITHER the graph is empty (sum
+    // over zero rows) OR — reachable in principle only with decimal(38,0) ids
+    // under non-ANSI mode — the sum itself overflowed to null (round-6
+    // advisory: two consecutive overflowed rounds must not compare
+    // null==null and falsely declare convergence). Both cases fall back to
+    // the type-agnostic changed-row check, which is correct for each (an
+    // empty-vs-empty join has no differing rows ⇒ converged).
+    def repSum(l: DataFrame): Option[java.math.BigDecimal] =
       Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
-        .getOrElse(java.math.BigDecimal.ZERO) // empty graph: fixpoint immediately
+    // Tracked OUTSIDE the try so the finally releases the in-flight round's
+    // checkpoint blocks on EVERY exit path — including the non-convergence
+    // require() throw, which previously leaked the final round until the
+    // GC-driven ContextCleaner got to it (round-6 advisory). Release is
+    // idempotent, so the success path (which must release only after the
+    // result materializes) just leaves it to the same finally.
+    var releaseLabels: () => Unit = () => ()
     try {
-      var (labels, releaseLabels) = graft.Eager.checkpointed(
+      val (labels0, release0) = graft.Eager.checkpointed(
         edges.select(col("src").as("id")).distinct().withColumn("rep", col("id")))
-      var lastSum = if (integralId) repSum(labels) else null
+      var labels = labels0
+      releaseLabels = release0
+      var lastSum = if (integralId) repSum(labels) else None
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -362,16 +496,17 @@ object Dedup {
               .alias("r"),
               col("l.rep") === col("r.rid"), "left")
             .select(col("l.id").as("id"), coalesce(col("r.rrep"), col("l.rep")).as("rep")))
-        converged =
+        val viaSum: Option[Boolean] =
           if (integralId) {
             val s = repSum(jumped)
-            val same = s.compareTo(lastSum) == 0
+            val same = for (a <- s; b <- lastSum) yield a.compareTo(b) == 0
             lastSum = s
             same
-          } else {
-            jumped.alias("n").join(labels.alias("o"), "id")
-              .where(col("n.rep") =!= col("o.rep")).isEmpty
-          }
+          } else None
+        converged = viaSum.getOrElse {
+          jumped.alias("n").join(labels.alias("o"), "id")
+            .where(col("n.rep") =!= col("o.rep")).isEmpty
+        }
         releaseLabels()
         labels = jumped
         releaseLabels = releaseJumped
@@ -379,15 +514,14 @@ object Dedup {
       }
       require(converged, s"clusterDuplicates did not converge in $maxIter rounds")
       // The result is small (near-dup members only); materialized eagerly so
-      // the final round's checkpoint blocks release deterministically below.
+      // the final round's checkpoint blocks release deterministically in the
+      // finally below.
       val lp = part(labels, "rep")
-      val result = lp
-        .join(lp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
+      lp.join(lp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
         .select(col("id"), col("rep"), col("cluster_size"))
         .localCheckpoint()
-      releaseLabels()
-      result
     } finally {
+      releaseLabels()
       edges.unpersist(blocking = false)
     }
   }

@@ -244,6 +244,28 @@ class OpsSpec extends SparkSpec {
     assert(spark.sessionState.conf.numShufflePartitions == before)
   }
 
+  /** Run `body`, then wait for the named observed metric to arrive via the
+    * (async) QueryExecutionListener bus. Returns the metric row, or None on
+    * timeout. Register-first semantics: works for operators that materialize
+    * eagerly inside the call (Eager contract). */
+  private def observedMetric(name: String)(body: => Unit): Option[org.apache.spark.sql.Row] = {
+    @volatile var row: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+        qe.observedMetrics.get(name).foreach(r => row = Some(r))
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.currentTimeMillis() + 30000
+      while (row.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      row
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   /** Planted shared-run corpus: docs 1 and 2 share one 30-token run at
     * different offsets (license-header case); doc 3 is fully disjoint. */
   private def plantedRunDocs = {
@@ -274,10 +296,49 @@ class OpsSpec extends SparkSpec {
       (i, (0 until 10).map(j => s"u${i}_$j").mkString(" ") + " " + boiler))
       .toDF("doc_id", "text")
     assert(Dedup.sharedSubstringPairs(many, "doc_id", "text",
-      minTokens = 20, maxDf = Some(10)).count() == 10) // C(5,2) pairs
+      minTokens = 20, maxDf = 10).count() == 10) // C(5,2) pairs
     // cap below the posting df: the boilerplate shingles drop, no pairs remain
     assert(Dedup.sharedSubstringPairs(many, "doc_id", "text",
-      minTokens = 20, maxDf = Some(2)).isEmpty)
+      minTokens = 20, maxDf = 2).isEmpty)
+    // dropped-shingle observability: add a RARE shared run (df=2, under the
+    // cap) so the capped result is non-empty — AQE's empty-relation
+    // propagation prunes the metric node together with a fully-empty plan
+    val rare = (0 until 20).map(i => s"y$i").mkString(" ")
+    val corpus = many.unionByName(
+      Seq((10L, "p1 " + rare), (11L, "p2 " + rare)).toDF("doc_id", "text"))
+    val m = observedMetric("shared_substring_pairs_stats") {
+      val got = Dedup.sharedSubstringPairs(corpus, "doc_id", "text",
+        minTokens = 20, maxDf = 2).collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
+    }
+    // 25-token boilerplate in 5 docs ⇒ 6 over-cap 20-shingles dropped
+    assert(m.map(_.getLong(0)).contains(6L), s"observed metric: $m")
+  }
+
+  test("sharedSubstringSpans: occurrence cap bounds the in-row pair blowup") {
+    // two docs, ONE shared 20-shingle repeated 30× in each — passes any
+    // maxDf ≥ 2 but holds 60 occurrences in one posting row (the round-6
+    // advisory case: maxDf counts documents, not occurrences)
+    val rep = ((0 until 20).map(i => s"r$i").mkString(" ") + " pad ") * 30
+    val two = Seq((1L, rep), (2L, rep)).toDF("doc_id", "text")
+    val uncapped = Dedup.sharedSubstringSpans(two, "doc_id", "text",
+      minTokens = 20, maxDf = 10, maxOccurrences = 4000)
+    assert(uncapped.count() >= 1)
+    // occurrence cap below the posting size: every over-cap shingle drops
+    // (nothing from the repeated docs survives to pair), while a RARE
+    // unrepeated run (docs 3,4 — 2 occurrences, under both caps) still pairs,
+    // keeping the plan non-empty so AQE cannot prune the metric node. The
+    // operator materializes eagerly (Eager contract), so the metric fires
+    // during the call itself.
+    val rare = (0 until 20).map(i => s"y$i").mkString(" ")
+    val four = two.unionByName(
+      Seq((3L, "p1 " + rare), (4L, "p2 " + rare)).toDF("doc_id", "text"))
+    val m = observedMetric("shared_substring_spans_stats") {
+      val got = Dedup.sharedSubstringSpans(four, "doc_id", "text",
+        minTokens = 20, maxDf = 10, maxOccurrences = 10).collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
+    }
+    assert(m.exists(_.getLong(0) > 0), s"dropped-shingle metric: $m")
   }
 
   test("sharedSubstringSpans: planted run length recovered exactly") {
@@ -288,6 +349,59 @@ class OpsSpec extends SparkSpec {
     // longest shared run = exactly the planted 30 tokens, despite different
     // offsets in the two documents (diagonal ≠ 0)
     assert(got == Map((1L, 2L) -> (11L, 30L)), s"got $got")
+  }
+
+  test("cutSharedSpans: first doc keeps the run, later docs lose exactly it") {
+    val shared = (0 until 30).map(i => s"s$i").mkString(" ")
+    val d1 = (0 until 50).map(i => s"a$i").mkString(" ") + " " + shared + " " +
+      (0 until 40).map(i => s"b$i").mkString(" ")
+    val d2 = (0 until 25).map(i => s"c$i").mkString(" ") + " " + shared + " " +
+      (0 until 10).map(i => s"d$i").mkString(" ")
+    val d3 = (0 until 100).map(i => s"e$i").mkString(" ")
+    val corpus = Seq((1L, d1), (2L, d2), (3L, d3), (4L, shared))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutSharedSpans(corpus, "doc_id", "text", minTokens = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // min-id doc and the disjoint doc pass through VERBATIM
+    assert(out(1L) == ((d1, 120L, false)))
+    assert(out(3L) == ((d3, 100L, false)))
+    // doc 2: exactly the planted 30-token run spliced out (covered positions
+    // are the union of its shared-shingle spans — nothing more on either side)
+    val d2cut = (0 until 25).map(i => s"c$i").mkString(" ") + " " +
+      (0 until 10).map(i => s"d$i").mkString(" ")
+    assert(out(2L) == ((d2cut, 35L, true)))
+    // doc 4 IS the run: fully covered ⇒ empty output, still present
+    assert(out(4L) == (("", 0L, true)))
+  }
+
+  test("cutSharedSpans: over-cap boilerplate is NOT cut (under-cut contract)") {
+    val boiler = (0 until 25).map(i => s"x$i").mkString(" ")
+    val many = (0L until 5L).map(i =>
+      (i, (0 until 10).map(j => s"u${i}_$j").mkString(" ") + " " + boiler))
+      .toDF("doc_id", "text")
+    // cap below the boilerplate's df: no shingle survives to drive a cut
+    val out = Dedup.cutSharedSpans(many, "doc_id", "text",
+      minTokens = 20, maxDf = 2)
+    assert(out.where(col("was_cut")).isEmpty)
+    assert(out.count() == 5)
+  }
+
+  test("minHashLSH pair set equals exact ngramJaccard pair set on the corpus") {
+    // q75's oracle derives clusters from EXACT Jaccard pairs while the Spark
+    // side clusters LSH candidates — this pins the set equivalence that makes
+    // that oracle structural rather than a banding-recall bet (q27 precedent,
+    // round-6 advisory).
+    val lsh = Dedup.minHashLSH(docs, "doc_id", "text",
+        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
   test("crossTopK ranks within each query, excludes self") {
