@@ -148,6 +148,28 @@ object GraftFunctions {
     Bridge.column(org.apache.spark.sql.graft.Md5HyperplaneBucket(
       Bridge.expression(vec.cast("array<float>")), nBits))
 
+  /** Distributed bloom-filter build over a LONG column (Spark's own
+    * `BloomFilterAggregate`, the engine's runtime-join-filter sketch): each
+    * partition fills a local filter, buffers merge to ONE binary blob.
+    * Duplicate inputs are free (putLong is idempotent), so no pre-distinct
+    * pass is needed. `numBits` must stay within
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (64M default). */
+  def bloom_filter_agg(c: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{aggregate => cae, Literal}
+    Bridge.column(new cae.BloomFilterAggregate(Bridge.expression(c),
+      Literal(expectedItems), Literal(numBits)).toAggregateExpression())
+  }
+
+  /** Codegen'd bloom probe of a LONG column against a serialized filter built
+    * by [[bloom_filter_agg]] (Spark's `BloomFilterMightContain`; the blob
+    * rides along as a binary literal in the task binary). False positives at
+    * the filter's design rate; never false negatives. */
+  def bloom_might_contain(bloom: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloom, org.apache.spark.sql.types.BinaryType), Bridge.expression(c)))
+  }
+
   /** Karp–Rabin rolling fingerprint of a string: base-31 polynomial over chars,
     * modulo 2^31-1 (Mersenne prime) — overflow-free under ANSI. */
   def rolling_hash(text: Column): Column =

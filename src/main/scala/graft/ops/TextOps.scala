@@ -200,15 +200,14 @@ object TextOps {
    * one string-touching pass hashes shingles to 64 bits, the train side
    * collapses to DISTINCT shingle hashes, and the probe is an equi-join on
    * uniform longs (skew-free by construction; only 8-byte keys shuffle — never
-   * text). At 100 TB the train side can additionally compress into a bloom
-   * filter broadcast (accepting a small false-positive overcount); the exact
-   * join here is the oracle-checkable form. Returns
+   * text). This exact join is the oracle-checkable form;
+   * [[contaminationBloom]] is the 100 TB fast path (bloom pre-compression of
+   * the train side, bounded false-positive overcount). Returns
    * (id, n_shingles, n_contaminated, contamination_rate).
    */
   def contamination(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3): DataFrame = {
-    def hashed(d: DataFrame) = d.select(col(idCol).as("id"),
-      array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+    def hashed(d: DataFrame) = hashedShingleSets(d, idCol, textCol, shingleSize)
     val trainSh = hashed(train).select(explode(col("th")).as("s")).distinct()
     // persisted: sizes + probe branches both consume the test shingling scan;
     // eager result so the cache releases on return (graft.Eager contract)
@@ -216,12 +215,64 @@ object TextOps {
       val hits = testH.select(col("id"), explode(col("th")).as("s"))
         .join(trainSh, Seq("s"), "left_semi")
         .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
-      testH.select(col("id"), size(col("th")).cast("bigint").as("n_shingles"))
-        .join(hits, Seq("id"), "left")
-        .na.fill(0L, Seq("n_contaminated"))
-        .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
-          round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
-            .as("contamination_rate"))
+      assemble(testH, hits, idCol)
     }
   }
+
+  /**
+   * [[contamination]]'s 100 TB fast path: the train split compresses into ONE
+   * bloom filter instead of a distinct-shingle table. Why it matters at
+   * scale: the exact form shuffles the train side's distinct shingles (a
+   * table comparable to the corpus itself) into a join; here the train side
+   * is ONE scan → per-partition bloom buffers → a single ~`numBits/8`-byte
+   * blob (no pre-distinct pass — bloom insertion is idempotent), and the
+   * probe is a codegen'd per-row predicate, so the test side never shuffles
+   * its shingles at all. The blob is driver-collected once and shipped in
+   * the task binary — bounded by `spark.sql.optimizer.runtime.bloomFilter.
+   * maxNumBits` (8 MB default), the same bounded-collect contract as
+   * `Similarity`'s k×dim centroids.
+   *
+   * Accuracy contract: `n_contaminated` OVERCOUNTS by the filter's
+   * false-positive rate (never undercounts — bloom filters have no false
+   * negatives), so `contamination_rate` is an upper bound: exactly the safe
+   * direction for a decontamination audit (flags a superset for the exact
+   * pass or for removal). Size `expectedItems` to the train split's distinct
+   * shingle count; the spec bounds the measured overcount against the exact
+   * operator. Returns (id, n_shingles, n_contaminated, contamination_rate).
+   */
+  def contaminationBloom(train: DataFrame, test: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3,
+      expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0 && fpp > 0 && fpp < 1)
+    // optimal bit count for the target FPR: -n·ln(p)/ln(2)²
+    val numBits = math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val bloom = hashedShingleSets(train, idCol, textCol, shingleSize)
+      .select(explode(col("th")).as("s"))
+      .agg(bloom_filter_agg(col("s"), expectedItems, numBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    graft.Eager.withPersisted(
+        hashedShingleSets(test, idCol, textCol, shingleSize)) { testH =>
+      val hits = testH.select(col("id"), explode(col("th")).as("s"))
+        .where(bloom_might_contain(bloom, col("s")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+      assemble(testH, hits, idCol)
+    }
+  }
+
+  /** One distinct-shingle-hash set per doc: the shared first pass of the
+    * contamination family. */
+  private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int): DataFrame =
+    d.select(col(idCol).as("id"),
+      array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+
+  /** Join per-doc hit counts back onto sizes; absent docs are clean (0). */
+  private def assemble(testH: DataFrame, hits: DataFrame, idCol: String): DataFrame =
+    testH.select(col("id"), size(col("th")).cast("bigint").as("n_shingles"))
+      .join(hits, Seq("id"), "left")
+      .na.fill(0L, Seq("n_contaminated"))
+      .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contamination_rate"))
 }

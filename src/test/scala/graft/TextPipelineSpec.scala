@@ -83,6 +83,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(c(11L).getLong(2) == 0 && c(11L).getDouble(3) == 0.0)
   }
 
+  test("contaminationBloom: superset of exact hits, overcount within FPR bound") {
+    val docs = spark.read.parquet(sf("sf0.01") + "/documents.parquet")
+    val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 80)
+    val train = sp.where(col("split") === "train")
+    val testSp = sp.where(col("split") === "test")
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exact = toMap(TextOps.contamination(train, testSp, "doc_id", "text", 3))
+    val bloom = toMap(TextOps.contaminationBloom(train, testSp, "doc_id", "text", 3,
+      expectedItems = 200000L, fpp = 0.01))
+    assert(bloom.keySet == exact.keySet)
+    // no false negatives: per-doc bloom hits dominate exact hits; sizes agree
+    exact.foreach { case (id, (n, hits)) =>
+      assert(bloom(id)._1 == n)
+      assert(bloom(id)._2 >= hits, s"doc $id: bloom ${bloom(id)._2} < exact $hits")
+    }
+    // bounded overcount: measured FP mass within 5x of the 1% design rate
+    // (expectedItems is sized well above the train split's distinct shingles)
+    val totalShingles = exact.values.map(_._1).sum
+    val overcount = bloom.values.map(_._2).sum - exact.values.map(_._2).sum
+    assert(overcount <= math.max(10L, totalShingles / 20),
+      s"bloom overcounted $overcount of $totalShingles probes")
+  }
+
   test("contamination rate is monotone in planted overlap") {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
     val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 80)
