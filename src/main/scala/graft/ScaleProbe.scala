@@ -14,9 +14,13 @@ import org.apache.spark.sql.functions._
  * ratio. Run: `sbt "runMain graft.ScaleProbe [factor]"`.
  *
  * Documents get a per-copy marker token appended, so copies are deliberate
- * NEAR-duplicates: the dedup probe (q27) sees a corpus where every doc has
- * `factor` planted near-dups — its output (and work) grows with the planted
- * pair count, which is the semantics, not a plan defect.
+ * NEAR-duplicates: the dedup probes (q27, and since round 7 the whole
+ * dedup/clustering/substring family q72–q77) see a corpus where every doc
+ * has `factor` planted near-dups — output (and work) grows with the planted
+ * pair count (C(factor,2) pairs per original document), which is the
+ * semantics, not a plan defect: expect their ratios to exceed `factor`
+ * roughly by the pair multiplicity. The scan/agg/join probes are the ones
+ * held to a ~linear bar.
  */
 object ScaleProbe {
 
@@ -39,7 +43,17 @@ object ScaleProbe {
     "q33_distinct_agg",    // distinct + HLL
     "q43_train_split",     // deterministic sampling
     "q51_percentiles",     // exact percentiles
-    "q60_salted_agg")      // skew-safe two-phase agg
+    "q60_salted_agg",      // skew-safe two-phase agg
+    // round-7 additions: the most expensive suite queries (round-6 verdict #5).
+    // The dedup-family ones run over the planted-near-dup corpus, so their
+    // output grows ~C(factor,2)× per original doc — see the scaladoc note.
+    "q65_contamination",   // train/test shingle semi-join
+    "q72_dup_clusters",    // CC loop over exact-Jaccard edges (planted pairs)
+    "q73_lm_score",        // corpus-trained bigram LM score
+    "q74_shared_substring",// capped postings pair stream (planted runs)
+    "q75_dedup_pipeline",  // LSH -> CC -> survivors end to end (planted pairs)
+    "q76_shared_spans",    // positional postings + islands (planted runs)
+    "q77_span_cut")        // span-cut application (9/10 of corpus gets cut)
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
