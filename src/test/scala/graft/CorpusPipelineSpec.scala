@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextOps}
+
+/**
+ * The LLM-training-data pipeline composed end to end — the workload this
+ * engine's extension surface exists for: near-dup CLUSTER dedup (q75's
+ * shape) → span-cut of residual shared runs (q77) → repetition/quality
+ * filtering → PII redaction → train/test contamination audit. Each stage's
+ * contract is asserted on planted fixtures riding along with the real
+ * sf0.001 corpus, so the stages are checked composed, not just in isolation.
+ */
+class CorpusPipelineSpec extends SparkSpec {
+  _quiet
+  import spark.implicits._
+
+  private lazy val base = spark.read.parquet(s"${sf()}/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("dedup → span-cut → quality filter → redact → contamination audit") {
+    val run = (0 until 30).map(i => s"shared$i").mkString(" ")
+    val keeper = 6000000L // keeps the run (smaller id than the cut victim)
+    val victim = 6000001L
+    val planted = Seq(
+      // exact duplicate of an existing doc: must fall to cluster dedup
+      (5000000L, base.where(col("doc_id") === 0).head().getString(1)),
+      // two docs sharing ONLY a 30-token run (Jaccard far below 0.8): both
+      // survive dedup; the later one must lose exactly the run to span-cut
+      (keeper, (0 until 80).map(i => s"ka$i").mkString(" ") + " " + run + " " +
+        (0 until 60).map(i => s"kb$i").mkString(" ")),
+      (victim, (0 until 40).map(i => s"va$i").mkString(" ") + " " + run + " " +
+        (0 until 90).map(i => s"vb$i").mkString(" ") + " email me at a@b.co"))
+      .toDF("doc_id", "text")
+    val corpus = base.unionByName(planted)
+
+    // -- stage 1: LSH pairs → transitive clusters → keep each cluster's rep
+    val clusters = Dedup.clusterDuplicates(
+      Dedup.minHashLSH(corpus, "doc_id", "text", threshold = 0.8))
+    val survivors = corpus.join(
+      clusters.where(col("id") =!= col("rep")).select(col("id").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val survivorIds = survivors.select("doc_id").as[Long].collect().toSet
+    assert(!survivorIds.contains(5000000L), "exact copy survived cluster dedup")
+    assert(survivorIds.contains(0L), "keep-first must retain the min-id original")
+    assert(survivorIds.contains(keeper) && survivorIds.contains(victim),
+      "run-sharing docs are NOT near-dups and must survive whole-doc dedup")
+
+    // -- stage 2: cut residual shared runs out of later docs
+    val cut = Dedup.cutSharedSpans(survivors, "doc_id", "text", minTokens = 20)
+    val byId = cut.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(byId(keeper)._3 == false, "first occurrence must keep its run")
+    assert(byId(keeper)._1.contains("shared0"))
+    assert(byId(victim)._3 == true, "later doc must be cut")
+    // exactly the 30-token run removed: 40 va + 90 vb + the 4 email tokens
+    assert(byId(victim)._2 == 40 + 90 + 4,
+      s"victim kept ${byId(victim)._2} tokens")
+    assert(!byId(victim)._1.contains("shared0"))
+    assert(byId(victim)._1.contains("va0") && byId(victim)._1.contains("vb89"),
+      "content around the cut span must survive verbatim")
+
+    // -- stage 3: repetition/quality filtering on the CLEANED text
+    val scored = cut.select(col("doc_id"), col("text_clean"),
+      TextOps.qualityScore(col("text_clean")).as("q"))
+    val kept = scored.where(col("q") >= 0.1)
+    assert(kept.count() > 0)
+    assert(scored.where(col("q") < 0 || col("q") > 1).isEmpty)
+
+    // -- stage 4: PII redaction (idempotent by construction on its output)
+    val redacted = kept.select(col("doc_id"),
+      TextOps.redactPII(col("text_clean")).as("text"))
+    val victimText = redacted.where(col("doc_id") === victim).head().getString(1)
+    assert(victimText.contains("<EMAIL>") && !victimText.contains("a@b.co"))
+    val twice = redacted.select(col("doc_id"),
+      TextOps.redactPII(col("text")).as("t2"))
+      .join(redacted, "doc_id").where(col("t2") =!= col("text"))
+    assert(twice.isEmpty, "redaction must be idempotent")
+
+    // -- stage 5: contamination audit of the final corpus vs a train split
+    val sp = graft.ops.Sampling.hashSplit(redacted, "doc_id", 80)
+    val audit = TextOps.contamination(
+      sp.where(col("split") === "train"), sp.where(col("split") === "test"),
+      "doc_id", "text", 3).collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+}
