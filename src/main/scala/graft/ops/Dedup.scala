@@ -454,15 +454,26 @@ object Dedup {
       case d: DecimalType => d.scale == 0
       case _ => false
     }
-    // None ⇔ the decimal sum came back null: EITHER the graph is empty (sum
-    // over zero rows) OR — reachable in principle only with decimal(38,0) ids
-    // under non-ANSI mode — the sum itself overflowed to null (round-6
-    // advisory: two consecutive overflowed rounds must not compare
-    // null==null and falsely declare convergence). Both cases fall back to
-    // the type-agnostic changed-row check, which is correct for each (an
-    // empty-vs-empty join has no differing rows ⇒ converged).
+    // None ⇔ the decimal sum is unavailable: the graph is empty (sum over
+    // zero rows is null), or — reachable only with decimal(38,0) ids — the
+    // sum OVERFLOWED: null under non-ANSI mode (round-6 advisory: two
+    // consecutive overflowed rounds must not compare null==null and falsely
+    // declare convergence), a SparkArithmeticException under ANSI (the Spark
+    // 4 default). All three fall back to the type-agnostic changed-row
+    // check, which is correct for each (empty-vs-empty joins have no
+    // differing rows ⇒ converged; reps keep decreasing, so an overflowed
+    // sum becomes representable again before the fixpoint).
     def repSum(l: DataFrame): Option[java.math.BigDecimal] =
-      Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+      try Option(l.agg(sum(col("rep").cast("decimal(38,0)"))).head().getDecimal(0))
+      catch {
+        case e: Throwable if {
+          var c: Throwable = e; var overflow = false
+          while (c != null && !overflow) {
+            overflow = c.isInstanceOf[ArithmeticException]; c = c.getCause
+          }
+          overflow
+        } => None
+      }
     // Tracked OUTSIDE the try so the finally releases the in-flight round's
     // checkpoint blocks on EVERY exit path — including the non-convergence
     // require() throw, which previously leaked the final round until the

@@ -222,6 +222,31 @@ class OpsSpec extends SparkSpec {
       assert(got(i) == ("a", 5L), s"node $i -> ${got(i)}"))
   }
 
+  test("clusterDuplicates: decimal ids with an overflowing rep sum still converge") {
+    // Three decimal(38,0) ids of ~9e37: every round's rep sum exceeds the
+    // decimal(38,0) range, so the label-sum convergence shortcut is
+    // unavailable ALL the way to the fixpoint (null under non-ANSI,
+    // SparkArithmeticException under ANSI — the Spark 4 default). The
+    // operator must fall back to the changed-row check each round and still
+    // produce the full 3-node cluster (round-6 advisory: two overflowed
+    // rounds must not compare as equal sums and stop early).
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val a = new java.math.BigDecimal("90000000000000000000000000000000000000")
+    val b = a.add(java.math.BigDecimal.ONE)
+    val c = b.add(java.math.BigDecimal.ONE)
+    val schema = StructType(Seq(
+      StructField("id_a", DecimalType(38, 0)), StructField("id_b", DecimalType(38, 0))))
+    val pairs = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(a, b), Row(b, c))), schema)
+    val out = Dedup.clusterDuplicates(pairs).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getDecimal(1).compareTo(a) == 0, s"rep ${r.getDecimal(1)}")
+      assert(r.getLong(2) == 3L)
+    }
+  }
+
   test("clusterDuplicates: never mutates the session's shuffle partitions") {
     // The loop sizes its own shuffles via explicit repartition; a query run
     // concurrently on the same session must see the session setting at every
