@@ -401,6 +401,25 @@ class OpsSpec extends SparkSpec {
     assert(out(4L) == (("", 0L, true)))
   }
 
+  test("cutSharedSpans: multi-space text — positions index the FILTERED tokens") {
+    // shingle positions come from ShingleHashes (empties skipped in the loop)
+    // and the rebuild re-tokenizes with tokens() (empties filtered): both
+    // must index the same filtered sequence or the cut lands off-target
+    val run = (0 until 25).map(i => s"r$i").mkString(" ")
+    val corpus = Seq(
+      (1L, "x0 x1 " + run),
+      (2L, "y0  y1   " + run + "  y2"), // extra spaces around the run
+      (3L, "a0  a1")) // untouched: must pass through VERBATIM, spaces intact
+      .toDF("doc_id", "text")
+    val out = Dedup.cutSharedSpans(corpus, "doc_id", "text", minTokens = 20)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L)._3 == false) // min id keeps the run
+    assert(out(2L) == (("y0 y1 y2", 3L, true))) // exactly the run cut, nothing else
+    assert(out(3L) == (("a0  a1", 2L, false))) // verbatim, double space preserved
+  }
+
   test("cutSharedSpans: over-cap boilerplate is NOT cut (under-cut contract)") {
     val boiler = (0 until 25).map(i => s"x$i").mkString(" ")
     val many = (0L until 5L).map(i =>
