@@ -268,30 +268,29 @@ object Dedup {
       .select(col("p.id_a").as("id_a"), col("p.pos_a").as("pos_a"),
         col("p.id_b").as("id_b"), col("p.pos_b").as("pos_b"), col("s"))
     // The island pass and the n_shared count both consume the occurrence-pair
-    // stream. Checkpointed (not persisted): a persist() would hide the
-    // CollectMetrics node inside an InMemoryRelation, where observedMetrics
-    // traversal cannot see it — the eager checkpoint executes the metric in a
-    // linear plan, then the blocks release deterministically once the (small)
-    // result materializes (graft.Eager contract).
-    val (op, releaseOp) = graft.Eager.checkpointed(occPairs)
-    try {
-      val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
-        .orderBy(col("pos_a"))
-      val runs = op
-        .select(col("id_a"), col("id_b"),
-          (col("pos_a") - col("pos_b")).as("diag"), col("pos_a"))
-        .withColumn("isl", col("pos_a") - row_number().over(w))
-        .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
-        .agg(count(lit(1)).as("run_len"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg((max(col("run_len")) + lit(minTokens - 1)).cast("bigint")
-          .as("max_run_tokens"))
-      op.groupBy(col("id_a"), col("id_b"))
-        .agg(count_distinct(col("s")).as("n_shared"))
-        .join(runs, Seq("id_a", "id_b"))
-        .select(col("id_a"), col("id_b"), col("n_shared"), col("max_run_tokens"))
-        .localCheckpoint()
-    } finally releaseOp()
+    // stream — as one lazy plan: the duplicated subtree is the SAME object,
+    // so the duplicate CollectMetrics nodes are same-plan (allowed) and AQE
+    // stage reuse covers the shared shuffles. Not persisted (an
+    // InMemoryRelation would hide the CollectMetrics node from
+    // observedMetrics traversal) and not checkpointed (measured slower than
+    // recompute-with-reuse at the 10× probe scale on cutSharedSpans'
+    // identical shape, and it pinned blocks until GC).
+    val op = occPairs
+    val w = Window.partitionBy(col("id_a"), col("id_b"), col("diag"))
+      .orderBy(col("pos_a"))
+    val runs = op
+      .select(col("id_a"), col("id_b"),
+        (col("pos_a") - col("pos_b")).as("diag"), col("pos_a"))
+      .withColumn("isl", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("diag"), col("isl"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((max(col("run_len")) + lit(minTokens - 1)).cast("bigint")
+        .as("max_run_tokens"))
+    op.groupBy(col("id_a"), col("id_b"))
+      .agg(count_distinct(col("s")).as("n_shared"))
+      .join(runs, Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("max_run_tokens"))
   }
 
   /**

@@ -353,8 +353,9 @@ class OpsSpec extends SparkSpec {
     // (nothing from the repeated docs survives to pair), while a RARE
     // unrepeated run (docs 3,4 — 2 occurrences, under both caps) still pairs,
     // keeping the plan non-empty so AQE cannot prune the metric node. The
-    // operator materializes eagerly (Eager contract), so the metric fires
-    // during the call itself.
+    // operator is lazy; the metric fires when the collect() below executes
+    // the plan (which contains the observe node twice — same name, same
+    // subtree, the allowed duplicate-metrics form).
     val rare = (0 until 20).map(i => s"y$i").mkString(" ")
     val four = two.unionByName(
       Seq((3L, "p1 " + rare), (4L, "p2 " + rare)).toDF("doc_id", "text"))
