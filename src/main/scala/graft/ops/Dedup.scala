@@ -143,7 +143,10 @@ object Dedup {
    * only uncapped shingles, so the reported jaccard is a LOWER BOUND of the
    * true value (capped pairs can only be missed or under-scored, never
    * over-scored past the threshold). Denominator sizes |A|,|B| always count
-   * ALL shingles, capped ones included.
+   * ALL shingles, capped ones included. When a cap is set, the number of
+   * dropped stop-shingles is emitted as the observed metric
+   * `ngram_jaccard_stats.dropped_shingles` (best-effort under AQE, as in
+   * [[sharedSubstringPairs]]).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
@@ -154,10 +157,17 @@ object Dedup {
     val inv = df.select(col(idCol).as("id"),
         array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
-    val postings = inv.groupBy(col("s"))
+    val grouped = inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
-      .where(size(col("docs")) > 1 &&
-        maxDf.map(size(col("docs")) <= _).getOrElse(lit(true)))
+    val postings = maxDf.map { cap =>
+        // observed metric mirrors the shared-substring family's: how many
+        // stop-shingles the cap dropped from intersection counting (AQE may
+        // prune it with a fully-empty plan — best-effort, like the others)
+        grouped.observe("ngram_jaccard_stats",
+          sum(when(size(col("docs")) > cap, 1L).otherwise(0L))
+            .as("dropped_shingles"))
+          .where(size(col("docs")) > 1 && size(col("docs")) <= cap)
+      }.getOrElse(grouped.where(size(col("docs")) > 1))
     postings
       .select(explode(ordered_pairs(col("docs"))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.n_a").as("n_a"),
