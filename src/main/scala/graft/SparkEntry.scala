@@ -1055,7 +1055,15 @@ object SparkEntry {
       Dedup.cutSharedSpans(T(s, dir, "documents"), "doc_id", "text",
           minTokens = 20, maxDf = 1000, maxOccurrences = 4000)
         .select(col("doc_id"), col("n_tokens"),
-          md5(col("text_clean").cast("binary")).as("clean_md5")))
+          md5(col("text_clean").cast("binary")).as("clean_md5"))),
+
+    // --- corpus novelty profile: fraction of each doc's distinct shingles
+    //     occurring nowhere else (boilerplate flags low; unique content
+    //     high). Postings on 64-bit hashes, oracle on strings (q24/q74
+    //     precedent) ---------------------------------------------------------
+    "q78_novelty" -> ((s, dir) =>
+      TextOps.noveltyProfile(T(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 3))
   )
 
   // =========================================================================
@@ -2066,6 +2074,29 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, cast(n_tokens as bigint) AS n_tokens,
         |  md5(text_clean) AS clean_md5
-        |FROM rebuilt""".stripMargin
+        |FROM rebuilt""".stripMargin,
+
+    // Novelty replay on shingle strings: per-shingle corpus document
+    // frequency (inv is distinct-per-doc, so count(*) = df), then per-doc
+    // counts of df=1 shingles.
+    "q78_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dfreq AS (SELECT g, count(*) AS df FROM inv GROUP BY g)
+        |SELECT doc_id, count(*) AS n_shingles,
+        |  cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) as bigint) AS n_unique,
+        |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) /
+        |    cast(count(*) as double), 6) AS novelty_rate
+        |FROM inv JOIN dfreq USING (g)
+        |GROUP BY doc_id""".stripMargin
   )
 }

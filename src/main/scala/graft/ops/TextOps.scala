@@ -260,6 +260,38 @@ object TextOps {
     }
   }
 
+  /**
+   * Per-document novelty profile: what fraction of a document's distinct
+   * word n-gram shingles occur NOWHERE else in the corpus. Low novelty
+   * flags boilerplate/template documents (their text is mostly shared);
+   * high novelty marks unique content worth keeping — the corpus-level
+   * companion to [[repetitionProfile]]'s within-document signal, and the
+   * aggregate form of what the dedup family detects pairwise.
+   *
+   * Shape for 100 TB: one string-touching pass hashes shingles to 64 bits;
+   * the document-frequency table is a partial-agg'd groupBy on uniform hash
+   * keys; the probe joins 8-byte keys only (text never shuffles). Returns
+   * (id, n_shingles, n_unique, novelty_rate).
+   */
+  def noveltyProfile(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    // persisted: the df-count branch and the per-doc probe both consume the
+    // shingling scan; eager (small, per-doc) result releases the cache on
+    // return (graft.Eager contract)
+    graft.Eager.withPersisted(
+        hashedShingleSets(df, idCol, textCol, shingleSize)
+          .select(col("id"), explode(col("th")).as("s"))) { inv =>
+      val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      inv.join(dfreq, "s")
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .select(col("id").as(idCol), col("n_shingles"), col("n_unique"),
+          round(col("n_unique").cast("double") / col("n_shingles"), 6)
+            .as("novelty_rate"))
+    }
+  }
+
   /** One distinct-shingle-hash set per doc: the shared first pass of the
     * contamination family. */
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,

@@ -107,6 +107,23 @@ class TextPipelineSpec extends SparkSpec {
       s"bloom overcounted $overcount of $totalShingles probes")
   }
 
+  test("noveltyProfile: boilerplate copies score 0, unique docs score 1") {
+    val boiler = "copy of the same template text repeated verbatim everywhere"
+    val docs = Seq(
+      (1L, boiler), (2L, boiler), (3L, boiler), // every shingle shared
+      (4L, "entirely singular prose with words appearing nowhere else"),
+      (5L, boiler + " except one unique closing sentence here"))
+      .toDF("doc_id", "text")
+    val p = TextOps.noveltyProfile(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    Seq(1L, 2L, 3L).foreach(i => assert(p(i)._3 == 0.0, s"doc $i: ${p(i)}"))
+    assert(p(4L)._3 == 1.0)
+    // doc 5 shares the boilerplate prefix but owns its suffix shingles
+    assert(p(5L)._2 > 0 && p(5L)._3 > 0.0 && p(5L)._3 < 1.0)
+    assert(p.values.forall(v => v._2 <= v._1))
+  }
+
   test("contamination rate is monotone in planted overlap") {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
     val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 80)
