@@ -137,9 +137,11 @@ object Dedup {
    * cap posting-list length with `maxDf` (drop stop-shingles by document
    * frequency) as every similarity-join system does: near-duplicates still
    * share plenty of RARE shingles, so recall on true near-dups survives while
-   * the worst-case quadratic term disappears. `maxDf = None` keeps the result
-   * exact; with a cap (the oracle-checked q72 configuration — the DuckDB
-   * replay applies the identical stop-shingle rule), intersections count
+   * the worst-case quadratic term disappears. The cap DEFAULTS to 1000 like
+   * the rest of the shared-substring family — pass `maxDf = None` explicitly
+   * to opt into the exact unbounded computation on a corpus known to have no
+   * stop-shingles. With a cap (the oracle-checked q24/q72 configuration — the
+   * DuckDB replay applies the identical stop-shingle rule), intersections count
    * only uncapped shingles, so the reported jaccard is a LOWER BOUND of the
    * true value (capped pairs can only be missed or under-scored, never
    * over-scored past the threshold). Denominator sizes |A|,|B| always count
@@ -150,7 +152,7 @@ object Dedup {
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
-      maxDf: Option[Int] = None): DataFrame = {
+      maxDf: Option[Int] = Some(1000)): DataFrame = {
     // Index keyed by the 64-bit shingle hash, not the shingle string: postings
     // shuffle 8-byte keys instead of n-gram text (same result — a hash
     // collision altering a count has odds ~2^-64).

@@ -33,8 +33,19 @@ class EagerSpec extends SparkSpec {
     val deadline = System.currentTimeMillis() + 30000
     var failed = false
     while (!failed && System.currentTimeMillis() < deadline) {
+      // catch Throwable, not just SparkException: if a Spark upgrade rewraps
+      // the missing-block failure, the loop must still terminate on the first
+      // throw (diagnostic) instead of burning the 30 s deadline (flaky-slow)
       try { assert(df.count() == 3); Thread.sleep(50) }
-      catch { case _: org.apache.spark.SparkException => failed = true }
+      catch {
+        case t: Throwable =>
+          failed = true
+          val chain = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+            .map(e => e.getClass.getName + ": " + Option(e.getMessage).getOrElse(""))
+            .mkString(" <- ").toLowerCase
+          assert(chain.contains("checkpoint") || chain.contains("block"),
+            s"released frame failed with something other than a missing checkpoint block: $chain")
+      }
     }
     assert(failed, "action on a released checkpointed frame kept succeeding")
   }

@@ -80,6 +80,18 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("ngramJaccard caps by default (maxDf=1000), matching the explicit cap") {
+    // the family-wide default: a caller who types nothing gets the bounded
+    // quadratic tail, not the unbounded exact computation
+    val default_ = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+    val explicit_ = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = Some(1000))
+    assert(default_.queryExecution.analyzed.toString.contains("CollectMetrics"),
+      "default ngramJaccard plan is missing the capped-postings metric node")
+    val d = default_.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val e = explicit_.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(d == e && d.nonEmpty)
+  }
+
   test("exact dedup finds planted identical copies") {
     val dup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
