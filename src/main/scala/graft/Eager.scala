@@ -20,18 +20,43 @@ import org.apache.spark.sql.DataFrame
  * the first action would have anyway.
  *
  * Cluster note: `localCheckpoint` trades fault-tolerance for speed (blocks
- * are not replicated; losing an executor loses the partition). For
- * multi-hour 100 TB jobs, set a reliable checkpoint dir and swap
- * `localCheckpoint()` for `checkpoint()` — the lifecycle contract is the
- * same.
+ * are not replicated; losing ONE executor kills a multi-hour job whose loop
+ * state lived there). For such jobs set the session conf
+ * `graft.checkpointDir` to a reliable (HDFS/object-store) directory: every
+ * materialization below then uses `Dataset.checkpoint()` — files survive
+ * executor loss — with the SAME lifecycle contract (release deletes the
+ * round's checkpoint files instead of its blocks). The caller owns the
+ * directory's final lifecycle: delete it when the job ends (frames returned
+ * to the caller, e.g. an operator's final result, keep their files until
+ * then — that persistence is the point of the reliable mode).
  */
 private[graft] object Eager {
+
+  /** The reliable-checkpoint directory, if the session opted in. */
+  private def reliableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption("graft.checkpointDir").filter(_.nonEmpty)
+
+  /** `SparkContext.setCheckpointDir` appends a fresh UUID subdir per call —
+    * calling it per-materialization would scatter one round per directory,
+    * so set it only when unset (first reliable materialization wins). */
+  private def ensureCheckpointDir(df: DataFrame, dir: String): Unit = synchronized {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+  }
+
+  /** Materialize `df` eagerly: `localCheckpoint` (default; fast, blocks
+    * unreplicated) or a reliable `checkpoint` under `graft.checkpointDir`
+    * when the session set one. */
+  def materialize(df: DataFrame): DataFrame = reliableDir(df) match {
+    case Some(dir) => ensureCheckpointDir(df, dir); df.checkpoint()
+    case None => df.localCheckpoint()
+  }
 
   /** Persist `df`, build the result from the persisted copy, materialize it,
     * release the intermediate. See object scaladoc for the contract. */
   def withPersisted(df: DataFrame)(body: DataFrame => DataFrame): DataFrame = {
     val p = df.persist()
-    try body(p).localCheckpoint()
+    try materialize(body(p))
     finally p.unpersist(blocking = false)
   }
 
@@ -41,9 +66,10 @@ private[graft] object Eager {
     * round (round-4 advisory on clusterDuplicates).
     *
     * CONTRACT (round-6 advisory): the handle releases the checkpointed RDD's
-    * blocks WITHOUT unlinking the frame — any action on the frame after
-    * `release()` fails with a "checkpoint block not found"-style exception
-    * rather than recomputing (localCheckpoint truncates lineage; there is
+    * state WITHOUT unlinking the frame — any action on the frame after
+    * `release()` fails with a "checkpoint block not found" (default mode) or
+    * missing-file (reliable `graft.checkpointDir` mode) exception rather
+    * than recomputing (checkpointing truncates lineage; there is
     * nothing left to recompute from). Call `release()` only once every
     * consumer of the frame has materialized what it needs. The release is
     * idempotent; double-release is safe.
@@ -54,13 +80,24 @@ private[graft] object Eager {
     * pattern exists to prevent — so match failure logs a loud warning
     * instead of passing silently. */
   def checkpointed(df: DataFrame): (DataFrame, () => Unit) = {
-    val cp = df.localCheckpoint()
+    val cp = materialize(df)
+    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     val release: () => Unit = cp.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        () => { l.rdd.unpersist(blocking = false); () }
+        () => {
+          l.rdd.unpersist(blocking = false)
+          // reliable mode: the round's state is files, not blocks —
+          // getCheckpointFile is Some(path) only for a reliable checkpoint
+          // (localCheckpoint keeps no file), so one handle covers both modes
+          l.rdd.getCheckpointFile.foreach { f =>
+            val p = new org.apache.hadoop.fs.Path(f)
+            try p.getFileSystem(hadoopConf).delete(p, true)
+            catch { case _: java.io.IOException => () } // already gone / racing cleaner
+          }
+        }
       case other =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"Eager.checkpointed: expected LogicalRDD root after localCheckpoint " +
+          s"Eager.checkpointed: expected LogicalRDD root after checkpoint " +
             s"but found ${other.getClass.getName}; release handle is a NO-OP and " +
             s"checkpoint blocks will only be freed by the GC-driven ContextCleaner " +
             s"(storage-leak hazard — plan shape changed under a Spark upgrade?)")

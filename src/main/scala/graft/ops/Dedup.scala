@@ -539,9 +539,9 @@ object Dedup {
       // the final round's checkpoint blocks release deterministically in the
       // finally below.
       val lp = part(labels, "rep")
-      lp.join(lp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
-        .select(col("id"), col("rep"), col("cluster_size"))
-        .localCheckpoint()
+      graft.Eager.materialize(
+        lp.join(lp.groupBy(col("rep")).agg(count(lit(1)).as("cluster_size")), "rep")
+          .select(col("id"), col("rep"), col("cluster_size")))
     } finally {
       releaseLabels()
       edges.unpersist(blocking = false)
