@@ -26,6 +26,19 @@ import graft.functions.GraftFunctions._
  */
 object Dedup {
 
+  /** Observed-metric names carry a per-call sequence suffix
+    * (`<base>_<n>.dropped_shingles`): Spark's CheckAnalysis rejects two
+    * CollectMetrics nodes with the same name from DIFFERENT Datasets in one
+    * plan, so a fixed name would make two calls of the same capped operator
+    * un-composable (union over two corpora, join of two columns' results —
+    * round-7 advisory). Consumers read the metric by PREFIX match over
+    * `QueryExecution.observedMetrics` keys. The self-referencing duplicate
+    * INSIDE one call (spans' island/count branches) shares one Dataset and
+    * was always legal. */
+  private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0)
+  private def metricName(base: String): String =
+    base + "_" + metricSeq.incrementAndGet()
+
   /** Exact dedup: keep the smallest id per distinct value of `contentCol`.
     * Returns (id, content, n_dups). One shuffle, partial-agg combined. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -147,8 +160,8 @@ object Dedup {
    * over-scored past the threshold). Denominator sizes |A|,|B| always count
    * ALL shingles, capped ones included. When a cap is set, the number of
    * dropped stop-shingles is emitted as the observed metric
-   * `ngram_jaccard_stats.dropped_shingles` (best-effort under AQE, as in
-   * [[sharedSubstringPairs]]).
+   * `ngram_jaccard_stats_<n>.dropped_shingles` (per-call-unique name; read
+   * by prefix — see [[sharedSubstringPairs]] for the delivery contract).
    */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, threshold: Double = 0.8,
@@ -165,7 +178,7 @@ object Dedup {
         // observed metric mirrors the shared-substring family's: how many
         // stop-shingles the cap dropped from intersection counting (AQE may
         // prune it with a fully-empty plan — best-effort, like the others)
-        grouped.observe("ngram_jaccard_stats",
+        grouped.observe(metricName("ngram_jaccard_stats"),
           sum(when(size(col("docs")) > cap, 1L).otherwise(0L))
             .as("dropped_shingles"))
           .where(size(col("docs")) > 1 && size(col("docs")) <= cap)
@@ -204,10 +217,13 @@ object Dedup {
    * Shingles over the cap are dropped from pairing (flag them with
    * [[TextOps.repetitionProfile]] instead); `n_shared` is therefore a LOWER
    * BOUND when the cap bites. The number of dropped stop-shingles is
-   * emitted as the observed metric `shared_substring_pairs_stats.
-   * dropped_shingles` (read it with a `QueryExecutionListener` or
-   * `Observation`; best-effort under AQE — empty-relation propagation prunes
-   * the metric node along with a plan whose result is entirely empty).
+   * emitted as the observed metric `shared_substring_pairs_stats_<n>.
+   * dropped_shingles` — the name carries a per-call sequence suffix so two
+   * capped calls compose in one plan; read it with a
+   * `QueryExecutionListener` matching keys by PREFIX. Delivery is
+   * guaranteed on any run whose result is non-empty (spec-pinned); the one
+   * exception is a plan whose result is entirely empty, where AQE's
+   * empty-relation propagation prunes the metric node with everything else.
    * Returns (id_a, id_b, n_shared).
    */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
@@ -217,7 +233,7 @@ object Dedup {
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
     inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
-      .observe("shared_substring_pairs_stats",
+      .observe(metricName("shared_substring_pairs_stats"),
         sum(when(size(col("docs")) > maxDf, 1L).otherwise(0L))
           .as("dropped_shingles"))
       .where(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
@@ -267,7 +283,7 @@ object Dedup {
     val postings = inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("pos"))).as("occ"),
         count_distinct(col("id")).as("ndocs"))
-      .observe("shared_substring_spans_stats",
+      .observe(metricName("shared_substring_spans_stats"),
         sum(when(col("ndocs") > maxDf || size(col("occ")) > maxOccurrences, 1L)
           .otherwise(0L)).as("dropped_shingles"))
       .where(col("ndocs") > 1 && col("ndocs") <= maxDf &&

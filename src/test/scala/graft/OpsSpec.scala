@@ -290,7 +290,10 @@ class OpsSpec extends SparkSpec {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
-        qe.observedMetrics.get(name).foreach(r => row = Some(r))
+        // metric names carry a per-call uniqueness suffix — match by prefix
+        qe.observedMetrics.collectFirst {
+          case (k, r) if k.startsWith(name) => r
+        }.foreach(r => row = Some(r))
       override def onFailure(f: String,
           qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
     }
@@ -350,6 +353,36 @@ class OpsSpec extends SparkSpec {
     }
     // 25-token boilerplate in 5 docs ⇒ 6 over-cap 20-shingles dropped
     assert(m.map(_.getLong(0)).contains(6L), s"observed metric: $m")
+  }
+
+  test("capped operators compose: two calls of one operator in one plan") {
+    // round-7 advisory: a fixed CollectMetrics name made two calls of the
+    // same capped operator fail analysis with 'multiple definitions of
+    // observed metrics' when combined in a single plan. Names are now
+    // per-call unique, so union/join compositions must analyze and run.
+    val a = docs.where(col("doc_id") < 250)
+    val b = docs.where(col("doc_id") >= 250)
+    val both = Dedup.sharedSubstringPairs(a, "doc_id", "text", minTokens = 20)
+      .unionByName(Dedup.sharedSubstringPairs(b, "doc_id", "text", minTokens = 20))
+    both.collect() // analysis would have thrown before the fix
+    val j = Dedup.ngramJaccard(a, "doc_id", "text", 3, 0.8)
+      .unionByName(Dedup.ngramJaccard(b, "doc_id", "text", 3, 0.8))
+    assert(j.collect().length >= 0)
+  }
+
+  test("ngramJaccard: dropped-shingle metric arrives on a non-empty capped run") {
+    // boilerplate in 5 docs (df=5, over cap 2) + one rare pair keeping the
+    // result non-empty so AQE cannot prune the metric node
+    val boiler = (0 until 6).map(i => s"x$i").mkString(" ")
+    val corpus = ((0L until 5L).map(i => (i, s"u$i " + boiler)) ++
+      Seq((10L, "alpha beta gamma delta"), (11L, "alpha beta gamma delta")))
+      .toDF("doc_id", "text")
+    val m = observedMetric("ngram_jaccard_stats") {
+      val got = Dedup.ngramJaccard(corpus, "doc_id", "text", 3, 0.9,
+        maxDf = Some(2)).collect()
+      assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 11L)))
+    }
+    assert(m.exists(_.getLong(0) > 0), s"dropped-shingle metric: $m")
   }
 
   test("sharedSubstringSpans: occurrence cap bounds the in-row pair blowup") {
