@@ -656,6 +656,26 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3)
     }),
 
+    // --- the bloom fast path, oracle-gated: the sketch side can't be
+    //     replayed in SQL (filter bits depend on Spark's bloom impl), so the
+    //     query checks it RELATIONALLY against the exact operator — the
+    //     superset contract `n_bloom >= n_exact` (bloom filters never
+    //     undercount) folds into a boolean column that must be TRUE for
+    //     every doc — while the exact side is value-checked by the DuckDB
+    //     replay of q65's contamination SQL --------------------------------
+    "q79_contamination_bloom" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.hashSplit(T(s, dir, "documents"), "doc_id", 80)
+      val train = sp.where(col("split") === "train")
+      val test = sp.where(col("split") === "test")
+      val exact = TextOps.contamination(train, test, "doc_id", "text", shingleSize = 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated").as("n_exact"))
+      val bloom = TextOps.contaminationBloom(train, test, "doc_id", "text", shingleSize = 3)
+        .select(col("doc_id"), col("n_contaminated").as("n_bloom"))
+      exact.join(bloom, "doc_id")
+        .select(col("doc_id"), col("n_shingles"), col("n_exact"),
+          (col("n_bloom") >= col("n_exact")).as("bloom_ge_exact"))
+    }),
+
     // --- repetition quality profile: per-row native expressions only — the
     //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
     "q66_repetition" -> ((s, dir) =>
@@ -1692,6 +1712,32 @@ object SparkEntry {
         |  coalesce(h.n_cont, 0) AS n_contaminated,
         |  round(coalesce(h.n_cont, 0) / cast(len(z.s) as double), 6)
         |    AS contamination_rate
+        |FROM sh z LEFT JOIN hit h USING (doc_id) WHERE NOT z.is_train""".stripMargin,
+
+    // q65's exact replay for the bloom gate: the exact columns are
+    // value-checked here; the bloom relation (n_bloom >= n_exact) was folded
+    // into `bloom_ge_exact` inside the Spark query, so the oracle just pins
+    // it TRUE for every test doc.
+    "q79_contamination_bloom" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |      % 100 < 80 AS is_train,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_train, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_train),
+        |te AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_train),
+        |hit AS (SELECT doc_id, count(*) AS n_cont FROM te JOIN tr USING (g)
+        |        GROUP BY 1)
+        |SELECT z.doc_id, cast(len(z.s) as bigint) AS n_shingles,
+        |  coalesce(h.n_cont, 0) AS n_exact,
+        |  TRUE AS bloom_ge_exact
         |FROM sh z LEFT JOIN hit h USING (doc_id) WHERE NOT z.is_train""".stripMargin,
 
     // The bigram LM replayed on token STRINGS where Spark uses 64-bit hashes

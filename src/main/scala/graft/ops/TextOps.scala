@@ -247,6 +247,24 @@ object TextOps {
     // optimal bit count for the target FPR: -n·ln(p)/ln(2)²
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate silently CLAMPS both sizing params to the
+    // session's runtime bloom-filter caps; past them the realized
+    // false-positive rate blows through `fpp` with no signal (overcount-only
+    // still holds — the degraded filter just overcounts more). Warn loudly
+    // instead of failing: a 100 TB caller may accept the degraded rate, but
+    // must be able to see it happened (round-7 advisory, mirroring the
+    // Eager.checkpointed loud-warning pattern).
+    val rc = train.sparkSession.conf
+    val maxItems = rc.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = rc.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    if (expectedItems > maxItems || numBits > maxBits)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"contaminationBloom: expectedItems=$expectedItems / numBits=$numBits " +
+          s"exceed the session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
+          s"Spark clamps the aggregate silently, so the realized false-positive " +
+          s"rate will exceed fpp=$fpp (counts remain an overcount-only upper " +
+          s"bound). Raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
+          s"maxNumBits to honor the requested sizing.")
     val bloom = hashedShingleSets(train, idCol, textCol, shingleSize)
       .select(explode(col("th")).as("s"))
       .agg(bloom_filter_agg(col("s"), expectedItems, numBits).as("bf"))
