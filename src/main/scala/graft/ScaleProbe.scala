@@ -53,7 +53,10 @@ object ScaleProbe {
     "q74_shared_substring",// capped postings pair stream (planted runs)
     "q75_dedup_pipeline",  // LSH -> CC -> survivors end to end (planted pairs)
     "q76_shared_spans",    // positional postings + islands (planted runs)
-    "q77_span_cut")        // span-cut application (9/10 of corpus gets cut)
+    "q77_span_cut",        // span-cut application (9/10 of corpus gets cut)
+    // round-8 additions (round-7 verdict #6)
+    "q78_novelty",         // corpus df table on hash keys (planted copies crush novelty)
+    "q79_contamination_bloom") // one-blob bloom train side + codegen'd probe
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

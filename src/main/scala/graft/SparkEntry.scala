@@ -676,6 +676,32 @@ object SparkEntry {
           (col("n_bloom") >= col("n_exact")).as("bloom_ge_exact"))
     }),
 
+    // --- streaming MinHash near-dup dedup: documents replayed in 4
+    //     micro-batches (ntile over doc_id — oracle-reconstructible); a doc
+    //     is dropped iff an EARLIER-batch doc reaches exact Jaccard >= 0.8
+    //     (verified in-stream on the band collision, so drops == the exact
+    //     pair rule via q27's proven LSH==exact equivalence). Output: per-lang
+    //     survivor rollup, the streaming twin of q75's application ----------
+    "q80_stream_near_dedup" -> ((s, dir) => {
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+      // 30-day watermark >> the 3-hour replay span: nothing evicts mid-drain,
+      // so every earlier batch is a valid partner source (the oracle's rule);
+      // eviction semantics are spec-pinned separately with a tight watermark
+      val drops = graft.streaming.Streaming.nearDupDropStream(
+        replay, "doc_id", "text", "ts", watermark = "30 days",
+        shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
+      val dropped = graft.streaming.Streaming.runToTable(
+        drops.toDF(),
+        "q80_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4), noDataBatch = false)
+      T(s, dir, "documents")
+        .join(dropped.select(col("id").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
     // --- repetition quality profile: per-row native expressions only — the
     //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
     "q66_repetition" -> ((s, dir) =>
@@ -1739,6 +1765,48 @@ object SparkEntry {
         |  coalesce(h.n_cont, 0) AS n_exact,
         |  TRUE AS bloom_ge_exact
         |FROM sh z LEFT JOIN hit h USING (doc_id) WHERE NOT z.is_train""".stripMargin,
+
+    // The streaming near-dup replayed relationally: exact Jaccard pairs
+    // (q27's inverted-index formulation — the LSH band layer has proven
+    // equal recall on this corpus) + ntile batch assignment; a doc drops
+    // iff some exact partner sits in a STRICTLY EARLIER batch (same-batch
+    // ties admit both, matching the stream's same-batch no-compare rule).
+    "q80_stream_near_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |near AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |bat AS (SELECT doc_id, ntile(4) OVER (ORDER BY doc_id) AS batch
+        |        FROM documents),
+        |dropped AS (
+        |  SELECT DISTINCT CASE WHEN ba.batch < bb.batch THEN p.id_b
+        |                       ELSE p.id_a END AS doc_id
+        |  FROM near p
+        |  JOIN bat ba ON ba.doc_id = p.id_a
+        |  JOIN bat bb ON bb.doc_id = p.id_b
+        |  WHERE ba.batch <> bb.batch)
+        |SELECT d.lang, count(*) AS n_docs,
+        |  cast(sum(d.doc_id) as bigint) AS id_sum
+        |FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY 1""".stripMargin,
 
     // The bigram LM replayed on token STRINGS where Spark uses 64-bit hashes
     // (counts identical barring a 2^-64 collision). Two same-length unnests

@@ -201,6 +201,145 @@ object Streaming {
       .drop(col(s"r.$keyCol"))
   }
 
+  /**
+   * Documents replayed as an `nSplits`-micro-batch stream in doc_id order —
+   * the harness twin of [[eventsReplay]] for the text-pipeline operators.
+   * Batch assignment is `ntile(nSplits) OVER (ORDER BY doc_id)` — chosen
+   * over `repartitionByRange` (whose sampled boundaries are data-dependent)
+   * precisely because both engines implement SQL NTILE identically, so a
+   * DuckDB oracle can reconstruct each document's micro-batch exactly.
+   * Batches carry synthetic event times one hour apart, so the watermark
+   * advances between micro-batches as it would on a live feed. The per-split
+   * filtered writes are harness-only staging cost (the documents table is
+   * tiny next to the corpus facts); production streams tail a real landing
+   * directory.
+   */
+  def docsReplay(spark: SparkSession, dir: String, nSplits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_docreplay_")
+    stageDir.toFile.deleteOnExit()
+    val staged = docs.withColumn("batch",
+        ntile(nSplits).over(Window.orderBy(col("doc_id"))))
+      .withColumn("ts",
+        timestamp_seconds(lit(1700000000L) + col("batch").cast("long") * 3600L))
+    val base = System.currentTimeMillis()
+    (1 to nSplits).foreach { i =>
+      val tmp = stageDir.resolve(s"tmp_$i")
+      staged.where(col("batch") === i).drop("batch")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      // stable replay name + mtime in batch order: the file-stream source
+      // orders discovered files by MODIFICATION TIME (see eventsReplay)
+      val target = stageDir.resolve(f"$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, target)
+      target.toFile.setLastModified(base + i.toLong * 1000L)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val schema = spark.read.parquet(stageDir.resolve("00001.parquet").toString).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(stageDir.toString)
+  }
+
+  /** One (band, doc) row of the streaming LSH layer: the doc's hashed
+    * shingle set rides along for in-stream exact verification. */
+  final case class BandDoc(band: Int, bsig: Long, id: Long,
+    ts: java.sql.Timestamp, th: Seq[Long])
+  final case class BandMember(id: Long, tsMs: Long, th: Seq[Long])
+  final case class BandState(members: List[BandMember])
+  /** A near-dup drop event: `id` arrived with exact Jaccard ≥ threshold
+    * against earlier-arriving `partner_id` (one record per colliding band —
+    * consumers `distinct` on `id`). */
+  final case class NearDupDrop(id: Long, partner_id: Long, ts: java.sql.Timestamp)
+
+  private def exactJaccard(a: Seq[Long], b: Seq[Long]): Double = {
+    val sa = new java.util.HashSet[java.lang.Long](a.size * 2)
+    a.foreach(x => sa.add(x))
+    var inter = 0
+    b.foreach(x => if (sa.contains(x)) inter += 1)
+    inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /**
+   * Streaming MinHash near-dup detection with BOUNDED state — the streaming
+   * twin of `Dedup.minHashLSH`, completing the streaming story for the
+   * LLM-pipeline surface ([[dedupStream]] is exact-only): emit a
+   * [[NearDupDrop]] for every arriving document whose EXACT Jaccard (verified
+   * in-stream on hashed shingle sets, same contract as the batch operator)
+   * reaches `threshold` against any document seen in an EARLIER micro-batch
+   * within the watermark. Survivors = arriving docs minus distinct dropped
+   * ids (an anti-join at the sink or downstream batch stage).
+   *
+   * Mechanics: minhash signatures band exactly as in the batch LSH; state
+   * lives per (band, bsig) key and holds the members seen within the
+   * watermark, so a collision compares the arrival against every earlier
+   * bucket member — the "compare against all earlier docs" greedy rule
+   * (same-batch arrivals never compare: ties admit both, which keeps the
+   * rule deterministic under intra-batch ordering). Entries older than the
+   * watermark are pruned on access and idle bands are REMOVED wholesale via
+   * EventTimeTimeout — state is O(docs in the last `watermark` × bands), not
+   * stream length.
+   *
+   * Scale notes for a 100 TB/day feed: the shingle-hash array rides to every
+   * band bucket (numHashes/rowsPerBand ≈ 32× fan-out of an ~8 B/shingle
+   * array) — that is the price of EXACT in-stream verification; it buys zero
+   * false drops, where signature-fraction estimation (the 1 KB-state
+   * alternative) would misjudge borderline pairs. Use this operator for
+   * ingest-rate dedup against the recent window; corpus-scale historical
+   * dedup stays with the batch `minHashLSH` + `clusterDuplicates` path.
+   */
+  def nearDupDropStream(docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String = "ts", watermark: String = "1 hour",
+      shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): Dataset[NearDupDrop] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import graft.functions.GraftFunctions.{shingle_hashes, minhash_signature_from_hashes, minhash_bands}
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).as("id"), col(tsCol).as("ts"),
+        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+      .select(col("id"), col("ts"), col("th"),
+        explode(minhash_bands(
+          minhash_signature_from_hashes(col("th"), numHashes), rowsPerBand)).as("b"))
+      .select(col("b.band").as("band"), col("b.sig").as("bsig"),
+        col("id"), col("ts"), col("th"))
+      .as[BandDoc]
+    banded.groupByKey(r => (r.band, r.bsig))
+      .flatMapGroupsWithState[BandState, NearDupDrop](OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        case (_, _, state: GroupState[BandState]) if state.hasTimedOut =>
+          state.remove() // idle band past the watermark: evict wholesale
+          Iterator.empty
+        case (_, rows, state: GroupState[BandState]) =>
+          val arriving = rows.toArray.sortBy(_.id)
+          val wm = state.getCurrentWatermarkMs()
+          // prune members older than the watermark (same eviction rule as
+          // dropDuplicatesWithinWatermark): they can no longer be partners
+          val live = state.getOption.map(_.members).getOrElse(Nil)
+            .filter(_.tsMs >= wm)
+          val drops = arriving.flatMap { d =>
+            live.collectFirst {
+              case m if exactJaccard(m.th, d.th) >= threshold =>
+                NearDupDrop(d.id, m.id, d.ts)
+            }
+          }
+          // ALL arrivals join the bucket, dropped ones included — "earlier
+          // doc" means any earlier arrival, matching the batch greedy rule
+          // (and the oracle's earlier-batch-partner replay)
+          state.update(BandState(
+            live ++ arriving.map(d => BandMember(d.id, d.ts.getTime, d.th)).toList))
+          val newest = (wm :: live.map(_.tsMs) :::
+            arriving.map(_.ts.getTime).toList).max
+          state.setTimeoutTimestamp(newest, watermark)
+          drops.iterator
+      }
+  }
+
   /** `ts` rides along (even though `ts_us` drives the logic) so the input's
     * watermark column survives the projection — EventTimeTimeout requires a
     * watermarked column to be visible at the stateful operator. */

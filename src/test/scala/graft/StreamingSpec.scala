@@ -163,6 +163,94 @@ class StreamingSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 3L).get.getString(2) == "first")
   }
 
+  test("nearDupDropStream: earlier-batch near-dups drop, same-batch ties both survive") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_").toString
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, text) =>
+          org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), text)
+        }), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
+    def doc(prefix: String, n: Int = 60): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    def mutate(text: String): String = { // one swapped token: jaccard ≈ 0.9
+      val t = text.split(" "); t(30) = "MUTATED"; t.mkString(" ")
+    }
+    val base = System.currentTimeMillis()
+    write("00.parquet", base, Seq(
+      (1L, "2024-01-01 10:00:00", doc("a")),
+      (2L, "2024-01-01 10:00:01", doc("b"))))
+    write("01.parquet", base + 1000, Seq(
+      (11L, "2024-01-01 10:10:00", mutate(doc("a"))), // near-dup of 1 -> drop
+      (12L, "2024-01-01 10:10:01", doc("c")),          // unique
+      (13L, "2024-01-01 10:10:02", doc("d")),          // same-batch near-dup pair:
+      (14L, "2024-01-01 10:10:03", mutate(doc("d"))))) //   BOTH survive
+    write("02.parquet", base + 2000, Seq(
+      (21L, "2024-01-01 10:20:00", mutate(doc("d"))), // partner in batch 1 -> drop
+      (22L, "2024-01-01 10:20:01", doc("b")),          // exact copy of 2 -> drop
+      (23L, "2024-01-01 10:20:02", doc("e"))))         // unique
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val drops = Streaming.runToTable(
+      Streaming.nearDupDropStream(stream, "doc_id", "text", "ts", "1 hour").toDF(),
+      "t_neardup", org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(2), noDataBatch = false)
+    assert(drops.select("id").distinct().collect().map(_.getLong(0)).toSet ==
+      Set(11L, 21L, 22L))
+    // partner attribution: 11 dropped by 1, 22 by 2 (21's partner is 13 or 14)
+    val partners = drops.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+    assert(partners(11L).map(_._2).toSet == Set(1L))
+    assert(partners(22L).map(_._2).toSet == Set(2L))
+    assert(partners(21L).map(_._2).toSet.subsetOf(Set(13L, 14L)))
+  }
+
+  test("nearDupDropStream: partners older than the watermark are evicted, not matched") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_ev_").toString
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, text) =>
+          org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), text)
+        }), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
+    def doc(prefix: String): String = (0 until 60).map(i => s"$prefix$i").mkString(" ")
+    val base = System.currentTimeMillis()
+    write("00.parquet", base, Seq((1L, "2024-01-01 10:00:00", doc("x"))))
+    // filler two hours later pushes the watermark (12:00 - 10m) far past doc 1
+    write("01.parquet", base + 1000, Seq((2L, "2024-01-01 12:00:00", doc("f"))))
+    // doc 1's copy arrives after its entry aged out: MUST survive
+    write("02.parquet", base + 2000, Seq((3L, "2024-01-01 12:05:00", doc("x"))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val drops = Streaming.runToTable(
+      Streaming.nearDupDropStream(stream, "doc_id", "text", "ts", "10 minutes").toDF(),
+      "t_neardup_ev", org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(2), noDataBatch = false)
+    assert(drops.isEmpty, s"evicted partner still matched: ${drops.collect().toSeq}")
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),
