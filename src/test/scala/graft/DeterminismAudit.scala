@@ -23,8 +23,11 @@ object DeterminismAudit {
       val lsh = graft.ops.Dedup.minHashLSH(docs, "doc_id", "text",
         shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
         .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // maxDf = None: the audit's reference side must be TRULY exact — the
+      // capped default would silently weaken the lsh==exact claim on any
+      // corpus with a >1000-df shingle
       val exact = graft.ops.Dedup.ngramJaccard(docs, "doc_id", "text",
-        shingleSize = 3, threshold = 0.8)
+        shingleSize = 3, threshold = 0.8, maxDf = None)
         .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       println(s"[$sf] q27 lsh=${lsh.size} exact=${exact.size} equal=${lsh == exact} " +
         s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")

@@ -48,7 +48,7 @@ class OpsSpec extends SparkSpec {
 
   test("ngramJaccard agrees with brute-force jaccard on a sample") {
     val sample = docs.where(col("doc_id") < 60)
-    val got = Dedup.ngramJaccard(sample, "doc_id", "text", 3, 0.05)
+    val got = Dedup.ngramJaccard(sample, "doc_id", "text", 3, 0.05, maxDf = None)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     // brute force over all pairs of the sample
     val sh = sample.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
@@ -66,7 +66,7 @@ class OpsSpec extends SparkSpec {
   }
 
   test("ngramJaccard maxDf cap: near-identical pairs survive, scores lower-bound") {
-    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = None)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     assert(exact.nonEmpty) // the corpus plants near-duplicates
     // a generous cap (shingle df <= 10) must keep every high-sim pair: their
@@ -487,7 +487,9 @@ class OpsSpec extends SparkSpec {
         shingleSize = 3, numHashes = 128, rowsPerBand = 4, threshold = 0.8)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8)
+    // maxDf = None: the reference side of the LSH==exact claim (which the
+    // q27/q72/q80 oracles cite) must be truly exact, not the capped default
+    val exact = Dedup.ngramJaccard(docs, "doc_id", "text", 3, 0.8, maxDf = None)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == exact,

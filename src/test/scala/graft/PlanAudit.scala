@@ -20,7 +20,8 @@ object PlanAudit {
     // streaming queries drain through runToTable — the returned frame is a
     // memory-table scan, so there is no batch plan to audit
     val skip = Set("q31_stream_hourly", "q48_stream_sessionize",
-      "q49_stream_interval_join", "q67_stream_dedup", "q70_stream_keyed_read")
+      "q49_stream_interval_join", "q67_stream_dedup", "q70_stream_keyed_read",
+      "q80_stream_near_dedup")
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!skip.contains(name)) {
         val plan = fn(spark, dir).queryExecution.executedPlan.toString
