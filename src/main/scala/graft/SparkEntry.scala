@@ -702,6 +702,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     }),
 
+    // --- stratified data mixing: deterministic per-language keep rates
+    //     (down-sample en to 25%, zh to 50%, drop de entirely) as one
+    //     scan-level literal-CASE filter — the corpus-reweighting stage of a
+    //     training pipeline, stable across engines/partitionings ------------
+    "q81_stratified_mix" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(T(s, dir, "documents"), "doc_id",
+          "lang", Map("en" -> 250, "zh" -> 500, "de" -> 0))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))),
+
     // --- repetition quality profile: per-row native expressions only — the
     //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
     "q66_repetition" -> ((s, dir) =>
@@ -1806,6 +1816,16 @@ object SparkEntry {
         |  cast(sum(d.doc_id) as bigint) AS id_sum
         |FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY 1""".stripMargin,
+
+    "q81_stratified_mix" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  cast(sum(doc_id) as bigint) AS id_sum
+        |FROM documents
+        |WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |    % 1000 <
+        |  CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 500 WHEN 'de' THEN 0
+        |       ELSE 1000 END
         |GROUP BY 1""".stripMargin,
 
     // The bigram LM replayed on token STRINGS where Spark uses 64-bit hashes

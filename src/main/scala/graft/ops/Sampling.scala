@@ -38,6 +38,33 @@ object Sampling {
   def hashSample(df: DataFrame, idCol: String, pct: Int): DataFrame =
     df.where(hashBucket(col(idCol)) < pct)
 
+  /**
+   * Stratified corpus reweighting — the "data mixing" stage of a training
+   * pipeline: keep a deterministic per-stratum fraction of rows (down-sample
+   * a dominant crawl source, cap an over-represented language, zero out a
+   * stratum entirely). `permille` maps stratum value → keep rate in ‰
+   * (integer per-mille, so thresholds are exact and engine-portable — no
+   * float×bucket rounding ambiguity); strata absent from the map keep
+   * `defaultPermille`. Membership is a pure function of the row id (same
+   * md5-bucket scheme as [[hashSplit]], buckets = 1000): re-runs, engines,
+   * and partitionings all draw the SAME mix, so a re-shuffled rerun cannot
+   * silently change the training distribution. The whole operator is a
+   * scan-level filter — the fractions fold into one literal CASE expression:
+   * no shuffle, no state, composes with column pruning and pushdown.
+   * DuckDB twin of the predicate:
+   * `('0x'||substr(md5(cast(id as varchar)),1,15))::BIGINT % 1000 <
+   *  CASE stratum WHEN ... END`.
+   */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      permille: Map[String, Int], defaultPermille: Int = 1000): DataFrame = {
+    require((defaultPermille +: permille.values.toSeq).forall(p => p >= 0 && p <= 1000),
+      "per-mille rates must be in [0, 1000]")
+    val threshold = permille.foldLeft(lit(defaultPermille.toLong)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v.toLong)).otherwise(acc)
+    }
+    df.where(hashBucket(col(idCol), 1000) < threshold)
+  }
+
   /** Min-wise sample: the `k` rows with the smallest id hashes — an exact-size
     * uniform sample without replacement that is a pure function of the id set
     * (two engines, or two runs over different partitionings, draw the SAME

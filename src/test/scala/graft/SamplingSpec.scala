@@ -47,4 +47,28 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())
   }
+
+  test("stratifiedSample: per-stratum rates, zero drops stratum, default keeps all") {
+    val mixed = Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 250, "zh" -> 500, "de" -> 0))
+    val kept = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("de"), "zero-permille stratum must vanish")
+    // unlisted strata keep every row (default 1000 permille)
+    (all.keySet - "en" - "zh" - "de").foreach { l => assert(kept(l) == all(l)) }
+    // listed rates land near target (small-corpus tolerance)
+    assert(math.abs(kept("en").toDouble / all("en") - 0.25) < 0.12)
+    assert(math.abs(kept("zh").toDouble / all("zh") - 0.50) < 0.15)
+    // deterministic: re-evaluation draws the identical mix
+    assert(mixed.select("doc_id").except(
+      Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 250, "zh" -> 500, "de" -> 0)).select("doc_id")).isEmpty)
+    // nesting: a lower rate for the same stratum is a subset of a higher one
+    val en10 = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 100))
+    val en25 = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 250))
+    assert(en10.where(col("lang") === "en").select("doc_id")
+      .except(en25.select("doc_id")).isEmpty)
+  }
 }
