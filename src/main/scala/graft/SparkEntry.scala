@@ -712,6 +712,22 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))),
 
+    // --- context-window chunking: every doc cut into 128-token windows;
+    //     the oracle md5-hashes every chunk's text, so one off-by-one in any
+    //     window boundary anywhere in the corpus breaks the hash -------------
+    "q82_context_chunks" -> ((s, dir) =>
+      TextOps.chunkDocuments(T(s, dir, "documents"), "doc_id", "text", 128)
+        .select(col("id").as("doc_id"), col("chunk_idx"), col("n_tokens"),
+          md5(col("chunk_text").cast("binary")).as("chunk_md5"))),
+
+    // --- sequence packing (concat-then-cut per language, 2048-token budget):
+    //     pack manifests with doc counts and token totals ---------------------
+    "q83_sequence_packs" -> ((s, dir) =>
+      TextOps.packDocuments(T(s, dir, "documents"), "doc_id", "text",
+          "lang", 2048)
+        .groupBy(col("stratum").as("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
+
     // --- repetition quality profile: per-row native expressions only — the
     //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
     "q66_repetition" -> ((s, dir) =>
@@ -1827,6 +1843,39 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 250 WHEN 'zh' THEN 500 WHEN 'de' THEN 0
         |       ELSE 1000 END
         |GROUP BY 1""".stripMargin,
+
+    "q82_context_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (len(toks) - 1) // 128)) AS chunk_idx,
+        |    toks
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_idx,
+        |  cast(len(toks[chunk_idx*128+1 : least((chunk_idx+1)*128, len(toks))])
+        |    as bigint) AS n_tokens,
+        |  md5(array_to_string(
+        |    toks[chunk_idx*128+1 : least((chunk_idx+1)*128, len(toks))], ' '))
+        |    AS chunk_md5
+        |FROM c""".stripMargin,
+
+    "q83_sequence_packs" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      as bigint) AS n
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, doc_id, n,
+        |    sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+        |                 ROWS UNBOUNDED PRECEDING) - n AS start_tok
+        |  FROM t)
+        |SELECT lang, cast(start_tok // 2048 as bigint) AS pack_id,
+        |  count(*) AS n_docs, cast(sum(n) as bigint) AS pack_tokens
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // The bigram LM replayed on token STRINGS where Spark uses 64-bit hashes
     // (counts identical barring a 2^-64 collision). Two same-length unnests

@@ -310,6 +310,57 @@ object TextOps {
     }
   }
 
+  /**
+   * Context-window chunking: split each document's token stream into
+   * consecutive `chunkTokens`-token windows — the sequence-preparation step
+   * between cleaning and tokenizer/packing stages of a training pipeline
+   * (the final chunk keeps the remainder; zero-token documents emit no
+   * chunks). Pure per-row computation: tokenize once, build the window
+   * slices inside the row, `posexplode` — no shuffle, no state; at 100 TB
+   * the operator runs at scan bandwidth and composes with pushdown.
+   * Returns (id, chunk_idx, n_tokens, chunk_text).
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 128): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), ((size(col("toks")) - 1) / chunkTokens).cast("int")),
+          i => slice(col("toks"), i * chunkTokens + 1, lit(chunkTokens))))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        size(col("chunk")).cast("bigint").as("n_tokens"),
+        concat_ws(" ", col("chunk")).as("chunk_text"))
+  }
+
+  /**
+   * Budget-based sequence packing, concat-then-cut discipline: within each
+   * stratum, documents concatenate in id order and cut every `budgetTokens`
+   * tokens; a document belongs to the pack where it STARTS. This is the
+   * deterministic, fully-relational packing rule (true greedy bin packing is
+   * order-sequential and engine-hostile; concat-then-cut is what large
+   * pipelines actually run, with the straddle loss amortized by the budget).
+   * One window cumsum per stratum — choose strata of bounded size (source ×
+   * day, language × shard), since each stratum's prefix sum is a single
+   * ordered pass; the shuffle moves (id, count) pairs only, never text.
+   * Returns per-doc (stratum, id, n_tokens, pack_id); aggregate by
+   * (stratum, pack_id) for pack manifests.
+   */
+  def packDocuments(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, budgetTokens: Int = 2048): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("stratum")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("bigint").as("n_tokens"))
+      .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("stratum"), col("id"), col("n_tokens"),
+        (col("start_tok") / budgetTokens).cast("bigint").as("pack_id"))
+  }
+
   /** One distinct-shingle-hash set per doc: the shared first pass of the
     * contamination family. */
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,

@@ -124,6 +124,45 @@ class TextPipelineSpec extends SparkSpec {
     assert(p.values.forall(v => v._2 <= v._1))
   }
 
+  test("chunkDocuments: windows partition the token stream exactly") {
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(300, "a")), // 128 + 128 + 44
+      (2L, words(256, "b")), // exact multiple: 128 + 128, no empty tail
+      (3L, words(5, "c")),   // shorter than one window
+      (4L, ""),              // zero tokens: no chunks at all
+      (5L, "x")              // single token
+    ).toDF("doc_id", "text")
+    val chunks = TextOps.chunkDocuments(docs, "doc_id", "text", 128)
+      .orderBy("id", "chunk_idx").collect()
+    val byDoc = chunks.groupBy(_.getLong(0))
+    assert(byDoc(1L).map(_.getLong(2)).toSeq == Seq(128L, 128L, 44L))
+    assert(byDoc(2L).map(_.getLong(2)).toSeq == Seq(128L, 128L))
+    assert(byDoc(3L).map(_.getLong(2)).toSeq == Seq(5L))
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).map(_.getLong(2)).toSeq == Seq(1L))
+    // lossless: chunks reassemble to the original token stream
+    assert(byDoc(1L).map(_.getString(3)).mkString(" ") == words(300, "a"))
+    // chunk_idx is dense from 0
+    assert(byDoc(1L).map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("packDocuments: concat-then-cut assigns packs by start offset per stratum") {
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "x", words(1000)), // starts 0    -> pack 0
+      (2L, "x", words(1500)), // starts 1000 -> pack 0
+      (3L, "x", words(600)),  // starts 2500 -> pack 1
+      (4L, "x", words(2000)), // starts 3100 -> pack 1
+      (5L, "y", words(100))   // own stratum -> pack 0
+    ).toDF("doc_id", "lang", "text")
+    val packs = TextOps.packDocuments(docs, "doc_id", "text", "lang", 2048)
+      .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(3))).toMap
+    assert(packs(1L) == ("x", 0L) && packs(2L) == ("x", 0L))
+    assert(packs(3L) == ("x", 1L) && packs(4L) == ("x", 1L))
+    assert(packs(5L) == ("y", 0L))
+  }
+
   test("contamination rate is monotone in planted overlap") {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
     val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 80)
