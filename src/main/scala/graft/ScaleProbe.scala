@@ -56,7 +56,10 @@ object ScaleProbe {
     "q77_span_cut",        // span-cut application (9/10 of corpus gets cut)
     // round-8 additions (round-7 verdict #6)
     "q78_novelty",         // corpus df table on hash keys (planted copies crush novelty)
-    "q79_contamination_bloom") // one-blob bloom train side + codegen'd probe
+    "q79_contamination_bloom", // one-blob bloom train side + codegen'd probe
+    "q81_stratified_mix",  // scan-level literal-CASE mixing filter
+    "q82_context_chunks",  // per-row window slices, zero shuffle
+    "q83_sequence_packs")  // per-stratum cumsum, (id,count)-only shuffle
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -354,11 +354,15 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("stratum")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null text must stay NULL (not legacy size's -1, which would silently
+    // shift every later start offset in the stratum); `div` keeps the pack
+    // arithmetic exact where a double `/` would round past 2^53 tokens
     df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
-        size(tokens(col(textCol))).cast("bigint").as("n_tokens"))
+        when(col(textCol).isNotNull,
+          size(tokens(col(textCol))).cast("bigint")).as("n_tokens"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("stratum"), col("id"), col("n_tokens"),
-        (col("start_tok") / budgetTokens).cast("bigint").as("pack_id"))
+        expr(s"start_tok div $budgetTokens").as("pack_id"))
   }
 
   /** One distinct-shingle-hash set per doc: the shared first pass of the
