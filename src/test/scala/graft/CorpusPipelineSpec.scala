@@ -88,5 +88,28 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(r.getLong(2) <= r.getLong(1))
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
+
+    // -- stage 6: sequence preparation — chunk the clean train split into
+    //    context windows; chunking must be lossless over every document
+    val train = sp.where(col("split") === "train")
+    val chunks = TextOps.chunkDocuments(train, "doc_id", "text", 128)
+    // collect_list order is NOT shuffle-stable — sort explicitly by chunk_idx
+    val reassembled = chunks.groupBy(col("id")).agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s("chunk_text"))).as("rebuilt"),
+        sum(col("n_tokens")).as("n"))
+    val mismatch = reassembled.join(
+        train.select(col("doc_id").as("id"),
+          concat_ws(" ", graft.functions.GraftFunctions.tokens(col("text")))
+            .as("orig")), "id")
+      .where(col("rebuilt") =!= col("orig"))
+    assert(mismatch.isEmpty, "chunking lost or reordered tokens")
+    // token conservation: chunk token counts sum to the corpus token count
+    val chunkTotal = chunks.agg(sum(col("n_tokens"))).head().getLong(0)
+    val corpusTotal = train
+      .agg(sum(size(graft.functions.GraftFunctions.tokens(col("text")))
+        .cast("bigint"))).head().getLong(0)
+    assert(chunkTotal == corpusTotal)
   }
 }
