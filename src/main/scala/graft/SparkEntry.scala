@@ -728,6 +728,30 @@ object SparkEntry {
         .groupBy(col("stratum").as("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
 
+    // --- ingest decontamination soundness, oracle-gated like q79: the
+    //     per-row bloom probe (contaminationBloomFlags — the stateless form
+    //     decontaminateStream deploys on streams) must (a) overcount-only vs
+    //     exact and (b) never keep a doc the exact rule at maxRate=0.2 would
+    //     drop. Both relations fold into one INTEGER-exact boolean (5·n vs
+    //     n_shingles avoids any float-division ambiguity); the exact side is
+    //     value-checked by the DuckDB replay ---------------------------------
+    "q84_stream_decontaminate" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.hashSplit(T(s, dir, "documents"), "doc_id", 80)
+      val train = sp.where(col("split") === "train")
+      val test = sp.where(col("split") === "test")
+      val flags = TextOps.contaminationBloomFlags(
+          test.select(col("doc_id"), col("text")), train, "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated").as("n_bloom"))
+      val exact = TextOps.contamination(train, test, "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_contaminated").as("n_exact"))
+      flags.join(exact, "doc_id")
+        .select(col("doc_id"), col("n_shingles"), col("n_exact"),
+          (col("n_bloom") >= col("n_exact") &&
+            (col("n_bloom") * 5 > col("n_shingles") ||
+              col("n_exact") * 5 <= col("n_shingles")))
+            .as("decontamination_sound"))
+    }),
+
     // --- repetition quality profile: per-row native expressions only — the
     //     whole operator is a scan with zero exchanges (PlanAudit-checked) ----
     "q66_repetition" -> ((s, dir) =>
@@ -1861,6 +1885,31 @@ object SparkEntry {
         |    toks[chunk_idx*128+1 : least((chunk_idx+1)*128, len(toks))], ' '))
         |    AS chunk_md5
         |FROM c""".stripMargin,
+
+    // q65's exact replay once more (the q79 pattern): exact columns
+    // value-checked; the bloom-probe relations are folded into
+    // `decontamination_sound` inside the Spark query, pinned TRUE here.
+    "q84_stream_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |      % 100 < 80 AS is_train,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, is_train, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |tr AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE is_train),
+        |te AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE NOT is_train),
+        |hit AS (SELECT doc_id, count(*) AS n_cont FROM te JOIN tr USING (g)
+        |        GROUP BY 1)
+        |SELECT z.doc_id, cast(len(z.s) as bigint) AS n_shingles,
+        |  coalesce(h.n_cont, 0) AS n_exact,
+        |  TRUE AS decontamination_sound
+        |FROM sh z LEFT JOIN hit h USING (doc_id) WHERE NOT z.is_train""".stripMargin,
 
     "q83_sequence_packs" ->
       """WITH t AS (

@@ -243,6 +243,20 @@ object TextOps {
   def contaminationBloom(train: DataFrame, test: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
       expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = trainBloom(train, idCol, textCol, shingleSize, expectedItems, fpp)
+    graft.Eager.withPersisted(
+        hashedShingleSets(test, idCol, textCol, shingleSize)) { testH =>
+      val hits = testH.select(col("id"), explode(col("th")).as("s"))
+        .where(bloom_might_contain(bloom, col("s")))
+        .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
+      assemble(testH, hits, idCol)
+    }
+  }
+
+  /** One bloom blob over the train split's shingle hashes — the shared build
+    * of [[contaminationBloom]] and [[contaminationBloomFlags]]. */
+  private[graft] def trainBloom(train: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, expectedItems: Long, fpp: Double): Array[Byte] = {
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     // optimal bit count for the target FPR: -n·ln(p)/ln(2)²
     val numBits = math.ceil(
@@ -259,23 +273,42 @@ object TextOps {
     val maxBits = rc.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     if (expectedItems > maxItems || numBits > maxBits)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"contaminationBloom: expectedItems=$expectedItems / numBits=$numBits " +
+        s"trainBloom: expectedItems=$expectedItems / numBits=$numBits " +
           s"exceed the session caps (maxNumItems=$maxItems, maxNumBits=$maxBits); " +
           s"Spark clamps the aggregate silently, so the realized false-positive " +
           s"rate will exceed fpp=$fpp (counts remain an overcount-only upper " +
           s"bound). Raise spark.sql.optimizer.runtime.bloomFilter.maxNumItems/" +
           s"maxNumBits to honor the requested sizing.")
-    val bloom = hashedShingleSets(train, idCol, textCol, shingleSize)
+    hashedShingleSets(train, idCol, textCol, shingleSize)
       .select(explode(col("th")).as("s"))
       .agg(bloom_filter_agg(col("s"), expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    graft.Eager.withPersisted(
-        hashedShingleSets(test, idCol, textCol, shingleSize)) { testH =>
-      val hits = testH.select(col("id"), explode(col("th")).as("s"))
-        .where(bloom_might_contain(bloom, col("s")))
-        .groupBy(col("id")).agg(count(lit(1)).as("n_contaminated"))
-      assemble(testH, hits, idCol)
-    }
+  }
+
+  /**
+   * Per-row contamination flags against a STATIC train split — the stateless
+   * form of [[contaminationBloom]] built for ingest streams (but equally
+   * valid on batch frames): the train side compresses once, at CONSTRUCTION
+   * time, into a single bloom blob shipped in the task binary; each arriving
+   * row then probes its own shingle set in place. No shuffle, no state, no
+   * watermark — a streaming plan stays stateless, so the operator runs at
+   * ingest bandwidth on an unbounded feed. The per-element probe rides a
+   * `filter` HOF (interpreted, not codegen'd): bounded by tokens-per-doc,
+   * the right trade for a per-row verdict that avoids the explode→join the
+   * batch operator uses. Counts OVERCOUNT by the bloom FPR (never
+   * undercount). Appends (n_shingles, n_contaminated) to the input rows.
+   */
+  def contaminationBloomFlags(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3,
+      expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    val bloom = trainBloom(train, idCol, textCol, shingleSize, expectedItems, fpp)
+    docs
+      .withColumn("_th",
+        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)))
+      .withColumn("n_shingles", size(col("_th")).cast("bigint"))
+      .withColumn("n_contaminated",
+        size(filter(col("_th"), s => bloom_might_contain(bloom, s))).cast("bigint"))
+      .drop("_th")
   }
 
   /**

@@ -361,6 +361,28 @@ object Streaming {
       }
   }
 
+  /**
+   * Ingest-time decontamination: drop arriving documents whose shingle
+   * overlap with a STATIC train/eval split exceeds `maxRate` — the streaming
+   * deployment of [[graft.ops.TextOps.contaminationBloomFlags]] (one bloom
+   * blob built at stream construction; per-row probe; STATELESS, so the
+   * plan carries no watermark or state store and runs at ingest bandwidth).
+   * Bloom false positives only OVERCOUNT, so the stream drops a SUPERSET of
+   * the exact rule — the safe direction for decontamination (an exact pass
+   * downstream can rescue borderline docs; nothing contaminated slips by).
+   * Zero-shingle documents are kept (nothing to match). Survivors keep
+   * their columns plus (n_shingles, n_contaminated).
+   */
+  def decontaminateStream(docs: DataFrame, train: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, maxRate: Double = 0.2,
+      expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    require(maxRate >= 0 && maxRate <= 1, "maxRate must be in [0, 1]")
+    graft.ops.TextOps.contaminationBloomFlags(docs, train, idCol, textCol,
+        shingleSize, expectedItems, fpp)
+      .where(col("n_shingles") === 0L ||
+        col("n_contaminated").cast("double") / col("n_shingles") <= maxRate)
+  }
+
   /** `ts` rides along (even though `ts_us` drives the logic) so the input's
     * watermark column survives the projection — EventTimeTimeout requires a
     * watermarked column to be visible at the stateful operator. */

@@ -70,5 +70,13 @@ class SamplingSpec extends SparkSpec {
     val en25 = Sampling.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 250))
     assert(en10.where(col("lang") === "en").select("doc_id")
       .except(en25.select("doc_id")).isEmpty)
+    // NULL stratum falls through the CASE chain to the default rate (both
+    // engines: NULL equality is never true), so it keeps every row here
+    val withNull = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, col("lang")).as("lang"))
+    val m = Sampling.stratifiedSample(withNull, "doc_id", "lang", Map("en" -> 0))
+    assert(m.where(col("lang").isNull).count() ==
+      withNull.where(col("lang").isNull).count())
+    assert(m.where(col("lang") === "en").count() == 0)
   }
 }

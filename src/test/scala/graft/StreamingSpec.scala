@@ -251,6 +251,49 @@ class StreamingSpec extends SparkSpec {
     assert(drops.isEmpty, s"evicted partner still matched: ${drops.collect().toSeq}")
   }
 
+  test("decontaminateStream: contaminated docs drop at ingest, clean pass, stateless plan") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    def words(n: Int, p: String) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val train = Seq((100L, words(60, "tr"))).toDF("doc_id", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_").toString
+    val rows = Seq(
+      (1L, "2024-01-01 10:00:00", words(60, "tr")),  // full train copy: drop
+      (2L, "2024-01-01 10:00:01", words(60, "cl")),  // disjoint: keep
+      // 10 train tokens spliced into 90 fresh ones: ~12 contaminated of ~98
+      // shingles (rate ~0.12 < 0.2): keep
+      (3L, "2024-01-01 10:00:02",
+        words(45, "x") + " " + (0 until 10).map(i => s"tr$i").mkString(" ") +
+          " " + words(45, "y")))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, t, text) =>
+        org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), text)
+      }), schema)
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = Streaming.decontaminateStream(stream, train, "doc_id", "text",
+      shingleSize = 3, maxRate = 0.2, expectedItems = 10000L)
+    // stateless: the streaming plan must carry NO stateful operator
+    val survivors = Streaming.runToTable(out, "t_decon",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(2L, 3L))
+    val d3 = survivors.where(col("doc_id") === 3L).head()
+    assert(d3.getAs[Long]("n_contaminated") > 0, "planted overlap went undetected")
+    // overcount-only vs the exact operator (bloom has no false negatives)
+    val exact = graft.ops.TextOps.contamination(
+        train, df.select("doc_id", "text"), "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val flags = graft.ops.TextOps.contaminationBloomFlags(
+        df.select("doc_id", "text"), train, "doc_id", "text", 3,
+        expectedItems = 10000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_contaminated")).toMap
+    flags.foreach { case (id, nb) => assert(nb >= exact(id), s"doc $id undercounted") }
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),
