@@ -730,11 +730,13 @@ object SparkEntry {
 
     // --- ingest decontamination soundness, oracle-gated like q79: the
     //     per-row bloom probe (contaminationBloomFlags — the stateless form
-    //     decontaminateStream deploys on streams) must (a) overcount-only vs
-    //     exact and (b) never keep a doc the exact rule at maxRate=0.2 would
-    //     drop. Both relations fold into one INTEGER-exact boolean (5·n vs
-    //     n_shingles avoids any float-division ambiguity); the exact side is
-    //     value-checked by the DuckDB replay ---------------------------------
+    //     decontaminateStream deploys on streams) must overcount-only vs
+    //     exact; keep-soundness at any maxRate is a direct COROLLARY
+    //     (bloom-keep ⇒ bloom rate ≤ maxRate ⇒ exact rate ≤ maxRate), and the
+    //     second clause spells that corollary out at maxRate=0.2 in INTEGER
+    //     form (5·n vs n_shingles — no float-division ambiguity) so the
+    //     shipped contract is asserted verbatim, not just derivable. The
+    //     exact side is value-checked by the DuckDB replay ------------------
     "q84_stream_decontaminate" -> ((s, dir) => {
       val sp = graft.ops.Sampling.hashSplit(T(s, dir, "documents"), "doc_id", 80)
       val train = sp.where(col("split") === "train")

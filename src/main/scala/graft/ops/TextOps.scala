@@ -257,6 +257,10 @@ object TextOps {
     * of [[contaminationBloom]] and [[contaminationBloomFlags]]. */
   private[graft] def trainBloom(train: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, expectedItems: Long, fpp: Double): Array[Byte] = {
+    require(!train.isStreaming,
+      "the train split must be a BATCH frame: its bloom blob is built once, " +
+        "eagerly, at construction time (an evolving train set needs a rebuilt " +
+        "filter and a restarted stream)")
     require(expectedItems > 0 && fpp > 0 && fpp < 1)
     // optimal bit count for the target FPR: -n·ln(p)/ln(2)²
     val numBits = math.ceil(
@@ -301,14 +305,23 @@ object TextOps {
   def contaminationBloomFlags(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3,
       expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
+    // append contract: the output columns must not silently clobber caller
+    // data (a re-screen of a prior contamination pass's output would lose
+    // its first-pass counts) — fail analysis-time instead
+    Seq("n_shingles", "n_contaminated", "__graft_th").foreach { c =>
+      require(!docs.columns.contains(c),
+        s"contaminationBloomFlags: input already has a '$c' column — rename it " +
+          "(the operator appends n_shingles/n_contaminated)")
+    }
     val bloom = trainBloom(train, idCol, textCol, shingleSize, expectedItems, fpp)
     docs
-      .withColumn("_th",
+      .withColumn("__graft_th",
         array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)))
-      .withColumn("n_shingles", size(col("_th")).cast("bigint"))
+      .withColumn("n_shingles", size(col("__graft_th")).cast("bigint"))
       .withColumn("n_contaminated",
-        size(filter(col("_th"), s => bloom_might_contain(bloom, s))).cast("bigint"))
-      .drop("_th")
+        size(filter(col("__graft_th"), s => bloom_might_contain(bloom, s)))
+          .cast("bigint"))
+      .drop("__graft_th")
   }
 
   /**

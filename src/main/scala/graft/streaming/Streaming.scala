@@ -370,8 +370,10 @@ object Streaming {
    * Bloom false positives only OVERCOUNT, so the stream drops a SUPERSET of
    * the exact rule — the safe direction for decontamination (an exact pass
    * downstream can rescue borderline docs; nothing contaminated slips by).
-   * Zero-shingle documents are kept (nothing to match). Survivors keep
-   * their columns plus (n_shingles, n_contaminated).
+   * NULL-text rows are KEPT (nothing to match — without the explicit guard
+   * the NULL rate would silently drop them); empty/short docs follow the
+   * shingle contract (one whole-text shingle). Survivors keep their columns
+   * plus (n_shingles, n_contaminated).
    */
   def decontaminateStream(docs: DataFrame, train: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, maxRate: Double = 0.2,
@@ -379,7 +381,7 @@ object Streaming {
     require(maxRate >= 0 && maxRate <= 1, "maxRate must be in [0, 1]")
     graft.ops.TextOps.contaminationBloomFlags(docs, train, idCol, textCol,
         shingleSize, expectedItems, fpp)
-      .where(col("n_shingles") === 0L ||
+      .where(col(textCol).isNull ||
         col("n_contaminated").cast("double") / col("n_shingles") <= maxRate)
   }
 

@@ -263,8 +263,9 @@ class StreamingSpec extends SparkSpec {
     val rows = Seq(
       (1L, "2024-01-01 10:00:00", words(60, "tr")),  // full train copy: drop
       (2L, "2024-01-01 10:00:01", words(60, "cl")),  // disjoint: keep
-      // 10 train tokens spliced into 90 fresh ones: ~12 contaminated of ~98
-      // shingles (rate ~0.12 < 0.2): keep
+      // 10 train tokens spliced into 90 fresh ones: only windows fully
+      // inside the run match = 8 contaminated of 98 shingles (rate ~0.08
+      // < 0.2): keep
       (3L, "2024-01-01 10:00:02",
         words(45, "x") + " " + (0 until 10).map(i => s"tr$i").mkString(" ") +
           " " + words(45, "y")))
@@ -276,11 +277,23 @@ class StreamingSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = Streaming.decontaminateStream(stream, train, "doc_id", "text",
       shingleSize = 3, maxRate = 0.2, expectedItems = 10000L)
-    // stateless: the streaming plan must carry NO stateful operator
+    // STATELESS is the operator's headline property: the plan must carry no
+    // stateful node (state store / watermark machinery) — pin it on the
+    // analyzed plan, not just by the query happening to run
+    val analyzed = out.queryExecution.analyzed.toString
+    Seq("Aggregate", "Deduplicate", "FlatMapGroupsWithState", "EventTimeWatermark")
+      .foreach(op => assert(!analyzed.contains(op),
+        s"decontaminateStream plan gained a stateful operator ($op):\n$analyzed"))
     val survivors = Streaming.runToTable(out, "t_decon",
       org.apache.spark.sql.streaming.OutputMode.Append())
     assert(survivors.select("doc_id").collect().map(_.getLong(0)).toSet ==
       Set(2L, 3L))
+    // null text: nothing to match — the row must be KEPT, not null-dropped
+    val withNull = Seq((9L, null.asInstanceOf[String]), (10L, words(60, "tr")))
+      .toDF("doc_id", "text")
+    val keptNull = Streaming.decontaminateStream(withNull, train, "doc_id",
+      "text", shingleSize = 3, maxRate = 0.2, expectedItems = 10000L)
+    assert(keptNull.select("doc_id").collect().map(_.getLong(0)).toSet == Set(9L))
     val d3 = survivors.where(col("doc_id") === 3L).head()
     assert(d3.getAs[Long]("n_contaminated") > 0, "planted overlap went undetected")
     // overcount-only vs the exact operator (bloom has no false negatives)
