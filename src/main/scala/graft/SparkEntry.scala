@@ -728,6 +728,20 @@ object SparkEntry {
         .groupBy(col("stratum").as("lang"), col("pack_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))),
 
+    // --- int8 embedding quantization (the 4x storage cut of a 100 TB vector
+    //     store): floor arithmetic on promoted doubles is IEEE-identical in
+    //     both engines, so the oracle value-checks every vector's quantized
+    //     sum/sq-sum and its scale to the microunit ---------------------------
+    "q85_quantized_embeddings" -> ((s, dir) =>
+      graft.ops.Similarity.quantizeInt8(
+          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"),
+          floor(col("scale") * 1000000.0d).cast("bigint").as("scale_micro"),
+          aggregate(col("qvec"), lit(0L),
+            (acc, y) => acc + y.cast("long")).as("q_sum"),
+          aggregate(col("qvec"), lit(0L),
+            (acc, y) => acc + y.cast("long") * y.cast("long")).as("q_sqsum"))),
+
     // --- ingest decontamination soundness, oracle-gated like q79: the
     //     per-row bloom probe (contaminationBloomFlags — the stateless form
     //     decontaminateStream deploys on streams) must overcount-only vs
@@ -1887,6 +1901,27 @@ object SparkEntry {
         |    toks[chunk_idx*128+1 : least((chunk_idx+1)*128, len(toks))], ' '))
         |    AS chunk_md5
         |FROM c""".stripMargin,
+
+    // Quantization replayed value-exactly: float->double promotion, one
+    // multiply, one divide, explicit floor — identical IEEE ops in both
+    // engines (the reason the operator uses floor, never round).
+    "q85_quantized_embeddings" ->
+      """WITH t AS (
+        |  SELECT vec_id, embedding AS v,
+        |    cast(list_max(list_transform(embedding, x -> abs(x))) as double)
+        |      AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, maxabs,
+        |    list_transform(v, x -> CASE WHEN maxabs = 0 THEN 0
+        |      ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint)
+        |      END) AS qv
+        |  FROM t)
+        |SELECT vec_id,
+        |  cast(floor(maxabs / 127.0 * 1000000.0) as bigint) AS scale_micro,
+        |  cast(list_sum(qv) as bigint) AS q_sum,
+        |  cast(list_sum(list_transform(qv, y -> y * y)) as bigint) AS q_sqsum
+        |FROM q""".stripMargin,
 
     // q65's exact replay once more (the q79 pattern): exact columns
     // value-checked; the bloom-probe relations are folded into

@@ -201,4 +201,38 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Symmetric per-vector int8 quantization — the 4× storage/bandwidth cut a
+   * 100 TB embedding store runs on (float32 → int8 + one scale per vector).
+   * `q_i = floor(v_i · 127 / max|v|)`, `scale = max|v| / 127`; dequantized
+   * error per element is bounded by `scale` (floor drift < 1 quantum). The
+   * arithmetic is ENGINE-PORTABLE by construction: float→double promotion,
+   * one multiply, one divide, and an explicit `floor` are identical IEEE
+   * operations in any engine (no round-half mode ambiguity — the reason
+   * `floor`, not `round`), so a SQL oracle replays the quantized values
+   * exactly. Zero vectors quantize to zeros with scale 0. The per-element
+   * HOFs are interpreted, not codegen'd — a storage transform touching each
+   * vector once, not a hot scoring loop (score with [[cosineQuantized]] or
+   * dequantize into the native `cosine_sim`).
+   * Returns (id, scale: double, qvec: array&lt;tinyint&gt;).
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val maxabs = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        maxabs.as("maxabs"))
+      .select(col("id"), (col("maxabs") / 127.0d).as("scale"),
+        transform(col("v"), x =>
+          when(col("maxabs") === 0.0d, lit(0))
+            .otherwise(floor(x.cast("double") * 127.0d / col("maxabs"))
+              .cast("int"))
+            .cast("tinyint")).as("qvec"))
+  }
+
+  /** Dequantize [[quantizeInt8]] output back to float vectors:
+    * `v'_i = q_i · scale`. */
+  def dequantizeInt8(qvecCol: String = "qvec",
+      scaleCol: String = "scale"): Column =
+    transform(col(qvecCol), q =>
+      (q.cast("double") * col(scaleCol)).cast("float"))
 }

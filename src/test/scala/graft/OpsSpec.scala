@@ -496,6 +496,38 @@ class OpsSpec extends SparkSpec {
       s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
   }
 
+  test("quantizeInt8: bounded round-trip error, zero-vector contract, rank preservation") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      .withColumn("deq", Similarity.dequantizeInt8())
+    // per-element |v - q·scale| < scale (floor drift is under one quantum)
+    val viol = q.join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      .select(explode(arrays_zip(col("embedding"), col("deq"))).as("z"), col("scale"))
+      .where(abs(col("z.embedding").cast("double") - col("z.deq").cast("double"))
+        >= col("scale") + lit(1e-9))
+    assert(viol.isEmpty, "dequantized element drifted a full quantum or more")
+    // quantized values stay in int8 range
+    val range = q.select(explode(col("qvec")).as("qi"))
+      .where(col("qi") > 127 || col("qi") < -127)
+    assert(range.isEmpty)
+    // zero vector: scale 0, all-zero qvec (no NaN/divide-by-zero leak)
+    import spark.implicits._
+    val z = Similarity.quantizeInt8(
+      Seq((1L, Seq.fill(8)(0.0f))).toDF("vec_id", "embedding"), "vec_id", "embedding")
+      .head()
+    assert(z.getDouble(1) == 0.0 && z.getSeq[Byte](2).forall(_ == 0))
+    // ranking survives quantization: brute-force top-5 on dequantized vectors
+    // overlaps the exact top-5 (int8 keeps ~2 decimal digits of direction)
+    val query = emb.where(col("vec_id") === 0).head().getSeq[Float](1)
+    val exact = Similarity.bruteForceTopK(emb.where(col("vec_id") > 0),
+      "vec_id", "embedding", query, 5).collect().map(_.getLong(0)).toSet
+    val deqDf = q.where(col("id") > 0).select(col("id").as("vec_id"),
+      Similarity.dequantizeInt8().as("embedding"))
+    val approx = Similarity.bruteForceTopK(deqDf, "vec_id", "embedding", query, 5)
+      .collect().map(_.getLong(0)).toSet
+    assert((exact & approx).size >= 4, s"quantization broke ranking: $exact vs $approx")
+  }
+
   test("crossTopK ranks within each query, excludes self") {
     val small = emb.where(col("vec_id") < 30)
     val out = Similarity.crossTopK(small, small.where(col("vec_id") < 3),
