@@ -213,7 +213,7 @@ object Similarity {
    * `floor`, not `round`), so a SQL oracle replays the quantized values
    * exactly. Zero vectors quantize to zeros with scale 0. The per-element
    * HOFs are interpreted, not codegen'd — a storage transform touching each
-   * vector once, not a hot scoring loop (score with [[cosineQuantized]] or
+   * vector once, not a hot scoring loop (score with [[quantizedTopK]] or
    * dequantize into the native `cosine_sim`).
    * Returns (id, scale: double, qvec: array&lt;tinyint&gt;).
    */
@@ -235,4 +235,17 @@ object Similarity {
       scaleCol: String = "scale"): Column =
     transform(col(qvecCol), q =>
       (q.cast("double") * col(scaleCol)).cast("float"))
+
+  /** Top-k by cosine directly over a QUANTIZED corpus ([[quantizeInt8]]
+    * output): cosine is scale-invariant, so the int8 vector casts straight
+    * to float — no dequantize multiply, no scale column read, and the scan
+    * touches a quarter of the bytes the float32 corpus would. */
+  def quantizedTopK(df: DataFrame, idCol: String, qvecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
+    val q = array(query.map(v => lit(v)): _*)
+    df.select(col(idCol),
+        cosine_sim(transform(col(qvecCol), x => x.cast("float")), q).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
 }

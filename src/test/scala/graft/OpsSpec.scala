@@ -526,6 +526,11 @@ class OpsSpec extends SparkSpec {
     val approx = Similarity.bruteForceTopK(deqDf, "vec_id", "embedding", query, 5)
       .collect().map(_.getLong(0)).toSet
     assert((exact & approx).size >= 4, s"quantization broke ranking: $exact vs $approx")
+    // direct int8 scoring (scale-invariant cosine) ranks like the dequantized
+    // path — the scan that reads a quarter of the bytes must not cost recall
+    val direct = Similarity.quantizedTopK(q.where(col("id") > 0), "id", "qvec",
+      query, 5).collect().map(_.getLong(0)).toSet
+    assert((exact & direct).size >= 4, s"int8 scoring broke ranking: $exact vs $direct")
   }
 
   test("crossTopK ranks within each query, excludes self") {
