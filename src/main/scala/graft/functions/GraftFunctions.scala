@@ -23,6 +23,13 @@ object GraftFunctions {
     Bridge.column(CosineSimilarity(
       Bridge.expression(a.cast("array<float>")), Bridge.expression(b.cast("array<float>"))))
 
+  /** Cosine of an int8-quantized vector against a float query (native
+    * codegen expression; scale-invariant, so the quantization scale never
+    * loads — the quantized-ANN hot loop). */
+  def cosine_sim_int8(qvec: Column, query: Column): Column =
+    Bridge.column(CosineSimilarityInt8(
+      Bridge.expression(qvec), Bridge.expression(query.cast("array<float>"))))
+
   /** Hamming distance of two 64-bit signatures (native codegen expression). */
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))

@@ -237,14 +237,15 @@ object Similarity {
       (q.cast("double") * col(scaleCol)).cast("float"))
 
   /** Top-k by cosine directly over a QUANTIZED corpus ([[quantizeInt8]]
-    * output): cosine is scale-invariant, so the int8 vector casts straight
-    * to float — no dequantize multiply, no scale column read, and the scan
-    * touches a quarter of the bytes the float32 corpus would. */
+    * output): cosine is scale-invariant, so the int8 vector scores as-is —
+    * no dequantize multiply, no scale column read, and the scan touches a
+    * quarter of the bytes the float32 corpus would. The scoring loop is the
+    * native `cosine_sim_int8` expression (whole-stage codegen; a HOF cast
+    * here would interpret per element in the hot path). */
   def quantizedTopK(df: DataFrame, idCol: String, qvecCol: String,
       query: Seq[Float], k: Int): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
-    df.select(col(idCol),
-        cosine_sim(transform(col(qvecCol), x => x.cast("float")), q).as("cos"))
+    df.select(col(idCol), cosine_sim_int8(col(qvecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }

@@ -36,6 +36,9 @@ object GraftExtensions {
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
       args => { val a = req(2, "cosine_sim")(args); CosineSimilarity(a(0), a(1)) }),
+    ("cosine_sim_int8", info("cosine_sim_int8",
+      "cosine_sim_int8(qvec, query) - cosine of an int8-quantized vector vs a float query"),
+      args => { val a = req(2, "cosine_sim_int8")(args); CosineSimilarityInt8(a(0), a(1)) }),
     ("hamming64", info("hamming64", "hamming64(a, b) - hamming distance of two int64 signatures"),
       args => { val a = req(2, "hamming64")(args); HammingDistance64(a(0), a(1)) }),
     ("token_hashes", info("token_hashes", "token_hashes(arr) - xxh64 of each string element"),

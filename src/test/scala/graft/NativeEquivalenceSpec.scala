@@ -32,6 +32,20 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("cosine_sim_int8 == cosine_sim over the HOF-cast quantized vector") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(200)
+    val q = graft.ops.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val query = (0 until 64).map(i => ((i * 37 % 11) - 5).toFloat)
+    val qc = array(query.map(lit): _*)
+    // identical arithmetic: both promote each int8 element to double before
+    // the dot/norm loop, so the native path must match the cast path exactly
+    val diff = q.select(
+        cosine_sim_int8(col("qvec"), qc).as("fast"),
+        cosine_sim(transform(col("qvec"), x => x.cast("float")), qc).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, "native int8 cosine diverged from the cast form")
+  }
+
   test("md5_token_hashes matches md5-hex-prefix arithmetic per token") {
     val diff = docs
       .select(explode(tokens(col("text"))).as("t")).limit(500)
