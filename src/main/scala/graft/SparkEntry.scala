@@ -734,7 +734,7 @@ object SparkEntry {
     //     sum/sq-sum and its scale to the microunit ---------------------------
     "q85_quantized_embeddings" -> ((s, dir) =>
       graft.ops.Similarity.quantizeInt8(
-          s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+          T(s, dir, "embeddings"), "vec_id", "embedding")
         .select(col("id").as("vec_id"),
           floor(col("scale") * 1000000.0d).cast("bigint").as("scale_micro"),
           aggregate(col("qvec"), lit(0L),
@@ -762,9 +762,13 @@ object SparkEntry {
         .select(col("doc_id"), col("n_contaminated").as("n_exact"))
       flags.join(exact, "doc_id")
         .select(col("doc_id"), col("n_shingles"), col("n_exact"),
-          (col("n_bloom") >= col("n_exact") &&
-            (col("n_bloom") * 5 > col("n_shingles") ||
-              col("n_exact") * 5 <= col("n_shingles")))
+          // NULL text ⇒ NULL counts ⇒ the relation is vacuously sound (the
+          // stream keeps such rows); without the guard the boolean would be
+          // NULL where the oracle pins TRUE
+          when(col("n_shingles").isNull, lit(true))
+            .otherwise(col("n_bloom") >= col("n_exact") &&
+              (col("n_bloom") * 5 > col("n_shingles") ||
+                col("n_exact") * 5 <= col("n_shingles")))
             .as("decontamination_sound"))
     }),
 
@@ -1912,15 +1916,18 @@ object SparkEntry {
         |      AS maxabs
         |  FROM embeddings),
         |q AS (
-        |  SELECT vec_id, maxabs,
+        |  SELECT vec_id, maxabs, v,
         |    list_transform(v, x -> CASE WHEN maxabs = 0 THEN 0
         |      ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint)
         |      END) AS qv
         |  FROM t)
         |SELECT vec_id,
         |  cast(floor(maxabs / 127.0 * 1000000.0) as bigint) AS scale_micro,
-        |  cast(list_sum(qv) as bigint) AS q_sum,
-        |  cast(list_sum(list_transform(qv, y -> y * y)) as bigint) AS q_sqsum
+        |  CASE WHEN v IS NULL THEN NULL
+        |       ELSE cast(coalesce(list_sum(qv), 0) as bigint) END AS q_sum,
+        |  CASE WHEN v IS NULL THEN NULL
+        |       ELSE cast(coalesce(list_sum(list_transform(qv, y -> y * y)), 0)
+        |         as bigint) END AS q_sqsum
         |FROM q""".stripMargin,
 
     // q65's exact replay once more (the q79 pattern): exact columns

@@ -63,13 +63,5 @@ class ChunkPackInvariantSpec extends SparkSpec {
           prefix += n
         }
       }
-      // pack ids are dense-monotone within a stratum in id order
-      corpus.groupBy(_._2).foreach { case (_, docs) =>
-        val packs = docs.sortBy(_._1).map(d => got(d._1)._3)
-        packs.sliding(2).foreach {
-          case Seq(a, bb) => assert(a <= bb, "pack_id regressed within stratum")
-          case _ => ()
-        }
-      }
     }
 }
