@@ -964,6 +964,30 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // --- persisted IVF layout (the 100 TB deployment of q50): the corpus is
+    //     written ONCE partitioned by cell, and the probe becomes a literal
+    //     IN-list on the partition column — pruning at the scan, before any
+    //     row is read. Same planted-copy construction as q50, so the top-5 is
+    //     provably the planted ids regardless of centroid placement. ---------
+    "q86_ivf_partitioned" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9200L).as("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") =!= 7).unionByName(planted)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8)
+      // deterministic temp location, overwrite mode: repeated invocations
+      // (verify + 3 bench reps) reuse one directory instead of accumulating
+      val path = sys.props("java.io.tmpdir") + "/graft_q86_ivf_" +
+        Integer.toHexString(dir.hashCode)
+      Similarity.writeIvfCorpus(corpus, "vec_id", "embedding", path, cents)
+      Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
+          q, 5, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
     // --- stream-stream interval join: the streaming twin of q41's range join,
     //     watermark-bounded state on both sides, drained deterministically and
     //     checked against the BATCH inner-pair oracle --------------------------
@@ -1736,6 +1760,12 @@ object SparkEntry {
 
     "q50_ivf_ann" ->
       """SELECT cast(i + 9100 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(5) t(i)""".stripMargin,
+
+    // Same provable-top-5 construction as q50, through the persisted
+    // partitioned-by-cell layout (write once, probe via partition pruning).
+    "q86_ivf_partitioned" ->
+      """SELECT cast(i + 9200 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
 
     "q60_salted_agg" ->

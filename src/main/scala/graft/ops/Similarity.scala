@@ -151,28 +151,66 @@ object Similarity {
     (array_position(scores, array_max(scores)) - 1).cast("int")
   }
 
+  /** The query's `nProbe` nearest cells, computed with the SAME Column
+    * expressions as the corpus assignment (on a one-row frame), so no
+    * driver-vs-executor float divergence can misroute the probe. Shared by
+    * [[ivfTopK]] and [[ivfTopKFromPartitioned]] — both paths probe
+    * identically by construction. */
+  private def ivfProbeCells(spark: org.apache.spark.sql.SparkSession,
+      query: Seq[Float], cents: Array[Array[Double]], nProbe: Int): Seq[Int] = {
+    import spark.implicits._
+    val qv = array(query.map(v => lit(v)): _*)
+    val scores = Seq(1).toDF("one").select(qv.as("qv"))
+      .select(array(cents.indices.map(i =>
+        cosine_sim(col("qv"),
+          array(cents(i).toIndexedSeq.map(x => lit(x.toFloat)): _*))): _*)
+      .as("s")).head().getSeq[Double](0)
+    scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
+      .take(nProbe).map(_._2)
+  }
+
   /**
    * IVF ANN top-k: score only the rows whose cell is among the query's
-   * `nProbe` nearest cells. The query's probe cells are computed with the same
-   * Column expressions as the corpus assignment (on a one-row frame), so no
-   * driver-vs-executor float divergence can misroute the probe. At 100 TB the
-   * corpus is written partitioned by cell, and probing prunes to nProbe/k of
-   * the data at the scan.
+   * `nProbe` nearest cells. Assigns `cell` over the input frame per call —
+   * right for ad-hoc corpora; a corpus probed repeatedly should be
+   * materialized ONCE with [[writeIvfCorpus]] and queried through
+   * [[ivfTopKFromPartitioned]], where the probe prunes partitions at the scan.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, cents: Array[Array[Double]],
       nProbe: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
     val qv = array(query.map(v => lit(v)): _*)
-    val qdf = Seq(1).toDF("one").select(qv.as("qv"))
-    val scores = qdf.select(array(cents.indices.map(i =>
-        cosine_sim(col("qv"),
-          array(cents(i).toIndexedSeq.map(x => lit(x.toFloat)): _*))): _*)
-      .as("s")).head().getSeq[Double](0)
-    val probeCells = scores.zipWithIndex.sortBy { case (s, i) => (-s, i) }
-      .take(nProbe).map(_._2)
+    val probeCells = ivfProbeCells(df.sparkSession, query, cents, nProbe)
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
+      .where(col("cell").isin(probeCells: _*))
+      .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /**
+   * Materialize the corpus partitioned by IVF cell — the 100 TB layout for
+   * [[ivfTopKFromPartitioned]] and the IVF twin of [[writeBucketedCorpus]]:
+   * assign each vector's cell once at write time, so every later probe is a
+   * partition-directory prune reading ~nProbe/k of the data. Rewrite the
+   * corpus once (and whenever the centroids are retrained), probe it
+   * millions of times.
+   */
+  def writeIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
+      path: String, cents: Array[Array[Double]]): Unit =
+    df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
+      .write.partitionBy("cell").mode("overwrite").parquet(path)
+
+  /** IVF ANN top-k over a [[writeIvfCorpus]] layout: the probe set is a
+    * literal IN-list on the PARTITION column, so pruning happens before any
+    * row is read (`.explain` shows it in PartitionFilters). Pass the SAME
+    * `cents` the corpus was written with — the layout pins the assignment. */
+  def ivfTopKFromPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+    val qv = array(query.map(v => lit(v)): _*)
+    val probeCells = ivfProbeCells(spark, query, cents, nProbe)
+    spark.read.parquet(path)
       .where(col("cell").isin(probeCells: _*))
       .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

@@ -143,6 +143,45 @@ class OpsSpec extends SparkSpec {
     assert(got == (0 until 10).map(_ + 8000L).toSet, s"got $got")
   }
 
+  test("persisted IVF corpus: partition pruning at the scan, same results") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") === 0).head().getSeq[Float](1)
+    val corpus = emb.where(col("vec_id") =!= 0)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString + "/c"
+    Similarity.writeIvfCorpus(corpus, "vec_id", "embedding", path, cents)
+    val nProbe = 2
+    val pruned = Similarity.ivfTopKFromPartitioned(spark, path,
+      "vec_id", "embedding", q, 10, cents, nProbe)
+    // the probe IN-list must land in PartitionFilters (pre-read pruning),
+    // not a post-read data filter on cell
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"cell probe not pushed to partition pruning:\n${plan.take(800)}")
+    // the scan must touch only the probed cells' files — count data files
+    // under probed vs all cell directories
+    def filesUnder(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(filesUnder)
+    }
+    val cellDirs = Option(new java.io.File(path).listFiles()).get
+      .filter(d => d.isDirectory && d.getName.startsWith("cell="))
+    val totalFiles = cellDirs.flatMap(filesUnder)
+      .count(_.getName.endsWith(".parquet"))
+    pruned.collect() // materialize so the scan's file-count metric populates
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.toLowerCase.contains("scan")).get
+    val probedFiles = scan.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+    assert(probedFiles >= 1 && probedFiles < totalFiles,
+      s"scan read $probedFiles of $totalFiles files — no pruning happened")
+    // and results are identical to the unpartitioned path
+    val a = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val b = Similarity.ivfTopK(corpus, "vec_id", "embedding", q, 10, cents, nProbe)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(a == b)
+  }
+
   test("annTopK finds planted true neighbors (recall ≥ 0.9 at k=20)") {
     // plant 20 positive-scaled copies of the query: cosine exactly 1.0 and the
     // hyperplane bucket is scale-invariant, so a correct ANN must return them.
