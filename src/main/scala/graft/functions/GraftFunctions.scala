@@ -177,6 +177,15 @@ object GraftFunctions {
       Literal(bloom, org.apache.spark.sql.types.BinaryType), Bridge.expression(c)))
   }
 
+  /** Count of `array<long>` elements that might be in a serialized bloom
+    * filter built by [[bloom_filter_agg]] (native — one long-probe per
+    * element, blob deserialized once per task; the
+    * `size(filter(arr, s => bloom_might_contain(...)))` HOF form walks an
+    * interpreted lambda per element). Overcounts by the filter's
+    * false-positive rate; never undercounts. */
+  def count_in_bloom(arr: Column, bloom: Array[Byte]): Column =
+    Bridge.column(CountInBloom(Bridge.expression(arr), bloom))
+
   /** Karp–Rabin rolling fingerprint of a string: base-31 polynomial over chars,
     * modulo 2^31-1 (Mersenne prime) — overflow-free under ANSI. */
   def rolling_hash(text: Column): Column =

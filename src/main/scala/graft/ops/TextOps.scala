@@ -296,10 +296,11 @@ object TextOps {
    * time, into a single bloom blob shipped in the task binary; each arriving
    * row then probes its own shingle set in place. No shuffle, no state, no
    * watermark — a streaming plan stays stateless, so the operator runs at
-   * ingest bandwidth on an unbounded feed. The per-element probe rides a
-   * `filter` HOF (interpreted, not codegen'd): bounded by tokens-per-doc,
-   * the right trade for a per-row verdict that avoids the explode→join the
-   * batch operator uses. Counts OVERCOUNT by the bloom FPR (never
+   * ingest bandwidth on an unbounded feed. The per-row probe is the native
+   * `count_in_bloom` (one long-probe per shingle in a tight loop, blob
+   * deserialized once per task) — the interpreted `filter` HOF it replaced
+   * walked a lambda per element in the one operator whose contract is
+   * scan-bandwidth throughput. Counts OVERCOUNT by the bloom FPR (never
    * undercount). Appends (n_shingles, n_contaminated) to the input rows.
    */
   def contaminationBloomFlags(docs: DataFrame, train: DataFrame, idCol: String,
@@ -319,8 +320,7 @@ object TextOps {
         array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)))
       .withColumn("n_shingles", size(col("__graft_th")).cast("bigint"))
       .withColumn("n_contaminated",
-        size(filter(col("__graft_th"), s => bloom_might_contain(bloom, s)))
-          .cast("bigint"))
+        count_in_bloom(col("__graft_th"), bloom).cast("bigint"))
       .drop("__graft_th")
   }
 

@@ -363,10 +363,16 @@ object Streaming {
 
   /**
    * Ingest-time decontamination: drop arriving documents whose shingle
-   * overlap with a STATIC train/eval split exceeds `maxRate` — the streaming
+   * overlap with a STATIC train/eval split exceeds the rational rate
+   * `maxRateNum / maxRateDen` (default 1/5 = 0.2) — the streaming
    * deployment of [[graft.ops.TextOps.contaminationBloomFlags]] (one bloom
    * blob built at stream construction; per-row probe; STATELESS, so the
    * plan carries no watermark or state store and runs at ingest bandwidth).
+   * The keep predicate is INTEGER arithmetic —
+   * `n_contaminated · maxRateDen <= n_shingles · maxRateNum` — so the
+   * shipped comparison is literally the contract q84's oracle asserts (no
+   * float-division rounding at the boundary; the rate is a ratio of counts,
+   * which a rational threshold compares exactly).
    * Bloom false positives only OVERCOUNT, so the stream drops a SUPERSET of
    * the exact rule — the safe direction for decontamination (an exact pass
    * downstream can rescue borderline docs; nothing contaminated slips by).
@@ -376,13 +382,15 @@ object Streaming {
    * plus (n_shingles, n_contaminated).
    */
   def decontaminateStream(docs: DataFrame, train: DataFrame, idCol: String,
-      textCol: String, shingleSize: Int = 3, maxRate: Double = 0.2,
-      expectedItems: Long = 4000000L, fpp: Double = 0.01): DataFrame = {
-    require(maxRate >= 0 && maxRate <= 1, "maxRate must be in [0, 1]")
+      textCol: String, shingleSize: Int = 3, maxRateNum: Long = 1L,
+      maxRateDen: Long = 5L, expectedItems: Long = 4000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(maxRateDen > 0 && maxRateNum >= 0 && maxRateNum <= maxRateDen,
+      "maxRateNum/maxRateDen must be a rate in [0, 1]")
     graft.ops.TextOps.contaminationBloomFlags(docs, train, idCol, textCol,
         shingleSize, expectedItems, fpp)
       .where(col(textCol).isNull ||
-        col("n_contaminated").cast("double") / col("n_shingles") <= maxRate)
+        col("n_contaminated") * maxRateDen <= col("n_shingles") * maxRateNum)
   }
 
   /** `ts` rides along (even though `ts_us` drives the logic) so the input's

@@ -447,3 +447,41 @@ case class MaxMultiplicity(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Count of `array<long>` elements that might be in a serialized bloom filter
+ * (built by `bloom_filter_agg`) — the per-row probe of ingest-time
+ * decontamination. The HOF formulation
+ * `size(filter(arr, s => bloom_might_contain(blob, s)))` walks an interpreted
+ * lambda per element in the ONE operator whose contract is "runs at ingest
+ * bandwidth"; here it is a tight loop over the filter's long-probe, with the
+ * blob deserialized once per task (not per row). Like the filter itself the
+ * count OVERCOUNTS by the false-positive rate and never undercounts.
+ */
+case class CountInBloom(child: Expression, bloomBytes: Array[Byte])
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "count_in_bloom"
+
+  @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(bloomBytes))
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val f = filter
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i) && f.mightContainLong(arr.getLong(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

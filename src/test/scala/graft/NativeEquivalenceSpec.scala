@@ -46,6 +46,22 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty, "native int8 cosine diverged from the cast form")
   }
 
+  test("count_in_bloom == size(filter(bloom_might_contain)) on corpus shingles") {
+    // build a real filter over half the corpus's shingle hashes, then probe
+    // every document with both formulations — same filter blob, so the
+    // (deterministic) false positives land identically in both
+    val train = docs.where(col("doc_id") % 2 === 0)
+    val bloom = graft.ops.TextOps.trainBloom(train, "doc_id", "text",
+      shingleSize = 3, expectedItems = 100000L, fpp = 0.01)
+    val diff = docs
+      .select(array_distinct(
+        shingle_hashes(split(col("text"), " "), 3)).as("th"))
+      .select(count_in_bloom(col("th"), bloom).as("fast"),
+        size(filter(col("th"), s => bloom_might_contain(bloom, s))).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.isEmpty)
+  }
+
   test("md5_token_hashes matches md5-hex-prefix arithmetic per token") {
     val diff = docs
       .select(explode(tokens(col("text"))).as("t")).limit(500)

@@ -276,7 +276,7 @@ class StreamingSpec extends SparkSpec {
     df.coalesce(1).write.mode("overwrite").parquet(dir)
     val stream = spark.readStream.schema(schema).parquet(dir)
     val out = Streaming.decontaminateStream(stream, train, "doc_id", "text",
-      shingleSize = 3, maxRate = 0.2, expectedItems = 10000L)
+      shingleSize = 3, maxRateNum = 1, maxRateDen = 5, expectedItems = 10000L)
     // STATELESS is the operator's headline property: the plan must carry no
     // stateful node (state store / watermark machinery) — pin it on the
     // analyzed plan, not just by the query happening to run
@@ -292,7 +292,7 @@ class StreamingSpec extends SparkSpec {
     val withNull = Seq((9L, null.asInstanceOf[String]), (10L, words(60, "tr")))
       .toDF("doc_id", "text")
     val keptNull = Streaming.decontaminateStream(withNull, train, "doc_id",
-      "text", shingleSize = 3, maxRate = 0.2, expectedItems = 10000L)
+      "text", shingleSize = 3, maxRateNum = 1, maxRateDen = 5, expectedItems = 10000L)
     assert(keptNull.select("doc_id").collect().map(_.getLong(0)).toSet == Set(9L))
     val d3 = survivors.where(col("doc_id") === 3L).head()
     assert(d3.getAs[Long]("n_contaminated") > 0, "planted overlap went undetected")
