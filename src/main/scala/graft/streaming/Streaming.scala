@@ -128,7 +128,15 @@ object Streaming {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
       spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
-    spark.table(queryName)
+    // Dataset construction analyzes eagerly, so the returned frame's plan
+    // already holds the memory sink's relation — the catalog name is no
+    // longer needed. Dropping it here keeps repeated drains (bench reps,
+    // re-invoked queries) from accumulating in-memory tables for the JVM's
+    // lifetime: the sink's rows stay reachable only through the returned
+    // DataFrame and are GC-reclaimed with it.
+    val out = spark.table(queryName)
+    spark.catalog.dropTempView(queryName)
+    out
   }
 
   /**
@@ -266,12 +274,31 @@ object Streaming {
     stageDir.toString
   }
 
-  /** One (band, doc) row of the streaming LSH layer: the doc's hashed
-    * shingle set rides along for in-stream exact verification. */
+  /** One (band, doc) row of the streaming LSH layer: `vd` is the doc's
+    * verification data — hashed shingle set ([[NearDupVerify.Exact]]) or
+    * fixed-size minhash signature ([[NearDupVerify.SignatureFraction]]). */
   final case class BandDoc(band: Int, bsig: Long, id: Long,
-    ts: java.sql.Timestamp, th: Seq[Long])
-  final case class BandMember(id: Long, tsMs: Long, th: Seq[Long])
+    ts: java.sql.Timestamp, vd: Seq[Long])
+  final case class BandMember(id: Long, tsMs: Long, vd: Seq[Long])
   final case class BandState(members: List[BandMember])
+
+  /** In-stream verification mode for [[nearDupDropStream]] — the
+    * bandwidth/accuracy dial of the streaming near-dup layer. */
+  sealed trait NearDupVerify
+  object NearDupVerify {
+    /** Verify EXACT Jaccard on the hashed shingle sets: zero false drops,
+      * zero misses among band collisions, at the cost of the shingle array
+      * (~8 B/token) riding to every band bucket. */
+    case object Exact extends NearDupVerify
+    /** Estimate Jaccard as the fraction of matching minhash slots: state is
+      * one FIXED-SIZE signature per member (numHashes × 8 B — 1 KB at the
+      * 128 default) regardless of document length, the bandwidth-bounded
+      * deployment for long-document feeds. The estimator is unbiased with
+      * stderr ≈ sqrt(j(1-j)/numHashes) (~0.035 at j=0.8, numHashes=128), so
+      * borderline pairs can land on the wrong side of the threshold in
+      * either direction. */
+    case object SignatureFraction extends NearDupVerify
+  }
   /** A near-dup drop event: `id` arrived with exact Jaccard ≥ threshold
     * against earlier-arriving `partner_id` (one record per colliding band —
     * consumers `distinct` on `id`). */
@@ -283,6 +310,16 @@ object Streaming {
     var inter = 0
     b.foreach(x => if (sa.contains(x)) inter += 1)
     inter.toDouble / (a.size + b.size - inter)
+  }
+
+  /** Jaccard estimate from two equal-length minhash signatures: the fraction
+    * of matching slots (the classic unbiased minhash estimator). */
+  private[graft] def signatureFraction(a: Seq[Long], b: Seq[Long]): Double = {
+    require(a.size == b.size, "signatures must have equal length")
+    var eq = 0
+    var i = 0
+    while (i < a.size) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / a.size
   }
 
   /**
@@ -305,30 +342,49 @@ object Streaming {
    * EventTimeTimeout — state is O(docs in the last `watermark` × bands), not
    * stream length.
    *
-   * Scale notes for a 100 TB/day feed: the shingle-hash array rides to every
-   * band bucket (numHashes/rowsPerBand ≈ 32× fan-out of an ~8 B/shingle
-   * array) — that is the price of EXACT in-stream verification; it buys zero
-   * false drops, where signature-fraction estimation (the 1 KB-state
-   * alternative) would misjudge borderline pairs. Use this operator for
-   * ingest-rate dedup against the recent window; corpus-scale historical
-   * dedup stays with the batch `minHashLSH` + `clusterDuplicates` path.
+   * Scale notes for a 100 TB/day feed: with the default
+   * [[NearDupVerify.Exact]] the shingle-hash array rides to every band
+   * bucket (numHashes/rowsPerBand ≈ 32× fan-out of an ~8 B/shingle array) —
+   * the price of exact in-stream verification; it buys zero false drops.
+   * [[NearDupVerify.SignatureFraction]] caps the per-member payload at ONE
+   * fixed-size signature (1 KB at the defaults) independent of document
+   * length — the bandwidth-bounded deployment — estimating Jaccard as the
+   * matching-minhash fraction, which can misjudge borderline pairs (stderr
+   * ~0.035 at the defaults; see the spec's planted borderline pair). Use
+   * this operator for ingest-rate dedup against the recent window;
+   * corpus-scale historical dedup stays with the batch `minHashLSH` +
+   * `clusterDuplicates` path.
    */
   def nearDupDropStream(docs: DataFrame, idCol: String, textCol: String,
       tsCol: String = "ts", watermark: String = "1 hour",
       shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): Dataset[NearDupDrop] = {
+      threshold: Double = 0.8,
+      verify: NearDupVerify = NearDupVerify.Exact): Dataset[NearDupDrop] = {
     val spark = docs.sparkSession
     import spark.implicits._
     import graft.functions.GraftFunctions.{shingle_hashes, minhash_signature_from_hashes, minhash_bands}
+    // the verification payload that rides to each band bucket: the shingle
+    // set itself (exact) or the already-computed fixed-size signature
+    val vdCol = verify match {
+      case NearDupVerify.Exact             => col("th")
+      case NearDupVerify.SignatureFraction => col("sig")
+    }
+    val similar: (Seq[Long], Seq[Long]) => Boolean = verify match {
+      case NearDupVerify.Exact =>
+        (a, b) => exactJaccard(a, b) >= threshold
+      case NearDupVerify.SignatureFraction =>
+        (a, b) => signatureFraction(a, b) >= threshold
+    }
     val banded = docs
       .withWatermark(tsCol, watermark)
       .select(col(idCol).as("id"), col(tsCol).as("ts"),
         array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
       .select(col("id"), col("ts"), col("th"),
-        explode(minhash_bands(
-          minhash_signature_from_hashes(col("th"), numHashes), rowsPerBand)).as("b"))
+        minhash_signature_from_hashes(col("th"), numHashes).as("sig"))
+      .select(col("id"), col("ts"), vdCol.as("vd"),
+        explode(minhash_bands(col("sig"), rowsPerBand)).as("b"))
       .select(col("b.band").as("band"), col("b.sig").as("bsig"),
-        col("id"), col("ts"), col("th"))
+        col("id"), col("ts"), col("vd"))
       .as[BandDoc]
     banded.groupByKey(r => (r.band, r.bsig))
       .flatMapGroupsWithState[BandState, NearDupDrop](OutputMode.Append(),
@@ -345,7 +401,7 @@ object Streaming {
             .filter(_.tsMs >= wm)
           val drops = arriving.flatMap { d =>
             live.collectFirst {
-              case m if exactJaccard(m.th, d.th) >= threshold =>
+              case m if similar(m.vd, d.vd) =>
                 NearDupDrop(d.id, m.id, d.ts)
             }
           }
@@ -353,7 +409,7 @@ object Streaming {
           // doc" means any earlier arrival, matching the batch greedy rule
           // (and the oracle's earlier-batch-partner replay)
           state.update(BandState(
-            live ++ arriving.map(d => BandMember(d.id, d.ts.getTime, d.th)).toList))
+            live ++ arriving.map(d => BandMember(d.id, d.ts.getTime, d.vd)).toList))
           val newest = (wm :: live.map(_.tsMs) :::
             arriving.map(_.ts.getTime).toList).max
           state.setTimeoutTimestamp(newest, watermark)

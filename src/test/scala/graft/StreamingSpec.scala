@@ -251,6 +251,72 @@ class StreamingSpec extends SparkSpec {
     assert(drops.isEmpty, s"evicted partner still matched: ${drops.collect().toSeq}")
   }
 
+  test("nearDupDropStream SignatureFraction: exact copies drop, borderline pair quantified vs Exact") {
+    import org.apache.spark.sql.types._
+    import graft.functions.GraftFunctions.{shingle_hashes, minhash_signature_from_hashes}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_sf_").toString
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, String)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, t, text) =>
+          org.apache.spark.sql.Row(id, java.sql.Timestamp.valueOf(t), text)
+        }), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
+    def doc(prefix: String): String = (0 until 60).map(i => s"$prefix$i").mkString(" ")
+    // three isolated interior mutations (spaced > shingleSize apart): each
+    // removes 3 shingles from the intersection and widens the union by 3 —
+    // true jaccard (58-9)/(58+9) = 49/67 ≈ 0.731, BELOW the 0.8 threshold
+    def borderline(text: String): String = {
+      val t = text.split(" ")
+      Seq(10, 25, 40).zipWithIndex.foreach { case (p, i) => t(p) = s"MUT$i" }
+      t.mkString(" ")
+    }
+    val base = System.currentTimeMillis()
+    write("00.parquet", base, Seq((1L, "2024-01-01 10:00:00", doc("a"))))
+    write("01.parquet", base + 1000, Seq(
+      (11L, "2024-01-01 10:10:00", doc("a")),            // exact copy: sig identical
+      (12L, "2024-01-01 10:10:01", borderline(doc("a"))))) // borderline vs doc 1
+    def run(mode: Streaming.NearDupVerify, tbl: String): Set[Long] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      Streaming.runToTable(
+        Streaming.nearDupDropStream(stream, "doc_id", "text", "ts", "1 hour",
+          verify = mode).toDF(),
+        tbl, org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(2), noDataBatch = false)
+        .select("id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val exactDrops = run(Streaming.NearDupVerify.Exact, "t_ndsf_exact")
+    val sigDrops = run(Streaming.NearDupVerify.SignatureFraction, "t_ndsf_sig")
+    // the exact mode is the truth: copy drops, borderline (0.731 < 0.8) survives
+    assert(exactDrops == Set(11L), s"exact-mode drops: $exactDrops")
+    // an identical signature always estimates 1.0: the copy drops in sig mode too
+    assert(sigDrops.contains(11L), "sig mode missed an exact copy")
+    // quantify the borderline verdict: the operator's decision must equal the
+    // estimator's side of the threshold (computed here from the same minhash
+    // signatures the stream builds), making the precision/recall delta vs
+    // Exact a measured number, not an assumption
+    val sigs = spark.createDataFrame(Seq(
+        Tuple1(doc("a")), Tuple1(borderline(doc("a"))))).toDF("text")
+      .select(minhash_signature_from_hashes(
+        array_distinct(shingle_hashes(split(col("text"), " "), 3)), 128).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = Streaming.signatureFraction(sigs(0), sigs(1))
+    assert(est > 0.5 && est < 1.0, s"degenerate estimate $est")
+    assert(sigDrops.contains(12L) == (est >= 0.8),
+      s"sig-mode verdict for the borderline pair (dropped=${sigDrops.contains(12L)}) " +
+        s"contradicts its own estimator (est=$est vs threshold 0.8; true j=49/67≈0.731)")
+  }
+
   test("decontaminateStream: contaminated docs drop at ingest, clean pass, stateless plan") {
     import org.apache.spark.sql.types._
     import spark.implicits._
