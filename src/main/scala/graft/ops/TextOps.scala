@@ -388,27 +388,43 @@ object TextOps {
    * deterministic, fully-relational packing rule (true greedy bin packing is
    * order-sequential and engine-hostile; concat-then-cut is what large
    * pipelines actually run, with the straddle loss amortized by the budget).
-   * One window cumsum per stratum — choose strata of bounded size (source ×
-   * day, language × shard), since each stratum's prefix sum is a single
-   * ordered pass; the shuffle moves (id, count) pairs only, never text.
+   * One window cumsum per (stratum, shard) — the shuffle moves (id, count)
+   * pairs only, never text.
+   *
+   * `shards` is the SKEW bound: each stratum's prefix sum is a single
+   * ordered pass through one partition, so a dominant stratum (one language
+   * at 90% of a 100 TB corpus) would serialize into one sort. With
+   * `shards = n`, rows sub-bucket by the id's md5 (same engine-portable
+   * scheme as [[Sampling.hashBucket]] — deterministic under any
+   * partitioning) and each (stratum, shard) packs independently against the
+   * full budget; emitted pack ids are `local_pack * shards + shard` —
+   * disjoint across shards, derivable relationally. Sharding trades pack
+   * density (≤ one partially-filled tail pack per shard instead of per
+   * stratum) for a 1/n bound on every window partition. `shards = 1`
+   * (default) is the unsharded rule, bit-identical to round-8 output.
    * Returns per-doc (stratum, id, n_tokens, pack_id); aggregate by
    * (stratum, pack_id) for pack manifests.
    */
   def packDocuments(df: DataFrame, idCol: String, textCol: String,
-      stratumCol: String, budgetTokens: Int = 2048): DataFrame = {
+      stratumCol: String, budgetTokens: Int = 2048,
+      shards: Int = 1): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(shards > 0, "shards must be positive")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("stratum")).orderBy(col("id"))
+    val w = Window.partitionBy(col("stratum"), col("shard")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // null text must stay NULL (not legacy size's -1, which would silently
     // shift every later start offset in the stratum); `div` keeps the pack
     // arithmetic exact where a double `/` would round past 2^53 tokens
     df.select(col(stratumCol).as("stratum"), col(idCol).as("id"),
         when(col(textCol).isNotNull,
-          size(tokens(col(textCol))).cast("bigint")).as("n_tokens"))
+          size(tokens(col(textCol))).cast("bigint")).as("n_tokens"),
+        (if (shards == 1) lit(0L)
+         else Sampling.hashBucket(col(idCol), shards)).as("shard"))
       .withColumn("start_tok", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("stratum"), col("id"), col("n_tokens"),
-        expr(s"start_tok div $budgetTokens").as("pack_id"))
+        (expr(s"start_tok div $budgetTokens") * shards + col("shard"))
+          .as("pack_id"))
   }
 
   /** One distinct-shingle-hash set per doc: the shared first pass of the

@@ -48,6 +48,46 @@ class ChunkPackInvariantSpec extends SparkSpec {
       }
     }
 
+  for (sh <- Seq(2, 5))
+    test(s"packDocuments sharded replay: per-shard prefix sums, disjoint pack ids (shards=$sh)") {
+      val b = 50
+      val got = TextOps.packDocuments(df, "doc_id", "text", "stratum", b, shards = sh)
+        .collect().map(r => r.getLong(1) -> (r.getString(0), r.getLong(2), r.getLong(3)))
+        .toMap
+      // the shard assignment is the same md5 bucket the operator uses —
+      // recompute it relationally so the replay can't drift from the impl
+      val shardOf = df.select(col("doc_id"),
+          graft.ops.Sampling.hashBucket(col("doc_id"), sh).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // per-doc token counts are shard-invariant
+      corpus.foreach { case (id, stratum, _) =>
+        val (s, gn, _) = got(id)
+        assert(s == stratum && gn == nTokens(id).toLong, s"doc $id: stratum/count mismatch")
+      }
+      // within each (stratum, shard): id-ordered prefix sum against the FULL
+      // budget, emitted pack id = local * shards + shard
+      corpus.groupBy(c => (c._2, shardOf(c._1))).foreach { case ((_, shard), docs) =>
+        var prefix = 0L
+        docs.sortBy(_._1).foreach { case (id, _, _) =>
+          val local = prefix / b
+          assert(got(id)._3 == local * sh + shard,
+            s"doc $id: pack ${got(id)._3} != ${local * sh + shard}")
+          prefix += nTokens(id).toLong
+        }
+      }
+      // shard is recoverable from the pack id, and ids never collide across
+      // shards within a stratum
+      corpus.foreach { case (id, _, _) =>
+        assert(got(id)._3 % sh == shardOf(id), s"doc $id: shard not recoverable")
+      }
+      // shards = 1 remains bit-identical to the unsharded rule
+      val unsharded = TextOps.packDocuments(df, "doc_id", "text", "stratum", b)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val explicit1 = TextOps.packDocuments(df, "doc_id", "text", "stratum", b, shards = 1)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(unsharded == explicit1)
+    }
+
   for (b <- Seq(1, 50, 2048))
     test(s"packDocuments equals the prefix-sum replay (budget=$b)") {
       val got = TextOps.packDocuments(df, "doc_id", "text", "stratum", b)
