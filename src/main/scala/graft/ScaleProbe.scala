@@ -59,7 +59,14 @@ object ScaleProbe {
     "q79_contamination_bloom", // one-blob bloom train side + codegen'd probe
     "q81_stratified_mix",  // scan-level literal-CASE mixing filter
     "q82_context_chunks",  // per-row window slices, zero shuffle
-    "q83_sequence_packs")  // per-stratum cumsum, (id,count)-only shuffle
+    "q83_sequence_packs",  // per-stratum cumsum, (id,count)-only shuffle
+    // round-9 additions (round-8 verdict #5)
+    "q80_stream_near_dedup", // banded stateful stream over the replay corpus
+    "q84_stream_decontaminate", // bloom blob build + stateless per-row probe
+    "q85_quantized_embeddings", // int8 quantization scan (HOF transform)
+    "q86_ivf_partitioned",  // write-partitioned IVF corpus + pruned probe
+    "q87_epoch_shuffle",    // md5 order key + per-shard sort (no global sort)
+    "q88_jl_projection")    // native projection, scan bandwidth
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -988,6 +988,30 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     }),
 
+    // --- deterministic epoch shuffle: shard + dense within-shard position,
+    //     both pure functions of (salt, id) — the training-shuffle stage;
+    //     the oracle replays the md5 order key and the per-shard row_number
+    //     exactly, so every row's (shard, pos) is value-checked -------------
+    "q87_epoch_shuffle" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleAssign(
+          T(s, dir, "documents").select(col("doc_id")), "doc_id", 8,
+          salt = "epoch1")
+        .select(col("doc_id"), col("shard").cast("bigint").as("shard"),
+          col("pos"))),
+
+    // --- Johnson-Lindenstrauss projection (md5 signed planes, integer
+    //     arithmetic end to end): every projected coordinate of every vector
+    //     is value-checked by the SQL replay — the reduced-space prefilter
+    //     of the two-stage ANN (Similarity.projectedTopK) ------------------
+    "q88_jl_projection" -> ((s, dir) =>
+      graft.ops.Similarity.projectCorpus(
+          T(s, dir, "embeddings"), "vec_id", "embedding", outDim = 16)
+        .where(col("proj").isNotNull)
+        .select(col("id").as("vec_id"),
+          posexplode(col("proj")).as(Seq("proj_dim", "proj")))
+        .select(col("vec_id"), col("proj_dim").cast("bigint").as("proj_dim"),
+          col("proj"))),
+
     // --- stream-stream interval join: the streaming twin of q41's range join,
     //     watermark-bounded state on both sides, drained deterministically and
     //     checked against the BATCH inner-pair oracle --------------------------
@@ -1767,6 +1791,44 @@ object SparkEntry {
     "q86_ivf_partitioned" ->
       """SELECT cast(i + 9200 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    // The md5 order key replayed verbatim; shard = key % 8 (the key is
+    // non-negative top-60-md5-bits, so % == pmod), pos = per-shard
+    // row_number over (key, id).
+    "q87_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5('epoch1' || ':' || cast(doc_id as varchar)),
+        |      1, 15))::BIGINT AS key
+        |  FROM documents)
+        |SELECT doc_id, key % 8 AS shard,
+        |  cast(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+        |    as bigint) AS pos
+        |FROM k""".stripMargin,
+
+    // Every projected coordinate replayed exactly: integer weights from
+    // md5("b:d") (same scheme as q29's hyperplane buckets), vector
+    // floor-quantized to micro-units, bigint dot products. The dims CTE
+    // over-provisions d to 256 — only dims present in the data join.
+    "q88_jl_projection" ->
+      """WITH dims AS (
+        |  SELECT b, d,
+        |    ((('0x' || substr(md5(b || ':' || d), 1, 15))::BIGINT % 1000001)
+        |      - 500000) AS w
+        |  FROM range(16) t1(b), range(256) t2(d)),
+        |expl AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+        |    cast(floor(cast(unnest(embedding) as double) * 1000000.0)
+        |      as bigint) AS q
+        |  FROM embeddings),
+        |pr AS (
+        |  SELECT e.vec_id, dims.b, sum(e.q * dims.w) AS proj
+        |  FROM expl e JOIN dims ON e.d = dims.d GROUP BY 1, 2)
+        |SELECT v.vec_id, t.b AS proj_dim,
+        |  cast(coalesce(pr.proj, 0) as bigint) AS proj
+        |FROM (SELECT vec_id FROM embeddings WHERE embedding IS NOT NULL) v
+        |CROSS JOIN range(16) t(b)
+        |LEFT JOIN pr ON pr.vec_id = v.vec_id AND pr.b = t.b""".stripMargin,
 
     "q60_salted_agg" ->
       """SELECT l_suppkey, cast(sum(l_quantity) as bigint) AS sum_qty

@@ -155,6 +155,15 @@ object GraftFunctions {
     Bridge.column(org.apache.spark.sql.graft.Md5HyperplaneBucket(
       Bridge.expression(vec.cast("array<float>")), nBits))
 
+  /** Johnson-Lindenstrauss signed random projection to `outDim` integer
+    * coordinates — the same md5 planes as [[md5_hyperplane_bucket]] kept as
+    * full dot products instead of sign bits, so every coordinate replays
+    * exactly in SQL (see `Md5RandomProjection`). Driver-side twin:
+    * `Md5RandomProjection.compute`. */
+  def md5_random_projection(vec: Column, outDim: Int): Column =
+    Bridge.column(org.apache.spark.sql.graft.Md5RandomProjection(
+      Bridge.expression(vec.cast("array<float>")), outDim))
+
   /** Distributed bloom-filter build over a LONG column (Spark's own
     * `BloomFilterAggregate`, the engine's runtime-join-filter sketch): each
     * partition fills a local filter, buffers merge to ONE binary blob.

@@ -65,6 +65,46 @@ object Sampling {
     df.where(hashBucket(col(idCol), 1000) < threshold)
   }
 
+  /**
+   * Deterministic training-data shuffle: every row gets a `shard` in
+   * [0, shards) and a dense 1-based `pos` within its shard, both pure
+   * functions of (salt, id) — the epoch-shuffle stage of a training
+   * pipeline. Two engines, two runs, or two partitionings produce the SAME
+   * order; changing `salt` (e.g. per epoch) draws a fresh independent
+   * permutation. The order key is the md5 of "salt:id" (DuckDB twin:
+   * `('0x' || substr(md5(salt || ':' || cast(id as varchar)), 1, 15))::BIGINT`),
+   * so consumers can reproduce — or pre-compute — the permutation in SQL.
+   *
+   * Scale shape: one hash per row at scan bandwidth, then one sort per
+   * shard partition — `shards` bounds every sort at corpus/shards rows
+   * (pick shards ≈ output file count; there is NO global sort). Write with
+   * [[writeShuffled]] for the partition-per-shard layout training readers
+   * consume sequentially.
+   */
+  def shuffleAssign(df: DataFrame, idCol: String, shards: Int,
+      salt: String = ""): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val key = graft.functions.GraftFunctions.md5_prefix60(
+      concat(lit(salt), lit(":"), col(idCol).cast("string")))
+    df.withColumn("__graft_key", key)
+      .withColumn("shard", pmod(col("__graft_key"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard"))
+            .orderBy(col("__graft_key"), col(idCol))).cast("bigint"))
+      .drop("__graft_key")
+  }
+
+  /** Materialize a [[shuffleAssign]] permutation as the layout training
+    * readers want: one directory per shard, rows inside each file in
+    * shuffled (`pos`) order. */
+  def writeShuffled(df: DataFrame, idCol: String, shards: Int, path: String,
+      salt: String = ""): Unit =
+    shuffleAssign(df, idCol, shards, salt)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+
   /** Min-wise sample: the `k` rows with the smallest id hashes — an exact-size
     * uniform sample without replacement that is a pure function of the id set
     * (two engines, or two runs over different partitionings, draw the SAME

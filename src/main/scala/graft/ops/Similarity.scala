@@ -274,6 +274,49 @@ object Similarity {
     transform(col(qvecCol), q =>
       (q.cast("double") * col(scaleCol)).cast("float"))
 
+  /**
+   * Johnson-Lindenstrauss reduction of the embedding column: project each
+   * vector onto `outDim` md5-derived signed hyperplanes (integer arithmetic
+   * end to end — every coordinate replays exactly in SQL). At 100 TB this is
+   * the scan-bandwidth pre-filter of a two-stage ANN: score candidates in
+   * the reduced space (outDim ≪ dim ⇒ proportionally fewer bytes and
+   * multiplies per row), keep a candidate margin, re-rank the survivors with
+   * full-dimension [[bruteForceTopK]]. Distance distortion follows the JL
+   * lemma (ε ≈ sqrt(ln n / outDim)); identical vectors project identically,
+   * so exact-duplicate recall is unaffected. Pure per-row computation — no
+   * shuffle, composes with pushdown. Returns (id, proj: array&lt;bigint&gt;).
+   */
+  def projectCorpus(df: DataFrame, idCol: String, vecCol: String,
+      outDim: Int = 16): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    df.select(col(idCol).as("id"),
+      md5_random_projection(col(vecCol), outDim).as("proj"))
+  }
+
+  /** Two-stage ANN over a [[projectCorpus]]-reduced corpus: rank by cosine
+    * in the projected integer space (outDim-wide rows — the cheap scan),
+    * keep the top `margin · k` candidates, then re-rank ONLY those with
+    * full-dimension cosine against the original vectors. The margin bounds
+    * the recall loss from JL distortion; `margin × k` rows of full vectors
+    * move, not the corpus. */
+  def projectedTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, outDim: Int = 16, margin: Int = 4): DataFrame = {
+    val qProj = org.apache.spark.sql.graft.Md5RandomProjection
+      .compute(query.toArray, outDim)
+    val qp = array(qProj.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+    val qv = array(query.map(v => lit(v)): _*)
+    val candidates = df
+      .select(col(idCol), col(vecCol),
+        cosine_sim(md5_random_projection(col(vecCol), outDim)
+          .cast("array<float>"), qp.cast("array<float>")).as("pcos"))
+      .orderBy(col("pcos").desc, col(idCol))
+      .limit(margin * k)
+    candidates
+      .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k by cosine directly over a QUANTIZED corpus ([[quantizeInt8]]
     * output): cosine is scale-invariant, so the int8 vector scores as-is —
     * no dequantize multiply, no scale column read, and the scan touches a

@@ -90,6 +90,20 @@ object GraftExtensions {
           analysisError("count_in_set: set members must be non-null constants")
         CountInSet(args.head, members.map(_.toString))
       }),
+    ("md5_random_projection", info("md5_random_projection",
+      "md5_random_projection(vec, outDim) - JL projection onto md5 signed planes (engine-portable integer coords)"),
+      args => { val a = req(2, "md5_random_projection")(args)
+        Md5RandomProjection(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+    ("count_in_bloom", info("count_in_bloom",
+      "count_in_bloom(hashArr, blob) - elements of a long array probably in a serialized bloom filter"),
+      args => {
+        val a = req(2, "count_in_bloom")(args)
+        if (!a(1).foldable || a(1).eval() == null)
+          throw new org.apache.spark.sql.AnalysisException(
+            "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" ->
+              "count_in_bloom: the filter blob must be a non-null constant"))
+        CountInBloom(a(0), a(1).eval().asInstanceOf[Array[Byte]])
+      }),
     ("ordered_pairs", info("ordered_pairs",
       "ordered_pairs(arr of struct<id,n>) - all id_a < id_b pairs from a posting list"),
       args => OrderedPairs(req(1, "ordered_pairs")(args).head)))

@@ -66,8 +66,10 @@ object Md5HyperplaneBucket {
 
   /** Integer weight for (plane b, dim d): top 60 bits of md5("b:d"), mapped to
     * [-500000, 500000]. DuckDB twin:
-    * `(('0x' || substr(md5(b || ':' || d), 1, 15))::BIGINT % 1000001) - 500000`. */
-  private def weights(nBits: Int, dim: Int): Array[Array[Long]] =
+    * `(('0x' || substr(md5(b || ':' || d), 1, 15))::BIGINT % 1000001) - 500000`.
+    * Shared with [[Md5RandomProjection]] — the projection IS these planes'
+    * dot products, before the sign-bit reduction. */
+  private[graft] def weights(nBits: Int, dim: Int): Array[Array[Long]] =
     cache.computeIfAbsent((nBits, dim), { _ =>
       val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(nBits, dim) { (b, d) =>
@@ -120,5 +122,56 @@ object HyperplaneBucket {
       b += 1
     }
     sig
+  }
+}
+
+/**
+ * Cross-engine-stable signed random projection to `outDim` integer
+ * coordinates — Johnson-Lindenstrauss dimensionality reduction with the SAME
+ * md5 integer weights and floor-quantized vector as [[Md5HyperplaneBucket]]
+ * (which is exactly this projection reduced to its sign bits). Each output
+ * coordinate is pure bigint arithmetic, so a SQL oracle replays every value
+ * EXACTLY — no float accumulation order to drift. Bounds: |coord| ≤
+ * dim · 5·10⁵ · max|v|·10⁶ (≈ 3.2·10¹³ for unit 64-dim vectors) — far inside
+ * bigint for any realistic embedding width.
+ */
+case class Md5RandomProjection(child: Expression, outDim: Int)
+    extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_random_projection"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val v = new Array[Float](arr.numElements())
+    var i = 0
+    while (i < v.length) { v(i) = arr.getFloat(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Md5RandomProjection.compute(v, outDim))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5RandomProjection {
+  /** The projected coordinates — shared by the expression eval and
+    * driver-side callers (query vectors project as plain literals). */
+  def compute(v: Array[Float], outDim: Int): Array[Long] = {
+    val w = Md5HyperplaneBucket.weights(outDim, v.length)
+    val out = new Array[Long](outDim)
+    var b = 0
+    while (b < outDim) {
+      var dot = 0L
+      var d = 0
+      while (d < v.length) {
+        dot += math.floor(v(d).toDouble * 1000000.0).toLong * w(b)(d)
+        d += 1
+      }
+      out(b) = dot
+      b += 1
+    }
+    out
   }
 }

@@ -79,4 +79,60 @@ class SamplingSpec extends SparkSpec {
       withNull.where(col("lang").isNull).count())
     assert(m.where(col("lang") === "en").count() == 0)
   }
+
+  test("shuffleAssign: exhaustive deterministic permutation, dense per-shard positions, salt independence") {
+    val n = docs.count()
+    val a = Sampling.shuffleAssign(docs.select(col("doc_id")), "doc_id", 8, "epoch1")
+    val rows = a.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // a permutation: every row present exactly once, shards in range
+    assert(rows.length == n && rows.map(_._1).distinct.length == n)
+    assert(rows.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // positions are dense 1..|shard| within each shard
+    rows.groupBy(_._2).foreach { case (s, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length.toLong),
+        s"shard $s positions not dense")
+    }
+    // deterministic: a re-evaluation draws the identical permutation
+    val b = Sampling.shuffleAssign(docs.select(col("doc_id")), "doc_id", 8, "epoch1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet == b.toSet)
+    // a different salt draws a genuinely different permutation
+    val c = Sampling.shuffleAssign(docs.select(col("doc_id")), "doc_id", 8, "epoch2")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.toSet != c.toSet, "salt did not change the permutation")
+    // sequential reads: writeShuffled lays one directory per shard with rows
+    // in pos order inside the files
+    val dir = java.nio.file.Files.createTempDirectory("graft_shuf_").toString + "/s"
+    Sampling.writeShuffled(docs.select(col("doc_id")), "doc_id", 4, dir, "epoch1")
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == n)
+    val inOrder = back.where(col("shard") === 0).collect().map(_.getAs[Long]("pos"))
+    assert(inOrder.toSeq == inOrder.sorted.toSeq, "shard files not in pos order")
+  }
+
+  test("projectedTopK recalls planted exact copies through the reduced space") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") === 5).head().getSeq[Float](1)
+    // identical vectors project identically (integer arithmetic), so the
+    // reduced-space prefilter ranks them at pcos = 1 ahead of the margin
+    val planted = emb.where(col("vec_id") === 5)
+      .select(explode(sequence(lit(0), lit(9))).as("i"), col("embedding"))
+      .select((col("i") + 7000L).as("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") =!= 5).unionByName(planted)
+    val got = graft.ops.Similarity.projectedTopK(corpus, "vec_id", "embedding",
+        q, 10, outDim = 16, margin = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == (0 until 10).map(_ + 7000L).toSet, s"got $got")
+    // expression eval == driver-side twin (the query projects as a literal)
+    import graft.functions.GraftFunctions.md5_random_projection
+    val exprProj = emb.where(col("vec_id") === 5)
+      .select(md5_random_projection(col("embedding"), 16)).head().getSeq[Long](0)
+    val twinProj = org.apache.spark.sql.graft.Md5RandomProjection
+      .compute(q.toArray, 16)
+    assert(exprProj.toSeq == twinProj.toSeq)
+  }
 }
