@@ -66,7 +66,8 @@ object ScaleProbe {
     "q85_quantized_embeddings", // int8 quantization scan (HOF transform)
     "q86_ivf_partitioned",  // write-partitioned IVF corpus + pruned probe
     "q87_epoch_shuffle",    // md5 order key + per-shard sort (no global sort)
-    "q88_jl_projection")    // native projection, scan bandwidth
+    "q88_jl_projection",    // native projection, scan bandwidth
+    "q89_overlap_sketch")   // KMV min-k: distinct on 8-byte keys + k-row heap
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -999,6 +999,17 @@ object SparkEntry {
         .select(col("doc_id"), col("shard").cast("bigint").as("shard"),
           col("pos"))),
 
+    // --- KMV corpus-overlap sketch: "how much of corpus B is already in
+    //     corpus A" WITHOUT joining them — min-k md5 shingle hashes per side,
+    //     classic KMV Jaccard estimator. Everything is a pure function of
+    //     the text, so the oracle computes the IDENTICAL sketch (no
+    //     tolerance): inter/union-k counts and the estimate, value-exact ----
+    "q89_overlap_sketch" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.hashSplit(T(s, dir, "documents"), "doc_id", 50)
+      TextOps.overlapSketch(sp.where(col("split") === "train"),
+        sp.where(col("split") === "test"), "text", shingleSize = 3, k = 1024)
+    }),
+
     // --- Johnson-Lindenstrauss projection (md5 signed planes, integer
     //     arithmetic end to end): every projected coordinate of every vector
     //     is value-checked by the SQL replay — the reduced-space prefilter
@@ -1791,6 +1802,36 @@ object SparkEntry {
     "q86_ivf_partitioned" ->
       """SELECT cast(i + 9200 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    // The identical KMV sketch rebuilt in SQL (q84's shingle construction,
+    // 50/50 md5 split): min-1024 distinct shingle md5s per side, union-k,
+    // and the exact integer intersection count — the estimate is one
+    // division of exact integers, so it hash-matches without tolerance.
+    "q89_overlap_sketch" ->
+      """WITH t AS (
+        |  SELECT ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |      % 100 < 50 AS in_a,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT in_a, unnest(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS g
+        |  FROM t),
+        |hh AS (SELECT DISTINCT in_a,
+        |         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM sh),
+        |ka AS (SELECT h FROM hh WHERE in_a ORDER BY h LIMIT 1024),
+        |kb AS (SELECT h FROM hh WHERE NOT in_a ORDER BY h LIMIT 1024),
+        |u AS (SELECT DISTINCT h FROM
+        |        (SELECT h FROM ka UNION ALL SELECT h FROM kb)
+        |      ORDER BY h LIMIT 1024),
+        |i AS (SELECT count(*) AS inter_k FROM u
+        |      WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+        |n AS (SELECT count(*) AS n_union_k FROM u)
+        |SELECT inter_k, n_union_k,
+        |  cast(inter_k as double) / n_union_k AS jaccard_est
+        |FROM i, n""".stripMargin,
 
     // The md5 order key replayed verbatim; shard = key % 8 (the key is
     // non-negative top-60-md5-bits, so % == pmod), pos = per-shard

@@ -429,6 +429,45 @@ object TextOps {
 
   /** One distinct-shingle-hash set per doc: the shared first pass of the
     * contamination family. */
+  /**
+   * KMV (k-minimum-values) corpus-overlap sketch: estimate the Jaccard
+   * similarity of two corpora's distinct shingle sets from the k smallest
+   * md5 hash values on each side — the curation telemetry that answers "how
+   * much of this new crawl is already in the training set?" WITHOUT joining
+   * the corpora (the exact answer is a full shingle-set join; the sketch
+   * reads each side once and compares two k-row sets).
+   *
+   * Estimator: with `U` = the k smallest distinct hashes of the union of
+   * both sketches, `jaccard_est = |U ∩ A_k ∩ B_k| / |U|` — the classic KMV
+   * Jaccard estimator (stderr ≈ 1/sqrt(k)). Every quantity is a pure
+   * function of the text (md5 hashing, min-k, integer counts), so two
+   * engines compute the IDENTICAL sketch — the estimate replays exactly in
+   * SQL, no tolerance needed.
+   *
+   * Scale shape: one string-touching pass per side hashes shingles to
+   * 64 bits; the distinct + min-k moves 8-byte keys only (the same cost
+   * class as [[noveltyProfile]]'s df table) and `TakeOrderedAndProject`
+   * keeps a k-row heap per partition — no global sort. The final joins
+   * touch ≤ k rows per side. Returns one row
+   * (inter_k, n_union_k, jaccard_est).
+   */
+  def overlapSketch(a: DataFrame, b: DataFrame, textCol: String,
+      shingleSize: Int = 3, k: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    def kmv(df: DataFrame): DataFrame =
+      df.select(explode(
+          md5_token_hashes(shingles(col(textCol), shingleSize))).as("h"))
+        .distinct().orderBy(col("h")).limit(k)
+    val ka = kmv(a)
+    val kb = kmv(b)
+    val u = ka.unionByName(kb).distinct().orderBy(col("h")).limit(k)
+    u.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("inter_k"))
+      .crossJoin(u.agg(count(lit(1)).as("n_union_k")))
+      .select(col("inter_k"), col("n_union_k"),
+        (col("inter_k").cast("double") / col("n_union_k")).as("jaccard_est"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

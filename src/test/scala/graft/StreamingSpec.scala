@@ -251,6 +251,39 @@ class StreamingSpec extends SparkSpec {
     assert(drops.isEmpty, s"evicted partner still matched: ${drops.collect().toSeq}")
   }
 
+  test("ingest composition: stratified mix -> decontaminate on one stream, stateless, equals batch replay") {
+    import org.apache.spark.sql.types._
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.where(col("doc_id") % 7 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    val mix = Map("en" -> 300, "de" -> 0)
+    def composed(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.Streaming.decontaminateStream(
+        graft.ops.Sampling.stratifiedSample(df, "doc_id", "lang", mix),
+        train, "doc_id", "text", shingleSize = 3,
+        maxRateNum = 1, maxRateDen = 2, expectedItems = 100000L)
+    val stream = composed(spark.readStream.schema(schema).parquet(dir))
+    // the WHOLE ingest pre-filter chain must stay stateless — one scan, no
+    // state store, no watermark, pure filters — or it stops being an
+    // ingest-bandwidth plan
+    val analyzed = stream.queryExecution.analyzed.toString
+    Seq("Aggregate", "Deduplicate", "FlatMapGroupsWithState", "EventTimeWatermark")
+      .foreach(op => assert(!analyzed.contains(op),
+        s"ingest composition gained a stateful operator ($op)"))
+    val streamed = Streaming.runToTable(stream, "t_ingest_comp",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // operators are pure functions of content: the batch run of the same
+    // composition is the ground truth the stream must reproduce
+    val batch = composed(docs).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("nearDupDropStream SignatureFraction: exact copies drop, borderline pair quantified vs Exact") {
     import org.apache.spark.sql.types._
     import graft.functions.GraftFunctions.{shingle_hashes, minhash_signature_from_hashes}

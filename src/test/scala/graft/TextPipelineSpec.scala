@@ -163,6 +163,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(packs(5L) == ("y", 0L))
   }
 
+  test("overlapSketch: self-overlap is exactly 1, estimate tracks exact corpus Jaccard") {
+    import graft.functions.GraftFunctions.{md5_token_hashes, shingles}
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // a corpus against itself: identical sketches, intersection == union
+    val self = TextOps.overlapSketch(docs, docs, "text").head()
+    assert(self.getLong(0) == self.getLong(1) && self.getDouble(2) == 1.0)
+    // disjoint id spaces but SAME texts: still 1.0 (overlap is content-keyed)
+    val renamed = docs.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    assert(TextOps.overlapSketch(docs, renamed, "text").head().getDouble(2) == 1.0)
+    // estimator accuracy: |est - exact| within ~3 stderr (1/sqrt(k)) of the
+    // EXACT distinct-shingle-set Jaccard of a 50/50 split — deterministic,
+    // so this is a fixed number per corpus, not a flaky sample
+    val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 50)
+    def shingleSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(explode(md5_token_hashes(shingles(col("text"), 3))).as("h")).distinct()
+    val a = shingleSet(sp.where(col("split") === "train"))
+    val b = shingleSet(sp.where(col("split") === "test"))
+    val inter = a.join(b, Seq("h"), "left_semi").count().toDouble
+    val union = a.unionByName(b).distinct().count().toDouble
+    val exact = inter / union
+    val k = 1024
+    val est = TextOps.overlapSketch(sp.where(col("split") === "train"),
+      sp.where(col("split") === "test"), "text", 3, k).head().getDouble(2)
+    val tol = 3.0 / math.sqrt(k.toDouble)
+    assert(math.abs(est - exact) <= tol,
+      s"KMV estimate $est vs exact $exact (tolerance $tol)")
+  }
+
   test("contamination rate is monotone in planted overlap") {
     val docs = spark.read.parquet(sf() + "/documents.parquet").limit(200)
     val sp = graft.ops.Sampling.hashSplit(docs, "doc_id", 80)
