@@ -458,14 +458,20 @@ object TextOps {
       df.select(explode(
           md5_token_hashes(shingles(col(textCol), shingleSize))).as("h"))
         .distinct().orderBy(col("h")).limit(k)
-    val ka = kmv(a)
-    val kb = kmv(b)
-    val u = ka.unionByName(kb).distinct().orderBy(col("h")).limit(k)
-    u.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
-      .agg(count(lit(1)).as("inter_k"))
-      .crossJoin(u.agg(count(lit(1)).as("n_union_k")))
-      .select(col("inter_k"), col("n_union_k"),
-        (col("inter_k").cast("double") / col("n_union_k")).as("jaccard_est"))
+    // each sketch feeds BOTH the union-k and a semi-join: persist the k-row
+    // result so the corpus-wide distinct scan behind it runs ONCE, not twice
+    // (the k rows are trivially cacheable; the lineage they truncate is the
+    // expensive part)
+    graft.Eager.withPersisted(kmv(a)) { ka =>
+      graft.Eager.withPersisted(kmv(b)) { kb =>
+        val u = ka.unionByName(kb).distinct().orderBy(col("h")).limit(k)
+        u.join(ka, Seq("h"), "left_semi").join(kb, Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("inter_k"))
+          .crossJoin(u.agg(count(lit(1)).as("n_union_k")))
+          .select(col("inter_k"), col("n_union_k"),
+            (col("inter_k").cast("double") / col("n_union_k")).as("jaccard_est"))
+      }
+    }
   }
 
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
