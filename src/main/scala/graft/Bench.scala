@@ -99,10 +99,12 @@ object Bench {
     // queries -> queries_min -> queries_max on one line, so the official
     // artifact recorded worst-of-3 on a loaded box. Fix: the verbose line
     // (full names, median/min/max) goes FIRST, and the final stdout line is
-    // a guaranteed-short (~1.1 KB < 2 KB) MEDIAN-ONLY summary. The compact
-    // line keys by each query's unique qNN prefix ("q01".."q85") because the
-    // full-name dict measures ~2.4 KB and would itself overflow the capture,
-    // truncating the line's head and losing the total.
+    // a guaranteed-short MEDIAN-ONLY summary. The compact line keys by each
+    // query's unique qNN prefix (~13 bytes/query — ~1.2 KB at today's 90ish
+    // queries) because the full-name dict measures ~2.4 KB and would itself
+    // overflow the capture, truncating the line's head and losing the total.
+    // HEADROOM GUARD: qNN keys stay under the 2 KB capture up to ~150
+    // queries; past that the compact line must shrink again (e.g. total-only).
     def r3(x: Double) = math.rint(x * 1000) / 1000
     def jmap(f: ((Double, Double, Double)) => Double, key: String => String = identity) =
       results.map { case (k, v) => "\"" + key(k) + "\":" + r3(f(v)) }.mkString("{", ",", "}")

@@ -1850,13 +1850,16 @@ object SparkEntry {
     // Every projected coordinate replayed exactly: integer weights from
     // md5("b:d") (same scheme as q29's hyperplane buckets), vector
     // floor-quantized to micro-units, bigint dot products. The dims CTE
-    // over-provisions d to 256 — only dims present in the data join.
+    // derives d from the data (no fixed cap: a regenerated corpus with wider
+    // embeddings keeps the oracle exact instead of silently truncating).
     "q88_jl_projection" ->
       """WITH dims AS (
         |  SELECT b, d,
         |    ((('0x' || substr(md5(b || ':' || d), 1, 15))::BIGINT % 1000001)
         |      - 500000) AS w
-        |  FROM range(16) t1(b), range(256) t2(d)),
+        |  FROM range(16) t1(b),
+        |    (SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS d
+        |     FROM embeddings) t2(d)),
         |expl AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
         |    cast(floor(cast(unnest(embedding) as double) * 1000000.0)

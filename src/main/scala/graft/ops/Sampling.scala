@@ -84,6 +84,12 @@ object Sampling {
   def shuffleAssign(df: DataFrame, idCol: String, shards: Int,
       salt: String = ""): DataFrame = {
     require(shards > 0, "shards must be positive")
+    // Append contract (same rule as contaminationBloomFlags): refuse to
+    // silently replace caller columns with the shuffle outputs.
+    Seq("shard", "pos", "__graft_key").foreach { c =>
+      require(!df.columns.contains(c),
+        s"shuffleAssign appends column '$c' but the input already has one — rename it first")
+    }
     import org.apache.spark.sql.expressions.Window
     val key = graft.functions.GraftFunctions.md5_prefix60(
       concat(lit(salt), lit(":"), col(idCol).cast("string")))

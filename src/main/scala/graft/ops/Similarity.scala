@@ -293,24 +293,58 @@ object Similarity {
       md5_random_projection(col(vecCol), outDim).as("proj"))
   }
 
-  /** Two-stage ANN over a [[projectCorpus]]-reduced corpus: rank by cosine
-    * in the projected integer space (outDim-wide rows — the cheap scan),
-    * keep the top `margin · k` candidates, then re-rank ONLY those with
-    * full-dimension cosine against the original vectors. The margin bounds
-    * the recall loss from JL distortion; `margin × k` rows of full vectors
-    * move, not the corpus. */
+  /** Two-stage ANN computing the [[projectCorpus]] reduction inline: rank by
+    * cosine in the projected integer space, keep the top `margin · k`
+    * candidates, then re-rank ONLY those with full-dimension cosine. This
+    * form scans the FULL-width corpus once (the projection is recomputed per
+    * row), so it saves multiplies but not scan bytes — the one-table
+    * convenience entry. At scale, materialize [[projectCorpus]] once and
+    * probe it with [[projectedTopKFromProjected]], whose stage 1 reads only
+    * the outDim-wide layout. The margin bounds the recall loss from JL
+    * distortion; `margin × k` rows of full vectors move, not the corpus. */
   def projectedTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Seq[Float], k: Int, outDim: Int = 16, margin: Int = 4): DataFrame = {
+    val candidates = df
+      .select(col(idCol), col(vecCol),
+        projCosine(md5_random_projection(col(vecCol), outDim), query, outDim)
+          .as("pcos"))
+      .orderBy(col("pcos").desc, col(idCol))
+      .limit(margin * k)
+    rerank(candidates, idCol, vecCol, query, k)
+  }
+
+  /**
+   * Stage-1-over-the-materialized-layout twin of [[projectedTopK]]: rank the
+   * persisted (id, proj) output of [[projectCorpus]] — outDim·8 bytes per row
+   * instead of the full embedding — then join the `margin · k` survivor ids
+   * back to the full-dimension corpus for exact re-ranking. The survivor set
+   * is tiny, so the join broadcasts it and the full-width read touches only
+   * matching rows (through the graft keyed connector, only matching FILES).
+   * This is the probe the scaladoc's 100 TB story prescribes: the wide corpus
+   * is scanned zero times per query.
+   */
+  def projectedTopKFromProjected(projected: DataFrame, full: DataFrame,
+      idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      outDim: Int = 16, margin: Int = 4): DataFrame = {
+    val candidates = projected
+      .select(col("id").as(idCol), projCosine(col("proj"), query, outDim).as("pcos"))
+      .orderBy(col("pcos").desc, col(idCol))
+      .limit(margin * k)
+    rerank(broadcast(candidates).join(full, idCol), idCol, vecCol, query, k)
+  }
+
+  /** Projected-space cosine vs the query's own projection (driver twin keeps
+    * the probe a literal). */
+  private def projCosine(proj: Column, query: Seq[Float], outDim: Int): Column = {
     val qProj = org.apache.spark.sql.graft.Md5RandomProjection
       .compute(query.toArray, outDim)
     val qp = array(qProj.toIndexedSeq.map(x => lit(x.toDouble)): _*)
+    cosine_sim(proj.cast("array<float>"), qp.cast("array<float>"))
+  }
+
+  private def rerank(candidates: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int): DataFrame = {
     val qv = array(query.map(v => lit(v)): _*)
-    val candidates = df
-      .select(col(idCol), col(vecCol),
-        cosine_sim(md5_random_projection(col(vecCol), outDim)
-          .cast("array<float>"), qp.cast("array<float>")).as("pcos"))
-      .orderBy(col("pcos").desc, col(idCol))
-      .limit(margin * k)
     candidates
       .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
       .orderBy(col("cos").desc, col(idCol))

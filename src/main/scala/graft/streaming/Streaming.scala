@@ -443,6 +443,13 @@ object Streaming {
       fpp: Double = 0.01): DataFrame = {
     require(maxRateDen > 0 && maxRateNum >= 0 && maxRateNum <= maxRateDen,
       "maxRateNum/maxRateDen must be a rate in [0, 1]")
+    // The keep predicate multiplies counts by den/num as Longs; with ANSI off
+    // an overflow would wrap negative and silently INVERT the comparison.
+    // n_shingles is an int (< 2^31), so den <= 10^9 bounds both products at
+    // ~2.1e18 < Long.MaxValue. 10^9 is far finer than any meaningful
+    // contamination-rate precision.
+    require(maxRateDen <= 1000000000L,
+      s"maxRateDen must be <= 1e9 (overflow-safe bound), got $maxRateDen")
     graft.ops.TextOps.contaminationBloomFlags(docs, train, idCol, textCol,
         shingleSize, expectedItems, fpp)
       .where(col(textCol).isNull ||

@@ -33,6 +33,26 @@ object GraftExtensions {
     args
   }
 
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg))
+
+  /** Validated constant-positive-int argument for SQL registration: a
+    * non-foldable column would throw an internal UnsupportedOperationException
+    * from eval() on an unbound attribute, a null literal would NPE, and a
+    * non-positive size would surface as a runtime NegativeArraySizeException
+    * deep inside the expression — fail analysis loudly instead, like
+    * count_in_set/count_in_bloom (ADVICE r2). */
+  private def constPosInt(name: String, e: Expression): Int = {
+    if (!e.foldable)
+      analysisError(s"$name: the size argument must be a foldable constant, got ${e.sql}")
+    val v = e.eval()
+    if (v == null) analysisError(s"$name: the size argument must be non-null")
+    val i = v.asInstanceOf[Number].intValue()
+    if (i < 1) analysisError(s"$name: the size argument must be >= 1, got $i")
+    i
+  }
+
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
       args => { val a = req(2, "cosine_sim")(args); CosineSimilarity(a(0), a(1)) }),
@@ -48,15 +68,15 @@ object GraftExtensions {
     ("minhash_signature", info("minhash_signature",
       "minhash_signature(hashArr, n) - n-slot minhash signature over token hashes"),
       args => { val a = req(2, "minhash_signature")(args)
-        MinHashSignature(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+        MinHashSignature(a(0), constPosInt("minhash_signature", a(1))) }),
     ("minhash_bands", info("minhash_bands",
       "minhash_bands(sig, rowsPerBand) - LSH band keys from a minhash signature"),
       args => { val a = req(2, "minhash_bands")(args)
-        MinHashBands(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+        MinHashBands(a(0), constPosInt("minhash_bands", a(1))) }),
     ("hyperplane_bucket", info("hyperplane_bucket",
       "hyperplane_bucket(vec, nBits) - signed-random-projection LSH bucket"),
       args => { val a = req(2, "hyperplane_bucket")(args)
-        HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+        HyperplaneBucket(a(0), constPosInt("hyperplane_bucket", a(1))) }),
     ("md5_prefix60", info("md5_prefix60",
       "md5_prefix60(s) - top 60 md5 bits of a string (engine-portable register hash)"),
       args => Md5Prefix60(req(1, "md5_prefix60")(args).head)),
@@ -66,11 +86,11 @@ object GraftExtensions {
     ("md5_hyperplane_bucket", info("md5_hyperplane_bucket",
       "md5_hyperplane_bucket(vec, nBits) - SRP bucket with md5 integer weights (engine-portable)"),
       args => { val a = req(2, "md5_hyperplane_bucket")(args)
-        Md5HyperplaneBucket(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+        Md5HyperplaneBucket(a(0), constPosInt("md5_hyperplane_bucket", a(1))) }),
     ("shingle_hashes", info("shingle_hashes",
       "shingle_hashes(rawTokens, n) - xxh64 of each word n-gram, one compiled pass"),
       args => { val a = req(2, "shingle_hashes")(args)
-        ShingleHashes(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+        ShingleHashes(a(0), constPosInt("shingle_hashes", a(1))) }),
     ("count_in_set", info("count_in_set",
       "count_in_set(arr, s1, s2, ...) - elements of arr contained in the constant set"),
       args => {
@@ -78,9 +98,6 @@ object GraftExtensions {
         // The set members must be constants: a non-foldable column here would be
         // silently evaluated against no input row, and a null literal would NPE.
         // Fail analysis loudly instead (ADVICE r2).
-        def analysisError(msg: String): Nothing =
-          throw new org.apache.spark.sql.AnalysisException(
-            "_LEGACY_ERROR_TEMP_1332", Map("errorMessage" -> msg))
         val bad = args.tail.filterNot(_.foldable)
         if (bad.nonEmpty)
           analysisError(
@@ -93,7 +110,7 @@ object GraftExtensions {
     ("md5_random_projection", info("md5_random_projection",
       "md5_random_projection(vec, outDim) - JL projection onto md5 signed planes (engine-portable integer coords)"),
       args => { val a = req(2, "md5_random_projection")(args)
-        Md5RandomProjection(a(0), a(1).eval().asInstanceOf[Number].intValue()) }),
+        Md5RandomProjection(a(0), constPosInt("md5_random_projection", a(1))) }),
     ("count_in_bloom", info("count_in_bloom",
       "count_in_bloom(hashArr, blob) - elements of a long array probably in a serialized bloom filter"),
       args => {

@@ -137,6 +137,7 @@ object HyperplaneBucket {
  */
 case class Md5RandomProjection(child: Expression, outDim: Int)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  require(outDim >= 1, s"outDim must be >= 1, got $outDim")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

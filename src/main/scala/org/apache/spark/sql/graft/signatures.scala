@@ -267,6 +267,20 @@ case class Md5Prefix60(child: Expression)
     copy(child = newChild)
 }
 
+object Md5Prefix60 {
+  /** Driver-side twin of the expression (same bytes, same shift) — lets a
+    * probe compute its bucket locally so the scan filter is a literal. */
+  def compute(s: String): Long = {
+    val md = Md5TokenHashes.digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var b = 0
+    while (b < 8) { v = (v << 8) | (d(b) & 0xFFL); b += 1 }
+    v >>> 4
+  }
+}
+
 /**
  * All ordered pairs from one inverted-index posting list:
  * `array<struct<id:long, n:int>>` → `array<struct<id_a, n_a, id_b, n_b>>`
@@ -464,6 +478,18 @@ case class CountInBloom(child: Expression, bloomBytes: Array[Byte])
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "count_in_bloom"
+
+  // Array[Byte] compares by reference in case-class equality, which would make
+  // two probes of byte-identical filters semantically unequal — defeating
+  // canonicalization/common-subexpression elimination every other expression
+  // here supports. Compare (and hash) the blob by content.
+  override def equals(other: Any): Boolean = other match {
+    case CountInBloom(c, b) =>
+      c == child && java.util.Arrays.equals(b, bloomBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bloomBytes)
 
   @transient private lazy val filter: org.apache.spark.util.sketch.BloomFilter =
     org.apache.spark.util.sketch.BloomFilter.readFrom(

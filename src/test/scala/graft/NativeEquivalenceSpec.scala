@@ -98,6 +98,30 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("count_in_bloom compares its blob by content, not reference") {
+    val f = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    Seq(1L, 2L, 3L).foreach(f.putLong)
+    def blob: Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream(); f.writeTo(bos); bos.toByteArray
+    }
+    val (b1, b2) = (blob, blob)
+    assert(!(b1 eq b2))
+    val child = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(1L, 9L), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+    import org.apache.spark.sql.graft.CountInBloom
+    // byte-identical blobs in distinct arrays: equal + same hash (so plan
+    // canonicalization/CSE can merge two probes of the same filter)
+    assert(CountInBloom(child, b1) == CountInBloom(child, b2))
+    assert(CountInBloom(child, b1).hashCode == CountInBloom(child, b2).hashCode)
+    assert(CountInBloom(child, b1).semanticEquals(CountInBloom(child, b2)))
+    // and a different filter is NOT equal
+    val g = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    g.putLong(42L)
+    val gos = new java.io.ByteArrayOutputStream(); g.writeTo(gos)
+    assert(CountInBloom(child, b1) != CountInBloom(child, gos.toByteArray))
+  }
+
   test("md5_hyperplane_bucket: expression eval == driver-side compute twin") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(50)
     val rows = emb.select(col("vec_id"), col("embedding"),

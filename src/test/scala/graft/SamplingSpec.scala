@@ -134,5 +134,23 @@ class SamplingSpec extends SparkSpec {
     val twinProj = org.apache.spark.sql.graft.Md5RandomProjection
       .compute(q.toArray, 16)
     assert(exprProj.toSeq == twinProj.toSeq)
+    // the materialized-layout probe returns the identical top-k: stage 1 over
+    // the persisted narrow (id, proj) table, survivors joined back by id
+    val projected = graft.ops.Similarity.projectCorpus(corpus, "vec_id", "embedding")
+    val viaLayout = graft.ops.Similarity.projectedTopKFromProjected(
+        projected, corpus, "vec_id", "embedding", q, 10, outDim = 16, margin = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val direct = graft.ops.Similarity.projectedTopK(corpus, "vec_id", "embedding",
+        q, 10, outDim = 16, margin = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaLayout == direct, "layout probe diverged from the inline form")
+  }
+
+  test("shuffleAssign refuses to overwrite caller columns (append contract)") {
+    val df = spark.range(5).select(col("id"), lit(1).as("shard"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.shuffleAssign(df, "id", 4)
+    }
+    assert(e.getMessage.contains("shard"))
   }
 }

@@ -79,4 +79,20 @@ class SourcesSpec extends SparkSpec {
     assert(r2.getInt(3) == 3)
     assert(r2.getInt(4) == 3)
   }
+
+  test("SQL size args fail analysis loudly: non-constant, null, non-positive") {
+    GraftExtensions.register(spark)
+    spark.range(3).selectExpr("cast(array(1.0, 2.0) as array<float>) AS v",
+      "cast(id as int) AS n").createOrReplaceTempView("guard_t")
+    // a column size would eval() an unbound attribute (internal error without
+    // the guard); null would NPE; 0 would NegativeArraySize deep in eval
+    for (bad <- Seq("n", "NULL", "0"))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT md5_random_projection(v, $bad) FROM guard_t").collect()
+      }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_signature(array(1L), n) FROM guard_t").collect()
+    }
+    spark.catalog.dropTempView("guard_t")
+  }
 }
