@@ -1010,6 +1010,14 @@ object SparkEntry {
         sp.where(col("split") === "test"), "text", shingleSize = 3, k = 1024)
     }),
 
+    // --- BM25 ranked retrieval: Okapi keyword search as one relational plan
+    //     (query terms filtered INSIDE the token array before any explode;
+    //     per-(doc,term) contributions quantized to integer nano-units so the
+    //     ln-based score replays exactly in SQL) --------------------------
+    "q90_bm25_search" -> ((s, dir) =>
+      TextOps.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "window", "merge"), 15)),
+
     // --- Johnson-Lindenstrauss projection (md5 signed planes, integer
     //     arithmetic end to end): every projected coordinate of every vector
     //     is value-checked by the SQL replay — the reduced-space prefilter
@@ -1832,6 +1840,40 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // BM25 replayed with the identical arithmetic SHAPE (operator-for-
+    // operator: (N-df)+0.5 in double, (tf*(1.2+1.0)), (0.75*dl/avgdl) all
+    // associate the same way), contributions quantized to nano-units
+    // (q73's ln-parity contract), exact integer sum, ties broken by id.
+    "q90_bm25_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // The md5 order key replayed verbatim; shard = key % 8 (the key is
     // non-negative top-60-md5-bits, so % == pmod), pos = per-shard

@@ -474,6 +474,116 @@ object TextOps {
     }
   }
 
+  /**
+   * BM25 ranked retrieval (Robertson/Sparck-Jones; the Okapi scoring every
+   * keyword-search stack uses) as one relational plan — the "find the
+   * documents about X" query of a corpus-curation workflow.
+   *
+   *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+   *   idf(t)   = ln(1 + (N − df + 0.5) / (df + 0.5))
+   *
+   * Direct-scan formulation: the token array is FILTERED to the query terms
+   * inside the projection (a per-row HOF over the array), so only matching
+   * tokens ever explode — the shuffle carries (id, dl, term) for the tiny
+   * fraction of tokens that are query terms, never the corpus's token stream.
+   * Per-term document frequencies come from a window over the grouped
+   * (doc, term) rows (no second scan); the two corpus scalars (N, Σdl) ride a
+   * broadcast cross join. One full-text scan for matches + one narrow scan
+   * for the stats — at probe-heavy scale, precompute both with
+   * [[writeBm25Index]] and query [[bm25TopKFromIndex]] instead (zero
+   * full-corpus scans per query).
+   *
+   * Cross-engine determinism: per-(doc, term) contributions are quantized to
+   * integer nano-units (round(score·1e9) — the [[lmScore]] contract; ln
+   * parity caveats identical), summed exactly, and the top-k order breaks
+   * ties by id. Returns (id, n_terms, score), k rows.
+   */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val t = terms.map(_.toLowerCase).distinct
+    val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
+        filter(col("tk"), x => x.isInCollection(t)).as("qt"))
+    val base = toks.select(col("id"), col("dl"), explode(col("qt")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    // N counts every row (null-text docs included: they are corpus members
+    // with nothing to match); Σdl skips the null dls those rows produce
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    scoreBm25(base, stats, idCol, k, k1, b)
+  }
+
+  /**
+   * Materialize the BM25 postings + corpus stats — the searchable-corpus
+   * layout: postings (term, id, tf, dl) partitioned by the term's md5 bucket
+   * (ALL postings of a term land in exactly one partition directory, so a
+   * query's terms prune the scan to |terms| directories of ~1/nBuckets of the
+   * index each), stats (N, Σdl) as a one-row sidecar. Build once, probe with
+   * [[bm25TopKFromIndex]] millions of times — no query ever rescans the
+   * corpus text.
+   */
+  def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
+        explode(col("tk")).as("term"))
+    toks.groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
+          lit(nBuckets.toLong)))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path + "/postings")
+    df.select(col(idCol).as("id"), token_count(lower(col(textCol))).cast("bigint").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
+  /** BM25 top-k over a [[writeBm25Index]] layout. Each query term's bucket is
+    * computed on the DRIVER (the md5_prefix60 twin), so the probe is a
+    * literal IN-list on the PARTITION column — pruning happens before any row
+    * is read — with the term equality pushed into the row-group filter behind
+    * it. Scoring arithmetic is identical to [[bm25TopK]]. */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
+      nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "query terms must be non-empty")
+    require(k > 0, "k must be positive")
+    val t = terms.map(_.toLowerCase).distinct
+    // md5_prefix60 is non-negative (top 60 bits), so % == pmod
+    val buckets = t.map(x =>
+      org.apache.spark.sql.graft.Md5Prefix60.compute(x) % nBuckets).distinct
+    val base = spark.read.parquet(path + "/postings")
+      .where(col("bucket").isin(buckets: _*) && col("term").isin(t: _*))
+      .select(col("id"), col("dl"), col("term"), col("tf"))
+    val stats = spark.read.parquet(path + "/stats")
+    scoreBm25(base, stats, "id", k, k1, b)
+  }
+
+  /** Shared BM25 scorer over (id, dl, term, tf) + a one-row (n_docs, sum_dl).
+    * Arithmetic shape is the oracle contract — change it and q90's SQL twin
+    * must change in lockstep. */
+  private def scoreBm25(base: DataFrame, stats: DataFrame, idCol: String,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    base.withColumn("df", count(lit(1)).over(w))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) +
+        ((col("n_docs") - col("df")).cast("double") + 0.5) /
+          (col("df").cast("double") + 0.5)))
+      .withColumn("tfc", (col("tf").cast("double") * (lit(k1) + 1.0)) /
+        (col("tf").cast("double") + lit(k1) * (lit(1.0) - lit(b) +
+          lit(b) * col("dl").cast("double") / col("avgdl"))))
+      .withColumn("qs", round(col("idf") * col("tfc") * 1e9, 0).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("qs")).as("sq"))
+      .select(col("id").as(idCol), col("n_terms"),
+        round(col("sq").cast("double") / 1e9, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

@@ -205,4 +205,58 @@ class TextPipelineSpec extends SparkSpec {
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
   }
+
+  test("bm25: planted term-dense doc ranks first; index path == direct path") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // a doc that is nothing but the query terms, repeated: near-saturated tf
+    // on every term with a short dl — no natural doc beats it
+    val planted = Seq((999999L, Seq.fill(20)("spark window merge").mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = docs.unionByName(planted)
+    val terms = Seq("spark", "window", "merge")
+    val direct = TextOps.bm25TopK(corpus, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(direct.head._1 == 999999L, s"planted doc not first: $direct")
+    assert(direct.head._2 == 3, "planted doc should match all three terms")
+    assert(direct.forall(_._3 > 0.0))
+
+    // the persisted-index probe returns the IDENTICAL ranking (this also
+    // pins bucket routing: df is counted after pruning, which is only
+    // correct because a term's postings all land in one bucket)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25").toString + "/i"
+    TextOps.writeBm25Index(corpus, "doc_id", "text", path, nBuckets = 16)
+    val probe = TextOps.bm25TopKFromIndex(spark, path, terms, 10, nBuckets = 16)
+    val viaIndex = probe.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaIndex == direct, "index probe diverged from the direct scan")
+
+    // bucket IN-list prunes at the partition level: fewer files read than exist
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"bucket probe not pushed to partition pruning:\n${plan.take(800)}")
+    def filesUnder(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      kids.filter(_.isFile) ++ kids.filter(_.isDirectory).flatMap(filesUnder)
+    }
+    val totalFiles = filesUnder(new java.io.File(path + "/postings"))
+      .count(_.getName.endsWith(".parquet"))
+    // the Window's shuffle puts the plan under AQE — descend through the
+    // adaptive wrapper to reach the postings FileSourceScanExec
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scan = allScans(probe.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .get
+    val probedFiles = scan.metrics.get("numFiles").map(_.value).getOrElse(-1L)
+    assert(probedFiles >= 1 && probedFiles < totalFiles,
+      s"scan read $probedFiles of $totalFiles postings files — no pruning")
+  }
 }
