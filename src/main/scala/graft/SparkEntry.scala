@@ -1010,6 +1010,24 @@ object SparkEntry {
         sp.where(col("split") === "test"), "text", shingleSize = 3, k = 1024)
     }),
 
+    // --- incremental ingest dedup: a NEW batch dedups against a PERSISTED
+    //     LSH index of the reference corpus (the daily-crawl deployment:
+    //     corpus signatures computed once at index build; candidate ids
+    //     runtime-prune the keyed shingle-set read; exact Jaccard verified
+    //     before any drop). Oracle = the exact cross-corpus rule, the same
+    //     recall-proven-by-q27 equivalence. --------------------------------
+    "q91_ingest_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      // deterministic temp location, overwrite mode (q86's convention)
+      val path = sys.props("java.io.tmpdir") + "/graft_q91_idx_" +
+        Integer.toHexString(dir.hashCode)
+      Dedup.writeNearDupIndex(docs.where(col("source") =!= "src0"),
+        "doc_id", "text", path)
+      Dedup.dedupeAgainstIndex(s, docs.where(col("source") === "src0"),
+          path, "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // --- BM25 ranked retrieval: Okapi keyword search as one relational plan
     //     (query terms filtered INSIDE the token array before any explode;
     //     per-(doc,term) contributions quantized to integer nano-units so the
@@ -1840,6 +1858,36 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The exact cross-corpus near-dup rule (q27's shingle construction and
+    // the LSH-equals-exact equivalence q27 proves on this corpus): a batch
+    // doc survives unless some corpus doc shares Jaccard >= 0.8 with it.
+    "q91_ingest_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src0' AND b.source <> 'src0'
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT bid FROM pairs
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT doc_id, lang FROM documents
+        |WHERE source = 'src0'
+        |  AND doc_id NOT IN (SELECT bid FROM dropped)""".stripMargin,
 
     // BM25 replayed with the identical arithmetic SHAPE (operator-for-
     // operator: (N-df)+0.5 in double, (tf*(1.2+1.0)), (0.75*dl/avgdl) all

@@ -112,6 +112,76 @@ object Dedup {
     }
 
   /**
+   * Persist the MinHash-LSH index of a reference corpus — the INCREMENTAL
+   * INGEST deployment: the reference's signatures are computed exactly once
+   * when the corpus is built, and every incoming batch (the daily crawl)
+   * dedups against the index without re-reading, re-shingling, or
+   * re-signing a byte of the 100 TB reference.
+   *
+   * Layout: `path/bands` = the (band, bsig, id) collision keys (plain
+   * parquet — every probe touches every band, so there is nothing to prune
+   * by); `path/docs` = (key=id, th) through the graft INDEXED layout
+   * (range-sorted, sidecar-indexed), so the verification step's id join
+   * reads only the FILES containing candidate ids (connector runtime split
+   * pruning) instead of scanning the corpus's shingle sets.
+   */
+  def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 128,
+      rowsPerBand: Int = 4): Unit = {
+    // both writes consume the shingle table; persist so the corpus text is
+    // read and shingled once (writes are actions — no Eager wrapper needed)
+    val hashed = hashedShingles(corpus, idCol, textCol, shingleSize).persist()
+    try {
+      bandRows(hashed, numHashes, rowsPerBand)
+        .write.mode("overwrite").parquet(path + "/bands")
+      graft.store.KeyedStore.writeIndexed(
+        hashed.select(col("id").as("key"), col("th")), path + "/docs", "key")
+    } finally hashed.unpersist(blocking = false)
+  }
+
+  /**
+   * Drop batch docs that near-duplicate a doc in a [[writeNearDupIndex]]ed
+   * corpus; returns the surviving batch rows with all their columns. The
+   * batch's band keys join the index's band table (8-byte keys only — the
+   * shingle arrays never ride the candidate shuffle), candidate corpus ids
+   * broadcast into the keyed docs read (runtime split pruning: only files
+   * containing a candidate are opened), and the collision is verified with
+   * EXACT Jaccard on the two shingle sets before anything is dropped —
+   * identical guarantees to [[minHashLSH]], so at threshold t the drop set
+   * equals the exact cross-corpus rule's. WITHIN-batch duplicates are not
+   * touched (compose with [[minHashLSH]] + [[removeDuplicates]] on the batch
+   * for that).
+   */
+  def dedupeAgainstIndex(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, path: String, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val dropped = graft.Eager.withPersisted(
+        hashedShingles(batch, idCol, textCol, shingleSize)) { hb =>
+      val bandsB = bandRows(hb, numHashes, rowsPerBand)
+      val bandsC = spark.read.parquet(path + "/bands")
+      val cand = bandsB.alias("n").join(bandsC.alias("c"),
+          col("n.band") === col("c.band") && col("n.bsig") === col("c.bsig"))
+        .select(col("n.id").as("batch_id"), col("c.id").as("corpus_id"))
+        .dropDuplicates("batch_id", "corpus_id")
+      // candidate corpus ids (8 bytes each) broadcast against the keyed
+      // layout: the connector's runtime filtering prunes to the files whose
+      // key range holds a candidate — the shingle arrays of non-candidates
+      // are never read, let alone shuffled
+      val thC = graft.store.KeyedStore.readKeyed(spark, path + "/docs")
+        .join(broadcast(cand.select(col("corpus_id")).distinct()),
+          col("key") === col("corpus_id"))
+        .select(col("corpus_id"), col("th").as("th_c"))
+      cand
+        .join(hb.select(col("id").as("batch_id"), col("th").as("th_b")), "batch_id")
+        .join(thC, "corpus_id")
+        .where(jaccard(col("th_b"), col("th_c")) >= threshold)
+        .select(col("batch_id")).distinct()
+    }
+    batch.join(dropped.select(col("batch_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for full
    * recall via 16-bit pigeonhole banding). Returns (id_a, id_b, hamming).
    */

@@ -34,6 +34,30 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("dedupeAgainstIndex: near-dups of indexed docs drop, novel and within-batch survive") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ndidx").toString + "/i"
+    // index the real corpus once
+    Dedup.writeNearDupIndex(docs.select(col("doc_id"), col("text")),
+      "doc_id", "text", path)
+    // batch: edited copies of indexed docs 0..9 (near-dups), one genuinely
+    // novel doc, and TWO identical copies of that novel doc (a within-batch
+    // dup the operator must NOT touch)
+    val ts = tokens(col("text"))
+    val nearDups = docs.where(col("doc_id") < 10)
+      .select((col("doc_id") + 5000000L).as("doc_id"),
+        concat_ws(" ", slice(ts, lit(1), size(ts) - 1)).as("text"))
+    val novelText = Seq.tabulate(40)(i => s"novelz$i tokz$i").mkString(" ")
+    val novel = Seq((6000000L, novelText), (6000001L, novelText))
+      .toDF("doc_id", "text")
+    val batch = nearDups.unionByName(novel)
+    val survivors = Dedup.dedupeAgainstIndex(spark, batch, path,
+        "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    // both novel copies survive (within-batch dup untouched); every planted
+    // near-dup of an indexed doc is gone
+    assert(survivors == Set(6000000L, 6000001L), s"got $survivors")
+  }
+
   test("simHash: order-invariant — token-permuted copies at hamming 0") {
     // SimHash is a bag-of-tokens signature: reordering tokens must not change it.
     val permuted = docs.where(col("doc_id") < 40)
