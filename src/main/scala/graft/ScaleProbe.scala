@@ -69,7 +69,8 @@ object ScaleProbe {
     "q88_jl_projection",    // native projection, scan bandwidth
     "q89_overlap_sketch",   // KMV min-k: distinct on 8-byte keys + k-row heap
     "q90_bm25_search",      // query-term filter inside the scan, tiny explode
-    "q91_ingest_dedup")     // batch bands vs persisted index, pruned verify read
+    "q91_ingest_dedup",     // batch bands vs persisted index, pruned verify read
+    "q92_temperature_mix")  // tiny stats agg broadcast + per-stratum rank window
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

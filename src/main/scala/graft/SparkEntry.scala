@@ -1010,6 +1010,15 @@ object SparkEntry {
         sp.where(col("split") === "test"), "text", shingleSize = 3, k = 1024)
     }),
 
+    // --- temperature-based mixture sampling: per-stratum budget shares
+    //     computed from the corpus's own counts (∝ n^tau; tau=0.5 → sqrt,
+    //     IEEE-correctly-rounded on every engine, so the sample replays
+    //     EXACTLY in SQL), selection = min-wise per stratum ----------------
+    "q92_temperature_mix" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(
+          T(s, dir, "documents"), "doc_id", "lang", budget = 200L, tau = 0.5)
+        .select(col("doc_id"), col("lang"))),
+
     // --- incremental ingest dedup: a NEW batch dedups against a PERSISTED
     //     LSH index of the reference corpus (the daily-crawl deployment:
     //     corpus signatures computed once at index build; candidate ids
@@ -1858,6 +1867,30 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The identical arithmetic: w = floor(sqrt(n)·1e6) (sqrt is IEEE
+    // correctly-rounded — bit-identical across engines), share = floor
+    // ((w/Σw)·budget) through exact-integer doubles, min-wise rank per
+    // stratum on the md5 key. Every selected id is value-checked.
+    "q92_temperature_mix" ->
+      """WITH stats AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |wts AS (
+        |  SELECT lang, n,
+        |    cast(floor(sqrt(cast(n as double)) * 1000000.0) as bigint) AS w
+        |  FROM stats),
+        |tot AS (SELECT sum(w) AS tw FROM wts),
+        |targets AS (
+        |  SELECT lang,
+        |    least(n, cast(floor((cast(w as double) / tw) * 200) as bigint)) AS c
+        |  FROM wts CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM ranked r
+        |JOIN targets t ON r.lang = t.lang
+        |WHERE r.rk <= t.c""".stripMargin,
 
     // The exact cross-corpus near-dup rule (q27's shingle construction and
     // the LSH-equals-exact equivalence q27 proves on this corpus): a batch

@@ -66,6 +66,62 @@ object Sampling {
   }
 
   /**
+   * Temperature-based mixture sampling (the multilingual-LM mixing rule,
+   * mC4/XLM-R style): stratum i gets a share of the `budget` proportional to
+   * n_i^tau — tau < 1 UP-weights low-resource strata relative to their raw
+   * counts, tau = 1 is proportional sampling. Unlike [[stratifiedSample]]
+   * (caller-fixed per-mille rates), the rates here are COMPUTED from the
+   * corpus's own stratum sizes:
+   *
+   *   c_i = min(n_i, floor(budget · w_i / Σw)) ,  w_i = floor(n_i^tau · 10⁶)
+   *
+   * and each stratum keeps its c_i min-wise docs (smallest md5 id hashes —
+   * the [[minWiseSample]] rule per stratum), so the draw is a pure function
+   * of the id set and replays on any engine. Flooring the per-stratum shares
+   * means up to (#strata − 1) budget rows go unused — deterministic, never
+   * over budget.
+   *
+   * Cross-engine exactness: with tau = 0.5 the weight is sqrt — CORRECTLY
+   * ROUNDED under IEEE 754 on every engine, so w_i (and every downstream
+   * +,·,/ of exact integers through doubles) is bit-identical and the oracle
+   * can assert the sample exactly. Other tau values go through pow(), whose
+   * last-ulp behavior is library-specific — same sample in practice, but the
+   * 1-ulp-at-a-floor-boundary case can't be ruled out (the [[lmScore]] ln
+   * caveat, without a quantization grid to absorb it).
+   *
+   * Scale shape: stratum stats are one tiny agg (broadcast back); selection
+   * is one rank window per stratum — bounded by the LARGEST stratum, the
+   * [[graft.ops.TextOps.packDocuments]] skew caveat (a 90%-one-language
+   * corpus serializes that stratum's rank into one sort partition).
+   */
+  def temperatureSample(df: DataFrame, idCol: String, stratumCol: String,
+      budget: Long, tau: Double = 0.5): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    require(!df.columns.contains("__graft_rk"),
+      "temperatureSample uses a '__graft_rk' working column — rename the input's")
+    import org.apache.spark.sql.expressions.Window
+    val stats = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+    val wExpr = if (tau == 0.5) sqrt(col("n").cast("double"))
+                else pow(col("n").cast("double"), tau)
+    val weighted = stats.select(col(stratumCol), col("n"),
+      floor(wExpr * 1000000.0).cast("long").as("w"))
+    val targets = weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("w")).as("tw"))))
+      .select(col(stratumCol),
+        least(col("n"),
+          floor((col("w").cast("double") / col("tw")) * budget).cast("long"))
+          .as("__graft_c"))
+    val rk = Window.partitionBy(col(stratumCol))
+      .orderBy(graft.functions.GraftFunctions.md5_prefix60(
+        col(idCol).cast("string")), col(idCol))
+    df.withColumn("__graft_rk", row_number().over(rk))
+      .join(broadcast(targets), Seq(stratumCol))
+      .where(col("__graft_rk") <= col("__graft_c"))
+      .drop("__graft_rk", "__graft_c")
+  }
+
+  /**
    * Deterministic training-data shuffle: every row gets a `shard` in
    * [0, shards) and a dense 1-based `pos` within its shard, both pure
    * functions of (salt, id) — the epoch-shuffle stage of a training

@@ -146,6 +146,39 @@ class SamplingSpec extends SparkSpec {
     assert(viaLayout == direct, "layout probe diverged from the inline form")
   }
 
+  test("temperatureSample: shares follow n^tau exactly; tau<1 upweights small strata") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def expected(budget: Long, tau: Double): Map[String, Long] = {
+      val w = counts.map { case (k, n) =>
+        k -> math.floor(math.pow(n.toDouble, tau) * 1000000.0).toLong }
+      val tw = w.values.sum
+      w.map { case (k, wi) =>
+        k -> math.min(counts(k), math.floor(wi.toDouble / tw * budget).toLong) }
+    }
+    for (tau <- Seq(0.5, 1.0)) {
+      val got = Sampling.temperatureSample(docs, "doc_id", "lang", 100L, tau)
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exp = expected(100L, tau).filter(_._2 > 0)
+      assert(got == exp, s"tau=$tau: got $got expected $exp")
+      assert(got.values.sum <= 100L)
+    }
+    // flattening: the smallest stratum's share of the sample is at least its
+    // share under proportional (tau=1) sampling
+    val smallest = counts.minBy(_._2)._1
+    assert(expected(100L, 0.5)(smallest) >= expected(100L, 1.0)(smallest))
+    // selection is the per-stratum min-wise prefix: re-running over a
+    // repartitioned input draws the identical id set
+    val a = Sampling.temperatureSample(docs, "doc_id", "lang", 100L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val b = Sampling.temperatureSample(docs.repartition(7), "doc_id", "lang", 100L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(a == b)
+  }
+
   test("shuffleAssign refuses to overwrite caller columns (append contract)") {
     val df = spark.range(5).select(col("id"), lit(1).as("shard"))
     val e = intercept[IllegalArgumentException] {
