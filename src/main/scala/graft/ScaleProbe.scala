@@ -70,7 +70,8 @@ object ScaleProbe {
     "q89_overlap_sketch",   // KMV min-k: distinct on 8-byte keys + k-row heap
     "q90_bm25_search",      // query-term filter inside the scan, tiny explode
     "q91_ingest_dedup",     // batch bands vs persisted index, pruned verify read
-    "q92_temperature_mix")  // tiny stats agg broadcast + per-stratum rank window
+    "q92_temperature_mix",  // tiny stats agg broadcast + per-stratum rank window
+    "q93_snapshot_delta")   // (id, md5) full-outer join — 24-byte rows, no text
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

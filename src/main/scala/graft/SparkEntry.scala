@@ -1010,6 +1010,20 @@ object SparkEntry {
         sp.where(col("split") === "test"), "text", shingleSize = 3, k = 1024)
     }),
 
+    // --- snapshot delta: CDC between two crawl snapshots by content
+    //     fingerprint — downstream stages re-process only added ∪ changed.
+    //     Old = ids % 7 != 0; new = ids % 11 != 3 with % 5 == 0 texts
+    //     edited: exercises all four statuses -----------------------------
+    "q93_snapshot_delta" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val oldSnap = docs.where(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.where(col("doc_id") % 11 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+            .otherwise(col("text")).as("text"))
+      Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
+    }),
+
     // --- temperature-based mixture sampling: per-stratum budget shares
     //     computed from the corpus's own counts (∝ n^tau; tau=0.5 → sqrt,
     //     IEEE-correctly-rounded on every engine, so the sample replays
@@ -1867,6 +1881,24 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // Presence via the join sides (not fingerprint nullness), null-safe
+    // fingerprint equality for the changed/unchanged split — the exact
+    // contract of Dedup.snapshotDelta.
+    "q93_snapshot_delta" ->
+      """WITH oldd AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 7 <> 0),
+        |newd AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+        |             ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 11 <> 3)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.fp IS NOT DISTINCT FROM n.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id""".stripMargin,
 
     // The identical arithmetic: w = floor(sqrt(n)·1e6) (sqrt is IEEE
     // correctly-rounded — bit-identical across engines), share = floor

@@ -64,6 +64,36 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /**
+   * Snapshot delta — the CDC step of an incremental corpus build: diff two
+   * crawl snapshots by content fingerprint and label every id `added`
+   * (only in the new snapshot), `removed` (only in the old), `changed`
+   * (present in both, fingerprints differ) or `unchanged`. Downstream
+   * stages re-process ONLY `added ∪ changed` instead of the full corpus —
+   * at 100 TB the daily delta is typically a few percent of the data.
+   *
+   * Shape: each side reduces to (id, 16-byte md5) at scan bandwidth — the
+   * full-outer join shuffles 24-byte rows, never text. NULL content
+   * fingerprints as NULL; two NULLs compare `unchanged` (null-safe
+   * equality), NULL vs text compares `changed`.
+   */
+  def snapshotDelta(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    // presence flags, NOT fingerprint nullness: a row whose content is NULL
+    // fingerprints as NULL and would otherwise be indistinguishable from an
+    // absent row
+    def fp(df: DataFrame, as: String, pres: String) =
+      df.select(col(idCol).as("id"), fingerprint_md5(col(contentCol)).as(as),
+        lit(true).as(pres))
+    fp(oldSnap, "fp_old", "in_old").join(fp(newSnap, "fp_new", "in_new"),
+        Seq("id"), "full_outer")
+      .select(col("id").as(idCol),
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(col("fp_old") <=> col("fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** One string-touching pass: shingle + hash each doc to `(id, th)` with
     * `th: array<long>` — everything downstream of this is long-only. */
   private[ops] def hashedShingles(df: DataFrame, idCol: String, textCol: String,

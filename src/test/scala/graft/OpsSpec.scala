@@ -34,6 +34,22 @@ class OpsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("snapshotDelta: presence beats fingerprint-nullness; all four statuses") {
+    val oldSnap = Seq((1L, "a b c"), (2L, "x y"), (3L, null.asInstanceOf[String]),
+      (4L, "gone soon"), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val newSnap = Seq((1L, "a b c"), (2L, "x y EDITED"), (3L, "now has text"),
+      (6L, "brand new"), (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = Dedup.snapshotDelta(oldSnap, newSnap, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "unchanged",
+      2L -> "changed",
+      3L -> "changed",   // NULL→text is a CHANGE, not an add (presence flags)
+      4L -> "removed",
+      5L -> "unchanged", // NULL on both sides: null-safe equality
+      6L -> "added"), s"got $got")
+  }
+
   test("dedupeAgainstIndex: near-dups of indexed docs drop, novel and within-batch survive") {
     val path = java.nio.file.Files.createTempDirectory("graft_ndidx").toString + "/i"
     // index the real corpus once
