@@ -1024,6 +1024,28 @@ object SparkEntry {
       Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // --- semantic dedup (SemDeDup): hash-seeded cells over the int8-
+    //     quantized space, within-cell pair scan at tau=0.99, drop the
+    //     member nearer its centroid. Planted near-dups (an exact copy and
+    //     a *1.001 float-rescale, both quantizing to ~cos 1) exercise the
+    //     drop path; integer dot/norm arithmetic makes every cosine — and
+    //     therefore every cell and every victim — bit-identical in SQL ----
+    "q94_semantic_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val perturbed = emb.where(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(1.001d)).cast("float")).as("embedding"))
+      val copies = emb.where(col("vec_id") % 30 === 7)
+        .select((col("vec_id") + 20000).as("vec_id"), col("embedding"))
+      val corpus = emb.select(col("vec_id"), col("embedding"))
+        .unionAll(perturbed).unionAll(copies)
+      graft.ops.Similarity.semanticDedup(corpus, "vec_id", "embedding",
+          k = 10, tau = 0.99)
+        .select(col("vec_id"), col("cell").cast("bigint").as("cell"),
+          round(col("cent_cos"), 6).as("cent_cos"))
+    }),
+
     // --- temperature-based mixture sampling: per-stratum budget shares
     //     computed from the corpus's own counts (∝ n^tau; tau=0.5 → sqrt,
     //     IEEE-correctly-rounded on every engine, so the sample replays
@@ -1881,6 +1903,59 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The full SemDeDup replay, every step exact: q85's quantization, seed
+    // cells by (md5, id), cosine as integer dot/norm sums through one
+    // dot/(sqrt·sqrt) — bit-identical doubles, so argmax assignment, the
+    // tau threshold, and the keep-peripheral victim rule all agree with
+    // Spark without tolerance.
+    "q94_semantic_dedup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000,
+        |    list_transform(embedding, x -> cast(cast(x as double) * 1.001 as float))
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 20000, embedding FROM embeddings WHERE vec_id % 30 = 7),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+        |      ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint) END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          cast(list_max(list_transform(embedding, x -> abs(x))) as double) AS maxabs
+        |        FROM base WHERE embedding IS NOT NULL)),
+        |seeds AS (
+        |  SELECT qv AS sv,
+        |    row_number() OVER (ORDER BY
+        |      ('0x' || substr(md5(cast(vec_id as varchar)), 1, 15))::BIGINT, vec_id) - 1 AS cell
+        |  FROM q QUALIFY cell < 10),
+        |assign AS (
+        |  SELECT vec_id, qv, cell, c AS cent_cos FROM (
+        |    SELECT q.vec_id, q.qv, s.cell,
+        |      CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |           ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END AS c,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |             ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END DESC, s.cell) AS rk
+        |    FROM q CROSS JOIN seeds s CROSS JOIN LATERAL (
+        |      SELECT list_dot_product(cast(q.qv as double[]), cast(s.sv as double[])) AS dot,
+        |             list_dot_product(cast(q.qv as double[]), cast(q.qv as double[])) AS na,
+        |             list_dot_product(cast(s.sv as double[]), cast(s.sv as double[])) AS nb) l)
+        |  WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS aid, b.vec_id AS bid, a.cent_cos AS ac, b.cent_cos AS bc,
+        |    CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |         ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END AS c
+        |  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  CROSS JOIN LATERAL (
+        |    SELECT list_dot_product(cast(a.qv as double[]), cast(b.qv as double[])) AS dot,
+        |           list_dot_product(cast(a.qv as double[]), cast(a.qv as double[])) AS na,
+        |           list_dot_product(cast(b.qv as double[]), cast(b.qv as double[])) AS nb) l),
+        |victims AS (
+        |  SELECT DISTINCT CASE WHEN ac > bc THEN aid ELSE bid END AS v
+        |  FROM pairs WHERE c >= 0.99)
+        |SELECT vec_id, cell, round(cent_cos, 6) AS cent_cos
+        |FROM assign WHERE vec_id NOT IN (SELECT v FROM victims)""".stripMargin,
 
     // Presence via the join sides (not fingerprint nullness), null-safe
     // fingerprint equality for the changed/unchanged split — the exact

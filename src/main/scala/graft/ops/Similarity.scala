@@ -364,4 +364,68 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+   * embedding space, compare pairs only WITHIN a cluster, and for every
+   * near-duplicate pair (cosine ≥ `tau`) drop the member closer to the
+   * cluster centroid — keeping the more peripheral (more diverse) example,
+   * the paper's selection rule. Ties (equal centroid cosine, e.g. exact
+   * duplicate vectors) drop the higher id, so the result is a pure function
+   * of the input set.
+   *
+   * Every arithmetic step is EXACT and engine-portable, which is what makes
+   * the DuckDB oracle replay bit-identical: vectors are int8-quantized first
+   * ([[quantizeInt8]] — floor arithmetic, exactly replayable per q85), and
+   * cosine over int8 inputs is integer dot/norm sums held in doubles
+   * (< 2^53, exact in any accumulation order) through one
+   * `dot / (sqrt(na)·sqrt(nb))` — the same IEEE operation shape on every
+   * engine. Cluster assignment is argmax over those exact scores (first
+   * centroid wins ties), so no cross-engine float drift can misroute a row.
+   *
+   * Centroids are the k quantized vectors with the smallest (md5(id), id) —
+   * the same hash-ordered deterministic seeding as [[ivfCentroids]], k×dim
+   * ints riding as literals (the one bounded driver collect). Production
+   * pipelines wanting Lloyd-refined cells can pre-assign with
+   * [[ivfCentroids]]/[[cellOf]] and run the same within-cell pair pass.
+   *
+   * 100 TB shape: the quantized corpus is ¼ the float bytes; assignment is
+   * whole-stage-codegen'd scan work against broadcast literals (no shuffle);
+   * the pair pass shuffles (id, qvec) by cell once and compares O(c²) per
+   * cell — SemDeDup's published cost model, bounded by growing k with the
+   * corpus so cells stay ~constant-sized. Null vectors are excluded (no
+   * similarity is defined for them); zero vectors score 0 against every
+   * centroid and land deterministically in cell 0.
+   *
+   * Returns survivors as (idCol, cell, cent_cos).
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val q = quantizeInt8(df.where(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("id"), col("qvec"))
+    val seeds: Array[Array[Int]] = q
+      .withColumn("__h", md5_prefix60(col("id").cast("string")))
+      .orderBy(col("__h"), col("id"))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Byte](1).map(_.toInt).toArray)
+    val seedCols = seeds.toIndexedSeq.map(s =>
+      array(s.toIndexedSeq.map(x => lit(x.toFloat)): _*))
+    val scores = array(seedCols.map(sc => cosine_sim_int8(col("qvec"), sc)): _*)
+    val assigned = q.select(col("id"), col("qvec"),
+      (array_position(scores, array_max(scores)) - 1).cast("int").as("cell"),
+      array_max(scores).as("cent_cos"))
+    val a = assigned.select(col("id").as("aid"), col("qvec").as("aq"),
+      col("cell"), col("cent_cos").as("ac"))
+    val b = assigned.select(col("id").as("bid"), col("qvec").as("bq"),
+      col("cell"), col("cent_cos").as("bc"))
+    val victims = a.join(b, Seq("cell")).where(col("aid") < col("bid"))
+      .where(cosine_sim_int8(col("aq"), col("bq").cast("array<float>")) >= tau)
+      .select(when(col("ac") > col("bc"), col("aid"))
+        .otherwise(col("bid")).as("v"))
+      .distinct()
+    assigned.join(victims, assigned("id") === victims("v"), "left_anti")
+      .select(col("id").as(idCol), col("cell"), col("cent_cos"))
+  }
 }

@@ -612,6 +612,29 @@ class OpsSpec extends SparkSpec {
     assert((exact & direct).size >= 4, s"int8 scoring broke ranking: $exact vs $direct")
   }
 
+  test("semanticDedup: within-cell near-dups drop the member nearer its centroid") {
+    // plant an exact copy (id 9000+base) of every 10th vector
+    val copies = emb.where(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 9000).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(copies)
+    val out = Similarity.semanticDedup(corpus, "vec_id", "embedding",
+      k = 5, tau = 0.99)
+    val survivors = out.collect().map(_.getLong(0)).toSet
+    val planted = copies.collect().map(_.getLong(0)).toSet
+    // an exact copy ties on cent_cos, so the HIGHER id (the copy) drops;
+    // every original and every non-planted row survives
+    assert((survivors & planted).isEmpty, s"planted copies survived: ${survivors & planted}")
+    assert(survivors == emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet)
+    // deterministic under repartitioning (exact integer arithmetic end to end)
+    val out2 = Similarity.semanticDedup(corpus.repartition(7), "vec_id",
+      "embedding", k = 5, tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(out2 == out.collect().map(r => (r.getLong(0), r.getInt(1))).toSet)
+    // cells partition the survivor set into k non-empty-ish groups (k=5 over
+    // ~50 vectors: at least 2 distinct cells must appear)
+    assert(out.select(col("cell")).distinct().count() >= 2)
+  }
+
   test("crossTopK ranks within each query, excludes self") {
     val small = emb.where(col("vec_id") < 30)
     val out = Similarity.crossTopK(small, small.where(col("vec_id") < 3),
