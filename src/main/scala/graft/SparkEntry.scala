@@ -1024,6 +1024,19 @@ object SparkEntry {
       Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // --- filter-funnel attrition report: four cumulative quality gates
+    //     (length, token count, quality score, known language) counted in
+    //     ONE scan + one k-long aggregate — the per-stage survivor report a
+    //     corpus pipeline publishes, at the cost of a count(*) -------------
+    "q95_filter_funnel" -> ((s, dir) =>
+      TextOps.filterFunnel(T(s, dir, "documents"), Seq(
+        "has_text" -> (col("text").isNotNull && length(col("text")) >= 100),
+        "min_tokens" -> (size(tokens(lower(col("text")))) >= 20),
+        // 0.45 clears the nearest corpus score by >3e-5 at every test SF —
+        // no cross-engine boundary row exists (checked at sf0.01/sf0.1)
+        "quality" -> (TextOps.qualityScore(col("text")) >= 0.45),
+        "lang_known" -> (TextOps.langId(col("text")) =!= "und")))),
+
     // --- semantic dedup (SemDeDup): hash-seeded cells over the int8-
     //     quantized space, within-cell pair scan at tau=0.99, drop the
     //     member nearer its centroid. Planted near-dups (an exact copy and
@@ -1903,6 +1916,52 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The funnel's four gates replayed from their proven fragments (q21's
+    // quality arithmetic, q20's marker scores), cumulative-AND'd with
+    // NULL→fail coalesce, then the stage rows assembled by UNION ALL over
+    // one aggregate — counts must match Spark's exactly.
+    "q95_filter_funnel" ->
+      """WITH t AS (
+        |  SELECT text,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |c AS (
+        |  SELECT
+        |    coalesce(text IS NOT NULL AND length(text) >= 100, FALSE) AS c1x,
+        |    coalesce(len(tk) >= 20, FALSE) AS p2,
+    |    coalesce(round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END)
+        |        * 0.3, 6) >= 0.45, FALSE) AS p3,
+        |    coalesce(greatest(
+        |      len(list_filter(tk, x -> x IN ('the','a','of','and','to'))),
+        |      len(list_filter(tk, x -> x IN ('der','die','das','und'))),
+        |      len(list_filter(tk, x -> x IN ('le','la','les','et'))),
+        |      len(list_filter(tk, x -> x IN ('el','los','y','que')))) > 0,
+        |      FALSE) AS p4
+        |  FROM t),
+        |agg AS (
+        |  SELECT count(*) AS n0,
+        |    sum(CASE WHEN c1x THEN 1 ELSE 0 END) AS n1,
+        |    sum(CASE WHEN c1x AND p2 THEN 1 ELSE 0 END) AS n2,
+        |    sum(CASE WHEN c1x AND p2 AND p3 THEN 1 ELSE 0 END) AS n3,
+        |    sum(CASE WHEN c1x AND p2 AND p3 AND p4 THEN 1 ELSE 0 END) AS n4
+        |  FROM c)
+        |SELECT cast(stage as bigint) AS stage, stage_name,
+        |  cast(n_entered as bigint) AS n_entered,
+        |  cast(n_passed as bigint) AS n_passed,
+        |  cast(n_entered - n_passed as bigint) AS n_dropped
+        |FROM (
+        |  SELECT 1 AS stage, 'has_text' AS stage_name, n0 AS n_entered, n1 AS n_passed FROM agg
+        |  UNION ALL SELECT 2, 'min_tokens', n1, n2 FROM agg
+        |  UNION ALL SELECT 3, 'quality', n2, n3 FROM agg
+        |  UNION ALL SELECT 4, 'lang_known', n3, n4 FROM agg)""".stripMargin,
 
     // The full SemDeDup replay, every step exact: q85's quantization, seed
     // cells by (md5, id), cosine as integer dot/norm sums through one

@@ -584,6 +584,44 @@ object TextOps {
       .limit(k)
   }
 
+  /**
+   * Single-scan filter-funnel attrition report — the per-stage survivor
+   * counts every production corpus pipeline publishes ("N in → N after
+   * length filter → N after quality → …"). Stages apply CUMULATIVELY in the
+   * given order (a row must pass every earlier stage to be counted at a
+   * later one); a NULL predicate counts as a fail, so the stage counts are
+   * totals, never three-valued.
+   *
+   * The whole funnel is ONE scan and ONE tiny aggregate: each stage's
+   * cumulative flag is computed in-scan (codegen'd booleans), partial
+   * aggregation combines map-side, and only `stages.length` longs ever
+   * shuffle — vs the naive k-filter-jobs formulation that re-reads the
+   * corpus once per stage. At 100 TB the funnel costs exactly what one
+   * `count(*)` costs.
+   *
+   * Returns one row per stage: (stage [1-based], stage_name, n_entered,
+   * n_passed, n_dropped).
+   */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cums = stages.scanLeft(lit(true)) {
+      case (acc, (_, p)) => acc && coalesce(p, lit(false))
+    }.tail
+    val names = array(stages.map { case (nm, _) => lit(nm) }: _*)
+    df.agg(count(lit(1)).as("n_in"),
+        array(cums.map(c => coalesce(sum(c.cast("long")), lit(0L))): _*)
+          .as("passed"))
+      .select(col("n_in"), col("passed"),
+        posexplode(col("passed")).as(Seq("i", "n_passed")))
+      .select((col("i") + 1).cast("bigint").as("stage"),
+        element_at(names, (col("i") + 1).cast("int")).as("stage_name"),
+        when(col("i") === 0, col("n_in"))
+          .otherwise(element_at(col("passed"), col("i").cast("int")))
+          .as("n_entered"),
+        col("n_passed"))
+      .withColumn("n_dropped", col("n_entered") - col("n_passed"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

@@ -7,6 +7,28 @@ import graft.ops.TextOps
 class TextPipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("filterFunnel: cumulative stage counts in one scan, NULL predicate fails") {
+    val df = Seq(
+      (1L, "aaaa bbbb cccc"), // passes len>=10 (14 chars), fails tok>=4 (3)
+      (2L, "aa bb cc dd ee"), // passes both (14 chars, 5 tokens)
+      (3L, "ab"),             // fails len>=10
+      (4L, null.asInstanceOf[String])) // NULL text: fails stage 1, never 3-valued
+      .toDF("id", "text")
+    val out = TextOps.filterFunnel(df, Seq(
+        "len" -> (length(col("text")) >= 10),
+        "toks" -> (size(split(col("text"), " ")) >= 4)))
+      .orderBy("stage").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (1L, "len", 4L, 2L, 2L),
+      (2L, "toks", 2L, 1L, 1L)))
+    // the funnel is chained, not independent: row 2 alone reaches stage 2
+    // one scan, one aggregate: no more than one Exchange in the plan
+    val plan = TextOps.filterFunnel(df, Seq("len" -> (length(col("text")) >= 10)))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1, plan)
+  }
+
   test("max_multiplicity: native per-row mode count") {
     val r = Seq(
       (Seq(1L, 2L, 2L, 3L, 2L), 3),
