@@ -1024,6 +1024,13 @@ object SparkEntry {
       Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // --- BPE first-merge statistics: adjacent char-pair counts weighted by
+    //     word frequency — corpus collapses to its vocabulary first, pairs
+    //     explode over DISTINCT words only (dictionary-sized, not corpus-
+    //     sized work) ---------------------------------------------------------
+    "q96_bpe_pairs" -> ((s, dir) =>
+      TextOps.bpePairStats(T(s, dir, "documents"), "text", 30)),
+
     // --- filter-funnel attrition report: four cumulative quality gates
     //     (length, token count, quality score, known language) counted in
     //     ONE scan + one k-long aggregate — the per-stage survivor report a
@@ -1916,6 +1923,24 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The same two-level shape: word-frequency dictionary, then char pairs
+    // via list comprehension over the distinct words (q91's construction
+    // idiom), weighted sum, count-desc/pair ties.
+    "q96_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS wn FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY word),
+        |p AS (
+        |  SELECT unnest([substr(word, i, 2)
+        |                 FOR i IN generate_series(1, length(word) - 1)]) AS pair,
+        |    wn
+        |  FROM w WHERE length(word) >= 2)
+        |SELECT pair, cast(sum(wn) as bigint) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     // The funnel's four gates replayed from their proven fragments (q21's
     // quality arithmetic, q20's marker scores), cumulative-AND'd with

@@ -622,6 +622,32 @@ object TextOps {
       .withColumn("n_dropped", col("n_entered") - col("n_passed"))
   }
 
+  /**
+   * First-merge BPE statistics (the pair-count table byte-pair-encoding
+   * vocabulary induction starts from, Sennrich et al. 2016): frequency of
+   * every adjacent CHARACTER pair, weighted by word frequency. Two-level
+   * shape is the scale story: the corpus collapses to its word-frequency
+   * dictionary first (one shuffle of compact (word, count) rows — the only
+   * pass that touches corpus volume), then pairs explode over the DISTINCT
+   * vocabulary only (≪ corpus; a 100 TB corpus has a ~10^7-word dictionary),
+   * so the quadratic-ish pair work never scales with data volume. Words
+   * shorter than 2 chars contribute nothing (explicit guard — Spark's
+   * `sequence(1, 0)` would generate a DESCENDING range, not an empty one).
+   * Returns the `topK` (pair, n) rows, count-desc, pair ties ascending.
+   */
+  def bpePairStats(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+    words
+      .where(length(col("word")) >= 2)
+      .select(col("wn"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

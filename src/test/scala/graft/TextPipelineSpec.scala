@@ -29,6 +29,15 @@ class TextPipelineSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 <= 1, plan)
   }
 
+  test("bpePairStats: word-frequency-weighted char pairs; 1-char words contribute nothing") {
+    val df = Seq("ab ab abc a", "ab x").toDF("text")
+    // dictionary: ab:3, abc:1, a:1, x:1 → pairs: ab = 3(from ab)+1(from abc)
+    // = 4, bc = 1; 'a' and 'x' are sub-2-char (the sequence(1,0) guard)
+    val out = TextOps.bpePairStats(df, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(out == Seq(("ab", 4L), ("bc", 1L)))
+  }
+
   test("max_multiplicity: native per-row mode count") {
     val r = Seq(
       (Seq(1L, 2L, 2L, 3L, 2L), 3),
