@@ -1024,6 +1024,14 @@ object SparkEntry {
       Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // --- DSIR importance scores: every doc ranked by target-likeness from
+    //     hashed unigram log-ratios (target = lang 'en', background = all);
+    //     nano-quantized contributions make the ln-based score replay
+    //     exactly (q90's contract) ------------------------------------------
+    "q97_importance_scores" -> ((s, dir) =>
+      TextOps.importanceScores(T(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", buckets = 256)),
+
     // --- BPE first-merge statistics: adjacent char-pair counts weighted by
     //     word frequency — corpus collapses to its vocabulary first, pairs
     //     explode over DISTINCT words only (dictionary-sized, not corpus-
@@ -1923,6 +1931,33 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The identical estimator: 60-bit md5 buckets mod 256, add-one smoothed
+    // ln ratios nano-quantized per token (q90's round-then-bigint idiom),
+    // exact integer sums per doc.
+    "q97_importance_scores" ->
+      """WITH e AS (
+        |  SELECT doc_id, coalesce(lang = 'en', FALSE) AS is_t,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |        AS tok
+        |    FROM documents)),
+        |stats AS (
+        |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tb,
+        |    count(*) AS gb
+        |  FROM e GROUP BY b),
+        |tot AS (SELECT sum(tb) AS tt, sum(gb) AS gt FROM stats),
+        |w AS (
+        |  SELECT b, cast(round(
+        |    (ln((tb + 1) / cast(tt + 256 as double)) -
+        |     ln((gb + 1) / cast(gt + 256 as double))) * 1e9, 0) as bigint)
+        |    AS wn
+        |  FROM stats CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(cast(sum(wn) as double) / 1e9, 6) AS score
+        |FROM e JOIN w USING (b) GROUP BY doc_id""".stripMargin,
 
     // The same two-level shape: word-frequency dictionary, then char pairs
     // via list comprehension over the distinct words (q91's construction

@@ -648,6 +648,50 @@ object TextOps {
       .limit(topK)
   }
 
+  /**
+   * Hashed-feature importance scores (the DSIR recipe, Xie et al. 2023):
+   * rank every document by how target-like its token distribution is,
+   * estimated from hashed unigram counts — `score(d) = Σ_tok
+   * ln(P̂_target(bucket(tok))) − ln(P̂_background(bucket(tok)))` with
+   * add-one smoothing over `buckets` md5 buckets. Rows matching
+   * `targetPred` define the target distribution; ALL rows are the
+   * background. Per-token contributions are quantized to nano-units
+   * (bigint) before summing — exact integer addition in any order, the
+   * q73/q90 ln-parity contract — so scores replay exactly in SQL.
+   *
+   * 100 TB shape: the weight table is `buckets` rows (a broadcast-join
+   * build side, never a shuffle of data); both passes are explode →
+   * codegen'd md5 bucket → map-side partial aggregation, so only
+   * (bucket|id, long) pairs ever shuffle. The corpus is scanned twice
+   * (once for counts, once for scoring) — at scale, stage the exploded
+   * buckets or accept the second scan; both beat shuffling tokens.
+   * Token-less documents (null/empty text) have no defined score and are
+   * excluded (the lmScore convention). Returns (idCol, n_tokens, score).
+   */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val ex = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(col("id"), col("is_t"),
+        pmod(md5_prefix60(col("tok")), lit(buckets.toLong)).cast("int").as("b"))
+    val stats = ex.groupBy(col("b")).agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("tb"),
+      count(lit(1)).as("gb"))
+    val totals = stats.agg(sum(col("tb")).as("tt"), sum(col("gb")).as("gt"))
+    val w = stats.crossJoin(totals).select(col("b"),
+      round((log((col("tb") + lit(1L)).cast("double") /
+               (col("tt") + lit(buckets.toLong)).cast("double")) -
+             log((col("gb") + lit(1L)).cast("double") /
+               (col("gt") + lit(buckets.toLong)).cast("double"))) * 1e9, 0)
+        .cast("long").as("w_nano"))
+    ex.join(broadcast(w), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_nano")).as("s"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        round(col("s").cast("double") / 1e9, 6).as("score"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

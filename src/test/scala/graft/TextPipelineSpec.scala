@@ -38,6 +38,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(out == Seq(("ab", 4L), ("bc", 1L)))
   }
 
+  test("importanceScores: target-like docs outrank background; exact under repartition") {
+    val df = Seq(
+      (1L, "alpha alpha beta", true),   // target
+      (2L, "alpha beta beta", true),    // target
+      (3L, "gamma gamma delta", false), // background-only vocabulary
+      (4L, "alpha alpha alpha", false), // background row made of target vocab
+      (5L, null.asInstanceOf[String], false)) // token-less: excluded
+      .toDF("id", "text", "is_t")
+    // fixture precondition: the four tokens hash to DISTINCT buckets (a
+    // collision would merge their distributions and void the ranking claim)
+    val buckets = Seq("alpha", "beta", "gamma", "delta").toDF("t")
+      .select(pmod(graft.functions.GraftFunctions.md5_prefix60(col("t")),
+        lit(4096L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(buckets.size == 4, s"fixture tokens collide: $buckets")
+    val out = TextOps.importanceScores(df, "id", "text", col("is_t"), 4096)
+    val scores = out.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // 'alpha' is target-heavy, 'gamma'/'delta' never appear in target docs:
+    // the all-alpha doc must outscore the all-background-vocab doc
+    assert(scores(4L) > scores(3L), scores.toString)
+    assert(!scores.contains(5L))
+    // nano-quantized integer sums: bit-identical under any partitioning
+    val out2 = TextOps.importanceScores(df.repartition(7), "id", "text",
+      col("is_t"), 4096).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out2 == scores)
+  }
+
   test("max_multiplicity: native per-row mode count") {
     val r = Seq(
       (Seq(1L, 2L, 2L, 3L, 2L), 3),
