@@ -75,7 +75,8 @@ object ScaleProbe {
     "q94_semantic_dedup",   // int8 cells + within-cell pair scan (O(c²)/cell)
     "q95_filter_funnel",    // k cumulative gates, ONE scan + k-long aggregate
     "q96_bpe_pairs",        // corpus→dictionary collapse, pairs over vocab only
-    "q97_importance_scores")// 256-row broadcast weight table, (id,long) shuffles
+    "q97_importance_scores",// 256-row broadcast weight table, (id,long) shuffles
+    "q98_length_band")      // one window pass per lang, integer rank cuts
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -1024,6 +1024,14 @@ object SparkEntry {
       Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // --- robust per-language length trim: drop each language's shortest and
+    //     longest 5% by RANK (integer cuts — no interpolated-percentile
+    //     cross-engine hazard), one window pass per group ------------------
+    "q98_length_band" -> ((s, dir) =>
+      graft.ops.Sampling.quantileBand(
+          T(s, dir, "documents"), "lang", "n_chars", "doc_id", 50, 950)
+        .select(col("doc_id"), col("lang"), col("n_chars"))),
+
     // --- DSIR importance scores: every doc ranked by target-likeness from
     //     hashed unigram log-ratios (target = lang 'en', background = all);
     //     nano-quantized contributions make the ln-based score replay
@@ -1931,6 +1939,17 @@ object SparkEntry {
         |SELECT inter_k, n_union_k,
         |  cast(inter_k as double) / n_union_k AS jaccard_est
         |FROM i, n""".stripMargin,
+
+    // The identical integer rank cut: row_number by (n_chars, doc_id) per
+    // lang, count per lang, keep (n·50//1000, n·950//1000].
+    "q98_length_band" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE rk > (n * 50) // 1000 AND rk <= (n * 950) // 1000""".stripMargin,
 
     // The identical estimator: 60-bit md5 buckets mod 256, add-one smoothed
     // ln ratios nano-quantized per token (q90's round-then-bigint idiom),

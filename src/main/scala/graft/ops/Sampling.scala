@@ -176,4 +176,34 @@ object Sampling {
     df.orderBy(graft.functions.GraftFunctions.md5_prefix60(
         col(idCol).cast("string")), col(idCol))
       .limit(k)
+
+  /**
+   * Per-group quantile band filter by RANK, not value: keep the rows of each
+   * group whose (orderCol, idCol) rank lies in (⌊n·lo/1000⌋, ⌊n·hi/1000⌋] —
+   * the robust "trim both tails" filter (drop the shortest 5% and longest 5%
+   * of each language, etc.) without the cross-engine hazard of interpolated
+   * percentile VALUES (every engine interpolates quantiles differently; a
+   * rank cut is pure integer arithmetic, so the kept set replays exactly).
+   * Ties are broken by id — the band is a pure function of the input set.
+   *
+   * Plan: one window pass per group (rank + count over the same partition —
+   * Spark evaluates both in a single Window operator, one shuffle by
+   * groupCol). Same bounded-strata caveat as packDocuments: a single
+   * dominant group serializes into one partition's sort; at 100 TB with few
+   * giant groups, pre-aggregate counts and cut by (orderCol-histogram) bins
+   * instead, or shard the rank pass.
+   */
+  def quantileBand(df: DataFrame, groupCol: String, orderCol: String,
+      idCol: String, loPermille: Int, hiPermille: Int): DataFrame = {
+    require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,
+      "need 0 <= lo <= hi <= 1000 (per-mille)")
+    val byGroup = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    val w = byGroup.orderBy(col(orderCol), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      .where(col("__rk") > expr(s"(__n * $loPermille) div 1000") &&
+        col("__rk") <= expr(s"(__n * $hiPermille) div 1000"))
+      .drop("__rk", "__n")
+  }
 }

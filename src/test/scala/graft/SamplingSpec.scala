@@ -6,6 +6,23 @@ import graft.ops.Sampling
 /** Deterministic hash split/sample (q43): stability, partition laws, nesting. */
 class SamplingSpec extends SparkSpec {
 
+  test("quantileBand: integer rank cuts trim both tails per group, ties by id") {
+    import spark.implicits._
+    // group a: ranks 1..10 → keep (10*100//1000, 10*900//1000] = (1, 9]
+    // group b: 3 rows, all TIED on v → keep (0, 2]: ids 1,2 stay, 3 drops
+    val df = ((1 to 10).map(i => ("a", i.toLong, i * 10)) ++
+      Seq(("b", 1L, 7), ("b", 2L, 7), ("b", 3L, 7))).toDF("g", "id", "v")
+    val out = graft.ops.Sampling.quantileBand(df, "g", "v", "id", 100, 900)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == ((2 to 9).map(i => ("a", i.toLong)).toSet ++
+      Set(("b", 1L), ("b", 2L))))
+    // degenerate bands: [0,1000] keeps everything, [0,0] keeps nothing
+    assert(graft.ops.Sampling.quantileBand(df, "g", "v", "id", 0, 1000)
+      .count() == 13)
+    assert(graft.ops.Sampling.quantileBand(df, "g", "v", "id", 0, 0)
+      .count() == 0)
+  }
+
   lazy val docs = spark.read.parquet(s"${sf()}/documents.parquet")
 
   test("hashSplit is a stable, exhaustive, disjoint partition") {
