@@ -1024,6 +1024,20 @@ object SparkEntry {
       Dedup.snapshotDelta(oldSnap, newSnap, "doc_id", "text")
     }),
 
+    // --- containment dedup: planted 15-token "quotes" of every 17th doc are
+    //     invisible to Jaccard (13 shared shingles vs ~100-doc size) but
+    //     score containment 1.0 — the asymmetric catch Broder's resemblance
+    //     misses; exact integer inter/min division replays in SQL ----------
+    "q99_containment" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val quotes = docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 50000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 15)).as("text"))
+      Dedup.shingleContainment(
+        docs.select(col("doc_id"), col("text")).unionAll(quotes),
+        "doc_id", "text", shingleSize = 3, threshold = 0.9)
+    }),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -1942,6 +1956,42 @@ object SparkEntry {
 
     // The identical integer rank cut: row_number by (n_chars, doc_id) per
     // lang, count per lang, keep (n·50//1000, n·950//1000].
+    // Same inverted-index construction as q24's jaccard oracle (string
+    // shingles stand in for the hashed ones — collision-free at these SFs),
+    // with least() in the denominator and the planted 15-token quotes
+    // replayed by the identical slice arithmetic.
+    "q99_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 50000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[1:15], ' ') AS text
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, na.n AS n_a, nb.n AS n_b, inter,
+        |  round(inter / cast(least(na.n, nb.n) as double), 6) AS containment
+        |FROM pairs
+        |JOIN sizes na ON na.doc_id = id_a
+        |JOIN sizes nb ON nb.doc_id = id_b
+        |WHERE inter / cast(least(na.n, nb.n) as double) >= 0.9""".stripMargin,
+
     "q98_length_band" ->
       """WITH r AS (
         |  SELECT doc_id, lang, n_chars,

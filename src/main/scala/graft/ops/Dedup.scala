@@ -297,6 +297,51 @@ object Dedup {
   }
 
   /**
+   * Shingle-CONTAINMENT pairs: `inter / min(|A|, |B|)` ≥ `threshold` — the
+   * asymmetric near-dup Jaccard structurally misses. A 15-token quote
+   * embedded in a 500-token page has Jaccard ≈ 13/500 (invisible at any
+   * sane threshold) but containment 1.0: the smaller document is entirely
+   * inside the larger. This is the quote/mirror/boilerplate-wrapper
+   * detector a crawl-dedup stage runs NEXT TO whole-document Jaccard, per
+   * the containment analyses in the dedup literature (Broder's original
+   * resemblance/containment pair).
+   *
+   * Same join-free inverted-index machinery as [[ngramJaccard]] (8-byte
+   * shingle-hash postings, native ordered-pair stream, `maxDf` stop-shingle
+   * cap with the identical lower-bound semantics — capped pairs under-score,
+   * never over-score; dropped stop-shingles surface as the observed metric
+   * `containment_stats_<n>.dropped_shingles`). Denominator sizes count ALL
+   * distinct shingles. Returns (id_a, id_b, n_a, n_b, inter, containment);
+   * sizes are bigint so the schema round-trips engines losslessly.
+   */
+  def shingleContainment(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.9,
+      maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val inv = df.select(col(idCol).as("id"),
+        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
+      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
+    val grouped = inv.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+    val postings = maxDf.map { cap =>
+        grouped.observe(metricName("containment_stats"),
+          sum(when(size(col("docs")) > cap, 1L).otherwise(0L))
+            .as("dropped_shingles"))
+          .where(size(col("docs")) > 1 && size(col("docs")) <= cap)
+      }.getOrElse(grouped.where(size(col("docs")) > 1))
+    postings
+      .select(explode(ordered_pairs(col("docs"))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.n_a").as("n_a"),
+        col("p.id_b").as("id_b"), col("p.n_b").as("n_b"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .where(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a").cast("bigint").as("n_a"),
+        col("n_b").cast("bigint").as("n_b"), col("inter"),
+        round(col("containment"), 6).as("containment"))
+  }
+
+  /**
    * Exact substring-overlap pairs: documents sharing at least one contiguous
    * run of `minTokens` tokens (the document-pair form of exact-substring
    * dedup à la Lee et al., "Deduplicating Training Data Makes Language

@@ -132,6 +132,55 @@ class OpsSpec extends SparkSpec {
     assert(d == e && d.nonEmpty)
   }
 
+  test("shingleContainment catches embedded quotes jaccard misses") {
+    val ts = tokens(col("text"))
+    val quotes = docs.where(col("doc_id") < 40)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat_ws(" ", slice(ts, lit(1), lit(15))).as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(quotes)
+    val cont = Dedup.shingleContainment(all, "doc_id", "text", 3, 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(5))).toMap
+    (0L until 40L).foreach { i =>
+      assert(cont.get((i, i + 1000000L)).exists(_ >= 0.999),
+        s"quote of $i missed: ${cont.get((i, i + 1000000L))}")
+    }
+    // the symmetric measure is blind to them when the source is long: ~13
+    // shared shingles against a big union dilutes jaccard below any sane
+    // threshold (short sources where quote ≈ whole doc are excluded — there
+    // jaccard and containment legitimately agree)
+    val longIds = docs.where(col("doc_id") < 40)
+      .select(col("doc_id"), size(array_distinct(shingles(col("text"), 3))).as("n"))
+      .collect().filter(_.getInt(1) >= 30).map(_.getLong(0)).toSet
+    assert(longIds.size >= 10, s"corpus too short for the blindness half: $longIds")
+    val jac = Dedup.ngramJaccard(all, "doc_id", "text", 3, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    longIds.foreach { i =>
+      assert(!jac.contains((i, i + 1000000L)), s"jaccard unexpectedly caught $i")
+    }
+  }
+
+  test("shingleContainment matches brute-force inter/min on a sample") {
+    val sample = docs.where(col("doc_id") < 60)
+    val got = Dedup.shingleContainment(sample, "doc_id", "text", 3, 0.3, maxDf = None)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val sh = sample.select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val ids = sh.keys.toSeq.sorted
+    for (a <- ids; b <- ids if a < b) {
+      val inter = (sh(a) & sh(b)).size
+      val c = inter.toDouble / math.min(sh(a).size, sh(b).size)
+      if (c >= 0.3) {
+        val g = got.get((a, b))
+        assert(g.exists { case (na, nb, in, cv) =>
+          na == sh(a).size && nb == sh(b).size && in == inter &&
+            math.abs(cv - BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6 },
+          s"pair ($a,$b) c=$c got=$g")
+      } else assert(!got.contains((a, b)), s"pair ($a,$b) c=$c below threshold but emitted")
+    }
+  }
+
   test("exact dedup finds planted identical copies") {
     val dup = docs.select(col("doc_id"), col("text"))
       .unionByName(docs.where(col("doc_id") < 5)
