@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.query.{Clauses, GQuery}
 import graft.store.KeyedStore
 import graft.functions.GraftFunctions._
-import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract — the operator inventory of SURVEY.md §2 (+ the north-star
@@ -1038,6 +1038,36 @@ object SparkEntry {
         "doc_id", "text", shingleSize = 3, threshold = 0.9)
     }),
 
+    // --- token-budget selection: absolute per-language token budgets filled
+    //     in deterministic hash order — en capped mid-stratum, de's budget
+    //     exceeds its total (whole stratum kept), rest on the default -------
+    "q100_budget_select" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.token_count
+      val docs = T(s, dir, "documents")
+        .withColumn("n_tokens", token_count(col("text")).cast("bigint"))
+      Sampling.budgetSelect(docs, "doc_id", "lang", "n_tokens",
+        Map("en" -> 5000L, "de" -> 10000L), defaultBudget = 2000L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
+    // --- repeat-to-budget epoching: en gets 1 full epoch + a prefix, zh 2 +
+    //     prefix, the rest fill 4000 tokens — the materialized up-sampling
+    //     schedule, one row per (doc, epoch) -------------------------------
+    "q101_repeat_epochs" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.token_count
+      val docs = T(s, dir, "documents")
+        .withColumn("n_tokens", token_count(col("text")).cast("bigint"))
+      Sampling.repeatToBudget(docs, "doc_id", "lang", "n_tokens",
+        Map("en" -> 15000L, "zh" -> 10000L), defaultTarget = 4000L)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+    }),
+
+    // --- per-source cap: at most 10 docs per source, min-wise — the
+    //     per-domain page cap of web-corpus curation ------------------------
+    "q102_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(T(s, dir, "documents"), "doc_id", "source", 10)
+        .select(col("doc_id"), col("source"))),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -1956,6 +1986,56 @@ object SparkEntry {
 
     // The identical integer rank cut: row_number by (n_chars, doc_id) per
     // lang, count per lang, keep (n·50//1000, n·950//1000].
+    // The running-sum prefix rule replayed verbatim: same md5 order key as
+    // every sampler, RANGE default frame is safe because (h, doc_id) is
+    // unique — the ≤-budget prefix is identical arithmetic on both engines.
+    "q100_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens FROM c
+        |WHERE cum <= CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 10000
+        |                       ELSE 2000 END""".stripMargin,
+
+    // Integer div/mod epochs + the same prefix rule for the remainder; the
+    // epoch fan-out replays as unnest(generate_series).
+    "q101_repeat_epochs" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT AS h
+        |  FROM documents),
+        |s AS (SELECT lang, sum(n_tokens) AS tot FROM t GROUP BY lang),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum,
+        |    cast(CASE lang WHEN 'en' THEN 15000 WHEN 'zh' THEN 10000
+        |                   ELSE 4000 END as bigint) AS tgt
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    cast((tgt // tot) +
+        |      CASE WHEN cum <= tgt % tot THEN 1 ELSE 0 END as bigint) AS rep
+        |  FROM c JOIN s USING (lang))
+        |SELECT doc_id, lang, unnest(generate_series(1, rep)) AS epoch
+        |FROM r WHERE rep >= 1""".stripMargin,
+
+    // One row_number window per source in the identical hash order.
+    "q102_source_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rk <= 10""".stripMargin,
+
     // Same inverted-index construction as q24's jaccard oracle (string
     // shingles stand in for the hashed ones — collision-free at these SFs),
     // with least() in the denominator and the planted 15-token quotes

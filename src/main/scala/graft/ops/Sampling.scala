@@ -178,6 +178,121 @@ object Sampling {
       .limit(k)
 
   /**
+   * Token-budget corpus selection: each stratum keeps its min-wise docs (md5
+   * id-hash order — the [[minWiseSample]] rule) until that stratum's weight
+   * budget fills. A row survives iff its RUNNING weight total, itself
+   * included, is ≤ the stratum's budget — so the kept set is maximal under
+   * the budget in hash order and a pure function of the input set (replays
+   * on any engine; rerunning after a re-partition keeps the same docs).
+   * This is the "select N tokens per language" curation stage that follows
+   * rate-based mixing ([[stratifiedSample]]/[[temperatureSample]] pick
+   * FRACTIONS; this picks an absolute weight amount).
+   *
+   * Strata absent from `budgets` get `defaultBudget`; a budget at or above
+   * the stratum's total keeps the whole stratum. Weights must be
+   * non-negative for the ≤-prefix rule to be meaningful (zero-weight rows
+   * ride along for free, deterministically).
+   *
+   * Scale shape: the window moves (id, stratum, weight) only — text and
+   * payload columns never shuffle (Spark rewrites the window's child to the
+   * projected columns); one running-sum pass per stratum, bounded by the
+   * largest stratum (the [[graft.ops.TextOps.packDocuments]] skew caveat).
+   */
+  def budgetSelect(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, budgets: Map[String, Long],
+      defaultBudget: Long = Long.MaxValue): DataFrame = {
+    require((defaultBudget +: budgets.values.toSeq).forall(_ >= 0),
+      "budgets must be non-negative")
+    require(!df.columns.contains("__graft_cum"),
+      "budgetSelect uses a '__graft_cum' working column — rename the input's")
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+      .orderBy(graft.functions.GraftFunctions.md5_prefix60(
+        col(idCol).cast("string")), col(idCol))
+    df.withColumn("__graft_cum", sum(col(weightCol).cast("long")).over(w))
+      .where(col("__graft_cum") <= budget)
+      .drop("__graft_cum")
+  }
+
+  /**
+   * Repeat-to-budget epoching (the up-sampling half of data mixing): every
+   * stratum is replayed enough times to hit a target weight — `e = target
+   * div total` FULL epochs of the whole stratum plus a min-wise prefix
+   * (running weight ≤ `target mod total`) getting one extra epoch. Rows come
+   * back exploded as (input columns…, epoch), epoch ∈ [1, repeats] — the
+   * materialized "low-resource languages are repeated N× per training pass"
+   * schedule (mC4/LLaMA-style mixing with repetition), deterministic and
+   * engine-replayable like everything in this family.
+   *
+   * Total emitted weight per stratum is ≤ target, and short of it by less
+   * than one document (the first doc NOT granted the extra epoch would
+   * overshoot) — never over budget. A target below the smallest doc emits
+   * zero epochs for that stratum; a zero-total stratum emits nothing (null
+   * div guard).
+   *
+   * Scale shape: stratum totals are one tiny agg broadcast back; the
+   * running sum moves (id, stratum, weight) only; the epoch fan-out is a
+   * per-row explode at scan bandwidth — no shuffle grows with the repeat
+   * factor.
+   */
+  def repeatToBudget(df: DataFrame, idCol: String, stratumCol: String,
+      weightCol: String, targets: Map[String, Long],
+      defaultTarget: Long = 0L): DataFrame = {
+    require((defaultTarget +: targets.values.toSeq).forall(_ >= 0),
+      "targets must be non-negative")
+    Seq("__graft_cum", "__graft_tot", "__graft_t", "__graft_rep").foreach { c =>
+      require(!df.columns.contains(c),
+        s"repeatToBudget uses a '$c' working column — rename the input's")
+    }
+    val target = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    val stats = df.groupBy(col(stratumCol))
+      .agg(sum(col(weightCol).cast("long")).as("__graft_tot"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratumCol))
+      .orderBy(graft.functions.GraftFunctions.md5_prefix60(
+        col(idCol).cast("string")), col(idCol))
+    df.withColumn("__graft_cum", sum(col(weightCol).cast("long")).over(w))
+      .join(broadcast(stats), Seq(stratumCol))
+      .withColumn("__graft_t", target)
+      // integer div/mod keep the arithmetic exact at any corpus size (no
+      // double rounding at 100 TB token totals); div-by-zero → null → filtered
+      .withColumn("__graft_rep",
+        expr("__graft_t div __graft_tot") +
+          when(col("__graft_cum") <= col("__graft_t") % col("__graft_tot"), 1L)
+            .otherwise(0L))
+      .where(col("__graft_rep") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__graft_rep"))))
+      .drop("__graft_cum", "__graft_tot", "__graft_t", "__graft_rep")
+  }
+
+  /**
+   * Per-group cap (the C4/RefinedWeb "at most k pages per domain" stage):
+   * keep each group's k min-wise rows (md5 id-hash order), drop the rest.
+   * Equivalent to [[minWiseSample]] applied per group, as one window pass —
+   * deterministic, engine-replayable, content-independent.
+   *
+   * Scale shape: one row_number window per group moving only (id, group);
+   * at 100 TB with millions of domains the partitions are small and uniform
+   * (domains are the archetypal many-small-groups key); a single mega-group
+   * degrades to the packDocuments skew caveat.
+   */
+  def capPerGroup(df: DataFrame, idCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 0, "cap must be non-negative")
+    require(!df.columns.contains("__graft_rk"),
+      "capPerGroup uses a '__graft_rk' working column — rename the input's")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(graft.functions.GraftFunctions.md5_prefix60(
+        col(idCol).cast("string")), col(idCol))
+    df.withColumn("__graft_rk", row_number().over(w))
+      .where(col("__graft_rk") <= k)
+      .drop("__graft_rk")
+  }
+
+  /**
    * Per-group quantile band filter by RANK, not value: keep the rows of each
    * group whose (orderCol, idCol) rank lies in (⌊n·lo/1000⌋, ⌊n·hi/1000⌋] —
    * the robust "trim both tails" filter (drop the shortest 5% and longest 5%

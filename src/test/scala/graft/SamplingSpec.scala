@@ -196,6 +196,77 @@ class SamplingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("budgetSelect: maximal hash-order prefix under each stratum's budget") {
+    import graft.functions.GraftFunctions.token_count
+    val weighted = docs.withColumn("n_tokens", token_count(col("text")).cast("long"))
+    val budgets = Map("en" -> 5000L, "de" -> 1000000L)
+    val kept = Sampling.budgetSelect(weighted, "doc_id", "lang", "n_tokens",
+        budgets, defaultBudget = 2000L)
+      .select("doc_id", "lang", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // replicate the rule driver-side: hash-order prefix with running sum ≤ b
+    val all = weighted.select(col("doc_id"), col("lang"), col("n_tokens"),
+        graft.functions.GraftFunctions.md5_prefix60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = all.groupBy(_._2).flatMap { case (lang, rows) =>
+      val b = budgets.getOrElse(lang, 2000L)
+      var cum = 0L
+      rows.sortBy(r => (r._4, r._1)).takeWhile { r => cum += r._3; cum <= b }
+        .map(r => (r._1, r._2, r._3)).toSeq
+    }.toSet
+    assert(kept.toSet == expected && kept.nonEmpty)
+    // the huge-budget stratum keeps every row
+    assert(kept.count(_._2 == "de") == all.count(_._2 == "de"))
+    // budget honored: per-stratum kept weight ≤ budget
+    kept.groupBy(_._2).foreach { case (lang, rows) =>
+      assert(rows.map(_._3).sum <= budgets.getOrElse(lang, 2000L), lang)
+    }
+  }
+
+  test("repeatToBudget: ≤ target, short by less than one doc, dense epochs") {
+    import graft.functions.GraftFunctions.token_count
+    val weighted = docs.withColumn("n_tokens", token_count(col("text")).cast("long"))
+    val targets = Map("en" -> 15000L, "zh" -> 10000L)
+    val out = Sampling.repeatToBudget(weighted, "doc_id", "lang", "n_tokens",
+        targets, defaultTarget = 4000L)
+      .select("doc_id", "lang", "n_tokens", "epoch").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val perLang = weighted.groupBy("lang")
+      .agg(sum("n_tokens").as("tot"), max("n_tokens").as("mx")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    perLang.foreach { case (lang, (tot, mx)) =>
+      val tgt = targets.getOrElse(lang, 4000L)
+      val emitted = out.filter(_._2 == lang).map(_._3).sum
+      assert(emitted <= tgt, s"$lang emitted $emitted > target $tgt")
+      assert(tgt - emitted < mx, s"$lang left ${tgt - emitted} ≥ max doc $mx unused")
+      assert(tot == 0 || emitted >= (tgt / tot) * tot, s"$lang full epochs missing")
+    }
+    // per-doc epochs are dense 1..rep
+    out.groupBy(r => (r._1, r._2)).foreach { case (k, rows) =>
+      val es = rows.map(_._4).sorted
+      assert(es.head == 1L && es.last == es.length.toLong &&
+        es.distinct.length == es.length, s"doc $k epochs ${es.toList}")
+    }
+  }
+
+  test("capPerGroup: min(k, group size) kept, smallest hashes win, k=0 empty") {
+    val kept = Sampling.capPerGroup(docs, "doc_id", "source", 10)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val all = docs.select(col("doc_id"), col("source"),
+        graft.functions.GraftFunctions.md5_prefix60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = all.groupBy(_._2).flatMap { case (_, rows) =>
+      rows.sortBy(r => (r._3, r._1)).take(10).map(r => (r._1, r._2)).toSeq
+    }.toSet
+    assert(kept.toSet == expected)
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      assert(rows.length == math.min(10, all.count(_._2 == src)), src)
+    }
+    assert(Sampling.capPerGroup(docs, "doc_id", "source", 0).isEmpty)
+  }
+
   test("shuffleAssign refuses to overwrite caller columns (append contract)") {
     val df = spark.range(5).select(col("id"), lit(1).as("shard"))
     val e = intercept[IllegalArgumentException] {
