@@ -1068,6 +1068,41 @@ object SparkEntry {
       Sampling.capPerGroup(T(s, dir, "documents"), "doc_id", "source", 10)
         .select(col("doc_id"), col("source"))),
 
+    // --- Naive Bayes classifier trained AND applied in one plan: hashed
+    //     unigrams, nano-quantized ln weights, exact integer argmax. The
+    //     corpus's langs share one unigram distribution (verified: no token
+    //     deviates 1% between langs), so the learnable signal is PLANTED —
+    //     every 3rd doc gets marker tokens and the classifier must recover
+    //     the split. score_sum makes all per-doc argmax scores hash-checked -
+    "q103_nb_confusion" -> ((s, dir) => {
+      val labeled = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" alpha beta alpha")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, lit("aug")).otherwise(lit("plain"))
+          .as("cls"))
+      TextOps.nbTrainScore(labeled, "doc_id", "text", "cls")
+        .groupBy(col("cls"), col("pred"))
+        .agg(count(lit(1)).as("n"), sum(col("score_nano")).as("score_sum"))
+    }),
+
+    // --- multimodal near-dup: REAL PNG decode → perceptual aHash → banded
+    //     Hamming pairs. Planted one-pixel watermarks (every 4th image,
+    //     +100 at (0,0)) land within hamming ≤ 6 of their source; unrelated
+    //     images disagree on ~half the bits ---------------------------------
+    "q104_image_neardup" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").where(col("doc_id") < 64)
+        .select(col("doc_id"))
+      val media = Multimodal.synthesizeMedia(ids, "doc_id")
+        .select(col("doc_id"), col("image"))
+      val edited = Multimodal.editImage(
+          media.where(col("doc_id") % 4 === 0), "image", 0, 0, 100)
+        .select((col("doc_id") + 100000).as("doc_id"), col("image"))
+      val hashes = Multimodal.imageAHash(
+        media.unionByName(edited), "doc_id", "image")
+      Dedup.hammingPairs(hashes, "doc_id", "ahash", maxHamming = 6)
+    }),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -1986,6 +2021,85 @@ object SparkEntry {
 
     // The identical integer rank cut: row_number by (n_chars, doc_id) per
     // lang, count per lang, keep (n·50//1000, n·950//1000].
+    // The whole perceptual pipeline in closed form (q30's discipline): the
+    // synthesis pixel formula, the one-pixel edit, the 8×8 nearest-sample
+    // grid, the integer-mean bit rule, and pairwise Hamming — any decode or
+    // resample drift anywhere breaks the pair set.
+    "q104_image_neardup" ->
+      """WITH base AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+        |imgs AS (
+        |  SELECT doc_id AS id, doc_id * 31 AS c, 8 + doc_id % 9 AS w,
+        |    8 + doc_id % 7 AS h, FALSE AS ed FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000, doc_id * 31, 8 + doc_id % 9,
+        |    8 + doc_id % 7, TRUE FROM base WHERE doc_id % 4 = 0),
+        |px AS (
+        |  SELECT id, [
+        |    CASE WHEN ed AND ((j % 8) * w) // 8 = 0 AND ((j // 8) * h) // 8 = 0
+        |         THEN (c + 100) % 256
+        |         ELSE (c + (((j % 8) * w) // 8) * 7 +
+        |               (((j // 8) * h) // 8) * 13) % 256 END
+        |    FOR j IN generate_series(0, 63)] AS p
+        |  FROM imgs),
+        |bv AS (
+        |  SELECT id, [CASE WHEN p[k] * 64 > list_sum(p) THEN 1 ELSE 0 END
+        |              FOR k IN generate_series(1, 64)] AS bits
+        |  FROM px)
+        |SELECT x.id AS id_a, y.id AS id_b,
+        |  CAST(list_sum([abs(x.bits[k] - y.bits[k])
+        |                 FOR k IN generate_series(1, 64)]) AS BIGINT) AS hamming
+        |FROM bv x JOIN bv y ON x.id < y.id
+        |WHERE list_sum([abs(x.bits[k] - y.bits[k])
+        |                FOR k IN generate_series(1, 64)]) <= 6""".stripMargin,
+
+    // The identical estimator end-to-end: planted markers, md5 % 256
+    // buckets, add-one smoothed ln weights nano-quantized per cell (q97's
+    // idiom), exact integer score sums, argmax by (score desc, class asc).
+    "q103_nb_confusion" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' alpha beta alpha'
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'aug' ELSE 'plain' END AS cls
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, cls,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, cls,
+        |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |        AS tok
+        |    FROM base)),
+        |cls AS (SELECT cls AS c, count(*) AS n_docs FROM base GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS nd FROM cls),
+        |pri AS (
+        |  SELECT c, cast(round(ln(n_docs / cast(nd as double)) * 1e9, 0)
+        |    as bigint) AS pn
+        |  FROM cls CROSS JOIN tot),
+        |cnts AS (SELECT cls AS c, b, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |ctot AS (SELECT c, sum(cnt) AS tc FROM cnts GROUP BY 1),
+        |grid AS (
+        |  SELECT c, gs.b FROM cls,
+        |    (SELECT unnest(generate_series(0, 255)) AS b) gs),
+        |w AS (
+        |  SELECT grid.c, grid.b, cast(round(
+        |    ln((coalesce(cnt, 0) + 1) / cast(coalesce(tc, 0) + 256 as double))
+        |      * 1e9, 0) as bigint) AS wn
+        |  FROM grid
+        |  LEFT JOIN cnts ON cnts.c = grid.c AND cnts.b = grid.b
+        |  LEFT JOIN ctot ON ctot.c = grid.c),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.cls, w.c, sum(wn) AS sw
+        |  FROM tk JOIN w ON tk.b = w.b GROUP BY 1, 2, 3),
+        |fin AS (
+        |  SELECT doc_id, cls, c, sw + pn AS score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY sw + pn DESC, c)
+        |      AS rk
+        |  FROM sc JOIN pri USING (c))
+        |SELECT cls, c AS pred, count(*) AS n,
+        |  cast(sum(score) as bigint) AS score_sum
+        |FROM fin WHERE rk = 1 GROUP BY 1, 2""".stripMargin,
+
     // The running-sum prefix rule replayed verbatim: same md5 order key as
     // every sampler, RANGE default frame is safe because (h, doc_id) is
     // unique — the ≤-budget prefix is identical arithmetic on both engines.

@@ -238,6 +238,47 @@ object Dedup {
   }
 
   /**
+   * Near-dup pairs among precomputed 64-bit signatures (perceptual image
+   * hashes, simhashes from other modalities — anything packing similarity
+   * into Hamming distance): 8 pigeonhole bands of 8 bits, so two signatures
+   * within Hamming distance `maxHamming ≤ 7` agree on at least one full band
+   * and meet in the band self-join — guaranteed recall, then the exact
+   * popcount filters false candidates. The [[simHash]] machinery generalized
+   * to caller-supplied signatures ([[graft.ops.Multimodal.imageAHash]] is
+   * the canonical producer). Null signatures (quarantined payloads) never
+   * pair. Returns (id_a, id_b, hamming).
+   *
+   * Scale shape: the join moves (id, 8-byte sig) pairs keyed by (band,
+   * 8-bit chunk) — blobs/text never shuffle; band buckets are bounded by the
+   * corpus's per-chunk collision rate exactly like the MinHash band join.
+   */
+  def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8-band pigeonhole guarantees recall only for hamming <= 7")
+    val sigs = df.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .where(col("sig").isNotNull)
+    val banded = sigs.select(col("id"), col("sig"),
+        explode(array((0 until 8).map(c => struct(lit(c).as("band"),
+          shiftrightunsigned(col("sig"), c * 8).bitwiseAND(lit(0xFFL))
+            .as("bsig"))): _*)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"),
+        col("b.bsig").as("bsig"))
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sig_a"), col("sig_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"),
+        col("hamming").cast("bigint").as("hamming"))
+  }
+
+  /**
    * Exact n-gram Jaccard pairs ≥ threshold via a join-free inverted index:
    * explode distinct shingle hashes, group postings per shingle, emit the
    * ordered pair stream natively (`ordered_pairs`, with each doc's set size

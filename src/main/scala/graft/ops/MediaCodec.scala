@@ -98,6 +98,59 @@ object MediaCodec {
       (x, y) => raster.getSample(x * wIn / wOut, y * hIn / hOut, 0)))
   }
 
+  /** Perceptual average-hash (aHash) of an image: nearest-neighbor sample an
+    * 8×8 grid (src(x·w/8, y·h/8), [[resizeNearestPng]]'s floor rule), then
+    * bit j = y·8+x is set iff `p_j · 64 > Σp` over the 64 SAMPLED pixels —
+    * a strict integer comparison, no floating-point mean, so the hash is
+    * exactly recomputable in closed form from the pixel function. Small
+    * edits (a watermark, a stamp) move few sampled pixels and shift the sum
+    * slightly → few bits flip; unrelated images disagree on ~half the bits.
+    * Returns None for undecodable payloads (quarantine semantics). */
+  def aHash64(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val fmt = sniffFormat(bytes)
+    if (fmt != "png" && fmt != "bmp" && fmt != "jpeg") return None
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val p = new Array[Int](64)
+    var sum = 0L
+    var j = 0
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        val v = raster.getSample(x * w / 8, y * h / 8, 0)
+        p(j) = v; sum += v; j += 1; x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    j = 0
+    while (j < 64) { if (p(j) * 64L > sum) bits |= (1L << j); j += 1 }
+    Some(bits)
+  }
+
+  /** Single-pixel edit: decode, add `delta` (mod 256) to the gray value at
+    * (x mod w, y mod h), re-encode — the deterministic micro-edit used to
+    * plant perceptual near-duplicates (a one-pixel watermark). */
+  def editPixelPng(bytes: Array[Byte], x: Int, y: Int, delta: Int): Option[Array[Byte]] = {
+    if (bytes == null || sniffFormat(bytes) != "png") return None
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ex, ey) = (((x % w) + w) % w, ((y % h) + h) % h)
+    Some(encodeGrayPng(w, h, (a, b) =>
+      if (a == ex && b == ey) (raster.getSample(a, b, 0) + delta) & 0xff
+      else raster.getSample(a, b, 0)))
+  }
+
   // ------------------------------- audio ---------------------------------
 
   /** Encode mono PCM16 samples as a canonical 44-byte-header WAV file. */

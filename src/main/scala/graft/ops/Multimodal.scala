@@ -148,6 +148,44 @@ object Multimodal {
     }(Encoders.row(schema)).toDF()
   }
 
+  /** Perceptual hash column: (id, ahash) via [[MediaCodec.aHash64]] — the
+    * image analogue of a MinHash signature. Undecodable payloads hash to
+    * null (quarantine). Partition-local; blobs never shuffle — only the
+    * 8-byte hash rides into the downstream band join. */
+  def imageAHash(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol), StructField("ahash", LongType)))
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          MediaCodec.aHash64(r.getAs[Array[Byte]](1)) match {
+            case Some(hv) => Row(r.get(0), hv)
+            case None => Row(r.get(0), null)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /** Deterministic single-pixel edit, in place ([[MediaCodec.editPixelPng]]):
+    * the planted-near-dup / watermark stamp. Non-PNG payloads pass through. */
+  def editImage(df: DataFrame, blobCol: String, x: Int, y: Int,
+      delta: Int): DataFrame = {
+    val schema = StructType(df.schema.map {
+      case f if f.name == blobCol => f.copy(dataType = BinaryType)
+      case f => f
+    })
+    val blobIdx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { it =>
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        val blob = r.getAs[Array[Byte]](blobIdx)
+        vals(blobIdx) = MediaCodec.editPixelPng(blob, x, y, delta).getOrElse(blob)
+        Row(vals: _*)
+      }
+    }(Encoders.row(schema)).toDF()
+  }
+
   /**
    * Repartition so each partition holds ≈ `targetBytes` of payload — the blob
    * analogue of `spark.sql.files.maxPartitionBytes`. Prevents 2 GB partition

@@ -692,6 +692,67 @@ object TextOps {
         round(col("s").cast("double") / 1e9, 6).as("score"))
   }
 
+  /**
+   * Multinomial Naive Bayes, trained and applied in one plan — the
+   * fasttext-style linear classifier stage of a curation pipeline (quality
+   * gating, language routing), on hashed unigram features: per class c,
+   * `score(doc) = ln P(c) + Σ_tok ln P(bucket(tok) | c)` with add-one
+   * smoothing over the `buckets` feature vocabulary. Every ln is quantized
+   * to nano-units (round(x·1e9) as bigint — the q73/q97 parity contract), so
+   * per-doc scores are exact integer sums and the argmax replays on any
+   * engine; score ties break toward the smallest class value.
+   *
+   * Returns (idCol, labelCol, pred, score_nano) — the true label rides
+   * along so the confusion rollup is one groupBy. Token-less docs have no
+   * feature rows and are absent (the [[importanceScores]] convention).
+   *
+   * 100 TB shape: the MODEL is (classes × buckets) longs — a broadcast
+   * build side (1280 rows at defaults), never a data shuffle; training is
+   * map-side partial counts of (class, bucket) pairs; scoring shuffles
+   * (id, class, partial-sum) longs only — text never moves. The corpus is
+   * scanned twice (train + score); at scale persist the hashed-token
+   * projection once and feed both passes.
+   */
+  def nbTrainScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val toks = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(col("id"), col("label"),
+        pmod(md5_prefix60(col("tok")), lit(buckets.toLong)).cast("int").as("b"))
+    val classes = df.groupBy(col(labelCol).as("c")).agg(count(lit(1)).as("n_docs"))
+    val priors = classes.crossJoin(classes.agg(sum(col("n_docs")).as("nd")))
+      .select(col("c"),
+        round(log(col("n_docs").cast("double") / col("nd").cast("double")) * 1e9, 0)
+          .cast("long").as("p_nano"))
+    val cnts = toks.groupBy(col("label").as("c"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val ctot = cnts.groupBy(col("c")).agg(sum(col("cnt")).as("tc"))
+    // the FULL (class × bucket) grid: zero-count cells still carry their
+    // smoothed ln(1/(tc+buckets)) weight — absent cells would silently skip
+    // the smoothing term for unseen features
+    val grid = classes.select(col("c"),
+      explode(sequence(lit(0), lit(buckets - 1))).as("b"))
+    val weights = grid.join(cnts, Seq("c", "b"), "left").na.fill(0L, Seq("cnt"))
+      .join(ctot, Seq("c"), "left").na.fill(0L, Seq("tc"))
+      .select(col("c"), col("b"),
+        round(log((col("cnt") + lit(1L)).cast("double") /
+            (col("tc") + lit(buckets.toLong)).cast("double")) * 1e9, 0)
+          .cast("long").as("w_nano"))
+    val scores = toks.join(broadcast(weights), Seq("b"))
+      .groupBy(col("id"), col("label"), col("c"))
+      .agg(sum(col("w_nano")).as("sw"))
+      .join(broadcast(priors), Seq("c"))
+      .select(col("id"), col("label"), col("c"),
+        (col("sw") + col("p_nano")).as("score_nano"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("score_nano").desc, col("c"))
+    scores.withColumn("__graft_rk", row_number().over(w))
+      .where(col("__graft_rk") === 1)
+      .select(col("id").as(idCol), col("label").as(labelCol),
+        col("c").as("pred"), col("score_nano"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

@@ -73,6 +73,36 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(info.width == 5 && info.height == 4 && info.pixelSum == exp)
   }
 
+  test("aHash64: closed-form exact, stable under edit, None for garbage") {
+    for (id <- Seq(0L, 5L, 42L, 63L)) {
+      val bytes = Multimodal.synthImageBytes(id)
+      val got = MediaCodec.aHash64(bytes).get
+      // closed-form twin: sample the synthesis formula on the 8x8 grid
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      val p = (0 until 64).map { j =>
+        val (sx, sy) = ((j % 8) * w / 8, (j / 8) * h / 8)
+        ((id * 31 + sx * 7 + sy * 13) % 256).toInt
+      }
+      val sum = p.map(_.toLong).sum
+      val want = (0 until 64).foldLeft(0L) { (acc, j) =>
+        if (p(j) * 64L > sum) acc | (1L << j) else acc
+      }
+      assert(got == want, s"id=$id")
+      // a one-pixel edit moves the hash by only a few bits
+      val edited = MediaCodec.editPixelPng(bytes, 0, 0, 100).get
+      val eh = MediaCodec.aHash64(edited).get
+      assert(java.lang.Long.bitCount(got ^ eh) <= 6,
+        s"id=$id edit moved ${java.lang.Long.bitCount(got ^ eh)} bits")
+    }
+    assert(MediaCodec.aHash64(Array[Byte](1, 2, 3)).isEmpty)
+    assert(MediaCodec.aHash64(null).isEmpty)
+    // edit coordinates wrap modulo the image size
+    val b = Multimodal.synthImageBytes(9L) // w=8+0=8? id=9 → w=8, h=10
+    val e1 = MediaCodec.editPixelPng(b, 0, 0, 50).get
+    val e2 = MediaCodec.editPixelPng(b, 8, 10, 50).get // (8 mod 8, 10 mod 10) = (0,0)
+    assert(java.util.Arrays.equals(e1, e2))
+  }
+
   test("sniff + decode reject garbage and truncated payloads") {
     assert(MediaCodec.sniffFormat(Array[Byte](1, 2, 3)) == "unknown")
     assert(MediaCodec.decodeImage("not an image".getBytes).isEmpty)
@@ -131,5 +161,26 @@ class MultimodalDecodeSpec extends SparkSpec {
     val fa = Multimodal.decodeFeatures(media, "doc_id", "audio", dim = 8)
       .collect().map(_.getSeq[Float](1))
     assert(fa.forall(v => v.forall(x => x >= -1f && x <= 1f)))
+  }
+
+  test("imageAHash + hammingPairs: every planted watermark pair recalled; nulls never pair") {
+    val media = Multimodal.synthesizeMedia(ids.limit(32), "doc_id")
+      .select(col("doc_id"), col("image"))
+    val edited = Multimodal.editImage(media, "image", 0, 0, 100)
+      .select((col("doc_id") + 5000L).as("doc_id"), col("image"))
+    // one quarantined payload: must hash to null and form no pairs
+    val junk = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(9999L, Array[Byte](1, 2))),
+      new org.apache.spark.sql.types.StructType()
+        .add("doc_id", "long").add("image", "binary"))
+    val hashes = Multimodal.imageAHash(
+      media.unionByName(edited).unionByName(junk), "doc_id", "image")
+    assert(hashes.where(col("doc_id") === 9999L).head().isNullAt(1))
+    val pairs = graft.ops.Dedup.hammingPairs(hashes, "doc_id", "ahash", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 32L).foreach { i =>
+      assert(pairs.contains((i, i + 5000L)), s"planted pair $i missed")
+    }
+    assert(!pairs.exists(p => p._1 == 9999L || p._2 == 9999L))
   }
 }

@@ -127,6 +127,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(out.head.getLong(1) == 1) // one bigram
   }
 
+  test("nbTrainScore: disjoint-vocab classes separate perfectly, ties break to smallest class") {
+    val df = (
+      (1L to 20L).map(i => (i, s"cat cat dog cat bird dog", "pets")) ++
+      (21L to 40L).map(i => (i, s"car bus car train bus car", "transit"))).toDF("id", "text", "cls")
+    val out = TextOps.nbTrainScore(df, "id", "text", "cls")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 40)
+    out.foreach { case (id, cls, pred, _) =>
+      assert(pred == cls, s"doc $id: true $cls predicted $pred")
+      assert(cls == (if (id <= 20) "pets" else "transit"))
+    }
+    // determinism + exactness: integer scores identical across evaluations
+    val again = TextOps.nbTrainScore(df.repartition(7), "id", "text", "cls")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+    // a doc whose tokens the model never bucketed differently: identical
+    // class-conditional scores → the tie goes to the SMALLEST class value
+    val tied = Seq((1L, "x y", "a"), (2L, "x y", "b")).toDF("id", "text", "cls")
+    val t = TextOps.nbTrainScore(tied, "id", "text", "cls")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    // both classes have one doc (equal priors) and identical token counts:
+    // every score ties, so both docs predict class "a"
+    assert(t == Map(1L -> "a", 2L -> "a"))
+    // token-less docs are absent from the output
+    val withEmpty = df.unionByName(Seq((99L, "", "pets")).toDF("id", "text", "cls"))
+    assert(!TextOps.nbTrainScore(withEmpty, "id", "text", "cls")
+      .collect().map(_.getLong(0)).contains(99L))
+  }
+
   test("contamination: exact overlap counts, zero-hit docs included") {
     val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val test = Seq(
