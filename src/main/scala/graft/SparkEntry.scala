@@ -1103,6 +1103,33 @@ object SparkEntry {
       Dedup.hammingPairs(hashes, "doc_id", "ahash", maxHamming = 6)
     }),
 
+    // --- streaming per-source admission quota: first 10 docs per source
+    //     across a 4-batch replay, one counter per source — the ingest-time
+    //     twin of q102's cap; rank is part of the output so the oracle
+    //     value-checks the admission ORDER, not just the set ----------------
+    "q105_stream_quota" -> ((s, dir) => {
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+      val admits = graft.streaming.Streaming.quotaAdmitStream(
+        replay, "doc_id", "source", quota = 10)
+      graft.streaming.Streaming.runToTable(
+        admits.toDF(),
+        "q105_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4), noDataBatch = false)
+        .select(col("group").as("source"), col("id").as("doc_id"), col("rank"))
+    }),
+
+    // --- integer PageRank over the click-transition graph: consecutive
+    //     events per user link their "k" pages; 8 damping-0.85 rounds in
+    //     exact long arithmetic — every node's rank value-checked -----------
+    "q106_pagerank" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("page",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      val edges = graft.ops.Graph.transitionEdges(
+        ev, "user_id", "ts", "event_id", "page")
+      graft.ops.Graph.pageRank(edges, iterations = 8)
+    }),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -2021,6 +2048,56 @@ object SparkEntry {
 
     // The identical integer rank cut: row_number by (n_chars, doc_id) per
     // lang, count per lang, keep (n·50//1000, n·950//1000].
+    // Every update unrolled: the same integer arithmetic per round (// and
+    // coalesce(inflow, 0) for nodes with no in-edges), micro-truncated ts
+    // ordering mirroring the Spark reader, all node ranks value-exact.
+    "q106_pagerank" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""i$i AS (
+           |  SELECT e.dst AS node, sum(e.w * (r.r // d.deg)) AS inflow
+           |  FROM ew e JOIN r${i - 1} r ON r.node = e.src
+           |  JOIN deg d ON d.src = e.src GROUP BY 1),
+           |r$i AS (
+           |  SELECT nd.node,
+           |    (SELECT jump FROM c0) + (85 * coalesce(i.inflow, 0)) // 100 AS r
+           |  FROM nodes nd LEFT JOIN i$i i ON i.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+         |    cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint) AS page
+         |  FROM events),
+         |ed AS (
+         |  SELECT src, dst FROM (
+         |    SELECT page AS src,
+         |      lead(page) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+         |        AS dst
+         |    FROM ev)
+         |  WHERE dst IS NOT NULL),
+         |ew AS (SELECT src, dst, count(*) AS w FROM ed GROUP BY 1, 2),
+         |deg AS (SELECT src, sum(w) AS deg FROM ew GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+         |par AS (SELECT count(*) AS n FROM nodes),
+         |c0 AS (SELECT 1000000000000 // n AS init,
+         |  (15 * (1000000000000 // n)) // 100 AS jump FROM par),
+         |r0 AS (SELECT node, (SELECT init FROM c0) AS r FROM nodes),
+         |$rounds
+         |SELECT node, cast(r as bigint) AS rank_nano FROM r8""".stripMargin
+    },
+
+    // The deterministic admission order (batch via the replay's ntile rule,
+    // then id) replayed as one window: admitted iff rank ≤ quota, and the
+    // emitted rank must EQUAL the row_number — order, not just membership.
+    "q105_stream_quota" ->
+      """WITH bat AS (
+        |  SELECT doc_id, source, ntile(4) OVER (ORDER BY doc_id) AS batch
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, row_number() OVER (
+        |    PARTITION BY source ORDER BY batch, doc_id) AS rank
+        |  FROM bat)
+        |SELECT source, doc_id, rank FROM r WHERE rank <= 10""".stripMargin,
+
     // The whole perceptual pipeline in closed form (q30's discipline): the
     // synthesis pixel formula, the one-pixel edit, the 8×8 nearest-sample
     // grid, the integer-mean bit rule, and pairwise Hamming — any decode or

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Graph analytics over relational edge lists (north-star extension — the
+ * reference has no graph layer; SURVEY §1.1 names graphs as an absent
+ * capability class). Everything is expressed as joins + aggregations over an
+ * (src, dst) edge table, so Catalyst plans, AQE re-plans, and the operators
+ * inherit the engine's shuffle machinery instead of a bespoke runtime.
+ *
+ * Determinism contract (the family rule): ranks are INTEGER nano-units and
+ * every per-iteration update is integer arithmetic (`div`, `*`, `+`) — sums
+ * of longs are order-independent, so results replay bit-identically across
+ * engines, partitionings, and cluster sizes, and the DuckDB oracle asserts
+ * every node's rank exactly. A float PageRank cannot make that promise: its
+ * per-node sum order is shuffle-dependent.
+ */
+object Graph {
+
+  /**
+   * Consecutive-event transition edges: order each `userCol` timeline by
+   * (`tsCol`, `tieCol`) and emit an edge from every row's `nodeCol` to the
+   * next row's — the click-graph / page-transition construction over an
+   * event log. Edges keep multiplicity (the same transition observed twice
+   * weighs twice downstream).
+   *
+   * Scale shape: one window pass partitioned by user — bounded by the
+   * longest single timeline, the natural partitioning for event logs
+   * (billions of users, each small). Only (user, ts, tie, node) moves.
+   */
+  def transitionEdges(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, nodeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(userCol), col(tsCol), col(tieCol),
+        col(nodeCol).as("src"))
+      .withColumn("dst", lead(col("src"), 1).over(w))
+      .where(col("dst").isNotNull)
+      .select(col("src"), col("dst"))
+  }
+
+  /**
+   * Integer PageRank with a fixed iteration count: rank lives in nano-units
+   * of the total mass 10¹² — `r₀ = 10¹² div n` per node, and each round
+   *
+   *   r'(v) = jump + (85 · Σ_{u→v} w(u,v) · (r(u) div deg(u))) div 100 ,
+   *   jump = (15 · r₀) div 100
+   *
+   * — the damping-0.85 update with every product/division on longs, so the
+   * result is a pure function of the edge multiset (dangling nodes keep
+   * their jump mass only; the integer `div` leaks ≤ deg(u) nano-units per
+   * node per round — deterministic, identical on every engine). Returns
+   * (node, rank_nano) for every node appearing as src or dst.
+   *
+   * Scale shape: the weighted edge table is built once and reused each
+   * round; a round is one broadcast-size join pair (edges ⋈ ranks ⋈
+   * degrees) plus a map-side-combined sum keyed by dst — the textbook
+   * shuffle pattern that holds at billions of edges. Each round's frame is
+   * materialized through [[graft.Eager]] (localCheckpoint, or reliable
+   * files under `graft.checkpointDir` for cluster-survivable multi-hour
+   * runs) and the previous round's blocks are released, so plan depth and
+   * storage stay O(1) in the iteration count.
+   */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iterations: Int = 8): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    val weighted = edges
+      .groupBy(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .agg(count(lit(1)).as("w"))
+    val (ew, releaseEdges) = graft.Eager.checkpointed(weighted)
+    try {
+      val deg = ew.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      val nodes = ew.select(col("src").as("node"))
+        .unionByName(ew.select(col("dst").as("node"))).distinct()
+      val n = nodes.count() // one driver scalar: the node count
+      // materialize before the finally releases ew — a lazy frame over
+      // released checkpoint blocks would fail on first evaluation
+      if (n == 0)
+        return graft.Eager.materialize(nodes.withColumn("rank_nano", lit(0L)))
+      val init = 1000000000000L / n
+      val jump = 15L * init / 100L
+      var releaseR: () => Unit = () => ()
+      try {
+        var r = {
+          val (r0, rel) = graft.Eager.checkpointed(
+            nodes.withColumn("r", lit(init)))
+          releaseR = rel
+          r0
+        }
+        for (_ <- 1 to iterations) {
+          val inflow = ew
+            .join(r.select(col("node").as("src"), col("r")), Seq("src"))
+            .join(deg, Seq("src"))
+            .select(col("dst").as("node"),
+              (col("w") * expr("r div deg")).as("c"))
+            .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
+          val next = nodes.join(inflow, Seq("node"), "left")
+            .na.fill(0L, Seq("inflow"))
+            .select(col("node"),
+              (lit(jump) + expr("85 * inflow div 100")).as("r"))
+          val (cp, rel) = graft.Eager.checkpointed(next)
+          releaseR()
+          releaseR = rel
+          r = cp
+        }
+        // the final round's blocks stay live inside the returned frame; make
+        // the result independent first, then release (the clusterDuplicates
+        // exit discipline)
+        val out = graft.Eager.materialize(
+          r.select(col("node"), col("r").as("rank_nano")))
+        out
+      } finally releaseR()
+    } finally releaseEdges()
+  }
+}

@@ -417,6 +417,52 @@ object Streaming {
       }
   }
 
+  /** An admission: `id` was admitted as the `rank`-th row of `group`
+    * (1 ≤ rank ≤ quota). */
+  final case class QuotaAdmit(group: String, id: Long, rank: Long)
+
+  /**
+   * Streaming per-group admission quota — ingest rate control: admit each
+   * group's first `quota` rows over the stream's lifetime and drop the rest,
+   * the "at most k pages per domain this crawl" gate applied AT INGEST (the
+   * streaming twin of [[graft.ops.Sampling.capPerGroup]], which caps an
+   * already-landed corpus). Emits one [[QuotaAdmit]] per admitted row;
+   * everything else is dropped silently.
+   *
+   * Arrival order within a micro-batch is engine scheduling noise, so
+   * admission within (group, batch) is by ascending id — under the resulting
+   * total order (batch, id) the admitted set is a pure function of the batch
+   * assignment and replays relationally: a row is admitted iff its
+   * row_number over (PARTITION BY group ORDER BY batch, id) is ≤ quota, and
+   * `rank` equals that row_number (the q105 oracle asserts both).
+   *
+   * Scale shape: state is ONE long counter per group — no payload, no
+   * watermark, no eviction problem; at web scale that is O(#domains) longs
+   * spread uniformly over the state-store partitions by group hash. The
+   * quota check runs before any downstream work, so over-quota rows cost
+   * one counter read at ingest bandwidth.
+   */
+  def quotaAdmitStream(docs: DataFrame, idCol: String, groupCol: String,
+      quota: Int): Dataset[QuotaAdmit] = {
+    require(quota >= 0, "quota must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(groupCol).cast("string").as("_1"),
+        col(idCol).cast("long").as("_2"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, QuotaAdmit](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val admitted = rows.map(_._2).toArray.sorted.flatMap { id =>
+            if (n < quota) { n += 1; Some(QuotaAdmit(g, id, n)) } else None
+          }
+          state.update(n)
+          admitted.iterator
+      }
+  }
+
   /**
    * Ingest-time decontamination: drop arriving documents whose shingle
    * overlap with a STATIC train/eval split exceeds the rational rate

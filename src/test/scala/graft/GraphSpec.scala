@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Integer PageRank + transition-edge construction (q106). */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("transitionEdges: per-user consecutive links, ordered by (ts, tie)") {
+    val ev = Seq(
+      (1L, 10L, 100L, "x"), (1L, 20L, 101L, "y"), (1L, 20L, 102L, "z"),
+      (2L, 5L, 103L, "y"),
+      (3L, 1L, 104L, "z"), (3L, 2L, 105L, "x"))
+      .toDF("user", "ts", "eid", "page")
+    val edges = Graph.transitionEdges(ev, "user", "ts", "eid", "page")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    // user 1: x→y (ts order), y→z (ts tie broken by eid); user 2: none;
+    // user 3: z→x
+    assert(edges == Seq(("x", "y"), ("y", "z"), ("z", "x")))
+  }
+
+  test("pageRank: cycle conserves near-uniform mass; hub outranks spokes") {
+    // 3-cycle: every node has deg 1 and one in-edge — ranks stay equal
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val rc = Graph.pageRank(cycle, iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rc.keySet == Set("a", "b", "c"))
+    assert(rc.values.toSet.size == 1, s"cycle ranks diverged: $rc")
+    // each round loses ≤ a few nano-units to integer truncation, never gains
+    val init = 1000000000000L / 3
+    assert(rc("a") <= init && rc("a") > init - 100, s"mass drifted: ${rc("a")}")
+    // star: two spokes feed one dangling hub
+    val star = Seq(("a", "b"), ("c", "b")).toDF("src", "dst")
+    val rs = Graph.pageRank(star, iterations = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rs("b") > rs("a") && rs("a") == rs("c"), s"star ranks: $rs")
+    // spokes get no inflow: exactly the jump mass
+    val sInit = 1000000000000L / 3
+    assert(rs("a") == 15L * sInit / 100L)
+  }
+
+  test("pageRank: multiplicity weighs, result invariant under repartition") {
+    // b receives the a-edge twice, c once → b outranks c
+    val e = Seq(("a", "b"), ("a", "b"), ("a", "c")).toDF("src", "dst")
+    val r1 = Graph.pageRank(e, iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1("b") > r1("c"))
+    val r2 = Graph.pageRank(e.repartition(13), iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1 == r2, "integer ranks must be partition-invariant")
+    // empty edge set: empty result, no crash
+    assert(Graph.pageRank(e.where(lit(false)), iterations = 3).isEmpty)
+  }
+}

@@ -163,6 +163,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 3L).get.getString(2) == "first")
   }
 
+  test("quotaAdmitStream: counter persists across batches, within-batch order by id") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_quota_").toString
+    def write(name: String, mtime: Long, rows: Seq[(Long, String)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, s) =>
+          org.apache.spark.sql.Row(id, s)
+        }), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis()
+    // batch 1: a fills 2 of 3 quota slots (ids out of order → admitted by id),
+    // b fills 1
+    write("00.parquet", base, Seq(
+      (7L, "a"), (3L, "a"), (5L, "b")))
+    // batch 2: a's remaining slot goes to id 2 (< 9); 9 is over quota; b fine
+    write("01.parquet", base + 1000, Seq(
+      (9L, "a"), (2L, "a"), (6L, "b")))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = Streaming.runToTable(
+      Streaming.quotaAdmitStream(stream, "doc_id", "source", quota = 3).toDF(),
+      "t_quota", org.apache.spark.sql.streaming.OutputMode.Append(),
+      noDataBatch = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(
+      ("a", 3L, 1L), ("a", 7L, 2L), // batch 1, ascending id
+      ("a", 2L, 3L),                // batch 2 fills the last slot; 9 rejected
+      ("b", 5L, 1L), ("b", 6L, 2L)))
+  }
+
   test("nearDupDropStream: earlier-batch near-dups drop, same-batch ties both survive") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
