@@ -1130,6 +1130,52 @@ object SparkEntry {
       graft.ops.Graph.pageRank(edges, iterations = 8)
     }),
 
+    // --- streaming trending terms: windowed token counts over the 4-batch
+    //     replay (Complete drain keeps the open tail windows), then batch
+    //     top-5 per window — the vocabulary monitor ------------------------
+    "q107_trending_terms" -> ((s, dir) => {
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+      val counts = graft.streaming.Streaming.termTrends(replay, "text", "ts")
+      val drained = graft.streaming.Streaming.runToTable(
+        counts,
+        "q107_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        statePartitions = Some(4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("window_start"))
+        .orderBy(col("n").desc, col("tok"))
+      drained.withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(unix_timestamp(col("window_start")).as("window_start_s"),
+          col("tok"), col("n"))
+    }),
+
+    // --- corpus drift monitor: chi-square bucket divergence between the
+    //     deterministic 50/50 hash halves — every bucket's nano contribution
+    //     value-checked, plus the corpus-level statistic ---------------------
+    "q108_corpus_drift" -> ((s, dir) => {
+      val sp = graft.ops.Sampling.hashSplit(T(s, dir, "documents"),
+        "doc_id", 50)
+      TextOps.distributionDrift(
+        sp.where(col("split") === "train"),
+        sp.where(col("split") === "test"), "text")
+    }),
+
+    // --- corpus datacard: one cube over (lang, source) with volume, token
+    //     mass, and exact-dup counts — the per-slice reporting rollup -------
+    "q109_datacard" -> ((s, dir) => {
+      import graft.functions.GraftFunctions.token_count
+      val docs = T(s, dir, "documents")
+      val flagged = docs
+        .withColumn("n_tokens", token_count(col("text")).cast("bigint"))
+        .withColumn("fp", md5(coalesce(col("text"), lit("")).cast("binary")))
+        .withColumn("dup", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))) > 1)
+      flagged.cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("dup_docs"))
+    }),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -2048,6 +2094,66 @@ object SparkEntry {
 
     // The identical integer rank cut: row_number by (n_chars, doc_id) per
     // lang, count per lang, keep (n·50//1000, n·950//1000].
+    // The replay's batch→hour mapping in closed form (ntile + the staged
+    // 1700000000 + batch·3600 clock), epoch-aligned tumbling windows, then
+    // the identical (n desc, tok) rank.
+    "q107_trending_terms" ->
+      """WITH bat AS (
+        |  SELECT doc_id, text, ntile(4) OVER (ORDER BY doc_id) AS batch
+        |  FROM documents),
+        |tk AS (
+        |  SELECT ((1700000000 + batch * 3600) // 3600) * 3600 AS ws,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM bat),
+        |c AS (SELECT ws, tok, count(*) AS n FROM tk GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, tok, n,
+        |    row_number() OVER (PARTITION BY ws ORDER BY n DESC, tok) AS rk
+        |  FROM c)
+        |SELECT cast(ws as bigint) AS window_start_s, tok, n
+        |FROM r WHERE rk <= 5""".stripMargin,
+
+    // The identical md5 halves, bucket counts, and IEEE op tree — each
+    // bucket's nano contribution is one division chain, value-exact.
+    "q108_corpus_drift" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))
+        |                   ::BIGINT % 100 < 50
+        |              THEN 'a' ELSE 'b' END AS side,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b,
+        |    sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS n_b
+        |  FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+        |SELECT b, cast(n_a as bigint) AS n_a, cast(n_b as bigint) AS n_b,
+        |  cast(round(
+        |    ((n_a / cast(ta as double) - n_b / cast(tb as double)) *
+        |     (n_a / cast(ta as double) - n_b / cast(tb as double)) /
+        |     (n_a / cast(ta as double) + n_b / cast(tb as double))) * 1e9, 0)
+        |    as bigint) AS contrib_nano
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    // CUBE with the same four aggregates; dup flag = content-fingerprint
+    // multiplicity (NULL text fingerprints as the empty string, both sides).
+    "q109_datacard" ->
+      """WITH f AS (
+        |  SELECT lang, source, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+        |    md5(coalesce(text, '')) AS fp
+        |  FROM documents),
+        |g AS (
+        |  SELECT f.*, count(*) OVER (PARTITION BY fp) > 1 AS dup FROM f)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  cast(sum(n_tokens) as bigint) AS n_tokens,
+        |  cast(sum(n_chars) as bigint) AS n_chars,
+        |  cast(sum(CASE WHEN dup THEN 1 ELSE 0 END) as bigint) AS dup_docs
+        |FROM g GROUP BY CUBE (lang, source)""".stripMargin,
+
     // Every update unrolled: the same integer arithmetic per round (// and
     // coalesce(inflow, 0) for nodes with no in-edges), micro-truncated ts
     // ordering mirroring the Spark reader, all node ranks value-exact.

@@ -753,6 +753,47 @@ object TextOps {
         col("c").as("pred"), col("score_nano"))
   }
 
+  /**
+   * Token-distribution drift between two corpora (the "did today's crawl
+   * shift under us" monitor): per hashed unigram bucket, the chi-square-style
+   * contribution `(p_b − q_b)² / (p_b + q_b)` where p/q are the bucket's
+   * probability in corpus A/B. Per-bucket contributions are nano-quantized
+   * (round(x·1e9) as bigint), so the corpus-level drift statistic is an
+   * exact integer sum — order-independent, engine-replayable; the division
+   * chain itself is deterministic (IEEE +,−,×,÷ are correctly rounded, so
+   * the same op tree gives the same double on every engine — only SUM order
+   * varies, and that happens on integers here).
+   *
+   * Returns one row per bucket with mass on either side:
+   * (b, n_a, n_b, contrib_nano). Σ contrib_nano / 1e9 ∈ [0, 2] is the
+   * chi-square drift (0 = identical distributions, 2 = disjoint).
+   *
+   * 100 TB shape: two map-side-combined bucket counts (256-row tables), one
+   * tiny join — the corpora are scanned once each and never shuffled.
+   */
+  def distributionDrift(a: DataFrame, b: DataFrame, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def bucketCounts(df: DataFrame, out: String): DataFrame =
+      df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+        .select(pmod(md5_prefix60(col("tok")), lit(buckets.toLong))
+          .cast("int").as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as(out))
+    val ca = bucketCounts(a, "n_a")
+    val cb = bucketCounts(b, "n_b")
+    val joined = ca.join(cb, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("n_a", "n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val pa = col("n_a").cast("double") / col("ta").cast("double")
+    val pb = col("n_b").cast("double") / col("tb").cast("double")
+    // (pa−pb)·(pa−pb) — an explicit product, NOT pow(x,2): Math.pow is
+    // allowed 1 ulp of error and engines differ; ×,÷ are correctly rounded
+    joined.crossJoin(broadcast(totals))
+      .select(col("b").cast("bigint").as("b"), col("n_a"), col("n_b"),
+        round(((pa - pb) * (pa - pb) / (pa + pb)) * 1e9, 0)
+          .cast("long").as("contrib_nano"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

@@ -417,6 +417,32 @@ object Streaming {
       }
   }
 
+  /**
+   * Streaming windowed term counts — the trending-terms / vocabulary-drift
+   * monitor of an ingest pipeline: explode tokens, count per (tumbling
+   * window, token). Standard watermarked windowed aggregation, so state is
+   * bounded by (windows-in-watermark × vocabulary) and append mode
+   * finalizes a window when the watermark passes it; drain with Complete
+   * when the monitor wants the still-open tail windows too (the q107
+   * deployment). Downstream ranking (top-k per window) is a batch window
+   * function over the drained table — rank is not a streaming operator.
+   *
+   * Scale shape: explode → map-side partial count → one shuffle keyed by
+   * (window, token); text never shuffles, only (token, partial-count)
+   * pairs. Vocabulary skew (the "the" problem) is absorbed by the partial
+   * aggregation — each partition contributes one row per hot token.
+   */
+  def termTrends(docs: DataFrame, textCol: String, tsCol: String = "ts",
+      windowDur: String = "1 hour", watermark: String = "10 minutes"): DataFrame = {
+    import graft.functions.GraftFunctions.tokens
+    docs.withWatermark(tsCol, watermark)
+      .select(col(tsCol).as("ts"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(window(col("ts"), windowDur), col("tok"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("tok"), col("n"))
+  }
+
   /** An admission: `id` was admitted as the `rank`-th row of `group`
     * (1 ≤ rank ≤ quota). */
   final case class QuotaAdmit(group: String, id: Long, rank: Long)

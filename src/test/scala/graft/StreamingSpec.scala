@@ -163,6 +163,33 @@ class StreamingSpec extends SparkSpec {
     assert(out.find(_.getLong(0) == 3L).get.getString(2) == "first")
   }
 
+  test("termTrends: streaming windowed token counts equal the batch aggregation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("text", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_trend_").toString
+    val rows = Seq(
+      ("2024-01-01 10:05:00", "alpha beta alpha"),
+      ("2024-01-01 10:45:00", "beta gamma"),
+      ("2024-01-01 11:10:00", "alpha alpha alpha"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (t, x) =>
+        org.apache.spark.sql.Row(java.sql.Timestamp.valueOf(t), x)
+      }), schema)
+    df.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = Streaming.runToTable(
+      Streaming.termTrends(stream, "text", "ts"), "t_trend")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "alpha", 2L),
+      ("2024-01-01 10:00:00.0", "beta", 2L),
+      ("2024-01-01 10:00:00.0", "gamma", 1L),
+      ("2024-01-01 11:00:00.0", "alpha", 3L)))
+  }
+
   test("quotaAdmitStream: counter persists across batches, within-batch order by id") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(

@@ -156,6 +156,24 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(_.getLong(0)).contains(99L))
   }
 
+  test("distributionDrift: 0 on identical corpora, ~2 on disjoint, partition-invariant") {
+    val a = Seq((1L, "cat dog bird"), (2L, "cat cat fish")).toDF("id", "text")
+    val same = TextOps.distributionDrift(a, a, "text")
+      .agg(sum(col("contrib_nano"))).head().getLong(0)
+    assert(same == 0L, s"identical corpora drifted: $same")
+    // disjoint vocabularies: each bucket is one-sided — (p-0)²/(p+0) sums
+    // p over A's buckets (=1) plus q over B's (=1) → exactly 2 (bar md5
+    // bucket collisions between the two vocabularies, absent here)
+    val b = Seq((1L, "car bus train")).toDF("id", "text")
+    val disj = TextOps.distributionDrift(a, b, "text")
+      .agg(sum(col("contrib_nano"))).head().getLong(0)
+    assert(math.abs(disj - 2000000000L) < 10L, s"disjoint drift: $disj")
+    val again = TextOps.distributionDrift(a.repartition(5), b.repartition(3), "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(again == TextOps.distributionDrift(a, b, "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet)
+  }
+
   test("contamination: exact overlap counts, zero-hit docs included") {
     val train = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val test = Seq(
