@@ -76,7 +76,18 @@ object ScaleProbe {
     "q95_filter_funnel",    // k cumulative gates, ONE scan + k-long aggregate
     "q96_bpe_pairs",        // corpus→dictionary collapse, pairs over vocab only
     "q97_importance_scores",// 256-row broadcast weight table, (id,long) shuffles
-    "q98_length_band")      // one window pass per lang, integer rank cuts
+    "q98_length_band",      // one window pass per lang, integer rank cuts
+    // round-9 late additions (q99–q110)
+    "q99_containment",      // capped inverted index (planted dups: super-linear output by design)
+    "q100_budget_select",   // one cumsum window over (id, tokens)
+    "q102_source_cap",      // per-source rank window
+    "q103_nb_confusion",    // broadcast token-weight table train+score
+    "q104_image_neardup",   // real PNG decode + banded Hamming pairs (planted edit copies)
+    "q106_pagerank",        // long-arithmetic power iteration, O(1) plan depth
+    "q108_corpus_drift",    // two (token,n) collapses + tiny join
+    "q109_datacard",        // one scan feeding a cube
+    "q110_pq_ann",          // PQ train (1+iters scans) + codes-only ADC scan
+    "q111_boilerplate_lines") // line df on hash keys, verbatim passthrough
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

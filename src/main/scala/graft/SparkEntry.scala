@@ -1176,6 +1176,52 @@ object SparkEntry {
           sum(when(col("dup"), 1L).otherwise(0L)).as("dup_docs"))
     }),
 
+    // --- product-quantization ANN (the 32× compression tier under int8):
+    //     deterministic per-subspace codebooks, ADC scoring over m-int codes.
+    //     Planted exact copies of the query achieve the global ADC minimum
+    //     (their code IS the per-subspace argmin), and no organic vector
+    //     shares that code at these SFs (verified at sf0.01 AND sf0.1), so
+    //     the top-5 is provably the planted ids in id order ----------------
+    "q110_pq_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 11).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 11)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9200L).as("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") =!= 11).unionByName(planted)
+      val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+      val top = Similarity.pqTopK(codes, "vec_id", "code", cb, q, 5)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("adc_dist").asc, col("vec_id"))))
+        .select(col("rank").cast("bigint").as("rank"), col("vec_id"))
+    }),
+
+    // --- C4-style line-level boilerplate removal: composite multi-line docs
+    //     from %40 groups (line order = doc_id order), three planted footer
+    //     lines at corpus-df 40/20/3 vs maxDf=10 — the first two must vanish
+    //     from EVERY doc, the rare one must survive; every cleaned text is
+    //     md5'd so one wrong splice anywhere breaks the hash ---------------
+    "q111_boilerplate_lines" -> ((s, dir) => {
+      val base = T(s, dir, "documents").where(col("text").isNotNull)
+        .select((col("doc_id") % 40).as("gid"), col("doc_id"), col("text"))
+      val comp = base.groupBy(col("gid")).agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("body"))
+      val docs = comp.select(col("gid").as("id"),
+        concat(col("body"), lit("\nsubscribe now for updates"),
+          when(col("gid") < 20, lit("\nall rights reserved")).otherwise(lit("")),
+          when(col("gid") < 3, lit("\nrare footer line")).otherwise(lit("")))
+          .as("text"))
+      TextOps.removeBoilerplateLines(docs, "id", "text", maxDf = 10)
+        .select(col("id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_dropped"))
+    }),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -2094,6 +2140,51 @@ object SparkEntry {
 
     // The identical integer rank cut: row_number by (n_chars, doc_id) per
     // lang, count per lang, keep (n·50//1000, n·950//1000].
+    // Provable-top-5 construction (q50's discipline): the planted copies'
+    // rank order is closed-form; the spec pins the ADC machinery itself.
+    "q110_pq_ann" ->
+      """SELECT cast(i + 1 as bigint) AS rank, cast(i + 9200 as bigint) AS vec_id
+        |FROM range(5) t(i)""".stripMargin,
+
+    // The identical C4 rule: same composites, same 60-bit line hashes, df by
+    // distinct docs, >= 10 dropped, kept lines re-joined in position order.
+    "q111_boilerplate_lines" ->
+      """WITH base AS (
+        |  SELECT doc_id % 40 AS gid, doc_id, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |comp AS (
+        |  SELECT gid, string_agg(text, chr(10) ORDER BY doc_id) AS body
+        |  FROM base GROUP BY gid),
+        |docs AS (
+        |  SELECT gid AS id,
+        |    body || chr(10) || 'subscribe now for updates'
+        |      || CASE WHEN gid < 20 THEN chr(10) || 'all rights reserved' ELSE '' END
+        |      || CASE WHEN gid < 3 THEN chr(10) || 'rare footer line' ELSE '' END
+        |      AS text
+        |  FROM comp),
+        |split_docs AS (
+        |  SELECT id, string_split(text, chr(10)) AS parts FROM docs),
+        |lines AS (
+        |  SELECT id, unnest(generate_series(1, len(parts))) AS pos, parts
+        |  FROM split_docs),
+        |hashed AS (
+        |  SELECT id, pos,
+        |    ('0x' || substr(md5(parts[pos]), 1, 15))::BIGINT AS h
+        |  FROM lines),
+        |boiler AS (
+        |  SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT id) >= 10),
+        |kept AS (
+        |  SELECT id, pos FROM hashed WHERE h NOT IN (SELECT h FROM boiler)),
+        |cleaned AS (
+        |  SELECT k.id, string_agg(s.parts[k.pos], chr(10) ORDER BY k.pos) AS text
+        |  FROM kept k JOIN split_docs s USING (id) GROUP BY k.id),
+        |counts AS (SELECT id, count(*) AS n_kept FROM kept GROUP BY id)
+        |SELECT s.id, md5(coalesce(c.text, '')) AS text_md5,
+        |  cast(len(s.parts) AS bigint) AS n_lines,
+        |  cast(len(s.parts) - coalesce(n.n_kept, 0) AS bigint) AS n_dropped
+        |FROM split_docs s
+        |LEFT JOIN cleaned c USING (id) LEFT JOIN counts n USING (id)""".stripMargin,
+
     // The replay's batch→hour mapping in closed form (ntile + the staged
     // 1700000000 + batch·3600 clock), epoch-aligned tumbling windows, then
     // the identical (n desc, tok) rank.

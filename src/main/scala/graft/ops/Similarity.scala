@@ -428,4 +428,124 @@ object Similarity {
     assigned.join(victims, assigned("id") === victims("v"), "left_anti")
       .select(col("id").as(idCol), col("cell"), col("cent_cos"))
   }
+
+  // ------------------------- product quantization -------------------------
+
+  /** A PQ codebook: `cents(j)(c)` is centroid c of subspace j (each of
+    * length `subDim`). m·ksub·subDim doubles — driver-resident, rides into
+    * plans as literals like the IVF centroid set. */
+  final case class PqCodebook(subDim: Int, cents: Array[Array[Array[Double]]]) {
+    def m: Int = cents.length
+    def ksub: Int = if (cents.isEmpty) 0 else cents(0).length
+  }
+
+  /** Squared-L2 distance of `vec`'s elements (1-based from `off`) to a
+    * literal centroid — an explicit mul-add chain, fully codegen'd. */
+  private def sqDist(vec: Column, off: Int, c: Array[Double]): Column =
+    c.indices.map { i =>
+      val d = element_at(vec, off + i + 1).cast("double") - lit(c(i))
+      d * d
+    }.reduce(_ + _)
+
+  /** L2 argmin cell (0-based) of the subvector at `off` against literal
+    * centroids; the first-listed centroid wins ties (the [[cellOf]] rule). */
+  private def pqCellOf(vec: Column, off: Int,
+      cents: Array[Array[Double]]): Column = {
+    val dists = array(cents.toIndexedSeq.map(c => sqDist(vec, off, c)): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /**
+   * Deterministic product-quantization training — the codebook tier BELOW
+   * int8 on the compression ladder (64 floats → `m` bytes: 32× here vs
+   * int8's 4×): the vector splits into `m` subspaces of dim/m coordinates
+   * and each subspace learns its own `ksub` centroids by Lloyd iterations
+   * with the [[ivfCentroids]] determinism discipline — hash-ordered seeding,
+   * lowest-cell tie-breaks, quantized-exact means ([[centroids]]) — so the
+   * same corpus trains the same codebook on any partitioning/cluster.
+   *
+   * 100 TB shape: 1 + `iters` corpus scans TOTAL — not O(m·iters). The
+   * hash-ordered seed rows are the same for every subspace (the hash ignores
+   * the subspace index), so one TakeOrdered collect of full vectors seeds all
+   * m codebooks; each Lloyd iteration is one scan whose rows fan out to m
+   * (composite cell, subvector) pairs feeding a single quantized-exact
+   * aggregation. The codebook (m·ksub·subDim doubles ≈ 8 KB at defaults)
+   * collects to the driver and re-enters plans as literals — the k×dim
+   * bounded-collect contract of the IVF trainer.
+   */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2): PqCodebook = {
+    require(m > 0 && ksub > 0 && iters >= 0, "m, ksub positive; iters >= 0")
+    val dim = df.select(col(vecCol)).head().getSeq[Float](0).size
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+    val seeds: Array[Array[Double]] = df
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("__h", md5_prefix60(col("id").cast("string")))
+      .orderBy(col("__h"), col("id"))
+      .limit(ksub)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var cents: Array[Array[Array[Double]]] = (0 until m).map(j =>
+      seeds.map(_.slice(j * subDim, (j + 1) * subDim))).toArray
+    for (_ <- 1 to iters) {
+      val subs = (0 until m).map { j =>
+        struct(
+          (lit(j * ksub) + pqCellOf(col("__v"), j * subDim, cents(j))).as("g"),
+          slice(col("__v"), j * subDim + 1, subDim).as("v"))
+      }
+      val assigned = df.select(col(vecCol).as("__v"))
+        .select(explode(array(subs: _*)).as("s"))
+        .select(col("s.g").as("g"), col("s.v").as("v"))
+      val means = centroids(assigned, "g", "v")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
+      val next = cents.map(_.map(_.clone()))
+      means.foreach { case (g, d, v) => next(g / ksub)(g % ksub)(d - 1) = v }
+      cents = next // empty cells keep their previous centroid (IVF rule)
+    }
+    PqCodebook(subDim, cents)
+  }
+
+  /** Encode vectors to PQ codes: (idCol, code array<int> of length m) — the
+    * stored representation (m bytes worth of centroid ids per vector; the
+    * int array is the engine-portable carrier). One codegen'd scan. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      cb: PqCodebook): DataFrame =
+    df.select(col(idCol),
+      array((0 until cb.m).map(j =>
+        pqCellOf(col(vecCol), j * cb.subDim, cb.cents(j))): _*).as("code"))
+
+  /**
+   * Asymmetric-distance (ADC) top-k over PQ codes: the query precomputes a
+   * ksub-entry distance table per subspace — ON A ONE-ROW FRAME with the
+   * same Column arithmetic as training/encoding (the [[ivfProbeCells]]
+   * anti-divergence discipline) — and every corpus vector's score is m table
+   * lookups + adds over its code; ties rank by id. The scan reads codes
+   * only (m ints/vector — the 32× bandwidth win); the plan is
+   * TakeOrderedAndProject, no global sort.
+   *
+   * An exact copy of the query achieves the global ADC minimum (its code IS
+   * the per-subspace argmin), so planted-copy constructions are provably
+   * top-ranked up to code collisions — the q110 oracle leans on that.
+   */
+  def pqTopK(encoded: DataFrame, idCol: String, codeCol: String,
+      cb: PqCodebook, query: Seq[Float], k: Int): DataFrame = {
+    require(query.size == cb.m * cb.subDim, "query dim != codebook dim")
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val qv = array(query.map(v => lit(v)): _*)
+    val tables: Array[Array[Double]] = Seq(1).toDF("one").select(qv.as("q"))
+      .select(array((0 until cb.m).map(j =>
+        array(cb.cents(j).indices.map(c =>
+          sqDist(col("q"), j * cb.subDim, cb.cents(j)(c))): _*)): _*).as("t"))
+      .head().getSeq[scala.collection.Seq[Double]](0)
+      .map(_.toArray).toArray
+    val score = (0 until cb.m).map(j =>
+      element_at(array(tables(j).toIndexedSeq.map(lit(_)): _*),
+        element_at(col(codeCol), j + 1) + 1)).reduce(_ + _)
+    encoded.select(col(idCol), score.as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col(idCol))
+      .limit(k)
+  }
 }

@@ -382,6 +382,54 @@ object TextOps {
   }
 
   /**
+   * Cross-document line-level boilerplate removal (the C4 cleaning rule:
+   * drop every line whose verbatim content recurs across the corpus —
+   * cookie banners, nav menus, "all rights reserved" footers — and keep the
+   * rest of the document intact, in order). A line is dropped when it
+   * appears in ≥ `maxDf` DISTINCT documents; C4's original rule counts raw
+   * occurrences, but distinct-docs is the robust form (a page repeating its
+   * own header 100× is repetition — [[repetitionProfile]]'s domain — not
+   * corpus boilerplate) and is what we cap everywhere else (`maxDf` in the
+   * shingle family).
+   *
+   * 100 TB shape: text never shuffles. Lines reduce at the scan to
+   * (doc, pos, 60-bit md5) triples; the document-frequency table lives on
+   * hash keys; only DROPPED (doc, pos) pairs travel back, and the splice is
+   * an in-row indexed filter over the re-split text (the [[Dedup.cutSharedSpans]]
+   * discipline: untouched docs — the overwhelming majority — pass through
+   * VERBATIM on the left-join miss, paying zero reassembly). `sep` is taken
+   * literally (regex-quoted for the split, byte-identical in the re-join, so
+   * split→filter→join is lossless). NULL text passes through NULL with
+   * zero counts. Returns (idCol, textCol cleaned, n_lines, n_dropped).
+   */
+  def removeBoilerplateLines(df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int = 10, sep: String = "\n"): DataFrame = {
+    require(maxDf >= 2, "maxDf must be at least 2 (1 would drop every line)")
+    require(sep.nonEmpty, "sep must be non-empty")
+    val parts = split(col(textCol), lit(java.util.regex.Pattern.quote(sep)))
+    val lines = df
+      .select(col(idCol).as("__bid"), posexplode(parts).as(Seq("pos", "line")))
+      .select(col("__bid"), col("pos"), md5_prefix60(col("line")).as("h"))
+    val boiler = lines.groupBy(col("h"))
+      .agg(countDistinct(col("__bid")).as("ldf"))
+      .where(col("ldf") >= maxDf)
+      .select(col("h"))
+    val dropped = lines.join(boiler, Seq("h"), "left_semi")
+      .groupBy(col("__bid"))
+      .agg(collect_set(col("pos")).as("__drop_pos"),
+        count(lit(1)).as("__n_dropped"))
+    df.join(dropped, df(idCol) === dropped("__bid"), "left")
+      .select(df(idCol),
+        when(col("__drop_pos").isNull, col(textCol))
+          .otherwise(concat_ws(sep,
+            filter(parts, (_, i) => !array_contains(col("__drop_pos"), i))))
+          .as(textCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(parts).cast("bigint")).as("n_lines"),
+        coalesce(col("__n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
+  /**
    * Budget-based sequence packing, concat-then-cut discipline: within each
    * stratum, documents concatenate in id order and cut every `budgetTokens`
    * tokens; a document belongs to the pack where it STARTS. This is the

@@ -271,6 +271,47 @@ class OpsSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("pqTrain is deterministic; pqTopK ranks planted exact copies first; " +
+      "ADC arithmetic replays driver-side") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val cb1 = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val cb2 = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    assert(cb1.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+           cb2.cents.map(_.map(_.toSeq).toSeq).toSeq, "training not deterministic")
+    // plant 5 exact copies of vec 11 (q110's construction): an exact copy's
+    // code is the per-subspace argmin of the query's distance table, so its
+    // ADC distance is the GLOBAL minimum — a correct PQ must rank the copies
+    // (ties by id) at the top unless an organic vector shares the full code
+    val q = e.where(col("vec_id") === 11).head().getSeq[Float](1)
+    val planted = e.where(col("vec_id") === 11)
+      .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+      .select((col("i") + 9200L).as("vec_id"), col("embedding"))
+    val corpus = e.where(col("vec_id") =!= 11).unionByName(planted)
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val codes = Similarity.pqEncode(corpus, "vec_id", "embedding", cb)
+    // codes: length m, every entry a valid centroid index
+    val bad = codes.where(size(col("code")) =!= cb.m ||
+      exists(col("code"), c => c < 0 || c >= cb.ksub)).count()
+    assert(bad == 0, s"$bad malformed codes")
+    val top = Similarity.pqTopK(codes, "vec_id", "code", cb, q, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.map(_._1).toSeq == (0 until 5).map(_ + 9200L),
+      s"planted copies not top-ranked: ${top.toSeq}")
+    // the copies' ADC distance is the sum of per-subspace table minima —
+    // recompute the table driver-side with the same left-fold arithmetic
+    val globalMin = (0 until cb.m).map { j =>
+      cb.cents(j).map { c =>
+        c.indices.map { i =>
+          val d = q(j * cb.subDim + i).toDouble - c(i); d * d
+        }.reduce(_ + _)
+      }.min
+    }.reduce(_ + _)
+    top.foreach { case (id, dist) =>
+      assert(math.abs(dist - globalMin) < 1e-9,
+        s"copy $id adc_dist $dist != table-minima sum $globalMin")
+    }
+  }
+
   test("annTopK finds planted true neighbors (recall ≥ 0.9 at k=20)") {
     // plant 20 positive-scaled copies of the query: cosine exactly 1.0 and the
     // hyperplane bucket is scale-invariant, so a correct ANN must return them.

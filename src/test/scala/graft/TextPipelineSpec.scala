@@ -212,6 +212,44 @@ class TextPipelineSpec extends SparkSpec {
       s"bloom overcounted $overcount of $totalShingles probes")
   }
 
+  test("removeBoilerplateLines: corpus-df rule, verbatim passthrough, " +
+      "within-doc repeats don't count, NULL text") {
+    val boiler = "subscribe to our newsletter"
+    val docs = Seq(
+      // 3 docs share the boilerplate line (df=3 >= maxDf=3 -> dropped)
+      (1L, s"alpha unique one\n$boiler\nomega unique one"),
+      (2L, s"$boiler\nbeta unique two"),
+      (3L, s"gamma unique three\n$boiler"),
+      // repeats a PRIVATE line 4x: df=1, must NOT be treated as boilerplate
+      (4L, "own header\nown header\nown header\nown header"),
+      // untouched doc: must pass through byte-identical (incl. odd spacing)
+      (5L, "  leading spaces\nand  double  spaces  "),
+      (6L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = TextOps.removeBoilerplateLines(docs, "id", "text", maxDf = 3)
+      .collect().map(r => (r.getLong(0),
+        Option(r.getString(1)), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out(0) == ((1L, Some("alpha unique one\nomega unique one"), 3L, 1L)))
+    assert(out(1) == ((2L, Some("beta unique two"), 2L, 1L)))
+    assert(out(2) == ((3L, Some("gamma unique three"), 2L, 1L)))
+    assert(out(3) == ((4L, Some("own header\nown header\nown header\nown header"), 4L, 0L)))
+    assert(out(4) == ((5L, Some("  leading spaces\nand  double  spaces  "), 2L, 0L)))
+    assert(out(5) == ((6L, None, 0L, 0L)))
+  }
+
+  test("removeBoilerplateLines: all-lines-dropped doc becomes empty string; " +
+      "custom separator with regex metachars is literal") {
+    val docs = Seq(
+      (1L, "dup|other"), (2L, "dup|other"), (3L, "dup|other"),
+      (4L, "dup")) // every line of doc 4 is corpus boilerplate
+    .toDF("id", "text")
+    val out = TextOps.removeBoilerplateLines(docs, "id", "text",
+        maxDf = 3, sep = "|")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    // 'dup' df=4 dropped; 'other' df=3 dropped too -> all docs emptied
+    assert(out.forall(_._2 == ""), s"got ${out.toSeq}")
+    assert(out.map(_._3).toSeq == Seq(2L, 2L, 2L, 1L))
+  }
+
   test("noveltyProfile: boilerplate copies score 0, unique docs score 1") {
     val boiler = "copy of the same template text repeated verbatim everywhere"
     val docs = Seq(
