@@ -87,7 +87,9 @@ object ScaleProbe {
     "q108_corpus_drift",    // two (token,n) collapses + tiny join
     "q109_datacard",        // one scan feeding a cube
     "q110_pq_ann",          // PQ train (1+iters scans) + codes-only ADC scan
-    "q111_boilerplate_lines") // line df on hash keys, verbatim passthrough
+    "q111_boilerplate_lines", // line df on hash keys, verbatim passthrough
+    "q112_ann_recall",      // broadcast probe table + two rank windows
+    "q113_kmv_shards")      // per-shard min-k heaps, corpus-free merge
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

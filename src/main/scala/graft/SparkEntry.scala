@@ -1222,6 +1222,44 @@ object SparkEntry {
           col("n_lines"), col("n_dropped"))
     }),
 
+    // --- ANN recall evaluation: the index-quality loop an ANN deployment
+    //     runs continuously — exact top-10 (crossTopK) vs multi-probe LSH
+    //     (annCrossTopK, md5 scheme so DuckDB replays the buckets), recall
+    //     per query. Both result sets AND the gauge are value-checked ------
+    "q112_ann_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+      val corpus = emb.where(col("vec_id") >= 5)
+      val approx = Similarity.annCrossTopK(corpus, queries, "vec_id",
+        "embedding", k = 10, nBits = 8, scheme = Similarity.SrpScheme.md5)
+      val exact = Similarity.crossTopK(corpus, queries, "vec_id", "embedding", 10)
+      Similarity.recallAtK(
+          exact.select(col("query_id"), col("corpus_id")),
+          approx.select(col("query_id"), col("corpus_id")),
+          "query_id", "corpus_id")
+        .orderBy(col("query_id"))
+    }),
+
+    // --- mergeable per-shard KMV sketches: per-source distinct-token
+    //     sketches merged in sketch space; the merge≡direct identity is
+    //     value-checked (list equality), the estimate's exact IEEE
+    //     arithmetic is value-checked, and the exact NDV rides along -------
+    "q113_kmv_shards" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val sk = TextOps.kmvSketchShards(toks, "source", "tok", k = 512)
+      val merged = TextOps.kmvMergeEstimate(sk, k = 512)
+      val direct = toks.select(md5_prefix60(col("tok")).as("h")).distinct()
+        .orderBy(col("h")).limit(512)
+        .agg(sort_array(collect_list(col("h"))).as("kmv_d"))
+      val stats = toks.agg(
+        countDistinct(col("tok")).as("ndv_exact"),
+        countDistinct(col("source")).as("n_sources"))
+      merged.crossJoin(direct).crossJoin(stats)
+        .select(col("n_sources"), col("k_actual"), col("hk"), col("ndv_est"),
+          col("ndv_exact"), (col("kmv") === col("kmv_d")).as("merge_eq"))
+    }),
+
     // --- robust per-language length trim: drop each language's shortest and
     //     longest 5% by RANK (integer cuts — no interpolated-percentile
     //     cross-engine hazard), one window pass per group ------------------
@@ -2184,6 +2222,95 @@ object SparkEntry {
         |  cast(len(s.parts) - coalesce(n.n_kept, 0) AS bigint) AS n_dropped
         |FROM split_docs s
         |LEFT JOIN cleaned c USING (id) LEFT JOIN counts n USING (id)""".stripMargin,
+
+    // q29's md5 hyperplane-bucket replay, generalized to 5 queries, plus the
+    // exact window rank (q45's idiom) and the intersection gauge.
+    "q112_ann_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        |bk AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(
+        |      [CASE WHEN list_sum(
+        |         [(floor(v[d + 1] * 1000000))::BIGINT *
+        |            ((('0x' || substr(md5(pb::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+        |              % 1000001) - 500000)
+        |          FOR d IN generate_series(0, len(v) - 1)]) > 0
+        |       THEN 1::BIGINT << pb ELSE 0::BIGINT END
+        |       FOR pb IN generate_series(0, 7)]) AS BIGINT) AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, bucket AS qb, v AS qv
+        |      FROM bk WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, bucket AS cb, v AS cv
+        |      FROM bk WHERE vec_id >= 5),
+        |probes AS (
+        |  SELECT query_id, qv, qb AS p FROM q
+        |  UNION ALL
+        |  SELECT query_id, qv, xor(qb, 1::BIGINT << i) AS p
+        |  FROM q, generate_series(0, 7) t(i)),
+        |approx AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT p.query_id, c.corpus_id,
+        |      row_number() OVER (PARTITION BY p.query_id
+        |        ORDER BY list_cosine_similarity(c.cv, p.qv) DESC, c.corpus_id)
+        |        AS rank
+        |    FROM probes p JOIN c ON c.cb = p.p)
+        |  WHERE rank <= 10),
+        |exact AS (
+        |  SELECT query_id, corpus_id FROM (
+        |    SELECT q.query_id, c.corpus_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(c.cv, q.qv) DESC, c.corpus_id)
+        |        AS rank
+        |    FROM q CROSS JOIN c)
+        |  WHERE rank <= 10)
+        |SELECT x.query_id,
+        |  cast(count(a.corpus_id) AS bigint) AS n_hit,
+        |  cast(count(*) AS bigint) AS n_exact,
+        |  count(a.corpus_id) / cast(count(*) AS double) AS recall
+        |FROM exact x
+        |LEFT JOIN approx a USING (query_id, corpus_id)
+        |GROUP BY x.query_id
+        |ORDER BY x.query_id""".stripMargin,
+
+    // The identical KMV pipeline: per-source min-512 over distinct 60-bit
+    // token hashes, merged min-512 of the union, vs the direct global
+    // min-512; estimate arithmetic replayed with the same double ops.
+    "q113_kmv_shards" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |hashed AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |shard_k AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM hashed)
+        |  WHERE rn <= 512),
+        |merged AS (
+        |  SELECT DISTINCT h FROM shard_k ORDER BY h LIMIT 512),
+        |direct AS (
+        |  SELECT DISTINCT h FROM hashed ORDER BY h LIMIT 512),
+        |m AS (
+        |  SELECT list_sort(list(h)) AS kmv, count(*) AS k_actual,
+        |    max(h) AS hk
+        |  FROM merged),
+        |d AS (SELECT list_sort(list(h)) AS kmv_d FROM direct),
+        |x AS (
+        |  SELECT count(DISTINCT tok) AS ndv_exact,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM toks)
+        |SELECT cast(x.n_sources AS bigint) AS n_sources,
+        |  cast(m.k_actual AS bigint) AS k_actual, m.hk,
+        |  CASE WHEN m.k_actual < 512 THEN m.k_actual::DOUBLE
+        |       ELSE 511.0 * 1152921504606846976.0 / m.hk::DOUBLE END AS ndv_est,
+        |  cast(x.ndv_exact AS bigint) AS ndv_exact,
+        |  (m.kmv = d.kmv_d) AS merge_eq
+        |FROM m, d, x""".stripMargin,
 
     // The replay's batch→hour mapping in closed form (ntile + the staged
     // 1700000000 + batch·3600 clock), epoch-aligned tumbling windows, then

@@ -429,6 +429,63 @@ object Similarity {
       .select(col("id").as(idCol), col("cell"), col("cent_cos"))
   }
 
+  /**
+   * Batch ANN k-NN join — [[annTopK]]'s multi-query form and [[crossTopK]]'s
+   * approximate twin: each query probes its own hyperplane bucket plus every
+   * single-bit flip, and only corpus rows in probed buckets are scored. The
+   * probe table (queries × (1+nBits) rows, small by the [[crossTopK]]
+   * broadcast contract) broadcasts; the corpus computes its bucket in the
+   * scan and never shuffles — candidates fan in at (query, candidate)
+   * granularity, then one rank window per query takes k. At 100 TB, read the
+   * corpus from the [[writeBucketedCorpus]] layout so each micro-batch of
+   * queries prunes partitions instead of re-hashing the corpus.
+   * Returns (query_id, corpus_id, cos, rank), rank ≤ k.
+   */
+  def annCrossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nBits: Int = 8,
+      scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      scheme.bucketCol(col(vecCol), nBits).as("cb"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      scheme.bucketCol(col(vecCol), nBits).as("qb"))
+    // the 1+nBits probe values are pairwise distinct by construction, so no
+    // candidate pair can arrive twice through different probes
+    val probes = q.select(col("query_id"), col("qv"),
+      explode(array((col("qb") +: (0 until nBits).map(b =>
+        col("qb").bitwiseXOR(lit(1L << b)))): _*)).as("pb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    c.join(broadcast(probes), col("cb") === col("pb"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine_sim(col("cv"), col("qv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * Recall@k — the index-quality gauge every ANN deployment tracks: per
+   * query, the fraction of the EXACT top-k an approximate result set
+   * recovered. Inputs are two (queryCol, idCol) result tables (from e.g.
+   * [[crossTopK]] and [[annCrossTopK]] / [[pqTopK]]); the join touches only
+   * result rows (queries × k), never the corpus. `recall` is n_hit/n_exact —
+   * a small-integer IEEE quotient, exact on every engine.
+   * Returns (query_id, n_hit, n_exact, recall).
+   */
+  def recallAtK(exact: DataFrame, approx: DataFrame,
+      queryCol: String, idCol: String): DataFrame =
+    exact.select(col(queryCol).as("query_id"), col(idCol).as("corpus_id"))
+      // dedup the approx side (result-table-sized): a repeated (query, id)
+      // would otherwise multiply exact rows through the join and overcount
+      .join(approx.select(col(queryCol).as("query_id"),
+          col(idCol).as("corpus_id")).dropDuplicates("query_id", "corpus_id")
+          .withColumn("__hit", lit(1L)),
+        Seq("query_id", "corpus_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("n_exact"))
+      .select(col("query_id"), col("n_hit"), col("n_exact"),
+        (col("n_hit") / col("n_exact")).as("recall"))
+
   // ------------------------- product quantization -------------------------
 
   /** A PQ codebook: `cents(j)(c)` is centroid c of subspace j (each of
@@ -439,21 +496,16 @@ object Similarity {
     def ksub: Int = if (cents.isEmpty) 0 else cents(0).length
   }
 
-  /** Squared-L2 distance of `vec`'s elements (1-based from `off`) to a
-    * literal centroid — an explicit mul-add chain, fully codegen'd. */
-  private def sqDist(vec: Column, off: Int, c: Array[Double]): Column =
-    c.indices.map { i =>
-      val d = element_at(vec, off + i + 1).cast("double") - lit(c(i))
-      d * d
-    }.reduce(_ + _)
-
-  /** L2 argmin cell (0-based) of the subvector at `off` against literal
-    * centroids; the first-listed centroid wins ties (the [[cellOf]] rule). */
-  private def pqCellOf(vec: Column, off: Int,
-      cents: Array[Array[Double]]): Column = {
-    val dists = array(cents.toIndexedSeq.map(c => sqDist(vec, off, c)): _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
+  /** The native PQ encoder as a Column: argmin centroid per subspace in one
+    * tight primitive loop (`org.apache.spark.sql.graft.PqEncode`). A
+    * Column-arithmetic formulation of the same math builds an
+    * m·ksub·subDim-term literal tree whose janino compilation alone cost
+    * tens of seconds per stage (q110's round-9 regression). */
+  private def pqEncodeCol(vec: Column,
+      cents: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.PqEncode(
+        org.apache.spark.sql.graft.Bridge.expression(vec), cents))
 
   /**
    * Deterministic product-quantization training — the codebook tier BELOW
@@ -489,14 +541,11 @@ object Similarity {
     var cents: Array[Array[Array[Double]]] = (0 until m).map(j =>
       seeds.map(_.slice(j * subDim, (j + 1) * subDim))).toArray
     for (_ <- 1 to iters) {
-      val subs = (0 until m).map { j =>
-        struct(
-          (lit(j * ksub) + pqCellOf(col("__v"), j * subDim, cents(j))).as("g"),
-          slice(col("__v"), j * subDim + 1, subDim).as("v"))
-      }
-      val assigned = df.select(col(vecCol).as("__v"))
-        .select(explode(array(subs: _*)).as("s"))
-        .select(col("s.g").as("g"), col("s.v").as("v"))
+      val assigned = df
+        .select(col(vecCol).as("__v"),
+          posexplode(pqEncodeCol(col(vecCol), cents)).as(Seq("j", "cell")))
+        .select((col("j") * lit(ksub) + col("cell")).as("g"),
+          slice(col("__v"), col("j") * lit(subDim) + lit(1), lit(subDim)).as("v"))
       val means = centroids(assigned, "g", "v")
         .collect()
         .map(r => (r.getInt(0), r.getLong(1).toInt, r.getDouble(2)))
@@ -512,18 +561,17 @@ object Similarity {
     * int array is the engine-portable carrier). One codegen'd scan. */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
       cb: PqCodebook): DataFrame =
-    df.select(col(idCol),
-      array((0 until cb.m).map(j =>
-        pqCellOf(col(vecCol), j * cb.subDim, cb.cents(j))): _*).as("code"))
+    df.select(col(idCol), pqEncodeCol(col(vecCol), cb.cents).as("code"))
 
   /**
    * Asymmetric-distance (ADC) top-k over PQ codes: the query precomputes a
-   * ksub-entry distance table per subspace — ON A ONE-ROW FRAME with the
-   * same Column arithmetic as training/encoding (the [[ivfProbeCells]]
-   * anti-divergence discipline) — and every corpus vector's score is m table
-   * lookups + adds over its code; ties rank by id. The scan reads codes
-   * only (m ints/vector — the 32× bandwidth win); the plan is
-   * TakeOrderedAndProject, no global sort.
+   * ksub-entry distance table per subspace — ON A ONE-ROW FRAME through
+   * `PqDistTable`, the same native loop and fold order as the `PqEncode`
+   * assignment (the [[ivfProbeCells]] anti-divergence discipline) — and
+   * every corpus vector's score is m table lookups + adds over its code
+   * (`PqAdc`); ties rank by id. The scan reads codes only (m ints/vector —
+   * the 32× bandwidth win); the plan is TakeOrderedAndProject, no global
+   * sort.
    *
    * An exact copy of the query achieves the global ADC minimum (its code IS
    * the per-subspace argmin), so planted-copy constructions are provably
@@ -535,15 +583,16 @@ object Similarity {
     val spark = encoded.sparkSession
     import spark.implicits._
     val qv = array(query.map(v => lit(v)): _*)
-    val tables: Array[Array[Double]] = Seq(1).toDF("one").select(qv.as("q"))
-      .select(array((0 until cb.m).map(j =>
-        array(cb.cents(j).indices.map(c =>
-          sqDist(col("q"), j * cb.subDim, cb.cents(j)(c))): _*)): _*).as("t"))
-      .head().getSeq[scala.collection.Seq[Double]](0)
-      .map(_.toArray).toArray
-    val score = (0 until cb.m).map(j =>
-      element_at(array(tables(j).toIndexedSeq.map(lit(_)): _*),
-        element_at(col(codeCol), j + 1) + 1)).reduce(_ + _)
+    val tables: Array[Double] = Seq(1).toDF("one").select(qv.as("q"))
+      .select(org.apache.spark.sql.graft.Bridge.column(
+        org.apache.spark.sql.graft.PqDistTable(
+          org.apache.spark.sql.graft.Bridge.expression(col("q")), cb.cents))
+        .as("t"))
+      .head().getSeq[Double](0).toArray
+    val score = org.apache.spark.sql.graft.Bridge.column(
+      org.apache.spark.sql.graft.PqAdc(
+        org.apache.spark.sql.graft.Bridge.expression(col(codeCol)),
+        tables, cb.ksub))
     encoded.select(col(idCol), score.as("adc_dist"))
       .orderBy(col("adc_dist").asc, col(idCol))
       .limit(k)

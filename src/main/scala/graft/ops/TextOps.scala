@@ -523,6 +523,61 @@ object TextOps {
   }
 
   /**
+   * Mergeable per-shard KMV distinct sketches — the incremental-maintenance
+   * primitive behind corpus dashboards at 100 TB: keep one k-minimum-values
+   * sketch per shard (source, ingest day, partition), re-sketch ONLY shards
+   * whose data changed, and combine in sketch space. KMV merging is EXACT,
+   * not approximate-on-approximate: every one of the union's k smallest
+   * distinct hashes is ≤ its own shard's k-th smallest, so it survives that
+   * shard's sketch — `merge(shard sketches) == sketch(whole corpus)` is an
+   * identity (spec- and oracle-pinned), and the merged estimate carries only
+   * KMV's own error. Returns (shard, kmv array<bigint> ascending).
+   *
+   * Scale shape: values reduce to 60-bit md5 hashes at the scan; the
+   * distinct moves (shard, 8-byte hash) pairs; the rank-window min-k is the
+   * `rank <= k` pattern Spark 4 compiles to a per-group limit (a k-row heap,
+   * no full per-shard sort). Sketks are k longs per shard — table-of-sketches
+   * size is O(shards·k), independent of corpus size.
+   */
+  def kmvSketchShards(df: DataFrame, shardCol: String, valueCol: String,
+      k: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h"))
+    df.select(col(shardCol).as("shard"),
+        md5_prefix60(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .groupBy(col("shard"))
+      .agg(sort_array(collect_list(col("h"))).as("kmv"))
+  }
+
+  /**
+   * Merge a table of [[kmvSketchShards]] sketches into one global sketch +
+   * distinct-count estimate: min-k over the union of the shard sketches
+   * (exactly the whole corpus's min-k — see [[kmvSketchShards]]), estimate
+   * `(k-1)·2^60 / h_k` (h_k = largest retained hash over the [0, 2^60) md5
+   * space); when fewer than k distinct values exist the sketch holds ALL of
+   * them and the "estimate" is the exact count. The arithmetic is one
+   * long→double cast + one multiply + one divide — bit-identical on every
+   * engine. Touches only O(shards·k) rows — merging is corpus-free, which is
+   * the point. Returns one row (kmv, k_actual, hk, ndv_est).
+   */
+  def kmvMergeEstimate(sketches: DataFrame, k: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    sketches.select(explode(col("kmv")).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+      .agg(sort_array(collect_list(col("h"))).as("kmv"),
+        count(lit(1)).as("k_actual"), max(col("h")).as("hk"))
+      .select(col("kmv"), col("k_actual"), col("hk"),
+        when(col("k_actual") < k, col("k_actual").cast("double"))
+          .otherwise(lit((k - 1).toDouble) * lit(math.pow(2, 60)) /
+            col("hk").cast("double"))
+          .as("ndv_est"))
+  }
+
+  /**
    * BM25 ranked retrieval (Robertson/Sparck-Jones; the Okapi scoring every
    * keyword-search stack uses) as one relational plan — the "find the
    * documents about X" query of a corpus-curation workflow.

@@ -312,6 +312,29 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("annCrossTopK matches single-query annTopK; recallAtK gauges exactly") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 3)
+    val corpus = e.where(col("vec_id") >= 3)
+    val batch = Similarity.annCrossTopK(corpus, queries, "vec_id", "embedding",
+        k = 5, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    for (qid <- 0L until 3L) {
+      val qv = e.where(col("vec_id") === qid).head().getSeq[Float](1)
+      val single = Similarity.annTopK(corpus, "vec_id", "embedding", qv, 5, nBits = 6)
+        .collect().map(_.getLong(0)).toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(got == single, s"query $qid: $got vs $single")
+    }
+    // recallAtK on hand-built tables; duplicated approx rows must not inflate
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L)).toDF("q", "id")
+    val approx = Seq((1L, 10L), (1L, 10L), (1L, 99L), (2L, 20L)).toDF("q", "id")
+    val rec = Similarity.recallAtK(exact, approx, "q", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(rec.toSeq == Seq((1L, 1L, 3L, 1.0 / 3), (2L, 1L, 1L, 1.0)))
+  }
+
   test("annTopK finds planted true neighbors (recall ≥ 0.9 at k=20)") {
     // plant 20 positive-scaled copies of the query: cosine exactly 1.0 and the
     // hyperplane bucket is scale-invariant, so a correct ANN must return them.

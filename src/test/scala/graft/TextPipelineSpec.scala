@@ -306,6 +306,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(packs(5L) == ("y", 0L))
   }
 
+  test("kmv shard sketches: merge == direct global sketch (exact identity); " +
+      "estimate is exact below k") {
+    import graft.functions.GraftFunctions.md5_prefix60
+    val rows = (0L until 300L).map(i => (s"s${i % 3}", s"v${i % 97}"))
+      .toDF("shard", "v")
+    val sk = TextOps.kmvSketchShards(rows, "shard", "v", k = 16)
+    val sketches = sk.collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(sketches.length == 3)
+    sketches.foreach { case (_, a) =>
+      assert(a.length == 16 && a == a.sorted, "sketch not ascending min-k")
+    }
+    // the law: min-k of the union of shard sketches == the global min-k
+    val merged = TextOps.kmvMergeEstimate(sk, k = 16).head()
+    val direct = rows.select(md5_prefix60(col("v")).as("h"))
+      .distinct().orderBy(col("h")).limit(16)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged.getSeq[Long](0) == direct, "merge != direct global sketch")
+    assert(merged.getLong(1) == 16L && merged.getLong(2) == direct.max)
+    // k above the true NDV: the sketch holds everything, estimate is EXACT
+    val m2 = TextOps.kmvMergeEstimate(
+      TextOps.kmvSketchShards(rows, "shard", "v", k = 200), k = 200).head()
+    assert(m2.getLong(1) == 97L && m2.getDouble(3) == 97.0)
+  }
+
   test("overlapSketch: self-overlap is exactly 1, estimate tracks exact corpus Jaccard") {
     import graft.functions.GraftFunctions.{md5_token_hashes, shingles}
     val docs = spark.read.parquet(sf() + "/documents.parquet")
