@@ -1581,7 +1581,63 @@ object SparkEntry {
     //     precedent) ---------------------------------------------------------
     "q78_novelty" -> ((s, dir) =>
       TextOps.noveltyProfile(T(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 3))
+        shingleSize = 3)),
+
+    // --- URL canonicalization + URL-level dedup (the FIRST dedup stage of a
+    //     crawl pipeline — cheaper than any content hash because it prunes
+    //     refetches before the text is even parsed). URLs synthesized with
+    //     every normalization hazard (scheme case, www, default port,
+    //     trailing slash, tracking params, unsorted params, fragments);
+    //     canonical keys and the keep-first rule replay verbatim in SQL ----
+    "q114_url_dedup" -> ((s, dir) => {
+      val urls = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(
+          when(col("doc_id") % 3 === 0, lit("https://"))
+            .when(col("doc_id") % 3 === 1, lit("HTTPS://www."))
+            .otherwise(lit("https://WWW.")),
+          col("source"), lit(".example.com"),
+          when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+          lit("/Pages/"), (col("doc_id") % 37).cast("string"),
+          when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit("?utm_source=feed&b=2&a=1"))
+            .when(col("doc_id") % 4 === 1, lit("?b=2&a=1&gclid=xyz"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+          .as("url"))
+      urls.select(col("doc_id"), col("source"),
+          TextOps.canonicalizeUrl(col("url")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("canonical"))
+    }),
+
+    // --- paragraph-level exact dedup with reassembly (RefinedWeb rule: the
+    //     web duplicates PARAGRAPHS — syndicated ledes, quoted posts — not
+    //     whole pages). Composite docs share paragraphs across gid groups by
+    //     construction; the oracle replays winner selection (min (doc,pos)
+    //     per hash) and md5-hashes every reassembled text, so one mis-spliced
+    //     paragraph anywhere breaks the hash ---------------------------------
+    "q115_para_dedup" -> ((s, dir) => {
+      val base = T(s, dir, "documents").where(col("text").isNotNull)
+        .select((col("doc_id") % 60).as("gid"), col("doc_id"), col("text"))
+      val docs = base.groupBy(col("gid")).agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          x => x.getField("text"))).as("text"))
+        .select(col("gid").as("id"),
+          // plant cross-doc duplicate paragraphs: every third group opens
+          // with the same syndicated lede; every fourth repeats a disclaimer
+          concat(
+            when(col("gid") % 3 === 0,
+              lit("breaking syndicated lede paragraph\n")).otherwise(lit("")),
+            col("text"),
+            when(col("gid") % 4 === 0,
+              lit("\nstandard disclaimer applies")).otherwise(lit("")))
+            .as("text"))
+      TextOps.dedupParagraphs(docs, "id", "text")
+        .select(col("id"), md5(col("text")).as("text_md5"),
+          col("n_paras"), col("n_dropped"))
+    })
   )
 
   // =========================================================================
@@ -3522,6 +3578,95 @@ object SparkEntry {
         |  round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) /
         |    cast(count(*) as double), 6) AS novelty_rate
         |FROM inv JOIN dfreq USING (g)
-        |GROUP BY doc_id""".stripMargin
+        |GROUP BY doc_id""".stripMargin,
+
+    // The identical canonicalization chain (RE2-safe patterns, single-match
+    // replaces so DuckDB's replace-first == Spark's replace-all) and the
+    // identical keep-first rule.
+    "q114_url_dedup" ->
+      """WITH urls AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'https://'
+        |          WHEN doc_id % 3 = 1 THEN 'HTTPS://www.'
+        |          ELSE 'https://WWW.' END)
+        |    || source || '.example.com'
+        |    || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+        |    || '/Pages/' || (doc_id % 37)::VARCHAR
+        |    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&b=2&a=1'
+        |            WHEN doc_id % 4 = 1 THEN '?b=2&a=1&gclid=xyz' ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+        |  FROM documents),
+        |steps AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(url, '#.*$', ''),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
+        |  FROM urls),
+        |parts AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(rest, '^([^/?]+)', 1)),
+        |      '^www\.', ''), ':(80|443)$', '') AS host,
+        |    regexp_replace(
+        |      regexp_extract(rest, '^[^/?]*(/[^?]*)', 1), '/+$', '') AS path,
+        |    list_sort(list_filter(
+        |      string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p,
+        |        '^(utm_[^=]*|fbclid|gclid|ref)='))) AS kept
+        |  FROM steps),
+        |canon AS (
+        |  SELECT doc_id,
+        |    host || path ||
+        |      CASE WHEN len(kept) > 0
+        |           THEN '?' || array_to_string(kept, '&') ELSE '' END
+        |      AS canonical
+        |  FROM parts)
+        |SELECT canonical, count(*) AS n_docs, min(doc_id) AS keep_id
+        |FROM canon GROUP BY canonical ORDER BY canonical""".stripMargin,
+
+    // q111's composite-doc scaffold; winner = row_number() = 1 over
+    // (id, pos) per paragraph hash — the exact min(struct) rule — and every
+    // reassembled text md5-hashed.
+    "q115_para_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id % 60 AS gid, doc_id, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |comp AS (
+        |  SELECT gid, string_agg(text, chr(10) ORDER BY doc_id) AS body
+        |  FROM base GROUP BY gid),
+        |docs AS (
+        |  SELECT gid AS id,
+        |    CASE WHEN gid % 3 = 0
+        |         THEN 'breaking syndicated lede paragraph' || chr(10)
+        |         ELSE '' END
+        |    || body
+        |    || CASE WHEN gid % 4 = 0
+        |            THEN chr(10) || 'standard disclaimer applies'
+        |            ELSE '' END AS text
+        |  FROM comp),
+        |split_docs AS (
+        |  SELECT id, string_split(text, chr(10)) AS parts FROM docs),
+        |paras AS (
+        |  SELECT id, unnest(generate_series(1, len(parts))) AS pos, parts
+        |  FROM split_docs),
+        |hashed AS (
+        |  SELECT id, pos,
+        |    ('0x' || substr(md5(parts[pos]), 1, 15))::BIGINT AS h
+        |  FROM paras),
+        |ranked AS (
+        |  SELECT id, pos,
+        |    row_number() OVER (PARTITION BY h ORDER BY id, pos) AS rn
+        |  FROM hashed),
+        |kept AS (SELECT id, pos FROM ranked WHERE rn = 1),
+        |cleaned AS (
+        |  SELECT k.id, string_agg(s.parts[k.pos], chr(10) ORDER BY k.pos) AS text
+        |  FROM kept k JOIN split_docs s USING (id) GROUP BY k.id),
+        |counts AS (
+        |  SELECT id, count(*) AS n_dropped FROM ranked WHERE rn > 1 GROUP BY id)
+        |SELECT s.id, md5(coalesce(c.text, '')) AS text_md5,
+        |  cast(len(s.parts) AS bigint) AS n_paras,
+        |  cast(coalesce(n.n_dropped, 0) AS bigint) AS n_dropped
+        |FROM split_docs s
+        |LEFT JOIN cleaned c USING (id) LEFT JOIN counts n USING (id)""".stripMargin
   )
 }

@@ -897,6 +897,83 @@ object TextOps {
           .cast("long").as("contrib_nano"))
   }
 
+  /**
+   * URL canonicalization — the first dedup stage of every web-crawl pipeline
+   * (the same page arrives as `HTTPS://www.ex.com:443/p/1/?utm_source=f#top`
+   * and `https://ex.com/p/1`): drop the fragment and the scheme, lowercase
+   * the authority, strip a leading `www.`, strip default ports (`:80`/`:443`),
+   * strip trailing slashes from the path, drop tracking query parameters
+   * (`utm_*`, `fbclid`, `gclid`, `ref`) and SORT the survivors so parameter
+   * order cannot split a group. Pure codegen'd expression chain (regexp +
+   * array ops) — zero shuffle, runs at scan bandwidth, and every rule has an
+   * exact DuckDB twin (RE2-safe patterns: no backreferences, no lookaround)
+   * so the canonical keys replay in SQL.
+   *
+   * Deliberately conservative: the path's case is preserved (paths are
+   * case-sensitive per RFC 3986; only scheme+authority fold), and unknown
+   * query parameters are kept. Scheme-less inputs canonicalize as if the
+   * authority starts the string. ASCII authorities assumed (IDN folding is
+   * a tokenizer-grade concern, out of scope).
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val host = regexp_replace(regexp_replace(
+      lower(regexp_extract(rest, "^([^/?]+)", 1)),
+      "^www\\.", ""), ":(80|443)$", "")
+    val path = regexp_replace(regexp_extract(rest, "^[^/?]*(/[^?]*)", 1), "/+$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val keptParams = array_sort(filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike("^(utm_[^=]*|fbclid|gclid|ref)=")))
+    concat(host, path,
+      when(size(keptParams) > 0, concat(lit("?"), concat_ws("&", keptParams)))
+        .otherwise(lit("")))
+  }
+
+  /**
+   * Cross-document paragraph-level exact dedup with reassembly (the
+   * RefinedWeb/Dolma discipline: the unit of duplication on the web is the
+   * paragraph, not the page — quoted posts, syndicated ledes, repeated
+   * disclaimers). The GLOBAL first occurrence of each paragraph — minimum
+   * (doc, position) lexicographically — survives; every other occurrence,
+   * including repeats later in the SAME document, is spliced out and the
+   * remaining paragraphs rejoin in order.
+   *
+   * 100 TB shape: [[removeBoilerplateLines]]'s discipline — text never
+   * shuffles. Paragraphs reduce at the scan to (doc, pos, 60-bit md5)
+   * triples; the winner table lives on hash keys (`min(struct(doc, pos))`
+   * is one map-side-combinable agg, no window); only DROPPED (doc, pos)
+   * pairs travel back, and untouched docs — the overwhelming majority —
+   * pass through VERBATIM on the left-join miss. `sep` is literal
+   * (regex-quoted split, byte-identical rejoin). NULL text passes through
+   * NULL with zero counts. Returns (idCol, textCol deduped, n_paras,
+   * n_dropped).
+   */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val parts = split(col(textCol), lit(java.util.regex.Pattern.quote(sep)))
+    val paras = df
+      .select(col(idCol).as("__pid"), posexplode(parts).as(Seq("pos", "para")))
+      .select(col("__pid"), col("pos"), md5_prefix60(col("para")).as("h"))
+    val winners = paras.groupBy(col("h"))
+      .agg(min(struct(col("__pid"), col("pos"))).as("w"))
+    val dropped = paras.join(winners, Seq("h"))
+      .where(col("__pid") =!= col("w.__pid") || col("pos") =!= col("w.pos"))
+      .groupBy(col("__pid"))
+      .agg(collect_set(col("pos")).as("__drop_pos"),
+        count(lit(1)).as("__n_dropped"))
+    df.join(dropped, df(idCol) === dropped("__pid"), "left")
+      .select(df(idCol),
+        when(col("__drop_pos").isNull, col(textCol))
+          .otherwise(concat_ws(sep,
+            filter(parts, (_, i) => !array_contains(col("__drop_pos"), i))))
+          .as(textCol),
+        when(col(textCol).isNull, lit(0L))
+          .otherwise(size(parts).cast("bigint")).as("n_paras"),
+        coalesce(col("__n_dropped"), lit(0L)).as("n_dropped"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

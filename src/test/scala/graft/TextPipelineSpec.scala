@@ -373,6 +373,64 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("canonicalizeUrl: every normalization hazard collapses to one key; " +
+      "path case and unknown params survive") {
+    val variants = Seq(
+      "HTTPS://WWW.Example.com:443/Pages/1/?utm_source=f&b=2&a=1#top",
+      "https://example.com/Pages/1?a=1&b=2&gclid=xyz",
+      "http://www.example.com:80/Pages/1/?b=2&a=1&fbclid=q&ref=hn",
+      "example.com/Pages/1?a=1&b=2") // scheme-less
+    val keys = variants.toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(keys.distinct == Seq("example.com/Pages/1?a=1&b=2"),
+      s"variants did not collapse: $keys")
+    // path case preserved; non-default port kept; no query -> no '?'
+    val others = Seq(
+      "https://Ex.com:8080/CaseSensitive/Path",
+      "https://ex.com/p#only-frag").toDF("url")
+      .select(TextOps.canonicalizeUrl(col("url")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(others == Seq("ex.com:8080/CaseSensitive/Path", "ex.com/p"))
+    // all-tracking query drops the '?' entirely
+    val tracked = Seq("https://ex.com/p?utm_campaign=x&utm_medium=y")
+      .toDF("url").select(TextOps.canonicalizeUrl(col("url")).as("k"))
+      .collect().map(_.getString(0)).toSeq
+    assert(tracked == Seq("ex.com/p"))
+  }
+
+  test("dedupParagraphs: global min-(doc,pos) wins, within-doc repeats " +
+      "spliced, verbatim passthrough, NULL text") {
+    val lede = "syndicated lede"
+    val docs = Seq(
+      (1L, s"$lede\nalpha body\n$lede"),          // repeats the lede itself
+      (2L, s"beta body\n$lede"),                  // later doc loses the lede
+      (3L, "own one\nown two"),                   // untouched: verbatim
+      (4L, "  spacing  kept \nown three"),        // untouched incl. spacing
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val out = TextOps.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)),
+        r.getLong(2), r.getLong(3))).sortBy(_._1)
+    // doc 1 keeps its FIRST lede (global min (1,0)); pos-2 repeat dropped
+    assert(out(0) == ((1L, Some(s"$lede\nalpha body"), 3L, 1L)))
+    assert(out(1) == ((2L, Some("beta body"), 2L, 1L)))
+    assert(out(2) == ((3L, Some("own one\nown two"), 2L, 0L)))
+    assert(out(3) == ((4L, Some("  spacing  kept \nown three"), 2L, 0L)))
+    assert(out(4) == ((5L, None, 0L, 0L)))
+  }
+
+  test("dedupParagraphs: custom separator with regex metachars is literal; " +
+      "all-paras-dropped doc becomes empty") {
+    val docs = Seq((1L, "dup|keep"), (2L, "dup"), (3L, "dup")).toDF("id", "text")
+    val out = TextOps.dedupParagraphs(docs, "id", "text", sep = "|")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      .sortBy(_._1)
+    // doc 1 owns (1,0): keeps 'dup'; docs 2,3 lose their only paragraph
+    assert(out(0) == ((1L, "dup|keep", 0L)))
+    assert(out(1) == ((2L, "", 1L)))
+    assert(out(2) == ((3L, "", 1L)))
+  }
+
   test("bm25: planted term-dense doc ranks first; index path == direct path") {
     val docs = spark.read.parquet(sf() + "/documents.parquet")
       .select(col("doc_id"), col("text"))
