@@ -41,13 +41,13 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which Spark's
-    * vectorized reader rejects; read them as raw nanos and convert with exact
-    * integer division (ns epoch values overflow double precision, so no `/`). */
+  /** The events table's `ts` encoding is layout-dependent (int64 nanos under
+    * `nanosAsLong`, or native TIMESTAMP_NTZ micros); normalize through the
+    * one shared contract in [[graft.streaming.Streaming.normalizeEventTs]]. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.streaming.Streaming.normalizeEventTs(
+      s.read.parquet(s"$dir/events.parquet"))
   }
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
@@ -1637,6 +1637,112 @@ object SparkEntry {
       TextOps.dedupParagraphs(docs, "id", "text")
         .select(col("id"), md5(col("text")).as("text_md5"),
           col("n_paras"), col("n_dropped"))
+    }),
+
+    // --- HTML → text extraction (the WET stage of a crawl pipeline). Docs
+    //     wrapped in full HTML templates with every extraction hazard:
+    //     comments (multi-line), style/script blocks whose CONTENT must
+    //     drop (incl. a case-variant <SCRIPT> and a '<' inside js), tags
+    //     that must become token boundaries, all five entities. Every
+    //     cleaned text md5'd — one leaked tag or swallowed word breaks it --
+    "q116_html_extract" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("text").isNotNull)
+      val html = docs.select(col("doc_id"),
+        concat(
+          lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+          lit("</title><style type=\"text/css\">body { color: #333; }</style>"),
+          lit("<script>var x = 1 < 2 && \"a\";</script></head><body>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<!-- nav\nboilerplate\n<p>not text</p> -->")).otherwise(lit("")),
+          lit("<h1>Title &amp; Header</h1><p>"),
+          col("text"),
+          lit("</p><ul><li>A&nbsp;&lt;tag&gt;</li><li>B &#39;q&#39; &quot;r&quot;</li></ul>"),
+          when(col("doc_id") % 4 === 0,
+            lit("<SCRIPT type=\"text/javascript\">alert(1)</SCRIPT>"))
+            .otherwise(lit("")),
+          lit("</body></html>")).as("html"))
+      html.select(col("doc_id"),
+          TextOps.extractHtmlText(col("html")).as("clean"))
+        .select(col("doc_id"), md5(col("clean")).as("clean_md5"),
+          token_count(col("clean")).cast("bigint").as("n_tokens"))
+    }),
+
+    // --- the full Gopher rule battery (Rae et al. A1.1) as a per-doc
+    //     report. Hazards planted by doc_id residue: bullet blocks,
+    //     ellipsis lines, symbol-noise runs. Integer cross-multiplied
+    //     rationals — every boolean replays exactly in SQL -----------------
+    "q117_gopher_rules" -> ((s, dir) => {
+      val base = T(s, dir, "documents").where(col("text").isNotNull)
+      val docs = base.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n- bullet one\n- bullet two\n* bullet three")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit("\nto be continued...\nand more...")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" ### 123 456 $$$ 789 42 7 99 100")).otherwise(lit("")))
+          .as("text"))
+      TextOps.gopherQuality(docs, "doc_id", "text", minWords = 10)
+    }),
+
+    // --- registered-domain extraction (the per-site datacard key):
+    //     subdomain depth × multi-level public suffixes × a dotless host,
+    //     rolled up per registered domain ---------------------------------
+    "q118_registered_domain" -> ((s, dir) => {
+      val hosts = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 13 === 0, lit("localhost"))
+          .otherwise(concat(
+            when(col("doc_id") % 4 === 0, lit("cdn.assets."))
+              .when(col("doc_id") % 4 === 1, lit("blog."))
+              .otherwise(lit("")),
+            col("source"), lit("-site"),
+            when(col("doc_id") % 5 === 0, lit(".co.uk"))
+              .when(col("doc_id") % 5 === 1, lit(".com.au"))
+              .when(col("doc_id") % 5 === 2, lit(".org"))
+              .when(col("doc_id") % 5 === 3, lit(".io"))
+              .otherwise(lit(".com")))).as("host"))
+      hosts.select(col("doc_id"),
+          TextOps.registeredDomain(col("host")).as("rdomain"))
+        .groupBy(col("rdomain"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("rdomain"))
+    }),
+
+    // --- CCNet perplexity bucketing: per-language head/middle/tail thirds
+    //     by in-corpus LM score — integer rank cuts over q73's oracle-exact
+    //     scores, every bucket label value-checked ------------------------
+    "q119_ccnet_buckets" -> ((s, dir) =>
+      TextOps.perplexityBuckets(T(s, dir, "documents"), "doc_id", "text",
+        "lang")),
+
+    // --- hard-negative mining: ANN candidates below the positive band.
+    //     The corpus deliberately CONTAINS the queries and planted exact
+    //     copies (cos 1.0) — the posThreshold filter must exclude all of
+    //     them, so a regression that leaks positives breaks rows, not just
+    //     ranks. md5 scheme ⇒ buckets, cosines, and ranks all replay ------
+    "q120_hard_negatives" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = emb.where(col("vec_id") < 5)
+      val copies = queries.select((col("vec_id") + 50000).as("vec_id"),
+        col("embedding"))
+      val corpus = emb.unionAll(copies)
+      Similarity.hardNegatives(corpus, queries, "vec_id", "embedding",
+          k = 10, posThreshold = 0.95, nBits = 8,
+          scheme = Similarity.SrpScheme.md5)
+        .select(col("query_id"), col("corpus_id"),
+          round(col("cos"), 4).as("cos"), col("rank").cast("int").as("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- pairwise source-overlap matrix from per-source KMV sketches: the
+    //     k-min coincidence estimator is a pure function of the sketches,
+    //     so every (union_k, inter_k, estimate) cell replays exactly -------
+    "q121_overlap_matrix" -> ((s, dir) => {
+      val toks = T(s, dir, "documents").where(col("text").isNotNull)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      val sk = TextOps.kmvSketchShards(toks, "source", "tok", k = 256)
+      TextOps.kmvOverlapMatrix(sk, k = 256)
+        .orderBy(col("shard_a"), col("shard_b"))
     })
   )
 
@@ -3667,6 +3773,240 @@ object SparkEntry {
         |  cast(len(s.parts) AS bigint) AS n_paras,
         |  cast(coalesce(n.n_dropped, 0) AS bigint) AS n_dropped
         |FROM split_docs s
-        |LEFT JOIN cleaned c USING (id) LEFT JOIN counts n USING (id)""".stripMargin
+        |LEFT JOIN cleaned c USING (id) LEFT JOIN counts n USING (id)""".stripMargin,
+
+    // the exact extractHtmlText chain: comments, script/style (content and
+    // all), tags → space, the five entities (&amp; last), collapse + trim
+    "q116_html_extract" ->
+      """WITH html AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id::VARCHAR ||
+        |    '</title><style type="text/css">body { color: #333; }</style>' ||
+        |    '<script>var x = 1 < 2 && "a";</script></head><body>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<!-- nav' || chr(10) || 'boilerplate' || chr(10) ||
+        |              '<p>not text</p> -->' ELSE '' END ||
+        |    '<h1>Title &amp; Header</h1><p>' || text ||
+        |    '</p><ul><li>A&nbsp;&lt;tag&gt;</li><li>B &#39;q&#39; &quot;r&quot;</li></ul>' ||
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN '<SCRIPT type="text/javascript">alert(1)</SCRIPT>'
+        |         ELSE '' END ||
+        |    '</body></html>' AS html
+        |  FROM documents WHERE text IS NOT NULL),
+        |c1 AS (SELECT doc_id,
+        |  regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') AS s FROM html),
+        |c2 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM c1),
+        |c3 AS (SELECT doc_id,
+        |  regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM c2),
+        |c4 AS (SELECT doc_id, regexp_replace(s, '<[^>]*>', ' ', 'g') AS s FROM c3),
+        |c5 AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&') AS s FROM c4),
+        |clean AS (SELECT doc_id,
+        |  trim(regexp_replace(s, '\s+', ' ', 'g')) AS clean FROM c5)
+        |SELECT doc_id, md5(clean) AS clean_md5,
+        |  cast(len(list_filter(string_split(clean, ' '), x -> x <> ''))
+        |    AS bigint) AS n_tokens
+        |FROM clean""".stripMargin,
+
+    // every Gopher counter rebuilt from the same string primitives, every
+    // rule the same integer cross-multiplication
+    "q117_gopher_rules" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN chr(10) || '- bullet one' || chr(10) || '- bullet two' ||
+        |              chr(10) || '* bullet three' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN chr(10) || 'to be continued...' || chr(10) || 'and more...'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' ### 123 456 $$$ 789 42 7 99 100' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_words,
+        |    len(string_split(text, chr(10))) AS n_lines,
+        |    length(replace(text, ' ', '')) AS n_chars,
+        |    length(text) - length(replace(text, '#', '')) AS n_hash,
+        |    (length(text) - length(replace(text, '...', ''))) // 3 AS n_ell,
+        |    len(list_filter(string_split(
+        |      regexp_replace(text, '[^ ]*[A-Za-z][^ ]*', '', 'g'), ' '),
+        |      x -> x <> '')) AS n_nonalpha,
+        |    len(regexp_extract_all(text, '(?m)^(- |\* )')) AS n_bullet,
+        |    len(regexp_extract_all(text, '(?m)\.\.\.$')) AS n_ellline,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN
+        |      ('the','be','to','of','and','that','have','with'))) AS n_stop
+        |  FROM docs)
+        |SELECT doc_id,
+        |  cast(n_words AS bigint) AS n_words,
+        |  cast(n_lines AS bigint) AS n_lines,
+        |  (n_words >= 10 AND n_words <= 100000) AS r_word_count,
+        |  (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AS r_mean_word_len,
+        |  (10 * (n_hash + n_ell) < n_words) AS r_symbol_ratio,
+        |  (10 * n_bullet <= 9 * n_lines) AS r_bullet_lines,
+        |  (10 * n_ellline <= 3 * n_lines) AS r_ellipsis_lines,
+        |  (5 * (n_words - n_nonalpha) > 4 * n_words) AS r_alpha_words,
+        |  (n_stop >= 2) AS r_stop_words,
+        |  ((n_words >= 10 AND n_words <= 100000) AND
+        |   (3 * n_words <= n_chars AND n_chars <= 10 * n_words) AND
+        |   (10 * (n_hash + n_ell) < n_words) AND
+        |   (10 * n_bullet <= 9 * n_lines) AND
+        |   (10 * n_ellline <= 3 * n_lines) AND
+        |   (5 * (n_words - n_nonalpha) > 4 * n_words) AND
+        |   (n_stop >= 2)) AS keep
+        |FROM m""".stripMargin,
+
+    "q118_registered_domain" ->
+      """WITH hosts AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 13 = 0 THEN 'localhost'
+        |         ELSE (CASE WHEN doc_id % 4 = 0 THEN 'cdn.assets.'
+        |                    WHEN doc_id % 4 = 1 THEN 'blog.' ELSE '' END)
+        |              || source || '-site'
+        |              || (CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+        |                       WHEN doc_id % 5 = 1 THEN '.com.au'
+        |                       WHEN doc_id % 5 = 2 THEN '.org'
+        |                       WHEN doc_id % 5 = 3 THEN '.io'
+        |                       ELSE '.com' END)
+        |    END AS host
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, host, string_split(host, '.') AS labels,
+        |    len(string_split(host, '.')) AS n
+        |  FROM hosts),
+        |d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n >= 3 AND array_to_string(labels[-2:], '.') IN
+        |           ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au',
+        |            'org.au','co.jp','ne.jp','or.jp','co.nz','com.br',
+        |            'com.mx','co.in','co.kr','com.sg','co.za','com.cn',
+        |            'com.tr','com.ar')
+        |         THEN array_to_string(labels[-3:], '.')
+        |         WHEN n >= 2 THEN array_to_string(labels[-2:], '.')
+        |         ELSE host END AS rdomain
+        |  FROM r)
+        |SELECT rdomain, count(*) AS n_docs, min(doc_id) AS first_id
+        |FROM d GROUP BY rdomain ORDER BY rdomain""".stripMargin,
+
+    // q73's bigram-LM CTEs verbatim, then the lang join and the integer
+    // rank cuts (3·rk ≤ n / 3·rk ≤ 2n) over (score desc, doc_id)
+    "q119_ccnet_buckets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1,
+        |         unnest(toks[2:len(toks)]) AS w2
+        |  FROM t WHERE len(toks) >= 2),
+        |c12 AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM
+        |        (SELECT unnest(toks) AS w FROM t WHERE len(toks) >= 2)),
+        |model AS (
+        |  SELECT w1, w2,
+        |    cast(round(ln((c12 + 1.0) / (c1 + 1.0 * v)) * 1e9) AS BIGINT) AS qlp
+        |  FROM c12 JOIN c1 USING (w1) CROSS JOIN v),
+        |scored AS (
+        |  SELECT b.doc_id, count(*) AS n_bigrams,
+        |    round(cast(sum(qlp) as double) / (count(*) * 1000000000.0), 6)
+        |      AS avg_logprob
+        |  FROM b JOIN model USING (w1, w2)
+        |  GROUP BY b.doc_id),
+        |j AS (
+        |  SELECT s.doc_id, d.lang, s.n_bigrams, s.avg_logprob
+        |  FROM scored s JOIN documents d USING (doc_id)),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY avg_logprob DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM j)
+        |SELECT doc_id, lang, n_bigrams, avg_logprob,
+        |  CASE WHEN rk * 3 <= n THEN 'head'
+        |       WHEN rk * 3 <= 2 * n THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM r""".stripMargin,
+
+    // q112's md5-plane bucket + multi-probe scaffold; positives (cos >=
+    // 0.95 — self and the planted +50000 copies) filtered BEFORE the rank
+    "q120_hard_negatives" ->
+      """WITH e0 AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 50000 AS vec_id, v FROM e0 WHERE vec_id < 5),
+        |bk AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(
+        |      [CASE WHEN list_sum(
+        |         [(floor(v[d + 1] * 1000000))::BIGINT *
+        |            ((('0x' || substr(md5(pb::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+        |              % 1000001) - 500000)
+        |          FOR d IN generate_series(0, len(v) - 1)]) > 0
+        |       THEN 1::BIGINT << pb ELSE 0::BIGINT END
+        |       FOR pb IN generate_series(0, 7)]) AS BIGINT) AS bucket
+        |  FROM e),
+        |q AS (SELECT vec_id AS query_id, bucket AS qb, v AS qv
+        |      FROM bk WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS corpus_id, bucket AS cb, v AS cv FROM bk),
+        |probes AS (
+        |  SELECT query_id, qv, qb AS p FROM q
+        |  UNION ALL
+        |  SELECT query_id, qv, xor(qb, 1::BIGINT << i) AS p
+        |  FROM q, generate_series(0, 7) t(i)),
+        |cand AS (
+        |  SELECT p.query_id, c.corpus_id,
+        |    list_cosine_similarity(c.cv, p.qv) AS cos
+        |  FROM probes p JOIN c ON c.cb = p.p),
+        |ranked AS (
+        |  SELECT query_id, corpus_id, cos,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos DESC, corpus_id) AS rank
+        |  FROM cand WHERE cos < 0.95)
+        |SELECT query_id, corpus_id, round(cos, 4) AS cos, cast(rank AS int) AS rank
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+
+    // q113's per-source sketches, then the pure-sketch pair arithmetic:
+    // union min-k via list merge, intersection by membership in both
+    "q121_overlap_matrix" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |hashed AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |  FROM toks),
+        |shard_k AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |    FROM hashed)
+        |  WHERE rn <= 256),
+        |sk AS (
+        |  SELECT source, list_sort(list(h)) AS kmv FROM shard_k GROUP BY source),
+        |pairs AS (
+        |  SELECT a.source AS shard_a, b.source AS shard_b,
+        |    a.kmv AS ka, b.kmv AS kb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |u AS (
+        |  SELECT shard_a, shard_b, ka, kb,
+        |    list_sort(list_distinct(ka || kb))[1:256] AS un
+        |  FROM pairs)
+        |SELECT shard_a, shard_b,
+        |  cast(len(un) AS bigint) AS union_k,
+        |  cast(len(list_filter(un, h -> list_contains(ka, h)
+        |    AND list_contains(kb, h))) AS bigint) AS inter_k,
+        |  round(len(list_filter(un, h -> list_contains(ka, h)
+        |    AND list_contains(kb, h))) / cast(len(un) AS double), 6)
+        |    AS jaccard_est
+        |FROM u ORDER BY shard_a, shard_b""".stripMargin
   )
 }

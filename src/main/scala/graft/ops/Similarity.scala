@@ -444,6 +444,19 @@ object Similarity {
   def annCrossTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nBits: Int = 8,
       scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    annCandidates(corpus, queries, idCol, vecCol, nBits, scheme)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** The shared multi-probe candidate join of [[annCrossTopK]] and
+    * [[hardNegatives]]: (query_id, corpus_id, cos), corpus rows only from
+    * probed buckets, probe table broadcast. */
+  private def annCandidates(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, nBits: Int,
+      scheme: SrpScheme): DataFrame = {
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       scheme.bucketCol(col(vecCol), nBits).as("cb"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -453,11 +466,34 @@ object Similarity {
     val probes = q.select(col("query_id"), col("qv"),
       explode(array((col("qb") +: (0 until nBits).map(b =>
         col("qb").bitwiseXOR(lit(1L << b)))): _*)).as("pb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
     c.join(broadcast(probes), col("cb") === col("pb"))
       .select(col("query_id"), col("corpus_id"),
         cosine_sim(col("cv"), col("qv")).as("cos"))
+  }
+
+  /**
+   * Hard-negative mining — the contrastive-training data stage (DPR/SBERT
+   * recipe): per query, the highest-ranked ANN candidates BELOW the
+   * positive band. Candidates with `cos >= posThreshold` are positives or
+   * duplicates of the query (including the query itself when it lives in
+   * the corpus) and are excluded BEFORE ranking, so the k survivors are
+   * "near but not the answer" — similar enough to be hard, dissimilar
+   * enough to be wrong.
+   *
+   * Same 100 TB shape as [[annCrossTopK]] (shared candidate join: probe
+   * table broadcasts, corpus never shuffles, one rank window per query);
+   * the positive-band filter is a scan-level predicate on the already-
+   * computed cosine, so it prunes candidates before the window sees them.
+   * Returns (query_id, corpus_id, cos, rank), rank ≤ k.
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, posThreshold: Double, nBits: Int = 8,
+      scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("corpus_id"))
+    annCandidates(corpus, queries, idCol, vecCol, nBits, scheme)
+      .where(col("cos") < posThreshold)
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }

@@ -974,6 +974,187 @@ object TextOps {
         coalesce(col("__n_dropped"), lit(0L)).as("n_dropped"))
   }
 
+  /**
+   * HTML → text extraction (the WET-file stage of a crawl pipeline: strip
+   * markup, keep prose). Order matters and is part of the contract:
+   * comments, then `<script>`/`<style>` blocks WITH their contents (their
+   * text is code, not prose), then remaining tags each become a space (so
+   * `a</p><p>b` stays two tokens), then the five ubiquitous character
+   * entities decode (`&amp;` LAST — decoding it first would conjure new
+   * entities out of literal text like `&amp;lt;`), then whitespace runs
+   * collapse to one space and the ends trim.
+   *
+   * Pure codegen'd regexp/replace chain — zero shuffle, scan bandwidth.
+   * Every pattern is RE2-safe (inline `(?is)` flags, non-greedy `.*?`, no
+   * backreferences/lookaround), so the whole chain has an exact DuckDB
+   * twin. Entity decode uses literal `replace`, not regex. This is a
+   * heuristic extractor by design: malformed nesting degrades to extra
+   * whitespace, never to lost prose outside script/style blocks.
+   */
+  def extractHtmlText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(noComment, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    val amp = replace(ent, lit("&amp;"), lit("&"))
+    trim(regexp_replace(amp, "\\s+", " "))
+  }
+
+  /** The Gopher stopword list (Rae et al. 2021 §A1.1: a doc must contain at
+    * least two of these to pass the stop-word rule). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * The full Gopher quality-rule report (Rae et al. 2021, Appendix A1.1) —
+   * the rule battery production corpus filters publish per-document, not
+   * just a composite score: word-count bounds, mean-word-length bounds,
+   * symbol-to-word ratio (`#` and `...`), bullet-line and ellipsis-line
+   * fractions, alphabetic-word fraction, and the stop-word floor. `keep`
+   * is the conjunction.
+   *
+   * Every rule is decided in INTEGER arithmetic (cross-multiplied
+   * rationals — `10·n_sym < n_words` instead of `n_sym/n_words < 0.1`), so
+   * there is no float rounding to diverge between engines, and every count
+   * comes from a codegen'd string primitive (regexp_count / split / replace
+   * length deltas) — no interpreted higher-order functions, no shuffle,
+   * scan bandwidth. Empty/null docs fail every rule that needs tokens
+   * (coalesce to false — the [[filterFunnel]] convention).
+   *
+   * Returns (idCol, n_words, n_lines, plus one boolean per rule, keep).
+   */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nW = size(toks).cast("bigint")
+    val nLines = when(t.isNull, lit(0L))
+      .otherwise(size(split(t, "\n", -1)).cast("bigint"))
+    // sum of token lengths == chars left after deleting every ' ' (the
+    // tokens() contract splits on single spaces, nothing else)
+    val nChars = length(replace(t, lit(" "), lit(""))).cast("bigint")
+    // '#' occurrences + '...' occurrences (non-overlapping, the replace trick)
+    val nHash = (length(t) - length(replace(t, lit("#"), lit("")))).cast("bigint")
+    val nEll = ((length(t) - length(replace(t, lit("..."), lit("")))) / 3).cast("bigint")
+    // words with NO alphabetic char = tokens left after deleting every
+    // space-delimited run that contains a letter ([^ ] matches exactly the
+    // tokens() token alphabet, so the deletion is exactly per-token)
+    val nNonAlpha = size(tokens(regexp_replace(t, "[^ ]*[A-Za-z][^ ]*", ""))).cast("bigint")
+    val nAlpha = nW - nNonAlpha
+    val nBullet = regexp_count(t, lit("(?m)^(- |\\* )")).cast("bigint")
+    val nEllLine = regexp_count(t, lit("(?m)\\.\\.\\.$")).cast("bigint")
+    val nStop = count_in_set(tokens(lower(t)), gopherStops).cast("bigint")
+    def rule(c: Column) = coalesce(c, lit(false))
+    df.select(col(idCol), nW.as("n_words"), nLines.as("n_lines"),
+        rule(nW >= minWords && nW <= maxWords).as("r_word_count"),
+        rule(lit(3L) * nW <= nChars && nChars <= lit(10L) * nW).as("r_mean_word_len"),
+        rule(lit(10L) * (nHash + nEll) < nW).as("r_symbol_ratio"),
+        rule(lit(10L) * nBullet <= lit(9L) * nLines).as("r_bullet_lines"),
+        rule(lit(10L) * nEllLine <= lit(3L) * nLines).as("r_ellipsis_lines"),
+        rule(lit(5L) * nAlpha > lit(4L) * nW).as("r_alpha_words"),
+        rule(nStop >= 2L).as("r_stop_words"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") && col("r_symbol_ratio") &&
+        col("r_bullet_lines") && col("r_ellipsis_lines") && col("r_alpha_words") &&
+        col("r_stop_words"))
+  }
+
+  /** Multi-level public suffixes recognized by [[registeredDomain]] — the
+    * high-traffic two-label entries of the Public Suffix List. A full PSL
+    * would load the published list the same way; the LOGIC is what scales. */
+  val twoLevelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "co.nz", "com.br", "com.mx", "co.in",
+    "co.kr", "com.sg", "co.za", "com.cn", "com.tr", "com.ar")
+
+  /**
+   * Registered-domain extraction (the per-site aggregation key of every
+   * crawl datacard: `a.b.example.co.uk` → `example.co.uk`): take the last
+   * two labels of an already-canonical host (see [[canonicalizeUrl]]),
+   * or the last three when the final two form a multi-level public suffix
+   * (`co.uk`, `com.au`, …). Single-label hosts pass through unchanged.
+   * Pure array/slice expression chain — codegen'd, zero shuffle, and
+   * list-slicing replays exactly in DuckDB.
+   */
+  def registeredDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val last3 = concat_ws(".", slice(labels, -3, 3))
+    when(host.isNull, lit(null).cast("string"))
+      .when(n >= 3 && last2.isin(twoLevelSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(host)
+  }
+
+  /**
+   * CCNet-style perplexity bucketing (Wenzek et al. 2020): per language,
+   * rank documents by their in-corpus LM score ([[lmScore]] — higher = more
+   * fluent) and cut the ranking into head / middle / tail thirds. Training
+   * pipelines keep head+middle and route tail to re-filtering; the bucket
+   * label is the routing key.
+   *
+   * Cuts are INTEGER rank comparisons (`3·rk ≤ n` → head, `3·rk ≤ 2n` →
+   * middle — the [[graft.ops.Sampling.quantileBand]] discipline): no
+   * interpolated percentile exists to diverge across engines, and the
+   * (score desc, id) order makes ties deterministic. Token-less docs have
+   * no score and are absent (the [[lmScore]] convention).
+   *
+   * 100 TB shape: [[lmScore]]'s own discipline (text never shuffles —
+   * bigram model on hashed pairs, nano-quantized sums) plus ONE window
+   * pass over (id, lang, score) rows — the corpus-volume work ended
+   * before the ranking starts.
+   */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val scored = lmScore(df, idCol, textCol)
+    val withG = scored.join(
+      df.select(col(idCol), col(groupCol)), Seq(idCol))
+    val g = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val w = g.orderBy(col("avg_logprob").desc, col(idCol))
+    withG
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(g))
+      .select(col(idCol), col(groupCol), col("n_bigrams"), col("avg_logprob"),
+        when(col("__rk") * 3 <= col("__n"), lit("head"))
+          .when(col("__rk") * 3 <= col("__n") * 2, lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /**
+   * Pairwise corpus-overlap matrix from per-shard KMV sketches — the
+   * source-level contamination dashboard ("how much does each crawl
+   * source repeat each other source") WITHOUT ever joining the corpora:
+   * for every shard pair (a < b), the union's min-k is the merge of the
+   * two sketches (exact, the [[kmvMergeEstimate]] identity) and the
+   * Jaccard estimate is the fraction of that min-k present in BOTH
+   * sketches (Bar-Yossef et al.'s k-min coincidence estimator — a pure
+   * function of the two sketches, so the ESTIMATE itself replays exactly
+   * in SQL).
+   *
+   * Work is O(shards² · k) array operations over sketch rows only — the
+   * corpora were read once when the sketches were built ([[kmvSketchShards]]
+   * re-sketches only changed shards); the pair join broadcasts one side of
+   * a shards-row table. Returns (shard_a, shard_b, union_k, inter_k,
+   * jaccard_est), one row per unordered pair.
+   */
+  def kmvOverlapMatrix(sketches: DataFrame, k: Int = 1024): DataFrame = {
+    require(k > 0, "k must be positive")
+    val a = sketches.select(col("shard").as("shard_a"), col("kmv").as("kmv_a"))
+    val b = sketches.select(col("shard").as("shard_b"), col("kmv").as("kmv_b"))
+    val u = slice(array_sort(array_union(col("kmv_a"), col("kmv_b"))), 1, k)
+    a.join(broadcast(b), col("shard_a") < col("shard_b"))
+      .select(col("shard_a"), col("shard_b"),
+        size(u).cast("bigint").as("union_k"),
+        size(filter(u, h => array_contains(col("kmv_a"), h) &&
+          array_contains(col("kmv_b"), h))).cast("bigint").as("inter_k"))
+      .withColumn("jaccard_est",
+        round(col("inter_k").cast("double") / col("union_k"), 6))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

@@ -19,9 +19,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Streaming {
 
-  /** Events stream over the driver corpus layout. The events files carry
-    * TIMESTAMP(NANOS) — streamed as raw longs, converted with exact integer
-    * division (same contract as the batch-side reader in SparkEntry). */
+  /** Normalize an events frame's `ts` column to session-zoned TIMESTAMP,
+    * whatever the corpus layout shipped: raw int64 nanos (TIMESTAMP(NANOS)
+    * parquet read under `nanosAsLong` — converted with exact integer
+    * division, since ns epoch values overflow double precision), or native
+    * TIMESTAMP_NTZ (micros layout — a pure cast; the session runs UTC so
+    * the instant is unchanged). Every events reader — batch, stream, spec
+    * fixtures — goes through this one contract. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
+
+  /** Events stream over the driver corpus layout. `ts` arrives however the
+    * layout encodes it (int64 nanos or TIMESTAMP_NTZ micros) and is
+    * normalized by [[normalizeEventTs]]. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -33,9 +49,8 @@ object Streaming {
       streamDir.resolve("events.parquet"),
       java.nio.file.Path.of(dir, "events.parquet"))
     streamDir.toFile.deleteOnExit()
-    spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(spark.readStream.schema(schema)
+      .parquet(streamDir.toString))
   }
 
   /**
@@ -76,10 +91,9 @@ object Streaming {
       // watermark would drop earlier ranges as late
       target.toFile.setLastModified(base + idx.toLong * 1000L)
     }
-    spark.readStream.schema(schema)
+    normalizeEventTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .parquet(stageDir.toString))
   }
 
   /** Watermarked tumbling-window rollup: counts + value sums per

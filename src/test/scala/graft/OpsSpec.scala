@@ -335,6 +335,36 @@ class OpsSpec extends SparkSpec {
     assert(rec.toSeq == Seq((1L, 1L, 3L, 1.0 / 3), (2L, 1L, 1L, 1.0)))
   }
 
+  test("hardNegatives: positives (self, planted copies) excluded before " +
+      "ranking; equals the positive-filtered candidate ranking") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val queries = e.where(col("vec_id") < 3)
+    // corpus CONTAINS the queries plus exact 2x-scaled copies (cos 1.0)
+    val copies = queries.select((col("vec_id") + 9000L).as("vec_id"),
+      transform(col("embedding"), x => x * 2.0f).as("embedding"))
+    val corpus = e.unionAll(copies)
+    val thr = 0.95
+    val got = Similarity.hardNegatives(corpus, queries, "vec_id", "embedding",
+        k = 8, posThreshold = thr, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3)))
+    // no positive leaks: every returned cosine is strictly below the band,
+    // and neither the query itself nor its copy appears
+    assert(got.forall(_._3 < thr))
+    for ((qid, cid, _, _) <- got) assert(cid != qid && cid != qid + 9000L)
+    // equals re-ranking the FULL candidate set (k large enough to keep all)
+    // after the same filter — the operator is exactly "filter then rank"
+    val all = Similarity.annCrossTopK(corpus, queries, "vec_id", "embedding",
+        k = 1000000, nBits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expect = all.groupBy(_._1).toSeq.flatMap { case (qid, cands) =>
+      cands.filter(_._3 < thr)
+        .sortBy { case (_, cid, cos) => (-cos, cid) }.take(8).zipWithIndex
+        .map { case ((_, cid, cos), i) => (qid, cid, cos, i + 1) }
+    }.sortBy(t => (t._1, t._4))
+    assert(got.sortBy(t => (t._1, t._4)).toSeq == expect)
+  }
+
   test("annTopK finds planted true neighbors (recall ≥ 0.9 at k=20)") {
     // plant 20 positive-scaled copies of the query: cosine exactly 1.0 and the
     // hyperplane bucket is scale-invariant, so a correct ANN must return them.

@@ -18,8 +18,8 @@ class StreamingSpec extends SparkSpec {
     val batch = SparkEntry.queries("q31_stream_hourly") // same shape, own sink
     val expect = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"${sf()}/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      Streaming.normalizeEventTs(
+          spark.read.parquet(s"${sf()}/events.parquet"))
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
     }
@@ -43,8 +43,8 @@ class StreamingSpec extends SparkSpec {
     // append emits a window only once its end passes the watermark: the final
     // watermark is maxTs - 1h, so emitted windows = batch windows that closed
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"${sf()}/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = Streaming.normalizeEventTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
     val maxTs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
     val watermarkUs = maxTs - 3600L * 1000000L
     val closed = events

@@ -484,4 +484,112 @@ class TextPipelineSpec extends SparkSpec {
     assert(probedFiles >= 1 && probedFiles < totalFiles,
       s"scan read $probedFiles of $totalFiles postings files — no pruning")
   }
+
+  test("extractHtmlText: script/style/comment content drops, tags split " +
+      "tokens, entities decode single-pass") {
+    val html = "<p>a</p><p>b&amp;c</p>" +
+      "<SCRIPT type=\"x\">\nvar y = 1 < 2;\ndrop me\n</SCRIPT>" +
+      "<style media=\"s\">no { x: 1 }</style>" +
+      "<!-- hidden\n<p>not text</p> -->" +
+      "<div>d&nbsp;e &amp;lt; f &#39;g&#39; &quot;h&quot;</div>"
+    val out = Seq(html).toDF("h")
+      .select(TextOps.extractHtmlText(col("h")).as("t")).head().getString(0)
+    // &amp;lt; decodes ONCE to the literal text "&lt;" (single-pass rule)
+    assert(out == "a b&c d e &lt; f 'g' \"h\"")
+    // null passes through null
+    val nul = Seq[String](null).toDF("h")
+      .select(TextOps.extractHtmlText(col("h"))).head()
+    assert(nul.isNullAt(0))
+  }
+
+  test("gopherQuality: each rule decides on its own counter; null text fails all") {
+    def report(text: String, minWords: Int = 3): Map[String, Any] = {
+      val r = TextOps.gopherQuality(Seq((1L, text)).toDF("id", "text"),
+        "id", "text", minWords = minWords).head()
+      r.schema.fieldNames.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap
+    }
+    // mean word length: "aa bb cc" = 6 chars / 3 words = 2 < 3 → fails
+    assert(report("aa bb cc")("r_mean_word_len") == false)
+    assert(report("abcd efgh ijkl")("r_mean_word_len") == true)
+    // bullets: 2 of 3 lines ≤ 0.9 passes; 2 of 2 fails
+    assert(report("- aaa\n- bbb\nplain text here")("r_bullet_lines") == true)
+    assert(report("- aaa\n* bbb")("r_bullet_lines") == false)
+    // ellipsis lines: 1 of 2 > 0.3 fails; 1 of 4 ≤ 0.3 passes
+    assert(report("xxx...\nyyy")("r_ellipsis_lines") == false)
+    assert(report("xxx...\nyy\nzz\nww")("r_ellipsis_lines") == true)
+    // symbols: 1 '#' in 5 words → 10 > 5 fails only when words < 10
+    assert(report("aaa bbb # ccc ddd")("r_symbol_ratio") == false)
+    assert(report("a1 b2 c3 d4 e5 f6 g7 h8 i9 j0 #")("r_symbol_ratio") == true)
+    // alpha words: 1 alpha of 4 fails; all-alpha passes
+    assert(report("1 2 3 abc")("r_alpha_words") == false)
+    assert(report("abc def ghi")("r_alpha_words") == true)
+    // stopwords with multiplicity: "the ... the" counts twice
+    assert(report("the cat the hat")("r_stop_words") == true)
+    assert(report("cat hat mat")("r_stop_words") == false)
+    // word count bounds
+    assert(report("aaa bbb", minWords = 3)("r_word_count") == false)
+    assert(report("aaa bbb ccc", minWords = 3)("r_word_count") == true)
+    // null text: every rule false, keep false (never three-valued)
+    val nul = report(null)
+    assert(Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stop_words",
+      "keep").forall(nul(_) == false))
+  }
+
+  test("registeredDomain: two-level public suffixes take three labels; " +
+      "dotless hosts pass through") {
+    val cases = Seq(
+      "a.b.example.co.uk" -> "example.co.uk",
+      "www.example.com" -> "example.com",
+      "example.org" -> "example.org",
+      "deep.sub.tree.site.com.au" -> "site.com.au",
+      "x.co.uk" -> "x.co.uk",
+      "co.uk" -> "co.uk", // degenerate: bare suffix has no registrable label
+      "localhost" -> "localhost")
+    val out = cases.map(_._1).toDF("host")
+      .select(col("host"), TextOps.registeredDomain(col("host")).as("rd"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    for ((h, want) <- cases) assert(out(h) == want, s"$h -> ${out(h)}")
+  }
+
+  test("perplexityBuckets: thirds by integer rank cuts per group, fluent docs head") {
+    // 6 docs per group: floor rule gives 2 head, 2 middle, 2 tail
+    val docs = (0 until 12).map { i =>
+      val g = if (i < 6) "a" else "b"
+      // lower i within group = more repetitive bigrams = higher LM score
+      val rep = "x y " * (7 - (i % 6))
+      (i.toLong, g, rep + ("w" + i + " z" + i + " q" + i))
+    }.toDF("id", "grp", "text")
+    val out = TextOps.perplexityBuckets(docs, "id", "text", "grp").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3), r.getString(4)))
+    assert(out.length == 12)
+    for (g <- Seq("a", "b")) {
+      val rows = out.filter(_._2 == g)
+      assert(rows.count(_._4 == "head") == 2)
+      assert(rows.count(_._4 == "middle") == 2)
+      assert(rows.count(_._4 == "tail") == 2)
+      // bucket boundaries respect score order
+      val minHead = rows.filter(_._4 == "head").map(_._3).min
+      val maxMid = rows.filter(_._4 == "middle").map(_._3).max
+      val minMid = rows.filter(_._4 == "middle").map(_._3).min
+      val maxTail = rows.filter(_._4 == "tail").map(_._3).max
+      assert(minHead >= maxMid && minMid >= maxTail)
+    }
+  }
+
+  test("kmvOverlapMatrix: identical shards estimate 1, disjoint shards 0, " +
+      "counts exact vs sketch contents") {
+    val rows = (0 until 300).flatMap { i =>
+      Seq(("A", s"tok$i"), ("B", s"tok$i"), ("C", s"other$i"))
+    }.toDF("shard", "v")
+    val sk = TextOps.kmvSketchShards(rows, "shard", "v", k = 64)
+    val m = TextOps.kmvOverlapMatrix(sk, k = 64).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (uAB, iAB, jAB) = m(("A", "B"))
+    assert(uAB == 64 && iAB == 64 && jAB == 1.0)
+    val (uAC, iAC, jAC) = m(("A", "C"))
+    assert(uAC == 64 && iAC == 0L && jAC == 0.0)
+    assert(m.size == 3) // unordered pairs only: AB, AC, BC
+  }
 }
