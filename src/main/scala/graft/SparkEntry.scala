@@ -1743,6 +1743,77 @@ object SparkEntry {
       val sk = TextOps.kmvSketchShards(toks, "source", "tok", k = 256)
       TextOps.kmvOverlapMatrix(sk, k = 256)
         .orderBy(col("shard_a"), col("shard_b"))
+    }),
+
+    // --- video frame sampling: REAL RIFF/GVID containers of real PNG
+    //     frames, every 2nd frame chunk-walked out and pixel-decoded. The
+    //     oracle recomputes each sampled frame's pixel sum in closed form
+    //     from the synthesis formula — one corrupt byte anywhere in the
+    //     container→frame→pixel path breaks the hash --------------------
+    "q122_video_frames" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").where(col("doc_id") < 60)
+        .select(col("doc_id"))
+      Multimodal.sampleVideoFrames(
+        Multimodal.synthesizeVideo(ids, "doc_id"), "doc_id", "video",
+        stride = 2)
+    }),
+
+    // --- declarative data-quality audit (the ingest validation gate):
+    //     independent invariant counts in ONE scan + a referential check
+    //     against orders. Violations planted by orderkey residue so every
+    //     counter is nonzero and exactly replayable --------------------------
+    "q123_data_quality" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val delivery = li.select(
+        // orphan references planted LAST (off the original key) so the
+        // rule-violation planting below keys off unmutated residues
+        when(col("l_orderkey") % 103 === 0 && col("l_linenumber") === 1,
+          col("l_orderkey") + 1000000000L).otherwise(col("l_orderkey"))
+          .as("l_orderkey"),
+        when(col("l_orderkey") % 97 === 0 && col("l_linenumber") === 1,
+          lit(-5.0)).otherwise(col("l_quantity")).as("l_quantity"),
+        when(col("l_orderkey") % 89 === 0 && col("l_linenumber") === 1,
+          lit(1.5)).otherwise(col("l_discount")).as("l_discount"),
+        when(col("l_orderkey") % 101 === 0 && col("l_linenumber") === 1,
+          lit("X")).otherwise(col("l_returnflag")).as("l_returnflag"),
+        col("l_tax"), col("l_linenumber"))
+      val report = graft.ops.Audit.auditRules(delivery, Seq(
+        "quantity_positive" -> (col("l_quantity") > 0),
+        "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+        "tax_nonneg" -> (col("l_tax") >= 0),
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "linenumber_positive" -> (col("l_linenumber") >= 1)))
+      val fk = graft.ops.Audit.auditForeignKey(
+        delivery, "l_orderkey", T(s, dir, "orders"), "o_orderkey")
+      report.crossJoin(broadcast(fk.select(col("n_orphans"))))
+        .orderBy(col("rule"))
+    }),
+
+    // --- Z-order layout + box query: lineitem written partitioned by the
+    //     Morton bucket of (orderkey, partkey); a rectangle query probes
+    //     only intersecting buckets (literal IN-list on the partition
+    //     column — directory pruning before any file opens). The oracle is
+    //     the plain filter — layout must never change results ---------------
+    "q124_zorder_box" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val mx = li.agg(max(col("l_orderkey")), max(col("l_partkey"))).head()
+      val (aMax, bMax) = (mx.getLong(0), mx.getLong(1))
+      val bits = 3
+      def shiftFor(m: Long) =
+        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(m) - bits)
+      val (aShift, bShift) = (shiftFor(aMax), shiftFor(bMax))
+      val path = sys.props("java.io.tmpdir") + "/graft_q124_z_" +
+        Integer.toHexString(dir.hashCode)
+      graft.ops.Layout.writeZOrdered(li, path, "l_orderkey", "l_partkey",
+        aShift, bShift, bits)
+      graft.ops.Layout.zBoxQuery(s, path, "l_orderkey", "l_partkey",
+          0L, aMax / 5, 0L, bMax / 5, aShift, bShift, bits)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          max(col("l_partkey")).as("max_pk"))
     })
   )
 
@@ -4007,6 +4078,73 @@ object SparkEntry {
         |  round(len(list_filter(un, h -> list_contains(ka, h)
         |    AND list_contains(kb, h))) / cast(len(un) AS double), 6)
         |    AS jaccard_est
-        |FROM u ORDER BY shard_a, shard_b""".stripMargin
+        |FROM u ORDER BY shard_a, shard_b""".stripMargin,
+
+    // q63's closed-form discipline over the video synthesis formula:
+    // frame f of doc d has pixel (x,y) = (d·31 + f·17 + x·7 + y·13) % 256
+    "q122_video_frames" ->
+      """WITH p AS (
+        |  SELECT doc_id, cast(3 + doc_id % 4 AS int) AS nf,
+        |    cast(8 + doc_id % 5 AS int) AS w, cast(8 + doc_id % 3 AS int) AS h
+        |  FROM documents WHERE doc_id < 60),
+        |f AS (
+        |  SELECT doc_id, nf, w, h, unnest(generate_series(0, nf - 1)) AS fi
+        |  FROM p)
+        |SELECT doc_id, cast(fi AS int) AS frame_idx, nf AS n_frames,
+        |  w AS width, h AS height,
+        |  cast(list_sum([(doc_id*31 + fi*17 + (i % w)*7 + (i // w)*13) % 256
+        |    FOR i IN generate_series(0, w*h - 1)]) AS bigint) AS pixel_sum
+        |FROM f WHERE fi % 2 = 0""".stripMargin,
+
+    // the same planted delivery, each invariant counted independently, the
+    // FK orphan count from an anti-join against orders
+    "q123_data_quality" ->
+      """WITH delivery AS (
+        |  SELECT
+        |    CASE WHEN l_orderkey % 103 = 0 AND l_linenumber = 1
+        |         THEN l_orderkey + 1000000000 ELSE l_orderkey END AS l_orderkey,
+        |    CASE WHEN l_orderkey % 97 = 0 AND l_linenumber = 1
+        |         THEN -5.0 ELSE l_quantity END AS l_quantity,
+        |    CASE WHEN l_orderkey % 89 = 0 AND l_linenumber = 1
+        |         THEN 1.5 ELSE l_discount END AS l_discount,
+        |    CASE WHEN l_orderkey % 101 = 0 AND l_linenumber = 1
+        |         THEN 'X' ELSE l_returnflag END AS l_returnflag,
+        |    l_tax, l_linenumber
+        |  FROM lineitem),
+        |counts AS (
+        |  SELECT count(*) AS n_rows,
+        |    [sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END),
+        |     sum(CASE WHEN l_discount >= 0 AND l_discount <= 0.1
+        |              THEN 1 ELSE 0 END),
+        |     sum(CASE WHEN l_tax >= 0 THEN 1 ELSE 0 END),
+        |     sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END),
+        |     sum(CASE WHEN l_linenumber >= 1 THEN 1 ELSE 0 END)] AS passed
+        |  FROM delivery),
+        |names AS (
+        |  SELECT ['quantity_positive','discount_range','tax_nonneg',
+        |          'returnflag_domain','linenumber_positive'] AS nm),
+        |fk AS (
+        |  SELECT count(*) AS n_orphans FROM delivery d
+        |  WHERE d.l_orderkey IS NOT NULL
+        |    AND NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_orderkey = d.l_orderkey))
+        |SELECT cast(i AS bigint) AS rule, nm[i] AS rule_name,
+        |  c.n_rows, cast(c.n_rows - passed[i] AS bigint) AS n_violations,
+        |  fk.n_orphans
+        |FROM counts c, names, fk, generate_series(1, 5) t(i)
+        |ORDER BY rule""".stripMargin,
+
+    // the layout cannot change answers: the oracle is the plain box filter
+    // with the same data-derived bounds
+    "q124_zorder_box" ->
+      """WITH m AS (
+        |  SELECT max(l_orderkey) AS am, max(l_partkey) AS bm FROM lineitem)
+        |SELECT count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  max(l_partkey) AS max_pk
+        |FROM lineitem, m
+        |WHERE l_orderkey >= 0 AND l_orderkey <= am // 5
+        |  AND l_partkey >= 0 AND l_partkey <= bm // 5""".stripMargin
   )
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality audit — the validation gate every ingest pipeline
+ * runs before data reaches training (the Great-Expectations/Deequ role,
+ * re-expressed as plain Catalyst aggregates): a rule list is checked in ONE
+ * scan, referential integrity in one anti-join-shaped aggregate per
+ * relationship.
+ *
+ * Unlike [[TextOps.filterFunnel]] (whose stages apply cumulatively — it
+ * answers "how much survives my pipeline"), audit rules are INDEPENDENT:
+ * each one is counted over all rows, because the report answers "which
+ * invariants does this delivery violate and how often".
+ */
+object Audit {
+
+  /**
+   * Check `rules` (name → violation-is-false predicate, i.e. the predicate
+   * states the INVARIANT) over every row in one scan: each rule's pass count
+   * is a codegen'd boolean sum, partial-aggregated map-side — `rules.length`
+   * longs shuffle, total cost one `count(*)` regardless of rule count. A
+   * NULL predicate counts as a violation (an invariant that cannot be
+   * decided is not satisfied — no three-valued reports).
+   *
+   * Returns one row per rule, in the given order: (rule [1-based], rule_name,
+   * n_rows, n_violations).
+   */
+  def auditRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "auditRules needs at least one rule")
+    val names = array(rules.map { case (n, _) => lit(n) }: _*)
+    df.agg(count(lit(1)).as("n_rows"),
+        array(rules.map { case (_, p) =>
+          coalesce(sum(coalesce(p, lit(false)).cast("long")), lit(0L))
+        }: _*).as("passed"))
+      .select(col("n_rows"), posexplode(col("passed")).as(Seq("i", "n_passed")))
+      .select((col("i") + 1).cast("bigint").as("rule"),
+        element_at(names, (col("i") + 1).cast("int")).as("rule_name"),
+        col("n_rows"),
+        (col("n_rows") - col("n_passed")).as("n_violations"))
+  }
+
+  /**
+   * Referential-integrity check: count child rows whose `childKey` has no
+   * match in `parent.parentKey` (orphans). NULL child keys are reported
+   * separately — they are not orphans (no reference was made) but usually
+   * violate their own not-null rule.
+   *
+   * 100 TB shape: the parent side reduces to DISTINCT keys before the join
+   * (key-width rows, map-side-combined); the join is then key-equi and
+   * broadcastable whenever the parent key set fits — for a dimension table
+   * it always does. The child is scanned once; only (key, flag) pairs reach
+   * the aggregate. Returns one row: (n_child_rows, n_null_keys, n_orphans).
+   */
+  def auditForeignKey(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val keys = parent.select(col(parentKey).as("__pk")).distinct()
+      .withColumn("__present", lit(1L))
+    child.select(col(childKey).as("__ck"))
+      .join(keys, col("__ck") === col("__pk"), "left")
+      .agg(count(lit(1)).as("n_child_rows"),
+        sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("n_null_keys"),
+        sum(when(col("__ck").isNotNull && col("__present").isNull, 1L)
+          .otherwise(0L)).as("n_orphans"))
+  }
+}

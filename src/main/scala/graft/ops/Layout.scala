@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Z-order (Morton-curve) storage layout — multi-dimensional pruning for box
+ * queries over two correlated access dimensions (the lakehouse OPTIMIZE
+ * ZORDER BY discipline, built from plain parquet + directory partitioning):
+ * interleave the bits of two bucketized key columns into one `zb` partition
+ * value, so a rectangle in (a, b) space touches only the partitions whose
+ * decoded bucket rectangle intersects it — pruned BEFORE any row is read,
+ * by a literal IN-list on the partition column (the
+ * [[Similarity.ivfTopKFromPartitioned]] / BM25-index probe discipline).
+ *
+ * Bucketization is power-of-two (`a >> aShift`, masked to `bits`), so the
+ * z-value is a pure codegen'd shift/or chain and every bucket decodes to an
+ * exact half-open rectangle on the driver — probe enumeration can never
+ * false-prune. The writer validates that both columns fit their bucket
+ * range (one aggregate over data it is already scanning); out-of-range
+ * values would alias buckets and silently break pruning correctness.
+ */
+object Layout {
+
+  /** Interleave the low `bits` of two non-negative bucket ids: bit i of `a`
+    * lands at position 2i, bit i of `b` at 2i+1. Codegen'd shift/AND/OR
+    * chain — no UDF, no loop at runtime. */
+  def interleaveBits(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 16, "bits must be in [1, 16]")
+    (0 until bits).map { i =>
+      val ab = shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+      val bb = shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+      ab.bitwiseOR(bb)
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Decode z-value `z` back to its (aBucket, bBucket) pair (driver-side
+    * twin of [[interleaveBits]] — used to enumerate probe partitions). */
+  def deinterleave(z: Long, bits: Int): (Long, Long) = {
+    var a = 0L; var b = 0L; var i = 0
+    while (i < bits) {
+      a |= ((z >> (2 * i)) & 1L) << i
+      b |= ((z >> (2 * i + 1)) & 1L) << i
+      i += 1
+    }
+    (a, b)
+  }
+
+  /**
+   * Write `df` partitioned by the z-bucket of (`aCol` >> aShift,
+   * `bCol` >> bShift), each masked to `bits`: 4^bits directories, rows
+   * z-clustered. Fails fast if any value exceeds its bucket range
+   * (`2^(shift+bits) - 1`) or is negative — aliasing would corrupt pruning.
+   * One extra tiny aggregate over a scan the write performs anyway.
+   */
+  def writeZOrdered(df: DataFrame, path: String, aCol: String, bCol: String,
+      aShift: Int, bShift: Int, bits: Int): Unit = {
+    val mm = df.agg(min(col(aCol)).cast("long"), max(col(aCol)).cast("long"),
+      min(col(bCol)).cast("long"), max(col(bCol)).cast("long")).head()
+    val (aMax, bMax) = ((1L << (aShift + bits)) - 1, (1L << (bShift + bits)) - 1)
+    require(mm.getLong(0) >= 0 && mm.getLong(1) <= aMax,
+      s"$aCol range [${mm.getLong(0)}, ${mm.getLong(1)}] outside [0, $aMax]")
+    require(mm.getLong(2) >= 0 && mm.getLong(3) <= bMax,
+      s"$bCol range [${mm.getLong(2)}, ${mm.getLong(3)}] outside [0, $bMax]")
+    df.withColumn("zb", interleaveBits(
+        shiftright(col(aCol).cast("long"), aShift),
+        shiftright(col(bCol).cast("long"), bShift), bits))
+      .write.mode("overwrite").partitionBy("zb").parquet(path)
+  }
+
+  /**
+   * Box query over a [[writeZOrdered]] layout: rows with `aCol` ∈ [aLo, aHi]
+   * and `bCol` ∈ [bLo, bHi]. The probe z-bucket set is enumerated on the
+   * DRIVER (4^bits decode iterations — bits ≤ 8 keeps that ≤ 65k, trivial)
+   * by rectangle intersection, so the scan carries a literal `zb IN (...)`
+   * on the partition column — directory pruning before any file opens —
+   * with the exact row predicate behind it for the partial edge buckets.
+   */
+  def zBoxQuery(spark: SparkSession, path: String, aCol: String, bCol: String,
+      aLo: Long, aHi: Long, bLo: Long, bHi: Long,
+      aShift: Int, bShift: Int, bits: Int): DataFrame = {
+    require(aLo <= aHi && bLo <= bHi, "empty box")
+    val probes = (0L until (1L << (2 * bits))).filter { z =>
+      val (za, zb) = deinterleave(z, bits)
+      val (a0, a1) = (za << aShift, ((za + 1) << aShift) - 1)
+      val (b0, b1) = (zb << bShift, ((zb + 1) << bShift) - 1)
+      a1 >= aLo && a0 <= aHi && b1 >= bLo && b0 <= bHi
+    }
+    spark.read.parquet(path)
+      .where(col("zb").isin(probes: _*) &&
+        col(aCol) >= aLo && col(aCol) <= aHi &&
+        col(bCol) >= bLo && col(bCol) <= bHi)
+      .drop("zb")
+  }
+}

@@ -40,6 +40,8 @@ object MediaCodec {
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
       b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
+    else if (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'G' && b(9) == 'V' && b(10) == 'I' && b(11) == 'D') "gvid"
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
     else "unknown"
 
@@ -149,6 +151,51 @@ object MediaCodec {
     Some(encodeGrayPng(w, h, (a, b) =>
       if (a == ex && b == ey) (raster.getSample(a, b, 0) + delta) & 0xff
       else raster.getSample(a, b, 0)))
+  }
+
+  // ------------------------------- video ---------------------------------
+
+  /** Encode a frame sequence as a RIFF/GVID container: `RIFF<len>GVID`, then
+    * one `frm ` chunk per frame whose payload is that frame's complete PNG
+    * bytes, 2-byte aligned like every RIFF chunk. The shape a real AV
+    * container has (AVI is RIFF with `movi` chunks) at toy complexity —
+    * frame extraction is a genuine chunk walk, not an array slice. */
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "a GVID container needs at least one frame")
+    val payload = frames.map(f => 8 + f.length + (f.length & 1)).sum
+    val buf = ByteBuffer.allocate(12 + payload).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + payload)
+    buf.put("GVID".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      buf.put("frm ".getBytes("US-ASCII")).putInt(f.length)
+      buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** Walk a GVID container's chunks and return the frame payloads in order;
+    * None on anything malformed (wrong magic, truncated chunk, no frames) —
+    * quarantine semantics, the [[decodeWav]] discipline. Unknown chunk ids
+    * are skipped, the way a forward-compatible RIFF reader must. */
+  def decodeGvidFrames(bytes: Array[Byte]): Option[IndexedSeq[Array[Byte]]] = {
+    if (bytes == null || sniffFormat(bytes) != "gvid") return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(12) // past RIFF<len>GVID
+    val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+    while (buf.remaining() >= 8) {
+      val id = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      val next = buf.position() + len + (len & 1) // chunks are 2-byte aligned
+      if (id == "frm ") {
+        val f = new Array[Byte](len)
+        buf.get(f)
+        frames += f
+      }
+      buf.position(math.min(next, bytes.length))
+    }
+    if (frames.nonEmpty) Some(frames.toIndexedSeq) else None
   }
 
   // ------------------------------- audio ---------------------------------

@@ -130,6 +130,75 @@ object Multimodal {
       .toDF()
   }
 
+  /** Real RIFF/GVID video: `3 + id%4` PNG frames of `w = 8 + id%5`,
+    * `h = 8 + id%3`; frame f's pixel (x,y) =
+    * (id·31 + f·17 + x·7 + y·13) mod 256 — closed-form, so the DuckDB
+    * oracle recomputes every sampled frame's statistics exactly. */
+  def synthVideoBytes(id: Long): Array[Byte] = {
+    val w = (8 + id % 5).toInt
+    val h = (8 + id % 3).toInt
+    val nf = (3 + id % 4).toInt
+    MediaCodec.encodeGvid((0 until nf).map(f =>
+      MediaCodec.encodeGrayPng(w, h,
+        (x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)))
+  }
+
+  /** Attach a real GVID payload column (`video`) synthesized from a numeric
+    * id column. Partition-local encode; nothing shuffles. */
+  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(df.schema(idCol) +:
+      Seq(StructField("video", BinaryType)))
+    df.select(col(idCol))
+      .mapPartitions { it =>
+        it.map { r => Row(r.getLong(0), synthVideoBytes(r.getLong(0))) }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
+  /**
+   * Frame sampling + per-frame decode — the video stage of a multimodal
+   * ingest pipeline (a training pipeline never decodes every frame; it
+   * samples every `stride`-th one and featurizes those): walk the GVID
+   * container, keep frames with index ≡ 0 (mod stride), PNG-decode each
+   * kept frame to exact facts. One output row per SAMPLED frame:
+   * (id, frame_idx, n_frames, width, height, pixel_sum); an undecodable
+   * container yields a single all-null quarantine row.
+   *
+   * Scale shape: the container blob never shuffles — the chunk walk and
+   * frame decode run `mapPartitions`-local and only scalar facts leave the
+   * scan; un-sampled frames are skipped at the CHUNK level (no PNG decode
+   * paid for them).
+   */
+  def sampleVideoFrames(df: DataFrame, idCol: String, blobCol: String,
+      stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame_idx", IntegerType),
+      StructField("n_frames", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("pixel_sum", LongType)))
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          MediaCodec.decodeGvidFrames(r.getAs[Array[Byte]](1)) match {
+            case Some(fs) =>
+              (0 until fs.length by stride).iterator.map { i =>
+                MediaCodec.decodeImage(fs(i)) match {
+                  case Some(info) =>
+                    Row(r.get(0), i, fs.length, info.width, info.height,
+                      info.pixelSum)
+                  case None => Row(r.get(0), i, fs.length, null, null, null)
+                }
+              }
+            case None => Iterator(Row(r.get(0), null, null, null, null, null))
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** REAL resize: decode → nearest-neighbor resample → re-encode PNG, in
     * place. Non-PNG payloads pass through unchanged. */
   def resizeMedia(df: DataFrame, blobCol: String, w: Int, h: Int): DataFrame = {

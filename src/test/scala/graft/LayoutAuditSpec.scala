@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Audit, Layout}
+
+/** Z-order layout (pruned box queries) + declarative data-quality audit. */
+class LayoutAuditSpec extends SparkSpec {
+  _quiet
+  import spark.implicits._
+
+  test("interleave/deinterleave: exact inverse over the full bucket grid") {
+    val bits = 4
+    for (a <- 0L until 16L; b <- 0L until 16L) {
+      val z = Seq((a, b)).toDF("a", "b")
+        .select(Layout.interleaveBits(col("a"), col("b"), bits))
+        .head().getLong(0)
+      assert(Layout.deinterleave(z, bits) == (a, b), s"($a, $b) -> $z")
+    }
+    // (the roundtrip over all 256 pairs already proves interleave is
+    // injective — every pair recovers from its own z-value)
+  }
+
+  test("zBoxQuery == naive filter, probes only intersecting partitions") {
+    val df = spark.range(0, 4096).select(
+      (col("id") % 64).as("a"), (col("id") / 64).cast("long").as("b"),
+      col("id").as("v"))
+    val path = java.nio.file.Files.createTempDirectory("graft_z").toString
+    // buckets: a >> 3 (8 wide), b >> 3, bits=3 → 64 partitions
+    Layout.writeZOrdered(df, path, "a", "b", 3, 3, 3)
+    val got = Layout.zBoxQuery(spark, path, "a", "b", 5, 20, 10, 30, 3, 3, 3)
+      .select(col("v")).collect().map(_.getLong(0)).sorted
+    val want = df.where(col("a") >= 5 && col("a") <= 20 &&
+        col("b") >= 10 && col("b") <= 30)
+      .select(col("v")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    // pruning: the box spans a-buckets 0..2 and b-buckets 1..3 → 9 of 64
+    // partitions; the scan must read fewer files than exist
+    val probe = Layout.zBoxQuery(spark, path, "a", "b", 5, 20, 10, 30, 3, 3, 3)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allScans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        allScans(q.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    probe.collect()
+    val scan = allScans(probe.queryExecution.executedPlan).head
+    val partsRead = scan.metrics.get("numPartitions").map(_.value)
+      .getOrElse(-1L)
+    assert(partsRead == 9, s"expected 9 of 64 partitions, read $partsRead")
+  }
+
+  test("writeZOrdered rejects values outside the bucket range") {
+    val df = Seq((100L, 1L)).toDF("a", "b") // 100 > 2^(3+3)-1 = 63
+    val path = java.nio.file.Files.createTempDirectory("graft_zr").toString
+    val e = intercept[IllegalArgumentException] {
+      Layout.writeZOrdered(df, path, "a", "b", 3, 3, 3)
+    }
+    assert(e.getMessage.contains("outside"))
+  }
+
+  test("auditRules: independent counts, NULL predicate is a violation") {
+    val df = Seq(
+      (1L, 10.0, "A"),
+      (2L, -3.0, "A"),   // fails positive
+      (3L, 5.0, "X"),    // fails domain
+      (4L, Double.NaN, "A"),
+      (5L, 7.0, null)    // null flag: domain rule is NULL → violation
+    ).toDF("id", "q", "flag")
+    val out = Audit.auditRules(df, Seq(
+        "q_positive" -> (col("q") > 0),
+        "flag_domain" -> col("flag").isin("A", "B")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    // NaN > 0 is false in Spark (NaN sorts above everything but > is false?)
+    // — pin whatever the engine says by checking rows explicitly
+    val nanPasses = Seq(Double.NaN).toDF("q").select(col("q") > 0)
+      .head().getBoolean(0)
+    val qViol = if (nanPasses) 1L else 2L
+    assert(out.toSeq == Seq(
+      ("q_positive", 5L, qViol),
+      ("flag_domain", 5L, 2L))) // 'X' and NULL both violate
+  }
+
+  test("auditForeignKey: orphans vs null keys, parent reduced to distinct") {
+    val child = Seq(Some(1L), Some(1L), Some(9L), None, Some(2L))
+      .toDF("fk")
+    val parent = Seq(1L, 1L, 2L, 3L).toDF("pk") // dup parent keys must not double
+    val r = Audit.auditForeignKey(child, "fk", parent, "pk").head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 1L, 1L)))
+  }
+}

@@ -111,6 +111,28 @@ class MediaCodecSpec extends AnyFunSuite {
     val png = Multimodal.synthImageBytes(1L)
     assert(MediaCodec.decodeImage(png.slice(0, 20)).isEmpty) // truncated
   }
+
+  test("GVID container: frame round-trip byte-exact, odd lengths pad, " +
+      "garbage and truncation rejected") {
+    // odd-length frames force the RIFF 2-byte alignment path
+    val raw = Seq(Array[Byte](1, 2, 3), Array[Byte](4, 5, 6, 7), Array[Byte](9))
+    val enc = MediaCodec.encodeGvid(raw)
+    assert(MediaCodec.sniffFormat(enc) == "gvid")
+    val dec = MediaCodec.decodeGvidFrames(enc).get
+    assert(dec.map(_.toSeq) == raw.map(_.toSeq))
+    // real PNG frames survive the container untouched and still decode
+    val pngs = Seq.tabulate(3)(f =>
+      MediaCodec.encodeGrayPng(4, 3, (x, y) => f * 50 + x + y))
+    val vdec = MediaCodec.decodeGvidFrames(MediaCodec.encodeGvid(pngs)).get
+    assert(vdec.map(_.toSeq) == pngs.map(_.toSeq))
+    assert(MediaCodec.decodeImage(vdec(1)).get.pixelSum ==
+      MediaCodec.decodeImage(pngs(1)).get.pixelSum)
+    // rejection: wrong magic, truncated chunk, WAV is not GVID
+    assert(MediaCodec.decodeGvidFrames(Array.fill(40)(0x41.toByte)).isEmpty)
+    assert(MediaCodec.decodeGvidFrames(enc.take(17)).isEmpty)
+    assert(MediaCodec.decodeGvidFrames(Multimodal.synthAudioBytes(1L)).isEmpty)
+    assert(MediaCodec.decodeGvidFrames(null).isEmpty)
+  }
 }
 
 /** Spark-side plumbing over the real codecs. */
@@ -145,6 +167,32 @@ class MultimodalDecodeSpec extends SparkSpec {
     val good = stats.where(col("doc_id") === 6).head()
     assert(good.getInt(1) == 8000)
     assert(good.getLong(4) == good.getLong(2) * 1000000L / 8000)
+  }
+
+  test("sampleVideoFrames: every stride-th frame decoded exactly; " +
+      "bad container quarantines to one null row") {
+    val media = Multimodal.synthesizeVideo(ids, "doc_id")
+      .withColumn("video",
+        when(col("doc_id") === 3, lit("not riff".getBytes))
+          .otherwise(col("video")))
+    val out = Multimodal.sampleVideoFrames(media, "doc_id", "video", stride = 2)
+      .collect()
+    val bad = out.filter(_.getLong(0) == 3L)
+    assert(bad.length == 1 && bad.head.isNullAt(1) && bad.head.isNullAt(5))
+    for (r <- out.filter(_.getLong(0) != 3L)) {
+      val (id, fi, nf, w, h) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(nf == 3 + id % 4 && fi % 2 == 0 && fi < nf)
+      assert(w == 8 + id % 5 && h == 8 + id % 3)
+      var exp = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        exp += (id * 31 + fi * 17 + x * 7 + y * 13) % 256
+      assert(r.getLong(5) == exp)
+    }
+    // sampled frames per good doc: ceil(nf / 2)
+    val counts = out.filter(_.getLong(0) != 3L).groupBy(_.getLong(0))
+    for ((id, rows) <- counts)
+      assert(rows.length == (3 + id % 4 + 1) / 2, s"doc $id")
   }
 
   test("resizeMedia resizes PNG in place; decodeFeatures dispatches by format") {
