@@ -1814,6 +1814,38 @@ object SparkEntry {
           min(col("l_orderkey")).as("min_ok"),
           max(col("l_orderkey")).as("max_ok"),
           max(col("l_partkey")).as("max_pk"))
+    }),
+
+    // --- exact phrase search: a k-token phrase IS a k-shingle, so lookup
+    //     is one native shingle-hash pass + array_contains — scan
+    //     bandwidth, zero shuffle, no index. Hashes Spark-side, token-
+    //     window strings oracle-side (q24/q74 precedent) -------------------
+    "q125_phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(T(s, dir, "documents"), "doc_id", "text",
+        "table value")),
+
+    // --- ordered conversion funnel over the events stream: step k counts
+    //     a user only on an event strictly after their step-(k-1) time —
+    //     one declarative plan, k aggregates over (user, ts) pairs ---------
+    "q126_event_funnel" -> ((s, dir) =>
+      graft.ops.EventOps.funnel(events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))),
+
+    // --- retention cohort grid: users cohorted by first active day; the
+    //     event log reduces to distinct (user, day) pairs in its only
+    //     full pass ------------------------------------------------------
+    "q127_retention" -> ((s, dir) =>
+      graft.ops.EventOps.retentionCohorts(events(s, dir), "user_id", "ts")
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // --- corpus novelty curve: per synthetic snapshot day, the fraction
+    //     of that day's distinct shingles first seen that day — the
+    //     crawl-growth monitor; hash-width rows only past the scan --------
+    "q128_novelty_curve" -> ((s, dir) => {
+      val snaps = T(s, dir, "documents").where(col("text").isNotNull)
+        .select((col("doc_id") % 8).as("day"), col("text"))
+      TextOps.noveltyCurve(snaps, "day", "text", shingleSize = 3)
+        .orderBy(col("day"))
     })
   )
 
@@ -4145,6 +4177,68 @@ object SparkEntry {
         |  max(l_partkey) AS max_pk
         |FROM lineitem, m
         |WHERE l_orderkey >= 0 AND l_orderkey <= am // 5
-        |  AND l_partkey >= 0 AND l_partkey <= bm // 5""".stripMargin
+        |  AND l_partkey >= 0 AND l_partkey <= bm // 5""".stripMargin,
+
+    // the phrase's token windows as strings (the hash-side twin)
+    "q125_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    [array_to_string(toks[i:i+1], ' ')
+        |     FOR i IN generate_series(1, len(toks) - 1)] AS wins
+        |  FROM t WHERE len(toks) >= 2)
+        |SELECT doc_id,
+        |  cast(len(list_filter(wins, s -> s = 'table value')) AS bigint)
+        |    AS n_occurrences
+        |FROM w
+        |WHERE len(list_filter(wins, s -> s = 'table value')) > 0""".stripMargin,
+
+    // the same strictly-after chaining, one CTE per step
+    "q126_event_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, ts FROM events),
+        |s1 AS (SELECT u, min(ts) AS st FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, min(e.ts) AS st FROM e JOIN s1 ON e.u = s1.u
+        |       WHERE e.t = 'click' AND e.ts > s1.st GROUP BY e.u),
+        |s3 AS (SELECT e.u, min(e.ts) AS st FROM e JOIN s2 ON e.u = s2.u
+        |       WHERE e.t = 'purchase' AND e.ts > s2.st GROUP BY e.u)
+        |SELECT cast(1 AS bigint) AS step, 'view' AS step_name,
+        |  (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT cast(2 AS bigint), 'click', (SELECT count(*) FROM s2)
+        |UNION ALL
+        |SELECT cast(3 AS bigint), 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
+
+    "q127_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, cast(ts AS date) AS d FROM events),
+        |coh AS (SELECT u, min(d) AS c FROM days GROUP BY u)
+        |SELECT c AS cohort_day,
+        |  cast(date_diff('day', c, d) AS bigint) AS day_offset,
+        |  count(*) AS n_users
+        |FROM days JOIN coh USING (u)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // shingle strings play the hashes (q24/q74/q78 precedent); DISTINCT
+    // (day, shingle) then min(day) first-seen attribution
+    "q128_novelty_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id % 8 AS day,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (
+        |  SELECT DISTINCT day, s FROM (
+        |    SELECT day, unnest([array_to_string(toks[i:i+2], ' ')
+        |      FOR i IN generate_series(1, len(toks) - 2)]) AS s
+        |    FROM t WHERE len(toks) >= 3)),
+        |fs AS (SELECT s, min(day) AS fd FROM sh GROUP BY s)
+        |SELECT day, count(*) AS n_shingles,
+        |  cast(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS bigint) AS n_new,
+        |  round(cast(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS double)
+        |    / count(*), 6) AS novelty_rate
+        |FROM sh JOIN fs USING (s)
+        |GROUP BY day ORDER BY day""".stripMargin
   )
 }

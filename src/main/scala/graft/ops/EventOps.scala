@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-sequence analytics over the events stream table — the product-/
+ * pipeline-telemetry queries (conversion funnels, retention cohorts) that
+ * run next to every corpus dashboard.
+ *
+ * Both operators reduce the event volume to per-user scalars at the first
+ * aggregation — event text/payload never travels further than the scan —
+ * so the expensive stages work on (users × small) tables however large the
+ * event log is.
+ */
+object EventOps {
+
+  /**
+   * Ordered conversion funnel: per user, step k counts only if an event of
+   * `steps(k)` occurred STRICTLY AFTER that user's step-(k−1) time (first
+   * qualifying occurrence, so each user contributes once per step). Returns
+   * one row per step: (step [1-based], step_name, n_users).
+   *
+   * Shape: ONE declarative plan — step k is a `groupBy(user)` aggregate
+   * joined on step k−1's per-user time, all over the reduced
+   * (user, type, ts) projection; the k per-step counts union into one
+   * result, so the whole funnel is a single job. Each step branch re-reads
+   * the projection (filters push to the scan); at 100 TB, stage the
+   * projection once (`Sources.stageWrite`) and feed every branch from it.
+   */
+  def funnel(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      col(tsCol).as("ts"))
+    val reached = steps.tail.scanLeft(
+      ev.where(col("t") === steps.head)
+        .groupBy(col("u")).agg(min(col("ts")).as("st"))) { (prev, s) =>
+      ev.where(col("t") === s)
+        .join(prev.select(col("u"), col("st").as("prev")), Seq("u"))
+        .where(col("ts") > col("prev"))
+        .groupBy(col("u")).agg(min(col("ts")).as("st"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(coalesce(count(lit(1)), lit(0L)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /**
+   * Retention cohort grid: users cohorted by their FIRST active day; for
+   * every (cohort_day, day_offset) cell, how many of that cohort were
+   * active `day_offset` days later. `n_users` at offset 0 is the cohort
+   * size, so row-normalizing gives the classic retention matrix.
+   *
+   * Shape: events reduce to DISTINCT (user, day) pairs at the first
+   * aggregate (the only event-volume pass); cohort assignment is a min
+   * over those pairs; the grid is one groupBy over (user, day)-sized data.
+   * Returns (cohort_day date, day_offset, n_users).
+   */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+      .distinct()
+    val cohorts = days.groupBy(col("u")).agg(min(col("d")).as("c"))
+    days.join(cohorts, Seq("u"))
+      .groupBy(col("c").as("cohort_day"),
+        datediff(col("d"), col("c")).cast("bigint").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

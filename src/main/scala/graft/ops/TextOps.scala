@@ -1155,6 +1155,69 @@ object TextOps {
         round(col("inter_k").cast("double") / col("union_k"), 6))
   }
 
+  /**
+   * Exact phrase search ("find documents containing this exact k-token
+   * run") — the curation lookup BM25 cannot answer (keyword scoring has no
+   * adjacency): a k-token phrase IS a k-shingle, so membership is one
+   * native [[graft.functions.GraftFunctions.shingle_hashes]] pass and an
+   * `array_contains` — scan bandwidth, zero shuffle, no postings index.
+   * The phrase's own hash is computed through the SAME expression on a
+   * one-row frame, so engine-internal hashing can never diverge from the
+   * corpus-side pass. Occurrence count = `size − size(array_remove)`, all
+   * native array ops.
+   *
+   * Returns (idCol, n_occurrences > 0 docs only). Oracle contract: hashes
+   * on the Spark side, token-window STRINGS on the SQL side (the q24/q74
+   * postings precedent — 64-bit collisions are the accepted risk).
+   */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val k = phrase.trim.split("\\s+").count(_.nonEmpty)
+    require(k >= 1, "phrase must contain at least one token")
+    val spark = df.sparkSession
+    val target = spark.range(1)
+      .select(shingle_hashes(split(lit(phrase), " "), k).as("h"))
+      .head().getSeq[Long](0).headOption
+      .getOrElse(throw new IllegalArgumentException("unhashable phrase"))
+    val hs = shingle_hashes(split(col(textCol), " "), k)
+    df.select(col(idCol),
+        (size(hs) - size(array_remove(hs, lit(target))))
+          .cast("bigint").as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
+  }
+
+  /**
+   * Corpus novelty CURVE (the crawl-growth monitor: "how much of each
+   * day's content has never been seen before") — per snapshot day, the
+   * fraction of that day's distinct shingles whose GLOBAL first
+   * occurrence is that day. A flattening curve means the crawl is
+   * re-fetching, not discovering.
+   *
+   * 100 TB shape: [[noveltyProfile]]'s discipline — text reduces to
+   * (day, 64-bit shingle hash) pairs at the scan (native
+   * [[graft.functions.GraftFunctions.shingle_hashes]], the one
+   * string-touching pass) and never travels; the distinct, the per-hash
+   * `min(day)` (map-side-combinable), and the per-day rollup all move
+   * hash-width rows only. Oracle contract: hashes here, token-window
+   * strings in SQL (the q24/q74/q78 postings precedent). Returns
+   * (day, n_shingles, n_new, novelty_rate), one row per day.
+   */
+  def noveltyCurve(df: DataFrame, dayCol: String, textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val pairs = df.select(col(dayCol).as("d"),
+        explode(array_distinct(
+          shingle_hashes(split(col(textCol), " "), shingleSize))).as("h"))
+      .distinct()
+    val first = pairs.groupBy(col("h")).agg(min(col("d")).as("fd"))
+    pairs.join(first, Seq("h"))
+      .groupBy(col("d").as(dayCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("d") === col("fd"), 1L).otherwise(0L)).as("n_new"))
+      .select(col(dayCol), col("n_shingles"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_shingles"), 6)
+          .as("novelty_rate"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

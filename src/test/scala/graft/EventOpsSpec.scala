@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.EventOps
+
+/** Event-sequence analytics: ordered funnels + retention cohorts. */
+class EventOpsSpec extends SparkSpec {
+  _quiet
+  import spark.implicits._
+
+  test("funnel: steps chain strictly-after; out-of-order events don't count") {
+    val ev = Seq(
+      (1L, "view", 1L), (1L, "click", 2L), (1L, "purchase", 3L), // completes
+      (2L, "click", 1L), (2L, "view", 2L), (2L, "purchase", 3L), // click BEFORE view: stops at view
+      (3L, "view", 1L), (3L, "click", 2L),                       // no purchase
+      (4L, "purchase", 1L))                                      // never viewed
+      .toDF("u", "t", "ts")
+    val out = EventOps.funnel(ev, "u", "t", "ts",
+        Seq("view", "click", "purchase"))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      (1L, "view", 3L), (2L, "click", 2L), (3L, "purchase", 1L)))
+    // same-timestamp events do NOT chain (strictly after)
+    val tie = Seq((1L, "view", 5L), (1L, "click", 5L)).toDF("u", "t", "ts")
+    val t2 = EventOps.funnel(tie, "u", "t", "ts", Seq("view", "click"))
+      .orderBy("step").collect().map(_.getLong(2))
+    assert(t2.toSeq == Seq(1L, 0L))
+  }
+
+  test("retentionCohorts: first-day cohorts, multiple same-day events count once") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 11:00:00"), // day 0 twice
+      (1L, "2024-01-03 09:00:00"),                              // offset 2
+      (2L, "2024-01-02 08:00:00"))                              // own cohort
+      .toDF("u", "s")
+      .select(col("u"), col("s").cast("timestamp").as("ts"))
+    val out = EventOps.retentionCohorts(ev, "u", "ts")
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
+  }
+}

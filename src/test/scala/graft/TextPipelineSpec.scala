@@ -592,4 +592,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(uAC == 64 && iAC == 0L && jAC == 0.0)
     assert(m.size == 3) // unordered pairs only: AB, AC, BC
   }
+
+  test("phraseSearch: occurrence counts with overlap, absent docs dropped, " +
+      "single-token phrases work") {
+    val df = Seq(
+      (1L, "a b c a b"),   // "a b" twice
+      (2L, "a c b"),       // no adjacent "a b"
+      (3L, "x a b y"),     // once
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val out = TextOps.phraseSearch(df, "id", "text", "a b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 2L, 3L -> 1L))
+    val one = TextOps.phraseSearch(df, "id", "text", "c")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("noveltyCurve: first-seen attribution by min day; repeats within a " +
+      "day count once") {
+    val df = Seq(
+      (0L, "x y z"),       // day 0: {x y z} — all new
+      (0L, "x y z"),       // same shingle again: distinct per (day, shingle)
+      (1L, "x y z w"))     // day 1: {x y z, y z w} — one new of two
+      .toDF("day", "text")
+    val out = TextOps.noveltyCurve(df, "day", "text", shingleSize = 3)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0L, 1L, 1L, 1.0), (1L, 2L, 1L, 0.5)))
+  }
 }
