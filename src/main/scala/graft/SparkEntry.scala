@@ -1846,6 +1846,45 @@ object SparkEntry {
         .select((col("doc_id") % 8).as("day"), col("text"))
       TextOps.noveltyCurve(snaps, "day", "text", shingleSize = 3)
         .orderBy(col("day"))
+    }),
+
+    // --- hopping (sliding) windows: the overlap twin of q31's tumbling
+    //     rollup — every event lands in exactly two 2h/1h-slide windows ----
+    "q129_hopping_windows" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("total_value"))),
+
+    // --- tokenizer-vocabulary OOV coverage per language (top-200 corpus
+    //     vocabulary; count-desc/token-asc boundary is deterministic) ------
+    "q130_oov_report" -> ((s, dir) =>
+      TextOps.oovReport(T(s, dir, "documents"), "lang", "text", 200)),
+
+    // --- the BUILT-IN gap-session operator (session_window), value-checked
+    //     against the window-lag sessionization rule — a third independent
+    //     sessionize implementation (q13 batch lag, q48 stateful stream) ---
+    "q131_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("sw"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n_events"))),
+
+    // --- feature-store point-in-time join with max staleness: latest order
+    //     at-or-before each event, nulled when older than 30 days — the
+    //     union/carry-forward shape, one shuffle, no inequality join -------
+    "q132_asof_tolerance" -> ((s, dir) => {
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ets"))
+      val o = T(s, dir, "orders").select(col("o_custkey").as("user_id"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+        col("o_orderdate"))
+      graft.ops.Joins.asOfBackward(e, o, "user_id", "ets", "ots",
+        Seq("o_orderdate"), toleranceUs = 30L * 86400L * 1000000L)
     })
   )
 
@@ -4239,6 +4278,72 @@ object SparkEntry {
         |  round(cast(sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS double)
         |    / count(*), 6) AS novelty_rate
         |FROM sh JOIN fs USING (s)
-        |GROUP BY day ORDER BY day""".stripMargin
+        |GROUP BY day ORDER BY day""".stripMargin,
+
+    // every event contributes to exactly two 2h windows sliding by 1h:
+    // the one starting at its truncated hour and the one an hour earlier
+    "q129_hopping_windows" ->
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+        |    event_type, value
+        |  FROM events, generate_series(0, 1) t(k))
+        |SELECT window_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q130_oov_report" ->
+      """WITH toks AS (
+        |  SELECT lang AS g,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS n FROM toks GROUP BY tok
+        |    ORDER BY n DESC, tok LIMIT 200)),
+        |j AS (
+        |  SELECT t.g, CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM toks t LEFT JOIN vocab v USING (tok))
+        |SELECT g AS lang, count(*) AS n_tokens,
+        |  cast(sum(oov) AS bigint) AS n_oov,
+        |  round(cast(sum(oov) AS double) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY g""".stripMargin,
+
+    // session_window semantics: a new session starts when the gap to the
+    // previous event is >= 30 min; session end = last event + 30 min
+    "q131_session_window" ->
+      """WITH l AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // DuckDB's native ASOF join plays the carry-forward window; staleness
+    // nulls both the carried value and the age in lockstep
+    "q132_asof_tolerance" ->
+      """WITH a AS (
+        |  SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ets, o.o_orderdate
+        |  FROM events e ASOF LEFT JOIN orders o
+        |    ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+        |SELECT event_id, user_id, ets,
+        |  CASE WHEN o_orderdate IS NOT NULL
+        |        AND ets - epoch_us(o_orderdate) <= 2592000000000
+        |       THEN o_orderdate END AS o_orderdate,
+        |  CASE WHEN o_orderdate IS NOT NULL
+        |        AND ets - epoch_us(o_orderdate) <= 2592000000000
+        |       THEN ets - epoch_us(o_orderdate) END AS asof_age_us
+        |FROM a""".stripMargin
   )
 }

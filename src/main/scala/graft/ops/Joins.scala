@@ -48,4 +48,55 @@ object Joins {
       .drop(col(s"__pw_r.$keyCol"))
       .drop(col("__pw_l.__bin")).drop(col("__pw_r.__bin"))
   }
+
+  /**
+   * Backward as-of join with a max-staleness tolerance — the feature-store
+   * point-in-time join ("the latest feature value at or before each
+   * observation, but never staler than `toleranceUs`"; a plain as-of would
+   * happily serve a year-old feature). Strategy: the q32 union trick —
+   * interleave both sides on the time axis, carry the latest right-side
+   * (time, value) forward with one window pass — then null out matches
+   * older than the tolerance. One shuffle on `keyCol`, no inequality join,
+   * no per-row probe; right rows sort before left rows on time ties, so
+   * the join is INCLUSIVE (observation at t matches a feature stamped t).
+   *
+   * `valueCols` are the right-side columns to carry; they surface nulled
+   * when no match exists or the match is stale (`asof_age_us` keeps the
+   * raw staleness for auditing; it is nulled in lockstep). Timestamps are
+   * epoch-microsecond longs (exact integer math).
+   */
+  def asOfBackward(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsUs: String, rightTsUs: String, valueCols: Seq[String],
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, "tolerance must be non-negative")
+    val leftCols = left.columns.toSeq
+    val lTagged = left.select(
+      (col(keyCol).as("__k") +: col(leftTsUs).as("__t") +:
+        lit(1).as("__is_l") +:
+        leftCols.map(c => col(c)) ++:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++:
+        Seq(lit(null).cast("long").as("__rt"))): _*)
+    val rTagged = right.select(
+      (col(keyCol).as("__k") +: col(rightTsUs).as("__t") +:
+        lit(0).as("__is_l") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        valueCols.map(c => col(c)) ++:
+        Seq(col(rightTsUs).cast("long").as("__rt"))): _*)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__is_l"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val carried = lTagged.unionByName(rTagged)
+      .withColumn("__last_rt", last(col("__rt"), ignoreNulls = true).over(w))
+      .withColumns(valueCols.map(c =>
+        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
+      .where(col("__is_l") === 1)
+    val fresh = col("__last_rt").isNotNull &&
+      (col(leftTsUs).cast("long") - col("__last_rt")) <= toleranceUs
+    carried.select(
+      (leftCols.map(c => col(c)) ++
+        valueCols.map(c => when(fresh, col(c)).otherwise(lit(null)).as(c)) ++
+        Seq(when(fresh, col(leftTsUs).cast("long") - col("__last_rt"))
+          .otherwise(lit(null)).as("asof_age_us"))): _*)
+  }
 }

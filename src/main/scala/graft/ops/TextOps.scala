@@ -1218,6 +1218,34 @@ object TextOps {
           .as("novelty_rate"))
   }
 
+  /**
+   * Tokenizer-vocabulary coverage report (the OOV-rate gauge a tokenizer
+   * rollout tracks per language/source): build the corpus top-`vocabSize`
+   * token vocabulary (count desc, token ties ascending — deterministic at
+   * the boundary), then per group count tokens outside it.
+   *
+   * 100 TB shape: both passes move (token, count) pairs only — the
+   * vocabulary is a top-k over the token-frequency table (a k-row heap via
+   * the rank pattern at scale; here a straight limit) and broadcasts into
+   * the coverage join; text never shuffles. Returns
+   * (groupCol, n_tokens, n_oov, oov_rate).
+   */
+  def oovReport(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(groupCol).as("g"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1L).as("__v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("g").as(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

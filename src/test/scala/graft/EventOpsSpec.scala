@@ -41,4 +41,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq(
       ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L), ("2024-01-02", 0L, 1L)))
   }
+
+  test("asOfBackward: latest at-or-before within tolerance; stale and " +
+      "missing matches null value AND age together") {
+    val left = Seq((1L, 100L, "e1"), (1L, 205L, "e2"), (1L, 50L, "e0"),
+        (2L, 100L, "e3"))
+      .toDF("k", "lt", "ev")
+    val right = Seq((1L, 90L, "a"), (1L, 100L, "b"), (1L, 110L, "c"))
+      .toDF("k", "rt", "v")
+    val out = graft.ops.Joins.asOfBackward(left, right, "k", "lt", "rt",
+        Seq("v"), toleranceUs = 100L)
+      .collect().map(r => (r.getString(2),
+        Option(r.getString(3)), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+      .sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("e0", None, None),              // nothing at or before t=50
+      ("e1", Some("b"), Some(0L)),     // inclusive tie: value stamped 100
+      ("e2", Some("c"), Some(95L)),    // latest is 110, within 100
+      ("e3", None, None)))             // key 2 has no features at all
+    // tolerance boundary: age exactly == tolerance is fresh, +1 is stale
+    val edge = Seq((1L, 210L, "x"), (1L, 211L, "y")).toDF("k", "lt", "ev")
+    val e2 = graft.ops.Joins.asOfBackward(edge, right, "k", "lt", "rt",
+        Seq("v"), toleranceUs = 100L)
+      .collect().map(r => (r.getString(2), Option(r.getString(3))))
+      .sortBy(_._1).toSeq
+    assert(e2 == Seq(("x", Some("c")), ("y", None)))
+  }
 }

@@ -621,4 +621,22 @@ class TextPipelineSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(out.toSeq == Seq((0L, 1L, 1L, 1.0), (1L, 2L, 1L, 0.5)))
   }
+
+  test("oovReport: boundary vocabulary is deterministic; OOV counted with " +
+      "multiplicity") {
+    val df = Seq(
+      ("a", "aa aa bb cc"),   // aa x2 in vocab(2) = {aa, bb}? counts: aa 3, bb 2, cc 1, dd 1
+      ("b", "aa bb dd"))
+      .toDF("g", "text")
+    // vocabSize 2 → vocab = {aa (3), bb (2)}; cc/dd OOV
+    val out = TextOps.oovReport(df, "g", "text", 2)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(("a", 4L, 1L, 0.25), ("b", 3L, 1L, 0.333333)))
+    // ties at the boundary break token-ascending: with counts dd=1, cc=1
+    // and vocabSize 3, 'cc' enters, 'dd' stays out
+    val t = TextOps.oovReport(df, "g", "text", 3)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(t.toSeq == Seq(("a", 0L), ("b", 1L))) // dd is b's only OOV
+  }
 }
