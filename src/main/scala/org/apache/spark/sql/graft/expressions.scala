@@ -128,6 +128,63 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
 }
 
 /**
+ * Cosine similarity between TWO int8-quantized vectors — the all-pairs
+ * inner loop of semantic dedup, where both sides of the pair join are the
+ * stored `array<tinyint>` form. Arithmetic is bit-identical to
+ * [[CosineSimilarityInt8]] over a float-cast right side (byte → double is
+ * exact either way), but skips the per-PAIR array materialization the cast
+ * would pay: an O(cell²) pair pass evaluates this expression millions of
+ * times per cell, so the avoided allocation is the difference between a
+ * byte-read loop and a GC storm. Zero-norm inputs yield 0.0; unequal
+ * lengths compare the common prefix.
+ */
+case class CosineSimilarityInt8Pair(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim_int8_pair"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getByte(i).toDouble
+      val y = b.getByte(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getByte($i);
+         |  double $y = (double) $b.getByte($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/**
  * Hamming distance between two 64-bit SimHash signatures: `popcount(a ^ b)`.
  * One XOR + one POPCNT instruction under codegen — the inner loop of SimHash
  * near-dup join verification.

@@ -46,6 +46,20 @@ class NativeEquivalenceSpec extends SparkSpec {
     assert(diff.isEmpty, "native int8 cosine diverged from the cast form")
   }
 
+  test("cosine_sim_int8_pair == cosine_sim_int8 over the float-cast side") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet").limit(100)
+    val q = graft.ops.Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val a = q.select(col("id").as("aid"), col("qvec").as("aq"))
+    val b = q.select(col("id").as("bid"), col("qvec").as("bq"))
+    // byte → double is exact through either a float hop or directly, so the
+    // pair form must match the cast form bit-for-bit on every pair
+    val diff = a.crossJoin(b).where(col("aid") < col("bid")).select(
+        cosine_sim_int8_pair(col("aq"), col("bq")).as("fast"),
+        cosine_sim_int8(col("aq"), col("bq").cast("array<float>")).as("ref"))
+      .where(col("fast") =!= col("ref"))
+    assert(diff.isEmpty, "int8 pair cosine diverged from the cast form")
+  }
+
   test("count_in_bloom == size(filter(bloom_might_contain)) on corpus shingles") {
     // build a real filter over half the corpus's shingle hashes, then probe
     // every document with both formulations — same filter blob, so the
