@@ -106,15 +106,24 @@ object Bench {
     // HEADROOM GUARD: qNN keys stay under the 2 KB capture up to ~150
     // queries; past that the compact line must shrink again (e.g. total-only).
     def r3(x: Double) = math.rint(x * 1000) / 1000
-    def jmap(f: ((Double, Double, Double)) => Double, key: String => String = identity) =
-      results.map { case (k, v) => "\"" + key(k) + "\":" + r3(f(v)) }.mkString("{", ",", "}")
+    def r2(x: Double) = math.rint(x * 100) / 100
+    def jmap(f: ((Double, Double, Double)) => Double, key: String => String = identity,
+        r: Double => Double = r3) =
+      results.map { case (k, v) => "\"" + key(k) + "\":" + r(f(v)) }.mkString("{", ",", "}")
     def shortKey(name: String) = name.indexOf('_') match {
       case -1 => name
       case i  => name.substring(0, i)
     }
     val total = r3(results.values.map(_._1).sum)
     println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"reps":$reps,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey)},"reps":$reps,"sf":"$sfDir"}""")
+    // compact medians at 2 decimals (10 ms grid — ample at these
+    // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
+    // ~165 queries; past the guard, degrade to total-only rather than let
+    // the capture truncate the line's HEAD and lose the total
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"reps":$reps,"sf":"$sfDir"}"""
+    println(if (compact.length <= 1900) compact
+      else s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
