@@ -89,7 +89,13 @@ object ScaleProbe {
     "q110_pq_ann",          // PQ train (1+iters scans) + codes-only ADC scan
     "q111_boilerplate_lines", // line df on hash keys, verbatim passthrough
     "q112_ann_recall",      // broadcast probe table + two rank windows
-    "q113_kmv_shards")      // per-shard min-k heaps, corpus-free merge
+    "q113_kmv_shards",      // per-shard min-k heaps, corpus-free merge
+    // round-9 final additions (q133–q136)
+    "q134_length_batches",  // banded/sharded batch windows, (id,count) shuffles
+    "q135_bpe_merges",      // corpus→dictionary collapse + 4 vocab-sized rounds
+    "q136_decontaminate_spans", // benchmark semi-join + splice (planted copies cut)
+    "q137_cms_counts",      // (shard,row,bucket) map-side combine, sketch-row work
+    "q138_collocations")    // bigram/unigram count tables, minCount prefilter
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -1885,7 +1885,74 @@ object SparkEntry {
         col("o_orderdate"))
       graft.ops.Joins.asOfBackward(e, o, "user_id", "ets", "ots",
         Seq("o_orderdate"), toleranceUs = 30L * 86400L * 1000000L)
-    })
+    }),
+
+    // --- encoding-quality gate: mojibake artifacts, control chars, and
+    //     U+FFFD replacement chars planted by doc_id residue; every counter
+    //     a codegen'd string primitive, every rule an integer rational ------
+    "q133_encoding_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0, lit(" cafÃ© donâ€™t")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit("\u0007\u0001\u0007")).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0, lit("��")).otherwise(lit("")))
+          .as("text"))
+      TextOps.encodingQuality(docs, "doc_id", "text")
+    }),
+
+    // --- length-bucketed inference batching: 64-token bands, 16-doc batches,
+    //     2 skew shards; manifests carry the padding-waste the bucketing
+    //     exists to minimize. Only (id, n_tokens) pairs ever shuffle ---------
+    "q134_length_batches" -> ((s, dir) =>
+      TextOps.lengthBatches(T(s, dir, "documents"), "doc_id", "text",
+        batchSize = 16, bandTokens = 64, shards = 2)),
+
+    // --- iterative BPE merge training: 4 greedy rounds over the word-
+    //     frequency dictionary; each round's argmax + merge replays exactly
+    //     in SQL (identical replace semantics) -----------------------------
+    "q135_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(T(s, dir, "documents"), "text", rounds = 4)),
+
+    // --- surgical benchmark decontamination: ≥8-token runs shared with the
+    //     benchmark slice (doc_id % 11 = 0) spliced out of training docs;
+    //     unique content around the contamination survives. Oracle replays
+    //     the cut rule on shingle strings and md5-hashes every cleaned text -
+    "q136_decontaminate_spans" -> ((s, dir) => {
+      val all = T(s, dir, "documents")
+      val bench = all.where(col("doc_id") % 11 === 0).select(col("text"))
+      val train = all.where(col("doc_id") % 11 =!= 0)
+      Dedup.cutContaminatedSpans(train, "doc_id", "text", bench, "text",
+          minTokens = 8)
+        .select(col("doc_id"), col("n_tokens"),
+          md5(col("text_clean").cast("binary")).as("clean_md5"), col("was_cut"))
+    }),
+
+    // --- mergeable per-source Count-Min sketches (the frequency twin of
+    //     q113's KMV distinct sketches): merge is counter-wise sum (exact
+    //     identity), estimates can only overcount — `sound` pins est>=exact
+    //     for every probe including an unseen token ------------------------
+    "q137_cms_counts" -> ((s, dir) => {
+      val probes = Seq("join", "hash", "scan", "filter", "merge",
+        "zzz_unseen_token")
+      val sk = TextOps.cmsSketchShards(T(s, dir, "documents"), "source",
+        "text", depth = 4, width = 512)
+      val est = TextOps.cmsEstimate(sk, probes, depth = 4, width = 512)
+      val exact = T(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("token"))
+        .where(col("token").isin(probes: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("token"), "left")
+        .select(col("token"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("sound"))
+    }),
+
+    // --- PMI collocation extraction: adjacent-pair counts vs chance,
+    //     min-count floor, nano-quantized ln (q73's parity contract),
+    //     deterministic top-25 --------------------------------------------
+    "q138_collocations" -> ((s, dir) =>
+      TextOps.collocations(T(s, dir, "documents"), "text",
+        minCount = 5, topK = 25))
   )
 
   // =========================================================================
@@ -4344,6 +4411,247 @@ object SparkEntry {
         |  CASE WHEN o_orderdate IS NOT NULL
         |        AND ets - epoch_us(o_orderdate) <= 2592000000000
         |       THEN ets - epoch_us(o_orderdate) END AS asof_age_us
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // Encoding gate replay: same planted artifacts (|| keeps NULL text NULL,
+    // unlike concat()), same codegen'd counters as length/replace deltas and
+    // RE2 regexp extracts, same integer cross-multiplied rules.
+    "q133_encoding_gate" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© donâ€™t' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(7) || chr(1) || chr(7)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 0 THEN chr(65533) || chr(65533)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    length(text) - length(replace(text, chr(65533), '')) AS n_repl,
+        |    len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) AS n_ctl,
+        |    len(regexp_extract_all(text, 'Ã[©¨¤¶¼]|â€[™œ]')) AS n_moji
+        |  FROM docs)
+        |SELECT doc_id,
+        |  cast(n_chars AS bigint) AS n_chars,
+        |  cast(n_repl AS bigint) AS n_replacement,
+        |  cast(n_ctl AS bigint) AS n_control,
+        |  cast(n_moji AS bigint) AS n_mojibake,
+        |  coalesce(1000 * n_repl <= n_chars, FALSE) AS r_replacement,
+        |  coalesce(1000 * n_ctl <= 2 * n_chars, FALSE) AS r_control,
+        |  coalesce(n_moji <= 0, FALSE) AS r_mojibake,
+        |  (coalesce(1000 * n_repl <= n_chars, FALSE) AND
+        |   coalesce(1000 * n_ctl <= 2 * n_chars, FALSE) AND
+        |   coalesce(n_moji <= 0, FALSE)) AS keep
+        |FROM m""".stripMargin,
+
+    // Length-batch replay: the md5-prefix-60 hash order, the band/shard
+    // assignment, and the windowed batch cut are all engine-portable integer
+    // arithmetic — the manifest is value-exact.
+    "q134_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')), 0) AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+        |    cast(n_tokens // 64 AS bigint) AS band,
+        |    ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT AS hk
+        |  FROM t),
+        |s AS (SELECT *, hk % 2 AS shard FROM b),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY band, shard ORDER BY hk, doc_id) AS rk
+        |  FROM s)
+        |SELECT band,
+        |  cast(((rk - 1) // 16) * 2 + shard AS bigint) AS batch_id,
+        |  count(*) AS n_docs,
+        |  max(n_tokens) AS batch_max_tokens,
+        |  cast(sum(n_tokens) AS bigint) AS batch_tokens,
+        |  cast(count(*) * max(n_tokens) - sum(n_tokens) AS bigint)
+        |    AS padding_waste
+        |FROM r GROUP BY band, batch_id""".stripMargin,
+
+    // BPE merge replay: 4 explicit rounds, each the same deterministic
+    // argmax (count desc, left asc, right asc) + the same leftmost-
+    // non-overlapping replace over the previous round's dictionary. The
+    // parallel-unnest zip extracts adjacent symbol pairs positionally.
+    "q135_bpe_merges" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS wn FROM (
+        |    SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+        |  GROUP BY word),
+        |enc0 AS (
+        |  SELECT '|' || regexp_replace(word, '(.)', '\1|', 'g') AS enc, wn
+        |  FROM w),
+        |p1 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc0)),
+        |m1 AS (SELECT la, ra, sum(wn) AS n FROM p1 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |enc1 AS (
+        |  SELECT replace(enc,
+        |    '|' || (SELECT la FROM m1) || '|' || (SELECT ra FROM m1) || '|',
+        |    '|' || (SELECT la FROM m1) || '@' || (SELECT ra FROM m1) || '|')
+        |    AS enc, wn FROM enc0),
+        |p2 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc1)),
+        |m2 AS (SELECT la, ra, sum(wn) AS n FROM p2 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |enc2 AS (
+        |  SELECT replace(enc,
+        |    '|' || (SELECT la FROM m2) || '|' || (SELECT ra FROM m2) || '|',
+        |    '|' || (SELECT la FROM m2) || '@' || (SELECT ra FROM m2) || '|')
+        |    AS enc, wn FROM enc1),
+        |p3 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc2)),
+        |m3 AS (SELECT la, ra, sum(wn) AS n FROM p3 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |enc3 AS (
+        |  SELECT replace(enc,
+        |    '|' || (SELECT la FROM m3) || '|' || (SELECT ra FROM m3) || '|',
+        |    '|' || (SELECT la FROM m3) || '@' || (SELECT ra FROM m3) || '|')
+        |    AS enc, wn FROM enc2),
+        |p4 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc3)),
+        |m4 AS (SELECT la, ra, sum(wn) AS n FROM p4 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1)
+        |SELECT cast(1 AS int) AS round,
+        |  replace(la, '@', '') AS merge_left,
+        |  replace(ra, '@', '') AS merge_right, cast(n AS bigint) AS pair_count
+        |FROM m1
+        |UNION ALL SELECT 2, replace(la, '@', ''), replace(ra, '@', ''),
+        |  cast(n AS bigint) FROM m2
+        |UNION ALL SELECT 3, replace(la, '@', ''), replace(ra, '@', ''),
+        |  cast(n AS bigint) FROM m3
+        |UNION ALL SELECT 4, replace(la, '@', ''), replace(ra, '@', ''),
+        |  cast(n AS bigint) FROM m4""".stripMargin,
+
+    // Surgical decontamination replay (the q77 splice shape with the
+    // benchmark slice as the cut authority): benchmark 8-shingles as
+    // strings, covered-position expansion, anti-join splice, md5 of every
+    // reassembled text.
+    "q136_decontaminate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |tr AS (SELECT * FROM t WHERE doc_id % 11 <> 0),
+        |be AS (SELECT * FROM t WHERE doc_id % 11 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 7)] END) AS g
+        |  FROM be WHERE toks IS NOT NULL),
+        |tsh AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 8 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+7], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 7)] END AS s
+        |  FROM tr),
+        |inv AS (SELECT doc_id, unnest(s) AS g,
+        |          unnest(range(len(s))) AS pos FROM tsh),
+        |hit AS (SELECT inv.* FROM inv JOIN bsh USING (g)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos + off AS pos
+        |  FROM hit CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 7)) AS off) o),
+        |cutdocs AS (SELECT DISTINCT doc_id FROM cov),
+        |tok AS (
+        |  SELECT t2.doc_id, unnest(t2.toks) AS tok,
+        |         unnest(range(len(t2.toks))) AS pos
+        |  FROM tr t2 JOIN cutdocs USING (doc_id)),
+        |kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, pos)),
+        |rebuilt AS (
+        |  SELECT c.doc_id,
+        |    coalesce(r.text_clean, '') AS text_clean,
+        |    coalesce(r.n_tokens, 0) AS n_tokens
+        |  FROM cutdocs c LEFT JOIN (
+        |    SELECT doc_id,
+        |      array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+        |      count(*) AS n_tokens
+        |    FROM kept GROUP BY doc_id) r USING (doc_id))
+        |SELECT d.doc_id, cast(len(d.toks) AS bigint) AS n_tokens,
+        |  md5(dd.text) AS clean_md5, FALSE AS was_cut
+        |FROM tr d JOIN documents dd USING (doc_id)
+        |ANTI JOIN cutdocs USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+        |  md5(text_clean) AS clean_md5, TRUE AS was_cut
+        |FROM rebuilt""".stripMargin,
+
+    // CMS replay: merge linearity means the global counter table IS the
+    // merged per-shard table (the identity the spec pins), so the oracle
+    // counts buckets globally with the same md5 row-hash arithmetic; the
+    // `sound` column pins the overcount-only guarantee in value form.
+    "q137_cms_counts" ->
+      """WITH ex AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT r,
+        |    ('0x' || substr(md5(cast(r AS varchar) || ':' || tok), 1, 15))
+        |      ::BIGINT % 512 AS bucket,
+        |    count(*) AS n
+        |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) g
+        |  GROUP BY r, bucket),
+        |probes AS (
+        |  SELECT unnest(['join', 'hash', 'scan', 'filter', 'merge',
+        |    'zzz_unseen_token']) AS token),
+        |pb AS (
+        |  SELECT token, r,
+        |    ('0x' || substr(md5(cast(r AS varchar) || ':' || token), 1, 15))
+        |      ::BIGINT % 512 AS bucket
+        |  FROM probes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) g),
+        |est AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est
+        |  FROM pb LEFT JOIN cnt USING (r, bucket) GROUP BY token),
+        |exact AS (
+        |  SELECT tok AS token, count(*) AS exact FROM ex
+        |  WHERE tok IN ('join', 'hash', 'scan', 'filter', 'merge',
+        |    'zzz_unseen_token')
+        |  GROUP BY tok)
+        |SELECT token, cast(est AS bigint) AS est,
+        |  cast(coalesce(exact, 0) AS bigint) AS exact,
+        |  est >= coalesce(exact, 0) AS sound
+        |FROM est LEFT JOIN exact USING (token)""".stripMargin,
+
+    // Collocation replay: same bigram/unigram counts, same nano-quantized
+    // ln arithmetic, same deterministic (pmi desc, pair asc) top-k.
+    "q138_collocations" ->
+      """WITH tk AS (
+        |  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |    AS tk
+        |  FROM documents),
+        |uni AS (SELECT unnest(tk) AS w FROM tk),
+        |uc AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+        |tot AS (SELECT count(*) AS n FROM uni),
+        |bg AS (
+        |  SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |  FROM tk WHERE len(tk) >= 2),
+        |cb AS (
+        |  SELECT w1, w2, count(*) AS c12 FROM bg
+        |  GROUP BY w1, w2 HAVING count(*) >= 5)
+        |SELECT w1, w2, cast(c12 AS bigint) AS c12,
+        |  cast(round(ln(cast(c12 AS double) * (SELECT n FROM tot) /
+        |    (cast(u1.cw AS double) * cast(u2.cw AS double))) * 1e9, 0)
+        |    AS bigint) AS pmi_nano
+        |FROM cb
+        |JOIN uc u1 ON cb.w1 = u1.w
+        |JOIN uc u2 ON cb.w2 = u2.w
+        |ORDER BY pmi_nano DESC, w1, w2 LIMIT 25""".stripMargin
   )
 }

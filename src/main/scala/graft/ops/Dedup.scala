@@ -573,6 +573,18 @@ object Dedup {
       .select(col("o.id").as("id"),
         explode(sequence(col("o.pos"), col("o.pos") + lit(k - 1))).as("pos"))
       .distinct()
+    spliceOutPositions(df, idCol, textCol, cov)
+  }
+
+  /** Shared splice stage of [[cutSharedSpans]] / [[cutContaminatedSpans]]:
+    * remove the (id, pos) token positions in `cov` from their documents.
+    * Only documents with at least one covered position are re-tokenized
+    * (posexplode → anti-join → ordered reassembly); everything else passes
+    * through with its ORIGINAL text. A fully-covered doc comes back as the
+    * empty string with n_tokens = 0. Returns (idCol, text_clean, n_tokens,
+    * was_cut). */
+  private def spliceOutPositions(df: DataFrame, idCol: String, textCol: String,
+      cov: DataFrame): DataFrame = {
     val cutIds = cov.select(col("id")).distinct()
     // Only the to-be-cut slice of the corpus is re-tokenized; everything
     // else passes through untouched below.
@@ -598,6 +610,47 @@ object Dedup {
         token_count(col(textCol)).cast("bigint").as("n_tokens"),
         lit(false).as("was_cut"))
     untouched.unionByName(cut)
+  }
+
+  /**
+   * Surgical benchmark decontamination — the span-level refinement of
+   * whole-document decontamination ([[graft.ops.TextOps.contaminationReport]]
+   * drop rule / `decontaminateStream`): every ≥`minTokens`-token run of a
+   * training document that also occurs in the BENCHMARK corpus is spliced
+   * out; the unique content around it survives. Dropping a whole document
+   * for one quoted benchmark question throws away everything else in it —
+   * this keeps it (the [[cutSharedSpans]] rationale, pointed at an external
+   * contamination corpus instead of earlier duplicates).
+   *
+   * Cut rule ([[cutSharedSpans]]'s, with the benchmark as the authority):
+   * a token at offset p of training doc X is cut IFF some k-shingle of X
+   * starting at s ∈ [p−k+1, p] also occurs ANYWHERE in the benchmark.
+   * There are no df caps here — a benchmark shingle must cut no matter how
+   * common it is in the training corpus (over-cutting toward the benchmark
+   * is the SAFE direction; the caps in [[cutSharedSpans]] exist to protect
+   * intra-corpus boilerplate, a different contract).
+   *
+   * 100 TB shape: the benchmark side collapses to DISTINCT 64-bit shingle
+   * hashes (benchmark corpora are tiny — broadcast-join build side); the
+   * training corpus contributes one posexplode of hashes at the scan, the
+   * semi-join keeps only contaminated occurrences, and the splice
+   * re-tokenizes ONLY contaminated documents ([[spliceOutPositions]]) —
+   * clean documents stream through verbatim, text never shuffles.
+   * Returns (idCol, text_clean, n_tokens, was_cut).
+   */
+  def cutContaminatedSpans(df: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, minTokens: Int = 8): DataFrame = {
+    val k = minTokens
+    val benchS = bench.select(explode(array_distinct(
+        shingle_hashes(split(col(benchTextCol), " "), k))).as("s"))
+      .distinct()
+    val cov = df.select(col(idCol).as("id"),
+        posexplode(shingle_hashes(split(col(textCol), " "), k)).as(Seq("pos", "s")))
+      .join(broadcast(benchS), Seq("s"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    spliceOutPositions(df, idCol, textCol, cov)
   }
 
   /**

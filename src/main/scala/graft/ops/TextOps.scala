@@ -1156,6 +1156,111 @@ object TextOps {
   }
 
   /**
+   * Mergeable per-shard Count-Min sketches — the FREQUENCY twin of
+   * [[kmvSketchShards]]'s distinct sketches (the incremental-dashboard
+   * deployment: re-sketch only changed shards, merge in sketch space,
+   * answer "how often does token X appear" without re-reading the corpus).
+   * Sketch = `depth` hash rows × `width` counters; a token occurrence
+   * increments counter `md5(r ':' token) mod width` in every row r. Merging
+   * shards is counter-wise ADDITION — an exact identity (counts are linear),
+   * not approximate-on-approximate; a point estimate is the MIN over the
+   * merged rows and can only OVERCOUNT (collisions add, never subtract) —
+   * the classic CM guarantee, which [[cmsEstimate]]'s oracle pins as
+   * `est >= exact`.
+   *
+   * 100 TB shape: tokens reduce to (shard, r, bucket) at the scan
+   * (codegen'd md5, one explode × depth) and partial aggregation collapses
+   * them map-side; the sketch table is at most shards · depth · width rows
+   * of longs — the only thing that ever shuffles. Zero counters are simply
+   * absent rows (merge treats missing as 0). Returns
+   * (shard, r, bucket, n).
+   */
+  def cmsSketchShards(df: DataFrame, shardCol: String, textCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    df.select(col(shardCol).as("shard"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(col("shard"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"), col("tok"))
+      .select(col("shard"), col("r"),
+        pmod(md5_prefix60(concat(col("r").cast("string"), lit(":"), col("tok"))),
+          lit(width.toLong)).cast("int").as("bucket"))
+      .groupBy(col("shard"), col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Point-frequency estimates from merged [[cmsSketchShards]] sketches:
+   * merge = groupBy(r, bucket) SUM (the linearity identity — estimating
+   * from merged per-shard sketches equals estimating from one global
+   * sketch, which the spec pins), then per probe token the estimate is the
+   * min over its `depth` counters. Sketch-rows-only work — the corpora
+   * were read when the sketches were built. Returns (token, est) with
+   * est ≥ the true corpus count always (CM overcount guarantee).
+   */
+  def cmsEstimate(sketches: DataFrame, probes: Seq[String],
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    require(probes.nonEmpty, "probes must be non-empty")
+    val spark = sketches.sparkSession
+    import spark.implicits._
+    val merged = sketches.groupBy(col("r"), col("bucket"))
+      .agg(sum(col("n")).as("n"))
+    val pb = probes.toDF("token")
+      .select(col("token"), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col("token"), col("r"),
+        pmod(md5_prefix60(concat(col("r").cast("string"), lit(":"), col("token"))),
+          lit(width.toLong)).cast("int").as("bucket"))
+    broadcast(pb).join(merged, Seq("r", "bucket"), "left")
+      .groupBy(col("token"))
+      .agg(min(coalesce(col("n"), lit(0L))).as("est"))
+  }
+
+  /**
+   * PMI collocation extraction (the corpus-analysis staple: word pairs that
+   * co-occur far above chance — "new york", "machine learning"):
+   * `pmi = ln(c_xy · n / (c_x · c_y))` over adjacent-token bigrams, with a
+   * `minCount` floor (PMI is unstable on rare pairs) and a deterministic
+   * top-k (pmi desc, then pair ascending). The PMI is nano-quantized
+   * (`round(ln·1e9)` → bigint, the q73/q90/q97 ln-parity contract) so every
+   * reported value replays exactly in SQL.
+   *
+   * 100 TB shape: the corpus collapses to a bigram-count table and a
+   * unigram-count table in one scan each — only (token, count) rows
+   * shuffle; the `minCount` filter shrinks the bigram side BEFORE the
+   * unigram joins (equi-joins on token keys, AQE-broadcastable when small);
+   * counts promote to double before multiplying so no 64-bit overflow
+   * exists at any corpus size. Returns (w1, w2, c12, pmi_nano).
+   */
+  def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
+      topK: Int = 20): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val tk = tokens(lower(col(textCol)))
+    val uni = df.select(explode(tk).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tot = uni.agg(sum(col("cw")).as("n"))
+    val cb = df.select(tk.as("tk")).where(size(col("tk")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("tk"), lit(1), size(col("tk")) - 1),
+        slice(col("tk"), lit(2), size(col("tk")) - 1)).cast(
+        "array<struct<w1:string,w2:string>>")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+    cb
+      .join(uni.select(col("w").as("w1"), col("cw").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cw").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log(col("c12").cast("double") * col("n").cast("double") /
+          (col("c1").cast("double") * col("c2").cast("double"))) * 1e9, 0)
+          .cast("long").as("pmi_nano"))
+      .orderBy(col("pmi_nano").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /**
    * Exact phrase search ("find documents containing this exact k-token
    * run") — the curation lookup BM25 cannot answer (keyword scoring has no
    * adjacency): a k-token phrase IS a k-shingle, so membership is one
@@ -1244,6 +1349,163 @@ object TextOps {
         sum(when(col("__v").isNull, 1L).otherwise(0L)).as("n_oov"))
       .select(col(groupCol), col("n_tokens"), col("n_oov"),
         round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+  }
+
+  /** Mojibake artifact patterns recognized by [[encodingQuality]]: the
+    * classic UTF-8-read-as-Latin-1 double-encodings ("Ã©" for é, "â€™" for
+    * a right single quote, …). A short high-precision list — the LOGIC
+    * (codegen'd regexp_count at scan bandwidth) is what scales; a production
+    * deployment extends the alternation. RE2-safe (plain alternation +
+    * character classes) so the DuckDB oracle runs the IDENTICAL pattern. */
+  val mojibakePattern: String = "Ã[©¨¤¶¼]|â€[™œ]"
+
+  /**
+   * Encoding-quality gate (the mojibake/corruption stage every web-crawl
+   * cleaning pipeline runs before language ID): per-document counts of
+   * U+FFFD replacement characters (a decoder already gave up), C0 control
+   * characters outside tab/newline/CR (binary junk in a text field), and
+   * double-encoded UTF-8 artifacts ([[mojibakePattern]]), with per-mille
+   * thresholds decided in INTEGER cross-multiplied arithmetic (the
+   * [[gopherQuality]] discipline — no float ratio to diverge between
+   * engines). `keep` is the conjunction; null text fails every rule.
+   *
+   * Every counter is a codegen'd string primitive (length/replace deltas,
+   * regexp_count) — zero shuffle, scan bandwidth; at 100 TB this rides the
+   * ingest scan like [[gopherQuality]] and [[canonicalizeUrl]].
+   * Returns (idCol, n_chars, n_replacement, n_control, n_mojibake,
+   * r_replacement, r_control, r_mojibake, keep).
+   */
+  def encodingQuality(df: DataFrame, idCol: String, textCol: String,
+      maxReplacementPerMille: Int = 1, maxControlPerMille: Int = 2,
+      maxMojibake: Int = 0): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("bigint")
+    val nRepl = (length(t) - length(replace(t, lit("�"), lit("")))).cast("bigint")
+    val nCtl = regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("bigint")
+    val nMoji = regexp_count(t, lit(mojibakePattern)).cast("bigint")
+    def rule(c: Column) = coalesce(c, lit(false))
+    df.select(col(idCol), nChars.as("n_chars"), nRepl.as("n_replacement"),
+        nCtl.as("n_control"), nMoji.as("n_mojibake"),
+        rule(lit(1000L) * nRepl <= lit(maxReplacementPerMille.toLong) * nChars)
+          .as("r_replacement"),
+        rule(lit(1000L) * nCtl <= lit(maxControlPerMille.toLong) * nChars)
+          .as("r_control"),
+        rule(nMoji <= maxMojibake.toLong).as("r_mojibake"))
+      .withColumn("keep",
+        col("r_replacement") && col("r_control") && col("r_mojibake"))
+  }
+
+  /**
+   * Length-bucketed inference batching (the serving/eval twin of
+   * [[packDocuments]]): documents group into fixed-size batches of
+   * SIMILAR token length so per-batch padding-to-max waste stays small —
+   * the batch-manifest stage of an embedding/scoring pass over a corpus.
+   * Docs band by `n_tokens div bandTokens`; inside a band, batch membership
+   * is hash-order (`md5(id)` — deterministic across engines, runs, and
+   * partitionings) cut into `batchSize`-row batches.
+   *
+   * `shards` is the skew bound (the [[packDocuments]] discipline): each
+   * (band, shard) runs its own window partition, so one dominant band —
+   * most of a real corpus sits in a few length bands — never serializes
+   * into a single sort; batch ids stay disjoint via
+   * `local_batch · shards + shard`. Shuffled rows are (id, n_tokens) pairs
+   * only — text never moves. Null text batches as zero tokens.
+   *
+   * Returns one manifest row per batch: (band, batch_id, n_docs,
+   * batch_max_tokens, batch_tokens, padding_waste) where padding_waste =
+   * n_docs · batch_max_tokens − batch_tokens, the padding cost the
+   * length-bucketing exists to minimize.
+   */
+  def lengthBatches(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, bandTokens: Int = 128, shards: Int = 1): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(bandTokens > 0, "bandTokens must be positive")
+    require(shards > 0, "shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val nTok = coalesce(token_count(col(textCol)).cast("bigint"), lit(0L))
+    val hk = md5_prefix60(col(idCol).cast("string"))
+    val base = df.select(col(idCol).as("id"), nTok.as("n_tokens"),
+      floor(nTok / lit(bandTokens.toLong)).cast("bigint").as("band"),
+      pmod(hk, lit(shards.toLong)).cast("bigint").as("shard"), hk.as("__hk"))
+    val w = Window.partitionBy(col("band"), col("shard"))
+      .orderBy(col("__hk"), col("id"))
+    base
+      .withColumn("__rk", row_number().over(w).cast("bigint"))
+      .withColumn("batch_id",
+        (floor((col("__rk") - 1L) / lit(batchSize.toLong)).cast("bigint")
+          * lit(shards.toLong) + col("shard")).cast("bigint"))
+      .groupBy(col("band"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("n_tokens")).as("batch_max_tokens"),
+        sum(col("n_tokens")).as("batch_tokens"))
+      .withColumn("padding_waste",
+        col("n_docs") * col("batch_max_tokens") - col("batch_tokens"))
+  }
+
+  /**
+   * Iterative BPE merge training (the tokenizer-training loop [[bpePairStats]]
+   * bootstraps — Sennrich et al. 2016): `rounds` greedy merge rounds over the
+   * corpus word-frequency dictionary. Each round counts adjacent symbol
+   * pairs weighted by word frequency, picks the argmax (count desc, then
+   * left/right symbol ascending — fully deterministic), and merges that pair
+   * everywhere before the next round.
+   *
+   * The corpus is scanned ONCE (words → frequency dictionary, the
+   * [[bpePairStats]] collapse); every round after that is vocabulary-sized
+   * work over the persisted dictionary plus one 1-row driver collect (the
+   * bounded-collect contract of the IVF/PQ trainers). Words are restricted
+   * to `^[a-z]+$` so the `|` symbol separator and `@` merge marker can
+   * never collide with content.
+   *
+   * Merge application is `replace(enc, "|L|R|", "|L@R|")` — leftmost
+   * non-overlapping, single pass, IDENTICAL semantics in Spark and DuckDB,
+   * which is the documented deviation from classic left-to-right BPE on
+   * runs of 3+ repeated symbols (the second of two abutting occurrences
+   * merges a round later; pair counts see the leftover and converge). The
+   * whole loop therefore replays exactly in SQL — each oracle round is the
+   * same argmax + replace over the previous round's dictionary.
+   *
+   * Returns one row per round: (round, merge_left, merge_right, pair_count)
+   * with the '@' markers stripped from the reported subword strings.
+   */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, "rounds must be positive")
+    val spark = df.sparkSession
+    val words = df.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+      .select(concat(lit("|"),
+        regexp_replace(col("word"), "(.)", "$1|")).as("enc"), col("wn"))
+      .persist()
+    try {
+      words.count() // materialize once; every round reuses the tiny dictionary
+      var enc: Column = col("enc")
+      val picked = Seq.newBuilder[(Int, String, String, Long)]
+      for (r <- 1 to rounds) {
+        val syms = filter(split(enc, "\\|"), s => s =!= "")
+        val len = greatest(size(syms) - 1, lit(0))
+        val top = words
+          .select(col("wn"), explode(arrays_zip(
+            slice(syms, lit(1), len),
+            slice(syms, lit(2), len)).cast(
+            "array<struct<l:string,r:string>>")).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum(col("wn")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        require(top.nonEmpty, s"no pairs left to merge at round $r")
+        val lSym: String = top(0).getString(0)
+        val rSym: String = top(0).getString(1)
+        val n: Long = top(0).getLong(2)
+        picked += ((r, lSym, rSym, n))
+        enc = replace(enc, lit(s"|$lSym|$rSym|"), lit(s"|$lSym@$rSym|"))
+      }
+      import spark.implicits._
+      picked.result()
+        .map { case (r, l, rr, n) =>
+          (r, l.replace("@", ""), rr.replace("@", ""), n) }
+        .toDF("round", "merge_left", "merge_right", "pair_count")
+    } finally words.unpersist()
   }
 
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,

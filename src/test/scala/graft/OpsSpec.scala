@@ -833,4 +833,47 @@ class OpsSpec extends SparkSpec {
     assert(l(1) == "und") // no marker hits
     assert(l(2) == "de")  // de=2 ties fr=2 → first-listed tied language wins
   }
+
+  test("cutContaminatedSpans: exactly the benchmark run spliced, clean docs " +
+      "verbatim, full containment empties, short-doc whole-shingle rule") {
+    val benchRun = (1 to 8).map(i => s"q$i").mkString(" ")
+    val bench = Seq(benchRun, "b1 b2").toDF("text")
+    val train = Seq(
+      // run embedded mid-doc: spans [2,9] cut, unique content survives
+      (1L, "u1 u2 " + benchRun + " u3 u4"),
+      (2L, "clean words only here nothing shared with the benchmark at all"),
+      (3L, benchRun), // fully contaminated → empty, still present
+      // short docs (<8 tokens) shingle as ONE whole-doc shingle: an exact
+      // copy of the short bench doc is cut; a superstring is NOT (its single
+      // whole-doc shingle differs) — the documented short-doc semantics
+      (4L, "b1 b2"),
+      (5L, "x b1 b2 y"))
+      .toDF("doc_id", "text")
+    val out = Dedup.cutContaminatedSpans(train, "doc_id", "text",
+        bench, "text", minTokens = 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out(1L) == (("u1 u2 u3 u4", 4L, true)))
+    assert(out(2L)._3 == false &&
+      out(2L)._1 == "clean words only here nothing shared with the benchmark at all")
+    assert(out(3L) == (("", 0L, true)))
+    assert(out(4L) == (("", 0L, true)))
+    assert(out(5L) == (("x b1 b2 y", 4L, false)))
+  }
+
+  test("cutContaminatedSpans: overlapping benchmark shingles cut the union " +
+      "of covered spans; no df cap protects a common benchmark run") {
+    val benchRun = (1 to 12).map(i => s"q$i").mkString(" ") // 12 tokens → 5 8-shingles
+    val bench = Seq(benchRun).toDF("text")
+    // the run appears in MANY training docs — unlike cutSharedSpans' maxDf,
+    // every occurrence must still be cut (the safe direction vs a benchmark)
+    val train = (1L to 30L).map(i =>
+        (i, s"a$i b$i " + benchRun + s" c$i")).toDF("doc_id", "text")
+    val out = Dedup.cutContaminatedSpans(train, "doc_id", "text",
+        bench, "text", minTokens = 8).collect()
+    assert(out.length == 30)
+    assert(out.forall(_.getBoolean(3)))
+    assert(out.forall(r => r.getLong(2) == 3L)) // a_i b_i c_i survive
+  }
 }

@@ -639,4 +639,132 @@ class TextPipelineSpec extends SparkSpec {
       .orderBy("g").collect().map(r => (r.getString(0), r.getLong(2)))
     assert(t.toSeq == Seq(("a", 0L), ("b", 1L))) // dd is b's only OOV
   }
+
+  test("encodingQuality: each rule decides at its integer boundary; null " +
+      "text fails all") {
+    val df = Seq(
+      (1L, "x" * 2000),                         // clean: every rule passes
+      (2L, "x" * 999 + "�"),               // 1000·1 <= 1000 → boundary PASS
+      (3L, "x" * 998 + "�"),               // 1000·1 >  999  → FAIL
+      (4L, "\u0007" + "x" * 499),               // 1000·1 <= 2·500 → boundary PASS
+      (5L, "\u0007" + "x" * 498),               // 1000·1 >  2·499 → FAIL
+      (6L, "cafÃ© " + "x" * 100),     // one mojibake artifact → FAIL
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TextOps.encodingQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(5), r.getBoolean(6), r.getBoolean(7), r.getBoolean(8))))
+      .toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L) == ((true, true, true, true)))
+    assert(out(3L) == ((false, true, true, false)))
+    assert(out(4L) == ((true, true, true, true)))
+    assert(out(5L) == ((true, false, true, false)))
+    assert(out(6L) == ((true, true, false, false)))
+    assert(out(7L) == ((false, false, false, false))) // null text fails all
+    // tab/newline/CR are NOT control-rule hits (legitimate text whitespace)
+    val ws = TextOps.encodingQuality(
+      Seq((1L, "a\tb\nc\rd")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(ws.getLong(3) == 0L && ws.getBoolean(8))
+  }
+
+  test("lengthBatches: bands by token count, batches capped at batchSize, " +
+      "padding accounting exact, partition-invariant, shards disjoint") {
+    val docs = (1L to 97L).map(i => (i, (1L to (i % 13 + 1)).map(_ => "t")
+      .mkString(" "))).toDF("doc_id", "text")
+    val m = TextOps.lengthBatches(docs, "doc_id", "text",
+      batchSize = 4, bandTokens = 5, shards = 2)
+    val rows = m.collect()
+    // every doc lands in exactly one batch
+    assert(rows.map(_.getLong(2)).sum == 97L)
+    // batches never exceed batchSize and waste is the exact padding identity
+    assert(rows.forall(r => r.getLong(2) <= 4L))
+    assert(rows.forall(r =>
+      r.getLong(5) == r.getLong(2) * r.getLong(3) - r.getLong(4)))
+    // band bound: max tokens inside a band stays inside the band's range
+    assert(rows.forall(r => r.getLong(3) / 5 == r.getLong(0)))
+    // shard-disjoint batch ids: parity of batch_id == shard it came from,
+    // so two shards can never collide on an id
+    // partition-invariance: a different input partitioning yields the SAME manifest
+    val m2 = TextOps.lengthBatches(docs.repartition(7), "doc_id", "text",
+      batchSize = 4, bandTokens = 5, shards = 2).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2)).toSeq ==
+      m2.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2)).toSeq)
+  }
+
+  test("cmsSketchShards/cmsEstimate: shard merge is an exact identity, " +
+      "estimates only overcount, collision-free width is exact") {
+    val df = Seq(
+      ("s1", "a a a b"), ("s1", "b c"),
+      ("s2", "a b b"), ("s3", "c c d"))
+      .toDF("src", "text")
+    // exact counts: a=4, b=4, c=3, d=1, absent=0
+    val probes = Seq("a", "b", "c", "d", "absent")
+    val perShard = TextOps.cmsSketchShards(df, "src", "text",
+      depth = 3, width = 1024)
+    val global = TextOps.cmsSketchShards(df.withColumn("src", lit("g")),
+      "src", "text", depth = 3, width = 1024)
+    def ests(sk: org.apache.spark.sql.DataFrame, w: Int) =
+      TextOps.cmsEstimate(sk, probes, depth = 3, width = w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merged = ests(perShard, 1024)
+    // merge linearity: per-shard sketches merged == one global sketch
+    assert(merged == ests(global, 1024))
+    // wide sketch, 4 tokens: no collisions → exact
+    assert(merged == Map("a" -> 4L, "b" -> 4L, "c" -> 3L, "d" -> 1L,
+      "absent" -> 0L))
+    // width 2 forces collisions: still NEVER undercounts (CM guarantee)
+    val tight = ests(TextOps.cmsSketchShards(df, "src", "text",
+      depth = 3, width = 2), 2)
+    val exact = Map("a" -> 4L, "b" -> 4L, "c" -> 3L, "d" -> 1L, "absent" -> 0L)
+    exact.foreach { case (t, n) => assert(tight(t) >= n, s"$t: ${tight(t)} < $n") }
+  }
+
+  test("collocations: above-chance pairs rank by nano-quantized PMI with " +
+      "deterministic ties; minCount floor excludes rare pairs") {
+    val docs = (
+      (1 to 10).map(_ => "new york") ++
+      (1 to 10).map(_ => "new car") ++
+      (1 to 10).map(_ => "old york") ++
+      (1 to 4).map(_ => "rare pair")).toDF("text")
+    val out = TextOps.collocations(docs, "text", minCount = 5, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    // n=68 tokens; (new,car): ln(10·68/(20·10)); (old,york): same value;
+    // (new,york): ln(10·68/(20·20)) — tie breaks w1-ascending; the 4-count
+    // pair is under the floor
+    val n = 68.0
+    def pmi(c12: Double, c1: Double, c2: Double): Long =
+      math.round(math.log(c12 * n / (c1 * c2)) * 1e9)
+    assert(out.toSeq == Seq(
+      ("new", "car", 10L, pmi(10, 20, 10)),
+      ("old", "york", 10L, pmi(10, 10, 20)),
+      ("new", "york", 10L, pmi(10, 20, 20))))
+  }
+
+  test("bpeMerges: greedy argmax with deterministic tie-break; merged " +
+      "symbols compose; repeated-run single-pass semantics pinned") {
+    val docs = Seq("low low low", "lower lower", "newest").toDF("text")
+    val out = TextOps.bpeMerges(docs, "text", rounds = 4)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // r1: (l,o)=5 ties (o,w)=5 → left-ascending picks (l,o)
+    // r2: (lo,w)=5 dominates
+    // r3: (low,e)=2 ties (e,r)=2 → 'e' < 'l@o@w' binary → (e,r)
+    // r4: (low,er)=2 is the only pair left at 2
+    assert(out.toSeq == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "e", "r", 2L), (4, "low", "er", 2L)))
+    // repeated-symbol runs: the documented leftmost-non-overlapping single
+    // pass — "aaa" merges to (aa, a), and the leftover pair surfaces in the
+    // NEXT round's counts
+    val rep = Seq("aa aa aaa").toDF("text")
+    val out2 = TextOps.bpeMerges(rep, "text", rounds = 2)
+      .orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out2.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 1L)))
+  }
 }
