@@ -1952,7 +1952,42 @@ object SparkEntry {
     //     deterministic top-25 --------------------------------------------
     "q138_collocations" -> ((s, dir) =>
       TextOps.collocations(T(s, dir, "documents"), "text",
-        minCount = 5, topK = 25))
+        minCount = 5, topK = 25)),
+
+    // --- weighted sampling without replacement (priority sampling, Duffield–
+    //     Lund–Thorup): top-200 docs by w/u priority, w = n_chars, u = md5
+    //     id hash — long docs proportionally likelier, selection replays
+    //     exactly on any engine (IEEE-exact cast+divide ordering) ----------
+    "q139_priority_sample" -> ((s, dir) =>
+      graft.ops.Sampling.prioritySample(T(s, dir, "documents"), "doc_id",
+          "n_chars", 200)
+        .select(col("doc_id"), col("n_chars"), col("lang"))),
+
+    // --- exact windowed COUNT(DISTINCT) in a stream: chained stateful
+    //     aggregations ((window,key) collapse → window_time re-window),
+    //     append semantics — the final in-flight window is withheld and the
+    //     oracle replays the exclusion --------------------------------------
+    "q140_stream_distinct" -> ((s, dir) => {
+      val ev = graft.streaming.Streaming.eventsReplay(s, dir, 4)
+      graft.streaming.Streaming.runToTable(
+        graft.streaming.Streaming.windowDistinct(ev, "user_id"),
+        "q140_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4))
+    }),
+
+    // --- blocked fuzzy entity matching: collapse to the 64-name dictionary,
+    //     candidate pairs by first-token block, levenshtein<=4 verify —
+    //     record linkage without all-pairs ---------------------------------
+    "q141_fuzzy_match" -> ((s, dir) =>
+      graft.ops.Joins.fuzzyNamePairs(T(s, dir, "part"), "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), maxDist = 4)),
+
+    // --- tokenizer evaluation loop: train 4 BPE merges (q135's exact rule),
+    //     ENCODE the dictionary with them, report per-language fertility +
+    //     compression — the tokenizer-equity metric -------------------------
+    "q142_bpe_fertility" -> ((s, dir) =>
+      TextOps.bpeFertility(T(s, dir, "documents"), "lang", "text", rounds = 4))
   )
 
   // =========================================================================
@@ -4652,6 +4687,125 @@ object SparkEntry {
         |FROM cb
         |JOIN uc u1 ON cb.w1 = u1.w
         |JOIN uc u2 ON cb.w2 = u2.w
-        |ORDER BY pmi_nano DESC, w1, w2 LIMIT 25""".stripMargin
+        |ORDER BY pmi_nano DESC, w1, w2 LIMIT 25""".stripMargin,
+
+    // Priority sampling: the top-k by w/u replays exactly — both operands are
+    // exact integers, and IEEE 754 makes the double cast + divide correctly
+    // rounded in every engine, so the order (and the selected set) agree.
+    "q139_priority_sample" ->
+      """SELECT doc_id, n_chars, lang FROM documents
+        |ORDER BY CAST(n_chars AS DOUBLE) /
+        |  CAST(('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |       + 1 AS DOUBLE) DESC, doc_id
+        |LIMIT 200""".stripMargin,
+
+    // Append-mode exclusion rule: a window emits only once the watermark
+    // (max ts, delay 0) passes its END — the final in-flight hour never
+    // finalizes in a finite replay, so the oracle excludes it.
+    "q140_stream_distinct" ->
+      """SELECT date_trunc('hour', ts) AS hour,
+        | count(DISTINCT user_id) AS n_distinct,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1
+        |HAVING hour + INTERVAL 1 HOUR <= (SELECT max(ts) FROM events)""".stripMargin,
+
+    // Same dictionary collapse + block + levenshtein verify; DuckDB's
+    // levenshtein is the same unit-cost edit distance as Spark's.
+    "q141_fuzzy_match" ->
+      """WITH d AS (
+        |  SELECT p_name AS name, count(*) AS n,
+        |    split_part(p_name, ' ', 1) AS bk
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  cast(levenshtein(a.name, b.name) AS int) AS dist,
+        |  a.n AS n_a, b.n AS n_b, a.n * b.n AS entity_pairs
+        |FROM d a JOIN d b ON a.bk = b.bk AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 4""".stripMargin,
+
+    // q135's training replay (same m1..m4), then the merges APPLIED to the
+    // word dictionary and rolled up per language. replace() is left-to-right
+    // non-overlapping in both engines, so encodings agree byte-for-byte.
+    "q142_bpe_fertility" ->
+      """WITH wl AS (
+        |  SELECT lang, word, count(*) AS wn FROM (
+        |    SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+        |      t -> t <> '')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z]+$') AND length(word) >= 2
+        |  GROUP BY lang, word),
+        |w AS (SELECT word, sum(wn) AS wn FROM wl GROUP BY word),
+        |enc0 AS (
+        |  SELECT '|' || regexp_replace(word, '(.)', '\1|', 'g') AS enc, wn
+        |  FROM w),
+        |p1 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc0)),
+        |m1 AS (SELECT la, ra, sum(wn) AS n FROM p1 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |enc1 AS (
+        |  SELECT replace(enc,
+        |    '|' || (SELECT la FROM m1) || '|' || (SELECT ra FROM m1) || '|',
+        |    '|' || (SELECT la FROM m1) || '@' || (SELECT ra FROM m1) || '|')
+        |    AS enc, wn FROM enc0),
+        |p2 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc1)),
+        |m2 AS (SELECT la, ra, sum(wn) AS n FROM p2 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |enc2 AS (
+        |  SELECT replace(enc,
+        |    '|' || (SELECT la FROM m2) || '|' || (SELECT ra FROM m2) || '|',
+        |    '|' || (SELECT la FROM m2) || '@' || (SELECT ra FROM m2) || '|')
+        |    AS enc, wn FROM enc1),
+        |p3 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc2)),
+        |m3 AS (SELECT la, ra, sum(wn) AS n FROM p3 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |enc3 AS (
+        |  SELECT replace(enc,
+        |    '|' || (SELECT la FROM m3) || '|' || (SELECT ra FROM m3) || '|',
+        |    '|' || (SELECT la FROM m3) || '@' || (SELECT ra FROM m3) || '|')
+        |    AS enc, wn FROM enc2),
+        |p4 AS (
+        |  SELECT unnest(s[1:len(s)-1]) AS la, unnest(s[2:len(s)]) AS ra, wn
+        |  FROM (SELECT list_filter(string_split(enc, '|'), x -> x <> '') AS s,
+        |        wn FROM enc3)),
+        |m4 AS (SELECT la, ra, sum(wn) AS n FROM p4 GROUP BY la, ra
+        |       ORDER BY n DESC, la, ra LIMIT 1),
+        |d AS (SELECT DISTINCT word FROM wl),
+        |e0 AS (SELECT word,
+        |  '|' || regexp_replace(word, '(.)', '\1|', 'g') AS enc FROM d),
+        |e1 AS (SELECT word, replace(enc,
+        |    '|' || (SELECT la FROM m1) || '|' || (SELECT ra FROM m1) || '|',
+        |    '|' || (SELECT la FROM m1) || '@' || (SELECT ra FROM m1) || '|')
+        |    AS enc FROM e0),
+        |e2 AS (SELECT word, replace(enc,
+        |    '|' || (SELECT la FROM m2) || '|' || (SELECT ra FROM m2) || '|',
+        |    '|' || (SELECT la FROM m2) || '@' || (SELECT ra FROM m2) || '|')
+        |    AS enc FROM e1),
+        |e3 AS (SELECT word, replace(enc,
+        |    '|' || (SELECT la FROM m3) || '|' || (SELECT ra FROM m3) || '|',
+        |    '|' || (SELECT la FROM m3) || '@' || (SELECT ra FROM m3) || '|')
+        |    AS enc FROM e2),
+        |e4 AS (SELECT word, replace(enc,
+        |    '|' || (SELECT la FROM m4) || '|' || (SELECT ra FROM m4) || '|',
+        |    '|' || (SELECT la FROM m4) || '@' || (SELECT ra FROM m4) || '|')
+        |    AS enc FROM e3),
+        |nt AS (SELECT word,
+        |  len(list_filter(string_split(enc, '|'), x -> x <> '')) AS nt
+        |  FROM e4)
+        |SELECT lang,
+        |  cast(sum(wn) AS bigint) AS n_words,
+        |  cast(sum(wn * nt.nt) AS bigint) AS n_tokens,
+        |  round(cast(sum(wn * nt.nt) AS double) / cast(sum(wn) AS double), 6)
+        |    AS fertility,
+        |  round(cast(sum(wn * length(word)) AS double) /
+        |        cast(sum(wn * nt.nt) AS double), 6) AS chars_per_token
+        |FROM wl JOIN nt USING (word)
+        |GROUP BY lang""".stripMargin
   )
 }

@@ -99,4 +99,49 @@ object Joins {
         Seq(when(fresh, col(leftTsUs).cast("long") - col("__last_rt"))
           .otherwise(lit(null)).as("asof_age_us"))): _*)
   }
+
+  /**
+   * Blocked fuzzy entity matching (record linkage): find pairs of DISTINCT
+   * name strings within an edit distance, with the candidate generation
+   * bounded by a blocking key — the classic two-stage resolve (block →
+   * verify) that avoids the O(n²) all-pairs a naive similarity join implies.
+   *
+   * The input is first collapsed to its NAME DICTIONARY (distinct values of
+   * `nameCol` with entity counts) — on a 100 TB catalog the dictionary is
+   * orders of magnitude smaller than the entity table (here: 2 000 parts →
+   * 64 names), so the quadratic-looking verify step runs on vocabulary-sized
+   * data, the same collapse [[graft.ops.TextOps.bpeMerges]] uses for words.
+   * Candidates are generated by a self-equi-join on `blockKey` (shuffle on
+   * the block key only — never a cross join); each candidate pair is verified
+   * with `levenshtein` (codegen'd in Spark; identical unit-cost edit-distance
+   * semantics in DuckDB, so the oracle replays the verify exactly).
+   *
+   * Returns one row per matched name pair (name_a < name_b lexicographically):
+   * the names, the distance, each name's entity count, and the implied
+   * entity-pair count n_a·n_b a downstream merge would reconcile.
+   *
+   * Blocking-key design is the caller's recall/cost dial: a first-token key
+   * (the default-style choice for multi-word names) bounds block sizes but
+   * misses pairs differing in their first token; production linkage runs
+   * multiple passes with complementary keys (first-token, last-token,
+   * length-band) and unions the candidates — each pass is this same
+   * operator. A skewed block (every row one key) degrades toward all-pairs;
+   * cap it upstream with [[graft.ops.Sampling.capPerGroup]] on the dictionary
+   * if the key distribution is untrusted.
+   */
+  def fuzzyNamePairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKey: Column, maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1 (0 is exact dedup — use Dedup)")
+    val dict = df.groupBy(col(nameCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(nameCol).as("name"), col("n"), blockKey.as("__bk"))
+    val a = dict.select(col("__bk"), col("name").as("name_a"), col("n").as("n_a"))
+    val b = dict.select(col("__bk"), col("name").as("name_b"), col("n").as("n_b"))
+    a.join(b, Seq("__bk"))
+      .where(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .where(col("dist") <= maxDist)
+      .select(col("name_a"), col("name_b"), col("dist").cast("int").as("dist"),
+        col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("entity_pairs"))
+  }
 }

@@ -308,6 +308,37 @@ object Sampling {
    * giant groups, pre-aggregate counts and cut by (orderCol-histogram) bins
    * instead, or shard the rank pass.
    */
+  /**
+   * Weighted sampling without replacement by PRIORITY SAMPLING (Duffield,
+   * Lund & Thorup, JACM 2007): row i gets priority q_i = w_i / u_i with u_i
+   * a uniform draw, and the sample is the k rows of largest priority — rows
+   * are included with probability ∝ their weight (a long document is
+   * proportionally more likely to be drawn than a short one), without the
+   * with-replacement duplicates naive weighted draws produce.
+   *
+   * Determinism contract (the [[minWiseSample]] discipline, weighted): u_i
+   * is the row id's md5 top-60-bits + 1 — a pure function of the id, so two
+   * engines, two runs, or two partitionings draw the SAME sample. Both
+   * operands are exact integers cast to double; IEEE 754 makes the cast and
+   * the division correctly rounded on every engine, so the priority ORDER —
+   * hence the selected set — replays bit-exactly (ties, if a double collision
+   * ever happened, break by id). DuckDB twin of the priority:
+   * `CAST(w AS DOUBLE) / CAST(('0x'||substr(md5(cast(id as varchar)),1,15))::BIGINT + 1 AS DOUBLE)`.
+   *
+   * Scale shape: one hash + one division per row at scan bandwidth, then
+   * `TakeOrderedAndProject` — a k-row heap per partition and a k-row merge
+   * at the driver. No global sort, no shuffle, no state; the weight column
+   * is the only extra column read.
+   */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 0, "k must be non-negative")
+    val u = graft.functions.GraftFunctions.md5_prefix60(
+      col(idCol).cast("string")) + lit(1L)
+    val priority = col(weightCol).cast("double") / u.cast("double")
+    df.orderBy(priority.desc, col(idCol)).limit(k)
+  }
+
   def quantileBand(df: DataFrame, groupCol: String, orderCol: String,
       idCol: String, loPermille: Int, hiPermille: Int): DataFrame = {
     require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,

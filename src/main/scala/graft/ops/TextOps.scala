@@ -1471,41 +1471,116 @@ object TextOps {
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
     require(rounds > 0, "rounds must be positive")
     val spark = df.sparkSession
-    val words = df.select(explode(tokens(lower(col(textCol)))).as("word"))
-      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
-      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+    val words = bpeDict(df, textCol)
       .select(concat(lit("|"),
         regexp_replace(col("word"), "(.)", "$1|")).as("enc"), col("wn"))
       .persist()
     try {
       words.count() // materialize once; every round reuses the tiny dictionary
-      var enc: Column = col("enc")
-      val picked = Seq.newBuilder[(Int, String, String, Long)]
-      for (r <- 1 to rounds) {
-        val syms = filter(split(enc, "\\|"), s => s =!= "")
-        val len = greatest(size(syms) - 1, lit(0))
-        val top = words
-          .select(col("wn"), explode(arrays_zip(
-            slice(syms, lit(1), len),
-            slice(syms, lit(2), len)).cast(
-            "array<struct<l:string,r:string>>")).as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("wn")).as("n"))
-          .orderBy(col("n").desc, col("l"), col("r"))
-          .limit(1).collect()
-        require(top.nonEmpty, s"no pairs left to merge at round $r")
-        val lSym: String = top(0).getString(0)
-        val rSym: String = top(0).getString(1)
-        val n: Long = top(0).getLong(2)
-        picked += ((r, lSym, rSym, n))
-        enc = replace(enc, lit(s"|$lSym|$rSym|"), lit(s"|$lSym@$rSym|"))
-      }
+      val picked = bpeTrainRaw(words, rounds)
       import spark.implicits._
-      picked.result()
+      picked
         .map { case (r, l, rr, n) =>
           (r, l.replace("@", ""), rr.replace("@", ""), n) }
         .toDF("round", "merge_left", "merge_right", "pair_count")
     } finally words.unpersist()
+  }
+
+  /** Lower-cased alphabetic word-frequency dictionary — the vocabulary-sized
+    * collapse every per-word text operator runs on instead of the corpus. */
+  private def bpeDict(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+
+  /** The greedy merge loop over a persisted `(enc, wn)` dictionary. Returns
+    * the picked merges in their RAW symbol form — sub-merge boundaries kept
+    * as '@' (round 3 may merge symbol "t@h" with "e") — which is exactly what
+    * [[bpeEncodeExpr]] needs to REPLAY the merges on new words; [[bpeMerges]]
+    * strips the markers for the user-facing table. One 1-row collect per
+    * round (the argmax), bounded by `rounds`. */
+  private def bpeTrainRaw(words: DataFrame,
+      rounds: Int): Seq[(Int, String, String, Long)] = {
+    var enc: Column = col("enc")
+    val picked = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val syms = filter(split(enc, "\\|"), s => s =!= "")
+      val len = greatest(size(syms) - 1, lit(0))
+      val top = words
+        .select(col("wn"), explode(arrays_zip(
+          slice(syms, lit(1), len),
+          slice(syms, lit(2), len)).cast(
+          "array<struct<l:string,r:string>>")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(top.nonEmpty, s"no pairs left to merge at round $r")
+      val lSym: String = top(0).getString(0)
+      val rSym: String = top(0).getString(1)
+      val n: Long = top(0).getLong(2)
+      picked += ((r, lSym, rSym, n))
+      enc = replace(enc, lit(s"|$lSym|$rSym|"), lit(s"|$lSym@$rSym|"))
+    }
+    picked.result()
+  }
+
+  /** Column expression encoding `word` with a trained raw-merge sequence:
+    * char-split to `|w|o|r|d|`, then each merge applied in training order
+    * with the same left-to-right non-overlapping `replace` semantics the
+    * trainer used (and DuckDB's `replace` shares — the oracle replays this
+    * byte-for-byte). */
+  private def bpeEncodeExpr(word: Column,
+      rawMerges: Seq[(Int, String, String, Long)]): Column =
+    rawMerges.foldLeft(
+      concat(lit("|"), regexp_replace(word, "(.)", "$1|"))) {
+      case (enc, (_, l, r, _)) =>
+        replace(enc, lit(s"|$l|$r|"), lit(s"|$l@$r|"))
+    }
+
+  /**
+   * Tokenizer application + fertility report: train `rounds` BPE merges on
+   * the corpus's global word dictionary ([[bpeMerges]]' exact rule), ENCODE
+   * the dictionary with them, and report per-language tokenizer quality —
+   * fertility (tokens per word; the multilingual-tokenizer-equity metric:
+   * a tokenizer trained on English-heavy data spends more tokens per word
+   * on underrepresented languages) and chars-per-token (compression). This
+   * is the evaluate half of the tokenizer loop whose train half is
+   * [[bpeMerges]]: train → apply → measure, all engine-replayable.
+   *
+   * Scale shape: the corpus collapses ONCE to a (lang, word, count)
+   * dictionary (vocabulary-sized — Heaps' law keeps it millions of rows at
+   * 100 TB); training and encoding both run on dictionaries, never re-touch
+   * the corpus; the per-round argmax is a 1-row collect. The final report is
+   * a #langs-row aggregate of exact integer sums (token/char totals are
+   * bigint arithmetic — the ratios are the only doubles, derived at the end).
+   */
+  def bpeFertility(df: DataFrame, langCol: String, textCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds > 0, "rounds must be positive")
+    val wl = df.select(col(langCol).as("lang"),
+        explode(tokens(lower(col(textCol)))).as("word"))
+      .where(col("word").rlike("^[a-z]+$") && length(col("word")) >= 2)
+      .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("wn"))
+      .persist()
+    try {
+      wl.count() // one corpus scan; trainer + encoder reuse the dictionary
+      val global = wl.groupBy(col("word")).agg(sum(col("wn")).as("wn"))
+        .select(concat(lit("|"),
+          regexp_replace(col("word"), "(.)", "$1|")).as("enc"), col("wn"))
+      val merges = bpeTrainRaw(global, rounds)
+      val nt = size(filter(split(bpeEncodeExpr(col("word"), merges), "\\|"),
+        s => s =!= "")).cast("long")
+      wl.select(col("lang"), col("wn"), nt.as("nt"),
+          length(col("word")).cast("long").as("nc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("wn")).as("n_words"),
+          sum(col("wn") * col("nt")).as("n_tokens"),
+          round(sum(col("wn") * col("nt")).cast("double") /
+            sum(col("wn")), 6).as("fertility"),
+          round(sum(col("wn") * col("nc")).cast("double") /
+            sum(col("wn") * col("nt")), 6).as("chars_per_token"))
+    } finally wl.unpersist()
   }
 
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,

@@ -106,6 +106,35 @@ object Streaming {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
+  /**
+   * Exact windowed COUNT(DISTINCT) in a stream, via CHAINED STATEFUL
+   * AGGREGATIONS (Spark's multiple-stateful-operator support): the inner
+   * aggregation collapses each (hour window, key) to one row; the outer
+   * re-windows those rows on `window_time` (the window's inclusive event-time
+   * point) and counts the surviving keys. Count-distinct is the one windowed
+   * aggregate with no mergeable partial state — this two-stage plan is its
+   * exact streaming form, with state bounded by DISTINCT KEYS PER IN-FLIGHT
+   * WINDOW (not stream length: closed windows evict on watermark advance).
+   * The approximate twin (HLL per window) replaces it only when
+   * keys-per-window itself won't fit state.
+   *
+   * Chained stateful operators require Append output: a window emits when
+   * the watermark passes its END. With `watermarkDelay` 0 over a finite
+   * replay the watermark stops at max(ts), so the final in-flight window —
+   * the one containing max(ts) — never finalizes and is withheld: the
+   * completeness/latency contract made visible. A batch oracle replays the
+   * exclusion as `HAVING window_end <= max(ts)`.
+   */
+  def windowDistinct(events: DataFrame, keyCol: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+      .groupBy(window(window_time(col("w")), "1 hour").as("w2"))
+      .agg(count(lit(1)).as("n_distinct"), sum(col("n_rows")).as("n_events"))
+      .select(col("w2.start").as("hour"), col("n_distinct"), col("n_events"))
+
   /** Drain a streaming DataFrame into an in-memory table and return it as a
     * batch DataFrame — the local test harness for streaming plans
     * (file-backed streams + AvailableNow = deterministic replay). */

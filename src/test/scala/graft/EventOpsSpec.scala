@@ -67,4 +67,27 @@ class EventOpsSpec extends SparkSpec {
       .sortBy(_._1).toSeq
     assert(e2 == Seq(("x", Some("c")), ("y", None)))
   }
+
+  test("fuzzyNamePairs: dictionary collapse, blocking bounds candidates, " +
+      "levenshtein verifies, entity counts multiply back") {
+    val df = Seq((1L, "red widget"), (2L, "red widget"), (3L, "red widget"),
+        (4L, "red widgot"), (5L, "red widgot"), (6L, "red bolt"),
+        (7L, "blue bolt"))
+      .toDF("id", "name")
+    val firstTok = split(col("name"), " ").getItem(0)
+    val out = graft.ops.Joins.fuzzyNamePairs(df, "id", "name", firstTok,
+        maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // only widget/widgot survives the verify; counts collapse 5 entities
+    // into one name pair with 3 x 2 implied entity pairs
+    assert(out == Set(("red widget", "red widgot", 1, 3L, 2L, 6L)))
+    // blocking: "red bolt" vs "blue bolt" is dist 3 but never a candidate
+    // (different first token), even when maxDist would admit it
+    val out3 = graft.ops.Joins.fuzzyNamePairs(df, "id", "name", firstTok,
+        maxDist = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!out3.contains(("blue bolt", "red bolt")))
+    assert(out3.contains(("red widget", "red widgot")))
+  }
 }

@@ -60,6 +60,33 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("prioritySample: weighted top-k matches the brute-force priority " +
+      "order, is deterministic, and plans as a top-k not a sort") {
+    val s1 = Sampling.prioritySample(docs, "doc_id", "n_chars", 50)
+    assert(s1.count() == 50)
+    // brute-force replay of the w/u priority order on the driver
+    val all = docs.select(col("doc_id"), col("n_chars"),
+        (graft.functions.GraftFunctions.md5_prefix60(
+          col("doc_id").cast("string")) + lit(1L)).as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expect = all
+      .sortBy { case (id, w, u) => (-(w.toDouble / u.toDouble), id) }
+      .take(50).map(_._1).toSet
+    assert(s1.select("doc_id").collect().map(_.getLong(0)).toSet == expect)
+    // deterministic: a second evaluation draws the identical sample
+    assert(s1.select("doc_id").except(
+      Sampling.prioritySample(docs, "doc_id", "n_chars", 50)
+        .select("doc_id")).isEmpty)
+    // weighted: long docs are over-represented vs a uniform draw
+    val sampleMean = s1.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean should exceed corpus mean $corpusMean")
+    val plan = Sampling.prioritySample(docs, "doc_id", "n_chars", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
+
   test("boundary percentages: 0 selects nothing, 100 selects everything") {
     assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())

@@ -472,6 +472,32 @@ class StreamingSpec extends SparkSpec {
     flags.foreach { case (id, nb) => assert(nb >= exact(id), s"doc $id undercounted") }
   }
 
+  test("windowDistinct: chained stateful aggregations = exact windowed " +
+      "count-distinct; final in-flight window withheld") {
+    val stream = Streaming.eventsReplay(spark, sf(), nSplits = 4)
+    val out = Streaming.runToTable(
+      Streaming.windowDistinct(stream, "user_id"),
+      "t_window_distinct",
+      org.apache.spark.sql.streaming.OutputMode.Append(),
+      statePartitions = Some(4))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = Streaming.normalizeEventTs(
+      spark.read.parquet(s"${sf()}/events.parquet"))
+    // delay-0 watermark ends at max(ts): every hour window whose END is at
+    // or before it finalizes; the window containing max(ts) is withheld
+    val maxUs = events.agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val expect = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("n_distinct"),
+        count(lit(1)).as("n_events"))
+      .where(unix_micros(col("hour")) + 3600L * 1000000L <= maxUs)
+    val a = out.orderBy("hour").collect().map(_.toSeq)
+    val b = expect.orderBy("hour").collect().map(_.toSeq)
+    assert(a.nonEmpty, "replay should finalize at least one window")
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
+      s"stream emitted ${a.length} windows, batch closed ${b.length}")
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),

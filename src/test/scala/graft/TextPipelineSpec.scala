@@ -767,4 +767,30 @@ class TextPipelineSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
     assert(out2.toSeq == Seq((1, "a", "a", 4L), (2, "aa", "a", 1L)))
   }
+
+  test("bpeFertility: trained merges applied back to the dictionary; " +
+      "hand-computed fertility and compression per language") {
+    // dictionary: the x3, cat x1. round-1 pairs: (t,h)=3, (h,e)=3,
+    // (c,a)=1, (a,t)=1 → argmax tie (h,e) vs (t,h) → 'h' < 't' picks (h,e).
+    // encode: the → |t|h@e| = 2 tokens; cat → |c|a|t| = 3 tokens
+    val df = Seq((1L, "en", "the the the cat")).toDF("id", "lang", "text")
+    val out = TextOps.bpeFertility(df, "lang", "text", rounds = 1).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert(r.getString(0) == "en")
+    assert(r.getLong(1) == 4L, "n_words = 3 the + 1 cat")
+    assert(r.getLong(2) == 9L, "n_tokens = 3x2 + 1x3")
+    assert(r.getDouble(3) == 2.25, "fertility = 9/4")
+    assert(r.getDouble(4) == 1.333333, "chars_per_token = 12/9 rounded")
+    // two languages sharing the global merge table diverge in fertility:
+    // a lang whose words the merges cover spends fewer tokens per word
+    val two = Seq((1L, "en", "the the the the"), (2L, "de", "und und")
+      ).toDF("id", "lang", "text")
+    val o2 = TextOps.bpeFertility(two, "lang", "text", rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // merges (h,e) then (t,he) — or equivalent — fully cover "the" (1 token);
+    // "und" stays 3 chars of which none merge
+    assert(o2("en") == 1.0, s"en fully merged, got ${o2("en")}")
+    assert(o2("de") == 3.0, s"de unmerged, got ${o2("de")}")
+  }
 }
