@@ -1987,7 +1987,67 @@ object SparkEntry {
     //     ENCODE the dictionary with them, report per-language fertility +
     //     compression — the tokenizer-equity metric -------------------------
     "q142_bpe_fertility" -> ((s, dir) =>
-      TextOps.bpeFertility(T(s, dir, "documents"), "lang", "text", rounds = 4))
+      TextOps.bpeFertility(T(s, dir, "documents"), "lang", "text", rounds = 4)),
+
+    // --- hybrid retrieval: BM25 top-100 (lexical) fused with int8-quantized
+    //     cosine top-100 (vector) by reciprocal-rank fusion. Both rank lists
+    //     are exact cross-engine (nano-quantized BM25; integer int8 dots),
+    //     so the fused order replays in SQL. Stores are id-aligned
+    //     (vec_id == doc_id, the derived-embedding layout) -----------------
+    "q143_rrf_fusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextOps.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "window", "merge"), 100)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank"))
+      val emb = T(s, dir, "embeddings")
+      val qRaw = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      // driver-side quantization of the query with quantizeInt8's formula
+      val qMax = qRaw.map(v => math.abs(v.toDouble)).max
+      val qQ: Seq[Byte] =
+        if (qMax == 0) qRaw.map(_ => 0.toByte)
+        else qRaw.map(v => math.floor(v.toDouble * 127.0 / qMax).toByte)
+      val vec = graft.ops.Similarity.quantizeInt8(
+          emb.where(col("vec_id") =!= 0), "vec_id", "embedding")
+        .select(col("id").as("doc_id"),
+          graft.functions.GraftFunctions.cosine_sim_int8_pair(
+            col("qvec"), array(qQ.map(b => lit(b)): _*)).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id")).limit(100)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+            .cast("long").as("rank"))
+      graft.ops.Similarity.rrfFuse(Seq(lex, vec), "doc_id", kConst = 60,
+        topK = 20)
+    }),
+
+    // --- n-gram diversity report: distinct-n ratios (n=1..3) + unigram
+    //     Shannon entropy per language — template collapse and crawl loops
+    //     show up as falling ratios; entropy_nano replays exactly ----------
+    "q144_ngram_diversity" -> ((s, dir) =>
+      TextOps.ngramDiversity(T(s, dir, "documents"), "lang", "text")),
+
+    // --- stream-static enrichment: the streaming events feed inner-joined
+    //     to the static customer dim (broadcast — stateless, no watermark,
+    //     no state store), rolled up per market segment after the drain.
+    //     Value sums in integer cents: exact in any accumulation order -----
+    "q145_stream_enrich" -> ((s, dir) => {
+      val ev = graft.streaming.Streaming.eventsStream(s, dir)
+      val cust = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = ev.join(broadcast(cust),
+          ev("user_id") === cust("c_custkey"))
+        .select(col("c_mktsegment"),
+          round(col("value") * 100.0, 0).cast("long").as("cents"))
+      val drained = graft.streaming.Streaming.runToTable(joined,
+        "q145_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4), noDataBatch = false)
+      drained.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("cents")).as("value_cents"))
+    })
   )
 
   // =========================================================================
@@ -4806,6 +4866,123 @@ object SparkEntry {
         |  round(cast(sum(wn * length(word)) AS double) /
         |        cast(sum(wn * nt.nt) AS double), 6) AS chars_per_token
         |FROM wl JOIN nt USING (word)
-        |GROUP BY lang""".stripMargin
+        |GROUP BY lang""".stripMargin,
+
+    // Lexical leg = q90's BM25 replay (top-100 + rank); vector leg = q94's
+    // int8 quantization replay + exact integer-dot cosine (top-100 + rank);
+    // fusion = floor-quantized 1e9/(60+rank) integer sums.
+    "q143_rrf_fusion" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats),
+        |lexs AS (
+        |  SELECT doc_id, round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 100),
+        |lex AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM lexs),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CASE WHEN maxabs = 0 THEN 0
+        |        ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint)
+        |        END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          cast(list_max(list_transform(embedding, x -> abs(x)))
+        |            as double) AS maxabs
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |qq AS (SELECT qv AS sv FROM q WHERE vec_id = 0),
+        |cosd AS (
+        |  SELECT q.vec_id AS doc_id,
+        |    CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |         ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END AS cos
+        |  FROM q CROSS JOIN qq CROSS JOIN LATERAL (
+        |    SELECT list_dot_product(cast(q.qv as double[]),
+        |             cast(qq.sv as double[])) AS dot,
+        |           list_dot_product(cast(q.qv as double[]),
+        |             cast(q.qv as double[])) AS na,
+        |           list_dot_product(cast(qq.sv as double[]),
+        |             cast(qq.sv as double[])) AS nb) l
+        |  WHERE q.vec_id <> 0),
+        |vecs AS (
+        |  SELECT doc_id, cos FROM cosd ORDER BY cos DESC, doc_id LIMIT 100),
+        |vec AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id) AS rank
+        |  FROM vecs),
+        |u AS (
+        |  SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM vec)
+        |SELECT doc_id,
+        |  cast(sum(cast(floor(1e9 / (60.0 + rank)) as bigint)) as bigint)
+        |    AS rrf_nano,
+        |  count(*) AS n_lists,
+        |  cast(min(rank) as bigint) AS best_rank
+        |FROM u GROUP BY doc_id
+        |ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
+
+    // String shingles replay the hash-side distinct counts (q78/q128
+    // precedent); entropy via the same nano-rounded c·ln(c) terms + integer
+    // division.
+    "q144_ngram_diversity" ->
+      """WITH base AS (
+        |  SELECT lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |b AS (SELECT lang, tk FROM base WHERE len(tk) > 0),
+        |g1 AS (SELECT lang, 1 AS n, unnest(tk) AS g FROM b),
+        |g2 AS (SELECT lang, 2 AS n, unnest(
+        |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+        |         ELSE [array_to_string(tk[i:i+1], ' ')
+        |               FOR i IN generate_series(1, len(tk) - 1)] END) AS g
+        |  FROM b),
+        |g3 AS (SELECT lang, 3 AS n, unnest(
+        |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+        |         ELSE [array_to_string(tk[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(tk) - 2)] END) AS g
+        |  FROM b),
+        |gr AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |       UNION ALL SELECT * FROM g3),
+        |dv AS (
+        |  SELECT lang, n, count(*) AS total, count(DISTINCT g) AS n_distinct
+        |  FROM gr GROUP BY lang, n),
+        |uc AS (SELECT lang, g, count(*) AS c FROM g1 GROUP BY lang, g),
+        |ent AS (
+        |  SELECT lang, sum(c) AS nn,
+        |    sum(cast(round(c * ln(cast(c as double)) * 1e9) as bigint)) AS s
+        |  FROM uc GROUP BY lang)
+        |SELECT dv.lang, dv.n, dv.total, dv.n_distinct,
+        |  round(cast(dv.n_distinct as double) / dv.total, 6) AS distinct_ratio,
+        |  cast(cast(round(ln(cast(ent.nn as double)) * 1e9) as bigint)
+        |    - (ent.s // ent.nn) as bigint) AS entropy_nano
+        |FROM dv JOIN ent ON dv.lang = ent.lang""".stripMargin,
+
+    // Stateless stream-static inner join = the batch join; integer-cents sums
+    // are exact in any order.
+    "q145_stream_enrich" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        | cast(sum(cast(round(value * 100.0) as bigint)) as bigint)
+        |   AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin
   )
 }

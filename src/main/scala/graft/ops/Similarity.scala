@@ -366,6 +366,43 @@ object Similarity {
   }
 
   /**
+   * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+   * standard hybrid-retrieval combiner: each input ranking contributes
+   * 1/(kConst + rank) per document, and documents are re-ranked by the sum.
+   * RRF needs only RANKS, never scores, so it fuses rankers whose scores are
+   * incomparable (BM25 log-units vs cosine in [-1,1]) with zero calibration —
+   * the lexical+vector fusion every retrieval stack runs.
+   *
+   * Every input must carry (`idCol`, `rank`) with 1-based ranks. The
+   * contribution is quantized to integer nano-units via FLOOR (not round:
+   * floor has no half-way mode ambiguity across engines — 1e9/(k+rank) lands
+   * exactly on .5 when k+rank = 2^10·5^b, e.g. 1024), so the fused score is
+   * an exact integer sum in any accumulation order and the fused ORDER
+   * replays exactly in SQL. Ties break by id.
+   *
+   * Scale shape: inputs are top-k lists (rows ≈ lists × k, corpus-free);
+   * the fuse is one tiny groupBy + TakeOrderedAndProject. The expensive
+   * part is the rankers, which prune BEFORE fusion — exactly how a
+   * production hybrid stack stages its cost.
+   */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, kConst: Int = 60,
+      topK: Int = 20): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kConst >= 1, "kConst must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val union = rankings
+      .map(r => r.select(col(idCol), col("rank").cast("long").as("rank")))
+      .reduce(_.unionByName(_))
+    union.groupBy(col(idCol))
+      .agg(sum(floor(lit(1e9) / (lit(kConst.toDouble) + col("rank"))))
+          .as("rrf_nano"),
+        count(lit(1)).as("n_lists"),
+        min(col("rank")).as("best_rank"))
+      .orderBy(col("rrf_nano").desc, col(idCol))
+      .limit(topK)
+  }
+
+  /**
    * Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
    * embedding space, compare pairs only WITHIN a cluster, and for every
    * near-duplicate pair (cosine ≥ `tau`) drop the member closer to the

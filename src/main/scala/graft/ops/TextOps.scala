@@ -1232,6 +1232,57 @@ object TextOps {
    * counts promote to double before multiplying so no 64-bit overflow
    * exists at any corpus size. Returns (w1, w2, c12, pmi_nano).
    */
+  /**
+   * N-gram diversity report per language — the corpus-health twin of the
+   * novelty profile: for n = 1..3, total vs DISTINCT n-gram counts and their
+   * ratio (the distinct-n diversity metric — a template-heavy or crawl-loop
+   * corpus shows a collapsing ratio as n grows), plus the unigram Shannon
+   * entropy H = ln N − Σ c·ln c / N in nano-units. Entropy arithmetic
+   * follows the q73 ln-parity contract: each term's c·ln(c)·1e9 is rounded
+   * to a long and SUMMED EXACTLY (order-free), and the final division is
+   * INTEGER (`div`), so the reported value replays bit-for-bit in SQL.
+   *
+   * Shingling uses the corpus-wide rule ([[graft.functions.GraftFunctions.shingles]]):
+   * a doc with fewer than n tokens contributes its whole text as one
+   * n-gram. Distinct counting runs on 64-bit shingle hashes — strings never
+   * shuffle past the scan; the oracle counts string shingles (the
+   * q78/q128 precedent: a hash collision would be the only divergence).
+   *
+   * 100 TB shape: three scan passes (one per n) each reducing to
+   * (lang, hash) before the shuffle; the count-distinct is a two-phase
+   * hash agg; entropy folds over the unigram count table (vocabulary-sized).
+   * Returns (lang, n, total, n_distinct, distinct_ratio, entropy_nano) —
+   * entropy repeated per n row for a self-contained report.
+   */
+  def ngramDiversity(df: DataFrame, langCol: String,
+      textCol: String): DataFrame = {
+    val base = df.select(col(langCol).as("lang"),
+        tokens(lower(col(textCol))).as("tk"))
+      .where(size(col("tk")) > 0)
+    val grams = Seq(1, 2, 3).map(n =>
+        base.select(col("lang"), lit(n).as("n"),
+          explode(shingle_hashes(col("tk"), n)).as("g")))
+      .reduce(_.unionByName(_))
+    val div = grams.groupBy(col("lang"), col("n"))
+      .agg(count(lit(1)).as("total"),
+        countDistinct(col("g")).as("n_distinct"))
+      .withColumn("distinct_ratio",
+        round(col("n_distinct").cast("double") / col("total"), 6))
+    val uniCounts = base
+      .select(col("lang"), explode(token_hashes(col("tk"))).as("h"))
+      .groupBy(col("lang"), col("h")).agg(count(lit(1)).as("c"))
+    val ent = uniCounts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("nn"),
+        sum(round(col("c").cast("double") * log(col("c").cast("double"))
+          * 1e9, 0).cast("long")).as("s"))
+      .select(col("lang"),
+        (round(log(col("nn").cast("double")) * 1e9, 0).cast("long") -
+          expr("s div nn")).as("entropy_nano"))
+    div.join(ent, Seq("lang"))
+      .select(col("lang"), col("n"), col("total"), col("n_distinct"),
+        col("distinct_ratio"), col("entropy_nano"))
+  }
+
   def collocations(df: DataFrame, textCol: String, minCount: Int = 5,
       topK: Int = 20): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")

@@ -876,4 +876,22 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(_.getBoolean(3)))
     assert(out.forall(r => r.getLong(2) == 3L)) // a_i b_i c_i survive
   }
+
+  test("rrfFuse: hand-computed floor-nano sums; docs in both lists outrank " +
+      "either single-list doc; ties break by id") {
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((30L, 1L), (20L, 2L), (40L, 3L)).toDF("id", "rank")
+    val out = Similarity.rrfFuse(Seq(a, b), "id", kConst = 60, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // floor(1e9/61)=16393442, /62=16129032, /63=15873015
+    assert(out == Seq(
+      (30L, 15873015L + 16393442L, 2L, 1L),
+      (20L, 2L * 16129032L, 2L, 2L),
+      (10L, 16393442L, 1L, 1L),
+      (40L, 15873015L, 1L, 3L)))
+    // topK truncates after the fused order
+    assert(Similarity.rrfFuse(Seq(a, b), "id", 60, 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(30L, 20L))
+  }
 }

@@ -498,6 +498,33 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${a.length} windows, batch closed ${b.length}")
   }
 
+  test("stream-static enrichment: broadcast dim join in-stream equals the " +
+      "batch join; stateless plan (no state store)") {
+    val ev = Streaming.eventsStream(spark, sf())
+    val cust = spark.read.parquet(s"${sf()}/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val joined = ev.join(broadcast(cust), ev("user_id") === cust("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    val name = "t_stream_enrich"
+    val q = joined.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // stateless: a stream-static inner join keeps no state store
+    assert(q.recentProgress.forall(_.stateOperators.isEmpty),
+      "stream-static join must not allocate state")
+    val got = spark.table(name)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val want = Streaming.normalizeEventTs(
+        spark.read.parquet(s"${sf()}/events.parquet"))
+      .join(cust, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment"))
+    assert(got.count() == want.count())
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+    spark.catalog.dropTempView(name)
+  }
+
   test("stateful sessionize matches the batch window-lag sessionize") {
     val streamed = Streaming.runToTable(
       Streaming.sessionize(Streaming.eventsStream(spark, sf())).toDF(),

@@ -793,4 +793,30 @@ class TextPipelineSpec extends SparkSpec {
     assert(o2("en") == 1.0, s"en fully merged, got ${o2("en")}")
     assert(o2("de") == 3.0, s"de unmerged, got ${o2("de")}")
   }
+
+  test("ngramDiversity: hand-computed totals, distincts, ratios and " +
+      "entropy; short docs contribute whole-text n-grams") {
+    val df = Seq((1L, "en", "a b a b"), (2L, "en", "a b"), (3L, "zh", "x"))
+      .toDF("id", "lang", "text")
+    val out = TextOps.ngramDiversity(df, "lang", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    // en unigrams: a,b,a,b,a,b → 6 total, 2 distinct
+    assert(out(("en", 1)) == ((6L, 2L, 0.333333, 693147181L)))
+    // en bigrams: "a b","b a","a b" + "a b" → 4 total, 2 distinct
+    assert(out(("en", 2))._1 == 4L && out(("en", 2))._2 == 2L &&
+      out(("en", 2))._3 == 0.5)
+    // en trigrams: "a b a","b a b" + whole-doc "a b" → 3 total, 3 distinct
+    assert(out(("en", 3))._1 == 3L && out(("en", 3))._2 == 3L &&
+      out(("en", 3))._3 == 1.0)
+    // zh single token: every n collapses to the whole text; entropy of a
+    // one-token corpus is 0
+    Seq(1, 2, 3).foreach { n =>
+      assert(out(("zh", n)) == ((1L, 1L, 1.0, 0L)), s"zh n=$n")
+    }
+    // entropy_nano replay: ln6*1e9 rounded minus (2*round(3*ln3*1e9)) div 6
+    val expected = math.rint(math.log(6) * 1e9).toLong -
+      (2L * math.rint(3 * math.log(3) * 1e9).toLong) / 6L
+    assert(out(("en", 1))._4 == expected)
+  }
 }
