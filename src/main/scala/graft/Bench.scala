@@ -50,9 +50,17 @@ object Bench {
         })
         .flatMap(_.headOption).map(_.getPath).getOrElse(sfDir)
     }
+    // dev knob: time only a comma-separated subset (perf triage) — the
+    // driver never sets this, so official runs always cover the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     if (new java.io.File(warmDir).isDirectory) {
       var failed = 0
-      SparkEntry.queries.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case t: Throwable =>
           failed += 1
@@ -78,7 +86,7 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink: forces evaluation of EVERY output column (a bare count()
@@ -122,7 +130,14 @@ object Bench {
     // the capture truncate the line's HEAD and lose the total
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"reps":$reps,"sf":"$sfDir"}"""
-    println(if (compact.length <= 1900) compact
+    // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
+    // per-query visibility to ~200 queries) before giving up to total-only
+    def r1(x: Double) = math.rint(x * 10) / 10
+    val tiny =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"reps":$reps,"sf":"$sfDir"}"""
+    println(
+      if (compact.length <= 1900) compact
+      else if (tiny.length <= 1900) tiny
       else s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }

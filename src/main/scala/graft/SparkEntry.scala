@@ -2047,7 +2047,43 @@ object SparkEntry {
       drained.groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("cents")).as("value_cents"))
-    })
+    }),
+
+    // --- streaming CM-sketch maintenance: the sketch IS the state (exactly
+    //     depth x width counter rows forever); CM linearity makes the live
+    //     sketch == the batch sketch, so probing it gives batch-identical
+    //     estimates — sound (overcount-only) vs exact, q137's gate ---------
+    "q146_stream_cms" -> ((s, dir) => {
+      val probes = Seq("join", "hash", "scan", "filter", "merge",
+        "zzz_unseen_token")
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+      val sk = graft.streaming.Streaming.cmsMaintainStream(
+        replay, "text", depth = 4, width = 512)
+      val drained = graft.streaming.Streaming.runToTable(sk,
+        "q146_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Complete(),
+        statePartitions = Some(4))
+      val est = TextOps.cmsEstimate(drained, probes, depth = 4, width = 512)
+      val exact = T(s, dir, "documents")
+        .select(explode(tokens(lower(col("text")))).as("token"))
+        .where(col("token").isin(probes: _*))
+        .groupBy(col("token")).agg(count(lit(1)).as("exact"))
+      est.join(exact, Seq("token"), "left")
+        .select(col("token"), col("est"),
+          coalesce(col("exact"), lit(0L)).as("exact"),
+          (col("est") >= coalesce(col("exact"), lit(0L))).as("sound"))
+    }),
+
+    // --- join-key skew diagnosis: top heavy keys + integer per-mille share
+    //     + recommended salt factor — run BEFORE the join that needs it ----
+    "q147_skew_report" -> ((s, dir) =>
+      graft.ops.Audit.skewReport(T(s, dir, "lineitem"), "l_suppkey",
+        topK = 10)),
+
+    // --- log2-bucketed length histogram per source: the datacard length
+    //     curve via exact bit-length buckets (no float log2) ---------------
+    "q148_length_histogram" -> ((s, dir) =>
+      TextOps.lengthHistogram(T(s, dir, "documents"), "source", "text"))
   )
 
   // =========================================================================
@@ -4983,6 +5019,70 @@ object SparkEntry {
         | cast(sum(cast(round(value * 100.0) as bigint)) as bigint)
         |   AS value_cents
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // The streamed sketch equals the batch global sketch (CM linearity), so
+    // the oracle is q137's global-counter replay.
+    "q146_stream_cms" ->
+      """WITH ex AS (
+        |  SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> x <> '')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT r,
+        |    ('0x' || substr(md5(cast(r AS varchar) || ':' || tok), 1, 15))
+        |      ::BIGINT % 512 AS bucket,
+        |    count(*) AS n
+        |  FROM ex CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) g
+        |  GROUP BY r, bucket),
+        |probes AS (
+        |  SELECT unnest(['join', 'hash', 'scan', 'filter', 'merge',
+        |    'zzz_unseen_token']) AS token),
+        |pb AS (
+        |  SELECT token, r,
+        |    ('0x' || substr(md5(cast(r AS varchar) || ':' || token), 1, 15))
+        |      ::BIGINT % 512 AS bucket
+        |  FROM probes CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS r) g),
+        |est AS (
+        |  SELECT token, min(coalesce(n, 0)) AS est
+        |  FROM pb LEFT JOIN cnt USING (r, bucket) GROUP BY token),
+        |exact AS (
+        |  SELECT tok AS token, count(*) AS exact FROM ex
+        |  WHERE tok IN ('join', 'hash', 'scan', 'filter', 'merge',
+        |    'zzz_unseen_token')
+        |  GROUP BY tok)
+        |SELECT token, cast(est AS bigint) AS est,
+        |  cast(coalesce(exact, 0) AS bigint) AS exact,
+        |  est >= coalesce(exact, 0) AS sound
+        |FROM est LEFT JOIN exact USING (token)""".stripMargin,
+
+    // Integer per-mille and ceil-div salt factor — exact replay.
+    "q147_skew_report" ->
+      """WITH c AS (
+        |  SELECT cast(l_suppkey AS varchar) AS key, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |s AS (SELECT cast(sum(n) AS bigint) AS n_rows,
+        |        count(*) AS n_keys FROM c)
+        |SELECT key, n, n_rows, n_keys,
+        |  (n * 1000) // n_rows AS permille,
+        |  (n * n_keys + n_rows - 1) // n_rows AS salt_factor
+        |FROM c CROSS JOIN s
+        |ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+    // bit-length bucket: length(bin(n)) both engines; empty/null docs → 0.
+    "q148_length_histogram" ->
+      """WITH d AS (
+        |  SELECT source AS grp,
+        |    cast(coalesce(len(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')), 0) AS bigint) AS n_tokens
+        |  FROM documents)
+        |SELECT grp,
+        |  cast(CASE WHEN n_tokens = 0 THEN 0
+        |       ELSE length(bin(n_tokens)) END AS int) AS bucket,
+        |  count(*) AS n_docs,
+        |  cast(sum(n_tokens) AS bigint) AS sum_tokens,
+        |  cast(min(n_tokens) AS bigint) AS min_tokens,
+        |  cast(max(n_tokens) AS bigint) AS max_tokens
+        |FROM d GROUP BY grp, bucket""".stripMargin
   )
 }

@@ -65,4 +65,31 @@ object Audit {
         sum(when(col("__ck").isNotNull && col("__present").isNull, 1L)
           .otherwise(0L)).as("n_orphans"))
   }
+
+  /**
+   * Join/shuffle-key skew diagnosis — the report you run BEFORE a 100 TB
+   * join melts an executor: the topK heaviest key values with corpus
+   * context and a per-key recommended SALT FACTOR (⌈key count / average
+   * count⌉ — how many ways to split that key so its partitions shrink to
+   * the average; 1 = no salting needed). All arithmetic is exact integer
+   * (per-mille share and salt factor via integer ceil-div), so the report
+   * replays byte-for-byte in SQL and across engines.
+   *
+   * Scale shape: one map-side-combinable count per key, one 2-long global
+   * agg broadcast back, TakeOrderedAndProject for the topK — the
+   * diagnosis costs count(*)-per-key, never the join it protects.
+   * Follow-up is [[graft.jobs.GJob]]'s salted aggregation / AQE skew join.
+   */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(sum(col("n")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .orderBy(col("n").desc, col("key")).limit(topK)
+      .select(col("key"), col("n"), col("n_rows"), col("n_keys"),
+        expr("n * 1000 div n_rows").as("permille"),
+        expr("(n * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+  }
 }

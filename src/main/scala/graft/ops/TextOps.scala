@@ -1190,6 +1190,22 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The scan-side CM expansion shared with [[cmsSketchShards]]: one
+    * (r, bucket) cell per token occurrence per hash row. Public so the
+    * STREAMING maintenance path ([[graft.streaming.Streaming.cmsMaintainStream]])
+    * builds the identical cells — the merge-linearity identity then makes
+    * stream == batch an exact equality, not an approximation. */
+  def cmsCells(df: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth > 0, "depth must be positive")
+    require(width > 0, "width must be positive")
+    df.select(explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("tok"))
+      .select(col("r"),
+        pmod(md5_prefix60(concat(col("r").cast("string"), lit(":"), col("tok"))),
+          lit(width.toLong)).cast("int").as("bucket"))
+  }
+
   /**
    * Point-frequency estimates from merged [[cmsSketchShards]] sketches:
    * merge = groupBy(r, bucket) SUM (the linearity identity — estimating
@@ -1281,6 +1297,31 @@ object TextOps {
     div.join(ent, Seq("lang"))
       .select(col("lang"), col("n"), col("total"), col("n_distinct"),
         col("distinct_ratio"), col("entropy_nano"))
+  }
+
+  /**
+   * Log2-bucketed document-length histogram per group (the datacard length
+   * curve: sequence-length distributions drive chunk/pack/batch sizing).
+   * Bucket = ⌊log2(n_tokens)⌋ + 1, computed EXACTLY as the bit length of
+   * the integer (`length(bin(n))` — both engines; no float log2 whose
+   * value at exact powers of two is library-dependent); empty/null docs land
+   * in bucket 0. Everything is integer arithmetic — counts, token sums,
+   * bucket min/max — so the histogram replays exactly.
+   *
+   * Scale shape: one scan reducing each doc to (group, n_tokens); one
+   * map-side-combinable groupBy on (group, bucket) — count(*) cost.
+   */
+  def lengthHistogram(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val n = coalesce(token_count(col(textCol)).cast("long"), lit(0L))
+    df.select(col(groupCol).as("grp"), n.as("n_tokens"))
+      .withColumn("bucket",
+        when(col("n_tokens") === 0L, lit(0))
+          .otherwise(length(bin(col("n_tokens")))).cast("int"))
+      .groupBy(col("grp"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
   }
 
   def collocations(df: DataFrame, textCol: String, minCount: Int = 5,

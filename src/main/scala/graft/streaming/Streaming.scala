@@ -135,6 +135,25 @@ object Streaming {
       .agg(count(lit(1)).as("n_distinct"), sum(col("n_rows")).as("n_events"))
       .select(col("w2.start").as("hour"), col("n_distinct"), col("n_events"))
 
+  /**
+   * Incremental Count-Min sketch maintenance in-stream: the SKETCH IS THE
+   * STATE. Each micro-batch's tokens expand to the same (r, bucket) cells
+   * the batch sketch uses ([[graft.ops.TextOps.cmsCells]]) and a Complete-mode
+   * streaming aggregation keeps the running counters — state is EXACTLY
+   * depth × width rows no matter how long the stream runs (the rare
+   * stateful operator whose state does not grow with keys, because the
+   * sketch hashed the keys away). CM merge is counter-wise sum (linear), so
+   * the maintained sketch equals the batch sketch over the same rows — an
+   * exact identity, which is what lets a dashboard probe the LIVE sketch
+   * with [[graft.ops.TextOps.cmsEstimate]] and get batch-identical answers.
+   * No watermark: counters only grow; there is nothing to evict.
+   */
+  def cmsMaintainStream(docs: DataFrame, textCol: String, depth: Int = 4,
+      width: Int = 512): DataFrame =
+    graft.ops.TextOps.cmsCells(docs, textCol, depth, width)
+      .groupBy(col("r"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Drain a streaming DataFrame into an in-memory table and return it as a
     * batch DataFrame — the local test harness for streaming plans
     * (file-backed streams + AvailableNow = deterministic replay). */

@@ -93,4 +93,22 @@ class LayoutAuditSpec extends SparkSpec {
     val r = Audit.auditForeignKey(child, "fk", parent, "pk").head()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 1L, 1L)))
   }
+
+  test("skewReport: heavy keys ranked with exact per-mille and ceil-div " +
+      "salt factor; uniform keys recommend salt 1") {
+    // key "a" x 6, "b" x 2, "c" x 2 → 10 rows, 3 keys, avg 10/3
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val out = Audit.skewReport(df, "k", topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // permille: a = 6000 div 10 = 600; salt = ceil(6*3/10) = ceil(1.8) = 2
+    // b before c on the tie (key asc): 200 permille, salt ceil(0.6) = 1
+    assert(out == Seq(("a", 6L, 10L, 3L, 600L, 2L),
+      ("b", 2L, 10L, 3L, 200L, 1L)))
+    // perfectly uniform: every key salt factor 1
+    val uni = (1 to 4).flatMap(k => Seq.fill(3)(k.toString)).toDF("k")
+    assert(Audit.skewReport(uni, "k", topK = 4)
+      .collect().forall(_.getLong(5) == 1L))
+  }
 }

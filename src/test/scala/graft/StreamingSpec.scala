@@ -498,6 +498,25 @@ class StreamingSpec extends SparkSpec {
       s"stream emitted ${a.length} windows, batch closed ${b.length}")
   }
 
+  test("cmsMaintainStream: the streamed sketch equals the batch sketch " +
+      "exactly (CM linearity), with bounded depth x width state") {
+    val replay = Streaming.docsReplay(spark, sf(), nSplits = 4)
+    val streamed = Streaming.runToTable(
+      Streaming.cmsMaintainStream(replay, "text", depth = 4, width = 64),
+      "t_stream_cms",
+      org.apache.spark.sql.streaming.OutputMode.Complete(),
+      statePartitions = Some(4))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.TextOps.cmsCells(
+        spark.read.parquet(s"${sf()}/documents.parquet"), "text",
+        depth = 4, width = 64)
+      .groupBy(col("r"), col("bucket")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch, "stream-maintained sketch must equal batch")
+    // the sketch is the state: state rows never exceed depth x width
+    assert(streamed.size <= 4 * 64)
+  }
+
   test("stream-static enrichment: broadcast dim join in-stream equals the " +
       "batch join; stateless plan (no state store)") {
     val ev = Streaming.eventsStream(spark, sf())

@@ -819,4 +819,30 @@ class TextPipelineSpec extends SparkSpec {
       (2L * math.rint(3 * math.log(3) * 1e9).toLong) / 6L
     assert(out(("en", 1))._4 == expected)
   }
+
+  test("lengthHistogram: exact bit-length buckets; empty and null docs " +
+      "land in bucket 0") {
+    val df = Seq(
+      (1L, "s1", "a"),                      // 1 token  → bucket 1
+      (2L, "s1", "a b c"),                  // 3 tokens → bucket 2
+      (3L, "s1", "a b c d"),                // 4 tokens → bucket 3
+      (4L, "s1", ""),                       // 0 tokens → bucket 0
+      (5L, "s2", null.asInstanceOf[String]) // null     → bucket 0
+    ).toDF("id", "source", "text")
+    val out = TextOps.lengthHistogram(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("s1", 1)) == ((1L, 1L, 1L, 1L)))
+    assert(out(("s1", 2)) == ((1L, 3L, 3L, 3L)))
+    assert(out(("s1", 3)) == ((1L, 4L, 4L, 4L)))
+    assert(out(("s1", 0)) == ((1L, 0L, 0L, 0L)))
+    assert(out(("s2", 0)) == ((1L, 0L, 0L, 0L)))
+    // power-of-two boundary: 7 → bucket 3, 8 → bucket 4 (bit length, not
+    // a float log2 that could misround at the boundary)
+    val p = Seq((1L, "s", (1 to 7).map(_ => "t").mkString(" ")),
+      (2L, "s", (1 to 8).map(_ => "t").mkString(" "))).toDF("id", "source", "text")
+    val pb = TextOps.lengthHistogram(p, "source", "text")
+      .collect().map(r => r.getInt(1) -> r.getLong(3)).toMap
+    assert(pb == Map(3 -> 7L, 4 -> 8L))
+  }
 }
