@@ -2083,7 +2083,46 @@ object SparkEntry {
     // --- log2-bucketed length histogram per source: the datacard length
     //     curve via exact bit-length buckets (no float log2) ---------------
     "q148_length_histogram" -> ((s, dir) =>
-      TextOps.lengthHistogram(T(s, dir, "documents"), "source", "text"))
+      TextOps.lengthHistogram(T(s, dir, "documents"), "source", "text")),
+
+    // --- behavioral-sequence export: per-user ordered event sequences,
+    //     truncated to 32 and fingerprinted — any ordering/truncation drift
+    //     anywhere breaks a hash -----------------------------------------
+    "q149_user_sequences" -> ((s, dir) =>
+      graft.ops.EventOps.userSequences(events(s, dir), "user_id", "ts",
+        "event_id", "event_type", maxLen = 32)),
+
+    // --- leakage-safe train/test split: near-dup CLUSTERS split atomically
+    //     (every member inherits its cluster representative's hash bucket),
+    //     so no near-dup pair can cross the split — the pinned
+    //     n_cross_pairs = 0 is the hygiene contract train/test splits
+    //     without cluster awareness violate --------------------------------
+    "q150_leakage_safe_split" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minHashLSH(docs, "doc_id", "text", threshold = 0.8)
+      val clusters = Dedup.clusterDuplicates(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+      val assigned = docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep"), col("doc_id")).as("rep"))
+        .withColumn("split",
+          when(graft.ops.Sampling.hashBucket(col("rep")) < 80, "train")
+            .otherwise("test"))
+      val sp = assigned.select(col("doc_id"), col("split"))
+      val cross = pairs
+        .join(sp.select(col("doc_id").as("id_a"), col("split").as("sa")),
+          Seq("id_a"))
+        .join(sp.select(col("doc_id").as("id_b"), col("split").as("sb")),
+          Seq("id_b"))
+        .where(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("n_cross_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"),
+          sum(col("doc_id")).as("id_sum"))
+        .crossJoin(broadcast(cross))
+    })
   )
 
   // =========================================================================
@@ -5083,6 +5122,69 @@ object SparkEntry {
         |  cast(sum(n_tokens) AS bigint) AS sum_tokens,
         |  cast(min(n_tokens) AS bigint) AS min_tokens,
         |  cast(max(n_tokens) AS bigint) AS max_tokens
-        |FROM d GROUP BY grp, bucket""".stripMargin
+        |FROM d GROUP BY grp, bucket""".stripMargin,
+
+    // Ordered list + slice + md5 — the fingerprint replays byte-for-byte.
+    "q149_user_sequences" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  md5(array_to_string(
+        |    (list(event_type ORDER BY ts, event_id, event_type))[1:32], ' '))
+        |    AS seq_md5,
+        |  min(ts) AS first_ts, max(ts) AS last_ts,
+        |  count(*) > 32 AS truncated
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    // q75's exact-pair + recursive-CC replay, then the rep-hash split rule
+    // and an independent cross-split pair count (0 by construction — the
+    // contract the query exists to enforce).
+    "q150_leakage_safe_split" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |assigned AS (
+        |  SELECT d.doc_id, coalesce(l.rep, d.doc_id) AS rep,
+        |    CASE WHEN ('0x' || substr(md5(cast(coalesce(l.rep, d.doc_id)
+        |        AS varchar)), 1, 15))::BIGINT % 100 < 80
+        |      THEN 'train' ELSE 'test' END AS split
+        |  FROM documents d LEFT JOIN labels l USING (doc_id)),
+        |crossed AS (
+        |  SELECT count(*) AS n_cross_pairs
+        |  FROM pairs p
+        |  JOIN assigned a ON p.id_a = a.doc_id
+        |  JOIN assigned b ON p.id_b = b.doc_id
+        |  WHERE a.split <> b.split)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT rep) AS n_clusters,
+        |  cast(sum(doc_id) AS bigint) AS id_sum,
+        |  (SELECT n_cross_pairs FROM crossed) AS n_cross_pairs
+        |FROM assigned GROUP BY split""".stripMargin
   )
 }

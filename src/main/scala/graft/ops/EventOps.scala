@@ -70,4 +70,40 @@ object EventOps {
         datediff(col("d"), col("c")).cast("bigint").as("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /**
+   * Behavioral-sequence export — the event-log → training-sequence stage of
+   * a behavior-model pipeline: each user's events in strict (ts, tie) order
+   * collapse to one bounded sequence, fingerprinted (md5 of the joined
+   * type tokens) so any ordering or truncation drift anywhere in the corpus
+   * breaks the hash. Sequences are truncated to `maxLen` events (the
+   * context-window cut — `truncated` flags the loss); first/last timestamps
+   * ride along for recency features.
+   *
+   * Determinism: the sort key is (ts, tieCol, type) — total per-user order
+   * when tieCol is unique — and the fingerprint replays in SQL
+   * (`md5(array_to_string(list(type ORDER BY ...)[1:maxLen], ' '))`).
+   *
+   * Scale shape: one groupBy(user); the collect_list is bounded by
+   * events-per-user (the sequence SEMANTICS require materializing it —
+   * this is the rare legitimate collect_list), and only (user, ts, tie,
+   * type) columns shuffle. A pathological mega-user is the packDocuments
+   * skew caveat: pre-cap with [[graft.ops.Sampling.capPerGroup]].
+   */
+  def userSequences(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, maxLen: Int): DataFrame = {
+    require(maxLen > 0, "maxLen must be positive")
+    events.select(col(userCol).as("user_id"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("etype"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        md5(concat_ws(" ",
+          slice(transform(
+            array_sort(collect_list(struct(col("ts"), col("tie"),
+              col("etype")))),
+            x => x.getField("etype")), 1, maxLen)).cast("binary"))
+          .as("seq_md5"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .withColumn("truncated", col("n_events") > maxLen)
+  }
 }

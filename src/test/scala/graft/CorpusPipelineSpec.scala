@@ -112,4 +112,42 @@ class CorpusPipelineSpec extends SparkSpec {
         .cast("bigint"))).head().getLong(0)
     assert(chunkTotal == corpusTotal)
   }
+
+  test("leakage-safe split: near-dup clusters stay on one side; a naive " +
+      "per-doc split would leak") {
+    import spark.implicits._
+    // 40 near-dup pairs (i, i+1000) sharing identical long texts, plus
+    // unique singleton docs
+    val shared = (0 until 40).map(i =>
+      (0 until 25).map(t => s"p${i}tok$t").mkString(" "))
+    val docs = ((0 until 40).flatMap(i =>
+        Seq((i.toLong, shared(i)), (i + 1000L, shared(i)))) ++
+      (2000L until 2010L).map(id =>
+        (id, (0 until 25).map(t => s"u${id}tok$t").mkString(" "))))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashLSH(docs, "doc_id", "text", threshold = 0.8)
+    val clusters = Dedup.clusterDuplicates(pairs)
+      .select(col("id").as("doc_id"), col("rep"))
+    val assigned = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.coalesce(col("rep"), col("doc_id"))
+          .as("rep"))
+      .withColumn("cluster_split",
+        graft.ops.Sampling.hashBucket(col("rep")) < 80)
+      .withColumn("naive_split",
+        graft.ops.Sampling.hashBucket(col("doc_id")) < 80)
+    val sp = assigned.select(col("doc_id"), col("cluster_split"),
+      col("naive_split"))
+    val joined = pairs
+      .join(sp.select(col("doc_id").as("id_a"),
+        col("cluster_split").as("ca"), col("naive_split").as("na")), Seq("id_a"))
+      .join(sp.select(col("doc_id").as("id_b"),
+        col("cluster_split").as("cb"), col("naive_split").as("nb")), Seq("id_b"))
+    assert(joined.where(col("ca") =!= col("cb")).isEmpty,
+      "cluster-aware split must never separate a near-dup pair")
+    // the id-hash split DOES separate some pairs — the leak this exists for
+    assert(joined.where(col("na") =!= col("nb")).count() > 0,
+      "planted corpus should show naive-split leakage")
+  }
 }

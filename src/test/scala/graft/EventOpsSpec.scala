@@ -90,4 +90,36 @@ class EventOpsSpec extends SparkSpec {
     assert(!out3.contains(("blue bolt", "red bolt")))
     assert(out3.contains(("red widget", "red widgot")))
   }
+
+  test("userSequences: strict (ts, tie) order, truncation flag, fingerprint " +
+      "matches a driver-side md5 of the ordered types") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ev = Seq(
+      // user 1 arrives out of order; (ts, event_id) restores view→click→buy
+      (1L, "2024-01-01 00:02:00", 3L, "buy"),
+      (1L, "2024-01-01 00:00:00", 1L, "view"),
+      (1L, "2024-01-01 00:01:00", 2L, "click"),
+      // user 2: same ts — event_id breaks the tie deterministically
+      (2L, "2024-01-01 00:00:00", 5L, "b"),
+      (2L, "2024-01-01 00:00:00", 4L, "a"),
+      (2L, "2024-01-01 00:00:00", 6L, "c"))
+      .toDF("user_id", "t", "event_id", "event_type")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = graft.ops.EventOps.userSequences(ev, "user_id", "ts",
+        "event_id", "event_type", maxLen = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getBoolean(5)))).toMap
+    // maxLen 2: both sequences truncate to their first two events
+    assert(out(1L) == ((3L, md5hex("view click"), true)))
+    assert(out(2L) == ((3L, md5hex("a b"), true)))
+    // untruncated run keeps the full ordered sequence
+    val full = graft.ops.EventOps.userSequences(ev, "user_id", "ts",
+        "event_id", "event_type", maxLen = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(5))))
+      .toMap
+    assert(full(1L) == ((md5hex("view click buy"), false)))
+    assert(full(2L) == ((md5hex("a b c"), false)))
+  }
 }
