@@ -2122,6 +2122,42 @@ object SparkEntry {
           countDistinct(col("rep")).as("n_clusters"),
           sum(col("doc_id")).as("id_sum"))
         .crossJoin(broadcast(cross))
+    }),
+
+    // --- per-doc tf-idf keywords: integer tf x nano-quantized idf — exact
+    //     per-doc rankings, per-group top-k heap (no sort per doc). Sampled
+    //     doc slice keeps the report output bounded -------------------------
+    "q151_tfidf_keywords" -> ((s, dir) =>
+      TextOps.tfidfKeywords(
+        T(s, dir, "documents").where(col("doc_id") % 25 === 0),
+        "doc_id", "text", k = 3)),
+
+    // --- daily-volume anomaly gate: |x-mean| > 2 sigma decided by integer
+    //     cross-multiplication — the flag can never flip on float drift ----
+    "q152_volume_anomalies" -> ((s, dir) =>
+      graft.ops.EventOps.volumeAnomalies(events(s, dir), "ts", sigmaK = 2)),
+
+    // --- incremental ANN index append: base corpus written bucketed, a new
+    //     batch (with planted exact copies of the query) APPENDED into the
+    //     same partitioned layout; the probe's partition-pruned scan finds
+    //     the appended vectors — provable top-5 ------------------------------
+    "q153_ann_append" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9300L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7 && col("vec_id") % 20 =!= 3)
+      val newBatch = emb.where(col("vec_id") =!= 7 && col("vec_id") % 20 === 3)
+        .unionByName(planted)
+      val path = sys.props("java.io.tmpdir") + "/graft_q153_ann_" +
+        Integer.toHexString(dir.hashCode)
+      // overwrite-then-append per invocation: repeated runs never accumulate
+      Similarity.writeBucketedCorpus(base, "vec_id", "embedding", path)
+      Similarity.appendBucketedCorpus(newBatch, "vec_id", "embedding", path)
+      Similarity.annTopKFromBucketed(s, path, "vec_id", "embedding", q, 5)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     })
   )
 
@@ -5185,6 +5221,49 @@ object SparkEntry {
         |  count(DISTINCT rep) AS n_clusters,
         |  cast(sum(doc_id) AS bigint) AS id_sum,
         |  (SELECT n_cross_pairs FROM crossed) AS n_cross_pairs
-        |FROM assigned GROUP BY split""".stripMargin
+        |FROM assigned GROUP BY split""".stripMargin,
+
+    // Integer tf x once-per-token nano idf; per-doc rank with token
+    // tie-break — exact replay.
+    "q151_tfidf_keywords" ->
+      """WITH docs25 AS (SELECT * FROM documents WHERE doc_id % 25 = 0),
+        |toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |      AS tok
+        |  FROM docs25),
+        |tf AS (SELECT id, tok, count(*) AS tf FROM toks GROUP BY id, tok),
+        |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        |nd AS (SELECT count(*) AS n_docs FROM docs25),
+        |scored AS (
+        |  SELECT id, tok, tf,
+        |    tf * cast(round(ln(cast(n_docs AS double) / df) * 1e9) AS bigint)
+        |      AS score_nano
+        |  FROM tf JOIN dfreq USING (tok) CROSS JOIN nd),
+        |ranked AS (
+        |  SELECT id, tok, tf, score_nano,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY score_nano DESC, tok) AS rk
+        |  FROM scored)
+        |SELECT id AS doc_id, cast(rk AS int) AS rk, tok, tf, score_nano
+        |FROM ranked WHERE rk <= 3""".stripMargin,
+
+    // (n·x − Σx)² > k²·(n·Σx² − (Σx)²) — all integers, the flag cannot
+    // drift.
+    "q152_volume_anomalies" ->
+      """WITH d AS (
+        |  SELECT cast(ts AS date) AS day, count(*) AS x
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx FROM d)
+        |SELECT day, x AS n_events,
+        |  cast(sign(n * x - sx) AS int) AS direction,
+        |  (n * x - sx) * (n * x - sx) > 4 * (n * sxx - sx * sx) AS is_anomaly
+        |FROM d CROSS JOIN s""".stripMargin,
+
+    // Planted exact copies of the query vector ride the APPENDED batch —
+    // provable top-5 through the partition-pruned probe (q86's closed form).
+    "q153_ann_append" ->
+      """SELECT cast(i + 9300 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(5) t(i)""".stripMargin
   )
 }

@@ -72,6 +72,43 @@ object EventOps {
   }
 
   /**
+   * Daily-volume anomaly detection with EXACT integer arithmetic — the
+   * ingest-monitoring gate (a collapsed crawl day or a duplicate-feed spike
+   * shows up as a volume outlier). A day is anomalous when its count is
+   * more than `sigmaK` standard deviations from the mean — but instead of
+   * floats, the test cross-multiplies to integers:
+   *
+   *   |x − μ| > kσ   ⟺   (n·x − Σx)² > k² · (n·Σx² − (Σx)²)
+   *
+   * (multiply both sides by n²; σ² = (nΣx² − (Σx)²)/n²). Every quantity is
+   * an exact 64-bit integer, so the flag — the thing a pipeline gates on —
+   * can NEVER flip on cross-engine float drift, unlike a z-score compare.
+   * `direction` is sign(n·x − Σx): +1 spike, −1 collapse, 0 exactly at
+   * the mean. Overflow bound: safe while n·Σx² < 2⁶³/k² — days × (peak
+   * daily count)² ⪅ 10¹⁷ at k=2, far beyond any daily event volume that
+   * fits one table.
+   *
+   * Scale shape: one count(*)-cost rollup to days, one 3-long global agg
+   * broadcast back, then a per-row integer test — no sort, no window.
+   */
+  def volumeAnomalies(events: DataFrame, tsCol: String,
+      sigmaK: Int = 2): DataFrame = {
+    require(sigmaK >= 1, "sigmaK must be >= 1")
+    val days = events.groupBy(to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = days.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    val dev = col("n") * col("x") - col("sx")
+    days.crossJoin(broadcast(stats))
+      .select(col("day"), col("x").as("n_events"),
+        signum(dev).cast("int").as("direction"),
+        (dev * dev >
+          lit(sigmaK.toLong * sigmaK) *
+            (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("is_anomaly"))
+  }
+
+  /**
    * Behavioral-sequence export — the event-log → training-sequence stage of
    * a behavior-model pipeline: each user's events in strict (ts, tie) order
    * collapse to one bounded sequence, fingerprinted (md5 of the joined

@@ -60,6 +60,23 @@ object Similarity {
         scheme.bucketCol(col(vecCol), nBits).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance for a [[writeBucketedCorpus]] layout:
+    * a NEW BATCH of vectors lands in the same bucket-partitioned directory
+    * with `mode("append")` — each appended file joins its bucket's
+    * partition, existing files are untouched, and the next
+    * [[annTopKFromBucketed]] probe sees old + new through the identical
+    * partition-pruned scan. This is the ingest half of a live ANN index:
+    * the bucket function is a pure function of the vector, so appends never
+    * require re-bucketing history (contrast IVF, where drifting centroids
+    * eventually force a re-cluster). Compact small appended files with
+    * the keyed-store compaction discipline when file counts grow. */
+  def appendBucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
+      path: String, nBits: Int = 8,
+      scheme: SrpScheme = SrpScheme.xxh): Unit =
+    df.select(col(idCol), col(vecCol),
+        scheme.bucketCol(col(vecCol), nBits).as("bucket"))
+      .write.partitionBy("bucket").mode("append").parquet(path)
+
   /** ANN top-k over a [[writeBucketedCorpus]] layout: the probe set is a
     * literal IN-list on the PARTITION column, so pruning happens before any
     * row is read (`.explain` shows it in PartitionFilters). */

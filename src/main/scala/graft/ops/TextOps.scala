@@ -1249,6 +1249,41 @@ object TextOps {
    * exists at any corpus size. Returns (w1, w2, c12, pmi_nano).
    */
   /**
+   * Per-document keyword extraction by tf-idf: each doc's top-k tokens by
+   * `tf · ln(N/df)`, the retrieval-weighting staple. The score is EXACT
+   * integer arithmetic end to end: idf is nano-quantized ONCE PER TOKEN
+   * (`round(ln(N/df)·1e9)` — the q73 ln-parity contract) and multiplied by
+   * the integer tf, so per-doc rankings (ties by token asc) replay exactly
+   * in SQL — no per-doc float accumulates.
+   *
+   * Scale shape: the corpus reduces to a (doc, token, tf) table at the
+   * scan; df is one map-side-combinable rollup of it; the per-doc rank
+   * window moves (id, token, score) only. Spark 4's InferWindowGroupLimit
+   * turns the rank ≤ k filter into a per-group top-k heap — no full sort
+   * per doc.
+   */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val tf = toks.groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, Seq("tok")).crossJoin(broadcast(nDocs))
+      .withColumn("score_nano",
+        col("tf") * round(log(col("n_docs").cast("double") / col("df"))
+          * 1e9, 0).cast("long"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_nano").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("id").as(idCol), col("rk"), col("tok"),
+        col("tf"), col("score_nano"))
+  }
+
+  /**
    * N-gram diversity report per language — the corpus-health twin of the
    * novelty profile: for n = 1..3, total vs DISTINCT n-gram counts and their
    * ratio (the distinct-n diversity metric — a template-heavy or crawl-loop

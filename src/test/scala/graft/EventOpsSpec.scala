@@ -91,6 +91,33 @@ class EventOpsSpec extends SparkSpec {
     assert(out3.contains(("red widget", "red widgot")))
   }
 
+  test("volumeAnomalies: integer cross-multiplied sigma test flags the " +
+      "planted spike; normal days pass with signed direction") {
+    // 9 quiet days of 10 events + 1 spike day of 100
+    val rows = (1 to 9).flatMap(d =>
+      (1 to 10).map(i => (s"2024-01-0$d 00:0${i % 6}:00"))) ++
+      (1 to 100).map(i => s"2024-01-10 00:${i % 60}:00")
+    val ev = rows.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("event_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val out = graft.ops.EventOps.volumeAnomalies(ev, "ts", sigmaK = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getInt(2), r.getBoolean(3)))).toMap
+    // n=10, sx=190, sxx=10900: spike dev=810, 810^2=656100 >
+    // 4*(109000-36100)=291600 → anomaly; quiet dev=-90, 8100 < 291600
+    assert(out("2024-01-10") == ((100L, 1, true)))
+    (1 to 9).foreach { d =>
+      assert(out(s"2024-01-0$d") == ((10L, -1, false)), s"day $d")
+    }
+    // a perfectly flat series flags nothing, direction 0 everywhere
+    val flat = (1 to 3).flatMap(d => (1 to 5).map(i =>
+        (d * 10L + i, s"2024-02-0$d 00:0$i:00")))
+      .toDF("event_id", "t")
+      .withColumn("ts", to_timestamp(col("t"))).drop("t")
+    val f = graft.ops.EventOps.volumeAnomalies(flat, "ts").collect()
+    assert(f.forall(r => r.getInt(2) == 0 && !r.getBoolean(3)))
+  }
+
   test("userSequences: strict (ts, tie) order, truncation flag, fingerprint " +
       "matches a driver-side md5 of the ordered types") {
     def md5hex(s: String): String =

@@ -877,6 +877,49 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(2) == 3L)) // a_i b_i c_i survive
   }
 
+  test("tfidfKeywords: integer tf x nano idf ranks per doc; corpus-wide " +
+      "tokens score zero idf; ties break by token") {
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.tfidfKeywords(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    val idf1 = math.rint(math.log(2.0) * 1e9).toLong // df=1 of N=2
+    // "b" appears in every doc: idf = ln(1) = 0 — a perfect stopword filter
+    assert(out((1L, 1)) == (("a", 2L, 2 * idf1)))
+    assert(out((1L, 2)) == (("b", 1L, 0L)))
+    assert(out((2L, 1)) == (("c", 1L, idf1)))
+    assert(out((2L, 2)) == (("b", 1L, 0L)))
+  }
+
+  test("appendBucketedCorpus: appended vectors are probe-visible; base " +
+      "files are untouched by the append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_annapp").toString
+    val base = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(8)(d => (i * 8 + d).toFloat % 7 + 1f).toSeq))
+      .toDF("id", "v")
+    val query = Array.tabulate(8)(d => (d + 1).toFloat).toSeq
+    Similarity.writeBucketedCorpus(base, "id", "v", dir, nBits = 4)
+    def files() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.length()).sortBy(_._1)
+    }
+    val before = files()
+    // new batch carries two exact copies of the query vector
+    val batch = Seq((100L, query), (101L, query)).toDF("id", "v")
+    Similarity.appendBucketedCorpus(batch, "id", "v", dir, nBits = 4)
+    val after = files()
+    assert(before.toSet.subsetOf(after.toSet),
+      "append must not rewrite or resize existing base files")
+    assert(after.size > before.size, "append should add files")
+    val top = Similarity.annTopKFromBucketed(spark, dir, "id", "v",
+        query, 2, nBits = 4)
+      .collect().map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e4) / 1e4))
+    assert(top.toSeq == Seq((100L, 1.0), (101L, 1.0)),
+      s"appended exact copies must win the probe, got ${top.toSeq}")
+  }
+
   test("rrfFuse: hand-computed floor-nano sums; docs in both lists outrank " +
       "either single-list doc; ties break by id") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
