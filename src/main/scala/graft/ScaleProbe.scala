@@ -95,7 +95,17 @@ object ScaleProbe {
     "q135_bpe_merges",      // corpus→dictionary collapse + 4 vocab-sized rounds
     "q136_decontaminate_spans", // benchmark semi-join + splice (planted copies cut)
     "q137_cms_counts",      // (shard,row,bucket) map-side combine, sketch-row work
-    "q138_collocations")    // bigram/unigram count tables, minCount prefilter
+    "q138_collocations",    // bigram/unigram count tables, minCount prefilter
+    // round-9 continuation additions (q139–q153)
+    "q139_priority_sample", // scan + TakeOrderedAndProject weighted top-k
+    "q143_rrf_fusion",      // BM25 + int8-cosine rankers, corpus-free fuse
+    "q144_ngram_diversity", // 3 shingle-hash passes + count-distinct + entropy fold
+    "q146_stream_cms",      // streaming sketch maintenance (state = depth x width)
+    "q147_skew_report",     // count-per-key + broadcast stats + top-k heap
+    "q149_user_sequences",  // bounded per-user collect_list + fingerprint
+    "q150_leakage_safe_split", // LSH -> CC -> rep-hash split (planted pairs)
+    "q151_tfidf_keywords",  // (doc,token,tf) collapse + per-doc top-k heap
+    "q152_volume_anomalies")// day rollup + 3-long broadcast integer test
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

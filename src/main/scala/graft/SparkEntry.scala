@@ -2158,6 +2158,23 @@ object SparkEntry {
       Similarity.appendBucketedCorpus(newBatch, "vec_id", "embedding", path)
       Similarity.annTopKFromBucketed(s, path, "vec_id", "embedding", q, 5)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- matryoshka truncation gauge: recall@10 of prefix-width cosine
+    //     rankings vs the full 64-dim ranking, int8-exact end to end — the
+    //     evidence behind a truncate-then-rerank ANN deployment -------------
+    "q154_matryoshka_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qRaw = emb.where(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val qMax = qRaw.map(v => math.abs(v.toDouble)).max
+      val qQ: Seq[Byte] =
+        if (qMax == 0) qRaw.map(_ => 0.toByte)
+        else qRaw.map(v => math.floor(v.toDouble * 127.0 / qMax).toByte)
+      val qz = Similarity.quantizeInt8(
+        emb.where(col("vec_id") =!= 0), "vec_id", "embedding")
+      Similarity.matryoshkaRecall(qz, "id", "qvec", qQ, k = 10,
+        dims = Seq(8, 16, 32))
     })
   )
 
@@ -5264,6 +5281,57 @@ object SparkEntry {
     // provable top-5 through the partition-pruned probe (q86's closed form).
     "q153_ann_append" ->
       """SELECT cast(i + 9300 as bigint) AS vec_id, 1.0 AS cos
-        |FROM range(5) t(i)""".stripMargin
+        |FROM range(5) t(i)""".stripMargin,
+
+    // q94's int8 quantization replay; full and prefix-sliced rankings, then
+    // a k x k intersection per width.
+    "q154_matryoshka_recall" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |      x -> CASE WHEN maxabs = 0 THEN 0
+        |        ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint)
+        |        END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          cast(list_max(list_transform(embedding, x -> abs(x)))
+        |            as double) AS maxabs
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |qq AS (SELECT qv AS sv FROM q WHERE vec_id = 0),
+        |fullc AS (
+        |  SELECT q.vec_id,
+        |    CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |         ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END AS cos
+        |  FROM q CROSS JOIN qq CROSS JOIN LATERAL (
+        |    SELECT list_dot_product(cast(q.qv as double[]),
+        |             cast(qq.sv as double[])) AS dot,
+        |           list_dot_product(cast(q.qv as double[]),
+        |             cast(q.qv as double[])) AS na,
+        |           list_dot_product(cast(qq.sv as double[]),
+        |             cast(qq.sv as double[])) AS nb) l
+        |  WHERE q.vec_id <> 0),
+        |fulltop AS (
+        |  SELECT vec_id FROM fullc ORDER BY cos DESC, vec_id LIMIT 10),
+        |dms AS (SELECT unnest([8, 16, 32]) AS d),
+        |tc AS (
+        |  SELECT dms.d, q.vec_id,
+        |    CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |         ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END AS cos
+        |  FROM dms CROSS JOIN q CROSS JOIN qq CROSS JOIN LATERAL (
+        |    SELECT list_dot_product(cast(q.qv[1:dms.d] as double[]),
+        |             cast(qq.sv[1:dms.d] as double[])) AS dot,
+        |           list_dot_product(cast(q.qv[1:dms.d] as double[]),
+        |             cast(q.qv[1:dms.d] as double[])) AS na,
+        |           list_dot_product(cast(qq.sv[1:dms.d] as double[]),
+        |             cast(qq.sv[1:dms.d] as double[])) AS nb) l
+        |  WHERE q.vec_id <> 0),
+        |ttop AS (
+        |  SELECT d, vec_id FROM (
+        |    SELECT d, vec_id, row_number() OVER (PARTITION BY d
+        |      ORDER BY cos DESC, vec_id) AS rk
+        |    FROM tc) WHERE rk <= 10)
+        |SELECT cast(t.d AS int) AS dims,
+        |  cast(count(f.vec_id) AS bigint) AS n_common,
+        |  round(count(f.vec_id) / 10.0, 6) AS recall
+        |FROM ttop t LEFT JOIN fulltop f USING (vec_id)
+        |GROUP BY t.d""".stripMargin
   )
 }

@@ -383,6 +383,54 @@ object Similarity {
   }
 
   /**
+   * Matryoshka truncation evaluation (Kusupati et al., NeurIPS 2022 — MRL):
+   * how much ANN quality survives scoring on only the FIRST `d` dimensions
+   * of the embedding? For each candidate prefix width, recall@k = |top-k by
+   * truncated cosine ∩ top-k by full cosine| / k. A high recall at d ≪ dim
+   * licenses the two-stage deployment (score the d-dim prefix at ¼ the
+   * bytes, re-rank survivors full-width) — this gauge is how that decision
+   * gets made, continuously, as the corpus drifts.
+   *
+   * Exactness contract: vectors are int8-quantized ([[quantizeInt8]]) and
+   * every score — full or truncated — is an integer dot/norm through one
+   * IEEE sqrt/divide ([[graft.functions.GraftFunctions.cosine_sim_int8_pair]]
+   * over array slices), so both rankings and hence the recall value replay
+   * bit-exactly in SQL. Ties break by id. The query is quantized by the
+   * caller with the same floor rule (see q143).
+   *
+   * Scale shape: one corpus scan per evaluated width (each a
+   * TakeOrderedAndProject top-k); the recall join is k-row × k-row.
+   * Returns (dims, n_common, recall) — one row per prefix width.
+   */
+  def matryoshkaRecall(df: DataFrame, idCol: String, qvecCol: String,
+      queryQ: Seq[Byte], k: Int, dims: Seq[Int]): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(dims.nonEmpty && dims.forall(d => d > 0 && d <= queryQ.length),
+      "every prefix width must be in [1, query dims]")
+    val spark = df.sparkSession
+    def qlit(d: Int) = array(queryQ.take(d).map(b => lit(b)): _*)
+    def topK(d: Option[Int]): DataFrame = {
+      val v = d match {
+        case Some(w) => slice(col(qvecCol), 1, w)
+        case None => col(qvecCol)
+      }
+      val q = d.map(qlit).getOrElse(qlit(queryQ.length))
+      df.select(col(idCol).as("id"),
+          graft.functions.GraftFunctions.cosine_sim_int8_pair(v, q).as("cos"))
+        .orderBy(col("cos").desc, col("id"))
+        .limit(k)
+    }
+    val full = topK(None).select(col("id"))
+    dims.map { d =>
+      val common = topK(Some(d)).select(col("id"))
+        .join(full, Seq("id"), "left_semi")
+        .agg(count(lit(1)).as("n_common"))
+      common.select(lit(d).as("dims"), col("n_common"),
+        round(col("n_common").cast("double") / k, 6).as("recall"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
    * standard hybrid-retrieval combiner: each input ranking contributes
    * 1/(kConst + rank) per document, and documents are re-ranked by the sum.

@@ -920,6 +920,24 @@ class OpsSpec extends SparkSpec {
       s"appended exact copies must win the probe, got ${top.toSeq}")
   }
 
+  test("matryoshkaRecall: a prefix-only decoy displaces a true neighbor at " +
+      "narrow width; full width recovers recall 1") {
+    // query [127,0,0,0]. id 1 is a decoy: perfect on dim 1, poor full-cos
+    // (0.5); id 5 the true nearest (1.0); id 6 second (0.707). Prefix-1
+    // ranking ties {1,5,6} at cos 1 → ids 1,5 win; full top-2 is {5,6}.
+    val corpus = Seq(
+      (1L, Seq[Byte](127, -127, -127, -127)),
+      (5L, Seq[Byte](127, 0, 0, 0)),
+      (6L, Seq[Byte](127, 127, 0, 0)))
+      .toDF("id", "qvec")
+    val out = Similarity.matryoshkaRecall(corpus, "id", "qvec",
+        Seq[Byte](127, 0, 0, 0), k = 2, dims = Seq(1, 4))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(out(1) == ((1L, 0.5)), s"prefix-1 should lose the decoy slot: $out")
+    assert(out(4) == ((2L, 1.0)), "full width is the full ranking")
+  }
+
   test("rrfFuse: hand-computed floor-nano sums; docs in both lists outrank " +
       "either single-list doc; ties break by id") {
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
