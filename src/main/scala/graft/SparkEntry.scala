@@ -2175,6 +2175,41 @@ object SparkEntry {
         emb.where(col("vec_id") =!= 0), "vec_id", "embedding")
       Similarity.matryoshkaRecall(qz, "id", "qvec", qQ, k = 10,
         dims = Seq(8, 16, 32))
+    }),
+
+    // --- normalized exact dedup: planted case/punctuation variants collapse
+    //     onto their originals (keep-first), which byte-exact dedup misses —
+    //     one shuffle on 16-byte normalized fingerprints -------------------
+    "q155_normalized_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val variants = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(upper(col("text")), lit(" !!")).as("text"), col("lang"))
+      Dedup.dedupNormalized(docs.unionByName(variants), "doc_id", "text")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_survivors"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_variants")).as("n_docs"))
+    }),
+
+    // --- nDCG@10 of the BM25 ranking against term-coverage relevance
+    //     grades (0-3 query terms present) — position- and grade-weighted
+    //     retrieval quality, integer-exact ---------------------------------
+    "q156_ndcg" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val terms = Seq("spark", "window", "merge")
+      val ranking = TextOps.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .select(col("doc_id"),
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+            .cast("long").as("rank"))
+      val toks = tokens(lower(col("text")))
+      val rel = docs.select(col("doc_id"),
+        terms.map(t =>
+            coalesce(array_contains(toks, t), lit(false)).cast("long"))
+          .reduce(_ + _).as("rel"))
+      Similarity.ndcgAt(ranking, rel, "doc_id", k = 10)
     })
   )
 
@@ -5332,6 +5367,89 @@ object SparkEntry {
         |  cast(count(f.vec_id) AS bigint) AS n_common,
         |  round(count(f.vec_id) / 10.0, 6) AS recall
         |FROM ttop t LEFT JOIN fulltop f USING (vec_id)
-        |GROUP BY t.d""".stripMargin
+        |GROUP BY t.d""".stripMargin,
+
+    // Same normalization chain (RE2-safe, 'g' flag) + keep-first per
+    // fingerprint; null/punct-only texts share the empty key.
+    "q155_normalized_dedup" ->
+      """WITH base AS (SELECT doc_id, text, lang FROM documents),
+        |var AS (
+        |  SELECT doc_id + 100000 AS doc_id, upper(text) || ' !!' AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |ad AS (SELECT * FROM base UNION ALL SELECT * FROM var),
+        |norm AS (
+        |  SELECT doc_id, lang,
+        |    md5(coalesce(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), '')) AS k
+        |  FROM ad),
+        |cl AS (
+        |  SELECT k, min(doc_id) AS doc_id, count(*) AS n_variants
+        |  FROM norm GROUP BY k),
+        |surv AS (
+        |  SELECT n.lang, c.doc_id, c.n_variants
+        |  FROM cl c JOIN norm n ON n.doc_id = c.doc_id AND n.k = c.k)
+        |SELECT lang, count(*) AS n_survivors,
+        |  cast(sum(doc_id) AS bigint) AS id_sum,
+        |  cast(sum(n_variants) AS bigint) AS n_docs
+        |FROM surv GROUP BY lang""".stripMargin,
+
+    // q90's BM25 replay (top-10 + rank); relevance = query terms present;
+    // nano-quantized positional discounts, integer DCG/IDCG sums.
+    "q156_ndcg" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats),
+        |lexs AS (
+        |  SELECT doc_id, round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |  FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10),
+        |ranking AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        |  FROM lexs),
+        |rel AS (
+        |  SELECT doc_id,
+        |    cast(coalesce(list_contains(toks, 'spark'), false) AS bigint) +
+        |    cast(coalesce(list_contains(toks, 'window'), false) AS bigint) +
+        |    cast(coalesce(list_contains(toks, 'merge'), false) AS bigint)
+        |      AS rel
+        |  FROM t),
+        |dcg AS (
+        |  SELECT coalesce(sum(coalesce(r.rel, 0) *
+        |    cast(round(1e9 / log2(k.rank + 1)) as bigint)), 0) AS dcg_nano
+        |  FROM ranking k LEFT JOIN rel r USING (doc_id)
+        |  WHERE k.rank <= 10),
+        |itop AS (
+        |  SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS irank
+        |  FROM (SELECT doc_id, rel FROM rel
+        |        ORDER BY rel DESC, doc_id LIMIT 10)),
+        |idcg AS (
+        |  SELECT coalesce(sum(rel *
+        |    cast(round(1e9 / log2(irank + 1)) as bigint)), 0) AS idcg_nano
+        |  FROM itop)
+        |SELECT cast(dcg_nano as bigint) AS dcg_nano,
+        |  cast(idcg_nano as bigint) AS idcg_nano,
+        |  round(cast(dcg_nano as double) / idcg_nano, 6) AS ndcg
+        |FROM dcg CROSS JOIN idcg""".stripMargin
   )
 }

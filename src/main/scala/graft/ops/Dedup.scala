@@ -64,6 +64,39 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** The [[dedupNormalized]] key: lowercase, every non-alphanumeric to a
+    * space, runs collapsed, trimmed. RE2-safe, so the chain replays
+    * verbatim in DuckDB (`regexp_replace(..., 'g')`). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /**
+   * Normalized exact dedup — the C4-style "trivially reformatted" rule:
+   * documents equal after [[normalizeText]] (case, punctuation, spacing
+   * differences) collapse to one keep-first survivor, catching the
+   * re-encoded syndication copies byte-exact dedup ([[exact]]) misses while
+   * staying one shuffle (no shingling, no pairs). NULL and
+   * punctuation-only texts normalize to the EMPTY key and collapse
+   * together — the boilerplate-collapse corner, documented not accidental.
+   *
+   * Scale shape: text reduces to a 16-byte fingerprint of the normalized
+   * form at the scan; one groupBy(min, count) + one equi-join back on
+   * (fingerprint, id) — the [[exact]] cost with a codegen'd regexp chain
+   * in front. Returns the survivors' input rows plus `n_variants` (how
+   * many raw documents collapsed into each).
+   */
+  def dedupNormalized(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    require(!df.columns.contains("__graft_nfp"),
+      "dedupNormalized uses a '__graft_nfp' working column — rename the input's")
+    val keyed = df.withColumn("__graft_nfp",
+      fingerprint_md5(coalesce(normalizeText(col(textCol)), lit(""))))
+    val winners = keyed.groupBy(col("__graft_nfp"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_variants"))
+    keyed.join(winners, Seq("__graft_nfp", idCol)).drop("__graft_nfp")
+  }
+
   /**
    * Snapshot delta — the CDC step of an incremental corpus build: diff two
    * crawl snapshots by content fingerprint and label every id `added`

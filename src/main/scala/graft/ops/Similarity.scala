@@ -383,6 +383,44 @@ object Similarity {
   }
 
   /**
+   * nDCG@k — the graded-relevance retrieval metric ([[matryoshkaRecall]]
+   * measures set overlap; nDCG weights POSITION and GRADE): DCG = Σ rel_i /
+   * log2(i+1) over the ranking's top k, normalized by the ideal DCG (the
+   * corpus's k best relevance grades in order). `ranking` carries
+   * (idCol, rank) 1-based; `relevance` carries (idCol, rel) integer grades
+   * for every document (absent docs grade 0).
+   *
+   * Exactness: each position's discount is nano-quantized ONCE
+   * (`round(1e9 / log2(i+1))` — the q73 ln-parity contract) and multiplied
+   * by the integer grade, so DCG/IDCG are exact integer sums and the
+   * metric replays in SQL. The ideal ranking ties break by id.
+   *
+   * Scale shape: DCG is a k-row join; the ideal side is a
+   * TakeOrderedAndProject over (id, rel) — never a global sort — with the
+   * rank window applied to the k survivors only.
+   */
+  def ndcgAt(ranking: DataFrame, relevance: DataFrame, idCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def disc(rank: Column) =
+      round(lit(1e9) / log2(rank.cast("double") + 1), 0).cast("long")
+    val dcg = ranking.where(col("rank") <= k)
+      .join(relevance, Seq(idCol), "left")
+      .select((coalesce(col("rel"), lit(0L)) * disc(col("rank"))).as("g"))
+      .agg(coalesce(sum(col("g")), lit(0L)).as("dcg_nano"))
+    val ideal = relevance.orderBy(col("rel").desc, col(idCol)).limit(k)
+      .withColumn("irank",
+        row_number().over(Window.orderBy(col("rel").desc, col(idCol))))
+      .select((col("rel") * disc(col("irank"))).as("g"))
+      .agg(coalesce(sum(col("g")), lit(0L)).as("idcg_nano"))
+    dcg.crossJoin(ideal)
+      .select(col("dcg_nano"), col("idcg_nano"),
+        round(col("dcg_nano").cast("double") / col("idcg_nano"), 6)
+          .as("ndcg"))
+  }
+
+  /**
    * Matryoshka truncation evaluation (Kusupati et al., NeurIPS 2022 — MRL):
    * how much ANN quality survives scoring on only the FIRST `d` dimensions
    * of the embedding? For each candidate prefix width, recall@k = |top-k by

@@ -920,6 +920,34 @@ class OpsSpec extends SparkSpec {
       s"appended exact copies must win the probe, got ${top.toSeq}")
   }
 
+  test("dedupNormalized: case/punctuation/spacing variants collapse " +
+      "keep-first; null and punct-only share the empty key") {
+    val df = Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "HELLO  world..."), (4L, "different"),
+      (5L, null.asInstanceOf[String]), (6L, "!!!"))
+      .toDF("id", "text")
+    val out = Dedup.dedupNormalized(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 3L, 4L -> 1L, 5L -> 2L),
+      s"expected keep-first clusters, got $out")
+  }
+
+  test("ndcgAt: hand-computed nano discounts; ideal uses the corpus's best " +
+      "grades; unranked relevant docs lower ndcg below 1") {
+    def disc(i: Int): Long = math.rint(1e9 / (math.log(i + 1) / math.log(2))).toLong
+    val ranking = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("id", "rank")
+    val rel = Seq(("a", 1L), ("b", 3L), ("c", 0L), ("d", 2L)).toDF("id", "rel")
+    val r = Similarity.ndcgAt(ranking, rel, "id", k = 3).head()
+    val dcg = 1L * disc(1) + 3L * disc(2) + 0L * disc(3)
+    val idcg = 3L * disc(1) + 2L * disc(2) + 1L * disc(3)
+    assert(r.getLong(0) == dcg && r.getLong(1) == idcg)
+    assert(r.getDouble(2) ==
+      math.rint(dcg.toDouble / idcg * 1e6) / 1e6)
+    // the perfect ranking scores exactly 1
+    val perfect = Seq(("b", 1L), ("d", 2L), ("a", 3L)).toDF("id", "rank")
+    assert(Similarity.ndcgAt(perfect, rel, "id", 3).head().getDouble(2) == 1.0)
+  }
+
   test("matryoshkaRecall: a prefix-only decoy displaces a true neighbor at " +
       "narrow width; full width recovers recall 1") {
     // query [127,0,0,0]. id 1 is a decoy: perfect on dim 1, poor full-cos
