@@ -2210,7 +2210,22 @@ object SparkEntry {
             coalesce(array_contains(toks, t), lit(false)).cast("long"))
           .reduce(_ + _).as("rel"))
       Similarity.ndcgAt(ranking, rel, "doc_id", k = 10)
-    })
+    }),
+
+    // --- k-anonymity audit over (nation, segment) quasi-identifiers: the
+    //     re-identification gate, all exact integers -----------------------
+    "q157_k_anonymity" -> ((s, dir) =>
+      graft.ops.Audit.kAnonymityAudit(T(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), k = 5)),
+
+    // --- exponentially decayed trending terms over the q128 snapshot days:
+    //     half-life one day, weights are integer powers of two — the whole
+    //     ranking is 64-bit integer arithmetic ------------------------------
+    "q158_decayed_trending" -> ((s, dir) =>
+      TextOps.decayedTrendingTerms(
+        T(s, dir, "documents").where(col("text").isNotNull)
+          .select((col("doc_id") % 8).as("day"), col("text")),
+        "day", "text", maxAge = 7, topK = 20))
   )
 
   // =========================================================================
@@ -5450,6 +5465,40 @@ object SparkEntry {
         |SELECT cast(dcg_nano as bigint) AS dcg_nano,
         |  cast(idcg_nano as bigint) AS idcg_nano,
         |  round(cast(dcg_nano as double) / idcg_nano, 6) AS ndcg
-        |FROM dcg CROSS JOIN idcg""".stripMargin
+        |FROM dcg CROSS JOIN idcg""".stripMargin,
+
+    "q157_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT c_nationkey, c_mktsegment, count(*) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT count(*) AS n_groups,
+        |  cast(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS bigint)
+        |    AS n_violating_groups,
+        |  cast(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS bigint)
+        |    AS n_rows_at_risk,
+        |  cast(min(n) AS bigint) AS min_group_size
+        |FROM g""".stripMargin,
+
+    // Integer power-of-two decay weights (1 << (maxAge - age)) — the whole
+    // ranking replays in 64-bit integer arithmetic.
+    "q158_decayed_trending" ->
+      """WITH d AS (
+        |  SELECT doc_id % 8 AS day, text FROM documents
+        |  WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT tok AS term, day AS dd, count(*) AS c FROM (
+        |    SELECT day, unnest(list_filter(string_split(lower(text), ' '),
+        |      x -> x <> '')) AS tok
+        |    FROM d)
+        |  GROUP BY tok, day),
+        |m AS (SELECT max(dd) AS md FROM c)
+        |SELECT term,
+        |  cast(sum(c * (1::BIGINT << cast(7 - (md - dd) AS int)))
+        |    AS bigint) AS decayed_scaled,
+        |  cast(sum(c) AS bigint) AS n_raw
+        |FROM c CROSS JOIN m
+        |WHERE md - dd <= 7
+        |GROUP BY term
+        |ORDER BY decayed_scaled DESC, term LIMIT 20""".stripMargin
   )
 }

@@ -67,6 +67,29 @@ object Audit {
   }
 
   /**
+   * k-anonymity audit — the privacy gate [[graft.ops.TextOps.redactPII]]'s
+   * value-level redaction can't answer: does any COMBINATION of
+   * quasi-identifier columns isolate fewer than `k` rows (re-identification
+   * risk, Sweeney's model)? One groupBy over the quasi-identifier tuple,
+   * then a 4-long rollup: group count, violating-group count (size < k),
+   * rows at risk (members of violating groups), and the minimum group size
+   * (the table's actual anonymity level). All exact integers.
+   *
+   * Scale shape: count(*) cost on the quasi-tuple (map-side combinable) —
+   * the audit never touches non-quasi columns (column pruning).
+   */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Int): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k must be >= 2 (k=1 is vacuous)")
+    df.groupBy(quasiCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_rows_at_risk"),
+        min(col("n")).as("min_group_size"))
+  }
+
+  /**
    * Join/shuffle-key skew diagnosis — the report you run BEFORE a 100 TB
    * join melts an executor: the topK heaviest key values with corpus
    * context and a per-key recommended SALT FACTOR (⌈key count / average

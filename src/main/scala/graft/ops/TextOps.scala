@@ -1284,6 +1284,43 @@ object TextOps {
   }
 
   /**
+   * Exponentially time-decayed trending terms — the recency-weighted twin
+   * of a plain frequency top-k: a term's score is Σ over days of
+   * count(day) · 2^(maxAge − age), i.e. half-life ONE DAY, scaled by
+   * 2^maxAge so every weight is a positive integer power of two. That
+   * scaling is the exactness trick: the whole score is 64-bit INTEGER
+   * arithmetic (`1 << (maxAge − age)` per day bucket) — no float decay
+   * factor whose powers drift across engines — so the ranking replays
+   * bit-for-bit in SQL. Days older than `maxAge` fall out of the window
+   * (their sub-integer weights would round to noise anyway).
+   *
+   * Overflow bound: per-(term, day) count · 2^maxAge must fit a long —
+   * maxAge = 30 leaves room for 2^33 occurrences/day of one term.
+   *
+   * Scale shape: the corpus collapses to a (term, day, count) table at the
+   * scan (map-side combinable); max(day) is a 1-long broadcast; the final
+   * rollup is vocabulary-sized with a TakeOrderedAndProject top-k.
+   */
+  def decayedTrendingTerms(df: DataFrame, dayCol: String, textCol: String,
+      maxAge: Int = 30, topK: Int = 20): DataFrame = {
+    require(maxAge >= 0 && maxAge <= 33, "maxAge must be in [0, 33]")
+    require(topK > 0, "topK must be positive")
+    val counts = df.select(col(dayCol).cast("long").as("d"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term"), col("d")).agg(count(lit(1)).as("c"))
+    val mx = counts.agg(max(col("d")).as("md"))
+    counts.crossJoin(broadcast(mx))
+      .where(col("md") - col("d") <= maxAge)
+      .withColumn("w", expr(
+        s"shiftleft(cast(1 as bigint), cast($maxAge - (md - d) as int))"))
+      .groupBy(col("term"))
+      .agg(sum(col("c") * col("w")).as("decayed_scaled"),
+        sum(col("c")).as("n_raw"))
+      .orderBy(col("decayed_scaled").desc, col("term"))
+      .limit(topK)
+  }
+
+  /**
    * N-gram diversity report per language — the corpus-health twin of the
    * novelty profile: for n = 1..3, total vs DISTINCT n-gram counts and their
    * ratio (the distinct-n diversity metric — a template-heavy or crawl-loop

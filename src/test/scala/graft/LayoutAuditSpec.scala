@@ -94,6 +94,20 @@ class LayoutAuditSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 1L, 1L)))
   }
 
+  test("kAnonymityAudit: violating groups, rows at risk, and the table's " +
+      "anonymity level — exact integers") {
+    // quasi (g): sizes 6, 3, 1 → with k=5: 2 violating groups, 4 rows at risk
+    val df = (Seq.fill(6)(("a", "x")) ++ Seq.fill(3)(("b", "x")) ++
+      Seq(("c", "y"))).toDF("g", "h")
+    val r = Audit.kAnonymityAudit(df, Seq("g", "h"), k = 5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 4L, 1L)))
+    // a fully k-anonymous table reports zero risk
+    val ok = Seq.fill(5)(("a", "x")).toDF("g", "h")
+    val r2 = Audit.kAnonymityAudit(ok, Seq("g", "h"), k = 5).head()
+    assert((r2.getLong(1), r2.getLong(2), r2.getLong(3)) == ((0L, 0L, 5L)))
+  }
+
   test("skewReport: heavy keys ranked with exact per-mille and ceil-div " +
       "salt factor; uniform keys recommend salt 1") {
     // key "a" x 6, "b" x 2, "c" x 2 → 10 rows, 3 keys, avg 10/3

@@ -820,6 +820,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(("en", 1))._4 == expected)
   }
 
+  test("decayedTrendingTerms: power-of-two day weights, window cutoff, " +
+      "deterministic tie-break") {
+    // md = 2; weights: day 2 → 2, day 1 → 1, day 0 → outside maxAge=1
+    val df = Seq((0L, "stale stale stale stale stale stale stale stale"),
+      (1L, "old old old old"), (2L, "new new"))
+      .toDF("day", "text")
+    val out = TextOps.decayedTrendingTerms(df, "day", "text", maxAge = 1,
+        topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // new: 2·2 = 4 ties old: 4·1 = 4 → term asc puts "new" first; "stale"
+    // is outside the window entirely
+    assert(out == Seq(("new", 4L, 2L), ("old", 4L, 4L)))
+  }
+
   test("lengthHistogram: exact bit-length buckets; empty and null docs " +
       "land in bucket 0") {
     val df = Seq(
