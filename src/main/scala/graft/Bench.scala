@@ -34,6 +34,13 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
+      // Neighborhood-pressure isolation (round-9 adjudication: q74 timed
+      // 6.7 s mid-sweep vs 0.88 s isolated — heap garbage from neighboring
+      // queries' 3-rep loops bled into its timed window as GC pauses). One
+      // explicit full GC here — OUTSIDE every timed window — makes each
+      // measurement start from a settled heap, the suite-scale analogue of
+      // the blocking unpersist above.
+      System.gc()
     }
     // Warmup: run every query once on the smoke corpus (sf0.001) so one-time
     // costs — whole-stage codegen compilation, JIT, parquet footer/catalog

@@ -2225,7 +2225,46 @@ object SparkEntry {
       TextOps.decayedTrendingTerms(
         T(s, dir, "documents").where(col("text").isNotNull)
           .select((col("doc_id") % 8).as("day"), col("text")),
-        "day", "text", maxAge = 7, topK = 20))
+        "day", "text", maxAge = 7, topK = 20)),
+
+    // --- coverage-guaranteed eval split: every language contributes >= 20
+    //     min-wise docs to test (a pure hash split can starve small cells);
+    //     coverage_ok pins the guarantee per cell ---------------------------
+    "q159_coverage_split" -> ((s, dir) => {
+      val split = graft.ops.Sampling.coverageSplit(
+        T(s, dir, "documents"), "doc_id", "lang",
+        minTest = 20, trainPermille = 900)
+      val per = split.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("split") === "train", col("doc_id"))).as("train_id_sum"))
+      per.select(col("lang"), col("n_docs"), col("n_test"),
+        coalesce(col("train_id_sum"), lit(0L)).as("train_id_sum"),
+        (col("n_test") >= least(lit(20L), col("n_docs"))).as("coverage_ok"))
+    }),
+
+    // --- IVF-PQ two-stage ANN (the faiss-default composition): IVF cells
+    //     prune candidates, PQ codes score survivors by ADC. Planted exact
+    //     copies of the query share its argmax cell (always probed first)
+    //     and encode to the per-subspace argmin codes — provable top-5 ----
+    "q160_ivfpq_ann" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 13).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 13)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9400L).as("vec_id"), col("embedding"))
+      val corpus = emb.where(col("vec_id") =!= 13).unionByName(planted)
+      val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 8)
+      val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2)
+      Similarity.ivfPqTopK(corpus, "vec_id", "embedding", q, 5, cents, cb,
+          nProbe = 2)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("adc_dist").asc, col("vec_id"))))
+        .select(col("rank").cast("bigint").as("rank"), col("vec_id"))
+    })
   )
 
   // =========================================================================
@@ -5499,6 +5538,41 @@ object SparkEntry {
         |FROM c CROSS JOIN m
         |WHERE md - dd <= 7
         |GROUP BY term
-        |ORDER BY decayed_scaled DESC, term LIMIT 20""".stripMargin
+        |ORDER BY decayed_scaled DESC, term LIMIT 20""".stripMargin,
+
+    // The md5 rank order + forced-test prefix + hash remainder, replayed
+    // row-exact; coverage_ok is the guarantee the operator exists for.
+    "q159_coverage_split" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT,
+        |      doc_id) AS rk
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN rk <= 20 THEN 'test'
+        |         WHEN ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))
+        |              ::BIGINT % 1000 < 900 THEN 'train'
+        |         ELSE 'test' END AS split
+        |  FROM r),
+        |p AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS bigint)
+        |      AS n_test,
+        |    cast(coalesce(sum(CASE WHEN split = 'train' THEN doc_id END), 0)
+        |      AS bigint) AS train_id_sum
+        |  FROM s GROUP BY lang)
+        |SELECT lang, n_docs, n_test, train_id_sum,
+        |  n_test >= least(20, n_docs) AS coverage_ok
+        |FROM p""".stripMargin,
+
+    // Planted exact copies: same cell as the query (probed first), per-
+    // subspace argmin codes → the global ADC minimum; ties rank by id and
+    // no corpus vector shares the minimal code (the q110 construction).
+    "q160_ivfpq_ann" ->
+      """SELECT cast(i + 1 as bigint) AS rank, cast(i + 9400 as bigint)
+        |  AS vec_id
+        |FROM range(5) t(i)""".stripMargin
   )
 }

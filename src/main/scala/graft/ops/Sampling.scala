@@ -339,6 +339,39 @@ object Sampling {
     df.orderBy(priority.desc, col(idCol)).limit(k)
   }
 
+  /**
+   * Coverage-guaranteed train/eval split: every cell (language, domain,
+   * quality band…) contributes AT LEAST `minTest` rows to the test side —
+   * its min-wise members ([[minWiseSample]] order, forced to test) — and
+   * the remainder splits by the plain id-hash rule. A pure hash split
+   * starves small cells (a 50-row language at 10% test expects 5 eval
+   * docs and sometimes draws 0 — an eval set that silently can't measure
+   * that language); the forced min-wise prefix makes per-cell eval
+   * coverage a GUARANTEE while staying a pure function of the id set.
+   *
+   * Cells smaller than `minTest` go entirely to test (coverage saturates
+   * at the cell size). Scale shape: one rank window per cell moving
+   * (id, cell) only, then a scan-level hash filter — the
+   * [[capPerGroup]] cost.
+   */
+  def coverageSplit(df: DataFrame, idCol: String, cellCol: String,
+      minTest: Int, trainPermille: Int): DataFrame = {
+    require(minTest >= 0, "minTest must be non-negative")
+    require(trainPermille >= 0 && trainPermille <= 1000,
+      "trainPermille must be in [0, 1000]")
+    require(!df.columns.contains("__graft_rk"),
+      "coverageSplit uses a '__graft_rk' working column — rename the input's")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(cellCol))
+      .orderBy(graft.functions.GraftFunctions.md5_prefix60(
+        col(idCol).cast("string")), col(idCol))
+    df.withColumn("__graft_rk", row_number().over(w))
+      .withColumn("split",
+        when(col("__graft_rk") <= minTest, "test")
+          .when(hashBucket(col(idCol), 1000) < trainPermille, "train")
+          .otherwise("test"))
+      .drop("__graft_rk")
+  }
+
   def quantileBand(df: DataFrame, groupCol: String, orderCol: String,
       idCol: String, loPermille: Int, hiPermille: Int): DataFrame = {
     require(0 <= loPermille && loPermille <= hiPermille && hiPermille <= 1000,

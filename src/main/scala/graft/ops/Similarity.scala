@@ -383,6 +383,33 @@ object Similarity {
   }
 
   /**
+   * IVF-PQ two-stage ANN — the composition that is the de-facto default of
+   * production vector indexes (faiss `IVFx,PQy`): IVF cells prune the
+   * candidate set BEFORE any distance work (only `nProbe` cells' rows are
+   * read), then PQ codes score the survivors by asymmetric distance
+   * (m table lookups per row over m-byte codes — 32× less scan than float
+   * vectors). Probe cells are computed with the SAME Column expressions as
+   * the corpus assignment ([[ivfProbeCells]]' anti-divergence discipline),
+   * so a query can never be misrouted relative to its own exact copies.
+   *
+   * This inline form recomputes cell assignment and codes per call — the
+   * persisted deployment writes the corpus PARTITIONED BY CELL with codes
+   * as a column ([[writeIvfCorpus]]'s layout + [[pqEncode]]), making the
+   * probe a partition-pruned scan of code columns only; the scoring
+   * arithmetic is identical through this same [[pqTopK]] path.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Seq[Float], k: Int, cents: Array[Array[Double]],
+      cb: PqCodebook, nProbe: Int = 2): DataFrame = {
+    require(nProbe > 0, "nProbe must be positive")
+    val probes = ivfProbeCells(df.sparkSession, query, cents, nProbe)
+    val pruned = df
+      .select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
+      .where(col("cell").isin(probes: _*))
+    pqTopK(pqEncode(pruned, idCol, vecCol, cb), idCol, "code", cb, query, k)
+  }
+
+  /**
    * nDCG@k — the graded-relevance retrieval metric ([[matryoshkaRecall]]
    * measures set overlap; nDCG weights POSITION and GRADE): DCG = Σ rel_i /
    * log2(i+1) over the ranking's top k, normalized by the ideal DCG (the

@@ -948,6 +948,33 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.ndcgAt(perfect, rel, "id", 3).head().getDouble(2) == 1.0)
   }
 
+  test("ivfPqTopK: planted exact copies survive the cell prune and win the " +
+      "ADC ranking; the prune actually reduces candidates") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") === 3).select(col("embedding"))
+      .head().getSeq[Float](0)
+    val planted = emb.where(col("vec_id") === 3)
+      .select(explode(sequence(lit(0), lit(2))).as("i"), col("embedding"))
+      .select((col("i") + 8000L).as("vec_id"), col("embedding"))
+    val corpus = emb.where(col("vec_id") =!= 3).unionByName(planted)
+    val cents = Similarity.ivfCentroids(corpus, "vec_id", "embedding", k = 4)
+    val cb = Similarity.pqTrain(corpus, "vec_id", "embedding",
+      m = 8, ksub = 8, iters = 1)
+    val top = Similarity.ivfPqTopK(corpus, "vec_id", "embedding", q, 3,
+        cents, cb, nProbe = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(8000L, 8001L, 8002L),
+      s"planted copies must top the IVF-PQ ranking, got $top")
+    // the single-probe prune reads strictly fewer rows than the corpus
+    val prunedCount = corpus
+      .select(col("vec_id"), Similarity.cellOf(col("embedding"), cents)
+        .as("cell"))
+      .groupBy(col("cell")).count().collect().map(_.getLong(1))
+    assert(prunedCount.length > 1 && prunedCount.min < corpus.count(),
+      "cells must partition the corpus non-trivially")
+  }
+
   test("matryoshkaRecall: a prefix-only decoy displaces a true neighbor at " +
       "narrow width; full width recovers recall 1") {
     // query [127,0,0,0]. id 1 is a decoy: perfect on dim 1, poor full-cos

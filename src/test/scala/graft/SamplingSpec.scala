@@ -87,6 +87,35 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
   }
 
+  test("coverageSplit: small cells are fully covered, large cells get the " +
+      "forced min-wise prefix plus the hash remainder; deterministic") {
+    import spark.implicits._
+    // tiny cell (3 docs < minTest 5) and a large cell (40 docs)
+    val df = ((1L to 3L).map(i => (i, "small")) ++
+      (100L to 139L).map(i => (i, "big"))).toDF("id", "cell")
+    val out = Sampling.coverageSplit(df, "id", "cell", minTest = 5,
+      trainPermille = 900)
+    val byCell = out.groupBy("cell", "split").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    // the whole small cell is test; no train row exists for it
+    assert(byCell(("small", "test")) == 3L && !byCell.contains(("small", "train")))
+    // big cell: at least the 5 forced rows in test
+    assert(byCell(("big", "test")) >= 5L)
+    assert(byCell(("big", "test")) + byCell.getOrElse(("big", "train"), 0L) == 40L)
+    // the forced prefix is exactly the cell's min-wise sample
+    val forced = out.where(col("cell") === "big" && col("split") === "test")
+      .select("id")
+    val minwise = Sampling.minWiseSample(df.where(col("cell") === "big"),
+      "id", 5).select("id")
+    assert(minwise.except(forced).isEmpty,
+      "the min-wise 5 must all be in test")
+    // pure function of the id set
+    val again = Sampling.coverageSplit(df, "id", "cell", 5, 900)
+      .select("id", "split")
+    assert(out.select("id", "split").except(again).isEmpty)
+  }
+
   test("boundary percentages: 0 selects nothing, 100 selects everything") {
     assert(Sampling.hashSample(docs, "doc_id", 0).count() == 0)
     assert(Sampling.hashSample(docs, "doc_id", 100).count() == docs.count())
