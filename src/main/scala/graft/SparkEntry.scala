@@ -2153,10 +2153,16 @@ object SparkEntry {
         .unionByName(planted)
       val path = sys.props("java.io.tmpdir") + "/graft_q153_ann_" +
         Integer.toHexString(dir.hashCode)
-      // overwrite-then-append per invocation: repeated runs never accumulate
-      Similarity.writeBucketedCorpus(base, "vec_id", "embedding", path)
-      Similarity.appendBucketedCorpus(newBatch, "vec_id", "embedding", path)
-      Similarity.annTopKFromBucketed(s, path, "vec_id", "embedding", q, 5)
+      // overwrite-then-append per invocation: repeated runs never accumulate.
+      // 5 bucket bits (32 partition dirs): the write cost is dir/file
+      // creation, not data, at this corpus size — fewer, larger buckets keep
+      // the timed window measuring the append semantics, not mkdir calls
+      Similarity.writeBucketedCorpus(base, "vec_id", "embedding", path,
+        nBits = 5)
+      Similarity.appendBucketedCorpus(newBatch, "vec_id", "embedding", path,
+        nBits = 5)
+      Similarity.annTopKFromBucketed(s, path, "vec_id", "embedding", q, 5,
+          nBits = 5)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     }),
 
@@ -2264,6 +2270,45 @@ object SparkEntry {
           org.apache.spark.sql.expressions.Window
             .orderBy(col("adc_dist").asc, col("vec_id"))))
         .select(col("rank").cast("bigint").as("rank"), col("vec_id"))
+    }),
+
+    // --- full streaming ingest pre-filter, three stages on ONE stateless
+    //     stream: encoding gate -> stratified mix -> bloom decontamination.
+    //     Gate + mix replay exactly; the bloom stage keeps a SUBSET of the
+    //     exact-kept set (overcount-only), pinned by n_bloom_outside_exact
+    //     = 0 — q84's gating discipline applied to the composed pipeline --
+    "q161_stream_ingest" -> ((s, dir) => {
+      val train = T(s, dir, "documents").where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("text"))
+      def plant(df: DataFrame) = df.withColumn("text", concat(col("text"),
+        when(col("doc_id") % 6 === 0, lit(" cafÃ© donâ€™t")).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(""))
+          .otherwise(lit(""))))
+      def gateMix(df: DataFrame) = graft.ops.Sampling.stratifiedSample(
+        plant(df).where(TextOps.encodingKeep(col("text"))),
+        "doc_id", "lang", Map("en" -> 250, "de" -> 0))
+      val streamed = graft.streaming.Streaming.runToTable(
+        graft.streaming.Streaming.decontaminateStream(
+          gateMix(graft.streaming.Streaming.docsReplay(s, dir, 4)),
+          train, "doc_id", "text", shingleSize = 3,
+          maxRateNum = 1, maxRateDen = 2),
+        "q161_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4), noDataBatch = false)
+      val gm = gateMix(T(s, dir, "documents"))
+      val exact = TextOps.contamination(train,
+          gm.select(col("doc_id"), col("text")), "doc_id", "text", 3)
+        .select(col("doc_id"), col("n_shingles"), col("n_contaminated"))
+      val exactKept = gm.join(exact, Seq("doc_id"))
+        .where(col("n_contaminated") * 2 <= col("n_shingles"))
+      val outside = streamed.select(col("doc_id"))
+        .join(exactKept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_bloom_outside_exact"))
+      gm.groupBy(col("lang")).agg(count(lit(1)).as("n_gated"))
+        .join(exactKept.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_kept_exact")), Seq("lang"), "left")
+        .na.fill(0L, Seq("n_kept_exact"))
+        .crossJoin(broadcast(outside))
     })
   )
 
@@ -5573,6 +5618,63 @@ object SparkEntry {
     "q160_ivfpq_ann" ->
       """SELECT cast(i + 1 as bigint) AS rank, cast(i + 9400 as bigint)
         |  AS vec_id
-        |FROM range(5) t(i)""".stripMargin
+        |FROM range(5) t(i)""".stripMargin,
+
+    // Gate (q133's rules) + mix (md5 per-mille) replay exactly; the exact
+    // decontamination side replays q65's shingle CTEs with the integer keep
+    // rule; the bloom stage can only keep a SUBSET of the exact-kept set, so
+    // n_bloom_outside_exact pins 0.
+    "q161_stream_ingest" ->
+      """WITH planted AS (
+        |  SELECT doc_id, lang,
+        |    text ||
+        |    CASE WHEN doc_id % 6 = 0 THEN ' cafÃ© donâ€™t' ELSE '' END ||
+        |    CASE WHEN doc_id % 9 = 0 THEN chr(7) || chr(1) || chr(7)
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, text FROM planted
+        |  WHERE coalesce(1000 * (length(text) -
+        |      length(replace(text, chr(65533), ''))) <= length(text), FALSE)
+        |    AND coalesce(1000 * len(regexp_extract_all(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]')) <= 2 * length(text), FALSE)
+        |    AND coalesce(len(regexp_extract_all(text,
+        |      'Ã[©¨¤¶¼]|â€[™œ]')) <= 0, FALSE)),
+        |gm AS (
+        |  SELECT doc_id, lang, text FROM g
+        |  WHERE ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |    % 1000 <
+        |    CASE WHEN lang = 'en' THEN 250 WHEN lang = 'de' THEN 0
+        |         ELSE 1000 END),
+        |tr AS (
+        |  SELECT DISTINCT unnest(s) AS gg FROM (
+        |    SELECT list_distinct(
+        |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |           ELSE [array_to_string(toks[i:i+2], ' ')
+        |                 FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |    FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '')
+        |            AS toks
+        |          FROM documents WHERE doc_id % 7 = 0))),
+        |te AS (
+        |  SELECT doc_id, lang, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |        FROM gm)),
+        |hit AS (
+        |  SELECT doc_id, count(*) AS n_cont
+        |  FROM (SELECT doc_id, unnest(s) AS gg FROM te) x JOIN tr USING (gg)
+        |  GROUP BY doc_id),
+        |kept AS (
+        |  SELECT te.lang, te.doc_id FROM te LEFT JOIN hit USING (doc_id)
+        |  WHERE coalesce(n_cont, 0) * 2 <= len(s)),
+        |ng AS (SELECT lang, count(*) AS n_gated FROM gm GROUP BY lang),
+        |nk AS (SELECT lang, count(*) AS n_kept_exact FROM kept GROUP BY lang)
+        |SELECT ng.lang, ng.n_gated,
+        |  cast(coalesce(nk.n_kept_exact, 0) AS bigint) AS n_kept_exact,
+        |  cast(0 AS bigint) AS n_bloom_outside_exact
+        |FROM ng LEFT JOIN nk ON ng.lang = nk.lang""".stripMargin
   )
 }

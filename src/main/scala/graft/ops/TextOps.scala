@@ -1543,10 +1543,7 @@ object TextOps {
       maxReplacementPerMille: Int = 1, maxControlPerMille: Int = 2,
       maxMojibake: Int = 0): DataFrame = {
     val t = col(textCol)
-    val nChars = length(t).cast("bigint")
-    val nRepl = (length(t) - length(replace(t, lit("�"), lit("")))).cast("bigint")
-    val nCtl = regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("bigint")
-    val nMoji = regexp_count(t, lit(mojibakePattern)).cast("bigint")
+    val (nChars, nRepl, nCtl, nMoji) = encodingCounters(t)
     def rule(c: Column) = coalesce(c, lit(false))
     df.select(col(idCol), nChars.as("n_chars"), nRepl.as("n_replacement"),
         nCtl.as("n_control"), nMoji.as("n_mojibake"),
@@ -1557,6 +1554,28 @@ object TextOps {
         rule(nMoji <= maxMojibake.toLong).as("r_mojibake"))
       .withColumn("keep",
         col("r_replacement") && col("r_control") && col("r_mojibake"))
+  }
+
+  /** [[encodingQuality]]'s counters as raw expressions — shared with
+    * [[encodingKeep]] so the report and the gate can never disagree. */
+  private def encodingCounters(t: Column): (Column, Column, Column, Column) = (
+    length(t).cast("bigint"),
+    (length(t) - length(replace(t, lit("�"), lit("")))).cast("bigint"),
+    regexp_count(t, lit("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")).cast("bigint"),
+    regexp_count(t, lit(mojibakePattern)).cast("bigint"))
+
+  /** Column (predicate) form of [[encodingQuality]]'s `keep` rule — the
+    * scan-level gate a STREAMING ingest composes with mixing and
+    * decontamination: a pure codegen'd filter, no aggregation, no state,
+    * so the whole chain stays an ingest-bandwidth plan. Null text fails
+    * (same contract as the report form). */
+  def encodingKeep(text: Column, maxReplacementPerMille: Int = 1,
+      maxControlPerMille: Int = 2, maxMojibake: Int = 0): Column = {
+    val (nChars, nRepl, nCtl, nMoji) = encodingCounters(text)
+    def rule(c: Column) = coalesce(c, lit(false))
+    rule(lit(1000L) * nRepl <= lit(maxReplacementPerMille.toLong) * nChars) &&
+      rule(lit(1000L) * nCtl <= lit(maxControlPerMille.toLong) * nChars) &&
+      rule(nMoji <= lit(maxMojibake.toLong))
   }
 
   /**

@@ -820,6 +820,20 @@ class TextPipelineSpec extends SparkSpec {
     assert(out(("en", 1))._4 == expected)
   }
 
+  test("encodingKeep: the column gate agrees with encodingQuality's keep " +
+      "on every rule boundary and on null") {
+    val df = Seq((1L, "clean text here"), (2L, "cafÃÂ©"),
+      (3L, "x"), (4L, "ok �"), (5L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val report = TextOps.encodingQuality(df, "id", "text")
+      .select(col("id"), col("keep")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val gate = df.select(col("id"),
+        coalesce(TextOps.encodingKeep(col("text")), lit(false)).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(report == gate, s"report $report != gate $gate")
+  }
+
   test("decayedTrendingTerms: power-of-two day weights, window cutoff, " +
       "deterministic tie-break") {
     // md = 2; weights: day 2 → 2, day 1 → 1, day 0 → outside maxAge=1
