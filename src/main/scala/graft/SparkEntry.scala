@@ -2309,6 +2309,24 @@ object SparkEntry {
           .agg(count(lit(1)).as("n_kept_exact")), Seq("lang"), "left")
         .na.fill(0L, Seq("n_kept_exact"))
         .crossJoin(broadcast(outside))
+    }),
+
+    // --- time-travel snapshot read: the versioned-cell table reconstructed
+    //     AS OF max(ts) − 1 day — q40's latest-version rule bounded by a
+    //     snapshot timestamp (the store's M1-versioning read back in time) --
+    "q162_snapshot_read" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val bound = ev.agg(
+        (max(unix_micros(col("ts"))) - 86400000000L).as("t0"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+      ev.crossJoin(broadcast(bound))
+        .where(unix_micros(col("ts")) <= col("t0"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("event_id_asof"),
+          round(col("value"), 2).as("value_asof"))
     })
   )
 
@@ -5675,6 +5693,22 @@ object SparkEntry {
         |SELECT ng.lang, ng.n_gated,
         |  cast(coalesce(nk.n_kept_exact, 0) AS bigint) AS n_kept_exact,
         |  cast(0 AS bigint) AS n_bloom_outside_exact
-        |FROM ng LEFT JOIN nk ON ng.lang = nk.lang""".stripMargin
+        |FROM ng LEFT JOIN nk ON ng.lang = nk.lang""".stripMargin,
+
+    // q40's rule bounded by the snapshot timestamp.
+    "q162_snapshot_read" ->
+      """WITH b AS (
+        |  SELECT max(epoch_us(ts)) - 86400000000 AS t0 FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, event_id, value, ts
+        |  FROM events CROSS JOIN b WHERE epoch_us(ts) <= t0),
+        |r AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM f)
+        |SELECT user_id, event_type, event_id AS event_id_asof,
+        |  round(value, 2) AS value_asof
+        |FROM r WHERE rn = 1""".stripMargin
   )
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, Similarity}
+
+/**
+ * Partition-invariance and algebraic laws for the round-9-continuation
+ * sampling/fusion family, pinned on seeded random corpora (the
+ * ChunkPackInvariantSpec discipline): every operator here claims its result
+ * is a pure function of the input SET — so shuffling the physical layout
+ * (repartition, input order) must never change a single output row.
+ */
+class SamplingInvariantSpec extends SparkSpec {
+  _quiet
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260814L)
+
+  private def randomDocs(n: Int) = {
+    val langs = Seq("en", "de", "fr", "zh")
+    (0 until n).map { _ =>
+      val id = rng.nextLong().abs % 1000000L
+      val lang = langs(rng.nextInt(langs.length))
+      val words = (0 until 1 + rng.nextInt(12))
+        .map(_ => s"w${rng.nextInt(30)}").mkString(" ")
+      (id, lang, words)
+    }.distinctBy(_._1).toDF("id", "lang", "text")
+  }
+
+  test("prioritySample is partition- and order-invariant (5 seeded rounds)") {
+    for (_ <- 1 to 5) {
+      val df = randomDocs(300).withColumn("w", length(col("text")).cast("long"))
+      val a = Sampling.prioritySample(df, "id", "w", 40)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val b = Sampling.prioritySample(df.repartition(13).orderBy(rand(7)),
+          "id", "w", 40)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(a == b, "weighted sample must be a pure function of the id set")
+    }
+  }
+
+  test("coverageSplit: invariant under repartition; guarantee holds for " +
+      "every cell at every random size (5 seeded rounds)") {
+    for (_ <- 1 to 5) {
+      val df = randomDocs(250)
+      val s1 = Sampling.coverageSplit(df, "id", "lang", 10, 800)
+        .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val s2 = Sampling.coverageSplit(df.repartition(11), "id", "lang", 10, 800)
+        .select("id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(s1 == s2)
+      // guarantee: every cell has min(10, cell size) test rows
+      val byCell = df.select("id", "lang").collect()
+        .groupBy(_.getString(1)).view.mapValues(_.map(_.getLong(0)).toSet)
+      byCell.foreach { case (lang, ids) =>
+        val nTest = ids.count(id => s1(id) == "test")
+        assert(nTest >= math.min(10, ids.size), s"cell $lang under-covered")
+      }
+    }
+  }
+
+  test("dedupNormalized: exhaustive exclusive clustering, invariant under " +
+      "repartition (5 seeded rounds)") {
+    for (_ <- 1 to 5) {
+      val df = randomDocs(200)
+      val out = Dedup.dedupNormalized(df, "id", "text")
+      val survivors = out.select("id").collect().map(_.getLong(0)).toSet
+      // exhaustive: cluster sizes account for every input row
+      assert(out.agg(sum("n_variants")).head().getLong(0) == df.count())
+      // exclusive: survivors' normalized keys are unique
+      val keys = df.where(col("id").isin(survivors.toSeq: _*))
+        .select(Dedup.normalizeText(col("text"))).collect().map(_.getString(0))
+      assert(keys.length == keys.distinct.length)
+      val again = Dedup.dedupNormalized(df.repartition(9), "id", "text")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(survivors == again)
+    }
+  }
+
+  test("rrfFuse is commutative in its ranking lists and stable under " +
+      "repartition (5 seeded rounds)") {
+    for (_ <- 1 to 5) {
+      val mk = () => (0 until 30)
+        .map(i => (rng.nextLong().abs % 500L, (i + 1).toLong))
+        .distinctBy(_._1).toDF("id", "rank")
+      val (a, b, c) = (mk(), mk(), mk())
+      def run(lists: Seq[org.apache.spark.sql.DataFrame]) =
+        Similarity.rrfFuse(lists, "id", 60, 15)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(run(Seq(a, b, c)) == run(Seq(c, a, b)),
+        "fusion must not depend on list order")
+      assert(run(Seq(a.repartition(5), b, c)) == run(Seq(a, b, c)))
+    }
+  }
+}
