@@ -2327,6 +2327,33 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           col("event_id").as("event_id_asof"),
           round(col("value"), 2).as("value_asof"))
+    }),
+
+    // --- search snippets: ±5-token context around the first occurrence —
+    //     the highlighted-preview stage after retrieval picks the docs -----
+    "q163_search_snippets" -> ((s, dir) =>
+      TextOps.searchSnippets(
+        T(s, dir, "documents").where(col("doc_id") % 10 === 0),
+        "doc_id", "text", "merge", window = 5)),
+
+    // --- column profiling (the ANALYZE report): exact distincts, null
+    //     counts, min/max per key column ----------------------------------
+    "q164_column_profile" -> ((s, dir) =>
+      graft.ops.Audit.profileColumns(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))),
+
+    // --- quality-canonical dedup: each near-dup cluster keeps its BEST
+    //     member by the replayable quality score (ties → min id), not the
+    //     arbitrary first — survivors rolled up per lang -------------------
+    "q165_canonical_select" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      val pairs = Dedup.ngramJaccard(docs, "doc_id", "text",
+        shingleSize = 3, threshold = 0.8, maxDf = Some(1000))
+      Dedup.removeDuplicatesKeepBest(scored, "doc_id", pairs, "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -5709,6 +5736,113 @@ object SparkEntry {
         |  FROM f)
         |SELECT user_id, event_type, event_id AS event_id_asof,
         |  round(value, 2) AS value_asof
-        |FROM r WHERE rn = 1""".stripMargin
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Position, clamp-at-edges slice, join — the same list arithmetic.
+    "q163_search_snippets" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |p AS (
+        |  SELECT doc_id, tk, list_position(tk, 'merge') AS p FROM t)
+        |SELECT doc_id, cast(p AS bigint) AS first_pos,
+        |  array_to_string(tk[greatest(p - 5, 1):(p + 5)], ' ') AS snippet
+        |FROM p WHERE p IS NOT NULL AND p > 0""".stripMargin,
+
+    "q164_column_profile" ->
+      """SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+        |  cast(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+        |    AS bigint) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  cast(min(l_orderkey) AS bigint) AS min_val,
+        |  cast(max(l_orderkey) AS bigint) AS max_val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', count(*),
+        |  cast(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |  count(DISTINCT l_partkey),
+        |  cast(min(l_partkey) AS bigint), cast(max(l_partkey) AS bigint)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*),
+        |  cast(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |  count(DISTINCT l_suppkey),
+        |  cast(min(l_suppkey) AS bigint), cast(max(l_suppkey) AS bigint)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*),
+        |  cast(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS bigint),
+        |  count(DISTINCT l_quantity),
+        |  cast(min(l_quantity) AS bigint), cast(max(l_quantity) AS bigint)
+        |FROM lineitem""".stripMargin,
+
+    // q72's capped-pair + recursive-CC replay, then q21's quality formula
+    // picks each cluster's best member (ties → min id); non-members pass.
+    "q165_canonical_select" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM documents)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |surv AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(s.doc_id) AS bigint) AS id_sum
+        |FROM surv s JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin
   )
 }

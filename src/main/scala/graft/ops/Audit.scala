@@ -90,6 +90,30 @@ object Audit {
   }
 
   /**
+   * Column profiling report (the ANALYZE/data-catalog stage): per listed
+   * column, row count, null count, EXACT distinct count, and min/max — the
+   * stats a warehouse catalog serves and an optimizer seeds from. Columns
+   * must be integer-typed here (min/max surface as bigint, so the report is
+   * one uniform, hash-checkable relation; string/decimal variants are a
+   * projection away). One aggregate pass PER COLUMN over a pruned
+   * single-column scan — at 100 TB run the columns you need, not the table;
+   * the exact distinct is the deliberate choice (the approximate twin is
+   * `approx_count_distinct`/[[graft.ops.TextOps.kmvSketchShards]]).
+   */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    cols.map { c =>
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("bigint").as("min_val"),
+          max(col(c)).cast("bigint").as("max_val"))
+        .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /**
    * Join/shuffle-key skew diagnosis — the report you run BEFORE a 100 TB
    * join melts an executor: the topK heaviest key values with corpus
    * context and a per-key recommended SALT FACTOR (⌈key count / average

@@ -64,6 +64,37 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /**
+   * Keep each duplicate cluster's BEST member, not its first: clusters come
+   * from [[clusterDuplicates]] over the candidate `pairs`, and within a
+   * cluster the survivor maximizes `scoreCol` (ties → smallest id) — the
+   * "keep the highest-quality copy" refinement of [[removeDuplicates]]'
+   * keep-first policy (syndicated copies often differ in cleanliness; the
+   * min-id copy is arbitrary, the best-scoring one is the one to train on).
+   * Deterministic given a deterministic score — pair a replayable scorer
+   * ([[graft.ops.TextOps.qualityScore]]) for an oracle-checkable pipeline.
+   *
+   * Scale shape: the cluster table is pair-graph-sized (only near-dup
+   * members appear); the winner rule is one row_number window per cluster
+   * over (id, rep, score); non-members pass through on the anti-join miss.
+   */
+  def removeDuplicatesKeepBest(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: String): DataFrame = {
+    require(!df.columns.contains("__graft_rn"),
+      "removeDuplicatesKeepBest uses a '__graft_rn' working column — rename the input's")
+    import org.apache.spark.sql.expressions.Window
+    val clusters = clusterDuplicates(pairs)
+      .select(col("id").as(idCol), col("rep"))
+    val w = Window.partitionBy(col("rep"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val winners = df.join(clusters, Seq(idCol))
+      .withColumn("__graft_rn", row_number().over(w))
+      .where(col("__graft_rn") === 1)
+      .drop("__graft_rn", "rep")
+    df.join(clusters.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(winners)
+  }
+
   /** The [[dedupNormalized]] key: lowercase, every non-alphanumeric to a
     * space, runs collapsed, trimmed. RE2-safe, so the chain replays
     * verbatim in DuckDB (`regexp_replace(..., 'g')`). */

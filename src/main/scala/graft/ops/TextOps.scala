@@ -1284,6 +1284,31 @@ object TextOps {
   }
 
   /**
+   * Search-result snippet extraction: for each document containing `term`,
+   * the ±`window`-token context around its FIRST occurrence — the
+   * highlighted-preview stage after [[bm25TopK]]/[[phraseSearch]] pick the
+   * documents. Pure per-row array arithmetic (position, slice, join) at
+   * scan bandwidth — zero shuffle; the slice boundary clamps at the
+   * document edges identically in both engines (list slicing truncates).
+   * Returns (idCol, first_pos [1-based token index], snippet).
+   */
+  def searchSnippets(df: DataFrame, idCol: String, textCol: String,
+      term: String, window: Int = 5): DataFrame = {
+    require(term.nonEmpty, "term must be non-empty")
+    require(window >= 0, "window must be non-negative")
+    val toks = tokens(lower(col(textCol)))
+    df.select(col(idCol), toks.as("tk"),
+        array_position(toks, lit(term)).as("p"))
+      .where(col("p") > 0)
+      .select(col(idCol), col("p").cast("long").as("first_pos"),
+        concat_ws(" ", slice(col("tk"),
+          greatest(col("p") - window, lit(1L)).cast("int"),
+          (col("p") + window -
+            greatest(col("p") - window, lit(1L)) + 1).cast("int")))
+          .as("snippet"))
+  }
+
+  /**
    * Exponentially time-decayed trending terms — the recency-weighted twin
    * of a plain frequency top-k: a term's score is Σ over days of
    * count(day) · 2^(maxAge − age), i.e. half-life ONE DAY, scaled by

@@ -94,6 +94,16 @@ class LayoutAuditSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 1L, 1L)))
   }
 
+  test("profileColumns: nulls, exact distincts, min/max per column in " +
+      "listed order") {
+    val df = Seq((Some(1L), Some(10L)), (Some(1L), None), (Some(7L), Some(3L)))
+      .toDF("a", "b")
+    val out = Audit.profileColumns(df, Seq("a", "b"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(out == Seq(("a", 3L, 0L, 2L, 1L, 7L), ("b", 3L, 1L, 2L, 3L, 10L)))
+  }
+
   test("kAnonymityAudit: violating groups, rows at risk, and the table's " +
       "anonymity level — exact integers") {
     // quasi (g): sizes 6, 3, 1 → with k=5: 2 violating groups, 4 rows at risk

@@ -920,6 +920,21 @@ class OpsSpec extends SparkSpec {
       s"appended exact copies must win the probe, got ${top.toSeq}")
   }
 
+  test("removeDuplicatesKeepBest: the higher-scoring LATER copy survives " +
+      "where keep-first would pick the min id; non-members pass through") {
+    val df = Seq((1L, 10L), (5L, 30L), (9L, 30L), (50L, 99L))
+      .toDF("id", "score")
+    // cluster {1, 5, 9}: 5 and 9 tie on score → smaller id 5 wins; 1 loses
+    val pairs = Seq((1L, 5L), (5L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.removeDuplicatesKeepBest(df, "id", pairs, "score")
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(5L, 50L), s"expected best-member survivors, got $out")
+    // keep-first (removeDuplicates) would have kept id 1 instead
+    val first = Dedup.removeDuplicates(df, pairs, "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(first == Set(1L, 50L))
+  }
+
   test("dedupNormalized: case/punctuation/spacing variants collapse " +
       "keep-first; null and punct-only share the empty key") {
     val df = Seq((1L, "Hello, World!"), (2L, "hello world"),

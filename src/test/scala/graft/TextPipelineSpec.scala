@@ -834,6 +834,22 @@ class TextPipelineSpec extends SparkSpec {
     assert(report == gate, s"report $report != gate $gate")
   }
 
+  test("searchSnippets: first occurrence only, edge clamping both sides, " +
+      "absent docs dropped") {
+    val df = Seq(
+      (1L, "merge at the very start of this longer document body"),
+      (2L, "a b c d e f merge x y z w v"),
+      (3L, "ending with a merge"),
+      (4L, "no match here at all")).toDF("id", "text")
+    val out = TextOps.searchSnippets(df, "id", "text", "merge", window = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) == ((1L, "merge at the")))      // left edge clamps
+    assert(out(2L) == ((7L, "e f merge x y")))     // full window both sides
+    assert(out(3L) == ((4L, "with a merge")))      // right edge clamps
+    assert(!out.contains(4L))
+  }
+
   test("decayedTrendingTerms: power-of-two day weights, window cutoff, " +
       "deterministic tie-break") {
     // md = 2; weights: day 2 → 2, day 1 → 1, day 0 → outside maxAge=1
