@@ -2354,6 +2354,17 @@ object SparkEntry {
       Dedup.removeDuplicatesKeepBest(scored, "doc_id", pairs, "q")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- market-basket frequent pairs (A-Priori k=2): brand pairs
+    //     co-ordered above a support floor, ranked with nano-exact lift;
+    //     the pair build joins on the BASKET key — never corpus² ----------
+    "q166_frequent_pairs" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      graft.ops.EventOps.frequentPairs(li, "basket", "item",
+        minSupport = 50, topK = 20)
     })
   )
 
@@ -5843,6 +5854,27 @@ object SparkEntry {
         |SELECT q.lang, count(*) AS n_docs,
         |  cast(sum(s.doc_id) AS bigint) AS id_sum
         |FROM surv s JOIN qual q USING (doc_id)
-        |GROUP BY q.lang""".stripMargin
+        |GROUP BY q.lang""".stripMargin,
+
+    // Distinct (basket, item) pairs, basket-keyed self-join, nano lift —
+    // same arithmetic shape.
+    "q166_frequent_pairs" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS b, p_brand AS it
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |nb AS (SELECT count(DISTINCT b) AS nb FROM bi),
+        |ci AS (SELECT it, count(*) AS ci FROM bi GROUP BY it),
+        |pr AS (
+        |  SELECT a.it AS item_a, b.it AS item_b, count(*) AS n_baskets
+        |  FROM bi a JOIN bi b ON a.b = b.b AND a.it < b.it
+        |  GROUP BY a.it, b.it HAVING count(*) >= 50)
+        |SELECT item_a, item_b, n_baskets,
+        |  cast(round(cast(n_baskets AS double) * nb /
+        |    (cast(ca.ci AS double) * cb.ci) * 1e9) AS bigint) AS lift_nano
+        |FROM pr
+        |JOIN ci ca ON pr.item_a = ca.it
+        |JOIN ci cb ON pr.item_b = cb.it
+        |CROSS JOIN nb
+        |ORDER BY n_baskets DESC, item_a, item_b LIMIT 20""".stripMargin
   )
 }

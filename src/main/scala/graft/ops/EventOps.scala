@@ -72,6 +72,48 @@ object EventOps {
   }
 
   /**
+   * Frequent item pairs (market-basket association mining, the A-Priori
+   * k=2 pass): count baskets containing each unordered item pair, keep
+   * pairs above a support floor, and rank by basket count with LIFT in
+   * nano-units — lift = P(a,b) / (P(a)·P(b)) = c_ab·N / (c_a·c_b),
+   * quantized once per pair (`round(ratio·1e9)` — the q73/q138 contract)
+   * so the report replays exactly.
+   *
+   * Scale shape: baskets reduce to DISTINCT (basket, item) pairs at the
+   * scan; the pair build is a self-equi-join ON THE BASKET KEY — work is
+   * Σ C(basket size, 2), bounded by the largest basket, never corpus² (cap
+   * giant baskets upstream with [[graft.ops.Sampling.capPerGroup]]); item
+   * counts are a map-side-combinable rollup joined back on item keys.
+   */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Int, topK: Int): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    require(topK > 0, "topK must be positive")
+    val bi = df.select(col(basketCol).as("b"), col(itemCol).as("it"))
+      .distinct()
+    val nBaskets = bi.agg(countDistinct(col("b")).as("nb"))
+    val itemN = bi.groupBy(col("it")).agg(count(lit(1)).as("ci"))
+    val a = bi.select(col("b"), col("it").as("item_a"))
+    val b = bi.select(col("b"), col("it").as("item_b"))
+    a.join(b, Seq("b"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minSupport)
+      .join(itemN.select(col("it").as("item_a"), col("ci").as("ca")),
+        Seq("item_a"))
+      .join(itemN.select(col("it").as("item_b"), col("ci").as("cb")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        round(col("n_baskets").cast("double") * col("nb") /
+          (col("ca").cast("double") * col("cb")) * 1e9, 0).cast("long")
+          .as("lift_nano"))
+      .orderBy(col("n_baskets").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+  }
+
+  /**
    * Daily-volume anomaly detection with EXACT integer arithmetic — the
    * ingest-monitoring gate (a collapsed crawl day or a duplicate-feed spike
    * shows up as a volume outlier). A day is anomalous when its count is

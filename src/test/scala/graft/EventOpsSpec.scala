@@ -91,6 +91,23 @@ class EventOpsSpec extends SparkSpec {
     assert(out3.contains(("red widget", "red widgot")))
   }
 
+  test("frequentPairs: basket-distinct counting, support floor, exact " +
+      "nano lift; within-basket repeats count once") {
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (1L, "x"), // repeat x
+      (2L, "x"), (2L, "y"), (3L, "x")).toDF("b", "it")
+    val out = graft.ops.EventOps.frequentPairs(df, "b", "it",
+        minSupport = 2, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // only (x,y) reaches support 2; lift = 2·3/(3·2) = 1.0 → 1e9 nano
+    assert(out == Seq(("x", "y", 2L, 1000000000L)), s"got $out")
+    // support floor 1 admits the singles with their exact lifts
+    val all = graft.ops.EventOps.frequentPairs(df, "b", "it", 1, 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(all == Set(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 1L)))
+  }
+
   test("volumeAnomalies: integer cross-multiplied sigma test flags the " +
       "planted spike; normal days pass with signed direction") {
     // 9 quiet days of 10 events + 1 spike day of 100
