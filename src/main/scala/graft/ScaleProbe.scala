@@ -105,7 +105,14 @@ object ScaleProbe {
     "q149_user_sequences",  // bounded per-user collect_list + fingerprint
     "q150_leakage_safe_split", // LSH -> CC -> rep-hash split (planted pairs)
     "q151_tfidf_keywords",  // (doc,token,tf) collapse + per-doc top-k heap
-    "q152_volume_anomalies")// day rollup + 3-long broadcast integer test
+    "q152_volume_anomalies",// day rollup + 3-long broadcast integer test
+    "q153_ann_append",      // bucketed write + append + pruned probe
+    "q155_normalized_dedup",// normalize chain + fingerprint groupBy
+    "q158_decayed_trending",// (term,day,count) collapse + shift weights
+    "q160_ivfpq_ann",       // IVF cell prune + PQ ADC scoring
+    "q161_stream_ingest",   // 3-stage stateless stream + exact batch gate
+    "q165_canonical_select",// capped pairs + CC + quality winner window
+    "q166_frequent_pairs")  // basket-keyed pair join + nano lift
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
