@@ -2365,6 +2365,35 @@ object SparkEntry {
         .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
       graft.ops.EventOps.frequentPairs(li, "basket", "item",
         minSupport = 50, topK = 20)
+    }),
+
+    // --- cross-source duplicate attribution ("who copies whom"): exact-dup
+    //     clusters spanning source pairs, fingerprint-keyed — crawl
+    //     forensics at Σ C(sources-per-cluster, 2) cost --------------------
+    "q167_cross_source_dups" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      // planted mirror site: every 17th doc re-posted verbatim under a
+      // mirror source (plus every 51st ALSO under a second mirror — a
+      // three-way syndication cluster)
+      val mirror1 = docs.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + 200000L).as("doc_id"), col("text"),
+          concat(lit("mirror_"), col("source")).as("source"))
+      val mirror2 = docs.where(col("doc_id") % 51 === 0)
+        .select((col("doc_id") + 300000L).as("doc_id"), col("text"),
+          lit("aggregator").as("source"))
+      Dedup.crossSourceDuplication(
+        docs.unionByName(mirror1).unionByName(mirror2), "text", "source")
+    }),
+
+    // --- mergeable histogram quantile bounds: per-source equi-width
+    //     histograms merged by counter sum (exact identity); p50/p90/p99
+    //     get guaranteed width-256 bounds from pure integer ranks ----------
+    "q168_histogram_quantiles" -> ((s, dir) => {
+      val h = TextOps.histogramShards(T(s, dir, "documents"), "source",
+        "n_chars", width = 256L)
+      TextOps.histogramQuantileBounds(h, width = 256L,
+        permilles = Seq(500, 900, 990))
     })
   )
 
@@ -5875,6 +5904,50 @@ object SparkEntry {
         |JOIN ci ca ON pr.item_a = ca.it
         |JOIN ci cb ON pr.item_b = cb.it
         |CROSS JOIN nb
-        |ORDER BY n_baskets DESC, item_a, item_b LIMIT 20""".stripMargin
+        |ORDER BY n_baskets DESC, item_a, item_b LIMIT 20""".stripMargin,
+
+    // Same fingerprint-keyed attribution over the mirrored corpus.
+    "q167_cross_source_dups" ->
+      """WITH ad AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text, 'mirror_' || source
+        |  FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text, 'aggregator'
+        |  FROM documents WHERE doc_id % 51 = 0),
+        |fp AS (
+        |  SELECT md5(text) AS fp, source AS src, count(*) AS n
+        |  FROM ad WHERE text IS NOT NULL
+        |  GROUP BY md5(text), source)
+        |SELECT a.src AS source_a, b.src AS source_b,
+        |  count(*) AS n_clusters,
+        |  cast(sum(a.n) AS bigint) AS n_docs_a,
+        |  cast(sum(b.n) AS bigint) AS n_docs_b
+        |FROM fp a JOIN fp b ON a.fp = b.fp AND a.src < b.src
+        |GROUP BY a.src, b.src""".stripMargin,
+
+    // Integer div buckets, counter-sum merge, ceil-div nearest ranks.
+    "q168_histogram_quantiles" ->
+      """WITH h AS (
+        |  SELECT n_chars // 256 AS bucket, count(*) AS n
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars >= 0
+        |  GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n,
+        |    sum(n) OVER (ORDER BY bucket) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM h),
+        |p AS (
+        |  SELECT bucket, cum, total, permille,
+        |    (total * permille + 999) // 1000 AS rank
+        |  FROM c CROSS JOIN (SELECT unnest([500, 900, 990]) AS permille) g)
+        |SELECT cast(permille AS int) AS permille,
+        |  cast(rank AS bigint) AS rank,
+        |  cast(min(bucket) AS bigint) AS bucket,
+        |  cast(min(bucket) * 256 AS bigint) AS lo,
+        |  cast(min(bucket) * 256 + 255 AS bigint) AS hi
+        |FROM p WHERE cum >= rank
+        |GROUP BY permille, rank""".stripMargin
   )
 }

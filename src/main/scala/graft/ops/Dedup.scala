@@ -95,6 +95,32 @@ object Dedup {
       .unionByName(winners)
   }
 
+  /**
+   * Cross-source duplicate attribution — the "who copies whom" crawl
+   * forensics: for every pair of sources, how many EXACT-duplicate text
+   * clusters span both (syndication networks, mirror sites, scraped
+   * re-posts). Text reduces to a 16-byte fingerprint at the scan; each
+   * fingerprint's DISTINCT source set builds its within-cluster source
+   * pairs — a self-equi-join on the fingerprint key, Σ C(sources-per-
+   * cluster, 2) work, never corpus². Returns (source_a < source_b,
+   * n_clusters, n_docs_a, n_docs_b): shared-cluster count plus each side's
+   * document count inside those shared clusters.
+   */
+  def crossSourceDuplication(df: DataFrame, textCol: String,
+      sourceCol: String): DataFrame = {
+    val fp = df.select(fingerprint_md5(col(textCol)).as("fp"),
+        col(sourceCol).as("src"))
+      .where(col("fp").isNotNull)
+      .groupBy(col("fp"), col("src")).agg(count(lit(1)).as("n"))
+    val a = fp.select(col("fp"), col("src").as("source_a"), col("n").as("na"))
+    val b = fp.select(col("fp"), col("src").as("source_b"), col("n").as("nb"))
+    a.join(b, Seq("fp"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("na")).as("n_docs_a"), sum(col("nb")).as("n_docs_b"))
+  }
+
   /** The [[dedupNormalized]] key: lowercase, every non-alphanumeric to a
     * space, runs collapsed, trimmed. RE2-safe, so the chain replays
     * verbatim in DuckDB (`regexp_replace(..., 'g')`). */

@@ -1190,6 +1190,57 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
   }
 
+  /**
+   * Mergeable equi-width histogram per shard — the QUANTILE member of the
+   * mergeable-sketch family (KMV = distinct, CMS = frequency): bucket =
+   * value div width, merge = counter-wise sum (an exact identity, like
+   * CMS), and any quantile gets a GUARANTEED bucket-width bound from the
+   * merged counts — re-sketch only changed shards, answer percentile
+   * dashboards corpus-free. Values must be non-negative (integer div vs
+   * floor differ below zero); nulls are excluded.
+   */
+  def histogramShards(df: DataFrame, shardCol: String, valueCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, "width must be positive")
+    val v = col(valueCol).cast("long")
+    df.where(v.isNotNull && v >= 0)
+      .select(col(shardCol).as("shard"),
+        expr(s"cast(`$valueCol` as bigint) div $width").as("bucket"))
+      .groupBy(col("shard"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Rank-derived quantile BOUNDS from merged [[histogramShards]] sketches:
+   * for each per-mille target p, the nearest-rank index is
+   * `⌈total·p/1000⌉` (integer ceil-div) and the answering bucket is the
+   * first whose cumulative count reaches it — so the true quantile value
+   * lies in `[bucket·width, bucket·width + width − 1]`, a guarantee, not
+   * an estimate (width is the caller's precision/size dial). All integer
+   * arithmetic; the cumulative pass runs over HISTOGRAM-sized rows.
+   * Returns (permille, rank, bucket, lo, hi).
+   */
+  def histogramQuantileBounds(hists: DataFrame, width: Long,
+      permilles: Seq[Int]): DataFrame = {
+    require(width > 0, "width must be positive")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      "per-milles must be in [1, 1000]")
+    import org.apache.spark.sql.expressions.Window
+    val merged = hists.groupBy(col("bucket")).agg(sum(col("n")).as("n"))
+    val cum = merged
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("bucket"))))
+      .crossJoin(broadcast(merged.agg(sum(col("n")).as("total"))))
+    cum.select(col("bucket"), col("cum"), col("total"),
+        explode(array(permilles.map(p => lit(p)): _*)).as("permille"))
+      .withColumn("rank", expr("(total * permille + 999) div 1000"))
+      .where(col("cum") >= col("rank"))
+      .groupBy(col("permille"), col("rank"))
+      .agg(min(col("bucket")).as("bucket"))
+      .select(col("permille"), col("rank"), col("bucket"),
+        (col("bucket") * width).as("lo"),
+        (col("bucket") * width + (width - 1)).as("hi"))
+  }
+
   /** The scan-side CM expansion shared with [[cmsSketchShards]]: one
     * (r, bucket) cell per token occurrence per hash row. Public so the
     * STREAMING maintenance path ([[graft.streaming.Streaming.cmsMaintainStream]])

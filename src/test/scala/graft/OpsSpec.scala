@@ -935,6 +935,21 @@ class OpsSpec extends SparkSpec {
     assert(first == Set(1L, 50L))
   }
 
+  test("crossSourceDuplication: shared exact-dup clusters attributed to " +
+      "source pairs with per-side doc counts") {
+    val df = Seq(
+      ("s1", "same text one"), ("s1", "same text one"), ("s2", "same text one"),
+      ("s1", "same text two"), ("s3", "same text two"),
+      ("s1", "unique a"), ("s2", "unique b"))
+      .toDF("source", "text")
+    val out = Dedup.crossSourceDuplication(df, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      ("s1", "s2") -> ((1L, 2L, 1L)),
+      ("s1", "s3") -> ((1L, 1L, 1L))), s"got $out")
+  }
+
   test("dedupNormalized: case/punctuation/spacing variants collapse " +
       "keep-first; null and punct-only share the empty key") {
     val df = Seq((1L, "Hello, World!"), (2L, "hello world"),

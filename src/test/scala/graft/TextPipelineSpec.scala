@@ -834,6 +834,33 @@ class TextPipelineSpec extends SparkSpec {
     assert(report == gate, s"report $report != gate $gate")
   }
 
+  test("histogramShards/QuantileBounds: shard merge is an exact identity; " +
+      "bounds contain the true nearest-rank quantiles") {
+    val vals = Seq(1L, 2L, 3L, 5L, 6L, 9L, 13L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (if (i % 2 == 0) "a" else "b", v) }
+      .toDF("shard", "v")
+    // merge law: per-shard histograms summed == single-shard histogram
+    val sharded = TextOps.histogramShards(df, "shard", "v", 4L)
+      .groupBy("bucket").agg(sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = TextOps.histogramShards(df.withColumn("shard", lit("x")),
+        "shard", "v", 4L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(sharded == direct)
+    val bounds = TextOps.histogramQuantileBounds(
+        TextOps.histogramShards(df, "shard", "v", 4L), 4L, Seq(500, 990))
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    // total 7: p500 rank ceil(3.5)=4 → 4th value 5 ∈ bucket 1 = [4,7];
+    // p990 rank 7 → 13 ∈ bucket 3 = [12,15]
+    assert(bounds(500) == ((4L, 4L, 7L)))
+    assert(bounds(990) == ((7L, 12L, 15L)))
+    val sorted = vals.sorted
+    assert(sorted(4 - 1) >= 4 && sorted(4 - 1) <= 7)
+    assert(sorted(7 - 1) >= 12 && sorted(7 - 1) <= 15)
+  }
+
   test("searchSnippets: first occurrence only, edge clamping both sides, " +
       "absent docs dropped") {
     val df = Seq(
