@@ -2394,6 +2394,33 @@ object SparkEntry {
         "n_chars", width = 256L)
       TextOps.histogramQuantileBounds(h, width = 256L,
         permilles = Seq(500, 900, 990))
+    }),
+
+    // --- soft dedup: reweight-instead-of-remove — every copy kept, each
+    //     exact-dup cluster's training mass preserved at exactly one unit
+    //     (weight_nano = floor(1e9/n); pure integers, no float ratio).
+    //     Planted copies (every 13th doc once, every 39th twice) give the
+    //     corpus dup_count values of 1, 2 and 3 ---------------------------
+    "q169_soft_dedup" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+      val copies2 = docs.where(col("doc_id") % 39 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"), col("text"))
+      Dedup.softDedupWeights(docs.unionByName(copies).unionByName(copies2),
+        "doc_id", "text")
+    }),
+
+    // --- sorted-neighborhood near-dup: the linear-candidate blocking
+    //     alternative to band joins — n·window candidate pairs regardless of
+    //     corpus skew. Rank replay is exact: globalRank(sig, id) ≡ SQL
+    //     row_number() OVER (ORDER BY sig, doc_id); md5-60-bit token hashes
+    //     make the SimHash signatures engine-identical --------------------
+    "q170_sorted_neighborhood" -> ((s, dir) => {
+      Dedup.sortedNeighborhood(T(s, dir, "documents"), "doc_id", "text",
+        window = 10, maxHamming = 6, tokenHasher = md5_token_hashes)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("bigint").as("hamming"))
     })
   )
 
@@ -5948,6 +5975,45 @@ object SparkEntry {
         |  cast(min(bucket) * 256 AS bigint) AS lo,
         |  cast(min(bucket) * 256 + 255 AS bigint) AS hi
         |FROM p WHERE cum >= rank
-        |GROUP BY permille, rank""".stripMargin
+        |GROUP BY permille, rank""".stripMargin,
+
+    // Floor division on positive integers ≡ Spark's double-div + cast-to-long.
+    "q169_soft_dedup" ->
+      """WITH ad AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, text FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 39 = 0),
+        |c AS (
+        |  SELECT md5(text) AS fp, count(*) AS n
+        |  FROM ad WHERE text IS NOT NULL GROUP BY 1)
+        |SELECT ad.doc_id, c.n AS dup_count,
+        |  CAST(1000000000 // c.n AS BIGINT) AS weight_nano
+        |FROM ad JOIN c ON md5(ad.text) = c.fp""".stripMargin,
+
+    // globalRank(sig, id) ≡ row_number() OVER (ORDER BY sig, doc_id); the
+    // neighbor pass is a rank-difference join, window 10, Hamming ≤ 6.
+    "q170_sorted_neighborhood" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+        |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(
+        |      [CASE WHEN 2 * len(list_filter(hs, h -> ((h >> b) & 1) = 1)) > len(hs)
+        |            THEN 1::BIGINT << b ELSE 0::BIGINT END
+        |       FOR b IN generate_series(0, 59)]) AS BIGINT) AS sig
+        |  FROM tk),
+        |r AS (
+        |  SELECT doc_id, sig, row_number() OVER (ORDER BY sig, doc_id) AS rn
+        |  FROM sig)
+        |SELECT least(a.doc_id, b.doc_id) AS id_a,
+        |  greatest(a.doc_id, b.doc_id) AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin
   )
 }

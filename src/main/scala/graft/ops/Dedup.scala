@@ -302,6 +302,69 @@ object Dedup {
   }
 
   /**
+   * Soft dedup: keep EVERY copy, shrink its sampling weight so each
+   * exact-duplicate cluster contributes one unit of training mass (the
+   * reweight-instead-of-remove policy — dropping all-but-one copy throws
+   * away the "this text occurred n times" signal some mixtures want to keep
+   * partially; a weight of 1/n per copy preserves corpus-level mass exactly).
+   * Returns every input id with (dup_count, weight_nano) where
+   * `weight_nano = floor(1e9 / dup_count)` — integer-exact, no float ratio
+   * to diverge between engines. Feed `weight_nano` to weighted samplers
+   * ([[graft.ops.Sampling]]) as-is.
+   *
+   * Scale shape: text collapses to a 16-byte fingerprint at the scan; one
+   * count aggregation keyed by fingerprint plus a fingerprint-keyed re-join
+   * — only (id, fp) pairs ever shuffle, and the count side is map-side
+   * combined before it moves.
+   */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fp = df.select(col(idCol), fingerprint_md5(col(textCol)).as("__fp"))
+      .where(col("__fp").isNotNull)
+    val counts = fp.groupBy(col("__fp")).agg(count(lit(1)).as("dup_count"))
+    fp.join(counts, Seq("__fp"))
+      .select(col(idCol), col("dup_count"),
+        (lit(1000000000L) / col("dup_count")).cast("long").as("weight_nano"))
+  }
+
+  /**
+   * Sorted-neighborhood near-dup pairs — the LINEAR-candidate alternative to
+   * band joins (the record-linkage "sorted neighborhood method"): order the
+   * corpus by its 64-bit SimHash signature and compare each row only to the
+   * `window` rows that FOLLOW it in that order, keeping pairs with Hamming
+   * distance ≤ `maxHamming`. Candidate count is exactly n·window regardless
+   * of corpus skew — no band-bucket blowup on pathological inputs — at the
+   * cost of banding's recall guarantee (near-dups more than `window` apart
+   * in sig order are missed; larger windows trade cost for recall).
+   * Returns (id_a, id_b, hamming) with id_a < id_b.
+   *
+   * Scale shape: one [[Layout.globalRank]] range shuffle orders (id, sig)
+   * pairs — text never moves; the neighbor pass is an equi-join of the
+   * rank-shifted probe set against the ranked corpus on the rank key
+   * (uniform by construction). No window function, no single-partition sort.
+   */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, maxHamming: Int = 8,
+      tokenHasher: Column => Column = token_hashes): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val sigs = df
+      .select(col(idCol).as("id"), tokenHasher(tokens(col(textCol))).as("th"))
+      .select(col("id"), simhash64_from_hashes(col("th")).as("sig"))
+    val ranked = Layout.globalRank(sigs, Seq(col("sig"), col("id")), "__rn")
+    val probes = ranked
+      .select(col("id").as("ida"), col("sig").as("siga"),
+        explode(array((1 to window).map(lit(_)): _*)).as("__d"),
+        col("__rn"))
+      .select(col("ida"), col("siga"), (col("__rn") + col("__d")).as("__rn"))
+    probes.join(ranked.select(col("id").as("idb"), col("sig").as("sigb"),
+        col("__rn")), Seq("__rn"))
+      .withColumn("hamming", hamming64(col("siga"), col("sigb")))
+      .where(col("hamming") <= maxHamming)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for full
    * recall via 16-bit pigeonhole banding). Returns (id_a, id_b, hamming).
    */

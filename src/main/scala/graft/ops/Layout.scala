@@ -92,4 +92,44 @@ object Layout {
         col(bCol) >= bLo && col(bCol) <= bHi)
       .drop("zb")
   }
+
+  /**
+   * Deterministic GLOBAL 1-based rank over an arbitrary total order, without
+   * the single-partition degeneration of a bare `Window.orderBy` (which pulls
+   * the whole dataset through ONE task — the thing that breaks first at
+   * 100 TB). Range-partition on the sort key, sort within each partition,
+   * then stitch partitions together with per-partition row-count offsets:
+   * a count pass over the persisted sorted intermediate yields a
+   * numPartitions-length offset array on the driver (KBs), and a second
+   * pass assigns `offset(partition) + positionWithinPartition`. ONE data
+   * shuffle total; the offset pass moves only (partitionId, count) pairs.
+   *
+   * `sortCols` must define a total order (append a unique id column as the
+   * final tie-break) or ranks are nondeterministic. Rank semantics are
+   * exactly SQL's `row_number() OVER (ORDER BY sortCols)`.
+   */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+      rankCol: String = "rn", numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalRank needs at least one sort column")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    graft.Eager.withPersisted(sorted) { p =>
+      val counts = p.rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+        .collect().toMap
+      val offsets = (0 until n).scanLeft(0L)((acc, i) =>
+        acc + counts.getOrElse(i, 0L)).toArray
+      val schema = p.schema.add(rankCol, org.apache.spark.sql.types.LongType,
+        nullable = false)
+      val ranked = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var k = offsets(i)
+        it.map { r => k += 1
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ k) }
+      }
+      spark.createDataFrame(ranked, schema)
+    }
+  }
 }

@@ -1040,4 +1040,52 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.rrfFuse(Seq(a, b), "id", 60, 2)
       .collect().map(_.getLong(0)).toSeq == Seq(30L, 20L))
   }
+
+  test("softDedupWeights: every copy kept; weight_nano = floor(1e9/n); " +
+      "cluster mass never exceeds one unit") {
+    val df = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "alpha"),   // n=3
+      (4L, "beta"), (5L, "beta"),                    // n=2
+      (6L, "gamma"))                                 // n=1
+      .toDF("id", "text")
+    val out = Dedup.softDedupWeights(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L), "reweight, not remove")
+    assert(out(1L) == ((3L, 333333333L)) && out(1L) == out(2L) && out(2L) == out(3L))
+    assert(out(4L) == ((2L, 500000000L)) && out(6L) == ((1L, 1000000000L)))
+    // floor rounding: Σ weights per cluster ≤ 1e9 (mass is never inflated)
+    assert(3L * 333333333L <= 1000000000L)
+  }
+
+  test("sortedNeighborhood: identical docs pair at hamming 0; window bounds " +
+      "the candidate rank distance exactly") {
+    // three identical docs sort adjacently by (sig, id); window=1 compares
+    // only consecutive ranks, so (1,2) and (2,3) pair but (1,3) — rank
+    // distance 2 — is out of reach: the window semantics, observable.
+    val df = Seq((1L, "the same text"), (2L, "the same text"),
+      (3L, "the same text"), (4L, "completely different words here"))
+      .toDF("id", "text")
+    val w1 = Dedup.sortedNeighborhood(df, "id", "text", window = 1,
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(w1 == Set((1L, 2L, 0), (2L, 3L, 0)), s"window=1 pairs: $w1")
+    val w2 = Dedup.sortedNeighborhood(df, "id", "text", window = 2,
+        maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w2 == Set((1L, 2L), (2L, 3L), (1L, 3L)), s"window=2 pairs: $w2")
+  }
+
+  test("Layout.globalRank: ranks are the exact row_number permutation of the " +
+      "sort order across many range partitions") {
+    val n = 257
+    // descending ids with a shuffled-looking key: rank by (key, id)
+    val df = (0 until n).map(i => ((i * 131) % n, i.toLong)).toDF("key", "id")
+    val out = graft.ops.Layout.globalRank(df,
+        Seq(col("key"), col("id")), "rn", numPartitions = 7)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == n)
+    val expected = out.map(t => (t._1, t._2)).sortBy(identity).zipWithIndex
+      .map { case ((k, id), i) => (k, id, i + 1L) }.toSet
+    assert(out.toSet == expected, "rank must equal global sort position")
+  }
 }
