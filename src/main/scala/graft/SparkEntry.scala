@@ -2421,6 +2421,33 @@ object SparkEntry {
         window = 10, maxHamming = 6, tokenHasher = md5_token_hashes)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("bigint").as("hamming"))
+    }),
+
+    // --- label propagation: seed labels spread over the q106 click graph —
+    //     3 synchronous rounds, integer votes (edge multiplicity), smallest-
+    //     label tie-break, seeds clamped; every arithmetic step replayable --
+    "q171_label_propagation" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("page",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      val edges = graft.ops.Graph.transitionEdges(
+        ev, "user_id", "ts", "event_id", "page")
+      val seeds = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node"))).distinct()
+        .where(col("node") % 7 === 0)
+        .withColumn("label", col("node") % 3)
+      graft.ops.Graph.labelPropagation(edges, seeds, iterations = 3)
+    }),
+
+    // --- margin-based mutual-NN alignment (bitext-mining criterion): the
+    //     even/odd vec_id halves act as the two embedding views; int8-nano
+    //     cosines, integer top-4 neighborhood sums, integer margin ratio —
+    //     selection and scores replay exactly ----------------------------
+    "q172_margin_alignment" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.marginAlignment(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1),
+        "vec_id", "embedding", k = 4, minMarginNano = 1000000000L)
     })
   )
 
@@ -6014,6 +6041,95 @@ object SparkEntry {
         |  greatest(a.doc_id, b.doc_id) AS id_b,
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 10
-        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 6""".stripMargin,
+
+    // Three unrolled vote rounds: weighted vote sum keyed by (node, label),
+    // winner by (v DESC, label), seeds clamped via coalesce priority.
+    "q171_label_propagation" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (
+           |  SELECT e.dst AS node, l.label, sum(e.w) AS v
+           |  FROM sym e JOIN l${i - 1} l ON l.node = e.src
+           |  WHERE l.label IS NOT NULL GROUP BY 1, 2),
+           |w$i AS (
+           |  SELECT node, label FROM (
+           |    SELECT node, label, row_number() OVER (
+           |      PARTITION BY node ORDER BY v DESC, label) AS rn FROM v$i)
+           |  WHERE rn = 1),
+           |l$i AS (
+           |  SELECT nd.node, coalesce(s.label, w.label) AS label
+           |  FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node
+           |  LEFT JOIN w$i w ON w.node = nd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+         |    cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint) AS page
+         |  FROM events),
+         |ed AS (
+         |  SELECT src, dst FROM (
+         |    SELECT page AS src,
+         |      lead(page) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+         |        AS dst
+         |    FROM ev)
+         |  WHERE dst IS NOT NULL),
+         |sym AS (
+         |  SELECT src, dst, count(*) AS w FROM (
+         |    SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed)
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT src AS node FROM sym),
+         |seeds AS (SELECT node, node % 3 AS label FROM nodes WHERE node % 7 = 0),
+         |l0 AS (
+         |  SELECT nd.node, s.label FROM nodes nd
+         |  LEFT JOIN seeds s ON s.node = nd.node),
+         |$rounds
+         |SELECT node, label FROM l3""".stripMargin
+    },
+
+    // q94's int8 replay + nano-floored cosines; margin = integer ratio over
+    // top-4 nano sums; mutual argmax with (margin, c, id) tie order.
+    "q172_margin_alignment" ->
+      """WITH qz AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+        |      ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint) END) AS qv
+        |  FROM (SELECT vec_id, embedding,
+        |          cast(list_max(list_transform(embedding, x -> abs(x))) as double) AS maxabs
+        |        FROM embeddings WHERE embedding IS NOT NULL)),
+        |qa AS (SELECT vec_id AS ida, qv FROM qz WHERE vec_id % 2 = 0),
+        |qb AS (SELECT vec_id AS idb, qv FROM qz WHERE vec_id % 2 = 1),
+        |p AS (
+        |  SELECT ida, idb, c FROM (
+        |    SELECT ida, idb,
+        |      cast(floor((CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |           ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END) * 1000000000.0)
+        |        as bigint) AS c
+        |    FROM qa CROSS JOIN qb CROSS JOIN LATERAL (
+        |      SELECT list_dot_product(cast(qa.qv as double[]), cast(qb.qv as double[])) AS dot,
+        |             list_dot_product(cast(qa.qv as double[]), cast(qa.qv as double[])) AS na,
+        |             list_dot_product(cast(qb.qv as double[]), cast(qb.qv as double[])) AS nb) l)
+        |  WHERE c > 0),
+        |f AS (
+        |  SELECT ida, sum(c) AS f FROM (
+        |    SELECT ida, c, row_number() OVER (
+        |      PARTITION BY ida ORDER BY c DESC, idb) AS rn FROM p)
+        |  WHERE rn <= 4 GROUP BY ida),
+        |g AS (
+        |  SELECT idb, sum(c) AS g FROM (
+        |    SELECT idb, c, row_number() OVER (
+        |      PARTITION BY idb ORDER BY c DESC, ida) AS rn FROM p)
+        |  WHERE rn <= 4 GROUP BY idb),
+        |m AS (
+        |  SELECT p.ida, p.idb, p.c,
+        |    (p.c * 8 * 1000000000) // (f.f + g.g) AS margin_nano
+        |  FROM p JOIN f ON f.ida = p.ida JOIN g ON g.idb = p.idb),
+        |r AS (
+        |  SELECT ida, idb, c, margin_nano,
+        |    row_number() OVER (PARTITION BY ida
+        |      ORDER BY margin_nano DESC, c DESC, idb) AS ra,
+        |    row_number() OVER (PARTITION BY idb
+        |      ORDER BY margin_nano DESC, c DESC, ida) AS rb
+        |  FROM m)
+        |SELECT ida AS id_a, idb AS id_b, c AS cos_nano,
+        |  cast(margin_nano AS BIGINT) AS margin_nano
+        |FROM r WHERE ra = 1 AND rb = 1 AND margin_nano >= 1000000000""".stripMargin
   )
 }

@@ -114,4 +114,73 @@ object Graph {
       } finally releaseR()
     } finally releaseEdges()
   }
+
+  /**
+   * Deterministic synchronous label propagation — the seed-spread /
+   * community primitive (Raghavan et al. 2007, made engine-replayable):
+   * `iterations` rounds; each round every non-seed node adopts the label
+   * with the LARGEST incoming weighted vote from its neighbors'
+   * previous-round labels (edge multiplicity = vote weight; every edge
+   * votes in both directions), ties broken by the smallest label id; seed
+   * nodes stay clamped to their seed label; unlabeled neighbors cast no
+   * vote, and a node with no labeled neighbor stays unlabeled that round.
+   * Pure integer votes — no float to diverge between engines. Returns
+   * (node, label) for every node in the edge set, label null if never
+   * reached.
+   *
+   * Scale shape: the symmetrized weighted edge table is built once and
+   * reused; a round is one edges ⋈ labels join (labels are (node, label)
+   * pairs — tiny) plus a map-side-combined vote sum keyed by (node,
+   * label) and one per-node row_number window. Each round's frame is
+   * materialized through [[graft.Eager]] and the previous round's blocks
+   * released — plan depth and storage O(1) in the iteration count, the
+   * [[pageRank]] discipline.
+   */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodeCol: String = "node", labelCol: String = "label",
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 0, "iterations must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val dir = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val sym = dir.unionByName(dir.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val (ew, releaseEdges) = graft.Eager.checkpointed(sym)
+    try {
+      val nodes = ew.select(col("src").as("node")).distinct()
+      val sd = seeds.select(col(nodeCol).as("node"),
+        col(labelCol).as("__seed"))
+      var releaseL: () => Unit = () => ()
+      try {
+        var labels = {
+          val l0 = nodes.join(sd, Seq("node"), "left")
+            .select(col("node"), col("__seed").as("label"))
+          val (cp, rel) = graft.Eager.checkpointed(l0)
+          releaseL = rel
+          cp
+        }
+        for (_ <- 1 to iterations) {
+          val votes = ew
+            .join(labels.where(col("label").isNotNull)
+              .select(col("node").as("src"), col("label")), Seq("src"))
+            .groupBy(col("dst").as("node"), col("label"))
+            .agg(sum(col("w")).as("v"))
+          val w = Window.partitionBy(col("node"))
+            .orderBy(col("v").desc, col("label"))
+          val winners = votes.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .select(col("node"), col("label").as("__win"))
+          val next = nodes.join(sd, Seq("node"), "left")
+            .join(winners, Seq("node"), "left")
+            .select(col("node"), coalesce(col("__seed"), col("__win")).as("label"))
+          val (cp, rel) = graft.Eager.checkpointed(next)
+          releaseL()
+          releaseL = rel
+          labels = cp
+        }
+        graft.Eager.materialize(labels)
+      } finally releaseL()
+    } finally releaseEdges()
+  }
 }

@@ -810,4 +810,68 @@ object Similarity {
       .orderBy(col("adc_dist").asc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Margin-based mutual-nearest-neighbor alignment — the bitext-mining /
+   * cross-view pairing criterion (ratio margin of Artetxe & Schwenk 2019),
+   * in an integer-exact form: cosines are int8-quantized ([[quantizeInt8]])
+   * and floored to nanos, each side's neighborhood statistic is the SUM of
+   * its top-`k` pair nanos (integer — no order-dependent float average),
+   * and the margin is the integer ratio
+   *
+   *   margin_nano(x, y) = c(x,y) · 2k · 10⁹ div (fwd(x) + bwd(y))
+   *
+   * (`div` on positives ≡ floor — both engines agree). A pair is emitted iff
+   * each side is the other's margin-argmax (ties → higher cosine, then
+   * smaller id) and `margin_nano ≥ minMarginNano`. Only positive-cosine
+   * candidates participate (a margin over non-positive neighborhoods is
+   * meaningless, and positivity keeps div ≡ floor). Returns
+   * (id_a, id_b, cos_nano, margin_nano).
+   *
+   * Scale shape: exact cross-scoring here — the oracle-checkable core; at
+   * corpus scale generate candidates with the ANN index ([[annTopK]] /
+   * [[ivfTopK]]) and rescore only the candidate set: the margin arithmetic
+   * is unchanged, and fwd/bwd become top-k over each side's candidate
+   * list. The pair table is persisted once and reused for both direction
+   * windows (k ≤ 4 keeps `c · 2k · 10⁹` inside long range).
+   */
+  def marginAlignment(a: DataFrame, b: DataFrame, idCol: String,
+      vecCol: String, k: Int = 4,
+      minMarginNano: Long = 1000000000L): DataFrame = {
+    require(k >= 1 && k <= 4, "k in [1, 4] keeps margin_nano in long range")
+    import org.apache.spark.sql.expressions.Window
+    val qa = quantizeInt8(a.where(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("id").as("ida"), col("qvec").as("qva"))
+    val qb = quantizeInt8(b.where(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("id").as("idb"), col("qvec").as("qvb"))
+    val pairs = qa.crossJoin(qb)
+      .select(col("ida"), col("idb"),
+        floor(graft.functions.GraftFunctions
+          .cosine_sim_int8_pair(col("qva"), col("qvb")) * 1e9d)
+          .cast("long").as("c"))
+      .where(col("c") > 0)
+    graft.Eager.withPersisted(pairs) { p =>
+      def topSum(key: String, other: String, out: String) = {
+        val w = Window.partitionBy(col(key))
+          .orderBy(col("c").desc, col(other))
+        p.withColumn("__rn", row_number().over(w)).where(col("__rn") <= k)
+          .groupBy(col(key)).agg(sum(col("c")).as(out))
+      }
+      val m = p
+        .join(topSum("ida", "idb", "f"), Seq("ida"))
+        .join(topSum("idb", "ida", "g"), Seq("idb"))
+        .withColumn("margin_nano",
+          expr(s"(c * ${2L * k} * cast(1000000000 as bigint)) div (f + g)"))
+      val wa = Window.partitionBy(col("ida"))
+        .orderBy(col("margin_nano").desc, col("c").desc, col("idb"))
+      val wb = Window.partitionBy(col("idb"))
+        .orderBy(col("margin_nano").desc, col("c").desc, col("ida"))
+      m.withColumn("__ra", row_number().over(wa))
+        .withColumn("__rb", row_number().over(wb))
+        .where(col("__ra") === 1 && col("__rb") === 1 &&
+          col("margin_nano") >= minMarginNano)
+        .select(col("ida").as("id_a"), col("idb").as("id_b"),
+          col("c").as("cos_nano"), col("margin_nano"))
+    }
+  }
 }

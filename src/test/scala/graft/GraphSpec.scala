@@ -52,4 +52,31 @@ class GraphSpec extends SparkSpec {
     // empty edge set: empty result, no crash
     assert(Graph.pageRank(e.where(lit(false)), iterations = 3).isEmpty)
   }
+
+  test("labelPropagation: synchronous hop-per-round spread, weighted votes, " +
+      "smallest-label tie-break, seeds clamped, unreached stays null") {
+    def run(edges: Seq[(Long, Long)], seeds: Seq[(Long, Long)], it: Int) =
+      Graph.labelPropagation(edges.toDF("src", "dst"),
+          seeds.toDF("node", "label"), iterations = it)
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    // path 1-2-3-4: label 10 seeded at node 1 moves one hop per round
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val one = run(path, Seq((1L, 10L)), 1)
+    assert(one(2L) == Some(10L) && one(3L).isEmpty && one(4L).isEmpty)
+    val two = run(path, Seq((1L, 10L)), 2)
+    assert(two(3L) == Some(10L) && two(4L).isEmpty)
+    // weighted vote: node 9 sees label 1 twice (edge multiplicity), label 2
+    // once → majority wins even though 2 < 1 is false on the tie-break axis
+    val wv = run(Seq((7L, 9L), (7L, 9L), (8L, 9L)),
+      Seq((7L, 1L), (8L, 2L)), 1)
+    assert(wv(9L) == Some(1L))
+    // exact tie (one vote each for labels 5 and 3) → smallest label
+    val tie = run(Seq((7L, 9L), (8L, 9L)), Seq((7L, 5L), (8L, 3L)), 1)
+    assert(tie(9L) == Some(3L))
+    // seeds clamp: node 1's label never flips even when outvoted
+    val clamp = run(Seq((1L, 2L), (2L, 1L), (3L, 1L)),
+      Seq((1L, 10L), (2L, 20L), (3L, 20L)), 3)
+    assert(clamp(1L) == Some(10L) && clamp(2L) == Some(20L))
+  }
 }

@@ -1075,6 +1075,26 @@ class OpsSpec extends SparkSpec {
     assert(w2 == Set((1L, 2L), (2L, 3L), (1L, 3L)), s"window=2 pairs: $w2")
   }
 
+  test("marginAlignment: mutual margin-best only; nano cosines and integer " +
+      "margins hand-check; non-positive cosines never pair") {
+    val a = Seq((0L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val b = Seq((1L, Seq(1f, 0f)), (3L, Seq(0f, 1f)), (5L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.marginAlignment(a, b, "vec_id", "embedding", k = 4,
+        minMarginNano = 1000000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // cos nano: exact-match pairs 1e9; the diagonal b5 scores
+    // floor(1e9/sqrt(2)) = 707106781 against both a-vectors.
+    val diag = 707106781L
+    val f = 1000000000L + diag            // each a-side top-sum
+    val m11 = 8000000000000000000L / (f + 1000000000L)
+    assert(out == Set((0L, 1L, 1000000000L, m11), (2L, 3L, 1000000000L, m11)),
+      s"got $out")
+    // b5 is nobody's margin-best (ra=2 on both sides) — correctly unmatched;
+    // orthogonal pairs (cos 0) never entered the candidate set
+  }
+
   test("Layout.globalRank: ranks are the exact row_number permutation of the " +
       "sort order across many range partitions") {
     val n = 257
