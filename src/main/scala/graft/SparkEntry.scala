@@ -8,7 +8,7 @@ import org.apache.spark.sql.expressions.Window
 import graft.query.{Clauses, GQuery}
 import graft.store.KeyedStore
 import graft.functions.GraftFunctions._
-import graft.ops.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.ops.{Audit, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /**
  * Driver contract — the operator inventory of SURVEY.md §2 (+ the north-star
@@ -2448,6 +2448,24 @@ object SparkEntry {
         emb.where(col("vec_id") % 2 === 0),
         emb.where(col("vec_id") % 2 === 1),
         "vec_id", "embedding", k = 4, minMarginNano = 1000000000L)
+    }),
+
+    // --- score calibration: the q103 NB classifier's log-odds margin
+    //     bucketed against the planted ground truth — the reliability
+    //     diagram deciding whether the margin is a usable confidence.
+    //     Margin and rates are pure integers ------------------------------
+    "q173_calibration" -> ((s, dir) => {
+      val labeled = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" alpha beta alpha")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, lit("aug")).otherwise(lit("plain"))
+          .as("cls"))
+      val margins = TextOps.nbLogOdds(labeled, "doc_id", "text", "cls", "aug")
+      Audit.reliabilityReport(
+        margins.withColumn("is_aug", col("cls") === "aug"),
+        "margin_nano", "is_aug",
+        lo = -10000000000L, hi = 20000000000L, bins = 15)
     })
   )
 
@@ -6130,6 +6148,62 @@ object SparkEntry {
         |  FROM m)
         |SELECT ida AS id_a, idb AS id_b, c AS cos_nano,
         |  cast(margin_nano AS BIGINT) AS margin_nano
-        |FROM r WHERE ra = 1 AND rb = 1 AND margin_nano >= 1000000000""".stripMargin
+        |FROM r WHERE ra = 1 AND rb = 1 AND margin_nano >= 1000000000""".stripMargin,
+
+    // q103's NB replay through the class scores, then margin = s_aug −
+    // max(other); clamped equi-width integer buckets; floor-div rates.
+    "q173_calibration" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' alpha beta alpha'
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'aug' ELSE 'plain' END AS cls
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, cls,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, cls,
+        |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |        AS tok
+        |    FROM base)),
+        |cls AS (SELECT cls AS c, count(*) AS n_docs FROM base GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS nd FROM cls),
+        |pri AS (
+        |  SELECT c, cast(round(ln(n_docs / cast(nd as double)) * 1e9, 0)
+        |    as bigint) AS pn
+        |  FROM cls CROSS JOIN tot),
+        |cnts AS (SELECT cls AS c, b, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |ctot AS (SELECT c, sum(cnt) AS tc FROM cnts GROUP BY 1),
+        |grid AS (
+        |  SELECT c, gs.b FROM cls,
+        |    (SELECT unnest(generate_series(0, 255)) AS b) gs),
+        |w AS (
+        |  SELECT grid.c, grid.b, cast(round(
+        |    ln((coalesce(cnt, 0) + 1) / cast(coalesce(tc, 0) + 256 as double))
+        |      * 1e9, 0) as bigint) AS wn
+        |  FROM grid
+        |  LEFT JOIN cnts ON cnts.c = grid.c AND cnts.b = grid.b
+        |  LEFT JOIN ctot ON ctot.c = grid.c),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.cls, w.c, sum(wn) AS sw
+        |  FROM tk JOIN w ON tk.b = w.b GROUP BY 1, 2, 3),
+        |scj AS (
+        |  SELECT doc_id, cls, c, sw + pn AS score FROM sc JOIN pri USING (c)),
+        |m AS (
+        |  SELECT a.doc_id, a.cls, a.score - max(b.score) AS mg
+        |  FROM scj a JOIN scj b ON a.doc_id = b.doc_id AND b.c <> 'aug'
+        |  WHERE a.c = 'aug' GROUP BY a.doc_id, a.cls, a.score),
+        |bk AS (
+        |  SELECT (greatest(-10000000000, least(mg, 19999999999))
+        |      + 10000000000) // 2000000000 AS bucket,
+        |    CASE WHEN cls = 'aug' THEN 1 ELSE 0 END AS pos
+        |  FROM m)
+        |SELECT cast(bucket as bigint) AS bucket,
+        |  cast(-10000000000 + bucket * 2000000000 as bigint) AS lo,
+        |  cast(-10000000000 + (bucket + 1) * 2000000000 as bigint) AS hi,
+        |  count(*) AS n, cast(sum(pos) as bigint) AS positives,
+        |  cast((1000000000 * sum(pos)) // count(*) as bigint) AS rate_nano
+        |FROM bk GROUP BY bucket""".stripMargin
   )
 }

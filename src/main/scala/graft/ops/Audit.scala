@@ -139,4 +139,42 @@ object Audit {
         expr("n * 1000 div n_rows").as("permille"),
         expr("(n * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
   }
+
+  /**
+   * Reliability (calibration) report over an integer score — the
+   * reliability-diagram table that decides whether a learned score is
+   * usable as a CONFIDENCE before it gates a corpus: clamp the score to
+   * [lo, hi), cut the range into `bins` equal integer cells (everything
+   * below `lo` lands in bucket 0, at/above `hi` in bucket bins−1 — the
+   * clamp IS the edge-bucket semantics, not an error), and report each
+   * occupied cell's population, positive count, and exact positive rate
+   * `rate_nano = floor(1e9 · positives / n)`. A well-calibrated score shows
+   * rate_nano rising monotonically across buckets; a cliff or plateau says
+   * "threshold here" / "don't trust magnitudes". All arithmetic integer —
+   * the report replays exactly. `(hi − lo)` must divide evenly by `bins`.
+   * Returns (bucket, lo, hi, n, positives, rate_nano).
+   *
+   * Scale shape: one scan reducing each row to (bucket, isPositive); one
+   * map-side-combinable groupBy on the ≤`bins`-value key — count(*) cost.
+   */
+  def reliabilityReport(df: DataFrame, scoreCol: String, labelCol: String,
+      lo: Long, hi: Long, bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need hi > lo and at least one bin")
+    val width = (hi - lo) / bins
+    require(width > 0 && lo + width * bins == hi,
+      s"bins must divide the range evenly (range ${hi - lo}, bins $bins)")
+    // (clamped − lo)/width on longs: both < 2^53, double division exact,
+    // truncation ≡ floor on the non-negative difference
+    val clamped = greatest(lit(lo), least(col(scoreCol), lit(hi - 1)))
+    val bucket = ((clamped - lit(lo)) / lit(width)).cast("long")
+    df.select(bucket.as("bucket"),
+        col(labelCol).cast("boolean").cast("long").as("__pos"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("positives"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("lo"),
+        (lit(lo) + (col("bucket") + 1) * lit(width)).as("hi"),
+        col("n"), col("positives"),
+        expr("(1000000000 * positives) div n").as("rate_nano"))
+  }
 }

@@ -818,6 +818,43 @@ object TextOps {
    */
   def nbTrainScore(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, buckets: Int = 256): DataFrame = {
+    val scores = nbClassScores(df, idCol, textCol, labelCol, buckets)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+      .orderBy(col("score_nano").desc, col("c"))
+    scores.withColumn("__graft_rk", row_number().over(w))
+      .where(col("__graft_rk") === 1)
+      .select(col("id").as(idCol), col("label").as(labelCol),
+        col("c").as("pred"), col("score_nano"))
+  }
+
+  /**
+   * Binary log-odds margin from the NB scorer — the CONFIDENCE signal the
+   * argmax of [[nbTrainScore]] throws away: `margin_nano(doc) =
+   * score(posClass) − max over the other classes`, every term the
+   * integer-nano class score, so the margin is exact and replayable.
+   * Feed it to [[Audit.reliabilityReport]] to decide whether the margin is
+   * usable as a confidence (the calibration question every learned quality
+   * filter must answer before its scores gate a corpus). Returns
+   * (id, label, margin_nano); docs with zero tokens score in no class and
+   * are absent (the [[nbTrainScore]] contract).
+   */
+  def nbLogOdds(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, posClass: String, buckets: Int = 256): DataFrame = {
+    val scores = nbClassScores(df, idCol, textCol, labelCol, buckets)
+    val pos = scores.where(col("c") === posClass)
+      .select(col("id"), col("label"), col("score_nano").as("__sp"))
+    val rest = scores.where(col("c") =!= posClass)
+      .groupBy(col("id")).agg(max(col("score_nano")).as("__sn"))
+    pos.join(rest, Seq("id"))
+      .select(col("id").as(idCol), col("label").as(labelCol),
+        (col("__sp") - col("__sn")).as("margin_nano"))
+  }
+
+  /** Per-(doc, class) NB log-scores in nano units — the shared core of
+    * [[nbTrainScore]] (argmax) and [[nbLogOdds]] (margin). Columns:
+    * (id, label, c, score_nano). */
+  private def nbClassScores(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     val toks = df.select(col(idCol).as("id"), col(labelCol).as("label"),
         explode(tokens(lower(col(textCol)))).as("tok"))
@@ -842,18 +879,12 @@ object TextOps {
         round(log((col("cnt") + lit(1L)).cast("double") /
             (col("tc") + lit(buckets.toLong)).cast("double")) * 1e9, 0)
           .cast("long").as("w_nano"))
-    val scores = toks.join(broadcast(weights), Seq("b"))
+    toks.join(broadcast(weights), Seq("b"))
       .groupBy(col("id"), col("label"), col("c"))
       .agg(sum(col("w_nano")).as("sw"))
       .join(broadcast(priors), Seq("c"))
       .select(col("id"), col("label"), col("c"),
         (col("sw") + col("p_nano")).as("score_nano"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-      .orderBy(col("score_nano").desc, col("c"))
-    scores.withColumn("__graft_rk", row_number().over(w))
-      .where(col("__graft_rk") === 1)
-      .select(col("id").as(idCol), col("label").as(labelCol),
-        col("c").as("pred"), col("score_nano"))
   }
 
   /**

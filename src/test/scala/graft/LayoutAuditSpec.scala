@@ -135,4 +135,45 @@ class LayoutAuditSpec extends SparkSpec {
     assert(Audit.skewReport(uni, "k", topK = 4)
       .collect().forall(_.getLong(5) == 1L))
   }
+
+  test("reliabilityReport: equi-width integer buckets, clamped edges, " +
+      "floor-div rates; empty buckets absent") {
+    val rows = Seq(
+      (-50L, false),                  // clamps into bucket 0
+      (10L, false), (20L, false),     // bucket 0: 0/3 positive
+      (30L, false), (40L, false), (45L, true),  // bucket 1: 1/3
+      (60L, true), (70L, true),       // bucket 2: 2/2
+      (999L, true))                   // clamps into bucket 3: 1/1
+    val out = Audit.reliabilityReport(rows.toDF("s", "y"), "s", "y",
+        lo = 0L, hi = 100L, bins = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) == ((0L, 25L, 3L, 0L, 0L)))
+    assert(out(1L) == ((25L, 50L, 3L, 1L, 333333333L)), "floor(1e9/3)")
+    assert(out(2L) == ((50L, 75L, 2L, 2L, 1000000000L)))
+    assert(out(3L) == ((75L, 100L, 1L, 1L, 1000000000L)))
+    assert(out.size == 4)
+    // range must divide evenly
+    assertThrows[IllegalArgumentException](
+      Audit.reliabilityReport(rows.toDF("s", "y"), "s", "y", 0L, 100L, 7))
+  }
+
+  test("nbLogOdds: margin sign agrees with nbTrainScore's argmax " +
+      "(posClass wins ties by class-name order)") {
+    val docs = Seq(
+      (1L, "alpha alpha beta", "aug"), (2L, "alpha beta beta", "aug"),
+      (3L, "gamma delta gamma", "plain"), (4L, "delta delta", "plain"),
+      (5L, "alpha gamma", "aug"), (6L, "beta delta", "plain"))
+      .toDF("id", "text", "cls")
+    val pred = graft.ops.TextOps.nbTrainScore(docs, "id", "text", "cls")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val marg = graft.ops.TextOps.nbLogOdds(docs, "id", "text", "cls", "aug")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(marg.keySet == pred.keySet)
+    marg.foreach { case (id, m) =>
+      // 'aug' < 'plain', so the argmax tie at m == 0 also goes to 'aug'
+      assert((m >= 0) == (pred(id) == "aug"),
+        s"doc $id: margin $m vs pred ${pred(id)}")
+    }
+  }
 }
