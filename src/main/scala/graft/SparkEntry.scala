@@ -2466,6 +2466,16 @@ object SparkEntry {
         margins.withColumn("is_aug", col("cls") === "aug"),
         "margin_nano", "is_aug",
         lo = -10000000000L, hi = 20000000000L, bins = 15)
+    }),
+
+    // --- systematic importance resampling: 1000 training slots ∝ n_chars,
+    //     equally-spaced markers on the md5-ordered cumulative-weight line —
+    //     Σ copies = 1000 exactly, zero RNG, pure integer ceil-divs --------
+    "q175_systematic_resample" -> ((s, dir) => {
+      Sampling.systematicResample(
+        T(s, dir, "documents").where(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 1000L)
     })
   )
 
@@ -6204,6 +6214,25 @@ object SparkEntry {
         |  cast(-10000000000 + (bucket + 1) * 2000000000 as bigint) AS hi,
         |  count(*) AS n, cast(sum(pos) as bigint) AS positives,
         |  cast((1000000000 * sum(pos)) // count(*) as bigint) AS rate_nano
-        |FROM bk GROUP BY bucket""".stripMargin
+        |FROM bk GROUP BY bucket""".stripMargin,
+
+    // Markers m_j = floor(j*W/1000); copies = ceil-div difference of the
+    // cumulative bounds; hash order = md5_prefix60(doc_id), then doc_id.
+    "q175_systematic_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, n_chars AS weight,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT AS h
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (
+        |  SELECT doc_id, weight,
+        |    sum(weight) OVER (ORDER BY h, doc_id) AS cum,
+        |    sum(weight) OVER () AS t
+        |  FROM w)
+        |SELECT doc_id, weight,
+        |  cast(((cum * 1000 + t - 1) // t)
+        |    - (((cum - weight) * 1000 + t - 1) // t) as bigint) AS copies
+        |FROM c
+        |WHERE ((cum * 1000 + t - 1) // t)
+        |    - (((cum - weight) * 1000 + t - 1) // t) >= 1""".stripMargin
   )
 }

@@ -132,4 +132,52 @@ object Layout {
       spark.createDataFrame(ranked, schema)
     }
   }
+
+  /**
+   * Exact GLOBAL prefix sums over a total order — [[globalRank]]'s two-pass
+   * discipline extended with per-partition value offsets: the count pass
+   * also sums `valueCol` per partition, so the second pass can assign every
+   * row its global rank AND its inclusive running sum with pure local
+   * arithmetic. The cumulative-weight primitive behind quantile splits,
+   * systematic resampling, and budget cutoffs — none of which tolerate the
+   * single-partition window a bare `sum().over(Window.orderBy(...))`
+   * degenerates to. `valueCol` must be a LONG column (integer weights —
+   * exact, order-independent); `sortCols` must be a total order.
+   * Returns the input plus (`rankCol`, `cumCol`).
+   */
+  def globalScan(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      rankCol: String = "rn", cumCol: String = "cum",
+      numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalScan needs at least one sort column")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    graft.Eager.withPersisted(sorted) { p =>
+      val vIdx = p.schema.fieldIndex(valueCol)
+      require(p.schema(vIdx).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"globalScan needs a LONG $valueCol (cast integer weights first)")
+      val stats = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var c = 0L; var s = 0L
+        it.foreach { r => c += 1; s += r.getLong(vIdx) }
+        Iterator((i, (c, s)))
+      }.collect().toMap
+      def offsets(of: ((Long, Long)) => Long) = (0 until n)
+        .scanLeft(0L)((acc, i) => acc + stats.get(i).map(of).getOrElse(0L))
+        .toArray
+      val cOff = offsets(_._1)
+      val sOff = offsets(_._2)
+      val schema = p.schema
+        .add(rankCol, org.apache.spark.sql.types.LongType, nullable = false)
+        .add(cumCol, org.apache.spark.sql.types.LongType, nullable = false)
+      val out = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var k = cOff(i); var s = sOff(i)
+        it.map { r => k += 1; s += r.getLong(vIdx)
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ k :+ s) }
+      }
+      spark.createDataFrame(out, schema)
+    }
+  }
 }

@@ -385,4 +385,42 @@ object Sampling {
         col("__rk") <= expr(s"(__n * $hiPermille) div 1000"))
       .drop("__rk", "__n")
   }
+
+  /**
+   * Deterministic systematic resampling WITH replacement — the
+   * importance-resampling step (draw `n` training slots ∝ integer weights:
+   * DSIR-style importance sampling, particle-filter resampling, mixture
+   * re-balancing), in its replayable low-variance form: rows are laid on the
+   * cumulative-weight line in md5-hash order ([[graft.ops.Layout.globalScan]]
+   * — no single-partition window), and `n` equally-spaced markers
+   * `m_j = ⌊j·W/n⌋` (j = 0..n−1) are dropped on it; a row's copy count is
+   * the number of markers inside its weight interval:
+   *
+   *   copies(i) = ⌈cum_i·n/W⌉ − ⌈cum_{i−1}·n/W⌉
+   *
+   * — pure integer ceil-divs, Σ copies = n EXACTLY, and every row's count is
+   * within 1 of its real-valued expectation w_i·n/W (the classic systematic-
+   * resampling guarantee — no multinomial variance, no RNG). Rows with
+   * non-positive weight never sample. Returns (id, weight, copies ≥ 1).
+   * Caller must keep `W·n < 2⁶³` (downscale weights first if needed).
+   *
+   * Scale shape: one globalScan range shuffle of (id, weight) pairs; the
+   * marker arithmetic is per-row; the total-weight scalar broadcasts back.
+   */
+  def systematicResample(df: DataFrame, idCol: String, weightCol: String,
+      n: Long): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val base = df.select(col(idCol), col(weightCol).cast("long").as("__w"),
+        graft.functions.GraftFunctions.md5_prefix60(
+          col(idCol).cast("string")).as("__h"))
+      .where(col("__w") > 0)
+    val scanned = graft.ops.Layout.globalScan(base,
+      Seq(col("__h"), col(idCol)), "__w", "__rn", "__cum")
+    val total = scanned.agg(max(col("__cum")).as("__t"))
+    scanned.crossJoin(broadcast(total))
+      .select(col(idCol), col("__w").as("weight"),
+        expr(s"((__cum * $n + __t - 1) div __t) - " +
+          s"(((__cum - __w) * $n + __t - 1) div __t)").as("copies"))
+      .where(col("copies") >= 1)
+  }
 }

@@ -330,4 +330,48 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("shard"))
   }
+
+  test("systematicResample: sum(copies) = n exactly; every count within 1 " +
+      "of its expectation; non-positive weights never sample; " +
+      "partition-invariant") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, i % 7 match {
+      case 0 => 0L          // excluded
+      case k => k * 10L
+    })).toDF("id", "w")
+    val n = 37L
+    val out = Sampling.systematicResample(df, "id", "w", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._3).sum == n, "slot count is exact, not approximate")
+    assert(out.forall(_._3 >= 1))
+    assert(out.forall { case (id, _, _) => id % 7 != 0 }, "zero weights out")
+    val bigW = df.where(col("w") > 0).agg(sum("w")).head().getLong(0)
+    out.foreach { case (id, w, c) =>
+      val exp = w.toDouble * n / bigW
+      assert(math.abs(c - exp) <= 1.0, s"id $id: copies $c vs E=$exp")
+    }
+    val out2 = Sampling.systematicResample(df.repartition(13), "id", "w", n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq,
+      "resampling must not depend on input partitioning")
+  }
+
+  test("Layout.globalScan: inclusive prefix sums equal the sorted fold " +
+      "across range partitions") {
+    import spark.implicits._
+    val df = (1L to 50L).map(i => (i, (i * 37) % 50)).map { case (v, k) =>
+      (k, v) }.toDF("k", "v")
+    val out = graft.ops.Layout.globalScan(df, Seq(col("k"), col("v")), "v",
+        numPartitions = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._3)
+    var run = 0L
+    out.zipWithIndex.foreach { case ((k, v, rn, cum), i) =>
+      run += v
+      assert(rn == i + 1 && cum == run, s"row $i: ($k,$v,$rn,$cum) vs $run")
+    }
+    // sorted by (k, v): ranks follow that order
+    assert(out.map(t => (t._1, t._2)).toSeq ==
+      out.map(t => (t._1, t._2)).sortBy(identity).toSeq)
+  }
 }
