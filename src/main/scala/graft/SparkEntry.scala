@@ -2471,7 +2471,7 @@ object SparkEntry {
     // --- systematic importance resampling: 1000 training slots ∝ n_chars,
     //     equally-spaced markers on the md5-ordered cumulative-weight line —
     //     Σ copies = 1000 exactly, zero RNG, pure integer ceil-divs --------
-    "q175_systematic_resample" -> ((s, dir) => {
+    "q174_systematic_resample" -> ((s, dir) => {
       Sampling.systematicResample(
         T(s, dir, "documents").where(col("n_chars") > 0)
           .select(col("doc_id"), col("n_chars")),
@@ -6218,7 +6218,7 @@ object SparkEntry {
 
     // Markers m_j = floor(j*W/1000); copies = ceil-div difference of the
     // cumulative bounds; hash order = md5_prefix60(doc_id), then doc_id.
-    "q175_systematic_resample" ->
+    "q174_systematic_resample" ->
       """WITH w AS (
         |  SELECT doc_id, n_chars AS weight,
         |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT AS h
