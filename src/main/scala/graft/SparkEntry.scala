@@ -2476,6 +2476,14 @@ object SparkEntry {
         T(s, dir, "documents").where(col("n_chars") > 0)
           .select(col("doc_id"), col("n_chars")),
         "doc_id", "n_chars", n = 1000L)
+    }),
+
+    // --- k-center coreset: 6 farthest-point exemplars over the embedding
+    //     corpus — exact integer squared distances on int8 vectors make the
+    //     greedy selection and the covering-radius curve replayable --------
+    "q175_kcenter_coreset" -> ((s, dir) => {
+      Similarity.kCenterCoreset(T(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 6)
     })
   )
 
@@ -6233,6 +6241,50 @@ object SparkEntry {
         |    - (((cum - weight) * 1000 + t - 1) // t) as bigint) AS copies
         |FROM c
         |WHERE ((cum * 1000 + t - 1) // t)
-        |    - (((cum - weight) * 1000 + t - 1) // t) >= 1""".stripMargin
+        |    - (((cum - weight) * 1000 + t - 1) // t) >= 1""".stripMargin,
+
+    // Greedy farthest-point rounds unrolled; dist² = na + nb − 2·dot on
+    // the int8 grid (exact integers under the double representation).
+    "q175_kcenter_coreset" -> {
+      def d2(a: String, b: String) =
+        s"""cast(list_dot_product(cast($a as double[]), cast($a as double[]))
+           |   + list_dot_product(cast($b as double[]), cast($b as double[]))
+           |   - 2 * list_dot_product(cast($a as double[]), cast($b as double[]))
+           |  as bigint)""".stripMargin
+      val rounds = (2 to 6).map { i =>
+        val upd = if (i < 6)
+          s""",
+             |m$i AS (
+             |  SELECT a.id, a.qv, least(a.m, ${d2("a.qv", "c.qv")}) AS m
+             |  FROM m${i - 1} a CROSS JOIN c$i c)""".stripMargin
+        else ""
+        s"""c$i AS (
+           |  SELECT id, qv, m FROM m${i - 1} ORDER BY m DESC, id LIMIT 1)$upd""".stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (
+         |  SELECT vec_id AS id, list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+         |      ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint) END) AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          cast(list_max(list_transform(embedding, x -> abs(x))) as double) AS maxabs
+         |        FROM embeddings WHERE embedding IS NOT NULL)),
+         |c1 AS (
+         |  SELECT id, qv FROM (
+         |    SELECT id, qv,
+         |      ('0x' || substr(md5(cast(id as varchar)), 1, 15))::BIGINT AS h
+         |    FROM q)
+         |  ORDER BY h, id LIMIT 1),
+         |m1 AS (
+         |  SELECT q.id, q.qv, ${d2("q.qv", "c.qv")} AS m
+         |  FROM q CROSS JOIN c1 c),
+         |$rounds
+         |SELECT cast(round AS BIGINT) AS round, center_id,
+         |  cast(radius_sq AS BIGINT) AS radius_sq FROM (
+         |  SELECT 1 AS round, id AS center_id, 0 AS radius_sq FROM c1
+         |  UNION ALL SELECT 2, id, m FROM c2
+         |  UNION ALL SELECT 3, id, m FROM c3
+         |  UNION ALL SELECT 4, id, m FROM c4
+         |  UNION ALL SELECT 5, id, m FROM c5
+         |  UNION ALL SELECT 6, id, m FROM c6)""".stripMargin
+    }
   )
 }

@@ -874,4 +874,80 @@ object Similarity {
           col("c").as("cos_nano"), col("margin_nano"))
     }
   }
+
+  /** Exact integer squared euclidean distance between two int8 vectors
+    * (elements widened to long before the difference — Σ(aᵢ−bᵢ)² ≤
+    * 65025·dim, overflow-free for any real dimension). */
+  private def dist2Int8(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("long") - y.cast("long"); d * d
+      }),
+      lit(0L), (acc, v) => acc + v)
+
+  /**
+   * Greedy k-center coreset — diversity-based data SELECTION (pick the k
+   * points that best cover the embedding space; farthest-point traversal is
+   * a 2-approximation of the optimal k-center cover): start from a
+   * deterministic seed (smallest md5-hash id — the [[semanticDedup]] seed
+   * rule), then k−1 times select the point FARTHEST from the chosen set
+   * (max over points of min over centers), ties → smallest id. Distances
+   * are exact integer squared euclidean over int8-quantized vectors, so
+   * every selection — and the reported covering-radius progression — is
+   * engine-replayable. Returns (round 1..k, center_id, radius_sq): round
+   * r's radius_sq is the selected point's distance² to the first r−1
+   * centers (0 for the seed), a monotone non-increasing curve — THE
+   * diagnostic for "how many exemplars until coverage plateaus".
+   *
+   * Scale shape: the quantized corpus is persisted once; each round is one
+   * codegen'd scan updating the running min-distance column against the
+   * newly chosen center (a driver-broadcast literal — centers are k rows)
+   * plus one TakeOrdered(1) argmax; round frames go through [[graft.Eager]]
+   * so plan depth stays O(1) in k. k driver round-trips of one row each —
+   * the algorithm is inherently sequential in k, not in n.
+   */
+  def kCenterCoreset(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = df.sparkSession
+    val q0 = quantizeInt8(df.where(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("id"), col("qvec"),
+        md5_prefix60(col("id").cast("string")).as("__h"))
+    graft.Eager.withPersisted(q0) { p =>
+      val seed = p.orderBy(col("__h"), col("id")).limit(1)
+        .select(col("id"), col("qvec")).collect()
+      if (seed.isEmpty)
+        return graft.Eager.materialize(
+          p.select(lit(1L).as("round"), col("id").as("center_id"),
+            lit(0L).as("radius_sq")).limit(0))
+      def vecLit(r: org.apache.spark.sql.Row) =
+        array(r.getSeq[Byte](1).toIndexedSeq.map(v => lit(v)): _*)
+      val centers = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+        (1L, seed(0).getLong(0), 0L))
+      var releaseM: () => Unit = () => ()
+      try {
+        var mind = {
+          val m0 = p.select(col("id"), col("qvec"),
+            dist2Int8(col("qvec"), vecLit(seed(0))).as("m"))
+          val (cp, rel) = graft.Eager.checkpointed(m0)
+          releaseM = rel
+          cp
+        }
+        for (round <- 2 to k) {
+          val next = mind.orderBy(col("m").desc, col("id")).limit(1).collect()(0)
+          centers += ((round.toLong, next.getLong(0), next.getLong(2)))
+          if (round < k) {
+            val upd = mind.select(col("id"), col("qvec"),
+              least(col("m"), dist2Int8(col("qvec"), vecLit(next))).as("m"))
+            val (cp, rel) = graft.Eager.checkpointed(upd)
+            releaseM()
+            releaseM = rel
+            mind = cp
+          }
+        }
+      } finally releaseM()
+      import spark.implicits._
+      centers.toSeq.toDF("round", "center_id", "radius_sq")
+    }
+  }
 }

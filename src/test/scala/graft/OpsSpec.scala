@@ -1095,6 +1095,32 @@ class OpsSpec extends SparkSpec {
     // orthogonal pairs (cos 0) never entered the candidate set
   }
 
+  test("kCenterCoreset: one center per well-separated cluster, monotone " +
+      "radius curve, deterministic under repartition") {
+    // three tight clusters far apart; k=3 must pick one exemplar from each
+    // regardless of which point seeds the traversal
+    val pts = Seq(
+      (1L, Seq(100f, 0f)), (2L, Seq(101f, 0f)),
+      (10L, Seq(0f, 100f)), (11L, Seq(0f, 101f)),
+      (20L, Seq(-100f, -100f)), (21L, Seq(-101f, -101f)))
+      .toDF("id", "vec")
+    def cluster(id: Long) = id / 10
+    val out = Similarity.kCenterCoreset(pts, "id", "vec", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(t => cluster(t._2)).toSet.size == 3,
+      s"one center per cluster: $out")
+    assert(out(0)._3 == 0L, "seed radius is 0")
+    assert(out(1)._3 >= out(2)._3, "covering radius never increases")
+    val again = Similarity.kCenterCoreset(pts.repartition(7), "id", "vec", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "selection must be partition-invariant")
+    // k = 1: just the deterministic seed
+    assert(Similarity.kCenterCoreset(pts, "id", "vec", 1).count() == 1)
+  }
+
   test("Layout.globalRank: ranks are the exact row_number permutation of the " +
       "sort order across many range partitions") {
     val n = 257
