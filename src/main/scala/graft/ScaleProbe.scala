@@ -112,7 +112,19 @@ object ScaleProbe {
     "q160_ivfpq_ann",       // IVF cell prune + PQ ADC scoring
     "q161_stream_ingest",   // 3-stage stateless stream + exact batch gate
     "q165_canonical_select",// capped pairs + CC + quality winner window
-    "q166_frequent_pairs")  // basket-keyed pair join + nano lift
+    "q166_frequent_pairs",  // basket-keyed pair join + nano lift
+    // round-9 continuation (this session's additions)
+    "q167_cross_source_dups", // (fp, source) rollup + fp-keyed self-join
+    "q168_histogram_quantiles", // counter-sum merge + integer rank cuts
+    "q169_soft_dedup",      // fingerprint count + re-join (reweight path)
+    "q170_sorted_neighborhood", // globalRank range shuffle + rank-diff join
+    "q171_label_propagation", // 3 vote rounds over the click graph
+    "q172_margin_alignment",// cross-score + two direction windows
+    "q173_calibration",     // NB class scores + integer bucket grid
+    "q174_systematic_resample", // globalScan + marker arithmetic
+    "q175_kcenter_coreset", // k sequential scans, driver-literal centers
+    "q176_blocklist_gate",  // broadcast-literal token-set gate + rollup
+    "q177_lateness_audit")  // globalRunningMax range shuffle + tiny histogram
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2484,6 +2484,24 @@ object SparkEntry {
     "q175_kcenter_coreset" -> ((s, dir) => {
       Similarity.kCenterCoreset(T(s, dir, "embeddings"), "vec_id",
         "embedding", k = 6)
+    }),
+
+    // --- blocklist gate audit (the C4 bad-words rule): token-granular
+    //     drop-if-any-hit per doc, per-source drop rates in integer
+    //     permille; matching by token set, never substring ----------------
+    "q176_blocklist_gate" -> ((s, dir) => {
+      TextOps.blocklistReport(T(s, dir, "documents"), "source", "text",
+        blocklist = Seq("slow", "vector"))
+    }),
+
+    // --- event-time lateness audit: replay the log as daily user-bucketed
+    //     dumps (arrival = (day, user, event)) and histogram event-time
+    //     lateness vs the high-water mark — the table a watermark is sized
+    //     from. Integer log2 buckets, integer cumulative permilles --------
+    "q177_lateness_audit" -> ((s, dir) => {
+      graft.ops.EventOps.latenessAudit(events(s, dir), "ts",
+        Seq(expr("unix_micros(ts) div 86400000000"), col("user_id"),
+          col("event_id")))
     })
   )
 
@@ -6285,6 +6303,45 @@ object SparkEntry {
          |  UNION ALL SELECT 4, id, m FROM c4
          |  UNION ALL SELECT 5, id, m FROM c5
          |  UNION ALL SELECT 6, id, m FROM c6)""".stripMargin
-    }
+    },
+
+    // Token-set membership (never substring); floor-div permille.
+    "q176_blocklist_gate" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CASE WHEN len(list_filter(
+        |        list_filter(string_split(lower(text), ' '), t -> t <> ''),
+        |        t -> t IN ('slow', 'vector'))) > 0 THEN 1 ELSE 0 END AS dropped
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(dropped) as bigint) AS n_dropped,
+        |  cast(count(*) - sum(dropped) as bigint) AS n_kept,
+        |  cast((1000 * sum(dropped)) // count(*) as bigint) AS drop_permille
+        |FROM d GROUP BY source""".stripMargin,
+
+    // Arrival = (utc-day, user, event); high-water via running max; q148's
+    // bit-length buckets; ceil-free integer permilles.
+    "q177_lateness_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        |r AS (
+        |  SELECT tus, max(tus) OVER (
+        |    ORDER BY tus // 86400000000, user_id, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hw
+        |  FROM e),
+        |l AS (
+        |  SELECT CASE WHEN hw - tus = 0 THEN 0
+        |         ELSE length(bin(hw - tus)) END AS bucket
+        |  FROM r),
+        |b AS (SELECT bucket, count(*) AS n FROM l GROUP BY 1),
+        |c AS (SELECT bucket, n, sum(n) OVER (ORDER BY bucket) AS cum,
+        |       sum(n) OVER () AS tot FROM b)
+        |SELECT cast(bucket as int) AS bucket, n,
+        |  cast(CASE WHEN bucket = 0 THEN 0
+        |       ELSE 1::BIGINT << (bucket - 1) END as bigint) AS lo_us,
+        |  cast(CASE WHEN bucket = 0 THEN 0
+        |       ELSE (1::BIGINT << bucket) - 1 END as bigint) AS hi_us,
+        |  cast((1000 * cum) // tot as bigint) AS cum_permille
+        |FROM c""".stripMargin
   )
 }

@@ -151,6 +151,53 @@ object EventOps {
   }
 
   /**
+   * Event-time lateness audit — the measurement a WATERMARK must be sized
+   * from (too short silently drops late events; too long holds streaming
+   * state): replay the log in ARRIVAL order (`arrivalCols` — ingestion
+   * offset, file sequence, whatever defines "seen before"), track the
+   * event-time high-water mark ([[graft.ops.Layout.globalRunningMax]] — no
+   * single-partition window), and histogram each event's lateness
+   * `high_water − ts` by integer log2 buckets (the q148 bit-length rule —
+   * no float log2). Returns (bucket, n, lo_us, hi_us, cum_permille):
+   * bucket 0 = on-time/monotone, bucket b ≥ 1 covers [2^(b−1), 2^b−1] μs;
+   * read the watermark off the first row with cum_permille ≥ your target
+   * (999 ⇒ "this delay keeps 99.9 % of events"). All integer arithmetic.
+   *
+   * Scale shape: one globalRunningMax range shuffle moving (arrival, ts)
+   * pairs; the histogram is a ≤64-key map-side-combined rollup; the
+   * cumulative permilles fold over that tiny table.
+   */
+  def latenessAudit(events: DataFrame, tsCol: String,
+      arrivalCols: Seq[Column]): DataFrame = {
+    val base = events
+      .select(unix_micros(col(tsCol)).as("__ts") +: arrivalCols: _*)
+      .where(col("__ts").isNotNull)
+    val marked = graft.ops.Layout.globalRunningMax(base, arrivalCols,
+      "__ts", "__hw")
+    val buckets = marked
+      .select((col("__hw") - col("__ts")).as("late"))
+      .withColumn("bucket",
+        when(col("late") === 0L, lit(0))
+          .otherwise(length(bin(col("late")))).cast("int"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ≤64 rows: the global window over the bucket table is driver-trivial
+    buckets
+      .withColumn("__cum", sum(col("n")).over(w))
+      .crossJoin(broadcast(buckets.agg(sum(col("n")).as("__tot"))))
+      .select(col("bucket"), col("n"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), bucket - 1)"))
+          .as("lo_us"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(cast(1 as bigint), bucket) - 1"))
+          .as("hi_us"),
+        expr("(1000 * __cum) div __tot").as("cum_permille"))
+  }
+
+  /**
    * Behavioral-sequence export — the event-log → training-sequence stage of
    * a behavior-model pipeline: each user's events in strict (ts, tie) order
    * collapse to one bounded sequence, fingerprinted (md5 of the joined

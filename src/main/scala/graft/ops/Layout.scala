@@ -180,4 +180,44 @@ object Layout {
       spark.createDataFrame(out, schema)
     }
   }
+
+  /**
+   * Exact GLOBAL running maximum over a total order — the [[globalScan]]
+   * two-pass discipline with max instead of sum (max is associative too:
+   * per-partition maxes prefix-fold into partition offsets). The
+   * "high-water mark so far" primitive behind event-lateness audits and
+   * monotonicity checks. `valueCol` must be LONG and non-null. Returns the
+   * input plus `outCol` = max of `valueCol` over all rows at-or-before this
+   * one in sort order (inclusive).
+   */
+  def globalRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: String,
+      outCol: String = "run_max", numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalRunningMax needs a sort order")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    graft.Eager.withPersisted(sorted) { p =>
+      val vIdx = p.schema.fieldIndex(valueCol)
+      require(p.schema(vIdx).dataType ==
+        org.apache.spark.sql.types.LongType,
+        s"globalRunningMax needs a LONG $valueCol")
+      val maxes = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var m = Long.MinValue
+        it.foreach { r => m = math.max(m, r.getLong(vIdx)) }
+        Iterator((i, m))
+      }.collect().toMap
+      val offsets = (0 until n).scanLeft(Long.MinValue)((acc, i) =>
+        math.max(acc, maxes.getOrElse(i, Long.MinValue))).toArray
+      val schema = p.schema
+        .add(outCol, org.apache.spark.sql.types.LongType, nullable = false)
+      val out = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var m = offsets(i)
+        it.map { r => m = math.max(m, r.getLong(vIdx))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ m) }
+      }
+      spark.createDataFrame(out, schema)
+    }
+  }
 }

@@ -183,6 +183,38 @@ object TextOps {
   val longNumberRe = "[0-9]{7,}"
 
   /**
+   * Blocklist gate report — the C4 "bad words" rule (a document is DROPPED
+   * if any token, lowercased, is on the blocklist) as a per-source audit:
+   * (source, n_docs, n_dropped, n_kept, drop_permille). The gate itself is
+   * a per-row token-set intersection — zero shuffle, scan-bandwidth; the
+   * report is one count(*)-cost rollup. Pair with [[blocklistSurvivors]]
+   * for the cleaned corpus. Integer permille (floor) — replays exactly.
+   *
+   * At 100 TB the blocklist is a broadcast literal (hundreds of terms);
+   * token-granular matching deliberately avoids substring false positives
+   * (the classic "Scunthorpe" failure of naive contains-matching).
+   */
+  def blocklistReport(df: DataFrame, sourceCol: String, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist gates nothing")
+    val hit = count_in_set(tokens(lower(col(textCol))), blocklist) > 0
+    df.select(col(sourceCol).as("source"), hit.cast("long").as("__d"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__d")).as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        (col("n_docs") - col("n_dropped")).as("n_kept"),
+        expr("(1000 * n_dropped) div n_docs").as("drop_permille"))
+  }
+
+  /** The kept side of [[blocklistReport]]'s gate: documents with NO
+    * blocklisted token. Same per-row predicate — zero shuffle. */
+  def blocklistSurvivors(df: DataFrame, textCol: String,
+      blocklist: Seq[String]): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist gates nothing")
+    df.where(count_in_set(tokens(lower(col(textCol))), blocklist) === 0)
+  }
+
+  /**
    * PII redaction for training corpora: replace emails and 7+-digit runs with
    * typed placeholder tokens. Pure per-row `regexp_replace` chain — codegen'd,
    * zero shuffle, scales with scan bandwidth. Patterns are deliberately

@@ -166,4 +166,25 @@ class EventOpsSpec extends SparkSpec {
     assert(full(1L) == ((md5hex("view click buy"), false)))
     assert(full(2L) == ((md5hex("a b c"), false)))
   }
+
+  test("latenessAudit: high-water lateness in log2 buckets with exact " +
+      "cumulative permilles; monotone feed is all bucket 0") {
+    import spark.implicits._
+    // arrival order 1..5; event-time micros: two events arrive 50 us late
+    val ev = Seq((1L, 100L), (2L, 50L), (3L, 200L), (4L, 150L), (5L, 200L))
+      .toDF("arr", "us").withColumn("ts", expr("timestamp_micros(us)"))
+    val out = graft.ops.EventOps.latenessAudit(ev, "ts", Seq(col("arr")))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // lateness 50 has bit length 6 -> bucket [32, 63]
+    assert(out(0) == ((3L, 0L, 0L, 600L)), s"on-time row: $out")
+    assert(out(6) == ((2L, 32L, 63L, 1000L)), s"late bucket: $out")
+    assert(out.size == 2)
+    // monotone arrival: everything lands in bucket 0 at permille 1000
+    val mono = Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("arr", "us").withColumn("ts", expr("timestamp_micros(us)"))
+    val m = graft.ops.EventOps.latenessAudit(mono, "ts", Seq(col("arr")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
+    assert(m.toSeq == Seq((0, 3L, 1000L)))
+  }
 }

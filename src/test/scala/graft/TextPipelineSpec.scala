@@ -916,4 +916,24 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => r.getInt(1) -> r.getLong(3)).toMap
     assert(pb == Map(3 -> 7L, 4 -> 8L))
   }
+
+  test("blocklistReport/Survivors: token-granular gate (no substring false " +
+      "positives), per-source floor-permille rates") {
+    val docs = Seq(
+      (1L, "a", "clean text here"),
+      (2L, "a", "contains BADWORD today"),        // case-folded hit
+      (3L, "a", "notbadword embedded is fine"),   // substring must NOT trip
+      (4L, "b", "badword badword twice"),
+      (5L, "b", "all clear"),
+      (6L, "b", "spotless"))
+      .toDF("id", "source", "text")
+    val rep = TextOps.blocklistReport(docs, "source", "text", Seq("badword"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rep("a") == ((3L, 1L, 2L, 333L)), s"source a: $rep")
+    assert(rep("b") == ((3L, 1L, 2L, 333L)), s"source b: $rep")
+    val kept = TextOps.blocklistSurvivors(docs, "text", Seq("badword"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 5L, 6L), "doc 3's substring must survive")
+  }
 }
