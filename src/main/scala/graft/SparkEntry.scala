@@ -2502,7 +2502,13 @@ object SparkEntry {
       graft.ops.EventOps.latenessAudit(events(s, dir), "ts",
         Seq(expr("unix_micros(ts) div 86400000000"), col("user_id"),
           col("event_id")))
-    })
+    }),
+
+    // --- dedup threshold tuning curve: one exact-jaccard pair pass down to
+    //     0.2, each pair fanned into every decile it satisfies — the
+    //     removal-cost table for every candidate threshold at once --------
+    "q178_threshold_curve" -> ((s, dir) =>
+      Dedup.thresholdCurve(T(s, dir, "documents"), "doc_id", "text"))
   )
 
   // =========================================================================
@@ -6342,6 +6348,42 @@ object SparkEntry {
         |  cast(CASE WHEN bucket = 0 THEN 0
         |       ELSE (1::BIGINT << bucket) - 1 END as bigint) AS hi_us,
         |  cast((1000 * cum) // tot as bigint) AS cum_permille
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    // q24's exact-jaccard pair replay at >= 0.2, fanned into deciles; the
+    // same IEEE division decides membership in both engines.
+    "q178_threshold_curve" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT id_b, inter / cast(na.n + nb.n - inter as double) AS jac
+        |  FROM pairs
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.2),
+        |x AS (
+        |  SELECT id_b, d FROM j CROSS JOIN
+        |    (SELECT unnest(generate_series(2, 10)) AS d)
+        |  WHERE jac >= d / 10.0)
+        |SELECT cast(d * 100 as bigint) AS threshold_permille,
+        |  count(*) AS n_pairs,
+        |  cast(count(DISTINCT id_b) as bigint) AS n_victims
+        |FROM x GROUP BY d""".stripMargin
   )
 }

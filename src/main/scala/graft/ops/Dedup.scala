@@ -365,6 +365,33 @@ object Dedup {
   }
 
   /**
+   * Dedup threshold tuning curve — the "what would threshold t cost me"
+   * table computed in ONE pair pass instead of one dedup run per candidate
+   * threshold: exact n-gram Jaccard pairs down to 0.2 ([[ngramJaccard]] —
+   * the expensive part, done once), then each pair fans into every decile
+   * threshold it satisfies. Returns per decile (threshold_permille ∈
+   * {200..1000}: n_pairs, n_victims) — n_victims is the DISTINCT count of
+   * docs the keep-first rule would drop at that threshold, i.e. exactly the
+   * removal cost of running [[removeDuplicates]] there. Threshold
+   * membership compares the identical IEEE division in both engines, so
+   * the curve replays bit-for-bit.
+   *
+   * Scale shape: the pair table is near-dup-sized (never corpus²); the
+   * fan-out is ≤ 9× pairs; the rollup is a 9-key distinct-count.
+   */
+  def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, maxDf: Option[Int] = Some(1000)): DataFrame = {
+    val pairs = ngramJaccard(df, idCol, textCol, shingleSize,
+      threshold = 0.2, maxDf = maxDf)
+    pairs.select(col("id_b"), col("jaccard"),
+        explode(sequence(lit(2), lit(10))).as("d"))
+      .where(col("jaccard") >= col("d").cast("double") / lit(10.0d))
+      .groupBy((col("d") * 100).cast("long").as("threshold_permille"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("id_b")).as("n_victims"))
+  }
+
+  /**
    * SimHash near-dup pairs with Hamming distance ≤ `maxHamming` (≤ 3 for full
    * recall via 16-bit pigeonhole banding). Returns (id_a, id_b, hamming).
    */

@@ -1095,6 +1095,22 @@ class OpsSpec extends SparkSpec {
     // orthogonal pairs (cos 0) never entered the candidate set
   }
 
+  test("thresholdCurve: one pair pass fans into every satisfied decile; " +
+      "victim counts are distinct keep-first drops") {
+    // d1 = d2 (jaccard 1.0); d3 shares 1 of 3 union shingles with each
+    // (jaccard 1/3): thresholds 200/300 see all three pairs, 400+ only the
+    // exact-dup pair
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4"), (2L, "w1 w2 w3 w4"), (3L, "w1 w2 w3 x"))
+      .toDF("id", "text")
+    val out = Dedup.thresholdCurve(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out.keySet == (2 to 10).map(_ * 100L).toSet)
+    assert(out(200L) == ((3L, 2L)) && out(300L) == ((3L, 2L)), s"low: $out")
+    (4 to 10).foreach(d => assert(out(d * 100L) == ((1L, 1L)), s"d=$d: $out"))
+  }
+
   test("kCenterCoreset: one center per well-separated cluster, monotone " +
       "radius curve, deterministic under repartition") {
     // three tight clusters far apart; k=3 must pick one exemplar from each
