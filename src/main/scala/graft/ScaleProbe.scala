@@ -125,7 +125,8 @@ object ScaleProbe {
     "q175_kcenter_coreset", // k sequential scans, driver-literal centers
     "q176_blocklist_gate",  // broadcast-literal token-set gate + rollup
     "q177_lateness_audit",  // globalRunningMax range shuffle + tiny histogram
-    "q178_threshold_curve") // one jaccard pair pass + decile fan-out
+    "q178_threshold_curve", // one jaccard pair pass + decile fan-out
+    "q179_paired_bootstrap") // two rank windows + (reps x n) integer join
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2508,7 +2508,42 @@ object SparkEntry {
     //     0.2, each pair fanned into every decile it satisfies — the
     //     removal-cost table for every candidate threshold at once --------
     "q178_threshold_curve" -> ((s, dir) =>
-      Dedup.thresholdCurve(T(s, dir, "documents"), "doc_id", "text"))
+      Dedup.thresholdCurve(T(s, dir, "documents"), "doc_id", "text")),
+
+    // --- paired bootstrap ranker comparison: tf-rank vs density-rank MRR
+    //     over 12 term queries, 1000 md5-seeded replicas — the significance
+    //     verdict ("A beats B in k/1000 replicas") with zero RNG ----------
+    "q179_paired_bootstrap" -> ((s, dir) => {
+      val terms = Seq("spark", "window", "merge", "join", "hash", "scan",
+        "filter", "batch", "query", "table", "vector", "stream")
+      val docs = T(s, dir, "documents")
+      val base = docs
+        .select(col("doc_id"), tokens(lower(col("text"))).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("len"),
+          explode(col("tk")).as("tok"))
+        .where(col("tok").isin(terms: _*))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("c"), max(col("len")).as("len"))
+        .select(col("tok"), col("doc_id"), col("c"),
+          expr("c * cast(1000000000 as bigint) div len").as("dens"),
+          (col("c") >= 2).as("rel"))
+      def rrBy(orderCol: String, out: String) = {
+        val w = Window.partitionBy(col("tok"))
+          .orderBy(col(orderCol).desc, col("doc_id"))
+        base.withColumn("rk", row_number().over(w))
+          .where(col("rk") <= 10 && col("rel"))
+          .groupBy(col("tok")).agg(min(col("rk").cast("long")).as("fr"))
+          .select(col("tok"),
+            expr("cast(1000000000 as bigint) div fr").as(out))
+      }
+      import s.implicits._
+      val perQuery = terms.toDF("tok")
+        .join(rrBy("c", "rr_a"), Seq("tok"), "left")
+        .join(rrBy("dens", "rr_b"), Seq("tok"), "left")
+        .na.fill(0L, Seq("rr_a", "rr_b"))
+      Similarity.pairedBootstrap(perQuery, "tok", "rr_a", "rr_b",
+        resamples = 1000)
+    })
   )
 
   // =========================================================================
@@ -6384,6 +6419,64 @@ object SparkEntry {
         |SELECT cast(d * 100 as bigint) AS threshold_permille,
         |  count(*) AS n_pairs,
         |  cast(count(DISTINCT id_b) as bigint) AS n_victims
-        |FROM x GROUP BY d""".stripMargin
+        |FROM x GROUP BY d""".stripMargin,
+
+    // Two integer rank windows -> first-relevant reciprocal ranks; dense
+    // query index by alphabetical term; md5(rep_slot) % 12 replica draws.
+    "q179_paired_bootstrap" ->
+      """WITH terms AS (
+        |  SELECT unnest(['spark', 'window', 'merge', 'join', 'hash', 'scan',
+        |    'filter', 'batch', 'query', 'table', 'vector', 'stream']) AS tok),
+        |tk AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |base AS (
+        |  SELECT tok, doc_id, count(*) AS c, max(len) AS len
+        |  FROM (SELECT doc_id, len(toks) AS len, unnest(toks) AS tok FROM tk)
+        |  JOIN terms USING (tok)
+        |  GROUP BY tok, doc_id),
+        |sc AS (
+        |  SELECT tok, doc_id, c,
+        |    (c * 1000000000) // len AS dens, c >= 2 AS rel
+        |  FROM base),
+        |ra AS (
+        |  SELECT tok, 1000000000 // min(rk) AS rr_a FROM (
+        |    SELECT tok, rel, row_number() OVER (
+        |      PARTITION BY tok ORDER BY c DESC, doc_id) AS rk FROM sc)
+        |  WHERE rk <= 10 AND rel GROUP BY tok),
+        |rb AS (
+        |  SELECT tok, 1000000000 // min(rk) AS rr_b FROM (
+        |    SELECT tok, rel, row_number() OVER (
+        |      PARTITION BY tok ORDER BY dens DESC, doc_id) AS rk FROM sc)
+        |  WHERE rk <= 10 AND rel GROUP BY tok),
+        |pq AS (
+        |  SELECT t.tok, coalesce(ra.rr_a, 0) AS a, coalesce(rb.rr_b, 0) AS b
+        |  FROM terms t
+        |  LEFT JOIN ra ON ra.tok = t.tok LEFT JOIN rb ON rb.tok = t.tok),
+        |idx AS (
+        |  SELECT row_number() OVER (ORDER BY tok) - 1 AS qidx, a - b AS d
+        |  FROM pq),
+        |slots AS (
+        |  SELECT r.rep,
+        |    ('0x' || substr(md5(r.rep || '_' || s.slot), 1, 15))::BIGINT % 12
+        |      AS qidx
+        |  FROM (SELECT unnest(generate_series(1, 1000)) AS rep) r,
+        |       (SELECT unnest(generate_series(0, 11)) AS slot) s),
+        |reps AS (
+        |  SELECT sl.rep, sum(i.d) AS s
+        |  FROM slots sl JOIN idx i ON i.qidx = sl.qidx GROUP BY sl.rep),
+        |v AS (
+        |  SELECT sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS wins_a,
+        |    sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS wins_b,
+        |    sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ties
+        |  FROM reps)
+        |SELECT cast(12 as bigint) AS n_queries,
+        |  cast(1000 as bigint) AS resamples,
+        |  cast(wins_a as bigint) AS wins_a, cast(wins_b as bigint) AS wins_b,
+        |  cast(ties as bigint) AS ties,
+        |  cast((1000 * wins_a) // 1000 as bigint) AS win_a_permille,
+        |  cast((SELECT sum(d) FROM idx) as bigint) AS delta_nano_observed
+        |FROM v""".stripMargin
   )
 }

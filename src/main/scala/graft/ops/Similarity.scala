@@ -875,6 +875,62 @@ object Similarity {
     }
   }
 
+  /**
+   * Deterministic paired bootstrap test — "is system A really better than
+   * system B, or did I get lucky with my query set?" (the significance
+   * check behind every retrieval/eval comparison): given per-query PAIRED
+   * integer metrics for the two systems, draw `resamples` bootstrap
+   * replicas of the query set (each replica re-draws n queries WITH
+   * replacement) and count how often each system wins the replica's summed
+   * metric. Resample indices come from md5 of (replica, slot) — zero RNG,
+   * engine-replayable; every comparison is on exact integer sums. Returns
+   * ONE row: (n_queries, resamples, wins_a, wins_b, ties, win_a_permille,
+   * delta_nano_observed) — `delta_nano_observed` is the full-set Σ(a−b);
+   * read "A beats B in 983/1000 replicas" directly off win_a_permille.
+   *
+   * Scale shape: queries get a dense index from [[graft.ops.Layout.globalRank]]
+   * (range shuffle, no single-partition window); the replica table is
+   * (resamples × n) rows of three integers joined on the uniform index key;
+   * the verdict is a resamples-key rollup then a single-row fold.
+   */
+  def pairedBootstrap(perQuery: DataFrame, qidCol: String, aCol: String,
+      bCol: String, resamples: Int = 1000): DataFrame = {
+    require(resamples > 0, "need at least one bootstrap replica")
+    val base = perQuery.select(col(qidCol).cast("string").as("qid"),
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val indexed = graft.ops.Layout.globalRank(base, Seq(col("qid")), "__rn")
+      .select((col("__rn") - 1).as("qidx"), (col("a") - col("b")).as("d"))
+    graft.Eager.withPersisted(indexed) { p =>
+      val nQ = p.count()
+      if (nQ == 0)
+        return graft.Eager.materialize(p.select(lit(0L).as("n_queries"),
+          lit(resamples.toLong).as("resamples"), lit(0L).as("wins_a"),
+          lit(0L).as("wins_b"), lit(0L).as("ties"),
+          lit(0L).as("win_a_permille"),
+          lit(0L).as("delta_nano_observed")).limit(0))
+      val spark = p.sparkSession
+      val slots = spark.range(1, resamples + 1L).toDF("rep")
+        .crossJoin(spark.range(0, nQ).toDF("slot"))
+        .select(col("rep"),
+          pmod(md5_prefix60(concat_ws("_", col("rep"), col("slot"))),
+            lit(nQ)).as("qidx"))
+      val reps = slots.join(p, Seq("qidx"))
+        .groupBy(col("rep")).agg(sum(col("d")).as("s"))
+      val verdict = reps.agg(
+        sum(when(col("s") > 0, 1L).otherwise(0L)).as("wins_a"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("wins_b"),
+        sum(when(col("s") === 0, 1L).otherwise(0L)).as("ties"))
+      val observed = p.agg(coalesce(sum(col("d")), lit(0L))
+        .as("delta_nano_observed"))
+      verdict.crossJoin(observed)
+        .select(lit(nQ).as("n_queries"),
+          lit(resamples.toLong).as("resamples"),
+          col("wins_a"), col("wins_b"), col("ties"),
+          expr(s"(1000 * wins_a) div $resamples").as("win_a_permille"),
+          col("delta_nano_observed"))
+    }
+  }
+
   /** Exact integer squared euclidean distance between two int8 vectors
     * (elements widened to long before the difference — Σ(aᵢ−bᵢ)² ≤
     * 65025·dim, overflow-free for any real dimension). */

@@ -1095,6 +1095,29 @@ class OpsSpec extends SparkSpec {
     // orthogonal pairs (cos 0) never entered the candidate set
   }
 
+  test("pairedBootstrap: uniform-winner and all-tie extremes are exact; " +
+      "accounting invariants hold; partition-invariant") {
+    val mixed = Seq(("q1", 10L, 4L), ("q2", 8L, 9L), ("q3", 5L, 5L),
+      ("q4", 7L, 1L)).toDF("qid", "a", "b")
+    val r = Similarity.pairedBootstrap(mixed, "qid", "a", "b", resamples = 200)
+      .collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 200L)
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) == 200L,
+      "every replica is a win, loss, or tie")
+    assert(r.getLong(6) == (10L - 4L) + (8L - 9L) + 0L + (7L - 1L))
+    // A strictly better on every query -> every replica sum positive
+    val sweep = Seq(("q1", 5L, 1L), ("q2", 9L, 2L)).toDF("qid", "a", "b")
+    val s = Similarity.pairedBootstrap(sweep, "qid", "a", "b", 100).collect()(0)
+    assert(s.getLong(2) == 100L && s.getLong(5) == 1000L)
+    // identical systems -> every replica ties
+    val tie = Seq(("q1", 3L, 3L), ("q2", 8L, 8L)).toDF("qid", "a", "b")
+    assert(Similarity.pairedBootstrap(tie, "qid", "a", "b", 50)
+      .collect()(0).getLong(4) == 50L)
+    val again = Similarity.pairedBootstrap(mixed.repartition(5), "qid",
+      "a", "b", 200).collect()(0)
+    assert(r.toSeq == again.toSeq, "bootstrap must be draw-deterministic")
+  }
+
   test("thresholdCurve: one pair pass fans into every satisfied decile; " +
       "victim counts are distinct keep-first drops") {
     // d1 = d2 (jaccard 1.0); d3 shares 1 of 3 union shingles with each
