@@ -126,7 +126,8 @@ object ScaleProbe {
     "q176_blocklist_gate",  // broadcast-literal token-set gate + rollup
     "q177_lateness_audit",  // globalRunningMax range shuffle + tiny histogram
     "q178_threshold_curve", // one jaccard pair pass + decile fan-out
-    "q179_paired_bootstrap") // two rank windows + (reps x n) integer join
+    "q179_paired_bootstrap", // two rank windows + (reps x n) integer join
+    "q180_precision_thresholds") // globalScan + target fan + rank-key join
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

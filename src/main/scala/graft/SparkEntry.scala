@@ -2543,6 +2543,22 @@ object SparkEntry {
         .na.fill(0L, Seq("rr_a", "rr_b"))
       Similarity.pairedBootstrap(perQuery, "tok", "rr_a", "rr_b",
         resamples = 1000)
+    }),
+
+    // --- precision-guaranteed auto-thresholding: the deepest NB-margin cut
+    //     meeting each precision target (maximize recall subject to the
+    //     floor) — the operating-point picker for a corpus gate -----------
+    "q180_precision_thresholds" -> ((s, dir) => {
+      val labeled = T(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" alpha beta alpha")))
+          .otherwise(col("text")).as("text"),
+        when(col("doc_id") % 3 === 0, lit("aug")).otherwise(lit("plain"))
+          .as("cls"))
+      val margins = TextOps.nbLogOdds(labeled, "doc_id", "text", "cls", "aug")
+      Audit.precisionThresholds(
+        margins.withColumn("is_aug", col("cls") === "aug"),
+        "doc_id", "margin_nano", "is_aug", Seq(800, 900, 950, 990))
     })
   )
 
@@ -6477,6 +6493,77 @@ object SparkEntry {
         |  cast(ties as bigint) AS ties,
         |  cast((1000 * wins_a) // 1000 as bigint) AS win_a_permille,
         |  cast((SELECT sum(d) FROM idx) as bigint) AS delta_nano_observed
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    // q173's NB margin replay, then descending-score running precision and
+    // the deepest cut per target (max rank meeting the floor).
+    "q180_precision_thresholds" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' alpha beta alpha'
+        |         ELSE text END AS text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'aug' ELSE 'plain' END AS cls
+        |  FROM documents),
+        |tk AS (
+        |  SELECT doc_id, cls,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 256 AS b
+        |  FROM (
+        |    SELECT doc_id, cls,
+        |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |        AS tok
+        |    FROM base)),
+        |cls AS (SELECT cls AS c, count(*) AS n_docs FROM base GROUP BY 1),
+        |tot AS (SELECT sum(n_docs) AS nd FROM cls),
+        |pri AS (
+        |  SELECT c, cast(round(ln(n_docs / cast(nd as double)) * 1e9, 0)
+        |    as bigint) AS pn
+        |  FROM cls CROSS JOIN tot),
+        |cnts AS (SELECT cls AS c, b, count(*) AS cnt FROM tk GROUP BY 1, 2),
+        |ctot AS (SELECT c, sum(cnt) AS tc FROM cnts GROUP BY 1),
+        |grid AS (
+        |  SELECT c, gs.b FROM cls,
+        |    (SELECT unnest(generate_series(0, 255)) AS b) gs),
+        |w AS (
+        |  SELECT grid.c, grid.b, cast(round(
+        |    ln((coalesce(cnt, 0) + 1) / cast(coalesce(tc, 0) + 256 as double))
+        |      * 1e9, 0) as bigint) AS wn
+        |  FROM grid
+        |  LEFT JOIN cnts ON cnts.c = grid.c AND cnts.b = grid.b
+        |  LEFT JOIN ctot ON ctot.c = grid.c),
+        |sc AS (
+        |  SELECT tk.doc_id, tk.cls, w.c, sum(wn) AS sw
+        |  FROM tk JOIN w ON tk.b = w.b GROUP BY 1, 2, 3),
+        |scj AS (
+        |  SELECT doc_id, cls, c, sw + pn AS score FROM sc JOIN pri USING (c)),
+        |m AS (
+        |  SELECT a.doc_id, a.cls, a.score - max(b.score) AS mg
+        |  FROM scj a JOIN scj b ON a.doc_id = b.doc_id AND b.c <> 'aug'
+        |  WHERE a.c = 'aug' GROUP BY a.doc_id, a.cls, a.score),
+        |r AS (
+        |  SELECT doc_id, mg AS s,
+        |    CASE WHEN cls = 'aug' THEN 1 ELSE 0 END AS p
+        |  FROM m),
+        |c2 AS (
+        |  SELECT row_number() OVER (ORDER BY s DESC, doc_id) AS rank, s,
+        |    sum(p) OVER (ORDER BY s DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS positives
+        |  FROM r),
+        |pr AS (
+        |  SELECT rank, s, positives,
+        |    (1000000000 * positives) // rank AS precision_nano
+        |  FROM c2),
+        |fan AS (
+        |  SELECT t.target, max(rank) AS cut_rank
+        |  FROM pr CROSS JOIN
+        |    (SELECT unnest([800, 900, 950, 990]) AS target) t
+        |  WHERE precision_nano >= t.target * 1000000
+        |  GROUP BY t.target)
+        |SELECT cast(f.target as int) AS target_permille,
+        |  cast(f.cut_rank as bigint) AS cut_rank,
+        |  cast(p.s as bigint) AS threshold,
+        |  cast(f.cut_rank as bigint) AS kept,
+        |  cast(p.positives as bigint) AS positives,
+        |  cast(p.precision_nano as bigint) AS precision_nano
+        |FROM fan f JOIN pr p ON p.rank = f.cut_rank""".stripMargin
   )
 }

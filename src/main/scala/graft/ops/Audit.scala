@@ -157,6 +157,54 @@ object Audit {
    * Scale shape: one scan reducing each row to (bucket, isPositive); one
    * map-side-combinable groupBy on the ≤`bins`-value key — count(*) cost.
    */
+  /**
+   * Precision-guaranteed threshold selection — the AUTO-TUNING twin of
+   * [[reliabilityReport]]: instead of describing calibration, PICK the
+   * operating point. Rows are laid out by score descending (ties → id — a
+   * total order via [[graft.ops.Layout.globalScan]], no single-partition
+   * window); for each precision target the DEEPEST cut whose running
+   * precision `1e9·cum_positives/rank` still meets the target is reported:
+   * (target_permille, cut_rank, threshold, kept, positives,
+   * precision_nano). `threshold` is the score of the last admitted row —
+   * "gate at score ≥ t and you keep `kept` rows at ≥ target precision,
+   * measured on this labeled set". Targets nobody can meet produce no row
+   * (an empty verdict IS the answer). All integer arithmetic.
+   *
+   * Note the deepest-cut rule: running precision is not monotone, so this
+   * maximizes RECALL subject to the precision floor — the standard
+   * operating-point choice for a corpus gate.
+   *
+   * Scale shape: one globalScan range shuffle of (score, flag, id); the
+   * target fan-out is |targets|× a three-integer row; per-target verdicts
+   * are max-aggregations joined back on the rank key.
+   */
+  def precisionThresholds(df: DataFrame, idCol: String, scoreCol: String,
+      labelCol: String, targetsPermille: Seq[Int]): DataFrame = {
+    require(targetsPermille.nonEmpty, "need at least one precision target")
+    require(targetsPermille.forall(t => t > 0 && t <= 1000),
+      "targets are permille values in (0, 1000]")
+    val base = df.select(col(idCol).as("__id"),
+      col(scoreCol).cast("long").as("s"),
+      col(labelCol).cast("boolean").cast("long").as("__p"))
+    val scanned = graft.ops.Layout.globalScan(base,
+        Seq(col("s").desc, col("__id")), "__p", "rank", "positives")
+      .select(col("rank"), col("s"),
+        col("positives"),
+        expr("(1000000000 * positives) div rank").as("precision_nano"))
+    graft.Eager.withPersisted(scanned) { p =>
+      val fan = p.select(col("rank"), col("precision_nano"),
+          explode(array(targetsPermille.distinct.sorted.map(lit(_)): _*))
+            .as("target_permille"))
+        .where(col("precision_nano") >=
+          col("target_permille").cast("long") * lit(1000000L))
+        .groupBy(col("target_permille")).agg(max(col("rank")).as("cut_rank"))
+      fan.join(p, fan("cut_rank") === p("rank"))
+        .select(col("target_permille"), col("cut_rank"),
+          col("s").as("threshold"), col("cut_rank").as("kept"),
+          col("positives"), col("precision_nano"))
+    }
+  }
+
   def reliabilityReport(df: DataFrame, scoreCol: String, labelCol: String,
       lo: Long, hi: Long, bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "need hi > lo and at least one bin")

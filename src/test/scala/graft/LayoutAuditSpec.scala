@@ -158,6 +158,29 @@ class LayoutAuditSpec extends SparkSpec {
       Audit.reliabilityReport(rows.toDF("s", "y"), "s", "y", 0L, 100L, 7))
   }
 
+  test("precisionThresholds: deepest cut per target maximizes recall under " +
+      "the floor; boundary equality admits; unmeetable targets yield no row") {
+    // scores 10..1; positives at ranks 1,2,3,5 -> running precision
+    // 1, 1, 1, .75, .8, .67, .57, .5, .44, .4
+    val labels = Seq(true, true, true, false, true,
+      false, false, false, false, false)
+    val rows = labels.zipWithIndex.map { case (l, i) =>
+      (i + 1L, 10L - i, l) }.toDF("id", "s", "y")
+    val out = Audit.precisionThresholds(rows, "id", "s", "y",
+        Seq(1000, 800, 500))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(1000) == ((3L, 8L, 3L, 3L, 1000000000L)))
+    assert(out(800) == ((5L, 6L, 5L, 4L, 800000000L)),
+      "rank 5 meets 0.8 exactly — boundary admits")
+    assert(out(500) == ((8L, 3L, 8L, 4L, 500000000L)))
+    // a gate nobody passes: first-ranked row is negative -> precision can
+    // never reach 1000 permille
+    val hopeless = Seq((1L, 9L, false), (2L, 5L, true)).toDF("id", "s", "y")
+    assert(Audit.precisionThresholds(hopeless, "id", "s", "y",
+      Seq(1000)).isEmpty)
+  }
+
   test("nbLogOdds: margin sign agrees with nbTrainScore's argmax " +
       "(posClass wins ties by class-name order)") {
     val docs = Seq(
