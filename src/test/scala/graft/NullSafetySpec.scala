@@ -63,4 +63,33 @@ class NullSafetySpec extends SparkSpec {
       Seq.fill(64)(0.1f), 5).isEmpty)
     assert(Similarity.centroids(emptyVec, "label", "embedding").isEmpty)
   }
+
+  test("session additions tolerate degenerate input: null text drops from " +
+      "soft-dedup/sorted-neighborhood; empty frames stay empty") {
+    val soft = Dedup.softDedupWeights(degenerate, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!soft.contains(2L), "null text has no fingerprint to weight")
+    assert(soft(0L) == 2L && soft(4L) == 2L, "planted dup cluster counted")
+    // null text -> null signature -> null hamming, filtered: the null row
+    // sorts into the rank order but can never emit a pair
+    val sn = Dedup.sortedNeighborhood(degenerate, "doc_id", "text",
+      window = 4, maxHamming = 0).collect()
+    assert(!sn.exists(r => r.getLong(0) == 2L || r.getLong(1) == 2L))
+    assert(sn.exists(r => (r.getLong(0), r.getLong(1)) == ((0L, 4L))),
+      "the planted exact dup still pairs")
+    val empty = degenerate.where(col("doc_id") < 0)
+    assert(Dedup.softDedupWeights(empty, "doc_id", "text").isEmpty)
+    assert(Dedup.sortedNeighborhood(empty, "doc_id", "text").isEmpty)
+    assert(Dedup.thresholdCurve(empty, "doc_id", "text").isEmpty)
+    assert(graft.ops.Layout.globalRank(empty, Seq(col("doc_id"))).isEmpty)
+    val emptyVec = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .where(col("vec_id") < 0)
+    assert(Similarity.marginAlignment(emptyVec, emptyVec, "vec_id",
+      "embedding").isEmpty)
+    assert(Similarity.kCenterCoreset(emptyVec, "vec_id", "embedding", 3)
+      .isEmpty)
+    assert(Similarity.pairedBootstrap(
+      empty.select(col("doc_id"), lit(1L).as("a"), lit(1L).as("b")),
+      "doc_id", "a", "b", 10).isEmpty)
+  }
 }
