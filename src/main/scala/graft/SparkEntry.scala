@@ -6401,8 +6401,9 @@ object SparkEntry {
         |  cast((1000 * cum) // tot as bigint) AS cum_permille
         |FROM c""".stripMargin,
 
-    // q24's exact-jaccard pair replay at >= 0.2, fanned into deciles; the
-    // same IEEE division decides membership in both engines.
+    // q24's exact-jaccard pair replay at >= 0.2, fanned into deciles;
+    // membership is the integer test 10*inter >= d*union — exact at every
+    // decile boundary (never the rounded score vs a float cut).
     "q178_threshold_curve" ->
       """WITH t AS (
         |  SELECT doc_id,
@@ -6423,7 +6424,7 @@ object SparkEntry {
         |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id),
         |j AS (
-        |  SELECT id_b, inter / cast(na.n + nb.n - inter as double) AS jac
+        |  SELECT id_b, inter, na.n + nb.n - inter AS uni
         |  FROM pairs
         |  JOIN sizes na ON na.doc_id = id_a
         |  JOIN sizes nb ON nb.doc_id = id_b
@@ -6431,7 +6432,7 @@ object SparkEntry {
         |x AS (
         |  SELECT id_b, d FROM j CROSS JOIN
         |    (SELECT unnest(generate_series(2, 10)) AS d)
-        |  WHERE jac >= d / 10.0)
+        |  WHERE inter * 10 >= d * uni)
         |SELECT cast(d * 100 as bigint) AS threshold_permille,
         |  count(*) AS n_pairs,
         |  cast(count(DISTINCT id_b) as bigint) AS n_victims

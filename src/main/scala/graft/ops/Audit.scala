@@ -141,23 +141,6 @@ object Audit {
   }
 
   /**
-   * Reliability (calibration) report over an integer score — the
-   * reliability-diagram table that decides whether a learned score is
-   * usable as a CONFIDENCE before it gates a corpus: clamp the score to
-   * [lo, hi), cut the range into `bins` equal integer cells (everything
-   * below `lo` lands in bucket 0, at/above `hi` in bucket bins−1 — the
-   * clamp IS the edge-bucket semantics, not an error), and report each
-   * occupied cell's population, positive count, and exact positive rate
-   * `rate_nano = floor(1e9 · positives / n)`. A well-calibrated score shows
-   * rate_nano rising monotonically across buckets; a cliff or plateau says
-   * "threshold here" / "don't trust magnitudes". All arithmetic integer —
-   * the report replays exactly. `(hi − lo)` must divide evenly by `bins`.
-   * Returns (bucket, lo, hi, n, positives, rate_nano).
-   *
-   * Scale shape: one scan reducing each row to (bucket, isPositive); one
-   * map-side-combinable groupBy on the ≤`bins`-value key — count(*) cost.
-   */
-  /**
    * Precision-guaranteed threshold selection — the AUTO-TUNING twin of
    * [[reliabilityReport]]: instead of describing calibration, PICK the
    * operating point. Rows are laid out by score descending (ties → id — a
@@ -183,9 +166,13 @@ object Audit {
     require(targetsPermille.nonEmpty, "need at least one precision target")
     require(targetsPermille.forall(t => t > 0 && t <= 1000),
       "targets are permille values in (0, 1000]")
+    // unlabeled (null) rows carry no evidence: exclude them BEFORE the scan
+    // rather than hand globalScan a null weight (its getLong would NPE) or
+    // silently count them as negatives in every precision denominator
     val base = df.select(col(idCol).as("__id"),
       col(scoreCol).cast("long").as("s"),
       col(labelCol).cast("boolean").cast("long").as("__p"))
+      .where(col("s").isNotNull && col("__p").isNotNull)
     val scanned = graft.ops.Layout.globalScan(base,
         Seq(col("s").desc, col("__id")), "__p", "rank", "positives")
       .select(col("rank"), col("s"),
@@ -205,6 +192,23 @@ object Audit {
     }
   }
 
+  /**
+   * Reliability (calibration) report over an integer score — the
+   * reliability-diagram table that decides whether a learned score is
+   * usable as a CONFIDENCE before it gates a corpus: clamp the score to
+   * [lo, hi), cut the range into `bins` equal integer cells (everything
+   * below `lo` lands in bucket 0, at/above `hi` in bucket bins−1 — the
+   * clamp IS the edge-bucket semantics, not an error), and report each
+   * occupied cell's population, positive count, and exact positive rate
+   * `rate_nano = floor(1e9 · positives / n)`. A well-calibrated score shows
+   * rate_nano rising monotonically across buckets; a cliff or plateau says
+   * "threshold here" / "don't trust magnitudes". All arithmetic integer —
+   * the report replays exactly. `(hi − lo)` must divide evenly by `bins`.
+   * Returns (bucket, lo, hi, n, positives, rate_nano).
+   *
+   * Scale shape: one scan reducing each row to (bucket, isPositive); one
+   * map-side-combinable groupBy on the ≤`bins`-value key — count(*) cost.
+   */
   def reliabilityReport(df: DataFrame, scoreCol: String, labelCol: String,
       lo: Long, hi: Long, bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "need hi > lo and at least one bin")

@@ -355,37 +355,43 @@ object Dedup {
         explode(array((1 to window).map(lit(_)): _*)).as("__d"),
         col("__rn"))
       .select(col("ida"), col("siga"), (col("__rn") + col("__d")).as("__rn"))
+    // ranks are unique, so each unordered pair arises from exactly ONE
+    // (rank, rank+d) combination — no dedup pass needed on the output
     probes.join(ranked.select(col("id").as("idb"), col("sig").as("sigb"),
         col("__rn")), Seq("__rn"))
       .withColumn("hamming", hamming64(col("siga"), col("sigb")))
       .where(col("hamming") <= maxHamming)
       .select(least(col("ida"), col("idb")).as("id_a"),
         greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
-      .dropDuplicates("id_a", "id_b")
   }
 
   /**
    * Dedup threshold tuning curve — the "what would threshold t cost me"
    * table computed in ONE pair pass instead of one dedup run per candidate
-   * threshold: exact n-gram Jaccard pairs down to 0.2 ([[ngramJaccard]] —
-   * the expensive part, done once), then each pair fans into every decile
+   * threshold: exact n-gram Jaccard pairs down to 0.2 ([[ngramJaccardPairs]]
+   * — the expensive part, done once), then each pair fans into every decile
    * threshold it satisfies. Returns per decile (threshold_permille ∈
    * {200..1000}: n_pairs, n_victims) — n_victims is the DISTINCT count of
    * docs the keep-first rule would drop at that threshold, i.e. exactly the
-   * removal cost of running [[removeDuplicates]] there. Threshold
-   * membership compares the identical IEEE division in both engines, so
-   * the curve replays bit-for-bit.
+   * removal cost of running [[removeDuplicates]] there. Decile membership
+   * is the pure-integer test `10·inter ≥ d·|A∪B|` on the raw pair counts —
+   * exact at every boundary, replays bit-for-bit in any engine.
    *
    * Scale shape: the pair table is near-dup-sized (never corpus²); the
    * fan-out is ≤ 9× pairs; the rollup is a 9-key distinct-count.
    */
   def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, maxDf: Option[Int] = Some(1000)): DataFrame = {
-    val pairs = ngramJaccard(df, idCol, textCol, shingleSize,
+    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleSize,
       threshold = 0.2, maxDf = maxDf)
-    pairs.select(col("id_b"), col("jaccard"),
+    // decile membership is the PURE-INTEGER test 10·inter ≥ d·|A∪B| on the
+    // raw pair evidence — never a comparison against the 6-decimal rounded
+    // public score, whose grid boundaries would diverge from a raw-quotient
+    // replay
+    pairs.select(col("id_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).cast("long").as("uni"),
         explode(sequence(lit(2), lit(10))).as("d"))
-      .where(col("jaccard") >= col("d").cast("double") / lit(10.0d))
+      .where(col("inter") * 10 >= col("d").cast("long") * col("uni"))
       .groupBy((col("d") * 100).cast("long").as("threshold_permille"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("id_b")).as("n_victims"))
@@ -485,9 +491,14 @@ object Dedup {
    * dropped stop-shingles is emitted as the observed metric
    * `ngram_jaccard_stats_<n>.dropped_shingles` (per-call-unique name; read
    * by prefix — see [[sharedSubstringPairs]] for the delivery contract).
+   *
+   * This internal face returns the RAW integer evidence alongside the raw
+   * quotient: (id_a, n_a, id_b, n_b, inter, jaccard-unrounded) — what
+   * integer-exact derived thresholds need. [[ngramJaccard]] is the public
+   * rounded projection.
    */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, threshold: Double = 0.8,
+  private[graft] def ngramJaccardPairs(df: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, threshold: Double = 0.8,
       maxDf: Option[Int] = Some(1000)): DataFrame = {
     // Index keyed by the 64-bit shingle hash, not the shingle string: postings
     // shuffle 8-byte keys instead of n-gram text (same result — a hash
@@ -514,8 +525,18 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** The public [[ngramJaccardPairs]] face: (id_a, id_b, jaccard) with the
+    * score rounded to the 6-decimal reporting grid. Derived consumers that
+    * THRESHOLD on the score ([[thresholdCurve]]) must use the raw integer
+    * counts instead — comparing the rounded value against a cut would
+    * diverge from any raw-quotient replay at the grid boundaries. */
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Option[Int] = Some(1000)): DataFrame =
+    ngramJaccardPairs(df, idCol, textCol, shingleSize, threshold, maxDf)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
 
   /**
    * Shingle-CONTAINMENT pairs: `inter / min(|A|, |B|)` ≥ `threshold` — the

@@ -147,10 +147,15 @@ object Graph {
         col("src").as("dst")))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
     val (ew, releaseEdges) = graft.Eager.checkpointed(sym)
+    // nodes and seeds are re-joined EVERY round: materialize both once, or
+    // each round re-runs the node distinct-shuffle and the caller's whole
+    // seed lineage (round-9 review finding — q171's seeds derive from a
+    // full event-log scan)
+    val (nodes, releaseNodes) = graft.Eager.checkpointed(
+      ew.select(col("src").as("node")).distinct())
+    val (sd, releaseSd) = graft.Eager.checkpointed(
+      seeds.select(col(nodeCol).as("node"), col(labelCol).as("__seed")))
     try {
-      val nodes = ew.select(col("src").as("node")).distinct()
-      val sd = seeds.select(col(nodeCol).as("node"),
-        col(labelCol).as("__seed"))
       var releaseL: () => Unit = () => ()
       try {
         var labels = {
@@ -181,6 +186,8 @@ object Graph {
         }
         graft.Eager.materialize(labels)
       } finally releaseL()
-    } finally releaseEdges()
+    } finally {
+      releaseNodes(); releaseSd(); releaseEdges()
+    }
   }
 }

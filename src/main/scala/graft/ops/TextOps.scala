@@ -197,7 +197,10 @@ object TextOps {
   def blocklistReport(df: DataFrame, sourceCol: String, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist gates nothing")
-    val hit = count_in_set(tokens(lower(col(textCol))), blocklist) > 0
+    // tokens are lowercased, so the list must be too — a mixed-case entry
+    // would otherwise silently never match (round-9 review finding)
+    val hit = count_in_set(tokens(lower(col(textCol))),
+      blocklist.map(_.toLowerCase)) > 0
     df.select(col(sourceCol).as("source"), hit.cast("long").as("__d"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__d")).as("n_dropped"))
@@ -211,7 +214,8 @@ object TextOps {
   def blocklistSurvivors(df: DataFrame, textCol: String,
       blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist gates nothing")
-    df.where(count_in_set(tokens(lower(col(textCol))), blocklist) === 0)
+    df.where(count_in_set(tokens(lower(col(textCol))),
+      blocklist.map(_.toLowerCase)) === 0)
   }
 
   /**
@@ -868,7 +872,10 @@ object TextOps {
    * usable as a confidence (the calibration question every learned quality
    * filter must answer before its scores gate a corpus). Returns
    * (id, label, margin_nano); docs with zero tokens score in no class and
-   * are absent (the [[nbTrainScore]] contract).
+   * are absent (the [[nbTrainScore]] contract). DEGENERATE CASE: a margin
+   * needs both sides — if the training frame contains only `posClass` (or
+   * lacks it entirely), the pos/other join has an empty side and the result
+   * is EMPTY, not an error; check class balance upstream.
    */
   def nbLogOdds(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, posClass: String, buckets: Int = 256): DataFrame = {

@@ -935,5 +935,10 @@ class TextPipelineSpec extends SparkSpec {
     val kept = TextOps.blocklistSurvivors(docs, "text", Seq("badword"))
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L, 5L, 6L), "doc 3's substring must survive")
+    // mixed-case blocklist entries fold to the token case before matching
+    val mixed = TextOps.blocklistReport(docs, "source", "text", Seq("BadWord"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(mixed == Map("a" -> 1L, "b" -> 1L),
+      "a mixed-case entry must still gate")
   }
 }
