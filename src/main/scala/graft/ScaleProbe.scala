@@ -127,7 +127,8 @@ object ScaleProbe {
     "q177_lateness_audit",  // globalRunningMax range shuffle + tiny histogram
     "q178_threshold_curve", // one jaccard pair pass + decile fan-out
     "q179_paired_bootstrap", // two rank windows + (reps x n) integer join
-    "q180_precision_thresholds") // globalScan + target fan + rank-key join
+    "q180_precision_thresholds", // globalScan + target fan + rank-key join
+    "q181_water_fill")      // group-table globalScan + two-scalar broadcast
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

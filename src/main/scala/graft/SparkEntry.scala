@@ -2559,6 +2559,16 @@ object SparkEntry {
       Audit.precisionThresholds(
         margins.withColumn("is_aug", col("cls") === "aug"),
         "doc_id", "margin_nano", "is_aug", Seq(800, 900, 950, 990))
+    }),
+
+    // --- water-filling token-budget allocation: the max-min-fair split of
+    //     a 24k-token budget across the 20 sources — small sources fully
+    //     taken, the surplus re-spreads equally; all integer, closed form --
+    "q181_water_fill" -> ((s, dir) => {
+      Sampling.waterFill(
+        T(s, dir, "documents")
+          .select(col("source"), token_count(col("text")).cast("long").as("t")),
+        "source", "t", budget = 24000L)
     })
   )
 
@@ -6565,6 +6575,33 @@ object SparkEntry {
         |  cast(f.cut_rank as bigint) AS kept,
         |  cast(p.positives as bigint) AS positives,
         |  cast(p.precision_nano as bigint) AS precision_nano
-        |FROM fan f JOIN pr p ON p.rank = f.cut_rank""".stripMargin
+        |FROM fan f JOIN pr p ON p.rank = f.cut_rank""".stripMargin,
+
+    // Supply-ascending order; fully funded iff cum + supply*(n-rank) <= B;
+    // surplus splits R div m with R mod m leftover units to the smallest.
+    "q181_water_fill" ->
+      """WITH sup AS (
+        |  SELECT source AS "group",
+        |    cast(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      as bigint) AS supply
+        |  FROM documents GROUP BY source HAVING supply > 0),
+        |r AS (
+        |  SELECT "group", supply,
+        |    row_number() OVER (ORDER BY supply, "group") AS rn,
+        |    sum(supply) OVER (ORDER BY supply, "group"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    count(*) OVER () AS n
+        |  FROM sup),
+        |cut AS (
+        |  SELECT coalesce(max(rn), 0) AS jstar, coalesce(max(cum), 0) AS cstar
+        |  FROM r WHERE cum + supply * (n - rn) <= 24000)
+        |SELECT "group", supply,
+        |  cast(CASE WHEN rn <= jstar THEN supply
+        |       ELSE (24000 - cstar) // (n - jstar)
+        |         + CASE WHEN rn <= jstar + (24000 - cstar) % (n - jstar)
+        |                THEN 1 ELSE 0 END
+        |  END as bigint) AS allocated,
+        |  rn <= jstar AS fully_funded
+        |FROM r CROSS JOIN cut""".stripMargin
   )
 }

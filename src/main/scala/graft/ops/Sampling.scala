@@ -407,6 +407,59 @@ object Sampling {
    * Scale shape: one globalScan range shuffle of (id, weight) pairs; the
    * marker arithmetic is per-row; the total-weight scalar broadcasts back.
    */
+  /**
+   * Water-filling budget allocation — split a total token budget across
+   * groups (sources, languages, domains) giving every group an EQUAL share
+   * except where a group's whole supply is smaller (those are fully taken
+   * and the surplus re-spreads): the unique max-min-fair allocation, the
+   * standard answer to "how many tokens from each source" under a corpus
+   * budget. Closed form on the supply-ascending order: with supplies
+   * a₁ ≤ … ≤ aₙ and prefix sums c, group j is FULLY FUNDED iff
+   * `c_j + a_j·(n−j) ≤ B`; past the largest such j*, the remaining
+   * `R = B − c_j*` splits as `R div m` over the `m = n − j*` capped groups,
+   * the `R mod m` leftover units going one each to the smallest-supply
+   * capped groups (supply, then group-name order — deterministic). Pure
+   * integer arithmetic; Σ allocated = min(B, Σ supply) EXACTLY, and no
+   * group is ever allocated past its supply (maximality of j* guarantees
+   * the share stays below the smallest capped supply). Returns
+   * (group, supply, allocated, fully_funded).
+   *
+   * Scale shape: one count(*)-cost supply rollup; the ordering is a
+   * [[graft.ops.Layout.globalScan]] over the GROUP table (group-cardinality
+   * rows, not corpus rows); the two scalar thresholds broadcast back.
+   */
+  def waterFill(df: DataFrame, groupCol: String, valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val supply = df.groupBy(col(groupCol).cast("string").as("group"))
+      .agg(sum(col(valueCol)).cast("long").as("supply"))
+      .where(col("supply") > 0)
+    val scanned = graft.ops.Layout.globalScan(supply,
+      Seq(col("supply"), col("group")), "supply", "__rn", "__cum")
+    graft.Eager.withPersisted(scanned) { p =>
+      val n = p.count()
+      if (n == 0) return graft.Eager.materialize(
+        p.select(col("group"), col("supply"),
+          lit(0L).as("allocated"), lit(true).as("fully_funded")).limit(0))
+      val funded = p.where(
+        col("__cum") + col("supply") * (lit(n) - col("__rn")) <= budget)
+      val cutoff = funded.agg(
+          coalesce(max(col("__rn")), lit(0L)).as("__jstar"),
+          coalesce(max(col("__cum")), lit(0L)).as("__cstar"))
+      p.crossJoin(broadcast(cutoff))
+        .select(col("group"), col("supply"), col("__rn"),
+          col("__jstar"),
+          (lit(budget) - col("__cstar")).as("__r"),
+          (lit(n) - col("__jstar")).as("__m"))
+        .select(col("group"), col("supply"),
+          when(col("__rn") <= col("__jstar"), col("supply"))
+            .otherwise(expr("__r div __m") +
+              when(col("__rn") <= col("__jstar") + expr("__r % __m"), 1L)
+                .otherwise(0L)).as("allocated"),
+          (col("__rn") <= col("__jstar")).as("fully_funded"))
+    }
+  }
+
   def systematicResample(df: DataFrame, idCol: String, weightCol: String,
       n: Long): DataFrame = {
     require(n > 0, "sample size must be positive")

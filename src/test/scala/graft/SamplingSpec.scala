@@ -356,6 +356,35 @@ class SamplingSpec extends SparkSpec {
       "resampling must not depend on input partitioning")
   }
 
+  test("waterFill: max-min-fair allocation — small supplies fully taken, " +
+      "surplus splits with deterministic remainder; budget conserved; " +
+      "never over-allocates") {
+    import spark.implicits._
+    val rows = Seq(("s5", 5L), ("s10", 10L), ("x1", 100L), ("x2", 100L))
+      .toDF("g", "v")
+    val out = Sampling.waterFill(rows, "g", "v", budget = 30L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // sorted [5,10,100,100]: only the 5 is fully fundable; R=25 over 3
+    // capped groups -> share 8, one leftover unit to the smallest capped
+    assert(out("s5") == ((5L, true)))
+    assert(out("s10") == ((9L, false)), s"smallest capped takes the extra: $out")
+    assert(out("x1") == ((8L, false)) && out("x2") == ((8L, false)))
+    assert(out.values.map(_._1).sum == 30L, "budget conserved exactly")
+    // budget above total supply: everyone fully funded at their supply
+    val all = Sampling.waterFill(rows, "g", "v", budget = 1000L)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3)))
+    assert(all.forall(_._2) && all.map(_._1).sum == 215L)
+    // zero budget: zero allocations, nothing funded
+    assert(Sampling.waterFill(rows, "g", "v", 0L)
+      .collect().forall(r => r.getLong(2) == 0L && !r.getBoolean(3)))
+    // equal supplies: remainder goes to the group-name order deterministically
+    val eq = Seq(("a", 7L), ("b", 7L), ("c", 7L)).toDF("g", "v")
+    val e = Sampling.waterFill(eq, "g", "v", 8L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(e == Map("a" -> 3L, "b" -> 3L, "c" -> 2L), s"got $e")
+  }
+
   test("Layout.globalScan: inclusive prefix sums equal the sorted fold " +
       "across range partitions") {
     import spark.implicits._
