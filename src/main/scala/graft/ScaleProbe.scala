@@ -128,7 +128,8 @@ object ScaleProbe {
     "q178_threshold_curve", // one jaccard pair pass + decile fan-out
     "q179_paired_bootstrap", // two rank windows + (reps x n) integer join
     "q180_precision_thresholds", // globalScan + target fan + rank-key join
-    "q181_water_fill")      // group-table globalScan + two-scalar broadcast
+    "q181_water_fill",      // group-table globalScan + two-scalar broadcast
+    "q182_srp_health")      // bucket scan + 36-key literal-fan rollup
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2569,6 +2569,14 @@ object SparkEntry {
         T(s, dir, "documents")
           .select(col("source"), token_count(col("text")).cast("long").as("t")),
         "source", "t", budget = 24000L)
+    }),
+
+    // --- SRP index-health audit: per-plane-bit balance and pairwise
+    //     co-activation over the md5 hyperplane scheme — the wasted-bit /
+    //     correlated-plane detector for the q29 LSH index ----------------
+    "q182_srp_health" -> ((s, dir) => {
+      Similarity.srpIndexHealth(T(s, dir, "embeddings"), "vec_id",
+        "embedding", nBits = 8)
     })
   )
 
@@ -6602,6 +6610,32 @@ object SparkEntry {
         |                THEN 1 ELSE 0 END
         |  END as bigint) AS allocated,
         |  rn <= jstar AS fully_funded
-        |FROM r CROSS JOIN cut""".stripMargin
+        |FROM r CROSS JOIN cut""".stripMargin,
+
+    // q29's md5 SRP bucket replay, then bit tests over generate_series
+    // pairs; i = j rows are the per-bit ones-counts.
+    "q182_srp_health" ->
+      """WITH e AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |bk AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(
+        |      [CASE WHEN list_sum(
+        |         [(floor(v[d + 1] * 1000000))::BIGINT *
+        |            ((('0x' || substr(md5(pb::VARCHAR || ':' || d::VARCHAR), 1, 15))::BIGINT
+        |              % 1000001) - 500000)
+        |          FOR d IN generate_series(0, len(v) - 1)]) > 0
+        |       THEN 1::BIGINT << pb ELSE 0::BIGINT END
+        |       FOR pb IN generate_series(0, 7)]) AS BIGINT) AS bucket
+        |  FROM e),
+        |pairs AS (
+        |  SELECT i, j FROM generate_series(0, 7) s(i),
+        |       generate_series(0, 7) t(j) WHERE i <= j)
+        |SELECT cast(i as int) AS bit_a, cast(j as int) AS bit_b,
+        |  cast(sum(((bucket >> i) & 1) * ((bucket >> j) & 1)) as bigint)
+        |    AS n_both,
+        |  count(*) AS n
+        |FROM bk CROSS JOIN pairs GROUP BY i, j""".stripMargin
   )
 }

@@ -876,6 +876,36 @@ object Similarity {
   }
 
   /**
+   * SRP index-health audit — the "are my hyperplanes any good" check an
+   * LSH deployment runs before trusting its buckets: for every pair of
+   * plane bits i ≤ j, the CO-ACTIVATION count over the corpus (i = j rows
+   * are each bit's ones-count). A healthy random-projection family shows
+   * ones ≈ n/2 per bit (a skewed bit means the plane barely splits the
+   * data — a wasted bit that halves nothing) and co-activation ≈ n/4 per
+   * pair (correlated planes recount the same split — bucket occupancy
+   * collapses toward 2^(effective bits)). All integer counts — replays
+   * exactly under the md5 plane scheme. Returns (bit_a ≤ bit_b, n_both, n).
+   *
+   * Scale shape: one scan computing each vector's bucket (codegen'd native
+   * expression), a ≤ C(nBits+1, 2)-way literal fan per row, one map-side-
+   * combined rollup on a ≤ 36-key space (nBits = 8). Vectors never shuffle.
+   */
+  def srpIndexHealth(df: DataFrame, idCol: String, vecCol: String,
+      nBits: Int = 8, scheme: SrpScheme = SrpScheme.md5): DataFrame = {
+    require(nBits >= 1 && nBits <= 16, "nBits in [1, 16]")
+    val buckets = df.where(col(vecCol).isNotNull)
+      .select(scheme.bucketCol(col(vecCol), nBits).as("__bk"))
+    def bit(i: Int) =
+      shiftright(col("__bk"), i).bitwiseAND(lit(1L)).cast("long")
+    val combos = for { i <- 0 until nBits; j <- i until nBits } yield
+      struct(lit(i).as("bit_a"), lit(j).as("bit_b"),
+        (bit(i) * bit(j)).as("hit"))
+    buckets.select(explode(array(combos: _*)).as("p"))
+      .groupBy(col("p.bit_a").as("bit_a"), col("p.bit_b").as("bit_b"))
+      .agg(sum(col("p.hit")).as("n_both"), count(lit(1)).as("n"))
+  }
+
+  /**
    * Deterministic paired bootstrap test — "is system A really better than
    * system B, or did I get lucky with my query set?" (the significance
    * check behind every retrieval/eval comparison): given per-query PAIRED

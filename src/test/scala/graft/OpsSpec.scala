@@ -1095,6 +1095,32 @@ class OpsSpec extends SparkSpec {
     // orthogonal pairs (cos 0) never entered the candidate set
   }
 
+  test("srpIndexHealth: co-activation laws hold on real vectors; a " +
+      "constant corpus is perfectly correlated") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    val out = Similarity.srpIndexHealth(emb, "vec_id", "embedding", nBits = 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out.size == 36, "C(9,2) rows for 8 bits")
+    val n = out.values.head._2
+    assert(out.values.forall(_._2 == n), "n is the corpus size everywhere")
+    def ones(i: Int) = out((i, i))._1
+    for (i <- 0 until 8; j <- i until 8) {
+      val (both, _) = out((i, j))
+      assert(both <= math.min(ones(i), ones(j)), s"($i,$j) bound")
+      assert(both >= ones(i) + ones(j) - n, s"($i,$j) inclusion-exclusion")
+    }
+    // identical vectors: every pair either co-activates on ALL rows or none
+    val const = Seq.tabulate(5)(k => (k.toLong, Seq(0.3f, -0.7f, 0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.srpIndexHealth(const, "vec_id", "embedding", 8)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    def co(i: Int, j: Int) = c((i, j))
+    for (i <- 0 until 8; j <- i until 8)
+      assert(co(i, j) == (if (co(i, i) == 5L && co(j, j) == 5L) 5L else 0L),
+        s"constant corpus must be all-or-nothing at ($i,$j)")
+  }
+
   test("pairedBootstrap: uniform-winner and all-tie extremes are exact; " +
       "accounting invariants hold; partition-invariant") {
     val mixed = Seq(("q1", 10L, 4L), ("q2", 8L, 9L), ("q3", 5L, 5L),
