@@ -129,7 +129,8 @@ object ScaleProbe {
     "q179_paired_bootstrap", // two rank windows + (reps x n) integer join
     "q180_precision_thresholds", // globalScan + target fan + rank-key join
     "q181_water_fill",      // group-table globalScan + two-scalar broadcast
-    "q182_srp_health")      // bucket scan + 36-key literal-fan rollup
+    "q182_srp_health",      // bucket scan + 36-key literal-fan rollup
+    "q183_sparse_cosine")   // hashed-TF postings dot join, df-capped
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2577,6 +2577,14 @@ object SparkEntry {
     "q182_srp_health" -> ((s, dir) => {
       Similarity.srpIndexHealth(T(s, dir, "embeddings"), "vec_id",
         "embedding", nBits = 8)
+    }),
+
+    // --- sparse cosine all-pairs join (Bayardo-style) over hashed-TF text
+    //     vectors — model-free cosine near-dup; postings join on bucket
+    //     keys, integer dots, one IEEE division --------------------------
+    "q183_sparse_cosine" -> ((s, dir) => {
+      Similarity.sparseCosinePairs(T(s, dir, "documents"), "doc_id", "text",
+        dim = 512, threshold = 0.95)
     })
   )
 
@@ -6636,6 +6644,36 @@ object SparkEntry {
         |  cast(sum(((bucket >> i) & 1) * ((bucket >> j) & 1)) as bigint)
         |    AS n_both,
         |  count(*) AS n
-        |FROM bk CROSS JOIN pairs GROUP BY i, j""".stripMargin
+        |FROM bk CROSS JOIN pairs GROUP BY i, j""".stripMargin,
+
+    // Feature-hash counts (md5 % 512), postings dot join with the df cap on
+    // the DOT side only (norms keep all buckets), one IEEE cosine chain.
+    "q183_sparse_cosine" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 512 AS bucket
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+        |        AS tok
+        |    FROM documents)),
+        |cts AS (
+        |  SELECT doc_id, bucket, count(*) AS c FROM tk GROUP BY 1, 2),
+        |norms AS (SELECT doc_id, sum(c * c) AS nrm FROM cts GROUP BY 1),
+        |keep AS (SELECT bucket FROM cts GROUP BY bucket
+        |         HAVING count(*) <= 1000),
+        |k AS (SELECT cts.* FROM cts JOIN keep USING (bucket)),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.c * b.c) AS dot
+        |  FROM k a JOIN k b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, cast(dot as bigint) AS dot,
+        |  round(dot / (sqrt(cast(na.nrm as double)) *
+        |    sqrt(cast(nb.nrm as double))), 6) AS cos
+        |FROM dots
+        |JOIN norms na ON na.doc_id = id_a
+        |JOIN norms nb ON nb.doc_id = id_b
+        |WHERE dot / (sqrt(cast(na.nrm as double)) *
+        |  sqrt(cast(nb.nrm as double))) >= 0.95""".stripMargin
   )
 }

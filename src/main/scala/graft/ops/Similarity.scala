@@ -876,6 +876,64 @@ object Similarity {
   }
 
   /**
+   * Sparse cosine similarity JOIN over hashed-TF text vectors — the
+   * all-pairs-similarity-search formulation (Bayardo et al. WWW'07) that
+   * needs NO embedding model: tokens hash into `dim` count buckets
+   * (feature hashing — md5, engine-replayable), and the cosine of two
+   * docs' count vectors is computed from a POSTINGS join on the bucket
+   * key: dot(a,b) = Σ_bucket cₐ·c_b — only co-occurring buckets ever
+   * join, never the n² dense pair matrix. Integer dots and norms; the
+   * final cosine is one IEEE division chain (identical on every engine).
+   * Returns (id_a < id_b, dot, cos) with cos ≥ `threshold`.
+   *
+   * `maxDf` caps posting-list length exactly like
+   * [[graft.ops.Dedup.ngramJaccardPairs]]: hub buckets (stopword hashes)
+   * are dropped from DOT accumulation while norms keep all buckets, so a
+   * capped cosine is a LOWER BOUND — pairs are missed or under-scored,
+   * never inflated past the threshold.
+   *
+   * Scale shape: postings shuffle (id, bucket, count) triples keyed by
+   * bucket; pair partial-products combine map-side keyed by (id_a, id_b);
+   * norms are a doc-keyed rollup broadcast-joined onto the survivors.
+   */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 512, threshold: Double = 0.8,
+      maxDf: Option[Int] = Some(1000)): DataFrame = {
+    require(dim >= 2, "dim must be at least 2")
+    val counts = df
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .select(col("id"), pmod(md5_prefix60(col("tok")), lit(dim.toLong))
+        .as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("c"))
+    graft.Eager.withPersisted(counts) { cts =>
+      val norms = cts.groupBy(col("id"))
+        .agg(sum(col("c") * col("c")).as("nrm"))
+      val byBucket = cts.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("__df"))
+      val kept = maxDf.map(cap =>
+          cts.join(byBucket.where(col("__df") <= cap).select(col("bucket")),
+            Seq("bucket")))
+        .getOrElse(cts)
+      val a = kept.select(col("bucket"), col("id").as("id_a"),
+        col("c").as("ca"))
+      val b = kept.select(col("bucket"), col("id").as("id_b"),
+        col("c").as("cb"))
+      val dots = a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+      dots
+        .join(norms.select(col("id").as("id_a"), col("nrm").as("na")), "id_a")
+        .join(norms.select(col("id").as("id_b"), col("nrm").as("nb")), "id_b")
+        .withColumn("cos", col("dot").cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .where(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), col("dot"),
+          round(col("cos"), 6).as("cos"))
+    }
+  }
+
+  /**
    * SRP index-health audit — the "are my hyperplanes any good" check an
    * LSH deployment runs before trusting its buckets: for every pair of
    * plane bits i ≤ j, the CO-ACTIVATION count over the corpus (i = j rows

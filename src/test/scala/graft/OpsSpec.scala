@@ -1095,6 +1095,20 @@ class OpsSpec extends SparkSpec {
     // orthogonal pairs (cos 0) never entered the candidate set
   }
 
+  test("sparseCosinePairs: identical docs hit cos 1.0 via the postings " +
+      "dot; disjoint-vocab docs never pair; the df cap silences hub buckets") {
+    val docs = Seq((1L, "a b a b"), (2L, "a b a b"), (3L, "z z z z"))
+      .toDF("id", "text")
+    val out = Similarity.sparseCosinePairs(docs, "id", "text",
+        dim = 512, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0)), s"got ${out.toSeq}")
+    // a df cap of 1 drops every shared bucket from dot accumulation:
+    // the capped score is a LOWER BOUND — here it silences all pairs
+    assert(Similarity.sparseCosinePairs(docs, "id", "text", 512, 0.1,
+      maxDf = Some(1)).isEmpty)
+  }
+
   test("srpIndexHealth: co-activation laws hold on real vectors; a " +
       "constant corpus is perfectly correlated") {
     val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
