@@ -2585,6 +2585,15 @@ object SparkEntry {
     "q183_sparse_cosine" -> ((s, dir) => {
       Similarity.sparseCosinePairs(T(s, dir, "documents"), "doc_id", "text",
         dim = 512, threshold = 0.95)
+    }),
+
+    // --- within-source quantile normalization of the quality score: rank
+    //     permille makes "top 20% of EACH source" one global predicate —
+    //     raw-score thresholds over-select whole sources -----------------
+    "q184_quantile_normalize" -> ((s, dir) => {
+      val scored = T(s, dir, "documents").select(col("doc_id"), col("source"),
+        floor(TextOps.qualityScore(col("text")) * 1000).cast("long").as("q"))
+      Sampling.quantileNormalize(scored, "source", "q", "doc_id")
     })
   )
 
@@ -6674,6 +6683,35 @@ object SparkEntry {
         |JOIN norms na ON na.doc_id = id_a
         |JOIN norms nb ON nb.doc_id = id_b
         |WHERE dot / (sqrt(cast(na.nrm as double)) *
-        |  sqrt(cast(nb.nrm as double))) >= 0.95""".stripMargin
+        |  sqrt(cast(nb.nrm as double))) >= 0.95""".stripMargin,
+
+    // q21's quality formula floored to integer millis, then within-source
+    // (score, id) rank permille — floor-div, engine-exact.
+    "q184_quantile_normalize" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, source AS "group",
+        |    cast(floor(round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, t -> t IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END) * 0.3,
+        |    6) * 1000) as bigint) AS score
+        |  FROM toks),
+        |r AS (
+        |  SELECT doc_id, "group", score,
+        |    row_number() OVER (PARTITION BY "group" ORDER BY score, doc_id)
+        |      AS rk,
+        |    count(*) OVER (PARTITION BY "group") AS n
+        |  FROM sc)
+        |SELECT doc_id, "group", score,
+        |  cast((1000 * rk) // n as bigint) AS permille
+        |FROM r""".stripMargin
   )
 }

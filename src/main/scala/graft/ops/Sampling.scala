@@ -408,6 +408,32 @@ object Sampling {
    * marker arithmetic is per-row; the total-weight scalar broadcasts back.
    */
   /**
+   * Quantile (rank) normalization of a score WITHIN each group — the score
+   * equating every cross-source mixing step needs: a quality scorer drifts
+   * in scale between sources (different languages, lengths, crawl eras),
+   * so raw thresholds over-select whole sources; replacing the score by its
+   * within-source rank permille `⌊1000·rank / n_group⌋` makes "top 20 % of
+   * EACH source" one global predicate. rank is `row_number` over
+   * (score asc, id) inside the group — deterministic, all integer.
+   * Returns the input ids with (group, score, permille ∈ [0, 1000]).
+   *
+   * Scale shape: one window pass per group partition moving only
+   * (id, group, score) — the natural partitioning; no global sort.
+   */
+  def quantileNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol).as("group"),
+      col(scoreCol).cast("long").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("group")).orderBy(col("score"), col(idCol))
+    val n = org.apache.spark.sql.expressions.Window.partitionBy(col("group"))
+    base.withColumn("__rk", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(n))
+      .select(col(idCol), col("group"), col("score"),
+        expr("(1000 * __rk) div __n").as("permille"))
+  }
+
+  /**
    * Water-filling budget allocation — split a total token budget across
    * groups (sources, languages, domains) giving every group an EQUAL share
    * except where a group's whole supply is smaller (those are fully taken

@@ -356,6 +356,24 @@ class SamplingSpec extends SparkSpec {
       "resampling must not depend on input partitioning")
   }
 
+  test("quantileNormalize: rank permilles equate scales across groups; " +
+      "ties break by id; top-permille selection is group-fair") {
+    import spark.implicits._
+    // group a scores 1..10; group b scores 1000..1040 by 10s (different
+    // scale entirely): permille depends only on within-group rank
+    val df = ((1L to 10L).map(i => (i, "a", i)) ++
+      (11L to 15L).map(i => (i, "b", 1000L + 10 * (i - 10))))
+      .toDF("id", "g", "s")
+    val out = Sampling.quantileNormalize(df, "g", "s", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(10L) == 1000L && out(15L) == 1000L, "each group's max is 1000")
+    assert(out(1L) == 100L, "rank 1 of 10 -> 100 permille")
+    assert(out(11L) == 200L, "rank 1 of 5 -> 200 permille")
+    // "top 40%" picks proportionally from BOTH groups despite the scales
+    val top = out.filter(_._2 > 600).keySet
+    assert(top.count(_ <= 10L) == 4 && top.count(_ > 10L) == 2, s"got $top")
+  }
+
   test("waterFill: max-min-fair allocation — small supplies fully taken, " +
       "surplus splits with deterministic remainder; budget conserved; " +
       "never over-allocates") {
