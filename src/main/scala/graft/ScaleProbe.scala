@@ -131,7 +131,8 @@ object ScaleProbe {
     "q181_water_fill",      // group-table globalScan + two-scalar broadcast
     "q182_srp_health",      // bucket scan + 36-key literal-fan rollup
     "q183_sparse_cosine",   // hashed-TF postings dot join, df-capped
-    "q184_quantile_normalize") // per-group rank window, (id,score) only
+    "q184_quantile_normalize", // per-group rank window, (id,score) only
+    "q185_budget_admit")    // stateful stream: one long per group + batch gate
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2594,6 +2594,28 @@ object SparkEntry {
       val scored = T(s, dir, "documents").select(col("doc_id"), col("source"),
         floor(TextOps.qualityScore(col("text")) * 1000).cast("long").as("q"))
       Sampling.quantileNormalize(scored, "source", "q", "doc_id")
+    }),
+
+    // --- streaming token-budget admission: the q181 water-fill plan
+    //     ENFORCED at ingest — first-fit per source over the 4-batch
+    //     replay; oversized docs drop without consuming budget ------------
+    "q185_budget_admit" -> ((s, dir) => {
+      val batchDocs = T(s, dir, "documents")
+        .select(col("source"), token_count(col("text")).cast("long").as("t"))
+      val budgets = Sampling.waterFill(batchDocs, "source", "t", 24000L)
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+        .select(col("doc_id"), col("source"),
+          token_count(col("text")).cast("long").as("t"))
+      val admits = graft.streaming.Streaming.budgetAdmitStream(
+        replay, "doc_id", "source", "t", budgets)
+      graft.streaming.Streaming.runToTable(
+        admits.toDF(),
+        "q185_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4), noDataBatch = false)
+        .select(col("group").as("source"), col("id").as("doc_id"),
+          col("tokens"), col("cum_tokens"))
     })
   )
 
@@ -6712,6 +6734,60 @@ object SparkEntry {
         |  FROM sc)
         |SELECT doc_id, "group", score,
         |  cast((1000 * rk) // n as bigint) AS permille
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // q181's allocation CTEs + the q105 batch rule, then a per-group
+    // recursive first-fit fold: admit iff used + t <= allocated, oversize
+    // drops without consuming.
+    "q185_budget_admit" ->
+      """WITH RECURSIVE sup AS (
+        |  SELECT source AS "group",
+        |    cast(sum(len(list_filter(string_split(text, ' '), x -> x <> '')))
+        |      as bigint) AS supply
+        |  FROM documents GROUP BY source HAVING supply > 0),
+        |rw AS (
+        |  SELECT "group", supply,
+        |    row_number() OVER (ORDER BY supply, "group") AS rn,
+        |    sum(supply) OVER (ORDER BY supply, "group"
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    count(*) OVER () AS n
+        |  FROM sup),
+        |cut AS (
+        |  SELECT coalesce(max(rn), 0) AS jstar, coalesce(max(cum), 0) AS cstar
+        |  FROM rw WHERE cum + supply * (n - rn) <= 24000),
+        |alloc AS (
+        |  SELECT "group",
+        |    CASE WHEN rn <= jstar THEN supply
+        |         ELSE (24000 - cstar) // (n - jstar)
+        |           + CASE WHEN rn <= jstar + (24000 - cstar) % (n - jstar)
+        |                  THEN 1 ELSE 0 END
+        |    END AS allocated
+        |  FROM rw CROSS JOIN cut),
+        |bat AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(text, ' '), x -> x <> '')) AS t,
+        |    ntile(4) OVER (ORDER BY doc_id) AS batch
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, source AS g, t,
+        |    row_number() OVER (PARTITION BY source ORDER BY batch, doc_id)
+        |      AS rn
+        |  FROM bat),
+        |nmax AS (SELECT g FROM seq GROUP BY g),
+        |steps AS (
+        |  SELECT g, 0 AS rn, CAST(NULL AS BIGINT) AS doc_id,
+        |    CAST(0 AS BIGINT) AS t, CAST(0 AS BIGINT) AS used, false AS adm
+        |  FROM nmax
+        |  UNION ALL
+        |  SELECT s.g, s.rn, s.doc_id, s.t,
+        |    CASE WHEN p.used + s.t <= a.allocated THEN p.used + s.t
+        |         ELSE p.used END,
+        |    p.used + s.t <= a.allocated
+        |  FROM steps p
+        |  JOIN seq s ON s.g = p.g AND s.rn = p.rn + 1
+        |  JOIN alloc a ON a."group" = s.g)
+        |SELECT g AS source, doc_id, cast(t as bigint) AS tokens,
+        |  cast(used as bigint) AS cum_tokens
+        |FROM steps WHERE adm""".stripMargin
   )
 }

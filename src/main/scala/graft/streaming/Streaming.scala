@@ -551,6 +551,58 @@ object Streaming {
       }
   }
 
+  /** An admission: `id` (carrying `tokens`) was admitted for `group`, whose
+    * running admitted-token total is now `cum_tokens`. */
+  final case class BudgetAdmit(group: String, id: Long, tokens: Long,
+      cum_tokens: Long)
+
+  /**
+   * Streaming per-group TOKEN-BUDGET admission — the enforcement half of a
+   * batch allocation plan ([[graft.ops.Sampling.waterFill]] computes "source
+   * s gets B_s tokens"; this gate makes the live ingest OBEY it): each
+   * group's documents are admitted FIRST-FIT — a doc enters iff its tokens
+   * still fit under the group's remaining budget; an oversized doc is
+   * dropped WITHOUT consuming budget, so later smaller docs can still fill
+   * the gap (the greedy rule, strictly better than cutting the feed at the
+   * first overflow). State is ONE long (admitted-token total) per group.
+   *
+   * Determinism: admission within (group, batch) is by ascending id — under
+   * the (batch, id) total order the admitted set is a pure function of the
+   * batch assignment and the budget map; the first-fit recursion replays
+   * relationally as a per-group recursive fold (the q185 oracle). Zero-token
+   * docs admit without consuming. Groups absent from `budgets` admit
+   * nothing.
+   *
+   * Scale shape: the budget map is a driver broadcast (group-cardinality);
+   * state is O(#groups) longs; over-budget rows cost one comparison at
+   * ingest bandwidth.
+   */
+  def budgetAdmitStream(docs: DataFrame, idCol: String, groupCol: String,
+      tokensCol: String, budgets: Map[String, Long]): Dataset[BudgetAdmit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bmap = spark.sparkContext.broadcast(budgets)
+    docs.select(col(groupCol).cast("string").as("_1"),
+        col(idCol).cast("long").as("_2"),
+        col(tokensCol).cast("long").as("_3"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, BudgetAdmit](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        case (g, rows, state: GroupState[Long]) =>
+          val budget = bmap.value.getOrElse(g, 0L)
+          var used = state.getOption.getOrElse(0L)
+          val admitted = rows.toArray.sortBy(_._2).flatMap {
+            case (_, id, t) =>
+              if (t >= 0 && used + t <= budget) {
+                used += t; Some(BudgetAdmit(g, id, t, used))
+              } else None
+          }
+          state.update(used)
+          admitted.iterator
+      }
+  }
+
   /**
    * Ingest-time decontamination: drop arriving documents whose shingle
    * overlap with a STATIC train/eval split exceeds the rational rate

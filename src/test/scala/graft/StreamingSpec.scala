@@ -229,6 +229,49 @@ class StreamingSpec extends SparkSpec {
       ("b", 5L, 1L), ("b", 6L, 2L)))
   }
 
+  test("budgetAdmitStream: first-fit across batches — oversize drops " +
+      "without consuming, later smaller docs still fill the gap") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("t", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_budget_").toString
+    def write(name: String, mtime: Long, rows: Seq[(Long, String, Long)]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map { case (id, s, t) =>
+          org.apache.spark.sql.Row(id, s, t)
+        }), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis()
+    // budget a = 10: batch 1 admits id1 (4, cum 4); id2 (20) is oversize and
+    // must NOT consume; id3 (5, cum 9) still fits BECAUSE 20 didn't count
+    write("00.parquet", base, Seq(
+      (1L, "a", 4L), (2L, "a", 20L), (3L, "a", 5L), (9L, "c", 7L)))
+    // batch 2: remaining budget 1 — id4 (1) exactly fills; id5 (2) drops;
+    // zero-token id6 admits without consuming; unbudgeted group c drops all
+    write("01.parquet", base + 1000, Seq(
+      (4L, "a", 1L), (5L, "a", 2L), (6L, "a", 0L)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val out = Streaming.runToTable(
+      Streaming.budgetAdmitStream(stream, "doc_id", "source", "t",
+        Map("a" -> 10L)).toDF(),
+      "t_budget", org.apache.spark.sql.streaming.OutputMode.Append(),
+      noDataBatch = false)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(out == Set(
+      ("a", 1L, 4L, 4L), ("a", 3L, 5L, 9L),
+      ("a", 4L, 1L, 10L), ("a", 6L, 0L, 10L)), s"got $out")
+  }
+
   test("nearDupDropStream: earlier-batch near-dups drop, same-batch ties both survive") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
