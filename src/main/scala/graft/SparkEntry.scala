@@ -2616,6 +2616,17 @@ object SparkEntry {
         statePartitions = Some(4), noDataBatch = false)
         .select(col("group").as("source"), col("id").as("doc_id"),
           col("tokens"), col("cum_tokens"))
+    }),
+
+    // --- per-node triangle counts over the q106 click graph: degree-ordered
+    //     orientation bounds every wedge fan-out at O(√m) — the cohesion
+    //     audit that survives power-law degree skew ----------------------
+    "q186_triangle_counts" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("page",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      val edges = graft.ops.Graph.transitionEdges(
+        ev, "user_id", "ts", "event_id", "page")
+      graft.ops.Graph.triangleCounts(edges)
     })
   )
 
@@ -6788,6 +6799,33 @@ object SparkEntry {
         |  JOIN alloc a ON a."group" = s.g)
         |SELECT g AS source, doc_id, cast(t as bigint) AS tokens,
         |  cast(used as bigint) AS cum_tokens
-        |FROM steps WHERE adm""".stripMargin
+        |FROM steps WHERE adm""".stripMargin,
+
+    // q106's transition-edge replay, collapsed to the simple undirected
+    // graph; triangles enumerated once each via a<b<c edge chaining, then
+    // unnested to the three corners for per-node counts.
+    "q186_triangle_counts" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+        |    cast(regexp_extract(props, '"k": (\d+)', 1) as bigint) AS page
+        |  FROM events),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT page AS src,
+        |      lead(page) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |        AS dst
+        |    FROM ev)
+        |  WHERE dst IS NOT NULL),
+        |ce AS (
+        |  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |  FROM ed WHERE src <> dst),
+        |tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM ce e1
+        |  JOIN ce e2 ON e2.lo = e1.hi
+        |  JOIN ce e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+        |SELECT node, count(*) AS triangles
+        |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |GROUP BY node""".stripMargin
   )
 }

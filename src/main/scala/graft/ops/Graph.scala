@@ -190,4 +190,56 @@ object Graph {
       releaseNodes(); releaseSd(); releaseEdges()
     }
   }
+
+  /**
+   * Per-node triangle counts over the simple undirected graph induced by an
+   * edge list — the cohesion primitive behind clustering coefficients, spam
+   * farm detection, and dup-graph transitivity audits. Self-loops drop,
+   * multi-edges collapse (a triangle is a property of the simple graph).
+   * Returns (node, triangles) for every node on at least one triangle;
+   * pure integer counts — exact on any engine.
+   *
+   * Scale shape: the classic degree-ordered orientation (each undirected
+   * edge points from its (degree, id)-smaller endpoint to the larger), so
+   * every out-neighborhood is O(√m) on ANY graph — the wedge self-join's
+   * fan-out is bounded even on power-law degree skew, which is exactly the
+   * skew a naive neighbor self-join dies on. Three equi-joins total: two to
+   * orient (edge ⋈ degree per endpoint), one wedge-closing join keyed on
+   * the (b, c) edge pair; each triangle is found exactly once because only
+   * one of a wedge's two (b, c) orderings exists as an oriented edge.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val simple = edges
+      .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("lo"),
+        greatest(col(srcCol), col(dstCol)).as("hi"))
+      .distinct()
+    graft.Eager.withPersisted(simple) { se =>
+      val deg = se.select(explode(array(col("lo"), col("hi"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val oriented = se
+        .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
+        .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), Seq("hi"))
+        .select(
+          when(col("dlo") < col("dhi") ||
+              (col("dlo") === col("dhi") && col("lo") < col("hi")),
+            struct(col("lo").as("u"), col("hi").as("v")))
+            .otherwise(struct(col("hi").as("u"), col("lo").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      graft.Eager.withPersisted(oriented) { or =>
+        val tri = or.as("ab")
+          .join(or.as("ac"),
+            col("ab.u") === col("ac.u") && col("ab.v") =!= col("ac.v"))
+          .join(or.as("bc"),
+            col("bc.u") === col("ab.v") && col("bc.v") === col("ac.v"))
+          .select(col("ab.u").as("na"), col("ab.v").as("nb"),
+            col("ac.v").as("nc"))
+        graft.Eager.materialize(
+          tri.select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+            .groupBy(col("node")).agg(count(lit(1)).as("triangles")))
+      }
+    }
+  }
 }

@@ -79,4 +79,28 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 10L), (2L, 20L), (3L, 20L)), 3)
     assert(clamp(1L) == Some(10L) && clamp(2L) == Some(20L))
   }
+
+  test("triangleCounts: K4 corners, paths empty, multi-edges/self-loops/" +
+      "direction collapse, partition-invariant") {
+    def run(edges: Seq[(Long, Long)], parts: Int = 1) = {
+      val df = edges.toDF("src", "dst")
+      Graph.triangleCounts(if (parts > 1) df.repartition(parts) else df)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // K4: 4 triangles, each node on exactly 3
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    assert(run(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // path graph: no triangles at all
+    assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty)
+    // triangle seen through duplicates, reversed direction, and a self-loop:
+    // still ONE triangle per corner
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 3L), (3L, 1L), (1L, 1L))
+    assert(run(noisy) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // star + one closing rim edge: hub on 1 triangle despite max degree
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (1L, 2L))
+    assert(run(star) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+    assert(run(k4 ++ star, parts = 7) == run(k4 ++ star))
+  }
 }
