@@ -2627,7 +2627,64 @@ object SparkEntry {
       val edges = graft.ops.Graph.transitionEdges(
         ev, "user_id", "ts", "event_id", "page")
       graft.ops.Graph.triangleCounts(edges)
-    })
+    }),
+
+    // --- split-conformal admission: the k-th-smallest calibration
+    //     nonconformity (k = ⌈(n+1)·0.9⌉) becomes the gate threshold —
+    //     distribution-free ≥90% admission under exchangeability ---------
+    "q187_conformal_gate" -> ((s, dir) => {
+      val scored = T(s, dir, "documents").select(col("doc_id"),
+        (lit(1000L) - floor(TextOps.qualityScore(col("text")) * 1000)
+          .cast("long")).as("nonconformity"))
+      graft.ops.Audit.conformalGate(scored, "doc_id", "nonconformity",
+        calibPct = 50, alphaPermille = 100)
+    }),
+
+    // --- Pareto skyline of (token count, quality): the non-dominated
+    //     curation frontier with no self-join — per-x maxima + one
+    //     grid-sized suffix-max window -----------------------------------
+    "q188_pareto_skyline" -> ((s, dir) => {
+      val scored = T(s, dir, "documents").select(col("doc_id"),
+        token_count(col("text")).cast("long").as("n_tokens"),
+        floor(TextOps.qualityScore(col("text")) * 1000).cast("long").as("q"))
+      Sampling.paretoSkyline(scored, "doc_id", "n_tokens", "q")
+    }),
+
+    // --- order-independent per-source corpus checksum: the stage-boundary
+    //     integrity certificate (xor + modular sum + min/max of 60-bit row
+    //     digests) — pure function of the row multiset -------------------
+    "q189_corpus_checksum" -> ((s, dir) =>
+      graft.ops.Audit.corpusChecksum(T(s, dir, "documents"), "source",
+        Seq("doc_id", "text", "lang", "n_chars"))),
+
+    // --- rendezvous-hash resharding plan: HRW argmax per doc under 8 and
+    //     9 shards; `moved` rows are the migration's exact byte bill
+    //     (expected 1/9 — vs mod-hash's 8/9) -----------------------------
+    "q190_rendezvous_shards" -> ((s, dir) =>
+      Sampling.rendezvousShards(
+        T(s, dir, "documents").select(col("doc_id")), "doc_id",
+        nOld = 8, nNew = 9)),
+
+    // --- frame-energy VAD over real WAV blobs: 16-sample frames, exact
+    //     integer energies, voiced-run segmentation — the speech triage
+    //     stats (q64's decode path, frame-level) ------------------------
+    "q191_audio_vad" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"))
+      Multimodal.audioVadStats(
+        Multimodal.synthesizeMedia(ids, "doc_id"), "doc_id", "audio",
+        frameLen = 16, energyThreshold = 500000000L)
+    }),
+
+    // --- first-/last-touch conversion attribution: purchase cents credited
+    //     to the first and last preceding non-purchase touch per user
+    //     timeline; integer cents — exact in any accumulation order ------
+    "q192_touch_attribution" -> ((s, dir) =>
+      graft.ops.EventOps.touchAttribution(
+        events(s, dir).withColumn("cents",
+          round(col("value") * 100.0, 0).cast("long")),
+        "user_id", "ts", "event_id", "event_type", "cents",
+        conversionType = "purchase"))
   )
 
   // =========================================================================
@@ -6826,6 +6883,172 @@ object SparkEntry {
         |  JOIN ce e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
         |SELECT node, count(*) AS triangles
         |FROM (SELECT unnest([a, b, c]) AS node FROM tri)
-        |GROUP BY node""".stripMargin
+        |GROUP BY node""".stripMargin,
+
+    // q184's quality replay inverted to nonconformity, then the split-
+    // conformal chain: md5-bucket calibration split, k = ⌈(n+1)·900/1000⌉,
+    // k-th smallest via the score-grid running count, gate on eval rows.
+    "q187_conformal_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    1000 - cast(floor(round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, t -> t IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END) * 0.3,
+        |    6) * 1000) as bigint) AS score
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id, score,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 100
+        |      AS bk
+        |  FROM sc),
+        |cal AS (SELECT score FROM b WHERE bk < 50),
+        |par AS (SELECT count(*) AS n_calib,
+        |    ((count(*) + 1) * 900 + 999) // 1000 AS k FROM cal),
+        |grid AS (SELECT score AS s, count(*) AS c FROM cal GROUP BY 1),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cumc FROM grid),
+        |thr AS (SELECT min(s) AS threshold FROM cum, par WHERE cumc >= k)
+        |SELECT b.doc_id, cast(b.score as bigint) AS score,
+        |  cast(par.n_calib as bigint) AS n_calib,
+        |  cast(thr.threshold as bigint) AS threshold,
+        |  thr.threshold IS NULL OR b.score <= thr.threshold AS admitted
+        |FROM b CROSS JOIN par CROSS JOIN thr WHERE b.bk >= 50""".stripMargin,
+
+    // Dominance collapsed to per-x maxima + a strict suffix max over the
+    // distinct-x grid: skyline iff y equals its x-group max and strictly
+    // beats every larger-x group's max.
+    "q188_pareto_skyline" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(text, ' '), t -> t <> '')) AS x,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, cast(x as bigint) AS x,
+        |    cast(floor(round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, t -> t IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END) * 0.3,
+        |    6) * 1000) as bigint) AS y
+        |  FROM toks),
+        |px AS (SELECT x, max(y) AS my FROM sc GROUP BY 1),
+        |sfx AS (
+        |  SELECT x, my, max(my) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sf
+        |  FROM px)
+        |SELECT sc.doc_id, sc.x, sc.y,
+        |  (sc.y = f.my AND (f.sf IS NULL OR sc.y > f.sf)) AS skyline
+        |FROM sc JOIN sfx f USING (x)""".stripMargin,
+
+    // Length-prefixed field packing (null ≠ empty), 60-bit md5 digests,
+    // commutative folds; the sum reports mod 2^60 through DuckDB's
+    // hugeint accumulator exactly as Spark's decimal(38) one.
+    "q189_corpus_checksum" ->
+      """WITH p AS (
+        |  SELECT source,
+        |    length(coalesce(cast(doc_id as varchar), ''))::varchar || ':' ||
+        |      coalesce(cast(doc_id as varchar), ' ') ||
+        |    length(coalesce(text, ''))::varchar || ':' ||
+        |      coalesce(text, ' ') ||
+        |    length(coalesce(lang, ''))::varchar || ':' ||
+        |      coalesce(lang, ' ') ||
+        |    length(coalesce(cast(n_chars as varchar), ''))::varchar || ':' ||
+        |      coalesce(cast(n_chars as varchar), ' ') AS packed
+        |  FROM documents),
+        |s AS (SELECT source,
+        |    ('0x' || substr(md5(packed), 1, 15))::BIGINT AS sig FROM p)
+        |SELECT source AS "group", count(*) AS n_rows,
+        |  cast(bit_xor(sig) as bigint) AS xor_sig,
+        |  cast(sum(sig) % 1152921504606846976 as bigint) AS sum_sig,
+        |  min(sig) AS min_sig, max(sig) AS max_sig
+        |FROM s GROUP BY source""".stripMargin,
+
+    // HRW replay: per (doc, shard) md5 weights over generate_series; the
+    // argmax (max weight, min shard) under 8 and 9 shards, joined per doc.
+    "q190_rendezvous_shards" ->
+      """WITH c AS (
+        |  SELECT doc_id, s,
+        |    ('0x' || substr(md5(cast(doc_id as varchar) || ':' ||
+        |      cast(s as varchar)), 1, 15))::BIGINT AS w
+        |  FROM documents CROSS JOIN generate_series(0, 8) g(s)),
+        |o AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+        |    FROM c WHERE s < 8) WHERE rn = 1),
+        |n AS (
+        |  SELECT doc_id, s FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+        |    FROM c) WHERE rn = 1)
+        |SELECT o.doc_id, cast(o.s as int) AS shard_old,
+        |  cast(n.s as int) AS shard_new, o.s <> n.s AS moved
+        |FROM o JOIN n USING (doc_id)""".stripMargin,
+
+    // q64's closed-form synth replayed at FRAME level: 16-sample frames
+    // (final partial included), energy = Σ sample², voiced ≥ 5·10⁸, and
+    // voiced-run starts counted via the previous frame's flag.
+    "q191_audio_vad" ->
+      """WITH p AS (SELECT doc_id, 64 + doc_id % 64 AS n
+        |           FROM documents WHERE doc_id < 100),
+        |fr AS (
+        |  SELECT doc_id, f,
+        |    cast(list_sum([
+        |      ((doc_id*7919 + i*104729) % 20001 - 10000) *
+        |      ((doc_id*7919 + i*104729) % 20001 - 10000)
+        |      FOR i IN generate_series(f*16, least(n, (f+1)*16) - 1)])
+        |      as bigint) AS e
+        |  FROM p CROSS JOIN generate_series(0, 7) g(f)
+        |  WHERE f * 16 < n),
+        |v AS (
+        |  SELECT doc_id, f, e, e >= 500000000 AS voiced,
+        |    lag(e >= 500000000, 1, false)
+        |      OVER (PARTITION BY doc_id ORDER BY f) AS pv
+        |  FROM fr)
+        |SELECT doc_id, count(*) AS n_frames,
+        |  cast(sum(CASE WHEN voiced THEN 1 ELSE 0 END) as bigint) AS n_voiced,
+        |  cast(sum(CASE WHEN voiced AND NOT pv THEN 1 ELSE 0 END) as bigint)
+        |    AS n_segments,
+        |  cast(coalesce(sum(CASE WHEN voiced THEN e END), 0) as bigint)
+        |    AS voiced_energy
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    // Two ignore-null window passes per model over (ts, event_id)-ordered
+    // user timelines; cents = round(value·100) exactly as the q127 family.
+    "q192_touch_attribution" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id, event_type,
+        |    cast(round(value * 100, 0) as bigint) AS cents
+        |  FROM events),
+        |t AS (
+        |  SELECT user_id, event_type, cents,
+        |    first_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ft,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM ev),
+        |conv AS (SELECT * FROM t WHERE event_type = 'purchase'),
+        |u AS (
+        |  SELECT 'first' AS model, coalesce(ft, '(none)') AS touch_type, cents
+        |  FROM conv
+        |  UNION ALL
+        |  SELECT 'last', coalesce(lt, '(none)'), cents FROM conv)
+        |SELECT model, touch_type, count(*) AS n_conversions,
+        |  cast(sum(cents) as bigint) AS attributed_cents
+        |FROM u GROUP BY model, touch_type""".stripMargin
   )
 }

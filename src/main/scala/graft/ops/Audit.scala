@@ -229,4 +229,90 @@ object Audit {
         col("n"), col("positives"),
         expr("(1000000000 * positives) div n").as("rate_nano"))
   }
+
+  /**
+   * Split-conformal admission gate (Vovk et al.; Angelopoulos & Bates 2023
+   * tutorial form): a distribution-free filter with a finite-sample
+   * guarantee. A deterministic md5 split carves off `calibPct`% of rows as
+   * the calibration set; the threshold is the k-th smallest calibration
+   * NONCONFORMITY score with `k = ⌈(n+1)(1000−alphaPermille)/1000⌉`, and an
+   * evaluation row is admitted iff its score ≤ threshold. Under
+   * exchangeability the admitted fraction is ≥ 1−α in expectation — the
+   * quantile is a provable coverage statement, not a tuned knob. `scoreCol`
+   * must be LONG with higher = more anomalous. If k exceeds n (tiny
+   * calibration set, or α too small for it) the threshold is NULL and
+   * everything is admitted — the honest answer, not a silent clamp.
+   * Returns every evaluation row as (id, score, n_calib, threshold,
+   * admitted); all arithmetic integer.
+   *
+   * Scale shape: one scan splits calibration from evaluation with the
+   * pushdown-friendly md5 bucket; the calibration quantile is a
+   * map-side-combined groupBy on the score GRID (integer scores — permille
+   * grids have ≤ thousands of distinct values; the running-count window
+   * runs over that grid, not the rows) and the resulting single-row
+   * (n, k, threshold) frame broadcasts back over the evaluation side.
+   */
+  def conformalGate(df: DataFrame, idCol: String, scoreCol: String,
+      calibPct: Int = 50, alphaPermille: Int = 100): DataFrame = {
+    require(calibPct > 0 && calibPct < 100, "calibPct must be in (0, 100)")
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      "alphaPermille must be in (0, 1000)")
+    import org.apache.spark.sql.expressions.Window
+    val withB = df.where(col(scoreCol).isNotNull)
+      .select(col(idCol), col(scoreCol).cast("long").as("score"))
+      .withColumn("__b", Sampling.hashBucket(col(idCol), 100))
+    val calScores = withB.where(col("__b") < calibPct)
+      .groupBy(col("score").as("s")).agg(count(lit(1)).as("c"))
+    val cum = calScores.withColumn("cumc",
+      sum(col("c")).over(Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val par = calScores.agg(coalesce(sum(col("c")), lit(0L)).as("n_calib"))
+      .withColumn("k", expr(
+        s"((n_calib + 1) * ${1000 - alphaPermille} + 999) div 1000"))
+    val thr = cum.crossJoin(par).where(col("cumc") >= col("k"))
+      .agg(min(col("s")).as("threshold"))
+    withB.where(col("__b") >= calibPct)
+      .crossJoin(broadcast(par.crossJoin(thr)))
+      .select(col(idCol), col("score"), col("n_calib"), col("threshold"),
+        (col("threshold").isNull || col("score") <= col("threshold"))
+          .as("admitted"))
+  }
+
+  /**
+   * Order-independent corpus checksum per partition key — the
+   * stage-boundary integrity certificate: after a copy, a migration, or a
+   * re-shard, two checksum runs must agree cell-for-cell or rows were
+   * lost, duplicated, or mutated in transit. Each row contributes one
+   * md5-derived 60-bit digest of the concatenated `valueCols` (null
+   * distinct from empty via a length prefix); per group the report is
+   * (n_rows, xor_sig, sum_sig, min_sig, max_sig) — xor catches mutations
+   * and even double-counts xor misses are caught by sum and n_rows, and
+   * the min/max pair localizes WHICH digests diverge when two reports
+   * disagree. All folds are commutative — the signature is a pure function
+   * of the row multiset, never of partitioning or scan order.
+   *
+   * Scale shape: one codegen'd scan (md5 per row, no string round-trip via
+   * the native md5_prefix60), one map-side-combined groupBy per group key.
+   * The sum accumulates in decimal(38,0) and reports mod 2^60 — exact,
+   * order-free, and immune to the ANSI long-overflow error a plain long
+   * sum would hit past ~2^4 rows of near-max digests; collisions are the
+   * md5 birthday bound.
+   */
+  def corpusChecksum(df: DataFrame, groupCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(valueCols.nonEmpty, "corpusChecksum needs value columns")
+    val packed = concat_ws("",
+      valueCols.map(c => concat_ws("",
+        length(coalesce(col(c).cast("string"), lit(""))).cast("string"),
+        lit(":"), coalesce(col(c).cast("string"), lit(" ")))): _*)
+    val sig = graft.functions.GraftFunctions.md5_prefix60(packed)
+    df.select(col(groupCol).as("group"), sig.as("sig"))
+      .groupBy(col("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(sig)").as("xor_sig"),
+        (sum(col("sig").cast("decimal(38,0)")) % lit(1152921504606846976L))
+          .cast("long").as("sum_sig"),
+        min(col("sig")).as("min_sig"),
+        max(col("sig")).as("max_sig"))
+  }
 }

@@ -232,4 +232,45 @@ object EventOps {
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
       .withColumn("truncated", col("n_events") > maxLen)
   }
+
+  /**
+   * First-/last-touch conversion attribution — the marketing-analytics
+   * answer to "which touchpoint gets credit for this conversion": for each
+   * conversion event (type == `conversionType`), credit its integer-cents
+   * value to the FIRST and to the LAST non-conversion event type strictly
+   * earlier in that user's (ts, tie)-ordered timeline; a conversion with no
+   * preceding touch credits the sentinel "(none)" (direct conversion). Both
+   * models report side by side — one row per (model, touch_type) with the
+   * conversion count and exact attributed cents (integer sums: any
+   * accumulation order, any engine).
+   *
+   * Scale shape: two window passes over timelines partitioned by user (the
+   * natural event-log partitioning — bounded by the longest single
+   * timeline, never global), then one map-side-combined groupBy on the tiny
+   * (model, touch_type) key. Only (user, ts, tie, type, cents) ever moves.
+   */
+  def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, typeCol: String, centsCol: String,
+      conversionType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touched = events.select(col(userCol).as("user"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(typeCol).as("etype"),
+        col(centsCol).cast("long").as("cents"))
+      .withColumn("__touch",
+        when(col("etype") =!= lit(conversionType), col("etype")))
+      .withColumn("first_touch", first(col("__touch"), ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(col("__touch"), ignoreNulls = true).over(w))
+      .where(col("etype") === lit(conversionType))
+    touched.select(lit("first").as("model"),
+        coalesce(col("first_touch"), lit("(none)")).as("touch_type"),
+        col("cents"))
+      .unionByName(touched.select(lit("last").as("model"),
+        coalesce(col("last_touch"), lit("(none)")).as("touch_type"),
+        col("cents")))
+      .groupBy(col("model"), col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("cents")).as("attributed_cents"))
+  }
 }

@@ -256,4 +256,41 @@ object MediaCodec {
     }
     if (sawData) Some(WavInfo(sampleRate, channels, nSamples, sumAbs)) else None
   }
+
+  /** Parse a PCM16 WAV to its raw interleaved samples (same RIFF walk as
+    * [[decodeWav]]) — for frame-level analysis (VAD, energy segmentation)
+    * that aggregate stats can't serve. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (bytes == null || sniffFormat(bytes) != "wav") return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(12)
+    var sampleRate = 0
+    var channels = 0
+    val out = scala.collection.mutable.ArrayBuilder.make[Short]
+    var sawData = false
+    while (buf.remaining() >= 8) {
+      val id = new String(Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
+      val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      val next = buf.position() + len + (len & 1)
+      id match {
+        case "fmt " =>
+          val audioFormat = buf.getShort
+          channels = buf.getShort
+          sampleRate = buf.getInt
+          buf.getInt; buf.getShort
+          val bits = buf.getShort
+          if (audioFormat != 1 || bits != 16) return None
+        case "data" =>
+          if (channels == 0) return None
+          sawData = true
+          var i = 0
+          val n = len / 2
+          while (i < n) { out += buf.getShort; i += 1 }
+        case _ =>
+      }
+      buf.position(math.min(next, bytes.length))
+    }
+    if (sawData) Some((sampleRate, out.result())) else None
+  }
 }

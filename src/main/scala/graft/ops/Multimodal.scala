@@ -130,6 +130,60 @@ object Multimodal {
       .toDF()
   }
 
+  /** Frame-energy voice-activity detection over a WAV blob column — the
+    * speech-data triage op (keep clips with enough voiced content, measure
+    * how fragmented the speech is) run BEFORE any model touches the audio.
+    * The blob parses once per row; frames of `frameLen` samples (final
+    * partial frame included) score `energy = Σ sample²` — exact longs, no
+    * float window functions — and a frame is voiced iff
+    * `energy ≥ energyThreshold`. Per clip: total/voiced frame counts,
+    * voiced-segment count (maximal voiced runs — the fragmentation
+    * signal), and the summed voiced energy. Undecodable blobs yield null
+    * stats (kept, not dropped: the caller decides).
+    *
+    * Scale shape: one mapPartitions pass — genuine per-row imperative
+    * decode, [[decodeAudioStats]]'s discipline — emitting five scalars per
+    * clip; blobs never shuffle, frames never materialize as rows. */
+  def audioVadStats(df: DataFrame, idCol: String, blobCol: String,
+      frameLen: Int, energyThreshold: Long): DataFrame = {
+    require(frameLen > 0, "frameLen must be positive")
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("n_frames", LongType),
+      StructField("n_voiced", LongType),
+      StructField("n_segments", LongType),
+      StructField("voiced_energy", LongType)))
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        it.map { r =>
+          MediaCodec.decodeWavSamples(r.getAs[Array[Byte]](1)) match {
+            case Some((_, samples)) =>
+              var f = 0; var nFrames = 0L; var nVoiced = 0L
+              var nSegments = 0L; var voicedEnergy = 0L
+              var prevVoiced = false
+              while (f < samples.length) {
+                val end = math.min(f + frameLen, samples.length)
+                var e = 0L
+                var i = f
+                while (i < end) { e += samples(i).toLong * samples(i); i += 1 }
+                nFrames += 1
+                val voiced = e >= energyThreshold
+                if (voiced) {
+                  nVoiced += 1
+                  voicedEnergy += e
+                  if (!prevVoiced) nSegments += 1
+                }
+                prevVoiced = voiced
+                f = end
+              }
+              Row(r.get(0), nFrames, nVoiced, nSegments, voicedEnergy)
+            case None => Row(r.get(0), null, null, null, null)
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Real RIFF/GVID video: `3 + id%4` PNG frames of `w = 8 + id%5`,
     * `h = 8 + id%3`; frame f's pixel (x,y) =
     * (id·31 + f·17 + x·7 + y·13) mod 256 — closed-form, so the DuckDB

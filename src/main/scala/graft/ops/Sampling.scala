@@ -502,4 +502,84 @@ object Sampling {
           s"(((__cum - __w) * $n + __t - 1) div __t)").as("copies"))
       .where(col("copies") >= 1)
   }
+
+  /**
+   * Rendezvous (highest-random-weight) shard assignment: a row's shard
+   * under an `n`-shard layout is `argmax over s∈[0,n) of
+   * md5(id ++ ":" ++ s)` — Thaler–Ravishankar HRW, the assignment scheme
+   * whose defining property is MINIMAL MOVEMENT under resharding: growing
+   * from n to m > n shards moves exactly the rows whose argmax lands in a
+   * new shard (expected (m−n)/m of them), where a `hash(id) mod n` layout
+   * reshuffles almost everything. Ties broken by the smaller shard id
+   * (md5 ties across two (id, shard) strings are a 2^-60 event, but the
+   * rule keeps the operator total). Deterministic, engine-portable md5 —
+   * the exact assignment replays anywhere.
+   *
+   * Returns every row as (id, shard_old, shard_new, moved) for the
+   * `nOld` → `nNew` transition — the resharding COST PLAN: `sum(moved)`
+   * is the bytes that must travel, per-shard counts are the post-move
+   * balance, and the audit that the old assignment stays put for unmoved
+   * rows is the correctness certificate for an incremental migration.
+   *
+   * Scale shape: one scan, no shuffle, no join — each row evaluates
+   * max(nNew) md5s inline (the candidate structs fold in ONE greatest()
+   * over codegen'd md5 expressions). At a million rows per partition and
+   * n ≤ 64 shards that is the same order of work as one tokenize.
+   */
+  def rendezvousShards(df: DataFrame, idCol: String, nOld: Int,
+      nNew: Int): DataFrame = {
+    require(nOld > 0 && nNew > 0, "shard counts must be positive")
+    def shardOf(n: Int): Column = {
+      // argmax via one greatest() over (weight, -shard) pairs packed as
+      // structs: struct comparison is lexicographic, so the max struct is
+      // the max weight with the SMALLEST shard winning ties
+      val cands = (0 until n).map { s =>
+        struct(
+          graft.functions.GraftFunctions.md5_prefix60(
+            concat(col(idCol).cast("string"), lit(":"), lit(s.toString)))
+            .as("w"),
+          lit(-s).as("ns"))
+      }
+      val top = if (cands.size == 1) cands.head else greatest(cands: _*)
+      (top.getField("ns") * -1).cast("int")
+    }
+    df.select(col(idCol),
+        shardOf(nOld).as("shard_old"), shardOf(nNew).as("shard_new"))
+      .withColumn("moved", col("shard_old") =!= col("shard_new"))
+  }
+
+  /**
+   * Two-criteria Pareto skyline — the non-dominated frontier of rows
+   * maximizing BOTH integer criteria (Börzsönyi et al. 2001's operator,
+   * reduced to its scalable 2-D sort form): row a dominates row b iff
+   * `a.x ≥ b.x ∧ a.y ≥ b.y` with at least one strict; the skyline is every
+   * undominated row (coincident points all survive — neither dominates).
+   * The curation use: "no doc on the frontier of (quality, length) may be
+   * dropped" / "everything off the frontier has a strictly better
+   * stand-in". Returns every input row plus a `skyline` boolean — the
+   * decision column composes with downstream filters either way.
+   *
+   * Scale shape: dominance in 2-D collapses to per-x maxima — a row
+   * survives iff its y equals its x-group's max AND strictly exceeds every
+   * larger-x group's max. One map-side-combined groupBy to the x GRID, one
+   * running-max window over the distinct-x table (grid-sized, not
+   * row-sized — integer criteria live on bounded grids), one broadcast
+   * join back. No self-join: the O(n²) dominance test never materializes.
+   */
+  def paretoSkyline(df: DataFrame, idCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+    val perX = base.groupBy(col("x")).agg(max(col("y")).as("__my"))
+    // exclusive running max over strictly-larger x (desc order, 1-row lag)
+    val sufMax = perX.withColumn("__sfx",
+      max(col("__my")).over(Window.orderBy(col("x").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)))
+    base.join(broadcast(sufMax), Seq("x"))
+      .select(col(idCol), col("x"), col("y"),
+        (col("y") === col("__my") &&
+          (col("__sfx").isNull || col("y") > col("__sfx"))).as("skyline"))
+  }
 }

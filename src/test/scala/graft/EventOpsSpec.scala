@@ -187,4 +187,29 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(4)))
     assert(m.toSeq == Seq((0, 3L, 1000L)))
   }
+
+  test("touchAttribution: first/last preceding non-conversion touch per " +
+      "timeline; direct conversions credit (none); exact cents") {
+    val ev = Seq(
+      // user 1: view → click → purchase(500) → purchase(250)
+      (1L, 10L, 1L, "view", 0L), (1L, 20L, 2L, "click", 0L),
+      (1L, 30L, 3L, "purchase", 500L), (1L, 40L, 4L, "purchase", 250L),
+      // user 2: purchase with no preceding touch
+      (2L, 10L, 5L, "purchase", 100L),
+      // user 3: click → view → purchase — first=click, last=view
+      (3L, 10L, 6L, "click", 0L), (3L, 20L, 7L, "view", 0L),
+      (3L, 30L, 8L, "purchase", 40L))
+      .toDF("user", "ts", "eid", "etype", "cents")
+    val out = graft.ops.EventOps.touchAttribution(ev, "user", "ts", "eid",
+        "etype", "cents", "purchase")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("last", "click")) == ((2L, 750L)))
+    assert(out(("last", "view")) == ((1L, 40L)))
+    assert(out(("last", "(none)")) == ((1L, 100L)))
+    assert(out(("first", "view")) == ((2L, 750L)))
+    assert(out(("first", "click")) == ((1L, 40L)))
+    assert(out(("first", "(none)")) == ((1L, 100L)))
+    assert(out.size == 6)
+  }
 }

@@ -199,4 +199,60 @@ class LayoutAuditSpec extends SparkSpec {
         s"doc $id: margin $m vs pred ${pred(id)}")
     }
   }
+
+  test("conformalGate: threshold is the ⌈(n+1)(1-α)⌉-th smallest calibration " +
+      "score; admitted ⇔ score ≤ threshold; tiny calibration admits all") {
+    val df = (1L to 200L).map(i => (i, i)).toDF("id", "score")
+    val out = graft.ops.Audit.conformalGate(df, "id", "score",
+        calibPct = 50, alphaPermille = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+    // recompute the expected threshold from the same deterministic split
+    val calib = (1L to 200L).filter { i =>
+      org.apache.spark.sql.graft.Md5Prefix60.compute(i.toString) % 100 < 50
+    }.sorted
+    val n = calib.size
+    val k = ((n + 1) * 900 + 999) / 1000
+    val expectedThr = calib(k.toInt - 1) // scores == ids, already sorted
+    assert(out.nonEmpty && out.length == 200 - n)
+    out.foreach { case (id, s, nc, thr, adm) =>
+      assert(nc == n && thr == Some(expectedThr) &&
+        adm == (s <= expectedThr), s"row $id: ($s, $nc, $thr, $adm)")
+    }
+    // eval side only: no calibration id appears
+    assert(out.map(_._1).toSet.intersect(calib.toSet).isEmpty)
+    // calibration too small for alpha: k > n ⇒ null threshold, all admitted
+    val tiny = Seq((1L, 5L), (2L, 7L)).toDF("id", "score")
+    graft.ops.Audit.conformalGate(tiny, "id", "score",
+        calibPct = 50, alphaPermille = 1)
+      .collect().foreach(r => assert(r.isNullAt(3) && r.getBoolean(4)))
+  }
+
+  test("corpusChecksum: partition-invariant; xor blind to duplication but " +
+      "sum/n catch it; any single-field mutation flips the signatures") {
+    val rows = Seq((1L, "alpha", "g"), (2L, "beta", "g"), (3L, null, "g"),
+      (4L, "", "g"), (5L, "delta", "h")).toDF("id", "text", "grp")
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Audit.corpusChecksum(df, "grp", Seq("id", "text"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val base = sig(rows)
+    assert(base.keySet == Set("g", "h") && base("g")._1 == 4)
+    assert(sig(rows.repartition(7)) == base)
+    // two extra copies of a row: the xor pair cancels — blind; sum and
+    // n_rows still catch it
+    val extra = rows.where(col("id") === 2)
+    val dup = rows.unionByName(extra).unionByName(extra)
+    val d = sig(dup)
+    assert(d("g")._2 == base("g")._2 && d("g")._1 == 6 &&
+      d("g")._3 != base("g")._3)
+    // null vs empty text are DIFFERENT multisets
+    val nulled = Seq((1L, "alpha", "g"), (2L, "beta", "g"), (3L, "", "g"),
+      (4L, "", "g"), (5L, "delta", "h")).toDF("id", "text", "grp")
+    assert(sig(nulled)("g") != base("g"))
+    // single-char mutation flips xor
+    val mut = Seq((1L, "alphA", "g"), (2L, "beta", "g"), (3L, null, "g"),
+      (4L, "", "g"), (5L, "delta", "h")).toDF("id", "text", "grp")
+    assert(sig(mut)("g")._2 != base("g")._2)
+  }
 }

@@ -169,6 +169,34 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(good.getLong(4) == good.getLong(2) * 1000000L / 8000)
   }
 
+  test("audioVadStats: frame energies, partial tail frame, voiced-run " +
+      "segmentation, null row for bad blob") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 40 samples: 16×0 (silent), 16×1000 (voiced), 8×1000 (voiced tail)
+    val a = graft.ops.MediaCodec.encodeWavPcm16(8000,
+      Array.fill(16)(0.toShort) ++ Array.fill(24)(1000.toShort))
+    // alternating frames: 16×1000, 16×0, 16×1000 → two separate segments
+    val b = graft.ops.MediaCodec.encodeWavPcm16(8000,
+      Array.fill(16)(1000.toShort) ++ Array.fill(16)(0.toShort) ++
+        Array.fill(16)(1000.toShort))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("audio", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, a), Row(2L, b),
+        Row(3L, "junk".getBytes)), schema)
+    val out = Multimodal.audioVadStats(df, "id", "audio",
+        frameLen = 16, energyThreshold = 1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // a: frames [0, 16e6, 8e6] → 3 frames, 2 voiced, ONE run, energy 24e6
+    assert(out(1L).getLong(1) == 3 && out(1L).getLong(2) == 2 &&
+      out(1L).getLong(3) == 1 && out(1L).getLong(4) == 24000000L)
+    // b: voiced-silent-voiced → TWO runs
+    assert(out(2L).getLong(1) == 3 && out(2L).getLong(2) == 2 &&
+      out(2L).getLong(3) == 2 && out(2L).getLong(4) == 32000000L)
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))
+  }
+
   test("sampleVideoFrames: every stride-th frame decoded exactly; " +
       "bad container quarantines to one null row") {
     val media = Multimodal.synthesizeVideo(ids, "doc_id")

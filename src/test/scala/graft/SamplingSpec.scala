@@ -421,4 +421,51 @@ class SamplingSpec extends SparkSpec {
     assert(out.map(t => (t._1, t._2)).toSeq ==
       out.map(t => (t._1, t._2)).sortBy(identity).toSeq)
   }
+
+  test("rendezvousShards: in-range, deterministic, minimal movement — " +
+      "every n→n+1 move lands on the NEW shard") {
+    import spark.implicits._
+    val ids = (1L to 400L).toDF("id")
+    val out = graft.ops.Sampling.rendezvousShards(ids, "id", 8, 9)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3)))
+    assert(out.length == 400)
+    out.foreach { case (id, so, sn, m) =>
+      assert(so >= 0 && so < 8 && sn >= 0 && sn < 9)
+      assert(m == (so != sn))
+      // HRW invariant: adding shard 8 can only steal rows FOR shard 8 —
+      // the argmax over 0..7 is unchanged otherwise
+      if (m) assert(sn == 8, s"id $id moved to $sn, not the new shard")
+    }
+    val moved = out.count(_._4)
+    // expected 1/9 of rows; generous band to stay seed-free and stable
+    assert(moved > 10 && moved < 120, s"moved $moved of 400")
+    // determinism across partitionings
+    val again = graft.ops.Sampling.rendezvousShards(ids.repartition(13),
+      "id", 8, 9).collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getBoolean(3))).sortBy(_._1)
+    assert(again.toSeq == out.sortBy(_._1).toSeq)
+  }
+
+  test("paretoSkyline: matches brute-force dominance; coincident points " +
+      "both survive; same-x dominated points drop") {
+    import spark.implicits._
+    val pts = Seq((1L, 1L, 5L), (2L, 2L, 4L), (3L, 3L, 3L), (4L, 2L, 5L),
+      (5L, 0L, 9L), (6L, 3L, 1L), (7L, 2L, 5L), (8L, 3L, 3L), (9L, 4L, 0L))
+    val out = graft.ops.Sampling.paretoSkyline(
+        pts.toDF("id", "x", "y"), "id", "x", "y")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val brute = pts.map { case (id, x, y) =>
+      id -> !pts.exists { case (id2, x2, y2) =>
+        id2 != id && x2 >= x && y2 >= y && (x2 > x || y2 > y) &&
+          // coincident points never dominate each other
+          !(x2 == x && y2 == y)
+      }
+    }.toMap
+    assert(out == brute, s"skyline $out vs brute $brute")
+    // spot meaning: (0,9) and (2,5)×2 and (3,3)×2 and (4,0) on the frontier;
+    // (1,5) dominated by (2,5); (2,4) by (2,5); (3,1) by (3,3)
+    assert(out(5L) && out(4L) && out(7L) && out(3L) && out(8L) && out(9L))
+    assert(!out(1L) && !out(2L) && !out(6L))
+  }
 }
