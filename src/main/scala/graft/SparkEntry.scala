@@ -2684,7 +2684,14 @@ object SparkEntry {
         events(s, dir).withColumn("cents",
           round(col("value") * 100.0, 0).cast("long")),
         "user_id", "ts", "event_id", "event_type", "cents",
-        conversionType = "purchase"))
+        conversionType = "purchase")),
+
+    // --- MMR diversified top-5 around query vector 0: greedy argmax of
+    //     700·rel − 300·maxsim in division-free integer permille-nano —
+    //     relevance with a redundancy penalty, every round replayable ----
+    "q193_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(T(s, dir, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 5, lambdaPermille = 700))
   )
 
   // =========================================================================
@@ -7049,6 +7056,62 @@ object SparkEntry {
         |  SELECT 'last', coalesce(lt, '(none)'), cents FROM conv)
         |SELECT model, touch_type, count(*) AS n_conversions,
         |  cast(sum(cents) as bigint) AS attributed_cents
-        |FROM u GROUP BY model, touch_type""".stripMargin
+        |FROM u GROUP BY model, touch_type""".stripMargin,
+
+    // q175's greedy-CTE discipline for MMR: per round, argmax of the
+    // division-free 700·rel − 300·ms score, then ms updates via the q172
+    // int8-cosine LATERAL against the single picked vector.
+    "q193_mmr_select" -> {
+      val rounds = (1 to 5).map { i =>
+        val upd = if (i < 5)
+          s""",
+             |m$i AS (
+             |  SELECT a.id, a.qv, a.rel,
+             |    greatest(a.ms, cast(floor((CASE WHEN l.na = 0 OR l.nb = 0
+             |      THEN 0.0 ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END)
+             |      * 1000000000.0) as bigint)) AS ms
+             |  FROM m${i - 1} a CROSS JOIN s$i s CROSS JOIN LATERAL (
+             |    SELECT list_dot_product(cast(a.qv as double[]),
+             |             cast(s.qv as double[])) AS dot,
+             |           list_dot_product(cast(a.qv as double[]),
+             |             cast(a.qv as double[])) AS na,
+             |           list_dot_product(cast(s.qv as double[]),
+             |             cast(s.qv as double[])) AS nb) l
+             |  WHERE a.id <> s.id)""".stripMargin
+        else ""
+        s"""s$i AS (
+           |  SELECT id, qv, rel, ms, 700 * rel - 300 * ms AS score
+           |  FROM m${i - 1} ORDER BY score DESC, id LIMIT 1)$upd""".stripMargin
+      }.mkString(",\n")
+      s"""WITH qz AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CASE WHEN maxabs = 0 THEN 0
+         |      ELSE cast(floor(cast(x as double) * 127.0 / maxabs) as bigint) END) AS qv
+         |  FROM (SELECT vec_id, embedding,
+         |          cast(list_max(list_transform(embedding, x -> abs(x))) as double) AS maxabs
+         |        FROM embeddings WHERE embedding IS NOT NULL)),
+         |qq AS (SELECT qv FROM qz WHERE vec_id = 0),
+         |m0 AS (
+         |  SELECT z.vec_id AS id, z.qv,
+         |    cast(floor((CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+         |      ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END) * 1000000000.0)
+         |      as bigint) AS rel,
+         |    cast(-1000000000 as bigint) AS ms
+         |  FROM qz z CROSS JOIN qq q CROSS JOIN LATERAL (
+         |    SELECT list_dot_product(cast(z.qv as double[]),
+         |             cast(q.qv as double[])) AS dot,
+         |           list_dot_product(cast(z.qv as double[]),
+         |             cast(z.qv as double[])) AS na,
+         |           list_dot_product(cast(q.qv as double[]),
+         |             cast(q.qv as double[])) AS nb) l
+         |  WHERE z.vec_id <> 0),
+         |$rounds
+         |SELECT cast(round as bigint) AS round, id, rel AS rel_nano,
+         |  ms AS maxsim_nano, cast(score as bigint) AS score_pm FROM (
+         |  SELECT 1 AS round, id, rel, ms, score FROM s1
+         |  UNION ALL SELECT 2, id, rel, ms, score FROM s2
+         |  UNION ALL SELECT 3, id, rel, ms, score FROM s3
+         |  UNION ALL SELECT 4, id, rel, ms, score FROM s4
+         |  UNION ALL SELECT 5, id, rel, ms, score FROM s5)""".stripMargin
+    }
   )
 }

@@ -1094,4 +1094,88 @@ object Similarity {
       centers.toSeq.toDF("round", "center_id", "radius_sq")
     }
   }
+
+  /**
+   * Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) — the
+   * greedy diversified top-k behind few-shot example pickers, eval-set
+   * curation, and de-redundant retrieval: round r selects the candidate
+   * maximizing `λ·rel(c, query) − (1−λ)·max_{s∈selected} sim(c, s)` — high
+   * relevance, penalized by similarity to what is already chosen. Scores
+   * are integer "permille-nano" units, `lambdaPermille·rel_nano −
+   * (1000−lambdaPermille)·maxsim_nano`, with NO division anywhere — a pure
+   * product-sum argmax that replays exactly on any engine (a floor- vs
+   * truncating-div would diverge on the negative scores anti-correlated
+   * vectors produce). Cosines are int8-quantized nano floors (the
+   * [[marginAlignment]] arithmetic); `maxsim` starts at −10⁹ (max
+   * dissimilarity: an empty selected set penalizes nothing and shifts all
+   * round-1 scores by the same constant). Ties break to the smaller id.
+   * Returns one row per round: (round, id, rel_nano, maxsim_nano,
+   * score_pm) — maxsim as of the moment of selection.
+   *
+   * Scale shape: the [[kCenterCoreset]] loop discipline — the candidate
+   * frame keeps (id, qvec, rel, maxsim); each round is ONE
+   * TakeOrderedAndProject (argmax) plus one scan updating maxsim against
+   * the single picked vector (a k-long literal — no join), checkpointed
+   * through [[graft.Eager]] with the previous round released. Driver state
+   * is k rows; k is the output size, never the corpus.
+   */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, lambdaPermille: Int = 700): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    require(lambdaPermille >= 0 && lambdaPermille <= 1000,
+      "lambdaPermille must be in [0, 1000]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lam = lambdaPermille.toLong
+    val q0 = quantizeInt8(df.where(col(vecCol).isNotNull), idCol, vecCol)
+      .select(col("id"), col("qvec"))
+    graft.Eager.withPersisted(q0) { p =>
+      val qrow = p.where(col("id") === queryId).collect()
+      require(qrow.nonEmpty, s"query id $queryId not found or null vector")
+      def vecLit(r: org.apache.spark.sql.Row) =
+        array(r.getSeq[Byte](1).toIndexedSeq.map(v => lit(v)): _*)
+      val cosNano = (v: Column, w: Column) =>
+        floor(graft.functions.GraftFunctions.cosine_sim_int8_pair(v, w) * 1e9d)
+          .cast("long")
+      val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      var releaseM: () => Unit = () => ()
+      try {
+        var state = {
+          val m0 = p.where(col("id") =!= queryId)
+            .select(col("id"), col("qvec"),
+              cosNano(col("qvec"), vecLit(qrow(0))).as("rel"),
+              lit(-1000000000L).as("maxsim"))
+          val (cp, rel) = graft.Eager.checkpointed(m0)
+          releaseM = rel
+          cp
+        }
+        var round = 1
+        var exhausted = false
+        while (round <= k && !exhausted) {
+          val scored = state.withColumn("score",
+            lit(lam) * col("rel") - lit(1000L - lam) * col("maxsim"))
+          val top = scored.orderBy(col("score").desc, col("id")).limit(1)
+            .collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val t = top(0)
+            picked += ((round.toLong, t.getLong(0), t.getLong(2),
+              t.getLong(3), t.getLong(4)))
+            if (round < k) {
+              val upd = state.where(col("id") =!= t.getLong(0))
+                .select(col("id"), col("qvec"), col("rel"),
+                  greatest(col("maxsim"),
+                    cosNano(col("qvec"), vecLit(t))).as("maxsim"))
+              val (cp, rel) = graft.Eager.checkpointed(upd)
+              releaseM()
+              releaseM = rel
+              state = cp
+            }
+            round += 1
+          }
+        }
+      } finally releaseM()
+      picked.toSeq.toDF("round", "id", "rel_nano", "maxsim_nano", "score_pm")
+    }
+  }
 }

@@ -1200,6 +1200,30 @@ class OpsSpec extends SparkSpec {
     assert(Similarity.kCenterCoreset(pts, "id", "vec", 1).count() == 1)
   }
 
+  test("mmrSelect: λ=1000 is pure relevance order; low λ trades relevance " +
+      "for diversity; stops when candidates run out; partition-invariant") {
+    // query [1,0]; a ≈ query, b ≈ a (redundant), c diverse with mid relevance
+    val pts = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0.99f, 0.1f)),
+      (3L, Seq(0.5f, 0.85f)))
+      .toDF("id", "vec")
+    def order(lambda: Int) = Similarity.mmrSelect(pts, "id", "vec",
+        queryId = 0L, k = 5, lambdaPermille = lambda)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pure relevance: 1 (identical), then 2, then 3; only 3 candidates
+    assert(order(1000).toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // diversity-heavy: after 1, the redundant 2 is penalized below 3
+    assert(order(300).toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+    // scores carry the selection-time maxsim: round 1 reports -1e9
+    val r1 = Similarity.mmrSelect(pts, "id", "vec", 0L, 1, 700).head()
+    assert(r1.getLong(3) == -1000000000L &&
+      r1.getLong(4) == 700L * r1.getLong(2) + 300L * 1000000000L)
+    // partition invariance
+    val a = Similarity.mmrSelect(pts.repartition(7), "id", "vec", 0L, 3, 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(a == order(300).toSeq)
+  }
+
   test("Layout.globalRank: ranks are the exact row_number permutation of the " +
       "sort order across many range partitions") {
     val n = 257
