@@ -2691,7 +2691,27 @@ object SparkEntry {
     //     relevance with a redundancy penalty, every round replayable ----
     "q193_mmr_select" -> ((s, dir) =>
       Similarity.mmrSelect(T(s, dir, "embeddings"), "vec_id", "embedding",
-        queryId = 0L, k = 5, lambdaPermille = 700))
+        queryId = 0L, k = 5, lambdaPermille = 700)),
+
+    // --- local clustering coefficients over the click graph: triangles ÷
+    //     wedges per node in integer nano — the transitivity audit whose
+    //     near-zero hubs are the false-positive glue nodes ---------------
+    "q194_clustering_coeff" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("page",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      graft.ops.Graph.clusteringCoefficients(
+        graft.ops.Graph.transitionEdges(ev, "user_id", "ts", "event_id",
+          "page"))
+    }),
+
+    // --- MAD robust outlier gate on per-source token counts: lower-median
+    //     and MAD are values FROM the data (50% breakdown), flag at
+    //     |x − med| > 3·mad — all integer, replayable ---------------------
+    "q195_mad_outliers" -> ((s, dir) =>
+      graft.ops.Audit.madOutliers(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          token_count(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "source", "n_tokens", k = 3))
   )
 
   // =========================================================================
@@ -7112,6 +7132,72 @@ object SparkEntry {
          |  UNION ALL SELECT 3, id, rel, ms, score FROM s3
          |  UNION ALL SELECT 4, id, rel, ms, score FROM s4
          |  UNION ALL SELECT 5, id, rel, ms, score FROM s5)""".stripMargin
-    }
+    },
+
+    // q186's simple-graph replay extended with per-node degrees and the
+    // wedge normalization; floor-div on non-negative integers == div.
+    "q194_clustering_coeff" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+        |    cast(regexp_extract(props, '"k": (\d+)', 1) as bigint) AS page
+        |  FROM events),
+        |ed AS (
+        |  SELECT src, dst FROM (
+        |    SELECT page AS src,
+        |      lead(page) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |        AS dst
+        |    FROM ev)
+        |  WHERE dst IS NOT NULL),
+        |ce AS (
+        |  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+        |  FROM ed WHERE src <> dst),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT lo AS node FROM ce UNION ALL SELECT hi FROM ce)
+        |  GROUP BY node),
+        |tri AS (
+        |  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+        |  FROM ce e1
+        |  JOIN ce e2 ON e2.lo = e1.hi
+        |  JOIN ce e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+        |tc AS (
+        |  SELECT node, count(*) AS t
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+        |  GROUP BY node)
+        |SELECT d.node, cast(d.deg as bigint) AS deg,
+        |  cast((d.deg * (d.deg - 1)) // 2 as bigint) AS wedges,
+        |  cast(coalesce(tc.t, 0) as bigint) AS triangles,
+        |  cast(CASE WHEN d.deg >= 2
+        |    THEN (1000000000 * 2 * coalesce(tc.t, 0)) // (d.deg * (d.deg - 1))
+        |    ELSE 0 END as bigint) AS coeff_nano
+        |FROM deg d LEFT JOIN tc ON tc.node = d.node""".stripMargin,
+
+    // Lower medians ((n+1)//2-th smallest, ties by id) for value and
+    // absolute deviation, then the strict k·mad gate.
+    "q195_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT doc_id, source AS "group",
+        |    cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      as bigint) AS value
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY "group" ORDER BY value, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY "group") AS n
+        |  FROM v),
+        |med AS (SELECT "group", value AS med FROM r WHERE rn = (n + 1) // 2),
+        |d AS (
+        |  SELECT v.doc_id, v."group", v.value, m.med,
+        |    abs(v.value - m.med) AS dev
+        |  FROM v JOIN med m USING ("group")),
+        |r2 AS (
+        |  SELECT *, row_number() OVER (
+        |      PARTITION BY "group" ORDER BY dev, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY "group") AS n
+        |  FROM d),
+        |mad AS (SELECT "group", dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
+        |SELECT d.doc_id, d."group", d.value, d.med AS median, mad.mad,
+        |  d.dev > 3 * mad.mad AS outlier
+        |FROM d JOIN mad USING ("group")""".stripMargin
   )
 }

@@ -279,6 +279,52 @@ object Audit {
   }
 
   /**
+   * Robust per-group outlier gate via the median absolute deviation — the
+   * cleaning rule that survives the outliers it hunts (a mean/σ gate moves
+   * with every extreme value; the median and MAD do not, 50% breakdown
+   * point). Per group: `median` = the ⌊(n+1)/2⌋-th smallest value (lower
+   * median — a value FROM the data, deterministic, no float midpoint),
+   * `mad` = the same median of |value − median|, and a row is an outlier
+   * iff `|value − median| > k·mad`. All integer; ties in the rank order
+   * break by id. A group where over half the values coincide has mad = 0 —
+   * then ANY deviation flags, the strict-inequality contract. Returns
+   * every row: (id, group, value, median, mad, outlier).
+   *
+   * Scale shape: two rank passes, each a window partitioned BY GROUP (the
+   * event-log discipline — bounded by the largest group, range-partitioned
+   * by the group key, never a global sort), plus two tiny per-group
+   * median tables broadcast back.
+   */
+  def madOutliers(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, k: Int = 3): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), col(groupCol).as("group"),
+        col(valueCol).cast("long").as("value"))
+      .where(col(valueCol).isNotNull)
+    def medianOf(in: DataFrame, vCol: String): DataFrame = {
+      val w = Window.partitionBy(col("group"))
+        .orderBy(col(vCol), col(idCol))
+      in.select(col("group"), col(vCol),
+          row_number().over(w).as("__rn"),
+          count(lit(1)).over(Window.partitionBy(col("group"))).as("__n"))
+        .where(col("__rn") === expr("(__n + 1) div 2"))
+        .select(col("group"), col(vCol).as("__med"))
+    }
+    val med = medianOf(base, "value")
+    val withDev = base.join(med, Seq("group"))
+      .withColumn("__dev", abs(col("value") - col("__med")))
+    graft.Eager.withPersisted(withDev) { p =>
+      val mad = medianOf(p.select(col("group"), col(idCol), col("__dev")),
+        "__dev").select(col("group"), col("__med").as("__mad"))
+      p.join(mad, Seq("group"))
+        .select(col(idCol), col("group"), col("value"),
+          col("__med").as("median"), col("__mad").as("mad"),
+          (col("__dev") > lit(k.toLong) * col("__mad")).as("outlier"))
+    }
+  }
+
+  /**
    * Order-independent corpus checksum per partition key — the
    * stage-boundary integrity certificate: after a copy, a migration, or a
    * re-shard, two checksum runs must agree cell-for-cell or rows were

@@ -208,38 +208,83 @@ object Graph {
    * the (b, c) edge pair; each triangle is found exactly once because only
    * one of a wedge's two (b, c) orderings exists as an oriented edge.
    */
-  def triangleCounts(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst"): DataFrame = {
-    val simple = edges
+  /** Canonical simple-graph edges: self-loops dropped, direction and
+    * multiplicity collapsed to distinct (lo < hi) pairs. */
+  private def simpleEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges
       .where(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("lo"),
         greatest(col(srcCol), col(dstCol)).as("hi"))
       .distinct()
-    graft.Eager.withPersisted(simple) { se =>
-      val deg = se.select(explode(array(col("lo"), col("hi"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      val oriented = se
-        .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
-        .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), Seq("hi"))
-        .select(
-          when(col("dlo") < col("dhi") ||
-              (col("dlo") === col("dhi") && col("lo") < col("hi")),
-            struct(col("lo").as("u"), col("hi").as("v")))
-            .otherwise(struct(col("hi").as("u"), col("lo").as("v"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-      graft.Eager.withPersisted(oriented) { or =>
-        val tri = or.as("ab")
-          .join(or.as("ac"),
-            col("ab.u") === col("ac.u") && col("ab.v") =!= col("ac.v"))
-          .join(or.as("bc"),
-            col("bc.u") === col("ab.v") && col("bc.v") === col("ac.v"))
-          .select(col("ab.u").as("na"), col("ab.v").as("nb"),
-            col("ac.v").as("nc"))
-        graft.Eager.materialize(
-          tri.select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
-            .groupBy(col("node")).agg(count(lit(1)).as("triangles")))
-      }
+
+  /** Per-node simple degree over [[simpleEdges]] output. */
+  private def simpleDegrees(se: DataFrame): DataFrame =
+    se.select(explode(array(col("lo"), col("hi"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** Per-node triangle counts given persisted simple edges + degrees —
+    * the degree-ordered-orientation core shared by [[triangleCounts]] and
+    * [[clusteringCoefficients]]. */
+  private def trianglesOf(se: DataFrame, deg: DataFrame): DataFrame = {
+    val oriented = se
+      .join(deg.select(col("node").as("lo"), col("deg").as("dlo")), Seq("lo"))
+      .join(deg.select(col("node").as("hi"), col("deg").as("dhi")), Seq("hi"))
+      .select(
+        when(col("dlo") < col("dhi") ||
+            (col("dlo") === col("dhi") && col("lo") < col("hi")),
+          struct(col("lo").as("u"), col("hi").as("v")))
+          .otherwise(struct(col("hi").as("u"), col("lo").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    graft.Eager.withPersisted(oriented) { or =>
+      val tri = or.as("ab")
+        .join(or.as("ac"),
+          col("ab.u") === col("ac.u") && col("ab.v") =!= col("ac.v"))
+        .join(or.as("bc"),
+          col("bc.u") === col("ab.v") && col("bc.v") === col("ac.v"))
+        .select(col("ab.u").as("na"), col("ab.v").as("nb"),
+          col("ac.v").as("nc"))
+      graft.Eager.materialize(
+        tri.select(explode(array(col("na"), col("nb"), col("nc"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("triangles")))
     }
   }
+
+  def triangleCounts(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    graft.Eager.withPersisted(simpleEdges(edges, srcCol, dstCol)) { se =>
+      trianglesOf(se, simpleDegrees(se))
+    }
+
+  /**
+   * Per-node local clustering coefficients — [[triangleCounts]] normalized
+   * by each node's wedge count: `coeff = 2·triangles / (deg·(deg−1))`,
+   * reported in integer nano-units (floor division on non-negative
+   * integers — identical on every engine). The transitivity audit for a
+   * similarity/duplicate graph: a near-dup relation should be close to
+   * transitive (high coefficients); a hub node with many open wedges
+   * (coefficient near 0) is the classic false-positive signature — one
+   * promiscuous document gluing unrelated clusters. Returns every node of
+   * the simple graph: (node, deg, wedges, triangles, coeff_nano);
+   * degree-1 nodes report zero wedges and coefficient 0.
+   *
+   * Scale shape: [[triangleCounts]]'s bounded wedge join plus one
+   * degree-table left join — nothing beyond the triangle cost.
+   */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame =
+    graft.Eager.withPersisted(simpleEdges(edges, srcCol, dstCol)) { se =>
+      graft.Eager.withPersisted(simpleDegrees(se)) { deg =>
+        val tri = trianglesOf(se, deg)
+        deg.join(tri, Seq("node"), "left")
+          .na.fill(0L, Seq("triangles"))
+          .select(col("node"), col("deg"),
+            expr("(deg * (deg - 1)) div 2").as("wedges"),
+            col("triangles"),
+            when(col("deg") >= 2,
+                expr("(1000000000 * 2 * triangles) div (deg * (deg - 1))"))
+              .otherwise(lit(0L)).as("coeff_nano"))
+      }
+    }
 }

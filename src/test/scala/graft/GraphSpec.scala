@@ -103,4 +103,25 @@ class GraphSpec extends SparkSpec {
     assert(run(star) == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
     assert(run(k4 ++ star, parts = 7) == run(k4 ++ star))
   }
+
+  test("clusteringCoefficients: K4 fully transitive, paths 0, hub with one " +
+      "closed wedge at 1/3, pendant nodes reported with coeff 0") {
+    def run(edges: Seq[(Long, Long)]) =
+      Graph.clusteringCoefficients(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val k4 = for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b)
+    run(k4).foreach { case (n, t) =>
+      assert(t == ((3L, 3L, 3L, 1000000000L)), s"node $n: $t")
+    }
+    // path: middle node has one OPEN wedge, ends have none
+    val path = run(Seq((1L, 2L), (2L, 3L)))
+    assert(path(2L) == ((2L, 1L, 0L, 0L)))
+    assert(path(1L) == ((1L, 0L, 0L, 0L)) && path(3L) == ((1L, 0L, 0L, 0L)))
+    // triangle 0-1-2 plus pendant 0-3: hub 0 has 3 wedges, 1 closed
+    val hub = run(Seq((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L)))
+    assert(hub(0L) == ((3L, 3L, 1L, 333333333L)), s"hub: $hub")
+    assert(hub(1L) == ((2L, 1L, 1L, 1000000000L)))
+    assert(hub(3L) == ((1L, 0L, 0L, 0L)))
+  }
 }

@@ -255,4 +255,24 @@ class LayoutAuditSpec extends SparkSpec {
       (4L, "", "g"), (5L, "delta", "h")).toDF("id", "text", "grp")
     assert(sig(mut)("g")._2 != base("g")._2)
   }
+
+  test("madOutliers: lower medians, 50% breakdown (the outlier doesn't move " +
+      "the gate), mad=0 collapse flags any deviation") {
+    val rows = Seq((1L, "g", 10L), (2L, "g", 12L), (3L, "g", 11L),
+      (4L, "g", 10L), (5L, "g", 100L),
+      (6L, "h", 5L), (7L, "h", 5L), (8L, "h", 5L), (9L, "h", 6L))
+      .toDF("id", "grp", "v")
+    val out = graft.ops.Audit.madOutliers(rows, "id", "grp", "v", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // g: sorted 10,10,11,12,100 → med 11; devs 0,1,1,1,89 → mad 1;
+    // only the 100 (dev 89 > 3) flags — the outlier itself never shifts
+    // the robust center the way it would a mean/σ gate
+    assert(out(5L) == ((100L, 11L, 1L, true)), s"$out")
+    Seq(1L, 2L, 3L, 4L).foreach(id =>
+      assert(out(id)._2 == 11L && out(id)._3 == 1L && !out(id)._4))
+    // h: med 5, mad 0 → the 6 flags on ANY deviation
+    assert(out(9L) == ((6L, 5L, 0L, true)))
+    assert(!out(6L)._4 && !out(7L)._4 && !out(8L)._4)
+  }
 }
