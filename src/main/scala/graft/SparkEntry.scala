@@ -2711,7 +2711,68 @@ object SparkEntry {
       graft.ops.Audit.madOutliers(
         T(s, dir, "documents").select(col("doc_id"), col("source"),
           token_count(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "source", "n_tokens", k = 3))
+        "doc_id", "source", "n_tokens", k = 3)),
+
+    // --- q187's conformal gate ENFORCED at ingest: threshold collected
+    //     once from the batch calibration side, applied as a literal on a
+    //     stateless stream — calibrated admission at scan bandwidth ------
+    "q196_stream_conformal" -> ((s, dir) => {
+      val nc = (c: Column) =>
+        lit(1000L) - floor(TextOps.qualityScore(c) * 1000).cast("long")
+      val calib = T(s, dir, "documents")
+        .where(Sampling.hashBucket(col("doc_id"), 100) < 50)
+        .select(col("doc_id"), nc(col("text")).as("nonconformity"))
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+        .where(Sampling.hashBucket(col("doc_id"), 100) >= 50)
+        .select(col("doc_id"), nc(col("text")).as("nonconformity"))
+      val admits = graft.streaming.Streaming.conformalAdmitStream(
+        replay, calib, "doc_id", "nonconformity", alphaPermille = 100)
+      graft.streaming.Streaming.runToTable(
+        admits,
+        "q196_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4), noDataBatch = false)
+    }),
+
+    // --- top click-paths of length 3: two leads in one user-partitioned
+    //     window, exact counts, total-order tie-break ---------------------
+    "q197_path_trigrams" -> ((s, dir) => {
+      val ev = events(s, dir).withColumn("page",
+        regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+      graft.ops.EventOps.pathTrigrams(ev, "user_id", "ts", "event_id",
+        "page", topK = 20)
+    }),
+
+    // --- nearest-control matching on token count within source (en docs
+    //     vs the rest): adjacent-in-sort candidates, ties to the earlier —
+    //     with-replacement, order-free, replayable ------------------------
+    "q198_matched_controls" -> ((s, dir) =>
+      Sampling.matchedControls(
+        T(s, dir, "documents").select(col("doc_id"), col("source"),
+          token_count(col("text")).cast("long").as("n_tokens"),
+          (col("lang") === "en").as("treated")),
+        "doc_id", "source", "n_tokens", "treated")),
+
+    // --- per-query MRR / recall@10 over three BM25 runs: binary qrels =
+    //     any-term match; integer reciprocal ranks and permilles ---------
+    "q199_retrieval_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val qs = Seq(1 -> Seq("spark", "window", "merge"),
+        2 -> Seq("table", "scan"), 3 -> Seq("slow", "fast", "key"))
+      val results = qs.map { case (qid, terms) =>
+        TextOps.bm25TopK(docs, "doc_id", "text", terms, 10)
+          .select(lit(qid).as("query_id"), col("doc_id"),
+            row_number().over(Window.orderBy(col("score").desc,
+              col("doc_id"))).cast("long").as("rank"))
+      }.reduce(_.unionByName(_))
+      val qrels = qs.map { case (qid, terms) =>
+        docs.where(arrays_overlap(tokens(lower(col("text"))),
+            array(terms.map(lit): _*)))
+          .select(lit(qid).as("query_id"), col("doc_id"))
+      }.reduce(_.unionByName(_))
+      Similarity.retrievalMetrics(results, qrels, k = 10)
+    })
   )
 
   // =========================================================================
@@ -7198,6 +7259,163 @@ object SparkEntry {
         |mad AS (SELECT "group", dev AS mad FROM r2 WHERE rn = (n + 1) // 2)
         |SELECT d.doc_id, d."group", d.value, d.med AS median, mad.mad,
         |  d.dev > 3 * mad.mad AS outlier
-        |FROM d JOIN mad USING ("group")""".stripMargin
+        |FROM d JOIN mad USING ("group")""".stripMargin,
+
+    // q187's conformal chain with the stream's output contract: admitted
+    // eval rows only, batch structure irrelevant (stateless gate).
+    "q196_stream_conformal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id,
+        |    1000 - cast(floor(round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, t -> t IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END) * 0.3,
+        |    6) * 1000) as bigint) AS score
+        |  FROM toks),
+        |b AS (
+        |  SELECT doc_id, score,
+        |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 100
+        |      AS bk
+        |  FROM sc),
+        |cal AS (SELECT score FROM b WHERE bk < 50),
+        |par AS (SELECT count(*) AS n_calib,
+        |    ((count(*) + 1) * 900 + 999) // 1000 AS k FROM cal),
+        |grid AS (SELECT score AS s, count(*) AS c FROM cal GROUP BY 1),
+        |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cumc FROM grid),
+        |thr AS (SELECT min(s) AS threshold FROM cum, par WHERE cumc >= k)
+        |SELECT b.doc_id, cast(b.score as bigint) AS score,
+        |  cast(par.n_calib as bigint) AS n_calib,
+        |  cast(thr.threshold as bigint) AS threshold
+        |FROM b CROSS JOIN par CROSS JOIN thr
+        |WHERE b.bk >= 50
+        |  AND (thr.threshold IS NULL OR b.score <= thr.threshold)""".stripMargin,
+
+    // Two leads in the q106 timeline windows; top-20 cut on the total
+    // order (n desc, then the path itself).
+    "q197_path_trigrams" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS tus, event_id,
+        |    cast(regexp_extract(props, '"k": (\d+)', 1) as bigint) AS page
+        |  FROM events),
+        |w AS (
+        |  SELECT page AS p1,
+        |    lead(page, 1) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS p2,
+        |    lead(page, 2) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+        |      AS p3
+        |  FROM ev),
+        |c AS (SELECT p1, p2, p3, count(*) AS n FROM w
+        |      WHERE p3 IS NOT NULL GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, p1, p2, p3) AS rn
+        |      FROM c)
+        |SELECT p1, p2, p3, n FROM r WHERE rn <= 20""".stripMargin,
+
+    // Adjacent-in-(value,id)-sort candidates via two ignore-null windows;
+    // exact ties pick the at-or-before candidate.
+    "q198_matched_controls" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, source AS "group",
+        |    cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      as bigint) AS value,
+        |    lang = 'en' AS treated
+        |  FROM documents),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT treated
+        |        THEN struct_pack(value := value, id := id) END IGNORE NULLS)
+        |      OVER (PARTITION BY "group" ORDER BY value, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+        |    first_value(CASE WHEN NOT treated
+        |        THEN struct_pack(value := value, id := id) END IGNORE NULLS)
+        |      OVER (PARTITION BY "group" ORDER BY value, id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM v),
+        |p AS (
+        |  SELECT *,
+        |    nxt IS NULL OR (prev IS NOT NULL AND
+        |      (value - prev.value) <= (nxt.value - value)) AS pick_prev
+        |  FROM w WHERE treated)
+        |SELECT id, "group", value,
+        |  CASE WHEN pick_prev THEN prev.id ELSE nxt.id END AS match_id,
+        |  CASE WHEN pick_prev THEN prev.value ELSE nxt.value END
+        |    AS match_value,
+        |  abs(value - CASE WHEN pick_prev THEN prev.value ELSE nxt.value END)
+        |    AS abs_diff
+        |FROM p""".stripMargin,
+
+    // q156's BM25 replay ×3 query sets (generated CTE chains), binary
+    // any-term qrels, MRR/recall in integer arithmetic.
+    "q199_retrieval_metrics" -> {
+      val qs = Seq(1 -> Seq("spark", "window", "merge"),
+        2 -> Seq("table", "scan"), 3 -> Seq("slow", "fast", "key"))
+      def lst(ts: Seq[String]) = ts.map(t => s"'$t'").mkString(", ")
+      val chains = qs.map { case (qid, ts) =>
+        s"""d$qid AS (
+           |  SELECT doc_id, dl, list_filter(toks, x -> x IN (${lst(ts)}))
+           |    AS qt FROM t0),
+           |g$qid AS (SELECT doc_id, dl, unnest(qt) AS term FROM d$qid),
+           |tf$qid AS (
+           |  SELECT doc_id, dl, term, count(*) AS tf FROM g$qid
+           |  GROUP BY 1, 2, 3),
+           |wdf$qid AS (
+           |  SELECT tf$qid.*, count(*) OVER (PARTITION BY term) AS df
+           |  FROM tf$qid),
+           |sc$qid AS (
+           |  SELECT doc_id, cast(round(
+           |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+           |      ((tf * (1.2 + 1.0)) /
+           |       (tf + 1.2 * (1.0 - 0.75 +
+           |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+           |      1e9) as bigint) AS qs
+           |  FROM wdf$qid CROSS JOIN stats),
+           |lx$qid AS (
+           |  SELECT doc_id, round(cast(sum(qs) as double) / 1e9, 6) AS score
+           |  FROM sc$qid GROUP BY doc_id ORDER BY score DESC, doc_id
+           |  LIMIT 10),
+           |rk$qid AS (
+           |  SELECT $qid AS query_id, doc_id,
+           |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+           |  FROM lx$qid),
+           |qr$qid AS (
+           |  SELECT $qid AS query_id, doc_id FROM t0
+           |  WHERE len(list_filter(toks, x -> x IN (${lst(ts)}))) > 0)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH t0 AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+         |      AS toks,
+         |    cast(len(list_filter(string_split(lower(text), ' '),
+         |      x -> x <> '')) as bigint) AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM t0),
+         |$chains,
+         |res AS (SELECT * FROM rk1 UNION ALL SELECT * FROM rk2
+         |        UNION ALL SELECT * FROM rk3),
+         |qr AS (SELECT * FROM qr1 UNION ALL SELECT * FROM qr2
+         |       UNION ALL SELECT * FROM qr3),
+         |nrel AS (SELECT query_id, count(*) AS n_rel FROM qr GROUP BY 1),
+         |hits AS (
+         |  SELECT r.query_id, min(r.rank) AS frr,
+         |    sum(CASE WHEN r.rank <= 10 THEN 1 ELSE 0 END) AS h
+         |  FROM res r JOIN qr q
+         |    ON q.query_id = r.query_id AND q.doc_id = r.doc_id
+         |  GROUP BY 1)
+         |SELECT n.query_id, n.n_rel,
+         |  cast(h.frr as bigint) AS first_rel_rank,
+         |  cast(coalesce(1000000000 // h.frr, 0) as bigint) AS rr_nano,
+         |  cast(coalesce(h.h, 0) as bigint) AS hits_at_k,
+         |  cast((1000 * coalesce(h.h, 0)) // n.n_rel as bigint)
+         |    AS recall_permille
+         |FROM nrel n LEFT JOIN hits h USING (query_id)""".stripMargin
+    }
   )
 }

@@ -252,6 +252,37 @@ object Audit {
    * runs over that grid, not the rows) and the resulting single-row
    * (n, k, threshold) frame broadcasts back over the evaluation side.
    */
+  /**
+   * Driver-side conformal threshold from an explicit calibration frame —
+   * the [[conformalGate]] quantile rule (`k = ⌈(n+1)(1000−α)/1000⌉`-th
+   * smallest score) collected to a scalar, for gates that must apply it as
+   * a LITERAL: a streaming admission filter ([[graft.streaming.Streaming
+   * .conformalAdmitStream]]) cannot re-derive the quantile per micro-batch
+   * without changing its guarantee. Returns (n_calib, Some(threshold)), or
+   * None when k exceeds n — admit everything, the honest small-sample
+   * answer. The collect is ONE row (grid aggregation runs distributed).
+   */
+  def conformalThreshold(calibration: DataFrame, scoreCol: String,
+      alphaPermille: Int = 100): (Long, Option[Long]) = {
+    require(alphaPermille > 0 && alphaPermille < 1000,
+      "alphaPermille must be in (0, 1000)")
+    import org.apache.spark.sql.expressions.Window
+    val grid = calibration.where(col(scoreCol).isNotNull)
+      .groupBy(col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("c"))
+    val cum = grid.withColumn("cumc",
+      sum(col("c")).over(Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val par = grid.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
+      .withColumn("k", expr(
+        s"((n + 1) * ${1000 - alphaPermille} + 999) div 1000"))
+    val row = par.crossJoin(
+        cum.crossJoin(par).where(col("cumc") >= col("k"))
+          .agg(min(col("s")).as("thr")))
+      .select(col("n"), col("thr")).collect()(0)
+    (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1)))
+  }
+
   def conformalGate(df: DataFrame, idCol: String, scoreCol: String,
       calibPct: Int = 50, alphaPermille: Int = 100): DataFrame = {
     require(calibPct > 0 && calibPct < 100, "calibPct must be in (0, 100)")

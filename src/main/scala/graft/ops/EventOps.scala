@@ -249,6 +249,36 @@ object EventOps {
    * timeline, never global), then one map-side-combined groupBy on the tiny
    * (model, touch_type) key. Only (user, ts, tie, type, cents) ever moves.
    */
+  /**
+   * Top click-paths of length three — the "how do users actually move"
+   * mining query over the same (ts, tie)-ordered timelines as
+   * [[graft.ops.Graph.transitionEdges]], two `lead`s deep: every window of
+   * three consecutive events in one user's timeline is a path; paths count
+   * with multiplicity across users, and the top `topK` report with exact
+   * counts, ties broken by the path itself — a total order, so the cut is
+   * deterministic. Returns (p1, p2, p3, n).
+   *
+   * Scale shape: one window pass partitioned by user (two leads in the
+   * same window — one sort), one map-side-combined count on the path key,
+   * TakeOrderedAndProject for the top-k — never a global sort of the
+   * path table.
+   */
+  def pathTrigrams(events: DataFrame, userCol: String, tsCol: String,
+      tieCol: String, nodeCol: String, topK: Int = 20): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user")).orderBy(col("ts"), col("tie"))
+    events.select(col(userCol).as("user"), col(tsCol).as("ts"),
+        col(tieCol).as("tie"), col(nodeCol).as("p1"))
+      .withColumn("p2", lead(col("p1"), 1).over(w))
+      .withColumn("p3", lead(col("p1"), 2).over(w))
+      .where(col("p3").isNotNull)
+      .groupBy(col("p1"), col("p2"), col("p3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p1"), col("p2"), col("p3"))
+      .limit(topK)
+  }
+
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, centsCol: String,
       conversionType: String): DataFrame = {

@@ -549,6 +549,59 @@ object Sampling {
   }
 
   /**
+   * Nearest-control matching (with replacement) on one integer covariate —
+   * the observational-comparison primitive ("compare each treated doc to
+   * its most similar untreated doc") behind corpus A/B attribution and
+   * bias-corrected eval splits: within each group, every treated row pairs
+   * with the control row minimizing `|value − control.value|`. In one
+   * dimension the nearest control is always ADJACENT in the (value, id)
+   * sort order, so matching is two ignore-null window passes — the
+   * closest control at-or-before and the closest strictly-after — and a
+   * deterministic pick: smaller absolute difference wins, exact ties go to
+   * the earlier (at-or-before) candidate. Controls may match repeatedly
+   * (with-replacement matching is order-free — a sequential
+   * without-replacement greedy depends on processing order and cannot
+   * replay). Treated rows in a group with NO control report a null match.
+   * Returns treated rows: (id, group, value, match_id, match_value,
+   * abs_diff).
+   *
+   * Scale shape: one window sort per group partition (the event-log
+   * discipline — bounded by the largest group, never global); only
+   * (id, group, value, flag) ever moves.
+   */
+  def matchedControls(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, treatedCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("group"),
+        col(valueCol).cast("long").as("value"),
+        col(treatedCol).cast("boolean").as("treated"))
+      .where(col(valueCol).isNotNull && col(treatedCol).isNotNull)
+    val ord = Window.partitionBy(col("group")).orderBy(col("value"), col("id"))
+    val ctrl = when(!col("treated"), struct(col("value"), col("id")))
+    val withNbr = base
+      .withColumn("__prev", last(ctrl, ignoreNulls = true)
+        .over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__next", first(ctrl, ignoreNulls = true)
+        .over(ord.rowsBetween(1, Window.unboundedFollowing)))
+      .where(col("treated"))
+    // a control at the SAME value sorts before or after by id alone; both
+    // windows exclude the current row, so self-match is impossible (treated
+    // rows are never candidates anyway)
+    val pickPrev = col("__next").isNull ||
+      (col("__prev").isNotNull &&
+        (col("value") - col("__prev.value")) <=
+          (col("__next.value") - col("value")))
+    withNbr.select(col("id"), col("group"), col("value"),
+      when(pickPrev, col("__prev.id")).otherwise(col("__next.id"))
+        .as("match_id"),
+      when(pickPrev, col("__prev.value")).otherwise(col("__next.value"))
+        .as("match_value"),
+      abs(col("value") -
+        when(pickPrev, col("__prev.value")).otherwise(col("__next.value")))
+        .as("abs_diff"))
+  }
+
+  /**
    * Two-criteria Pareto skyline — the non-dominated frontier of rows
    * maximizing BOTH integer criteria (Börzsönyi et al. 2001's operator,
    * reduced to its scalable 2-D sort form): row a dominates row b iff

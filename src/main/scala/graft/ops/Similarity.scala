@@ -448,6 +448,40 @@ object Similarity {
   }
 
   /**
+   * Per-query binary retrieval metrics — [[ndcgAt]]'s multi-query,
+   * ungraded siblings, the standard eval-suite table: for each query in
+   * `qrels` (query_id, doc_id ground-truth pairs), MRR's reciprocal rank
+   * `rr_nano = 10⁹ div first_rel_rank` (0 when nothing relevant was
+   * retrieved at any rank), `hits_at_k` = relevant docs inside the top k,
+   * `recall_permille = 1000·hits_at_k div n_rel`, and the raw
+   * `first_rel_rank` (null if never retrieved). Queries with ZERO
+   * retrieved relevant docs still report (that's the row you page on).
+   * Results carry (query_id, doc_id, rank) 1-based; integer arithmetic
+   * throughout.
+   *
+   * Scale shape: one equi-join of results to qrels on (query_id, doc_id) —
+   * both sides key-partitioned — then a map-side-combined groupBy per
+   * query; the qrels side aggregates once for n_rel and right-joins so
+   * empty-retrieval queries survive. Metric cost is |results| + |qrels|,
+   * never corpus-sized.
+   */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val nRel = qrels.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+    val hits = results.join(qrels, Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).as("first_rel_rank"),
+        sum(when(col("rank") <= k, 1L).otherwise(0L)).as("hits_at_k"))
+    nRel.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        col("first_rel_rank").cast("long").as("first_rel_rank"),
+        coalesce(expr("1000000000 div first_rel_rank"), lit(0L)).as("rr_nano"),
+        coalesce(col("hits_at_k"), lit(0L)).as("hits_at_k"),
+        expr("1000 * coalesce(hits_at_k, 0) div n_rel").as("recall_permille"))
+  }
+
+  /**
    * Matryoshka truncation evaluation (Kusupati et al., NeurIPS 2022 — MRL):
    * how much ANN quality survives scoring on only the FIRST `d` dimensions
    * of the embedding? For each candidate prefix width, recall@k = |top-k by

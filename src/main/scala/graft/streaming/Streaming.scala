@@ -642,6 +642,35 @@ object Streaming {
         col("n_contaminated") * maxRateDen <= col("n_shingles") * maxRateNum)
   }
 
+  /**
+   * Conformally-calibrated streaming admission — the [[decontaminateStream]]
+   * discipline (all reference state built ONCE at construction, per-row
+   * stateless probe) applied to the split-conformal gate
+   * ([[graft.ops.Audit.conformalGate]]): the threshold is the
+   * `⌈(n+1)(1000−α)/1000⌉`-th smallest calibration nonconformity, collected
+   * driver-side ([[graft.ops.Audit.conformalThreshold]]) and applied as a
+   * LITERAL comparison — so the stream plan has no state store, no
+   * watermark, no shuffle, and the distribution-free ≥(1−α) admission
+   * guarantee holds for every exchangeable batch the stream carries. A
+   * too-small calibration set (k > n) yields a null threshold and admits
+   * everything. Rows with a NULL score are dropped (no score, no
+   * guarantee — unlike text-less rows in decontamination, which are
+   * provably clean). Emits admitted rows only:
+   * (id, score, n_calib, threshold).
+   */
+  def conformalAdmitStream(stream: DataFrame, calibration: DataFrame,
+      idCol: String, scoreCol: String,
+      alphaPermille: Int = 100): DataFrame = {
+    val (n, thr) = graft.ops.Audit.conformalThreshold(
+      calibration, scoreCol, alphaPermille)
+    val keep = thr.map(t => col(scoreCol).cast("long") <= t)
+      .getOrElse(lit(true))
+    stream.where(col(scoreCol).isNotNull && keep)
+      .select(col(idCol), col(scoreCol).cast("long").as("score"),
+        lit(n).as("n_calib"),
+        thr.map(lit(_)).getOrElse(lit(null)).cast("long").as("threshold"))
+  }
+
   /** `ts` rides along (even though `ts_us` drives the logic) so the input's
     * watermark column survives the projection — EventTimeTimeout requires a
     * watermarked column to be visible at the stateful operator. */

@@ -212,4 +212,26 @@ class EventOpsSpec extends SparkSpec {
     assert(out(("first", "(none)")) == ((1L, 100L)))
     assert(out.size == 6)
   }
+
+  test("pathTrigrams: sliding windows per timeline, multiplicity across " +
+      "users, deterministic top-k cut on the total order") {
+    val ev = Seq(
+      // user 1: a b c d → paths abc, bcd
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"),
+      (1L, 40L, 4L, "d"),
+      // user 2: a b c → abc again
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      // user 3: too short for any trigram
+      (3L, 10L, 8L, "a"), (3L, 20L, 9L, "b"))
+      .toDF("user", "ts", "eid", "page")
+    val out = graft.ops.EventOps.pathTrigrams(ev, "user", "ts", "eid",
+        "page", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+    // topK = 1 cuts after the count-then-path order
+    val top1 = graft.ops.EventOps.pathTrigrams(ev, "user", "ts", "eid",
+      "page", topK = 1).collect().map(r => r.getString(0))
+    assert(top1.toSeq == Seq("a"))
+  }
 }

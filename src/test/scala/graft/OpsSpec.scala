@@ -1224,6 +1224,27 @@ class OpsSpec extends SparkSpec {
     assert(a == order(300).toSeq)
   }
 
+  test("retrievalMetrics: reciprocal first-relevant rank, recall@k against " +
+      "full qrels, zero-retrieval queries still report") {
+    val results = Seq(
+      (1, 10L, 1L), (1, 11L, 2L), (1, 12L, 3L),   // q1: rel at ranks 3 only
+      (2, 20L, 1L), (2, 21L, 2L),                 // q2: rel at rank 1 and 2
+      (3, 30L, 1L))                               // q3: nothing relevant
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1, 12L), (1, 99L), (2, 20L), (2, 21L), (2, 98L),
+      (3, 97L)).toDF("query_id", "doc_id")
+    val out = Similarity.retrievalMetrics(results, qrels, k = 2)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    // q1: n_rel 2, first rel rank 3 (outside k=2) → rr 1e9/3, 0 hits@2
+    assert(out(1) == ((2L, 3L, 333333333L, 0L, 0L)), s"$out")
+    // q2: n_rel 3, frr 1 → rr 1e9, hits@2 = 2, recall 2/3 → 666‰
+    assert(out(2) == ((3L, 1L, 1000000000L, 2L, 666L)))
+    // q3: nothing retrieved — the row still reports with zeros
+    assert(out(3) == ((1L, -1L, 0L, 0L, 0L)))
+  }
+
   test("Layout.globalRank: ranks are the exact row_number permutation of the " +
       "sort order across many range partitions") {
     val n = 257

@@ -468,4 +468,30 @@ class SamplingSpec extends SparkSpec {
     assert(out(5L) && out(4L) && out(7L) && out(3L) && out(8L) && out(9L))
     assert(!out(1L) && !out(2L) && !out(6L))
   }
+
+  test("matchedControls: nearest-in-value control, ties to the earlier, " +
+      "with-replacement reuse, null match when a group has no control") {
+    import spark.implicits._
+    val rows = Seq(
+      // group g: controls at 5 and 10
+      (1L, "g", 5L, false), (2L, "g", 10L, false),
+      (3L, "g", 7L, true),   // 2 vs 3 → control 5
+      (4L, "g", 8L, true),   // 3 vs 2 → control 10
+      (5L, "g", 5L, true),   // exact hit: diff 0 via the earlier candidate
+      // group t: tie — controls at 4 and 8, treated at 6 → earlier (4)
+      (6L, "t", 4L, false), (7L, "t", 8L, false), (8L, "t", 6L, true),
+      // group z: no control at all
+      (9L, "z", 3L, true))
+      .toDF("id", "grp", "v", "tr")
+    val out = graft.ops.Sampling.matchedControls(rows, "id", "grp", "v", "tr")
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(3)) -1L else r.getLong(3)),
+          (if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    assert(out(3L) == ((1L, 2L)), s"$out")
+    assert(out(4L) == ((2L, 2L)))
+    assert(out(5L) == ((1L, 0L)), "same-value control must give diff 0")
+    assert(out(8L) == ((6L, 2L)), "equal diffs pick the at-or-before control")
+    assert(out(9L) == ((-1L, -1L)), "controls absent: null match, not a drop")
+    assert(out.keySet == Set(3L, 4L, 5L, 8L, 9L), "only treated rows report")
+  }
 }

@@ -599,4 +599,45 @@ class StreamingSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("conformalAdmitStream: literal threshold from the calibration " +
+      "quantile, stateless plan, null scores drop, tiny calibration " +
+      "admits all") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    // calibration scores 1..20: n=20, k=⌈21·0.9⌉=19 → threshold = 19
+    val calib = (1L to 20L).map(i => (i, i)).toDF("id", "score")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("score", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_conf_").toString
+    val rows: Seq[(Long, java.lang.Long)] = Seq(
+      (101L, java.lang.Long.valueOf(5L)), (102L, java.lang.Long.valueOf(19L)),
+      (103L, java.lang.Long.valueOf(20L)), (104L, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, s) =>
+        org.apache.spark.sql.Row(id, if (s == null) null else s.longValue())
+      }), schema).coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val out = Streaming.conformalAdmitStream(stream, calib, "id", "score",
+      alphaPermille = 100)
+    val analyzed = out.queryExecution.analyzed.toString
+    Seq("Aggregate", "Deduplicate", "FlatMapGroupsWithState",
+      "EventTimeWatermark").foreach(op => assert(!analyzed.contains(op),
+        s"conformalAdmitStream plan gained a stateful operator ($op)"))
+    val got = Streaming.runToTable(out, "t_conf",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // 5 and 19 admitted at threshold 19; 20 rejected; null dropped
+    assert(got.keySet == Set(101L, 102L))
+    assert(got(101L) == ((5L, 20L, 19L)) && got(102L) == ((19L, 20L, 19L)))
+    // two-row calibration with α=1‰: k=⌈3·0.999⌉=3 > 2 → admit everything
+    val tiny = Seq((1L, 50L), (2L, 60L)).toDF("id", "score")
+    val all = Streaming.runToTable(
+        Streaming.conformalAdmitStream(stream, tiny, "id", "score", 1),
+        "t_conf_tiny", org.apache.spark.sql.streaming.OutputMode.Append())
+      .collect()
+    assert(all.map(_.getLong(0)).toSet == Set(101L, 102L, 103L))
+    all.foreach(r => assert(r.isNullAt(3), "tiny calibration: null threshold"))
+  }
 }
