@@ -132,7 +132,22 @@ object ScaleProbe {
     "q182_srp_health",      // bucket scan + 36-key literal-fan rollup
     "q183_sparse_cosine",   // hashed-TF postings dot join, df-capped
     "q184_quantile_normalize", // per-group rank window, (id,score) only
-    "q185_budget_admit")    // stateful stream: one long per group + batch gate
+    "q185_budget_admit",    // stateful stream: one long per group + batch gate
+    // round-9 continuation II (this session's additions)
+    "q186_triangle_counts", // degree-ordered wedge join, O(√m) fan-out bound
+    "q187_conformal_gate",  // score-grid quantile + broadcast threshold
+    "q188_pareto_skyline",  // per-x maxima + grid suffix-max + broadcast join
+    "q189_corpus_checksum", // one codegen'd md5 scan + commutative folds
+    "q190_rendezvous_shards", // n inline md5s per row, no shuffle at all
+    "q191_audio_vad",       // per-row WAV decode, five scalars out
+    "q192_touch_attribution", // two user-partitioned window passes
+    "q193_mmr_select",      // k argmax rounds, driver state = k rows
+    "q194_clustering_coeff", // triangle core + degree join
+    "q195_mad_outliers",    // two per-group rank passes + broadcast medians
+    "q196_stream_conformal", // literal-threshold stateless stream gate
+    "q197_path_trigrams",   // two leads in one window + count + top-k heap
+    "q198_matched_controls", // per-group sort + two ignore-null windows
+    "q199_retrieval_metrics") // 3 BM25 runs + (qid,doc) equi-join rollup
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2772,7 +2772,44 @@ object SparkEntry {
           .select(lit(qid).as("query_id"), col("doc_id"))
       }.reduce(_.unionByName(_))
       Similarity.retrievalMetrics(results, qrels, k = 10)
-    })
+    }),
+
+    // --- exact ROC-AUC per source: does the quality score rank long docs
+    //     above short ones? Mann–Whitney U with doubled midranks — every
+    //     step integer, undefined groups report null ---------------------
+    "q200_auc_report" -> ((s, dir) =>
+      graft.ops.Audit.aucReport(
+        T(s, dir, "documents").select(col("source"),
+          floor(TextOps.qualityScore(col("text")) * 1000).cast("long")
+            .as("q"),
+          (col("n_chars") > 300).as("label")),
+        "source", "q", "label")),
+
+    // --- conversion-window funnel: view → click → purchase with the whole
+    //     journey bound to 1 day of the user's first view -----------------
+    "q201_funnel_window" -> ((s, dir) =>
+      graft.ops.EventOps.funnelWithin(events(s, dir), "user_id",
+        "event_type", "ts", Seq("view", "click", "purchase"),
+        windowSeconds = 86400L)),
+
+    // --- scene-change detection on real GVID blobs: adjacent-frame pixel
+    //     L1 diffs, exact integers, cuts at ≥2500 -------------------------
+    "q202_video_cuts" -> ((s, dir) => {
+      val ids = T(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"))
+      Multimodal.videoSceneCuts(
+        Multimodal.synthesizeVideo(ids, "doc_id"), "doc_id", "video",
+        threshold = 2500L)
+    }),
+
+    // --- size-balanced sharding plan: LPT-style round-robin on the
+    //     token-weight descending total order (globalRank, no global
+    //     sort); per-shard loads land within one max-weight of average ---
+    "q203_balanced_shards" -> ((s, dir) =>
+      Sampling.balancedShards(
+        T(s, dir, "documents").select(col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", k = 8))
   )
 
   // =========================================================================
@@ -7416,6 +7453,106 @@ object SparkEntry {
          |  cast((1000 * coalesce(h.h, 0)) // n.n_rel as bigint)
          |    AS recall_permille
          |FROM nrel n LEFT JOIN hits h USING (query_id)""".stripMargin
-    }
+    },
+
+    // q184's quality replay, (group, score)-grid counts, doubled midranks:
+    // S2 = Σ p(2(cum+1)+c−1), U2 = S2 − n⁺(n⁺+1), auc = 1e9·U2 // (2n⁺n⁻).
+    "q200_auc_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars, text,
+        |    list_filter(string_split(lower(text), ' '), t -> t <> '') AS tk
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source, n_chars > 300 AS label,
+        |    cast(floor(round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, t -> t IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double) END) * 0.3,
+        |    6) * 1000) as bigint) AS s
+        |  FROM toks),
+        |grid AS (
+        |  SELECT source AS "group", s, count(*) AS c,
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END) AS p
+        |  FROM sc GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, coalesce(sum(c) OVER (PARTITION BY "group" ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM grid),
+        |r AS (
+        |  SELECT "group", cast(sum(p) as bigint) AS n_pos,
+        |    cast(sum(c) - sum(p) as bigint) AS n_neg,
+        |    cast(sum(p * (2 * (cb + 1) + c - 1)) - sum(p) * (sum(p) + 1)
+        |      as bigint) AS u2
+        |  FROM w GROUP BY 1)
+        |SELECT "group", n_pos, n_neg, u2,
+        |  cast(CASE WHEN n_pos > 0 AND n_neg > 0
+        |    THEN (1000000000 * u2) // (2 * n_pos * n_neg) END as bigint)
+        |    AS auc_nano
+        |FROM r""".stripMargin,
+
+    // q126's per-step min-time chain with the step-1 anchor bound riding
+    // each per-user row; micros arithmetic.
+    "q201_funnel_window" ->
+      """WITH e AS (
+        |  SELECT user_id AS u, event_type AS t, epoch_ns(ts) // 1000 AS ts
+        |  FROM events),
+        |s1 AS (SELECT u, min(ts) AS st FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (
+        |  SELECT e.u, min(e.ts) AS st FROM e
+        |  JOIN s1 ON s1.u = e.u
+        |  WHERE e.t = 'click' AND e.ts > s1.st
+        |    AND e.ts <= s1.st + 86400000000
+        |  GROUP BY e.u),
+        |s3 AS (
+        |  SELECT e.u, min(e.ts) AS st FROM e
+        |  JOIN s2 ON s2.u = e.u JOIN s1 ON s1.u = e.u
+        |  WHERE e.t = 'purchase' AND e.ts > s2.st
+        |    AND e.ts <= s1.st + 86400000000
+        |  GROUP BY e.u)
+        |SELECT cast(1 as bigint) AS step, 'view' AS step_name,
+        |  count(*) AS n_users FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3""".stripMargin,
+
+    // The GVID synth formula diffed between adjacent frames in closed
+    // form: per pixel |((b+17) mod 256) − (b mod 256)| — 17 or 239.
+    "q202_video_cuts" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 3 AS h,
+        |    3 + doc_id % 4 AS nf
+        |  FROM documents WHERE doc_id < 100),
+        |fr AS (
+        |  SELECT doc_id, w, h, f FROM p
+        |  CROSS JOIN generate_series(1, 6) g(f) WHERE f < nf),
+        |d AS (
+        |  SELECT doc_id, f,
+        |    cast(list_sum([
+        |      abs((doc_id*31 + f*17 + (j % w)*7 + (j // w)*13) % 256
+        |        - (doc_id*31 + (f-1)*17 + (j % w)*7 + (j // w)*13) % 256)
+        |      FOR j IN generate_series(0, w*h - 1)]) as bigint) AS diff_sum
+        |  FROM fr)
+        |SELECT doc_id, cast(f as bigint) AS frame, diff_sum,
+        |  diff_sum >= 2500 AS is_cut
+        |FROM d""".stripMargin,
+
+    // Round-robin on the (weight desc, id) total order; per-shard rollup.
+    "q203_balanced_shards" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      as bigint) AS w
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, w,
+        |    row_number() OVER (ORDER BY w DESC, doc_id) AS rn
+        |  FROM v)
+        |SELECT cast((rn - 1) % 8 as bigint) AS shard, count(*) AS n_rows,
+        |  cast(sum(w) as bigint) AS load,
+        |  cast(max(w) as bigint) AS max_row_weight
+        |FROM r GROUP BY 1""".stripMargin
   )
 }

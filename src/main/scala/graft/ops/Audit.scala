@@ -310,6 +310,46 @@ object Audit {
   }
 
   /**
+   * Exact per-group ROC-AUC via the Mann–Whitney U statistic — "does this
+   * score actually rank good above bad", the one-number answer a quality /
+   * contamination / LM score must clear before it gates a corpus. Ranks
+   * use midrank tie handling DOUBLED to stay integer: a tie block of c
+   * rows starting at 1-based rank r₀ contributes `p·(2r₀ + c − 1)` (p =
+   * positives in the block) to `S2 = 2·Σ ranks⁺`; then
+   * `U2 = S2 − n⁺(n⁺+1) = 2·U` and `auc_nano = 10⁹·U2 div (2·n⁺·n⁻)` —
+   * every step integer, non-negative, engine-identical. Groups with no
+   * positives or no negatives report a null AUC (undefined, not 0).
+   * Returns (group, n_pos, n_neg, u2, auc_nano).
+   *
+   * Scale shape: one map-side-combined groupBy to the (group, score) GRID,
+   * one running-count window over that grid per group (grid-sized, the
+   * [[conformalGate]] discipline), one per-group rollup. Row count never
+   * reaches a window.
+   */
+  def aucReport(df: DataFrame, groupCol: String, scoreCol: String,
+      labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grid = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(scoreCol).cast("long").as("s"))
+      .agg(count(lit(1)).as("c"),
+        sum(col(labelCol).cast("boolean").cast("long")).as("p"))
+    val w = Window.partitionBy(col("group")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grid.withColumn("cumBefore", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy(col("group"))
+      .agg(sum(col("p")).as("n_pos"),
+        (sum(col("c")) - sum(col("p"))).as("n_neg"),
+        sum(col("p") * (lit(2L) * (col("cumBefore") + 1L) + col("c") - 1L))
+          .as("s2"))
+      .select(col("group"), col("n_pos"), col("n_neg"),
+        (col("s2") - col("n_pos") * (col("n_pos") + 1L)).as("u2"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("(1000000000 * (s2 - n_pos * (n_pos + 1))) div " +
+            "(2 * n_pos * n_neg)")).as("auc_nano"))
+  }
+
+  /**
    * Robust per-group outlier gate via the median absolute deviation — the
    * cleaning rule that survives the outliers it hunts (a mean/σ gate moves
    * with every extreme value; the median and MAD do not, 50% breakdown

@@ -49,6 +49,44 @@ object EventOps {
   }
 
   /**
+   * Conversion-window funnel — [[funnel]] with the industry-standard time
+   * bound: step k counts only if an event of `steps(k)` occurred strictly
+   * after the user's step-(k−1) time AND within `windowSeconds` of their
+   * STEP-1 time (the whole journey must fit the window, the usual "7-day
+   * conversion" rule — a per-transition bound would let a funnel stretch
+   * unboundedly). First qualifying occurrence per step, so each user
+   * counts once. Returns (step [1-based], step_name, n_users).
+   *
+   * Shape: [[funnel]]'s single declarative plan; the anchor time rides
+   * each per-user row, so the bound is one extra codegen'd comparison —
+   * no new shuffle.
+   */
+  def funnelWithin(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, steps: Seq[String], windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(windowSeconds > 0, "windowSeconds must be positive")
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("ts"))
+    val first = ev.where(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("ts")).as("st"))
+      .withColumn("anchor", col("st"))
+    val reached = steps.tail.scanLeft(first) { (prev, s) =>
+      ev.where(col("t") === s)
+        .join(prev.select(col("u"), col("st").as("prev"), col("anchor")),
+          Seq("u"))
+        .where(col("ts") > col("prev") &&
+          col("ts") <= col("anchor") + lit(windowSeconds * 1000000L))
+        .groupBy(col("u"))
+        .agg(min(col("ts")).as("st"), min(col("anchor")).as("anchor"))
+    }
+    reached.zip(steps).zipWithIndex.map { case ((r, name), i) =>
+      r.agg(coalesce(count(lit(1)), lit(0L)).as("n_users"))
+        .select(lit(i + 1L).as("step"), lit(name).as("step_name"),
+          col("n_users"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /**
    * Retention cohort grid: users cohorted by their FIRST active day; for
    * every (cohort_day, day_offset) cell, how many of that cohort were
    * active `day_offset` days later. `n_users` at offset 0 is the cohort

@@ -85,6 +85,29 @@ object MediaCodec {
     Some(ImageInfo(fmt, img.getWidth, img.getHeight, sum))
   }
 
+  /** Decode an image payload to its raw first-band pixel grid (row-major) —
+    * for frame-difference analysis where [[decodeImage]]'s aggregate sum
+    * is not enough. */
+  def decodeGrayPixels(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null) return None
+    val fmt = sniffFormat(bytes)
+    if (fmt != "png" && fmt != "bmp" && fmt != "jpeg") return None
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val raster = img.getRaster
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
   /** Real nearest-neighbor resize: decode → resample → re-encode PNG.
     * src(x·wIn/wOut, y·hIn/hOut) with floor division — deterministic, so the
     * resized image's statistics stay closed-form checkable. */

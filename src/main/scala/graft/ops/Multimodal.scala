@@ -197,6 +197,52 @@ object Multimodal {
         (x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt)))
   }
 
+  /** Scene-change detection over a GVID blob column — the video-curation
+    * triage (find the cut points, count shots, drop static clips) run on
+    * raw pixels, no model: each adjacent frame pair scores
+    * `diff = Σ |p_f+1 − p_f|` over the gray pixel grid (exact integer; a
+    * codec or resample drift anywhere breaks it) and a pair is a CUT iff
+    * `diff ≥ threshold`. Emits one row per adjacent pair:
+    * (id, frame [the later index, 1-based], diff_sum, is_cut); clips that
+    * fail to decode or have fewer than two frames emit nothing (a
+    * single-frame clip has no pairs — quarantine undecodables upstream
+    * via [[decodeImageStats]] semantics if they must be visible).
+    *
+    * Scale shape: one mapPartitions decode pass, frames held only two at
+    * a time per clip; blobs never shuffle; output is (#frames−1) rows of
+    * four scalars per clip. */
+  def videoSceneCuts(df: DataFrame, idCol: String, blobCol: String,
+      threshold: Long): DataFrame = {
+    val outSchema = StructType(Seq(
+      df.schema(idCol),
+      StructField("frame", LongType, nullable = false),
+      StructField("diff_sum", LongType, nullable = false),
+      StructField("is_cut", BooleanType, nullable = false)))
+    df.select(col(idCol), col(blobCol))
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          MediaCodec.decodeGvidFrames(r.getAs[Array[Byte]](1)) match {
+            case Some(frames) if frames.length >= 2 =>
+              frames.iterator.map(MediaCodec.decodeGrayPixels)
+                .sliding(2).zipWithIndex.flatMap {
+                  case (Seq(Some((w1, h1, p1)), Some((w2, h2, p2))), i)
+                      if w1 == w2 && h1 == h2 =>
+                    var d = 0L
+                    var j = 0
+                    while (j < p1.length) {
+                      d += math.abs(p2(j).toLong - p1(j)); j += 1
+                    }
+                    Iterator.single(
+                      Row(r.get(0), (i + 1).toLong, d, d >= threshold))
+                  case _ => Iterator.empty
+                }
+            case _ => Iterator.empty
+          }
+        }
+      }(Encoders.row(outSchema))
+      .toDF()
+  }
+
   /** Attach a real GVID payload column (`video`) synthesized from a numeric
     * id column. Partition-local encode; nothing shuffles. */
   def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {

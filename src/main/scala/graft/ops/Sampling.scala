@@ -549,6 +549,33 @@ object Sampling {
   }
 
   /**
+   * Size-balanced shard assignment — longest-processing-time-flavored
+   * round-robin: rows sort by weight DESCENDING (ties by id — a total
+   * order via [[graft.ops.Layout.globalRank]]'s two-pass range shuffle,
+   * never a single-partition window) and the rank assigns
+   * `shard = (rank − 1) mod k` — heavy rows spread first, so every shard's
+   * load lands within one max-weight of the average (the classic
+   * round-robin-on-sorted bound). Deterministic, join-free, and the
+   * assignment replays in SQL. Returns the per-shard plan:
+   * (shard, n_rows, load, max_row_weight) — the table a 100 TB
+   * repartition job is sized from; the row-level assignment is the same
+   * frame before the rollup if a writer needs it.
+   */
+  def balancedShards(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "shard count must be positive")
+    val base = df.select(col(idCol), col(weightCol).cast("long").as("__w"))
+      .where(col(weightCol).isNotNull)
+    graft.ops.Layout.globalRank(base,
+        Seq(col("__w").desc, col(idCol)), "__rn")
+      .select(col(idCol), col("__w"),
+        pmod(col("__rn") - 1, lit(k.toLong)).as("shard"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__w")).as("load"),
+        max(col("__w")).as("max_row_weight"))
+  }
+
+  /**
    * Nearest-control matching (with replacement) on one integer covariate —
    * the observational-comparison primitive ("compare each treated doc to
    * its most similar untreated doc") behind corpus A/B attribution and

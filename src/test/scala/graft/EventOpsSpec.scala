@@ -234,4 +234,29 @@ class EventOpsSpec extends SparkSpec {
       "page", topK = 1).collect().map(r => r.getString(0))
     assert(top1.toSeq == Seq("a"))
   }
+
+  test("funnelWithin: whole journey must fit the window from step 1; " +
+      "per-step order still strictly-after") {
+    val day = 86400L * 1000000L
+    val ev = Seq(
+      // A: completes inside the window
+      (1L, 0L, "view"), (1L, 10L, "click"), (1L, 20L, "purchase"),
+      // B: click lands outside the 1-day window → stops at step 1
+      (2L, 0L, "view"), (2L, 2 * day, "click"),
+      // C: click inside, purchase outside → stops at step 2
+      (3L, 0L, "view"), (3L, 10L, "click"), (3L, 2 * day, "purchase"),
+      // D: purchase BEFORE click (order violation) → stops at step 2
+      (4L, 0L, "view"), (4L, 30L, "purchase"), (4L, 40L, "click"))
+      .toDF("user", "us", "etype")
+      .withColumn("ts", expr("timestamp_micros(us)"))
+    val out = graft.ops.EventOps.funnelWithin(ev, "user", "etype", "ts",
+        Seq("view", "click", "purchase"), windowSeconds = 86400L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 4L, 2L -> 3L, 3L -> 1L), s"$out")
+    // same events, unbounded funnel: D still fails (order), B and C pass
+    val unb = graft.ops.EventOps.funnel(ev, "user", "etype", "ts",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(unb == Map(1L -> 4L, 2L -> 4L, 3L -> 2L))
+  }
 }

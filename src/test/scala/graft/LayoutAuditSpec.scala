@@ -275,4 +275,25 @@ class LayoutAuditSpec extends SparkSpec {
     assert(out(9L) == ((6L, 5L, 0L, true)))
     assert(!out(6L)._4 && !out(7L)._4 && !out(8L)._4)
   }
+
+  test("aucReport: perfect separation = 1, reversal = 0, all-tied = 1/2, " +
+      "degenerate groups report null") {
+    val rows = Seq(
+      // g: positives strictly above negatives
+      ("g", 10L, true), ("g", 9L, true), ("g", 5L, false), ("g", 4L, false),
+      // r: positives strictly below negatives
+      ("r", 1L, true), ("r", 9L, false),
+      // t: everyone tied
+      ("t", 7L, true), ("t", 7L, true), ("t", 7L, false), ("t", 7L, false),
+      // z: no negatives
+      ("z", 3L, true))
+      .toDF("grp", "score", "label")
+    val out = graft.ops.Audit.aucReport(rows, "grp", "score", "label")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(out("g") == ((2L, 2L, 8L, 1000000000L)), s"$out")
+    assert(out("r") == ((1L, 1L, 0L, 0L)))
+    assert(out("t") == ((2L, 2L, 4L, 500000000L)))
+    assert(out("z") == ((1L, 0L, 0L, -1L)), "undefined AUC must be null")
+  }
 }

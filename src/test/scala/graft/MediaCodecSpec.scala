@@ -197,6 +197,27 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))
   }
 
+  test("videoSceneCuts: exact adjacent-frame L1 diffs, short/garbage clips " +
+      "emit nothing") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    def flat(w: Int, h: Int, v: Int) =
+      graft.ops.MediaCodec.encodeGrayPng(w, h, (_, _) => v)
+    // 4×4 frames: 0 → 10 (diff 160, cut at ≥100) → 12 (diff 32, no cut)
+    val a = graft.ops.MediaCodec.encodeGvid(Seq(flat(4, 4, 0),
+      flat(4, 4, 10), flat(4, 4, 12)))
+    val single = graft.ops.MediaCodec.encodeGvid(Seq(flat(4, 4, 7)))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("video", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, a), Row(2L, single),
+        Row(3L, "junk".getBytes)), schema)
+    val out = Multimodal.videoSceneCuts(df, "id", "video", threshold = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq((1L, 1L, 160L, true), (1L, 2L, 32L, false)))
+  }
+
   test("sampleVideoFrames: every stride-th frame decoded exactly; " +
       "bad container quarantines to one null row") {
     val media = Multimodal.synthesizeVideo(ids, "doc_id")

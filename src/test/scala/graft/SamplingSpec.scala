@@ -494,4 +494,23 @@ class SamplingSpec extends SparkSpec {
     assert(out(9L) == ((-1L, -1L)), "controls absent: null match, not a drop")
     assert(out.keySet == Set(3L, 4L, 5L, 8L, 9L), "only treated rows report")
   }
+
+  test("balancedShards: round-robin on the weight-descending total order; " +
+      "loads within one max-weight of each other") {
+    import spark.implicits._
+    val rows = Seq((1L, 10L), (2L, 9L), (3L, 8L), (4L, 7L), (5L, 6L),
+      (6L, 5L)).toDF("id", "w")
+    val out = graft.ops.Sampling.balancedShards(rows, "id", "w", k = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // ranks 1..6 desc by weight → shard 0 gets 10,8,6; shard 1 gets 9,7,5
+    assert(out(0L) == ((3L, 24L, 10L)) && out(1L) == ((3L, 21L, 9L)), s"$out")
+    // larger random-ish case: the LPT bound holds
+    val big = (1L to 101L).map(i => (i, (i * 37) % 50 + 1)).toDF("id", "w")
+    val loads = graft.ops.Sampling.balancedShards(big, "id", "w", k = 7)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val maxW = loads.map(_._2).max
+    assert(loads.map(_._1).max - loads.map(_._1).min <= maxW,
+      s"imbalance exceeds one max weight: $loads")
+  }
 }
