@@ -147,7 +147,13 @@ object ScaleProbe {
     "q196_stream_conformal", // literal-threshold stateless stream gate
     "q197_path_trigrams",   // two leads in one window + count + top-k heap
     "q198_matched_controls", // per-group sort + two ignore-null windows
-    "q199_retrieval_metrics") // 3 BM25 runs + (qid,doc) equi-join rollup
+    "q199_retrieval_metrics", // 3 BM25 runs + (qid,doc) equi-join rollup
+    "q200_auc_report",      // (group,score)-grid counts + grid window
+    "q203_balanced_shards", // globalRank range shuffle + shard rollup
+    "q204_cluster_merge",   // old assignment-as-edges + delta CC merge
+    "q205_cusum_alarms",    // (type,day) collapse + two day-grid windows
+    "q206_stratified_folds",// per-stratum rank window on (hash,id)
+    "q207_prefix_cache")    // one md5 scan + map-side group rollup
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

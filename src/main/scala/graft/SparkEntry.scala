@@ -2809,7 +2809,42 @@ object SparkEntry {
       Sampling.balancedShards(
         T(s, dir, "documents").select(col("doc_id"),
           token_count(col("text")).cast("long").as("n_tokens")),
-        "doc_id", "n_tokens", k = 8))
+        "doc_id", "n_tokens", k = 8)),
+
+    // --- incremental cluster maintenance: yesterday's assignment (its
+    //     (id, rep) rows ARE connectivity-preserving edges) merges with a
+    //     delta pair batch — identical clusters to a full re-run ----------
+    "q204_cluster_merge" -> ((s, dir) => {
+      val fp = T(s, dir, "documents").select(col("doc_id"),
+        md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val isOld = (c: Column) => Sampling.hashBucket(c, 100) < 50
+      val oldPairs = pairs.where(isOld(col("id_a")) && isOld(col("id_b")))
+      val delta = pairs.where(!(isOld(col("id_a")) && isOld(col("id_b"))))
+      val assign = graft.ops.Dedup.clusterDuplicates(oldPairs)
+      graft.ops.Dedup.mergeClusterAssignments(assign, delta)
+    }),
+
+    // --- CUSUM changepoint alarms on daily per-type volumes: sustained
+    //     drift the single-day sigma test misses; cumsum − running min,
+    //     all ×n integer units ------------------------------------------
+    "q205_cusum_alarms" -> ((s, dir) =>
+      graft.ops.EventOps.cusumAlarms(events(s, dir), "ts", "event_type",
+        meanDays = 3)),
+
+    // --- stratified 5-fold assignment: md5-shuffled rank mod k within
+    //     each language — exact per-stratum balance, run-stable ----------
+    "q206_stratified_folds" -> ((s, dir) =>
+      Sampling.stratifiedFolds(T(s, dir, "documents"), "doc_id", "lang",
+        k = 5)),
+
+    // --- shared-prefix cache savings: docs grouped by first-5-token
+    //     prefix; (n−1)·prefix_tokens prefill tokens saved per group -----
+    "q207_prefix_cache" -> ((s, dir) =>
+      TextOps.prefixCacheSavings(T(s, dir, "documents"), "doc_id", "text",
+        k = 5))
   )
 
   // =========================================================================
@@ -7553,6 +7588,82 @@ object SparkEntry {
         |SELECT cast((rn - 1) % 8 as bigint) AS shard, count(*) AS n_rows,
         |  cast(sum(w) as bigint) AS load,
         |  cast(max(w) as bigint) AS max_row_weight
-        |FROM r GROUP BY 1""".stripMargin
+        |FROM r GROUP BY 1""".stripMargin,
+
+    // Incremental merge ≡ from-scratch clustering of the full prefix-fp
+    // pair set (the assignment edges preserve old connectivity); q72's
+    // recursive-CTE CC replay.
+    "q204_cluster_merge" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+        |SELECT l.id, l.rep, c.cluster_size
+        |FROM labels l JOIN csize c USING (rep)""".stripMargin,
+
+    // Per-type day counts; P = cumsum(n·x − S), cusum = P − min(0, run-min P);
+    // alarm past meanDays·S in the same ×n units.
+    "q205_cusum_alarms" ->
+      """WITH d AS (
+        |  SELECT event_type, cast(ts as date) AS day, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, count(*) AS n, sum(x) AS s FROM d
+        |       GROUP BY 1),
+        |p AS (
+        |  SELECT d.event_type, d.day, d.x, st.s,
+        |    sum(st.n * d.x - st.s) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS pp
+        |  FROM d JOIN st USING (event_type)),
+        |m AS (
+        |  SELECT *, min(least(pp, 0)) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS mm
+        |  FROM p)
+        |SELECT event_type, day, cast(x as bigint) AS n_events,
+        |  cast(pp - mm as bigint) AS cusum_scaled,
+        |  pp - mm > 3 * s AS alarm
+        |FROM m""".stripMargin,
+
+    // Per-stratum (md5, id) rank mod k.
+    "q206_stratified_folds" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang AS stratum,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT,
+        |      doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, stratum, cast((rn - 1) % 5 as bigint) AS fold
+        |FROM r""".stripMargin,
+
+    // First-5-token prefixes, 60-bit md5 group keys, (n−1)·len savings.
+    "q207_prefix_cache" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '')[1:5] AS pre
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT ('0x' || substr(md5(array_to_string(pre, ' ')), 1, 15))::BIGINT
+        |      AS prefix_hash,
+        |    cast(len(pre) as bigint) AS prefix_tokens
+        |  FROM p),
+        |g AS (
+        |  SELECT prefix_hash, prefix_tokens, count(*) AS n_docs
+        |  FROM h GROUP BY 1, 2)
+        |SELECT prefix_hash, prefix_tokens, n_docs,
+        |  cast((n_docs - 1) * prefix_tokens as bigint) AS tokens_saved
+        |FROM g WHERE n_docs > 1""".stripMargin
   )
 }

@@ -1009,6 +1009,28 @@ object Dedup {
   }
 
   /**
+   * Incremental cluster maintenance — fold a DELTA batch of duplicate pairs
+   * into an existing [[clusterDuplicates]] assignment without re-clustering
+   * the full history: the assignment's (id, rep) rows ARE edges that
+   * preserve the old graph's connectivity exactly (every member touches its
+   * representative), so clustering `assignment-as-edges ∪ deltaPairs`
+   * yields the same components — and the same min-id representatives and
+   * sizes — as clustering the full pair set from scratch. The daily-ingest
+   * contract: cost scales with |old clusters| + |delta|, not with every
+   * pair ever observed. Returns (id, rep, cluster_size), the
+   * [[clusterDuplicates]] schema.
+   */
+  def mergeClusterAssignments(assignments: DataFrame, deltaPairs: DataFrame,
+      idCol: String = "id", repCol: String = "rep",
+      idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame =
+    clusterDuplicates(
+      assignments.select(col(idCol).as("id_a"), col(repCol).as("id_b"))
+        .unionByName(deltaPairs.select(col(idA).as("id_a"),
+          col(idB).as("id_b"))),
+      maxIter = maxIter)
+
+  /**
    * Embedding near-dup: hyperplane-LSH bucket join + exact cosine verification.
    * Multi-probe: the left side explodes its bucket plus every single-bit flip,
    * so pairs whose buckets differ by one hyperplane sign still meet — exact

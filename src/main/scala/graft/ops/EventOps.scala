@@ -189,6 +189,46 @@ object EventOps {
   }
 
   /**
+   * CUSUM changepoint alarms over daily per-type event volumes — the
+   * drift detector [[volumeAnomalies]]' single-day sigma test can't be:
+   * CUSUM accumulates SUSTAINED excess over the mean, so a 20% uplift
+   * invisible day-by-day still alarms once enough days compound (Page
+   * 1954). Integer-exact via the [[volumeAnomalies]] scaling trick: with
+   * per-type day count n and total S, a day's scaled deviation is
+   * `n·x_t − S` (mean-centered, ×n); the classic recursion
+   * `C_t = max(0, C_{t−1} + dev_t)` equals `P_t − min_{j≤t} P_j` for the
+   * running prefix sum P — a cumsum plus a running min, two window
+   * passes, no recursion. Alarm when the accumulated excess exceeds
+   * `meanDays` days of mean volume: `cusum > meanDays·S` (both sides in
+   * the same ×n units). Returns one row per (event_type, day):
+   * (event_type, day, n_events, cusum_scaled, alarm).
+   *
+   * Scale shape: the event volume collapses to (type, day) counts at the
+   * first map-side-combined aggregate; windows run per type over the
+   * day grid (hundreds of rows), and the per-type (n, S) rollup
+   * broadcast-joins back.
+   */
+  def cusumAlarms(events: DataFrame, tsCol: String, typeCol: String,
+      meanDays: Int = 3): DataFrame = {
+    require(meanDays >= 1, "meanDays must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val days = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val stats = days.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(broadcast(stats), Seq("event_type"))
+      .withColumn("__p", sum(col("n") * col("x") - col("s")).over(w))
+      .withColumn("__m", min(least(col("__p"), lit(0L))).over(w))
+      .select(col("event_type"), col("day"), col("x").as("n_events"),
+        (col("__p") - col("__m")).as("cusum_scaled"),
+        (col("__p") - col("__m") > lit(meanDays.toLong) * col("s"))
+          .as("alarm"))
+  }
+
+  /**
    * Event-time lateness audit — the measurement a WATERMARK must be sized
    * from (too short silently drops late events; too long holds streaming
    * state): replay the log in ARRIVAL order (`arrivalCols` — ingestion

@@ -549,6 +549,33 @@ object Sampling {
   }
 
   /**
+   * Stratified k-fold assignment — cross-validation folds that are
+   * EXACTLY balanced within every stratum (each stratum's rows spread
+   * `⌈n/k⌉/⌊n/k⌋` across folds), not just in expectation the way a bare
+   * md5-mod split is: rows rank within their stratum by (md5(id), id) —
+   * a deterministic shuffle — and `fold = (rank − 1) mod k`. The
+   * assignment is a pure function of (id, stratum, k): folds are stable
+   * across runs, engines, partitionings, and unrelated corpus edits
+   * within other strata. Returns (id, stratum, fold).
+   *
+   * Scale shape: one rank window per stratum partition (the
+   * quantileNormalize discipline — no global sort); only
+   * (id, stratum, 60-bit hash) moves.
+   */
+  def stratifiedFolds(df: DataFrame, idCol: String, stratumCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.GraftFunctions.md5_prefix60(
+      col(idCol).cast("string"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), col(stratumCol).as("stratum"), h.as("__h"))
+      .withColumn("fold",
+        pmod(row_number().over(w).cast("long") - 1, lit(k.toLong)))
+      .select(col(idCol), col("stratum"), col("fold"))
+  }
+
+  /**
    * Size-balanced shard assignment — longest-processing-time-flavored
    * round-robin: rows sort by weight DESCENDING (ties by id — a total
    * order via [[graft.ops.Layout.globalRank]]'s two-pass range shuffle,

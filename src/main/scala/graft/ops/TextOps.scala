@@ -1912,6 +1912,38 @@ object TextOps {
     } finally wl.unpersist()
   }
 
+  /**
+   * Shared-prefix cache savings — the KV-cache planning report for
+   * prefix-cached serving/training (vLLM-style automatic prefix caching;
+   * common system prompts and templated documents share their first
+   * tokens): group documents by their first `k` tokens (all tokens when a
+   * doc is shorter) and report, per shared prefix with at least two
+   * members, how many prefill tokens a prefix cache saves —
+   * `(n_docs − 1) · prefix_tokens` (the first member pays, the rest hit).
+   * Grouping key is the 60-bit md5 of the space-joined prefix, so the
+   * report replays in SQL. Returns (prefix_hash, prefix_tokens, n_docs,
+   * tokens_saved), multi-member groups only.
+   *
+   * Scale shape: one scan reducing each doc to (60-bit hash, prefix
+   * length), one map-side-combined groupBy — text never shuffles.
+   */
+  def prefixCacheSavings(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val toks = graft.functions.GraftFunctions.tokens(col(textCol))
+    val prefix = slice(toks, 1, k)
+    df.where(col(textCol).isNotNull)
+      .select(
+        graft.functions.GraftFunctions.md5_prefix60(
+          array_join(prefix, " ")).as("prefix_hash"),
+        size(prefix).cast("long").as("prefix_tokens"))
+      .groupBy(col("prefix_hash"), col("prefix_tokens"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+      .select(col("prefix_hash"), col("prefix_tokens"), col("n_docs"),
+        ((col("n_docs") - 1) * col("prefix_tokens")).as("tokens_saved"))
+  }
+
   private def hashedShingleSets(d: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     d.select(col(idCol).as("id"),

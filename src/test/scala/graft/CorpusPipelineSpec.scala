@@ -150,4 +150,26 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(joined.where(col("na") =!= col("nb")).count() > 0,
       "planted corpus should show naive-split leakage")
   }
+
+  test("mergeClusterAssignments: incremental merge ≡ from-scratch " +
+      "clustering, including delta edges that BRIDGE old clusters") {
+    import spark.implicits._
+    // old graph: clusters {1,2,3} and {10,11}; singleton-free by contract
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    // delta: extends {1,2,3} with 4, bridges the two old clusters via
+    // (3,10), and introduces a brand-new cluster {20,21}
+    val delta = Seq((3L, 4L), (3L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val assign = Dedup.clusterDuplicates(oldPairs)
+    val merged = Dedup.mergeClusterAssignments(assign, delta)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val scratch = Dedup.clusterDuplicates(
+        oldPairs.unionByName(delta))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(merged == scratch, s"merged $merged vs scratch $scratch")
+    // the bridge collapsed everything reachable into rep 1, size 6
+    assert(merged(11L) == ((1L, 6L)) && merged(4L) == ((1L, 6L)))
+    assert(merged(21L) == ((20L, 2L)))
+  }
 }

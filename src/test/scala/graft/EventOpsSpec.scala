@@ -259,4 +259,42 @@ class EventOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(unb == Map(1L -> 4L, 2L -> 4L, 3L -> 2L))
   }
+
+  test("cusumAlarms: sustained uplift alarms where the single-day sigma " +
+      "test would not; cusum resets after the excess drains") {
+    val day = 86400L * 1000000L
+    // type a over 10 days: 5 baseline days at 10, then 5 days at 14 — a
+    // sustained +40% shift. n=10, S=120: daily dev = 10x−120.
+    // P: −20,−40,−60,−80,−100, then +20/day → −80,−60,−40,−20, 0
+    // run-min caps at −100 → cusum: 0..0, 20,40,60,80,100
+    val ev = (0 until 5).flatMap(d => (0 until 10).map(i =>
+        (d.toLong * day + i, "a"))) ++
+      (5 until 10).flatMap(d => (0 until 14).map(i =>
+        (d.toLong * day + i, "a")))
+    val df = ev.toDF("us", "etype").withColumn("ts",
+      expr("timestamp_micros(us)"))
+    val out = graft.ops.EventOps.cusumAlarms(df, "ts", "etype", meanDays = 3)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    val cusums = out.map(_._3)
+    assert(cusums.toSeq ==
+      Seq(0L, 0L, 0L, 0L, 0L, 20L, 40L, 60L, 80L, 100L), s"$out")
+    // alarm threshold = 3·S = 360 in ×n units — never crossed here
+    assert(out.forall(!_._4))
+    // a 5× shift accumulates past 3 mean-days: 5 days at 50 → S=300,
+    // mean 30, excess 20/day ⇒ 3.33 mean-days by day 10 > 3 → alarm fires
+    // exactly once, on the final day (C = 1000 > 3·S = 900 in ×n units)
+    val hot = (0 until 5).flatMap(d => (0 until 10).map(i =>
+        (d.toLong * day + i, "b"))) ++
+      (5 until 10).flatMap(d => (0 until 50).map(i =>
+        (d.toLong * day + i, "b")))
+    val hotOut = graft.ops.EventOps.cusumAlarms(
+        hot.toDF("us", "etype").withColumn("ts", expr("timestamp_micros(us)")),
+        "ts", "etype", meanDays = 3)
+      .collect().map(r => (r.getDate(1).toString, r.getLong(3),
+        r.getBoolean(4))).sortBy(_._1)
+    assert(hotOut.map(_._3).toSeq ==
+      Seq(false, false, false, false, false, false, false, false, false,
+        true), s"sustained 5x shift must alarm on the last day: $hotOut")
+  }
 }

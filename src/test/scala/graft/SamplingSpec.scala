@@ -513,4 +513,29 @@ class SamplingSpec extends SparkSpec {
     assert(loads.map(_._1).max - loads.map(_._1).min <= maxW,
       s"imbalance exceeds one max weight: $loads")
   }
+
+  test("stratifiedFolds: exact per-stratum balance, stable against edits " +
+      "in OTHER strata, deterministic across partitionings") {
+    import spark.implicits._
+    val rows = ((1L to 23L).map(i => (i, "en")) ++
+      (100L to 109L).map(i => (i, "de"))).toDF("id", "lang")
+    val out = graft.ops.Sampling.stratifiedFolds(rows, "id", "lang", k = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // en: 23 rows over 5 folds → sizes {5,5,5,4,4}; de: 10 → all exactly 2
+    val en = out.filter(_._2 == "en").groupBy(_._3).map(_._2.size).toSeq
+    assert(en.sorted == Seq(4, 4, 5, 5, 5), s"en fold sizes: $en")
+    val de = out.filter(_._2 == "de").groupBy(_._3).map(_._2.size).toSeq
+    assert(de == Seq.fill(5)(2), s"de fold sizes: $de")
+    // adding rows to de must not move any en assignment
+    val more = rows.unionByName(Seq((200L, "de"), (201L, "de"))
+      .toDF("id", "lang"))
+    val enAfter = graft.ops.Sampling.stratifiedFolds(more, "id", "lang", 5)
+      .where(col("stratum") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out.filter(_._2 == "en").map(t => (t._1, t._3)).toMap == enAfter)
+    val again = graft.ops.Sampling.stratifiedFolds(rows.repartition(7),
+        "id", "lang", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
 }

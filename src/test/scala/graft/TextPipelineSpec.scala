@@ -941,4 +941,24 @@ class TextPipelineSpec extends SparkSpec {
     assert(mixed == Map("a" -> 1L, "b" -> 1L),
       "a mixed-case entry must still gate")
   }
+
+  test("prefixCacheSavings: shared first-k tokens group, short docs use " +
+      "their whole text, singletons and null text excluded") {
+    val docs = Seq(
+      (1L, "you are a helpful assistant answer briefly alpha"),
+      (2L, "you are a helpful assistant answer briefly beta gamma"),
+      (3L, "you are a helpful assistant but different tail"),
+      (4L, "short doc"),          // 2-token prefix, shared with doc 5
+      (5L, "short doc"),          // identical short doc
+      (6L, "totally unrelated text nobody shares"),
+      (7L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextOps.prefixCacheSavings(docs, "doc_id", "text",
+        k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // "short doc": prefix len 2, 2 docs → 2 saved;
+    // "you are a helpful assistant": prefix len 5, 3 docs → 10 saved
+    assert(out.toSeq == Seq((2L, 2L, 2L), (5L, 3L, 10L)), s"$out")
+  }
 }
