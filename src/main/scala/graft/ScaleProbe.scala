@@ -153,7 +153,9 @@ object ScaleProbe {
     "q204_cluster_merge",   // old assignment-as-edges + delta CC merge
     "q205_cusum_alarms",    // (type,day) collapse + two day-grid windows
     "q206_stratified_folds",// per-stratum rank window on (hash,id)
-    "q207_prefix_cache")    // one md5 scan + map-side group rollup
+    "q207_prefix_cache",    // one md5 scan + map-side group rollup
+    "q208_rolling_distinct",// day-grid register fan + register-wise max
+    "q209_join_preflight")  // two count-per-key passes + 1-row broadcast
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -2844,7 +2844,22 @@ object SparkEntry {
     //     prefix; (n−1)·prefix_tokens prefill tokens saved per group -----
     "q207_prefix_cache" -> ((s, dir) =>
       TextOps.prefixCacheSavings(T(s, dir, "documents"), "doc_id", "text",
-        k = 5))
+        k = 5)),
+
+    // --- trailing-7-day distinct users per day: per-day HLL register
+    //     tables merged register-wise across the window — the mergeability
+    //     exact distinct doesn't have; q37's integer arithmetic ----------
+    "q208_rolling_distinct" -> ((s, dir) =>
+      graft.ops.EventOps.rollingDistinct(events(s, dir), "ts", "user_id",
+        windowDays = 7)),
+
+    // --- join-explosion preflight for the events×events self-join: per
+    //     user-key exact output products, topK heaviest + share ----------
+    "q209_join_preflight" -> ((s, dir) => {
+      val ev = events(s, dir)
+      graft.ops.Audit.joinExplosionReport(ev, "user_id", ev, "user_id",
+        topK = 10)
+    })
   )
 
   // =========================================================================
@@ -7664,6 +7679,64 @@ object SparkEntry {
         |  FROM h GROUP BY 1, 2)
         |SELECT prefix_hash, prefix_tokens, n_docs,
         |  cast((n_docs - 1) * prefix_tokens as bigint) AS tokens_saved
-        |FROM g WHERE n_docs > 1""".stripMargin
+        |FROM g WHERE n_docs > 1""".stripMargin,
+
+    // q37's register replay per day, fanned to the 7 window-ends each day
+    // covers, merged by register-wise max, estimated with the same C.
+    "q208_rolling_distinct" ->
+      s"""WITH h AS (
+        |  SELECT cast(ts as date) AS day,
+        |    ('0x' || substr(md5(cast(user_id as varchar)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (
+        |  SELECT day, h % 4096 AS bucket,
+        |    least(CASE WHEN h // 4096 = 0 THEN 49
+        |               ELSE 49 - length(bin(h // 4096)) END, 40) AS rho
+        |  FROM h),
+        |b AS (
+        |  SELECT day, bucket, max(rho) AS m, count(*) AS cnt
+        |  FROM r GROUP BY 1, 2),
+        |f AS (
+        |  SELECT b.bucket, b.m, b.cnt, b.day + cast(i as integer) AS wend
+        |  FROM b CROSS JOIN generate_series(0, 6) g(i)),
+        |days AS (SELECT DISTINCT day AS wend FROM b),
+        |mg AS (
+        |  SELECT wend, bucket, max(m) AS m, sum(cnt) AS cnt
+        |  FROM f JOIN days USING (wend) GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT wend, count(*) AS nb,
+        |    CAST(sum(1::BIGINT << (40 - m)) AS BIGINT) AS sp,
+        |    CAST(sum(cnt) AS BIGINT) AS n_events
+        |  FROM mg GROUP BY 1),
+        |est AS (
+        |  SELECT *, CAST(floor(${SparkEntry.Hll.C} /
+        |    (sp + (4096 - nb) * 1099511627776)) AS BIGINT) AS raw
+        |  FROM agg)
+        |SELECT wend AS day,
+        |  CASE WHEN nb < 4096 AND raw <= 10240
+        |    THEN (4096 * CAST(round(ln(4096.0 / (4096 - nb)) * 1e9)
+        |      AS BIGINT)) // 1000000000
+        |    ELSE raw END AS approx_distinct,
+        |  n_events
+        |FROM est""".stripMargin,
+
+    // Two count tables joined on the key; exact products, 1-row total.
+    "q209_join_preflight" ->
+      """WITH c AS (
+        |  SELECT cast(user_id as varchar) AS key, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |p AS (
+        |  SELECT a.key, a.n AS n_left, b.n AS n_right, a.n * b.n AS out_rows
+        |  FROM c a JOIN c b USING (key)),
+        |t AS (SELECT sum(out_rows) AS total_out FROM p),
+        |r AS (
+        |  SELECT p.*, t.total_out,
+        |    row_number() OVER (ORDER BY out_rows DESC, key) AS rn
+        |  FROM p CROSS JOIN t)
+        |SELECT key, n_left, n_right, cast(out_rows as bigint) AS out_rows,
+        |  cast(total_out as bigint) AS total_out,
+        |  cast((1000 * out_rows) // total_out as bigint) AS permille
+        |FROM r WHERE rn <= 10""".stripMargin
   )
 }

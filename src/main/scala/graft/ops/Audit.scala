@@ -310,6 +310,42 @@ object Audit {
   }
 
   /**
+   * Join-explosion preflight — the report you run BEFORE an equi-join, the
+   * join-shaped twin of [[skewReport]]: per join-key value, both sides'
+   * counts and the exact output-row product `n_left·n_right`; the topK
+   * keys by product are the rows that will dominate (or melt) the join,
+   * and `out_rows`/`total_out` is each one's exact share. The self-join
+   * case (pair generation, sessionization joins) is where this matters
+   * most — one hot user turns n rows into n². All integers; broadcastable
+   * totals. Returns topK rows: (key, n_left, n_right, out_rows,
+   * total_out, permille).
+   *
+   * Scale shape: one count-per-key pass per side (map-side combined), an
+   * equi-join of the two count tables (key-width rows), a 1-row total
+   * broadcast back, TakeOrderedAndProject for the topK — the preflight
+   * costs two count(*)s, never the join it sizes.
+   */
+  def joinExplosionReport(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, topK: Int = 10): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val lc = left.groupBy(col(leftKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_left"))
+    val rc = right.groupBy(col(rightKey).cast("string").as("key"))
+      .agg(count(lit(1)).as("n_right"))
+    val prod = lc.join(rc, Seq("key"))
+      .withColumn("out_rows", col("n_left") * col("n_right"))
+    graft.Eager.withPersisted(prod) { p =>
+      val total = p.agg(coalesce(sum(col("out_rows")), lit(0L))
+        .as("total_out"))
+      p.crossJoin(broadcast(total))
+        .orderBy(col("out_rows").desc, col("key")).limit(topK)
+        .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
+          col("total_out"),
+          expr("1000 * out_rows div total_out").as("permille"))
+    }
+  }
+
+  /**
    * Exact per-group ROC-AUC via the Mann–Whitney U statistic — "does this
    * score actually rank good above bad", the one-number answer a quality /
    * contamination / LM score must clear before it gates a corpus. Ranks

@@ -189,6 +189,70 @@ object EventOps {
   }
 
   /**
+   * Rolling-window distinct counts via MERGEABLE relational HyperLogLog —
+   * the "distinct users, trailing 7 days, for every day" dashboard query
+   * that exact distinct cannot serve at scale (each day would re-scan a
+   * week of raw events): the event log collapses ONCE to per-day register
+   * tables (day × ≤4096 rows — the q37 sketch, md5-register/binary-rho,
+   * every value integer), each day's registers fan to the `windowDays`
+   * window-ends they cover, and a window's sketch is the register-wise
+   * MAX of its days — the mergeability that makes sketches composable
+   * where exact counts are not. Emitted per OBSERVED day: the trailing
+   * estimate and the exact (non-distinct) event count of the window. The
+   * estimate is the q37 arithmetic — integer harmonic sum, one IEEE
+   * multiply/divide — plus the small-range linear-counting correction
+   * (`m·ln(m/V)` when the raw estimate ≤ 2.5m, nano-rounded per the q73
+   * ln-parity contract) the dashboard regime needs; both replay
+   * bit-identically in SQL. Returns (day, approx_distinct, n_events).
+   *
+   * Scale shape: the only event-volume pass is the first groupBy to
+   * (day, bucket); everything after works on day-grid × 4096 rows; the
+   * fan-out is ×windowDays of THAT, never of the log.
+   */
+  def rollingDistinct(events: DataFrame, tsCol: String, idCol: String,
+      windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, "windowDays must be positive")
+    val h = graft.functions.GraftFunctions.md5_prefix60(
+      col(idCol).cast("string"))
+    val rho = least(
+      when(col("w") === 0L, lit(49))
+        .otherwise(lit(49) - length(bin(col("w")))), lit(40))
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"),
+        pmod(h, lit(4096L)).as("bucket"), shiftrightunsigned(h, 12).as("w"))
+      .select(col("day"), col("bucket"), rho.as("rho"))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rho")).as("m"), count(lit(1)).as("cnt"))
+    graft.Eager.withPersisted(daily) { d =>
+      val fan = d.select(col("bucket"), col("m"), col("cnt"),
+        explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+          .as("wend"))
+      val observed = d.select(col("day").as("wend")).distinct()
+      fan.join(observed, Seq("wend"))
+        .groupBy(col("wend"), col("bucket"))
+        .agg(max(col("m")).as("m"), sum(col("cnt")).as("cnt"))
+        .groupBy(col("wend"))
+        .agg(count(lit(1)).as("nb"),
+          sum(expr("shiftleft(cast(1 as bigint), 40 - m)")).as("sp"),
+          sum(col("cnt")).as("n_events"))
+        .withColumn("__raw",
+          floor(lit(graft.SparkEntry.Hll.C) /
+            (col("sp") + (lit(4096L) - col("nb")) * lit(1L << 40))
+              .cast("double")).cast("bigint"))
+        // small-range (linear counting) correction — the raw HLL estimator
+        // overshoots badly below ~2.5m; with V empty registers the MLE is
+        // m·ln(m/V), nano-rounded per the q73 ln-parity contract so both
+        // engines land on the same integer
+        .select(col("wend").as("day"),
+          when(col("nb") < 4096 && col("__raw") <= lit(10240L),
+            expr("(4096 * cast(round(ln(4096.0d / (4096 - nb)) * 1e9) " +
+              "as bigint)) div 1000000000"))
+            .otherwise(col("__raw")).as("approx_distinct"),
+          col("n_events"))
+    }
+  }
+
+  /**
    * CUSUM changepoint alarms over daily per-type event volumes — the
    * drift detector [[volumeAnomalies]]' single-day sigma test can't be:
    * CUSUM accumulates SUSTAINED excess over the mean, so a 20% uplift

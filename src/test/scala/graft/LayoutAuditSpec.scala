@@ -296,4 +296,23 @@ class LayoutAuditSpec extends SparkSpec {
     assert(out("t") == ((2L, 2L, 4L, 500000000L)))
     assert(out("z") == ((1L, 0L, 0L, -1L)), "undefined AUC must be null")
   }
+
+  test("joinExplosionReport: exact per-key products, keys absent on one " +
+      "side contribute nothing, topK on the product order") {
+    val left = Seq("a", "a", "a", "b", "c", "c").map(Tuple1(_)).toDF("k")
+    val right = Seq("a", "a", "b", "b", "b", "b", "b", "x").map(Tuple1(_))
+      .toDF("k")
+    val out = graft.ops.Audit.joinExplosionReport(left, "k", right, "k",
+        topK = 10)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+    // a: 3·2=6, b: 1·5=5; c and x never pair; total 11
+    assert(out.toSeq == Seq(
+      ("a", (3L, 2L, 6L, 11L, 545L)), ("b", (1L, 5L, 5L, 11L, 454L))),
+      s"$out")
+    // topK = 1 keeps the heaviest key only
+    val top1 = graft.ops.Audit.joinExplosionReport(left, "k", right, "k", 1)
+      .collect().map(_.getString(0))
+    assert(top1.toSeq == Seq("a"))
+  }
 }
