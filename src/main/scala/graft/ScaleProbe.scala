@@ -155,7 +155,9 @@ object ScaleProbe {
     "q206_stratified_folds",// per-stratum rank window on (hash,id)
     "q207_prefix_cache",    // one md5 scan + map-side group rollup
     "q208_rolling_distinct",// day-grid register fan + register-wise max
-    "q209_join_preflight")  // two count-per-key passes + 1-row broadcast
+    "q209_join_preflight",  // two count-per-key passes + 1-row broadcast
+    "q210_ivf_health",      // k cosines per row + cell-key rollup
+    "q212_cluster_provenance") // prefix-fp pairs + CC + per-rep rollup
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
@@ -228,6 +230,14 @@ object ScaleProbe {
     if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory) {
       System.err.println(s"[probe] generating ${factor}x corpus at $outDir")
       generate(spark, srcDir, outDir, factor)
+    }
+    // optional probe subset (dev loops): comma-separated name substrings,
+    // the graft.Verify convention
+    val probeQueries = sys.env.get("SPARK_GRAFT_PROBE_ONLY") match {
+      case Some(f) =>
+        val pats = f.split(",").toSeq
+        ScaleProbe.probeQueries.filter(q => pats.exists(q.contains))
+      case None => ScaleProbe.probeQueries
     }
     // warm both scales once (codegen/JIT), then measure
     probeQueries.foreach { q =>

@@ -2859,6 +2859,46 @@ object SparkEntry {
       val ev = events(s, dir)
       graft.ops.Audit.joinExplosionReport(ev, "user_id", ev, "user_id",
         topK = 10)
+    }),
+
+    // --- IVF index health on the md5-seed layout (iters=0 ⇒ the seed
+    //     vectors ARE the centroids — SQL-replayable assignment): per-cell
+    //     occupancy incl. empty cells, exact permille shares -------------
+    "q210_ivf_health" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding",
+        k = 8, iters = 0)
+      Similarity.ivfIndexHealth(emb, "vec_id", "embedding", cents)
+    }),
+
+    // --- LAION-style image-caption joint gate: REAL PNG decode (dims from
+    //     the payload, not metadata) × caption token count × integer
+    //     cross-multiplied aspect-ratio bound ---------------------------
+    "q211_caption_gate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") < 200)
+      val media = Multimodal.synthesizeMedia(
+        docs.select(col("doc_id")), "doc_id")
+      Multimodal.decodeImageStats(media, "doc_id", "image")
+        .join(docs.select(col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens")), "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("n_tokens"),
+          (col("n_tokens").between(5, 100) &&
+            col("width") <= col("height") * 2 &&
+            col("height") <= col("width") * 2).as("keep"))
+    }),
+
+    // --- provenance rollup over the q204 dup clusters: per representative,
+    //     member count and the canonical sorted source list — the
+    //     compliance record dedup must not destroy ------------------------
+    "q212_cluster_provenance" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      graft.ops.Dedup.clusterProvenance(
+        graft.ops.Dedup.clusterDuplicates(pairs), docs, "doc_id", "source")
     })
   )
 
@@ -7737,6 +7777,80 @@ object SparkEntry {
         |SELECT key, n_left, n_right, cast(out_rows as bigint) AS out_rows,
         |  cast(total_out as bigint) AS total_out,
         |  cast((1000 * out_rows) // total_out as bigint) AS permille
-        |FROM r WHERE rn <= 10""".stripMargin
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+    // iters=0 seeds = first 8 vectors by (md5, id); assignment = argmax
+    // cosine vs each seed (first max on ties = smallest cell); all 8
+    // cells reported, zero-filled.
+    "q210_ivf_health" ->
+      """WITH e AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |al AS (
+        |  SELECT vec_id, cast(embedding as double[]) AS v,
+        |    ('0x' || substr(md5(cast(vec_id as varchar)), 1, 15))::BIGINT
+        |      AS h
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT cast(row_number() OVER (ORDER BY h, vec_id) - 1 as int)
+        |      AS cell, v AS c
+        |  FROM al ORDER BY h, vec_id LIMIT 8),
+        |asgn AS (
+        |  SELECT e.vec_id, s.cell,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      (CASE WHEN l.na = 0 OR l.nb = 0 THEN 0.0
+        |            ELSE l.dot / (sqrt(l.na) * sqrt(l.nb)) END) DESC,
+        |      s.cell) AS rn
+        |  FROM e CROSS JOIN seeds s CROSS JOIN LATERAL (
+        |    SELECT list_dot_product(e.v, s.c) AS dot,
+        |           list_dot_product(e.v, e.v) AS na,
+        |           list_dot_product(s.c, s.c) AS nb) l),
+        |cnt AS (SELECT cell, count(*) AS n FROM asgn WHERE rn = 1
+        |        GROUP BY 1),
+        |cells AS (SELECT cast(i as int) AS cell
+        |          FROM generate_series(0, 7) t(i)),
+        |tot AS (SELECT cast(coalesce(sum(n), 0) as bigint) AS t FROM cnt)
+        |SELECT cells.cell, cast(coalesce(cnt.n, 0) as bigint) AS n_vectors,
+        |  cast(CASE WHEN t > 0 THEN (1000 * coalesce(cnt.n, 0)) // t
+        |       ELSE 0 END as bigint) AS permille
+        |FROM cells LEFT JOIN cnt USING (cell) CROSS JOIN tot""".stripMargin,
+
+    // q30's closed-form synth dims (w = 8+id%9, h = 8+id%7) × token count
+    // × cross-multiplied aspect bound.
+    "q211_caption_gate" ->
+      """WITH d AS (
+        |  SELECT doc_id, cast(8 + doc_id % 9 as int) AS width,
+        |    cast(8 + doc_id % 7 as int) AS height,
+        |    cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      as bigint) AS n_tokens
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, width, height, n_tokens,
+        |  (n_tokens BETWEEN 5 AND 100 AND width <= height * 2
+        |    AND height <= width * 2) AS keep
+        |FROM d""".stripMargin,
+
+    // q204's recursive CC + the per-rep provenance rollup with a
+    // canonically sorted source list.
+    "q212_cluster_provenance" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src)
+        |SELECT l.rep, count(*) AS n_docs,
+        |  cast(count(DISTINCT d.source) as bigint) AS n_attrs,
+        |  array_to_string(list_sort(list(DISTINCT d.source)), ',') AS attrs
+        |FROM labels l JOIN documents d ON d.doc_id = l.id
+        |GROUP BY l.rep""".stripMargin
   )
 }

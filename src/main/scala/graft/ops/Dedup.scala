@@ -1031,6 +1031,30 @@ object Dedup {
       maxIter = maxIter)
 
   /**
+   * Cluster provenance rollup — the compliance answer dedup must not
+   * destroy: when near-duplicates collapse to one survivor, WHERE did the
+   * cluster's members come from (sources, licenses, crawl snapshots)?
+   * Joins a [[clusterDuplicates]]/[[mergeClusterAssignments]] assignment
+   * to per-doc metadata and reports, per cluster representative, the
+   * member count, distinct attribute count, and the sorted
+   * comma-joined attribute list (canonical order — the list replays
+   * exactly however the aggregation executed). Returns
+   * (rep, n_docs, n_attrs, attrs).
+   *
+   * Scale shape: one equi-join on the doc id + one groupBy per rep;
+   * collect_set is bounded by the attribute cardinality (sources,
+   * licenses — small by nature), never by cluster size.
+   */
+  def clusterProvenance(assignments: DataFrame, meta: DataFrame,
+      idCol: String, attrCol: String): DataFrame =
+    assignments.select(col("id").as(idCol), col("rep"))
+      .join(meta.select(col(idCol), col(attrCol).as("__attr")), Seq(idCol))
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        size(collect_set(col("__attr"))).cast("long").as("n_attrs"),
+        array_join(array_sort(collect_set(col("__attr"))), ",").as("attrs"))
+
+  /**
    * Embedding near-dup: hyperplane-LSH bucket join + exact cosine verification.
    * Multi-probe: the left side explodes its bucket plus every single-bit flip,
    * so pairs whose buckets differ by one hyperplane sign still meet — exact

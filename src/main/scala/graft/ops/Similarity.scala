@@ -448,6 +448,40 @@ object Similarity {
   }
 
   /**
+   * IVF index-health report — [[srpIndexHealth]]'s twin for the
+   * centroid-cell layout: per cell, its member count and exact permille
+   * share, plus the imbalance diagnostics that decide whether the index
+   * is worth probing — `max_share / ideal` tells you how much a hot cell
+   * erodes the nProbe/k pruning ratio, and EMPTY cells (reported as
+   * zero-count rows — the report covers all k cells, not just occupied
+   * ones) are training failures that silently waste probe budget. All
+   * integer; same deterministic assignment expression as [[ivfTopK]].
+   * Returns one row per cell: (cell, n_vectors, permille).
+   *
+   * Scale shape: one cell-assignment scan (k cosines per row against
+   * driver-literal centroids) + a map-side-combined count on the ≤k-value
+   * key; the k-row cell universe is a local relation.
+   */
+  def ivfIndexHealth(df: DataFrame, idCol: String, vecCol: String,
+      cents: Array[Array[Double]]): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.where(col(vecCol).isNotNull)
+      .select(cellOf(col(vecCol), cents).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val cells = (0 until cents.length).map(_.toLong).toDF("cell")
+      .select(col("cell").cast("int").as("cell"))
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
+    cells.join(counts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"), col("n").as("n_vectors"),
+        when(col("t") > 0, expr("1000 * n div t")).otherwise(lit(0L))
+          .as("permille"))
+  }
+
+  /**
    * Per-query binary retrieval metrics — [[ndcgAt]]'s multi-query,
    * ungraded siblings, the standard eval-suite table: for each query in
    * `qrels` (query_id, doc_id ground-truth pairs), MRR's reciprocal rank

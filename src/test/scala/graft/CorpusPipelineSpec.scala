@@ -172,4 +172,21 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(merged(11L) == ((1L, 6L)) && merged(4L) == ((1L, 6L)))
     assert(merged(21L) == ((20L, 2L)))
   }
+
+  test("clusterProvenance: canonical sorted attribute list per rep, " +
+      "distinct counting, accumulation-order free") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val meta = Seq((1L, "crawlB"), (2L, "crawlA"), (3L, "crawlB"),
+      (10L, "crawlC"), (11L, "crawlC")).toDF("doc_id", "src")
+    val assign = Dedup.clusterDuplicates(pairs)
+    def run(m: org.apache.spark.sql.DataFrame) =
+      Dedup.clusterProvenance(assign, m, "doc_id", "src")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getString(3)))).toMap
+    val out = run(meta)
+    assert(out == Map(1L -> ((3L, 2L, "crawlA,crawlB")),
+      10L -> ((2L, 1L, "crawlC"))), s"$out")
+    assert(run(meta.repartition(7)) == out)
+  }
 }

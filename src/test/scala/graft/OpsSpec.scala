@@ -1245,6 +1245,20 @@ class OpsSpec extends SparkSpec {
     assert(out(3) == ((1L, -1L, 0L, 0L, 0L)))
   }
 
+  test("ivfIndexHealth: per-cell occupancy with empty cells reported, " +
+      "exact permille shares, null vectors excluded") {
+    val vecs = Seq(
+      (1L, Seq(1f, 0.1f)), (2L, Seq(0.1f, 1f)), (3L, Seq(0.2f, 1f)),
+      (4L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "vec")
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+    val out = Similarity.ivfIndexHealth(vecs, "id", "vec", cents)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out == Map(0 -> ((1L, 333L)), 1 -> ((2L, 666L)),
+      2 -> ((0L, 0L))), s"$out")
+  }
+
   test("Layout.globalRank: ranks are the exact row_number permutation of the " +
       "sort order across many range partitions") {
     val n = 257
