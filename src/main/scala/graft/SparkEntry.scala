@@ -2899,7 +2899,17 @@ object SparkEntry {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       graft.ops.Dedup.clusterProvenance(
         graft.ops.Dedup.clusterDuplicates(pairs), docs, "doc_id", "source")
-    })
+    }),
+
+    // --- q198's matching in the giant-stratum shape: one population,
+    //     globalRunningLast boundary-stitched carries (two range shuffles,
+    //     partition-width parallelism) — identical pick semantics --------
+    "q213_matched_global" -> ((s, dir) =>
+      Sampling.matchedControlsGlobal(
+        T(s, dir, "documents").select(col("doc_id"),
+          token_count(col("text")).cast("long").as("n_tokens"),
+          (col("lang") === "en").as("treated")),
+        "doc_id", "n_tokens", "treated"))
   )
 
   // =========================================================================
@@ -7851,6 +7861,39 @@ object SparkEntry {
         |  cast(count(DISTINCT d.source) as bigint) AS n_attrs,
         |  array_to_string(list_sort(list(DISTINCT d.source)), ',') AS attrs
         |FROM labels l JOIN documents d ON d.doc_id = l.id
-        |GROUP BY l.rep""".stripMargin
+        |GROUP BY l.rep""".stripMargin,
+
+    // q198's window replay with the single global population (no
+    // PARTITION BY) and the same tie rule.
+    "q213_matched_global" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id,
+        |    cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      as bigint) AS value,
+        |    lang = 'en' AS treated
+        |  FROM documents),
+        |w AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN NOT treated
+        |        THEN struct_pack(value := value, id := id) END IGNORE NULLS)
+        |      OVER (ORDER BY value, id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+        |    first_value(CASE WHEN NOT treated
+        |        THEN struct_pack(value := value, id := id) END IGNORE NULLS)
+        |      OVER (ORDER BY value, id
+        |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+        |  FROM v),
+        |p AS (
+        |  SELECT *,
+        |    nxt IS NULL OR (prev IS NOT NULL AND
+        |      (value - prev.value) <= (nxt.value - value)) AS pick_prev
+        |  FROM w WHERE treated)
+        |SELECT id, value,
+        |  CASE WHEN pick_prev THEN prev.id ELSE nxt.id END AS match_id,
+        |  CASE WHEN pick_prev THEN prev.value ELSE nxt.value END
+        |    AS match_value,
+        |  abs(value - CASE WHEN pick_prev THEN prev.value ELSE nxt.value END)
+        |    AS abs_diff
+        |FROM p""".stripMargin
   )
 }

@@ -190,6 +190,54 @@ object Layout {
    * input plus `outCol` = max of `valueCol` over all rows at-or-before this
    * one in sort order (inclusive).
    */
+  /**
+   * Exact global EXCLUSIVE "last non-null value so far" over a total
+   * order — the [[globalScan]] two-pass discipline for an arbitrary-typed
+   * carry: per partition the last non-null of `valueCol` is collected
+   * (numPartitions values on the driver — structs stay tiny), prefix-folded
+   * into per-partition seeds, and the second pass threads the running
+   * value locally. EXCLUSIVE semantics: each row sees the last non-null
+   * STRICTLY BEFORE it (the first row of the order sees the seed, null at
+   * the front) — exactly `last(value, ignoreNulls) OVER (ORDER BY …
+   * ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)` without the
+   * single-partition window. Sort descending to get "first non-null
+   * strictly after". The carry primitive behind partition-parallel
+   * as-of/nearest-neighbor matching on one axis.
+   */
+  def globalRunningLast(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, outCol: String = "run_last",
+      numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "globalRunningLast needs a sort order")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = df.repartitionByRange(n, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    graft.Eager.withPersisted(sorted) { p =>
+      val vIdx = p.schema.fieldIndex(valueCol)
+      val lasts = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var last: Any = null
+        it.foreach { r => val v = r.get(vIdx); if (v != null) last = v }
+        Iterator((i, last))
+      }.collect().toMap
+      val seeds = (0 until n).scanLeft(null: Any) { (acc, i) =>
+        lasts.get(i).filter(_ != null).getOrElse(acc)
+      }.toArray
+      val schema = p.schema.add(outCol, p.schema(vIdx).dataType,
+        nullable = true)
+      val out = p.rdd.mapPartitionsWithIndex { (i, it) =>
+        var run: Any = seeds(i)
+        it.map { r =>
+          val row = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ run)
+          val v = r.get(vIdx)
+          if (v != null) run = v
+          row
+        }
+      }
+      spark.createDataFrame(out, schema)
+    }
+  }
+
   def globalRunningMax(df: DataFrame, sortCols: Seq[Column], valueCol: String,
       outCol: String = "run_max", numPartitions: Int = 0): DataFrame = {
     require(sortCols.nonEmpty, "globalRunningMax needs a sort order")

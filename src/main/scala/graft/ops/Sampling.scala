@@ -624,12 +624,10 @@ object Sampling {
    * (id, group, value, flag) ever moves. Parallelism equals the GROUP
    * cardinality: at thousands of strata the sort spreads naturally, but a
    * single giant stratum serializes into one task (measured 7× at a 10×
-   * scale-up over 20 groups). The scale path for that regime is the
-   * [[graft.ops.Layout.globalScan]] two-pass discipline generalized to
-   * "running last non-null control struct" — range-partition within the
-   * group, collect per-partition boundary controls (numPartitions-sized),
-   * inject them as next-partition seeds; same answer, partition-width
-   * parallelism.
+   * scale-up over 20 groups). For that regime use
+   * [[matchedControlsGlobal]] — identical semantics per stratum, built on
+   * [[graft.ops.Layout.globalRunningLast]]'s two-pass boundary-stitched
+   * carry, partition-width parallelism regardless of group sizes.
    */
   def matchedControls(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, treatedCol: String): DataFrame = {
@@ -661,6 +659,45 @@ object Sampling {
       abs(col("value") -
         when(pickPrev, col("__prev.value")).otherwise(col("__next.value")))
         .as("abs_diff"))
+  }
+
+  /**
+   * [[matchedControls]] for the GIANT-STRATUM regime — identical matching
+   * semantics over ONE population (no group column: map this over strata
+   * when each is huge), built on [[graft.ops.Layout.globalRunningLast]]'s
+   * two-pass carry instead of per-group windows, so the sort spreads over
+   * the full shuffle width however large the population. Two range
+   * shuffles (ascending pass threads the at-or-before control, descending
+   * pass the strictly-after control), then the same
+   * smaller-diff/tie-to-earlier pick. Returns treated rows:
+   * (id, value, match_id, match_value, abs_diff).
+   */
+  def matchedControlsGlobal(df: DataFrame, idCol: String, valueCol: String,
+      treatedCol: String, numPartitions: Int = 0): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        col(valueCol).cast("long").as("value"),
+        col(treatedCol).cast("boolean").as("treated"))
+      .where(col(valueCol).isNotNull && col(treatedCol).isNotNull)
+      .withColumn("__ctrl",
+        when(!col("treated"), struct(col("value"), col("id"))))
+    val withPrev = graft.ops.Layout.globalRunningLast(base,
+      Seq(col("value"), col("id")), "__ctrl", "__prev", numPartitions)
+    val withNext = graft.ops.Layout.globalRunningLast(withPrev,
+      Seq(col("value").desc, col("id").desc), "__ctrl", "__next",
+      numPartitions)
+    val pickPrev = col("__next").isNull ||
+      (col("__prev").isNotNull &&
+        (col("value") - col("__prev.value")) <=
+          (col("__next.value") - col("value")))
+    withNext.where(col("treated"))
+      .select(col("id"), col("value"),
+        when(pickPrev, col("__prev.id")).otherwise(col("__next.id"))
+          .as("match_id"),
+        when(pickPrev, col("__prev.value")).otherwise(col("__next.value"))
+          .as("match_value"),
+        abs(col("value") -
+          when(pickPrev, col("__prev.value")).otherwise(col("__next.value")))
+          .as("abs_diff"))
   }
 
   /**

@@ -538,4 +538,30 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(again.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("matchedControlsGlobal ≡ matchedControls on one stratum across many " +
+      "range partitions (boundary-stitched carry), sparse controls carry " +
+      "across empty partitions") {
+    import spark.implicits._
+    // 400 rows, ~1 in 8 is a control — many range partitions will hold no
+    // control at all, so the prev/next carries MUST cross partitions
+    val rows = (1L to 400L).map { i =>
+      (i, (i * 131) % 1000, i % 8 == 0)
+    }.toDF("id", "v", "ctrl").withColumn("tr", !col("ctrl"))
+    val grouped = graft.ops.Sampling.matchedControls(
+        rows.withColumn("g", lit("all")), "id", "g", "v", "tr")
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
+    val global = graft.ops.Sampling.matchedControlsGlobal(
+        rows, "id", "v", "tr", numPartitions = 13)
+      .collect().map(r => r.getLong(0) -> ((
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    assert(global == grouped,
+      s"diff: ${(global.toSet diff grouped.toSet).take(5)} / " +
+        s"${(grouped.toSet diff global.toSet).take(5)}")
+    assert(global.nonEmpty && global.values.forall(_._1 != -1L),
+      "with 50 controls spread over the range every treated row matches")
+  }
 }
