@@ -2909,7 +2909,33 @@ object SparkEntry {
         T(s, dir, "documents").select(col("doc_id"),
           token_count(col("text")).cast("long").as("n_tokens"),
           (col("lang") === "en").as("treated")),
-        "doc_id", "n_tokens", "treated"))
+        "doc_id", "n_tokens", "treated")),
+
+    // --- dedup impact per source: what keep-first over the q204 clusters
+    //     COSTS each source — docs and exact tokens dropped, integer
+    //     permille; the report a mixing plan is re-balanced from ---------
+    "q214_dedup_impact" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val fp = docs.select(col("doc_id"),
+        md5(substring(col("text"), 1, 40).cast("binary")).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val dropped = graft.ops.Dedup.clusterDuplicates(pairs)
+        .where(col("id") =!= col("rep"))
+        .select(col("id").as("doc_id"), lit(1L).as("__d"))
+      docs.select(col("doc_id"), col("source"),
+          token_count(col("text")).cast("long").as("t"))
+        .join(dropped, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("__d")), lit(0L)).as("n_dropped"),
+          coalesce(sum(when(col("__d").isNotNull, col("t"))), lit(0L))
+            .as("tokens_dropped"),
+          sum(col("t")).as("tokens_total"))
+        .withColumn("drop_permille",
+          expr("1000 * tokens_dropped div tokens_total"))
+    })
   )
 
   // =========================================================================
@@ -7894,6 +7920,41 @@ object SparkEntry {
         |    AS match_value,
         |  abs(value - CASE WHEN pick_prev THEN prev.value ELSE nxt.value END)
         |    AS abs_diff
-        |FROM p""".stripMargin
+        |FROM p""".stripMargin,
+
+    // q204's CC + keep-first drops (non-representatives) rolled up per
+    // source with exact token costs.
+    "q214_dedup_impact" ->
+      """WITH RECURSIVE fp AS (
+        |  SELECT doc_id, md5(substr(text, 1, 40)) AS fp FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |drops AS (SELECT id FROM labels WHERE id <> rep),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    cast(len(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      as bigint) AS t,
+        |    doc_id IN (SELECT id FROM drops) AS dropped
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  cast(sum(CASE WHEN dropped THEN 1 ELSE 0 END) as bigint)
+        |    AS n_dropped,
+        |  cast(coalesce(sum(CASE WHEN dropped THEN t END), 0) as bigint)
+        |    AS tokens_dropped,
+        |  cast(sum(t) as bigint) AS tokens_total,
+        |  cast((1000 * coalesce(sum(CASE WHEN dropped THEN t END), 0))
+        |    // sum(t) as bigint) AS drop_permille
+        |FROM d GROUP BY source""".stripMargin
   )
 }
