@@ -981,7 +981,8 @@ object SparkEntry {
       // deterministic temp location, overwrite mode: repeated invocations
       // (verify + 3 bench reps) reuse one directory instead of accumulating
       val path = sys.props("java.io.tmpdir") + "/graft_q86_ivf_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
       Similarity.writeIvfCorpus(corpus, "vec_id", "embedding", path, cents)
       Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
           q, 5, cents, nProbe = 2)
@@ -1335,9 +1336,13 @@ object SparkEntry {
     //     recall-proven-by-q27 equivalence. --------------------------------
     "q91_ingest_dedup" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      // deterministic temp location, overwrite mode (q86's convention)
+      // per-PROCESS unique temp location (pid-salted): a deterministic
+      // dir-hash path is a write/read race if another graft process (bench
+      // alongside verify) rebuilds the same index concurrently — the one
+      // query absent from driver CORRECTNESS records through round 9
       val path = sys.props("java.io.tmpdir") + "/graft_q91_idx_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
       Dedup.writeNearDupIndex(docs.where(col("source") =!= "src0"),
         "doc_id", "text", path)
       Dedup.dedupeAgainstIndex(s, docs.where(col("source") === "src0"),
@@ -1804,7 +1809,8 @@ object SparkEntry {
         math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(m) - bits)
       val (aShift, bShift) = (shiftFor(aMax), shiftFor(bMax))
       val path = sys.props("java.io.tmpdir") + "/graft_q124_z_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
       graft.ops.Layout.writeZOrdered(li, path, "l_orderkey", "l_partkey",
         aShift, bShift, bits)
       graft.ops.Layout.zBoxQuery(s, path, "l_orderkey", "l_partkey",
@@ -2152,7 +2158,8 @@ object SparkEntry {
       val newBatch = emb.where(col("vec_id") =!= 7 && col("vec_id") % 20 === 3)
         .unionByName(planted)
       val path = sys.props("java.io.tmpdir") + "/graft_q153_ann_" +
-        Integer.toHexString(dir.hashCode)
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
       // overwrite-then-append per invocation: repeated runs never accumulate.
       // 5 bucket bits (32 partition dirs): the write cost is dir/file
       // creation, not data, at this corpus size — fewer, larger buckets keep
@@ -7161,7 +7168,7 @@ object SparkEntry {
         |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 100
         |      AS bk
         |  FROM sc),
-        |cal AS (SELECT score FROM b WHERE bk < 50),
+        |cal AS (SELECT score FROM b WHERE bk < 50 AND score IS NOT NULL),
         |par AS (SELECT count(*) AS n_calib,
         |    ((count(*) + 1) * 900 + 999) // 1000 AS k FROM cal),
         |grid AS (SELECT score AS s, count(*) AS c FROM cal GROUP BY 1),
@@ -7171,7 +7178,8 @@ object SparkEntry {
         |  cast(par.n_calib as bigint) AS n_calib,
         |  cast(thr.threshold as bigint) AS threshold,
         |  thr.threshold IS NULL OR b.score <= thr.threshold AS admitted
-        |FROM b CROSS JOIN par CROSS JOIN thr WHERE b.bk >= 50""".stripMargin,
+        |FROM b CROSS JOIN par CROSS JOIN thr
+        |WHERE b.bk >= 50 AND b.score IS NOT NULL""".stripMargin,
 
     // Dominance collapsed to per-x maxima + a strict suffix max over the
     // distinct-x grid: skyline iff y equals its x-group max and strictly
@@ -7448,7 +7456,7 @@ object SparkEntry {
         |    ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT % 100
         |      AS bk
         |  FROM sc),
-        |cal AS (SELECT score FROM b WHERE bk < 50),
+        |cal AS (SELECT score FROM b WHERE bk < 50 AND score IS NOT NULL),
         |par AS (SELECT count(*) AS n_calib,
         |    ((count(*) + 1) * 900 + 999) // 1000 AS k FROM cal),
         |grid AS (SELECT score AS s, count(*) AS c FROM cal GROUP BY 1),
@@ -7458,7 +7466,7 @@ object SparkEntry {
         |  cast(par.n_calib as bigint) AS n_calib,
         |  cast(thr.threshold as bigint) AS threshold
         |FROM b CROSS JOIN par CROSS JOIN thr
-        |WHERE b.bk >= 50
+        |WHERE b.bk >= 50 AND b.score IS NOT NULL
         |  AND (thr.threshold IS NULL OR b.score <= thr.threshold)""".stripMargin,
 
     // Two leads in the q106 timeline windows; top-20 cut on the total
@@ -7704,12 +7712,24 @@ object SparkEntry {
         |SELECT l.id, l.rep, c.cluster_size
         |FROM labels l JOIN csize c USING (rep)""".stripMargin,
 
-    // Per-type day counts; P = cumsum(n·x − S), cusum = P − min(0, run-min P);
-    // alarm past meanDays·S in the same ×n units.
+    // Per-type day counts zero-filled onto a DENSE grid (type's first day
+    // .. global last day — gap days contribute the full −S deviation);
+    // P = cumsum(n·x − S), cusum = P − min(0, run-min P); alarm past
+    // meanDays·S in the same ×n units.
     "q205_cusum_alarms" ->
-      """WITH d AS (
+      """WITH o AS (
         |  SELECT event_type, cast(ts as date) AS day, count(*) AS x
         |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, min(day) AS d0 FROM o GROUP BY 1),
+        |g AS (SELECT max(day) AS d1 FROM o),
+        |grid AS (
+        |  SELECT sp.event_type,
+        |    cast(unnest(generate_series(cast(sp.d0 as timestamp),
+        |      cast(g.d1 as timestamp), INTERVAL 1 DAY)) as date) AS day
+        |  FROM sp CROSS JOIN g),
+        |d AS (
+        |  SELECT grid.event_type, grid.day, coalesce(o.x, 0) AS x
+        |  FROM grid LEFT JOIN o USING (event_type, day)),
         |st AS (SELECT event_type, count(*) AS n, sum(x) AS s FROM d
         |       GROUP BY 1),
         |p AS (

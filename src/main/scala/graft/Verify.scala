@@ -24,13 +24,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // name -> exception message for every query that failed (after retry).
+    // A failing query must be VISIBLE in the round artifact — silently
+    // writing nothing made a broken query vanish from the correctness
+    // record instead of appearing as `err`.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
+      def runOnce(): Unit = fn(spark, sfDir).coalesce(1).write
+        .mode("overwrite").parquet(s"$outDir/$name")
+      try runOnce()
+      catch { case e1: Throwable =>
+        // one retry: transient box pressure (tmp-dir races, executor OOM
+        // recovery) shouldn't cost a query its correctness record
+        System.err.println(s"[verify] $name failed (${e1.getMessage}); retrying once")
+        try runOnce()
+        catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name failed twice: ${e2.getMessage}")
+          errors(name) = Option(e2.getMessage).getOrElse(e2.getClass.getName)
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,6 +65,23 @@ object Verify {
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Soundness check: every selected query must have produced a result
+    // directory. Diffing against what was ACTUALLY written (not just the
+    // caught exceptions) also catches a result dir lost to any external
+    // cause; errors.json names each missing query so the driver's gate can
+    // record `err` for it rather than omitting it from the round artifact.
+    val written = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
+      .filter(_.isDirectory).map(_.getName).toSet
+    val missing = selected.keySet.toSeq.sorted.filterNot(written.contains)
+    missing.filterNot(errors.contains).foreach { name =>
+      errors(name) = "result directory missing after run (no exception captured)"
+    }
+    val errJson = errors.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    println(s"[verify] ${written.size}/${selected.size} result dirs written" +
+      (if (missing.isEmpty) "; all queries accounted for"
+       else s"; MISSING: ${missing.mkString(", ")}"))
     spark.stop()
   }
 }

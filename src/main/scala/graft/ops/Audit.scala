@@ -231,28 +231,6 @@ object Audit {
   }
 
   /**
-   * Split-conformal admission gate (Vovk et al.; Angelopoulos & Bates 2023
-   * tutorial form): a distribution-free filter with a finite-sample
-   * guarantee. A deterministic md5 split carves off `calibPct`% of rows as
-   * the calibration set; the threshold is the k-th smallest calibration
-   * NONCONFORMITY score with `k = ⌈(n+1)(1000−alphaPermille)/1000⌉`, and an
-   * evaluation row is admitted iff its score ≤ threshold. Under
-   * exchangeability the admitted fraction is ≥ 1−α in expectation — the
-   * quantile is a provable coverage statement, not a tuned knob. `scoreCol`
-   * must be LONG with higher = more anomalous. If k exceeds n (tiny
-   * calibration set, or α too small for it) the threshold is NULL and
-   * everything is admitted — the honest answer, not a silent clamp.
-   * Returns every evaluation row as (id, score, n_calib, threshold,
-   * admitted); all arithmetic integer.
-   *
-   * Scale shape: one scan splits calibration from evaluation with the
-   * pushdown-friendly md5 bucket; the calibration quantile is a
-   * map-side-combined groupBy on the score GRID (integer scores — permille
-   * grids have ≤ thousands of distinct values; the running-count window
-   * runs over that grid, not the rows) and the resulting single-row
-   * (n, k, threshold) frame broadcasts back over the evaluation side.
-   */
-  /**
    * Driver-side conformal threshold from an explicit calibration frame —
    * the [[conformalGate]] quantile rule (`k = ⌈(n+1)(1000−α)/1000⌉`-th
    * smallest score) collected to a scalar, for gates that must apply it as
@@ -283,6 +261,28 @@ object Audit {
     (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1)))
   }
 
+  /**
+   * Split-conformal admission gate (Vovk et al.; Angelopoulos & Bates 2023
+   * tutorial form): a distribution-free filter with a finite-sample
+   * guarantee. A deterministic md5 split carves off `calibPct`% of rows as
+   * the calibration set; the threshold is the k-th smallest calibration
+   * NONCONFORMITY score with `k = ⌈(n+1)(1000−alphaPermille)/1000⌉`, and an
+   * evaluation row is admitted iff its score ≤ threshold. Under
+   * exchangeability the admitted fraction is ≥ 1−α in expectation — the
+   * quantile is a provable coverage statement, not a tuned knob. `scoreCol`
+   * must be LONG with higher = more anomalous. If k exceeds n (tiny
+   * calibration set, or α too small for it) the threshold is NULL and
+   * everything is admitted — the honest answer, not a silent clamp.
+   * Returns every evaluation row as (id, score, n_calib, threshold,
+   * admitted); all arithmetic integer.
+   *
+   * Scale shape: one scan splits calibration from evaluation with the
+   * pushdown-friendly md5 bucket; the calibration quantile is a
+   * map-side-combined groupBy on the score GRID (integer scores — permille
+   * grids have ≤ thousands of distinct values; the running-count window
+   * runs over that grid, not the rows) and the resulting single-row
+   * (n, k, threshold) frame broadcasts back over the evaluation side.
+   */
   def conformalGate(df: DataFrame, idCol: String, scoreCol: String,
       calibPct: Int = 50, alphaPermille: Int = 100): DataFrame = {
     require(calibPct > 0 && calibPct < 100, "calibPct must be in (0, 100)")
@@ -332,16 +332,26 @@ object Audit {
       .agg(count(lit(1)).as("n_left"))
     val rc = right.groupBy(col(rightKey).cast("string").as("key"))
       .agg(count(lit(1)).as("n_right"))
+    // products and their sum accumulate in decimal(38,0): a hot key of
+    // ~96M×96M rows is out_rows ≈ 9.2e15, and 1000×that (the permille
+    // numerator) — or the sum across keys — overflows Long and errors
+    // under ANSI mode in exactly the pathological regime this preflight
+    // exists to diagnose. Integer division happens in decimal; the output
+    // columns stay bigint (the report's contract).
     val prod = lc.join(rc, Seq("key"))
-      .withColumn("out_rows", col("n_left") * col("n_right"))
+      .withColumn("out_rows",
+        col("n_left").cast("decimal(38,0)") * col("n_right"))
     graft.Eager.withPersisted(prod) { p =>
-      val total = p.agg(coalesce(sum(col("out_rows")), lit(0L))
-        .as("total_out"))
+      val total = p.agg(
+        coalesce(sum(col("out_rows")), lit(0).cast("decimal(38,0)"))
+          .as("total_out"))
       p.crossJoin(broadcast(total))
         .orderBy(col("out_rows").desc, col("key")).limit(topK)
-        .select(col("key"), col("n_left"), col("n_right"), col("out_rows"),
-          col("total_out"),
-          expr("1000 * out_rows div total_out").as("permille"))
+        .select(col("key"), col("n_left"), col("n_right"),
+          col("out_rows").cast("long").as("out_rows"),
+          col("total_out").cast("long").as("total_out"),
+          expr("cast((1000 * out_rows) div total_out as long)")
+            .as("permille"))
     }
   }
 

@@ -267,18 +267,36 @@ object EventOps {
    * the same ×n units). Returns one row per (event_type, day):
    * (event_type, day, n_events, cusum_scaled, alarm).
    *
+   * The per-type day grid is DENSE: each type covers every day from its
+   * first event to the corpus-wide last day, with zero-count days filled
+   * in. A day with no events contributes the full negative deviation
+   * `−S` — without this, a type that stops emitting would retain its
+   * accumulated CUSUM forever and a sustained drop could never drain or
+   * be seen (observed-rows-only CUSUM silently skips the gap days).
+   * Extending to the GLOBAL max day (not the type's own) is what makes
+   * "this type went quiet" visible at all.
+   *
    * Scale shape: the event volume collapses to (type, day) counts at the
-   * first map-side-combined aggregate; windows run per type over the
-   * day grid (hundreds of rows), and the per-type (n, S) rollup
-   * broadcast-joins back.
+   * first map-side-combined aggregate; the dense grid is a per-type
+   * sequence() explode over a span of days (hundreds of rows per type)
+   * joined back to the counts; windows run per type over that grid, and
+   * the per-type (n, S) rollup broadcast-joins back.
    */
   def cusumAlarms(events: DataFrame, tsCol: String, typeCol: String,
       meanDays: Int = 3): DataFrame = {
     require(meanDays >= 1, "meanDays must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val days = events
+    val observed = events
       .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
       .agg(count(lit(1)).as("x"))
+    val span = observed.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"))
+    val gmax = observed.agg(max(col("day")).as("d1"))
+    val days = span.crossJoin(broadcast(gmax))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(observed, Seq("event_type", "day"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
     val stats = days.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -376,22 +394,6 @@ object EventOps {
   }
 
   /**
-   * First-/last-touch conversion attribution — the marketing-analytics
-   * answer to "which touchpoint gets credit for this conversion": for each
-   * conversion event (type == `conversionType`), credit its integer-cents
-   * value to the FIRST and to the LAST non-conversion event type strictly
-   * earlier in that user's (ts, tie)-ordered timeline; a conversion with no
-   * preceding touch credits the sentinel "(none)" (direct conversion). Both
-   * models report side by side — one row per (model, touch_type) with the
-   * conversion count and exact attributed cents (integer sums: any
-   * accumulation order, any engine).
-   *
-   * Scale shape: two window passes over timelines partitioned by user (the
-   * natural event-log partitioning — bounded by the longest single
-   * timeline, never global), then one map-side-combined groupBy on the tiny
-   * (model, touch_type) key. Only (user, ts, tie, type, cents) ever moves.
-   */
-  /**
    * Top click-paths of length three — the "how do users actually move"
    * mining query over the same (ts, tie)-ordered timelines as
    * [[graft.ops.Graph.transitionEdges]], two `lead`s deep: every window of
@@ -421,6 +423,22 @@ object EventOps {
       .limit(topK)
   }
 
+  /**
+   * First-/last-touch conversion attribution — the marketing-analytics
+   * answer to "which touchpoint gets credit for this conversion": for each
+   * conversion event (type == `conversionType`), credit its integer-cents
+   * value to the FIRST and to the LAST non-conversion event type strictly
+   * earlier in that user's (ts, tie)-ordered timeline; a conversion with no
+   * preceding touch credits the sentinel "(none)" (direct conversion). Both
+   * models report side by side — one row per (model, touch_type) with the
+   * conversion count and exact attributed cents (integer sums: any
+   * accumulation order, any engine).
+   *
+   * Scale shape: two window passes over timelines partitioned by user (the
+   * natural event-log partitioning — bounded by the longest single
+   * timeline, never global), then one map-side-combined groupBy on the tiny
+   * (model, touch_type) key. Only (user, ts, tie, type, cents) ever moves.
+   */
   def touchAttribution(events: DataFrame, userCol: String, tsCol: String,
       tieCol: String, typeCol: String, centsCol: String,
       conversionType: String): DataFrame = {

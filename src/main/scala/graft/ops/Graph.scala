@@ -191,23 +191,6 @@ object Graph {
     }
   }
 
-  /**
-   * Per-node triangle counts over the simple undirected graph induced by an
-   * edge list — the cohesion primitive behind clustering coefficients, spam
-   * farm detection, and dup-graph transitivity audits. Self-loops drop,
-   * multi-edges collapse (a triangle is a property of the simple graph).
-   * Returns (node, triangles) for every node on at least one triangle;
-   * pure integer counts — exact on any engine.
-   *
-   * Scale shape: the classic degree-ordered orientation (each undirected
-   * edge points from its (degree, id)-smaller endpoint to the larger), so
-   * every out-neighborhood is O(√m) on ANY graph — the wedge self-join's
-   * fan-out is bounded even on power-law degree skew, which is exactly the
-   * skew a naive neighbor self-join dies on. Three equi-joins total: two to
-   * orient (edge ⋈ degree per endpoint), one wedge-closing join keyed on
-   * the (b, c) edge pair; each triangle is found exactly once because only
-   * one of a wedge's two (b, c) orderings exists as an oriented edge.
-   */
   /** Canonical simple-graph edges: self-loops dropped, direction and
     * multiplicity collapsed to distinct (lo < hi) pairs. */
   private def simpleEdges(edges: DataFrame, srcCol: String,
@@ -251,6 +234,23 @@ object Graph {
     }
   }
 
+  /**
+   * Per-node triangle counts over the simple undirected graph induced by an
+   * edge list — the cohesion primitive behind clustering coefficients, spam
+   * farm detection, and dup-graph transitivity audits. Self-loops drop,
+   * multi-edges collapse (a triangle is a property of the simple graph).
+   * Returns (node, triangles) for every node on at least one triangle;
+   * pure integer counts — exact on any engine.
+   *
+   * Scale shape: the classic degree-ordered orientation (each undirected
+   * edge points from its (degree, id)-smaller endpoint to the larger), so
+   * every out-neighborhood is O(√m) on ANY graph — the wedge self-join's
+   * fan-out is bounded even on power-law degree skew, which is exactly the
+   * skew a naive neighbor self-join dies on. Three equi-joins total: two to
+   * orient (edge ⋈ degree per endpoint), one wedge-closing join keyed on
+   * the (b, c) edge pair; each triangle is found exactly once because only
+   * one of a wedge's two (b, c) orderings exists as an oriented edge.
+   */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame =
     graft.Eager.withPersisted(simpleEdges(edges, srcCol, dstCol)) { se =>

@@ -223,18 +223,22 @@ object MediaCodec {
 
   // ------------------------------- audio ---------------------------------
 
-  /** Encode mono PCM16 samples as a canonical 44-byte-header WAV file. */
-  def encodeWavPcm16(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+  /** Encode PCM16 samples (channel-interleaved when `channels` > 1) as a
+    * canonical 44-byte-header WAV file. */
+  def encodeWavPcm16(sampleRate: Int, samples: Array[Short],
+      channels: Int = 1): Array[Byte] = {
+    require(channels >= 1 && samples.length % channels == 0,
+      "samples must interleave a whole number of frames")
     val dataLen = samples.length * 2
     val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
     buf.put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1) // PCM
-      .putShort(1) // mono
+      .putShort(channels.toShort)
       .putInt(sampleRate)
-      .putInt(sampleRate * 2) // byte rate
-      .putShort(2) // block align
+      .putInt(sampleRate * 2 * channels) // byte rate
+      .putShort((2 * channels).toShort) // block align
       .putShort(16) // bits per sample
     buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
     samples.foreach(buf.putShort)
@@ -282,8 +286,11 @@ object MediaCodec {
 
   /** Parse a PCM16 WAV to its raw interleaved samples (same RIFF walk as
     * [[decodeWav]]) — for frame-level analysis (VAD, energy segmentation)
-    * that aggregate stats can't serve. */
-  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
+    * that aggregate stats can't serve. Returns (sampleRate, channels,
+    * interleaved samples): the channel count must ride along or a
+    * frame-level consumer cannot convert sample PERIODS to array
+    * positions for multi-channel audio. */
+  def decodeWavSamples(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     if (bytes == null || sniffFormat(bytes) != "wav") return None
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     buf.position(12)
@@ -314,6 +321,6 @@ object MediaCodec {
       }
       buf.position(math.min(next, bytes.length))
     }
-    if (sawData) Some((sampleRate, out.result())) else None
+    if (sawData) Some((sampleRate, channels, out.result())) else None
   }
 }

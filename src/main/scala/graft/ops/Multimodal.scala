@@ -133,10 +133,14 @@ object Multimodal {
   /** Frame-energy voice-activity detection over a WAV blob column — the
     * speech-data triage op (keep clips with enough voiced content, measure
     * how fragmented the speech is) run BEFORE any model touches the audio.
-    * The blob parses once per row; frames of `frameLen` samples (final
-    * partial frame included) score `energy = Σ sample²` — exact longs, no
-    * float window functions — and a frame is voiced iff
-    * `energy ≥ energyThreshold`. Per clip: total/voiced frame counts,
+    * The blob parses once per row; frames of `frameLen` sample PERIODS
+    * (final partial frame included) score `energy = Σ sample²` summed over
+    * ALL channels' samples in the frame — for an n-channel clip a frame
+    * covers `frameLen·n` interleaved array positions, so frames always
+    * span the same wall-clock duration regardless of channel count (and
+    * `energyThreshold` should scale with channels if per-channel loudness
+    * is the target). Exact longs, no float window functions; a frame is
+    * voiced iff `energy ≥ energyThreshold`. Per clip: total/voiced frame counts,
     * voiced-segment count (maximal voiced runs — the fragmentation
     * signal), and the summed voiced energy. Undecodable blobs yield null
     * stats (kept, not dropped: the caller decides).
@@ -157,12 +161,16 @@ object Multimodal {
       .mapPartitions { it =>
         it.map { r =>
           MediaCodec.decodeWavSamples(r.getAs[Array[Byte]](1)) match {
-            case Some((_, samples)) =>
+            case Some((_, channels, samples)) =>
+              // frameLen is sample PERIODS: a frame spans frameLen*channels
+              // interleaved positions so multi-channel frames keep the same
+              // wall-clock length as mono ones
+              val step = frameLen * channels
               var f = 0; var nFrames = 0L; var nVoiced = 0L
               var nSegments = 0L; var voicedEnergy = 0L
               var prevVoiced = false
               while (f < samples.length) {
-                val end = math.min(f + frameLen, samples.length)
+                val end = math.min(f + step, samples.length)
                 var e = 0L
                 var i = f
                 while (i < end) { e += samples(i).toLong * samples(i); i += 1 }

@@ -298,6 +298,34 @@ class EventOpsSpec extends SparkSpec {
         true), s"sustained 5x shift must alarm on the last day: $hotOut")
   }
 
+  test("cusumAlarms: dense day grid — gap days and the post-stop tail " +
+      "drain accumulated CUSUM instead of freezing it") {
+    val day = 86400L * 1000000L
+    // type a: 5 days at 30/day (days 0-4), then SILENCE; type z spans the
+    // full 10 days (1/day) so the global grid extends to day 9. Type a's
+    // dense grid is days 0..9 with x=0 on days 5-9: n=10, S=150, daily
+    // dev = 10x−150 → +150/day while emitting, −150/day after the stop.
+    // P: 150,300,450,600,750 then 600,450,300,150,0; run-min(≤0) = 0 →
+    // cusum = P: peaks at 750 on day 4, DRAINS to 0 by day 9. Without the
+    // dense grid type a would have n=5, S=150, dev=5·30−150=0 everywhere
+    // and the stop would be invisible forever.
+    val ev = (0 until 5).flatMap(d => (0 until 30).map(i =>
+        (d.toLong * day + i, "a"))) ++
+      (0 until 10).map(d => (d.toLong * day, "z"))
+    val out = graft.ops.EventOps.cusumAlarms(
+        ev.toDF("us", "etype").withColumn("ts", expr("timestamp_micros(us)")),
+        "ts", "etype", meanDays = 3)
+      .where(col("event_type") === "a")
+      .collect().map(r => (r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(out.length == 10, s"dense grid must cover all 10 days: $out")
+    assert(out.map(_._2).toSeq ==
+      Seq(30L, 30L, 30L, 30L, 30L, 0L, 0L, 0L, 0L, 0L), s"$out")
+    assert(out.map(_._3).toSeq ==
+      Seq(150L, 300L, 450L, 600L, 750L, 600L, 450L, 300L, 150L, 0L),
+      s"post-stop days must drain the CUSUM: $out")
+  }
+
   test("rollingDistinct: window sketch EQUALS the sketch of the window's " +
       "raw union (mergeability, bit-exact); estimate tracks truth") {
     val day = 86400L * 1000000L

@@ -197,6 +197,33 @@ class MultimodalDecodeSpec extends SparkSpec {
     assert(out(3L).isNullAt(1) && out(3L).isNullAt(4))
   }
 
+  test("audioVadStats: multi-channel frames span frameLen sample PERIODS " +
+      "(frameLen*channels interleaved positions), energy sums channels") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // STEREO, 24 sample periods (48 interleaved values): periods 0-15
+    // have L=1000/R=500, periods 16-23 silent. frameLen=16 periods →
+    // 2 frames: [0,16) energy = 16·(1000²+500²) = 20e6 voiced;
+    // [16,24) energy 0. Mono framing (16 array positions per frame)
+    // would wrongly see 3 frames with the middle one mixing the
+    // loud/silent boundary.
+    val stereo = graft.ops.MediaCodec.encodeWavPcm16(8000,
+      (0 until 16).flatMap(_ => Seq(1000.toShort, 500.toShort)).toArray ++
+        Array.fill(16)(0.toShort), channels = 2)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("audio", BinaryType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, stereo)), schema)
+    val r = Multimodal.audioVadStats(df, "id", "audio",
+      frameLen = 16, energyThreshold = 1000000L).head()
+    assert(r.getLong(1) == 2, s"2 frames of 16 periods each: $r")
+    assert(r.getLong(2) == 1 && r.getLong(3) == 1)
+    assert(r.getLong(4) == 16L * (1000L * 1000 + 500L * 500), s"$r")
+    // and decodeWav agrees on the period count for the same blob
+    val info = graft.ops.MediaCodec.decodeWav(stereo).get
+    assert(info.channels == 2 && info.nSamples == 24)
+  }
+
   test("videoSceneCuts: exact adjacent-frame L1 diffs, short/garbage clips " +
       "emit nothing") {
     import org.apache.spark.sql.Row
