@@ -619,23 +619,41 @@ object Sampling {
    * Returns treated rows: (id, group, value, match_id, match_value,
    * abs_diff).
    *
-   * Scale shape: one window sort per group partition (the event-log
-   * discipline — bounded by the largest group, never global); only
-   * (id, group, value, flag) ever moves. Parallelism equals the GROUP
-   * cardinality: at thousands of strata the sort spreads naturally, but a
-   * single giant stratum serializes into one task (measured 7× at a 10×
-   * scale-up over 20 groups). For that regime use
-   * [[matchedControlsGlobal]] — identical semantics per stratum, built on
-   * [[graft.ops.Layout.globalRunningLast]]'s two-pass boundary-stitched
-   * carry, partition-width parallelism regardless of group sizes.
+   * Scale shape — ROUTED by stratum cardinality, because the two correct
+   * plans have opposite failure modes. With many strata, a per-group
+   * window sort (one hash shuffle, sort bounded by the largest group) is
+   * the cheap plan; with FEW strata that same plan serializes a giant
+   * stratum into one task (measured 7× at a 10× scale-up over 20 groups).
+   * So: when the distinct-group count is below the shuffle-partition
+   * count (probed with a capped distinct — `global = None`), matching
+   * runs instead on [[graft.ops.Layout.globalRunningLast]]'s two-pass
+   * boundary-stitched carry over the (group, value, id) RANGE order —
+   * partition-width parallelism regardless of group sizes, with a
+   * cross-group carry invalidated by a group-equality check. Identical
+   * results either way (the spec asserts it row-for-row); pass
+   * `global = Some(true/false)` to skip the probe when the caller knows
+   * the regime. Only (id, group, value, flag) ever moves in either plan.
    */
   def matchedControls(df: DataFrame, idCol: String, groupCol: String,
-      valueCol: String, treatedCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      valueCol: String, treatedCol: String,
+      global: Option[Boolean] = None): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(groupCol).as("group"),
         col(valueCol).cast("long").as("value"),
         col(treatedCol).cast("boolean").as("treated"))
       .where(col(valueCol).isNotNull && col(treatedCol).isNotNull)
+    val useGlobal = global.getOrElse {
+      // capped probe: "are there fewer groups than shuffle partitions?" —
+      // the limit bounds the distinct work; the answer picks the plan
+      val cap = df.sparkSession.sessionState.conf.numShufflePartitions
+      base.select(col("group")).distinct().limit(cap + 1).count() <= cap
+    }
+    if (useGlobal) matchedControlsRanged(base)
+    else matchedControlsWindowed(base)
+  }
+
+  /** The many-strata plan: per-group window sort (see [[matchedControls]]). */
+  private def matchedControlsWindowed(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy(col("group")).orderBy(col("value"), col("id"))
     val ctrl = when(!col("treated"), struct(col("value"), col("id")))
     val withNbr = base
@@ -659,6 +677,37 @@ object Sampling {
       abs(col("value") -
         when(pickPrev, col("__prev.value")).otherwise(col("__next.value")))
         .as("abs_diff"))
+  }
+
+  /** The giant-stratum plan: [[graft.ops.Layout.globalRunningLast]] carries
+    * over the (group, value, id) range order, so parallelism is the shuffle
+    * width however large any one stratum is. The carried control struct
+    * includes its group; a carry that crossed a group boundary fails the
+    * null-safe group-equality check and reads as "no candidate on this
+    * side" — exactly the per-group window's boundary behavior. */
+  private def matchedControlsRanged(base: DataFrame): DataFrame = {
+    val b = base.withColumn("__ctrl",
+      when(!col("treated"), struct(col("group"), col("value"), col("id"))))
+    val carried = graft.ops.Layout.globalRunningLast(
+      graft.ops.Layout.globalRunningLast(b,
+        Seq(col("group"), col("value"), col("id")), "__ctrl", "__prevr"),
+      Seq(col("group").desc, col("value").desc, col("id").desc),
+      "__ctrl", "__nextr")
+    val prev = when(col("__prevr.group") <=> col("group"), col("__prevr"))
+    val next = when(col("__nextr.group") <=> col("group"), col("__nextr"))
+    val pickPrev = next.isNull ||
+      (prev.isNotNull &&
+        (col("value") - prev.getField("value")) <=
+          (next.getField("value") - col("value")))
+    carried.where(col("treated"))
+      .select(col("id"), col("group"), col("value"),
+        when(pickPrev, prev.getField("id")).otherwise(next.getField("id"))
+          .as("match_id"),
+        when(pickPrev, prev.getField("value"))
+          .otherwise(next.getField("value")).as("match_value"),
+        abs(col("value") -
+          when(pickPrev, prev.getField("value"))
+            .otherwise(next.getField("value"))).as("abs_diff"))
   }
 
   /**

@@ -549,7 +549,8 @@ class SamplingSpec extends SparkSpec {
       (i, (i * 131) % 1000, i % 8 == 0)
     }.toDF("id", "v", "ctrl").withColumn("tr", !col("ctrl"))
     val grouped = graft.ops.Sampling.matchedControls(
-        rows.withColumn("g", lit("all")), "id", "g", "v", "tr")
+        rows.withColumn("g", lit("all")), "id", "g", "v", "tr",
+        global = Some(false)) // pin the per-group window plan explicitly
       .collect().map(r => r.getLong(0) -> ((
         if (r.isNullAt(3)) -1L else r.getLong(3),
         if (r.isNullAt(5)) -1L else r.getLong(5)))).toMap
@@ -563,5 +564,44 @@ class SamplingSpec extends SparkSpec {
         s"${(grouped.toSet diff global.toSet).take(5)}")
     assert(global.nonEmpty && global.values.forall(_._1 != -1L),
       "with 50 controls spread over the range every treated row matches")
+  }
+
+  test("matchedControls routing: few strata auto-route to the range-shuffle " +
+      "plan, results identical to the window plan row-for-row, cross-group " +
+      "carry never leaks a control across a stratum boundary") {
+    import spark.implicits._
+    // 3 giant-ish strata (far fewer than shuffle partitions → auto-global);
+    // group "b" has its controls clustered at the START of its value range
+    // so b-treated rows near the end would match an a/c control if the
+    // carry leaked across the group boundary
+    val rows = (1L to 300L).map { i =>
+      val g = if (i <= 120) "a" else if (i <= 220) "b" else "c"
+      val ctrl = (g == "b" && i <= 140) || (g != "b" && i % 5 == 0)
+      (i, g, (i * 97) % 500, !ctrl)
+    }.toDF("id", "g", "v", "tr")
+    def collectOut(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(5)) -1L else r.getLong(5))).toSet
+    val routed = graft.ops.Sampling.matchedControls(rows, "id", "g", "v", "tr")
+    val windowed = collectOut(graft.ops.Sampling.matchedControls(
+      rows, "id", "g", "v", "tr", global = Some(false)))
+    val out = collectOut(routed)
+    assert(out == windowed, s"routed ≠ windowed: " +
+      s"${(out diff windowed).take(5)} / ${(windowed diff out).take(5)}")
+    // every match stays within its stratum (the leak check): match_id's
+    // group must equal the treated row's group
+    val grpOf = rows.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_._3 != -1L).foreach { case (id, g, mid, _) =>
+      assert(grpOf(mid) == g, s"row $id ($g) matched cross-group $mid") }
+    // the auto-routed plan is the carry one (no per-group Window operator —
+    // the range shuffles run inside globalRunningLast's eager passes):
+    // 3 groups << shuffle partitions must NOT pick the window plan
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no per-group window:\n$plan")
+    val wplan = graft.ops.Sampling.matchedControls(
+      rows, "id", "g", "v", "tr", global = Some(false))
+      .queryExecution.executedPlan.toString
+    assert(wplan.contains("Window"), "the pinned window plan sanity check")
   }
 }
