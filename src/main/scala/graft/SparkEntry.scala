@@ -2928,20 +2928,29 @@ object SparkEntry {
       val pairs = fp.as("a").join(fp.as("b"),
           col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      val dropped = graft.ops.Dedup.clusterDuplicates(pairs)
-        .where(col("id") =!= col("rep"))
-        .select(col("id").as("doc_id"), lit(1L).as("__d"))
-      docs.select(col("doc_id"), col("source"),
-          token_count(col("text")).cast("long").as("t"))
-        .join(dropped, Seq("doc_id"), "left")
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("__d")), lit(0L)).as("n_dropped"),
-          coalesce(sum(when(col("__d").isNotNull, col("t"))), lit(0L))
-            .as("tokens_dropped"),
-          sum(col("t")).as("tokens_total"))
-        .withColumn("drop_permille",
-          expr("1000 * tokens_dropped div tokens_total"))
+      graft.ops.Dedup.dedupImpact(
+        docs.withColumn("t", token_count(col("text")).cast("long")),
+        "doc_id", "source", "t", pairs)
+    }),
+
+    // --- persisted pair-table reuse: the n-gram-Jaccard pair mine runs
+    //     ONCE (writePairs at the 0.2 domain floor), then keep-best dedup
+    //     reads the parquet evidence back at 0.8 — bit-identical to the
+    //     inline mine (oracle = q165's exact SQL), at O(1) shingle passes
+    //     per report cycle instead of O(reports) ---------------------------
+    "q215_pair_reuse" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q215_pairs_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writePairs(docs, "doc_id", "text", path,
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      val pairs = Dedup.readPairs(s, path, threshold = 0.8)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      Dedup.removeDuplicatesKeepBest(scored, "doc_id", pairs, "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -2960,6 +2969,74 @@ object SparkEntry {
         | round(avg(l_quantity), 4) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // q215 proves the persisted pair table replays the inline mine
+    // bit-for-bit: the oracle is q165's SQL verbatim.
+    "q215_pair_reuse" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM documents)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |surv AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(s.doc_id) AS bigint) AS id_sum
+        |FROM surv s JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin,
 
     "q02_filter_predicates" ->
       """SELECT p_partkey, p_name, p_brand, p_size FROM part

@@ -381,9 +381,15 @@ object Dedup {
    * fan-out is ≤ 9× pairs; the rollup is a 9-key distinct-count.
    */
   def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, maxDf: Option[Int] = Some(1000)): DataFrame = {
-    val pairs = ngramJaccardPairs(df, idCol, textCol, shingleSize,
-      threshold = 0.2, maxDf = maxDf)
+      shingleSize: Int = 3, maxDf: Option[Int] = Some(1000)): DataFrame =
+    thresholdCurveFromPairs(ngramJaccardPairs(df, idCol, textCol, shingleSize,
+      threshold = 0.2, maxDf = maxDf))
+
+  /** [[thresholdCurve]] from an already-mined pair table (inline
+    * [[ngramJaccardPairs]] output or a persisted [[writePairs]] table read
+    * at threshold ≤ 0.2 — the curve's domain floor): the report without the
+    * mining cost. Needs columns (id_b, n_a, n_b, inter). */
+  def thresholdCurveFromPairs(pairs: DataFrame): DataFrame =
     // decile membership is the PURE-INTEGER test 10·inter ≥ d·|A∪B| on the
     // raw pair evidence — never a comparison against the 6-decimal rounded
     // public score, whose grid boundaries would diverge from a raw-quotient
@@ -395,6 +401,73 @@ object Dedup {
       .groupBy((col("d") * 100).cast("long").as("threshold_permille"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("id_b")).as("n_victims"))
+
+  /**
+   * Mine the exact n-gram-Jaccard pair table ONCE and persist it — the
+   * [[writeNearDupIndex]] discipline applied to PAIRS: the pair mine is
+   * the dominant cost of every report in the dedup family
+   * ([[removeDuplicatesKeepBest]], [[thresholdCurveFromPairs]],
+   * [[dedupImpact]], [[clusterDuplicates]]), and a production corpus runs
+   * several of those per review cycle. Mining down to `minJaccard` (default
+   * 0.2 — [[thresholdCurve]]'s domain floor) once per corpus and reading
+   * the parquet back per report replaces O(reports) shingle passes with
+   * O(1).
+   *
+   * Only the integer evidence persists — (id_a, n_a, id_b, n_b, inter) —
+   * never a float score: [[readPairs]] recomputes the raw quotient exactly
+   * as the inline path does, so a from-pairs report is bit-identical to its
+   * inline twin at ANY threshold ≥ `minJaccard` (the higher-threshold
+   * subset of a low-threshold mine equals the direct high-threshold mine —
+   * same postings, same cap, same filter).
+   */
+  def writePairs(df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.2,
+      maxDf: Option[Int] = Some(1000)): Unit =
+    ngramJaccardPairs(df, idCol, textCol, shingleSize, minJaccard, maxDf)
+      .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a [[writePairs]] table back at `threshold`, reconstructing the
+    * raw-quotient `jaccard` from the stored integer evidence — the same
+    * IEEE division and ≥-filter as [[ngramJaccardPairs]], so downstream
+    * reports cannot diverge from the inline path. */
+  def readPairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = 0.8): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .where(col("jaccard") >= threshold)
+
+  /**
+   * Per-source dedup impact report from a candidate pair table — what a
+   * keep-first dedup at these pairs would COST each source: for every
+   * source, its document count, how many of its docs the rule drops
+   * (cluster non-representatives), the integer `weightCol` mass dropped
+   * vs total (token counts, bytes — the budget currency), and the exact
+   * dropped-weight permille. Pair-table-agnostic: exact-fingerprint pairs,
+   * [[ngramJaccardPairs]], [[readPairs]], [[simHash]] output all work —
+   * anything with (id_a, id_b).
+   *
+   * Scale shape: [[clusterDuplicates]]' log-bounded pointer jumping on the
+   * pair graph (pair-sized, never corpus²), one left join back on the id
+   * key, one map-side-combined per-source rollup.
+   */
+  def dedupImpact(df: DataFrame, idCol: String, sourceCol: String,
+      weightCol: String, pairs: DataFrame): DataFrame = {
+    val dropped = clusterDuplicates(pairs)
+      .where(col("id") =!= col("rep"))
+      .select(col("id").as(idCol), lit(1L).as("__d"))
+    df.select(col(idCol), col(sourceCol).as("source"),
+        col(weightCol).cast("long").as("__t"))
+      .join(dropped, Seq(idCol), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("__d")), lit(0L)).as("n_dropped"),
+        coalesce(sum(when(col("__d").isNotNull, col("__t"))), lit(0L))
+          .as("tokens_dropped"),
+        sum(col("__t")).as("tokens_total"))
+      .withColumn("drop_permille",
+        expr("1000 * tokens_dropped div tokens_total"))
   }
 
   /**

@@ -1174,6 +1174,51 @@ class OpsSpec extends SparkSpec {
     (4 to 10).foreach(d => assert(out(d * 100L) == ((1L, 1L)), s"d=$d: $out"))
   }
 
+  test("writePairs/readPairs: persisted integer evidence replays the inline " +
+      "mine bit-for-bit across the report family at any threshold >= floor") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"), // exact dup pair
+      (3L, "w1 w2 w3 w4 zz"),                         // high-overlap with 1,2
+      (4L, "a b c d e f"), (5L, "a b c d e zz"),      // mid-overlap pair
+      (6L, "totally different text here now"))
+      .toDF("id", "text").withColumn("src",
+        (col("id") % 2).cast("string")).withColumn("w", col("id") * 10)
+    val path = java.nio.file.Files.createTempDirectory("graft_pairs_spec")
+      .toString + "/pairs"
+    Dedup.writePairs(docs, "id", "text", path, shingleSize = 2,
+      minJaccard = 0.2)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // (a) pair set at 0.8 from disk == direct 0.8 mine
+    val inline08 = Dedup.ngramJaccard(docs, "id", "text", shingleSize = 2,
+      threshold = 0.8)
+    val disk08 = Dedup.readPairs(spark, path, threshold = 0.8)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    assert(canon(disk08) == canon(inline08), "pair sets diverge at 0.8")
+    // (b) threshold curve from the persisted table == inline curve
+    val curveInline = Dedup.thresholdCurve(docs, "id", "text", shingleSize = 2)
+    val curveDisk = Dedup.thresholdCurveFromPairs(
+      Dedup.readPairs(spark, path, threshold = 0.2))
+    assert(canon(curveDisk) == canon(curveInline), "curves diverge")
+    // (c) keep-best survivors from the persisted table == inline
+    val scored = docs.select(col("id"), col("w").as("score"))
+    val kbInline = Dedup.removeDuplicatesKeepBest(scored, "id",
+      Dedup.ngramJaccardPairs(docs, "id", "text", shingleSize = 2,
+        threshold = 0.8), "score")
+    val kbDisk = Dedup.removeDuplicatesKeepBest(scored, "id",
+      Dedup.readPairs(spark, path, threshold = 0.8), "score")
+    assert(canon(kbDisk) == canon(kbInline), "keep-best diverges")
+    // (d) dedupImpact from the persisted table: per-source drop accounting
+    val imp = Dedup.dedupImpact(docs, "id", "src", "w",
+        Dedup.readPairs(spark, path, threshold = 0.8))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // at 0.8 only the exact pair (1,2) qualifies (1-3 is 3/5 = 0.6):
+    // keep-first rep 1 survives, id 2 drops (src "0", w 20)
+    assert(imp("0") == ((3L, 1L, 20L, 120L)), s"$imp")
+    assert(imp("1") == ((3L, 0L, 0L, 90L)), s"$imp")
+  }
+
   test("kCenterCoreset: one center per well-separated cluster, monotone " +
       "radius curve, deterministic under repartition") {
     // three tight clusters far apart; k=3 must pick one exemplar from each
