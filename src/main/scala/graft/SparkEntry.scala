@@ -2951,6 +2951,35 @@ object SparkEntry {
       Dedup.removeDuplicatesKeepBest(scored, "doc_id", pairs, "q")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- incremental IVF append: base corpus written with trained
+    //     centroids, a NEW batch (carrying 5 planted exact copies of the
+    //     query vector) routed through the SAME pinned centroids with
+    //     mode(append) — the probe reads old + new through one
+    //     partition-pruned scan and must surface exactly the planted
+    //     ground truth ----------------------------------------------------
+    "q216_ivf_append" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9400L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7 && col("vec_id") % 10 =!= 3)
+      val newBatch = emb.where(col("vec_id") =!= 7 && col("vec_id") % 10 === 3)
+        .unionByName(planted)
+      // centroids train on the BASE only — the append-time reality: new
+      // data routes through pinned centroids, never retrains them
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q216_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base, "vec_id", "embedding", path, cents)
+      Similarity.appendIvfCorpus(newBatch, "vec_id", "embedding", path, cents)
+      Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
+          q, 5, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     })
   )
 
@@ -2969,6 +2998,13 @@ object SparkEntry {
         | round(avg(l_quantity), 4) AS avg_qty,
         | count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // The appended layout must surface the planted exact copies as the
+    // exact top-5 (cos 1.0 at the 4-decimal grid) — q86's ground-truth
+    // pattern through an APPEND instead of one write.
+    "q216_ivf_append" ->
+      """SELECT cast(i + 9400 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(5) t(i)""".stripMargin,
 
     // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

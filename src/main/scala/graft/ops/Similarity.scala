@@ -218,6 +218,39 @@ object Similarity {
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
 
+  /** Incremental index maintenance for a [[writeIvfCorpus]] layout — the
+    * IVF twin of [[appendBucketedCorpus]]: a NEW batch routes through the
+    * SAME pinned centroids (`cents` must be the ones the layout was written
+    * with — the layout pins the assignment) and lands in the
+    * cell-partitioned directory with `mode("append")`; existing files are
+    * untouched and the next [[ivfTopKFromPartitioned]] probe sees old + new
+    * through the identical partition-pruned scan. Unlike SRP buckets the
+    * cell function is NOT a pure function of the vector — it depends on
+    * trained centroids — so appended data drawn from a drifted distribution
+    * degrades the layout silently (hot cells erode the nProbe/k pruning
+    * ratio). Gate a live index with [[ivfLayoutHealth]] after each append
+    * and retrain + rewrite when the occupancy report crosses your skew
+    * budget. Compact small appended files with the keyed-store compaction
+    * discipline when file counts grow. */
+  def appendIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
+      path: String, cents: Array[Array[Double]]): Unit =
+    df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
+      .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** [[ivfIndexHealth]] over a PERSISTED [[writeIvfCorpus]] layout — the
+    * post-append drift gate: no re-assignment runs (the layout's partition
+    * column pins each vector's cell); the scan reads only the cell column
+    * (pruned to partition metadata + row counts). Reports all `numCells`
+    * cells, zero-filled. Returns (cell, n_vectors, permille). */
+  def ivfLayoutHealth(spark: org.apache.spark.sql.SparkSession, path: String,
+      numCells: Int): DataFrame = {
+    require(numCells > 0, "numCells must be positive")
+    occupancyReport(spark,
+      spark.read.parquet(path)
+        .groupBy(col("cell").cast("int").as("cell"))
+        .agg(count(lit(1)).as("n")), numCells)
+  }
+
   /** IVF ANN top-k over a [[writeIvfCorpus]] layout: the probe set is a
     * literal IN-list on the PARTITION column, so pruning happens before any
     * row is read (`.explain` shows it in PartitionFilters). Pass the SAME
@@ -465,12 +498,19 @@ object Similarity {
   def ivfIndexHealth(df: DataFrame, idCol: String, vecCol: String,
       cents: Array[Array[Double]]): DataFrame = {
     require(cents.nonEmpty, "need at least one centroid")
-    val spark = df.sparkSession
+    occupancyReport(df.sparkSession,
+      df.where(col(vecCol).isNotNull)
+        .select(cellOf(col(vecCol), cents).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n")), cents.length)
+  }
+
+  /** Zero-filled per-cell occupancy + permille over a (cell, n) count table —
+    * the report tail shared by [[ivfIndexHealth]] (assignment-side) and
+    * [[ivfLayoutHealth]] (layout-side). */
+  private def occupancyReport(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, numCells: Int): DataFrame = {
     import spark.implicits._
-    val counts = df.where(col(vecCol).isNotNull)
-      .select(cellOf(col(vecCol), cents).as("cell"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
-    val cells = (0 until cents.length).map(_.toLong).toDF("cell")
+    val cells = (0 until numCells).map(_.toLong).toDF("cell")
       .select(col("cell").cast("int").as("cell"))
     val total = counts.agg(coalesce(sum(col("n")), lit(0L)).as("t"))
     cells.join(counts, Seq("cell"), "left")

@@ -1304,6 +1304,48 @@ class OpsSpec extends SparkSpec {
       2 -> ((0L, 0L))), s"$out")
   }
 
+  test("appendIvfCorpus + ivfLayoutHealth: appended vectors route through " +
+      "pinned centroids into existing cell partitions; the layout health " +
+      "gate sees the post-append occupancy without re-assignment") {
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val q = emb.where(col("vec_id") === 11).head().getSeq[Float](1)
+    val base = emb.where(col("vec_id") =!= 11 && col("vec_id") % 7 =!= 2)
+    val batch = emb.where(col("vec_id") =!= 11 && col("vec_id") % 7 === 2)
+    val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_app")
+      .toString + "/c"
+    Similarity.writeIvfCorpus(base, "vec_id", "embedding", path, cents)
+    val healthBefore = Similarity.ivfLayoutHealth(spark, path, 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Similarity.appendIvfCorpus(batch, "vec_id", "embedding", path, cents)
+    // layout health after the append: every cell's count grows by exactly
+    // the number of batch vectors ASSIGNED to it (pinned-centroid routing)
+    val healthAfter = Similarity.ivfLayoutHealth(spark, path, 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batchCells = batch
+      .select(Similarity.cellOf(col("embedding"), cents).as("cell"))
+      .groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { c =>
+      assert(healthAfter(c) ==
+        healthBefore(c) + batchCells.getOrElse(c, 0L),
+        s"cell $c: ${healthBefore(c)} + ${batchCells.getOrElse(c, 0L)} != " +
+          s"${healthAfter(c)}")
+    }
+    assert(healthAfter.values.sum ==
+      base.count() + batch.count(), "no vector lost or duplicated")
+    // and the probe through the appended layout equals the one-shot
+    // unpartitioned reference over base+batch with the same centroids
+    val appended = Similarity.ivfTopKFromPartitioned(spark, path,
+        "vec_id", "embedding", q, 10, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val reference = Similarity.ivfTopK(base.unionByName(batch), "vec_id",
+        "embedding", q, 10, cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(appended == reference, s"$appended vs $reference")
+  }
+
   test("Layout.globalRank: ranks are the exact row_number permutation of the " +
       "sort order across many range partitions") {
     val n = 257
