@@ -109,6 +109,35 @@ object Bench {
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
       name -> (median, times.head, times.last)
     }
+    // Isolation tier (round-9 adjudication: the driver box runs the suite
+    // heads 1.2–1.8× hot vs a clean box — q165 7.43 s mid-sweep vs 4.10 s
+    // isolated; neighborhood pressure, not plan cost). After the full sweep
+    // the SLOWEST-k queries re-run on a settled heap, and their medians ride
+    // the artifact alongside the sweep numbers: the sweep total is the
+    // capacity signal, the isolated medians are the plan-quality signal.
+    // SPARK_GRAFT_BENCH_ISOLATE=off disables; =slowestN sizes the tier.
+    val isoCount = sys.env.get("SPARK_GRAFT_BENCH_ISOLATE")
+      .map(_.trim).map {
+        case "off" => 0
+        case v => scala.util.Try(v.stripPrefix("slowest").toInt).toOption
+          .filter(_ >= 0).getOrElse(8)
+      }.getOrElse(8)
+    val isolated = results.toSeq.sortBy { case (_, (m, _, _)) => -m }
+      .take(isoCount).map { case (name, _) =>
+        releaseBlocks()
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try selected(name)(spark, sfDir).write.format("noop")
+            .mode("overwrite").save()
+          catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          releaseBlocks()
+          dt
+        }.sorted
+        val m = if (times.length % 2 == 1) times(times.length / 2)
+          else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+        name -> m
+      }
     // The driver's stdout capture is tail-anchored (~2 KB): whatever dict
     // ends the LAST line is what BENCH_r{N} records. Rounds 6-8 printed
     // queries -> queries_min -> queries_max on one line, so the official
@@ -130,26 +159,31 @@ object Bench {
       case i  => name.substring(0, i)
     }
     val total = r3(results.values.map(_._1).sum)
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"reps":$reps,"sf":"$sfDir"}""")
+    def isoJson(r: Double => Double) = isolated
+      .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"reps":$reps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"reps":$reps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"reps":$reps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B
     val top = results.toSeq.sortBy { case (_, (m, _, _)) => -m }.take(40)
+    // the isolated medians ride every tier (~14 B/query, ≤ ~120 B at the
+    // default 8): the artifact then carries capacity AND plan-quality
     val heavy =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"coverage":"slowest40_medians","queries":${
         top.map { case (k, (m, _, _)) => "\"" + shortKey(k) + "\":" + r2(m) }
-          .mkString("{", ",", "}")},"reps":$reps,"sf":"$sfDir"}"""
+          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"reps":$reps,"sf":"$sfDir"}"""
     println(
       if (compact.length <= 1900) compact
       else if (tiny.length <= 1900) tiny

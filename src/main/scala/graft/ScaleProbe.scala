@@ -157,7 +157,15 @@ object ScaleProbe {
     "q208_rolling_distinct",// day-grid register fan + register-wise max
     "q209_join_preflight",  // two count-per-key passes + 1-row broadcast
     "q210_ivf_health",      // k cosines per row + cell-key rollup
-    "q212_cluster_provenance") // prefix-fp pairs + CC + per-rep rollup
+    "q212_cluster_provenance", // prefix-fp pairs + CC + per-rep rollup
+    // round-10 additions: the r9/r10 operators that had no recorded ratio
+    "q201_funnel_window",   // per-step groupBy chain with anchor-bound filter
+    "q202_video_cuts",      // per-row GVID decode + frame-diff scalars
+    "q211_caption_gate",    // PNG decode + token/pixel ratio gate
+    "q213_matched_global",  // two globalRunningLast range shuffles
+    "q214_dedup_impact",    // fp pairs + CC + per-source rollup
+    "q215_pair_reuse",      // pair mine write ONCE + keep-best from parquet
+    "q216_ivf_append")      // IVF write + append + pruned probe
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
