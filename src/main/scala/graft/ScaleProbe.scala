@@ -165,7 +165,9 @@ object ScaleProbe {
     "q213_matched_global",  // two globalRunningLast range shuffles
     "q214_dedup_impact",    // fp pairs + CC + per-source rollup
     "q215_pair_reuse",      // pair mine write ONCE + keep-best from parquet
-    "q216_ivf_append")      // IVF write + append + pruned probe
+    "q216_ivf_append",      // IVF write + append + pruned probe
+    "q217_bm25_append",     // postings append + additive stats merge + probe
+    "q218_embedding_drift") // posexplode -> dim-grid collapse, decimal sums
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

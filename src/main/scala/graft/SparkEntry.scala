@@ -2980,6 +2980,35 @@ object SparkEntry {
       Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
           q, 5, cents, nProbe = 2)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- persisted BM25 index with incremental append: postings append
+    //     under the pure-md5 term bucketing, the one-row stats sidecar
+    //     merges additively, per-term df recomputes at query time — the
+    //     probe over build-half + append-half must equal the from-scratch
+    //     direct scan (oracle = q90's SQL verbatim) ------------------------
+    "q217_bm25_append" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q217_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", path)
+      TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", path)
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- embedding-distribution drift between two snapshots: per-dim
+    //     integer micro-unit means (decimal-accumulated), nano mean shift —
+    //     the retrain gate for the IVF/PQ layouts ------------------------
+    "q218_embedding_drift" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      Similarity.embeddingDrift(
+        emb.where(col("vec_id") % 2 === 0),
+        emb.where(col("vec_id") % 2 === 1), "embedding")
     })
   )
 
@@ -3006,7 +3035,58 @@ object SparkEntry {
       """SELECT cast(i + 9400 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
 
-    // q215 proves the persisted pair table replays the inline mine
+// The append path must hash-match the from-scratch direct scan:
+    // q217 is q90's SQL verbatim.
+    "q217_bm25_append" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    "q218_embedding_drift" ->
+      """WITH g AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+        |    cast(round(cast(unnest(embedding) as double) * 1e6) as bigint)
+        |      AS xm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |o AS (
+        |  SELECT dim, count(*) AS n_old, sum(cast(xm as hugeint)) AS s_old
+        |  FROM g WHERE vec_id % 2 = 0 GROUP BY 1),
+        |n AS (
+        |  SELECT dim, count(*) AS n_new, sum(cast(xm as hugeint)) AS s_new
+        |  FROM g WHERE vec_id % 2 = 1 GROUP BY 1)
+        |SELECT cast(o.dim as bigint) AS dim, o.n_old, n.n_new,
+        |  cast((1000 * s_old) // n_old as bigint) AS mean_old_nano,
+        |  cast((1000 * s_new) // n_new as bigint) AS mean_new_nano,
+        |  cast((1000 * s_new) // n_new - (1000 * s_old) // n_old as bigint)
+        |    AS shift_nano
+        |FROM o JOIN n USING (dim)""".stripMargin,
+
+        // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.
     "q215_pair_reuse" ->
       """WITH RECURSIVE t AS (

@@ -72,6 +72,7 @@ object Verify {
     // record `err` for it rather than omitting it from the round artifact.
     val written = Option(new java.io.File(outDir).listFiles()).getOrElse(Array())
       .filter(_.isDirectory).map(_.getName).toSet
+      .intersect(selected.keySet) // stale dirs from earlier dev runs don't count
     val missing = selected.keySet.toSeq.sorted.filterNot(written.contains)
     missing.filterNot(errors.contains).foreach { name =>
       errors(name) = "result directory missing after run (no exception captured)"

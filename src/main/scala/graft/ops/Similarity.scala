@@ -29,6 +29,54 @@ object Similarity {
       .limit(k)
   }
 
+  /**
+   * Embedding-distribution drift between two corpus snapshots — the
+   * embedding-space twin of the token-level corpus-drift report: has the
+   * encoder (or the data mix) MOVED between yesterday's corpus and
+   * today's? Per dimension, both snapshots' counts and means plus the mean
+   * shift — the signal that gates an IVF/PQ retrain ([[appendIvfCorpus]]'s
+   * documented failure mode is exactly undetected drift) or flags a silent
+   * encoder-version mix-up (dimension-level shifts dwarf any data-mix
+   * effect when two checkpoint versions interleave).
+   *
+   * Engine-exact: each float promotes to double and quantizes ONCE to
+   * integer micro-units (`round(x·1e6)` — the q88/lmScore rounding
+   * contract), sums accumulate in decimal(38,0) (1e12 rows × 1e6 units
+   * would overflow a long), and means are integer nano-unit `div`s. Means
+   * go NEGATIVE (embedding dimensions center anywhere), so the div sign
+   * rule matters: Spark's `div` and DuckDB's `//` both truncate toward
+   * zero (verified: −7 div 2 = −3 in both, long and decimal alike) — the
+   * one negative-dividend integer division in the library that is safe
+   * cross-engine by measurement, where the MMR/margin operators instead
+   * avoid division entirely. No float accumulation order anywhere, so the
+   * report replays bit-for-bit in SQL. Returns one row per dimension:
+   * (dim, n_old, n_new, mean_old_nano, mean_new_nano, shift_nano).
+   *
+   * Scale shape: one posexplode scan per snapshot collapsing immediately
+   * to the ≤dim-key grid (map-side combined — only (dim, count, sum)
+   * triples shuffle); the join is grid-sized. Cost ≈ one pass over each
+   * snapshot's vector bytes.
+   */
+  def embeddingDrift(oldDf: DataFrame, newDf: DataFrame,
+      vecCol: String): DataFrame = {
+    def grid(df: DataFrame, tag: String) = df
+      .where(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("dim").cast("bigint").as("dim"),
+        round(col("x").cast("double") * 1e6, 0).cast("long").as("xm"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        sum(col("xm").cast("decimal(38,0)")).as(s"s_$tag"))
+    grid(oldDf, "old").join(grid(newDf, "new"), Seq("dim"), "full")
+      .select(col("dim"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        expr("cast((1000 * s_old) div n_old as long)").as("mean_old_nano"),
+        expr("cast((1000 * s_new) div n_new as long)").as("mean_new_nano"),
+        (expr("cast((1000 * s_new) div n_new as long)") -
+          expr("cast((1000 * s_old) div n_old as long)")).as("shift_nano"))
+  }
+
   /** All-pairs top-k: for each row in `queries`, the k nearest in `corpus`.
     * Broadcast the query side (it is small by assumption) so the corpus never
     * shuffles; rank with a window per query id. */

@@ -678,6 +678,40 @@ object TextOps {
       .write.mode("overwrite").parquet(path + "/stats")
   }
 
+  /** Incremental maintenance for a [[writeBm25Index]] layout — the search
+    * half of the persisted-index family ([[graft.ops.Dedup.writeNearDupIndex]],
+    * [[graft.ops.Similarity.appendBucketedCorpus]]/`appendIvfCorpus`): a NEW
+    * batch of documents lands as appended posting files (the term→bucket
+    * function is pure md5, so appends never re-bucket history) and the
+    * one-row stats sidecar merges ADDITIVELY — N and Σdl are sums, and the
+    * per-term document frequencies that drive idf are computed at query
+    * time from the postings themselves, so the very next
+    * [[bm25TopKFromIndex]] probe scores old + new with exactly the
+    * arithmetic a from-scratch rebuild would use. The old stats row is one
+    * driver-side read (bounded: a single row) because a path cannot be
+    * overwritten while a live plan still reads it. */
+  def appendBm25Index(df: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val spark = df.sparkSession
+    val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
+      .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
+        explode(col("tk")).as("term"))
+    toks.groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket",
+        pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
+          lit(nBuckets.toLong)))
+      .write.partitionBy("bucket").mode("append").parquet(path + "/postings")
+    val old = spark.read.parquet(path + "/stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    df.select(col(idCol).as("id"),
+        token_count(lower(col(textCol))).cast("bigint").as("dl"))
+      .agg((count(lit(1)) + lit(old.getLong(0))).as("n_docs"),
+        (coalesce(sum(col("dl")), lit(0L)) +
+          lit(if (old.isNullAt(1)) 0L else old.getLong(1))).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "/stats")
+  }
+
   /** BM25 top-k over a [[writeBm25Index]] layout. Each query term's bucket is
     * computed on the DRIVER (the md5_prefix60 twin), so the probe is a
     * literal IN-list on the PARTITION column — pruning happens before any row

@@ -1304,6 +1304,28 @@ class OpsSpec extends SparkSpec {
       2 -> ((0L, 0L))), s"$out")
   }
 
+  test("embeddingDrift: per-dim integer micro-unit means, exact nano shift, " +
+      "negative means divide identically to the SQL replay, zero-drift " +
+      "identity") {
+    val mk = (rows: Seq[(Long, Seq[Float])]) => rows.toDF("id", "vec")
+    // old: dim0 mean = (0.5 + 0.7)/2 = 0.6; dim1 mean = (-0.4 + -0.2)/2 = -0.3
+    val oldDf = mk(Seq((1L, Seq(0.5f, -0.4f)), (2L, Seq(0.7f, -0.2f))))
+    // new: dim0 mean 0.9; dim1 mean -0.5 (single row)
+    val newDf = mk(Seq((3L, Seq(0.9f, -0.5f))))
+    val out = graft.ops.Similarity.embeddingDrift(oldDf, newDf, "vec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // micro units: 0.5→500000, 0.7→700000; mean_nano = 1000*1200000 div 2
+    assert(out(0L) == ((600000000L, 900000000L, 300000000L)), s"$out")
+    // NEGATIVE means: 1000*(-600000) div 2 = -300000000 (truncation toward
+    // zero — measured identical in Spark div and DuckDB //)
+    assert(out(1L) == ((-300000000L, -500000000L, -200000000L)), s"$out")
+    // identity: a snapshot against itself reports zero shift on every dim
+    val self = graft.ops.Similarity.embeddingDrift(oldDf, oldDf, "vec")
+      .collect().map(r => (r.getLong(5), r.getLong(1), r.getLong(2)))
+    assert(self.forall(t => t._1 == 0L && t._2 == t._3), s"${self.toSeq}")
+  }
+
   test("appendIvfCorpus + ivfLayoutHealth: appended vectors route through " +
       "pinned centroids into existing cell partitions; the layout health " +
       "gate sees the post-append occupancy without re-assignment") {

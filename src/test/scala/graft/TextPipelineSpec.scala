@@ -483,6 +483,24 @@ class TextPipelineSpec extends SparkSpec {
     val probedFiles = scan.metrics.get("numFiles").map(_.value).getOrElse(-1L)
     assert(probedFiles >= 1 && probedFiles < totalFiles,
       s"scan read $probedFiles of $totalFiles postings files — no pruning")
+
+    // INCREMENTAL APPEND: build on an arbitrary half, append the rest —
+    // the probe must still equal the direct scan bit-for-bit (stats merge
+    // additively; per-term df recomputes from old+new postings at query
+    // time, so idf sees the full corpus)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_bm25a")
+      .toString + "/i"
+    TextOps.writeBm25Index(corpus.where(col("doc_id") % 2 === 0),
+      "doc_id", "text", path2, nBuckets = 16)
+    TextOps.appendBm25Index(corpus.where(col("doc_id") % 2 =!= 0),
+      "doc_id", "text", path2, nBuckets = 16)
+    val viaAppend = TextOps.bm25TopKFromIndex(spark, path2, terms, 10,
+        nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(viaAppend == direct, "appended index diverged from direct scan")
+    // the merged stats sidecar is exactly the full corpus's
+    val st = spark.read.parquet(path2 + "/stats").head()
+    assert(st.getLong(0) == corpus.count(), "n_docs must merge additively")
   }
 
   test("extractHtmlText: script/style/comment content drops, tags split " +
