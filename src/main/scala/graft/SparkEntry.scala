@@ -3009,6 +3009,30 @@ object SparkEntry {
       Similarity.embeddingDrift(
         emb.where(col("vec_id") % 2 === 0),
         emb.where(col("vec_id") % 2 === 1), "embedding")
+    }),
+
+    // --- incremental pair-table append: the old half's pairs + postings
+    //     persist once; the new half mines only new×new and new×old pairs
+    //     against the stored 8-byte postings (old text never re-read, old
+    //     pairs never re-mined), uncapped so increment ≡ scratch exactly —
+    //     keep-best over the appended table must hash-match the
+    //     from-scratch mine of the union (quarter corpus keeps the
+    //     uncapped pair join small) -------------------------------------
+    "q219_pair_append" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") % 4 <= 1)
+      val path = sys.props("java.io.tmpdir") + "/graft_q219_pairs_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+      Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      Dedup.removeDuplicatesKeepBest(scored, "doc_id",
+          Dedup.readPairs(s, path, threshold = 0.8), "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -3085,6 +3109,72 @@ object SparkEntry {
         |  cast((1000 * s_new) // n_new - (1000 * s_old) // n_old as bigint)
         |    AS shift_nano
         |FROM o JOIN n USING (dim)""".stripMargin,
+
+    // q219: append ≡ scratch (uncapped) — q165's SQL over the quarter
+    // corpus with the cap CTE removed.
+    "q219_pair_append" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 4 <= 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM documents WHERE doc_id % 4 <= 1)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |surv AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(s.doc_id) AS bigint) AS id_sum
+        |FROM surv s JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

@@ -422,10 +422,17 @@ object Dedup {
    */
   def writePairs(df: DataFrame, idCol: String, textCol: String, path: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2,
-      maxDf: Option[Int] = Some(1000)): Unit =
+      maxDf: Option[Int] = Some(1000)): Unit = {
     ngramJaccardPairs(df, idCol, textCol, shingleSize, minJaccard, maxDf)
       .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").parquet(path + "/pairs")
+    // the postings ride along so [[appendPairs]] can mine a future batch's
+    // cross pairs WITHOUT re-reading or re-shingling the old corpus text —
+    // 8-byte shingle hashes + (id, set size), never the text
+    hashedShingles(df, idCol, textCol, shingleSize)
+      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
+      .write.mode("overwrite").parquet(path + "/postings")
+  }
 
   /** Read a [[writePairs]] table back at `threshold`, reconstructing the
     * raw-quotient `jaccard` from the stored integer evidence — the same
@@ -433,10 +440,80 @@ object Dedup {
     * reports cannot diverge from the inline path. */
   def readPairs(spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = 0.8): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(path + "/pairs")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
+
+  /**
+   * Incremental maintenance for a [[writePairs]] table — the ingest half
+   * of the persisted pair discipline: a NEW batch mines only its
+   * within-batch pairs and its cross pairs against the stored corpus
+   * POSTINGS (8-byte shingle hashes — the old text is never re-read or
+   * re-shingled), appends the evidence to `path/pairs`, and appends its
+   * own postings for the next batch. Work is Σ over shingles TOUCHED BY
+   * THE BATCH of df_new·df_all — shingles the batch never mentions cost
+   * nothing, and the old×old pair work never repeats. After the append,
+   * [[readPairs]] serves the union corpus.
+   *
+   * Cap semantics under `maxDf`: the cap is evaluated on the COMBINED
+   * document frequency, so the appended (new×new, new×old) pairs match a
+   * from-scratch mine of the union exactly; already-stored old×old pairs
+   * keep the evidence mined under their OWN increment's cap. A shingle
+   * whose df crosses the cap only after the append therefore still
+   * contributes to old pairs — those scores sit between the uncapped
+   * truth and the scratch-capped lower bound (capping under-scores by
+   * contract either way). With `maxDf = None` increment ≡ scratch
+   * bit-for-bit (the q219 oracle asserts exactly this).
+   */
+  def appendPairs(df: DataFrame, idCol: String, textCol: String, path: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.2,
+      maxDf: Option[Int] = Some(1000)): Unit = {
+    val spark = df.sparkSession
+    // both writes consume the batch postings; persist so the batch text is
+    // read and shingled once (writes are actions — no Eager wrapper needed)
+    val np = hashedShingles(df, idCol, textCol, shingleSize)
+      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
+      .persist()
+    try {
+      val all = spark.read.parquet(path + "/postings")
+        .withColumn("is_new", lit(false))
+        .unionByName(np.withColumn("is_new", lit(true)))
+      // only shingles the batch touches do any pair work; the combined-df
+      // cap drops stop-shingles exactly as the scratch mine of the union
+      val live = all.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("dfn"))
+        .where(col("dfn") >= 1 && col("df") >= 2 &&
+          maxDf.map(cap => col("df") <= cap).getOrElse(lit(true)))
+        .select(col("s"))
+      val cand = all.join(live, Seq("s"))
+      val l = cand.where(col("is_new"))
+        .select(col("s"), col("id").as("id_l"), col("n").as("n_l"))
+      val r = cand.select(col("s"), col("id").as("id_r"), col("n").as("n_r"),
+        col("is_new").as("new_r"))
+      // (new, old) pairs once; (new, new) once via the id order; old×old
+      // never — that evidence is already on disk
+      l.join(r, Seq("s"))
+        .where(col("id_l") =!= col("id_r") &&
+          (!col("new_r") || col("id_l") < col("id_r")))
+        .select(
+          least(col("id_l"), col("id_r")).as("id_a"),
+          when(col("id_l") < col("id_r"), col("n_l")).otherwise(col("n_r"))
+            .as("n_a"),
+          greatest(col("id_l"), col("id_r")).as("id_b"),
+          when(col("id_l") < col("id_r"), col("n_r")).otherwise(col("n_l"))
+            .as("n_b"))
+        .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
+        .agg(count(lit(1)).as("inter"))
+        .withColumn("jaccard", col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")))
+        .where(col("jaccard") >= minJaccard)
+        .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
+        .write.mode("append").parquet(path + "/pairs")
+      np.write.mode("append").parquet(path + "/postings")
+    } finally np.unpersist(blocking = false)
+  }
 
   /**
    * Per-source dedup impact report from a candidate pair table — what a

@@ -1304,6 +1304,62 @@ class OpsSpec extends SparkSpec {
       2 -> ((0L, 0L))), s"$out")
   }
 
+  test("appendPairs: increment == scratch uncapped; only new-touching pairs " +
+      "mined; combined-df cap drops stop-shingles for the appended pairs") {
+    val half1 = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (4L, "a b c d e f"), (6L, "totally different text here now"))
+    val half2 = Seq(
+      (3L, "w1 w2 w3 w4 zz"),  // cross-pairs with 1,2
+      (5L, "a b c d e zz"),    // cross-pair with 4
+      (7L, "w1 w2 w3 w4 w5"))  // exact dup of 1,2 arriving in the batch
+    val all = (half1 ++ half2).toDF("id", "text")
+    val d1 = half1.toDF("id", "text"); val d2 = half2.toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_pair_app")
+      .toString + "/p"
+    Dedup.writePairs(d1, "id", "text", path, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    Dedup.appendPairs(d2, "id", "text", path, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), col("inter")).collect()
+      .map(_.toSeq).toSet
+    val scratch = Dedup.ngramJaccardPairs(all, "id", "text", shingleSize = 2,
+      threshold = 0.2, maxDf = None)
+    assert(canon(Dedup.readPairs(spark, path, threshold = 0.2)) ==
+      canon(scratch), "uncapped increment must equal the scratch mine")
+    // the appended postings serve a SECOND append identically (chaining)
+    val path2 = java.nio.file.Files.createTempDirectory("graft_pair_app2")
+      .toString + "/p"
+    Dedup.writePairs(Seq(half1.head).toDF("id", "text"), "id", "text", path2,
+      shingleSize = 2, minJaccard = 0.2, maxDf = None)
+    Dedup.appendPairs(half1.tail.toDF("id", "text"), "id", "text", path2,
+      shingleSize = 2, minJaccard = 0.2, maxDf = None)
+    Dedup.appendPairs(d2, "id", "text", path2, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    assert(canon(Dedup.readPairs(spark, path2, threshold = 0.2)) ==
+      canon(scratch), "chained appends must equal the scratch mine")
+    // combined-df cap: shingle "w1 w2"/"w2 w3"/"w3 w4" reach df 4-5 after
+    // the append — cap 3 drops them from the APPENDED pairs' evidence, so
+    // the (1,7) exact-dup pair undercounts exactly like a scratch capped
+    // mine of the union would
+    val path3 = java.nio.file.Files.createTempDirectory("graft_pair_app3")
+      .toString + "/p"
+    Dedup.writePairs(d1, "id", "text", path3, shingleSize = 2,
+      minJaccard = 0.2, maxDf = Some(3))
+    Dedup.appendPairs(d2, "id", "text", path3, shingleSize = 2,
+      minJaccard = 0.2, maxDf = Some(3))
+    val scratchCapped = canon(Dedup.ngramJaccardPairs(all, "id", "text",
+      shingleSize = 2, threshold = 0.2, maxDf = Some(3)))
+    val incCapped = canon(Dedup.readPairs(spark, path3, threshold = 0.2))
+    // new-side pairs (anything involving 3,5,7) must match scratch exactly
+    def newSide(ps: Set[Seq[Any]]) = ps.filter(p =>
+      Set(3L, 5L, 7L).exists(id => p(0) == id || p(1) == id))
+    assert(newSide(incCapped) == newSide(scratchCapped),
+      s"appended pairs diverge from the scratch capped mine:\n" +
+        s"inc ${newSide(incCapped)}\nscr ${newSide(scratchCapped)}")
+  }
+
   test("embeddingDrift: per-dim integer micro-unit means, exact nano shift, " +
       "negative means divide identically to the SQL replay, zero-drift " +
       "identity") {
