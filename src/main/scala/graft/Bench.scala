@@ -18,6 +18,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    TmpHygiene.sweep() // reclaim pid-salted index dirs from finished runs
     // Deterministic inter-query release: the CC-loop queries (q72/q75) and the
     // Eager-pattern operators leave localCheckpoint blocks behind whose
     // lifetime is otherwise GC-driven (ContextCleaner) — under a 32-thread

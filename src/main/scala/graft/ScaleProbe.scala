@@ -237,6 +237,7 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    TmpHygiene.sweep()
 
     if (!new java.io.File(s"$outDir/lineitem.parquet").isDirectory) {
       System.err.println(s"[probe] generating ${factor}x corpus at $outDir")

@@ -24,6 +24,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    TmpHygiene.sweep() // reclaim pid-salted index dirs from finished runs
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.exists(name.contains)) }
     // name -> exception message for every query that failed (after retry).
