@@ -92,4 +92,43 @@ class NullSafetySpec extends SparkSpec {
       empty.select(col("doc_id"), lit(1L).as("a"), lit(1L).as("b")),
       "doc_id", "a", "b", 10).isEmpty)
   }
+
+  test("round-10 additions tolerate degenerate input: pair tables from " +
+      "null/empty text, drift on null vectors, impact with null sources") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ns_pairs")
+      .toString + "/p"
+    Dedup.writePairs(degenerate, "doc_id", "text", path, shingleSize = 3,
+      minJaccard = 0.5)
+    val pairs = Dedup.readPairs(spark, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // same contract as the inline mine: null text never pairs, the planted
+    // dup does, empty-token rows collide by documented behavior
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    assert(pairs.contains((0L, 4L)))
+    Dedup.appendPairs(Seq((7L, "a normal document with several words"),
+        (8L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text", path, shingleSize = 3, minJaccard = 0.5)
+    val after = Dedup.readPairs(spark, path, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(after.contains((0L, 7L)) && after.contains((4L, 7L)),
+      s"appended dup must cross-pair: ${after.toSeq}")
+    assert(!after.exists(p => p._1 == 8L || p._2 == 8L),
+      "appended null text must not pair")
+    // dedupImpact: null source groups like SQL (its own group), null
+    // weight rows count but contribute no mass
+    val meta = Seq((0L, "s1", 10L), (4L, null.asInstanceOf[String], 20L),
+      (7L, "s1", 30L)).toDF("doc_id", "src", "w")
+    val imp = Dedup.dedupImpact(meta, "doc_id", "src", "w",
+        Dedup.readPairs(spark, path, threshold = 0.5))
+      .collect().map(r => (if (r.isNullAt(0)) "(null)" else r.getString(0)) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(imp("s1") == ((2L, 1L)) && imp("(null)") == ((1L, 1L)), s"$imp")
+    // embeddingDrift: null vectors drop; both-empty yields empty
+    val vecs = Seq((1L, Seq(1f, 2f)), (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "vec")
+    val drift = Similarity.embeddingDrift(vecs, vecs, "vec").collect()
+    assert(drift.length == 2 && drift.forall(_.getLong(5) == 0L))
+    val noVecs = vecs.where(col("id") < 0)
+    assert(Similarity.embeddingDrift(noVecs, noVecs, "vec").isEmpty)
+  }
 }
