@@ -168,7 +168,8 @@ object ScaleProbe {
     "q216_ivf_append",      // IVF write + append + pruned probe
     "q217_bm25_append",     // postings append + additive stats merge + probe
     "q218_embedding_drift", // posexplode -> dim-grid collapse, decimal sums
-    "q219_pair_append")     // batch-touched shingles only; old pairs untouched
+    "q219_pair_append",     // batch-touched shingles only; old pairs untouched
+    "q220_stream_reservoir") // shards*k bounded state, Update emissions + gate
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -3011,6 +3011,29 @@ object SparkEntry {
         emb.where(col("vec_id") % 2 === 1), "embedding")
     }),
 
+    // --- deterministic streaming k-sample: the k smallest md5 priorities
+    //     over the whole replay — a pure function of the id set (no RNG,
+    //     no arrival-order dependence); per-shard bounded state, Update-
+    //     mode membership emissions, latest-version gate ------------------
+    "q220_stream_reservoir" -> ((s, dir) => {
+      val replay = graft.streaming.Streaming.docsReplay(s, dir, 4)
+      val res = graft.streaming.Streaming.reservoirSampleStream(
+        replay, "doc_id", k = 50, shards = 8)
+      val sink = graft.streaming.Streaming.runToTable(
+        res.toDF(),
+        "q220_mem_" + java.util.UUID.randomUUID().toString.replace("-", ""),
+        mode = org.apache.spark.sql.streaming.OutputMode.Update(),
+        statePartitions = Some(4), noDataBatch = false)
+      // finite-stream gate: each shard's LATEST membership, then the
+      // global k smallest (priority, id) — shards×k×batches rows, tiny
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+      sink.withColumn("__maxv", max(col("version")).over(w))
+        .where(col("version") === col("__maxv"))
+        .orderBy(col("priority"), col("id"))
+        .limit(50)
+        .select(col("id").as("doc_id"), col("priority"))
+    }),
+
     // --- incremental pair-table append: the old half's pairs + postings
     //     persist once; the new half mines only new×new and new×old pairs
     //     against the stored 8-byte postings (old text never re-read, old
@@ -3175,6 +3198,16 @@ object SparkEntry {
         |  cast(sum(s.doc_id) AS bigint) AS id_sum
         |FROM surv s JOIN qual q USING (doc_id)
         |GROUP BY q.lang""".stripMargin,
+
+    // The streaming reservoir is a pure function of the id set: the
+    // oracle is simply the k smallest md5 priorities over the corpus.
+    "q220_stream_reservoir" ->
+      """SELECT doc_id,
+        |  ('0x' || substr(md5(cast(doc_id as varchar)), 1, 15))::BIGINT
+        |    AS priority
+        |FROM documents
+        |ORDER BY priority, doc_id
+        |LIMIT 50""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

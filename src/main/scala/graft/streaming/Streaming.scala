@@ -551,10 +551,69 @@ object Streaming {
       }
   }
 
+  final case class ReservoirMember(priority: Long, id: Long)
+  final case class ReservoirState(version: Long, members: List[ReservoirMember])
+  /** One row of a shard's current sample membership as of `version` (the
+    * shard's update counter — the batch gate keeps each shard's latest). */
+  final case class ReservoirEmit(shard: Int, version: Long, id: Long,
+    priority: Long)
+
+  /**
+   * Deterministic streaming k-sample — a uniform "reservoir" over an
+   * unbounded stream with ZERO RNG: every row's priority is its 60-bit md5
+   * (a fixed uniform hash of the id), and the sample is simply the k
+   * smallest priorities seen so far. Unlike the classic randomized
+   * reservoir (Vitter's Algorithm R — state machine depends on arrival
+   * order and a RNG stream), this sample is a PURE FUNCTION of the id SET:
+   * any arrival order, any batch assignment, any engine produces the same
+   * members — which is what makes it oracle-checkable and what makes a
+   * re-run reproducible. It is the streaming twin of
+   * [[graft.ops.Sampling]]'s md5 samplers.
+   *
+   * Mechanics: rows hash-shard by priority into `shards` state groups;
+   * each shard keeps its k smallest (priority, id) members (the global
+   * top-k is always contained in the union of per-shard top-k) and, on
+   * every batch that touches it, emits its FULL current membership stamped
+   * with a bumped `version` (Update-mode emission — membership can shrink
+   * a previously emitted row out of the sample, which Append mode cannot
+   * express). The finite-stream gate takes each shard's latest version,
+   * then the global k smallest (priority, id) — see the q220 composition.
+   *
+   * Scale shape: state is `shards·k` (priority, id) pairs — bounded and
+   * tunable, no watermark, no eviction problem; emission bandwidth is at
+   * most `k` rows per touched shard per batch. Admission costs one sorted
+   * merge against a k-list at ingest bandwidth.
+   */
+  def reservoirSampleStream(docs: DataFrame, idCol: String, k: Int,
+      shards: Int = 16): Dataset[ReservoirEmit] = {
+    require(k > 0, "k must be positive")
+    require(shards > 0, "shards must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("_1"),
+        graft.functions.GraftFunctions.md5_prefix60(col(idCol).cast("string"))
+          .as("_2"))
+      .as[(Long, Long)]
+      .groupByKey { case (_, h) => (h % shards).toInt }
+      .flatMapGroupsWithState[ReservoirState, ReservoirEmit](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (shard, rows, state: GroupState[ReservoirState]) =>
+          val prev = state.getOption.getOrElse(ReservoirState(0L, Nil))
+          val merged = (prev.members ++
+              rows.map { case (id, h) => ReservoirMember(h, id) })
+            .distinct // replayed duplicates collapse: the sample is id-set determined
+            .sortBy(m => (m.priority, m.id)).take(k)
+          val next = ReservoirState(prev.version + 1, merged)
+          state.update(next)
+          merged.iterator.map(m =>
+            ReservoirEmit(shard, next.version, m.id, m.priority))
+      }
+  }
+
   /** An admission: `id` (carrying `tokens`) was admitted for `group`, whose
     * running admitted-token total is now `cum_tokens`. */
   final case class BudgetAdmit(group: String, id: Long, tokens: Long,
-      cum_tokens: Long)
+    cum_tokens: Long)
 
   /**
    * Streaming per-group TOKEN-BUDGET admission — the enforcement half of a

@@ -272,6 +272,59 @@ class StreamingSpec extends SparkSpec {
       ("a", 4L, 1L, 10L), ("a", 6L, 0L, 10L)), s"got $out")
   }
 
+  test("reservoirSampleStream: sample is a pure function of the id set — " +
+      "later batches evict earlier members, gate equals the batch top-k") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val schema = StructType(Seq(StructField("doc_id", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_resv_").toString
+    def write(name: String, mtime: Long, ids: Seq[Long]): Unit = {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          ids.map(org.apache.spark.sql.Row(_))), schema)
+      val tmp = dir + "/_stage"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(dir, name)
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(mtime)
+    }
+    val base = System.currentTimeMillis()
+    val b1 = (1L to 40L); val b2 = (41L to 120L)
+    write("00.parquet", base, b1)
+    write("01.parquet", base + 1000, b2) // includes a repeat-free new range
+    val k = 10
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val sink = Streaming.runToTable(
+      Streaming.reservoirSampleStream(stream, "doc_id", k, shards = 4).toDF(),
+      "t_resv", org.apache.spark.sql.streaming.OutputMode.Update(),
+      statePartitions = Some(2), noDataBatch = false)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+    val got = sink.withColumn("__mv", max(col("version")).over(w))
+      .where(col("version") === col("__mv"))
+      .orderBy(col("priority"), col("id")).limit(k)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // batch reference: k smallest md5 priorities over ALL ids
+    val want = (b1 ++ b2).toSeq.toDF("doc_id")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.md5_prefix60(
+          col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, s"stream sample ≠ batch top-k:\n$got\n$want")
+    // eviction actually happened: batch-1's own top-k can't all survive an
+    // id universe 3× larger (md5 uniformity makes full survival ~1e-5)
+    val b1Top = b1.toSeq.toDF("doc_id")
+      .select(col("doc_id"), graft.functions.GraftFunctions.md5_prefix60(
+        col("doc_id").cast("string")).as("h"))
+      .orderBy(col("h"), col("doc_id")).limit(k)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_._1).toSet != b1Top,
+      "no eviction across batches — Update semantics broken")
+  }
+
   test("nearDupDropStream: earlier-batch near-dups drop, same-batch ties both survive") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
