@@ -3126,12 +3126,13 @@ object SparkEntry {
         |n AS (
         |  SELECT dim, count(*) AS n_new, sum(cast(xm as hugeint)) AS s_new
         |  FROM g WHERE vec_id % 2 = 1 GROUP BY 1)
-        |SELECT cast(o.dim as bigint) AS dim, o.n_old, n.n_new,
+        |SELECT cast(dim as bigint) AS dim,
+        |  coalesce(o.n_old, 0) AS n_old, coalesce(n.n_new, 0) AS n_new,
         |  cast((1000 * s_old) // n_old as bigint) AS mean_old_nano,
         |  cast((1000 * s_new) // n_new as bigint) AS mean_new_nano,
         |  cast((1000 * s_new) // n_new - (1000 * s_old) // n_old as bigint)
         |    AS shift_nano
-        |FROM o JOIN n USING (dim)""".stripMargin,
+        |FROM o FULL JOIN n USING (dim)""".stripMargin,
 
     // q219: append ≡ scratch (uncapped) — q165's SQL over the quarter
     // corpus with the cap CTE removed.

@@ -345,11 +345,18 @@ object Audit {
       val total = p.agg(
         coalesce(sum(col("out_rows")), lit(0).cast("decimal(38,0)"))
           .as("total_out"))
+      // SATURATING cast back to the bigint contract: a value past
+      // Long.MaxValue would otherwise null (non-ANSI) or throw (ANSI) for
+      // exactly the dominant keys the preflight exists to surface. A
+      // saturated 2^63−1 still ranks the key first and reads unambiguously
+      // as "off the scale"; permille stays exact (computed in decimal).
+      def sat(c: org.apache.spark.sql.Column) =
+        least(c, lit(Long.MaxValue).cast("decimal(38,0)")).cast("long")
       p.crossJoin(broadcast(total))
         .orderBy(col("out_rows").desc, col("key")).limit(topK)
         .select(col("key"), col("n_left"), col("n_right"),
-          col("out_rows").cast("long").as("out_rows"),
-          col("total_out").cast("long").as("total_out"),
+          sat(col("out_rows")).as("out_rows"),
+          sat(col("total_out")).as("total_out"),
           expr("cast((1000 * out_rows) div total_out as long)")
             .as("permille"))
     }

@@ -423,15 +423,17 @@ object Dedup {
   def writePairs(df: DataFrame, idCol: String, textCol: String, path: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2,
       maxDf: Option[Int] = Some(1000)): Unit = {
-    ngramJaccardPairs(df, idCol, textCol, shingleSize, minJaccard, maxDf)
-      .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
-      .write.mode("overwrite").parquet(path + "/pairs")
-    // the postings ride along so [[appendPairs]] can mine a future batch's
-    // cross pairs WITHOUT re-reading or re-shingling the old corpus text —
-    // 8-byte shingle hashes + (id, set size), never the text
+    val spark = df.sparkSession
+    // ONE text scan: persist the postings first, then mine the pairs from
+    // the PERSISTED copy — the shingle pass (the dominant cost) runs once,
+    // and the postings sidecar [[appendPairs]] needs falls out of it
     hashedShingles(df, idCol, textCol, shingleSize)
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
       .write.mode("overwrite").parquet(path + "/postings")
+    pairsFromPostings(spark.read.parquet(path + "/postings"),
+        minJaccard, maxDf)
+      .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
+      .write.mode("overwrite").parquet(path + "/pairs")
   }
 
   /** Read a [[writePairs]] table back at `threshold`, reconstructing the
@@ -649,13 +651,21 @@ object Dedup {
    */
   private[graft] def ngramJaccardPairs(df: DataFrame, idCol: String,
       textCol: String, shingleSize: Int = 3, threshold: Double = 0.8,
-      maxDf: Option[Int] = Some(1000)): DataFrame = {
+      maxDf: Option[Int] = Some(1000)): DataFrame =
     // Index keyed by the 64-bit shingle hash, not the shingle string: postings
     // shuffle 8-byte keys instead of n-gram text (same result — a hash
     // collision altering a count has odds ~2^-64).
-    val inv = df.select(col(idCol).as("id"),
-        array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
-      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
+    pairsFromPostings(
+      hashedShingles(df, idCol, textCol, shingleSize)
+        .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s")),
+      threshold, maxDf)
+
+  /** The pair mine from an (id, n, s) posting table — shared by the inline
+    * [[ngramJaccardPairs]] and [[writePairs]] (which feeds it the SAME
+    * staged postings it persists, so the corpus text is read and shingled
+    * exactly once per mine). */
+  private def pairsFromPostings(inv: DataFrame, threshold: Double,
+      maxDf: Option[Int]): DataFrame = {
     val grouped = inv.groupBy(col("s"))
       .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
     val postings = maxDf.map { cap =>

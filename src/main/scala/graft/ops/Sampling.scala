@@ -630,9 +630,13 @@ object Sampling {
    * boundary-stitched carry over the (group, value, id) RANGE order —
    * partition-width parallelism regardless of group sizes, with a
    * cross-group carry invalidated by a group-equality check. Identical
-   * results either way (the spec asserts it row-for-row); pass
-   * `global = Some(true/false)` to skip the probe when the caller knows
-   * the regime. Only (id, group, value, flag) ever moves in either plan.
+   * results either way (the spec asserts it row-for-row). The probe is an
+   * EXTRA capped-distinct pass over the (group) projection executed
+   * eagerly per call — negligible next to the matching job, but a caller
+   * invoking this in a loop (or benchmarking the operator alone) should
+   * pin `global = Some(true/false)` and skip it; group cardinality rarely
+   * changes between calls. Only (id, group, value, flag) ever moves in
+   * either plan.
    */
   def matchedControls(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, treatedCol: String,

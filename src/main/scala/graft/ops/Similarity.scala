@@ -49,8 +49,11 @@ object Similarity {
    * one negative-dividend integer division in the library that is safe
    * cross-engine by measurement, where the MMR/margin operators instead
    * avoid division entirely. No float accumulation order anywhere, so the
-   * report replays bit-for-bit in SQL. Returns one row per dimension:
-   * (dim, n_old, n_new, mean_old_nano, mean_new_nano, shift_nano).
+   * report replays bit-for-bit in SQL. Returns one row per dimension
+   * present in EITHER snapshot (full join): a dim only one side has — the
+   * checkpoint-version mix-up case — reports with the missing side's
+   * count 0 and null means/shift; the row's one-sidedness IS the signal.
+   * Schema: (dim, n_old, n_new, mean_old_nano, mean_new_nano, shift_nano).
    *
    * Scale shape: one posexplode scan per snapshot collapsing immediately
    * to the ≤dim-key grid (map-side combined — only (dim, count, sum)

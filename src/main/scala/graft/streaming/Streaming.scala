@@ -581,8 +581,9 @@ object Streaming {
    *
    * Scale shape: state is `shards·k` (priority, id) pairs — bounded and
    * tunable, no watermark, no eviction problem; emission bandwidth is at
-   * most `k` rows per touched shard per batch. Admission costs one sorted
-   * merge against a k-list at ingest bandwidth.
+   * most `k` rows per touched shard per batch. Each batch row folds into a
+   * k-capped ordered set — O(log k) per row, O(k) heap, the batch itself
+   * never materializes.
    */
   def reservoirSampleStream(docs: DataFrame, idCol: String, k: Int,
       shards: Int = 16): Dataset[ReservoirEmit] = {
@@ -599,10 +600,20 @@ object Streaming {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         case (shard, rows, state: GroupState[ReservoirState]) =>
           val prev = state.getOption.getOrElse(ReservoirState(0L, Nil))
-          val merged = (prev.members ++
-              rows.map { case (id, h) => ReservoirMember(h, id) })
-            .distinct // replayed duplicates collapse: the sample is id-set determined
-            .sortBy(m => (m.priority, m.id)).take(k)
+          // BOUNDED fold: the batch iterator streams through a k-capped
+          // sorted set (O(n log k) time, O(k) heap — never materialize the
+          // batch). An ordered set also collapses replayed duplicates for
+          // free: the sample stays a pure function of the id set.
+          val acc = scala.collection.mutable.TreeSet.empty[(Long, Long)]
+          prev.members.foreach(m => acc += ((m.priority, m.id)))
+          val ord = implicitly[Ordering[(Long, Long)]]
+          rows.foreach { case (id, h) =>
+            if (acc.size < k) acc += ((h, id))
+            else if (ord.lt((h, id), acc.last)) { acc += ((h, id))
+              if (acc.size > k) acc -= acc.last }
+          }
+          val merged = acc.toList.take(k)
+            .map { case (h, id) => ReservoirMember(h, id) }
           val next = ReservoirState(prev.version + 1, merged)
           state.update(next)
           merged.iterator.map(m =>

@@ -1380,6 +1380,15 @@ class OpsSpec extends SparkSpec {
     val self = graft.ops.Similarity.embeddingDrift(oldDf, oldDf, "vec")
       .collect().map(r => (r.getLong(5), r.getLong(1), r.getLong(2)))
     assert(self.forall(t => t._1 == 0L && t._2 == t._3), s"${self.toSeq}")
+    // dimensionality mismatch (checkpoint-version mix-up): the new side's
+    // extra dims report with n_old = 0 and null means — present, not lost
+    val wide = mk(Seq((9L, Seq(0.1f, 0.2f, 0.3f))))
+    val mix = graft.ops.Similarity.embeddingDrift(oldDf, wide, "vec")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.isNullAt(5)))).toMap
+    assert(mix(2L) == ((0L, 1L, true)),
+      s"one-sided dim must report with zero count and null shift: $mix")
+    assert(mix(0L) == ((2L, 1L, false)) && mix(1L) == ((2L, 1L, false)))
   }
 
   test("appendIvfCorpus + ivfLayoutHealth: appended vectors route through " +
