@@ -3037,8 +3037,9 @@ object SparkEntry {
     // --- incremental pair-table append: the old half's pairs + postings
     //     persist once; the new half mines only new×new and new×old pairs
     //     against the stored 8-byte postings (old text never re-read, old
-    //     pairs never re-mined), uncapped so increment ≡ scratch exactly —
-    //     keep-best over the appended table must hash-match the
+    //     pairs never re-mined), then COMPACTED (write → append → compact,
+    //     the full lifecycle), uncapped so increment ≡ scratch exactly —
+    //     keep-best over the appended+compacted table must hash-match the
     //     from-scratch mine of the union (quarter corpus keeps the
     //     uncapped pair join small) -------------------------------------
     "q219_pair_append" -> ((s, dir) => {
@@ -3050,6 +3051,9 @@ object SparkEntry {
         path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
       Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
         path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+      // compact the appended layout before reading: the report must be
+      // oblivious to when compaction ran (same oracle either way)
+      Dedup.compactPairs(s, path, targetFiles = 4)
       val scored = docs.select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"))
       Dedup.removeDuplicatesKeepBest(scored, "doc_id",

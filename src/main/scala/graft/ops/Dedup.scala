@@ -518,6 +518,40 @@ object Dedup {
   }
 
   /**
+   * Compaction for a [[writePairs]]/[[appendPairs]] layout — the lifecycle
+   * step after N daily appends: each append adds one small file set to
+   * `path/pairs` and `path/postings`, and a year of ingest turns every
+   * [[readPairs]] into a thousand-file open storm. Each table rewrites to
+   * `targetFiles` files in a staging directory and swaps in via TWO
+   * Hadoop-atomic renames (old → trash, staged → live, trash deleted last)
+   * — a reader already holding the old file handles finishes its scan; a
+   * new reader sees either the old or the new directory, never a mix. Row
+   * multisets are untouched (the spec asserts checksum equality), so every
+   * from-pairs report is oblivious to when compaction ran.
+   */
+  def compactPairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 8): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("pairs", "postings").foreach { sub =>
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = live.getFileSystem(conf)
+      val staged = new org.apache.hadoop.fs.Path(s"$path/${sub}__compact")
+      val trash = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
+      spark.read.parquet(live.toString).coalesce(targetFiles)
+        .write.mode("overwrite").parquet(staged.toString)
+      fs.delete(trash, true)
+      if (!fs.rename(live, trash))
+        throw new java.io.IOException(s"compactPairs: cannot retire $live")
+      if (!fs.rename(staged, live)) {
+        fs.rename(trash, live) // roll back: the old table stays live
+        throw new java.io.IOException(s"compactPairs: cannot swap in $staged")
+      }
+      fs.delete(trash, true)
+    }
+  }
+
+  /**
    * Per-source dedup impact report from a candidate pair table — what a
    * keep-first dedup at these pairs would COST each source: for every
    * source, its document count, how many of its docs the rule drops

@@ -1360,6 +1360,46 @@ class OpsSpec extends SparkSpec {
         s"inc ${newSide(incCapped)}\nscr ${newSide(scratchCapped)}")
   }
 
+  test("compactPairs: file counts shrink, row multisets and every " +
+      "from-pairs report are byte-identical, further appends still work") {
+    val half1 = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (4L, "a b c d e f")).toDF("id", "text")
+    val half2 = Seq((3L, "w1 w2 w3 w4 zz"), (5L, "a b c d e zz"))
+      .toDF("id", "text")
+    val half3 = Seq((7L, "w1 w2 w3 w4 w5")).toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_pair_cmp")
+      .toString + "/p"
+    Dedup.writePairs(half1, "id", "text", path, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    Dedup.appendPairs(half2, "id", "text", path, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    def files(sub: String) = Option(new java.io.File(s"$path/$sub")
+      .listFiles()).get.count(_.getName.endsWith(".parquet"))
+    val beforeP = canon(spark.read.parquet(s"$path/pairs"))
+    val beforeI = canon(spark.read.parquet(s"$path/postings"))
+    val filesBefore = files("pairs") + files("postings")
+    Dedup.compactPairs(spark, path, targetFiles = 1)
+    assert(files("pairs") == 1 && files("postings") == 1,
+      s"expected 1 file each after compaction (was $filesBefore)")
+    assert(canon(spark.read.parquet(s"$path/pairs")) == beforeP,
+      "pair multiset changed under compaction")
+    assert(canon(spark.read.parquet(s"$path/postings")) == beforeI,
+      "postings multiset changed under compaction")
+    // the compacted table still appends and still mines correctly
+    Dedup.appendPairs(half3, "id", "text", path, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    val scratch = Dedup.ngramJaccardPairs(
+      half1.unionByName(half2).unionByName(half3), "id", "text",
+      shingleSize = 2, threshold = 0.2, maxDf = None)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id_a"), col("id_b"), col("inter")).collect()
+      .map(_.toSeq).toSet
+    assert(pairSet(Dedup.readPairs(spark, path, threshold = 0.2)) ==
+      pairSet(scratch), "post-compaction append diverged from scratch")
+  }
+
   test("embeddingDrift: per-dim integer micro-unit means, exact nano shift, " +
       "negative means divide identically to the SQL replay, zero-drift " +
       "identity") {
