@@ -170,7 +170,8 @@ object ScaleProbe {
     "q217_bm25_append",     // postings append + additive stats merge + probe
     "q218_embedding_drift", // posexplode -> dim-grid collapse, decimal sums
     "q219_pair_append",     // batch-touched shingles only; old pairs untouched
-    "q220_stream_reservoir") // shards*k bounded state, Update emissions + gate
+    "q220_stream_reservoir", // shards*k bounded state, Update emissions + gate
+    "q221_ingest_loop")     // index -> dedupe -> append survivors -> dedupe
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -3011,6 +3011,27 @@ object SparkEntry {
         emb.where(col("vec_id") % 2 === 1), "embedding")
     }),
 
+    // --- the COMPLETE daily-crawl ingest loop: index the corpus once;
+    //     day 1 (src0) dedups against it and its SURVIVORS append into
+    //     the index (bands + index-pruned keyed upsert); day 2 (src1)
+    //     then dedups against corpus ∪ day-1 survivors. Oracle = the
+    //     exact two-stage cross-corpus rule --------------------------------
+    "q221_ingest_loop" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q221_idx_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writeNearDupIndex(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      val s1 = Dedup.dedupeAgainstIndex(s,
+        docs.where(col("source") === "src0"), path, "doc_id", "text")
+      Dedup.appendNearDupIndex(s1, "doc_id", "text", path)
+      Dedup.dedupeAgainstIndex(s,
+          docs.where(col("source") === "src1"), path, "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // --- deterministic streaming k-sample: the k smallest md5 priorities
     //     over the whole replay — a pure function of the id set (no RNG,
     //     no arrival-order dependence); per-shard bounded state, Update-
@@ -3213,6 +3234,49 @@ object SparkEntry {
         |FROM documents
         |ORDER BY priority, doc_id
         |LIMIT 50""".stripMargin,
+
+    // q221: the two-stage ingest loop replayed exactly — day-2 drops are
+    // vs corpus PLUS day-1 survivors (survivors defined by the day-1 rule).
+    "q221_ingest_loop" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |p1 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src0'
+        |    AND b.source NOT IN ('src0', 'src1')
+        |  GROUP BY 1, 2),
+        |drop1 AS (
+        |  SELECT DISTINCT bid FROM p1
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |p2 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src1'
+        |    AND (b.source NOT IN ('src0', 'src1')
+        |         OR (b.source = 'src0'
+        |             AND b.doc_id NOT IN (SELECT bid FROM drop1)))
+        |  GROUP BY 1, 2),
+        |drop2 AS (
+        |  SELECT DISTINCT bid FROM p2
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT doc_id, lang FROM documents
+        |WHERE source = 'src1'
+        |  AND doc_id NOT IN (SELECT bid FROM drop2)""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

@@ -260,6 +260,30 @@ object Dedup {
   }
 
   /**
+   * Fold a batch INTO a [[writeNearDupIndex]]ed corpus index — the step
+   * that closes the daily-crawl loop: dedupe today's batch against the
+   * index ([[dedupeAgainstIndex]]), then append the SURVIVORS here so
+   * tomorrow's batch dedups against corpus ∪ today. Band rows append as
+   * plain parquet (every probe touches every band — nothing to re-sort);
+   * the keyed shingle-set side goes through the store's index-pruned
+   * upsert — only the range files a new key lands in are rewritten, the
+   * rest of the corpus (and its index entries) untouched. Run
+   * [[graft.store.KeyedStore.compact]] on `path/docs` when append counts
+   * grow the file population.
+   */
+  def appendNearDupIndex(batch: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 128,
+      rowsPerBand: Int = 4): Unit = {
+    val hashed = hashedShingles(batch, idCol, textCol, shingleSize).persist()
+    try {
+      bandRows(hashed, numHashes, rowsPerBand)
+        .write.mode("append").parquet(path + "/bands")
+      graft.store.KeyedStore.upsertIndexed(batch.sparkSession, path + "/docs",
+        hashed.select(col("id").as("key"), col("th")))
+    } finally hashed.unpersist(blocking = false)
+  }
+
+  /**
    * Drop batch docs that near-duplicate a doc in a [[writeNearDupIndex]]ed
    * corpus; returns the surviving batch rows with all their columns. The
    * batch's band keys join the index's band table (8-byte keys only — the

@@ -1360,6 +1360,38 @@ class OpsSpec extends SparkSpec {
         s"inc ${newSide(incCapped)}\nscr ${newSide(scratchCapped)}")
   }
 
+  test("appendNearDupIndex: index grown by survivors equals a one-shot " +
+      "index of corpus ∪ survivors (same drops for the next batch)") {
+    val corpus = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("id", "text")
+    // batch 1: id 10 dups corpus doc 1 (dropped); id 11 is novel (survives)
+    val b1 = Seq((10L, "w1 w2 w3 w4 w5 w6"), (11L, "n1 n2 n3 n4 n5 n6"))
+      .toDF("id", "text")
+    // batch 2: id 20 dups the SURVIVOR 11 — only a grown index catches it;
+    // id 21 dups the DROPPED 10 — must survive (10 never entered the index)
+    val b2 = Seq((20L, "n1 n2 n3 n4 n5 n6"), (21L, "q1 q2 q3 q4 q5 q6"))
+      .toDF("id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft_idx_app")
+      .toString + "/i"
+    Dedup.writeNearDupIndex(corpus, "id", "text", path)
+    val s1 = Dedup.dedupeAgainstIndex(spark, b1, path, "id", "text")
+    assert(s1.collect().map(_.getLong(0)).toSet == Set(11L))
+    Dedup.appendNearDupIndex(s1, "id", "text", path)
+    val s2 = Dedup.dedupeAgainstIndex(spark, b2, path, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == Set(21L),
+      s"20 must drop vs the appended survivor, 21 must pass: $s2")
+    // equivalence: the grown index behaves like a one-shot index of
+    // corpus ∪ survivors
+    val path2 = java.nio.file.Files.createTempDirectory("graft_idx_one")
+      .toString + "/i"
+    Dedup.writeNearDupIndex(corpus.unionByName(s1.select(col("id"),
+      col("text"))), "id", "text", path2)
+    val oneShot = Dedup.dedupeAgainstIndex(spark, b2, path2, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(oneShot == s2, "append ≠ one-shot rebuild")
+  }
+
   test("compactPairs: file counts shrink, row multisets and every " +
       "from-pairs report are byte-identical, further appends still work") {
     val half1 = Seq((1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
