@@ -91,4 +91,41 @@ class SamplingInvariantSpec extends SparkSpec {
       assert(run(Seq(a.repartition(5), b, c)) == run(Seq(a, b, c)))
     }
   }
+
+  test("pair-table increment law: write + chained appends ≡ the scratch " +
+      "mine at every threshold, for any batch split (5 seeded rounds)") {
+    for (round <- 1 to 5) {
+      // heavy-overlap vocabulary so pairs actually form
+      val docs = (0 until 60).map { i =>
+        val base = rng.nextInt(5)
+        val words = (0 until 6).map(j =>
+          if (rng.nextInt(4) == 0) s"v${rng.nextInt(40)}"
+          else s"c${base}_$j").mkString(" ")
+        (i.toLong, words)
+      }.toDF("id", "text")
+      // random split into 1 + nAppends batches
+      val nAppends = 1 + rng.nextInt(3)
+      val tagged = docs.withColumn("b",
+        pmod(col("id") * 2654435761L, lit(nAppends + 1)))
+      val path = java.nio.file.Files.createTempDirectory(
+        s"graft_pairlaw_$round").toString + "/p"
+      Dedup.writePairs(tagged.where(col("b") === 0), "id", "text", path,
+        shingleSize = 2, minJaccard = 0.2, maxDf = None)
+      (1 to nAppends).foreach { b =>
+        Dedup.appendPairs(tagged.where(col("b") === b), "id", "text", path,
+          shingleSize = 2, minJaccard = 0.2, maxDf = None)
+      }
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id_a"), col("id_b"), col("inter")).collect()
+        .map(_.toSeq).toSet
+      for (t <- Seq(0.2, 0.5, 0.8)) {
+        val inc = canon(Dedup.readPairs(spark, path, threshold = t))
+        val scratch = canon(Dedup.ngramJaccardPairs(docs, "id", "text",
+          shingleSize = 2, threshold = t, maxDf = None))
+        assert(inc == scratch,
+          s"round $round t=$t split=$nAppends: " +
+            s"${(inc diff scratch).take(3)} / ${(scratch diff inc).take(3)}")
+      }
+    }
+  }
 }
