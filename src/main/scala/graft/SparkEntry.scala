@@ -3024,9 +3024,10 @@ object SparkEntry {
       Dedup.writeNearDupIndex(
         docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
         "doc_id", "text", path)
-      val s1 = Dedup.dedupeAgainstIndex(s,
+      // day 1 runs the FUSED step (one shingle pass dedups AND appends
+      // the survivors); day 2 is a plain probe of the grown index
+      Dedup.ingestBatch(s,
         docs.where(col("source") === "src0"), path, "doc_id", "text")
-      Dedup.appendNearDupIndex(s1, "doc_id", "text", path)
       Dedup.dedupeAgainstIndex(s,
           docs.where(col("source") === "src1"), path, "doc_id", "text")
         .select(col("doc_id"), col("lang"))

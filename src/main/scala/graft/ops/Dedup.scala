@@ -260,10 +260,10 @@ object Dedup {
   }
 
   /**
-   * Fold a batch INTO a [[writeNearDupIndex]]ed corpus index — the step
-   * that closes the daily-crawl loop: dedupe today's batch against the
-   * index ([[dedupeAgainstIndex]]), then append the SURVIVORS here so
-   * tomorrow's batch dedups against corpus ∪ today. Band rows append as
+   * Fold an ALREADY-DEDUPED batch INTO a [[writeNearDupIndex]]ed corpus
+   * index — the standalone append half of the daily-crawl loop (for the
+   * combined dedupe-then-append step use [[ingestBatch]], which shares
+   * one shingle pass across both halves). Band rows append as
    * plain parquet (every probe touches every band — nothing to re-sort);
    * the keyed shingle-set side goes through the store's index-pruned
    * upsert — only the range files a new key lands in are rewritten, the
@@ -302,27 +302,65 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val dropped = graft.Eager.withPersisted(
         hashedShingles(batch, idCol, textCol, shingleSize)) { hb =>
-      val bandsB = bandRows(hb, numHashes, rowsPerBand)
-      val bandsC = spark.read.parquet(path + "/bands")
-      val cand = bandsB.alias("n").join(bandsC.alias("c"),
-          col("n.band") === col("c.band") && col("n.bsig") === col("c.bsig"))
-        .select(col("n.id").as("batch_id"), col("c.id").as("corpus_id"))
-        .dropDuplicates("batch_id", "corpus_id")
-      // candidate corpus ids (8 bytes each) broadcast against the keyed
-      // layout: the connector's runtime filtering prunes to the files whose
-      // key range holds a candidate — the shingle arrays of non-candidates
-      // are never read, let alone shuffled
-      val thC = graft.store.KeyedStore.readKeyed(spark, path + "/docs")
-        .join(broadcast(cand.select(col("corpus_id")).distinct()),
-          col("key") === col("corpus_id"))
-        .select(col("corpus_id"), col("th").as("th_c"))
-      cand
-        .join(hb.select(col("id").as("batch_id"), col("th").as("th_b")), "batch_id")
-        .join(thC, "corpus_id")
-        .where(jaccard(col("th_b"), col("th_c")) >= threshold)
-        .select(col("batch_id")).distinct()
+      indexDropIds(spark, hb, path, numHashes, rowsPerBand, threshold)
     }
     batch.join(dropped.select(col("batch_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
+  /** The cross-corpus drop rule from a PERSISTED hashed-shingle frame `hb`
+    * (id, th) — shared by [[dedupeAgainstIndex]] and [[ingestBatch]].
+    * Returns the distinct dropped batch ids as `batch_id`. */
+  private def indexDropIds(spark: org.apache.spark.sql.SparkSession,
+      hb: DataFrame, path: String, numHashes: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val bandsB = bandRows(hb, numHashes, rowsPerBand)
+    val bandsC = spark.read.parquet(path + "/bands")
+    val cand = bandsB.alias("n").join(bandsC.alias("c"),
+        col("n.band") === col("c.band") && col("n.bsig") === col("c.bsig"))
+      .select(col("n.id").as("batch_id"), col("c.id").as("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+    // candidate corpus ids (8 bytes each) broadcast against the keyed
+    // layout: the connector's runtime filtering prunes to the files whose
+    // key range holds a candidate — the shingle arrays of non-candidates
+    // are never read, let alone shuffled
+    val thC = graft.store.KeyedStore.readKeyed(spark, path + "/docs")
+      .join(broadcast(cand.select(col("corpus_id")).distinct()),
+        col("key") === col("corpus_id"))
+      .select(col("corpus_id"), col("th").as("th_c"))
+    cand
+      .join(hb.select(col("id").as("batch_id"), col("th").as("th_b")), "batch_id")
+      .join(thC, "corpus_id")
+      .where(jaccard(col("th_b"), col("th_c")) >= threshold)
+      .select(col("batch_id")).distinct()
+  }
+
+  /**
+   * The daily-crawl ingest step as ONE operator — [[dedupeAgainstIndex]]
+   * and [[appendNearDupIndex]] fused so the batch text is read, tokenized,
+   * and shingled exactly ONCE (run separately they each pay that scan):
+   * drop batch docs that near-duplicate the index, append the SURVIVORS'
+   * signatures into it, return the surviving rows. The drop set is
+   * MATERIALIZED (checkpointed) before anything appends — otherwise the
+   * lazily-evaluated candidate join would re-read the band table AFTER the
+   * batch's own bands landed and every surviving doc would match itself.
+   */
+  def ingestBatch(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, path: String, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val hb = hashedShingles(batch, idCol, textCol, shingleSize).persist()
+    try {
+      val dropped = graft.Eager.materialize(
+        indexDropIds(spark, hb, path, numHashes, rowsPerBand, threshold))
+      val hs = hb.join(dropped.select(col("batch_id").as("id")),
+        Seq("id"), "left_anti")
+      bandRows(hs, numHashes, rowsPerBand)
+        .write.mode("append").parquet(path + "/bands")
+      graft.store.KeyedStore.upsertIndexed(spark, path + "/docs",
+        hs.select(col("id").as("key"), col("th")))
+      batch.join(dropped.select(col("batch_id").as(idCol)),
+        Seq(idCol), "left_anti")
+    } finally hb.unpersist(blocking = false)
   }
 
   /**
@@ -546,12 +584,20 @@ object Dedup {
    * step after N daily appends: each append adds one small file set to
    * `path/pairs` and `path/postings`, and a year of ingest turns every
    * [[readPairs]] into a thousand-file open storm. Each table rewrites to
-   * `targetFiles` files in a staging directory and swaps in via TWO
-   * Hadoop-atomic renames (old → trash, staged → live, trash deleted last)
-   * — a reader already holding the old file handles finishes its scan; a
-   * new reader sees either the old or the new directory, never a mix. Row
-   * multisets are untouched (the spec asserts checksum equality), so every
-   * from-pairs report is oblivious to when compaction ran.
+   * `targetFiles` files in a staging directory and swaps in via two
+   * renames (old → trash, staged → live, trash deleted last), with a
+   * rollback if the swap-in fails. NOT safe under concurrent readers —
+   * run it in the ingest maintenance window, like any file-level
+   * compaction over plain parquet: a Spark job planning between the two
+   * renames sees a missing directory, and one that listed files before
+   * the swap can hit deleted files mid-scan (true reader-concurrent
+   * compaction needs a manifest/metastore layer, out of scope here; the
+   * keyed store's `_graft_index` tables get it from [[graft.store
+   * .KeyedStore.compact]]'s in-place small-run merges instead). A crash
+   * between the renames leaves the old table intact under
+   * `<table>__old` — recover by renaming it back. Row multisets are
+   * untouched (the spec asserts multiset equality), so every from-pairs
+   * report is oblivious to when compaction ran.
    */
   def compactPairs(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 8): Unit = {
@@ -569,6 +615,7 @@ object Dedup {
         throw new java.io.IOException(s"compactPairs: cannot retire $live")
       if (!fs.rename(staged, live)) {
         fs.rename(trash, live) // roll back: the old table stays live
+        fs.delete(staged, true)
         throw new java.io.IOException(s"compactPairs: cannot swap in $staged")
       }
       fs.delete(trash, true)

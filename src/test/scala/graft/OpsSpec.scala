@@ -1390,6 +1390,19 @@ class OpsSpec extends SparkSpec {
     val oneShot = Dedup.dedupeAgainstIndex(spark, b2, path2, "id", "text")
       .collect().map(_.getLong(0)).toSet
     assert(oneShot == s2, "append ≠ one-shot rebuild")
+    // the FUSED step (one shingle pass) ≡ dedupe-then-append: same day-1
+    // survivors, same day-2 behavior against the grown index — and no
+    // self-match (the drop set materializes before the batch's own bands
+    // land in the index)
+    val path3 = java.nio.file.Files.createTempDirectory("graft_idx_fuse")
+      .toString + "/i"
+    Dedup.writeNearDupIndex(corpus, "id", "text", path3)
+    val f1 = Dedup.ingestBatch(spark, b1, path3, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(f1 == Set(11L), s"fused day-1 survivors: $f1")
+    val f2 = Dedup.ingestBatch(spark, b2, path3, "id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(f2 == s2, s"fused ≠ dedupe+append: $f2 vs $s2")
   }
 
   test("compactPairs: file counts shrink, row multisets and every " +
