@@ -238,12 +238,16 @@ object Dedup {
    * dedups against the index without re-reading, re-shingling, or
    * re-signing a byte of the 100 TB reference.
    *
-   * Layout: `path/bands` = the (band, bsig, id) collision keys (plain
-   * parquet — every probe touches every band, so there is nothing to prune
-   * by); `path/docs` = (key=id, th) through the graft INDEXED layout
+   * Layout: `path/bands` = the (band, bsig, id) collision keys, a
+   * [[graft.store.ManifestTable]] (plain parquet behind a manifest pointer
+   * — every probe touches every band, so there is nothing to prune by, but
+   * daily appends need [[compactNearDupIndex]] to run under in-flight
+   * probes); `path/docs` = (key=id, th) through the graft INDEXED layout
    * (range-sorted, sidecar-indexed), so the verification step's id join
    * reads only the FILES containing candidate ids (connector runtime split
-   * pruning) instead of scanning the corpus's shingle sets.
+   * pruning) instead of scanning the corpus's shingle sets. `path/
+   * tombstones` (created by [[removeFromNearDupIndex]]) lists ids whose
+   * band rows are dead until the next compaction purges them.
    */
   def writeNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 128,
@@ -252,10 +256,11 @@ object Dedup {
     // read and shingled once (writes are actions — no Eager wrapper needed)
     val hashed = hashedShingles(corpus, idCol, textCol, shingleSize).persist()
     try {
-      bandRows(hashed, numHashes, rowsPerBand)
-        .write.mode("overwrite").parquet(path + "/bands")
+      graft.store.ManifestTable.write(
+        bandRows(hashed, numHashes, rowsPerBand), path + "/bands")
       graft.store.KeyedStore.writeIndexed(
         hashed.select(col("id").as("key"), col("th")), path + "/docs", "key")
+      clearTombstones(corpus.sparkSession, path)
     } finally hashed.unpersist(blocking = false)
   }
 
@@ -268,16 +273,25 @@ object Dedup {
    * the keyed shingle-set side goes through the store's index-pruned
    * upsert — only the range files a new key lands in are rewritten, the
    * rest of the corpus (and its index entries) untouched. Run
-   * [[graft.store.KeyedStore.compact]] on `path/docs` when append counts
-   * grow the file population.
+   * [[compactNearDupIndex]] when append counts grow the file population.
+   *
+   * Crash/retry contract: the two writes are separate actions. A failure
+   * BETWEEN them leaves band rows whose shingle sets are missing — those
+   * candidates silently fail verification, so the index UNDER-drops until
+   * repaired; a blind re-run after a mid-sequence failure double-appends
+   * the batch's band rows (harmless to correctness — duplicate candidates
+   * collapse in the probe's dropDuplicates — but it inflates the candidate
+   * join). Recover either way by re-running [[writeNearDupIndex]] over the
+   * full corpus, or by [[removeFromNearDupIndex]] on the batch ids followed
+   * by a clean re-append.
    */
   def appendNearDupIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 128,
       rowsPerBand: Int = 4): Unit = {
     val hashed = hashedShingles(batch, idCol, textCol, shingleSize).persist()
     try {
-      bandRows(hashed, numHashes, rowsPerBand)
-        .write.mode("append").parquet(path + "/bands")
+      graft.store.ManifestTable.append(
+        bandRows(hashed, numHashes, rowsPerBand), path + "/bands")
       graft.store.KeyedStore.upsertIndexed(batch.sparkSession, path + "/docs",
         hashed.select(col("id").as("key"), col("th")))
     } finally hashed.unpersist(blocking = false)
@@ -314,11 +328,20 @@ object Dedup {
       hb: DataFrame, path: String, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val bandsB = bandRows(hb, numHashes, rowsPerBand)
-    val bandsC = spark.read.parquet(path + "/bands")
-    val cand = bandsB.alias("n").join(bandsC.alias("c"),
+    val bandsC = graft.store.ManifestTable.read(spark, path + "/bands")
+    val candAll = bandsB.alias("n").join(bandsC.alias("c"),
         col("n.band") === col("c.band") && col("n.bsig") === col("c.bsig"))
       .select(col("n.id").as("batch_id"), col("c.id").as("corpus_id"))
       .dropDuplicates("batch_id", "corpus_id")
+    // tombstoned corpus ids ([[removeFromNearDupIndex]]) veto nothing: the
+    // anti-join kills their candidacies before any shingle file is read
+    // (band rows purge physically at the next [[compactNearDupIndex]]).
+    // The candidate side is near-dup-sized, the tombstone side broadcast.
+    val cand =
+      if (!graft.store.ManifestTable.exists(spark, path + "/tombstones")) candAll
+      else candAll.join(
+        broadcast(graft.store.ManifestTable.read(spark, path + "/tombstones")),
+        col("corpus_id") === col("id"), "left_anti")
     // candidate corpus ids (8 bytes each) broadcast against the keyed
     // layout: the connector's runtime filtering prunes to the files whose
     // key range holds a candidate — the shingle arrays of non-candidates
@@ -343,6 +366,16 @@ object Dedup {
    * MATERIALIZED (checkpointed) before anything appends — otherwise the
    * lazily-evaluated candidate join would re-read the band table AFTER the
    * batch's own bands landed and every surviving doc would match itself.
+   *
+   * Crash/retry contract: after the drop set materializes this runs TWO
+   * separate append actions (bands, then the keyed upsert). A failure
+   * between them leaves band rows with no shingle set — candidates that
+   * silently fail verification, UNDER-dropping future near-copies of the
+   * stranded survivors; a blind re-run of the whole step double-appends
+   * the survivors' band rows (correct answers — duplicate candidacies
+   * collapse in the probe — but an inflated candidate join). Recover by
+   * [[removeFromNearDupIndex]] on the batch's ids and re-running the
+   * ingest, or by rebuilding via [[writeNearDupIndex]].
    */
   def ingestBatch(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, path: String, idCol: String, textCol: String,
@@ -354,14 +387,82 @@ object Dedup {
         indexDropIds(spark, hb, path, numHashes, rowsPerBand, threshold))
       val hs = hb.join(dropped.select(col("batch_id").as("id")),
         Seq("id"), "left_anti")
-      bandRows(hs, numHashes, rowsPerBand)
-        .write.mode("append").parquet(path + "/bands")
+      graft.store.ManifestTable.append(
+        bandRows(hs, numHashes, rowsPerBand), path + "/bands")
       graft.store.KeyedStore.upsertIndexed(spark, path + "/docs",
         hs.select(col("id").as("key"), col("th")))
       batch.join(dropped.select(col("batch_id").as(idCol)),
         Seq(idCol), "left_anti")
     } finally hb.unpersist(blocking = false)
   }
+
+  /**
+   * Delete documents from a [[writeNearDupIndex]]ed layout — the takedown /
+   * opt-out verb the daily ingest loop depends on (reference delete
+   * surface: DeleteOp.scala:21-39 on the keyed store; this is its analogue
+   * on the derived index): without it a removed doc keeps VETOING every
+   * future near-copy through [[dedupeAgainstIndex]] forever. Two effects,
+   * immediately visible to the next probe:
+   *
+   *  - `ids` append to the `path/tombstones` manifest table; every
+   *    candidate probe anti-joins its corpus side against them, so a
+   *    tombstoned doc stops matching at once (its band rows purge
+   *    physically at the next [[compactNearDupIndex]]).
+   *  - the shingle sets delete from `path/docs` through the store's
+   *    index-pruned delete — only the range files containing a deleted key
+   *    rewrite.
+   *
+   * Re-adding the SAME id later requires a [[compactNearDupIndex]] first
+   * (the tombstone would veto the re-added doc's candidacies); re-ingesting
+   * equivalent content under a NEW id needs nothing.
+   *
+   * `ids`: one column of document ids (any name).
+   */
+  def removeFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit = {
+    val keys = ids.select(col(ids.columns.head).as("id"))
+    graft.store.ManifestTable.append(keys, path + "/tombstones")
+    graft.store.KeyedStore.deleteIndexed(spark, path + "/docs",
+      keys.select(col("id").as("key")))
+  }
+
+  /**
+   * Compaction for the [[writeNearDupIndex]] layout — the lifecycle step
+   * after N daily [[ingestBatch]]/[[appendNearDupIndex]] rounds, each of
+   * which leaves one more small file set on the band table EVERY probe
+   * must fully scan: rewrites `path/bands` to `targetFiles` files with all
+   * tombstoned ids purged ([[removeFromNearDupIndex]]), clears the applied
+   * tombstones, and runs the keyed store's minor compaction on
+   * `path/docs`. Band-side safety under readers comes from the manifest
+   * layout (any probe concurrent with ONE compaction keeps its files —
+   * [[graft.store.ManifestTable]] contract); a crash between the band
+   * rewrite and the tombstone clear is benign (the tombstones re-apply to
+   * ids that no longer exist — a no-op anti-join — and the next compaction
+   * clears them). Probe results are unaffected by WHEN this runs
+   * (spec + q222 assert hash equality through it).
+   */
+  def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 8): Unit = {
+    import graft.store.ManifestTable
+    val hasTombs = ManifestTable.exists(spark, path + "/tombstones")
+    ManifestTable.compact(spark, path + "/bands", targetFiles,
+      bands =>
+        if (!hasTombs) bands
+        else bands.join(
+          broadcast(ManifestTable.read(spark, path + "/tombstones")
+            .select(col("id").as("__tomb_id"))),
+          col("id") === col("__tomb_id"), "left_anti"))
+    if (hasTombs) clearTombstones(spark, path)
+    graft.store.KeyedStore.compact(spark, path + "/docs"): Unit
+  }
+
+  /** Reset `path/tombstones` to empty, preserving its id schema. */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    if (graft.store.ManifestTable.exists(spark, path + "/tombstones"))
+      graft.store.ManifestTable.write(
+        graft.store.ManifestTable.read(spark, path + "/tombstones").limit(0),
+        path + "/tombstones")
 
   /**
    * Soft dedup: keep EVERY copy, shrink its sampling weight so each
@@ -488,14 +589,19 @@ object Dedup {
     val spark = df.sparkSession
     // ONE text scan: persist the postings first, then mine the pairs from
     // the PERSISTED copy — the shingle pass (the dominant cost) runs once,
-    // and the postings sidecar [[appendPairs]] needs falls out of it
-    hashedShingles(df, idCol, textCol, shingleSize)
-      .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
-      .write.mode("overwrite").parquet(path + "/postings")
-    pairsFromPostings(spark.read.parquet(path + "/postings"),
-        minJaccard, maxDf)
-      .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
-      .write.mode("overwrite").parquet(path + "/pairs")
+    // and the postings sidecar [[appendPairs]] needs falls out of it.
+    // Both subdirs are [[graft.store.ManifestTable]]s, so [[compactPairs]]
+    // and [[prunePairs]] rewrite them under in-flight readers.
+    graft.store.ManifestTable.write(
+      hashedShingles(df, idCol, textCol, shingleSize)
+        .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s")),
+      path + "/postings")
+    graft.store.ManifestTable.write(
+      pairsFromPostings(
+          graft.store.ManifestTable.read(spark, path + "/postings"),
+          minJaccard, maxDf)
+        .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter")),
+      path + "/pairs")
   }
 
   /** Read a [[writePairs]] table back at `threshold`, reconstructing the
@@ -504,7 +610,7 @@ object Dedup {
     * reports cannot diverge from the inline path. */
   def readPairs(spark: org.apache.spark.sql.SparkSession, path: String,
       threshold: Double = 0.8): DataFrame =
-    spark.read.parquet(path + "/pairs")
+    graft.store.ManifestTable.read(spark, path + "/pairs")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
@@ -540,7 +646,7 @@ object Dedup {
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
       .persist()
     try {
-      val all = spark.read.parquet(path + "/postings")
+      val all = graft.store.ManifestTable.read(spark, path + "/postings")
         .withColumn("is_new", lit(false))
         .unionByName(np.withColumn("is_new", lit(true)))
       // only shingles the batch touches do any pair work; the combined-df
@@ -558,7 +664,7 @@ object Dedup {
         col("is_new").as("new_r"))
       // (new, old) pairs once; (new, new) once via the id order; old×old
       // never — that evidence is already on disk
-      l.join(r, Seq("s"))
+      graft.store.ManifestTable.append(l.join(r, Seq("s"))
         .where(col("id_l") =!= col("id_r") &&
           (!col("new_r") || col("id_l") < col("id_r")))
         .select(
@@ -573,9 +679,10 @@ object Dedup {
         .withColumn("jaccard", col("inter").cast("double") /
           (col("n_a") + col("n_b") - col("inter")))
         .where(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter"))
-        .write.mode("append").parquet(path + "/pairs")
-      np.write.mode("append").parquet(path + "/postings")
+        .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter")),
+        path + "/pairs")
+      graft.store.ManifestTable.append(np.select(col("id"), col("n"), col("s")),
+        path + "/postings")
     } finally np.unpersist(blocking = false)
   }
 
@@ -583,44 +690,44 @@ object Dedup {
    * Compaction for a [[writePairs]]/[[appendPairs]] layout — the lifecycle
    * step after N daily appends: each append adds one small file set to
    * `path/pairs` and `path/postings`, and a year of ingest turns every
-   * [[readPairs]] into a thousand-file open storm. Each table rewrites to
-   * `targetFiles` files in a staging directory and swaps in via two
-   * renames (old → trash, staged → live, trash deleted last), with a
-   * rollback if the swap-in fails. NOT safe under concurrent readers —
-   * run it in the ingest maintenance window, like any file-level
-   * compaction over plain parquet: a Spark job planning between the two
-   * renames sees a missing directory, and one that listed files before
-   * the swap can hit deleted files mid-scan (true reader-concurrent
-   * compaction needs a manifest/metastore layer, out of scope here; the
-   * keyed store's `_graft_index` tables get it from [[graft.store
-   * .KeyedStore.compact]]'s in-place small-run merges instead). A crash
-   * between the renames leaves the old table intact under
-   * `<table>__old` — recover by renaming it back. Row multisets are
-   * untouched (the spec asserts multiset equality), so every from-pairs
-   * report is oblivious to when compaction ran.
+   * [[readPairs]] into a thousand-file open storm. Both subdirs are
+   * [[graft.store.ManifestTable]]s: compaction writes the next generation
+   * completely, swaps the manifest pointer, and retains the previous
+   * generation for one more cycle — so, unlike the two-rename compactor
+   * this replaced (round ≤ 10), any reader concurrent with ONE compaction
+   * keeps every file it planned against (the spec drives a read across the
+   * swap). A crash at any point leaves a readable table (ManifestTable
+   * contract). Row multisets are untouched (spec-asserted multiset
+   * equality), so every from-pairs report is oblivious to when compaction
+   * ran.
    */
   def compactPairs(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFiles: Int = 8): Unit = {
-    require(targetFiles > 0, "targetFiles must be positive")
-    val conf = spark.sparkContext.hadoopConfiguration
+      targetFiles: Int = 8): Unit =
     Seq("pairs", "postings").foreach { sub =>
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      val fs = live.getFileSystem(conf)
-      val staged = new org.apache.hadoop.fs.Path(s"$path/${sub}__compact")
-      val trash = new org.apache.hadoop.fs.Path(s"$path/${sub}__old")
-      spark.read.parquet(live.toString).coalesce(targetFiles)
-        .write.mode("overwrite").parquet(staged.toString)
-      fs.delete(trash, true)
-      if (!fs.rename(live, trash))
-        throw new java.io.IOException(s"compactPairs: cannot retire $live")
-      if (!fs.rename(staged, live)) {
-        fs.rename(trash, live) // roll back: the old table stays live
-        fs.delete(staged, true)
-        throw new java.io.IOException(s"compactPairs: cannot swap in $staged")
-      }
-      fs.delete(trash, true)
+      graft.store.ManifestTable.compact(spark, s"$path/$sub", targetFiles)
     }
-  }
+
+  /**
+   * Retention rewrite for a [[writePairs]] table — IRREVERSIBLE: drop every
+   * stored pair whose exact Jaccard falls below a RAISED floor
+   * `newMinJaccard`, so a year-old pair table stops carrying the 0.2-floor
+   * long tail no report reads (the tail dominates row count: near-dup pair
+   * populations grow fast as the threshold drops). The filter is the same
+   * IEEE quotient-and-≥ [[readPairs]] applies, so the pruned table is
+   * row-identical to a fresh [[writePairs]] mine at `newMinJaccard`
+   * (spec-asserted) and every [[readPairs]] at `threshold ≥ newMinJaccard`
+   * is unchanged. Postings are untouched — they serve [[appendPairs]],
+   * which should be called with the raised floor from here on (appending
+   * at a lower floor than the prune re-grows the tail for new pairs only).
+   * Runs through the manifest layout: safe under one concurrent reader,
+   * like [[compactPairs]].
+   */
+  def prunePairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      newMinJaccard: Double, targetFiles: Int = 8): Unit =
+    graft.store.ManifestTable.compact(spark, path + "/pairs", targetFiles,
+      pairs => pairs.where(
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
+          >= newMinJaccard))
 
   /**
    * Per-source dedup impact report from a candidate pair table — what a

@@ -632,11 +632,11 @@ object Sampling {
    * cross-group carry invalidated by a group-equality check. Identical
    * results either way (the spec asserts it row-for-row). The probe is an
    * EXTRA capped-distinct pass over the (group) projection executed
-   * eagerly per call — negligible next to the matching job, but a caller
-   * invoking this in a loop (or benchmarking the operator alone) should
-   * pin `global = Some(true/false)` and skip it; group cardinality rarely
-   * changes between calls. Only (id, group, value, flag) ever moves in
-   * either plan.
+   * eagerly — but its verdict is CACHED per (canonicalized input plan,
+   * partition cap), so a report loop re-invoking this on the same frame
+   * pays it once per session (spec-asserted); pin `global =
+   * Some(true/false)` to skip even the first probe when group cardinality
+   * is known. Only (id, group, value, flag) ever moves in either plan.
    */
   def matchedControls(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, treatedCol: String,
@@ -649,11 +649,36 @@ object Sampling {
       // capped probe: "are there fewer groups than shuffle partitions?" —
       // the limit bounds the distinct work; the answer picks the plan
       val cap = df.sparkSession.sessionState.conf.numShufflePartitions
-      base.select(col("group")).distinct().limit(cap + 1).count() <= cap
+      val key = (base.queryExecution.logical.canonicalized.hashCode(), cap)
+      Option(routeCache.get(key)).map(_.booleanValue()).getOrElse {
+        routeProbeRuns.incrementAndGet()
+        val verdict =
+          base.select(col("group")).distinct().limit(cap + 1).count() <= cap
+        routeCache.put(key, java.lang.Boolean.valueOf(verdict))
+        verdict
+      }
     }
     if (useGlobal) matchedControlsRanged(base)
     else matchedControlsWindowed(base)
   }
+
+  /** Session-lifetime routing-verdict cache for [[matchedControls]], keyed
+    * on (canonicalized logical plan hash, shuffle-partition cap): the probe
+    * answers "how many strata does THIS frame have", which is a property of
+    * the plan, not the call site. Canonicalization strips cosmetic ids, so
+    * re-built identical frames hit too. Access-ordered, capped at 256
+    * entries — a hash collision can only mis-route the PLAN choice, never
+    * change results (both plans are row-identical by the spec). */
+  private val routeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(Int, Int), java.lang.Boolean](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, Int), java.lang.Boolean]): Boolean =
+          size() > 256
+      })
+
+  /** Probe executions (not cache hits) — spec observability. */
+  private[graft] val routeProbeRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** The many-strata plan: per-group window sort (see [[matchedControls]]). */
   private def matchedControlsWindowed(base: DataFrame): DataFrame = {

@@ -281,12 +281,28 @@ object Similarity {
     * degrades the layout silently (hot cells erode the nProbe/k pruning
     * ratio). Gate a live index with [[ivfLayoutHealth]] after each append
     * and retrain + rewrite when the occupancy report crosses your skew
-    * budget. Compact small appended files with the keyed-store compaction
-    * discipline when file counts grow. */
+    * budget. Run [[compactIvfCorpus]] when append counts grow each cell's
+    * file population. */
   def appendIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, cents: Array[Array[Double]]): Unit =
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
       .write.partitionBy("cell").mode("append").parquet(path)
+
+  /** File-count compaction for a [[writeIvfCorpus]] layout — every
+    * [[appendIvfCorpus]] lands one more small file set inside each touched
+    * `cell=` directory, and the probe's partition-pruned scan pays the
+    * open storm. Each cell directory holding more than `targetFiles`
+    * parquet files rewrites independently ([[graft.store.Compaction]]'s
+    * stage-and-swap; cells parallelize, a crash strands at most one cell
+    * with its `__old` twin for recovery). Rows and cell assignment are
+    * untouched — the partition value lives in the directory name — so
+    * probe results are oblivious to when this ran (q216 + spec). NOT
+    * reader-concurrent: run in the ingest maintenance window (the
+    * partitioned-root reader has no manifest indirection hook — see
+    * [[graft.store.Compaction]]). Returns cells rewritten. */
+  def compactIvfCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 4): Int =
+    graft.store.Compaction.compactPartitions(spark, path, targetFiles)
 
   /** [[ivfIndexHealth]] over a PERSISTED [[writeIvfCorpus]] layout — the
     * post-append drift gate: no re-assignment runs (the layout's partition

@@ -688,12 +688,34 @@ object TextOps {
     * time from the postings themselves, so the very next
     * [[bm25TopKFromIndex]] probe scores old + new with exactly the
     * arithmetic a from-scratch rebuild would use. The old stats row is one
-    * driver-side read (bounded: a single row) because a path cannot be
-    * overwritten while a live plan still reads it. */
+    * driver-side read (bounded: a single row).
+    *
+    * Crash contract: the merged stats sidecar is STAGED before the
+    * postings append and swapped in (delete + rename — two metadata ops)
+    * after it, so a crash anywhere up to the swap leaves the OLD
+    * consistent index (plus an inert staged dir the next append
+    * overwrites); a crash INSIDE the swap leaves `stats` missing — the
+    * next probe fails LOUDLY instead of silently skewing idf/avgdl, and
+    * recovery is renaming `stats__staged` in (or rebuilding via
+    * [[writeBm25Index]]). A crash BETWEEN the postings append and the swap
+    * is the one silent window (old stats + new postings: every probe
+    * under-counts N and Σdl until the swap completes) — it spans only the
+    * two renames, and re-running the append from scratch double-appends
+    * postings, so recover by completing the swap, not by retrying. */
   def appendBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = df.sparkSession
+    val old = spark.read.parquet(path + "/stats")
+      .select(col("n_docs"), col("sum_dl")).head()
+    // stage the merged sidecar FIRST: computed from old stats + this batch,
+    // it is correct to swap in exactly once the postings append commits
+    df.select(col(idCol).as("id"),
+        token_count(lower(col(textCol))).cast("bigint").as("dl"))
+      .agg((count(lit(1)) + lit(old.getLong(0))).as("n_docs"),
+        (coalesce(sum(col("dl")), lit(0L)) +
+          lit(if (old.isNullAt(1)) 0L else old.getLong(1))).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "/stats__staged")
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
         explode(col("tk")).as("term"))
@@ -702,15 +724,27 @@ object TextOps {
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
       .write.partitionBy("bucket").mode("append").parquet(path + "/postings")
-    val old = spark.read.parquet(path + "/stats")
-      .select(col("n_docs"), col("sum_dl")).head()
-    df.select(col(idCol).as("id"),
-        token_count(lower(col(textCol))).cast("bigint").as("dl"))
-      .agg((count(lit(1)) + lit(old.getLong(0))).as("n_docs"),
-        (coalesce(sum(col("dl")), lit(0L)) +
-          lit(if (old.isNullAt(1)) 0L else old.getLong(1))).as("sum_dl"))
-      .write.mode("overwrite").parquet(path + "/stats")
+    val statsPath = new org.apache.hadoop.fs.Path(path + "/stats")
+    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(statsPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(path + "/stats__staged"), statsPath))
+      throw new java.io.IOException(
+        s"appendBm25Index: cannot swap in staged stats at $path")
   }
+
+  /** File-count compaction for a [[writeBm25Index]] layout — every
+    * [[appendBm25Index]] lands one more small file set inside each term
+    * bucket's directory, and a query's |terms|-directory pruned scan pays
+    * the open storm. Each `bucket=` directory holding more than
+    * `targetFiles` parquet files rewrites independently
+    * ([[graft.store.Compaction]] stage-and-swap — crash strands at most
+    * one bucket, recoverable from its `__old` twin); rows, bucketing, and
+    * the stats sidecar are untouched, so scores are oblivious to when this
+    * ran (q217 + spec). NOT reader-concurrent: maintenance window. Returns
+    * buckets rewritten. */
+  def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFiles: Int = 4): Int =
+    graft.store.Compaction.compactPartitions(spark, path + "/postings", targetFiles)
 
   /** BM25 top-k over a [[writeBm25Index]] layout. Each query term's bucket is
     * computed on the DRIVER (the md5_prefix60 twin), so the probe is a

@@ -1,0 +1,72 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+
+/**
+ * File-count compaction for PARTITION-directory parquet layouts — the
+ * lifecycle step [[graft.ops.Similarity.appendIvfCorpus]] and
+ * [[graft.ops.TextOps.appendBm25Index]] were missing: every append lands one
+ * more small file set inside each touched `cell=`/`bucket=` directory, and a
+ * year of daily ingest turns each probe's partition-pruned scan into an
+ * open storm over hundreds of tiny files.
+ *
+ * Each leaf directory compacts INDEPENDENTLY (read → coalesce → staged dir →
+ * two-rename swap), so at cluster scale the per-directory jobs parallelize
+ * and a failure strands at most one directory — recoverable from its
+ * `__old` twin. Rows are untouched; partition values live in the directory
+ * NAME, so rewriting a leaf's files never changes what a partitioned read
+ * reconstructs (spec-asserted).
+ *
+ * NOT reader-concurrent (unlike [[ManifestTable]]): a query planning against
+ * the partitioned root between a leaf's two renames sees that directory
+ * missing, and one that listed files before the swap can hit deleted files
+ * mid-scan. Run it in the ingest maintenance window. (The manifest trick
+ * doesn't transplant directly: the partition-pruning reader is
+ * `spark.read.parquet(root)` with directory-name discovery, which has no
+ * indirection hook short of a DSv2 connector — the keyed store's
+ * `_graft_index` path — so the partitioned layouts keep the
+ * maintenance-window contract and the plain layouts graduate to manifests.)
+ */
+object Compaction {
+
+  /** Compact ONE parquet leaf directory to `targetFiles` files if it holds
+    * more than that; returns whether a rewrite ran. Crash between the two
+    * renames leaves the original intact under `<dir>__old` — recover by
+    * renaming it back. */
+  def compactLeafDir(spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val live = new Path(dir)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val nFiles = fs.listStatus(live)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (nFiles <= targetFiles) return false
+    val staged = new Path(dir + "__compact")
+    val trash = new Path(dir + "__old")
+    spark.read.parquet(dir).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(staged.toString)
+    fs.delete(trash, true)
+    if (!fs.rename(live, trash))
+      throw new java.io.IOException(s"compactLeafDir: cannot retire $live")
+    if (!fs.rename(staged, live)) {
+      fs.rename(trash, live) // roll back: the old directory stays live
+      fs.delete(staged, true)
+      throw new java.io.IOException(s"compactLeafDir: cannot swap in $staged")
+    }
+    fs.delete(trash, true)
+    true
+  }
+
+  /** Compact every `name=value` partition directory under `root` that holds
+    * more than `targetFiles` parquet files; returns how many directories
+    * were rewritten. Single-level partitioning (the IVF `cell=` and BM25
+    * `bucket=` layouts). */
+  def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return 0
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.contains("=") && !p.getName.startsWith("."))
+      .count(p => compactLeafDir(spark, p.toString, targetFiles))
+  }
+}

@@ -1,0 +1,189 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+
+/**
+ * Manifest-pointer layout for an append-heavy plain parquet table — the
+ * minimal metastore-free answer to "compact under concurrent readers"
+ * (reference lifecycle: the HBase compactions behind `HbaseTable.scala`'s
+ * store happen server-side and invisibly to scanners; a file-level engine
+ * has to build the same invisibility itself):
+ *
+ * {{{
+ *   <table>/MANIFEST        one line: the live generation's dir name
+ *   <table>/gen-<n>/        parquet files of generation n
+ * }}}
+ *
+ * Readers resolve the live generation through MANIFEST at PLANNING time and
+ * then scan only that directory; writers append files into the live
+ * generation; compaction writes the next generation COMPLETELY, swaps the
+ * MANIFEST pointer, and only then retires old generations. The previous
+ * generation is always RETAINED through one more cycle, so a plan that
+ * resolved just before the swap keeps every file it listed:
+ *
+ *  - **Reader-concurrency contract**: any read is safe while at most ONE
+ *    rewrite ([[compact]] or [[write]]) completes underneath it. A reader
+ *    spanning TWO rewrites can lose its generation (the second retires it)
+ *    — run back-to-back rewrites only when scans in flight at the first
+ *    have drained. This is the documented lift of the old two-rename
+ *    compactor's "not safe under concurrent readers at all".
+ *  - **Crash safety**: every step leaves a readable table. A crash before
+ *    the MANIFEST swap leaves an orphaned next-generation dir (retired by
+ *    the next rewrite); a crash INSIDE the swap (between delete and
+ *    rename) is healed by the resolver's fallback — no MANIFEST means
+ *    "newest complete generation wins", and the newest generation is fully
+ *    written before the swap ever starts.
+ *  - **Legacy interop**: a directory of flat parquet files (no MANIFEST)
+ *    reads as generation-less; the first [[write]] migrates it to the
+ *    manifest layout.
+ */
+object ManifestTable {
+  private val ManifestName = "MANIFEST"
+  private val GenPrefix = "gen-"
+
+  private def fsOf(spark: SparkSession, table: String): (org.apache.hadoop.fs.FileSystem, Path) = {
+    val p = new Path(table)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def genDirs(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith(GenPrefix)).toSeq.sorted
+
+  private def genNum(name: String): Int = name.stripPrefix(GenPrefix).toInt
+
+  /** The live generation dir name: MANIFEST if present, else the newest
+    * complete generation (the crash-heal fallback), else None (legacy flat
+    * layout or absent table). */
+  def liveGen(spark: SparkSession, table: String): Option[String] = {
+    val (fs, dir) = fsOf(spark, table)
+    val mf = new Path(dir, ManifestName)
+    val pointed =
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        try {
+          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          Some(s).filter(g => g.startsWith(GenPrefix) && fs.exists(new Path(dir, g)))
+        } finally in.close()
+      }
+    pointed.orElse(genDirs(fs, dir).lastOption)
+  }
+
+  /** The path a reader should scan: the live generation dir, or the table
+    * dir itself for a legacy flat layout. */
+  def resolve(spark: SparkSession, table: String): String =
+    liveGen(spark, table).map(g => s"$table/$g").getOrElse(table)
+
+  def exists(spark: SparkSession, table: String): Boolean = {
+    val (fs, dir) = fsOf(spark, table)
+    fs.exists(dir)
+  }
+
+  /** Read the live generation (or the legacy flat files). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    spark.read.parquet(resolve(spark, table))
+
+  /** Point MANIFEST at `gen`. The delete+rename pair is not atomic; the
+    * missing-MANIFEST window is healed by [[liveGen]]'s newest-generation
+    * fallback (the target generation is always the newest by the time this
+    * runs). */
+  private def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String): Unit = {
+    val tmp = new Path(dir, ManifestName + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, true)
+    try out.write((gen + "\n").getBytes("UTF-8")) finally out.close()
+    val mf = new Path(dir, ManifestName)
+    fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(s"ManifestTable: cannot commit $mf -> $gen")
+  }
+
+  /** Retire every generation except `live` and the generation that was
+    * live just before it — the keep-one-back discipline that funds the
+    * reader-concurrency contract. Orphaned generations from interrupted
+    * rewrites (written but never committed) are swept here too, as are
+    * MANIFEST tmp files from interrupted commits. */
+  private def retire(fs: org.apache.hadoop.fs.FileSystem, dir: Path, live: String,
+      prevLive: Option[String]): Unit = {
+    val keep = Set(live) ++ prevLive
+    genDirs(fs, dir).filterNot(keep).foreach(g => fs.delete(new Path(dir, g), true))
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(_.getName.startsWith(ManifestName + ".tmp-"))
+      .foreach(fs.delete(_, false))
+  }
+
+  /** Overwrite the table: write a fresh generation, swap, retire older
+    * generations (keeping the previous live one for in-flight readers).
+    * Migrating a legacy flat layout drops its flat data files — write has
+    * always meant overwrite. */
+  def write(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    val (fs, dir) = fsOf(spark, table)
+    val prevLive = liveGen(spark, table)
+    val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    df.write.mode("overwrite").parquet(s"$table/$next")
+    // legacy flat data files (pre-manifest layout) are superseded by this
+    // overwrite; MANIFEST does not exist yet in that case, so no reader
+    // resolves to them after the commit below
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => !p.getName.startsWith(ManifestName) && !p.getName.startsWith("."))
+      .foreach(fs.delete(_, false))
+    commit(fs, dir, next)
+    retire(fs, dir, next, prevLive)
+  }
+
+  /** Append into the live generation — the ingest-loop fast path: one more
+    * parquet file set lands next to the existing ones, no manifest churn.
+    * On a legacy flat layout (or an absent table) this establishes the
+    * manifest layout first. */
+  def append(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    liveGen(spark, table) match {
+      case Some(g) => df.write.mode("append").parquet(s"$table/$g")
+      case None =>
+        val (fs, dir) = fsOf(spark, table)
+        if (fs.exists(dir) && fs.listStatus(dir).exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))) {
+          // legacy flat layout: append in place, stay generation-less
+          df.write.mode("append").parquet(table)
+        } else write(df, table)
+    }
+  }
+
+  /** Count the data files in the live generation (the open-storm metric the
+    * compaction exists to bound). */
+  def dataFileCount(spark: SparkSession, table: String): Int = {
+    val (fs, _) = fsOf(spark, table)
+    val p = new Path(resolve(spark, table))
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /**
+   * Compact the table to `targetFiles` files: read the live generation,
+   * apply `transform` (identity for pure compaction; a filter for
+   * retention rewrites like [[graft.ops.Dedup.prunePairs]]), write the
+   * next generation, swap the pointer, retire everything older than the
+   * previous generation. Safe under readers per the class contract: any
+   * scan concurrent with ONE compaction keeps its files.
+   */
+  def compact(spark: SparkSession, table: String, targetFiles: Int = 8,
+      transform: DataFrame => DataFrame = identity): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    val (fs, dir) = fsOf(spark, table)
+    val live = liveGen(spark, table).getOrElse {
+      // legacy flat layout: migrate through a write, which is itself the
+      // compaction (flat files are read once and retired)
+      val df = transform(spark.read.parquet(table)).coalesce(targetFiles)
+      write(df, table)
+      return
+    }
+    val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    transform(spark.read.parquet(s"$table/$live")).coalesce(targetFiles)
+      .write.mode("overwrite").parquet(s"$table/$next")
+    commit(fs, dir, next)
+    retire(fs, dir, next, Some(live))
+  }
+}

@@ -1,0 +1,318 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Sampling, Similarity, TextOps}
+import graft.store.{Compaction, ManifestTable}
+
+/** Round-11 lifecycle hardening: manifest-pointer tables (reader-concurrent
+  * compaction), near-dup index compaction + deletion, partitioned-layout
+  * compaction (IVF / BM25), pair-table retention, and the matchedControls
+  * routing-probe cache. Every compaction/deletion test asserts the REPORT
+  * is oblivious to the maintenance op — same rows before and after. */
+class LifecycleSpec extends SparkSpec {
+  import spark.implicits._
+  _quiet
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def canon(df: DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq.toVector: Seq[Any]).toSet
+
+  private def multiset(df: DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq.toVector: Seq[Any]).groupBy(identity)
+      .map { case (k, v) => (k: Seq[Any]) -> v.length }
+
+  private def parquetFiles(dir: String): Int = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+  }
+
+  // ---------------------------------------------------------------- manifest
+
+  test("ManifestTable: write/append/read roundtrip, compact preserves the " +
+      "row multiset and bounds the file count") {
+    val t = tmp("graft_mani") + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    assert(canon(ManifestTable.read(spark, t)) ==
+      Set(Seq(1L, "a"), Seq(2L, "b")))
+    (1 to 5).foreach { i =>
+      ManifestTable.append(Seq((10L + i, s"x$i")).toDF("id", "v"), t)
+    }
+    val before = multiset(ManifestTable.read(spark, t))
+    assert(before.size == 7)
+    assert(ManifestTable.dataFileCount(spark, t) > 2,
+      "appends should have accumulated files")
+    ManifestTable.compact(spark, t, targetFiles = 2)
+    assert(multiset(ManifestTable.read(spark, t)) == before,
+      "compaction changed the row multiset")
+    assert(ManifestTable.dataFileCount(spark, t) <= 2,
+      "compaction did not bound the live file count")
+  }
+
+  test("ManifestTable: a reader that planned before a compaction swap keeps " +
+      "its files (previous generation retained through one cycle)") {
+    val t = tmp("graft_mani_rc") + "/t"
+    ManifestTable.write(spark.range(100).select(col("id")), t)
+    (1 to 3).foreach(_ =>
+      ManifestTable.append(spark.range(100, 110).select(col("id")), t))
+    // plan NOW against the current generation (file listing resolved here)…
+    val planned = ManifestTable.read(spark, t)
+    val genBefore = ManifestTable.resolve(spark, t)
+    // …compact underneath it…
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(ManifestTable.resolve(spark, t) != genBefore,
+      "compaction should have advanced the live generation")
+    assert(new java.io.File(genBefore).exists,
+      "the reader's generation must survive one compaction (keep-one-back)")
+    // …and the pre-swap plan still scans every file it listed
+    assert(planned.count() == 130)
+    // the NEXT rewrite retires it — the documented one-cycle contract
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(!new java.io.File(genBefore).exists,
+      "a second rewrite should retire the two-generations-old dir")
+  }
+
+  test("ManifestTable: a missing MANIFEST heals to the newest complete " +
+      "generation (crash inside the commit swap)") {
+    val t = tmp("graft_mani_crash") + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), t)
+    ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), t)
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val rows = canon(ManifestTable.read(spark, t))
+    // simulate the crash window: MANIFEST deleted, nothing else touched
+    assert(new java.io.File(t, "MANIFEST").delete())
+    assert(canon(ManifestTable.read(spark, t)) == rows,
+      "fallback resolution must pick the newest complete generation")
+    // the next rewrite re-establishes the pointer
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(new java.io.File(t, "MANIFEST").exists)
+    assert(canon(ManifestTable.read(spark, t)) == rows)
+  }
+
+  // ------------------------------------------------- near-dup index lifecycle
+
+  private def docsDF: DataFrame = Seq(
+    (1L, "w1 w2 w3 w4 w5 w6"),            // corpus
+    (2L, "a1 a2 a3 a4 a5 a6"),            // corpus
+    (3L, "k1 k2 k3 k4 k5 k6"),            // corpus
+    (11L, "w1 w2 w3 w4 w5 w6"),           // batch: copy of 1
+    (12L, "a1 a2 a3 a4 a5 a6"),           // batch: copy of 2
+    (13L, "z1 z2 z3 z4 z5 z6"))           // batch: novel
+    .toDF("id", "text")
+
+  test("compactNearDupIndex: probe results oblivious to compaction; band " +
+      "file count shrinks after N ingest rounds") {
+    val docs = docsDF
+    val corpus = docs.where(col("id") <= 3)
+    val batchA = docs.where(col("id") === 13) // novel -> survives, appends
+    val probe = docs.where(col("id") === 11 || col("id") === 12)
+    def run(compact: Boolean): Set[Seq[Any]] = {
+      val path = tmp("graft_ndc") + "/idx"
+      Dedup.writeNearDupIndex(corpus, "id", "text", path, shingleSize = 2)
+      (1 to 3).foreach { i =>
+        // same novel content under fresh ids each day: survives day 1,
+        // drops on later days (near-dups the day-1 survivor) — either way
+        // each round appends files
+        val b = batchA.select((col("id") + lit(i * 100)).as("id"), col("text"))
+        Dedup.ingestBatch(spark, b, path, "id", "text", shingleSize = 2): Unit
+      }
+      if (compact) {
+        val nBefore = ManifestTable.dataFileCount(spark, path + "/bands")
+        Dedup.compactNearDupIndex(spark, path, targetFiles = 2)
+        val nAfter = ManifestTable.dataFileCount(spark, path + "/bands")
+        assert(nBefore > 2 && nAfter <= 2,
+          s"bands files $nBefore -> $nAfter: compaction must bound the count")
+      }
+      canon(Dedup.dedupeAgainstIndex(spark, probe, path, "id", "text",
+        shingleSize = 2))
+    }
+    val plain = run(compact = false)
+    val compacted = run(compact = true)
+    assert(plain == compacted, "probe must be oblivious to compaction")
+    assert(plain.isEmpty, "both probe docs are copies of corpus docs")
+  }
+
+  test("removeFromNearDupIndex: a deleted doc stops vetoing its future " +
+      "near-copies; non-deleted dups still drop; compaction purges the " +
+      "tombstoned band rows and clears the tombstones") {
+    val docs = docsDF
+    val path = tmp("graft_nddel") + "/idx"
+    Dedup.writeNearDupIndex(docs.where(col("id") <= 3), "id", "text", path,
+      shingleSize = 2)
+    // takedown: doc 1 removed from the index
+    Dedup.removeFromNearDupIndex(spark, path, Seq(1L).toDF("id"))
+    val probe = docs.where(col("id") >= 11)
+    val surv = canon(Dedup.dedupeAgainstIndex(spark, probe, path, "id", "text",
+      shingleSize = 2).select(col("id")))
+    // 11 (copy of deleted 1) survives; 12 (copy of live 2) drops; 13 novel
+    assert(surv == Set(Seq(11L), Seq(13L)), s"got $surv")
+    // physical purge at compaction: band rows for id 1 disappear,
+    // tombstones clear, probe verdicts unchanged
+    Dedup.compactNearDupIndex(spark, path, targetFiles = 1)
+    assert(!ManifestTable.read(spark, path + "/bands")
+      .where(col("id") === 1L).head(1).nonEmpty,
+      "compaction must purge tombstoned band rows")
+    assert(ManifestTable.read(spark, path + "/tombstones").isEmpty,
+      "applied tombstones must clear at compaction")
+    val surv2 = canon(Dedup.dedupeAgainstIndex(spark, probe, path, "id",
+      "text", shingleSize = 2).select(col("id")))
+    assert(surv2 == surv, "probe verdicts must not change across compaction")
+    // the same id can re-enter the index after the compaction cleared it
+    Dedup.appendNearDupIndex(docs.where(col("id") === 1), "id", "text", path,
+      shingleSize = 2)
+    val surv3 = canon(Dedup.dedupeAgainstIndex(spark, probe, path, "id",
+      "text", shingleSize = 2).select(col("id")))
+    assert(surv3 == Set(Seq(13L)), s"re-added doc must veto again: $surv3")
+  }
+
+  // ---------------------------------------------- partitioned-layout compaction
+
+  test("compactIvfCorpus: per-cell file counts shrink; partition-pruned " +
+      "probe results identical") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq(math.cos(i % 4).toFloat, math.sin(i % 4).toFloat,
+        (i % 7).toFloat / 7f)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", k = 3)
+    val path = tmp("graft_ivfc") + "/ivf"
+    Similarity.writeIvfCorpus(vecs.where(col("id") < 20), "id", "vec", path, cents)
+    (0 until 3).foreach(b =>
+      Similarity.appendIvfCorpus(
+        vecs.where(col("id") >= 20 && col("id") % 3 === b),
+        "id", "vec", path, cents))
+    val q = Seq(math.cos(1).toFloat, math.sin(1).toFloat, 0.3f)
+    val before = canon(Similarity.ivfTopKFromPartitioned(spark, path, "id",
+      "vec", q, 5, cents).select(col("id"), round(col("cos"), 5)))
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    val filesBefore = cellDirs.map(d => parquetFiles(d.toString)).sum
+    val rewritten = Similarity.compactIvfCorpus(spark, path, targetFiles = 1)
+    assert(rewritten > 0, "at least one appended cell should need compaction")
+    val filesAfter = cellDirs.map(d => parquetFiles(d.toString)).sum
+    assert(filesAfter < filesBefore,
+      s"file count must shrink: $filesBefore -> $filesAfter")
+    cellDirs.foreach(d => assert(parquetFiles(d.toString) <= 1,
+      s"${d.getName} still has ${parquetFiles(d.toString)} files"))
+    val after = canon(Similarity.ivfTopKFromPartitioned(spark, path, "id",
+      "vec", q, 5, cents).select(col("id"), round(col("cos"), 5)))
+    assert(after == before, "probe must be oblivious to compaction")
+  }
+
+  test("compactBm25Index: per-bucket file counts shrink; staged stats " +
+      "sidecar swap keeps scores identical to the from-scratch build") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"),
+      (5L, "spark spark spark merge window"), (6L, "unrelated words only"))
+      .toDF("id", "text")
+    val path = tmp("graft_bm25c") + "/bm25"
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    (3L to 6L).foreach(i =>
+      TextOps.appendBm25Index(docs.where(col("id") === i), "id", "text", path,
+        nBuckets = 4))
+    val q = Seq("spark", "window", "merge")
+    val direct = canon(TextOps.bm25TopK(docs, "id", "text", q, 10))
+    val appended = canon(TextOps.bm25TopKFromIndex(spark, path, q, 10,
+      nBuckets = 4))
+    assert(appended == direct, "append path must equal the direct scan")
+    val rewritten = TextOps.compactBm25Index(spark, path, targetFiles = 1)
+    assert(rewritten > 0, "appends should have left compactable buckets")
+    val bucketDirs = new java.io.File(path, "postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    bucketDirs.foreach(d => assert(parquetFiles(d.toString) <= 1,
+      s"${d.getName} still has ${parquetFiles(d.toString)} files"))
+    val compacted = canon(TextOps.bm25TopKFromIndex(spark, path, q, 10,
+      nBuckets = 4))
+    assert(compacted == direct, "scores must be oblivious to compaction")
+  }
+
+  // -------------------------------------------------------- pair retention
+
+  test("prunePairs: the pruned table is row-identical to a fresh mine at " +
+      "the raised floor, and higher-threshold reads are unchanged") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "w1 w2 w3 w4 zz"), (4L, "a b c d e f"), (5L, "a b c d e zz"),
+      (6L, "totally different text here now"))
+      .toDF("id", "text")
+    val full = tmp("graft_prune") + "/full"
+    val fresh = tmp("graft_prune") + "/fresh"
+    Dedup.writePairs(docs, "id", "text", full, shingleSize = 2, minJaccard = 0.2)
+    val at08Before = multiset(Dedup.readPairs(spark, full, threshold = 0.8))
+    Dedup.prunePairs(spark, full, newMinJaccard = 0.5)
+    Dedup.writePairs(docs, "id", "text", fresh, shingleSize = 2, minJaccard = 0.5)
+    assert(multiset(ManifestTable.read(spark, full + "/pairs")) ==
+      multiset(ManifestTable.read(spark, fresh + "/pairs")),
+      "pruned table must equal a fresh mine at the new floor")
+    assert(multiset(Dedup.readPairs(spark, full, threshold = 0.8)) ==
+      at08Before, "reads above the raised floor must be unchanged")
+  }
+
+  // --------------------------------------------------- routing-probe cache
+
+  test("matchedControls: the routing probe runs once per (plan, cap) — " +
+      "repeated calls hit the cache; pinned calls never probe") {
+    val df = (1 to 200).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 7 % 50).toLong, i % 4 == 0))
+      .toDF("id", "grp", "v", "t")
+    val probesBefore = Sampling.routeProbeRuns.get()
+    val r1 = canon(Sampling.matchedControls(df, "id", "grp", "v", "t"))
+    val afterFirst = Sampling.routeProbeRuns.get()
+    assert(afterFirst == probesBefore + 1, "first call must probe once")
+    val r2 = canon(Sampling.matchedControls(df, "id", "grp", "v", "t"))
+    assert(Sampling.routeProbeRuns.get() == afterFirst,
+      "second call on the same frame must not re-probe")
+    assert(r1 == r2)
+    // a REBUILT identical frame canonicalizes to the same plan -> cache hit
+    val rebuilt = (1 to 200).map(i =>
+      (i.toLong, s"g${i % 3}", (i * 7 % 50).toLong, i % 4 == 0))
+      .toDF("id", "grp", "v", "t")
+    canon(Sampling.matchedControls(rebuilt, "id", "grp", "v", "t")): Unit
+    // pinned routing skips the probe entirely
+    val pinnedBefore = Sampling.routeProbeRuns.get()
+    val r3 = canon(Sampling.matchedControls(df, "id", "grp", "v", "t",
+      global = Some(true)))
+    assert(Sampling.routeProbeRuns.get() == pinnedBefore)
+    assert(r3 == r1, "routing must not change results")
+  }
+
+  // ------------------------------------------------------------ tmp hygiene
+
+  test("TmpHygiene: a stale-looking top-level dir with a RECENT nested file " +
+      "is not swept (append-only layouts never bump the parent mtime)") {
+    val tmpRoot = new java.io.File(sys.props("java.io.tmpdir"))
+    val live = new java.io.File(tmpRoot, "graft_q_spec_live_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    val stale = new java.io.File(tmpRoot, "graft_q_spec_stale_" +
+      java.util.UUID.randomUUID().toString.replace("-", ""))
+    try {
+      val old = System.currentTimeMillis() - 10L * 3600 * 1000
+      // live: old parent dir, fresh file deep inside (the append shape)
+      val sub = new java.io.File(live, "bands/gen-000000000")
+      assert(sub.mkdirs())
+      val freshFile = new java.io.File(sub, "part-0.parquet")
+      assert(freshFile.createNewFile())
+      assert(live.setLastModified(old))
+      assert(new java.io.File(live, "bands").setLastModified(old))
+      // stale: everything old
+      assert(stale.mkdirs())
+      val staleFile = new java.io.File(stale, "f.parquet")
+      assert(staleFile.createNewFile())
+      assert(staleFile.setLastModified(old))
+      assert(stale.setLastModified(old))
+      TmpHygiene.sweep(maxAgeMillis = 6L * 3600 * 1000)
+      assert(live.exists, "dir with a recent nested file must survive")
+      assert(!stale.exists, "fully stale dir must be swept")
+    } finally {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(del)
+        f.delete(): Unit
+      }
+      del(live); del(stale)
+    }
+  }
+}

@@ -1420,17 +1420,17 @@ class OpsSpec extends SparkSpec {
       minJaccard = 0.2, maxDf = None)
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
-    def files(sub: String) = Option(new java.io.File(s"$path/$sub")
-      .listFiles()).get.count(_.getName.endsWith(".parquet"))
-    val beforeP = canon(spark.read.parquet(s"$path/pairs"))
-    val beforeI = canon(spark.read.parquet(s"$path/postings"))
+    import graft.store.ManifestTable
+    def files(sub: String) = ManifestTable.dataFileCount(spark, s"$path/$sub")
+    val beforeP = canon(ManifestTable.read(spark, s"$path/pairs"))
+    val beforeI = canon(ManifestTable.read(spark, s"$path/postings"))
     val filesBefore = files("pairs") + files("postings")
     Dedup.compactPairs(spark, path, targetFiles = 1)
     assert(files("pairs") == 1 && files("postings") == 1,
-      s"expected 1 file each after compaction (was $filesBefore)")
-    assert(canon(spark.read.parquet(s"$path/pairs")) == beforeP,
+      s"expected 1 live file each after compaction (was $filesBefore)")
+    assert(canon(ManifestTable.read(spark, s"$path/pairs")) == beforeP,
       "pair multiset changed under compaction")
-    assert(canon(spark.read.parquet(s"$path/postings")) == beforeI,
+    assert(canon(ManifestTable.read(spark, s"$path/postings")) == beforeI,
       "postings multiset changed under compaction")
     // the compacted table still appends and still mines correctly
     Dedup.appendPairs(half3, "id", "text", path, shingleSize = 2,
