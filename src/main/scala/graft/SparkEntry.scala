@@ -2977,6 +2977,9 @@ object SparkEntry {
         java.lang.ProcessHandle.current().pid()
       Similarity.writeIvfCorpus(base, "vec_id", "embedding", path, cents)
       Similarity.appendIvfCorpus(newBatch, "vec_id", "embedding", path, cents)
+      // full lifecycle: compact the appended cell dirs before probing —
+      // the probe must be oblivious to when compaction ran (same oracle)
+      Similarity.compactIvfCorpus(s, path, targetFiles = 1): Unit
       Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
           q, 5, cents, nProbe = 2)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
@@ -2996,6 +2999,9 @@ object SparkEntry {
         "doc_id", "text", path)
       TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
         "doc_id", "text", path)
+      // full lifecycle: compact the appended posting buckets before the
+      // probe — scores must be oblivious to when compaction ran
+      TextOps.compactBm25Index(s, path, targetFiles = 1): Unit
       TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
         .withColumnRenamed("id", "doc_id")
     }),
@@ -3082,6 +3088,74 @@ object SparkEntry {
           Dedup.readPairs(s, path, threshold = 0.8), "q")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- the ingest loop WITH its compaction step: index the corpus, run
+    //     the day-1 fused ingest, COMPACT the band table (manifest swap +
+    //     keyed-store minor compaction) mid-loop, then run the day-2
+    //     probe over the compacted layout — drops must equal the exact
+    //     two-stage rule regardless of when compaction ran (oracle =
+    //     q221's SQL verbatim) ------------------------------------------
+    "q222_ingest_compact" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q222_idx_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writeNearDupIndex(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      Dedup.ingestBatch(s,
+        docs.where(col("source") === "src0"), path, "doc_id", "text")
+      Dedup.compactNearDupIndex(s, path, targetFiles = 4)
+      Dedup.dedupeAgainstIndex(s,
+          docs.where(col("source") === "src1"), path, "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // --- deletion from the near-dup index (the takedown/opt-out verb):
+    //     index the corpus, remove one wave of docs and COMPACT (physical
+    //     band purge + tombstone clear), remove a second wave left as
+    //     LIVE tombstones, then probe — near-copies of removed docs must
+    //     survive, copies of still-indexed docs must drop, through both
+    //     deletion mechanisms at once -----------------------------------
+    "q223_index_delete" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q223_idx_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val corpus = docs.where(col("source") =!= "src0")
+      Dedup.writeNearDupIndex(corpus, "doc_id", "text", path)
+      // wave 1: tombstone + keyed delete, then physically purged by the
+      // compaction; wave 2 stays as live tombstones at probe time. The
+      // residue classes are chosen so deletion CHANGES the drop set (a
+      // planted near-dup's corpus veto dies: id 332 at sf0.01 via wave 1,
+      // id 391 at sf0.001 via wave 2) while other vetoes stay intact —
+      // an oracle a no-op deletion cannot pass.
+      Dedup.removeFromNearDupIndex(s, path,
+        corpus.where(col("doc_id") % 100 === 32).select(col("doc_id")))
+      Dedup.compactNearDupIndex(s, path, targetFiles = 4)
+      Dedup.removeFromNearDupIndex(s, path,
+        corpus.where(col("doc_id") % 100 === 91).select(col("doc_id")))
+      Dedup.dedupeAgainstIndex(s, docs.where(col("source") === "src0"),
+          path, "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // --- pair-table retention: mine the full 0.2-floor pair table once,
+    //     PRUNE it to a 0.5 floor (irreversible rewrite through the
+    //     manifest swap), then serve the threshold curve from the pruned
+    //     evidence — deciles at or above the new floor must match the
+    //     fresh full-table curve exactly --------------------------------
+    "q224_pair_retention" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q224_pairs_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writePairs(docs, "doc_id", "text", path,
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      Dedup.prunePairs(s, path, newMinJaccard = 0.5)
+      Dedup.thresholdCurveFromPairs(Dedup.readPairs(s, path, threshold = 0.5))
+        .where(col("threshold_permille") >= 500)
     })
   )
 
@@ -3278,6 +3352,122 @@ object SparkEntry {
         |SELECT doc_id, lang FROM documents
         |WHERE source = 'src1'
         |  AND doc_id NOT IN (SELECT bid FROM drop2)""".stripMargin,
+
+    // q222 proves the day-2 probe is OBLIVIOUS to the mid-loop band/docs
+    // compaction: the oracle is q221's exact two-stage rule, verbatim.
+    "q222_ingest_compact" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |p1 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src0'
+        |    AND b.source NOT IN ('src0', 'src1')
+        |  GROUP BY 1, 2),
+        |drop1 AS (
+        |  SELECT DISTINCT bid FROM p1
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |p2 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src1'
+        |    AND (b.source NOT IN ('src0', 'src1')
+        |         OR (b.source = 'src0'
+        |             AND b.doc_id NOT IN (SELECT bid FROM drop1)))
+        |  GROUP BY 1, 2),
+        |drop2 AS (
+        |  SELECT DISTINCT bid FROM p2
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT doc_id, lang FROM documents
+        |WHERE source = 'src1'
+        |  AND doc_id NOT IN (SELECT bid FROM drop2)""".stripMargin,
+
+    // q223: q91's cross-corpus rule with every REMOVED corpus doc
+    // (doc_id % 100 in (32, 91) — both takedown waves) excluded from the
+    // veto side — a deleted doc must stop vetoing whether its band rows
+    // were physically purged (wave 1, compacted) or only tombstoned
+    // (wave 2). The classes hit real vetoers (332 at sf0.01, 391 at
+    // sf0.001), so the expected survivor set DIFFERS from q91's.
+    "q223_index_delete" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |pairs AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src0' AND b.source <> 'src0'
+        |    AND b.doc_id % 100 NOT IN (32, 91)
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT bid FROM pairs
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT doc_id, lang FROM documents
+        |WHERE source = 'src0'
+        |  AND doc_id NOT IN (SELECT bid FROM dropped)""".stripMargin,
+
+    // q224: the fresh full-mine curve restricted to deciles >= the raised
+    // 0.5 floor — the pruned table must serve those rows exactly (pairs
+    // between the old 0.2 floor and 0.5 never reach decile 5, so pruning
+    // them is invisible here; quotient >= 0.5 and the integer decile test
+    // 2*inter >= uni agree exactly because 0.5 is a power of two).
+    "q224_pair_retention" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT id_b, inter, na.n + nb.n - inter AS uni
+        |  FROM pairs
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.2),
+        |x AS (
+        |  SELECT id_b, d FROM j CROSS JOIN
+        |    (SELECT unnest(generate_series(5, 10)) AS d)
+        |  WHERE inter * 10 >= d * uni)
+        |SELECT cast(d * 100 as bigint) AS threshold_permille,
+        |  count(*) AS n_pairs,
+        |  cast(count(DISTINCT id_b) as bigint) AS n_victims
+        |FROM x GROUP BY d""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.
