@@ -171,7 +171,12 @@ object ScaleProbe {
     "q218_embedding_drift", // posexplode -> dim-grid collapse, decimal sums
     "q219_pair_append",     // batch-touched shingles only; old pairs untouched
     "q220_stream_reservoir", // shards*k bounded state, Update emissions + gate
-    "q221_ingest_loop")     // index -> dedupe -> append survivors -> dedupe
+    "q221_ingest_loop",     // index -> dedupe -> append survivors -> dedupe
+    // round-11 additions: the lifecycle verbs (planted-dup output caveats
+    // apply to the dedup-family ones, as above)
+    "q222_ingest_compact",  // q221 + manifest-swap band compaction mid-loop
+    "q223_index_delete",    // tombstone anti-join + purge-at-compact
+    "q224_pair_retention")  // prune rewrite + curve from pruned evidence
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
