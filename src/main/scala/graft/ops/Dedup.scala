@@ -440,6 +440,14 @@ object Dedup {
    * ids that no longer exist — a no-op anti-join — and the next compaction
    * clears them). Probe results are unaffected by WHEN this runs
    * (spec + q222 assert hash equality through it).
+   *
+   * Single maintainer: like every index WRITE verb here
+   * (ingest/append/remove/compact — the ManifestTable contract), this
+   * assumes maintenance ops are externally serialized; concurrent PROBES
+   * are the protected party. A [[removeFromNearDupIndex]] racing the
+   * window between the band rewrite and the tombstone clear could have
+   * its tombstone cleared before its band rows purge — serialized
+   * maintenance (one daily loop) makes the window moot.
    */
   def compactNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 8): Unit = {

@@ -37,6 +37,10 @@ import org.apache.hadoop.fs.Path
  *  - **Legacy interop**: a directory of flat parquet files (no MANIFEST)
  *    reads as generation-less; the first [[write]] migrates it to the
  *    manifest layout.
+ *  - **Single maintainer**: READERS are the concurrent party this layout
+ *    protects. Writers ([[write]]/[[append]]/[[compact]]) must be
+ *    externally serialized — the daily ingest loop's natural shape; two
+ *    concurrent rewrites race on the generation counter and the pointer.
  */
 object ManifestTable {
   private val ManifestName = "MANIFEST"
