@@ -176,7 +176,10 @@ object ScaleProbe {
     // apply to the dedup-family ones, as above)
     "q222_ingest_compact",  // q221 + manifest-swap band compaction mid-loop
     "q223_index_delete",    // tombstone anti-join + purge-at-compact
-    "q224_pair_retention")  // prune rewrite + curve from pruned evidence
+    "q224_pair_retention",  // prune rewrite + curve from pruned evidence
+    "q225_bm25_delete",     // per-bucket anti-join rewrite + exact stats
+    "q226_ivf_delete",      // per-cell anti-join rewrite, pinned assignment
+    "q227_pair_delete")     // pairwise-evidence delete ≡ survivor scratch mine
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

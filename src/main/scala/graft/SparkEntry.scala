@@ -3156,6 +3156,73 @@ object SparkEntry {
       Dedup.prunePairs(s, path, newMinJaccard = 0.5)
       Dedup.thresholdCurveFromPairs(Dedup.readPairs(s, path, threshold = 0.5))
         .where(col("threshold_permille") >= 500)
+    }),
+
+    // --- takedown on the SEARCH index: build over the full corpus, delete
+    //     a residue class (ghost postings purged per bucket, stats
+    //     decremented exactly from the docs membership sidecar — deleting
+    //     ANY doc moves N and so every idf), probe must equal a
+    //     from-scratch index of the survivors (oracle = q90's SQL over the
+    //     surviving corpus) ------------------------------------------------
+    "q225_bm25_delete" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q225_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs, "doc_id", "text", path)
+      TextOps.removeFromBm25Index(s, path,
+        docs.where(col("doc_id") % 7 === 3).select(col("doc_id")))
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- takedown on the ANN index: plant SEVEN exact copies of the query
+    //     vector, delete four, probe top-3 — exactly the three surviving
+    //     planted ids must surface (cos 1.0 at the 4-decimal grid), the
+    //     deleted ghosts must not --------------------------------------
+    "q226_ivf_delete" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q226_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base.unionByName(planted), "vec_id",
+        "embedding", path, cents)
+      Similarity.removeFromIvfCorpus(s, path,
+        s.range(4).select((col("id") * 2 + 9500L).as("vec_id")),
+        idCol = "vec_id")
+      Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
+          q, 3, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- takedown on the pair table: UNCAPPED mine over the half corpus,
+    //     delete a residue class (pairs naming a ghost on either side
+    //     drop, ghost postings purge), keep-best over the survivors must
+    //     hash-match a from-scratch mine of the surviving corpus (pair
+    //     evidence is pairwise, so uncapped rewrite ≡ scratch exactly) ---
+    "q227_pair_delete" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") % 4 <= 1)
+      val path = sys.props("java.io.tmpdir") + "/graft_q227_pairs_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writePairs(docs, "doc_id", "text", path,
+        shingleSize = 3, minJaccard = 0.2, maxDf = None)
+      Dedup.removeFromPairs(s, path,
+        docs.where(col("doc_id") % 8 === 1).select(col("doc_id")))
+      val survivors = docs.where(col("doc_id") % 8 =!= 1)
+      val scored = survivors.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      Dedup.removeDuplicatesKeepBest(scored, "doc_id",
+          Dedup.readPairs(s, path, threshold = 0.8), "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -3468,6 +3535,112 @@ object SparkEntry {
         |  count(*) AS n_pairs,
         |  cast(count(DISTINCT id_b) as bigint) AS n_victims
         |FROM x GROUP BY d""".stripMargin,
+
+    // q225: q90's BM25 arithmetic verbatim over the SURVIVING corpus —
+    // deleting any doc moves N (and so every idf), so a ghost posting or a
+    // stale stats row cannot pass this.
+    "q225_bm25_delete" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Exactly the three SURVIVING planted copies (cos 1.0 at the 4-decimal
+    // grid); the four deleted ghosts must not surface.
+    "q226_ivf_delete" ->
+      """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(3) t(i)""".stripMargin,
+
+    // q227: q219's uncapped keep-best SQL over the SURVIVING half corpus —
+    // pair evidence is pairwise, so the post-delete table must replay the
+    // scratch mine of the survivors bit-for-bit.
+    "q227_pair_delete" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 4 <= 1 AND doc_id % 8 <> 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM documents WHERE doc_id % 4 <= 1 AND doc_id % 8 <> 1)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |surv AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(s.doc_id) AS bigint) AS id_sum
+        |FROM surv s JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

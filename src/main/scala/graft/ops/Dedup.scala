@@ -738,6 +738,35 @@ object Dedup {
           >= newMinJaccard))
 
   /**
+   * Delete documents from a [[writePairs]] layout — the takedown verb on
+   * the pair table ([[removeFromNearDupIndex]]'s twin; without it a removed
+   * doc keeps appearing in every keep-best / impact / curve report, and
+   * keeps DROPPING surviving docs it paired with). Both subdirs rewrite
+   * through their manifests (reader-concurrent, like [[compactPairs]]):
+   * `pairs` drops every row naming a removed id on EITHER side, `postings`
+   * drops the removed ids' shingle rows so future [[appendPairs]] batches
+   * stop mining pairs against ghosts.
+   *
+   * Equivalence contract: pair evidence is strictly PAIRWISE ((n_a, n_b,
+   * inter) involve only the two docs), so with `maxDf = None` the rewritten
+   * table is row-identical to a from-scratch [[writePairs]] mine of the
+   * surviving corpus (oracle q227 asserts the keep-best hash). Under a
+   * finite cap the usual increment caveat applies one more way: a shingle
+   * whose df falls back UNDER the cap because removed docs carried it
+   * would contribute pairs in a scratch mine that the rewritten table
+   * lacks — capping under-mines by contract ([[appendPairs]] scaladoc).
+   */
+  def removeFromPairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, targetFiles: Int = 8): Unit = {
+    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    graft.store.ManifestTable.compact(spark, path + "/pairs", targetFiles,
+      p => p.join(rm, p("id_a") === col("__rm_id"), "left_anti")
+            .join(rm, col("id_b") === col("__rm_id"), "left_anti"))
+    graft.store.ManifestTable.compact(spark, path + "/postings", targetFiles,
+      p => p.join(rm, p("id") === col("__rm_id"), "left_anti"))
+  }
+
+  /**
    * Per-source dedup impact report from a candidate pair table — what a
    * keep-first dedup at these pairs would COST each source: for every
    * source, its document count, how many of its docs the rule drops

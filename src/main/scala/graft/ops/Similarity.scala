@@ -304,6 +304,26 @@ object Similarity {
       targetFiles: Int = 4): Int =
     graft.store.Compaction.compactPartitions(spark, path, targetFiles)
 
+  /** Delete vectors from a [[writeIvfCorpus]] layout — the takedown verb on
+    * the ANN index ([[graft.ops.Dedup.removeFromNearDupIndex]]'s twin;
+    * without it a removed doc's embedding keeps SURFACING in every future
+    * probe). Every cell directory rewrites through an anti-join on the
+    * removed ids — independent per-cell stage-and-swap jobs submitted
+    * concurrently, and unlike compaction NO cell is skipped (a removed id
+    * can live in any cell; routing the ids through `cellOf` to prune the
+    * rewrite set would need the centroids and trusts the caller passed the
+    * pinned ones — correctness here must not). Cell assignment of the
+    * survivors is untouched, so the next [[ivfTopKFromPartitioned]] probe
+    * equals one over a from-scratch [[writeIvfCorpus]] of the survivors
+    * (oracle q226). Maintenance-window op; ids not present are no-ops. */
+  def removeFromIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String = "id",
+      targetFiles: Int = 4): Int = {
+    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    graft.store.Compaction.rewritePartitions(spark, path, targetFiles,
+      p => p.join(rm, p(idCol) === col("__rm_id"), "left_anti"))
+  }
+
   /** [[ivfIndexHealth]] over a PERSISTED [[writeIvfCorpus]] layout — the
     * post-append drift gate: no re-assignment runs (the layout's partition
     * column pins each vector's cell); the scan reads only the cell column

@@ -658,7 +658,10 @@ object TextOps {
    * layout: postings (term, id, tf, dl) partitioned by the term's md5 bucket
    * (ALL postings of a term land in exactly one partition directory, so a
    * query's terms prune the scan to |terms| directories of ~1/nBuckets of the
-   * index each), stats (N, Σdl) as a one-row sidecar. Build once, probe with
+   * index each), stats (N, Σdl) as a one-row sidecar, and a `docs` manifest
+   * table (id, dl) — the membership record [[removeFromBm25Index]] needs to
+   * decrement stats EXACTLY (postings alone cannot reconstruct token-less
+   * docs, which count in N but produce no posting). Build once, probe with
    * [[bm25TopKFromIndex]] millions of times — no query ever rescans the
    * corpus text.
    */
@@ -673,6 +676,10 @@ object TextOps {
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path + "/postings")
+    graft.store.ManifestTable.write(
+      df.select(col(idCol).as("id"),
+        token_count(lower(col(textCol))).cast("bigint").as("dl")),
+      path + "/docs")
     df.select(col(idCol).as("id"), token_count(lower(col(textCol))).cast("bigint").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("overwrite").parquet(path + "/stats")
@@ -724,12 +731,56 @@ object TextOps {
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
       .write.partitionBy("bucket").mode("append").parquet(path + "/postings")
+    graft.store.ManifestTable.append(
+      df.select(col(idCol).as("id"),
+        token_count(lower(col(textCol))).cast("bigint").as("dl")),
+      path + "/docs")
+    swapInStagedStats(spark, path, "appendBm25Index")
+  }
+
+  /** Swap `path/stats__staged` in as the live stats sidecar (delete + rename
+    * — two metadata ops; crash recovery per [[appendBm25Index]]'s contract). */
+  private def swapInStagedStats(spark: org.apache.spark.sql.SparkSession,
+      path: String, op: String): Unit = {
     val statsPath = new org.apache.hadoop.fs.Path(path + "/stats")
     val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(statsPath, true)
     if (!fs.rename(new org.apache.hadoop.fs.Path(path + "/stats__staged"), statsPath))
-      throw new java.io.IOException(
-        s"appendBm25Index: cannot swap in staged stats at $path")
+      throw new java.io.IOException(s"$op: cannot swap in staged stats at $path")
+  }
+
+  /**
+   * Delete documents from a [[writeBm25Index]] layout — the takedown verb
+   * on the search index ([[graft.ops.Dedup.removeFromNearDupIndex]]'s twin;
+   * without it a removed doc keeps RANKING in every future query, and its
+   * ghost postings keep inflating df/idf). Three rewrites, all exact:
+   * every posting bucket rewrites through an anti-join on the removed ids
+   * (independent per-bucket stage-and-swap jobs, submitted concurrently —
+   * [[graft.store.Compaction.rewritePartitions]]; unlike compaction NO
+   * bucket is skipped, removed ids can post anywhere); the `docs`
+   * membership sidecar rewrites through its manifest; stats recompute from
+   * the surviving membership rows — exact even for token-less docs, which
+   * count in N but have no posting to reconstruct from. The next
+   * [[bm25TopKFromIndex]] probe scores exactly what a from-scratch
+   * [[writeBm25Index]] of the surviving corpus would (oracle q225).
+   * Maintenance-window op (the postings side has no manifest indirection);
+   * ids not in the index are no-ops.
+   */
+  def removeFromBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, targetFiles: Int = 4): Unit = {
+    import graft.store.{Compaction, ManifestTable}
+    require(ManifestTable.exists(spark, path + "/docs"),
+      s"removeFromBm25Index needs the docs membership sidecar (round-11 " +
+        s"layout) — rebuild via writeBm25Index: $path")
+    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    Compaction.rewritePartitions(spark, path + "/postings", targetFiles,
+      p => p.join(rm, p("id") === col("__rm_id"), "left_anti")): Unit
+    ManifestTable.compact(spark, path + "/docs", targetFiles,
+      d => d.join(rm, d("id") === col("__rm_id"), "left_anti"))
+    ManifestTable.read(spark, path + "/docs")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .write.mode("overwrite").parquet(path + "/stats__staged")
+    swapInStagedStats(spark, path, "removeFromBm25Index")
   }
 
   /** File-count compaction for a [[writeBm25Index]] layout — every

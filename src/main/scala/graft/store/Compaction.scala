@@ -34,16 +34,26 @@ object Compaction {
     * more than that; returns whether a rewrite ran. Crash between the two
     * renames leaves the original intact under `<dir>__old` — recover by
     * renaming it back. */
-  def compactLeafDir(spark: SparkSession, dir: String, targetFiles: Int): Boolean = {
+  def compactLeafDir(spark: SparkSession, dir: String, targetFiles: Int): Boolean =
+    rewriteLeafDir(spark, dir, targetFiles, identity, onlyIfOverTarget = true)
+
+  /** The shared leaf-dir rewrite: read → `transform` → coalesce →
+    * staged dir → two-rename swap with rollback. `onlyIfOverTarget`
+    * distinguishes compaction (skip dirs already within the file budget)
+    * from content rewrites like deletion (every dir must pass through the
+    * transform regardless of size). */
+  private def rewriteLeafDir(spark: SparkSession, dir: String, targetFiles: Int,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      onlyIfOverTarget: Boolean): Boolean = {
     require(targetFiles > 0, "targetFiles must be positive")
     val live = new Path(dir)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val nFiles = fs.listStatus(live)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (nFiles <= targetFiles) return false
+    if (nFiles == 0 || (onlyIfOverTarget && nFiles <= targetFiles)) return false
     val staged = new Path(dir + "__compact")
     val trash = new Path(dir + "__old")
-    spark.read.parquet(dir).coalesce(targetFiles)
+    transform(spark.read.parquet(dir)).coalesce(targetFiles)
       .write.mode("overwrite").parquet(staged.toString)
     fs.delete(trash, true)
     if (!fs.rename(live, trash))
@@ -67,7 +77,19 @@ object Compaction {
     * the dominant cost when each directory holds a handful of small files
     * (measured 4.9 s → 2.6 s on q217's full build+append+compact+probe
     * lifecycle at sf0.1 — the compact step itself ~4× faster). */
-  def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int = {
+  def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int =
+    rewritePartitions(spark, root, targetFiles, identity, onlyIfOverTarget = true)
+
+  /** Rewrite EVERY `name=value` partition directory under `root` through
+    * `transform` (row-level rewrites: deletion, retention) — unlike
+    * [[compactPartitions]] no directory is skipped for being small, since
+    * the rows to drop can live anywhere. Same independent per-directory
+    * stage-and-swap, same concurrent submission, same
+    * maintenance-window/`__old`-recovery contract. Returns directories
+    * rewritten. */
+  def rewritePartitions(spark: SparkSession, root: String, targetFiles: Int,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      onlyIfOverTarget: Boolean = false): Int = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return 0
@@ -79,7 +101,8 @@ object Compaction {
     try {
       val futures = dirs.map { p =>
         pool.submit(new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean = compactLeafDir(spark, p.toString, targetFiles)
+          def call(): Boolean =
+            rewriteLeafDir(spark, p.toString, targetFiles, transform, onlyIfOverTarget)
         })
       }
       futures.count(_.get())

@@ -280,6 +280,94 @@ class LifecycleSpec extends SparkSpec {
     assert(r3 == r1, "routing must not change results")
   }
 
+  // ------------------------------------------- takedown across every layout
+
+  test("removeFromBm25Index: probe equals a from-scratch index of the " +
+      "survivors — postings purged, stats exact (incl. token-less docs)") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"),
+      (5L, "spark spark spark merge window"), (6L, ""))
+      .toDF("id", "text")
+    val full = tmp("graft_bmrm") + "/full"
+    val fresh = tmp("graft_bmrm") + "/fresh"
+    TextOps.writeBm25Index(docs, "id", "text", full, nBuckets = 4)
+    // remove a ranking doc (5) AND the token-less doc (6: counts in N,
+    // no postings — only the docs sidecar can decrement it)
+    TextOps.removeFromBm25Index(spark, full, Seq(5L, 6L).toDF("id"))
+    TextOps.writeBm25Index(docs.where(col("id") <= 4), "id", "text", fresh,
+      nBuckets = 4)
+    val q = Seq("spark", "window", "merge")
+    assert(canon(TextOps.bm25TopKFromIndex(spark, full, q, 10, nBuckets = 4)) ==
+      canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)),
+      "post-delete probe must equal the from-scratch survivor index")
+    assert(multiset(spark.read.parquet(full + "/stats")) ==
+      multiset(spark.read.parquet(fresh + "/stats")),
+      "stats must decrement exactly, including the token-less doc")
+    // a further append still works on the rewritten layout
+    TextOps.appendBm25Index(Seq((7L, "spark merge")).toDF("id", "text"),
+      "id", "text", full, nBuckets = 4)
+    TextOps.appendBm25Index(Seq((7L, "spark merge")).toDF("id", "text"),
+      "id", "text", fresh, nBuckets = 4)
+    assert(canon(TextOps.bm25TopKFromIndex(spark, full, q, 10, nBuckets = 4)) ==
+      canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)))
+  }
+
+  test("removeFromIvfCorpus: every cell rewritten; probe equals a " +
+      "from-scratch layout of the survivors") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", k = 3)
+    val full = tmp("graft_ivfrm") + "/full"
+    val fresh = tmp("graft_ivfrm") + "/fresh"
+    Similarity.writeIvfCorpus(vecs, "id", "vec", full, cents)
+    Similarity.removeFromIvfCorpus(spark, full,
+      Seq(0L, 1L, 2L, 15L).toDF("id"))
+    Similarity.writeIvfCorpus(
+      vecs.where(!col("id").isin(0L, 1L, 2L, 15L)), "id", "vec", fresh, cents)
+    val q = Seq(math.cos(1).toFloat, math.sin(1).toFloat)
+    assert(canon(Similarity.ivfTopKFromPartitioned(spark, full, "id", "vec",
+        q, 6, cents).select(col("id"), round(col("cos"), 5))) ==
+      canon(Similarity.ivfTopKFromPartitioned(spark, fresh, "id", "vec",
+        q, 6, cents).select(col("id"), round(col("cos"), 5))))
+    assert(multiset(spark.read.parquet(full)) ==
+      multiset(spark.read.parquet(fresh)),
+      "surviving rows and cell assignment must be untouched")
+  }
+
+  test("removeFromPairs: uncapped rewritten table row-identical to a " +
+      "from-scratch mine of the survivors; reports stop naming ghosts") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "w1 w2 w3 w4 zz"), (4L, "a b c d e f"), (5L, "a b c d e zz"),
+      (6L, "totally different text here now"))
+      .toDF("id", "text")
+    val full = tmp("graft_prm") + "/full"
+    val fresh = tmp("graft_prm") + "/fresh"
+    Dedup.writePairs(docs, "id", "text", full, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    // remove doc 1: its exact-dup partner 2 must stop being dropped by
+    // keep-first reports, and no pair may name id 1 again
+    Dedup.removeFromPairs(spark, full, Seq(1L).toDF("id"))
+    Dedup.writePairs(docs.where(col("id") =!= 1), "id", "text", fresh,
+      shingleSize = 2, minJaccard = 0.2, maxDf = None)
+    assert(multiset(ManifestTable.read(spark, full + "/pairs")) ==
+      multiset(ManifestTable.read(spark, fresh + "/pairs")),
+      "rewritten pairs must equal the survivor scratch mine (uncapped)")
+    assert(multiset(ManifestTable.read(spark, full + "/postings")) ==
+      multiset(ManifestTable.read(spark, fresh + "/postings")),
+      "ghost postings must purge")
+    // appends against the rewritten postings mine survivor pairs only
+    Dedup.appendPairs(Seq((7L, "w1 w2 w3 w4 w5")).toDF("id", "text"),
+      "id", "text", full, shingleSize = 2, minJaccard = 0.2, maxDf = None)
+    Dedup.appendPairs(Seq((7L, "w1 w2 w3 w4 w5")).toDF("id", "text"),
+      "id", "text", fresh, shingleSize = 2, minJaccard = 0.2, maxDf = None)
+    assert(multiset(Dedup.readPairs(spark, full, threshold = 0.2)) ==
+      multiset(Dedup.readPairs(spark, fresh, threshold = 0.2)),
+      "post-delete append must equal the survivor-corpus append")
+  }
+
   // ------------------------------------------------------------ tmp hygiene
 
   test("TmpHygiene: a stale-looking top-level dir with a RECENT nested file " +
