@@ -186,7 +186,7 @@ object Dedup {
 
   /** One string-touching pass: shingle + hash each doc to `(id, th)` with
     * `th: array<long>` — everything downstream of this is long-only. */
-  private[ops] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def hashedShingles(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int): DataFrame =
     df.select(col(idCol).as("id"),
       array_distinct(shingle_hashes(split(col(textCol), " "), shingleSize)).as("th"))
@@ -324,7 +324,7 @@ object Dedup {
   /** The cross-corpus drop rule from a PERSISTED hashed-shingle frame `hb`
     * (id, th) — shared by [[dedupeAgainstIndex]] and [[ingestBatch]].
     * Returns the distinct dropped batch ids as `batch_id`. */
-  private def indexDropIds(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def indexDropIds(spark: org.apache.spark.sql.SparkSession,
       hb: DataFrame, path: String, numHashes: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
     val bandsB = bandRows(hb, numHashes, rowsPerBand)

@@ -280,6 +280,38 @@ class LifecycleSpec extends SparkSpec {
     assert(r3 == r1, "routing must not change results")
   }
 
+  test("plan pins: the tombstone veto is a BROADCAST anti-join on the " +
+      "candidate side (never a shuffle), and a pruned readPairs keeps its " +
+      "parquet filter pushdown through the manifest indirection") {
+    val docs = docsDF
+    val path = tmp("graft_ndplan") + "/idx"
+    Dedup.writeNearDupIndex(docs.where(col("id") <= 3), "id", "text", path,
+      shingleSize = 2)
+    Dedup.removeFromNearDupIndex(spark, path, Seq(1L).toDF("id"))
+    // the veto join lives inside the drop-rule plan (the public operator
+    // materializes it eagerly — Eager contract — so inspect the rule
+    // frame itself, pre-materialization)
+    val hb = Dedup.hashedShingles(docs.where(col("id") >= 11), "id", "text", 2)
+    val plan = Dedup.indexDropIds(spark, hb, path, 128, 4, 0.8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.replaceAll("(?s)\\n", " ").matches(".*BroadcastHashJoin \\[corpus_id.*LeftAnti.*"),
+      s"tombstone veto must be a broadcast anti-join on corpus_id:\n$plan")
+    // the pairs table reads through a generation dir; the threshold filter
+    // must still reach the parquet scan as a pushed predicate on `inter`
+    val ppath = tmp("graft_prplan") + "/p"
+    Dedup.writePairs(docs, "id", "text", ppath, shingleSize = 2,
+      minJaccard = 0.2)
+    val rplan = Dedup.readPairs(spark, ppath, threshold = 0.8)
+      .where(col("id_a") === 1L)
+      .queryExecution.executedPlan.toString
+    assert(rplan.contains("EqualTo(id_a,1)") &&
+      "PushedFilters: \\[[^\\]]*EqualTo\\(id_a,1\\)".r.findFirstIn(rplan).nonEmpty,
+      s"id filter must push through the manifest read:\n$rplan")
+    assert(rplan.contains("/pairs/gen-"),
+      s"the scan must resolve through a generation dir:\n$rplan")
+  }
+
   // ------------------------------------------- takedown across every layout
 
   test("removeFromBm25Index: probe equals a from-scratch index of the " +
