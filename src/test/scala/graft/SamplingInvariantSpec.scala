@@ -128,4 +128,60 @@ class SamplingInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("pair-table LIFECYCLE law: any interleaving of appends, compactions, " +
+      "and deletions, closed by a retention prune, ≡ the scratch mine of " +
+      "the surviving docs at the pruned floor (3 seeded rounds)") {
+    for (round <- 1 to 3) {
+      val docs = (0 until 48).map { i =>
+        val base = rng.nextInt(4)
+        val words = (0 until 6).map(j =>
+          if (rng.nextInt(4) == 0) s"v${rng.nextInt(30)}"
+          else s"c${base}_$j").mkString(" ")
+        (i.toLong, words)
+      }.toDF("id", "text")
+      val nAppends = 2 + rng.nextInt(2)
+      val tagged = docs.withColumn("b",
+        pmod(col("id") * 2654435761L, lit(nAppends + 1)))
+      val path = java.nio.file.Files.createTempDirectory(
+        s"graft_pairlife_$round").toString + "/p"
+      Dedup.writePairs(tagged.where(col("b") === 0), "id", "text", path,
+        shingleSize = 2, minJaccard = 0.2, maxDf = None)
+      var ingested = tagged.where(col("b") === 0)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      var removed = Set.empty[Long]
+      (1 to nAppends).foreach { b =>
+        Dedup.appendPairs(tagged.where(col("b") === b), "id", "text", path,
+          shingleSize = 2, minJaccard = 0.2, maxDf = None)
+        ingested ++= tagged.where(col("b") === b)
+          .select(col("id")).collect().map(_.getLong(0))
+        // random maintenance after each append: compact, delete a couple
+        // of already-ingested docs, or nothing — order must not matter
+        rng.nextInt(3) match {
+          case 0 => Dedup.compactPairs(spark, path, targetFiles = 2)
+          case 1 =>
+            val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
+            if (victims.nonEmpty) {
+              Dedup.removeFromPairs(spark, path,
+                victims.toDF("id"))
+              removed ++= victims
+            }
+          case _ => ()
+        }
+      }
+      Dedup.prunePairs(spark, path, newMinJaccard = 0.5, targetFiles = 2)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("id_a"), col("id_b"), col("inter")).collect()
+        .map(_.toSeq).toSet
+      val surviving = docs.where(!col("id").isin(removed.toSeq: _*))
+      for (t <- Seq(0.5, 0.8)) {
+        val life = canon(Dedup.readPairs(spark, path, threshold = t))
+        val scratch = canon(Dedup.ngramJaccardPairs(surviving, "id", "text",
+          shingleSize = 2, threshold = t, maxDf = None))
+        assert(life == scratch,
+          s"round $round t=$t removed=$removed: " +
+            s"${(life diff scratch).take(3)} / ${(scratch diff life).take(3)}")
+      }
+    }
+  }
 }
