@@ -420,7 +420,10 @@ object Dedup {
    */
   def removeFromNearDupIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame): Unit = {
-    val keys = ids.select(col(ids.columns.head).as("id"))
+    // snapshot once: the tombstone append and the keyed delete must act on
+    // the same id list even if the caller's plan is nondeterministic
+    val keys = graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("id")))
     graft.store.ManifestTable.append(keys, path + "/tombstones")
     graft.store.KeyedStore.deleteIndexed(spark, path + "/docs",
       keys.select(col("id").as("key")))
@@ -758,7 +761,11 @@ object Dedup {
    */
   def removeFromPairs(spark: org.apache.spark.sql.SparkSession, path: String,
       ids: DataFrame, targetFiles: Int = 8): Unit = {
-    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    // snapshot once: the pairs rewrite advances the generation the caller's
+    // plan may itself be reading (ids = readPairs(...) is legitimate), and
+    // the postings rewrite must see the SAME id list
+    val rm = broadcast(graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("__rm_id"))))
     graft.store.ManifestTable.compact(spark, path + "/pairs", targetFiles,
       p => p.join(rm, p("id_a") === col("__rm_id"), "left_anti")
             .join(rm, col("id_b") === col("__rm_id"), "left_anti"))

@@ -315,11 +315,17 @@ object Similarity {
     * pinned ones — correctness here must not). Cell assignment of the
     * survivors is untouched, so the next [[ivfTopKFromPartitioned]] probe
     * equals one over a from-scratch [[writeIvfCorpus]] of the survivors
-    * (oracle q226). Maintenance-window op; ids not present are no-ops. */
+    * (oracle q226). Maintenance-window op; ids not present are no-ops.
+    * The removal set broadcasts to every rewrite job — right for takedown
+    * lists (small by nature); a removal so large it cannot broadcast is a
+    * rebuild ([[writeIvfCorpus]] over the survivors), not a delete. */
   def removeFromIvfCorpus(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String = "id",
       targetFiles: Int = 4): Int = {
-    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    // snapshot once: every concurrent per-cell job must see one id list,
+    // even from a nondeterministic or layout-reading caller plan
+    val rm = broadcast(graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("__rm_id"))))
     graft.store.Compaction.rewritePartitions(spark, path, targetFiles,
       p => p.join(rm, p(idCol) === col("__rm_id"), "left_anti"))
   }

@@ -680,10 +680,19 @@ object TextOps {
       df.select(col(idCol).as("id"),
         token_count(lower(col(textCol))).cast("bigint").as("dl")),
       path + "/docs")
-    df.select(col(idCol).as("id"), token_count(lower(col(textCol))).cast("bigint").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // stats derive FROM the just-written membership table (a tiny (id, dl)
+    // read, not a third tokenization pass over the corpus) — the invariant
+    // every maintenance verb preserves: stats ≡ aggregate of docs
+    statsFromDocs(df.sparkSession, path)
       .write.mode("overwrite").parquet(path + "/stats")
   }
+
+  /** The stats invariant: (n_docs, Σdl) aggregated from the `docs`
+    * membership sidecar — null dls (null-text docs) count in N, skip Σ. */
+  private def statsFromDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    graft.store.ManifestTable.read(spark, path + "/docs")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
 
   /** Incremental maintenance for a [[writeBm25Index]] layout — the search
     * half of the persisted-index family ([[graft.ops.Dedup.writeNearDupIndex]],
@@ -694,34 +703,44 @@ object TextOps {
     * per-term document frequencies that drive idf are computed at query
     * time from the postings themselves, so the very next
     * [[bm25TopKFromIndex]] probe scores old + new with exactly the
-    * arithmetic a from-scratch rebuild would use. The old stats row is one
-    * driver-side read (bounded: a single row).
+    * arithmetic a from-scratch rebuild would use.
     *
-    * Crash contract: the merged stats sidecar is STAGED before the
-    * postings append and swapped in (delete + rename — two metadata ops)
-    * after it, so a crash anywhere up to the swap leaves the OLD
-    * consistent index (plus an inert staged dir the next append
-    * overwrites); a crash INSIDE the swap leaves `stats` missing — the
-    * next probe fails LOUDLY instead of silently skewing idf/avgdl, and
-    * recovery is renaming `stats__staged` in (or rebuilding via
-    * [[writeBm25Index]]). A crash BETWEEN the postings append and the swap
-    * is the one silent window (old stats + new postings: every probe
-    * under-counts N and Σdl until the swap completes) — it spans only the
-    * two renames, and re-running the append from scratch double-appends
-    * postings, so recover by completing the swap, not by retrying. */
+    * Crash contract, in append order (docs membership → staged stats →
+    * postings → stats swap; every step leaves stats ≡ or behind the docs
+    * table, never ahead of it):
+    *  - crash after the docs append: membership holds the batch, stats and
+    *    postings don't — probes score the old corpus consistently, and a
+    *    [[removeFromBm25Index]] (which recomputes stats FROM membership)
+    *    repairs stats; the batch's postings are re-appendable only via a
+    *    rebuild, so recover by re-running [[writeBm25Index]] or by
+    *    removing the batch ids and re-appending.
+    *  - crash between the postings append and the stats swap: the one
+    *    SILENT window (old stats + new postings under-count N/Σdl) — it
+    *    spans two fs metadata ops, and re-running the append from scratch
+    *    double-appends postings, so recover by completing the swap
+    *    (rename `stats__staged` in), not by retrying.
+    *  - crash INSIDE the swap: `stats` missing — the next probe fails
+    *    LOUDLY instead of silently skewing idf/avgdl; rename the staged
+    *    dir in.
+    * Requires the round-11 layout (docs membership sidecar present) —
+    * appending to a pre-sidecar index would silently build a PARTIAL
+    * membership table that later poisons every stats recomputation, so it
+    * refuses instead; rebuild via [[writeBm25Index]]. */
   def appendBm25Index(df: DataFrame, idCol: String, textCol: String,
       path: String, nBuckets: Int = 64): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = df.sparkSession
-    val old = spark.read.parquet(path + "/stats")
-      .select(col("n_docs"), col("sum_dl")).head()
-    // stage the merged sidecar FIRST: computed from old stats + this batch,
-    // it is correct to swap in exactly once the postings append commits
-    df.select(col(idCol).as("id"),
-        token_count(lower(col(textCol))).cast("bigint").as("dl"))
-      .agg((count(lit(1)) + lit(old.getLong(0))).as("n_docs"),
-        (coalesce(sum(col("dl")), lit(0L)) +
-          lit(if (old.isNullAt(1)) 0L else old.getLong(1))).as("sum_dl"))
+    require(graft.store.ManifestTable.exists(spark, path + "/docs"),
+      s"appendBm25Index needs the docs membership sidecar (round-11 " +
+        s"layout) — rebuild via writeBm25Index: $path")
+    graft.store.ManifestTable.append(
+      df.select(col(idCol).as("id"),
+        token_count(lower(col(textCol))).cast("bigint").as("dl")),
+      path + "/docs")
+    // stage the merged sidecar from the UPDATED membership table (tiny
+    // (id, dl) read — no second tokenization pass); swapped in once the
+    // postings append commits
+    statsFromDocs(spark, path)
       .write.mode("overwrite").parquet(path + "/stats__staged")
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
@@ -731,10 +750,6 @@ object TextOps {
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
       .write.partitionBy("bucket").mode("append").parquet(path + "/postings")
-    graft.store.ManifestTable.append(
-      df.select(col(idCol).as("id"),
-        token_count(lower(col(textCol))).cast("bigint").as("dl")),
-      path + "/docs")
     swapInStagedStats(spark, path, "appendBm25Index")
   }
 
@@ -764,7 +779,10 @@ object TextOps {
    * [[bm25TopKFromIndex]] probe scores exactly what a from-scratch
    * [[writeBm25Index]] of the surviving corpus would (oracle q225).
    * Maintenance-window op (the postings side has no manifest indirection);
-   * ids not in the index are no-ops.
+   * ids not in the index are no-ops. The removal set broadcasts to every
+   * rewrite job — right for takedown lists (small by nature); a removal so
+   * large it cannot broadcast is a rebuild ([[writeBm25Index]] over the
+   * survivors), not a delete.
    */
   def removeFromBm25Index(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, targetFiles: Int = 4): Unit = {
@@ -772,13 +790,16 @@ object TextOps {
     require(ManifestTable.exists(spark, path + "/docs"),
       s"removeFromBm25Index needs the docs membership sidecar (round-11 " +
         s"layout) — rebuild via writeBm25Index: $path")
-    val rm = broadcast(ids.select(col(ids.columns.head).as("__rm_id")))
+    // SNAPSHOT the removal set once: the caller's plan may be
+    // nondeterministic or read the very layout being rewritten, and every
+    // per-bucket job (plus the docs/stats rewrites) must see one list
+    val rm = broadcast(graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("__rm_id"))))
     Compaction.rewritePartitions(spark, path + "/postings", targetFiles,
       p => p.join(rm, p("id") === col("__rm_id"), "left_anti")): Unit
     ManifestTable.compact(spark, path + "/docs", targetFiles,
       d => d.join(rm, d("id") === col("__rm_id"), "left_anti"))
-    ManifestTable.read(spark, path + "/docs")
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    statsFromDocs(spark, path)
       .write.mode("overwrite").parquet(path + "/stats__staged")
     swapInStagedStats(spark, path, "removeFromBm25Index")
   }

@@ -94,18 +94,28 @@ object Compaction {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return 0
     val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.contains("=") && !p.getName.startsWith("."))
+      .filter(p => p.getName.contains("=") && !p.getName.startsWith(".") &&
+        // crash-stranded twins from an interrupted rewrite are NOT
+        // partitions: rewriting `cell=3__old` as data (while its live twin's
+        // rewrite concurrently deletes it) would compound the crash instead
+        // of leaving it for `__old`-rename recovery
+        !p.getName.endsWith("__old") && !p.getName.endsWith("__compact"))
     if (dirs.isEmpty) return 0
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, dirs.length))
-    try {
-      val futures = dirs.map { p =>
-        pool.submit(new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean =
-            rewriteLeafDir(spark, p.toString, targetFiles, transform, onlyIfOverTarget)
-        })
-      }
-      futures.count(_.get())
-    } finally pool.shutdown()
+    val futures = dirs.map { p =>
+      pool.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          rewriteLeafDir(spark, p.toString, targetFiles, transform, onlyIfOverTarget)
+      })
+    }
+    // drain EVERY future before reporting or rethrowing: a caller reacting
+    // to one directory's failure (recovery renames, next maintenance step)
+    // must not race rewrites still running in the background
+    val outcomes = futures.map(f => scala.util.Try(f.get()))
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    outcomes.count(_.getOrElse(false))
   }
 }
