@@ -179,7 +179,9 @@ object ScaleProbe {
     "q224_pair_retention",  // prune rewrite + curve from pruned evidence
     "q225_bm25_delete",     // per-bucket anti-join rewrite + exact stats
     "q226_ivf_delete",      // per-cell anti-join rewrite, pinned assignment
-    "q227_pair_delete")     // pairwise-evidence delete ≡ survivor scratch mine
+    "q227_pair_delete",     // pairwise-evidence delete ≡ survivor scratch mine
+    "q228_ingest_retry",    // tag short-circuit + member-replay semi-join
+    "q229_index_repair")    // fsck: bands rebuilt from stored shingle hashes
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

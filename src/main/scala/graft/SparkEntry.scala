@@ -2976,7 +2976,12 @@ object SparkEntry {
         Integer.toHexString(dir.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
       Similarity.writeIvfCorpus(base, "vec_id", "embedding", path, cents)
-      Similarity.appendIvfCorpus(newBatch, "vec_id", "embedding", path, cents)
+      Similarity.appendIvfCorpus(newBatch, "vec_id", "embedding", path, cents,
+        batchId = Some("day-1"))
+      // the blind crash-retry: the commit tag makes it an exact no-op (a
+      // double-append would put duplicate planted ids in the top-5)
+      Similarity.appendIvfCorpus(newBatch, "vec_id", "embedding", path, cents,
+        batchId = Some("day-1"))
       // full lifecycle: compact the appended cell dirs before probing —
       // the probe must be oblivious to when compaction ran (same oracle)
       Similarity.compactIvfCorpus(s, path, targetFiles = 1): Unit
@@ -2998,7 +3003,12 @@ object SparkEntry {
       TextOps.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
         "doc_id", "text", path)
       TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
-        "doc_id", "text", path)
+        "doc_id", "text", path, batchId = Some("day-1"))
+      // the blind crash-retry: commit tags no-op both appends, the stats
+      // sidecar re-derives from membership (doubled postings would shift
+      // every df and idf in the probe)
+      TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", path, batchId = Some("day-1"))
       // full lifecycle: compact the appended posting buckets before the
       // probe — scores must be oblivious to when compaction ran
       TextOps.compactBm25Index(s, path, targetFiles = 1): Unit
@@ -3078,7 +3088,14 @@ object SparkEntry {
       Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
         path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
       Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
-        path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = None,
+        batchId = Some("day-1"))
+      // the blind crash-retry a production loop will eventually do: the
+      // per-table commit tags make it an exact no-op (a skipped FIRST
+      // append or a re-mined double-append would both break the oracle)
+      Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = None,
+        batchId = Some("day-1"))
       // compact the appended layout before reading: the report must be
       // oblivious to when compaction ran (same oracle either way)
       Dedup.compactPairs(s, path, targetFiles = 4)
@@ -3223,6 +3240,69 @@ object SparkEntry {
           Dedup.readPairs(s, path, threshold = 0.8), "q")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- idempotent ingest: the day-1 fused ingest carries a batchId (a
+    //     ManifestTable commit tag); a BLIND re-run of the whole step —
+    //     the crash-retry a production loop will eventually do — must be
+    //     an exact no-op. The replayed survivors join their band-row
+    //     counts: 32 per survivor (64 would betray a double-append, 0 a
+    //     wrongly-skipped first run, and a non-short-circuited retry
+    //     would self-match every survivor and return nothing) -----------
+    "q228_ingest_retry" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q228_idx_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writeNearDupIndex(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      val day1 = docs.where(col("source") === "src0")
+      Dedup.ingestBatch(s, day1, path, "doc_id", "text",
+        batchId = Some("day-1")): Unit
+      // the blind retry: tag short-circuits, survivors replay as members
+      val replay = Dedup.ingestBatch(s, day1, path, "doc_id", "text",
+        batchId = Some("day-1"))
+      val counts = graft.store.ManifestTable.read(s, path + "/bands")
+        .groupBy(col("id")).agg(count(lit(1)).as("band_rows"))
+        .withColumnRenamed("id", "doc_id")
+      replay.select(col("doc_id"), col("lang")).join(counts, Seq("doc_id"))
+    }),
+
+    // --- index fsck: manufacture every inconsistency class a crashed or
+    //     blindly-retried maintenance op can leave (orphan band rows,
+    //     members with no band rows, duplicate band rows), repair — bands
+    //     rebuild deterministically from the authoritative docs store, no
+    //     text re-read — then probe. The report counts ride along as
+    //     constant columns; the regenerated members' vetoes are the
+    //     probe-visible proof the rebuild actually happened --------------
+    "q229_index_repair" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q229_idx_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val src0 = docs.where(col("source") === "src0")
+      Dedup.writeNearDupIndex(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      Dedup.appendNearDupIndex(src0, "doc_id", "text", path)
+      // orphans: docs entries deleted outside the takedown verb
+      graft.store.KeyedStore.deleteIndexed(s, path + "/docs",
+        src0.where(col("doc_id") % 10 === 3).select(col("doc_id").as("key")))
+      // duplicates: a blind untagged re-append
+      Dedup.appendNearDupIndex(src0.where(col("doc_id") % 10 === 5),
+        "doc_id", "text", path)
+      // missing: members whose bands never landed (docs-first crash window)
+      graft.store.KeyedStore.upsertIndexed(s, path + "/docs",
+        Dedup.hashedShingles(
+          docs.where(col("source") === "src1" && col("doc_id") % 10 === 7),
+          "doc_id", "text", 3).select(col("id").as("key"), col("th")))
+      val report = Dedup.repairNearDupIndex(s, path)
+      Dedup.dedupeAgainstIndex(s,
+          docs.where(col("source") === "src1" && col("doc_id") % 10 =!= 7),
+          path, "doc_id", "text")
+        .select(col("doc_id"), col("lang"))
+        .crossJoin(broadcast(report))
     })
   )
 
@@ -3641,6 +3721,89 @@ object SparkEntry {
         |  cast(sum(s.doc_id) AS bigint) AS id_sum
         |FROM surv s JOIN qual q USING (doc_id)
         |GROUP BY q.lang""".stripMargin,
+
+    // q228: the day-1 fused-ingest survivor rule (q221's drop1 stage),
+    // each survivor carrying exactly 32 band rows — a double-appending
+    // retry reads 64, a wrongly-skipped first run reads 0 (inner join
+    // drops the row), and a retry that re-ran the drop rule against the
+    // grown index would self-match every survivor and return nothing.
+    "q228_ingest_retry" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |p1 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src0'
+        |    AND b.source NOT IN ('src0', 'src1')
+        |  GROUP BY 1, 2),
+        |drop1 AS (
+        |  SELECT DISTINCT bid FROM p1
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT doc_id, lang, CAST(32 AS BIGINT) AS band_rows
+        |FROM documents
+        |WHERE source = 'src0'
+        |  AND doc_id NOT IN (SELECT bid FROM drop1)""".stripMargin,
+
+    // q229: the post-repair membership rule — veto side = corpus ∪
+    // (src0 minus the orphaned class) ∪ the regenerated members — plus
+    // the repair report's exact counts as constants (32 band rows per
+    // doc: numHashes 128 / rowsPerBand 4).
+    "q229_index_repair" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+        |mem AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE source NOT IN ('src0', 'src1')
+        |     OR (source = 'src0' AND doc_id % 10 <> 3)
+        |     OR (source = 'src1' AND doc_id % 10 = 7)),
+        |p AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source = 'src1'
+        |    AND b.doc_id IN (SELECT doc_id FROM mem)
+        |  WHERE a.doc_id % 10 <> 7
+        |  GROUP BY 1, 2),
+        |dropped AS (
+        |  SELECT DISTINCT bid FROM p
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |cnt AS (
+        |  SELECT
+        |    32 * (SELECT count(*) FROM documents
+        |          WHERE source = 'src0' AND doc_id % 10 = 5) AS duplicate_rows,
+        |    32 * (SELECT count(*) FROM documents
+        |          WHERE source = 'src0' AND doc_id % 10 = 3) AS orphan_rows,
+        |    (SELECT count(*) FROM documents
+        |     WHERE source = 'src1' AND doc_id % 10 = 7) AS regenerated_docs,
+        |    32 * (SELECT count(*) FROM mem) AS band_rows)
+        |SELECT d.doc_id, d.lang,
+        |  duplicate_rows, orphan_rows, regenerated_docs, band_rows
+        |FROM documents d, cnt
+        |WHERE d.source = 'src1' AND d.doc_id % 10 <> 7
+        |  AND d.doc_id NOT IN (SELECT bid FROM dropped)""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

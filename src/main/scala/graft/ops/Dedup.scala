@@ -275,25 +275,41 @@ object Dedup {
    * rest of the corpus (and its index entries) untouched. Run
    * [[compactNearDupIndex]] when append counts grow the file population.
    *
-   * Crash/retry contract: the two writes are separate actions. A failure
-   * BETWEEN them leaves band rows whose shingle sets are missing — those
-   * candidates silently fail verification, so the index UNDER-drops until
-   * repaired; a blind re-run after a mid-sequence failure double-appends
-   * the batch's band rows (harmless to correctness — duplicate candidates
-   * collapse in the probe's dropDuplicates — but it inflates the candidate
-   * join). Recover either way by re-running [[writeNearDupIndex]] over the
-   * full corpus, or by [[removeFromNearDupIndex]] on the batch ids followed
-   * by a clean re-append.
+   * Crash/retry contract — `docs` is the AUTHORITATIVE table, written
+   * first; `bands` is a derived acceleration structure rebuildable from it
+   * ([[repairNearDupIndex]]). A crash between the two writes leaves member
+   * docs with no band rows: INVISIBLE to probes (the index under-drops
+   * their future near-copies) but never a candidate-join inflation, and
+   * repairable without re-reading any text (the shingle hashes are stored).
+   * With `batchId = Some(tag)` a blind re-run after ANY crash is EXACT:
+   * the docs upsert is idempotent (last-write-wins on identical content)
+   * and the band append goes through
+   * [[graft.store.ManifestTable.appendTagged]] — already-committed tags
+   * no-op, partial attempts are swept and rewritten. Without a batchId a
+   * blind re-run is correct but double-appends the batch's band rows
+   * (duplicate candidacies collapse in the probe; [[repairNearDupIndex]]
+   * or the next [[compactNearDupIndex]]-with-repair removes them). The
+   * retry must precede any other maintenance op (single-maintainer
+   * contract).
    */
   def appendNearDupIndex(batch: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 128,
-      rowsPerBand: Int = 4): Unit = {
+      rowsPerBand: Int = 4, batchId: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    if (batchId.exists(t =>
+        graft.store.ManifestTable.hasTag(spark, path + "/bands", t)))
+      return // this batch fully committed before — blind retry is a no-op
     val hashed = hashedShingles(batch, idCol, textCol, shingleSize).persist()
     try {
-      graft.store.ManifestTable.append(
-        bandRows(hashed, numHashes, rowsPerBand), path + "/bands")
-      graft.store.KeyedStore.upsertIndexed(batch.sparkSession, path + "/docs",
+      graft.store.KeyedStore.upsertIndexed(spark, path + "/docs",
         hashed.select(col("id").as("key"), col("th")))
+      val bands = bandRows(hashed, numHashes, rowsPerBand)
+      batchId match {
+        case Some(t) =>
+          graft.store.ManifestTable.appendTagged(bands, path + "/bands", t): Unit
+        case None =>
+          graft.store.ManifestTable.append(bands, path + "/bands")
+      }
     } finally hashed.unpersist(blocking = false)
   }
 
@@ -367,30 +383,55 @@ object Dedup {
    * lazily-evaluated candidate join would re-read the band table AFTER the
    * batch's own bands landed and every surviving doc would match itself.
    *
-   * Crash/retry contract: after the drop set materializes this runs TWO
-   * separate append actions (bands, then the keyed upsert). A failure
-   * between them leaves band rows with no shingle set — candidates that
-   * silently fail verification, UNDER-dropping future near-copies of the
-   * stranded survivors; a blind re-run of the whole step double-appends
-   * the survivors' band rows (correct answers — duplicate candidacies
-   * collapse in the probe — but an inflated candidate join). Recover by
-   * [[removeFromNearDupIndex]] on the batch's ids and re-running the
-   * ingest, or by rebuilding via [[writeNearDupIndex]].
+   * Crash/retry contract — after the drop set materializes this runs the
+   * keyed `docs` upsert FIRST (the authoritative membership/evidence
+   * table) and the derived band append second. With `batchId = Some(tag)`
+   * a blind re-run after ANY crash is EXACT:
+   *
+   *  - crash before or during the docs upsert → nothing committed that the
+   *    retry's identical drop-set recompute and idempotent re-upsert don't
+   *    converge (batch docs in `docs` with NO band rows generate no
+   *    self-candidacies, so the recomputed drop set is unchanged);
+   *  - crash between the upsert and the band append → same: the retry
+   *    re-upserts (no-op) and appends the bands that never landed;
+   *  - crash after the tagged band append committed → the tag
+   *    short-circuits the whole step and the survivors are replayed as
+   *    `batch ∩ docs` membership (one keyed key-column scan — the replay
+   *    path's only cost).
+   *
+   * Without a batchId the first two windows behave identically, but a
+   * re-run after full completion re-runs the drop rule against an index
+   * that now CONTAINS the batch — every survivor matches itself and drops.
+   * Always pass a batchId when the caller may retry. The retry must
+   * precede any other maintenance op (single-maintainer contract).
    */
   def ingestBatch(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, path: String, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 128, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, batchId: Option[String] = None): DataFrame = {
+    if (batchId.exists(t =>
+        graft.store.ManifestTable.hasTag(spark, path + "/bands", t))) {
+      // the tagged band append is the LAST step, so its commit marker
+      // proves the whole ingest ran: replay survivors = batch ∩ members
+      val members = graft.store.KeyedStore.readKeyed(spark, path + "/docs")
+        .select(col("key").as(idCol))
+      return batch.join(members, Seq(idCol), "left_semi")
+    }
     val hb = hashedShingles(batch, idCol, textCol, shingleSize).persist()
     try {
       val dropped = graft.Eager.materialize(
         indexDropIds(spark, hb, path, numHashes, rowsPerBand, threshold))
       val hs = hb.join(dropped.select(col("batch_id").as("id")),
         Seq("id"), "left_anti")
-      graft.store.ManifestTable.append(
-        bandRows(hs, numHashes, rowsPerBand), path + "/bands")
       graft.store.KeyedStore.upsertIndexed(spark, path + "/docs",
         hs.select(col("id").as("key"), col("th")))
+      val bands = bandRows(hs, numHashes, rowsPerBand)
+      batchId match {
+        case Some(t) =>
+          graft.store.ManifestTable.appendTagged(bands, path + "/bands", t): Unit
+        case None =>
+          graft.store.ManifestTable.append(bands, path + "/bands")
+      }
       batch.join(dropped.select(col("batch_id").as(idCol)),
         Seq(idCol), "left_anti")
     } finally hb.unpersist(blocking = false)
@@ -465,6 +506,75 @@ object Dedup {
           col("id") === col("__tomb_id"), "left_anti"))
     if (hasTombs) clearTombstones(spark, path)
     graft.store.KeyedStore.compact(spark, path + "/docs"): Unit
+  }
+
+  /**
+   * Consistency repair (fsck) for a [[writeNearDupIndex]] layout. `docs`
+   * (key → hashed shingle set, the keyed store) is the AUTHORITATIVE
+   * table; `bands` is a derived acceleration structure — a pure function
+   * of `docs` — so repair REBUILDS it deterministically from the stored
+   * shingle hashes and reports what was wrong. No document text is
+   * re-read: band signatures recompute from the stored `th` arrays, a
+   * shuffle-free projection of the docs scan. This closes every
+   * inconsistency class a crashed or blindly-retried maintenance op can
+   * leave:
+   *
+   *  - ORPHAN band rows (id in `bands`, absent from `docs` — a crash
+   *    between the old bands-first writes, or a [[KeyedStore.deleteIndexed]]
+   *    outside [[removeFromNearDupIndex]]): purged. They were invisible to
+   *    probe RESULTS (verification finds no shingle set) but inflated every
+   *    candidate join.
+   *  - MISSING band rows (id in `docs` with no / partial band coverage —
+   *    the docs-first crash window): regenerated, making the doc visible
+   *    to probes again.
+   *  - DUPLICATE band rows (an untagged blind retry): collapsed.
+   *  - STALE band rows (same id re-ingested with changed content): the
+   *    rebuild replaces them wholesale.
+   *
+   * Cost: one scan of each table for the report, one signature recompute +
+   * write of the rebuilt band table (32 small rows per doc — file metadata
+   * and CPU, never a text scan). The rewrite goes through the manifest
+   * swap, so concurrent probes keep their files. Tombstones are left in
+   * place (still honored by probes; ids already deleted from `docs` lose
+   * their band rows here just as a compaction would purge them). Run it
+   * after any suspected crash, or let a scheduled compaction window call
+   * it instead of [[compactNearDupIndex]] when strict consistency is
+   * wanted over minimum work.
+   *
+   * Returns a one-row report: `duplicate_rows` (exact copies collapsed),
+   * `orphan_rows` (distinct rows whose id had no shingle set),
+   * `regenerated_docs` (docs that had ZERO band rows — partial/stale
+   * coverage is repaired too but counted in neither column), `band_rows`
+   * (rows in the rebuilt table).
+   */
+  def repairNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numHashes: Int = 128, rowsPerBand: Int = 4,
+      targetFiles: Int = 8): DataFrame = {
+    import graft.store.{KeyedStore, ManifestTable}
+    import spark.implicits._
+    val docs = KeyedStore.readKeyed(spark, path + "/docs")
+      .select(col("key").as("id"), col("th")).persist()
+    val bands = ManifestTable.read(spark, path + "/bands").persist()
+    try {
+      val distinctB = bands.dropDuplicates("id", "band", "bsig").persist()
+      try {
+        val rowsBefore = bands.count()
+        val distinctRows = distinctB.count()
+        val orphanRows = distinctB
+          .join(docs.select("id"), Seq("id"), "left_anti").count()
+        val regeneratedDocs = docs.select("id")
+          .join(bands.select("id").distinct(), Seq("id"), "left_anti").count()
+        ManifestTable.compact(spark, path + "/bands", targetFiles,
+          _ => bandRows(docs, numHashes, rowsPerBand))
+        val rowsAfter = ManifestTable.read(spark, path + "/bands").count()
+        Seq((rowsBefore - distinctRows, orphanRows, regeneratedDocs, rowsAfter))
+          .toDF("duplicate_rows", "orphan_rows", "regenerated_docs",
+            "band_rows")
+      } finally distinctB.unpersist(blocking = false)
+    } finally {
+      docs.unpersist(blocking = false)
+      bands.unpersist(blocking = false)
+    }
   }
 
   /** Reset `path/tombstones` to empty, preserving its id schema. */
@@ -646,54 +756,95 @@ object Dedup {
    * truth and the scratch-capped lower bound (capping under-scores by
    * contract either way). With `maxDf = None` increment ≡ scratch
    * bit-for-bit (the q219 oracle asserts exactly this).
+   *
+   * Crash/retry contract — pairs append FIRST, postings second, each
+   * through [[graft.store.ManifestTable.appendTagged]] when `batchId =
+   * Some(tag)`; a blind re-run after ANY crash is then exact. The order
+   * matters: the mine must see the stored postings WITHOUT the batch (the
+   * `is_new` split), so the pair append's commit marker also certifies
+   * "this batch's postings were not yet stored when its pairs were
+   * mined" — a retry skips the mine (tag present) and only lands the
+   * missing postings. The impossible inverse state (postings committed,
+   * pairs not) is rejected loudly rather than silently double-counted.
+   * Without a batchId a blind re-run double-appends both tables (every
+   * duplicated pair carries duplicated evidence — reports built on
+   * dropDuplicates survive, but the table is no longer scratch-equal);
+   * recover via [[removeFromPairs]] on the batch ids or a [[writePairs]]
+   * rebuild.
    */
   def appendPairs(df: DataFrame, idCol: String, textCol: String, path: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2,
-      maxDf: Option[Int] = Some(1000)): Unit = {
+      maxDf: Option[Int] = Some(1000),
+      batchId: Option[String] = None): Unit = {
     val spark = df.sparkSession
+    val pairsDone = batchId.exists(t =>
+      graft.store.ManifestTable.hasTag(spark, path + "/pairs", t))
+    val postingsDone = batchId.exists(t =>
+      graft.store.ManifestTable.hasTag(spark, path + "/postings", t))
+    if (pairsDone && postingsDone) return // fully committed — retry no-ops
+    if (postingsDone && !pairsDone)
+      throw new IllegalStateException(
+        s"appendPairs($path, batch $batchId): postings committed without " +
+          "pairs — not a state this writer produces (pairs commit first). " +
+          "Rebuild via writePairs or removeFromPairs the batch ids.")
     // both writes consume the batch postings; persist so the batch text is
     // read and shingled once (writes are actions — no Eager wrapper needed)
     val np = hashedShingles(df, idCol, textCol, shingleSize)
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
       .persist()
     try {
-      val all = graft.store.ManifestTable.read(spark, path + "/postings")
-        .withColumn("is_new", lit(false))
-        .unionByName(np.withColumn("is_new", lit(true)))
-      // only shingles the batch touches do any pair work; the combined-df
-      // cap drops stop-shingles exactly as the scratch mine of the union
-      val live = all.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"),
-          sum(when(col("is_new"), 1L).otherwise(0L)).as("dfn"))
-        .where(col("dfn") >= 1 && col("df") >= 2 &&
-          maxDf.map(cap => col("df") <= cap).getOrElse(lit(true)))
-        .select(col("s"))
-      val cand = all.join(live, Seq("s"))
-      val l = cand.where(col("is_new"))
-        .select(col("s"), col("id").as("id_l"), col("n").as("n_l"))
-      val r = cand.select(col("s"), col("id").as("id_r"), col("n").as("n_r"),
-        col("is_new").as("new_r"))
-      // (new, old) pairs once; (new, new) once via the id order; old×old
-      // never — that evidence is already on disk
-      graft.store.ManifestTable.append(l.join(r, Seq("s"))
-        .where(col("id_l") =!= col("id_r") &&
-          (!col("new_r") || col("id_l") < col("id_r")))
-        .select(
-          least(col("id_l"), col("id_r")).as("id_a"),
-          when(col("id_l") < col("id_r"), col("n_l")).otherwise(col("n_r"))
-            .as("n_a"),
-          greatest(col("id_l"), col("id_r")).as("id_b"),
-          when(col("id_l") < col("id_r"), col("n_r")).otherwise(col("n_l"))
-            .as("n_b"))
-        .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
-        .agg(count(lit(1)).as("inter"))
-        .withColumn("jaccard", col("inter").cast("double") /
-          (col("n_a") + col("n_b") - col("inter")))
-        .where(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter")),
-        path + "/pairs")
-      graft.store.ManifestTable.append(np.select(col("id"), col("n"), col("s")),
-        path + "/postings")
+      if (!pairsDone) {
+        val all = graft.store.ManifestTable.read(spark, path + "/postings")
+          .withColumn("is_new", lit(false))
+          .unionByName(np.withColumn("is_new", lit(true)))
+        // only shingles the batch touches do any pair work; the combined-df
+        // cap drops stop-shingles exactly as the scratch mine of the union
+        val live = all.groupBy(col("s"))
+          .agg(count(lit(1)).as("df"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("dfn"))
+          .where(col("dfn") >= 1 && col("df") >= 2 &&
+            maxDf.map(cap => col("df") <= cap).getOrElse(lit(true)))
+          .select(col("s"))
+        val cand = all.join(live, Seq("s"))
+        val l = cand.where(col("is_new"))
+          .select(col("s"), col("id").as("id_l"), col("n").as("n_l"))
+        val r = cand.select(col("s"), col("id").as("id_r"), col("n").as("n_r"),
+          col("is_new").as("new_r"))
+        // (new, old) pairs once; (new, new) once via the id order; old×old
+        // never — that evidence is already on disk
+        val mined = l.join(r, Seq("s"))
+          .where(col("id_l") =!= col("id_r") &&
+            (!col("new_r") || col("id_l") < col("id_r")))
+          .select(
+            least(col("id_l"), col("id_r")).as("id_a"),
+            when(col("id_l") < col("id_r"), col("n_l")).otherwise(col("n_r"))
+              .as("n_a"),
+            greatest(col("id_l"), col("id_r")).as("id_b"),
+            when(col("id_l") < col("id_r"), col("n_r")).otherwise(col("n_l"))
+              .as("n_b"))
+          .groupBy(col("id_a"), col("n_a"), col("id_b"), col("n_b"))
+          .agg(count(lit(1)).as("inter"))
+          .withColumn("jaccard", col("inter").cast("double") /
+            (col("n_a") + col("n_b") - col("inter")))
+          .where(col("jaccard") >= minJaccard)
+          .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"),
+            col("inter"))
+        batchId match {
+          case Some(t) =>
+            graft.store.ManifestTable.appendTagged(mined,
+              path + "/pairs", t): Unit
+          case None =>
+            graft.store.ManifestTable.append(mined, path + "/pairs")
+        }
+      }
+      val posts = np.select(col("id"), col("n"), col("s"))
+      batchId match {
+        case Some(t) =>
+          graft.store.ManifestTable.appendTagged(posts,
+            path + "/postings", t): Unit
+        case None =>
+          graft.store.ManifestTable.append(posts, path + "/postings")
+      }
     } finally np.unpersist(blocking = false)
   }
 

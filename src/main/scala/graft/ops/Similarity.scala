@@ -282,11 +282,28 @@ object Similarity {
     * ratio). Gate a live index with [[ivfLayoutHealth]] after each append
     * and retrain + rewrite when the occupancy report crosses your skew
     * budget. Run [[compactIvfCorpus]] when append counts grow each cell's
-    * file population. */
+    * file population.
+    *
+    * Crash/retry contract: with `batchId = Some(tag)` the append goes
+    * through [[graft.store.Compaction.appendTaggedPartitions]] — a blind
+    * re-run after any crash is exact (committed tags no-op, partial
+    * attempts are swept by their file prefix before re-appending). Without
+    * one, a blind re-run double-appends the batch (duplicate ids in every
+    * probe's top-k); recover via [[removeFromIvfCorpus]] on the batch ids
+    * or a [[writeIvfCorpus]] rebuild. */
   def appendIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
-      path: String, cents: Array[Array[Double]]): Unit =
-    df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
-      .write.partitionBy("cell").mode("append").parquet(path)
+      path: String, cents: Array[Array[Double]],
+      batchId: Option[String] = None): Unit = {
+    val routed = df.select(col(idCol), col(vecCol),
+      cellOf(col(vecCol), cents).as("cell"))
+    batchId match {
+      case Some(t) =>
+        graft.store.Compaction.appendTaggedPartitions(routed, path,
+          "cell", t): Unit
+      case None =>
+        routed.write.partitionBy("cell").mode("append").parquet(path)
+    }
+  }
 
   /** File-count compaction for a [[writeIvfCorpus]] layout — every
     * [[appendIvfCorpus]] lands one more small file set inside each touched

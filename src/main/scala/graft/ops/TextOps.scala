@@ -707,7 +707,14 @@ object TextOps {
     *
     * Crash contract, in append order (docs membership → staged stats →
     * postings → stats swap; every step leaves stats ≡ or behind the docs
-    * table, never ahead of it):
+    * table, never ahead of it). With `batchId = Some(tag)` a BLIND RE-RUN
+    * after any crash is exact: the docs append and the postings append each
+    * carry the batch's commit tag ([[graft.store.ManifestTable.appendTagged]]
+    * / [[graft.store.Compaction.appendTaggedPartitions]] — committed tags
+    * no-op, partial attempts sweep by file prefix), and the stats sidecar
+    * is a pure function of the docs table, re-derived and re-swapped on
+    * every run — so whichever window the crash hit, the retry converges to
+    * the exact clean-run state. Without a batchId the windows are:
     *  - crash after the docs append: membership holds the batch, stats and
     *    postings don't — probes score the old corpus consistently, and a
     *    [[removeFromBm25Index]] (which recomputes stats FROM membership)
@@ -727,29 +734,52 @@ object TextOps {
     * membership table that later poisons every stats recomputation, so it
     * refuses instead; rebuild via [[writeBm25Index]]. */
   def appendBm25Index(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64,
+      batchId: Option[String] = None): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val spark = df.sparkSession
     require(graft.store.ManifestTable.exists(spark, path + "/docs"),
       s"appendBm25Index needs the docs membership sidecar (round-11 " +
         s"layout) — rebuild via writeBm25Index: $path")
-    graft.store.ManifestTable.append(
-      df.select(col(idCol).as("id"),
-        token_count(lower(col(textCol))).cast("bigint").as("dl")),
-      path + "/docs")
+    val docsDone = batchId.exists(t =>
+      graft.store.ManifestTable.hasTag(spark, path + "/docs", t))
+    val postsDone = batchId.exists(t =>
+      graft.store.Compaction.hasTag(spark, path + "/postings", t))
+    val members = df.select(col(idCol).as("id"),
+      token_count(lower(col(textCol))).cast("bigint").as("dl"))
+    if (!docsDone) batchId match {
+      case Some(t) =>
+        graft.store.ManifestTable.appendTagged(members,
+          path + "/docs", t): Unit
+      case None =>
+        graft.store.ManifestTable.append(members, path + "/docs")
+    }
     // stage the merged sidecar from the UPDATED membership table (tiny
     // (id, dl) read — no second tokenization pass); swapped in once the
-    // postings append commits
+    // postings append commits. On a tagged retry this re-derives and
+    // re-swaps even when both appends already committed — covering the
+    // crash-before-swap window at the cost of one tiny read.
     statsFromDocs(spark, path)
       .write.mode("overwrite").parquet(path + "/stats__staged")
-    val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
-      .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
-        explode(col("tk")).as("term"))
-    toks.groupBy(col("id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket",
-        pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
-          lit(nBuckets.toLong)))
-      .write.partitionBy("bucket").mode("append").parquet(path + "/postings")
+    if (!postsDone) {
+      val toks = df.select(col(idCol).as("id"),
+          tokens(lower(col(textCol))).as("tk"))
+        .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
+          explode(col("tk")).as("term"))
+      val posted = toks.groupBy(col("id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumn("bucket",
+          pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
+            lit(nBuckets.toLong)))
+      batchId match {
+        case Some(t) =>
+          graft.store.Compaction.appendTaggedPartitions(posted,
+            path + "/postings", "bucket", t): Unit
+        case None =>
+          posted.write.partitionBy("bucket").mode("append")
+            .parquet(path + "/postings")
+      }
+    }
     swapInStagedStats(spark, path, "appendBm25Index")
   }
 

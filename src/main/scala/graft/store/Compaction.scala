@@ -30,6 +30,69 @@ import org.apache.hadoop.fs.Path
  */
 object Compaction {
 
+  /** Has an [[appendTaggedPartitions]] with this tag fully committed against
+    * `root`? (Overwriting the layout wipes the root dir and with it the
+    * marker file — a new incarnation re-accepts all tags.) */
+  def hasTag(spark: SparkSession, root: String, tag: String): Boolean = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    CommitTags.read(fs, rootPath).contains(CommitTags.token(tag))
+  }
+
+  /**
+   * Idempotent tagged append into a `name=value` partition-directory layout
+   * — [[ManifestTable.appendTagged]]'s twin for the IVF `cell=` and BM25
+   * `bucket=` layouts (same commit-marker discipline, see
+   * [[CommitTags]]): the batch stages as a partitioned write, each staged
+   * file moves into its live partition directory under a `tag-<md5(tag)>-`
+   * prefix, and the tag commits last. Returns false — having written
+   * NOTHING — when the tag already committed, so a blind retry of a
+   * crashed caller is exact: partial attempts are identified by the file
+   * prefix and swept before the re-append. New partition values create
+   * their directories (the routed-append contract: a batch may land in
+   * cells/buckets the base write never touched). Same reader visibility
+   * as a plain `mode("append")` write — a probe planning mid-move sees a
+   * prefix of the batch — and the same single-maintainer contract as every
+   * layout write verb here; the retry must precede any other maintenance
+   * op (a compaction folds tagged files into anonymous rewritten files,
+   * after which the sweep cannot identify a partial attempt).
+   */
+  def appendTaggedPartitions(df: org.apache.spark.sql.DataFrame, root: String,
+      partitionCol: String, tag: String): Boolean = {
+    val spark = df.sparkSession
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val tok = CommitTags.token(tag)
+    if (CommitTags.read(fs, rootPath).contains(tok)) return false
+    val prefix = s"tag-$tok-"
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+        .filter(p => p.getName.contains("=") && !p.getName.startsWith("."))
+        .foreach { d =>
+          fs.listStatus(d).map(_.getPath)
+            .filter(_.getName.startsWith(prefix))
+            .foreach(fs.delete(_, false))
+        }
+    val stage = new Path(root + "/.stage-" + tok)
+    fs.delete(stage, true)
+    df.write.partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
+    fs.listStatus(stage).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.contains("="))
+      .foreach { sp =>
+        val target = new Path(rootPath, sp.getName)
+        fs.mkdirs(target): Unit
+        fs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .foreach { p =>
+            if (!fs.rename(p, new Path(target, prefix + p.getName)))
+              throw new java.io.IOException(
+                s"appendTaggedPartitions: cannot move $p into $target")
+          }
+      }
+    fs.delete(stage, true)
+    CommitTags.add(fs, rootPath, tok)
+    true
+  }
+
   /** Compact ONE parquet leaf directory to `targetFiles` files if it holds
     * more than that; returns whether a rewrite ran. Crash between the two
     * renames leaves the original intact under `<dir>__old` — recover by
@@ -93,6 +156,12 @@ object Compaction {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return 0
+    // sweep stage dirs from interrupted appendTaggedPartitions attempts:
+    // maintenance ops are externally serialized, so any stage dir visible
+    // here is dead (its batch's retry will re-stage from scratch)
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".stage-"))
+      .foreach(fs.delete(_, true))
     val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.contains("=") && !p.getName.startsWith(".") &&
         // crash-stranded twins from an interrupted rewrite are NOT

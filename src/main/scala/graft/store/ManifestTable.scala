@@ -45,6 +45,8 @@ import org.apache.hadoop.fs.Path
 object ManifestTable {
   private val ManifestName = "MANIFEST"
   private val GenPrefix = "gen-"
+  private val TagsName = CommitTags.TagsName
+  private val StagePrefix = ".stage-"
 
   private def fsOf(spark: SparkSession, table: String): (org.apache.hadoop.fs.FileSystem, Path) = {
     val p = new Path(table)
@@ -108,20 +110,29 @@ object ManifestTable {
     * live just before it — the keep-one-back discipline that funds the
     * reader-concurrency contract. Orphaned generations from interrupted
     * rewrites (written but never committed) are swept here too, as are
-    * MANIFEST tmp files from interrupted commits. */
+    * MANIFEST/TAGS tmp files from interrupted commits and stage dirs left
+    * by interrupted [[appendTagged]] attempts (maintenance ops are
+    * externally serialized, so any stage dir visible here is dead). */
   private def retire(fs: org.apache.hadoop.fs.FileSystem, dir: Path, live: String,
       prevLive: Option[String]): Unit = {
     val keep = Set(live) ++ prevLive
     genDirs(fs, dir).filterNot(keep).foreach(g => fs.delete(new Path(dir, g), true))
+    fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(StagePrefix))
+      .foreach(fs.delete(_, true))
     fs.listStatus(dir).filter(_.isFile).map(_.getPath)
-      .filter(_.getName.startsWith(ManifestName + ".tmp-"))
+      .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
+        p.getName.startsWith(TagsName + ".tmp-"))
       .foreach(fs.delete(_, false))
   }
 
   /** Overwrite the table: write a fresh generation, swap, retire older
     * generations (keeping the previous live one for in-flight readers).
     * Migrating a legacy flat layout drops its flat data files — write has
-    * always meant overwrite. */
+    * always meant overwrite. Starts a new table incarnation: committed
+    * append tags ([[appendTagged]]) are cleared by the flat-file sweep
+    * below, so a stale retry of a pre-overwrite batch re-appends rather
+    * than silently skipping. */
   def write(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val (fs, dir) = fsOf(spark, table)
@@ -130,9 +141,12 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(s"$table/$next")
     // legacy flat data files (pre-manifest layout) are superseded by this
     // overwrite; MANIFEST does not exist yet in that case, so no reader
-    // resolves to them after the commit below
+    // resolves to them after the commit below. The TAGS marker is swept
+    // explicitly: an overwrite starts a new incarnation (see scaladoc).
     fs.listStatus(dir).filter(_.isFile).map(_.getPath)
-      .filter(p => !p.getName.startsWith(ManifestName) && !p.getName.startsWith("."))
+      .filter(p => p.getName == TagsName ||
+        (!p.getName.startsWith(ManifestName) && !p.getName.startsWith(".") &&
+          !p.getName.startsWith("_")))
       .foreach(fs.delete(_, false))
     commit(fs, dir, next)
     retire(fs, dir, next, prevLive)
@@ -154,6 +168,71 @@ object ManifestTable {
           df.write.mode("append").parquet(table)
         } else write(df, table)
     }
+  }
+
+  // ------------------------------------------------------- tagged appends
+
+  /** Has a [[appendTagged]] with this tag fully committed? (Overwriting the
+    * table via [[write]] starts a new incarnation and clears all tags.) */
+  def hasTag(spark: SparkSession, table: String, tag: String): Boolean = {
+    val (fs, dir) = fsOf(spark, table)
+    CommitTags.read(fs, dir).contains(CommitTags.token(tag))
+  }
+
+  /**
+   * Idempotent append: the batch-log pattern (a commit marker per logical
+   * batch, the discipline Spark's own file-stream sink uses) on top of the
+   * manifest layout. Returns false — and writes NOTHING — when `tag` has
+   * already committed, so a blind retry of a crashed caller is exact:
+   *
+   *  1. already-committed tag → no-op (return false);
+   *  2. otherwise SWEEP any `tag-<md5(tag)>-*` files a previous attempt
+   *     moved into the live generation (a crash mid-append or between the
+   *     file moves and the TAGS commit);
+   *  3. write the batch to a stage dir, move each file into the live
+   *     generation under the tag prefix, commit the tag.
+   *
+   * Every crash window heals on retry: partial stage writes and partially
+   * moved files are swept by step 2; a committed-but-untagged append is
+   * swept and rewritten (same rows). A reader planning DURING the file
+   * moves can see a prefix of the batch — the same visibility a plain
+   * [[append]] always had. The retry must happen before any OTHER
+   * maintenance op on the table (the single-maintainer contract): a
+   * compaction folds tagged files into anonymous generation rows, after
+   * which the sweep can no longer identify a partial attempt's rows.
+   */
+  def appendTagged(df: DataFrame, table: String, tag: String): Boolean = {
+    val spark = df.sparkSession
+    val (fs, dir) = fsOf(spark, table)
+    val tok = CommitTags.token(tag)
+    if (CommitTags.read(fs, dir).contains(tok)) return false
+    liveGen(spark, table) match {
+      case Some(_) => ()
+      case None =>
+        if (fs.exists(dir) && fs.listStatus(dir).exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet")))
+          compact(spark, table) // migrate a legacy flat layout first
+        else write(df.limit(0), table) // establish an empty generation
+    }
+    val gen = liveGen(spark, table).get
+    val genPath = new Path(dir, gen)
+    val prefix = s"tag-$tok-"
+    if (fs.exists(genPath))
+      fs.listStatus(genPath).map(_.getPath)
+        .filter(_.getName.startsWith(prefix)).foreach(fs.delete(_, false))
+    val stage = new Path(dir, StagePrefix + tok)
+    fs.delete(stage, true)
+    df.write.mode("overwrite").parquet(stage.toString)
+    fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach { p =>
+        if (!fs.rename(p, new Path(genPath, prefix + p.getName)))
+          throw new java.io.IOException(
+            s"ManifestTable: cannot move $p into $genPath")
+      }
+    fs.delete(stage, true)
+    CommitTags.add(fs, dir, tok)
+    true
   }
 
   /** Count the data files in the live generation (the open-storm metric the

@@ -168,6 +168,179 @@ class LifecycleSpec extends SparkSpec {
     assert(surv3 == Set(Seq(13L)), s"re-added doc must veto again: $surv3")
   }
 
+  // ------------------------------------------------- tagged appends / retry
+
+  test("ManifestTable.appendTagged: committed tags no-op; a lost TAGS marker " +
+      "heals by sweep-and-rewrite; write() starts a fresh incarnation") {
+    val t = tmp("graft_tag") + "/t"
+    ManifestTable.write(Seq((1L, "base")).toDF("id", "v"), t)
+    assert(ManifestTable.appendTagged(Seq((2L, "b1")).toDF("id", "v"), t, "b1"))
+    val after1 = multiset(ManifestTable.read(spark, t))
+    assert(after1 == Map(Seq(1L, "base") -> 1, Seq(2L, "b1") -> 1))
+    // blind retry: the committed tag makes it an exact no-op
+    assert(!ManifestTable.appendTagged(Seq((2L, "b1")).toDF("id", "v"), t, "b1"))
+    assert(multiset(ManifestTable.read(spark, t)) == after1)
+    // crash between the file moves and the TAGS commit: marker lost, files
+    // present — the retry's sweep removes them before re-appending
+    assert(new java.io.File(t, "_TAGS").delete())
+    assert(ManifestTable.appendTagged(Seq((2L, "b1")).toDF("id", "v"), t, "b1"))
+    assert(multiset(ManifestTable.read(spark, t)) == after1,
+      "sweep-and-rewrite must not duplicate the batch")
+    // a second tag appends independently
+    assert(ManifestTable.appendTagged(Seq((3L, "b2")).toDF("id", "v"), t, "b2"))
+    assert(multiset(ManifestTable.read(spark, t)).size == 3)
+    // tags survive a compaction (history is part of the table)…
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(!ManifestTable.appendTagged(Seq((9L, "x")).toDF("id", "v"), t, "b2"))
+    // …but an overwrite clears them: a new incarnation re-accepts the tag
+    ManifestTable.write(Seq((1L, "base")).toDF("id", "v"), t)
+    assert(ManifestTable.appendTagged(Seq((3L, "b2")).toDF("id", "v"), t, "b2"))
+  }
+
+  test("ingestBatch with a batchId: a blind retry after full completion is " +
+      "an exact no-op (same survivors, same band multiset, same docs)") {
+    val docs = docsDF
+    val path = tmp("graft_ing_idem") + "/idx"
+    Dedup.writeNearDupIndex(docs.where(col("id") <= 3), "id", "text", path,
+      shingleSize = 2)
+    val batch = docs.where(col("id") >= 11)
+    val r1 = canon(Dedup.ingestBatch(spark, batch, path, "id", "text",
+      shingleSize = 2, batchId = Some("day-1")))
+    val bandsAfter = multiset(ManifestTable.read(spark, path + "/bands"))
+    val docsAfter = multiset(
+      graft.store.KeyedStore.readKeyed(spark, path + "/docs"))
+    val r2 = canon(Dedup.ingestBatch(spark, batch, path, "id", "text",
+      shingleSize = 2, batchId = Some("day-1")))
+    assert(r2 == r1, "replayed survivors must equal the original return")
+    assert(r1.map(_.head) == Set(13L), "only the novel doc survives")
+    assert(multiset(ManifestTable.read(spark, path + "/bands")) == bandsAfter,
+      "retry must not append a single band row")
+    assert(multiset(graft.store.KeyedStore.readKeyed(spark, path + "/docs")) ==
+      docsAfter, "retry must not touch the docs store")
+  }
+
+  test("ingestBatch retry from the docs-first crash window (docs upserted, " +
+      "bands never landed) converges to the clean-run state") {
+    val docs = docsDF
+    def freshIndex(): String = {
+      val p = tmp("graft_ing_crash") + "/idx"
+      Dedup.writeNearDupIndex(docs.where(col("id") <= 3), "id", "text", p,
+        shingleSize = 2)
+      p
+    }
+    val batch = docs.where(col("id") >= 11)
+    // clean run for reference
+    val clean = freshIndex()
+    val rClean = canon(Dedup.ingestBatch(spark, batch, clean, "id", "text",
+      shingleSize = 2, batchId = Some("day-1")))
+    // crashed run: the survivor's shingle set landed in docs, bands did not
+    val crashed = freshIndex()
+    graft.store.KeyedStore.upsertIndexed(spark, crashed + "/docs",
+      Dedup.hashedShingles(docs.where(col("id") === 13), "id", "text", 2)
+        .select(col("id").as("key"), col("th")))
+    val rRetry = canon(Dedup.ingestBatch(spark, batch, crashed, "id", "text",
+      shingleSize = 2, batchId = Some("day-1")))
+    assert(rRetry == rClean,
+      "retry must return the same survivors as a never-crashed run")
+    assert(multiset(ManifestTable.read(spark, crashed + "/bands")) ==
+      multiset(ManifestTable.read(spark, clean + "/bands")),
+      "band tables must converge")
+    assert(multiset(graft.store.KeyedStore.readKeyed(spark, crashed + "/docs")) ==
+      multiset(graft.store.KeyedStore.readKeyed(spark, clean + "/docs")),
+      "docs stores must converge")
+    // a copy of the survivor now drops against either index
+    val probe = Seq((113L, "z1 z2 z3 z4 z5 z6")).toDF("id", "text")
+    assert(canon(Dedup.dedupeAgainstIndex(spark, probe, crashed, "id", "text",
+      shingleSize = 2)).isEmpty)
+  }
+
+  test("appendPairs with a batchId: blind retry exact; the pairs-committed/" +
+      "postings-missing crash window heals; the inverse state rejects loudly") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "a b c d e f"), (4L, "w1 w2 w3 w4 zz"), (5L, "a b c d e zz"))
+      .toDF("id", "text")
+    val path = tmp("graft_pair_idem") + "/p"
+    Dedup.writePairs(docs.where(col("id") <= 3), "id", "text", path,
+      shingleSize = 2, minJaccard = 0.2, maxDf = None)
+    val batch = docs.where(col("id") >= 4)
+    def append(): Unit = Dedup.appendPairs(batch, "id", "text", path,
+      shingleSize = 2, minJaccard = 0.2, maxDf = None, batchId = Some("b1"))
+    append()
+    val pairsAfter = multiset(ManifestTable.read(spark, path + "/pairs"))
+    val postsAfter = multiset(ManifestTable.read(spark, path + "/postings"))
+    append() // blind retry after full completion
+    assert(multiset(ManifestTable.read(spark, path + "/pairs")) == pairsAfter)
+    assert(multiset(ManifestTable.read(spark, path + "/postings")) == postsAfter)
+    // crash window: pairs committed, postings never landed — delete the
+    // tagged postings files AND the marker, exactly what a crash between
+    // the two appends leaves behind
+    val tok = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val postGen = new java.io.File(ManifestTable.resolve(spark,
+      path + "/postings"))
+    val tagged = postGen.listFiles.filter(_.getName.startsWith(s"tag-$tok-"))
+    assert(tagged.nonEmpty, "the tagged postings files must be identifiable")
+    tagged.foreach(f => assert(f.delete()))
+    assert(new java.io.File(path + "/postings", "_TAGS").delete())
+    append() // retry lands ONLY the missing postings (pairs tag short-circuits)
+    assert(multiset(ManifestTable.read(spark, path + "/pairs")) == pairsAfter,
+      "the mine must not re-run")
+    assert(multiset(ManifestTable.read(spark, path + "/postings")) == postsAfter,
+      "the missing postings must land exactly once")
+    // the inverse state (postings committed, pairs not) is impossible for
+    // this writer and must reject rather than silently double-count
+    assert(new java.io.File(path + "/pairs", "_TAGS").delete())
+    intercept[IllegalStateException] { append() }
+  }
+
+  test("repairNearDupIndex: rebuilds bands from the authoritative docs " +
+      "store — orphans purged, missing regenerated, duplicates collapsed — " +
+      "and reports exact counts; a second repair is a zero-delta no-op") {
+    val docs = docsDF
+    val path = tmp("graft_ndfsck") + "/idx"
+    Dedup.writeNearDupIndex(docs.where(col("id") <= 3), "id", "text", path,
+      shingleSize = 2)
+    Dedup.appendNearDupIndex(docs.where(col("id") === 13), "id", "text", path,
+      shingleSize = 2)
+    // orphan: docs entry for 3 deleted outside the takedown verb
+    graft.store.KeyedStore.deleteIndexed(spark, path + "/docs",
+      Seq(3L).toDF("key"))
+    // duplicates: a blind untagged re-append of 13
+    Dedup.appendNearDupIndex(docs.where(col("id") === 13), "id", "text", path,
+      shingleSize = 2)
+    // missing: doc 14's shingle set upserted, bands never written
+    graft.store.KeyedStore.upsertIndexed(spark, path + "/docs",
+      Dedup.hashedShingles(Seq((14L, "m1 m2 m3 m4 m5 m6")).toDF("id", "text"),
+        "id", "text", 2).select(col("id").as("key"), col("th")))
+    val rep = Dedup.repairNearDupIndex(spark, path).collect().head
+    assert(rep.getAs[Long]("duplicate_rows") == 32L, s"got $rep")
+    assert(rep.getAs[Long]("orphan_rows") == 32L, s"got $rep")
+    assert(rep.getAs[Long]("regenerated_docs") == 1L, s"got $rep")
+    assert(rep.getAs[Long]("band_rows") == 4 * 32L, s"got $rep")
+    // the rebuilt band table equals a from-scratch index of the members
+    val fresh = tmp("graft_ndfsck") + "/fresh"
+    Dedup.writeNearDupIndex(
+      docs.where(col("id").isin(1L, 2L, 13L))
+        .union(Seq((14L, "m1 m2 m3 m4 m5 m6")).toDF("id", "text")),
+      "id", "text", fresh, shingleSize = 2)
+    assert(multiset(ManifestTable.read(spark, path + "/bands")) ==
+      multiset(ManifestTable.read(spark, fresh + "/bands")),
+      "rebuilt bands must equal the from-scratch derivation")
+    // probe visibility: a copy of the REGENERATED doc now drops; a copy of
+    // the orphaned doc survives (its evidence is gone)
+    val probe = Seq((114L, "m1 m2 m3 m4 m5 m6"), (103L, "k1 k2 k3 k4 k5 k6"))
+      .toDF("id", "text")
+    assert(canon(Dedup.dedupeAgainstIndex(spark, probe, path, "id", "text",
+      shingleSize = 2).select(col("id"))) == Set(Seq(103L)))
+    // idempotent: nothing left to fix
+    val rep2 = Dedup.repairNearDupIndex(spark, path).collect().head
+    assert(rep2.getAs[Long]("duplicate_rows") == 0L)
+    assert(rep2.getAs[Long]("orphan_rows") == 0L)
+    assert(rep2.getAs[Long]("regenerated_docs") == 0L)
+    assert(rep2.getAs[Long]("band_rows") == 4 * 32L)
+  }
+
   // ---------------------------------------------- partitioned-layout compaction
 
   test("compactIvfCorpus: per-cell file counts shrink; partition-pruned " +
@@ -228,6 +401,78 @@ class LifecycleSpec extends SparkSpec {
     val compacted = canon(TextOps.bm25TopKFromIndex(spark, path, q, 10,
       nBuckets = 4))
     assert(compacted == direct, "scores must be oblivious to compaction")
+  }
+
+  test("appendIvfCorpus with a batchId: blind retry exact; a crash that " +
+      "lost the tag marker heals by sweep (partitioned-layout tags)") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs.where(col("id") < 20),
+      "id", "vec", k = 3)
+    val path = tmp("graft_ivf_idem") + "/ivf"
+    Similarity.writeIvfCorpus(vecs.where(col("id") < 20), "id", "vec", path,
+      cents)
+    val batch = vecs.where(col("id") >= 20)
+    Similarity.appendIvfCorpus(batch, "id", "vec", path, cents,
+      batchId = Some("b1"))
+    val after = multiset(spark.read.parquet(path))
+    Similarity.appendIvfCorpus(batch, "id", "vec", path, cents,
+      batchId = Some("b1")) // blind retry
+    assert(multiset(spark.read.parquet(path)) == after,
+      "retry must not append a single row")
+    // lost marker: the tagged files are still identified by prefix and
+    // swept before the rewrite — rows stay exact
+    assert(new java.io.File(path, "_TAGS").delete())
+    Similarity.appendIvfCorpus(batch, "id", "vec", path, cents,
+      batchId = Some("b1"))
+    assert(multiset(spark.read.parquet(path)) == after,
+      "sweep-and-rewrite must not duplicate the batch")
+  }
+
+  test("appendBm25Index with a batchId: blind retry exact across postings, " +
+      "docs membership, and the derived stats sidecar") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"))
+      .toDF("id", "text")
+    val path = tmp("graft_bm25_idem") + "/bm25"
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    val batch = docs.where(col("id") >= 3)
+    def append(): Unit = TextOps.appendBm25Index(batch, "id", "text", path,
+      nBuckets = 4, batchId = Some("b1"))
+    append()
+    val posts = multiset(spark.read.parquet(path + "/postings"))
+    val stats = multiset(spark.read.parquet(path + "/stats"))
+    val members = multiset(ManifestTable.read(spark, path + "/docs"))
+    append() // blind retry: both tags committed, stats re-derive to the same row
+    assert(multiset(spark.read.parquet(path + "/postings")) == posts)
+    assert(multiset(spark.read.parquet(path + "/stats")) == stats)
+    assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
+    // crash window: docs committed, postings never landed — delete the
+    // tagged posting files and the marker, then retry
+    val tok = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val buckets = new java.io.File(path + "/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+    val tagged = buckets.flatMap(_.listFiles())
+      .filter(_.getName.startsWith(s"tag-$tok-"))
+    assert(tagged.nonEmpty, "tagged posting files must be identifiable")
+    tagged.foreach(f => assert(f.delete()))
+    assert(new java.io.File(path + "/postings", "_TAGS").delete())
+    append() // docs tag short-circuits; only the postings land
+    assert(multiset(spark.read.parquet(path + "/postings")) == posts,
+      "the missing postings must land exactly once")
+    assert(multiset(ManifestTable.read(spark, path + "/docs")) == members,
+      "the docs membership must not double-append")
+    assert(multiset(spark.read.parquet(path + "/stats")) == stats)
+    // the probe equals a from-scratch build of the same corpus
+    val fresh = tmp("graft_bm25_idem") + "/fresh"
+    TextOps.writeBm25Index(docs, "id", "text", fresh, nBuckets = 4)
+    val q = Seq("spark", "window", "merge")
+    assert(canon(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)) ==
+      canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)))
   }
 
   // -------------------------------------------------------- pair retention
