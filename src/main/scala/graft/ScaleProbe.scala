@@ -181,7 +181,8 @@ object ScaleProbe {
     "q226_ivf_delete",      // per-cell anti-join rewrite, pinned assignment
     "q227_pair_delete",     // pairwise-evidence delete ≡ survivor scratch mine
     "q228_ingest_retry",    // tag short-circuit + member-replay semi-join
-    "q229_index_repair")    // fsck: bands rebuilt from stored shingle hashes
+    "q229_index_repair",    // fsck: bands rebuilt from stored shingle hashes
+    "q230_stream_exactly_once") // epoch-tagged foreachBatch ingest + replay
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -3303,6 +3303,37 @@ object SparkEntry {
           path, "doc_id", "text")
         .select(col("doc_id"), col("lang"))
         .crossJoin(broadcast(report))
+    }),
+
+    // --- exactly-once STREAMING ingest: micro-batches dedupe against the
+    //     index and fold survivors in, each tagged with its epoch id; the
+    //     WHOLE stream then re-runs from a fresh checkpoint — replaying
+    //     epochs 0..n under the same tags, the failure-recovery path
+    //     foreachBatch contracts for — and must be an exact no-op. Every
+    //     member carries exactly 32 band rows (the q228 audit): a replayed
+    //     epoch that re-appended would read 64, one that re-ran the drop
+    //     rule would self-match its survivors out of membership ----------
+    "q230_stream_exactly_once" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q230_idx_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writeNearDupIndex(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoNearDupIndex(
+        graft.streaming.Streaming.docsReplay(s, dir, 2)
+          .where(col("source") === "src0" || col("source") === "src1")
+          .select(col("doc_id"), col("text")),
+        path, "doc_id", "text").awaitTermination()
+      run()
+      run() // full replay, same epoch tags: every batch short-circuits
+      val counts = graft.store.ManifestTable.read(s, path + "/bands")
+        .groupBy(col("id")).agg(count(lit(1)).as("band_rows"))
+        .withColumnRenamed("id", "doc_id")
+      docs.where(col("source") === "src0" || col("source") === "src1")
+        .join(counts, Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("band_rows"))
     })
   )
 
@@ -3804,6 +3835,60 @@ object SparkEntry {
         |FROM documents d, cnt
         |WHERE d.source = 'src1' AND d.doc_id % 10 <> 7
         |  AND d.doc_id NOT IN (SELECT bid FROM dropped)""".stripMargin,
+
+    // q230: the two-epoch streaming ingest rule. The replay stages the
+    // corpus with ntile(2) over doc_id order (Streaming.stageDocsReplay),
+    // so epoch membership is reconstructible exactly; epoch 1 dedups
+    // against the corpus, epoch 2 against corpus + epoch-1 survivors —
+    // q221's two-stage rule with ntile in place of source. 32 band rows
+    // per member = the q228 idempotence audit through the full stream
+    // replay.
+    "q230_stream_exactly_once" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, lang, text,
+        |    ntile(2) OVER (ORDER BY doc_id) AS tile
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, source, tile,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM base),
+        |sh AS (
+        |  SELECT doc_id, source, tile, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, source, tile, unnest(s) AS g FROM sh),
+        |p1 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source IN ('src0', 'src1') AND a.tile = 1
+        |    AND b.source NOT IN ('src0', 'src1')
+        |  GROUP BY 1, 2),
+        |drop1 AS (
+        |  SELECT DISTINCT bid FROM p1
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |p2 AS (
+        |  SELECT a.doc_id AS bid, b.doc_id AS cid, count(*) AS inter
+        |  FROM inv a JOIN inv b
+        |    ON a.g = b.g AND a.source IN ('src0', 'src1') AND a.tile = 2
+        |    AND (b.source NOT IN ('src0', 'src1')
+        |         OR (b.source IN ('src0', 'src1') AND b.tile = 1
+        |             AND b.doc_id NOT IN (SELECT bid FROM drop1)))
+        |  GROUP BY 1, 2),
+        |drop2 AS (
+        |  SELECT DISTINCT bid FROM p2
+        |  JOIN sizes na ON na.doc_id = bid
+        |  JOIN sizes nb ON nb.doc_id = cid
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8)
+        |SELECT doc_id, lang, CAST(32 AS BIGINT) AS band_rows
+        |FROM base
+        |WHERE source IN ('src0', 'src1')
+        |  AND ((tile = 1 AND doc_id NOT IN (SELECT bid FROM drop1))
+        |    OR (tile = 2 AND doc_id NOT IN (SELECT bid FROM drop2)))""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

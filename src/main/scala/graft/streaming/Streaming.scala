@@ -208,6 +208,37 @@ object Streaming {
    * searchesByDay rollup. `foreachBatch` gives exactly-once-per-batch merge
    * over any sink the batch writer supports.
    */
+  /**
+   * EXACTLY-ONCE streaming ingest into a
+   * [[graft.ops.Dedup.writeNearDupIndex]] layout: every micro-batch dedups
+   * against the index and folds its survivors in
+   * ([[graft.ops.Dedup.ingestBatch]]), tagged with the micro-batch's
+   * epoch id — the composition Structured Streaming's `foreachBatch`
+   * contract exists for. On failure the engine REPLAYS the same epoch id,
+   * and the commit tag makes the replayed ingest an exact no-op (committed
+   * batches short-circuit, partial attempts sweep by file prefix), so the
+   * index never double-counts a batch however many times the query
+   * restarts. `tagPrefix` namespaces the tags: restarting the stream from
+   * a FRESH checkpoint re-issues epoch 0 — reuse the prefix to make the
+   * rerun idempotent too (same data replayed), or change it when the new
+   * run genuinely carries new data under recycled epoch ids.
+   */
+  def ingestIntoNearDupIndex(stream: DataFrame, path: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 128,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
+      tagPrefix: String = "stream"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.Dedup.ingestBatch(batch.sparkSession, batch.toDF(), path,
+          idCol, textCol, shingleSize, numHashes, rowsPerBand, threshold,
+          batchId = Some(s"$tagPrefix-$id")): Unit
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def incrementIntoTable(deltas: DataFrame, tablePath: String,
       keyCol: String = "key"): org.apache.spark.sql.streaming.StreamingQuery =
     deltas.writeStream

@@ -129,9 +129,10 @@ class SamplingInvariantSpec extends SparkSpec {
     }
   }
 
-  test("pair-table LIFECYCLE law: any interleaving of appends, compactions, " +
-      "and deletions, closed by a retention prune, ≡ the scratch mine of " +
-      "the surviving docs at the pruned floor (3 seeded rounds)") {
+  test("pair-table LIFECYCLE law: any interleaving of TAGGED appends (with " +
+      "random blind crash-retries, immediate or after later maintenance), " +
+      "compactions, and deletions, closed by a retention prune, ≡ the " +
+      "scratch mine of the surviving docs at the pruned floor (3 rounds)") {
     for (round <- 1 to 3) {
       val docs = (0 until 48).map { i =>
         val base = rng.nextInt(4)
@@ -151,8 +152,14 @@ class SamplingInvariantSpec extends SparkSpec {
         .select(col("id")).collect().map(_.getLong(0)).toSet
       var removed = Set.empty[Long]
       (1 to nAppends).foreach { b =>
-        Dedup.appendPairs(tagged.where(col("b") === b), "id", "text", path,
-          shingleSize = 2, minJaccard = 0.2, maxDf = None)
+        def append(): Unit =
+          Dedup.appendPairs(tagged.where(col("b") === b), "id", "text", path,
+            shingleSize = 2, minJaccard = 0.2, maxDf = None,
+            batchId = Some(s"law-$round-$b"))
+        append()
+        // blind crash-retry of the batch just committed: the tag makes it
+        // an exact no-op wherever it lands
+        if (rng.nextInt(2) == 0) append()
         ingested ++= tagged.where(col("b") === b)
           .select(col("id")).collect().map(_.getLong(0))
         // random maintenance after each append: compact, delete a couple
@@ -168,6 +175,10 @@ class SamplingInvariantSpec extends SparkSpec {
             }
           case _ => ()
         }
+        // a LATE retry — after a compaction folded the tagged files into
+        // anonymous rows, or after a deletion touched the batch's pairs —
+        // must still no-op on the committed tag rather than re-append
+        if (rng.nextInt(3) == 0) append()
       }
       Dedup.prunePairs(spark, path, newMinJaccard = 0.5, targetFiles = 2)
       def canon(df: org.apache.spark.sql.DataFrame) = df

@@ -693,4 +693,54 @@ class StreamingSpec extends SparkSpec {
     assert(all.map(_.getLong(0)).toSet == Set(101L, 102L, 103L))
     all.foreach(r => assert(r.isNullAt(3), "tiny calibration: null threshold"))
   }
+
+  test("ingestIntoNearDupIndex: exactly-once across a FULL stream replay " +
+      "(same epoch tags) — membership, band multiset, and drop verdicts " +
+      "unchanged; a second epoch dedups against the first's survivors") {
+    import graft.ops.Dedup
+    import graft.store.ManifestTable
+    import spark.implicits._
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),  // corpus
+      (11L, "w1 w2 w3 w4 w5 w6"), // epoch 0: copy of 1 -> drops
+      (13L, "z1 z2 z3 z4 z5 z6"), // epoch 0: novel -> member
+      (23L, "z1 z2 z3 z4 z5 z6")) // epoch 1: copy of 13 -> drops vs epoch 0
+      .toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_sing").toString
+    val path = root + "/idx"
+    Dedup.writeNearDupIndex(docs.where(col("id") === 1), "id", "text", path,
+      shingleSize = 2)
+    // stage two mtime-ordered files: the file-stream source reads them as
+    // epochs 0 and 1 (the stageDocsReplay discipline)
+    val stage = new java.io.File(root, "stage"); stage.mkdirs()
+    val base = System.currentTimeMillis()
+    Seq(Seq(11L, 13L), Seq(23L)).zipWithIndex.foreach { case (ids, i) =>
+      val tmpDir = new java.io.File(root, s"tmp_$i")
+      docs.where(col("id").isin(ids: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(tmpDir.toString)
+      val part = tmpDir.listFiles().find(_.getName.startsWith("part-")).get
+      val target = new java.io.File(stage, f"$i%05d.parquet")
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      target.setLastModified(base + i * 1000L): Unit
+    }
+    val schema = spark.read.parquet(stage.toString + "/00000.parquet").schema
+    def run(): Unit = Streaming.ingestIntoNearDupIndex(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString),
+      path, "id", "text", shingleSize = 2).awaitTermination()
+    run()
+    val bands = multiset(ManifestTable.read(spark, path + "/bands"))
+    val members = multiset(
+      graft.store.KeyedStore.readKeyed(spark, path + "/docs").select(col("key")))
+    assert(members.keySet.map(_.head) == Set(1L, 13L),
+      "11 drops vs corpus, 13 survives epoch 0, 23 drops vs 13 in epoch 1")
+    run() // fresh checkpoint replays epochs 0..1 under the SAME tags
+    assert(multiset(ManifestTable.read(spark, path + "/bands")) == bands,
+      "replay must not append a single band row")
+    assert(multiset(graft.store.KeyedStore.readKeyed(spark, path + "/docs")
+      .select(col("key"))) == members, "replay must not touch membership")
+  }
 }
