@@ -531,10 +531,12 @@ object Dedup {
    *  - STALE band rows (same id re-ingested with changed content): the
    *    rebuild replaces them wholesale.
    *
-   * Cost: one scan of each table for the report, one signature recompute +
-   * write of the rebuilt band table (32 small rows per doc — file metadata
-   * and CPU, never a text scan). The rewrite goes through the manifest
-   * swap, so concurrent probes keep their files. Tombstones are left in
+   * Cost: one shuffle over the band table (per-distinct-row copy counts,
+   * reused by every report figure), one grid join against the docs keys,
+   * then one signature recompute + write of the rebuilt band table (32
+   * small rows per doc — file metadata and CPU, never a text scan). The
+   * rewrite goes through the manifest swap, so concurrent probes keep
+   * their files. Tombstones are left in
    * place (still honored by probes; ids already deleted from `docs` lose
    * their band rows here just as a compaction would purge them). Run it
    * after any suspected crash, or let a scheduled compaction window call
@@ -554,26 +556,38 @@ object Dedup {
     import spark.implicits._
     val docs = KeyedStore.readKeyed(spark, path + "/docs")
       .select(col("key").as("id"), col("th")).persist()
-    val bands = ManifestTable.read(spark, path + "/bands").persist()
+    // ONE shuffle over the band table — per-distinct-row copy counts feed
+    // every report figure (row/duplicate totals, per-id coverage), instead
+    // of four separate scans/joins
+    val g = ManifestTable.read(spark, path + "/bands")
+      .groupBy(col("id"), col("band"), col("bsig"))
+      .agg(count(lit(1)).as("__c")).persist()
     try {
-      val distinctB = bands.dropDuplicates("id", "band", "bsig").persist()
-      try {
-        val rowsBefore = bands.count()
-        val distinctRows = distinctB.count()
-        val orphanRows = distinctB
-          .join(docs.select("id"), Seq("id"), "left_anti").count()
-        val regeneratedDocs = docs.select("id")
-          .join(bands.select("id").distinct(), Seq("id"), "left_anti").count()
-        ManifestTable.compact(spark, path + "/bands", targetFiles,
-          _ => bandRows(docs, numHashes, rowsPerBand))
-        val rowsAfter = ManifestTable.read(spark, path + "/bands").count()
-        Seq((rowsBefore - distinctRows, orphanRows, regeneratedDocs, rowsAfter))
-          .toDF("duplicate_rows", "orphan_rows", "regenerated_docs",
-            "band_rows")
-      } finally distinctB.unpersist(blocking = false)
+      val totals = g.agg(coalesce(sum(col("__c")), lit(0L)).as("r"),
+        count(lit(1)).as("d")).head()
+      val rowsBefore = totals.getLong(0)
+      val distinctRows = totals.getLong(1)
+      val perId = g.groupBy(col("id")).agg(count(lit(1)).as("__nb"))
+      val cover = perId
+        .join(docs.select(col("id"), lit(1).as("__m")), Seq("id"), "full")
+        .agg(
+          coalesce(sum(when(col("__m").isNull, col("__nb"))
+            .otherwise(0L)), lit(0L)).as("orph"),
+          count(when(col("__m").isNotNull && col("__nb").isNull, lit(1)))
+            .as("regen"))
+        .head()
+      val orphanRows = cover.getLong(0)
+      val regeneratedDocs = cover.getLong(1)
+      ManifestTable.compact(spark, path + "/bands", targetFiles,
+        _ => bandRows(docs, numHashes, rowsPerBand))
+      // parquet footer metadata only — not a data scan
+      val rowsAfter = ManifestTable.read(spark, path + "/bands").count()
+      Seq((rowsBefore - distinctRows, orphanRows, regeneratedDocs, rowsAfter))
+        .toDF("duplicate_rows", "orphan_rows", "regenerated_docs",
+          "band_rows")
     } finally {
       docs.unpersist(blocking = false)
-      bands.unpersist(blocking = false)
+      g.unpersist(blocking = false)
     }
   }
 
