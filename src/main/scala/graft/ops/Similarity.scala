@@ -265,9 +265,13 @@ object Similarity {
    * millions of times.
    */
   def writeIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
-      path: String, cents: Array[Array[Double]]): Unit =
+      path: String, cents: Array[Array[Double]]): Unit = {
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
+    // each cell leaf becomes its own manifest table (pure fs metadata), so
+    // every later rewrite is reader-concurrent — see graft.store.Compaction
+    graft.store.Compaction.migrateLeaves(df.sparkSession, path)
+  }
 
   /** Incremental index maintenance for a [[writeIvfCorpus]] layout — the
     * IVF twin of [[appendBucketedCorpus]]: a NEW batch routes through the
@@ -296,13 +300,7 @@ object Similarity {
       batchId: Option[String] = None): Unit = {
     val routed = df.select(col(idCol), col(vecCol),
       cellOf(col(vecCol), cents).as("cell"))
-    batchId match {
-      case Some(t) =>
-        graft.store.Compaction.appendTaggedPartitions(routed, path,
-          "cell", t): Unit
-      case None =>
-        routed.write.partitionBy("cell").mode("append").parquet(path)
-    }
+    graft.store.Compaction.appendPartitions(routed, path, "cell", batchId): Unit
   }
 
   /** File-count compaction for a [[writeIvfCorpus]] layout — every
@@ -355,23 +353,29 @@ object Similarity {
   def ivfLayoutHealth(spark: org.apache.spark.sql.SparkSession, path: String,
       numCells: Int): DataFrame = {
     require(numCells > 0, "numCells must be positive")
+    val live = graft.store.Compaction.readPartitioned(spark, path, "cell")
+      .getOrElse(sys.error(s"ivfLayoutHealth: no cell leaves at $path"))
     occupancyReport(spark,
-      spark.read.parquet(path)
-        .groupBy(col("cell").cast("int").as("cell"))
+      live.groupBy(col("cell").cast("int").as("cell"))
         .agg(count(lit(1)).as("n")), numCells)
   }
 
-  /** IVF ANN top-k over a [[writeIvfCorpus]] layout: the probe set is a
-    * literal IN-list on the PARTITION column, so pruning happens before any
-    * row is read (`.explain` shows it in PartitionFilters). Pass the SAME
-    * `cents` the corpus was written with — the layout pins the assignment. */
+  /** IVF ANN top-k over a [[writeIvfCorpus]] layout: the probe set resolves
+    * to the probed cells' LIVE directories by PATH SELECTION at planning
+    * time — strictly stronger than a partition filter (unprobed leaves are
+    * never even listed), and the per-leaf manifest indirection makes the
+    * scan safe under a concurrent compaction. Pass the SAME `cents` the
+    * corpus was written with — the layout pins the assignment. */
   def ivfTopKFromPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
       cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
     val qv = array(query.map(v => lit(v)): _*)
     val probeCells = ivfProbeCells(spark, query, cents, nProbe)
-    spark.read.parquet(path)
-      .where(col("cell").isin(probeCells: _*))
+    val dirs = graft.store.Compaction.resolveLeafDirs(spark, path, "cell",
+      probeCells.map(_.toString))
+    require(dirs.nonEmpty,
+      s"ivfTopKFromPartitioned: none of the probed cells exist at $path")
+    spark.read.parquet(dirs: _*)
       .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

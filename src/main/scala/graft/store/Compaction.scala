@@ -1,36 +1,44 @@
 package graft.store
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 import org.apache.hadoop.fs.Path
 
 /**
- * File-count compaction for PARTITION-directory parquet layouts — the
- * lifecycle step [[graft.ops.Similarity.appendIvfCorpus]] and
- * [[graft.ops.TextOps.appendBm25Index]] were missing: every append lands one
- * more small file set inside each touched `cell=`/`bucket=` directory, and a
- * year of daily ingest turns each probe's partition-pruned scan into an
- * open storm over hundreds of tiny files.
+ * Lifecycle machinery for PARTITION-directory parquet layouts — the IVF
+ * `cell=`, BM25 `bucket=`, and SRP `bucket=` layouts behind
+ * [[graft.ops.Similarity.writeIvfCorpus]] /
+ * [[graft.ops.TextOps.writeBm25Index]] /
+ * [[graft.ops.Similarity.writeBucketedCorpus]].
  *
- * Each leaf directory compacts INDEPENDENTLY (read → coalesce → staged dir →
- * two-rename swap), so at cluster scale the per-directory jobs parallelize
- * and a failure strands at most one directory — recoverable from its
- * `__old` twin. Rows are untouched; partition values live in the directory
- * NAME, so rewriting a leaf's files never changes what a partitioned read
- * reconstructs (spec-asserted).
+ * Each `name=value` leaf directory is its own [[ManifestTable]]: the leaf's
+ * live files sit in a generation dir behind the leaf's MANIFEST pointer, so
+ * every maintenance rewrite (compaction, deletion, retention) is
+ * READER-CONCURRENT per leaf — a probe that resolved its paths just before
+ * a swap keeps every file it listed (the keep-one-back discipline), and a
+ * probe spanning a multi-leaf rewrite sees each leaf either pre- or
+ * post-rewrite, which is row-identical because rewrites preserve each
+ * leaf's row multiset and leaves are row-disjoint by construction.
  *
- * NOT reader-concurrent (unlike [[ManifestTable]]): a query planning against
- * the partitioned root between a leaf's two renames sees that directory
- * missing, and one that listed files before the swap can hit deleted files
- * mid-scan. Run it in the ingest maintenance window. (The manifest trick
- * doesn't transplant directly: the partition-pruning reader is
- * `spark.read.parquet(root)` with directory-name discovery, which has no
- * indirection hook short of a DSv2 connector — the keyed store's
- * `_graft_index` path — so the partitioned layouts keep the
- * maintenance-window contract and the plain layouts graduate to manifests.)
+ * Readers therefore must NOT `spark.read.parquet(root)` these layouts:
+ * resolve each leaf's live dir through [[resolveLeaves]] /
+ * [[resolveLeafDirs]] (probes: explicit paths — pruning becomes path
+ * selection at planning time, strictly before any partition discovery) or
+ * read the whole layout through [[readPartitioned]].
+ *
+ * Layout writers migrate their leaves to the manifest shape at WRITE time
+ * ([[ManifestTable.migrateFlatDir]] — pure fs metadata), so a fresh layout
+ * is reader-concurrent from birth. A legacy flat leaf (pre-manifest
+ * rounds) still reads fine (resolve falls back to the leaf dir itself) and
+ * migrates on its first rewrite — that one migration rewrites data with
+ * the old maintenance-window contract; everything after is concurrent.
+ *
+ * Single maintainer: like every layout write verb, maintenance ops are
+ * externally serialized; concurrent PROBES are the protected party.
  */
 object Compaction {
 
-  /** Has an [[appendTaggedPartitions]] with this tag fully committed against
+  /** Has an [[appendPartitions]] with this tag fully committed against
     * `root`? (Overwriting the layout wipes the root dir and with it the
     * marker file — a new incarnation re-accepts all tags.) */
   def hasTag(spark: SparkSession, root: String, tag: String): Boolean = {
@@ -39,152 +47,184 @@ object Compaction {
     CommitTags.read(fs, rootPath).contains(CommitTags.token(tag))
   }
 
+  private def leafDirs(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path): Seq[Path] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .filter(p => p.getName.contains("=") && !p.getName.startsWith(".") &&
+        // crash-stranded twins from the pre-manifest two-rename compactor
+        // are NOT partitions
+        !p.getName.endsWith("__old") && !p.getName.endsWith("__compact"))
+      .toSeq
+
+  /** Each `name=value` leaf with its LIVE data directory (the leaf's
+    * manifest generation, or the leaf dir itself for a legacy flat leaf). */
+  def resolveLeaves(spark: SparkSession, root: String): Seq[(String, String)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    leafDirs(fs, rootPath).map(p =>
+      (p.getName, ManifestTable.resolve(spark, p.toString)))
+  }
+
+  /** The live data dirs of the `partitionCol=v` leaves for the given probe
+    * values, skipping absent leaves — the probe-side path prune: pruning
+    * happens by PATH SELECTION at planning time, before any listing of the
+    * unprobed leaves. */
+  def resolveLeafDirs(spark: SparkSession, root: String, partitionCol: String,
+      values: Seq[Any]): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    values.map(v => new Path(rootPath, s"$partitionCol=$v"))
+      .filter(fs.exists)
+      .map(p => ManifestTable.resolve(spark, p.toString))
+  }
+
+  /** Layout-aware full read: every leaf's live rows with the partition
+    * value injected back as a STRING column `partitionCol` (cast at the
+    * call site when a numeric view is needed). Returns None for an absent
+    * or leafless root. The plan is a union of per-leaf scans — same bytes
+    * as the old partition-discovery read, resolved through each leaf's
+    * manifest. */
+  def readPartitioned(spark: SparkSession, root: String,
+      partitionCol: String): Option[DataFrame] = {
+    val leaves = resolveLeaves(spark, root)
+    if (leaves.isEmpty) None
+    else Some(leaves.map { case (name, dir) =>
+      spark.read.parquet(dir)
+        .withColumn(partitionCol, lit(name.substring(name.indexOf('=') + 1)))
+    }.reduce(_.unionByName(_)))
+  }
+
   /**
-   * Idempotent tagged append into a `name=value` partition-directory layout
-   * — [[ManifestTable.appendTagged]]'s twin for the IVF `cell=` and BM25
-   * `bucket=` layouts (same commit-marker discipline, see
-   * [[CommitTags]]): the batch stages as a partitioned write, each staged
-   * file moves into its live partition directory under a `tag-<md5(tag)>-`
-   * prefix, and the tag commits last. Returns false — having written
-   * NOTHING — when the tag already committed, so a blind retry of a
-   * crashed caller is exact: partial attempts are identified by the file
-   * prefix and swept before the re-append. New partition values create
-   * their directories (the routed-append contract: a batch may land in
-   * cells/buckets the base write never touched). Same reader visibility
-   * as a plain `mode("append")` write — a probe planning mid-move sees a
-   * prefix of the batch — and the same single-maintainer contract as every
-   * layout write verb here; the retry must precede any other maintenance
-   * op (a compaction folds tagged files into anonymous rewritten files,
-   * after which the sweep cannot identify a partial attempt).
+   * Append a partitioned batch into the layout — staged write, then each
+   * staged file MOVES into its leaf's live generation (fs metadata; the
+   * data is written once). New partition values create their leaf in the
+   * manifest shape directly. With `tag = Some(batchId)` this is the
+   * idempotent tagged append ([[ManifestTable.appendTagged]]'s twin — see
+   * [[CommitTags]]): committed tags no-op (returns false having written
+   * NOTHING), partial attempts sweep by the `tag-<md5(tag)>-` file prefix
+   * before the re-append, and the tag commits last. Untagged appends are
+   * the plain fast path (a blind retry double-appends — prefer a tag in
+   * any retrying loop). Same reader visibility as a plain append (a probe
+   * planning mid-move sees a prefix of the batch); the retry must precede
+   * any other maintenance op (a rewrite folds tagged files into anonymous
+   * generation rows, after which the sweep cannot identify a partial
+   * attempt).
    */
-  def appendTaggedPartitions(df: org.apache.spark.sql.DataFrame, root: String,
-      partitionCol: String, tag: String): Boolean = {
+  def appendPartitions(df: DataFrame, root: String, partitionCol: String,
+      tag: Option[String] = None): Boolean = {
     val spark = df.sparkSession
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val tok = CommitTags.token(tag)
-    if (CommitTags.read(fs, rootPath).contains(tok)) return false
-    val prefix = s"tag-$tok-"
-    if (fs.exists(rootPath))
-      fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-        .filter(p => p.getName.contains("=") && !p.getName.startsWith("."))
-        .foreach { d =>
+    val tok = tag.map(CommitTags.token)
+    if (tok.exists(CommitTags.read(fs, rootPath).contains)) return false
+    val prefix = tok.map(t => s"tag-$t-")
+    prefix.foreach { pre =>
+      resolveLeaves(spark, root).foreach { case (_, dir) =>
+        val d = new Path(dir)
+        if (fs.exists(d))
           fs.listStatus(d).map(_.getPath)
-            .filter(_.getName.startsWith(prefix))
+            .filter(_.getName.startsWith(pre))
             .foreach(fs.delete(_, false))
-        }
-    val stage = new Path(root + "/.stage-" + tok)
+      }
+    }
+    val stage = new Path(root + "/.stage-" + tok.getOrElse(
+      java.util.UUID.randomUUID().toString))
     fs.delete(stage, true)
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
     fs.listStatus(stage).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.contains("="))
       .foreach { sp =>
-        val target = new Path(rootPath, sp.getName)
+        val leaf = new Path(rootPath, sp.getName)
+        val target =
+          if (fs.exists(leaf)) new Path(ManifestTable.resolve(spark, leaf.toString))
+          else { // new leaf: born in the manifest shape
+            val gen = new Path(leaf, "gen-000000000")
+            fs.mkdirs(gen): Unit
+            gen
+          }
         fs.mkdirs(target): Unit
         fs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
           .foreach { p =>
-            if (!fs.rename(p, new Path(target, prefix + p.getName)))
+            val name = prefix.getOrElse("") + p.getName
+            if (!fs.rename(p, new Path(target, name)))
               throw new java.io.IOException(
-                s"appendTaggedPartitions: cannot move $p into $target")
+                s"appendPartitions: cannot move $p into $target")
           }
       }
     fs.delete(stage, true)
-    CommitTags.add(fs, rootPath, tok)
+    tok.foreach(CommitTags.add(fs, rootPath, _))
     true
   }
 
-  /** Compact ONE parquet leaf directory to `targetFiles` files if it holds
-    * more than that; returns whether a rewrite ran. Crash between the two
-    * renames leaves the original intact under `<dir>__old` — recover by
-    * renaming it back. */
-  def compactLeafDir(spark: SparkSession, dir: String, targetFiles: Int): Boolean =
-    rewriteLeafDir(spark, dir, targetFiles, identity, onlyIfOverTarget = true)
+  /** Back-compat alias for tagged [[appendPartitions]]. */
+  def appendTaggedPartitions(df: DataFrame, root: String,
+      partitionCol: String, tag: String): Boolean =
+    appendPartitions(df, root, partitionCol, Some(tag))
 
-  /** The shared leaf-dir rewrite: read → `transform` → coalesce →
-    * staged dir → two-rename swap with rollback. `onlyIfOverTarget`
-    * distinguishes compaction (skip dirs already within the file budget)
-    * from content rewrites like deletion (every dir must pass through the
-    * transform regardless of size). */
-  private def rewriteLeafDir(spark: SparkSession, dir: String, targetFiles: Int,
-      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
-      onlyIfOverTarget: Boolean): Boolean = {
-    require(targetFiles > 0, "targetFiles must be positive")
-    val live = new Path(dir)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val nFiles = fs.listStatus(live)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (nFiles == 0 || (onlyIfOverTarget && nFiles <= targetFiles)) return false
-    val staged = new Path(dir + "__compact")
-    val trash = new Path(dir + "__old")
-    transform(spark.read.parquet(dir)).coalesce(targetFiles)
-      .write.mode("overwrite").parquet(staged.toString)
-    fs.delete(trash, true)
-    if (!fs.rename(live, trash))
-      throw new java.io.IOException(s"compactLeafDir: cannot retire $live")
-    if (!fs.rename(staged, live)) {
-      fs.rename(trash, live) // roll back: the old directory stays live
-      fs.delete(staged, true)
-      throw new java.io.IOException(s"compactLeafDir: cannot swap in $staged")
-    }
-    fs.delete(trash, true)
-    true
-  }
-
-  /** Compact every `name=value` partition directory under `root` that holds
-    * more than `targetFiles` parquet files; returns how many directories
-    * were rewritten. Single-level partitioning (the IVF `cell=` and BM25
-    * `bucket=` layouts). The per-directory rewrites are INDEPENDENT tiny
-    * jobs, so they run concurrently (Spark's scheduler interleaves jobs
-    * submitted from multiple threads) — sequential submission would make a
-    * 64-bucket compaction pay 64 job-scheduling round-trips end to end,
-    * the dominant cost when each directory holds a handful of small files
-    * (measured 4.9 s → 2.6 s on q217's full build+append+compact+probe
-    * lifecycle at sf0.1 — the compact step itself ~4× faster). */
+  /** Compact every leaf holding more than `targetFiles` live parquet files;
+    * returns leaves rewritten. READER-CONCURRENT per leaf (each leaf is a
+    * [[ManifestTable]] — any probe concurrent with one rewrite keeps its
+    * files); a legacy flat leaf migrates on this first rewrite under the
+    * old maintenance-window contract. The per-leaf rewrites are INDEPENDENT
+    * tiny jobs submitted concurrently (sequential submission made a
+    * 64-bucket compaction pay 64 job round-trips — measured 4.9 s → 2.6 s
+    * on q217's lifecycle at sf0.1). */
   def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int =
     rewritePartitions(spark, root, targetFiles, identity, onlyIfOverTarget = true)
 
-  /** Rewrite EVERY `name=value` partition directory under `root` through
-    * `transform` (row-level rewrites: deletion, retention) — unlike
-    * [[compactPartitions]] no directory is skipped for being small, since
-    * the rows to drop can live anywhere. Same independent per-directory
-    * stage-and-swap, same concurrent submission, same
-    * maintenance-window/`__old`-recovery contract. Returns directories
-    * rewritten. */
+  /** Rewrite EVERY leaf through `transform` (row-level rewrites: deletion,
+    * retention) — unlike [[compactPartitions]] no leaf is skipped for being
+    * small, since the rows to drop can live anywhere. Same concurrent
+    * per-leaf manifest swaps, same reader-concurrency contract. Returns
+    * leaves rewritten. */
   def rewritePartitions(spark: SparkSession, root: String, targetFiles: Int,
-      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      transform: DataFrame => DataFrame,
       onlyIfOverTarget: Boolean = false): Int = {
+    require(targetFiles > 0, "targetFiles must be positive")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rootPath)) return 0
-    // sweep stage dirs from interrupted appendTaggedPartitions attempts:
+    // sweep stage dirs from interrupted appendPartitions attempts:
     // maintenance ops are externally serialized, so any stage dir visible
     // here is dead (its batch's retry will re-stage from scratch)
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(".stage-"))
       .foreach(fs.delete(_, true))
-    val dirs = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-      .filter(p => p.getName.contains("=") && !p.getName.startsWith(".") &&
-        // crash-stranded twins from an interrupted rewrite are NOT
-        // partitions: rewriting `cell=3__old` as data (while its live twin's
-        // rewrite concurrently deletes it) would compound the crash instead
-        // of leaving it for `__old`-rename recovery
-        !p.getName.endsWith("__old") && !p.getName.endsWith("__compact"))
+    val dirs = leafDirs(fs, rootPath)
     if (dirs.isEmpty) return 0
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, dirs.length))
     val futures = dirs.map { p =>
       pool.submit(new java.util.concurrent.Callable[Boolean] {
-        def call(): Boolean =
-          rewriteLeafDir(spark, p.toString, targetFiles, transform, onlyIfOverTarget)
+        def call(): Boolean = {
+          val n = ManifestTable.dataFileCount(spark, p.toString)
+          if (n == 0 || (onlyIfOverTarget && n <= targetFiles)) false
+          else {
+            ManifestTable.compact(spark, p.toString, targetFiles, transform)
+            true
+          }
+        }
       })
     }
     // drain EVERY future before reporting or rethrowing: a caller reacting
-    // to one directory's failure (recovery renames, next maintenance step)
-    // must not race rewrites still running in the background
+    // to one leaf's failure (recovery, next maintenance step) must not race
+    // rewrites still running in the background
     val outcomes = futures.map(f => scala.util.Try(f.get()))
     pool.shutdown()
     pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
     outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     outcomes.count(_.getOrElse(false))
+  }
+
+  /** Migrate every flat leaf of a freshly-written layout to the manifest
+    * shape — pure fs metadata ([[ManifestTable.migrateFlatDir]]), called by
+    * the layout writers right after their partitioned overwrite so the
+    * layout is reader-concurrent from birth. */
+  def migrateLeaves(spark: SparkSession, root: String): Unit = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    leafDirs(fs, rootPath).foreach(p =>
+      ManifestTable.migrateFlatDir(spark, p.toString))
   }
 }

@@ -235,6 +235,34 @@ object ManifestTable {
     true
   }
 
+  /**
+   * Migrate a flat parquet directory to the manifest layout WITHOUT
+   * rewriting a byte of data: the flat files rename into a fresh
+   * generation dir and the MANIFEST commits — pure fs metadata, so layout
+   * writers can establish reader-concurrency at write time instead of
+   * paying a data rewrite (or a maintenance window) for the migration
+   * later. No-ops on an already-migrated or absent table. NOT safe under
+   * concurrent readers of the flat layout (files move one rename at a
+   * time) — call it right after the write that created the flat files,
+   * before the table is announced.
+   */
+  def migrateFlatDir(spark: SparkSession, table: String): Unit = {
+    val (fs, dir) = fsOf(spark, table)
+    if (!fs.exists(dir) || liveGen(spark, table).isDefined) return
+    val flat = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+    val gen = f"${GenPrefix}0%09d"
+    val genPath = new Path(dir, gen)
+    fs.mkdirs(genPath): Unit
+    flat.foreach { p =>
+      if (!fs.rename(p, new Path(genPath, p.getName)))
+        throw new java.io.IOException(
+          s"ManifestTable: cannot migrate $p into $genPath")
+    }
+    // non-data markers from the flat write (_SUCCESS) stay behind harmlessly
+    commit(fs, dir, gen)
+  }
+
   /** Count the data files in the live generation (the open-storm metric the
     * compaction exists to bound). */
   def dataFileCount(spark: SparkSession, table: String): Int = {
