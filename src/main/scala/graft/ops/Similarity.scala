@@ -106,39 +106,69 @@ object Similarity {
    */
   def writeBucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, nBits: Int = 8,
-      scheme: SrpScheme = SrpScheme.xxh): Unit =
+      scheme: SrpScheme = SrpScheme.xxh): Unit = {
     df.select(col(idCol), col(vecCol),
         scheme.bucketCol(col(vecCol), nBits).as("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    // each bucket leaf becomes its own manifest table (pure fs metadata) so
+    // every later rewrite is reader-concurrent — see graft.store.Compaction
+    graft.store.Compaction.migrateLeaves(df.sparkSession, path)
+  }
 
-  /** Incremental index maintenance for a [[writeBucketedCorpus]] layout:
-    * a NEW BATCH of vectors lands in the same bucket-partitioned directory
-    * with `mode("append")` — each appended file joins its bucket's
-    * partition, existing files are untouched, and the next
-    * [[annTopKFromBucketed]] probe sees old + new through the identical
-    * partition-pruned scan. This is the ingest half of a live ANN index:
-    * the bucket function is a pure function of the vector, so appends never
-    * require re-bucketing history (contrast IVF, where drifting centroids
-    * eventually force a re-cluster). Compact small appended files with
-    * the keyed-store compaction discipline when file counts grow. */
+  /** Incremental index maintenance for a [[writeBucketedCorpus]] layout —
+    * the SRP twin of [[appendIvfCorpus]]: a NEW BATCH of vectors routes
+    * through the pure bucket function and lands inside each touched leaf's
+    * LIVE manifest generation
+    * ([[graft.store.Compaction.appendPartitions]]); existing files are
+    * untouched and the next [[annTopKFromBucketed]] probe sees old + new
+    * through the identical path-pruned scan. This is the ingest half of a
+    * live ANN index: the bucket function is a pure function of the vector,
+    * so appends never require re-bucketing history (contrast IVF, where
+    * drifting centroids eventually force a re-cluster). Run
+    * [[compactBucketedCorpus]] when append counts grow the per-bucket file
+    * population. With `batchId = Some(tag)` a blind re-run after a crash
+    * is exact (committed tags no-op, partial attempts sweep by file
+    * prefix); without one a blind retry double-appends. */
   def appendBucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, nBits: Int = 8,
-      scheme: SrpScheme = SrpScheme.xxh): Unit =
-    df.select(col(idCol), col(vecCol),
-        scheme.bucketCol(col(vecCol), nBits).as("bucket"))
-      .write.partitionBy("bucket").mode("append").parquet(path)
+      scheme: SrpScheme = SrpScheme.xxh,
+      batchId: Option[String] = None): Unit = {
+    val routed = df.select(col(idCol), col(vecCol),
+      scheme.bucketCol(col(vecCol), nBits).as("bucket"))
+    graft.store.Compaction.appendPartitions(routed, path, "bucket", batchId): Unit
+  }
 
-  /** ANN top-k over a [[writeBucketedCorpus]] layout: the probe set is a
-    * literal IN-list on the PARTITION column, so pruning happens before any
-    * row is read (`.explain` shows it in PartitionFilters). */
+  /** File-count compaction for a [[writeBucketedCorpus]] layout — the SRP
+    * twin of [[compactIvfCorpus]], same reader-concurrent per-leaf
+    * manifest swaps, same oblivious probe results. Returns buckets
+    * rewritten. */
+  def compactBucketedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 4): Int =
+    graft.store.Compaction.compactPartitions(spark, path, targetFiles)
+
+  /** ANN top-k over a [[writeBucketedCorpus]] layout: the probe set (own
+    * bucket + every single-bit flip) resolves to the probed buckets' LIVE
+    * manifest generations by PATH SELECTION at planning time
+    * ([[graft.store.Compaction.resolveLeafDirs]]) — strictly stronger than
+    * a partition filter (unprobed leaves are never even listed), and safe
+    * under a concurrent [[compactBucketedCorpus]]. Probes into buckets no
+    * vector ever hashed to simply resolve to no path; all-absent probes
+    * return empty. */
   def annTopKFromBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, query: Seq[Float], k: Int, nBits: Int = 8,
       scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     val qBucket = scheme.compute(query.toArray, nBits)
     val probes = (qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))).distinct
-    spark.read.parquet(path)
-      .where(col("bucket").isin(probes: _*))
+    val dirs = graft.store.Compaction.resolveLeafDirs(spark, path, "bucket", probes)
+    val corpus =
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+      else {
+        val leaves = graft.store.Compaction.resolveLeaves(spark, path)
+        require(leaves.nonEmpty, s"annTopKFromBucketed: no bucket leaves at $path")
+        spark.read.parquet(leaves.head._2).where(lit(false))
+      }
+    corpus
       .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
@@ -286,7 +316,10 @@ object Similarity {
     * ratio). Gate a live index with [[ivfLayoutHealth]] after each append
     * and retrain + rewrite when the occupancy report crosses your skew
     * budget. Run [[compactIvfCorpus]] when append counts grow each cell's
-    * file population.
+    * file population. The append routes through
+    * [[graft.store.Compaction.appendPartitions]], so the files land in
+    * each touched leaf's LIVE manifest generation (never as stray flat
+    * files a later rewrite would orphan).
     *
     * Crash/retry contract: with `batchId = Some(tag)` the append goes
     * through [[graft.store.Compaction.appendTaggedPartitions]] — a blind
@@ -307,14 +340,14 @@ object Similarity {
     * [[appendIvfCorpus]] lands one more small file set inside each touched
     * `cell=` directory, and the probe's partition-pruned scan pays the
     * open storm. Each cell directory holding more than `targetFiles`
-    * parquet files rewrites independently ([[graft.store.Compaction]]'s
-    * stage-and-swap; cells parallelize, a crash strands at most one cell
-    * with its `__old` twin for recovery). Rows and cell assignment are
-    * untouched — the partition value lives in the directory name — so
-    * probe results are oblivious to when this ran (q216 + spec). NOT
-    * reader-concurrent: run in the ingest maintenance window (the
-    * partitioned-root reader has no manifest indirection hook — see
-    * [[graft.store.Compaction]]). Returns cells rewritten. */
+    * parquet files rewrites independently through its leaf MANIFEST
+    * ([[graft.store.Compaction]] — concurrent per-leaf generation swaps,
+    * keep-one-back retention): READER-CONCURRENT, a probe that resolved
+    * its cell dirs just before a swap keeps every file it listed, and a
+    * crash strands at most one uncommitted generation (retired by the
+    * next rewrite). Rows and cell assignment are untouched — the
+    * partition value lives in the directory name — so probe results are
+    * oblivious to when this ran (q216 + spec). Returns cells rewritten. */
   def compactIvfCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 4): Int =
     graft.store.Compaction.compactPartitions(spark, path, targetFiles)
@@ -330,7 +363,8 @@ object Similarity {
     * pinned ones — correctness here must not). Cell assignment of the
     * survivors is untouched, so the next [[ivfTopKFromPartitioned]] probe
     * equals one over a from-scratch [[writeIvfCorpus]] of the survivors
-    * (oracle q226). Maintenance-window op; ids not present are no-ops.
+    * (oracle q226). READER-CONCURRENT per cell (each leaf is a
+    * [[graft.store.ManifestTable]]); ids not present are no-ops.
     * The removal set broadcasts to every rewrite job — right for takedown
     * lists (small by nature); a removal so large it cannot broadcast is a
     * rebuild ([[writeIvfCorpus]] over the survivors), not a delete. */
@@ -373,9 +407,18 @@ object Similarity {
     val probeCells = ivfProbeCells(spark, query, cents, nProbe)
     val dirs = graft.store.Compaction.resolveLeafDirs(spark, path, "cell",
       probeCells.map(_.toString))
-    require(dirs.nonEmpty,
-      s"ivfTopKFromPartitioned: none of the probed cells exist at $path")
-    spark.read.parquet(dirs: _*)
+    val corpus =
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+      else {
+        // k-means can legally leave cells empty (no leaf dir is ever
+        // written for them) — a probe landing only on such cells is a
+        // valid empty result, not an error; only a leafless LAYOUT is one
+        val leaves = graft.store.Compaction.resolveLeaves(spark, path)
+        require(leaves.nonEmpty,
+          s"ivfTopKFromPartitioned: no cell leaves at $path")
+        spark.read.parquet(leaves.head._2).where(lit(false))
+      }
+    corpus
       .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -676,6 +676,9 @@ object TextOps {
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path + "/postings")
+    // each bucket leaf becomes its own manifest table (pure fs metadata) so
+    // every later rewrite is reader-concurrent — see graft.store.Compaction
+    graft.store.Compaction.migrateLeaves(df.sparkSession, path + "/postings")
     graft.store.ManifestTable.write(
       df.select(col(idCol).as("id"),
         token_count(lower(col(textCol))).cast("bigint").as("dl")),
@@ -771,14 +774,13 @@ object TextOps {
         .withColumn("bucket",
           pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
             lit(nBuckets.toLong)))
-      batchId match {
-        case Some(t) =>
-          graft.store.Compaction.appendTaggedPartitions(posted,
-            path + "/postings", "bucket", t): Unit
-        case None =>
-          posted.write.partitionBy("bucket").mode("append")
-            .parquet(path + "/postings")
-      }
+      // both paths route through Compaction so the files always land in
+      // each leaf's LIVE generation — a flat `mode("append")` into the root
+      // would strand postings outside the manifests once any maintenance
+      // rewrite has run (excluded from later rewrites, yet still counted
+      // by a root scan)
+      graft.store.Compaction.appendPartitions(posted,
+        path + "/postings", "bucket", batchId): Unit
     }
     swapInStagedStats(spark, path, "appendBm25Index")
   }
@@ -808,8 +810,11 @@ object TextOps {
    * count in N but have no posting to reconstruct from. The next
    * [[bm25TopKFromIndex]] probe scores exactly what a from-scratch
    * [[writeBm25Index]] of the surviving corpus would (oracle q225).
-   * Maintenance-window op (the postings side has no manifest indirection);
-   * ids not in the index are no-ops. The removal set broadcasts to every
+   * READER-CONCURRENT per posting bucket (each `bucket=` leaf is a
+   * [[graft.store.ManifestTable]] — a concurrent probe keeps the files it
+   * resolved); the stats swap is the one non-manifest step, covered by its
+   * loud-failure contract. Ids not in the index are no-ops.
+   * The removal set broadcasts to every
    * rewrite job — right for takedown lists (small by nature); a removal so
    * large it cannot broadcast is a rebuild ([[writeBm25Index]] over the
    * survivors), not a delete.
@@ -838,21 +843,29 @@ object TextOps {
     * [[appendBm25Index]] lands one more small file set inside each term
     * bucket's directory, and a query's |terms|-directory pruned scan pays
     * the open storm. Each `bucket=` directory holding more than
-    * `targetFiles` parquet files rewrites independently
-    * ([[graft.store.Compaction]] stage-and-swap — crash strands at most
-    * one bucket, recoverable from its `__old` twin); rows, bucketing, and
-    * the stats sidecar are untouched, so scores are oblivious to when this
-    * ran (q217 + spec). NOT reader-concurrent: maintenance window. Returns
-    * buckets rewritten. */
+    * `targetFiles` parquet files rewrites independently through its leaf
+    * MANIFEST ([[graft.store.Compaction]] — concurrent per-leaf generation
+    * swaps, keep-one-back retention): READER-CONCURRENT, a probe planned
+    * just before a swap keeps every file it resolved, and a crash strands
+    * at most one uncommitted generation (retired by the next rewrite).
+    * Rows, bucketing, and the stats sidecar are untouched, so scores are
+    * oblivious to when this ran (q217 + spec). Returns buckets rewritten. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 4): Int =
     graft.store.Compaction.compactPartitions(spark, path + "/postings", targetFiles)
 
   /** BM25 top-k over a [[writeBm25Index]] layout. Each query term's bucket is
-    * computed on the DRIVER (the md5_prefix60 twin), so the probe is a
-    * literal IN-list on the PARTITION column — pruning happens before any row
-    * is read — with the term equality pushed into the row-group filter behind
-    * it. Scoring arithmetic is identical to [[bm25TopK]]. */
+    * computed on the DRIVER (the md5_prefix60 twin) and resolved to that
+    * `bucket=` leaf's LIVE manifest generation
+    * ([[graft.store.Compaction.resolveLeafDirs]]) — pruning happens by PATH
+    * SELECTION at planning time, strictly before any row is read, and the
+    * per-leaf manifest indirection makes the probe safe under a concurrent
+    * [[compactBm25Index]] / [[removeFromBm25Index]] (a root scan would see
+    * both generations of a rewritten leaf and double-count every posting).
+    * The term equality is pushed into the row-group filter behind the path
+    * prune. Scoring arithmetic is identical to [[bm25TopK]]. Terms whose
+    * buckets never received a posting simply resolve to no path — a probe
+    * of all-unknown terms returns empty. */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
       nBuckets: Int = 64): DataFrame = {
@@ -862,9 +875,17 @@ object TextOps {
     // md5_prefix60 is non-negative (top 60 bits), so % == pmod
     val buckets = t.map(x =>
       org.apache.spark.sql.graft.Md5Prefix60.compute(x) % nBuckets).distinct
-    val base = spark.read.parquet(path + "/postings")
-      .where(col("bucket").isin(buckets: _*) && col("term").isin(t: _*))
-      .select(col("id"), col("dl"), col("term"), col("tf"))
+    val dirs = graft.store.Compaction.resolveLeafDirs(spark,
+      path + "/postings", "bucket", buckets)
+    val base =
+      if (dirs.nonEmpty)
+        spark.read.parquet(dirs: _*)
+          .where(col("term").isin(t: _*))
+          .select(col("id"), col("dl"), col("term"), col("tf"))
+      else // no probed bucket exists: empty, typed off the docs sidecar
+        graft.store.ManifestTable.read(spark, path + "/docs")
+          .select(col("id"), col("dl"), lit("").as("term"), lit(0L).as("tf"))
+          .where(lit(false))
     val stats = spark.read.parquet(path + "/stats")
     scoreBm25(base, stats, "id", k, k1, b)
   }

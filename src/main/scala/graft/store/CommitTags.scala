@@ -10,15 +10,20 @@ import org.apache.hadoop.fs.Path
  * whose append fully committed; the batch-log pattern Spark's own
  * file-stream sink uses, reduced to a single sorted text file.
  *
- * The file name is underscore-prefixed because partitioned layouts are
+ * The name is underscore-prefixed because partitioned layouts are
  * read with `spark.read.parquet(root)` — Spark's file index skips `_`/`.`
- * files, so the marker can never be scanned as data.
+ * entries, so the markers can never be scanned as data.
  *
- * Crash windows: the tag commits via tmp + delete + rename (the
- * [[ManifestTable]] MANIFEST discipline). A crash that loses the file (or
- * one tag) only downgrades idempotence to sweep-and-rewrite — the tagged
- * FILES carry the token in their names, so a retry removes the previous
- * attempt's files before re-appending and the result is still exact.
+ * Crash safety: `_TAGS` is a DIRECTORY holding one empty marker file per
+ * committed token, so committing tag B touches nothing of tag A — there is
+ * no rewrite of shared state and therefore no crash window in which
+ * already-committed tags can vanish (the single-file + delete&rename
+ * predecessor had one: a crash between the delete and the rename lost the
+ * whole tag set, and a blind retry of e.g. `Dedup.ingestBatch` would then
+ * re-run its drop rule against an index that already held the batch).
+ * A crash mid-[[add]] leaves either no marker or the complete (empty)
+ * marker — both exact. Legacy single-file `_TAGS` tables migrate to the
+ * directory shape on their first [[add]].
  */
 private[store] object CommitTags {
   val TagsName = "_TAGS"
@@ -31,7 +36,9 @@ private[store] object CommitTags {
   def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Set[String] = {
     val f = new Path(dir, TagsName)
     if (!fs.exists(f)) Set.empty
-    else {
+    else if (fs.getFileStatus(f).isDirectory)
+      fs.listStatus(f).filter(_.isFile).map(_.getPath.getName).toSet
+    else { // legacy single-file layout (pre round-12)
       val in = fs.open(f)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .map(_.trim).filter(_.nonEmpty).toSet
@@ -40,14 +47,17 @@ private[store] object CommitTags {
   }
 
   def add(fs: org.apache.hadoop.fs.FileSystem, dir: Path, tok: String): Unit = {
-    val all = (read(fs, dir) + tok).toSeq.sorted
-    val tmp = new Path(dir, TagsName + ".tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write(all.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
     val f = new Path(dir, TagsName)
-    fs.delete(f, false)
-    if (!fs.rename(tmp, f))
-      throw new java.io.IOException(s"CommitTags: cannot commit $f")
+    if (fs.exists(f) && fs.getFileStatus(f).isFile) {
+      // migrate a legacy single-file tag set to per-token markers; the
+      // window between the delete and the last marker re-create only
+      // HIDES tags (a concurrent crash makes some retries re-append after
+      // a sweep — still exact), it can no longer fabricate one
+      val legacy = read(fs, dir)
+      fs.delete(f, false)
+      fs.mkdirs(f): Unit
+      legacy.foreach(t => fs.create(new Path(f, t), true).close())
+    } else fs.mkdirs(f): Unit
+    fs.create(new Path(f, tok), true).close()
   }
 }

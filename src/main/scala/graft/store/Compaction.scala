@@ -132,26 +132,40 @@ object Compaction {
       java.util.UUID.randomUUID().toString))
     fs.delete(stage, true)
     df.write.partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
-    fs.listStatus(stage).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.contains("="))
-      .foreach { sp =>
-        val leaf = new Path(rootPath, sp.getName)
-        val target =
-          if (fs.exists(leaf)) new Path(ManifestTable.resolve(spark, leaf.toString))
-          else { // new leaf: born in the manifest shape
-            val gen = new Path(leaf, "gen-000000000")
-            fs.mkdirs(gen): Unit
-            gen
-          }
-        fs.mkdirs(target): Unit
-        fs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-          .foreach { p =>
-            val name = prefix.getOrElse("") + p.getName
-            if (!fs.rename(p, new Path(target, name)))
-              throw new java.io.IOException(
-                s"appendPartitions: cannot move $p into $target")
-          }
-      }
+    // the per-leaf file moves are INDEPENDENT driver-side fs metadata ops;
+    // serialized they are the classic driver bottleneck at thousands of
+    // leaves, so submit them to a bounded pool (the rewritePartitions
+    // discipline) and drain every future before the tag commits
+    val staged = fs.listStatus(stage).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.contains("=")).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, staged.length)))
+    val futures = staged.map { sp =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val leaf = new Path(rootPath, sp.getName)
+          val target =
+            if (fs.exists(leaf)) new Path(ManifestTable.resolve(spark, leaf.toString))
+            else { // new leaf: born in the manifest shape
+              val gen = new Path(leaf, "gen-000000000")
+              fs.mkdirs(gen): Unit
+              gen
+            }
+          fs.mkdirs(target): Unit
+          fs.listStatus(sp).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .foreach { p =>
+              val name = prefix.getOrElse("") + p.getName
+              if (!fs.rename(p, new Path(target, name)))
+                throw new java.io.IOException(
+                  s"appendPartitions: cannot move $p into $target")
+            }
+        }
+      })
+    }
+    val outcomes = futures.map(f => scala.util.Try(f.get()))
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     fs.delete(stage, true)
     tok.foreach(CommitTags.add(fs, rootPath, _))
     true

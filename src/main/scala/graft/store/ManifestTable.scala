@@ -148,6 +148,8 @@ object ManifestTable {
         (!p.getName.startsWith(ManifestName) && !p.getName.startsWith(".") &&
           !p.getName.startsWith("_")))
       .foreach(fs.delete(_, false))
+    // the _TAGS marker directory (per-token files — see CommitTags)
+    fs.delete(new Path(dir, TagsName), true): Unit
     commit(fs, dir, next)
     retire(fs, dir, next, prevLive)
   }
@@ -223,13 +225,24 @@ object ManifestTable {
     val stage = new Path(dir, StagePrefix + tok)
     fs.delete(stage, true)
     df.write.mode("overwrite").parquet(stage.toString)
-    fs.listStatus(stage).map(_.getPath)
-      .filter(_.getName.endsWith(".parquet"))
-      .foreach { p =>
-        if (!fs.rename(p, new Path(genPath, prefix + p.getName)))
-          throw new java.io.IOException(
-            s"ManifestTable: cannot move $p into $genPath")
-      }
+    // independent driver-side renames: move them through a bounded pool so
+    // a wide append is not serialized on per-file fs round-trips
+    val staged = fs.listStatus(stage).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, staged.length)))
+    val futures = staged.map { p =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          if (!fs.rename(p, new Path(genPath, prefix + p.getName)))
+            throw new java.io.IOException(
+              s"ManifestTable: cannot move $p into $genPath")
+      })
+    }
+    val outcomes = futures.map(f => scala.util.Try(f.get()))
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     fs.delete(stage, true)
     CommitTags.add(fs, dir, tok)
     true
@@ -251,7 +264,7 @@ object ManifestTable {
     if (!fs.exists(dir) || liveGen(spark, table).isDefined) return
     val flat = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
-    val gen = f"${GenPrefix}0%09d"
+    val gen = f"$GenPrefix${0}%09d"
     val genPath = new Path(dir, gen)
     fs.mkdirs(genPath): Unit
     flat.foreach { p =>

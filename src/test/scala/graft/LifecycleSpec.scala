@@ -30,6 +30,35 @@ class LifecycleSpec extends SparkSpec {
       .count(f => f.isFile && f.getName.endsWith(".parquet"))
   }
 
+  /** Live data files of a manifest-shaped leaf (the post-round-12 layout
+    * truth: files live in the leaf's live generation, not the leaf root). */
+  private def liveFiles(leafDir: String): Int =
+    ManifestTable.dataFileCount(spark, leafDir)
+
+  /** Layout-aware full read of a partition-directory layout (root scans
+    * double-count once a leaf holds two generations). Partition col comes
+    * back as a string — fine for multiset comparisons between layouts. */
+  private def readLayout(root: String, partitionCol: String): DataFrame =
+    Compaction.readPartitioned(spark, root, partitionCol)
+      .getOrElse(sys.error(s"no leaves at $root"))
+
+  /** Simulate a lost commit-tag marker set (crash between file moves and
+    * the tag commit): _TAGS is a marker DIRECTORY since round 12. */
+  private def rmTags(dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_TAGS")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.delete(p, true), s"no _TAGS at $dir")
+  }
+
+  /** Recursively collect files under `dir` whose name passes `pred` —
+    * tagged append files live inside per-leaf generation dirs now. */
+  private def filesUnder(dir: java.io.File,
+      pred: String => Boolean): Seq[java.io.File] = {
+    val kids = Option(dir.listFiles()).getOrElse(Array.empty).toSeq
+    kids.filter(f => f.isFile && pred(f.getName)) ++
+      kids.filter(_.isDirectory).flatMap(filesUnder(_, pred))
+  }
+
   // ---------------------------------------------------------------- manifest
 
   test("ManifestTable: write/append/read roundtrip, compact preserves the " +
@@ -182,7 +211,7 @@ class LifecycleSpec extends SparkSpec {
     assert(multiset(ManifestTable.read(spark, t)) == after1)
     // crash between the file moves and the TAGS commit: marker lost, files
     // present — the retry's sweep removes them before re-appending
-    assert(new java.io.File(t, "_TAGS").delete())
+    rmTags(t)
     assert(ManifestTable.appendTagged(Seq((2L, "b1")).toDF("id", "v"), t, "b1"))
     assert(multiset(ManifestTable.read(spark, t)) == after1,
       "sweep-and-rewrite must not duplicate the batch")
@@ -282,7 +311,7 @@ class LifecycleSpec extends SparkSpec {
     val tagged = postGen.listFiles.filter(_.getName.startsWith(s"tag-$tok-"))
     assert(tagged.nonEmpty, "the tagged postings files must be identifiable")
     tagged.foreach(f => assert(f.delete()))
-    assert(new java.io.File(path + "/postings", "_TAGS").delete())
+    rmTags(path + "/postings")
     append() // retry lands ONLY the missing postings (pairs tag short-circuits)
     assert(multiset(ManifestTable.read(spark, path + "/pairs")) == pairsAfter,
       "the mine must not re-run")
@@ -290,7 +319,7 @@ class LifecycleSpec extends SparkSpec {
       "the missing postings must land exactly once")
     // the inverse state (postings committed, pairs not) is impossible for
     // this writer and must reject rather than silently double-count
-    assert(new java.io.File(path + "/pairs", "_TAGS").delete())
+    rmTags(path + "/pairs")
     intercept[IllegalStateException] { append() }
   }
 
@@ -361,14 +390,14 @@ class LifecycleSpec extends SparkSpec {
       "vec", q, 5, cents).select(col("id"), round(col("cos"), 5)))
     val cellDirs = new java.io.File(path).listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-    val filesBefore = cellDirs.map(d => parquetFiles(d.toString)).sum
+    val filesBefore = cellDirs.map(d => liveFiles(d.toString)).sum
     val rewritten = Similarity.compactIvfCorpus(spark, path, targetFiles = 1)
     assert(rewritten > 0, "at least one appended cell should need compaction")
-    val filesAfter = cellDirs.map(d => parquetFiles(d.toString)).sum
+    val filesAfter = cellDirs.map(d => liveFiles(d.toString)).sum
     assert(filesAfter < filesBefore,
       s"file count must shrink: $filesBefore -> $filesAfter")
-    cellDirs.foreach(d => assert(parquetFiles(d.toString) <= 1,
-      s"${d.getName} still has ${parquetFiles(d.toString)} files"))
+    cellDirs.foreach(d => assert(liveFiles(d.toString) <= 1,
+      s"${d.getName} still has ${liveFiles(d.toString)} live files"))
     val after = canon(Similarity.ivfTopKFromPartitioned(spark, path, "id",
       "vec", q, 5, cents).select(col("id"), round(col("cos"), 5)))
     assert(after == before, "probe must be oblivious to compaction")
@@ -396,11 +425,75 @@ class LifecycleSpec extends SparkSpec {
     assert(rewritten > 0, "appends should have left compactable buckets")
     val bucketDirs = new java.io.File(path, "postings").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
-    bucketDirs.foreach(d => assert(parquetFiles(d.toString) <= 1,
-      s"${d.getName} still has ${parquetFiles(d.toString)} files"))
+    bucketDirs.foreach(d => assert(liveFiles(d.toString) <= 1,
+      s"${d.getName} still has ${liveFiles(d.toString)} live files"))
     val compacted = canon(TextOps.bm25TopKFromIndex(spark, path, q, 10,
       nBuckets = 4))
     assert(compacted == direct, "scores must be oblivious to compaction")
+  }
+
+  test("compactBm25Index twice: keep-one-back leaves TWO generations live " +
+      "in a leaf — the probe resolves one and never double-counts") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"),
+      (5L, "spark spark spark merge window"), (6L, "merge window scan"))
+      .toDF("id", "text")
+    val path = tmp("graft_bm25g2") + "/bm25"
+    val q = Seq("spark", "window", "merge")
+    def fromScratch(upTo: Long): Set[Seq[Any]] = {
+      val fresh = tmp("graft_bm25g2") + s"/fresh$upTo"
+      TextOps.writeBm25Index(docs.where(col("id") <= upTo), "id", "text",
+        fresh, nBuckets = 4)
+      canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4))
+    }
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    (3L to 4L).foreach(i => TextOps.appendBm25Index(
+      docs.where(col("id") === i), "id", "text", path, nBuckets = 4))
+    TextOps.compactBm25Index(spark, path, targetFiles = 1): Unit
+    // keep-one-back: a rewritten leaf now holds BOTH generations on disk —
+    // the state in which a root scan double-counts every posting
+    def genCounts: Seq[Int] = new java.io.File(path, "postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .map(_.listFiles().count(g => g.isDirectory && g.getName.startsWith("gen-")))
+      .toSeq
+    assert(genCounts.exists(_ >= 2),
+      s"expected a double-generation leaf after the compaction: $genCounts")
+    assert(canon(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)) ==
+      fromScratch(4L), "double-generation probe must not double-count")
+    // the daily loop's SECOND rewrite (append + compact again) — the case
+    // round-11's root-scan reader broke on
+    (5L to 6L).foreach(i => TextOps.appendBm25Index(
+      docs.where(col("id") === i), "id", "text", path, nBuckets = 4))
+    TextOps.compactBm25Index(spark, path, targetFiles = 1): Unit
+    assert(genCounts.exists(_ >= 2), s"still double-generation: $genCounts")
+    assert(canon(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)) ==
+      fromScratch(6L), "second rewrite must stay exact")
+  }
+
+  test("annTopKFromBucketed survives compactBucketedCorpus: the SRP layout " +
+      "is manifest-backed like IVF — probe and row multiset oblivious") {
+    val base = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(6)(d => ((i * 6 + d) % 5 + 1).toFloat).toSeq))
+      .toDF("id", "v")
+    val query = Array.tabulate(6)(d => (d + 1).toFloat).toSeq
+    val path = tmp("graft_srpc") + "/srp"
+    Similarity.writeBucketedCorpus(base, "id", "v", path, nBits = 4)
+    (0 until 3).foreach { b =>
+      val batch = Seq((100L + b, query)).toDF("id", "v")
+      Similarity.appendBucketedCorpus(batch, "id", "v", path, nBits = 4)
+    }
+    val before = canon(Similarity.annTopKFromBucketed(spark, path, "id", "v",
+      query, 3, nBits = 4).select(col("id"), round(col("cos"), 5)))
+    val rows = multiset(readLayout(path, "bucket"))
+    val rewritten = Similarity.compactBucketedCorpus(spark, path, targetFiles = 1)
+    assert(rewritten > 0, "appends should have left compactable buckets")
+    assert(canon(Similarity.annTopKFromBucketed(spark, path, "id", "v",
+      query, 3, nBits = 4).select(col("id"), round(col("cos"), 5))) == before,
+      "probe must be oblivious to compaction")
+    assert(multiset(readLayout(path, "bucket")) == rows,
+      "compaction must preserve the row multiset")
   }
 
   test("appendIvfCorpus with a batchId: blind retry exact; a crash that " +
@@ -416,17 +509,17 @@ class LifecycleSpec extends SparkSpec {
     val batch = vecs.where(col("id") >= 20)
     Similarity.appendIvfCorpus(batch, "id", "vec", path, cents,
       batchId = Some("b1"))
-    val after = multiset(spark.read.parquet(path))
+    val after = multiset(readLayout(path, "cell"))
     Similarity.appendIvfCorpus(batch, "id", "vec", path, cents,
       batchId = Some("b1")) // blind retry
-    assert(multiset(spark.read.parquet(path)) == after,
+    assert(multiset(readLayout(path, "cell")) == after,
       "retry must not append a single row")
     // lost marker: the tagged files are still identified by prefix and
     // swept before the rewrite — rows stay exact
-    assert(new java.io.File(path, "_TAGS").delete())
+    rmTags(path)
     Similarity.appendIvfCorpus(batch, "id", "vec", path, cents,
       batchId = Some("b1"))
-    assert(multiset(spark.read.parquet(path)) == after,
+    assert(multiset(readLayout(path, "cell")) == after,
       "sweep-and-rewrite must not duplicate the batch")
   }
 
@@ -443,26 +536,24 @@ class LifecycleSpec extends SparkSpec {
     def append(): Unit = TextOps.appendBm25Index(batch, "id", "text", path,
       nBuckets = 4, batchId = Some("b1"))
     append()
-    val posts = multiset(spark.read.parquet(path + "/postings"))
+    val posts = multiset(readLayout(path + "/postings", "bucket"))
     val stats = multiset(spark.read.parquet(path + "/stats"))
     val members = multiset(ManifestTable.read(spark, path + "/docs"))
     append() // blind retry: both tags committed, stats re-derive to the same row
-    assert(multiset(spark.read.parquet(path + "/postings")) == posts)
+    assert(multiset(readLayout(path + "/postings", "bucket")) == posts)
     assert(multiset(spark.read.parquet(path + "/stats")) == stats)
     assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
     // crash window: docs committed, postings never landed — delete the
     // tagged posting files and the marker, then retry
     val tok = java.security.MessageDigest.getInstance("MD5")
       .digest("b1".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val buckets = new java.io.File(path + "/postings").listFiles()
-      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
-    val tagged = buckets.flatMap(_.listFiles())
-      .filter(_.getName.startsWith(s"tag-$tok-"))
+    val tagged = filesUnder(new java.io.File(path + "/postings"),
+      _.startsWith(s"tag-$tok-"))
     assert(tagged.nonEmpty, "tagged posting files must be identifiable")
     tagged.foreach(f => assert(f.delete()))
-    assert(new java.io.File(path + "/postings", "_TAGS").delete())
+    rmTags(path + "/postings")
     append() // docs tag short-circuits; only the postings land
-    assert(multiset(spark.read.parquet(path + "/postings")) == posts,
+    assert(multiset(readLayout(path + "/postings", "bucket")) == posts,
       "the missing postings must land exactly once")
     assert(multiset(ManifestTable.read(spark, path + "/docs")) == members,
       "the docs membership must not double-append")
@@ -608,8 +699,8 @@ class LifecycleSpec extends SparkSpec {
         q, 6, cents).select(col("id"), round(col("cos"), 5))) ==
       canon(Similarity.ivfTopKFromPartitioned(spark, fresh, "id", "vec",
         q, 6, cents).select(col("id"), round(col("cos"), 5))))
-    assert(multiset(spark.read.parquet(full)) ==
-      multiset(spark.read.parquet(fresh)),
+    assert(multiset(readLayout(full, "cell")) ==
+      multiset(readLayout(fresh, "cell")),
       "surviving rows and cell assignment must be untouched")
   }
 

@@ -201,11 +201,19 @@ class OpsSpec extends SparkSpec {
     Similarity.writeBucketedCorpus(corpus, "vec_id", "embedding", path, nBits = 6)
     val pruned = Similarity.annTopKFromBucketed(spark, path,
       "vec_id", "embedding", q, 10, nBits = 6)
-    // the probe IN-list must land in PartitionFilters (pre-read pruning),
-    // leaving no data filter on bucket
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
-      s"bucket probe not pushed to partition pruning:\n${plan.take(800)}")
+    // pruning is PATH SELECTION since round 12: the scan's input files must
+    // all sit inside the probed buckets' live generation dirs, and unprobed
+    // leaves are never listed (strictly stronger than a partition filter)
+    val qb = Similarity.SrpScheme.xxh.compute(q.toArray, 6)
+    val probes = (qb +: (0 until 6).map(b => qb ^ (1L << b))).map(p => s"bucket=$p").toSet
+    val touched = pruned.inputFiles.map(f =>
+      f.split('/').find(_.startsWith("bucket=")).getOrElse("?")).toSet
+    assert(touched.nonEmpty && touched.subsetOf(probes),
+      s"scan must touch only probed buckets: $touched vs $probes")
+    val allLeaves = new java.io.File(path).listFiles()
+      .count(d => d.isDirectory && d.getName.startsWith("bucket="))
+    assert(touched.size < allLeaves,
+      s"probe must prune the layout: ${touched.size} of $allLeaves leaves")
     // and results are identical to the unpartitioned path
     val a = pruned.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val b = Similarity.annTopK(corpus, "vec_id", "embedding", q, 10, nBits = 6)
