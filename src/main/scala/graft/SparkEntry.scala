@@ -3334,6 +3334,122 @@ object SparkEntry {
       docs.where(col("source") === "src0" || col("source") === "src1")
         .join(counts, Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("band_rows"))
+    }),
+
+    // --- SRP ANN layout FULL lifecycle (round 12): write → append →
+    //     COMPACT → append (planted exact copies) → COMPACT again. After
+    //     the second rewrite every touched bucket leaf holds TWO live
+    //     generations (keep-one-back retention); the probe resolves each
+    //     leaf's live generation by path selection and must surface
+    //     exactly the planted copies — a partitioned-root scan would read
+    //     both generations and duplicate every surviving row -------------
+    "q231_srp_lifecycle" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7 && col("vec_id") % 20 =!= 3 &&
+        col("vec_id") % 20 =!= 9)
+      val day1 = emb.where(col("vec_id") =!= 7 && col("vec_id") % 20 === 3)
+      val day2 = emb.where(col("vec_id") =!= 7 && col("vec_id") % 20 === 9)
+        .unionByName(planted)
+      val path = sys.props("java.io.tmpdir") + "/graft_q231_srp_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeBucketedCorpus(base, "vec_id", "embedding", path,
+        nBits = 5)
+      Similarity.appendBucketedCorpus(day1, "vec_id", "embedding", path,
+        nBits = 5)
+      Similarity.compactBucketedCorpus(s, path, targetFiles = 1): Unit
+      Similarity.appendBucketedCorpus(day2, "vec_id", "embedding", path,
+        nBits = 5)
+      Similarity.compactBucketedCorpus(s, path, targetFiles = 1): Unit
+      Similarity.annTopKFromBucketed(s, path, "vec_id", "embedding", q, 5,
+          nBits = 5)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- BM25 index DAILY loop (round 12): write → (append → compact →
+    //     VACUUM) ×2 → probe. The second compaction of a bucket leaf
+    //     leaves two generations coexisting — the state the round-11
+    //     root-scan reader double-counted every posting in (df, tf and
+    //     every idf wrong) — and the drain-rule vacuum then GCs the
+    //     retired generation with no data rewrite; neither may move a
+    //     score. Probe must hash-match the from-scratch direct scan:
+    //     oracle = q90's SQL verbatim ------------------------------------
+    "q232_bm25_daily_loop" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q232_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", path)
+      def day(batch: org.apache.spark.sql.DataFrame): Unit = {
+        TextOps.appendBm25Index(batch, "doc_id", "text", path)
+        TextOps.compactBm25Index(s, path, targetFiles = 1): Unit
+        graft.store.Compaction.vacuumPartitions(s, path + "/postings",
+          keepPrevious = false): Unit
+      }
+      day(docs.where(col("doc_id") % 4 === 1))
+      day(docs.where(col("doc_id") % 4 === 2 || col("doc_id") % 4 === 3))
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- exactly-once STREAMING ingest into the BM25 search index: the
+    //     src0/src1 half arrives as a two-epoch stream, each micro-batch
+    //     appended under its epoch tag; the WHOLE stream re-runs from a
+    //     fresh checkpoint (every epoch replays under its original tag —
+    //     must be an exact no-op: a re-appended epoch doubles df/tf and
+    //     shifts every idf). Probe = q90's from-scratch SQL verbatim ------
+    "q233_stream_bm25_ingest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q233_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoBm25Index(
+        graft.streaming.Streaming.docsReplay(s, dir, 2)
+          .where(col("source") === "src0" || col("source") === "src1")
+          .select(col("doc_id"), col("text")),
+        path, "doc_id", "text").awaitTermination()
+      run()
+      run() // full replay, same epoch tags: every batch short-circuits
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- exactly-once STREAMING ingest into the IVF ANN layout: odd
+    //     vec_ids arrive as a two-epoch stream routed through the PINNED
+    //     centroids, each micro-batch a tagged partitioned append; the
+    //     stream re-runs from a fresh checkpoint and must no-op. Audit =
+    //     q228's pattern on the layout: every corpus vector appears in
+    //     exactly ONE cell row (2 betrays a replayed append, 0 a skipped
+    //     epoch) ----------------------------------------------------------
+    "q234_stream_ivf_ingest" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q234_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base, "vec_id", "embedding", path, cents)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoIvfCorpus(
+        graft.streaming.Streaming.tableReplay(s, dir, "embeddings",
+            "vec_id", 2)
+          .where(col("embedding").isNotNull && col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding")),
+        path, "vec_id", "embedding", cents).awaitTermination()
+      run()
+      run() // full replay, same epoch tags: every batch short-circuits
+      graft.store.Compaction.readPartitioned(s, path, "cell").get
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_copies"))
     })
   )
 
@@ -3889,6 +4005,84 @@ object SparkEntry {
         |WHERE source IN ('src0', 'src1')
         |  AND ((tile = 1 AND doc_id NOT IN (SELECT bid FROM drop1))
         |    OR (tile = 2 AND doc_id NOT IN (SELECT bid FROM drop2)))""".stripMargin,
+
+    // Planted exact copies of the query vector ride the LAST append, after
+    // a compaction and before another — provable top-5 through the
+    // double-generation probe (q153's closed form, shifted ids).
+    "q231_srp_lifecycle" ->
+      """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(5) t(i)""".stripMargin,
+
+    // The replayed streaming ingest must leave the index identical to a
+    // from-scratch build of the whole corpus: q90's SQL verbatim again.
+    "q233_stream_bm25_ingest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Exactly-once audit on the streamed IVF layout: every non-null vector
+    // sits in exactly one cell row — 2 betrays a replayed epoch that
+    // re-appended, 0 a skipped one.
+    "q234_stream_ivf_ingest" ->
+      """SELECT vec_id, cast(1 as bigint) AS n_copies
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+
+    // The daily append+compact loop must hash-match the from-scratch
+    // direct scan: q232 is q90's SQL verbatim (q217's oracle).
+    "q232_bm25_daily_loop" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
         // q215 proves the persisted pair table replays the inline mine
     // bit-for-bit: the oracle is q165's SQL verbatim.

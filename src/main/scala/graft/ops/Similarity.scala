@@ -379,6 +379,31 @@ object Similarity {
       p => p.join(rm, p(idCol) === col("__rm_id"), "left_anti"))
   }
 
+  /** Retrain-and-rebuild for a [[writeIvfCorpus]] layout — the verb the
+    * drift discipline ends in: when [[ivfLayoutHealth]] /
+    * [[embeddingDrift]] cross the caller's skew budget, re-cluster the
+    * LIVE corpus (fresh deterministic k-means over every surviving row)
+    * and write a fresh layout at `newPath` — BLUE/GREEN: the old layout
+    * keeps serving probes untouched until the caller swaps its pointer,
+    * because an in-place retrain cannot be reader-concurrent (rows MOVE
+    * BETWEEN leaves under retrained centroids, which the per-leaf manifest
+    * swaps cannot model). Returns the new pinned centroids — pass exactly
+    * these to every probe/append of the new layout; retire the old path
+    * once its in-flight scans drain. Row multiset is preserved exactly
+    * (the rebuild is a projection of the live leaves). */
+  def retrainIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, newPath: String, idCol: String, vecCol: String,
+      k: Int, iters: Int = 2): Array[Array[Double]] = {
+    require(path != newPath,
+      "retrainIvfCorpus is blue/green: newPath must differ from path")
+    val live = graft.store.Compaction.readPartitioned(spark, path, "cell")
+      .getOrElse(sys.error(s"retrainIvfCorpus: no cell leaves at $path"))
+      .select(col(idCol), col(vecCol))
+    val cents = ivfCentroids(live, idCol, vecCol, k, iters)
+    writeIvfCorpus(live, idCol, vecCol, newPath, cents)
+    cents
+  }
+
   /** [[ivfIndexHealth]] over a PERSISTED [[writeIvfCorpus]] layout — the
     * post-append drift gate: no re-assignment runs (the layout's partition
     * column pins each vector's cell); the scan reads only the cell column

@@ -1,7 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.hadoop.fs.Path
 
 /**
@@ -131,7 +131,14 @@ object Compaction {
     val stage = new Path(root + "/.stage-" + tok.getOrElse(
       java.util.UUID.randomUUID().toString))
     fs.delete(stage, true)
-    df.write.partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
+    // hash-partition the batch by the layout's partition column BEFORE the
+    // partitioned write: without it every task writes one small file into
+    // every leaf it touches (tasks × leaves files — measured 65 s to append
+    // 200k rows across 1024 leaves, linear in leaf count), with it each
+    // leaf's rows land in exactly one task → one staged file per leaf per
+    // batch, which is also the file-count shape the manifest append wants
+    df.repartition(col(partitionCol))
+      .write.partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
     // the per-leaf file moves are INDEPENDENT driver-side fs metadata ops;
     // serialized they are the classic driver bottleneck at thousands of
     // leaves, so submit them to a bounded pool (the rewritePartitions
@@ -240,5 +247,24 @@ object Compaction {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     leafDirs(fs, rootPath).foreach(p =>
       ManifestTable.migrateFlatDir(spark, p.toString))
+  }
+
+  /** [[ManifestTable.vacuum]] over every leaf of a partitioned layout,
+    * plus a sweep of dead root-level stage dirs from interrupted
+    * [[appendPartitions]] attempts — the layout-wide standalone GC (the
+    * next rewrite would sweep the same debris; vacuum is for reclaiming
+    * disk between rewrites). Same `keepPrevious` drain rule per leaf.
+    * Returns directories deleted. */
+  def vacuumPartitions(spark: SparkSession, root: String,
+      keepPrevious: Boolean = true): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return 0
+    val stages = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".stage-"))
+    stages.foreach(fs.delete(_, true))
+    stages.length +
+      leafDirs(fs, rootPath)
+        .map(p => ManifestTable.vacuum(spark, p.toString, keepPrevious)).sum
   }
 }

@@ -310,4 +310,40 @@ object ManifestTable {
     commit(fs, dir, next)
     retire(fs, dir, next, Some(live))
   }
+
+  /**
+   * Standalone garbage collection — reclaim disk WITHOUT a data rewrite:
+   * retire generations the keep-one-back discipline no longer funds plus
+   * the debris interrupted operations strand (orphaned never-committed
+   * generations, dead stage dirs, MANIFEST/TAGS tmp files). Normally the
+   * next rewrite sweeps these as a side effect; vacuum is for the table
+   * whose next rewrite is far away (e.g. a compacted-yesterday table that
+   * crashed mid-append today). With `keepPrevious = false` the previous
+   * generation retires too — only safe when no scan planned before the
+   * last rewrite is still in flight (the same drain rule as back-to-back
+   * rewrites). Returns directories deleted; no-ops on legacy flat or
+   * absent tables. Single-maintainer op like every other write verb.
+   */
+  def vacuum(spark: SparkSession, table: String,
+      keepPrevious: Boolean = true): Int = {
+    val (fs, dir) = fsOf(spark, table)
+    if (!fs.exists(dir)) return 0
+    liveGen(spark, table) match {
+      case None => 0 // legacy flat layout: nothing generation-shaped to sweep
+      case Some(live) =>
+        val gens = genDirs(fs, dir)
+        val prev = gens.filter(_ < live).lastOption.filter(_ => keepPrevious)
+        val keep = Set(live) ++ prev
+        val genVictims = gens.filterNot(keep)
+        genVictims.foreach(g => fs.delete(new Path(dir, g), true))
+        val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+          .filter(_.getName.startsWith(StagePrefix))
+        stages.foreach(fs.delete(_, true))
+        fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+          .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
+            p.getName.startsWith(TagsName + ".tmp-"))
+          .foreach(fs.delete(_, false))
+        genVictims.length + stages.length
+    }
+  }
 }

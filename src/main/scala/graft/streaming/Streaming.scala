@@ -239,6 +239,56 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * EXACTLY-ONCE streaming ingest into a
+   * [[graft.ops.TextOps.writeBm25Index]] layout — the search-index twin of
+   * [[ingestIntoNearDupIndex]]: each micro-batch of documents appends
+   * through [[graft.ops.TextOps.appendBm25Index]] under its epoch-id tag
+   * (postings + docs membership each tagged; the stats sidecar re-derives
+   * from membership on every attempt), so a replayed epoch is an exact
+   * no-op and the very next [[graft.ops.TextOps.bm25TopKFromIndex]] probe
+   * scores old + new with from-scratch arithmetic however many times the
+   * query restarted. The layout must exist ([[graft.ops.TextOps.writeBm25Index]]
+   * the base corpus first); `tagPrefix` namespaces epochs as in
+   * [[ingestIntoNearDupIndex]].
+   */
+  def ingestIntoBm25Index(stream: DataFrame, path: String, idCol: String,
+      textCol: String, nBuckets: Int = 64, tagPrefix: String = "stream"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.TextOps.appendBm25Index(batch.toDF(), idCol, textCol, path,
+          nBuckets, batchId = Some(s"$tagPrefix-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /**
+   * EXACTLY-ONCE streaming ingest into a
+   * [[graft.ops.Similarity.writeIvfCorpus]] layout — the ANN twin: each
+   * micro-batch of vectors routes through the PINNED centroids and appends
+   * under its epoch-id tag ([[graft.ops.Similarity.appendIvfCorpus]] →
+   * tagged partitioned append), so replayed epochs no-op and probes never
+   * surface a vector twice. Centroid drift discipline is the caller's
+   * (gate with [[graft.ops.Similarity.ivfLayoutHealth]] between streams);
+   * the stream only ever APPENDS under the layout's pinned assignment.
+   */
+  def ingestIntoIvfCorpus(stream: DataFrame, path: String, idCol: String,
+      vecCol: String, cents: Array[Array[Double]],
+      tagPrefix: String = "stream"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.Similarity.appendIvfCorpus(batch.toDF(), idCol, vecCol,
+          path, cents, batchId = Some(s"$tagPrefix-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def incrementIntoTable(deltas: DataFrame, tablePath: String,
       keyCol: String = "key"): org.apache.spark.sql.streaming.StreamingQuery =
     deltas.writeStream
@@ -315,14 +365,20 @@ object Streaming {
    * tiny next to the corpus facts); production streams tail a real landing
    * directory.
    */
-  def docsReplay(spark: SparkSession, dir: String, nSplits: Int): DataFrame = {
-    // staging is cached per (source dir, nSplits) for the JVM's life: repeat
-    // invocations (bench warmup + 3 timed reps) reuse the files instead of
-    // re-sorting and re-writing the corpus each call — and a shutdown hook
-    // deletes the staged copies (File.deleteOnExit cannot remove non-empty
-    // directories, which would leak one staged corpus per call)
-    val stage = replayStageCache.computeIfAbsent((dir, nSplits), { _ =>
-      stageDocsReplay(spark, dir, nSplits)
+  def docsReplay(spark: SparkSession, dir: String, nSplits: Int): DataFrame =
+    tableReplay(spark, dir, "documents", "doc_id", nSplits)
+
+  /** Generic finite-replay source: any of the corpus parquet tables split
+    * into `nSplits` micro-batches by ntile over `orderCol` — epoch
+    * membership is a pure function of the id set, so a restarted stream
+    * re-issues byte-identical epochs (what the exactly-once ingest queries
+    * replay against). Staging is cached per (dir, table, nSplits) for the
+    * JVM's life (bench warmup + reps reuse the files); a shutdown hook
+    * deletes the staged copies. */
+  def tableReplay(spark: SparkSession, dir: String, table: String,
+      orderCol: String, nSplits: Int): DataFrame = {
+    val stage = replayStageCache.computeIfAbsent((dir, table, nSplits), { _ =>
+      stageTableReplay(spark, dir, table, orderCol, nSplits)
     })
     val schema = spark.read.parquet(s"$stage/00001.parquet").schema
     spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -330,13 +386,13 @@ object Streaming {
   }
 
   private val replayStageCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int), String]()
 
-  private def stageDocsReplay(spark: SparkSession, dir: String,
-      nSplits: Int): String = {
+  private def stageTableReplay(spark: SparkSession, dir: String,
+      table: String, orderCol: String, nSplits: Int): String = {
     import org.apache.spark.sql.expressions.Window
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val stageDir = java.nio.file.Files.createTempDirectory("graft_docreplay_")
+    val docs = spark.read.parquet(s"$dir/$table.parquet")
+    val stageDir = java.nio.file.Files.createTempDirectory("graft_replay_")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
@@ -344,7 +400,7 @@ object Streaming {
     // persisted across the per-split writes: the ntile ranking is ONE
     // single-partition sort pass, not nSplits of them
     val staged = docs.withColumn("batch",
-        ntile(nSplits).over(Window.orderBy(col("doc_id"))))
+        ntile(nSplits).over(Window.orderBy(col(orderCol))))
       .withColumn("ts",
         timestamp_seconds(lit(1700000000L) + col("batch").cast("long") * 3600L))
       .persist()

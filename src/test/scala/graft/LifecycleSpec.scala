@@ -121,6 +121,64 @@ class LifecycleSpec extends SparkSpec {
     assert(canon(ManifestTable.read(spark, t)) == rows)
   }
 
+  test("vacuum: standalone GC retires funded-out generations, dead stage " +
+      "dirs and tmp files without a rewrite; reads and probes unchanged") {
+    val t = tmp("graft_vac") + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    (1 to 3).foreach(i =>
+      ManifestTable.append(Seq((10L + i, s"x$i")).toDF("id", "v"), t))
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val rows = multiset(ManifestTable.read(spark, t))
+    def gens: Seq[String] = new java.io.File(t).listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("gen-"))
+      .map(_.getName).toSeq.sorted
+    assert(gens.size == 2, s"keep-one-back after one compaction: $gens")
+    // strand debris an interrupted maintenance op would leave
+    val orphanGen = new java.io.File(t, "gen-000000099"); orphanGen.mkdirs()
+    val stage = new java.io.File(t, ".stage-deadbeef"); stage.mkdirs()
+    val tmpMf = new java.io.File(t, "MANIFEST.tmp-x")
+    assert(tmpMf.createNewFile())
+    // keepPrevious vacuum: debris gone, live + previous retained
+    assert(ManifestTable.vacuum(spark, t) == 2) // orphan gen + stage dir
+    assert(!orphanGen.exists && !stage.exists && !tmpMf.exists)
+    assert(gens.size == 2 && multiset(ManifestTable.read(spark, t)) == rows)
+    // drain-rule vacuum: only the live generation survives
+    assert(ManifestTable.vacuum(spark, t, keepPrevious = false) == 1)
+    assert(gens.size == 1 && multiset(ManifestTable.read(spark, t)) == rows)
+    // idempotent
+    assert(ManifestTable.vacuum(spark, t, keepPrevious = false) == 0)
+
+    // partitioned layout: per-leaf vacuum + root stage sweep, probe oblivious
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"))
+      .toDF("id", "text")
+    val path = tmp("graft_vacp") + "/bm25"
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    (3L to 4L).foreach(i => TextOps.appendBm25Index(
+      docs.where(col("id") === i), "id", "text", path, nBuckets = 4))
+    TextOps.compactBm25Index(spark, path, targetFiles = 1): Unit
+    val q = Seq("spark", "window", "merge")
+    val before = canon(TextOps.bm25TopKFromIndex(spark, path, q, 10,
+      nBuckets = 4))
+    val rootStage = new java.io.File(path + "/postings", ".stage-dead")
+    rootStage.mkdirs()
+    val swept = Compaction.vacuumPartitions(spark, path + "/postings",
+      keepPrevious = false)
+    assert(swept > 1, s"compacted leaves must shed a generation each: $swept")
+    assert(!rootStage.exists)
+    new java.io.File(path + "/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+      .foreach { d =>
+        val n = d.listFiles().count(g =>
+          g.isDirectory && g.getName.startsWith("gen-"))
+        assert(n == 1, s"${d.getName}: $n generations after drain vacuum")
+      }
+    assert(canon(TextOps.bm25TopKFromIndex(spark, path, q, 10,
+      nBuckets = 4)) == before, "probe must be oblivious to the vacuum")
+  }
+
   // ------------------------------------------------- near-dup index lifecycle
 
   private def docsDF: DataFrame = Seq(
@@ -564,6 +622,47 @@ class LifecycleSpec extends SparkSpec {
     val q = Seq("spark", "window", "merge")
     assert(canon(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)) ==
       canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)))
+  }
+
+  test("retrainIvfCorpus: blue/green rebuild preserves the row multiset, " +
+      "re-balances a drift-skewed layout, and the old layout still serves") {
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(base, "id", "vec", k = 3)
+    val root = tmp("graft_retrain")
+    val path = root + "/ivf"
+    Similarity.writeIvfCorpus(base, "id", "vec", path, cents)
+    // drifted batch: a new direction the pinned centroids never saw — every
+    // vector crowds into whichever old cell wins the argmax
+    val drift = (100 until 130).map(i =>
+      (i.toLong, Seq((-math.cos(0.2 * (i % 5))).toFloat,
+        (-math.sin(0.2 * (i % 5))).toFloat)))
+      .toDF("id", "vec")
+    Similarity.appendIvfCorpus(drift, "id", "vec", path, cents)
+    val skewed = Similarity.ivfLayoutHealth(spark, path, 3)
+      .agg(max(col("permille"))).head().getLong(0)
+    val newPath = root + "/ivf_v2"
+    val cents2 = Similarity.retrainIvfCorpus(spark, path, newPath,
+      "id", "vec", k = 4)
+    assert(cents2.length == 4)
+    // row multiset preserved (ids + vectors; cell assignment changes)
+    def rows(p: String) = canon(Compaction.readPartitioned(spark, p, "cell")
+      .get.select(col("id")))
+    assert(rows(newPath) == rows(path),
+      "retrain must carry every surviving row")
+    // the retrained layout is less skewed than the drifted one
+    val rebal = Similarity.ivfLayoutHealth(spark, newPath, 4)
+      .agg(max(col("permille"))).head().getLong(0)
+    assert(rebal < skewed, s"occupancy must re-balance: $skewed -> $rebal")
+    // a drifted vector surfaces through the NEW pinned centroids...
+    val q = Seq((-math.cos(0.2)).toFloat, (-math.sin(0.2)).toFloat)
+    val top = Similarity.ivfTopKFromPartitioned(spark, newPath, "id", "vec",
+      q, 3, cents2).collect().map(_.getLong(0)).toSet
+    assert(top.forall(_ >= 100L), s"drifted vectors must dominate: $top")
+    // ...and the OLD layout still serves probes untouched (blue/green)
+    assert(Similarity.ivfTopKFromPartitioned(spark, path, "id", "vec",
+      q, 3, cents).count() == 3)
   }
 
   // -------------------------------------------------------- pair retention

@@ -743,4 +743,107 @@ class StreamingSpec extends SparkSpec {
     assert(multiset(graft.store.KeyedStore.readKeyed(spark, path + "/docs")
       .select(col("key"))) == members, "replay must not touch membership")
   }
+
+  /** Stage `epochs` as mtime-ordered single-file parquet batches and return
+    * a file-stream over them (the stageDocsReplay discipline). */
+  private def stagedStream(root: String,
+      epochs: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    val stage = new java.io.File(root, "stage")
+    if (!stage.exists()) { // stage once; replay runs reuse the same files
+      stage.mkdirs()
+      val base = System.currentTimeMillis()
+      epochs.zipWithIndex.foreach { case (df, i) =>
+        val tmpDir = new java.io.File(root, s"tmp_$i")
+        df.coalesce(1).write.mode("overwrite").parquet(tmpDir.toString)
+        val part = tmpDir.listFiles().find(_.getName.startsWith("part-")).get
+        val target = new java.io.File(stage, f"$i%05d.parquet")
+        java.nio.file.Files.move(part.toPath, target.toPath)
+        target.setLastModified(base + i * 1000L): Unit
+      }
+    }
+    val schema = spark.read.parquet(stage.toString + "/00000.parquet").schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+  }
+
+  test("ingestIntoBm25Index: exactly-once across a FULL stream replay — " +
+      "probe equals the from-scratch index; postings/docs/stats unchanged " +
+      "by the replay") {
+    import graft.ops.TextOps
+    import graft.store.{Compaction, ManifestTable}
+    import spark.implicits._
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"))
+      .toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_sbm25").toString
+    val path = root + "/bm25"
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    def run(): Unit = Streaming.ingestIntoBm25Index(
+      stagedStream(root, Seq(docs.where(col("id") === 3),
+        docs.where(col("id") === 4))),
+      path, "id", "text", nBuckets = 4).awaitTermination()
+    run()
+    val posts = multiset(Compaction.readPartitioned(spark,
+      path + "/postings", "bucket").get)
+    val stats = multiset(spark.read.parquet(path + "/stats"))
+    val members = multiset(ManifestTable.read(spark, path + "/docs"))
+    val q = Seq("spark", "window", "merge")
+    val fresh = root + "/fresh"
+    TextOps.writeBm25Index(docs, "id", "text", fresh, nBuckets = 4)
+    assert(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)
+        .collect().toSeq ==
+      TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)
+        .collect().toSeq,
+      "streamed index must score like the from-scratch build")
+    run() // fresh checkpoint replays epochs 0..1 under the SAME tags
+    assert(multiset(Compaction.readPartitioned(spark,
+      path + "/postings", "bucket").get) == posts,
+      "replay must not append a single posting")
+    assert(multiset(spark.read.parquet(path + "/stats")) == stats)
+    assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
+  }
+
+  test("ingestIntoIvfCorpus: exactly-once across a FULL stream replay — " +
+      "every vector in exactly one cell row; probe sees the streamed batch") {
+    import graft.ops.Similarity
+    import graft.store.Compaction
+    import spark.implicits._
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val base = vecs.where(col("id") % 2 === 0)
+    val cents = Similarity.ivfCentroids(base, "id", "vec", k = 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    val path = root + "/ivf"
+    Similarity.writeIvfCorpus(base, "id", "vec", path, cents)
+    def run(): Unit = Streaming.ingestIntoIvfCorpus(
+      stagedStream(root, Seq(
+        vecs.where(col("id") % 2 === 1 && col("id") < 15),
+        vecs.where(col("id") % 2 === 1 && col("id") >= 15))),
+      path, "id", "vec", cents).awaitTermination()
+    run()
+    val rows = multiset(Compaction.readPartitioned(spark, path, "cell").get)
+    val counts = Compaction.readPartitioned(spark, path, "cell").get
+      .groupBy(col("id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0L until 30L).toSet &&
+      counts.values.forall(_ == 1L),
+      s"every vector exactly once after the stream: $counts")
+    // a streamed vector is probe-visible through the pinned centroids
+    val probe = Similarity.ivfTopKFromPartitioned(spark, path, "id", "vec",
+      Seq(math.cos(1).toFloat, math.sin(1).toFloat), 30, cents, nProbe = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(probe.exists(id => id % 2 == 1), "streamed vectors must surface")
+    run() // fresh checkpoint replays epochs 0..1 under the SAME tags
+    assert(multiset(Compaction.readPartitioned(spark, path, "cell").get) ==
+      rows, "replay must not append a single row")
+  }
 }
