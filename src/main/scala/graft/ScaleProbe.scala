@@ -182,7 +182,12 @@ object ScaleProbe {
     "q227_pair_delete",     // pairwise-evidence delete ≡ survivor scratch mine
     "q228_ingest_retry",    // tag short-circuit + member-replay semi-join
     "q229_index_repair",    // fsck: bands rebuilt from stored shingle hashes
-    "q230_stream_exactly_once") // epoch-tagged foreachBatch ingest + replay
+    "q230_stream_exactly_once", // epoch-tagged foreachBatch ingest + replay
+    // round-12 additions
+    "q231_srp_lifecycle",   // SRP write/append/compact x2 + path-pruned probe
+    "q232_bm25_daily_loop", // append+compact+vacuum x2 + manifest-read probe
+    "q233_stream_bm25_ingest", // epoch-tagged BM25 stream ingest + replay
+    "q234_stream_ivf_ingest")  // epoch-tagged IVF stream ingest + audit
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
