@@ -106,9 +106,13 @@ object Similarity {
    */
   def writeBucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, nBits: Int = 8,
-      scheme: SrpScheme = SrpScheme.xxh): Unit = {
+      scheme: SrpScheme = SrpScheme.xxh, filesPerLeaf: Int = 4): Unit = {
+    require(filesPerLeaf > 0, "filesPerLeaf must be positive")
     df.select(col(idCol), col(vecCol),
         scheme.bucketCol(col(vecCol), nBits).as("bucket"))
+      // born at the compaction target: ≤ filesPerLeaf files per bucket dir
+      // instead of tasks × buckets small ones (raise for huge leaves)
+      .repartition(col("bucket"), pmod(hash(col(idCol)), lit(filesPerLeaf)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
     // each bucket leaf becomes its own manifest table (pure fs metadata) so
     // every later rewrite is reader-concurrent — see graft.store.Compaction
@@ -295,8 +299,13 @@ object Similarity {
    * millions of times.
    */
   def writeIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
-      path: String, cents: Array[Array[Double]]): Unit = {
+      path: String, cents: Array[Array[Double]],
+      filesPerLeaf: Int = 4): Unit = {
+    require(filesPerLeaf > 0, "filesPerLeaf must be positive")
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
+      // born at the compaction target: ≤ filesPerLeaf files per cell dir
+      // instead of tasks × cells small ones (raise for huge cells)
+      .repartition(col("cell"), pmod(hash(col(idCol)), lit(filesPerLeaf)))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     // each cell leaf becomes its own manifest table (pure fs metadata), so
     // every later rewrite is reader-concurrent — see graft.store.Compaction

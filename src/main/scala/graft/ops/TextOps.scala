@@ -666,8 +666,9 @@ object TextOps {
    * corpus text.
    */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
+      path: String, nBuckets: Int = 64, filesPerLeaf: Int = 4): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
+    require(filesPerLeaf > 0, "filesPerLeaf must be positive")
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
         explode(col("tk")).as("term"))
@@ -675,6 +676,11 @@ object TextOps {
       .withColumn("bucket",
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
+      // born at the compaction target: group rows by (leaf, salt) so each
+      // bucket dir gets ≤ filesPerLeaf files instead of tasks × buckets
+      // small ones (raise filesPerLeaf when a leaf's slice outgrows what
+      // filesPerLeaf writers should each hold — ~leafBytes/1 GB)
+      .repartition(col("bucket"), pmod(hash(col("id")), lit(filesPerLeaf)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path + "/postings")
     // each bucket leaf becomes its own manifest table (pure fs metadata) so
     // every later rewrite is reader-concurrent — see graft.store.Compaction

@@ -624,6 +624,66 @@ class LifecycleSpec extends SparkSpec {
       canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)))
   }
 
+  test("layout writers are born at the compaction target: every leaf holds " +
+      "at most filesPerLeaf live files, not tasks x leaves small ones") {
+    def leafCounts(root: String, prefix: String): Seq[Int] =
+      new java.io.File(root).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith(prefix))
+        .map(d => liveFiles(d.toString)).toSeq
+    // BM25: 200 docs spread over 32 input partitions would fan out dozens
+    // of files per bucket without the salted repartition
+    val docs = spark.range(200).select(col("id"),
+      concat_ws(" ", lit("w"), col("id") % 7, lit("x"), col("id") % 11)
+        .as("text"))
+    val bm = tmp("graft_born") + "/bm25"
+    TextOps.writeBm25Index(docs.repartition(32), "id", "text", bm,
+      nBuckets = 4, filesPerLeaf = 2)
+    val bmCounts = leafCounts(bm + "/postings", "bucket=")
+    assert(bmCounts.nonEmpty && bmCounts.forall(_ <= 2), s"bm25: $bmCounts")
+    // IVF
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", k = 3)
+    val ivf = tmp("graft_born") + "/ivf"
+    Similarity.writeIvfCorpus(vecs.repartition(32), "id", "vec", ivf, cents,
+      filesPerLeaf = 2)
+    val ivfCounts = leafCounts(ivf, "cell=")
+    assert(ivfCounts.nonEmpty && ivfCounts.forall(_ <= 2), s"ivf: $ivfCounts")
+    // SRP
+    val srp = tmp("graft_born") + "/srp"
+    Similarity.writeBucketedCorpus(vecs.repartition(32), "id", "vec", srp,
+      nBits = 3, filesPerLeaf = 1)
+    val srpCounts = leafCounts(srp, "bucket=")
+    assert(srpCounts.nonEmpty && srpCounts.forall(_ <= 1), s"srp: $srpCounts")
+  }
+
+  test("CommitTags: a legacy single-file _TAGS migrates to the per-token " +
+      "marker directory on the first add, preserving committed tags") {
+    val t = tmp("graft_tagmig") + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), t)
+    assert(ManifestTable.appendTagged(Seq((2L, "b")).toDF("id", "v"), t, "b1"))
+    // rewrite the marker set in the pre-round-12 single-file shape
+    val tok1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("b1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val f = new java.io.File(t, "_TAGS")
+    val fs = new org.apache.hadoop.fs.Path(t, "_TAGS")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(t, "_TAGS"), true): Unit
+    java.nio.file.Files.write(f.toPath, (tok1 + "\n").getBytes("UTF-8")): Unit
+    assert(f.isFile)
+    // the legacy file still short-circuits its tag…
+    assert(!ManifestTable.appendTagged(Seq((2L, "b")).toDF("id", "v"), t, "b1"))
+    // …and a NEW tag migrates the set to the directory shape, keeping b1
+    assert(ManifestTable.appendTagged(Seq((3L, "c")).toDF("id", "v"), t, "b2"))
+    assert(f.isDirectory, "_TAGS must be a marker directory after the add")
+    assert(!ManifestTable.appendTagged(Seq((2L, "b")).toDF("id", "v"), t, "b1"),
+      "migrated tags must survive")
+    assert(!ManifestTable.appendTagged(Seq((3L, "c")).toDF("id", "v"), t, "b2"))
+    assert(multiset(ManifestTable.read(spark, t)).keySet.map(_.head) ==
+      Set(1L, 2L, 3L))
+  }
+
   test("retrainIvfCorpus: blue/green rebuild preserves the row multiset, " +
       "re-balances a drift-skewed layout, and the old layout still serves") {
     val base = (0 until 30).map(i =>
