@@ -195,4 +195,125 @@ class SamplingInvariantSpec extends SparkSpec {
       }
     }
   }
+
+  test("BM25 LIFECYCLE law: any interleaving of TAGGED appends (with blind " +
+      "immediate/late retries), compactions, deletions, and drain-rule " +
+      "VACUUMS ≡ the from-scratch index of the surviving docs (3 rounds)") {
+    import graft.ops.TextOps
+    import graft.store.Compaction
+    for (round <- 1 to 3) {
+      val docs = (0 until 40).map { i =>
+        val words = (0 until 4 + rng.nextInt(5))
+          .map(_ => s"w${rng.nextInt(12)}").mkString(" ")
+        (i.toLong, words)
+      }.toDF("id", "text")
+      val nAppends = 2 + rng.nextInt(2)
+      val tagged = docs.withColumn("b",
+        pmod(col("id") * 2654435761L, lit(nAppends + 1)))
+      val path = java.nio.file.Files.createTempDirectory(
+        s"graft_bmlife_$round").toString + "/bm25"
+      TextOps.writeBm25Index(tagged.where(col("b") === 0), "id", "text",
+        path, nBuckets = 4)
+      var ingested = tagged.where(col("b") === 0)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      var removed = Set.empty[Long]
+      (1 to nAppends).foreach { b =>
+        def append(): Unit = TextOps.appendBm25Index(
+          tagged.where(col("b") === b), "id", "text", path, nBuckets = 4,
+          batchId = Some(s"bmlaw-$round-$b"))
+        append()
+        if (rng.nextInt(2) == 0) append() // blind immediate retry
+        ingested ++= tagged.where(col("b") === b)
+          .select(col("id")).collect().map(_.getLong(0))
+        rng.nextInt(4) match {
+          case 0 => TextOps.compactBm25Index(spark, path, targetFiles = 2): Unit
+          case 1 =>
+            val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
+            if (victims.nonEmpty) {
+              TextOps.removeFromBm25Index(spark, path, victims.toDF("id"))
+              removed ++= victims
+            }
+          case 2 => Compaction.vacuumPartitions(spark, path + "/postings",
+            keepPrevious = false): Unit
+          case _ => ()
+        }
+        if (rng.nextInt(3) == 0) append() // late retry: must no-op on the tag
+      }
+      val fresh = java.nio.file.Files.createTempDirectory(
+        s"graft_bmlife_f$round").toString + "/bm25"
+      TextOps.writeBm25Index(docs.where(!col("id").isin(removed.toSeq: _*)),
+        "id", "text", fresh, nBuckets = 4)
+      // rows, membership, stats, and probe scores must ALL equal scratch
+      def rows(p: String) = Compaction.readPartitioned(spark,
+          p + "/postings", "bucket").get
+        .select(col("id"), col("term"), col("tf"), col("dl"), col("bucket"))
+        .collect().map(_.toSeq).toSet
+      assert(rows(path) == rows(fresh), s"round $round removed=$removed")
+      assert(spark.read.parquet(path + "/stats").collect().map(_.toSeq).toSet ==
+        spark.read.parquet(fresh + "/stats").collect().map(_.toSeq).toSet)
+      val terms = Seq("w1", "w5", "w9")
+      assert(TextOps.bm25TopKFromIndex(spark, path, terms, 40, nBuckets = 4)
+          .collect().map(_.toSeq).toSeq ==
+        TextOps.bm25TopKFromIndex(spark, fresh, terms, 40, nBuckets = 4)
+          .collect().map(_.toSeq).toSeq,
+        s"round $round: probe must equal the from-scratch survivor index")
+    }
+  }
+
+  test("IVF LIFECYCLE law: any interleaving of TAGGED appends (with blind " +
+      "retries), compactions, deletions, and vacuums leaves the layout " +
+      "row-identical to a from-scratch write of the survivors (3 rounds)") {
+    import graft.store.Compaction
+    for (round <- 1 to 3) {
+      val vecs = (0 until 36).map { i =>
+        val a = rng.nextDouble() * math.Pi * 2
+        (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("id", "vec")
+      val nAppends = 2 + rng.nextInt(2)
+      val tagged = vecs.withColumn("b",
+        pmod(col("id") * 2654435761L, lit(nAppends + 1)))
+      val cents = Similarity.ivfCentroids(tagged.where(col("b") === 0),
+        "id", "vec", k = 3)
+      val path = java.nio.file.Files.createTempDirectory(
+        s"graft_ivflife_$round").toString + "/ivf"
+      Similarity.writeIvfCorpus(tagged.where(col("b") === 0), "id", "vec",
+        path, cents)
+      var ingested = tagged.where(col("b") === 0)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      var removed = Set.empty[Long]
+      (1 to nAppends).foreach { b =>
+        def append(): Unit = Similarity.appendIvfCorpus(
+          tagged.where(col("b") === b), "id", "vec", path, cents,
+          batchId = Some(s"ivflaw-$round-$b"))
+        append()
+        if (rng.nextInt(2) == 0) append()
+        ingested ++= tagged.where(col("b") === b)
+          .select(col("id")).collect().map(_.getLong(0))
+        rng.nextInt(4) match {
+          case 0 => Similarity.compactIvfCorpus(spark, path, targetFiles = 2): Unit
+          case 1 =>
+            val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
+            if (victims.nonEmpty) {
+              Similarity.removeFromIvfCorpus(spark, path,
+                victims.toDF("id")): Unit
+              removed ++= victims
+            }
+          case 2 => Compaction.vacuumPartitions(spark, path,
+            keepPrevious = false): Unit
+          case _ => ()
+        }
+        if (rng.nextInt(3) == 0) append()
+      }
+      val fresh = java.nio.file.Files.createTempDirectory(
+        s"graft_ivflife_f$round").toString + "/ivf"
+      Similarity.writeIvfCorpus(
+        vecs.where(!col("id").isin(removed.toSeq: _*)), "id", "vec", fresh,
+        cents)
+      def rows(p: String) = Compaction.readPartitioned(spark, p, "cell").get
+        .collect().map(_.toSeq).toSet
+      assert(rows(path) == rows(fresh),
+        s"round $round removed=$removed: lifecycle layout must equal the " +
+          "survivor scratch write (same rows, same pinned cells)")
+    }
+  }
 }
