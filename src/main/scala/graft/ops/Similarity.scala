@@ -150,6 +150,26 @@ object Similarity {
       path: String, targetFiles: Int = 4): Int =
     graft.store.Compaction.compactPartitions(spark, path, targetFiles)
 
+  /** Delete vectors from a [[writeBucketedCorpus]] layout — the SRP twin of
+    * [[removeFromIvfCorpus]], completing the takedown verb across every
+    * persisted layout: every bucket leaf rewrites through a broadcast
+    * anti-join on the removed ids (no leaf skipped — re-deriving the ids'
+    * buckets would need their VECTORS, which a takedown list does not
+    * carry). Survivors keep their bucket (the pure hash pins it), so the
+    * next [[annTopKFromBucketed]] probe equals one over a from-scratch
+    * [[writeBucketedCorpus]] of the survivors. READER-CONCURRENT per leaf;
+    * ids not present are no-ops; a removal too large to broadcast is a
+    * rebuild, not a delete. Returns buckets rewritten. */
+  def removeFromBucketedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame, idCol: String = "id",
+      targetFiles: Int = 4): Int = {
+    // snapshot once: every concurrent per-leaf job must see one id list
+    val rm = broadcast(graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("__rm_id"))))
+    graft.store.Compaction.rewritePartitions(spark, path, targetFiles,
+      p => p.join(rm, p(idCol) === col("__rm_id"), "left_anti"))
+  }
+
   /** ANN top-k over a [[writeBucketedCorpus]] layout: the probe set (own
     * bucket + every single-bit flip) resolves to the probed buckets' LIVE
     * manifest generations by PATH SELECTION at planning time

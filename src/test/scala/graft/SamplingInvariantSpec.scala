@@ -316,4 +316,67 @@ class SamplingInvariantSpec extends SparkSpec {
           "survivor scratch write (same rows, same pinned cells)")
     }
   }
+
+  test("SRP LIFECYCLE law: tagged appends (blind retries), compactions, " +
+      "deletions (removeFromBucketedCorpus), and vacuums leave the layout " +
+      "row-identical to a from-scratch write of the survivors (3 rounds)") {
+    import graft.store.Compaction
+    for (round <- 1 to 3) {
+      val vecs = (0 until 36).map { i =>
+        val a = rng.nextDouble() * math.Pi * 2
+        (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat,
+          (rng.nextDouble() - 0.5).toFloat))
+      }.toDF("id", "vec")
+      val nAppends = 2 + rng.nextInt(2)
+      val tagged = vecs.withColumn("b",
+        pmod(col("id") * 2654435761L, lit(nAppends + 1)))
+      val path = java.nio.file.Files.createTempDirectory(
+        s"graft_srplife_$round").toString + "/srp"
+      Similarity.writeBucketedCorpus(tagged.where(col("b") === 0),
+        "id", "vec", path, nBits = 4)
+      var ingested = tagged.where(col("b") === 0)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      var removed = Set.empty[Long]
+      (1 to nAppends).foreach { b =>
+        def append(): Unit = Similarity.appendBucketedCorpus(
+          tagged.where(col("b") === b), "id", "vec", path, nBits = 4,
+          batchId = Some(s"srplaw-$round-$b"))
+        append()
+        if (rng.nextInt(2) == 0) append()
+        ingested ++= tagged.where(col("b") === b)
+          .select(col("id")).collect().map(_.getLong(0))
+        rng.nextInt(4) match {
+          case 0 => Similarity.compactBucketedCorpus(spark, path,
+            targetFiles = 2): Unit
+          case 1 =>
+            val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
+            if (victims.nonEmpty) {
+              Similarity.removeFromBucketedCorpus(spark, path,
+                victims.toDF("id")): Unit
+              removed ++= victims
+            }
+          case 2 => Compaction.vacuumPartitions(spark, path,
+            keepPrevious = false): Unit
+          case _ => ()
+        }
+        if (rng.nextInt(3) == 0) append()
+      }
+      val fresh = java.nio.file.Files.createTempDirectory(
+        s"graft_srplife_f$round").toString + "/srp"
+      Similarity.writeBucketedCorpus(
+        vecs.where(!col("id").isin(removed.toSeq: _*)), "id", "vec", fresh,
+        nBits = 4)
+      def rows(p: String) = Compaction.readPartitioned(spark, p, "bucket").get
+        .collect().map(_.toSeq).toSet
+      assert(rows(path) == rows(fresh),
+        s"round $round removed=$removed: lifecycle layout must equal the " +
+          "survivor scratch write (same rows, same pure-hash buckets)")
+      // and the probe surfaces only survivors, scored like scratch
+      val q = Seq(1f, 0f, 0f)
+      assert(Similarity.annTopKFromBucketed(spark, path, "id", "vec", q, 5,
+          nBits = 4).collect().map(_.toSeq).toSeq ==
+        Similarity.annTopKFromBucketed(spark, fresh, "id", "vec", q, 5,
+          nBits = 4).collect().map(_.toSeq).toSeq)
+    }
+  }
 }
