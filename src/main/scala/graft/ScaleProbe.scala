@@ -187,7 +187,8 @@ object ScaleProbe {
     "q231_srp_lifecycle",   // SRP write/append/compact x2 + path-pruned probe
     "q232_bm25_daily_loop", // append+compact+vacuum x2 + manifest-read probe
     "q233_stream_bm25_ingest", // epoch-tagged BM25 stream ingest + replay
-    "q234_stream_ivf_ingest")  // epoch-tagged IVF stream ingest + audit
+    "q234_stream_ivf_ingest",  // epoch-tagged IVF stream ingest + audit
+    "q235_ivf_retrain")     // blue/green re-cluster + new-centroid probe
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -3450,6 +3450,39 @@ object SparkEntry {
       run() // full replay, same epoch tags: every batch short-circuits
       graft.store.Compaction.readPartitioned(s, path, "cell").get
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_copies"))
+    }),
+
+    // --- blue/green IVF RETRAIN: base layout + appended batch (planted
+    //     exact copies of the query ride the append), then the drift
+    //     discipline's ending — re-cluster the LIVE corpus into a fresh
+    //     layout under NEW pinned centroids; the probe through those
+    //     centroids must surface exactly the planted copies (closed-form
+    //     oracle, q216's pattern through a retrain instead of a write) ----
+    "q235_ivf_retrain" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(4))).as("i"), col("embedding"))
+        .select((col("i") + 9600L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7 && col("vec_id") % 2 === 0)
+      val batch = emb.where(col("vec_id") =!= 7 && col("vec_id") % 2 === 1)
+        .unionByName(planted)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 6)
+      val root = sys.props("java.io.tmpdir") + "/graft_q235_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base, "vec_id", "embedding", root + "/v1",
+        cents)
+      Similarity.appendIvfCorpus(batch, "vec_id", "embedding", root + "/v1",
+        cents)
+      val cents2 = Similarity.retrainIvfCorpus(s, root + "/v1", root + "/v2",
+        "vec_id", "embedding", k = 8)
+      Similarity.ivfTopKFromPartitioned(s, root + "/v2", "vec_id",
+          "embedding", q, 5, cents2, nProbe = 3)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     })
   )
 
@@ -4051,6 +4084,12 @@ object SparkEntry {
     "q234_stream_ivf_ingest" ->
       """SELECT vec_id, cast(1 as bigint) AS n_copies
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+
+    // Planted exact copies survive the retrain and surface through the NEW
+    // pinned centroids — q216's closed form, shifted ids.
+    "q235_ivf_retrain" ->
+      """SELECT cast(i + 9600 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(5) t(i)""".stripMargin,
 
     // The daily append+compact loop must hash-match the from-scratch
     // direct scan: q232 is q90's SQL verbatim (q217's oracle).
