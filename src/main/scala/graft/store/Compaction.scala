@@ -34,7 +34,10 @@ import org.apache.hadoop.fs.Path
  * the old maintenance-window contract; everything after is concurrent.
  *
  * Single maintainer: like every layout write verb, maintenance ops are
- * externally serialized; concurrent PROBES are the protected party.
+ * externally serialized; concurrent PROBES are the protected party. A probe
+ * delayed past its one-cycle keep-one-back budget (e.g. queued behind the
+ * compactor's own jobs) heals by re-planning — wrap the resolve-and-act
+ * closure in [[retryingStaleScan]].
  */
 object Compaction {
 
@@ -58,13 +61,32 @@ object Compaction {
       .toSeq
 
   /** Each `name=value` leaf with its LIVE data directory (the leaf's
-    * manifest generation, or the leaf dir itself for a legacy flat leaf). */
+    * manifest generation, or the leaf dir itself for a legacy flat leaf).
+    * Resolution is one small MANIFEST read per leaf — pooled past a
+    * handful of leaves, because at layout scale (thousands of leaves on an
+    * object store with ~50 ms round trips) a serial loop is a driver-side
+    * bottleneck. Leaf order is preserved. */
   def resolveLeaves(spark: SparkSession, root: String): Seq[(String, String)] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    leafDirs(fs, rootPath).map(p =>
+    pooledMap(leafDirs(fs, rootPath))(p =>
       (p.getName, ManifestTable.resolve(spark, p.toString)))
   }
+
+  /** Order-preserving map over leaves on a bounded pool — every per-leaf
+    * fs-metadata loop (resolve / migrate / vacuum) goes through this so no
+    * maintenance or read path is serial in leaf count (the driver-side
+    * bottleneck pattern at object-store latencies). Serial below a handful
+    * of leaves to spare the pool churn. */
+  private def pooledMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
+    if (items.length <= 8) items.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try items.map { a =>
+        pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+      }.map(_.get())
+      finally pool.shutdown()
+    }
 
   /** The live data dirs of the `partitionCol=v` leaves for the given probe
     * values, skipping absent leaves — the probe-side path prune: pruning
@@ -82,17 +104,29 @@ object Compaction {
   /** Layout-aware full read: every leaf's live rows with the partition
     * value injected back as a STRING column `partitionCol` (cast at the
     * call site when a numeric view is needed). Returns None for an absent
-    * or leafless root. The plan is a union of per-leaf scans — same bytes
-    * as the old partition-discovery read, resolved through each leaf's
-    * manifest. */
+    * or leafless root.
+    *
+    * The plan is ONE multi-path parquet relation over the resolved live
+    * dirs — one file listing (distributed past the parallel-discovery
+    * threshold) and one footer's schema inference — with the partition
+    * value recovered from each row's file path. The per-leaf union this
+    * replaced re-read a footer per leaf on the driver and built an N-child
+    * plan: measured 5.9 / 16.2 / 74.8 s at 64 / 256 / 1024 leaves on
+    * constant 200k rows (ReadScaleProbe) — superlinear in leaves, data
+    * constant. This is the full-layout maintenance scan; leaf-pruned reads
+    * go through [[resolveLeafDirs]] (path selection), not a filter on the
+    * recovered column. */
   def readPartitioned(spark: SparkSession, root: String,
       partitionCol: String): Option[DataFrame] = {
     val leaves = resolveLeaves(spark, root)
     if (leaves.isEmpty) None
-    else Some(leaves.map { case (name, dir) =>
-      spark.read.parquet(dir)
-        .withColumn(partitionCol, lit(name.substring(name.indexOf('=') + 1)))
-    }.reduce(_.unionByName(_)))
+    else {
+      val dirs = leaves.map(_._2)
+      val re = "/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/"
+      Some(spark.read.parquet(dirs: _*).withColumn(partitionCol,
+        org.apache.spark.sql.functions.regexp_extract(
+          org.apache.spark.sql.functions.input_file_name(), re, 1)))
+    }
   }
 
   /**
@@ -245,8 +279,8 @@ object Compaction {
   def migrateLeaves(spark: SparkSession, root: String): Unit = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
-    leafDirs(fs, rootPath).foreach(p =>
-      ManifestTable.migrateFlatDir(spark, p.toString))
+    pooledMap(leafDirs(fs, rootPath))(p =>
+      ManifestTable.migrateFlatDir(spark, p.toString)): Unit
   }
 
   /** [[ManifestTable.vacuum]] over every leaf of a partitioned layout,
@@ -264,7 +298,42 @@ object Compaction {
       .filter(_.getName.startsWith(".stage-"))
     stages.foreach(fs.delete(_, true))
     stages.length +
-      leafDirs(fs, rootPath)
-        .map(p => ManifestTable.vacuum(spark, p.toString, keepPrevious)).sum
+      pooledMap(leafDirs(fs, rootPath))(p =>
+        ManifestTable.vacuum(spark, p.toString, keepPrevious)).sum
+  }
+
+  /**
+   * The slow-reader recovery verb. Keep-one-back funds any scan that
+   * completes within ONE maintenance cycle of its resolve; a scan delayed
+   * past that (scheduler queueing behind the compactor's own jobs is the
+   * common cause) can lose its files mid-flight and dies with
+   * `FAILED_READ_FILE.FILE_NOT_EXIST`. The documented recovery is to
+   * RE-PLAN — resolve the now-live generations and run again; because every
+   * maintenance rewrite preserves each leaf's row multiset, the retried
+   * result is identical, never partial and never double-counted.
+   *
+   * `body` must be the WHOLE resolve-and-act closure (e.g.
+   * `retryingStaleScan() { bm25TopKFromIndex(...).collect() }`): retrying
+   * an action on a DataFrame planned before the failure would reuse the
+   * dead paths. Non-stale failures propagate immediately; stale failures
+   * propagate once `attempts` is exhausted (a layout rewritten faster than
+   * it can be scanned is a pacing bug, not a retry case).
+   */
+  def retryingStaleScan[T](attempts: Int = 3)(body: => T): T = {
+    def stale(t: Throwable, depth: Int = 0): Boolean = t match {
+      case null => false
+      case _ if depth > 16 => false
+      case _: java.io.FileNotFoundException => true
+      case e: org.apache.spark.SparkException
+          if Option(e.getMessage).exists(_.contains(
+            "FAILED_READ_FILE.FILE_NOT_EXIST")) => true
+      case _ => stale(t.getCause, depth + 1)
+    }
+    var left = math.max(1, attempts)
+    while (true) {
+      try return body
+      catch { case t: Throwable if stale(t) && left > 1 => left -= 1 }
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
