@@ -3483,6 +3483,25 @@ object SparkEntry {
       Similarity.ivfTopKFromPartitioned(s, root + "/v2", "vec_id",
           "embedding", q, 5, cents2, nProbe = 3)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- the UNDO WINDOW as a user feature: q224's retention prune runs,
+    //     the LIVE table now lacks every 0.2–0.5 pair — but keep-one-back
+    //     still funds the pre-prune generation, and the full threshold
+    //     curve audit reads THROUGH it (readPairsPrevious). Oracle = the
+    //     from-scratch curve over the whole 0.2-floor mine: only the
+    //     retired-but-retained generation can produce it, so a hash match
+    //     certifies the undo view is the exact pre-maintenance table -----
+    "q236_pair_undo" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q236_pairs_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writePairs(docs, "doc_id", "text", path,
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      Dedup.prunePairs(s, path, newMinJaccard = 0.5)
+      Dedup.thresholdCurveFromPairs(
+        Dedup.readPairsPrevious(s, path, threshold = 0.2).get)
     })
   )
 
@@ -4090,6 +4109,43 @@ object SparkEntry {
     "q235_ivf_retrain" ->
       """SELECT cast(i + 9600 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(5) t(i)""".stripMargin,
+
+    // The undo window after the q224 prune: the full 0.2-floor threshold
+    // curve — the LIVE (0.5-pruned) table cannot produce the d=2..4 rows,
+    // only the retired-but-retained pre-prune generation can.
+    "q236_pair_undo" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |keep AS (SELECT g FROM inv GROUP BY g HAVING count(*) <= 1000),
+        |invk AS (SELECT inv.* FROM inv JOIN keep USING (g)),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM invk a JOIN invk b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |j AS (
+        |  SELECT id_b, inter, na.n + nb.n - inter AS uni
+        |  FROM pairs
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.2),
+        |x AS (
+        |  SELECT id_b, d FROM j CROSS JOIN
+        |    (SELECT unnest(generate_series(2, 10)) AS d)
+        |  WHERE inter * 10 >= d * uni)
+        |SELECT cast(d * 100 as bigint) AS threshold_permille,
+        |  count(*) AS n_pairs,
+        |  cast(count(DISTINCT id_b) as bigint) AS n_victims
+        |FROM x GROUP BY d""".stripMargin,
 
     // The daily append+compact loop must hash-match the from-scratch
     // direct scan: q232 is q90's SQL verbatim (q217's oracle).

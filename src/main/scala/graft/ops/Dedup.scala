@@ -750,6 +750,20 @@ object Dedup {
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
 
+  /** [[readPairs]] against the UNDO WINDOW — the pairs generation the last
+    * maintenance rewrite ([[prunePairs]] / [[removeFromPairs]] /
+    * [[compactPairs]]) retired-but-retained under keep-one-back: the
+    * pre-maintenance view, for audits ("what did the prune drop?") and
+    * for undoing a mistaken retention rewrite, available until the NEXT
+    * rewrite retires it. None when no rewrite has happened yet
+    * ([[graft.store.ManifestTable.readPrevious]]). */
+  def readPairsPrevious(spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = 0.8): Option[DataFrame] =
+    graft.store.ManifestTable.readPrevious(spark, path + "/pairs")
+      .map(_.withColumn("jaccard",
+          col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+        .where(col("jaccard") >= threshold))
+
   /**
    * Incremental maintenance for a [[writePairs]] table — the ingest half
    * of the persisted pair discipline: a NEW batch mines only its
@@ -884,7 +898,9 @@ object Dedup {
     }
 
   /**
-   * Retention rewrite for a [[writePairs]] table — IRREVERSIBLE: drop every
+   * Retention rewrite for a [[writePairs]] table — irreversible once the
+   * NEXT rewrite retires the undo window ([[readPairsPrevious]] serves the
+   * pre-prune view until then): drop every
    * stored pair whose exact Jaccard falls below a RAISED floor
    * `newMinJaccard`, so a year-old pair table stops carrying the 0.2-floor
    * long tail no report reads (the tail dominates row count: near-dup pair

@@ -152,6 +152,14 @@ object Compaction {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     val tok = tag.map(CommitTags.token)
     if (tok.exists(CommitTags.read(fs, rootPath).contains)) return false
+    // schema guard: the batch (minus the partition column, which lives in
+    // the directory structure, not the files) must match the layout — one
+    // existing leaf's live generation stands for all (leaves are uniform
+    // by this very invariant)
+    leafDirs(fs, rootPath).headOption.foreach { p =>
+      ManifestTable.assertAppendSchema(df.drop(partitionCol),
+        ManifestTable.resolve(spark, p.toString), root)
+    }
     val prefix = tok.map(t => s"tag-$t-")
     prefix.foreach { pre =>
       resolveLeaves(spark, root).foreach { case (_, dir) =>

@@ -48,6 +48,61 @@ object ManifestTable {
   private val TagsName = CommitTags.TagsName
   private val StagePrefix = ".stage-"
 
+  // ------------------------------------------------- append schema guard
+
+  /** Column order, name case, nullability and field metadata don't matter
+    * to a parquet append (files are read by name); names and types do. */
+  private def normType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.sortBy(_.name.toLowerCase)
+        .map(f => StructField(f.name.toLowerCase, normType(f.dataType))))
+      case a: ArrayType => ArrayType(normType(a.elementType))
+      case m: MapType => MapType(normType(m.keyType), normType(m.valueType))
+      case d => d
+    }
+  }
+
+  private def colMap(s: org.apache.spark.sql.types.StructType)
+      : Map[String, org.apache.spark.sql.types.DataType] =
+    s.fields.map(f => f.name.toLowerCase -> normType(f.dataType)).toMap
+
+  /** None when `batch` can append into a table of schema `live`; otherwise
+    * a human-readable account of the drift. */
+  private[store] def schemaDrift(batch: org.apache.spark.sql.types.StructType,
+      live: org.apache.spark.sql.types.StructType): Option[String] = {
+    val b = colMap(batch); val l = colMap(live)
+    val missing = l.keySet -- b.keySet
+    val extra = b.keySet -- l.keySet
+    val retyped = (b.keySet & l.keySet).filter(k => b(k) != l(k))
+      .map(k => s"$k: ${l(k).catalogString} -> ${b(k).catalogString}")
+    if (missing.isEmpty && extra.isEmpty && retyped.isEmpty) None
+    else Some(Seq(
+      if (missing.nonEmpty) Some(s"missing=${missing.toSeq.sorted.mkString(",")}") else None,
+      if (extra.nonEmpty) Some(s"new=${extra.toSeq.sorted.mkString(",")}") else None,
+      if (retyped.nonEmpty) Some(s"retyped=${retyped.toSeq.sorted.mkString(",")}") else None
+    ).flatten.mkString("; "))
+  }
+
+  /** Appends are schema-checked against the live generation: a drifted
+    * batch is REJECTED loudly before anything is written. Without this the
+    * append succeeds and the damage surfaces later and silently — a plain
+    * read infers its schema from one footer, so the drifted column is
+    * dropped or the whole scan dies, depending on file listing order.
+    * Schema changes go through [[write]] or [[compact]]'s transform (a
+    * rewrite that touches every row), never through append. Skipped when
+    * the live generation's schema is unreadable (no files yet). */
+  private[store] def assertAppendSchema(df: DataFrame, liveDir: String,
+      what: String): Unit =
+    scala.util.Try(df.sparkSession.read.parquet(liveDir).schema).toOption
+      .flatMap(live => schemaDrift(df.schema, live))
+      .foreach(drift => throw new IllegalArgumentException(
+        s"schema drift on append to $what: $drift. Appends must match the " +
+          "live generation's columns (order/case/nullability-insensitive); " +
+          "evolve the schema through a rewrite (write, or compact with a " +
+          "transform), not an append."))
+
   private def fsOf(spark: SparkSession, table: String): (org.apache.hadoop.fs.FileSystem, Path) = {
     val p = new Path(table)
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
@@ -91,6 +146,34 @@ object ManifestTable {
   /** Read the live generation (or the legacy flat files). */
   def read(spark: SparkSession, table: String): DataFrame =
     spark.read.parquet(resolve(spark, table))
+
+  /** Generation dir names present on disk, oldest → newest (normally the
+    * live one plus the keep-one-back predecessor; orphans from interrupted
+    * rewrites may appear until the next rewrite sweeps them). */
+  def generations(spark: SparkSession, table: String): Seq[String] = {
+    val (fs, dir) = fsOf(spark, table)
+    if (!fs.exists(dir)) Nil else genDirs(fs, dir)
+  }
+
+  /** The UNDO WINDOW: the generation that was live before the last rewrite
+    * ([[write]]/[[compact]]), which keep-one-back retains through exactly
+    * one cycle. None when no rewrite has happened this incarnation, after
+    * [[vacuum]]`(keepPrevious = false)`, or on a flat/absent table.
+    * Orphaned newer-than-live generations (crash before a swap) are not
+    * the undo window and are never returned. */
+  def previousGen(spark: SparkSession, table: String): Option[String] =
+    liveGen(spark, table).flatMap { live =>
+      generations(spark, table).filter(_ < live).lastOption
+    }
+
+  /** Read the table as of just BEFORE the last rewrite — the audit/undo
+    * view funded by keep-one-back: a retention prune or takedown rewrite
+    * stays reversible until the NEXT rewrite retires this generation.
+    * Appends land in the live generation, so the previous generation is a
+    * genuine point-in-time snapshot: it also excludes rows appended since
+    * the rewrite. None when no undo window exists ([[previousGen]]). */
+  def readPrevious(spark: SparkSession, table: String): Option[DataFrame] =
+    previousGen(spark, table).map(g => spark.read.parquet(s"$table/$g"))
 
   /** Point MANIFEST at `gen`. The delete+rename pair is not atomic; the
     * missing-MANIFEST window is healed by [[liveGen]]'s newest-generation
@@ -161,12 +244,15 @@ object ManifestTable {
   def append(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     liveGen(spark, table) match {
-      case Some(g) => df.write.mode("append").parquet(s"$table/$g")
+      case Some(g) =>
+        assertAppendSchema(df, s"$table/$g", table)
+        df.write.mode("append").parquet(s"$table/$g")
       case None =>
         val (fs, dir) = fsOf(spark, table)
         if (fs.exists(dir) && fs.listStatus(dir).exists(s =>
             s.isFile && s.getPath.getName.endsWith(".parquet"))) {
           // legacy flat layout: append in place, stay generation-less
+          assertAppendSchema(df, table, table)
           df.write.mode("append").parquet(table)
         } else write(df, table)
     }
@@ -218,6 +304,7 @@ object ManifestTable {
     }
     val gen = liveGen(spark, table).get
     val genPath = new Path(dir, gen)
+    assertAppendSchema(df, genPath.toString, table)
     val prefix = s"tag-$tok-"
     if (fs.exists(genPath))
       fs.listStatus(genPath).map(_.getPath)

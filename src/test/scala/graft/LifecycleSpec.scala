@@ -81,6 +81,44 @@ class LifecycleSpec extends SparkSpec {
       "compaction did not bound the live file count")
   }
 
+  test("append schema guard: drifted batches are rejected loudly before " +
+      "anything is written; benign variations (order, case, nullability) pass") {
+    val t = tmp("graft_schemaguard") + "/t"
+    ManifestTable.write(Seq((1L, "a", 10)).toDF("id", "v", "n"), t)
+    val before = multiset(ManifestTable.read(spark, t))
+    def rejects(df: org.apache.spark.sql.DataFrame): Unit = {
+      val e = intercept[IllegalArgumentException](ManifestTable.append(df, t))
+      assert(e.getMessage.contains("schema drift"), e.getMessage)
+    }
+    rejects(Seq((2L, "b", 11, true)).toDF("id", "v", "n", "extra"))
+    rejects(Seq((2L, "b")).toDF("id", "v"))
+    rejects(Seq((2L, "b", 11L)).toDF("id", "v", "n")) // n: int -> bigint
+    assert(multiset(ManifestTable.read(spark, t)) == before,
+      "a rejected append wrote data")
+    // tagged twin: rejected before the stage write, tag NOT committed
+    intercept[IllegalArgumentException](ManifestTable.appendTagged(
+      Seq((2L, "b", 11, true)).toDF("id", "v", "n", "extra"), t, "batch-x"))
+    assert(!ManifestTable.hasTag(spark, t, "batch-x"),
+      "a rejected tagged append committed its tag")
+    // benign: different column order, different name case — same columns
+    ManifestTable.append(Seq((9, "z", 2L)).toDF("N", "v", "ID")
+      .select($"ID", $"v", $"N"), t)
+    assert(multiset(ManifestTable.read(spark, t)).values.sum == 2)
+
+    // partitioned layout twin: one leaf's live schema stands for all
+    val root = tmp("graft_schemaguard_part") + "/layout"
+    val part = Seq((1L, "0", "p"), (2L, "1", "p")).toDF("id", "leaf", "w")
+    Compaction.appendPartitions(part, root, "leaf"): Unit
+    val e = intercept[IllegalArgumentException](Compaction.appendPartitions(
+      Seq((3L, "0", "p", 1.0)).toDF("id", "leaf", "w", "score"), root, "leaf"))
+    assert(e.getMessage.contains("schema drift"), e.getMessage)
+    assert(multiset(readLayout(root, "leaf").select("id", "leaf", "w")) ==
+      multiset(part), "a rejected partitioned append wrote data")
+    Compaction.appendPartitions( // same columns again: accepted
+      Seq((3L, "2", "q")).toDF("id", "leaf", "w"), root, "leaf"): Unit
+    assert(multiset(readLayout(root, "leaf")).values.sum == 3)
+  }
+
   test("ManifestTable: a reader that planned before a compaction swap keeps " +
       "its files (previous generation retained through one cycle)") {
     val t = tmp("graft_mani_rc") + "/t"
@@ -102,6 +140,49 @@ class LifecycleSpec extends SparkSpec {
     ManifestTable.compact(spark, t, targetFiles = 1)
     assert(!new java.io.File(genBefore).exists,
       "a second rewrite should retire the two-generations-old dir")
+  }
+
+  test("undo window: readPrevious serves the pre-rewrite snapshot until the " +
+      "next rewrite retires it; appends since the rewrite are excluded") {
+    val t = tmp("graft_undo") + "/t"
+    ManifestTable.write(spark.range(10).selectExpr("id", "id * 2 AS v"), t)
+    assert(ManifestTable.previousGen(spark, t).isEmpty,
+      "no rewrite yet, but an undo window exists")
+    val original = multiset(ManifestTable.read(spark, t))
+    // rewrite 1: a retention-style transform drops half the rows
+    ManifestTable.compact(spark, t, targetFiles = 1, _.where($"id" % 2 === 0))
+    val pruned = multiset(ManifestTable.read(spark, t))
+    assert(pruned.size == 5)
+    assert(multiset(ManifestTable.readPrevious(spark, t).get) == original,
+      "undo window is not the pre-prune snapshot")
+    // an append lands in the LIVE generation only: the undo window is a
+    // genuine point-in-time snapshot
+    ManifestTable.append(spark.range(100, 102).selectExpr("id", "id * 2 AS v"), t)
+    assert(multiset(ManifestTable.readPrevious(spark, t).get) == original)
+    // rewrite 2 retires the original: the window now holds rewrite 1's
+    // result plus the append that followed it
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val window2 = multiset(ManifestTable.readPrevious(spark, t).get)
+    assert(window2 != original && window2.size == 7)
+    // vacuum(keepPrevious = false) closes the window explicitly
+    assert(ManifestTable.vacuum(spark, t, keepPrevious = false) >= 1)
+    assert(ManifestTable.previousGen(spark, t).isEmpty)
+
+    // the pairs-table verb: prune, then audit the pre-prune view
+    val root = tmp("graft_undo_pairs")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta gamma eta theta"),
+      (4L, "iota kappa lambda mu nu")).toDF("doc_id", "text")
+    Dedup.writePairs(docs, "doc_id", "text", root, shingleSize = 3,
+      minJaccard = 0.1, maxDf = None)
+    val preAll = multiset(Dedup.readPairs(spark, root, threshold = 0.1))
+    Dedup.prunePairs(spark, root, newMinJaccard = 0.5)
+    assert(multiset(Dedup.readPairs(spark, root, threshold = 0.1)) != preAll,
+      "prune dropped nothing — test data too coarse")
+    assert(multiset(Dedup.readPairsPrevious(spark, root, threshold = 0.1).get)
+      == preAll, "pairs undo window is not the pre-prune table")
   }
 
   test("ManifestTable: a missing MANIFEST heals to the newest complete " +
