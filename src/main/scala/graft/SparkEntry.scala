@@ -3502,6 +3502,35 @@ object SparkEntry {
       Dedup.prunePairs(s, path, newMinJaccard = 0.5)
       Dedup.thresholdCurveFromPairs(
         Dedup.readPairsPrevious(s, path, threshold = 0.2).get)
+    }),
+
+    // --- exactly-once STREAMING ingest into the persisted PAIR table —
+    //     the last of the four persisted layouts gets its streaming verb:
+    //     q219's day-1 half arrives as a two-epoch stream, each micro-batch
+    //     an appendPairs under its epoch tag (pairs-first/postings-second);
+    //     the WHOLE stream re-runs from a fresh checkpoint and must no-op.
+    //     Oracle = q219's scratch-mine SQL verbatim: batch ingest, streamed
+    //     ingest, and a from-scratch mine are indistinguishable ------------
+    "q237_stream_pair_ingest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") % 4 <= 1)
+      val path = sys.props("java.io.tmpdir") + "/graft_q237_pairs_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoPairs(
+        graft.streaming.Streaming.docsReplay(s, dir, 2)
+          .where(col("doc_id") % 4 === 1).select(col("doc_id"), col("text")),
+        path, "doc_id", "text", shingleSize = 3, minJaccard = 0.2,
+        maxDf = None).awaitTermination()
+      run()
+      run() // full replay, same epoch tags: every batch short-circuits
+      val scored = docs.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      Dedup.removeDuplicatesKeepBest(scored, "doc_id",
+          Dedup.readPairs(s, path, threshold = 0.8), "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
     })
   )
 
@@ -3509,6 +3538,72 @@ object SparkEntry {
   // DuckDB oracles. Same column names as the Spark side (the driver sorts
   // columns by name and hashes values). Tables are the raw parquet files.
   // =========================================================================
+  // q219 / q237 share one oracle: append ≡ scratch (uncapped) over the
+  // quarter corpus — batch vs streamed-epoch ingest must be indistinguishable.
+  private val pairAppendScratchSql: String =
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 4 <= 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM documents WHERE doc_id % 4 <= 1)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |surv AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(s.doc_id) AS bigint) AS id_sum
+        |FROM surv s JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3582,69 +3677,11 @@ object SparkEntry {
 
     // q219: append ≡ scratch (uncapped) — q165's SQL over the quarter
     // corpus with the cap CTE removed.
-    "q219_pair_append" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
-        |  FROM documents WHERE doc_id % 4 <= 1),
-        |sh AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        |         ELSE [array_to_string(toks[i:i+2], ' ')
-        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
-        |  FROM t),
-        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
-        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
-        |cand AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM cand
-        |  JOIN sizes na ON na.doc_id = id_a
-        |  JOIN sizes nb ON nb.doc_id = id_b
-        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
-        |edges AS (
-        |  SELECT id_a AS a, id_b AS b FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT a, b FROM edges
-        |  UNION
-        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-        |labels AS (
-        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
-        |  FROM reach GROUP BY src),
-        |qual AS (
-        |  SELECT doc_id, lang,
-        |    round(
-        |      least(length(text) / 500.0, 1.0) * 0.4 +
-        |      least(len(list_filter(tk, x -> x IN
-        |        ('the','a','of','and','to','der','die','das','und',
-        |         'le','la','les','et','el','los','y','que')))
-        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
-        |      (CASE WHEN len(tk) = 0 THEN 0.0
-        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
-        |       END) * 0.3,
-        |    6) AS q
-        |  FROM (SELECT doc_id, lang, text,
-        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
-        |            AS tk
-        |        FROM documents WHERE doc_id % 4 <= 1)),
-        |winners AS (
-        |  SELECT doc_id FROM (
-        |    SELECT q.doc_id,
-        |      row_number() OVER (PARTITION BY l.rep
-        |        ORDER BY q.q DESC, q.doc_id) AS rn
-        |    FROM qual q JOIN labels l USING (doc_id))
-        |  WHERE rn = 1),
-        |surv AS (
-        |  SELECT doc_id FROM qual
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
-        |  UNION ALL SELECT doc_id FROM winners)
-        |SELECT q.lang, count(*) AS n_docs,
-        |  cast(sum(s.doc_id) AS bigint) AS id_sum
-        |FROM surv s JOIN qual q USING (doc_id)
-        |GROUP BY q.lang""".stripMargin,
+    "q219_pair_append" -> pairAppendScratchSql,
+
+    // Streamed-epoch ingest with a full replay ≡ the same scratch mine:
+    // q219's oracle verbatim.
+    "q237_stream_pair_ingest" -> pairAppendScratchSql,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

@@ -289,6 +289,35 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * EXACTLY-ONCE streaming ingest into a [[graft.ops.Dedup.writePairs]]
+   * table — the pair-mining twin of [[ingestIntoNearDupIndex]]: each
+   * micro-batch mines only its new×new and new×stored pairs through
+   * [[graft.ops.Dedup.appendPairs]] under its epoch-id tag (the
+   * pairs-first/postings-second two-tag discipline: a replayed epoch
+   * no-ops, a crash between the two tables heals on replay, the
+   * impossible inverse state rejects loudly), so with `maxDf = None`
+   * [[graft.ops.Dedup.readPairs]] over the finished stream is
+   * scratch-equal to a single mine of the union corpus however many
+   * times the query restarted. The base layout must exist
+   * ([[graft.ops.Dedup.writePairs]] first); floors/caps must match the
+   * layout's. `tagPrefix` namespaces epochs as in
+   * [[ingestIntoNearDupIndex]].
+   */
+  def ingestIntoPairs(stream: DataFrame, path: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, minJaccard: Double = 0.2,
+      maxDf: Option[Int] = Some(1000), tagPrefix: String = "stream"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.Dedup.appendPairs(batch.toDF(), idCol, textCol, path,
+          shingleSize, minJaccard, maxDf, batchId = Some(s"$tagPrefix-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def incrementIntoTable(deltas: DataFrame, tablePath: String,
       keyCol: String = "key"): org.apache.spark.sql.streaming.StreamingQuery =
     deltas.writeStream

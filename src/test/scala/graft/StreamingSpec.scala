@@ -808,6 +808,47 @@ class StreamingSpec extends SparkSpec {
     assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
   }
 
+  test("ingestIntoPairs: exactly-once across a FULL stream replay — " +
+      "pair table scratch-equal to a single mine of the union; replay " +
+      "appends nothing to pairs or postings") {
+    import graft.ops.Dedup
+    import graft.store.ManifestTable
+    import spark.implicits._
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta gamma eta theta"),
+      (4L, "iota kappa lambda mu nu"),
+      (5L, "alpha beta gamma delta epsilon xi"),
+      (6L, "iota kappa lambda mu omicron")).toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_spairs").toString
+    val path = root + "/pairs"
+    Dedup.writePairs(docs.where(col("id") <= 2), "id", "text", path,
+      shingleSize = 3, minJaccard = 0.1, maxDf = None)
+    def run(): Unit = Streaming.ingestIntoPairs(
+      stagedStream(root, Seq(docs.where(col("id") === 3 || col("id") === 4),
+        docs.where(col("id") >= 5))),
+      path, "id", "text", shingleSize = 3, minJaccard = 0.1,
+      maxDf = None).awaitTermination()
+    run()
+    val pairs = multiset(ManifestTable.read(spark, path + "/pairs"))
+    val posts = multiset(ManifestTable.read(spark, path + "/postings"))
+    val fresh = root + "/fresh"
+    Dedup.writePairs(docs, "id", "text", fresh,
+      shingleSize = 3, minJaccard = 0.1, maxDf = None)
+    assert(multiset(Dedup.readPairs(spark, path, threshold = 0.1)) ==
+      multiset(Dedup.readPairs(spark, fresh, threshold = 0.1)),
+      "streamed pair table must equal a single mine of the union corpus")
+    run() // fresh checkpoint replays epochs 0..1 under the SAME tags
+    assert(multiset(ManifestTable.read(spark, path + "/pairs")) == pairs,
+      "replay must not append a single pair row")
+    assert(multiset(ManifestTable.read(spark, path + "/postings")) == posts,
+      "replay must not append a single posting")
+  }
+
   test("ingestIntoIvfCorpus: exactly-once across a FULL stream replay — " +
       "every vector in exactly one cell row; probe sees the streamed batch") {
     import graft.ops.Similarity
