@@ -3531,6 +3531,34 @@ object SparkEntry {
           Dedup.readPairs(s, path, threshold = 0.8), "q")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+    }),
+
+    // --- the undo window on the ANN layout: q226's takedown runs (the
+    //     LIVE index can never again surface the 4 deleted planted
+    //     copies), then the PREVIOUS-generation probe reads the index as
+    //     of just before the delete — all SEVEN planted copies at cos 1.0,
+    //     the takedown audit ("what did the delete remove from this
+    //     query's neighborhood?") in closed form --------------------------
+    "q238_ivf_undo" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q238_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base.unionByName(planted), "vec_id",
+        "embedding", path, cents)
+      Similarity.removeFromIvfCorpus(s, path,
+        s.range(4).select((col("id") * 2 + 9500L).as("vec_id")),
+        idCol = "vec_id")
+      Similarity.ivfTopKFromPartitionedPrevious(s, path, "vec_id",
+          "embedding", q, 7, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     })
   )
 
@@ -3682,6 +3710,12 @@ object SparkEntry {
     // Streamed-epoch ingest with a full replay ≡ the same scratch mine:
     // q219's oracle verbatim.
     "q237_stream_pair_ingest" -> pairAppendScratchSql,
+
+    // The pre-delete index in closed form: every planted copy, including
+    // the 4 the takedown removed from the live index (q226's inverse).
+    "q238_ivf_undo" ->
+      """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(7) t(i)""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

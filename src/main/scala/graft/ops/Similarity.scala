@@ -456,11 +456,36 @@ object Similarity {
     * corpus was written with — the layout pins the assignment. */
   def ivfTopKFromPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
-      cents: Array[Array[Double]], nProbe: Int = 2): DataFrame = {
+      cents: Array[Array[Double]], nProbe: Int = 2): DataFrame =
+    ivfTopKOverDirs(spark, path, idCol, vecCol, query, k,
+      probeCells => graft.store.Compaction.resolveLeafDirs(
+        spark, path, "cell", probeCells.map(_.toString)),
+      cents, nProbe)
+
+  /** The UNDO-WINDOW probe: [[ivfTopKFromPartitioned]] against each probed
+    * cell's PREVIOUS generation — the index as of just before the last
+    * rewrite, which keep-one-back retains through one cycle. The audit
+    * verb for a takedown ("what did the delete remove from this query's
+    * neighborhood?") and the undo view after a mistaken
+    * [[removeFromIvfCorpus]], meaningful when the last maintenance op was
+    * layout-wide (deletion rewrites every cell). Cells with no undo window
+    * are skipped ([[graft.store.Compaction.resolveLeafDirsPrevious]]) —
+    * a never-rewritten layout probes empty here, not at its live state. */
+  def ivfTopKFromPartitionedPrevious(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      cents: Array[Array[Double]], nProbe: Int = 2): DataFrame =
+    ivfTopKOverDirs(spark, path, idCol, vecCol, query, k,
+      probeCells => graft.store.Compaction.resolveLeafDirsPrevious(
+        spark, path, "cell", probeCells.map(_.toString)),
+      cents, nProbe)
+
+  private def ivfTopKOverDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      resolve: Seq[Int] => Seq[String],
+      cents: Array[Array[Double]], nProbe: Int): DataFrame = {
     val qv = array(query.map(v => lit(v)): _*)
     val probeCells = ivfProbeCells(spark, query, cents, nProbe)
-    val dirs = graft.store.Compaction.resolveLeafDirs(spark, path, "cell",
-      probeCells.map(_.toString))
+    val dirs = resolve(probeCells)
     val corpus =
       if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
       else {

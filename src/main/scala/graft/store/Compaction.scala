@@ -310,6 +310,25 @@ object Compaction {
         ManifestTable.vacuum(spark, p.toString, keepPrevious)).sum
   }
 
+  /** Previous-generation twin of [[resolveLeafDirs]] — the UNDO WINDOW on
+    * a partitioned layout: each probed leaf's
+    * [[ManifestTable.previousGen]], the state before that leaf's last
+    * rewrite, retained through one cycle. Leaves with no undo window
+    * (absent, or never rewritten since creation/vacuum) are SKIPPED. The
+    * assembled view is a consistent pre-op snapshot exactly when the last
+    * maintenance op was LAYOUT-WIDE ([[rewritePartitions]] with
+    * `onlyIfOverTarget = false` — deletion/retention rewrites every leaf);
+    * after per-leaf ops it is per-leaf "before", not one point in time. */
+  def resolveLeafDirsPrevious(spark: SparkSession, root: String,
+      partitionCol: String, values: Seq[Any]): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    values.map(v => new Path(rootPath, s"$partitionCol=$v"))
+      .filter(fs.exists)
+      .flatMap(p => ManifestTable.previousGen(spark, p.toString)
+        .map(g => s"$p/$g"))
+  }
+
   /**
    * The slow-reader recovery verb. Keep-one-back funds any scan that
    * completes within ONE maintenance cycle of its resolve; a scan delayed

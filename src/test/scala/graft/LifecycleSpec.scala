@@ -183,6 +183,37 @@ class LifecycleSpec extends SparkSpec {
       "prune dropped nothing — test data too coarse")
     assert(multiset(Dedup.readPairsPrevious(spark, root, threshold = 0.1).get)
       == preAll, "pairs undo window is not the pre-prune table")
+
+    // the ANN-layout twin: a takedown's removals resurface through the
+    // previous-generation probe, and only until the next layout-wide
+    // rewrite retires the window
+    val ivf = tmp("graft_undo_ivf") + "/layout"
+    val vecs = (0 until 24).map(i =>
+      (i.toLong, Seq(math.cos(i % 4).toFloat, math.sin(i % 4).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", k = 3)
+    Similarity.writeIvfCorpus(vecs, "id", "vec", ivf, cents)
+    val q = Seq(math.cos(1).toFloat, math.sin(1).toFloat)
+    def probe(f: => DataFrame): Set[Long] =
+      f.collect().map(_.getLong(0)).toSet
+    val preIds = probe(Similarity.ivfTopKFromPartitioned(
+      spark, ivf, "id", "vec", q, 24, cents, nProbe = 3))
+    // fresh layout: no rewrite yet, so no undo window — probes empty
+    assert(probe(Similarity.ivfTopKFromPartitionedPrevious(
+      spark, ivf, "id", "vec", q, 24, cents, nProbe = 3)).isEmpty)
+    Similarity.removeFromIvfCorpus(spark, ivf,
+      Seq(1L, 5L, 9L).toDF("id"))
+    val postIds = probe(Similarity.ivfTopKFromPartitioned(
+      spark, ivf, "id", "vec", q, 24, cents, nProbe = 3))
+    assert(!postIds.contains(1L) && postIds != preIds)
+    assert(probe(Similarity.ivfTopKFromPartitionedPrevious(
+      spark, ivf, "id", "vec", q, 24, cents, nProbe = 3)) == preIds,
+      "undo probe must see the pre-takedown neighborhood")
+    // next layout-wide rewrite advances the window to the post-delete state
+    Similarity.removeFromIvfCorpus(spark, ivf, spark.emptyDataset[Long].toDF("id"))
+    assert(probe(Similarity.ivfTopKFromPartitionedPrevious(
+      spark, ivf, "id", "vec", q, 24, cents, nProbe = 3)) == postIds,
+      "second rewrite must retire the original window")
   }
 
   test("ManifestTable: a missing MANIFEST heals to the newest complete " +
