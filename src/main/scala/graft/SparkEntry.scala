@@ -3559,6 +3559,30 @@ object SparkEntry {
       Similarity.ivfTopKFromPartitionedPrevious(s, path, "vec_id",
           "embedding", q, 7, cents, nProbe = 2)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- MINOR compaction (size-tiered small-file merge) on the search
+    //     index: three daily appends leave small-file debris in every
+    //     posting bucket; minorCompactPartitions merges ONLY the debris —
+    //     the base generation's large files carry by _RETAINS reference,
+    //     never copied — and the probe must be oblivious (q90's SQL
+    //     verbatim). The steady-state maintenance verb: at 100 TB the daily
+    //     bill is O(appended debris), not O(index) ------------------------
+    "q239_minor_compact" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q239_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", path)
+      (1 to 3).foreach { d =>
+        TextOps.appendBm25Index(docs.where(col("doc_id") % 4 === d),
+          "doc_id", "text", path, batchId = Some(s"day-$d"))
+      }
+      graft.store.Compaction.minorCompactPartitions(
+        s, path + "/postings", smallBytes = 32L << 10): Unit
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -3566,6 +3590,39 @@ object SparkEntry {
   // DuckDB oracles. Same column names as the Spark side (the driver sorts
   // columns by name and hashes values). Tables are the raw parquet files.
   // =========================================================================
+  // q90 / q217 / q239 share one oracle: the from-scratch full-corpus BM25 —
+  // a freshly-built index, an appended one, and a minor-compacted one must
+  // all be indistinguishable from the direct scan.
+  private val bm25FullScratchSql: String =
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
   // q219 / q237 share one oracle: append ≡ scratch (uncapped) over the
   // quarter corpus — batch vs streamed-epoch ingest must be indistinguishable.
   private val pairAppendScratchSql: String =
@@ -3652,36 +3709,9 @@ object SparkEntry {
         |FROM range(5) t(i)""".stripMargin,
 
 // The append path must hash-match the from-scratch direct scan:
-    // q217 is q90's SQL verbatim.
-    "q217_bm25_append" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
-        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
-        |  FROM t),
-        |g AS (
-        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
-        |tfs AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
-        |wdf AS (
-        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
-        |scored AS (
-        |  SELECT doc_id,
-        |    cast(round(
-        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
-        |      ((tf * (1.2 + 1.0)) /
-        |       (tf + 1.2 * (1.0 - 0.75 +
-        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
-        |      1e9) as bigint) AS qs
-        |  FROM wdf CROSS JOIN stats)
-        |SELECT doc_id, count(*) AS n_terms,
-        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    // q217 is q90's SQL verbatim; q239 (minor-compacted index) likewise.
+    "q217_bm25_append" -> bm25FullScratchSql,
+    "q239_minor_compact" -> bm25FullScratchSql,
 
     "q218_embedding_drift" ->
       """WITH g AS (
@@ -5534,35 +5564,7 @@ object SparkEntry {
     // operator: (N-df)+0.5 in double, (tf*(1.2+1.0)), (0.75*dl/avgdl) all
     // associate the same way), contributions quantized to nano-units
     // (q73's ln-parity contract), exact integer sum, ties broken by id.
-    "q90_bm25_search" ->
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-        |  FROM documents),
-        |d AS (
-        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
-        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
-        |  FROM t),
-        |g AS (
-        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
-        |tfs AS (
-        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
-        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
-        |wdf AS (
-        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
-        |scored AS (
-        |  SELECT doc_id,
-        |    cast(round(
-        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
-        |      ((tf * (1.2 + 1.0)) /
-        |       (tf + 1.2 * (1.0 - 0.75 +
-        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
-        |      1e9) as bigint) AS qs
-        |  FROM wdf CROSS JOIN stats)
-        |SELECT doc_id, count(*) AS n_terms,
-        |  round(cast(sum(qs) as double) / 1e9, 6) AS score
-        |FROM scored GROUP BY doc_id
-        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "q90_bm25_search" -> bm25FullScratchSql,
 
     // The md5 order key replayed verbatim; shard = key % 8 (the key is
     // non-negative top-60-md5-bits, so % == pmod), pos = per-shard

@@ -70,7 +70,7 @@ object Compaction {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     pooledMap(leafDirs(fs, rootPath))(p =>
-      (p.getName, ManifestTable.resolve(spark, p.toString)))
+      ManifestTable.resolvePaths(spark, p.toString).map((p.getName, _))).flatten
   }
 
   /** Order-preserving map over leaves on a bounded pool — every per-leaf
@@ -98,7 +98,7 @@ object Compaction {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     values.map(v => new Path(rootPath, s"$partitionCol=$v"))
       .filter(fs.exists)
-      .map(p => ManifestTable.resolve(spark, p.toString))
+      .flatMap(p => ManifestTable.resolvePaths(spark, p.toString))
   }
 
   /** Layout-aware full read: every leaf's live rows with the partition
@@ -236,6 +236,40 @@ object Compaction {
   def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int =
     rewritePartitions(spark, root, targetFiles, identity, onlyIfOverTarget = true)
 
+  /** [[ManifestTable.minorCompact]] over every leaf — the size-tiered
+    * small-file merge: each leaf's append debris (files under `smallBytes`)
+    * merges into ~`targetBytes` outputs while large files carry by
+    * REFERENCE, so the layout-wide maintenance bill is O(debris since the
+    * last pass), not O(layout). The steady-state daily verb; promote to
+    * [[compactPartitions]] (major) when retained-file chains should fold
+    * back into one generation. Same bounded per-leaf concurrency and
+    * drain-before-rethrow discipline as [[rewritePartitions]]. Returns
+    * total small files merged across leaves. */
+  def minorCompactPartitions(spark: SparkSession, root: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return 0
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".stage-"))
+      .foreach(fs.delete(_, true))
+    val dirs = leafDirs(fs, rootPath)
+    if (dirs.isEmpty) return 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, dirs.length))
+    val futures = dirs.map { p =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int =
+          ManifestTable.minorCompact(spark, p.toString, smallBytes, targetBytes)
+      })
+    }
+    val outcomes = futures.map(f => scala.util.Try(f.get()))
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    outcomes.map(_.getOrElse(0)).sum
+  }
+
   /** Rewrite EVERY leaf through `transform` (row-level rewrites: deletion,
     * retention) — unlike [[compactPartitions]] no leaf is skipped for being
     * small, since the rows to drop can live anywhere. Same concurrent
@@ -325,8 +359,8 @@ object Compaction {
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
     values.map(v => new Path(rootPath, s"$partitionCol=$v"))
       .filter(fs.exists)
-      .flatMap(p => ManifestTable.previousGen(spark, p.toString)
-        .map(g => s"$p/$g"))
+      .flatMap(p => ManifestTable.previousGen(spark, p.toString).toSeq
+        .flatMap(g => ManifestTable.pathsFor(spark, p.toString, g)))
   }
 
   /**

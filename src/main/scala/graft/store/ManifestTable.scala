@@ -47,6 +47,72 @@ object ManifestTable {
   private val GenPrefix = "gen-"
   private val TagsName = CommitTags.TagsName
   private val StagePrefix = ".stage-"
+  private val RetainsName = "_RETAINS"
+  private val ParentName = "_PARENT"
+  private val NoParent = "-"
+
+  // ------------------------------------------------ generation metadata
+  // A generation dir may carry two underscore files (invisible to parquet
+  // scans, like _SUCCESS):
+  //   _RETAINS  table-relative paths ("gen-<n>/<file>") of LARGE data files
+  //             in OLDER generation dirs that belong to this generation's
+  //             snapshot — written by [[minorCompact]] so a small-file merge
+  //             never copies the accumulated big files (maintenance cost is
+  //             O(debris), not O(table) — the LSM/HBase minor-compaction
+  //             economics). Generations referenced here are protected from
+  //             retire/vacuum for as long as a kept generation names them.
+  //   _PARENT   the generation that was live when this one was written —
+  //             the EXACT undo-window pointer ("-" = none). Without it,
+  //             "largest gen < live" misreports the undo window once
+  //             retained generations outlive their keep-one-back cycle.
+  // Both are written into the new generation BEFORE the MANIFEST swap, so
+  // the crash-heal fallback (newest complete generation wins) recovers the
+  // full snapshot, retained files included.
+
+  private def readMetaLines(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: Path, name: String): Option[Seq[String]] = {
+    val p = new Path(genPath, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList)
+      finally in.close()
+    }
+  }
+
+  private def writeMetaLines(fs: org.apache.hadoop.fs.FileSystem,
+      genPath: Path, name: String, lines: Seq[String]): Unit = {
+    val out = fs.create(new Path(genPath, name), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Table-relative paths of the large files generation `gen` retains from
+    * older generations (empty unless a [[minorCompact]] produced it). */
+  private def retainedRelFs(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String): Seq[String] =
+    readMetaLines(fs, new Path(dir, gen), RetainsName).getOrElse(Nil)
+
+  private[store] def retainedRel(spark: SparkSession, table: String,
+      gen: String): Seq[String] = {
+    val (fs, dir) = fsOf(spark, table)
+    retainedRelFs(fs, dir, gen)
+  }
+
+  /** Every path a scan of generation `gen` must open: its dir plus any
+    * retained files. */
+  private[store] def pathsFor(spark: SparkSession, table: String,
+      gen: String): Seq[String] =
+    s"$table/$gen" +: retainedRel(spark, table, gen).map(r => s"$table/$r")
+
+  /** The generation dirs a kept generation set pins: themselves plus every
+    * generation a kept `_RETAINS` references (direct references only —
+    * retain lists are carried forward verbatim, never chained). */
+  private def protectedGens(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      keepDirect: Set[String]): Set[String] =
+    keepDirect ++ keepDirect.flatMap(g =>
+      retainedRelFs(fs, dir, g).map(_.takeWhile(_ != '/')))
 
   // ------------------------------------------------- append schema guard
 
@@ -134,18 +200,31 @@ object ManifestTable {
   }
 
   /** The path a reader should scan: the live generation dir, or the table
-    * dir itself for a legacy flat layout. */
+    * dir itself for a legacy flat layout. NOTE: after a [[minorCompact]]
+    * the live snapshot is this dir PLUS retained files — full-snapshot
+    * readers must use [[resolvePaths]]; this single path stays correct for
+    * schema probes and appends (which land in the live dir). */
   def resolve(spark: SparkSession, table: String): String =
     liveGen(spark, table).map(g => s"$table/$g").getOrElse(table)
+
+  /** Every path the live snapshot spans: the live generation dir plus any
+    * files it retains in older generations ([[minorCompact]]); just the
+    * table dir for a legacy flat layout. This is THE read-path resolver —
+    * hand the whole Seq to one multi-path parquet read. */
+  def resolvePaths(spark: SparkSession, table: String): Seq[String] =
+    liveGen(spark, table) match {
+      case Some(g) => pathsFor(spark, table, g)
+      case None => Seq(table)
+    }
 
   def exists(spark: SparkSession, table: String): Boolean = {
     val (fs, dir) = fsOf(spark, table)
     fs.exists(dir)
   }
 
-  /** Read the live generation (or the legacy flat files). */
+  /** Read the live snapshot (or the legacy flat files). */
   def read(spark: SparkSession, table: String): DataFrame =
-    spark.read.parquet(resolve(spark, table))
+    spark.read.parquet(resolvePaths(spark, table): _*)
 
   /** Generation dir names present on disk, oldest → newest (normally the
     * live one plus the keep-one-back predecessor; orphans from interrupted
@@ -163,7 +242,15 @@ object ManifestTable {
     * the undo window and are never returned. */
   def previousGen(spark: SparkSession, table: String): Option[String] =
     liveGen(spark, table).flatMap { live =>
-      generations(spark, table).filter(_ < live).lastOption
+      val (fs, dir) = fsOf(spark, table)
+      readMetaLines(fs, new Path(dir, live), ParentName)
+        .map(_.headOption.getOrElse(NoParent)) match {
+        case Some(NoParent) => None // first incarnation: no undo window
+        case Some(parent) => // exact pointer; gone once retired/vacuumed
+          Some(parent).filter(g => fs.exists(new Path(dir, g)))
+        case None => // legacy generation (pre-_PARENT): positional fallback
+          generations(spark, table).filter(_ < live).lastOption
+      }
     }
 
   /** Read the table as of just BEFORE the last rewrite — the audit/undo
@@ -173,7 +260,8 @@ object ManifestTable {
     * genuine point-in-time snapshot: it also excludes rows appended since
     * the rewrite. None when no undo window exists ([[previousGen]]). */
   def readPrevious(spark: SparkSession, table: String): Option[DataFrame] =
-    previousGen(spark, table).map(g => spark.read.parquet(s"$table/$g"))
+    previousGen(spark, table).map(g =>
+      spark.read.parquet(pathsFor(spark, table, g): _*))
 
   /** Point MANIFEST at `gen`. The delete+rename pair is not atomic; the
     * missing-MANIFEST window is healed by [[liveGen]]'s newest-generation
@@ -198,7 +286,7 @@ object ManifestTable {
     * externally serialized, so any stage dir visible here is dead). */
   private def retire(fs: org.apache.hadoop.fs.FileSystem, dir: Path, live: String,
       prevLive: Option[String]): Unit = {
-    val keep = Set(live) ++ prevLive
+    val keep = protectedGens(fs, dir, Set(live) ++ prevLive)
     genDirs(fs, dir).filterNot(keep).foreach(g => fs.delete(new Path(dir, g), true))
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith(StagePrefix))
@@ -222,6 +310,8 @@ object ManifestTable {
     val prevLive = liveGen(spark, table)
     val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
     df.write.mode("overwrite").parquet(s"$table/$next")
+    writeMetaLines(fs, new Path(dir, next), ParentName,
+      Seq(prevLive.getOrElse(NoParent)))
     // legacy flat data files (pre-manifest layout) are superseded by this
     // overwrite; MANIFEST does not exist yet in that case, so no reader
     // resolves to them after the commit below. The TAGS marker is swept
@@ -360,16 +450,19 @@ object ManifestTable {
           s"ManifestTable: cannot migrate $p into $genPath")
     }
     // non-data markers from the flat write (_SUCCESS) stay behind harmlessly
+    writeMetaLines(fs, genPath, ParentName, Seq(NoParent))
     commit(fs, dir, gen)
   }
 
-  /** Count the data files in the live generation (the open-storm metric the
-    * compaction exists to bound). */
+  /** Count the data files the live snapshot opens: the live generation's
+    * files plus any it retains ([[minorCompact]]) — the open-storm metric
+    * the compactions exist to bound. */
   def dataFileCount(spark: SparkSession, table: String): Int = {
-    val (fs, _) = fsOf(spark, table)
+    val (fs, dir) = fsOf(spark, table)
     val p = new Path(resolve(spark, table))
     if (!fs.exists(p)) 0
-    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    else fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet")) +
+      liveGen(spark, table).map(g => retainedRelFs(fs, dir, g).length).getOrElse(0)
   }
 
   /**
@@ -392,10 +485,60 @@ object ManifestTable {
       return
     }
     val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
-    transform(spark.read.parquet(s"$table/$live")).coalesce(targetFiles)
+    transform(spark.read.parquet(pathsFor(spark, table, live): _*))
+      .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$table/$next")
+    writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
     commit(fs, dir, next)
     retire(fs, dir, next, Some(live))
+  }
+
+  /**
+   * MINOR compaction — the size-tiered small-file merge (HBase's minor
+   * compaction vs [[compact]]'s major; reference: the store-file tiers
+   * behind `HbaseTable.scala`'s regions compact small HFiles without
+   * touching the large ones): every live data file smaller than
+   * `smallBytes` is merged into ~`targetBytes` output files in a NEW
+   * generation, while every large file is RETAINED BY REFERENCE
+   * (`_RETAINS` — an fs-metadata line, not a copy). At scale this is the
+   * difference between maintenance that costs O(append debris since last
+   * compact) and maintenance that re-writes the whole table: a 1 TB leaf
+   * with 500 small append files merges gigabytes, not the terabyte.
+   *
+   * Same reader-concurrency contract as [[compact]] (complete new
+   * generation + pointer swap + keep-one-back); retire/vacuum never delete
+   * a generation a kept `_RETAINS` still references, so retained files
+   * live exactly as long as a snapshot needs them. Tagged append files
+   * fold into anonymous rows like any rewrite — run pending tagged
+   * retries first (single-maintainer contract). Returns the number of
+   * small files merged (0 = nothing to do: fewer than two small files).
+   */
+  def minorCompact(spark: SparkSession, table: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): Int = {
+    require(smallBytes > 0 && targetBytes > 0, "thresholds must be positive")
+    val (fs, dir) = fsOf(spark, table)
+    if (!fs.exists(dir)) return 0
+    if (liveGen(spark, table).isEmpty) migrateFlatDir(spark, table) // fs metadata only
+    val live = liveGen(spark, table).getOrElse(return 0)
+    // the live snapshot's files with sizes: live-dir data files as
+    // "<live>/<name>", plus carried-forward retained refs verbatim
+    val inDir = fs.listStatus(new Path(dir, live))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s"$live/${s.getPath.getName}", s.getLen)).toSeq
+    val carried = retainedRelFs(fs, dir, live)
+      .map(r => (r, fs.getFileStatus(new Path(dir, r)).getLen))
+    val (small, big) = (inDir ++ carried).partition(_._2 < smallBytes)
+    if (small.length < 2) return 0
+    val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    val nOut = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(small.map(r => s"$table/${r._1}"): _*).coalesce(nOut)
+      .write.mode("overwrite").parquet(s"$table/$next")
+    val nextPath = new Path(dir, next)
+    if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
+    writeMetaLines(fs, nextPath, ParentName, Seq(live))
+    commit(fs, dir, next)
+    retire(fs, dir, next, Some(live))
+    small.length
   }
 
   /**
@@ -419,8 +562,8 @@ object ManifestTable {
       case None => 0 // legacy flat layout: nothing generation-shaped to sweep
       case Some(live) =>
         val gens = genDirs(fs, dir)
-        val prev = gens.filter(_ < live).lastOption.filter(_ => keepPrevious)
-        val keep = Set(live) ++ prev
+        val prev = previousGen(spark, table).filter(_ => keepPrevious)
+        val keep = protectedGens(fs, dir, Set(live) ++ prev)
         val genVictims = gens.filterNot(keep)
         genVictims.foreach(g => fs.delete(new Path(dir, g), true))
         val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)

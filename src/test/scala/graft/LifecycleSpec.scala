@@ -1042,4 +1042,153 @@ class LifecycleSpec extends SparkSpec {
       del(live); del(stale)
     }
   }
+
+  // ------------------------------------------------------ minor compaction
+
+  /** The single parquet data file in `dir` (asserts there is exactly one). */
+  private def onlyParquet(dir: String): java.io.File = {
+    val fs = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(fs.length == 1, s"expected one parquet file in $dir, got ${fs.length}")
+    fs.head
+  }
+
+  test("minorCompact: merges only small-file debris, large files carry by " +
+      "reference (same path, never rewritten), snapshots and undo window " +
+      "stay exact, major compact folds references back") {
+    val t = tmp("graft_minor") + "/t"
+    val big = spark.range(200000)
+      .select($"id", md5($"id".cast("string")).as("v"))
+    ManifestTable.write(big.coalesce(1), t)
+    val gen0 = ManifestTable.resolve(spark, t)
+    val bigFile = onlyParquet(gen0)
+    val (bigPath, bigLen, bigMtime) =
+      (bigFile.getAbsolutePath, bigFile.length, bigFile.lastModified)
+    (1 to 6).foreach { i =>
+      ManifestTable.append(Seq((1000000L + i, s"x$i")).toDF("id", "v"), t)
+    }
+    val before = multiset(ManifestTable.read(spark, t))
+    assert(ManifestTable.dataFileCount(spark, t) == 7)
+
+    // ---- first minor compact: 6 tiny files merge, the big one is retained
+    val merged = ManifestTable.minorCompact(spark, t, smallBytes = bigLen)
+    assert(merged == 6, s"expected 6 small files merged, got $merged")
+    assert(multiset(ManifestTable.read(spark, t)) == before,
+      "minor compaction changed the row multiset")
+    assert(ManifestTable.dataFileCount(spark, t) == 2,
+      "live snapshot should be one merged file + one retained big file")
+    val bigNow = new java.io.File(bigPath)
+    assert(bigNow.exists && bigNow.lastModified == bigMtime,
+      "the large file must stay at its original path, untouched")
+    // undo window: the pre-compact generation (big + debris), exact
+    assert(multiset(ManifestTable.readPrevious(spark, t).get) == before)
+
+    // ---- second minor compact: reference carries FORWARD, still no copy
+    (1 to 5).foreach { i =>
+      ManifestTable.append(Seq((2000000L + i, s"y$i")).toDF("id", "v"), t)
+    }
+    val before2 = multiset(ManifestTable.read(spark, t))
+    assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) == 6,
+      "merged file + 5 new tiny files should merge")
+    assert(multiset(ManifestTable.read(spark, t)) == before2)
+    assert(ManifestTable.dataFileCount(spark, t) == 2)
+    assert(new java.io.File(bigPath).lastModified == bigMtime,
+      "second minor compact copied or rewrote the retained file")
+    assert(ManifestTable.generations(spark, t).size == 3,
+      "gen0 (referenced) + previous + live should all survive retire")
+
+    // ---- vacuum(keepPrevious = false): referenced gen survives, undo
+    // window honestly reports None (no positional misreport to gen0)
+    assert(ManifestTable.vacuum(spark, t, keepPrevious = false) == 1)
+    assert(multiset(ManifestTable.read(spark, t)) == before2)
+    assert(new java.io.File(bigPath).exists,
+      "vacuum deleted a generation the live snapshot references")
+    assert(ManifestTable.previousGen(spark, t).isEmpty,
+      "undo window must be None after its generation is vacuumed, even " +
+        "though an older retained generation is still on disk")
+
+    // ---- major compact folds the reference back into one generation;
+    // the referenced gen survives exactly one more cycle (prev points at it)
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(multiset(ManifestTable.read(spark, t)) == before2)
+    assert(ManifestTable.dataFileCount(spark, t) == 1)
+    assert(new java.io.File(bigPath).exists,
+      "undo window still references the retained generation")
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(!new java.io.File(bigPath).exists,
+      "once nothing references gen0 it must retire (disk reclaimed)")
+    assert(multiset(ManifestTable.read(spark, t)) == before2)
+  }
+
+  test("minorCompact: no-op below two small files; crash-heal fallback " +
+      "(lost MANIFEST) recovers the full snapshot including retained files") {
+    val t = tmp("graft_minor_heal") + "/t"
+    val big = spark.range(100000)
+      .select($"id", md5($"id".cast("string")).as("v"))
+    ManifestTable.write(big.coalesce(1), t)
+    val bigLen = onlyParquet(ManifestTable.resolve(spark, t)).length
+    // one small file only -> nothing to merge, nothing changes
+    ManifestTable.append(Seq((9999999L, "z")).toDF("id", "v"), t)
+    val gen = ManifestTable.resolve(spark, t)
+    assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) == 0)
+    assert(ManifestTable.resolve(spark, t) == gen, "a no-op wrote a generation")
+    // two small files -> merge; then simulate a lost MANIFEST (the crash
+    // window inside commit): newest-generation fallback + in-generation
+    // _RETAINS must reassemble the identical snapshot
+    ManifestTable.append(Seq((9999998L, "w")).toDF("id", "v"), t)
+    val before = multiset(ManifestTable.read(spark, t))
+    assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) == 2)
+    val mf = new java.io.File(t, "MANIFEST")
+    assert(mf.delete(), "no MANIFEST to lose?")
+    assert(multiset(ManifestTable.read(spark, t)) == before,
+      "crash-heal read lost retained files")
+  }
+
+  test("minorCompactPartitions: per-leaf small-file merge across a layout; " +
+      "probes and full reads exact, large leaf files never rewritten, " +
+      "committed append tags survive") {
+    val root = tmp("graft_minor_part") + "/layout"
+    val base = spark.range(40000)
+      .select($"id", ($"id" % 4).cast("string").as("bucket"),
+        md5($"id".cast("string")).as("v"))
+    base.repartition(col("bucket")).write.partitionBy("bucket").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    // record each leaf's big file identity and the small-file threshold
+    val bigFiles = (0 to 3).map { b =>
+      val f = onlyParquet(Compaction.resolveLeafDirs(
+        spark, root, "bucket", Seq(b)).head)
+      (f.getAbsolutePath, f.lastModified)
+    }
+    val thresh = bigFiles.map(p => new java.io.File(p._1).length).min
+    def batch(tag: Int) = (1 to 8).map(i =>
+      (1000000L * tag + i, (i % 4).toString, s"t$tag-$i"))
+      .toDF("id", "bucket", "v")
+    assert(Compaction.appendPartitions(batch(1), root, "bucket", Some("b1")))
+    assert(Compaction.appendPartitions(batch(2), root, "bucket", None))
+    val before = multiset(readLayout(root, "bucket"))
+    val probeBefore = multiset(spark.read.parquet(
+      Compaction.resolveLeafDirs(spark, root, "bucket", Seq(2)): _*))
+
+    val nMerged = Compaction.minorCompactPartitions(spark, root,
+      smallBytes = thresh)
+    assert(nMerged == 8, s"2 small files x 4 leaves should merge, got $nMerged")
+    assert(multiset(readLayout(root, "bucket")) == before,
+      "layout minor compaction changed the full-read multiset")
+    assert(multiset(spark.read.parquet(
+      Compaction.resolveLeafDirs(spark, root, "bucket", Seq(2)): _*)) ==
+      probeBefore, "leaf probe drifted after minor compaction")
+    bigFiles.foreach { case (p, m) =>
+      val f = new java.io.File(p)
+      assert(f.exists && f.lastModified == m,
+        s"large leaf file rewritten or moved: $p")
+    }
+    (0 to 3).foreach { b =>
+      assert(ManifestTable.dataFileCount(spark, s"$root/bucket=$b") == 2,
+        s"leaf $b should hold one merged + one retained file")
+    }
+    // the committed tag is table-root state: a blind retry still no-ops
+    assert(!Compaction.appendPartitions(batch(1), root, "bucket", Some("b1")),
+      "a committed tag must survive minor compaction")
+    assert(multiset(readLayout(root, "bucket")) == before)
+  }
 }
