@@ -3583,6 +3583,41 @@ object SparkEntry {
         s, path + "/postings", smallBytes = 32L << 10): Unit
       TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- the maintenance SCHEDULER: layoutReport (per-leaf fs-metadata
+    //     planner stats, no data read) + autoMaintain (per leaf: major
+    //     fold when the tier degenerates past majorAt open files, minor
+    //     debris merge past minorAt, else nothing) — HBase's server-side
+    //     compaction chooser as one idempotent daily verb. Deterministic
+    //     action/file counts + the postings row count ties the maintained
+    //     layout's MULTISET to the from-scratch tokenization ------------
+    "q240_auto_maintain" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q240_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs.where(col("doc_id") % 4 === 0),
+        "doc_id", "text", path)
+      (1 to 3).foreach { d =>
+        TextOps.appendBm25Index(docs.where(col("doc_id") % 4 === d),
+          "doc_id", "text", path, batchId = Some(s"day-$d"))
+      }
+      val posts = path + "/postings"
+      val beforeRep = graft.store.Compaction.layoutReport(
+        s, posts, smallBytes = Long.MaxValue)
+      val (minors, majors) = graft.store.Compaction.autoMaintain(
+        s, posts, smallBytes = Long.MaxValue, minorAt = 4, majorAt = 64)
+      val afterRep = graft.store.Compaction.layoutReport(
+        s, posts, smallBytes = Long.MaxValue)
+      import s.implicits._
+      Seq((beforeRep.length.toLong,
+          minors == beforeRep.length && majors == 0,
+          afterRep.map(_.liveFiles).max.toLong,
+          afterRep.map(_.retainedFiles).sum.toLong))
+        .toDF("n_leaves", "all_minored", "max_files_after", "retained_after")
+        .crossJoin(graft.store.Compaction.readPartitioned(s, posts, "bucket")
+          .get.agg(count(lit(1)).as("n_postings")))
     })
   )
 
@@ -3712,6 +3747,26 @@ object SparkEntry {
     // q217 is q90's SQL verbatim; q239 (minor-compacted index) likewise.
     "q217_bm25_append" -> bm25FullScratchSql,
     "q239_minor_compact" -> bm25FullScratchSql,
+
+    // Occupied-leaf count replayed from the term -> md5-60-bit -> %64
+    // bucket function (q87's hex idiom); every occupied leaf must take
+    // exactly one MINOR action and end at one live file, nothing retained;
+    // n_postings ties the maintained layout's row multiset to the
+    // from-scratch tokenization.
+    "q240_auto_maintain" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM t),
+        |b AS (SELECT DISTINCT
+        |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS bucket
+        |      FROM g)
+        |SELECT (SELECT count(*) FROM b) AS n_leaves,
+        |  TRUE AS all_minored,
+        |  cast(1 as bigint) AS max_files_after,
+        |  cast(0 as bigint) AS retained_after,
+        |  (SELECT count(*) FROM g) AS n_postings""".stripMargin,
 
     "q218_embedding_drift" ->
       """WITH g AS (

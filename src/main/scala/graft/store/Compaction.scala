@@ -314,6 +314,78 @@ object Compaction {
     outcomes.count(_.getOrElse(false))
   }
 
+  /** One leaf's maintenance statistics — the planner row behind
+    * [[layoutReport]] / [[autoMaintain]]. `liveFiles` counts every file the
+    * live snapshot opens (dir + retained); `debrisFiles`/`debrisBytes` are
+    * the subset under the small-file threshold (what a minor compaction
+    * would merge); `retainedFiles` is the by-reference carry from earlier
+    * minor compactions; `generations` counts on-disk generation dirs
+    * (live + undo window + referenced + orphans awaiting sweep). */
+  final case class LeafStat(leaf: String, liveFiles: Int, retainedFiles: Int,
+      debrisFiles: Int, debrisBytes: Long, generations: Int)
+
+  /** Per-leaf maintenance statistics for the whole layout — driver-side fs
+    * metadata only (pooled, no data read): the input a maintenance
+    * scheduler needs to decide which leaves to touch and how. */
+  def layoutReport(spark: SparkSession, root: String,
+      smallBytes: Long = 32L << 20): Seq[LeafStat] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    pooledMap(leafDirs(fs, rootPath))(p =>
+      layoutReportLeaf(spark, fs, p, smallBytes))
+  }
+
+  /**
+   * Policy-driven maintenance — the scheduler HBase runs server-side
+   * (minor compactions continuously, majors when a store's file tiers
+   * degenerate), expressed as one idempotent verb a daily loop calls:
+   * per leaf, MAJOR compact (full rewrite to `targetFiles`, folds retained
+   * references back) when the live snapshot opens more than `majorAt`
+   * files; else MINOR compact (merge debris only, O(debris) cost) when at
+   * least `minorAt` files sit under `smallBytes`; else leave the leaf
+   * alone — an already-tight layout costs one fs listing, nothing more.
+   * Same single-maintainer contract and bounded per-leaf concurrency as
+   * the other layout verbs. Returns (minor, major) leaf counts.
+   */
+  def autoMaintain(spark: SparkSession, root: String,
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      minorAt: Int = 4, majorAt: Int = 32, targetFiles: Int = 4): (Int, Int) = {
+    require(minorAt >= 2, "minorAt under 2 would re-merge a lone file forever")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return (0, 0)
+    val decisions = pooledMap(leafDirs(fs, rootPath)) { p =>
+      val t = p.toString
+      val stat = layoutReportLeaf(spark, fs, p, smallBytes)
+      if (stat.liveFiles > majorAt) {
+        ManifestTable.compact(spark, t, targetFiles); (0, 1)
+      } else if (stat.debrisFiles >= minorAt) {
+        ManifestTable.minorCompact(spark, t, smallBytes, targetBytes); (1, 0)
+      } else (0, 0)
+    }
+    (decisions.map(_._1).sum, decisions.map(_._2).sum)
+  }
+
+  private def layoutReportLeaf(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, p: Path,
+      smallBytes: Long): LeafStat =
+    ManifestTable.liveGen(spark, p.toString) match {
+      case Some(live) =>
+        val files = ManifestTable.snapshotFiles(fs, p, live)
+        val debris = files.filter(_._2 < smallBytes)
+        LeafStat(p.getName, files.length,
+          ManifestTable.retainedRel(spark, p.toString, live).length,
+          debris.length, debris.map(_._2).sum,
+          ManifestTable.generations(spark, p.toString).length)
+      case None =>
+        val files = fs.listStatus(p)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath.getName, s.getLen)).toSeq
+        val debris = files.filter(_._2 < smallBytes)
+        LeafStat(p.getName, files.length, 0, debris.length,
+          debris.map(_._2).sum, 0)
+    }
+
   /** Migrate every flat leaf of a freshly-written layout to the manifest
     * shape — pure fs metadata ([[ManifestTable.migrateFlatDir]]), called by
     * the layout writers right after their partitioned overwrite so the

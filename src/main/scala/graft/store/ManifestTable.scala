@@ -493,6 +493,19 @@ object ManifestTable {
     retire(fs, dir, next, Some(live))
   }
 
+  /** The live snapshot's data files with sizes, as table-relative paths:
+    * live-dir files as "<live>/<name>" plus carried-forward retained refs
+    * verbatim — the planner input for minor-vs-major decisions. */
+  private[store] def snapshotFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, live: String): Seq[(String, Long)] = {
+    val inDir = fs.listStatus(new Path(dir, live))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s"$live/${s.getPath.getName}", s.getLen)).toSeq
+    val carried = retainedRelFs(fs, dir, live)
+      .map(r => (r, fs.getFileStatus(new Path(dir, r)).getLen))
+    inDir ++ carried
+  }
+
   /**
    * MINOR compaction — the size-tiered small-file merge (HBase's minor
    * compaction vs [[compact]]'s major; reference: the store-file tiers
@@ -520,14 +533,7 @@ object ManifestTable {
     if (!fs.exists(dir)) return 0
     if (liveGen(spark, table).isEmpty) migrateFlatDir(spark, table) // fs metadata only
     val live = liveGen(spark, table).getOrElse(return 0)
-    // the live snapshot's files with sizes: live-dir data files as
-    // "<live>/<name>", plus carried-forward retained refs verbatim
-    val inDir = fs.listStatus(new Path(dir, live))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s"$live/${s.getPath.getName}", s.getLen)).toSeq
-    val carried = retainedRelFs(fs, dir, live)
-      .map(r => (r, fs.getFileStatus(new Path(dir, r)).getLen))
-    val (small, big) = (inDir ++ carried).partition(_._2 < smallBytes)
+    val (small, big) = snapshotFiles(fs, dir, live).partition(_._2 < smallBytes)
     if (small.length < 2) return 0
     val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
     val nOut = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt

@@ -121,4 +121,48 @@ class ConcurrencySpec extends SparkSpec {
       ("full", () => fullRead(), fullBase),
       ("probe", () => probeRead(), probeBase))): Unit
   }
+
+  test("ingest loop under live readers: appends + minor compactions + a " +
+      "major fold; filtered reads over the stable subset stay exact") {
+    val table = tmp("graft_conc_minor") + "/t"
+    val base = spark.range(20000).select($"id", ($"id" * 7 % 101).as("v"))
+    ManifestTable.write(base.coalesce(1), table)
+    val bigLen = {
+      val gen = new java.io.File(ManifestTable.resolve(spark, table))
+      gen.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).max
+    }
+    // readers aggregate the STABLE id range only, so the observation is
+    // invariant under the maintainer's appends (ids >= 10^6) — this storm
+    // races reads against APPEND + MINOR COMPACT + MAJOR FOLD all at once
+    def readOnce() = cntSum(ManifestTable.read(spark, table)
+      .where($"id" < 1000000L))
+    val baseline = readOnce()
+    readOnce(): Unit // warm
+    val sawRetains = new AtomicBoolean(false)
+    val appended = new AtomicInteger(0)
+    val maintainer = new Thread(() => {
+      (0 until 6).foreach { i =>
+        ManifestTable.append(
+          Seq.tabulate(5)(j => (1000000L + i * 10 + j, 0L)).toDF("id", "v"),
+          table)
+        appended.addAndGet(5)
+        // debris (appends + last merged file) merges; the base file is
+        // retained by reference every cycle
+        ManifestTable.minorCompact(spark, table, smallBytes = bigLen)
+        if (new java.io.File(
+            ManifestTable.resolve(spark, table), "_RETAINS").exists())
+          sawRetains.set(true)
+        if (i == 3) ManifestTable.compact(spark, table, targetFiles = 2)
+        Thread.sleep(150)
+      }
+    })
+    storm(maintainer, Seq(
+      ("stable-a", () => readOnce(), baseline),
+      ("stable-b", () => readOnce(), baseline))): Unit
+    assert(sawRetains.get(), "the storm never exercised a retained reference")
+    // post-storm: the full snapshot is base + every appended row, exactly
+    val (n, _) = cntSum(ManifestTable.read(spark, table))
+    assert(n == 20000L + appended.get(),
+      s"post-storm count $n != ${20000 + appended.get()}")
+  }
 }

@@ -1191,4 +1191,59 @@ class LifecycleSpec extends SparkSpec {
       "a committed tag must survive minor compaction")
     assert(multiset(readLayout(root, "bucket")) == before)
   }
+
+  test("layoutReport + autoMaintain: the maintenance scheduler — minor when " +
+      "debris accumulates, major when the tier degenerates, no-op when " +
+      "tight; reads exact throughout") {
+    val root = tmp("graft_automaint") + "/layout"
+    val base = spark.range(40000)
+      .select($"id", ($"id" % 4).cast("string").as("bucket"),
+        md5($"id".cast("string")).as("v"))
+    base.repartition(col("bucket")).write.partitionBy("bucket").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    val thresh = (0 to 3).map { b =>
+      onlyParquet(Compaction.resolveLeafDirs(
+        spark, root, "bucket", Seq(b)).head).length
+    }.min
+    (1 to 4).foreach { t =>
+      Compaction.appendPartitions((1 to 8).map(i =>
+        (1000000L * t + i, (i % 4).toString, s"t$t-$i"))
+        .toDF("id", "bucket", "v"), root, "bucket", None)
+    }
+    val before = multiset(readLayout(root, "bucket"))
+
+    // report: 1 big + 4 debris per leaf, nothing retained yet
+    val rep = Compaction.layoutReport(spark, root, smallBytes = thresh)
+    assert(rep.length == 4)
+    rep.foreach { r =>
+      assert(r.liveFiles == 5 && r.debrisFiles == 4 && r.retainedFiles == 0,
+        s"unexpected pre-maintenance stat: $r")
+    }
+
+    // policy pass 1: every leaf has >= 4 debris files -> MINOR everywhere
+    assert(Compaction.autoMaintain(spark, root, smallBytes = thresh,
+      minorAt = 4, majorAt = 16) == (4, 0))
+    assert(multiset(readLayout(root, "bucket")) == before)
+    Compaction.layoutReport(spark, root, smallBytes = thresh).foreach { r =>
+      assert(r.liveFiles == 2 && r.retainedFiles == 1,
+        s"post-minor stat: $r")
+    }
+
+    // policy pass 2: tight layout -> NOTHING to do (idempotent, cheap)
+    assert(Compaction.autoMaintain(spark, root, smallBytes = thresh,
+      minorAt = 4, majorAt = 16) == (0, 0))
+
+    // policy pass 3: force the degenerate tier -> MAJOR fold everywhere
+    Compaction.appendPartitions((1 to 8).map(i =>
+      (9000000L + i, (i % 4).toString, s"z$i")).toDF("id", "bucket", "v"),
+      root, "bucket", None)
+    val before2 = multiset(readLayout(root, "bucket"))
+    assert(Compaction.autoMaintain(spark, root, smallBytes = thresh,
+      minorAt = 9, majorAt = 2, targetFiles = 1) == (0, 4))
+    assert(multiset(readLayout(root, "bucket")) == before2)
+    Compaction.layoutReport(spark, root, smallBytes = thresh).foreach { r =>
+      assert(r.liveFiles == 1 && r.retainedFiles == 0,
+        s"post-major stat: $r — references must fold back")
+    }
+  }
 }
