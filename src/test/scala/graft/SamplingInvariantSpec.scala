@@ -225,7 +225,7 @@ class SamplingInvariantSpec extends SparkSpec {
         if (rng.nextInt(2) == 0) append() // blind immediate retry
         ingested ++= tagged.where(col("b") === b)
           .select(col("id")).collect().map(_.getLong(0))
-        rng.nextInt(4) match {
+        rng.nextInt(6) match {
           case 0 => TextOps.compactBm25Index(spark, path, targetFiles = 2): Unit
           case 1 =>
             val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
@@ -235,6 +235,15 @@ class SamplingInvariantSpec extends SparkSpec {
             }
           case 2 => Compaction.vacuumPartitions(spark, path + "/postings",
             keepPrevious = false): Unit
+          // size-tiered MINOR merge at a random threshold: sometimes a
+          // partial merge that leaves retained references, sometimes a
+          // full fold — either way the law must hold
+          case 3 => Compaction.minorCompactPartitions(spark,
+            path + "/postings",
+            smallBytes = Seq(1200L, 2500L, 1L << 20)(rng.nextInt(3))): Unit
+          case 4 => Compaction.autoMaintain(spark, path + "/postings",
+            smallBytes = 2500L, minorAt = 2, majorAt = 6,
+            targetFiles = 2): Unit
           case _ => ()
         }
         if (rng.nextInt(3) == 0) append() // late retry: must no-op on the tag
@@ -289,7 +298,7 @@ class SamplingInvariantSpec extends SparkSpec {
         if (rng.nextInt(2) == 0) append()
         ingested ++= tagged.where(col("b") === b)
           .select(col("id")).collect().map(_.getLong(0))
-        rng.nextInt(4) match {
+        rng.nextInt(6) match {
           case 0 => Similarity.compactIvfCorpus(spark, path, targetFiles = 2): Unit
           case 1 =>
             val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
@@ -300,6 +309,10 @@ class SamplingInvariantSpec extends SparkSpec {
             }
           case 2 => Compaction.vacuumPartitions(spark, path,
             keepPrevious = false): Unit
+          case 3 => Compaction.minorCompactPartitions(spark, path,
+            smallBytes = Seq(1200L, 2500L, 1L << 20)(rng.nextInt(3))): Unit
+          case 4 => Compaction.autoMaintain(spark, path, smallBytes = 2500L,
+            minorAt = 2, majorAt = 6, targetFiles = 2): Unit
           case _ => ()
         }
         if (rng.nextInt(3) == 0) append()
@@ -345,7 +358,7 @@ class SamplingInvariantSpec extends SparkSpec {
         if (rng.nextInt(2) == 0) append()
         ingested ++= tagged.where(col("b") === b)
           .select(col("id")).collect().map(_.getLong(0))
-        rng.nextInt(4) match {
+        rng.nextInt(6) match {
           case 0 => Similarity.compactBucketedCorpus(spark, path,
             targetFiles = 2): Unit
           case 1 =>
@@ -357,6 +370,10 @@ class SamplingInvariantSpec extends SparkSpec {
             }
           case 2 => Compaction.vacuumPartitions(spark, path,
             keepPrevious = false): Unit
+          case 3 => Compaction.minorCompactPartitions(spark, path,
+            smallBytes = Seq(1200L, 2500L, 1L << 20)(rng.nextInt(3))): Unit
+          case 4 => Compaction.autoMaintain(spark, path, smallBytes = 2500L,
+            minorAt = 2, majorAt = 6, targetFiles = 2): Unit
           case _ => ()
         }
         if (rng.nextInt(3) == 0) append()
