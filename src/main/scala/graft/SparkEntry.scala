@@ -3618,6 +3618,40 @@ object SparkEntry {
         .toDF("n_leaves", "all_minored", "max_files_after", "retained_after")
         .crossJoin(graft.store.Compaction.readPartitioned(s, posts, "bucket")
           .get.agg(count(lit(1)).as("n_postings")))
+    }),
+
+    // --- layout FSCK: crash debris is manufactured on EVERY posting leaf
+    //     (lost MANIFEST + a half-written orphan generation + a dead stage
+    //     dir); fsckPartitions heals the pointers durably and sweeps the
+    //     debris, and the probe over the healed index must still match
+    //     q90's from-scratch SQL — with the heal/sweep counts riding along
+    //     as columns (one heal and one sweep per occupied leaf) ----------
+    "q241_layout_fsck" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q241_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", path)
+      TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", path, batchId = Some("day-1"))
+      val posts = path + "/postings"
+      new java.io.File(posts).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+        .foreach { leaf =>
+          new java.io.File(leaf, "MANIFEST").delete(): Unit
+          new java.io.File(leaf, "gen-000000097/_temporary").mkdirs(): Unit
+          new java.io.File(leaf, ".stage-dead").mkdirs(): Unit
+        }
+      new java.io.File(posts, ".stage-dead").mkdirs(): Unit
+      val stats = graft.store.Compaction.fsckPartitions(s, posts)
+      import s.implicits._
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+        .crossJoin(Seq((stats.count(_.healedManifest).toLong,
+            stats.map(_.sweptOrphans).sum.toLong,
+            stats.forall(_.ok)))
+          .toDF("healed_manifests", "swept_orphans", "all_ok"))
     })
   )
 
@@ -3767,6 +3801,21 @@ object SparkEntry {
         |  cast(1 as bigint) AS max_files_after,
         |  cast(0 as bigint) AS retained_after,
         |  (SELECT count(*) FROM g) AS n_postings""".stripMargin,
+
+    // q90's probe SQL wrapped with the heal/sweep constants: one healed
+    // MANIFEST and one swept orphan per occupied term bucket.
+    "q241_layout_fsck" ->
+      s"""WITH p AS ($bm25FullScratchSql),
+        |terms AS (
+        |  SELECT DISTINCT unnest(list_filter(
+        |    string_split(lower(text), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |b AS (SELECT DISTINCT
+        |        ('0x' || substr(md5(term), 1, 15))::BIGINT % 64 AS bucket
+        |      FROM terms)
+        |SELECT p.*, (SELECT count(*) FROM b) AS healed_manifests,
+        |  (SELECT count(*) FROM b) AS swept_orphans, TRUE AS all_ok
+        |FROM p""".stripMargin,
 
     "q218_embedding_drift" ->
       """WITH g AS (

@@ -386,6 +386,23 @@ object Compaction {
           debris.map(_._2).sum, 0)
     }
 
+  /** [[ManifestTable.fsck]] over every leaf plus the root-level stage-dir
+    * sweep — run after any suspected crash to make the crash-heal fallback
+    * durable, sweep orphaned generations/stages/tmp files, and surface
+    * unhealable damage (missing retained files) across the layout in one
+    * report. Single-maintainer op. */
+  def fsckPartitions(spark: SparkSession, root: String)
+      : Seq[ManifestTable.FsckStat] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".stage-"))
+      .foreach(fs.delete(_, true))
+    pooledMap(leafDirs(fs, rootPath))(p =>
+      ManifestTable.fsck(spark, p.toString))
+  }
+
   /** Migrate every flat leaf of a freshly-written layout to the manifest
     * shape — pure fs metadata ([[ManifestTable.migrateFlatDir]]), called by
     * the layout writers right after their partitioned overwrite so the

@@ -547,6 +547,80 @@ object ManifestTable {
     small.length
   }
 
+  /** One table's structural-fsck outcome — see [[fsck]]. `missingRetained`
+    * is the one UNHEALABLE class (a referenced data file is gone: bytes
+    * lost, surface it loudly instead of letting the next scan die);
+    * `legacyFlat` flags a pre-manifest layout (migration available, not
+    * damage). */
+  final case class FsckStat(table: String, healedManifest: Boolean,
+      sweptOrphans: Int, sweptStages: Int, sweptTmpFiles: Int,
+      missingRetained: Int, legacyFlat: Boolean) {
+    def ok: Boolean = missingRetained == 0
+  }
+
+  /**
+   * Structural fsck — verify and heal the MANIFEST machinery itself, the
+   * layout-level twin of content repairs like
+   * [[graft.ops.Dedup.repairNearDupIndex]]. Heals what a crash can break
+   * and reports what it cannot:
+   *
+   *  - MANIFEST missing or pointing at a missing generation → re-commit
+   *    the newest complete generation (makes the resolver's in-memory
+   *    crash-heal fallback DURABLE); a manifest with no generations at
+   *    all is deleted (the table is flat or empty).
+   *  - Orphaned generations NEWER than live (written, never committed —
+   *    a crash before the swap) → swept.
+   *  - Dead stage dirs and MANIFEST/TAGS tmp files → swept.
+   *  - Live or undo-window `_RETAINS` referencing a missing file →
+   *    REPORTED (`missingRetained`), never healed silently: those bytes
+   *    are gone and the caller must restore or rebuild.
+   *
+   * Read-only beyond those heals — funded-out old generations are
+   * [[vacuum]]'s job, not fsck's. Single-maintainer op like every other
+   * write verb.
+   */
+  def fsck(spark: SparkSession, table: String): FsckStat = {
+    val (fs, dir) = fsOf(spark, table)
+    if (!fs.exists(dir))
+      return FsckStat(table, healedManifest = false, 0, 0, 0, 0, legacyFlat = false)
+    val gens = genDirs(fs, dir)
+    val mf = new Path(dir, ManifestName)
+    val pointed =
+      if (!fs.exists(mf)) None
+      else {
+        val in = fs.open(mf)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().next().trim)
+        finally in.close()
+      }
+    val pointedValid = pointed.exists(g =>
+      g.startsWith(GenPrefix) && fs.exists(new Path(dir, g)))
+    // a generation still holding Spark's _temporary dir died mid-write (a
+    // double crash: the write AND the later commit) — never commit it
+    val complete = gens.filterNot(g =>
+      fs.exists(new Path(new Path(dir, g), "_temporary")))
+    val healed =
+      if (pointedValid) false
+      else if (complete.nonEmpty) { commit(fs, dir, complete.last); true }
+      else if (pointed.isDefined) { fs.delete(mf, false); true }
+      else false
+    val live = liveGen(spark, table)
+    val orphans = live.map(l => gens.filter(_ > l)).getOrElse(Nil)
+    orphans.foreach(g => fs.delete(new Path(dir, g), true))
+    val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(StagePrefix))
+    stages.foreach(fs.delete(_, true))
+    val tmps = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+      .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
+        p.getName.startsWith(TagsName + ".tmp-"))
+    tmps.foreach(fs.delete(_, false))
+    val missing = (live.toSeq ++ previousGen(spark, table))
+      .flatMap(g => retainedRelFs(fs, dir, g))
+      .count(r => !fs.exists(new Path(dir, r)))
+    FsckStat(table, healed, orphans.length, stages.length, tmps.length,
+      missing, legacyFlat = live.isEmpty)
+  }
+
   /**
    * Standalone garbage collection — reclaim disk WITHOUT a data rewrite:
    * retire generations the keep-one-back discipline no longer funds plus

@@ -1192,6 +1192,74 @@ class LifecycleSpec extends SparkSpec {
     assert(multiset(readLayout(root, "bucket")) == before)
   }
 
+  test("fsck: makes the lost-MANIFEST heal durable, sweeps orphaned " +
+      "generations/stages/tmp debris, reports missing retained files " +
+      "unhealed; idempotent; partitioned twin heals a damaged layout") {
+    val t = tmp("graft_fsck") + "/t"
+    val big = spark.range(50000)
+      .select($"id", md5($"id".cast("string")).as("v"))
+    ManifestTable.write(big.coalesce(1), t)
+    val bigLen = onlyParquet(ManifestTable.resolve(spark, t)).length
+    ManifestTable.append(Seq((9000001L, "a")).toDF("id", "v"), t)
+    ManifestTable.append(Seq((9000002L, "b")).toDF("id", "v"), t)
+    assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) == 2)
+    val baseline = multiset(ManifestTable.read(spark, t))
+
+    // case A: lost MANIFEST (the crash window inside commit). The runtime
+    // fallback already reads correctly; fsck makes it DURABLE again.
+    assert(new java.io.File(t, "MANIFEST").delete())
+    val a = ManifestTable.fsck(spark, t)
+    assert(a.healedManifest && a.ok && !a.legacyFlat, a.toString)
+    assert(new java.io.File(t, "MANIFEST").exists, "heal must rewrite MANIFEST")
+    assert(multiset(ManifestTable.read(spark, t)) == baseline)
+
+    // case B: crash debris with an intact MANIFEST — a committed-but-
+    // orphaned newer generation, a half-written one (_temporary inside),
+    // a dead stage dir, a commit tmp file. All swept, reads unchanged.
+    val dir = new java.io.File(t)
+    assert(new java.io.File(dir, "gen-000000099").mkdirs())
+    assert(new java.io.File(dir, "gen-000000098/_temporary").mkdirs())
+    assert(new java.io.File(dir, ".stage-dead").mkdirs())
+    assert(new java.io.File(dir, "MANIFEST.tmp-x").createNewFile())
+    val b = ManifestTable.fsck(spark, t)
+    assert(!b.healedManifest && b.sweptOrphans == 2 && b.sweptStages == 1 &&
+      b.sweptTmpFiles == 1 && b.ok, b.toString)
+    assert(multiset(ManifestTable.read(spark, t)) == baseline)
+    val c = ManifestTable.fsck(spark, t) // idempotent: nothing left to do
+    assert(!c.healedManifest && c.sweptOrphans == 0 && c.sweptStages == 0 &&
+      c.sweptTmpFiles == 0 && c.ok, c.toString)
+
+    // case C: a retained data file is GONE — unhealable, reported loudly
+    val retainedRel = {
+      val src = scala.io.Source.fromFile(
+        new java.io.File(ManifestTable.resolve(spark, t), "_RETAINS"))
+      try src.getLines().next().trim finally src.close()
+    }
+    assert(new java.io.File(t, retainedRel).delete())
+    val d = ManifestTable.fsck(spark, t)
+    assert(d.missingRetained == 1 && !d.ok,
+      s"missing retained file must be reported: $d")
+
+    // partitioned twin: damage two leaves of a layout, fsck the root,
+    // probes and full reads come back exact
+    val root = tmp("graft_fsck_part") + "/layout"
+    spark.range(4000)
+      .select($"id", ($"id" % 4).cast("string").as("bucket"),
+        ($"id" * 3 % 97).as("w"))
+      .repartition(col("bucket")).write.partitionBy("bucket").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    val before = multiset(readLayout(root, "bucket"))
+    assert(new java.io.File(root + "/bucket=1", "MANIFEST").delete())
+    assert(new java.io.File(root + "/bucket=2", "gen-000000077").mkdirs())
+    assert(new java.io.File(root, ".stage-dead").mkdirs())
+    val stats = Compaction.fsckPartitions(spark, root)
+    assert(stats.length == 4 && stats.forall(_.ok))
+    assert(stats.count(_.healedManifest) == 1 &&
+      stats.map(_.sweptOrphans).sum == 1, stats.mkString("; "))
+    assert(!new java.io.File(root, ".stage-dead").exists)
+    assert(multiset(readLayout(root, "bucket")) == before)
+  }
+
   test("layoutReport + autoMaintain: the maintenance scheduler — minor when " +
       "debris accumulates, major when the tier degenerates, no-op when " +
       "tight; reads exact throughout") {
