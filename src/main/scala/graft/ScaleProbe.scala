@@ -188,7 +188,14 @@ object ScaleProbe {
     "q232_bm25_daily_loop", // append+compact+vacuum x2 + manifest-read probe
     "q233_stream_bm25_ingest", // epoch-tagged BM25 stream ingest + replay
     "q234_stream_ivf_ingest",  // epoch-tagged IVF stream ingest + audit
-    "q235_ivf_retrain")     // blue/green re-cluster + new-centroid probe
+    "q235_ivf_retrain",     // blue/green re-cluster + new-centroid probe
+    "q236_pair_undo",       // prune + previous-generation threshold curve
+    "q237_stream_pair_ingest", // epoch-tagged pair stream ingest + replay
+    "q238_ivf_undo",        // takedown + previous-generation ANN probe
+    "q239_minor_compact",   // size-tiered debris merge + manifest-read probe
+    "q240_auto_maintain",   // fs-metadata planner + policy pass + full read
+    "q241_layout_fsck",     // per-leaf heal/sweep + manifest-read probe
+    "q242_stream_maintained") // stream ingest + in-loop autoMaintain + replay
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -3652,6 +3652,36 @@ object SparkEntry {
             stats.map(_.sweptOrphans).sum.toLong,
             stats.forall(_.ok)))
           .toDF("healed_manifests", "swept_orphans", "all_ok"))
+    }),
+
+    // --- the FULL production loop in one verb chain: exactly-once
+    //     streaming ingest with IN-LOOP scheduled maintenance (autoMaintain
+    //     after every epoch, inside foreachBatch where the single-
+    //     maintainer contract holds by construction), then a FULL REPLAY —
+    //     the replay must no-op on commit tags even though maintenance
+    //     folded the tagged files into anonymous generations. Probe = q90's
+    //     SQL verbatim: stream + maintenance + replay, indistinguishable
+    //     from a from-scratch build ---------------------------------------
+    "q242_stream_maintained" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q242_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(
+        docs.where(col("source") =!= "src0" && col("source") =!= "src1"),
+        "doc_id", "text", path)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoBm25Index(
+        graft.streaming.Streaming.docsReplay(s, dir, 2)
+          .where(col("source") === "src0" || col("source") === "src1")
+          .select(col("doc_id"), col("text")),
+        path, "doc_id", "text",
+        afterBatch = _ => graft.store.Compaction.autoMaintain(
+          s, path + "/postings", smallBytes = Long.MaxValue,
+          minorAt = 2, majorAt = 64): Unit).awaitTermination()
+      run()
+      run() // full replay across the MAINTAINED layout: tags still no-op
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
     })
   )
 
@@ -3781,6 +3811,7 @@ object SparkEntry {
     // q217 is q90's SQL verbatim; q239 (minor-compacted index) likewise.
     "q217_bm25_append" -> bm25FullScratchSql,
     "q239_minor_compact" -> bm25FullScratchSql,
+    "q242_stream_maintained" -> bm25FullScratchSql,
 
     // Occupied-leaf count replayed from the term -> md5-60-bit -> %64
     // bucket function (q87's hex idiom); every occupied leaf must take

@@ -251,15 +251,27 @@ object Streaming {
    * query restarted. The layout must exist ([[graft.ops.TextOps.writeBm25Index]]
    * the base corpus first); `tagPrefix` namespaces epochs as in
    * [[ingestIntoNearDupIndex]].
+   *
+   * `afterBatch` is the in-loop MAINTENANCE hook, invoked with the epoch id
+   * after that epoch's append has fully committed — the natural place for
+   * [[graft.store.Compaction.autoMaintain]] / `minorCompactPartitions`:
+   * foreachBatch serializes epochs, so the single-maintainer contract holds
+   * by construction, and the epoch's commit TAG lands before maintenance
+   * folds its files (a later replay still no-ops on the tag — commit
+   * markers live at the layout root, untouched by leaf rewrites). The hook
+   * re-runs when an epoch replays, so it must be multiset-preserving (every
+   * graft maintenance verb is).
    */
   def ingestIntoBm25Index(stream: DataFrame, path: String, idCol: String,
-      textCol: String, nBuckets: Int = 64, tagPrefix: String = "stream"):
+      textCol: String, nBuckets: Int = 64, tagPrefix: String = "stream",
+      afterBatch: Long => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.ops.TextOps.appendBm25Index(batch.toDF(), idCol, textCol, path,
           nBuckets, batchId = Some(s"$tagPrefix-$id"))
+        afterBatch(id)
         ()
       }
       .trigger(Trigger.AvailableNow())

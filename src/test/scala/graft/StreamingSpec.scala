@@ -808,6 +808,54 @@ class StreamingSpec extends SparkSpec {
     assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
   }
 
+  test("ingestIntoBm25Index with IN-LOOP maintenance (afterBatch " +
+      "autoMaintain): tags survive the folds, a full replay appends " +
+      "nothing, probe equals the from-scratch build") {
+    import graft.ops.TextOps
+    import graft.store.{Compaction, ManifestTable}
+    import spark.implicits._
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.toVector).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"))
+      .toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_smbm25").toString
+    val path = root + "/bm25"
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    val maintained = new java.util.concurrent.atomic.AtomicInteger(0)
+    def run(): Unit = Streaming.ingestIntoBm25Index(
+      stagedStream(root, Seq(docs.where(col("id") === 3),
+        docs.where(col("id") === 4))),
+      path, "id", "text", nBuckets = 4,
+      afterBatch = _ => maintained.addAndGet(Compaction.autoMaintain(
+        spark, path + "/postings", smallBytes = Long.MaxValue,
+        minorAt = 2, majorAt = 64)._1): Unit).awaitTermination()
+    run()
+    assert(maintained.get() > 0, "in-loop maintenance never ran")
+    val posts = multiset(Compaction.readPartitioned(spark,
+      path + "/postings", "bucket").get)
+    val members = multiset(ManifestTable.read(spark, path + "/docs"))
+    val q = Seq("spark", "window", "merge")
+    val fresh = root + "/fresh"
+    TextOps.writeBm25Index(docs, "id", "text", fresh, nBuckets = 4)
+    assert(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)
+        .collect().toSeq ==
+      TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)
+        .collect().toSeq,
+      "maintained streamed index must score like the from-scratch build")
+    // the replay's epochs were committed BEFORE maintenance folded their
+    // tagged files into anonymous generations — the tags must still
+    // short-circuit (this is the property a naive file-sweep check loses)
+    run()
+    assert(multiset(Compaction.readPartitioned(spark,
+      path + "/postings", "bucket").get) == posts,
+      "replay across the maintained layout appended postings")
+    assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
+  }
+
   test("ingestIntoPairs: exactly-once across a FULL stream replay — " +
       "pair table scratch-equal to a single mine of the union; replay " +
       "appends nothing to pairs or postings") {
