@@ -25,10 +25,14 @@ final class GraftCatalog {
   def tableNames: Seq[String] = tables.keys.toSeq
 
   /** Read a registered table (empty frame with the declared schema when the
-    * path does not exist yet — a just-registered, never-written table). */
+    * path does not exist yet — a just-registered, never-written table).
+    * Layout-aware: a path under [[graft.store.ManifestTable]] management
+    * resolves through its live snapshot (a flat read of such a table would
+    * choke on the MANIFEST pointer or double-count two generations). */
   def table(spark: SparkSession, name: String): DataFrame = {
     val (tdef, p) = tables(name)
-    try spark.read.schema(tdef.schema).parquet(p)
+    try spark.read.schema(tdef.schema)
+      .parquet(graft.store.ManifestTable.resolvePaths(spark, p): _*)
     catch { case _: Exception => tdef.empty(spark) }
   }
 
@@ -42,7 +46,9 @@ final class GraftCatalog {
     * tables that match (or don't exist yet) emit nothing. */
   def alterAllScript(spark: SparkSession): String =
     tables.values.flatMap { case (t, p) =>
-      val stored = try Some(spark.read.parquet(p).schema) catch { case _: Exception => None }
+      val stored = try Some(spark.read.parquet(
+          graft.store.ManifestTable.resolvePaths(spark, p): _*).schema)
+        catch { case _: Exception => None }
       stored.filter(_ != t.schema).map(t.alterScript)
     }.filter(_.nonEmpty).mkString(";\n")
 

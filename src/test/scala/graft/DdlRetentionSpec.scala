@@ -70,6 +70,37 @@ class DdlRetentionSpec extends SparkSpec {
       "DROP TABLE IF EXISTS cat_a;\nDROP TABLE IF EXISTS cat_b")
   }
 
+  test("catalog reads are layout-aware: a registered path under " +
+      "ManifestTable management resolves to the live snapshot (never a " +
+      "flat root scan over MANIFEST + two generations)") {
+    import graft.schema.GraftCatalog
+    import graft.store.ManifestTable
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cat_mani").toString
+    val cat = new GraftCatalog
+    cat.register(TableDef("cat_m").col("meta", "title", StringType), s"$dir/m")
+    import org.apache.spark.sql.functions.{col, struct}
+    def rowsOf(kv: (String, String)*) = kv.toSeq.toDF("key", "t")
+      .select(col("key"), struct(col("t").as("title")).as("meta"))
+    ManifestTable.write(rowsOf("r1" -> "t1", "r2" -> "t2"), s"$dir/m")
+    ManifestTable.append(rowsOf("r3" -> "t3"), s"$dir/m")
+    // force TWO coexisting generations (keep-one-back) + a MANIFEST pointer
+    ManifestTable.compact(spark, s"$dir/m", targetFiles = 1)
+    assert(ManifestTable.generations(spark, s"$dir/m").size == 2)
+    val got = cat.table(spark, "cat_m").select("key").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("r1", "r2", "r3"),
+      s"catalog read must be the live snapshot, got $got")
+    // minor compaction (retained reference) stays invisible too
+    ManifestTable.append(rowsOf("r4" -> "t4"), s"$dir/m")
+    ManifestTable.append(rowsOf("r5" -> "t5"), s"$dir/m")
+    assert(ManifestTable.minorCompact(spark, s"$dir/m",
+      smallBytes = 1L << 20) >= 2)
+    val got2 = cat.table(spark, "cat_m").select("key").collect()
+      .map(_.getString(0)).sorted.toSeq
+    assert(got2 == Seq("r1", "r2", "r3", "r4", "r5"))
+  }
+
   test("TTL sweep: cell-level expiry on timestamped dynamic families, row-level on fixed") {
     def ts(s: String) = Timestamp.valueOf(s)
     val t = tableWithTtl
