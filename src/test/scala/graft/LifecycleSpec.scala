@@ -1260,6 +1260,55 @@ class LifecycleSpec extends SparkSpec {
     assert(multiset(readLayout(root, "bucket")) == before)
   }
 
+  test("minor compaction cost law: across a 12-cycle append+maintain loop, " +
+      "bytes REWRITTEN per cycle track the debris (bounded), not the table " +
+      "(growing) — the O(debris) economics, measured in actual bytes") {
+    val t = tmp("graft_minor_cost") + "/t"
+    val base = spark.range(120000)
+      .select($"id", md5($"id".cast("string")).as("v"))
+    ManifestTable.write(base.coalesce(1), t)
+    val baseLen = onlyParquet(ManifestTable.resolve(spark, t)).length
+    def genBytes(gen: String): Long = {
+      val d = new java.io.File(t, gen)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }
+    var written = Vector.empty[Long]
+    var expected = 120000L
+    // seed one debris file so every cycle merges (merged-history + batch)
+    ManifestTable.append(spark.range(200)
+      .select(($"id" + 999000000L).as("id"),
+        md5($"id".cast("string")).as("v")).coalesce(1), t)
+    expected += 200
+    (1 to 12).foreach { i =>
+      val batch = spark.range(200).select(($"id" + i * 1000000L).as("id"),
+        md5($"id".cast("string")).as("v"))
+      ManifestTable.append(batch.coalesce(1), t)
+      expected += 200
+      assert(ManifestTable.minorCompact(spark, t, smallBytes = baseLen) == 2,
+        s"cycle $i: merged file + new batch file should merge")
+      // bytes rewritten this cycle = the new generation's own files
+      // (retained files are references, zero bytes copied)
+      written :+= genBytes(ManifestTable.liveGen(spark, t).get)
+      ManifestTable.vacuum(spark, t, keepPrevious = false): Unit
+    }
+    assert(ManifestTable.read(spark, t).count() == expected)
+    // the rewrite bill grows with accumulated DEBRIS (200 rows/cycle since
+    // the base never merges), never jumps to the table's scale: the final
+    // cycle rewrote 12 batches' worth, a small fraction of the base file
+    assert(written.last < baseLen / 10,
+      s"cycle-12 rewrite ${written.last}B should be << base $baseLen" +
+        "B — minor compaction must never rewrite the retained base")
+    // monotone-ish debris growth sanity: later cycles rewrite more than the
+    // first (they carry more merged history) but stay in debris territory
+    assert(written.last >= written.head,
+      s"debris accounting broken: $written")
+    // and the base file was never rewritten across all 12 cycles
+    assert(ManifestTable.dataFileCount(spark, t) == 2,
+      "live snapshot must stay merged-file + retained base")
+  }
+
   test("layoutReport + autoMaintain: the maintenance scheduler — minor when " +
       "debris accumulates, major when the tier degenerates, no-op when " +
       "tight; reads exact throughout") {
