@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Leaf-count scaling probe for layout-wide MINOR compaction
+ * ([[graft.store.Compaction.minorCompactPartitions]]): constant total debris
+ * (200k rows across 2 append batches) spread over 64 → 256 → 1024 leaves,
+ * timing the layout-wide merge. The data cost is constant by construction,
+ * so wall-time growth across steps is pure orchestration: a per-leaf Spark
+ * job submission scales linearly in leaf count (the driver-bottleneck
+ * pattern the 100 TB rule bans — 1024 leaves = 1024 tiny jobs), while a
+ * batched merge (one job stages every leaf's debris, per-leaf work reduced
+ * to fs metadata on a pool) should hold roughly flat. Also times
+ * [[graft.store.Compaction.autoMaintain]] on the already-tight layout — the
+ * no-op decision pass must cost one pooled listing, nothing else.
+ * Run: `sbt "runMain graft.MaintainScaleProbe"`; numbers recorded in PERF.md.
+ */
+object MaintainScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-maintain-scale-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val totalRows = 100000L
+      val results = Seq(64, 256, 1024).map { leaves =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_mntscale_$leaves").toString + "/layout"
+        def batch(shift: Long) = spark.range(totalRows)
+          .select((col("id") + shift).as("id"),
+            (col("id") % leaves).cast("string").as("leaf"),
+            md5(col("id").cast("string")).as("payload"))
+        graft.store.Compaction.appendPartitions(batch(0), root, "leaf"): Unit
+        graft.store.Compaction.appendPartitions(
+          batch(10000000L), root, "leaf"): Unit
+        val t0 = System.nanoTime()
+        val merged = graft.store.Compaction.minorCompactPartitions(
+          spark, root, smallBytes = 1L << 30)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        graft.store.Compaction.autoMaintain(spark, root,
+          smallBytes = 1L << 30, minorAt = 4): Unit // tight: pure decision
+        val noop = (System.nanoTime() - t1) / 1e9
+        (leaves, math.rint(sec * 1000) / 1000, merged,
+          math.rint(noop * 1000) / 1000)
+      }
+      val qs = results.map { case (l, s, m, n) =>
+        s""""leaves_$l":$s,"merged_$l":$m,"noop_$l":$n""" }.mkString(",")
+      println(s"""{"metric":"minor_compact_wall_sec","unit":"sec",""" +
+        s""""rows":$totalRows,$qs}""")
+    } finally spark.stop()
+  }
+}

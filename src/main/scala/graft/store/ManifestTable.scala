@@ -169,9 +169,21 @@ object ManifestTable {
           "evolve the schema through a rewrite (write, or compact with a " +
           "transform), not an append."))
 
+  // one hadoop conf per session: `sessionState.newHadoopConf()` CLONES the
+  // full configuration on every call (~ms) — at thousands of per-leaf
+  // metadata ops per maintenance pass the clones dominate wall time
+  // (MaintainScaleProbe). Hadoop-conf changes made mid-session after the
+  // first graft metadata op are not picked up; set them before.
+  private val confCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, org.apache.hadoop.conf.Configuration]()
+
+  private[store] def cachedConf(spark: SparkSession)
+      : org.apache.hadoop.conf.Configuration =
+    confCache.computeIfAbsent(spark, s => s.sessionState.newHadoopConf())
+
   private def fsOf(spark: SparkSession, table: String): (org.apache.hadoop.fs.FileSystem, Path) = {
     val p = new Path(table)
-    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+    (p.getFileSystem(cachedConf(spark)), p)
   }
 
   private def genDirs(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[String] =
@@ -491,6 +503,27 @@ object ManifestTable {
     writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
     commit(fs, dir, next)
     retire(fs, dir, next, Some(live))
+  }
+
+  /** The next generation dir name (current max + 1) — for maintenance
+    * verbs that stage a generation OUTSIDE this object (the batched
+    * layout-wide minor compaction) and commit it here afterwards. */
+  private[store] def nextGenName(spark: SparkSession, table: String): String = {
+    val (fs, dir) = fsOf(spark, table)
+    f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+  }
+
+  /** Commit an externally-staged generation: write `_RETAINS`/`_PARENT`
+    * markers, swap the MANIFEST pointer, retire per keep-one-back. The
+    * generation dir must already be fully populated at `table/gen`. */
+  private[store] def commitStagedGen(spark: SparkSession, table: String,
+      gen: String, parent: String, retainsRel: Seq[String]): Unit = {
+    val (fs, dir) = fsOf(spark, table)
+    val genPath = new Path(dir, gen)
+    if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
+    writeMetaLines(fs, genPath, ParentName, Seq(parent))
+    commit(fs, dir, gen)
+    retire(fs, dir, gen, Some(parent))
   }
 
   /** The live snapshot's data files with sizes, as table-relative paths:
