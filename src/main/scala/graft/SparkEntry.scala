@@ -3682,6 +3682,35 @@ object SparkEntry {
       run() // full replay across the MAINTAINED layout: tags still no-op
       TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- search-index fsck: the two takedown/overwrite crash windows are
+    //     manufactured (every doc_id % 97 == 0 loses its postings while
+    //     staying a member; three ghost postings land for an id that is no
+    //     member), repairBm25Index purges the ghosts, quarantines the
+    //     under-posted members into the re-ingest worklist and rederives
+    //     stats — the repaired probe must match the from-scratch SQL over
+    //     the post-repair membership, with the repair counts riding along --
+    "q243_bm25_fsck" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q243_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs, "doc_id", "text", path)
+      graft.store.Compaction.rewritePartitions(s, path + "/postings", 4,
+        p => p.where(pmod(col("id"), lit(97L)) =!= 0L),
+        onlyIfOverTarget = false): Unit
+      import s.implicits._
+      val ghost = Seq((-1L, 3L, "spark", 1L), (-1L, 3L, "window", 1L),
+          (-1L, 3L, "merge", 1L)).toDF("id", "dl", "term", "tf")
+        .withColumn("bucket", pmod(
+          graft.functions.GraftFunctions.md5_prefix60(col("term")), lit(64L)))
+      graft.store.Compaction.appendPartitions(
+        ghost, path + "/postings", "bucket"): Unit
+      val rep = TextOps.repairBm25Index(s, path)
+      TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+        .crossJoin(rep)
     })
   )
 
@@ -3812,6 +3841,50 @@ object SparkEntry {
     "q217_bm25_append" -> bm25FullScratchSql,
     "q239_minor_compact" -> bm25FullScratchSql,
     "q242_stream_maintained" -> bm25FullScratchSql,
+
+    // q90's arithmetic over the POST-REPAIR membership: members that lost
+    // their postings (doc_id % 97 = 0 with tokens) are quarantined out;
+    // token-less members stay (they legally have no postings). Ghost
+    // purge = 3 rows, quarantine count derived from the same filter.
+    "q243_bm25_fsck" ->
+      """WITH t AS (
+        |  SELECT doc_id, toks FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |    FROM documents) z
+        |  WHERE NOT (doc_id % 97 = 0 AND len(toks) > 0)),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats),
+        |topk AS (
+        |  SELECT doc_id, count(*) AS n_terms,
+        |    round(cast(sum(qs) as double) / 1e9, 6) AS score
+        |  FROM scored GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 15)
+        |SELECT topk.*, cast(3 as bigint) AS orphan_rows,
+        |  (SELECT count(*) FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |    FROM documents) z
+        |   WHERE doc_id % 97 = 0 AND len(toks) > 0) AS quarantined_docs
+        |FROM topk""".stripMargin,
 
     // Occupied-leaf count replayed from the term -> md5-60-bit -> %64
     // bucket function (q87's hex idiom); every occupied leaf must take

@@ -845,6 +845,78 @@ object TextOps {
     swapInStagedStats(spark, path, "removeFromBm25Index")
   }
 
+  /**
+   * Consistency repair / fsck for a [[writeBm25Index]] layout — the search
+   * index's twin of [[graft.ops.Dedup.repairNearDupIndex]] (and the content
+   * complement of the structural [[graft.store.Compaction.fsckPartitions]]).
+   * The layout invariant is: `docs` is authoritative membership; every
+   * member with `dl > 0` has postings; every posting's id is a member;
+   * `stats ≡ aggregate(docs)`. A crash inside an UNTAGGED append or between
+   * [[removeFromBm25Index]]'s three rewrites can break it:
+   *
+   *  - **Orphan postings** (id posts but is no member — e.g. a crashed
+   *    overwrite left new postings against old docs): PURGED via the same
+   *    per-bucket anti-join rewrite the takedown verb uses.
+   *  - **Under-posted members** (`dl > 0` yet zero postings — e.g. a crash
+   *    after the docs append but before the postings append, or between a
+   *    takedown's postings and docs rewrites): postings cannot be rebuilt
+   *    without the text, so the member is QUARANTINED — removed from
+   *    `docs` and written to `<path>/quarantine` (a manifest table), the
+   *    caller's re-ingest worklist. Token-less members (dl = 0 or null)
+   *    legally have no postings and are untouched.
+   *  - **Stats drift / stranded `stats__staged`**: stats re-derive from the
+   *    repaired membership unconditionally (the cheap invariant).
+   *
+   * Detection is one postings id-distinct plus two broadcast anti-joins
+   * (damage sets are crash-window sized); rewrites run only when their
+   * damage class is present. Reader-concurrent like every maintenance verb;
+   * single-maintainer. Returns a one-row report
+   * `(orphan_rows, quarantined_docs)` — run pending TAGGED retries first:
+   * a tagged batch mid-retry looks exactly like the damage this verb
+   * quarantines.
+   */
+  def repairBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFiles: Int = 4): DataFrame = {
+    import graft.store.{Compaction, ManifestTable}
+    require(ManifestTable.exists(spark, path + "/docs"),
+      s"repairBm25Index needs the docs membership sidecar: $path")
+    val members = graft.Eager.materialize(
+      ManifestTable.read(spark, path + "/docs"))
+    val posted = graft.Eager.materialize(
+      Compaction.readPartitioned(spark, path + "/postings", "bucket")
+        .map(_.select(col("id")).distinct())
+        .getOrElse(members.select(col("id")).limit(0)))
+    // orphan postings: posted ids that are not members
+    val orphanIds = broadcast(graft.Eager.materialize(
+      posted.join(members.select(col("id")),Seq("id"), "left_anti")
+        .withColumnRenamed("id", "__rm_id")))
+    val orphanCount = orphanIds.count()
+    var orphanRows = 0L
+    if (orphanCount > 0) {
+      // count purged rows first (the report), then the takedown rewrite
+      orphanRows = Compaction.readPartitioned(spark, path + "/postings", "bucket")
+        .get.join(orphanIds, col("id") === col("__rm_id"), "left_semi").count()
+      Compaction.rewritePartitions(spark, path + "/postings", targetFiles,
+        p => p.join(orphanIds, p("id") === col("__rm_id"), "left_anti")): Unit
+    }
+    // under-posted members: dl > 0 yet no postings — quarantine
+    val quarantined = graft.Eager.materialize(
+      members.where(col("dl").isNotNull && col("dl") > 0)
+        .join(posted, Seq("id"), "left_anti"))
+    val qCount = quarantined.count()
+    if (qCount > 0) {
+      ManifestTable.write(quarantined, path + "/quarantine")
+      val qIds = broadcast(quarantined.select(col("id").as("__rm_id")))
+      ManifestTable.compact(spark, path + "/docs", targetFiles,
+        d => d.join(qIds, d("id") === col("__rm_id"), "left_anti"))
+    }
+    statsFromDocs(spark, path)
+      .write.mode("overwrite").parquet(path + "/stats__staged")
+    swapInStagedStats(spark, path, "repairBm25Index")
+    import spark.implicits._
+    Seq((orphanRows, qCount)).toDF("orphan_rows", "quarantined_docs")
+  }
+
   /** File-count compaction for a [[writeBm25Index]] layout — every
     * [[appendBm25Index]] lands one more small file set inside each term
     * bucket's directory, and a query's |terms|-directory pruned scan pays

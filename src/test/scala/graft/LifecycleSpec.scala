@@ -1309,6 +1309,56 @@ class LifecycleSpec extends SparkSpec {
       "live snapshot must stay merged-file + retained base")
   }
 
+  test("repairBm25Index: purges orphan postings, quarantines under-posted " +
+      "members into the re-ingest worklist, rederives stats; repaired probe " +
+      "equals the from-scratch survivor index; second repair is a no-op") {
+    import org.apache.spark.sql.functions.pmod
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark window"), (4L, "filter scan batch window"),
+      (5L, "")) // token-less: legally has no postings, must survive repair
+      .toDF("id", "text")
+    val root = tmp("graft_bm25fsck")
+    val path = root + "/bm25"
+    TextOps.writeBm25Index(docs, "id", "text", path, nBuckets = 4)
+    // damage A (crash inside removeFromBm25Index after the postings
+    // rewrite): doc 3's postings vanish while it stays a member
+    Compaction.rewritePartitions(spark, path + "/postings", 4,
+      p => p.where(col("id") =!= 3L), onlyIfOverTarget = false): Unit
+    // damage B (crashed overwrite against old docs): ghost postings for an
+    // id that is no member
+    val ghost = Seq((99L, 2L, "spark", 1L), (99L, 2L, "window", 1L))
+      .toDF("id", "dl", "term", "tf")
+      .withColumn("bucket", pmod(
+        graft.functions.GraftFunctions.md5_prefix60(col("term")), lit(4L)))
+    assert(Compaction.appendPartitions(ghost, path + "/postings", "bucket"))
+
+    val report = TextOps.repairBm25Index(spark, path).collect().head
+    assert(report.getLong(0) == 2L,
+      s"two ghost posting rows must be purged, got ${report.getLong(0)}")
+    assert(report.getLong(1) == 1L,
+      s"doc 3 must be quarantined, got ${report.getLong(1)}")
+    // the quarantine table is the re-ingest worklist
+    assert(ManifestTable.read(spark, path + "/quarantine")
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // repaired index ≡ from-scratch index of the survivors (3 gone, 5 kept)
+    val fresh = root + "/fresh"
+    TextOps.writeBm25Index(docs.where(col("id") =!= 3L), "id", "text",
+      fresh, nBuckets = 4)
+    val q = Seq("spark", "window", "merge")
+    assert(TextOps.bm25TopKFromIndex(spark, path, q, 10, nBuckets = 4)
+        .collect().toSeq ==
+      TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)
+        .collect().toSeq,
+      "repaired probe must equal the from-scratch survivor index")
+    assert(spark.read.parquet(path + "/stats").collect().map(_.toSeq).toSet ==
+      spark.read.parquet(fresh + "/stats").collect().map(_.toSeq).toSet,
+      "stats must rederive from the repaired membership")
+    // idempotent: a healthy index repairs to (0, 0) and changes nothing
+    val again = TextOps.repairBm25Index(spark, path).collect().head
+    assert(again.getLong(0) == 0L && again.getLong(1) == 0L)
+  }
+
   test("layoutReport + autoMaintain: the maintenance scheduler — minor when " +
       "debris accumulates, major when the tier degenerates, no-op when " +
       "tight; reads exact throughout") {
