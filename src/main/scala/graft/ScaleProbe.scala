@@ -196,7 +196,8 @@ object ScaleProbe {
     "q240_auto_maintain",   // fs-metadata planner + policy pass + full read
     "q241_layout_fsck",     // per-leaf heal/sweep + manifest-read probe
     "q242_stream_maintained", // stream ingest + in-loop autoMaintain + replay
-    "q243_bm25_fsck")       // manufactured damage + content repair + probe
+    "q243_bm25_fsck",       // manufactured damage + content repair + probe
+    "q244_ivf_fsck")        // misrouted-cell repair + planted-copy probe
 
   def generate(spark: SparkSession, srcDir: String, outDir: String, factor: Int): Unit = {
     def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =

@@ -3711,6 +3711,35 @@ object SparkEntry {
       TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
         .withColumnRenamed("id", "doc_id")
         .crossJoin(rep)
+    }),
+
+    // --- ANN-layout fsck: q238's seven planted copies are appended through
+    //     PERMUTED centroids (the documented pinned-assignment contract
+    //     violation) — all seven land in one wrong cell, invisible to the
+    //     probe; repairIvfCorpus re-routes them (one wrong cell rewritten,
+    //     rows re-appended under the pinned assignment) and the probe
+    //     surfaces all seven at cos 1.0 with the repair counts riding along --
+    "q244_ivf_fsck" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q244_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base, "vec_id", "embedding", path, cents)
+      Similarity.appendIvfCorpus(planted, "vec_id", "embedding", path,
+        cents.tail :+ cents.head)
+      val rep = Similarity.repairIvfCorpus(s, path, cents,
+        idCol = "vec_id", vecCol = "embedding")
+      Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
+          q, 7, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+        .crossJoin(rep)
     })
   )
 
@@ -3885,6 +3914,14 @@ object SparkEntry {
         |    FROM documents) z
         |   WHERE doc_id % 97 = 0 AND len(toks) > 0) AS quarantined_docs
         |FROM topk""".stripMargin,
+
+    // All seven misrouted copies resurface at cos 1.0 after the repair;
+    // they shared one (wrong) cell, so exactly one cell rewrites.
+    "q244_ivf_fsck" ->
+      """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos,
+        |  cast(7 as bigint) AS misrouted_rows,
+        |  cast(1 as bigint) AS cells_rewritten
+        |FROM range(7) t(i)""".stripMargin,
 
     // Occupied-leaf count replayed from the term -> md5-60-bit -> %64
     // bucket function (q87's hex idiom); every occupied leaf must take

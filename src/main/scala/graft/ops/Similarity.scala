@@ -408,6 +408,55 @@ object Similarity {
       p => p.join(rm, p(idCol) === col("__rm_id"), "left_anti"))
   }
 
+  /**
+   * Consistency repair / fsck for a [[writeIvfCorpus]] layout — the ANN
+   * twin of [[graft.ops.TextOps.repairBm25Index]] /
+   * [[graft.ops.Dedup.repairNearDupIndex]]. The layout invariant is that
+   * every row sits in the cell the PINNED centroids assign its vector to
+   * ([[cellOf]]); an append routed through different centroids (the
+   * documented contract violation) or a half-finished blue/green swap
+   * leaves MISROUTED rows — silently invisible to every probe whose
+   * `nProbe` cells don't happen to include the wrong one. Detection is one
+   * full layout scan + argmin against the broadcast centroids; repair
+   * rewrites ONLY the cells that hold misrouted rows (per-leaf manifest
+   * swaps, reader-concurrent) and re-appends the re-routed rows to their
+   * correct cells through the standard append path. Returns a one-row
+   * report `(misrouted_rows, cells_rewritten)`; idempotent — a healthy
+   * layout repairs to (0, 0) after one scan. Single-maintainer like every
+   * other write verb; run pending tagged retries first.
+   */
+  def repairIvfCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
+      cents: Array[Array[Double]], idCol: String = "id",
+      vecCol: String = "vec", targetFiles: Int = 4): DataFrame = {
+    import graft.store.{Compaction, ManifestTable}
+    val live = Compaction.readPartitioned(spark, path, "cell")
+      .getOrElse(sys.error(s"repairIvfCorpus: no cell leaves at $path"))
+    val mis = graft.Eager.materialize(
+      live.withColumn("__correct", cellOf(col(vecCol), cents))
+        .where(col("cell").cast("int") =!= col("__correct")))
+    val n = mis.count()
+    var cellsRewritten = 0L
+    if (n > 0) {
+      // purge each misrouted row from its WRONG cell only (bounded by the
+      // cell count, not the layout) ...
+      val wrongCells = mis.select(col("cell")).distinct()
+        .collect().map(_.getString(0)).toSeq
+      cellsRewritten = wrongCells.length.toLong
+      val misIds = broadcast(mis.select(col(idCol).as("__rm_id")))
+      wrongCells.foreach { c =>
+        ManifestTable.compact(spark, s"$path/cell=$c", targetFiles,
+          d => d.join(misIds, d(idCol) === col("__rm_id"), "left_anti"))
+      }
+      // ... then land the re-routed rows in their correct cells through
+      // the standard append (files go into each leaf's live generation)
+      Compaction.appendPartitions(
+        mis.select(col(idCol), col(vecCol), col("__correct").as("cell")),
+        path, "cell"): Unit
+    }
+    import spark.implicits._
+    Seq((n, cellsRewritten)).toDF("misrouted_rows", "cells_rewritten")
+  }
+
   /** Retrain-and-rebuild for a [[writeIvfCorpus]] layout — the verb the
     * drift discipline ends in: when [[ivfLayoutHealth]] /
     * [[embeddingDrift]] cross the caller's skew budget, re-cluster the

@@ -1359,6 +1359,46 @@ class LifecycleSpec extends SparkSpec {
     assert(again.getLong(0) == 0L && again.getLong(1) == 0L)
   }
 
+  test("repairIvfCorpus: re-routes rows appended through the wrong " +
+      "centroids; repaired layout row-identical to a from-scratch write; " +
+      "probes surface the repaired vectors; second repair is (0, 0)") {
+    import org.apache.spark.sql.Row
+    val vecs = (0 until 24).map { i =>
+      val a = i * math.Pi / 12
+      (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+    }.toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", k = 3)
+    val path = tmp("graft_ivffsck") + "/ivf"
+    Similarity.writeIvfCorpus(vecs.where($"id" < 16), "id", "vec", path, cents)
+    // contract violation: the append routes through PERMUTED centroids —
+    // every appended row lands in a wrong cell (distinct distances)
+    val wrongCents = cents.tail :+ cents.head
+    Similarity.appendIvfCorpus(vecs.where($"id" >= 16), "id", "vec",
+      path, wrongCents)
+    val misrouted = Compaction.readPartitioned(spark, path, "cell").get
+      .withColumn("__c", Similarity.cellOf(col("vec"), cents))
+      .where(col("cell").cast("int") =!= col("__c")).count()
+    assert(misrouted > 0, "the permuted centroids must misroute something")
+
+    val rep = Similarity.repairIvfCorpus(spark, path, cents).collect().head
+    assert(rep.getLong(0) == misrouted, s"report $rep vs $misrouted")
+    // layout now row-identical to a from-scratch write of the union
+    val fresh = tmp("graft_ivffsck_f") + "/ivf"
+    Similarity.writeIvfCorpus(vecs, "id", "vec", fresh, cents)
+    def rows(p: String) = Compaction.readPartitioned(spark, p, "cell").get
+      .collect().map(_.toSeq).toSet
+    assert(rows(path) == rows(fresh),
+      "repaired layout must equal the from-scratch write (same cells)")
+    // a probe for a repaired vector now surfaces it
+    val q = vecs.where($"id" === 20L).select($"vec").head.getSeq[Float](0)
+    val top = Similarity.ivfTopKFromPartitioned(spark, path, "id", "vec",
+      q, 1, cents, nProbe = 1).collect()
+    assert(top.nonEmpty && top.head.getLong(0) == 20L,
+      s"repaired vector must be probeable: ${top.mkString(",")}")
+    val again = Similarity.repairIvfCorpus(spark, path, cents).collect().head
+    assert(again.getLong(0) == 0L && again.getLong(1) == 0L)
+  }
+
   test("layoutReport + autoMaintain: the maintenance scheduler — minor when " +
       "debris accumulates, major when the tier degenerates, no-op when " +
       "tight; reads exact throughout") {
