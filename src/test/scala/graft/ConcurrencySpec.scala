@@ -110,10 +110,17 @@ class ConcurrencySpec extends SparkSpec {
       // 8 leaves rewritten on an 8-thread pool over local[4]: the rewrite
       // jobs saturate the scheduler, so reader jobs queue behind them —
       // the exact delay that exhausts keep-one-back and exercises the
-      // retryingStaleScan recovery path
+      // retryingStaleScan recovery path. Every other cycle runs the
+      // BATCHED layout-wide minor compaction instead (one merge job +
+      // per-leaf manifest swaps) so its swap discipline faces the same
+      // storm as the per-leaf rewrites.
       (0 until 4).foreach { i =>
-        Compaction.rewritePartitions(spark, root, targetFiles = 1 + (i % 2),
-          identity, onlyIfOverTarget = false)
+        if (i % 2 == 0) // fan each leaf to 2 files so the minor has work
+          Compaction.rewritePartitions(spark, root, targetFiles = 2,
+            identity, onlyIfOverTarget = false): Unit
+        else
+          Compaction.minorCompactPartitions(spark, root,
+            smallBytes = 1L << 30): Unit
         Thread.sleep(250)
       }
     })
