@@ -11,8 +11,12 @@ import org.apache.hadoop.fs.Path
  * has to build the same invisibility itself):
  *
  * {{{
- *   <table>/MANIFEST        one line: the live generation's dir name
- *   <table>/gen-<n>/        parquet files of generation n
+ *   <table>/MANIFEST         one line: the live generation's dir name
+ *   <table>/gen-<n>/         parquet files of generation n
+ *   <table>/gen-<n>/_RETAINS large files of OLDER generations this
+ *                            snapshot keeps by reference (minor compaction)
+ *   <table>/gen-<n>/_PARENT  the generation live when this one was written
+ *                            (the exact undo-window pointer; "-" = none)
  * }}}
  *
  * Readers resolve the live generation through MANIFEST at PLANNING time and

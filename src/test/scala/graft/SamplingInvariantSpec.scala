@@ -164,7 +164,7 @@ class SamplingInvariantSpec extends SparkSpec {
           .select(col("id")).collect().map(_.getLong(0))
         // random maintenance after each append: compact, delete a couple
         // of already-ingested docs, or nothing — order must not matter
-        rng.nextInt(3) match {
+        rng.nextInt(4) match {
           case 0 => Dedup.compactPairs(spark, path, targetFiles = 2)
           case 1 =>
             val victims = rng.shuffle((ingested -- removed).toSeq).take(2)
@@ -173,6 +173,11 @@ class SamplingInvariantSpec extends SparkSpec {
                 victims.toDF("id"))
               removed ++= victims
             }
+          case 2 => // size-tiered minor merges on the plain manifest tables
+            graft.store.ManifestTable.minorCompact(spark, path + "/pairs",
+              smallBytes = Seq(1500L, 1L << 20)(rng.nextInt(2))): Unit
+            graft.store.ManifestTable.minorCompact(spark, path + "/postings",
+              smallBytes = Seq(1500L, 1L << 20)(rng.nextInt(2))): Unit
           case _ => ()
         }
         // a LATE retry — after a compaction folded the tagged files into
