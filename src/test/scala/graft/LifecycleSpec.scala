@@ -1169,9 +1169,14 @@ class LifecycleSpec extends SparkSpec {
     val probeBefore = multiset(spark.read.parquet(
       Compaction.resolveLeafDirs(spark, root, "bucket", Seq(2)): _*))
 
+    // a crashed earlier batched pass leaves a dead stage dir at the root —
+    // the next pass must sweep it and still merge exactly the debris
+    assert(new java.io.File(root, ".stage-minor-deadbeef/bucket=0").mkdirs())
     val nMerged = Compaction.minorCompactPartitions(spark, root,
       smallBytes = thresh)
     assert(nMerged == 8, s"2 small files x 4 leaves should merge, got $nMerged")
+    assert(!new java.io.File(root, ".stage-minor-deadbeef").exists,
+      "dead stage dir from a crashed pass must be swept")
     assert(multiset(readLayout(root, "bucket")) == before,
       "layout minor compaction changed the full-read multiset")
     assert(multiset(spark.read.parquet(
