@@ -96,10 +96,30 @@ object KeyedStore {
     mergeIndexed(spark, path, deltas, keyCol, outsideKeysInsert = true)(
       increment(_, _, keyCol))
 
-  /** The shared index-pruned write machinery: route each batch key to its
-    * range file via binary search, read+merge+swap only the affected files,
-    * refresh only their index entries. `outsideKeysInsert` = whether keys
-    * outside every range still produce rows (puts/increments yes, deletes no). */
+  /**
+   * The shared index-pruned write machinery: route each batch key to its
+   * range file via binary search, read+merge+swap only the affected files,
+   * refresh only their index entries. `outsideKeysInsert` = whether keys
+   * outside every range still produce rows (puts/increments yes, deletes no).
+   *
+   * Crash + reader-concurrency contract (the HBase-durability analogue —
+   * reference HbaseTable.scala:373-423 never loses acked region writes):
+   * the swap renames staged files IN first under fresh `m<stamp>-*` names
+   * (invisible — manifest-dialect readers resolve the file set from the
+   * index, see [[org.apache.spark.sql.graft.GraftIndex]]), then COMMITS by
+   * atomically publishing a new index version, and only then sweeps
+   * replaced originals past their keep-one-back window. A crash before the
+   * commit leaves the old snapshot exactly (strays swept by the next write
+   * or [[fsckIndexed]]); a crash after it leaves the new snapshot exactly.
+   * A reader that planned against the previous index version keeps every
+   * file it resolved through ONE subsequent mutation (the previous version
+   * funds it). Writers are externally serialized (single-maintainer, like
+   * every graft mutation verb); READERS are the protected concurrent party.
+   *
+   * Legacy advisory (v1) indexes upgrade to the manifest dialect on the
+   * first mutation (unindexed late-arrival files are scanned once for their
+   * stats and folded in — O(unindexed), not O(table)).
+   */
   private[store] def mergeIndexed(spark: SparkSession, path: String, batch: DataFrame,
       keyCol: String, outsideKeysInsert: Boolean)(
       merge: (DataFrame, DataFrame) => DataFrame): Unit = {
@@ -108,14 +128,28 @@ object KeyedStore {
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
     val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
-    if (ix.isEmpty) { // no usable index: full merge + fresh layout
+      .map(i => GraftIndex.ensureManifest(spark, path, i))
+    if (ix.isEmpty) { // no usable index: full merge + fresh indexed layout
       val merged = merge(read(spark, path), batch)
+      val stamp = System.currentTimeMillis()
       val staging = path + "__staging"
+      val stagingPath = new org.apache.hadoop.fs.Path(staging)
+      // stage through the graft write so the new layout arrives WITH its
+      // manifest index; a _COMMITTED marker records job success so fsck can
+      // tell a complete staging from a dead one
       merged.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
-        .write.mode("overwrite").parquet(staging)
-      fs.delete(dirPath, true)
-      fs.rename(new org.apache.hadoop.fs.Path(staging), dirPath)
-      GraftIndex.write(spark, path, keyCol)
+        .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
+      fs.create(new org.apache.hadoop.fs.Path(stagingPath, CommittedMarker), true).close()
+      // dir swap with a backup instead of delete-then-rename: a crash
+      // between the renames leaves the table LOUDLY missing (both copies on
+      // disk), healed by fsckIndexed — never silently lost
+      val oldPath = new org.apache.hadoop.fs.Path(path + BackupSuffix + stamp)
+      if (fs.exists(dirPath) && !fs.rename(dirPath, oldPath))
+        throw new java.io.IOException(s"mergeIndexed: cannot back up $path")
+      if (!fs.rename(stagingPath, dirPath))
+        throw new java.io.IOException(s"mergeIndexed: cannot swap in $staging")
+      fs.delete(new org.apache.hadoop.fs.Path(dirPath, CommittedMarker), false)
+      fs.delete(oldPath, true)
       return
     }
     val tag = ix.get.keyTag
@@ -158,25 +192,43 @@ object KeyedStore {
       .sortWithinPartitions(keyCol)
       .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
     val stagingPath = new org.apache.hadoop.fs.Path(staging)
-    val stagedEntries = GraftIndex.read(stagingPath, hadoopConf)
-      .filter(_.keyCol == keyCol).map(_.ranges)
-      .getOrElse(GraftIndex.computeEntries(spark,
-        fs.listStatus(stagingPath).filter(_.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString).toSeq, keyCol, tag))
-    // swap: drop rewritten originals, move staged parts in under unique names
-    affectedNames.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
+    val (stagedRanged, stagedUnranged) =
+      GraftIndex.read(stagingPath, hadoopConf).filter(_.keyCol == keyCol)
+        .map(s => (s.ranges, s.unranged))
+        .getOrElse(GraftIndex.computeEntries(spark,
+          fs.listStatus(stagingPath).filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath.toString).toSeq, keyCol, tag))
+    // crash-safe swap (see scaladoc): staged parts rename IN first under
+    // fresh m<stamp> names — invisible to manifest-dialect readers until the
+    // index commit below — then the new index version publishes ATOMICALLY;
+    // the rewritten originals stay on disk as strays funded by the previous
+    // index version (keep-one-back) until the post-commit sweep retires
+    // whatever fell out of window
     val stamp = System.currentTimeMillis()
-    val newEntries = stagedEntries.toSeq.sortBy(_._1).zipWithIndex.map {
-      case ((staged, entry), i) =>
+    val renamed = (stagedRanged.keySet ++ stagedUnranged.keySet)
+      .toSeq.sorted.zipWithIndex.map { case (staged, i) =>
         val name = f"m$stamp%d-$i%05d.parquet"
-        fs.rename(new org.apache.hadoop.fs.Path(staging, staged),
-          new org.apache.hadoop.fs.Path(path, name))
-        name -> entry
-    }.toMap
-    fs.delete(stagingPath, true)
+        if (!fs.rename(new org.apache.hadoop.fs.Path(staging, staged),
+            new org.apache.hadoop.fs.Path(path, name)))
+          throw new java.io.IOException(
+            s"mergeIndexed: cannot move $staged into $path")
+        staged -> name
+      }.toMap
     GraftIndex.writeRanges(spark, path, keyCol, tag,
-      ix.get.ranges -- affectedNames ++ newEntries)
+      ix.get.ranges -- affectedNames ++
+        stagedRanged.map { case (n, e) => renamed(n) -> e },
+      ix.get.unranged -- affectedNames ++
+        stagedUnranged.map { case (n, r) => renamed(n) -> r },
+      manifest = true) // COMMIT POINT
+    fs.delete(stagingPath, true)
+    GraftIndex.sweepStrays(spark, path): Unit
   }
+
+  /** Marker written into a completed staging dir by [[mergeIndexed]]'s
+    * full-rewrite fallback so [[fsckIndexed]] can roll an interrupted dir
+    * swap FORWARD (complete staging) instead of back (backup restore). */
+  private[graft] val CommittedMarker = "_GRAFT_COMMITTED"
+  private[graft] val BackupSuffix = "__old"
 
   /**
    * MINOR compaction — the HBase compaction analogue for a log-structured
@@ -195,9 +247,10 @@ object KeyedStore {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
-    val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
-      .getOrElse(throw new IllegalStateException(
-        s"compact requires a _graft_index (run writeIndexed first): $path"))
+    val ix = GraftIndex.ensureManifest(spark, path,
+      GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
+        .getOrElse(throw new IllegalStateException(
+          s"compact requires a _graft_index (run writeIndexed first): $path")))
     val sizes = fs.listStatus(dirPath).filter(_.isFile)
       .map(st => st.getPath.getName -> st.getLen).toMap
     val ordered =
@@ -214,9 +267,15 @@ object KeyedStore {
     flush()
     val merged = groups.result()
     if (merged.isEmpty) return 0
+    // stage EVERY group, then rename all outputs in (invisible — manifest
+    // readers resolve through the index), then ONE atomic index commit, then
+    // sweep out-of-window strays. Same crash/reader contract as mergeIndexed:
+    // every crash state reads as exactly the pre- or post-compaction
+    // snapshot (the old order deleted each group's originals before any
+    // commit — a mid-loop crash lost committed rows).
     val stamp = System.currentTimeMillis()
     var newRanges = ix.ranges
-    merged.zipWithIndex.foreach { case (names, i) =>
+    val staged = merged.zipWithIndex.map { case (names, i) =>
       val staging = new org.apache.hadoop.fs.Path(s"${path}__compact_$i")
       spark.read.parquet(names.map(n => s"$path/$n"): _*)
         .coalesce(1).sortWithinPartitions(keyCol)
@@ -225,16 +284,117 @@ object KeyedStore {
       val entry = GraftIndex.read(staging, hadoopConf)
         .filter(_.keyCol == keyCol).map(_.ranges).getOrElse(Map.empty)
       require(entry.size == 1, s"compaction group $i staged ${entry.size} files")
-      val (stagedName, stagedEntry) = entry.head
-      names.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(path, n), false))
+      (staging, names, entry.head)
+    }
+    staged.zipWithIndex.foreach { case ((staging, names, (stagedName, stagedEntry)), i) =>
       val target = f"c$stamp%d-$i%05d.parquet"
-      fs.rename(new org.apache.hadoop.fs.Path(staging, stagedName),
-        new org.apache.hadoop.fs.Path(path, target))
-      fs.delete(staging, true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(staging, stagedName),
+          new org.apache.hadoop.fs.Path(path, target)))
+        throw new java.io.IOException(s"compact: cannot move $stagedName into $path")
       newRanges = newRanges -- names + (target -> stagedEntry)
     }
-    GraftIndex.writeRanges(spark, path, keyCol, ix.keyTag, newRanges)
+    GraftIndex.writeRanges(spark, path, keyCol, ix.keyTag, newRanges,
+      ix.unranged, manifest = true) // COMMIT POINT
+    staged.foreach { case (staging, _, _) => fs.delete(staging, true) }
+    GraftIndex.sweepStrays(spark, path): Unit
     merged.size
+  }
+
+  /** One indexed keyed table's fsck outcome — see [[fsckIndexed]].
+    * `missingFiles` is the unhealable class (the manifest names a data file
+    * that is gone: bytes lost — restore or rebuild); `advisory` flags a
+    * legacy v1 index (upgraded by the next mutation, not damage). */
+  final case class IndexedFsckStat(path: String, healedSwap: Boolean,
+      sweptStrays: Int, sweptDirs: Int, sweptTmpFiles: Int,
+      missingFiles: Int, advisory: Boolean) {
+    def ok: Boolean = missingFiles == 0
+  }
+
+  /**
+   * Structural fsck for a [[writeIndexed]] layout — the keyed-store twin of
+   * [[ManifestTable.fsck]]. Heals what a crash can break and reports what
+   * it cannot:
+   *
+   *  - Table dir MISSING with swap debris next to it (a crash between the
+   *    full-rewrite fallback's two renames): rolls FORWARD when the staging
+   *    dir carries the completion marker, else rolls BACK to the backup —
+   *    either way the table reads again.
+   *  - Dead `__staging` / `__old*` / `__compact_*` sibling dirs and index
+   *    tmp files from interrupted mutations → swept.
+   *  - Data files no retained index version references (swap strays) →
+   *    swept (manifest tables only; under an advisory index every file is
+   *    live).
+   *  - Index-named data files that are GONE → reported, never healed
+   *    silently.
+   *
+   * Single-maintainer op like every mutation verb.
+   */
+  def fsckIndexed(spark: SparkSession, path: String,
+      keyCol: String = "key"): IndexedFsckStat = {
+    import org.apache.spark.sql.graft.GraftIndex
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(hadoopConf)
+    val stagingPath = new org.apache.hadoop.fs.Path(path + "__staging")
+    val parent = dirPath.getParent
+    def siblings(pred: String => Boolean): Seq[org.apache.hadoop.fs.Path] =
+      if (parent == null || !fs.exists(parent)) Nil
+      else fs.listStatus(parent).filter(_.isDirectory).map(_.getPath)
+        .filter(p => pred(p.getName)).toSeq
+    val name = dirPath.getName
+    var healed = false
+    if (!fs.exists(dirPath)) {
+      val stagedComplete = fs.exists(stagingPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(stagingPath, CommittedMarker))
+      val backups = siblings(_.startsWith(name + BackupSuffix)).sortBy(_.getName)
+      if (stagedComplete) { // roll forward: the rewrite finished writing
+        if (!fs.rename(stagingPath, dirPath))
+          throw new java.io.IOException(s"fsckIndexed: cannot promote $stagingPath")
+        fs.delete(new org.apache.hadoop.fs.Path(dirPath, CommittedMarker), false)
+        healed = true
+      } else if (backups.nonEmpty) { // roll back: restore the pre-rewrite table
+        if (!fs.rename(backups.last, dirPath))
+          throw new java.io.IOException(s"fsckIndexed: cannot restore ${backups.last}")
+        healed = true
+      }
+    }
+    // dead sibling dirs: any staging/backup/compact dir visible while the
+    // table dir exists belongs to an interrupted attempt (single-maintainer)
+    val deadDirs =
+      if (!fs.exists(dirPath)) Nil
+      else siblings(n => n == name + "__staging" ||
+        n.startsWith(name + BackupSuffix) || n.startsWith(name + "__compact_"))
+    deadDirs.foreach(fs.delete(_, true))
+    val tmps =
+      if (!fs.exists(dirPath)) Nil
+      else fs.listStatus(dirPath).filter(_.isFile).map(_.getPath)
+        .filter(_.getName.startsWith("." + GraftIndex.FileName + ".tmp-")).toSeq
+    tmps.foreach(fs.delete(_, false))
+    val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
+    val present =
+      GraftIndex.listDataFiles(fs, dirPath).map(_.getPath.getName).toSet
+    val missing = ix.filter(_.manifest)
+      .map(_.files.count(!present.contains(_))).getOrElse(0)
+    val strays = GraftIndex.sweepStrays(spark, path)
+    IndexedFsckStat(path, healed, strays, deadDirs.length, tmps.length,
+      missing, advisory = ix.exists(!_.manifest))
+  }
+
+  /** Reclaim disk on a [[writeIndexed]] layout between mutations: with
+    * `keepPrevious = false` the previous index version retires too (only
+    * safe once scans planned before the last mutation have drained — the
+    * [[ManifestTable.vacuum]] drain rule), then data files no retained
+    * version references are swept. Returns files deleted. */
+  def vacuumIndexed(spark: SparkSession, path: String, keyCol: String = "key",
+      keepPrevious: Boolean = true): Int = {
+    import org.apache.spark.sql.graft.GraftIndex
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!keepPrevious) {
+      val versions = GraftIndex.versionFiles(fs, dirPath)
+      versions.dropRight(1).foreach(v => fs.delete(v._2, false))
+    }
+    GraftIndex.sweepStrays(spark, path)
   }
 
   /** Key-bucketed layout so future merges co-partition without a full shuffle. */

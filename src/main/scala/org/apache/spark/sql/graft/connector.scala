@@ -159,19 +159,23 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     val dirPath = new Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
     if (!fs.exists(dirPath)) return
-    val dataFiles = fs.listStatus(dirPath).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    if (dataFiles.isEmpty) return
+    val listed = GraftIndex.listDataFiles(fs, dirPath)
+    if (listed.isEmpty) return
+    // upgrade any advisory index to the manifest dialect so the swap below
+    // is crash-safe + reader-concurrent (see GraftIndex scaladoc)
     val index = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
+      .map(ix => GraftIndex.ensureManifest(spark, path, ix))
+    val dataFiles = index match {
+      case Some(ix) => listed.filter(st => ix.files.contains(st.getPath.getName))
+      case None => listed
+    }
     val bounds = KeyBounds.fromFilters(filters, keyCol)
     val affected = index match {
       case Some(ix) if !bounds.unconstrained =>
         dataFiles.filter { st =>
           ix.ranges.get(st.getPath.getName) match {
             case Some((lo, hi, _)) => bounds.intersects(lo, hi)
-            case None => true // unindexed file — must assume it matches
+            case None => true // unranged file (all-null keys) — must assume it matches
           }
         }
       case _ => dataFiles
@@ -188,27 +192,45 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
       .sortWithinPartitions(keyCol)
       .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
     val stagingPath = new Path(staging)
-    val stagedEntries = GraftIndex.read(stagingPath, hadoopConf)
-      .filter(_.keyCol == keyCol).map(_.ranges).getOrElse(Map.empty)
-    val stagedFiles = fs.listStatus(stagingPath).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
-    affectedNames.foreach(n => fs.delete(new Path(path, n), false))
+    val stagedIx = GraftIndex.read(stagingPath, hadoopConf).filter(_.keyCol == keyCol)
+    val stagedFiles = GraftIndex.listDataFiles(fs, stagingPath)
     val stamp = System.currentTimeMillis()
-    val moved = stagedFiles.sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
-      val name = f"d$stamp%d-$i%05d.parquet"
-      fs.rename(st.getPath, new Path(path, name))
-      name -> stagedEntries.get(st.getPath.getName)
-    }
-    fs.delete(stagingPath, true)
+    def renameIn(): Map[String, String] =
+      stagedFiles.sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
+        val staged = st.getPath.getName
+        val name = f"d$stamp%d-$i%05d.parquet"
+        if (!fs.rename(st.getPath, new Path(path, name)))
+          throw new java.io.IOException(s"deleteWhere: cannot move $staged into $path")
+        staged -> name
+      }.toMap
     index match {
-      case Some(ix) if moved.forall(_._2.isDefined) =>
+      case Some(ix) =>
+        // crash-safe swap (manifest dialect): staged files rename IN first —
+        // invisible until the index commit — then the new index version
+        // publishes atomically; replaced originals stay as strays funded by
+        // the previous index version (keep-one-back), swept once out of window
+        val stagedRanged = stagedIx.map(_.ranges).getOrElse(Map.empty)
+        val stagedUnranged = stagedIx.map(_.unranged).getOrElse(Map.empty)
+        require(stagedFiles.forall(st =>
+          stagedRanged.contains(st.getPath.getName) ||
+            stagedUnranged.contains(st.getPath.getName)),
+          s"deleteWhere: staged write left files out of its index at $staging")
+        val moved = renameIn()
         GraftIndex.writeRanges(spark, path, keyCol, ix.keyTag,
-          ix.ranges -- affectedNames ++ moved.map { case (n, e) => n -> e.get })
-      case Some(_) => // staged stats unusable — drop the index rather than lie
-        fs.delete(new Path(dirPath, GraftIndex.FileName), false)
-      case None => ()
+          ix.ranges -- affectedNames ++
+            stagedRanged.map { case (n, e) => moved(n) -> e },
+          ix.unranged -- affectedNames ++
+            stagedUnranged.map { case (n, r) => moved(n) -> r },
+          manifest = true)
+        fs.delete(stagingPath, true)
+        GraftIndex.sweepStrays(spark, path): Unit
+      case None =>
+        // no index: readers list the dir, so originals must go before the
+        // staged files become visible — the legacy delete-then-rename window;
+        // index the table (KeyedStore.writeIndexed) to get the crash-safe swap
+        affectedNames.foreach(n => fs.delete(new Path(path, n), false))
+        renameIn()
+        fs.delete(stagingPath, true): Unit
     }
   }
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
@@ -287,7 +309,10 @@ class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath.getName)
-    if (!dataFiles.forall(ix.ranges.contains)) return None
+    // manifest dialect: the index IS the file set (listed strays are
+    // invisible); advisory dialect: every listed file must be covered, else
+    // counts are partial
+    if (!ix.manifest && !dataFiles.forall(ix.files.contains)) return None
 
     def keyValue(v: Any): Any = keyDt match {
       case LongType => v.asInstanceOf[BigDecimal].toLong
@@ -318,7 +343,7 @@ class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
     agg.aggregateExpressions.foreach {
       case _: aggregate.CountStar =>
         fields += StructField("count_star", LongType, nullable = false)
-        values += entries.map(_._3).sum
+        values += ix.totalRows // unranged (all-null-key) files count too
       case m: aggregate.Min if isKeyRef(m.column) =>
         fields += StructField("min_key", keyDt); values += minKey
       case m: aggregate.Max if isKeyRef(m.column) =>
@@ -382,10 +407,23 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
     val root = fs.getFileStatus(p)
-    if (root.isFile) Seq(root)
-    else fs.listStatus(p).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val listed =
+      if (root.isFile) Seq(root)
+      else fs.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    index match {
+      case Some(ix) if ix.manifest =>
+        // manifest dialect: the index names the live file set exactly —
+        // listed-but-unnamed files are swap strays (invisible); a NAMED but
+        // MISSING file is real damage, surfaced loudly
+        val byName = listed.map(st => st.getPath.getName -> st).toMap
+        ix.files.toSeq.sorted.map(n => byName.getOrElse(n,
+          throw new IllegalStateException(
+            s"graft: manifest index names missing data file $n under $path " +
+              "— restore it or run graft.store.KeyedStore.fsckIndexed")))
+      case _ => listed
     }
   }
 
@@ -439,13 +477,13 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
         var acc = 0L
         filterKept.takeWhile { st =>
           val take = acc < n
-          acc += ix.ranges.get(st.getPath.getName).map(_._3).getOrElse(Long.MaxValue / 2)
+          acc += ix.rowsOf(st.getPath.getName).getOrElse(Long.MaxValue / 2)
           take
         }
       case _ => filterKept
     }
     val rows = index.map(ix => kept.map(st =>
-      ix.ranges.get(st.getPath.getName).map(_._3).getOrElse(0L)).sum)
+      ix.rowsOf(st.getPath.getName).getOrElse(0L)).sum)
     (kept, total, rows)
   }
 
@@ -573,10 +611,18 @@ class GraftMicroBatchStream(spark: SparkSession, dataSchema: StructType,
     val fs = p.getFileSystem(hadoopConf)
     if (!fs.exists(p)) return Seq.empty
     val root = fs.getFileStatus(p)
-    if (root.isFile) Seq(root)
-    else fs.listStatus(p).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val listed =
+      if (root.isFile) Seq(root)
+      else fs.listStatus(p).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    // manifest-dialect tables: stream only COMMITTED files — staged files a
+    // mutation renamed in but has not yet published, and swap strays, are
+    // invisible (they'd double rows in the tail otherwise)
+    GraftIndex.read(p, hadoopConf).filter(ix => ix.keyCol == keyCol && ix.manifest) match {
+      case Some(ix) => listed.filter(st => ix.files.contains(st.getPath.getName))
+      case None => listed
     }
   }
 
@@ -759,18 +805,51 @@ object KeyBounds {
 }
 
 /**
- * The sidecar key-range index: one small `_graft_index` file per table dir
- * mapping data-file name → (min key, max key, row count). TSV with URL-encoded
- * values, written through the Hadoop FileSystem so any store works. The 100 TB
- * read path: one index fetch replaces listing+opening 100k parquet footers.
+ * The sidecar key-range index: one small `_graft_index.v<seq>` file per table
+ * dir mapping data-file name → (min key, max key, row count). TSV with
+ * URL-encoded values, written through the Hadoop FileSystem so any store works.
+ * The 100 TB read path: one index fetch replaces listing+opening 100k parquet
+ * footers.
+ *
+ * Two dialects, distinguished by the header version:
+ *  - **v1 (advisory)**: the index is a pruning HINT — data files not listed
+ *    in it are always kept (late arrivals). The pre-round-13 dialect; still
+ *    read, never written.
+ *  - **v2 (manifest)**: the entry set IS the live file set. Data files in
+ *    the directory but not in the newest index are invisible STRAYS (debris
+ *    of interrupted swaps), which is what makes the keyed-store mutation
+ *    verbs crash-safe and reader-concurrent: a swap renames staged files in
+ *    FIRST (invisible until committed), then atomically publishes a new
+ *    index version, and the replaced originals stay on disk as strays
+ *    protected by the PREVIOUS index version (keep-one-back — a reader that
+ *    planned just before the commit keeps every file it resolved). Files a
+ *    v2 index names but whose key range is unknowable (all-null keys) carry
+ *    as UNRANGED entries: always scanned, never pruned.
+ *
+ * Commit protocol: each write lands as `_graft_index.v<seq>` via
+ * create-temp-then-rename-to-a-FRESH-name — atomic on any FileSystem
+ * (no rename-over-existing semantics needed). Readers take the highest
+ * parseable version; the legacy un-suffixed `_graft_index` file reads as
+ * version 0. Writers retain the newest [[GraftIndex.KeepVersions]] versions
+ * — the previous version is the previous snapshot's manifest, the exact
+ * analogue of [[graft.store.ManifestTable]]'s keep-one-back generation.
  */
 final case class GraftIndex(
-    keyCol: String, keyTag: String, ranges: Map[String, (Any, Any, Long)]) {
-  def totalRows: Long = ranges.valuesIterator.map(_._3).sum
+    keyCol: String, keyTag: String, ranges: Map[String, (Any, Any, Long)],
+    unranged: Map[String, Long] = Map.empty, manifest: Boolean = false) {
+  def totalRows: Long =
+    ranges.valuesIterator.map(_._3).sum + unranged.valuesIterator.sum
+  /** Every data file this index names (ranged + unranged). */
+  def files: Set[String] = ranges.keySet ++ unranged.keySet
+  def rowsOf(name: String): Option[Long] =
+    ranges.get(name).map(_._3).orElse(unranged.get(name))
 }
 
 object GraftIndex {
   val FileName = "_graft_index"
+  /** Index versions retained per commit: the newest is the live manifest,
+    * the one before funds in-flight readers (keep-one-back). */
+  val KeepVersions = 2
 
   def tagOf(dt: DataType): Option[String] = dt match {
     case LongType | IntegerType | ShortType | ByteType => Some("num")
@@ -782,64 +861,185 @@ object GraftIndex {
   private def enc(s: String): String = URLEncoder.encode(s, UTF_8)
   private def dec(s: String): String = URLDecoder.decode(s, UTF_8)
 
+  // unranged-entry bound marker: '#' is never produced by URLEncoder, so it
+  // cannot collide with an encoded key value
+  private val NoBound = "#"
+
   private def normalize(tag: String, v: Any): Any =
     if (tag == "num") BigDecimal(v.toString) else v.toString
 
-  /** Per-file (min, max, count) of `keyCol` over the given files, computed
-    * distributedly (one shuffle of #paths rows; driver memory O(paths)). */
+  /** Per-file key stats of `keyCol` over the given files, computed
+    * distributedly (one shuffle of #paths rows; driver memory O(paths)).
+    * Files whose keys are all null have no usable range and come back in
+    * the second (unranged: name → rows) map. */
   def computeEntries(spark: SparkSession, paths: Seq[String],
-      keyCol: String, tag: String): Map[String, (Any, Any, Long)] =
-    spark.read.parquet(paths: _*)
+      keyCol: String, tag: String)
+      : (Map[String, (Any, Any, Long)], Map[String, Long]) = {
+    val rows = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("f"))
       .agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"), count(lit(1)).as("n"))
       .collect()
-      // a file whose keys are all null has no usable range: leave it out of the
-      // index (the connector always keeps unindexed files) instead of writing
-      // an unparseable "null" bound
-      .filter(r => !r.isNullAt(1) && !r.isNullAt(2))
-      .map { r =>
-        val name = URLDecoder.decode(r.getString(0).split('/').last, UTF_8)
-        name -> ((normalize(tag, r.get(1)), normalize(tag, r.get(2)), r.getLong(3)))
-      }.toMap
+    def nameOf(r: org.apache.spark.sql.Row): String =
+      URLDecoder.decode(r.getString(0).split('/').last, UTF_8)
+    val (ranged, nullKeyed) = rows.partition(r => !r.isNullAt(1) && !r.isNullAt(2))
+    (ranged.map { r =>
+      nameOf(r) -> ((normalize(tag, r.get(1)), normalize(tag, r.get(2)), r.getLong(3)))
+    }.toMap,
+      nullKeyed.map(r => nameOf(r) -> r.getLong(3)).toMap)
+  }
 
-  /** Serialize an index map to the sidecar (small file, one write). */
+  /** The on-disk index version files of a table dir, ascending by version
+    * (the legacy un-suffixed file is version 0). */
+  def versionFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(Long, Path)] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq.flatMap { p =>
+      val n = p.getName
+      if (n == FileName) Some(0L -> p)
+      else if (n.startsWith(FileName + ".v"))
+        scala.util.Try(n.stripPrefix(FileName + ".v").toLong).toOption.map(_ -> p)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /**
+   * Atomically publish a new index version: serialize, write to a hidden
+   * temp file, rename to the next `_graft_index.v<seq>` (a fresh name —
+   * atomic on any FileSystem), then prune versions beyond [[KeepVersions]].
+   * The rename is the COMMIT POINT of every keyed-store mutation verb.
+   */
   def writeRanges(spark: SparkSession, dir: String, keyCol: String,
-      tag: String, ranges: Map[String, (Any, Any, Long)]): Unit = {
-    val sb = new StringBuilder(s"graft-index\tv1\t${enc(keyCol)}\t$tag\n")
+      tag: String, ranges: Map[String, (Any, Any, Long)],
+      unranged: Map[String, Long] = Map.empty,
+      manifest: Boolean = false): Unit = {
+    val version = if (manifest) "v2" else "v1"
+    val sb = new StringBuilder(s"graft-index\t$version\t${enc(keyCol)}\t$tag\n")
     ranges.toSeq.sortBy(_._1).foreach { case (name, (lo, hi, n)) =>
       sb.append(s"${enc(name)}\t${enc(lo.toString)}\t${enc(hi.toString)}\t$n\n")
     }
-    val p = new Path(dir, FileName)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    unranged.toSeq.sortBy(_._1).foreach { case (name, n) =>
+      sb.append(s"${enc(name)}\t$NoBound\t$NoBound\t$n\n")
+    }
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing = versionFiles(fs, dirPath)
+    val seq = existing.lastOption.map(_._1 + 1).getOrElse(1L)
+    val tmp = new Path(dirPath, s".$FileName.tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
     try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+    val target = new Path(dirPath, s"$FileName.v$seq")
+    if (!fs.rename(tmp, target))
+      throw new java.io.IOException(s"graft: cannot commit index $target")
+    // prune: keep the newest KeepVersions (this one included)
+    existing.dropRight(KeepVersions - 1).foreach(v => fs.delete(v._2, false))
   }
 
-  /** Compute and write the sidecar for a whole table dir. */
+  /** Compute and write the sidecar for a whole table dir. EVERY data file in
+    * the dir becomes live (manifest dialect) — strays included, so run this
+    * only on dirs with no swap debris (fresh layouts, or after a sweep). */
   def write(spark: SparkSession, dir: String, keyCol: String): Unit = {
     val df = spark.read.parquet(dir)
     tagOf(df.schema(keyCol).dataType).foreach { tag =>
-      writeRanges(spark, dir, keyCol, tag, computeEntries(spark, Seq(dir), keyCol, tag))
+      val (ranged, unranged) = computeEntries(spark, Seq(dir), keyCol, tag)
+      writeRanges(spark, dir, keyCol, tag, ranged, unranged, manifest = true)
     }
   }
 
-  def read(dir: Path, conf: Configuration): Option[GraftIndex] = {
-    val p = new Path(dir, FileName)
-    val fs = p.getFileSystem(conf)
+  /** Delete every index version — the "no usable stats: remove rather than
+    * lie" path. Never valid on a manifest table (it would expose strays);
+    * callers guard. */
+  private[graft] def drop(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Unit =
+    versionFiles(fs, dir).foreach(v => fs.delete(v._2, false))
+
+  /** The plain data files of a table dir (no sidecars, no hidden files). */
+  def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[FileStatus] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /**
+   * Upgrade an advisory (v1) index to the manifest dialect: under v1, data
+   * files absent from the index are LIVE late arrivals, so they are scanned
+   * once for their key stats (only them — O(unindexed), not O(table)) and
+   * folded in; the completed set then commits as v2. After this, every
+   * mutation on the table runs the crash-safe rename-first swap. Idempotent;
+   * returns the (possibly already) manifest index.
+   */
+  def ensureManifest(spark: SparkSession, dir: String,
+      ix: GraftIndex): GraftIndex = {
+    if (ix.manifest) return ix
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val unindexed = listDataFiles(fs, dirPath).map(_.getPath)
+      .filterNot(p => ix.files.contains(p.getName))
+    val (extraRanged, extraUnranged) =
+      if (unindexed.isEmpty) (Map.empty[String, (Any, Any, Long)], Map.empty[String, Long])
+      else computeEntries(spark, unindexed.map(_.toString), ix.keyCol, ix.keyTag)
+    val completed = GraftIndex(ix.keyCol, ix.keyTag, ix.ranges ++ extraRanged,
+      ix.unranged ++ extraUnranged, manifest = true)
+    writeRanges(spark, dir, ix.keyCol, ix.keyTag, completed.ranges,
+      completed.unranged, manifest = true)
+    completed
+  }
+
+  /**
+   * Delete data files that no RETAINED index version references — the
+   * debris of interrupted or completed swaps (replaced originals past their
+   * keep-one-back window, staged files whose commit never happened). Safe
+   * only when every retained version is manifest-dialect (under v1 an
+   * unreferenced file is live data); no-ops otherwise. Callers hold the
+   * single-maintainer contract: a CONCURRENT writer's not-yet-committed
+   * task files would be swept, so this runs only from mutation verbs and
+   * fsck, never from readers. Returns files deleted.
+   */
+  def sweepStrays(spark: SparkSession, dir: String): Int = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val retained = readAll(dirPath, fs.getConf)
+    if (retained.isEmpty || !retained.forall(_.manifest)) return 0
+    val live = retained.flatMap(_.files).toSet
+    val strays = listDataFiles(fs, dirPath)
+      .map(_.getPath).filterNot(p => live.contains(p.getName))
+    strays.foreach(fs.delete(_, false))
+    strays.length
+  }
+
+  /** The live index: the highest parseable version. */
+  def read(dir: Path, conf: Configuration): Option[GraftIndex] =
+    readAll(dir, conf).headOption
+
+  /** Every parseable index version, NEWEST FIRST — head is the live
+    * manifest, the rest fund in-flight readers (keep-one-back). Fsck and
+    * the post-commit sweeps protect the union of their file sets. */
+  def readAll(dir: Path, conf: Configuration): Seq[GraftIndex] = {
+    val fs = dir.getFileSystem(conf)
+    versionFiles(fs, dir).reverse.flatMap { case (_, p) =>
+      scala.util.Try(parse(fs, p)).toOption.flatten
+    }
+  }
+
+  private def parse(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): Option[GraftIndex] = {
     if (!fs.exists(p)) return None
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty)
     val header = lines.head.split('\t')
     if (header.length < 4 || header(0) != "graft-index") return None
+    val manifest = header(1) == "v2"
     val tag = header(3)
-    def parse(s: String): Any =
+    def parseVal(s: String): Any =
       if (tag == "num") BigDecimal(dec(s)) else dec(s)
-    val ranges = lines.tail.map { l =>
-      val c = l.split('\t')
-      dec(c(0)) -> ((parse(c(1)), parse(c(2)), c(3).toLong))
+    val (rangedLines, unrangedLines) =
+      lines.tail.map(_.split('\t')).partition(_(1) != NoBound)
+    val ranges = rangedLines.map { c =>
+      dec(c(0)) -> ((parseVal(c(1)), parseVal(c(2)), c(3).toLong))
     }.toMap
-    Some(GraftIndex(dec(header(2)), tag, ranges))
+    val unranged = unrangedLines.map(c => dec(c(0)) -> c(3).toLong).toMap
+    Some(GraftIndex(dec(header(2)), tag, ranges, unranged, manifest))
   }
 }
 
@@ -973,27 +1173,56 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
     val written = commits.map(_.fileName).toSet
     val dirPath = new Path(path)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (truncate) { // drop every pre-existing DATA file not written by this job
-      // (sidecars — _graft_meta, _graft_index — survive; the index is
-      // rewritten below and the meta is the table's identity)
-      fs.listStatus(dirPath).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-          !written.contains(n)) fs.delete(st.getPath, false)
-      }
-    }
+    val base = GraftIndex.read(dirPath, fs.getConf).filter(_.keyCol == keyCol)
     keyTag match {
-      case Some(tag) if commits.forall(_.hasStats) =>
+      case Some(tag) =>
         def parse(s: String): Any = if (tag == "num") BigDecimal(s) else s
-        val newEntries = commits.map(c =>
+        // files without key stats (all-null keys) become UNRANGED entries —
+        // always scanned, never pruned — so the index stays COMPLETE and can
+        // carry manifest semantics
+        val newRanged = commits.filter(_.hasStats).map(c =>
           c.fileName -> ((parse(c.lo), parse(c.hi), c.rows))).toMap
-        val base =
-          if (truncate) Map.empty[String, (Any, Any, Long)]
-          else GraftIndex.read(dirPath, fs.getConf).filter(_.keyCol == keyCol)
-            .map(_.ranges).getOrElse(Map.empty)
-        GraftIndex.writeRanges(spark, path, keyCol, tag, base ++ newEntries)
-      case _ => // no usable key stats: remove any stale index rather than lie
-        fs.delete(new Path(dirPath, GraftIndex.FileName), false)
+        val newUnranged = commits.filterNot(_.hasStats)
+          .map(c => c.fileName -> c.rows).toMap
+        // manifest dialect when this write DEFINES the file set (truncate,
+        // or a fresh dir) or extends an already-manifest table; appends onto
+        // an advisory (v1) index stay advisory — the dir may hold live files
+        // the index never saw
+        val manifest = truncate || base.exists(_.manifest) ||
+          (base.isEmpty && GraftIndex.listDataFiles(fs, dirPath)
+            .forall(st => written.contains(st.getPath.getName)))
+        val (baseRanged, baseUnranged) =
+          if (truncate) (Map.empty[String, (Any, Any, Long)], Map.empty[String, Long])
+          else (base.map(_.ranges).getOrElse(Map.empty),
+            base.map(_.unranged).getOrElse(Map.empty))
+        // index FIRST: from the commit on, readers of a manifest table see
+        // exactly the new file set; the pre-existing files a truncate
+        // replaces are deleted after (under the old order a crash between
+        // the deletes and the index write lost the table)
+        GraftIndex.writeRanges(spark, path, keyCol, tag,
+          baseRanged ++ newRanged, baseUnranged ++ newUnranged, manifest)
+        // replaced files become strays; the sweep honors keep-one-back (a
+        // file referenced by a retained index version survives for the
+        // readers that planned against it) and no-ops while any retained
+        // version is still advisory
+        if (truncate) GraftIndex.sweepStrays(spark, path): Unit
+      case None =>
+        // no usable key stats: remove any stale index rather than lie —
+        // EXCEPT on a manifest table, where dropping the index would expose
+        // swap strays as data (rebuild through writeIndexed instead)
+        if (base.exists(_.manifest) && !truncate)
+          throw new IllegalStateException(
+            s"graft: append without a usable key '$keyCol' onto manifest " +
+              s"table $path — write with the table's key column, or rebuild " +
+              "via KeyedStore.writeIndexed")
+        if (truncate) {
+          fs.listStatus(dirPath).foreach { st =>
+            val n = st.getPath.getName
+            if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+              !written.contains(n)) fs.delete(st.getPath, false)
+          }
+        }
+        GraftIndex.drop(fs, dirPath)
     }
   }
 

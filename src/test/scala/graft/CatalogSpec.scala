@@ -45,7 +45,7 @@ class CatalogSpec extends SparkSpec {
     val r = spark.sql(s"SELECT name FROM $t WHERE key = 42").collect()
     assert(r.map(_.getString(0)).toSeq == Seq("name_42"))
     // sidecar index arrived with the insert (from task commit stats)
-    assert(new java.io.File(s"$wh/db/t1/_graft_index").exists())
+    assert(new java.io.File(s"$wh/db/t1").listFiles.exists(_.getName.startsWith("_graft_index")))
     // key point-get prunes to 1 of 4 range files
     val desc = spark.sql(s"SELECT name FROM $t WHERE key = 42")
       .queryExecution.executedPlan.toString
@@ -59,6 +59,10 @@ class CatalogSpec extends SparkSpec {
     assert(before.size == 4)
     Thread.sleep(20) // ensure rewritten files get a fresh mtime
     spark.sql(s"DELETE FROM $t WHERE key < 10")
+    // sweep the replaced file (a keep-one-back stray) so the disk view below
+    // is exactly the live snapshot
+    graft.store.KeyedStore.vacuumIndexed(spark, s"$wh/db/t2", "key",
+      keepPrevious = false)
     val after = dataFiles("t2")
     // the 3 non-intersecting range files survive untouched (same name + mtime)
     val untouched = before.keySet.intersect(after.keySet)

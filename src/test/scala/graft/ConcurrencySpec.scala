@@ -129,6 +129,41 @@ class ConcurrencySpec extends SparkSpec {
       ("probe", () => probeRead(), probeBase))): Unit
   }
 
+  test("indexed keyed store: live readKeyed threads stay exact through an " +
+      "upsertIndexed + compact storm") {
+    import graft.store.KeyedStore
+    val dir = tmp("graft_conc_keyed") + "/t"
+    val base = spark.range(0, 4000).toDF("key").withColumn("v", ($"key" * 7) % 101)
+    KeyedStore.writeIndexed(base, dir, numRanges = 8)
+    // readers aggregate the STABLE key range only: the maintainer re-puts
+    // existing rows with IDENTICAL values (multiset-invariant) and inserts
+    // fresh keys >= 10^6, so every exact observation equals the baseline
+    def readOnce() = cntSum(KeyedStore.readKeyed(spark, dir)
+      .where($"key" < 1000000L))
+    val baseline = readOnce()
+    readOnce(): Unit // warm the read path before the clock starts
+    val inserted = new AtomicInteger(0)
+    val maintainer = new Thread(() => {
+      (0 until 6).foreach { i =>
+        val reput = base.where($"key" % 8 === i % 8)
+        val fresh = spark.range(1000000L + i * 10, 1000000L + i * 10 + 5)
+          .toDF("key").withColumn("v", lit(0L))
+        KeyedStore.upsertIndexed(spark, dir, reput.unionByName(fresh))
+        inserted.addAndGet(5)
+        if (i == 3) KeyedStore.compact(spark, dir, smallFileBytes = 1L << 20): Unit
+        Thread.sleep(150)
+      }
+    })
+    storm(maintainer, Seq(
+      ("keyed-a", () => readOnce(), baseline),
+      ("keyed-b", () => readOnce(), baseline))): Unit
+    // post-storm: the full snapshot is base + every inserted row, exactly
+    val (n, _) = cntSum(KeyedStore.readKeyed(spark, dir))
+    assert(n == 4000L + inserted.get(), s"post-storm count $n")
+    // and the structural fsck finds nothing unhealable
+    assert(KeyedStore.fsckIndexed(spark, dir).ok)
+  }
+
   test("ingest loop under live readers: appends + minor compactions + a " +
       "major fold; filtered reads over the stable subset stay exact") {
     val table = tmp("graft_conc_minor") + "/t"

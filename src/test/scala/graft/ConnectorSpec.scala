@@ -142,7 +142,8 @@ class ConnectorSpec extends SparkSpec {
     // parity with a full in-memory upsert
     val expect = KeyedStore.upsert(c, puts, "c_custkey")
       .orderBy("c_custkey").collect().map(_.toString)
-    val got = spark.read.parquet(dir).orderBy("c_custkey").collect().map(_.toString)
+    val got = KeyedStore.readKeyed(spark, dir, "c_custkey")
+      .orderBy("c_custkey").collect().map(_.toString)
     assert(got.sameElements(expect))
 
     // untouched ranges were not rewritten (same file, same mtime)
@@ -206,8 +207,8 @@ class ConnectorSpec extends SparkSpec {
     val delKeys = spark.range(100, 110).toDF("key")
       .unionByName(spark.range(90000, 90001).toDF("key"))
     KeyedStore.deleteIndexed(spark, dir, delKeys)
-    assert(spark.read.parquet(dir).count() == 790)
-    assert(spark.read.parquet(dir).where(col("key").between(100, 109)).count() == 0)
+    assert(KeyedStore.readKeyed(spark, dir).count() == 790)
+    assert(KeyedStore.readKeyed(spark, dir).where(col("key").between(100, 109)).count() == 0)
     val afterDelete = new java.io.File(dir).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
     assert(before.intersect(afterDelete).size >= 6,
@@ -221,17 +222,17 @@ class ConnectorSpec extends SparkSpec {
         org.apache.spark.sql.Row(95000L, 1L))),
       deltaSchema)
     KeyedStore.incrementIndexed(spark, dir, deltas)
-    val got = spark.read.parquet(dir)
+    val got = KeyedStore.readKeyed(spark, dir)
       .where(col("key").isin(5, 700, 95000)).orderBy("key")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(5L -> (5L % 7 + 100L), 700L -> (700L % 7 + 200L), 95000L -> 1L), got)
-    assert(spark.read.parquet(dir).count() == 791)
+    assert(KeyedStore.readKeyed(spark, dir).count() == 791)
     // the refreshed index still prunes; the gap-spanning rewritten file may
     // add one overlap (the documented loosening) until a compaction
     val desc = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 400))
     assert(desc.contains("index=sidecar") && filesOf(desc)._1 <= 2, desc)
     // compaction (full writeIndexed) restores tight disjoint ranges
-    KeyedStore.writeIndexed(spark.read.parquet(dir), dir + "_c", numRanges = 8)
+    KeyedStore.writeIndexed(KeyedStore.readKeyed(spark, dir), dir + "_c", numRanges = 8)
     val desc2 = graftScan(KeyedStore.readKeyed(spark, dir + "_c").where(col("key") === 400))
     assert(filesOf(desc2)._1 == 1, desc2)
   }
@@ -241,7 +242,8 @@ class ConnectorSpec extends SparkSpec {
     val a = spark.range(0, 300).toDF("key").withColumn("v", col("key") * 3)
     a.repartitionByRange(4, col("key")).sortWithinPartitions("key")
       .write.format("graft").option("key", "key").mode("overwrite").save(dir)
-    assert(new java.io.File(dir, "_graft_index").isFile, "write must emit the sidecar")
+    assert(new java.io.File(dir).listFiles.exists(_.getName.startsWith("_graft_index")),
+      "write must emit the sidecar")
     val point = KeyedStore.readKeyed(spark, dir).where(col("key") === 7)
     val d1 = graftScan(point)
     assert(d1.contains("index=sidecar") && filesOf(d1) == ((1, 4)), d1)
@@ -250,7 +252,7 @@ class ConnectorSpec extends SparkSpec {
     // append a disjoint key range: index gains the new files, old entries stay
     spark.range(1000, 1100).toDF("key").withColumn("v", col("key") * 3)
       .coalesce(1).write.format("graft").option("key", "key").mode("append").save(dir)
-    assert(spark.read.parquet(dir).count() == 400)
+    assert(KeyedStore.readKeyed(spark, dir).count() == 400)
     val d2 = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 1050))
     assert(filesOf(d2) == ((1, 5)), d2)
     val d3 = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 7))
@@ -259,7 +261,12 @@ class ConnectorSpec extends SparkSpec {
     // overwrite truncates: old files and index entries are gone
     spark.range(0, 50).toDF("key").withColumn("v", lit(0L))
       .coalesce(1).write.format("graft").option("key", "key").mode("overwrite").save(dir)
-    assert(spark.read.parquet(dir).count() == 50)
+    // the truncated files survive as keep-one-back strays (funded by the
+    // previous index version) until vacuum; the live snapshot is exact
+    assert(KeyedStore.readKeyed(spark, dir).count() == 50)
+    KeyedStore.vacuumIndexed(spark, dir, "key", keepPrevious = false)
+    assert(spark.read.parquet(dir).count() == 50,
+      "vacuum(keepPrevious = false) must leave only the live files on disk")
     val d4 = graftScan(KeyedStore.readKeyed(spark, dir).where(col("key") === 7))
     assert(filesOf(d4) == ((1, 1)), d4)
   }
@@ -315,7 +322,7 @@ class ConnectorSpec extends SparkSpec {
     val (expected, accMem) = batch().execute(base)
     val accDisk = batch().executeIndexed(spark, dir)
     assert(accMem == accDisk)
-    val got = spark.read.parquet(dir).orderBy("key").collect().map(_.toString)
+    val got = KeyedStore.readKeyed(spark, dir).orderBy("key").collect().map(_.toString)
     val want = expected.orderBy("key").collect().map(_.toString)
     assert(got.sameElements(want))
     // index survived the whole batch: point get still prunes

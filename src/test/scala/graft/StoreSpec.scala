@@ -157,6 +157,11 @@ class StoreSpec extends SparkSpec {
     val bigBefore = new java.io.File(dir, big).length()
     val merged = KeyedStore.compact(spark, dir, "key", smallFileBytes = 16384L)
     assert(merged == 1) // the 4 small tail files form one adjacent run
+    // the merged originals survive on disk as keep-one-back strays (funding
+    // readers that planned against the previous index version)...
+    assert(files.size == 6, s"expected 5 originals + 1 compacted, got ${files.keys}")
+    // ...and vacuum past the window leaves exactly the live snapshot
+    KeyedStore.vacuumIndexed(spark, dir, "key", keepPrevious = false)
     val after = files
     assert(after.size == 2, s"expected big + 1 compacted, got ${after.keys}")
     assert(new java.io.File(dir, big).length() == bigBefore && after.contains(big))
