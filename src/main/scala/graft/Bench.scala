@@ -108,6 +108,10 @@ object Bench {
       val median =
         if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      // between QUERIES (never between reps — rep 2's tag-no-op fast path
+      // is measured semantics): drop this process's dead index dirs so 240
+      // queries of accumulated indexes don't pressure later timed windows
+      TmpHygiene.sweepCurrentProcess()
       name -> (median, times.head, times.last)
     }
     // Isolation tier (round-9 adjudication: the driver box runs the suite
@@ -142,6 +146,7 @@ object Bench {
         }.sorted
         val m = if (times.length % 2 == 1) times(times.length / 2)
           else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+        TmpHygiene.sweepCurrentProcess()
         name -> m
       }
     // The driver's stdout capture is tail-anchored (~2 KB): whatever dict

@@ -49,10 +49,36 @@ object MaintainScaleProbe {
         (leaves, math.rint(sec * 1000) / 1000, merged,
           math.rint(noop * 1000) / 1000)
       }
+      // escaped-leaf case: 1024 leaves whose values need URI encoding (a
+      // space) — the decode chain in minorCompactLeaves must keep them on
+      // the BATCHED path, so this should land within ~1.5× of the numeric
+      // 1024-leaf time (the pre-round-13 code fell back to per-leaf jobs
+      // here, re-creating the O(leaves) pattern)
+      val escSec = {
+        val leaves = 1024
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_mntscale_esc").toString + "/layout"
+        def batch(shift: Long) = spark.range(totalRows)
+          .select((col("id") + shift).as("id"),
+            concat(lit("v "), (col("id") % leaves).cast("string")).as("leaf"),
+            md5(col("id").cast("string")).as("payload"))
+        graft.store.Compaction.appendPartitions(batch(0), root, "leaf"): Unit
+        graft.store.Compaction.appendPartitions(
+          batch(10000000L), root, "leaf"): Unit
+        val t0 = System.nanoTime()
+        val merged = graft.store.Compaction.minorCompactPartitions(
+          spark, root, smallBytes = 1L << 30)
+        val sec = (System.nanoTime() - t0) / 1e9
+        require(merged == 2 * leaves, s"escaped case merged $merged files")
+        val rows = graft.store.Compaction.readPartitioned(spark, root, "leaf")
+          .get.count()
+        require(rows == 2 * totalRows, s"escaped case lost rows: $rows")
+        math.rint(sec * 1000) / 1000
+      }
       val qs = results.map { case (l, s, m, n) =>
         s""""leaves_$l":$s,"merged_$l":$m,"noop_$l":$n""" }.mkString(",")
       println(s"""{"metric":"minor_compact_wall_sec","unit":"sec",""" +
-        s""""rows":$totalRows,$qs}""")
+        s""""rows":$totalRows,$qs,"escaped_1024":$escSec}""")
     } finally spark.stop()
   }
 }

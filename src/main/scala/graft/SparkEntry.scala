@@ -3636,14 +3636,19 @@ object SparkEntry {
       TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
         "doc_id", "text", path, batchId = Some("day-1"))
       val posts = path + "/postings"
-      new java.io.File(posts).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      // debris is manufactured through the Hadoop fs API — the fsck demo
+      // must not assume a local filesystem
+      val postsPath = new org.apache.hadoop.fs.Path(posts)
+      val fs = postsPath.getFileSystem(s.sessionState.newHadoopConf())
+      fs.listStatus(postsPath)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
         .foreach { leaf =>
-          new java.io.File(leaf, "MANIFEST").delete(): Unit
-          new java.io.File(leaf, "gen-000000097/_temporary").mkdirs(): Unit
-          new java.io.File(leaf, ".stage-dead").mkdirs(): Unit
+          fs.delete(new org.apache.hadoop.fs.Path(leaf.getPath, "MANIFEST"), false): Unit
+          fs.mkdirs(new org.apache.hadoop.fs.Path(leaf.getPath,
+            "gen-000000097/_temporary")): Unit
+          fs.mkdirs(new org.apache.hadoop.fs.Path(leaf.getPath, ".stage-dead")): Unit
         }
-      new java.io.File(posts, ".stage-dead").mkdirs(): Unit
+      fs.mkdirs(new org.apache.hadoop.fs.Path(postsPath, ".stage-dead")): Unit
       val stats = graft.store.Compaction.fsckPartitions(s, posts)
       import s.implicits._
       TextOps.bm25TopKFromIndex(s, path, Seq("spark", "window", "merge"), 15)
@@ -3740,6 +3745,53 @@ object SparkEntry {
           q, 7, cents, nProbe = 2)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
         .crossJoin(rep)
+    }),
+
+    // --- UNDO-WINDOW probe on the SEARCH index (q238's BM25 twin,
+    //     completing takedown-audit parity across all four persisted
+    //     layouts): build + tagged append, then a takedown deletes a fifth
+    //     of the corpus — and the PREVIOUS-generation probe (postings AND
+    //     stats resolve one generation back) must score exactly what q90's
+    //     from-scratch SQL computes over the FULL pre-delete corpus --------
+    "q245_bm25_undo" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q245_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", path)
+      TextOps.appendBm25Index(docs.where(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", path, batchId = Some("day-1"))
+      TextOps.removeFromBm25Index(s, path,
+        docs.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+      TextOps.bm25TopKFromIndexPrevious(s, path,
+          Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- UNDO-WINDOW probe on the SRP ANN index (q238's bucketed twin):
+    //     seven exact copies of the query vector are planted, a takedown
+    //     removes four — and the previous-generation probe still finds all
+    //     SEVEN at cosine 1.0, the pre-delete neighborhood ----------------
+    "q246_srp_undo" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val path = sys.props("java.io.tmpdir") + "/graft_q246_srp_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeBucketedCorpus(base.unionByName(planted), "vec_id",
+        "embedding", path)
+      Similarity.removeFromBucketedCorpus(s, path,
+        s.range(4).select((col("id") * 2 + 9500L).as("vec_id")),
+        idCol = "vec_id"): Unit
+      Similarity.annTopKFromBucketedPrevious(s, path, "vec_id",
+          "embedding", q, 7)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     })
   )
 
@@ -3989,6 +4041,17 @@ object SparkEntry {
     // The pre-delete index in closed form: every planted copy, including
     // the 4 the takedown removed from the live index (q226's inverse).
     "q238_ivf_undo" ->
+      """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(7) t(i)""".stripMargin,
+
+    // The undo probe scores the FULL pre-delete corpus: q90's from-scratch
+    // SQL verbatim (build + append + takedown must leave the previous view
+    // indistinguishable from never having deleted).
+    "q245_bm25_undo" -> bm25FullScratchSql,
+
+    // Same closed form as q238: the previous view still holds all seven
+    // planted exact copies of the query vector.
+    "q246_srp_undo" ->
       """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(7) t(i)""".stripMargin,
 

@@ -11,13 +11,14 @@ package graft
   * never swept as long as anything inside it was written within the gate.
   * Called from the Verify/Bench/ScaleProbe mains, never from queries. */
 object TmpHygiene {
+  private def deleteTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteTree)
+    f.delete(): Unit
+  }
+
   def sweep(maxAgeMillis: Long = 6L * 3600 * 1000): Unit = {
     val cutoff = System.currentTimeMillis() - maxAgeMillis
     val tmp = new java.io.File(sys.props("java.io.tmpdir"))
-    def delete(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
-      f.delete(): Unit
-    }
     def newestMtime(f: java.io.File): Long =
       (f.lastModified() +: Option(f.listFiles()).getOrElse(Array.empty)
         .map(newestMtime).toSeq).max
@@ -25,8 +26,28 @@ object TmpHygiene {
       .filter(f => f.isDirectory && f.getName.startsWith("graft_q") &&
         newestMtime(f) < cutoff)
       .foreach { f =>
-        try delete(f)
+        try deleteTree(f)
         catch { case _: Throwable => () } // best-effort hygiene, never fatal
+      }
+  }
+
+  /** Sweep THIS process's per-query index dirs (`graft_q…_<pid>`) — called
+    * by Bench between queries, outside every timed window, so the 240-query
+    * sweep doesn't accumulate gigabytes of dead indexes whose page-cache
+    * and disk pressure bleeds into LATER queries' timed windows (the
+    * round-12 in-suite-vs-isolated gap, q165 6.78 s vs 4.92). Pid-scoped,
+    * so a concurrent graft process's live dirs are untouchable; within one
+    * process it runs only BETWEEN queries (each query's own reps keep
+    * their dirs — tagged-retry semantics stay measured). */
+  def sweepCurrentProcess(): Unit = {
+    val pid = java.lang.ProcessHandle.current().pid()
+    val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("graft_q") &&
+        f.getName.endsWith("_" + pid))
+      .foreach { f =>
+        try deleteTree(f)
+        catch { case _: Throwable => () }
       }
   }
 }

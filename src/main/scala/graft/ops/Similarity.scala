@@ -180,11 +180,35 @@ object Similarity {
     * return empty. */
   def annTopKFromBucketed(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String, vecCol: String, query: Seq[Float], k: Int, nBits: Int = 8,
-      scheme: SrpScheme = SrpScheme.xxh): DataFrame = {
+      scheme: SrpScheme = SrpScheme.xxh): DataFrame =
+    annTopKOverDirs(spark, path, idCol, vecCol, query, k, nBits, scheme,
+      probes => graft.store.Compaction.resolveLeafDirs(
+        spark, path, "bucket", probes))
+
+  /** The UNDO-WINDOW probe: [[annTopKFromBucketed]] against each probed
+    * bucket's PREVIOUS generation — the SRP index as of just before the
+    * last rewrite, retained through one keep-one-back cycle. The takedown
+    * audit verb on the ANN index ([[ivfTopKFromPartitionedPrevious]]'s SRP
+    * twin; reference analogue: HBase time-range reads,
+    * Query2.scala:345-359), meaningful when the last maintenance op was
+    * layout-wide ([[removeFromBucketedCorpus]] rewrites every bucket).
+    * Buckets with no undo window are skipped — a never-rewritten layout
+    * probes EMPTY here, not at its live state. */
+  def annTopKFromBucketedPrevious(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      nBits: Int = 8, scheme: SrpScheme = SrpScheme.xxh): DataFrame =
+    annTopKOverDirs(spark, path, idCol, vecCol, query, k, nBits, scheme,
+      probes => graft.store.Compaction.resolveLeafDirsPrevious(
+        spark, path, "bucket", probes))
+
+  private def annTopKOverDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
+      nBits: Int, scheme: SrpScheme,
+      resolve: Seq[Long] => Seq[String]): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     val qBucket = scheme.compute(query.toArray, nBits)
     val probes = (qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))).distinct
-    val dirs = graft.store.Compaction.resolveLeafDirs(spark, path, "bucket", probes)
+    val dirs = resolve(probes)
     val corpus =
       if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
       else {

@@ -691,9 +691,11 @@ object TextOps {
       path + "/docs")
     // stats derive FROM the just-written membership table (a tiny (id, dl)
     // read, not a third tokenization pass over the corpus) — the invariant
-    // every maintenance verb preserves: stats ≡ aggregate of docs
-    statsFromDocs(df.sparkSession, path)
-      .write.mode("overwrite").parquet(path + "/stats")
+    // every maintenance verb preserves: stats ≡ aggregate of docs. A
+    // ManifestTable like docs: every refresh is a generation swap, so there
+    // is no crash window in which stats are missing or torn
+    graft.store.ManifestTable.write(
+      statsFromDocs(df.sparkSession, path), path + "/stats")
   }
 
   /** The stats invariant: (n_docs, Σdl) aggregated from the `docs`
@@ -714,30 +716,31 @@ object TextOps {
     * [[bm25TopKFromIndex]] probe scores old + new with exactly the
     * arithmetic a from-scratch rebuild would use.
     *
-    * Crash contract, in append order (docs membership → staged stats →
-    * postings → stats swap; every step leaves stats ≡ or behind the docs
-    * table, never ahead of it). With `batchId = Some(tag)` a BLIND RE-RUN
-    * after any crash is exact: the docs append and the postings append each
-    * carry the batch's commit tag ([[graft.store.ManifestTable.appendTagged]]
-    * / [[graft.store.Compaction.appendTaggedPartitions]] — committed tags
-    * no-op, partial attempts sweep by file prefix), and the stats sidecar
-    * is a pure function of the docs table, re-derived and re-swapped on
-    * every run — so whichever window the crash hit, the retry converges to
-    * the exact clean-run state. Without a batchId the windows are:
+    * Crash contract, in append order (docs membership → postings → stats
+    * rewrite; every step leaves stats ≡ or behind the docs table, never
+    * ahead of it). The stats sidecar is a [[graft.store.ManifestTable]]:
+    * every refresh is a complete new generation + pointer swap, so stats
+    * are NEVER missing or torn — a crash anywhere leaves the previous
+    * (old, internally-consistent) stats generation readable. With
+    * `batchId = Some(tag)` a BLIND RE-RUN after any crash is exact: the
+    * docs append and the postings append each carry the batch's commit tag
+    * ([[graft.store.ManifestTable.appendTagged]] /
+    * [[graft.store.Compaction.appendTaggedPartitions]] — committed tags
+    * no-op, partial attempts sweep by file prefix), and stats are a pure
+    * function of the docs table, re-derived and re-committed on every run
+    * — so whichever window the crash hit, the retry converges to the exact
+    * clean-run state. Without a batchId the windows are:
     *  - crash after the docs append: membership holds the batch, stats and
     *    postings don't — probes score the old corpus consistently, and a
     *    [[removeFromBm25Index]] (which recomputes stats FROM membership)
     *    repairs stats; the batch's postings are re-appendable only via a
     *    rebuild, so recover by re-running [[writeBm25Index]] or by
     *    removing the batch ids and re-appending.
-    *  - crash between the postings append and the stats swap: the one
-    *    SILENT window (old stats + new postings under-count N/Σdl) — it
-    *    spans two fs metadata ops, and re-running the append from scratch
-    *    double-appends postings, so recover by completing the swap
-    *    (rename `stats__staged` in), not by retrying.
-    *  - crash INSIDE the swap: `stats` missing — the next probe fails
-    *    LOUDLY instead of silently skewing idf/avgdl; rename the staged
-    *    dir in.
+    *  - crash between the postings append and the stats rewrite: old stats
+    *    + new postings under-count N/Σdl until any maintenance verb
+    *    re-derives stats from docs (they all do); re-running the append
+    *    from scratch double-appends postings, so recover through
+    *    [[repairBm25Index]], not a blind retry.
     * Requires the round-11 layout (docs membership sidecar present) —
     * appending to a pre-sidecar index would silently build a PARTIAL
     * membership table that later poisons every stats recomputation, so it
@@ -763,13 +766,6 @@ object TextOps {
       case None =>
         graft.store.ManifestTable.append(members, path + "/docs")
     }
-    // stage the merged sidecar from the UPDATED membership table (tiny
-    // (id, dl) read — no second tokenization pass); swapped in once the
-    // postings append commits. On a tagged retry this re-derives and
-    // re-swaps even when both appends already committed — covering the
-    // crash-before-swap window at the cost of one tiny read.
-    statsFromDocs(spark, path)
-      .write.mode("overwrite").parquet(path + "/stats__staged")
     if (!postsDone) {
       val toks = df.select(col(idCol).as("id"),
           tokens(lower(col(textCol))).as("tk"))
@@ -788,18 +784,24 @@ object TextOps {
       graft.store.Compaction.appendPartitions(posted,
         path + "/postings", "bucket", batchId): Unit
     }
-    swapInStagedStats(spark, path, "appendBm25Index")
+    // stats re-derive from the UPDATED membership table (tiny (id, dl)
+    // read — no second tokenization pass) and commit as a new stats
+    // generation. On a tagged retry this runs even when both appends
+    // already committed, converging the stats-behind-docs crash window.
+    rewriteStats(spark, path)
   }
 
-  /** Swap `path/stats__staged` in as the live stats sidecar (delete + rename
-    * — two metadata ops; crash recovery per [[appendBm25Index]]'s contract). */
-  private def swapInStagedStats(spark: org.apache.spark.sql.SparkSession,
-      path: String, op: String): Unit = {
-    val statsPath = new org.apache.hadoop.fs.Path(path + "/stats")
-    val fs = statsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(statsPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(path + "/stats__staged"), statsPath))
-      throw new java.io.IOException(s"$op: cannot swap in staged stats at $path")
+  /** Commit `stats ≡ aggregate(docs)` as a new generation of the stats
+    * ManifestTable — crash-safe (a crash leaves the previous generation
+    * live) and reader-concurrent, like every other sidecar rewrite. Also
+    * sweeps a stranded `stats__staged` dir from the pre-manifest (delete +
+    * rename) swap protocol this replaced. */
+  private def rewriteStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(path + "/stats__staged")
+    val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(staged, true): Unit
+    graft.store.ManifestTable.write(statsFromDocs(spark, path), path + "/stats")
   }
 
   /**
@@ -818,8 +820,9 @@ object TextOps {
    * [[writeBm25Index]] of the surviving corpus would (oracle q225).
    * READER-CONCURRENT per posting bucket (each `bucket=` leaf is a
    * [[graft.store.ManifestTable]] — a concurrent probe keeps the files it
-   * resolved); the stats swap is the one non-manifest step, covered by its
-   * loud-failure contract. Ids not in the index are no-ops.
+   * resolved); stats commit as a new generation of their own manifest
+   * table, so no crash leaves them missing or torn. Ids not in the index
+   * are no-ops.
    * The removal set broadcasts to every
    * rewrite job — right for takedown lists (small by nature); a removal so
    * large it cannot broadcast is a rebuild ([[writeBm25Index]] over the
@@ -840,9 +843,7 @@ object TextOps {
       p => p.join(rm, p("id") === col("__rm_id"), "left_anti")): Unit
     ManifestTable.compact(spark, path + "/docs", targetFiles,
       d => d.join(rm, d("id") === col("__rm_id"), "left_anti"))
-    statsFromDocs(spark, path)
-      .write.mode("overwrite").parquet(path + "/stats__staged")
-    swapInStagedStats(spark, path, "removeFromBm25Index")
+    rewriteStats(spark, path)
   }
 
   /**
@@ -910,9 +911,7 @@ object TextOps {
       ManifestTable.compact(spark, path + "/docs", targetFiles,
         d => d.join(qIds, d("id") === col("__rm_id"), "left_anti"))
     }
-    statsFromDocs(spark, path)
-      .write.mode("overwrite").parquet(path + "/stats__staged")
-    swapInStagedStats(spark, path, "repairBm25Index")
+    rewriteStats(spark, path)
     import spark.implicits._
     Seq((orphanRows, qCount)).toDF("orphan_rows", "quarantined_docs")
   }
@@ -946,25 +945,56 @@ object TextOps {
     * of all-unknown terms returns empty. */
   def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
-      nBuckets: Int = 64): DataFrame = {
+      nBuckets: Int = 64): DataFrame =
+    bm25TopKOverDirs(spark, path, terms, k, k1, b, nBuckets,
+      buckets => graft.store.Compaction.resolveLeafDirs(spark,
+        path + "/postings", "bucket", buckets),
+      Some(graft.store.ManifestTable.read(spark, path + "/stats")))
+
+  /** The UNDO-WINDOW probe: [[bm25TopKFromIndex]] against each probed
+    * bucket's PREVIOUS postings generation, scored with the PREVIOUS stats
+    * generation — the search index as of just before the last maintenance
+    * op, retained through one keep-one-back cycle. The takedown audit verb
+    * on the search index ("what did the delete remove from this query's
+    * ranking?" — [[graft.ops.Similarity.ivfTopKFromPartitionedPrevious]]'s
+    * BM25 twin; reference analogue: HBase time-range reads,
+    * Query2.scala:345-359), meaningful when the last op was layout-wide
+    * ([[removeFromBm25Index]] rewrites every bucket AND commits a new stats
+    * generation, so the two previous views are the same point in time).
+    * Buckets with no undo window are skipped, and a layout whose stats have
+    * never been rewritten probes EMPTY — a never-maintained index has no
+    * "before", not a live-state alias. */
+  def bm25TopKFromIndexPrevious(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75, nBuckets: Int = 64): DataFrame =
+    bm25TopKOverDirs(spark, path, terms, k, k1, b, nBuckets,
+      buckets => graft.store.Compaction.resolveLeafDirsPrevious(spark,
+        path + "/postings", "bucket", buckets),
+      graft.store.ManifestTable.readPrevious(spark, path + "/stats"))
+
+  private def bm25TopKOverDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int, k1: Double, b: Double,
+      nBuckets: Int, resolve: Seq[Long] => Seq[String],
+      statsOpt: Option[DataFrame]): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
     require(k > 0, "k must be positive")
     val t = terms.map(_.toLowerCase).distinct
     // md5_prefix60 is non-negative (top 60 bits), so % == pmod
     val buckets = t.map(x =>
       org.apache.spark.sql.graft.Md5Prefix60.compute(x) % nBuckets).distinct
-    val dirs = graft.store.Compaction.resolveLeafDirs(spark,
-      path + "/postings", "bucket", buckets)
+    val dirs = if (statsOpt.isDefined) resolve(buckets) else Nil
     val base =
       if (dirs.nonEmpty)
         spark.read.parquet(dirs: _*)
           .where(col("term").isin(t: _*))
           .select(col("id"), col("dl"), col("term"), col("tf"))
-      else // no probed bucket exists: empty, typed off the docs sidecar
+      else // no probed bucket exists (or no undo window): empty, typed off
+           // the docs sidecar
         graft.store.ManifestTable.read(spark, path + "/docs")
           .select(col("id"), col("dl"), lit("").as("term"), lit(0L).as("tf"))
           .where(lit(false))
-    val stats = spark.read.parquet(path + "/stats")
+    val stats = statsOpt.getOrElse(
+      graft.store.ManifestTable.read(spark, path + "/stats").where(lit(false)))
     scoreBm25(base, stats, "id", k, k1, b)
   }
 

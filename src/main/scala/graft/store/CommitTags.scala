@@ -49,14 +49,20 @@ private[store] object CommitTags {
   def add(fs: org.apache.hadoop.fs.FileSystem, dir: Path, tok: String): Unit = {
     val f = new Path(dir, TagsName)
     if (fs.exists(f) && fs.getFileStatus(f).isFile) {
-      // migrate a legacy single-file tag set to per-token markers; the
-      // window between the delete and the last marker re-create only
-      // HIDES tags (a concurrent crash makes some retries re-append after
-      // a sweep — still exact), it can no longer fabricate one
+      // migrate a legacy single-file tag set to per-token markers through a
+      // fully-populated temp directory, so the only loss window is the
+      // single delete+rename pair — a crash there hides the tags for one
+      // retry round (re-appends after the sweep, exact for unfolded
+      // batches), instead of the old per-marker re-create loop whose crash
+      // could lose tags whose files a later compaction had already FOLDED
+      // into anonymous rows (that retry would double-append)
       val legacy = read(fs, dir)
+      val tmp = new Path(dir, TagsName + ".tmp-" + java.util.UUID.randomUUID())
+      fs.mkdirs(tmp): Unit
+      legacy.foreach(t => fs.create(new Path(tmp, t), true).close())
       fs.delete(f, false)
-      fs.mkdirs(f): Unit
-      legacy.foreach(t => fs.create(new Path(f, t), true).close())
+      if (!fs.rename(tmp, f))
+        throw new java.io.IOException(s"CommitTags: cannot migrate $f")
     } else fs.mkdirs(f): Unit
     fs.create(new Path(f, tok), true).close()
   }

@@ -73,6 +73,26 @@ object Compaction {
       ManifestTable.resolvePaths(spark, p.toString).map((p.getName, _))).flatten
   }
 
+  /**
+   * The staged-write committer knob. Spark's default v1 file committer
+   * merges every task's output on the DRIVER at job commit — measured
+   * neutral-to-faster on local fs (PERF.md round-12 A/B), but on an object
+   * store where rename is a server-side copy that serial driver merge is
+   * the documented bottleneck. Set the session conf
+   * `graft.committer.algorithm` to `"2"` to route graft's staged
+   * partitioned writes through the task-side v2 committer (tasks commit
+   * their own files; job commit is O(1) on the driver). Both algorithms
+   * are exercised by the lifecycle specs; CommitterProbe measures the
+   * choice on a simulated slow-rename filesystem.
+   */
+  private def stagedWrite(df: DataFrame)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.sparkSession.conf.getOption("graft.committer.algorithm") match {
+      case Some(v) => df.write
+        .option("mapreduce.fileoutputcommitter.algorithm.version", v)
+      case None => df.write
+    }
+
   /** Order-preserving map over leaves on a bounded pool — every per-leaf
     * fs-metadata loop (resolve / migrate / vacuum) goes through this so no
     * maintenance or read path is serial in leaf count (the driver-side
@@ -119,14 +139,29 @@ object Compaction {
   def readPartitioned(spark: SparkSession, root: String,
       partitionCol: String): Option[DataFrame] = {
     val leaves = resolveLeaves(spark, root)
-    if (leaves.isEmpty) None
-    else {
-      val dirs = leaves.map(_._2)
-      val re = "/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/"
-      Some(spark.read.parquet(dirs: _*).withColumn(partitionCol,
+    if (leaves.isEmpty) return None
+    // input_file_name() is URI-ENCODED: a recovered value only equals the
+    // real one when it is invariant under that encoding (plus Spark's
+    // partition escaping). Path-safe leaves — all of graft's own layouts —
+    // ride ONE multi-path relation (one listing, one schema inference — the
+    // ReadScaleProbe economics above); the rare unsafe leaf falls back to a
+    // per-leaf read with the DECODED value injected as a literal, unioned in
+    def valueOf(leafName: String): String = leafName.drop(partitionCol.length + 1)
+    def pathSafe(v: String): Boolean =
+      v.nonEmpty && v.forall(c =>
+        c.isLetterOrDigit && c < 128 || c == '.' || c == '_' || c == '-')
+    val (safe, unsafe) = leaves.partition(l => pathSafe(valueOf(l._1)))
+    val re = "/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/"
+    val safePart = Option.when(safe.nonEmpty)(
+      spark.read.parquet(safe.map(_._2): _*).withColumn(partitionCol,
         org.apache.spark.sql.functions.regexp_extract(
           org.apache.spark.sql.functions.input_file_name(), re, 1)))
+    val unsafeParts = unsafe.map { case (leafName, dir) =>
+      spark.read.parquet(dir).withColumn(partitionCol,
+        lit(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(valueOf(leafName))))
     }
+    (safePart.toSeq ++ unsafeParts).reduceOption(_.unionByName(_))
   }
 
   /**
@@ -179,8 +214,8 @@ object Compaction {
     // 200k rows across 1024 leaves, linear in leaf count), with it each
     // leaf's rows land in exactly one task → one staged file per leaf per
     // batch, which is also the file-count shape the manifest append wants
-    df.repartition(col(partitionCol))
-      .write.partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
+    stagedWrite(df.repartition(col(partitionCol)))
+      .partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
     // the per-leaf file moves are INDEPENDENT driver-side fs metadata ops;
     // serialized they are the classic driver bottleneck at thousands of
     // leaves, so submit them to a bounded pool (the rewritePartitions
@@ -305,28 +340,38 @@ object Compaction {
     lap(s"plan(${dirs.length} leaves, ${plans.length} planned)")
     if (plans.isEmpty) return 0
     val partitionCol = dirs.head.getName.takeWhile(_ != '=')
-    // values that required path-escaping ('%xx' in the dir name) would
-    // double-escape through the recover->partitionBy round trip; such
-    // leaves (none of graft's own layouts — buckets/cells are numeric)
-    // take the per-leaf path, everything else rides the batched job
-    val (escaped, batchable) =
-      plans.partition(_.leaf.getName.contains('%'))
-    val escapedMerged = escaped.map(pl => ManifestTable.minorCompact(
-      spark, pl.leaf.toString, smallBytes, targetBytes)).sum
-    if (batchable.isEmpty) return escapedMerged
+    val batchable = plans
     // ---- merge: ONE job over every planned leaf's debris. Leaf value is
     // recovered from the file path (the gen dir sits BELOW the leaf=value
     // component); a per-leaf salt bounds each output file at ~targetBytes.
+    //
+    // The recovered component carries TWO encoding layers: input_file_name()
+    // is a URI (Hadoop percent-encodes, e.g. space → %20) over the on-disk
+    // dir name, which is itself Spark-partition-ESCAPED (escapePathName,
+    // e.g. '%' → %25). Decoding both layers recovers the TRUE value, which
+    // partitionBy then re-escapes to exactly the original dir name — so the
+    // staged leaf matches pl.leaf.getName for ANY value. (The pre-round-13
+    // code left the value URI-encoded: 'a b' staged as 'a%20b', never
+    // matched, and with retained big files present the reference-only
+    // branch below silently dropped the debris rows.) Each decode pass
+    // first protects literal '+' (a legal path char url_decode would
+    // otherwise turn into a space).
+    val decode = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.functions.url_decode(
+        org.apache.spark.sql.functions.regexp_replace(c, "\\+", "%2B"))
     val stage = new Path(rootPath,
       ".stage-minor-" + java.util.UUID.randomUUID().toString.take(12))
     val re = "/" + java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/"
+    def trueValue(pl: MinorPlan): String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(pl.leaf.getName.drop(partitionCol.length + 1))
     val nOut: Map[String, Int] = batchable.map { pl =>
-      val leafValue = pl.leaf.getName.drop(partitionCol.length + 1)
-      leafValue -> math.max(1L,
+      trueValue(pl) -> math.max(1L,
         (pl.smallBytes + targetBytes - 1) / targetBytes).toInt
     }.toMap
     val base = spark.read.parquet(batchable.flatMap(_.smallAbs): _*)
-      .withColumn(partitionCol, regexp_extract(input_file_name(), re, 1))
+      .withColumn(partitionCol,
+        decode(decode(regexp_extract(input_file_name(), re, 1))))
     // debris under targetBytes per leaf (the steady state) needs no salt;
     // oversized leaves get one via a BROADCAST join on the tiny plan table
     // (a literal map() of thousands of entries is rebuilt per row and falls
@@ -343,12 +388,13 @@ object Compaction {
           .repartition(col(partitionCol), col("__salt"))
           .drop("__salt", "__nout")
       }
-    // committer note: the v2 task-side commit was A/B-tested here and on
-    // the append stage — on local fs it measured NEUTRAL here and ~25%
-    // SLOWER for appends (v1's driver-side mergePaths is cheap locally),
-    // so both stages keep the default; revisit on an object store, where
-    // v1's serial driver merge is the known bottleneck.
-    routed.write.partitionBy(partitionCol)
+    // committer: the v2 task-side commit was A/B-tested here and on the
+    // append stage — on local fs it measured NEUTRAL here and ~25% SLOWER
+    // for appends (v1's driver-side mergePaths is cheap locally), so the
+    // default stays v1; on an object store set the session conf
+    // `graft.committer.algorithm = 2` (see stagedWrite; CommitterProbe
+    // measures both on a simulated slow-rename fs).
+    stagedWrite(routed).partitionBy(partitionCol)
       .mode("overwrite").parquet(stage.toString)
     lap(s"merge(${batchable.map(_.smallAbs.length).sum} files)")
     // ---- commit (pooled fs metadata: one rename + manifest swap per leaf)
@@ -363,8 +409,18 @@ object Compaction {
           pl.live, pl.bigRel)
         pl.smallAbs.length
       } else if (pl.bigRel.nonEmpty) {
-        // every debris file held zero rows: the new generation is pure
-        // references (dataFileCount counts the retained files)
+        // no staged dir for this leaf: legitimate ONLY when every debris
+        // file held zero rows (partitionBy writes no dir for an empty
+        // group). VERIFY that from the parquet footers (footer metadata
+        // reads, bounded by this rare case) before committing a
+        // reference-only generation — committing on a mere name mismatch
+        // would silently drop live rows from the snapshot.
+        val debrisRows = pl.smallAbs.map(f => footerRowCount(fs, new Path(f))).sum
+        if (debrisRows != 0L)
+          throw new IllegalStateException(
+            s"minorCompactPartitions: staged output for ${pl.leaf} missing " +
+              s"yet its debris holds $debrisRows rows — leaf-value recovery " +
+              "mismatch; nothing was committed for this leaf")
         fs.mkdirs(nextPath): Unit
         ManifestTable.commitStagedGen(spark, pl.leaf.toString, pl.next,
           pl.live, pl.bigRel)
@@ -374,7 +430,16 @@ object Compaction {
     fs.delete(stage, true)
     lap("commit")
     outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
-    escapedMerged + outcomes.map(_.getOrElse(0)).sum
+    outcomes.map(_.getOrElse(0)).sum
+  }
+
+  /** Exact row count of one parquet file from its footer — metadata only,
+    * no data pages read. */
+  private def footerRowCount(fs: org.apache.hadoop.fs.FileSystem,
+      file: Path): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, fs.getConf))
+    try reader.getRecordCount finally reader.close()
   }
 
   /** Rewrite EVERY leaf through `transform` (row-level rewrites: deletion,
@@ -511,7 +576,8 @@ object Compaction {
     val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
     if (!fs.exists(rootPath)) return Nil
     fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(".stage-"))
+      .filter(p => p.getName.startsWith(".stage-") ||
+        p.getName.startsWith(CommitTags.TagsName + ".tmp-"))
       .foreach(fs.delete(_, true))
     pooledMap(leafDirs(fs, rootPath))(p =>
       ManifestTable.fsck(spark, p.toString))
@@ -540,7 +606,8 @@ object Compaction {
     val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
     if (!fs.exists(rootPath)) return 0
     val stages = fs.listStatus(rootPath).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(".stage-"))
+      .filter(p => p.getName.startsWith(".stage-") ||
+        p.getName.startsWith(CommitTags.TagsName + ".tmp-"))
     stages.foreach(fs.delete(_, true))
     stages.length +
       pooledMap(leafDirs(fs, rootPath))(p =>

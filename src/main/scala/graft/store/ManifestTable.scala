@@ -178,8 +178,10 @@ object ManifestTable {
   // metadata ops per maintenance pass the clones dominate wall time
   // (MaintainScaleProbe). Hadoop-conf changes made mid-session after the
   // first graft metadata op are not picked up; set them before.
-  private val confCache = new java.util.concurrent.ConcurrentHashMap[
-    SparkSession, org.apache.hadoop.conf.Configuration]()
+  // weak keys: a stopped session (test suites create many) must not pin its
+  // cloned Configuration for the JVM's life
+  private val confCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, org.apache.hadoop.conf.Configuration]())
 
   private[store] def cachedConf(spark: SparkSession)
       : org.apache.hadoop.conf.Configuration =
@@ -305,7 +307,8 @@ object ManifestTable {
     val keep = protectedGens(fs, dir, Set(live) ++ prevLive)
     genDirs(fs, dir).filterNot(keep).foreach(g => fs.delete(new Path(dir, g), true))
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(StagePrefix))
+      .filter(p => p.getName.startsWith(StagePrefix) ||
+        p.getName.startsWith(TagsName + ".tmp-"))
       .foreach(fs.delete(_, true))
     fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
@@ -645,7 +648,8 @@ object ManifestTable {
     val orphans = live.map(l => gens.filter(_ > l)).getOrElse(Nil)
     orphans.foreach(g => fs.delete(new Path(dir, g), true))
     val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith(StagePrefix))
+      .filter(p => p.getName.startsWith(StagePrefix) ||
+        p.getName.startsWith(TagsName + ".tmp-"))
     stages.foreach(fs.delete(_, true))
     val tmps = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
@@ -684,7 +688,8 @@ object ManifestTable {
         val genVictims = gens.filterNot(keep)
         genVictims.foreach(g => fs.delete(new Path(dir, g), true))
         val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
-          .filter(_.getName.startsWith(StagePrefix))
+          .filter(p => p.getName.startsWith(StagePrefix) ||
+            p.getName.startsWith(TagsName + ".tmp-"))
         stages.foreach(fs.delete(_, true))
         fs.listStatus(dir).filter(_.isFile).map(_.getPath)
           .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||

@@ -707,11 +707,11 @@ class LifecycleSpec extends SparkSpec {
       nBuckets = 4, batchId = Some("b1"))
     append()
     val posts = multiset(readLayout(path + "/postings", "bucket"))
-    val stats = multiset(spark.read.parquet(path + "/stats"))
+    val stats = multiset(graft.store.ManifestTable.read(spark, path + "/stats"))
     val members = multiset(ManifestTable.read(spark, path + "/docs"))
     append() // blind retry: both tags committed, stats re-derive to the same row
     assert(multiset(readLayout(path + "/postings", "bucket")) == posts)
-    assert(multiset(spark.read.parquet(path + "/stats")) == stats)
+    assert(multiset(graft.store.ManifestTable.read(spark, path + "/stats")) == stats)
     assert(multiset(ManifestTable.read(spark, path + "/docs")) == members)
     // crash window: docs committed, postings never landed — delete the
     // tagged posting files and the marker, then retry
@@ -727,7 +727,7 @@ class LifecycleSpec extends SparkSpec {
       "the missing postings must land exactly once")
     assert(multiset(ManifestTable.read(spark, path + "/docs")) == members,
       "the docs membership must not double-append")
-    assert(multiset(spark.read.parquet(path + "/stats")) == stats)
+    assert(multiset(graft.store.ManifestTable.read(spark, path + "/stats")) == stats)
     // the probe equals a from-scratch build of the same corpus
     val fresh = tmp("graft_bm25_idem") + "/fresh"
     TextOps.writeBm25Index(docs, "id", "text", fresh, nBuckets = 4)
@@ -940,8 +940,8 @@ class LifecycleSpec extends SparkSpec {
     assert(canon(TextOps.bm25TopKFromIndex(spark, full, q, 10, nBuckets = 4)) ==
       canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)),
       "post-delete probe must equal the from-scratch survivor index")
-    assert(multiset(spark.read.parquet(full + "/stats")) ==
-      multiset(spark.read.parquet(fresh + "/stats")),
+    assert(multiset(graft.store.ManifestTable.read(spark, full + "/stats")) ==
+      multiset(graft.store.ManifestTable.read(spark, fresh + "/stats")),
       "stats must decrement exactly, including the token-less doc")
     // a further append still works on the rewritten layout
     TextOps.appendBm25Index(Seq((7L, "spark merge")).toDF("id", "text"),
@@ -1197,6 +1197,68 @@ class LifecycleSpec extends SparkSpec {
     assert(multiset(readLayout(root, "bucket")) == before)
   }
 
+  test("staged writes are exact under the v2 task-side committer " +
+      "(graft.committer.algorithm = 2, the object-store knob)") {
+    val root = tmp("graft_committer_v2") + "/layout"
+    spark.conf.set("graft.committer.algorithm", "2")
+    try {
+      val base = spark.range(8000)
+        .select($"id", ($"id" % 8).cast("string").as("bucket"),
+          md5($"id".cast("string")).as("v"))
+      assert(Compaction.appendPartitions(base, root, "bucket", Some("b0")))
+      assert(Compaction.appendPartitions(
+        base.withColumn("id", $"id" + 1000000L), root, "bucket", Some("b1")))
+      val before = multiset(readLayout(root, "bucket"))
+      assert(Compaction.minorCompactPartitions(spark, root,
+        smallBytes = 1L << 30) == 16)
+      assert(multiset(readLayout(root, "bucket")) == before,
+        "v2-committer minor compaction changed the multiset")
+      assert(Compaction.compactPartitions(spark, root, targetFiles = 1) >= 0)
+      assert(multiset(readLayout(root, "bucket")) == before,
+        "v2-committer major compaction changed the multiset")
+    } finally spark.conf.unset("graft.committer.algorithm")
+  }
+
+  test("batched minor compaction is exact for URI-encodable and partition-" +
+      "escaped leaf values (space, percent, plus, equals), retained big " +
+      "files included") {
+    // the round-13 ADVICE scenario: input_file_name() returns the percent-
+    // ENCODED path, so a naive value recovery stages 'a%20b' for leaf
+    // 'a b' — never matching — and with retained big files present the
+    // reference-only commit silently dropped every debris row. The decode
+    // chain (URI layer + Spark partition-escape layer) must round-trip ALL
+    // of these exactly.
+    val root = tmp("graft_minor_esc") + "/layout"
+    val values = Seq("a b", "a%b", "a+b", "x=y", "100% do ne")
+    val base = spark.range(5000)
+      .select($"id", element_at(lit(values.toArray), ($"id" % 5 + 1).cast("int"))
+        .as("leaf"), md5($"id".cast("string")).as("v"))
+    base.repartition(col("leaf")).write.partitionBy("leaf").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    val thresh = values.map(v =>
+      onlyParquet(Compaction.resolveLeafDirs(spark, root, "leaf", Seq(v)).head)
+        .length).min
+    def batch(tag: Int) = (1 to 10).map(i =>
+      (1000000L * tag + i, values(i % 5), s"t$tag-$i")).toDF("id", "leaf", "v")
+    assert(Compaction.appendPartitions(batch(1), root, "leaf", None))
+    assert(Compaction.appendPartitions(batch(2), root, "leaf", None))
+    val before = multiset(readLayout(root, "leaf"))
+    // every leaf: 2 debris files merge, the big base file carries by
+    // reference — the exact shape whose debris the old code dropped
+    val nMerged = Compaction.minorCompactPartitions(spark, root,
+      smallBytes = thresh)
+    assert(nMerged == 10, s"2 debris files x 5 leaves should merge, got $nMerged")
+    assert(multiset(readLayout(root, "leaf")) == before,
+      "escaped-value minor compaction changed the full-read multiset")
+    values.foreach { v =>
+      assert(ManifestTable.dataFileCount(spark,
+        s"$root/${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName("leaf")}=${org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.escapePathName(v)}") == 2,
+        s"leaf '$v' should hold one merged + one retained file")
+    }
+  }
+
   test("fsck: makes the lost-MANIFEST heal durable, sweeps orphaned " +
       "generations/stages/tmp debris, reports missing retained files " +
       "unhealed; idempotent; partitioned twin heals a damaged layout") {
@@ -1356,8 +1418,8 @@ class LifecycleSpec extends SparkSpec {
       TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)
         .collect().toSeq,
       "repaired probe must equal the from-scratch survivor index")
-    assert(spark.read.parquet(path + "/stats").collect().map(_.toSeq).toSet ==
-      spark.read.parquet(fresh + "/stats").collect().map(_.toSeq).toSet,
+    assert(graft.store.ManifestTable.read(spark, path + "/stats").collect().map(_.toSeq).toSet ==
+      graft.store.ManifestTable.read(spark, fresh + "/stats").collect().map(_.toSeq).toSet,
       "stats must rederive from the repaired membership")
     // idempotent: a healthy index repairs to (0, 0) and changes nothing
     val again = TextOps.repairBm25Index(spark, path).collect().head

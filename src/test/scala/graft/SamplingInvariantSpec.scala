@@ -263,8 +263,8 @@ class SamplingInvariantSpec extends SparkSpec {
         .select(col("id"), col("term"), col("tf"), col("dl"), col("bucket"))
         .collect().map(_.toSeq).toSet
       assert(rows(path) == rows(fresh), s"round $round removed=$removed")
-      assert(spark.read.parquet(path + "/stats").collect().map(_.toSeq).toSet ==
-        spark.read.parquet(fresh + "/stats").collect().map(_.toSeq).toSet)
+      assert(graft.store.ManifestTable.read(spark, path + "/stats").collect().map(_.toSeq).toSet ==
+        graft.store.ManifestTable.read(spark, fresh + "/stats").collect().map(_.toSeq).toSet)
       val terms = Seq("w1", "w5", "w9")
       assert(TextOps.bm25TopKFromIndex(spark, path, terms, 40, nBuckets = 4)
           .collect().map(_.toSeq).toSeq ==

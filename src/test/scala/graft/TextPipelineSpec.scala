@@ -499,7 +499,7 @@ class TextPipelineSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(viaAppend == direct, "appended index diverged from direct scan")
     // the merged stats sidecar is exactly the full corpus's
-    val st = spark.read.parquet(path2 + "/stats").head()
+    val st = graft.store.ManifestTable.read(spark, path2 + "/stats").head()
     assert(st.getLong(0) == corpus.count(), "n_docs must merge additively")
   }
 
