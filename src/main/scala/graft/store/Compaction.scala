@@ -116,10 +116,18 @@ object Compaction {
       values: Seq[Any]): Seq[String] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
-    values.map(v => new Path(rootPath, s"$partitionCol=$v"))
+    values.map(v => new Path(rootPath, leafName(partitionCol, v)))
       .filter(fs.exists)
       .flatMap(p => ManifestTable.resolvePaths(spark, p.toString))
   }
+
+  /** The on-disk leaf dir name for a probe value: Spark partition-escapes
+    * the value exactly as partitionBy did when writing it (identity for
+    * graft's own numeric layouts; required for string values like "x=y",
+    * whose dir is `col=x%3Dy`). */
+  private def leafName(partitionCol: String, v: Any): String =
+    s"$partitionCol=${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(v.toString)}"
 
   /** Layout-aware full read: every leaf's live rows with the partition
     * value injected back as a STRING column `partitionCol` (cast at the
@@ -627,7 +635,7 @@ object Compaction {
       partitionCol: String, values: Seq[Any]): Seq[String] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
-    values.map(v => new Path(rootPath, s"$partitionCol=$v"))
+    values.map(v => new Path(rootPath, leafName(partitionCol, v)))
       .filter(fs.exists)
       .flatMap(p => ManifestTable.previousGen(spark, p.toString).toSeq
         .flatMap(g => ManifestTable.pathsFor(spark, p.toString, g)))

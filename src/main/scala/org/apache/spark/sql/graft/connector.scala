@@ -417,12 +417,16 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
       case Some(ix) if ix.manifest =>
         // manifest dialect: the index names the live file set exactly —
         // listed-but-unnamed files are swap strays (invisible); a NAMED but
-        // MISSING file is real damage, surfaced loudly
+        // MISSING file is either real damage or a scan outliving its
+        // keep-one-back window. FileNotFoundException so that
+        // Compaction.retryingStaleScan heals the latter by re-planning;
+        // persistent damage stays loud and fsckIndexed reports it.
         val byName = listed.map(st => st.getPath.getName -> st).toMap
         ix.files.toSeq.sorted.map(n => byName.getOrElse(n,
-          throw new IllegalStateException(
+          throw new java.io.FileNotFoundException(
             s"graft: manifest index names missing data file $n under $path " +
-              "— restore it or run graft.store.KeyedStore.fsckIndexed")))
+              "— a scan past its keep-one-back window (re-plan and retry), " +
+              "or damage: run graft.store.KeyedStore.fsckIndexed")))
       case _ => listed
     }
   }
@@ -1162,9 +1166,13 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
     // ensure the target dir exists before tasks write into it
     val p = new Path(path)
     p.getFileSystem(hc).mkdirs(p)
+    // job-unique name salt: task ids restart across applications, so an
+    // append from a fresh app could otherwise reuse an existing part-file
+    // name and silently overwrite live rows
     GraftWriterFactory(new SerializableConfiguration(hc), path, keyIdx,
       if (keyIdx < 0) NullType else writeSchema(keyIdx).dataType, keyTag,
-      if (rowLevel) Some(writeSchema) else None)
+      if (rowLevel) Some(writeSchema) else None,
+      java.util.UUID.randomUUID().toString.take(8))
   }
 
   override def commit(messages: Array[
@@ -1237,12 +1245,12 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
 
 final case class GraftWriterFactory(conf: SerializableConfiguration, dir: String,
     keyIdx: Int, keyDt: DataType, keyTag: Option[String],
-    rowLevelSchema: Option[StructType] = None)
+    rowLevelSchema: Option[StructType] = None, salt: String = "0")
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftDataWriter(conf.value, dir,
-      f"part-$partitionId%05d-$taskId%d.parquet", partitionId, taskId,
+      f"part-$partitionId%05d-$taskId%d-$salt.parquet", partitionId, taskId,
       keyIdx, keyDt, keyTag, rowLevelSchema)
 }
 
