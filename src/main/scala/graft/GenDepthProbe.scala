@@ -35,19 +35,29 @@ object GenDepthProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import graft.store.ManifestTable
     try {
-      val perCycle = 20000L
+      val perCycle = 10000L
       val results = Seq(16, 64, 256).map { n =>
         val table = java.nio.file.Files
           .createTempDirectory(s"graft_gendepth_$n").toString + "/t"
-        (0 until n).foreach { i =>
-          ManifestTable.append(
-            spark.range(i * perCycle, (i + 1) * perCycle).toDF("id")
-              .withColumn("payload", md5(col("id").cast("string")))
-              .coalesce(1),
-            table)
-          // threshold of 1 byte over nothing: every append merges, every
-          // merged output immediately exceeds it and is retained next cycle
-          ManifestTable.minorCompact(spark, table, smallBytes = 256L << 10): Unit
+        def appendBatch(i: Long): Unit = ManifestTable.append(
+          spark.range(i * perCycle, (i + 1) * perCycle).toDF("id")
+            .withColumn("payload", md5(col("id").cast("string")))
+            .coalesce(1),
+          table)
+        // cycle 0 sizes the threshold: 1.5× one append file — each cycle's
+        // TWO appends merge (both under it) into one output (~2× > it)
+        // that is RETAINED by reference forever after, so every cycle
+        // leaves one more retained file in one more old generation:
+        // generation depth ≈ N by construction
+        appendBatch(0)
+        val oneFile = new java.io.File(ManifestTable.resolve(spark, table))
+          .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).max
+        val smallBytes = oneFile * 3 / 2
+        appendBatch(1)
+        ManifestTable.minorCompact(spark, table, smallBytes): Unit
+        (1 until n).foreach { i =>
+          appendBatch(2L * i); appendBatch(2L * i + 1)
+          ManifestTable.minorCompact(spark, table, smallBytes): Unit
         }
         val gens = ManifestTable.generations(spark, table).length
         val t0 = System.nanoTime()
@@ -56,7 +66,8 @@ object GenDepthProbe {
         val t1 = System.nanoTime()
         val rows = ManifestTable.read(spark, table).count()
         val readSec = (System.nanoTime() - t1) / 1e9
-        require(rows == n * perCycle, s"lost rows: $rows != ${n * perCycle}")
+        require(rows == 2L * n * perCycle,
+          s"lost rows: $rows != ${2L * n * perCycle}")
         (n, gens, paths.length, math.rint(resolveMs * 100) / 100,
           math.rint(readSec * 1000) / 1000, table)
       }
