@@ -3784,13 +3784,16 @@ object SparkEntry {
       val path = sys.props("java.io.tmpdir") + "/graft_q246_srp_" +
         Integer.toHexString(dir.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
+      // 64 buckets: the undo semantics are bucket-count-oblivious (the
+      // planted copies share the query's bucket by construction) and the
+      // layout-build + takedown demo shouldn't pay 256 leaves at this SF
       Similarity.writeBucketedCorpus(base.unionByName(planted), "vec_id",
-        "embedding", path)
+        "embedding", path, nBits = 6)
       Similarity.removeFromBucketedCorpus(s, path,
         s.range(4).select((col("id") * 2 + 9500L).as("vec_id")),
         idCol = "vec_id"): Unit
       Similarity.annTopKFromBucketedPrevious(s, path, "vec_id",
-          "embedding", q, 7)
+          "embedding", q, 7, nBits = 6)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
     })
   )
