@@ -3795,6 +3795,49 @@ object SparkEntry {
       Similarity.annTopKFromBucketedPrevious(s, path, "vec_id",
           "embedding", q, 7, nBits = 6)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+    }),
+
+    // --- keyed-store FSCK, oracle-checked end to end (q241's twin for the
+    //     flat indexed layout): an index-pruned upsert, then crash debris
+    //     planted through the Hadoop fs API — a stray data file carrying
+    //     DUPLICATE rows under a never-committed m-name, a torn index tmp,
+    //     a dead staging sibling. The manifest-dialect read must be exact
+    //     THROUGH the debris (strays invisible), fsckIndexed must sweep all
+    //     three classes and report nothing unhealable, and the healed read
+    //     must still hash-match the SQL replay of the upsert --------------
+    "q247_keyed_fsck" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q247_keyed_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      KeyedStore.writeIndexed(c, path, "c_custkey", numRanges = 8)
+      val upd = c.where(pmod(col("c_custkey"), lit(101)) === 0)
+        .withColumn("c_name", concat(lit("UPD_"), col("c_name")))
+      KeyedStore.upsertIndexed(s, path, upd, "c_custkey")
+      val dirPath = new org.apache.hadoop.fs.Path(path)
+      val fs = dirPath.getFileSystem(s.sessionState.newHadoopConf())
+      // stray with DUPLICATE rows: a copy of a live m-file under a name no
+      // index version references — visible to a naive dir listing, invisible
+      // to the manifest read, swept by fsck
+      val live = fs.listStatus(dirPath).map(_.getPath)
+        .filter(p => p.getName.startsWith("m") && p.getName.endsWith(".parquet"))
+        .minBy(_.getName)
+      org.apache.hadoop.fs.FileUtil.copy(fs, live, fs,
+        new org.apache.hadoop.fs.Path(dirPath, "m0-crashdebris.parquet"),
+        false, fs.getConf): Unit
+      val tmpIx = new org.apache.hadoop.fs.Path(dirPath,
+        "._graft_index.tmp-crash")
+      val out = fs.create(tmpIx, true)
+      out.write("graft-index\tv2\ttruncated".getBytes("UTF-8")); out.close()
+      fs.mkdirs(new org.apache.hadoop.fs.Path(path + "__staging")): Unit
+      val st = KeyedStore.fsckIndexed(s, path, "c_custkey")
+      import s.implicits._
+      KeyedStore.readKeyed(s, path, "c_custkey")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        .crossJoin(broadcast(Seq((st.sweptStrays.toLong,
+            st.sweptDirs.toLong, st.sweptTmpFiles.toLong, st.ok))
+          .toDF("swept_strays", "swept_dirs", "swept_tmp", "all_ok")))
     })
   )
 
@@ -4057,6 +4100,18 @@ object SparkEntry {
     "q246_srp_undo" ->
       """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos
         |FROM range(7) t(i)""".stripMargin,
+
+    // The upsert replayed in SQL; exactly one planted stray, one dead
+    // staging dir and one torn index tmp are swept, nothing unhealable.
+    // A read that saw the stray would double every row of its key range
+    // and break the hash.
+    "q247_keyed_fsck" ->
+      """SELECT c_custkey AS key,
+        |  CASE WHEN c_custkey % 101 = 0 THEN 'UPD_' || c_name
+        |       ELSE c_name END AS name,
+        |  cast(1 as bigint) AS swept_strays, cast(1 as bigint) AS swept_dirs,
+        |  cast(1 as bigint) AS swept_tmp, true AS all_ok
+        |FROM customer""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

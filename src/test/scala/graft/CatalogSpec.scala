@@ -75,6 +75,35 @@ class CatalogSpec extends SparkSpec {
     assert(r.map(_.getString(0)).toSeq == Seq("name_99"))
   }
 
+  test("DELETE pre-commit crash debris is invisible to reads; a blind retry " +
+      "converges; fsckIndexed reports the table healthy") {
+    val t = freshTable("t9")
+    seed(t)
+    val twin = freshTable("t9twin")
+    seed(twin)
+    // the twin's completed DELETE manufactures exactly what a crash between
+    // deleteWhere's staged renames and its index commit strands in the live
+    // dir: d-files holding the post-delete rows of the affected range, not
+    // referenced by any index version
+    spark.sql(s"DELETE FROM $twin WHERE key < 10")
+    val dFiles = new java.io.File(s"$wh/db/t9twin").listFiles()
+      .filter(f => f.getName.startsWith("d") && f.getName.endsWith(".parquet"))
+    assert(dFiles.nonEmpty, "the twin DELETE should have renamed d-files in")
+    dFiles.foreach(f => java.nio.file.Files.copy(f.toPath,
+      java.nio.file.Paths.get(s"$wh/db/t9", f.getName)))
+    // invariant 1: the debris is invisible — pre-delete snapshot, exactly
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 100,
+      "pre-commit DELETE debris must not change what readers see")
+    // invariant 2: the blind retry lands the clean-run state (and its own
+    // post-commit sweep retires the planted debris)
+    spark.sql(s"DELETE FROM $t WHERE key < 10")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 90)
+    assert(spark.sql(s"SELECT min(key) AS k FROM $t").head().getLong(0) == 10)
+    val st = graft.store.KeyedStore.fsckIndexed(spark, s"$wh/db/t9", "key")
+    assert(st.ok, st.toString)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) == 90)
+  }
+
   test("DELETE on non-key predicate; TRUNCATE; unsupported predicate fails loudly") {
     val t = freshTable("t3")
     seed(t)
