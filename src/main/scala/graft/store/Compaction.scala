@@ -134,6 +134,19 @@ object Compaction {
     org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
       .unescapePathName(leaf.getName.drop(partitionCol.length + 1))
 
+  /** A leaf name is CANONICAL when Spark partition escaping round-trips it
+    * (escape(unescape(raw)) == raw). Every partitionBy-written leaf — all of
+    * graft's own — is canonical; an externally-created dir can deviate
+    * (lowercase hex like `x%3dy`, or raw chars Spark would escape) and
+    * would re-stage under a DIFFERENT name in the batched verbs, so such
+    * leaves take the exact per-leaf path instead. */
+  private def canonicalLeaf(partitionCol: String, leaf: Path): Boolean = {
+    val raw = leaf.getName.drop(partitionCol.length + 1)
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(raw)) == raw
+  }
+
   /**
    * Each row's TRUE leaf value, recovered from `input_file_name()`. The
    * path component carries TWO encoding layers: input_file_name() is a URI
@@ -372,7 +385,13 @@ object Compaction {
     lap(s"plan(${dirs.length} leaves, ${plans.length} planned)")
     if (plans.isEmpty) return 0
     val partitionCol = dirs.head.getName.takeWhile(_ != '=')
-    val batchable = plans
+    // non-canonical leaf names (external tools only) cannot ride the
+    // recover->partitionBy round trip: exact per-leaf merges for them
+    val (batchable, nonCanonical) =
+      plans.partition(pl => canonicalLeaf(partitionCol, pl.leaf))
+    val perLeafMerged = nonCanonical.map(pl => ManifestTable.minorCompact(
+      spark, pl.leaf.toString, smallBytes, targetBytes)).sum
+    if (batchable.isEmpty) return perLeafMerged
     // ---- merge: ONE job over every planned leaf's debris. Leaf value is
     // recovered from the file path (the gen dir sits BELOW the leaf=value
     // component); a per-leaf salt bounds each output file at ~targetBytes.
@@ -450,7 +469,7 @@ object Compaction {
     fs.delete(stage, true)
     lap("commit")
     outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
-    outcomes.map(_.getOrElse(0)).sum
+    perLeafMerged + outcomes.map(_.getOrElse(0)).sum
   }
 
   /** Exact row count of one parquet file from its footer — metadata only,
@@ -544,7 +563,15 @@ object Compaction {
       }
     }.flatten
     if (plans.isEmpty) return 0
-    val base = spark.read.parquet(plans.flatMap(_._4): _*)
+    // non-canonical leaf names (external tools only) would re-stage under a
+    // DIFFERENT name and read as "transform emptied the leaf" — silent row
+    // loss; they take the exact per-leaf rewrite instead
+    val (canonical, nonCanonical) =
+      plans.partition(pl => canonicalLeaf(partitionCol, pl._1))
+    pooledMap(nonCanonical)(pl =>
+      ManifestTable.compact(spark, pl._1.toString, targetFiles, transform)): Unit
+    if (canonical.isEmpty) return nonCanonical.length
+    val base = spark.read.parquet(canonical.flatMap(_._4): _*)
       .withColumn(partitionCol, recoveredLeafValue(partitionCol))
     val transformed = transform(base)
     require(transformed.columns.contains(partitionCol),
@@ -574,19 +601,19 @@ object Compaction {
     // commit (pooled fs metadata): a missing staged dir is a leaf whose
     // rows were ALL dropped by the transform — the value round-trip is
     // exact (recoveredLeafValue), so it commits as an empty generation
-    val outcomes = pooledMap(plans)(pl => scala.util.Try {
+    val outcomes = pooledMap(canonical)(pl => scala.util.Try {
       val stagedLeaf = new Path(stage, pl._1.getName)
       val nextPath = new Path(pl._1, pl._3)
       if (fs.exists(stagedLeaf)) {
         if (!fs.rename(stagedLeaf, nextPath))
           throw new java.io.IOException(
             s"rewritePartitions: cannot commit $stagedLeaf -> $nextPath")
-      } else fs.mkdirs(nextPath): Unit
+      } else fs.mkdirs(nextPath): Unit // transform dropped every row
       ManifestTable.commitStagedGen(spark, pl._1.toString, pl._3, pl._2, Nil)
     })
     fs.delete(stage, true)
     outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
-    plans.length
+    nonCanonical.length + canonical.length
   }
 
   /** One leaf's maintenance statistics — the planner row behind
@@ -639,8 +666,13 @@ object Compaction {
       else (p, 0)
     }
     val majors = decisions.collect { case (p, 2) => p }
-    pooledMap(majors)(p =>
-      ManifestTable.compact(spark, p.toString, targetFiles)): Unit
+    // majors fold retained references back and rewrite whole leaves — the
+    // batched every-leaf rewrite (ONE job + pooled commits) instead of one
+    // ManifestTable.compact job per leaf, so even a degenerate layout where
+    // every leaf crossed majorAt pays one job, not O(leaves)
+    if (majors.nonEmpty)
+      rewriteLeavesBatched(spark, rootPath, fs, majors, targetFiles,
+        identity): Unit
     val minors = decisions.collect { case (p, 1) => p }
     if (minors.nonEmpty)
       minorCompactLeaves(spark, rootPath, fs, minors, smallBytes,

@@ -130,6 +130,16 @@ object KeyedStore {
     val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
       .map(i => GraftIndex.ensureManifest(spark, path, i))
     if (ix.isEmpty) { // no usable index: full merge + fresh indexed layout
+      // the fallback reads the dir by PLAIN listing — only safe when no
+      // manifest discipline ever ran here. Index versions present but
+      // unusable for this keyCol mean a manifest table (whose on-disk
+      // strays a plain listing would read as duplicate rows) addressed by
+      // the wrong key, or a corrupted index: refuse loudly instead.
+      require(!fs.exists(dirPath) ||
+          GraftIndex.versionFiles(fs, dirPath).isEmpty,
+        s"mergeIndexed: $path carries a graft index, but none usable for " +
+          s"key '$keyCol' — wrong key column, or a damaged index (run " +
+          "KeyedStore.fsckIndexed / rebuild via writeIndexed)")
       val merged = merge(read(spark, path), batch)
       val stamp = System.currentTimeMillis()
       val staging = path + "__staging"
@@ -306,8 +316,8 @@ object KeyedStore {
     * legacy v1 index (upgraded by the next mutation, not damage). */
   final case class IndexedFsckStat(path: String, healedSwap: Boolean,
       sweptStrays: Int, sweptDirs: Int, sweptTmpFiles: Int,
-      missingFiles: Int, advisory: Boolean) {
-    def ok: Boolean = missingFiles == 0
+      missingFiles: Int, advisory: Boolean, tableExists: Boolean = true) {
+    def ok: Boolean = tableExists && missingFiles == 0
   }
 
   /**
@@ -376,8 +386,11 @@ object KeyedStore {
     val missing = ix.filter(_.manifest)
       .map(_.files.count(!present.contains(_))).getOrElse(0)
     val strays = GraftIndex.sweepStrays(spark, path)
+    // a table dir that is STILL missing after the heal attempts (no
+    // completed staging, no backup) is the worst state there is — never ok
     IndexedFsckStat(path, healed, strays, deadDirs.length, tmps.length,
-      missing, advisory = ix.exists(!_.manifest))
+      missing, advisory = ix.exists(!_.manifest),
+      tableExists = fs.exists(dirPath))
   }
 
   /** Reclaim disk on a [[writeIndexed]] layout between mutations: with
@@ -390,6 +403,11 @@ object KeyedStore {
     import org.apache.spark.sql.graft.GraftIndex
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // wrong-table guard: vacuuming under a mismatched key is almost always
+    // a mistyped path — the sweep itself is key-agnostic, so validate here
+    GraftIndex.read(dirPath, fs.getConf).foreach(ix =>
+      require(ix.keyCol == keyCol,
+        s"vacuumIndexed: $path is indexed by '${ix.keyCol}', not '$keyCol'"))
     if (!keepPrevious) {
       val versions = GraftIndex.versionFiles(fs, dirPath)
       versions.dropRight(1).foreach(v => fs.delete(v._2, false))

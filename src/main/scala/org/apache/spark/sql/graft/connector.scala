@@ -310,9 +310,14 @@ class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(_.getPath.getName)
     // manifest dialect: the index IS the file set (listed strays are
-    // invisible); advisory dialect: every listed file must be covered, else
-    // counts are partial
-    if (!ix.manifest && !dataFiles.forall(ix.files.contains)) return None
+    // invisible) — but every named file must EXIST, else the zero-I/O
+    // answer would silently count data that is gone (the real scan fails
+    // loudly; so must this path, via the fallback). Advisory dialect:
+    // every listed file must be covered, else counts are partial.
+    if (ix.manifest) {
+      val present = dataFiles.toSet
+      if (!ix.files.forall(present.contains)) return None
+    } else if (!dataFiles.forall(ix.files.contains)) return None
 
     def keyValue(v: Any): Any = keyDt match {
       case LongType => v.asInstanceOf[BigDecimal].toLong
@@ -938,10 +943,18 @@ object GraftIndex {
     existing.dropRight(KeepVersions - 1).foreach(v => fs.delete(v._2, false))
   }
 
-  /** Compute and write the sidecar for a whole table dir. EVERY data file in
-    * the dir becomes live (manifest dialect) — strays included, so run this
-    * only on dirs with no swap debris (fresh layouts, or after a sweep). */
+  /** Bootstrap a sidecar for an existing PLAIN parquet dir: every data file
+    * becomes live (manifest dialect). REFUSES on a dir that already holds a
+    * manifest-dialect index — there, files outside the index are swap
+    * strays, and re-indexing the listing would resurrect them as duplicate
+    * rows (use KeyedStore.fsckIndexed / writeIndexed instead). */
   def write(spark: SparkSession, dir: String, keyCol: String): Unit = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(!readAll(dirPath, fs.getConf).exists(_.manifest),
+      s"GraftIndex.write: $dir already carries a manifest index — files " +
+        "outside it are swap strays that a re-index would resurrect; use " +
+        "KeyedStore.fsckIndexed to heal or writeIndexed to rebuild")
     val df = spark.read.parquet(dir)
     tagOf(df.schema(keyCol).dataType).foreach { tag =>
       val (ranged, unranged) = computeEntries(spark, Seq(dir), keyCol, tag)

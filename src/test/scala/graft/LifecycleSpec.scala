@@ -1197,6 +1197,43 @@ class LifecycleSpec extends SparkSpec {
     assert(multiset(readLayout(root, "bucket")) == before)
   }
 
+  test("NON-CANONICAL leaf names (external lowercase-hex escapes) take the " +
+      "exact per-leaf path in the batched verbs — no silent row loss") {
+    // partitionBy always writes canonical names; an external tool can
+    // create `leaf=x%3dy` (lowercase hex). The batched recover->partitionBy
+    // round trip would stage that leaf under `leaf=x%3Dy` — never matching
+    // — and commit an empty/reference-only generation: silent loss. Such
+    // leaves must be detected and rewritten per-leaf, exactly.
+    val root = tmp("graft_noncanon") + "/layout"
+    val base = spark.range(2000)
+      .select($"id", when($"id" % 2 === 0, "x=y").otherwise("plain").as("leaf"),
+        md5($"id".cast("string")).as("v"))
+    base.repartition(col("leaf")).write.partitionBy("leaf").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    // de-canonicalize the escaped leaf: x%3Dy -> x%3dy (same decoded value)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "leaf=x%3Dy"),
+      new org.apache.hadoop.fs.Path(root, "leaf=x%3dy")))
+    def batch(tag: Int) = (1 to 6).map(i =>
+      (100000L * tag + i, if (i % 2 == 0) "x=y" else "plain", s"t$tag-$i"))
+      .toDF("id", "leaf", "v")
+    // appends go through partitionBy -> land in the CANONICAL dir name; the
+    // non-canonical dir now coexists as its own leaf holding the base rows
+    assert(Compaction.appendPartitions(batch(1), root, "leaf", None))
+    assert(Compaction.appendPartitions(batch(2), root, "leaf", None))
+    val before = multiset(readLayout(root, "leaf"))
+    // batched minor: the non-canonical leaf merges per-leaf, the rest batch
+    assert(Compaction.minorCompactPartitions(spark, root,
+      smallBytes = 1L << 30) > 0)
+    assert(multiset(readLayout(root, "leaf")) == before,
+      "minor compaction with a non-canonical leaf changed the multiset")
+    // batched every-leaf rewrite (identity): nothing may disappear
+    assert(Compaction.rewritePartitions(spark, root, 2, identity) > 0)
+    assert(multiset(readLayout(root, "leaf")) == before,
+      "batched rewrite with a non-canonical leaf changed the multiset")
+  }
+
   test("staged writes are exact under the v2 task-side committer " +
       "(graft.committer.algorithm = 2, the object-store knob)") {
     val root = tmp("graft_committer_v2") + "/layout"
