@@ -178,6 +178,33 @@ class KeyedStoreCrashSpec extends SparkSpec {
     assert(!stat.ok && stat.missingFiles == 1, stat.toString)
   }
 
+  test("wrong-key and re-index guards fail LOUDLY on a manifest table " +
+      "instead of reading keep-one-back strays as live rows") {
+    val dir = tmp("graft_ksc_guards") + "/t"
+    KeyedStore.writeIndexed(base(), dir, numRanges = 4)
+    KeyedStore.upsertIndexed(spark, dir, puts()) // leaves protected strays
+    val expected = snapshot(dir)
+    // a mutation addressed by the wrong key column would fall back to a
+    // PLAIN directory listing — which now contains the replaced originals —
+    // and bake duplicates into a rebuilt layout; it must refuse instead
+    val e1 = intercept[IllegalArgumentException] {
+      KeyedStore.upsertIndexed(spark, dir,
+        spark.range(3).toDF("v").withColumn("key", lit(1L)), keyCol = "v")
+    }
+    assert(e1.getMessage.contains("none usable for key"), e1.getMessage)
+    // the bootstrap indexer would make EVERY listed file live — stray
+    // resurrection on a manifest table; it must refuse
+    val e2 = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.GraftIndex.write(spark, dir, "key")
+    }
+    assert(e2.getMessage.contains("manifest index"), e2.getMessage)
+    // vacuum under a mismatched key is a mistyped path, not a no-op
+    intercept[IllegalArgumentException] {
+      KeyedStore.vacuumIndexed(spark, dir, keyCol = "v")
+    }
+    assert(snapshot(dir) == expected, "every refused op must leave the table untouched")
+  }
+
   test("compact crash before its index commit: staged c-files are invisible; " +
       "retry compacts cleanly") {
     val root = tmp("graft_ksc_compact")
