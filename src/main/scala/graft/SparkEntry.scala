@@ -3838,6 +3838,26 @@ object SparkEntry {
         .crossJoin(broadcast(Seq((st.sweptStrays.toLong,
             st.sweptDirs.toLong, st.sweptTmpFiles.toLong, st.ok))
           .toDF("swept_strays", "swept_dirs", "swept_tmp", "all_ok")))
+    }),
+
+    // --- UNDO-WINDOW read on the KEYED STORE itself (completing as-of
+    //     parity across every persisted layout — the previous retained
+    //     index version IS the pre-mutation snapshot's manifest): after an
+    //     index-pruned upsert rewrote some ranges, the previous view must
+    //     hash-match the UNTOUCHED base table --------------------------
+    "q248_keyed_undo" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q248_keyed_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      KeyedStore.writeIndexed(c, path, "c_custkey", numRanges = 8)
+      KeyedStore.upsertIndexed(s, path,
+        c.where(pmod(col("c_custkey"), lit(97)) === 0)
+          .withColumn("c_name", concat(lit("UPD_"), col("c_name"))),
+        "c_custkey")
+      KeyedStore.readKeyedPrevious(s, path, "c_custkey").get
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
     })
   )
 
@@ -4112,6 +4132,11 @@ object SparkEntry {
         |  cast(1 as bigint) AS swept_strays, cast(1 as bigint) AS swept_dirs,
         |  cast(1 as bigint) AS swept_tmp, true AS all_ok
         |FROM customer""".stripMargin,
+
+    // The undo view is the UNTOUCHED base table: the upsert rewrote some
+    // ranges, the previous index version still names their originals.
+    "q248_keyed_undo" ->
+      "SELECT c_custkey AS key, c_name AS name FROM customer",
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

@@ -61,6 +61,35 @@ object KeyedStore {
     spark.read.format("graft").option("key", keyCol).load(path)
 
   /**
+   * The UNDO WINDOW on the keyed store: read the table as of just BEFORE
+   * the last mutation — the PREVIOUS retained index version's file set,
+   * which keep-one-back funds through exactly one cycle (its files stay on
+   * disk as strays until the next mutation's sweep). Completes the
+   * takedown-audit / as-of parity across every persisted layout
+   * ([[graft.store.ManifestTable.readPrevious]],
+   * [[graft.ops.TextOps.bm25TopKFromIndexPrevious]],
+   * [[graft.ops.Similarity.ivfTopKFromPartitionedPrevious]] /
+   * `annTopKFromBucketedPrevious`, [[graft.ops.Dedup.readPairsPrevious]];
+   * reference analogue: HBase time-range reads, Query2.scala:345-359).
+   * None when no undo window exists: a never-mutated table, a
+   * [[vacuumIndexed]]`(keepPrevious = false)`, or an advisory (v1) index.
+   */
+  def readKeyedPrevious(spark: SparkSession, path: String,
+      keyCol: String = "key"): Option[DataFrame] = {
+    import org.apache.spark.sql.graft.GraftIndex
+    val dirPath = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    GraftIndex.readAll(dirPath, conf)
+      .filter(ix => ix.keyCol == keyCol && ix.manifest)
+      .drop(1).headOption // the version just behind the live one
+      .map { prev =>
+        val files = prev.files.toSeq.sorted.map(n => s"$path/$n")
+        if (files.isEmpty) spark.read.parquet(path).limit(0)
+        else spark.read.parquet(files: _*)
+      }
+  }
+
+  /**
    * Index-pruned merge — the write-side twin of the connector's split pruning,
    * and the answer to "every upsert rewrites the whole 100 TB table": only the
    * files whose key range actually CONTAINS a put key are read, merged and

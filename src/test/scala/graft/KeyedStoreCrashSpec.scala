@@ -178,6 +178,27 @@ class KeyedStoreCrashSpec extends SparkSpec {
     assert(!stat.ok && stat.missingFiles == 1, stat.toString)
   }
 
+  test("readKeyedPrevious: the exact pre-mutation snapshot, funded by " +
+      "keep-one-back; None before any mutation and after a full vacuum") {
+    val dir = tmp("graft_ksc_undo") + "/t"
+    KeyedStore.writeIndexed(base(), dir, numRanges = 4)
+    assert(KeyedStore.readKeyedPrevious(spark, dir).isEmpty,
+      "a never-mutated table has no 'before'")
+    val before = snapshot(dir)
+    KeyedStore.upsertIndexed(spark, dir, puts())
+    val after = snapshot(dir)
+    assert(after != before)
+    val prev = KeyedStore.readKeyedPrevious(spark, dir)
+    assert(prev.isDefined, "one mutation back must be readable")
+    assert(prev.get.collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+      == before, "the undo window must be the exact pre-mutation snapshot")
+    // draining the window (vacuum past keep-one-back) retires it; the live
+    // snapshot is untouched
+    KeyedStore.vacuumIndexed(spark, dir, keepPrevious = false): Unit
+    assert(KeyedStore.readKeyedPrevious(spark, dir).isEmpty)
+    assert(snapshot(dir) == after)
+  }
+
   test("wrong-key and re-index guards fail LOUDLY on a manifest table " +
       "instead of reading keep-one-back strays as live rows") {
     val dir = tmp("graft_ksc_guards") + "/t"
