@@ -3643,7 +3643,11 @@ object SparkEntry {
       fs.listStatus(postsPath)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
         .foreach { leaf =>
-          fs.delete(new org.apache.hadoop.fs.Path(leaf.getPath, "MANIFEST"), false): Unit
+          // "lost pointer" = every pointer version gone (MANIFEST legacy +
+          // MANIFEST.v<seq> fenced commits alike)
+          fs.listStatus(leaf.getPath)
+            .filter(st => st.isFile && st.getPath.getName.startsWith("MANIFEST"))
+            .foreach(st => fs.delete(st.getPath, false): Unit)
           fs.mkdirs(new org.apache.hadoop.fs.Path(leaf.getPath,
             "gen-000000097/_temporary")): Unit
           fs.mkdirs(new org.apache.hadoop.fs.Path(leaf.getPath, ".stage-dead")): Unit

@@ -598,6 +598,25 @@ object Compaction {
       ".stage-rewrite-" + java.util.UUID.randomUUID().toString.take(12))
     stagedWrite(routed).partitionBy(partitionCol)
       .mode("overwrite").parquet(stage.toString)
+    // a transform may only FILTER rows, never rewrite their partition
+    // values: a rewritten value routes rows into a staged leaf outside the
+    // planned set, which the stage-dir delete below would silently destroy
+    // while the drained source leaf commits as "emptied". Only the column's
+    // PRESENCE is require-checked above, so verify the staged leaf names
+    // against the plan before any commit — the batched twin of
+    // minorCompactPartitions' footerRowCount reconciliation.
+    val plannedLeafNames = canonical.map(_._1.getName).toSet
+    val unplanned = fs.listStatus(stage).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(partitionCol + "="))
+      .filterNot(plannedLeafNames)
+    if (unplanned.nonEmpty) {
+      fs.delete(stage, true)
+      throw new IllegalArgumentException(
+        s"rewritePartitions: transform rerouted rows into unplanned " +
+          s"leaves ${unplanned.sorted.take(5).mkString(", ")} — transforms " +
+          s"must not modify the '$partitionCol' column (nothing was " +
+          "committed; the table is unchanged)")
+    }
     // commit (pooled fs metadata): a missing staged dir is a leaf whose
     // rows were ALL dropped by the transform — the value round-trip is
     // exact (recoveredLeafValue), so it commits as an empty generation

@@ -156,8 +156,13 @@ object KeyedStore {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
-    val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
-      .map(i => GraftIndex.ensureManifest(spark, path, i))
+    // capture the index VERSION together with the snapshot: it is this
+    // mutation's optimistic-concurrency fence — the commit below aborts
+    // loudly if any other maintainer published a version in between
+    val ixV = GraftIndex.readAllVersioned(dirPath, hadoopConf).headOption
+      .filter(_._2.keyCol == keyCol)
+      .map { case (v, i) => GraftIndex.ensureManifestVersioned(spark, path, v, i) }
+    val ix = ixV.map(_._2)
     if (ix.isEmpty) { // no usable index: full merge + fresh indexed layout
       // the fallback reads the dir by PLAIN listing — only safe when no
       // manifest discipline ever ran here. Index versions present but
@@ -171,7 +176,10 @@ object KeyedStore {
           "KeyedStore.fsckIndexed / rebuild via writeIndexed)")
       val merged = merge(read(spark, path), batch)
       val stamp = System.currentTimeMillis()
-      val staging = path + "__staging"
+      // per-attempt staging name: two racing maintainers must never write
+      // into the SAME staging dir (they would corrupt each other's staged
+      // bytes before the commit fence can even arbitrate)
+      val staging = path + "__staging-" + java.util.UUID.randomUUID().toString.take(8)
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
       // stage through the graft write so the new layout arrives WITH its
       // manifest index; a _COMMITTED marker records job success so fsck can
@@ -224,7 +232,12 @@ object KeyedStore {
       if (affectedNames.isEmpty) spark.read.parquet(path).limit(0)
       else spark.read.parquet(affectedNames.map(n => s"$path/$n"): _*)
     val merged = merge(current, batch)
-    val staging = path + "__staging"
+    // per-attempt staging name AND per-attempt salt in the renamed-in data
+    // file names: racing maintainers must collide only at the index commit
+    // (where the fence arbitrates loudly), never on staging dirs or final
+    // data-file names (where POSIX rename would silently replace bytes)
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val staging = path + "__staging-" + salt
     // stage through the graft write: each task records its file's key stats,
     // so the staging dir arrives with its own sidecar — no re-scan needed
     merged.repartitionByRange(math.max(1, affectedNames.size), col(keyCol))
@@ -246,7 +259,7 @@ object KeyedStore {
     val stamp = System.currentTimeMillis()
     val renamed = (stagedRanged.keySet ++ stagedUnranged.keySet)
       .toSeq.sorted.zipWithIndex.map { case (staged, i) =>
-        val name = f"m$stamp%d-$i%05d.parquet"
+        val name = f"m$stamp%d-$salt-$i%05d.parquet"
         if (!fs.rename(new org.apache.hadoop.fs.Path(staging, staged),
             new org.apache.hadoop.fs.Path(path, name)))
           throw new java.io.IOException(
@@ -258,7 +271,7 @@ object KeyedStore {
         stagedRanged.map { case (n, e) => renamed(n) -> e },
       ix.get.unranged -- affectedNames ++
         stagedUnranged.map { case (n, r) => renamed(n) -> r },
-      manifest = true) // COMMIT POINT
+      manifest = true, basedOn = ixV.map(_._1)): Unit // FENCED COMMIT POINT
     fs.delete(stagingPath, true)
     GraftIndex.sweepStrays(spark, path): Unit
   }
@@ -286,10 +299,11 @@ object KeyedStore {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
-    val ix = GraftIndex.ensureManifest(spark, path,
-      GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
-        .getOrElse(throw new IllegalStateException(
-          s"compact requires a _graft_index (run writeIndexed first): $path")))
+    val (ixVersion, ix) = GraftIndex.readAllVersioned(dirPath, hadoopConf)
+      .headOption.filter(_._2.keyCol == keyCol)
+      .map { case (v, i) => GraftIndex.ensureManifestVersioned(spark, path, v, i) }
+      .getOrElse(throw new IllegalStateException(
+        s"compact requires a _graft_index (run writeIndexed first): $path"))
     val sizes = fs.listStatus(dirPath).filter(_.isFile)
       .map(st => st.getPath.getName -> st.getLen).toMap
     val ordered =
@@ -313,9 +327,10 @@ object KeyedStore {
     // snapshot (the old order deleted each group's originals before any
     // commit — a mid-loop crash lost committed rows).
     val stamp = System.currentTimeMillis()
+    val salt = java.util.UUID.randomUUID().toString.take(8)
     var newRanges = ix.ranges
     val staged = merged.zipWithIndex.map { case (names, i) =>
-      val staging = new org.apache.hadoop.fs.Path(s"${path}__compact_$i")
+      val staging = new org.apache.hadoop.fs.Path(s"${path}__compact_$salt-$i")
       spark.read.parquet(names.map(n => s"$path/$n"): _*)
         .coalesce(1).sortWithinPartitions(keyCol)
         .write.format("graft").option("key", keyCol).mode("overwrite")
@@ -326,14 +341,15 @@ object KeyedStore {
       (staging, names, entry.head)
     }
     staged.zipWithIndex.foreach { case ((staging, names, (stagedName, stagedEntry)), i) =>
-      val target = f"c$stamp%d-$i%05d.parquet"
+      val target = f"c$stamp%d-$salt-$i%05d.parquet"
       if (!fs.rename(new org.apache.hadoop.fs.Path(staging, stagedName),
           new org.apache.hadoop.fs.Path(path, target)))
         throw new java.io.IOException(s"compact: cannot move $stagedName into $path")
       newRanges = newRanges -- names + (target -> stagedEntry)
     }
     GraftIndex.writeRanges(spark, path, keyCol, ix.keyTag, newRanges,
-      ix.unranged, manifest = true) // COMMIT POINT
+      ix.unranged, manifest = true,
+      basedOn = Some(ixVersion)): Unit // FENCED COMMIT POINT
     staged.foreach { case (staging, _, _) => fs.delete(staging, true) }
     GraftIndex.sweepStrays(spark, path): Unit
     merged.size
@@ -374,41 +390,61 @@ object KeyedStore {
     val hadoopConf = spark.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(hadoopConf)
-    val stagingPath = new org.apache.hadoop.fs.Path(path + "__staging")
     val parent = dirPath.getParent
     def siblings(pred: String => Boolean): Seq[org.apache.hadoop.fs.Path] =
       if (parent == null || !fs.exists(parent)) Nil
       else fs.listStatus(parent).filter(_.isDirectory).map(_.getPath)
         .filter(p => pred(p.getName)).toSeq
     val name = dirPath.getName
+    // staging dirs carry a per-attempt suffix (racing maintainers must not
+    // share one); the legacy exact name is still recognized
+    def isStaging(n: String): Boolean =
+      n == name + "__staging" || n.startsWith(name + "__staging-")
     var healed = false
     if (!fs.exists(dirPath)) {
-      val stagedComplete = fs.exists(stagingPath) &&
-        fs.exists(new org.apache.hadoop.fs.Path(stagingPath, CommittedMarker))
+      // at most one staging can carry the completion marker: the marker is
+      // written only after a full staged write, and the dir swap that
+      // follows is the single-maintainer full-rewrite path
+      val completeStaging = siblings(isStaging).sortBy(_.getName).find(p =>
+        fs.exists(new org.apache.hadoop.fs.Path(p, CommittedMarker)))
       val backups = siblings(_.startsWith(name + BackupSuffix)).sortBy(_.getName)
-      if (stagedComplete) { // roll forward: the rewrite finished writing
-        if (!fs.rename(stagingPath, dirPath))
-          throw new java.io.IOException(s"fsckIndexed: cannot promote $stagingPath")
-        fs.delete(new org.apache.hadoop.fs.Path(dirPath, CommittedMarker), false)
-        healed = true
-      } else if (backups.nonEmpty) { // roll back: restore the pre-rewrite table
-        if (!fs.rename(backups.last, dirPath))
-          throw new java.io.IOException(s"fsckIndexed: cannot restore ${backups.last}")
-        healed = true
+      completeStaging match {
+        case Some(stagingPath) => // roll forward: the rewrite finished writing
+          if (!fs.rename(stagingPath, dirPath))
+            throw new java.io.IOException(s"fsckIndexed: cannot promote $stagingPath")
+          fs.delete(new org.apache.hadoop.fs.Path(dirPath, CommittedMarker), false)
+          healed = true
+        case None if backups.nonEmpty => // roll back: restore the pre-rewrite table
+          if (!fs.rename(backups.last, dirPath))
+            throw new java.io.IOException(s"fsckIndexed: cannot restore ${backups.last}")
+          healed = true
+        case None => ()
       }
     }
     // dead sibling dirs: any staging/backup/compact dir visible while the
     // table dir exists belongs to an interrupted attempt (single-maintainer)
     val deadDirs =
       if (!fs.exists(dirPath)) Nil
-      else siblings(n => n == name + "__staging" ||
-        n.startsWith(name + BackupSuffix) || n.startsWith(name + "__compact_"))
+      else siblings(n => isStaging(n) ||
+        n.startsWith(name + BackupSuffix) || n.startsWith(name + "__compact_") ||
+        n.startsWith(name + "__delete_staging"))
     deadDirs.foreach(fs.delete(_, true))
     val tmps =
       if (!fs.exists(dirPath)) Nil
       else fs.listStatus(dirPath).filter(_.isFile).map(_.getPath)
         .filter(_.getName.startsWith("." + GraftIndex.FileName + ".tmp-")).toSeq
     tmps.foreach(fs.delete(_, false))
+    // torn index versions (a fenced commit that died mid-write): invisible
+    // to readers, but they fence off the next commit — sweep them here,
+    // where the single-maintainer contract guarantees no writer is in flight
+    val torn = if (!fs.exists(dirPath)) 0
+      else GraftIndex.sweepTornVersions(spark, path)
+    // wrong-table guard (mirrors vacuumIndexed): a mistyped keyCol would
+    // otherwise filter the index to None and report a spotless table —
+    // missingFiles=0, ok=true — on a table this fsck never actually checked
+    GraftIndex.read(dirPath, hadoopConf).foreach(live =>
+      require(live.keyCol == keyCol,
+        s"fsckIndexed: $path is indexed by '${live.keyCol}', not '$keyCol'"))
     val ix = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
     val present =
       GraftIndex.listDataFiles(fs, dirPath).map(_.getPath.getName).toSet
@@ -417,7 +453,7 @@ object KeyedStore {
     val strays = GraftIndex.sweepStrays(spark, path)
     // a table dir that is STILL missing after the heal attempts (no
     // completed staging, no backup) is the worst state there is — never ok
-    IndexedFsckStat(path, healed, strays, deadDirs.length, tmps.length,
+    IndexedFsckStat(path, healed, strays, deadDirs.length, tmps.length + torn,
       missing, advisory = ix.exists(!_.manifest),
       tableExists = fs.exists(dirPath))
   }

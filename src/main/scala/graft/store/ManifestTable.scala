@@ -11,7 +11,10 @@ import org.apache.hadoop.fs.Path
  * has to build the same invisibility itself):
  *
  * {{{
- *   <table>/MANIFEST         one line: the live generation's dir name
+ *   <table>/MANIFEST.v<seq>  the live generation's dir name + a #commit
+ *                            seal (fenced commit artifact; newest sealed
+ *                            version wins, legacy un-suffixed MANIFEST
+ *                            reads as version 0)
  *   <table>/gen-<n>/         parquet files of generation n
  *   <table>/gen-<n>/_RETAINS large files of OLDER generations this
  *                            snapshot keeps by reference (minor compaction)
@@ -33,27 +36,100 @@ import org.apache.hadoop.fs.Path
  *    have drained. This is the documented lift of the old two-rename
  *    compactor's "not safe under concurrent readers at all".
  *  - **Crash safety**: every step leaves a readable table. A crash before
- *    the MANIFEST swap leaves an orphaned next-generation dir (retired by
- *    the next rewrite); a crash INSIDE the swap (between delete and
- *    rename) is healed by the resolver's fallback — no MANIFEST means
- *    "newest complete generation wins", and the newest generation is fully
- *    written before the swap ever starts.
+ *    the pointer commit leaves an orphaned next-generation dir (retired by
+ *    the next rewrite); a crash INSIDE the commit leaves a torn (unsealed)
+ *    pointer version that reads as absent — the previous version, or the
+ *    resolver's fallback ("newest complete generation wins"), keeps
+ *    serving; [[fsck]] sweeps the debris.
  *  - **Legacy interop**: a directory of flat parquet files (no MANIFEST)
  *    reads as generation-less; the first [[write]] migrates it to the
  *    manifest layout.
- *  - **Single maintainer**: READERS are the concurrent party this layout
- *    protects. Writers ([[write]]/[[append]]/[[compact]]) must be
- *    externally serialized — the daily ingest loop's natural shape; two
- *    concurrent rewrites race on the generation counter and the pointer.
+ *  - **Single maintainer, FENCED**: READERS are the concurrent party this
+ *    layout protects; writers ([[write]]/[[append]]/[[compact]]) are still
+ *    externally serialized by contract — but a violated contract is now
+ *    LOUD, not lossy: the generation number is claimed create-exclusive
+ *    before staging, and the pointer commit is create-exclusive plus
+ *    parent-fenced (see the fenced-pointer block below), so of two racing
+ *    rewrites exactly one commits and the other throws
+ *    [[org.apache.spark.sql.graft.GraftConcurrentCommitException]] having
+ *    applied nothing. Plain [[append]]s write into the live generation
+ *    dir under task-unique file names and need no fence.
  */
 object ManifestTable {
   private val ManifestName = "MANIFEST"
   private val GenPrefix = "gen-"
+  private val ClaimPrefix = ".genclaim-"
   private val TagsName = CommitTags.TagsName
   private val StagePrefix = ".stage-"
   private val RetainsName = "_RETAINS"
   private val ParentName = "_PARENT"
   private val NoParent = "-"
+  private val Sealed = "#commit"
+
+  // ------------------------------------------------- fenced pointer commit
+  // The MANIFEST pointer is VERSIONED (`MANIFEST.v<seq>`, newest parseable
+  // wins; the legacy un-suffixed file reads as version 0) and committed via
+  // create-exclusive — the same fenced protocol as GraftIndex.writeRanges:
+  // two maintainers racing to the same seq produce exactly one winner, and
+  // a commit whose planned parent generation is no longer live is fenced
+  // off loudly (GraftConcurrentCommitException) instead of silently
+  // regressing the pointer (which would strand the other maintainer's
+  // acked generation for retire to delete). A version file missing its
+  // `#commit` seal line is a torn commit: readers treat it as absent and
+  // fall back, fsck sweeps it.
+
+  private def manifestVersionFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(Long, Path)] = {
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq.flatMap { p =>
+      val n = p.getName
+      if (n == ManifestName) Some(0L -> p)
+      else if (n.startsWith(ManifestName + ".v"))
+        scala.util.Try(n.stripPrefix(ManifestName + ".v").toLong).toOption.map(_ -> p)
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** The newest PARSEABLE pointer: (version seq, generation name). Versioned
+    * files require the seal line; the legacy v0 file is a bare gen name. */
+  private def readPointer(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Option[(Long, String)] =
+    manifestVersionFiles(fs, dir).reverse.view.flatMap { case (v, p) =>
+      scala.util.Try {
+        val in = fs.open(p)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
+        lines match {
+          case gen :: rest if gen.startsWith(GenPrefix) &&
+            (v == 0L || rest.headOption.contains(Sealed)) => Some(v -> gen)
+          case _ => None
+        }
+      }.toOption.flatten
+    }.headOption
+
+  /** Claim the next generation NUMBER with a create-exclusive marker file —
+    * racing maintainers must never stage into the same generation dir (the
+    * rename-into-existing-dir semantics of a shared name silently nest or
+    * replace bytes). Crashed claims just skip a number: the next claim
+    * counts them as used, and retire/fsck sweep them. */
+  private def claimNextGen(fs: org.apache.hadoop.fs.FileSystem, dir: Path): String = {
+    fs.mkdirs(dir): Unit
+    val used = genDirs(fs, dir).map(genNum) ++ claimFiles(fs, dir).map(_._1)
+    val name = f"$GenPrefix${used.maxOption.map(_ + 1).getOrElse(0)}%09d"
+    org.apache.spark.sql.graft.GraftIndex.createExclusive(
+      fs, new Path(dir, ClaimPrefix + name)).close()
+    name
+  }
+
+  private def claimFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[(Int, Path)] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).filter(_.isFile).map(_.getPath).toSeq.flatMap { p =>
+      val n = p.getName
+      if (!n.startsWith(ClaimPrefix)) None
+      else scala.util.Try(
+        n.stripPrefix(ClaimPrefix).stripPrefix(GenPrefix).toInt).toOption.map(_ -> p)
+    }
 
   // ------------------------------------------------ generation metadata
   // A generation dir may carry two underscore files (invisible to parquet
@@ -204,17 +280,15 @@ object ManifestTable {
     * layout or absent table). */
   def liveGen(spark: SparkSession, table: String): Option[String] = {
     val (fs, dir) = fsOf(spark, table)
-    val mf = new Path(dir, ManifestName)
-    val pointed =
-      if (!fs.exists(mf)) None
-      else {
-        val in = fs.open(mf)
-        try {
-          val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-          Some(s).filter(g => g.startsWith(GenPrefix) && fs.exists(new Path(dir, g)))
-        } finally in.close()
+    readPointer(fs, dir).map(_._2)
+      .filter(g => fs.exists(new Path(dir, g)))
+      .orElse {
+        // crash-heal fallback: newest generation wins — excluding any gen
+        // whose claim marker is extant (claims are deleted at commit, so an
+        // extant claim means mid-staging or never-committed debris)
+        val claimed = claimFiles(fs, dir).map(_._1).toSet
+        genDirs(fs, dir).filterNot(g => claimed(genNum(g))).lastOption
       }
-    pointed.orElse(genDirs(fs, dir).lastOption)
   }
 
   /** The path a reader should scan: the live generation dir, or the table
@@ -281,18 +355,46 @@ object ManifestTable {
     previousGen(spark, table).map(g =>
       spark.read.parquet(pathsFor(spark, table, g): _*))
 
-  /** Point MANIFEST at `gen`. The delete+rename pair is not atomic; the
-    * missing-MANIFEST window is healed by [[liveGen]]'s newest-generation
-    * fallback (the target generation is always the newest by the time this
-    * runs). */
-  private def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String): Unit = {
-    val tmp = new Path(dir, ManifestName + ".tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, true)
-    try out.write((gen + "\n").getBytes("UTF-8")) finally out.close()
-    val mf = new Path(dir, ManifestName)
-    fs.delete(mf, false)
-    if (!fs.rename(tmp, mf))
-      throw new java.io.IOException(s"ManifestTable: cannot commit $mf -> $gen")
+  /** Point the manifest at `gen` — the FENCED commit point of every rewrite
+    * (see the pointer-commit block comment above). `parent` is the
+    * generation the rewrite planned from (None = planned against no live
+    * pointer): if the pointer has moved since, the commit is fenced off
+    * LOUDLY before publishing — the loser's staged generation stays behind
+    * as an orphan for retire/fsck to sweep, and its caller retries from
+    * fresh state. Re-committing the already-live generation is allowed
+    * (fsck's durable heal). */
+  private def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String,
+      parent: Option[String]): Unit = {
+    import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
+    val versions = manifestVersionFiles(fs, dir)
+    val newestSeq = versions.lastOption.map(_._1).getOrElse(0L)
+    val pointer = readPointer(fs, dir)
+    // a newest version file that does not parse is a maintainer mid-commit
+    // or torn crash debris — refuse loudly either way (fsck sweeps debris)
+    if (pointer.map(_._1).getOrElse(0L) != newestSeq)
+      throw new GraftConcurrentCommitException(
+        s"ManifestTable: unsealed manifest version under $dir — a " +
+          "concurrent maintainer is mid-commit, or a crashed commit left " +
+          "debris (run ManifestTable.fsck, then retry)")
+    // OCC fence: the generation live NOW must be the one this rewrite
+    // planned from (or the pointer must not exist yet / point at debris)
+    pointer.map(_._2).filter(g => fs.exists(new Path(dir, g))).foreach { cur =>
+      if (cur != gen && !parent.contains(cur))
+        throw new GraftConcurrentCommitException(
+          s"ManifestTable: pointer commit fenced off at $dir — this rewrite " +
+            s"planned from generation ${parent.getOrElse("<none>")} but " +
+            s"$cur is now live: a concurrent maintainer committed in " +
+            "between; nothing was applied (retry from fresh state)")
+    }
+    val out = GraftIndex.createExclusive(
+      fs, new Path(dir, s"$ManifestName.v${newestSeq + 1}"))
+    try out.write((gen + "\n" + Sealed + "\n").getBytes("UTF-8")) finally out.close()
+    // prune pointer history: keep this commit plus one back (the pointer is
+    // not the undo mechanism — generations and _PARENT are)
+    versions.dropRight(1).foreach(v => fs.delete(v._2, false))
+    // the committed generation's claim has served: an extant claim means
+    // "possibly uncommitted" to the resolver fallback and the sweeps
+    fs.delete(new Path(dir, ClaimPrefix + gen), false): Unit
   }
 
   /** Retire every generation except `live` and the generation that was
@@ -305,7 +407,14 @@ object ManifestTable {
   private def retire(fs: org.apache.hadoop.fs.FileSystem, dir: Path, live: String,
       prevLive: Option[String]): Unit = {
     val keep = protectedGens(fs, dir, Set(live) ++ prevLive)
-    genDirs(fs, dir).filterNot(keep).foreach(g => fs.delete(new Path(dir, g), true))
+    // a NEWER-than-live generation whose claim file is still present may be
+    // a maintainer mid-staging (a race this sweep must not escalate from
+    // loud-at-commit to bytes-deleted-mid-write): spared here; its claim
+    // retires once superseded (<= live) and fsck sweeps true debris
+    val claimed = claimFiles(fs, dir).map(_._1).toSet
+    genDirs(fs, dir).filterNot(keep)
+      .filterNot(g => genNum(g) > genNum(live) && claimed(genNum(g)))
+      .foreach(g => fs.delete(new Path(dir, g), true))
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith(StagePrefix) ||
         p.getName.startsWith(TagsName + ".tmp-"))
@@ -314,6 +423,11 @@ object ManifestTable {
       .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
         p.getName.startsWith(TagsName + ".tmp-"))
       .foreach(fs.delete(_, false))
+    // generation claims at or below the live number are settled (committed
+    // or superseded); claims ABOVE it may belong to a maintainer still
+    // staging — left for fsck, whose contract asserts no writer in flight
+    claimFiles(fs, dir).filter(_._1 <= genNum(live))
+      .foreach(c => fs.delete(c._2, false))
   }
 
   /** Overwrite the table: write a fresh generation, swap, retire older
@@ -327,7 +441,7 @@ object ManifestTable {
     val spark = df.sparkSession
     val (fs, dir) = fsOf(spark, table)
     val prevLive = liveGen(spark, table)
-    val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    val next = claimNextGen(fs, dir)
     df.write.mode("overwrite").parquet(s"$table/$next")
     writeMetaLines(fs, new Path(dir, next), ParentName,
       Seq(prevLive.getOrElse(NoParent)))
@@ -342,7 +456,7 @@ object ManifestTable {
       .foreach(fs.delete(_, false))
     // the _TAGS marker directory (per-token files — see CommitTags)
     fs.delete(new Path(dir, TagsName), true): Unit
-    commit(fs, dir, next)
+    commit(fs, dir, next, prevLive)
     retire(fs, dir, next, prevLive)
   }
 
@@ -460,7 +574,7 @@ object ManifestTable {
     if (!fs.exists(dir) || liveGen(spark, table).isDefined) return
     val flat = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
-    val gen = f"$GenPrefix${0}%09d"
+    val gen = claimNextGen(fs, dir)
     val genPath = new Path(dir, gen)
     fs.mkdirs(genPath): Unit
     flat.foreach { p =>
@@ -470,7 +584,7 @@ object ManifestTable {
     }
     // non-data markers from the flat write (_SUCCESS) stay behind harmlessly
     writeMetaLines(fs, genPath, ParentName, Seq(NoParent))
-    commit(fs, dir, gen)
+    commit(fs, dir, gen, parent = None)
   }
 
   /** Count the data files the live snapshot opens: the live generation's
@@ -503,21 +617,23 @@ object ManifestTable {
       write(df, table)
       return
     }
-    val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    val next = claimNextGen(fs, dir)
     transform(spark.read.parquet(pathsFor(spark, table, live): _*))
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$table/$next")
     writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
-    commit(fs, dir, next)
+    commit(fs, dir, next, Some(live))
     retire(fs, dir, next, Some(live))
   }
 
-  /** The next generation dir name (current max + 1) — for maintenance
-    * verbs that stage a generation OUTSIDE this object (the batched
-    * layout-wide minor compaction) and commit it here afterwards. */
+  /** CLAIM the next generation dir name (current max + 1, create-exclusive
+    * — see [[claimNextGen]]) — for maintenance verbs that stage a
+    * generation OUTSIDE this object (the batched layout-wide minor
+    * compaction) and commit it here afterwards. An abandoned claim (the
+    * stager crashed) just skips a number; retire/fsck sweep the marker. */
   private[store] def nextGenName(spark: SparkSession, table: String): String = {
     val (fs, dir) = fsOf(spark, table)
-    f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    claimNextGen(fs, dir)
   }
 
   /** Commit an externally-staged generation: write `_RETAINS`/`_PARENT`
@@ -529,7 +645,7 @@ object ManifestTable {
     val genPath = new Path(dir, gen)
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
-    commit(fs, dir, gen)
+    commit(fs, dir, gen, Some(parent))
     retire(fs, dir, gen, Some(parent))
   }
 
@@ -575,14 +691,14 @@ object ManifestTable {
     val live = liveGen(spark, table).getOrElse(return 0)
     val (small, big) = snapshotFiles(fs, dir, live).partition(_._2 < smallBytes)
     if (small.length < 2) return 0
-    val next = f"$GenPrefix${genDirs(fs, dir).lastOption.map(genNum(_) + 1).getOrElse(0)}%09d"
+    val next = claimNextGen(fs, dir)
     val nOut = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(small.map(r => s"$table/${r._1}"): _*).coalesce(nOut)
       .write.mode("overwrite").parquet(s"$table/$next")
     val nextPath = new Path(dir, next)
     if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
     writeMetaLines(fs, nextPath, ParentName, Seq(live))
-    commit(fs, dir, next)
+    commit(fs, dir, next, Some(live))
     retire(fs, dir, next, Some(live))
     small.length
   }
@@ -624,26 +740,37 @@ object ManifestTable {
     if (!fs.exists(dir))
       return FsckStat(table, healedManifest = false, 0, 0, 0, 0, legacyFlat = false)
     val gens = genDirs(fs, dir)
-    val mf = new Path(dir, ManifestName)
-    val pointed =
-      if (!fs.exists(mf)) None
-      else {
-        val in = fs.open(mf)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().next().trim)
-        finally in.close()
-      }
-    val pointedValid = pointed.exists(g =>
-      g.startsWith(GenPrefix) && fs.exists(new Path(dir, g)))
+    // torn manifest versions (a fenced commit that died mid-write) read as
+    // absent but fence off further commits — sweep them first, here, where
+    // the single-maintainer contract guarantees no writer is in flight
+    val tornVersions = {
+      val parseableSeqs = manifestVersionFiles(fs, dir).flatMap { case (v, p) =>
+        scala.util.Try {
+          val in = fs.open(p)
+          val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().map(_.trim).filter(_.nonEmpty).toList finally in.close()
+          lines match {
+            case gen :: rest if gen.startsWith(GenPrefix) &&
+              (v == 0L || rest.headOption.contains(Sealed)) => Some(v)
+            case _ => None
+          }
+        }.toOption.flatten
+      }.toSet
+      manifestVersionFiles(fs, dir).filterNot(v => parseableSeqs.contains(v._1))
+    }
+    tornVersions.foreach(v => fs.delete(v._2, false))
+    val pointed = readPointer(fs, dir).map(_._2)
+    val pointedValid = pointed.exists(g => fs.exists(new Path(dir, g)))
     // a generation still holding Spark's _temporary dir died mid-write (a
     // double crash: the write AND the later commit) — never commit it
     val complete = gens.filterNot(g =>
       fs.exists(new Path(new Path(dir, g), "_temporary")))
     val healed =
       if (pointedValid) false
-      else if (complete.nonEmpty) { commit(fs, dir, complete.last); true }
-      else if (pointed.isDefined) { fs.delete(mf, false); true }
-      else false
+      else if (complete.nonEmpty) { commit(fs, dir, complete.last, pointed); true }
+      else if (pointed.isDefined) {
+        manifestVersionFiles(fs, dir).foreach(v => fs.delete(v._2, false)); true
+      } else false
     val live = liveGen(spark, table)
     val orphans = live.map(l => gens.filter(_ > l)).getOrElse(Nil)
     orphans.foreach(g => fs.delete(new Path(dir, g), true))
@@ -651,6 +778,11 @@ object ManifestTable {
       .filter(p => p.getName.startsWith(StagePrefix) ||
         p.getName.startsWith(TagsName + ".tmp-"))
     stages.foreach(fs.delete(_, true))
+    // stale generation claims: any claim visible to fsck is dead (no
+    // maintainer can be in flight) — committed gens' claims and abandoned
+    // number reservations alike
+    val claims = claimFiles(fs, dir)
+    claims.foreach(c => fs.delete(c._2, false))
     val tmps = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
         p.getName.startsWith(TagsName + ".tmp-"))
@@ -658,7 +790,8 @@ object ManifestTable {
     val missing = (live.toSeq ++ previousGen(spark, table))
       .flatMap(g => retainedRelFs(fs, dir, g))
       .count(r => !fs.exists(new Path(dir, r)))
-    FsckStat(table, healed, orphans.length, stages.length, tmps.length,
+    FsckStat(table, healed, orphans.length, stages.length,
+      tmps.length + tornVersions.length + claims.length,
       missing, legacyFlat = live.isEmpty)
   }
 
@@ -685,7 +818,12 @@ object ManifestTable {
         val gens = genDirs(fs, dir)
         val prev = previousGen(spark, table).filter(_ => keepPrevious)
         val keep = protectedGens(fs, dir, Set(live) ++ prev)
+        // same claim-shield as retire: a claimed newer generation may be a
+        // maintainer mid-staging — fsck (which asserts no writer in
+        // flight) is the sweeper for that debris, not vacuum
+        val claimed = claimFiles(fs, dir).map(_._1).toSet
         val genVictims = gens.filterNot(keep)
+          .filterNot(g => genNum(g) > genNum(live) && claimed(genNum(g)))
         genVictims.foreach(g => fs.delete(new Path(dir, g), true))
         val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
           .filter(p => p.getName.startsWith(StagePrefix) ||
@@ -695,6 +833,8 @@ object ManifestTable {
           .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
             p.getName.startsWith(TagsName + ".tmp-"))
           .foreach(fs.delete(_, false))
+        claimFiles(fs, dir).filter(_._1 <= genNum(live))
+          .foreach(c => fs.delete(c._2, false))
         genVictims.length + stages.length
     }
   }

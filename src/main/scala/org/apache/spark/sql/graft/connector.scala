@@ -163,8 +163,18 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     if (listed.isEmpty) return
     // upgrade any advisory index to the manifest dialect so the swap below
     // is crash-safe + reader-concurrent (see GraftIndex scaladoc)
-    val index = GraftIndex.read(dirPath, hadoopConf).filter(_.keyCol == keyCol)
-      .map(ix => GraftIndex.ensureManifest(spark, path, ix))
+    val indexV = GraftIndex.readAllVersioned(dirPath, hadoopConf).headOption
+      .filter(_._2.keyCol == keyCol)
+      .map { case (v, ix) => GraftIndex.ensureManifestVersioned(spark, path, v, ix) }
+    val index = indexV.map(_._2)
+    // same refusal contract as KeyedStore.mergeIndexed: an index that exists
+    // but is unusable for THIS key means a wrong key column or a damaged
+    // index — the no-index fallback below deletes originals in place and
+    // would resurrect manifest strays as live rows, so fail loudly instead
+    require(index.isDefined || GraftIndex.versionFiles(fs, dirPath).isEmpty,
+      s"deleteWhere: $path carries a graft index, but none usable for key " +
+        s"'$keyCol' — wrong key column, or a damaged index (run " +
+        "KeyedStore.fsckIndexed / rebuild via writeIndexed)")
     val dataFiles = index match {
       case Some(ix) => listed.filter(st => ix.files.contains(st.getPath.getName))
       case None => listed
@@ -187,7 +197,10 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     val kept = spark.read.schema(tableSchema)
       .parquet(affectedNames.map(n => s"$path/$n"): _*)
       .where(!coalesce(pred, lit(false)))
-    val staging = path + "__delete_staging"
+    // per-attempt staging dir + data-file salt: racing maintainers must
+    // only ever collide at the fenced index commit, never on shared names
+    val salt = java.util.UUID.randomUUID().toString.take(8)
+    val staging = path + "__delete_staging-" + salt
     kept.repartitionByRange(math.max(1, affectedNames.size), col(keyCol))
       .sortWithinPartitions(keyCol)
       .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
@@ -198,7 +211,7 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     def renameIn(): Map[String, String] =
       stagedFiles.sortBy(_.getPath.getName).zipWithIndex.map { case (st, i) =>
         val staged = st.getPath.getName
-        val name = f"d$stamp%d-$i%05d.parquet"
+        val name = f"d$stamp%d-$salt-$i%05d.parquet"
         if (!fs.rename(st.getPath, new Path(path, name)))
           throw new java.io.IOException(s"deleteWhere: cannot move $staged into $path")
         staged -> name
@@ -221,7 +234,7 @@ class GraftTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
             stagedRanged.map { case (n, e) => moved(n) -> e },
           ix.unranged -- affectedNames ++
             stagedUnranged.map { case (n, r) => moved(n) -> r },
-          manifest = true)
+          manifest = true, basedOn = indexV.map(_._1)): Unit
         fs.delete(stagingPath, true)
         GraftIndex.sweepStrays(spark, path): Unit
       case None =>
@@ -418,7 +431,7 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
         val n = st.getPath.getName
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }
-    index match {
+    liveIndex match {
       case Some(ix) if ix.manifest =>
         // manifest dialect: the index names the live file set exactly —
         // listed-but-unnamed files are swap strays (invisible); a NAMED but
@@ -426,6 +439,10 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
         // keep-one-back window. FileNotFoundException so that
         // Compaction.retryingStaleScan heals the latter by re-planning;
         // persistent damage stays loud and fsckIndexed reports it.
+        // Resolved from `liveIndex`, NOT the keyCol-matched `index`: the
+        // manifest file set is key-agnostic — a scan whose `key` option
+        // mismatches the index still must not read strays as rows (it just
+        // forfeits range pruning, which stays keyCol-gated below).
         val byName = listed.map(st => st.getPath.getName -> st).toMap
         ix.files.toSeq.sorted.map(n => byName.getOrElse(n,
           throw new java.io.FileNotFoundException(
@@ -450,8 +467,15 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
   private def keyBounds: KeyBounds =
     KeyBounds.fromFilters(pushed ++ runtimeFilters, keyCol)
 
+  /** The newest index version regardless of key column — the authority on
+    * WHICH files are live (manifest dialect). */
+  @transient private lazy val liveIndex: Option[GraftIndex] =
+    GraftIndex.read(new Path(path), hadoopConf)
+
+  /** The index as a PRUNING source: only usable when its key column is the
+    * one this scan's predicates constrain. */
   @transient private lazy val index: Option[GraftIndex] =
-    GraftIndex.read(new Path(path), hadoopConf).filter(_.keyCol == keyCol)
+    liveIndex.filter(_.keyCol == keyCol)
 
   /** (kept files, total files, rows-if-known). Pruning order: sidecar index,
     * else parquet footer stats (bounded), else keep everything. Recomputed per
@@ -628,8 +652,10 @@ class GraftMicroBatchStream(spark: SparkSession, dataSchema: StructType,
       }
     // manifest-dialect tables: stream only COMMITTED files — staged files a
     // mutation renamed in but has not yet published, and swap strays, are
-    // invisible (they'd double rows in the tail otherwise)
-    GraftIndex.read(p, hadoopConf).filter(ix => ix.keyCol == keyCol && ix.manifest) match {
+    // invisible (they'd double rows in the tail otherwise). Key-AGNOSTIC
+    // like the batch scan's file resolution: a mismatched `key` option
+    // forfeits range pruning (planInputPartitions), never stray filtering.
+    GraftIndex.read(p, hadoopConf).filter(_.manifest) match {
       case Some(ix) => listed.filter(st => ix.files.contains(st.getPath.getName))
       case None => listed
     }
@@ -835,13 +861,31 @@ object KeyBounds {
  *    v2 index names but whose key range is unknowable (all-null keys) carry
  *    as UNRANGED entries: always scanned, never pruned.
  *
- * Commit protocol: each write lands as `_graft_index.v<seq>` via
- * create-temp-then-rename-to-a-FRESH-name — atomic on any FileSystem
- * (no rename-over-existing semantics needed). Readers take the highest
- * parseable version; the legacy un-suffixed `_graft_index` file reads as
- * version 0. Writers retain the newest [[GraftIndex.KeepVersions]] versions
- * — the previous version is the previous snapshot's manifest, the exact
- * analogue of [[graft.store.ManifestTable]]'s keep-one-back generation.
+ * Commit protocol (fenced): each write lands as `_graft_index.v<seq>` via
+ * CREATE-EXCLUSIVE on the final name — two maintainers racing to the same
+ * seq produce exactly one winner; the loser throws
+ * [[GraftConcurrentCommitException]] instead of silently replacing the
+ * winner's commit (the lost-acked-write race the crash windows' fix left
+ * open). The payload carries a `sealed` header and a `#commit <n>` trailer:
+ * readers treat a version without a matching trailer (a commit mid-write,
+ * or a crash mid-commit) as absent and fall back to the previous version —
+ * the same keep-one-back fallback that already protects in-flight readers,
+ * so visibility stays effectively atomic without rename. Mutation verbs
+ * additionally pass the version they PLANNED from (`basedOn`): a commit
+ * whose base is no longer current is fenced off before touching anything —
+ * optimistic concurrency, the HBase-region-serialization analogue
+ * (reference HbaseTable.scala:373-423 never loses an acked write because
+ * the region server owns the ordering; here the index version owns it).
+ * Create-exclusive is namenode-atomic on HDFS and O_EXCL-atomic on local
+ * fs (NIO reservation); object stores without conditional PUT keep the
+ * documented single-maintainer contract.
+ *
+ * Readers take the highest parseable version; the legacy un-suffixed
+ * `_graft_index` file reads as version 0. Writers retain the newest
+ * `graft.keepVersions` versions (default [[GraftIndex.KeepVersions]]) —
+ * each retained version is a readable PAST SNAPSHOT, the exact analogue of
+ * [[graft.store.ManifestTable]]'s keep-one-back generation; see
+ * `KeyedStore.readKeyedPrevious(back = n)`.
  */
 final case class GraftIndex(
     keyCol: String, keyTag: String, ranges: Map[String, (Any, Any, Long)],
@@ -856,9 +900,18 @@ final case class GraftIndex(
 
 object GraftIndex {
   val FileName = "_graft_index"
-  /** Index versions retained per commit: the newest is the live manifest,
-    * the one before funds in-flight readers (keep-one-back). */
+  /** Default index versions retained per commit: the newest is the live
+    * manifest, the one before funds in-flight readers (keep-one-back).
+    * Override per session with `graft.keepVersions` — every retained
+    * version is a readable past snapshot (undo depth = keepVersions - 1). */
   val KeepVersions = 2
+  /** Session conf controlling retained version/generation depth on every
+    * graft layout (this index AND [[graft.store.ManifestTable]]). */
+  val KeepVersionsConf = "graft.keepVersions"
+
+  private[graft] def keepVersionsOf(spark: SparkSession): Int =
+    math.max(2, spark.conf.getOption(KeepVersionsConf)
+      .map(_.toInt).getOrElse(KeepVersions))
 
   def tagOf(dt: DataType): Option[String] = dt match {
     case LongType | IntegerType | ShortType | ByteType => Some("num")
@@ -911,36 +964,84 @@ object GraftIndex {
     }.sortBy(_._1)
   }
 
+  /** CREATE-EXCLUSIVE through the FileSystem API — the fencing primitive.
+    * RawLocal/LocalFileSystem's `create(overwrite = false)` is
+    * check-then-create, not O_EXCL, so on local stores the name is first
+    * reserved atomically through NIO (true O_EXCL); HDFS `create` is
+    * namenode-atomic as is. Throws [[GraftConcurrentCommitException]] when
+    * the name already exists (the caller lost a commit race). */
+  def createExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path): org.apache.hadoop.fs.FSDataOutputStream = {
+    def lost(cause: Throwable): Nothing = throw new GraftConcurrentCommitException(
+      s"graft: lost the commit race for $target — a concurrent maintainer " +
+        "published this version first; this commit was NOT applied (writers " +
+        "must be serialized; retry from fresh state)", cause)
+    val isLocal = "file" == Option(target.toUri.getScheme)
+      .getOrElse(fs.getUri.getScheme)
+    try {
+      if (isLocal) {
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(target.toUri.getPath)) // O_EXCL reservation
+        fs.create(target, true) // the name is ours; fill our own placeholder
+      } else fs.create(target, false)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException => lost(e)
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException => lost(e)
+      case e: java.io.IOException if fs.exists(target) => lost(e)
+    }
+  }
+
   /**
-   * Atomically publish a new index version: serialize, write to a hidden
-   * temp file, rename to the next `_graft_index.v<seq>` (a fresh name —
-   * atomic on any FileSystem), then prune versions beyond [[KeepVersions]].
-   * The rename is the COMMIT POINT of every keyed-store mutation verb.
+   * Atomically publish a new index version — the COMMIT POINT of every
+   * keyed-store mutation verb. Fenced (see class doc): the payload is
+   * written via [[createExclusive]] to the next `_graft_index.v<seq>`
+   * directly (a version missing its `#commit` trailer reads as absent, so
+   * visibility is still all-or-nothing for readers), and when `basedOn` is
+   * given the commit aborts if the current version is no longer the one
+   * the mutation planned from. Prunes versions beyond `graft.keepVersions`
+   * afterwards. Returns the committed version seq.
    */
   def writeRanges(spark: SparkSession, dir: String, keyCol: String,
       tag: String, ranges: Map[String, (Any, Any, Long)],
       unranged: Map[String, Long] = Map.empty,
-      manifest: Boolean = false): Unit = {
+      manifest: Boolean = false, basedOn: Option[Long] = None): Long = {
     val version = if (manifest) "v2" else "v1"
-    val sb = new StringBuilder(s"graft-index\t$version\t${enc(keyCol)}\t$tag\n")
+    val sb = new StringBuilder(s"graft-index\t$version\t${enc(keyCol)}\t$tag\tsealed\n")
     ranges.toSeq.sortBy(_._1).foreach { case (name, (lo, hi, n)) =>
       sb.append(s"${enc(name)}\t${enc(lo.toString)}\t${enc(hi.toString)}\t$n\n")
     }
     unranged.toSeq.sortBy(_._1).foreach { case (name, n) =>
       sb.append(s"${enc(name)}\t$NoBound\t$NoBound\t$n\n")
     }
+    sb.append(s"$Trailer\t${ranges.size + unranged.size}\n")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     val existing = versionFiles(fs, dirPath)
-    val seq = existing.lastOption.map(_._1 + 1).getOrElse(1L)
-    val tmp = new Path(dirPath, s".$FileName.tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
+    val current = existing.lastOption.map(_._1).getOrElse(0L)
+    basedOn.foreach { b =>
+      if (current != b) throw new GraftConcurrentCommitException(
+        s"graft: index commit fenced off at $dir — this mutation planned " +
+          s"from version $b but version $current is now current: a " +
+          "concurrent maintainer committed in between; nothing was " +
+          "applied (retry the whole mutation from fresh state)")
+    }
+    // the newest version failing to parse is a maintainer mid-commit or a
+    // crashed commit's debris — refuse loudly either way (fsckIndexed
+    // sweeps the debris once no writer can be in flight)
+    existing.lastOption.filter { case (_, p) =>
+      scala.util.Try(parse(fs, p)).toOption.flatten.isEmpty
+    }.foreach { case (_, p) =>
+      throw new GraftConcurrentCommitException(
+        s"graft: unsealed index version $p — a concurrent maintainer is " +
+          "mid-commit, or a crashed commit left debris (run " +
+          "KeyedStore.fsckIndexed, then retry)")
+    }
+    val seq = current + 1
+    val out = createExclusive(fs, new Path(dirPath, s"$FileName.v$seq"))
     try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
-    val target = new Path(dirPath, s"$FileName.v$seq")
-    if (!fs.rename(tmp, target))
-      throw new java.io.IOException(s"graft: cannot commit index $target")
-    // prune: keep the newest KeepVersions (this one included)
-    existing.dropRight(KeepVersions - 1).foreach(v => fs.delete(v._2, false))
+    // prune: keep the newest graft.keepVersions (this one included)
+    existing.dropRight(keepVersionsOf(spark) - 1).foreach(v => fs.delete(v._2, false))
+    seq
   }
 
   /** Bootstrap a sidecar for an existing PLAIN parquet dir: every data file
@@ -987,7 +1088,18 @@ object GraftIndex {
    */
   def ensureManifest(spark: SparkSession, dir: String,
       ix: GraftIndex): GraftIndex = {
-    if (ix.manifest) return ix
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val version = versionFiles(fs, dirPath).lastOption.map(_._1).getOrElse(0L)
+    ensureManifestVersioned(spark, dir, version, ix)._2
+  }
+
+  /** [[ensureManifest]] that also threads the index VERSION through — the
+    * upgrade itself is a fenced commit, and the caller's own commit must be
+    * fenced on whatever version is current after it (`basedOn`). */
+  def ensureManifestVersioned(spark: SparkSession, dir: String,
+      version: Long, ix: GraftIndex): (Long, GraftIndex) = {
+    if (ix.manifest) return (version, ix)
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     val unindexed = listDataFiles(fs, dirPath).map(_.getPath)
@@ -997,9 +1109,9 @@ object GraftIndex {
       else computeEntries(spark, unindexed.map(_.toString), ix.keyCol, ix.keyTag)
     val completed = GraftIndex(ix.keyCol, ix.keyTag, ix.ranges ++ extraRanged,
       ix.unranged ++ extraUnranged, manifest = true)
-    writeRanges(spark, dir, ix.keyCol, ix.keyTag, completed.ranges,
-      completed.unranged, manifest = true)
-    completed
+    val seq = writeRanges(spark, dir, ix.keyCol, ix.keyTag, completed.ranges,
+      completed.unranged, manifest = true, basedOn = Some(version))
+    (seq, completed)
   }
 
   /**
@@ -1031,11 +1143,37 @@ object GraftIndex {
   /** Every parseable index version, NEWEST FIRST — head is the live
     * manifest, the rest fund in-flight readers (keep-one-back). Fsck and
     * the post-commit sweeps protect the union of their file sets. */
-  def readAll(dir: Path, conf: Configuration): Seq[GraftIndex] = {
+  def readAll(dir: Path, conf: Configuration): Seq[GraftIndex] =
+    readAllVersioned(dir, conf).map(_._2)
+
+  /** [[readAll]] with each snapshot's version seq — mutation verbs capture
+    * the head's seq as their `basedOn` fence, and as-of readers address a
+    * retained past snapshot by it. */
+  def readAllVersioned(dir: Path, conf: Configuration): Seq[(Long, GraftIndex)] = {
     val fs = dir.getFileSystem(conf)
-    versionFiles(fs, dir).reverse.flatMap { case (_, p) =>
-      scala.util.Try(parse(fs, p)).toOption.flatten
+    versionFiles(fs, dir).reverse.flatMap { case (v, p) =>
+      scala.util.Try(parse(fs, p)).toOption.flatten.map(v -> _)
     }
+  }
+
+  // fenced-commit trailer marker: '#' is never produced by URLEncoder, so a
+  // trailer line cannot collide with an encoded file-name column
+  private val Trailer = "#commit"
+
+  /** Delete index version files that fail to parse — the torn debris of a
+    * fenced commit that died mid-write. Readers already treat them as
+    * absent; sweeping them unblocks the next commit, which refuses to
+    * proceed past an unsealed NEWEST version (it cannot distinguish crash
+    * debris from a maintainer mid-commit). Only call when no writer can be
+    * in flight (fsck's single-maintainer contract). Returns files deleted. */
+  def sweepTornVersions(spark: SparkSession, dir: String): Int = {
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val torn = versionFiles(fs, dirPath).filter { case (_, p) =>
+      scala.util.Try(parse(fs, p)).toOption.flatten.isEmpty
+    }
+    torn.foreach(v => fs.delete(v._2, false))
+    torn.length
   }
 
   private def parse(fs: org.apache.hadoop.fs.FileSystem,
@@ -1044,14 +1182,26 @@ object GraftIndex {
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split('\n').filter(_.nonEmpty)
+    if (lines.isEmpty) return None
     val header = lines.head.split('\t')
     if (header.length < 4 || header(0) != "graft-index") return None
     val manifest = header(1) == "v2"
     val tag = header(3)
+    val (trailerLines, entryLines) = lines.tail.partition(_.startsWith(Trailer))
+    // sealed dialect (every fenced commit): the trailer must be present and
+    // agree on the entry count, else the file is a commit mid-write or a
+    // crash's torn debris — read as ABSENT so the previous retained version
+    // keeps serving (visibility stays all-or-nothing without rename)
+    if (header.length >= 5 && header(4) == "sealed") {
+      val sealedOk = trailerLines.lastOption.map(_.split('\t')).exists(c =>
+        c.length >= 2 && scala.util.Try(c(1).toLong).toOption
+          .contains(entryLines.length.toLong))
+      if (!sealedOk) return None
+    }
     def parseVal(s: String): Any =
       if (tag == "num") BigDecimal(dec(s)) else dec(s)
     val (rangedLines, unrangedLines) =
-      lines.tail.map(_.split('\t')).partition(_(1) != NoBound)
+      entryLines.map(_.split('\t')).partition(_(1) != NoBound)
     val ranges = rangedLines.map { c =>
       dec(c(0)) -> ((parseVal(c(1)), parseVal(c(2)), c(3).toLong))
     }.toMap
@@ -1059,6 +1209,14 @@ object GraftIndex {
     Some(GraftIndex(dec(header(2)), tag, ranges, unranged, manifest))
   }
 }
+
+/** Thrown when a graft commit loses a writer race or is fenced off by a
+  * newer commit — the acked-write-safety twin of the crash windows: the
+  * losing mutation FAILED LOUDLY and applied nothing, instead of silently
+  * replacing (or being replaced by) the concurrent winner. Retry the whole
+  * mutation from fresh state, or serialize the maintainers. */
+class GraftConcurrentCommitException(msg: String, cause: Throwable = null)
+  extends java.io.IOException(msg, cause)
 
 /** No-sidecar fallback: key min/max from parquet footer column statistics —
   * the same stats the row-group pruner uses, lifted to file granularity. */
@@ -1194,7 +1352,9 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
     val written = commits.map(_.fileName).toSet
     val dirPath = new Path(path)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val base = GraftIndex.read(dirPath, fs.getConf).filter(_.keyCol == keyCol)
+    val baseAll = GraftIndex.readAllVersioned(dirPath, fs.getConf)
+    val baseVersion = baseAll.headOption.map(_._1).getOrElse(0L)
+    val base = baseAll.headOption.map(_._2).filter(_.keyCol == keyCol)
     keyTag match {
       case Some(tag) =>
         def parse(s: String): Any = if (tag == "num") BigDecimal(s) else s
@@ -1221,7 +1381,8 @@ class GraftBatchWrite(spark: SparkSession, writeSchema: StructType, path: String
         // replaces are deleted after (under the old order a crash between
         // the deletes and the index write lost the table)
         GraftIndex.writeRanges(spark, path, keyCol, tag,
-          baseRanged ++ newRanged, baseUnranged ++ newUnranged, manifest)
+          baseRanged ++ newRanged, baseUnranged ++ newUnranged, manifest,
+          basedOn = Some(baseVersion)): Unit
         // replaced files become strays; the sweep honors keep-one-back (a
         // file referenced by a retained index version survives for the
         // readers that planned against it) and no-ops while any retained

@@ -207,4 +207,108 @@ class ConcurrencySpec extends SparkSpec {
     assert(n == 20000L + appended.get(),
       s"post-storm count $n != ${20000 + appended.get()}")
   }
+
+  // -------------------------------------------- writer-fencing race proofs
+  // The single-maintainer contract used to be an honor system: two racing
+  // maintainers both computed the same next index-version name and POSIX
+  // rename silently replaced the loser's commit — the acked rows became
+  // unreferenced strays swept by the next maintenance pass. The fenced
+  // commit (create-exclusive + basedOn OCC, GraftIndex.writeRanges) turns
+  // that into a LOUD loser: exactly the guarantee HBase gets from region-
+  // server write serialization (reference HbaseTable.scala:373-423).
+
+  /** Run `a` and `b` barrier-aligned on two threads; returns each one's
+    * failure (None = committed). */
+  private def race(a: () => Unit, b: () => Unit): Seq[Option[Throwable]] = {
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val out = new Array[Option[Throwable]](2)
+    val ts = Seq(a, b).zipWithIndex.map { case (body, i) =>
+      new Thread(() => {
+        barrier.await()
+        out(i) = try { body(); None } catch { case t: Throwable => Some(t) }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join(300000))
+    out.toSeq
+  }
+
+  test("two racing upsertIndexed maintainers: every loser throws " +
+      "GraftConcurrentCommitException, no acked write is ever lost, " +
+      "and fsck afterwards finds nothing unhealable") {
+    import graft.store.KeyedStore
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val dir = tmp("graft_race_keyed") + "/t"
+    val base = spark.range(0, 4000).toDF("key").withColumn("v", $"key" % 97)
+    KeyedStore.writeIndexed(base, dir, numRanges = 8)
+    val putsA = spark.range(100, 140).toDF("key").withColumn("v", lit(-1L))
+    val putsB = spark.range(2100, 2140).toDF("key").withColumn("v", lit(-2L))
+    val outcomes = race(
+      () => KeyedStore.upsertIndexed(spark, dir, putsA),
+      () => KeyedStore.upsertIndexed(spark, dir, putsB))
+    // every failure must be the fence speaking — never an IO mess from
+    // trampled staging dirs or replaced data files
+    outcomes.flatten.foreach(t =>
+      assert(t.isInstanceOf[GraftConcurrentCommitException],
+        s"loser failed with the wrong class: $t"))
+    assert(outcomes.exists(_.isEmpty), "at least one maintainer must commit")
+    // acked-write safety: the table state is EXACTLY base upserted with
+    // the batches whose calls returned success (in either serial order —
+    // the key ranges are disjoint, so order does not matter)
+    def kv(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().toSeq.map(r => r.getLong(0) -> r.getLong(1))
+    val expected = kv(base).toMap ++
+      (if (outcomes(0).isEmpty) kv(putsA) else Nil) ++
+      (if (outcomes(1).isEmpty) kv(putsB) else Nil)
+    def state() = KeyedStore.readKeyed(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state() == expected, "acked commits must all be visible, lost none")
+    // the loser's renamed-in m-files are strays; fsck sweeps them and finds
+    // no damage; the state is unchanged by the heal
+    val st = KeyedStore.fsckIndexed(spark, dir)
+    assert(st.ok, st.toString)
+    assert(state() == expected, "fsck must not change the committed state")
+    // a blind retry of the loser (the documented recovery) converges
+    outcomes.zip(Seq(putsA, putsB)).foreach { case (o, puts) =>
+      if (o.isDefined) KeyedStore.upsertIndexed(spark, dir, puts)
+    }
+    val full = kv(base).toMap ++ kv(putsA) ++ kv(putsB)
+    assert(state() == full, "loser retry must converge to both batches applied")
+  }
+
+  test("two racing ManifestTable rewrites: the loser is fenced off loudly " +
+      "(GraftConcurrentCommitException), the winner's snapshot is exact, " +
+      "and fsck sweeps the loser's stranded generation") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val table = tmp("graft_race_mani") + "/t"
+    ManifestTable.write(
+      spark.range(5000).select($"id", ($"id" % 7).as("v")), table)
+    // two maintainers compact the SAME base concurrently with different
+    // transforms, so which one wins is observable in the surviving rows
+    val outcomes = race(
+      () => ManifestTable.compact(spark, table, targetFiles = 2,
+        df => df.where($"v" =!= 0)),
+      () => ManifestTable.compact(spark, table, targetFiles = 2,
+        df => df.where($"v" =!= 1)))
+    outcomes.flatten.foreach(t =>
+      assert(t.isInstanceOf[GraftConcurrentCommitException],
+        s"loser failed with the wrong class: $t"))
+    assert(outcomes.exists(_.isEmpty), "at least one rewrite must commit")
+    val n = ManifestTable.read(spark, table).count()
+    val survivors = Set(
+      5000L - 715L, // v != 0 won  (ids ≡ 0 mod 7 dropped: 715 of 5000)
+      5000L - 715L, // v != 1 won  (ids ≡ 1 mod 7 dropped: 715 of 5000)
+      5000L - 715L - 714L) // both committed serially (no overlap this run)
+    assert(survivors.contains(n), s"post-race count $n is not any serial outcome")
+    // consistency of content with the reported outcomes when one lost
+    if (outcomes.count(_.isEmpty) == 1) {
+      val winnerDrops = if (outcomes(0).isEmpty) 0L else 1L
+      val remaining = ManifestTable.read(spark, table)
+        .where($"v" === winnerDrops).count()
+      assert(remaining == 0L, "the winner's transform must be the applied one")
+    }
+    val st = ManifestTable.fsck(spark, table)
+    assert(st.ok, st.toString)
+    assert(ManifestTable.read(spark, table).count() == n,
+      "fsck must not change the committed snapshot")
+  }
 }

@@ -90,4 +90,67 @@ class GraftIndexPropSpec extends SparkSpec {
     assert(all.head.ranges.keySet == Set("f3.parquet"))
     assert(all.last.ranges.keySet == Set("f2.parquet"))
   }
+
+  test("commit fencing: a stale basedOn is refused before touching disk; a " +
+      "racer's already-created version name loses loudly; torn versions " +
+      "read as absent, block commits, and sweep clean") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixfence").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    def entry(i: Int) =
+      Map(s"f$i.parquet" -> ((BigDecimal(i), BigDecimal(i * 10), i.toLong)))
+    val v1 = GraftIndex.writeRanges(spark, dir, "key", "num", entry(1),
+      manifest = true, basedOn = Some(0L))
+    assert(v1 == 1L)
+    val v2 = GraftIndex.writeRanges(spark, dir, "key", "num", entry(2),
+      manifest = true, basedOn = Some(v1))
+    assert(v2 == 2L)
+    // OCC fence: a commit planned from v1 arrives after v2 — fenced off,
+    // nothing on disk changes
+    val before = GraftIndex.readAll(new Path(dir), conf)
+    intercept[GraftConcurrentCommitException] {
+      GraftIndex.writeRanges(spark, dir, "key", "num", entry(9),
+        manifest = true, basedOn = Some(v1))
+    }
+    assert(GraftIndex.readAll(new Path(dir), conf) == before)
+    // same-seq race: the other maintainer already created v3 — the loser's
+    // create-exclusive fails loudly instead of replacing the winner's bytes
+    GraftIndex.writeRanges(spark, dir, "key", "num", entry(3),
+      manifest = true): Unit // the "winner" (v3)
+    intercept[GraftConcurrentCommitException] {
+      // manufacture the exact same-name collision createExclusive guards:
+      // basedOn says v2 is current, but v3 exists
+      GraftIndex.writeRanges(spark, dir, "key", "num", entry(8),
+        manifest = true, basedOn = Some(v2))
+    }
+    assert(GraftIndex.read(new Path(dir), conf).get.ranges.keySet
+      == Set("f3.parquet"), "the winner's commit must survive the race")
+    // torn version: a fenced commit that died mid-write — sealed header,
+    // no trailer. Readers fall back to the previous version; commits refuse
+    // until fsck sweeps it.
+    val torn = new Path(dir, GraftIndex.FileName + ".v4")
+    val out = fs.create(torn, true)
+    out.write("graft-index\tv2\tkey\tnum\tsealed\nf4.parquet\t4\t40\t4\n".getBytes("UTF-8"))
+    out.close()
+    assert(GraftIndex.read(new Path(dir), conf).get.ranges.keySet
+      == Set("f3.parquet"), "a torn version must read as absent")
+    intercept[GraftConcurrentCommitException] {
+      GraftIndex.writeRanges(spark, dir, "key", "num", entry(5), manifest = true)
+    }
+    assert(GraftIndex.sweepTornVersions(spark, dir) == 1)
+    val v5 = GraftIndex.writeRanges(spark, dir, "key", "num", entry(5),
+      manifest = true)
+    assert(v5 == 4L, "the swept debris frees its seq — create-exclusive " +
+      "re-claims the name safely")
+    assert(GraftIndex.read(new Path(dir), conf).get.ranges.keySet == Set("f5.parquet"))
+    // the primitive itself: second create-exclusive on the same name loses
+    // loudly (O_EXCL on local fs — not check-then-create)
+    val claim = new Path(dir, GraftIndex.FileName + ".v99")
+    GraftIndex.createExclusive(fs, claim).close()
+    intercept[GraftConcurrentCommitException] {
+      GraftIndex.createExclusive(fs, claim).close()
+    }
+    fs.delete(claim, false)
+  }
 }

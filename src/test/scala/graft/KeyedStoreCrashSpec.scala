@@ -223,7 +223,32 @@ class KeyedStoreCrashSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       KeyedStore.vacuumIndexed(spark, dir, keyCol = "v")
     }
+    // fsck under a mismatched key would otherwise filter the index to None
+    // and report a spotless table it never checked (missingFiles=0, ok) —
+    // it must refuse like vacuum does
+    intercept[IllegalArgumentException] {
+      KeyedStore.fsckIndexed(spark, dir, keyCol = "v")
+    }
     assert(snapshot(dir) == expected, "every refused op must leave the table untouched")
+  }
+
+  test("a READ whose key option mismatches the manifest index still filters " +
+      "strays (file resolution is key-agnostic; only pruning is key-gated)") {
+    val dir = tmp("graft_ksc_keyless_read") + "/t"
+    KeyedStore.writeIndexed(base(), dir, numRanges = 4)
+    KeyedStore.upsertIndexed(spark, dir, puts()) // strays now on disk
+    val expected = snapshot(dir)
+    // wrong key option: must read the SAME rows as the correct-key read —
+    // pre-fix this fell back to a directory listing and double-counted the
+    // keep-one-back strays
+    val wrongKey = spark.read.format("graft").option("key", "v").load(dir)
+    assert(wrongKey.count() == expected.size.toLong)
+    val viaWrong = wrongKey.collect().map(r => r.getLong(0).toString -> r.getLong(1)).toMap
+    assert(viaWrong == expected)
+    // missing key option entirely (defaults to "key" — here correct); use a
+    // nonexistent column to force the mismatch path as well
+    val noSuchCol = spark.read.format("graft").option("key", "nope").load(dir)
+    assert(noSuchCol.count() == expected.size.toLong)
   }
 
   test("compact crash before its index commit: staged c-files are invisible; " +

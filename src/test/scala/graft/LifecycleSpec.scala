@@ -14,6 +14,20 @@ class LifecycleSpec extends SparkSpec {
   import spark.implicits._
   _quiet
 
+  /** Delete every manifest pointer version (MANIFEST and MANIFEST.v*) —
+    * the "crash lost the pointer" manufacture for heal tests. */
+  private def dropPointer(t: String): Unit = {
+    val fs = new java.io.File(t)
+    val victims = fs.listFiles().filter(f =>
+      f.isFile && (f.getName == "MANIFEST" || f.getName.startsWith("MANIFEST.v")))
+    assert(victims.nonEmpty, s"no MANIFEST pointer to lose under $t")
+    victims.foreach(f => assert(f.delete()))
+  }
+
+  private def pointerExists(t: String): Boolean =
+    new java.io.File(t).listFiles().exists(f =>
+      f.isFile && (f.getName == "MANIFEST" || f.getName.startsWith("MANIFEST.v")))
+
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
@@ -223,13 +237,13 @@ class LifecycleSpec extends SparkSpec {
     ManifestTable.append(Seq((2L, "b")).toDF("id", "v"), t)
     ManifestTable.compact(spark, t, targetFiles = 1)
     val rows = canon(ManifestTable.read(spark, t))
-    // simulate the crash window: MANIFEST deleted, nothing else touched
-    assert(new java.io.File(t, "MANIFEST").delete())
+    // simulate the crash window: pointer versions deleted, nothing else
+    dropPointer(t)
     assert(canon(ManifestTable.read(spark, t)) == rows,
       "fallback resolution must pick the newest complete generation")
     // the next rewrite re-establishes the pointer
     ManifestTable.compact(spark, t, targetFiles = 1)
-    assert(new java.io.File(t, "MANIFEST").exists)
+    assert(pointerExists(t))
     assert(canon(ManifestTable.read(spark, t)) == rows)
   }
 
@@ -1138,8 +1152,7 @@ class LifecycleSpec extends SparkSpec {
     ManifestTable.append(Seq((9999998L, "w")).toDF("id", "v"), t)
     val before = multiset(ManifestTable.read(spark, t))
     assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) == 2)
-    val mf = new java.io.File(t, "MANIFEST")
-    assert(mf.delete(), "no MANIFEST to lose?")
+    dropPointer(t)
     assert(multiset(ManifestTable.read(spark, t)) == before,
       "crash-heal read lost retained files")
   }
@@ -1234,6 +1247,28 @@ class LifecycleSpec extends SparkSpec {
       "batched rewrite with a non-canonical leaf changed the multiset")
   }
 
+  test("a transform that REWRITES partition values is refused before any " +
+      "commit — rerouted rows must never read as 'leaf emptied'") {
+    // only the partition column's PRESENCE was require-checked; a transform
+    // that maps leaf values reroutes rows into staged leaves outside the
+    // planned set, which the stage cleanup used to delete silently while
+    // the drained source leaves committed as empty generations
+    val root = tmp("graft_reroute_guard") + "/layout"
+    val base = spark.range(1200)
+      .select($"id", ($"id" % 3).cast("string").as("leaf"),
+        md5($"id".cast("string")).as("v"))
+    base.repartition(col("leaf")).write.partitionBy("leaf").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    val before = multiset(readLayout(root, "leaf"))
+    val e = intercept[IllegalArgumentException] {
+      Compaction.rewritePartitions(spark, root, 2,
+        df => df.withColumn("leaf", concat(lit("moved-"), col("leaf"))))
+    }
+    assert(e.getMessage.contains("unplanned"), e.getMessage)
+    assert(multiset(readLayout(root, "leaf")) == before,
+      "refused rewrite must leave the layout byte-equivalent")
+  }
+
   test("staged writes are exact under the v2 task-side committer " +
       "(graft.committer.algorithm = 2, the object-store knob)") {
     val root = tmp("graft_committer_v2") + "/layout"
@@ -1311,10 +1346,10 @@ class LifecycleSpec extends SparkSpec {
 
     // case A: lost MANIFEST (the crash window inside commit). The runtime
     // fallback already reads correctly; fsck makes it DURABLE again.
-    assert(new java.io.File(t, "MANIFEST").delete())
+    dropPointer(t)
     val a = ManifestTable.fsck(spark, t)
     assert(a.healedManifest && a.ok && !a.legacyFlat, a.toString)
-    assert(new java.io.File(t, "MANIFEST").exists, "heal must rewrite MANIFEST")
+    assert(pointerExists(t), "heal must rewrite the pointer")
     assert(multiset(ManifestTable.read(spark, t)) == baseline)
 
     // case B: crash debris with an intact MANIFEST — a committed-but-
@@ -1353,7 +1388,7 @@ class LifecycleSpec extends SparkSpec {
       .repartition(col("bucket")).write.partitionBy("bucket").parquet(root)
     Compaction.migrateLeaves(spark, root)
     val before = multiset(readLayout(root, "bucket"))
-    assert(new java.io.File(root + "/bucket=1", "MANIFEST").delete())
+    dropPointer(root + "/bucket=1")
     assert(new java.io.File(root + "/bucket=2", "gen-000000077").mkdirs())
     assert(new java.io.File(root, ".stage-dead").mkdirs())
     val stats = Compaction.fsckPartitions(spark, root)
