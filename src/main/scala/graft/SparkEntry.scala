@@ -3862,6 +3862,150 @@ object SparkEntry {
         "c_custkey")
       KeyedStore.readKeyedPrevious(s, path, "c_custkey").get
         .select(col("c_custkey").as("key"), col("c_name").as("name"))
+    }),
+
+    // --- COMPOSITE I/O + query-surface round trip (closes the spec-only §2
+    //     operators behind oracle rows): S13 TSV sink+source, S9/S15 text
+    //     line reads, S10/S14 parquet stage, S11 table sink, S12 multi-table
+    //     sink + pruned read-back, S2 point get, P6 prefix, P9 existence,
+    //     P11 qualifier-gated row skip, P14 exact row limit ------------------
+    "q249_io_composite" -> ((s, dir) => {
+      import graft.sources.Sources
+      import s.implicits._
+      val base = sys.props("java.io.tmpdir") + "/graft_q249_io_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_acctbal"))
+      // S13: TSV out + back (types stringify; cast on re-entry)
+      Sources.writeTsv(c, base + "/tsv")
+      val fromTsv = Sources.readTsv(s, base + "/tsv")
+        .toDF("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .select(col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_mktsegment"),
+          col("c_acctbal").cast("double").as("c_acctbal"))
+      // S9/S15: the same directory as raw text lines (one line per row)
+      val lineCnt = Sources.readLines(s, base + "/tsv").count()
+      // S10/S14: inter-stage persistence round trip
+      Sources.stageWrite(fromTsv, base + "/stage")
+      val staged = Sources.stageRead(s, base + "/stage")
+      // S12: multi-table sink routed by segment + pruned single-table read
+      Sources.writeMultiTable(staged, "c_mktsegment", base + "/multi")
+      val segCnt = Sources.readFromMultiTable(s, base + "/multi",
+        "c_mktsegment", "BUILDING").count()
+      // S11: table sink; its read-back is the query surface below
+      val famed = staged.withColumn("fam",
+        map(col("c_mktsegment"), col("c_acctbal").cast("double")))
+      Sources.writeTable(famed, base + "/table")
+      val table = KeyedStore.read(s, base + "/table")
+      // S2: point get
+      val pointName = GQuery(table, "c_custkey").withKey(42L)
+        .singleOption().map(_.getAs[String]("c_name")).getOrElse("")
+      // P14: exact row limit — the witness is the limited scan's cardinality
+      // (content-independent, so the oracle compare stays deterministic)
+      val limitedCnt = GQuery(table, "c_custkey").limit(7).toDF.count()
+      // P6 + P9 + P11 over the table sink's read-back
+      GQuery(table, "c_custkey")
+        .filter(
+          Clauses.mustStartWith(col("c_name"), "Customer#00000014"),
+          Clauses.mustBePresent(col("c_acctbal")),
+          Clauses.familyHasKeyGreaterThan(col("fam"), "B"))
+        .withColumns(col("c_name"), col("c_acctbal"))
+        .toDF
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("bal"))
+        .crossJoin(broadcast(Seq((lineCnt, segCnt, limitedCnt, pointName))
+          .toDF("line_cnt", "seg_cnt", "limited_cnt", "point_name")))
+    }),
+
+    // --- M5: MutationBatch chain (delete/put/put/increment in the
+    //     reference's precedence; OpsResult counts ride as columns) + M2:
+    //     dynamic-family puts (new qualifiers add, overlapping replace,
+    //     untouched survive) + G6: group-by-extractor over the result ------
+    "q250_mutation_batch" -> ((s, dir) => {
+      import graft.store.MutationBatch
+      import s.implicits._
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          map(lit("base"), round(col("c_acctbal") * 100).cast("long")).as("fam"),
+          col("c_nationkey").cast("long").as("nat"))
+      val dels = base.select(col("key")).where(pmod(col("key"), lit(101)) === 0)
+      val put1 = base.where(pmod(col("key"), lit(7)) === 0)
+        .select(col("key"), map(lit("d1"), lit(100L)).as("fam"))
+      val put2 = base.where(pmod(col("key"), lit(14)) === 0)
+        .select(col("key"),
+          map(lit("d1"), lit(200L), lit("d2"), lit(5L)).as("fam"))
+      val incs = base.where(pmod(col("key"), lit(11)) === 0)
+        .select(col("key"), lit(1000L).as("nat"))
+      val (merged, ops) = MutationBatch("key")
+        .delete(dels).put(put1).put(put2).increment(incs)
+        .execute(base)
+      // G6: group-by-extractor (a derived key expression, not a column)
+      val buckets = graft.jobs.GJob.groupByExtractor(
+          merged.select(col("key"), col("nat")),
+          pmod(col("key"), lit(10)),
+          count(lit(1)).as("n"), sum(col("nat")).as("nat_sum"))
+        .withColumnRenamed("group_key", "bucket")
+      merged.select(col("key"), explode(col("fam")).as(Seq("qual", "cell")),
+          col("nat"))
+        .join(broadcast(buckets), pmod(col("key"), lit(10)) === col("bucket"))
+        .select(col("key"), col("qual"), col("cell"), col("nat"),
+          col("bucket"), col("n"), col("nat_sum"))
+        .crossJoin(broadcast(Seq((ops.numDeletes, ops.numPuts, ops.numIncrements))
+          .toDF("n_del", "n_put", "n_inc")))
+    }),
+
+    // --- KEEP-N UNDO on the keyed store: graft.keepVersions=4 funds three
+    //     steps; two mutations later, back=2 is the UNTOUCHED base — served
+    //     through the connector (graft.asofVersion) with key pruning -------
+    "q251_keyed_undo2" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q251_keyed_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val prevKeep = s.conf.getOption("graft.keepVersions")
+      s.conf.set("graft.keepVersions", "4")
+      try {
+        KeyedStore.writeIndexed(c, path, "c_custkey", numRanges = 8)
+        KeyedStore.upsertIndexed(s, path,
+          c.where(pmod(col("c_custkey"), lit(97)) === 0)
+            .withColumn("c_name", concat(lit("U1_"), col("c_name"))),
+          "c_custkey")
+        KeyedStore.upsertIndexed(s, path,
+          c.where(pmod(col("c_custkey"), lit(89)) === 0)
+            .withColumn("c_name", concat(lit("U2_"), col("c_name"))),
+          "c_custkey")
+        KeyedStore.readKeyedPrevious(s, path, "c_custkey", back = 2).get
+          .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      } finally prevKeep match {
+        case Some(v) => s.conf.set("graft.keepVersions", v)
+        case None => s.conf.unset("graft.keepVersions")
+      }
+    }),
+
+    // --- KEEP-N UNDO on the manifest layout: two retention rewrites later,
+    //     readPrevious(back = 2) walks the _PARENT chain to the original ---
+    "q252_manifest_undo2" -> ((s, dir) => {
+      import graft.store.ManifestTable
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q252_mani_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val prevKeep = s.conf.getOption("graft.keepVersions")
+      s.conf.set("graft.keepVersions", "4")
+      try {
+        ManifestTable.write(c, path)
+        ManifestTable.compact(s, path, 2,
+          df => df.where(pmod(col("c_custkey"), lit(3)) =!= 0))
+        ManifestTable.compact(s, path, 2,
+          df => df.where(pmod(col("c_custkey"), lit(5)) =!= 0))
+        ManifestTable.readPrevious(s, path, back = 2).get
+          .select(col("c_custkey").as("key"), col("c_name").as("name"))
+      } finally prevKeep match {
+        case Some(v) => s.conf.set("graft.keepVersions", v)
+        case None => s.conf.unset("graft.keepVersions")
+      }
     })
   )
 
@@ -4140,6 +4284,75 @@ object SparkEntry {
     // The undo view is the UNTOUCHED base table: the upsert rewrote some
     // ranges, the previous index version still names their originals.
     "q248_keyed_undo" ->
+      "SELECT c_custkey AS key, c_name AS name FROM customer",
+
+    // Composite I/O round trip: the TSV/stage/table/multi-table hops are
+    // lossless, so the filtered rows are plain customer algebra; the
+    // ride-along witnesses (line/segment/limit counts, the point get) are
+    // scalar subqueries over the same table.
+    "q249_io_composite" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal,
+        |  (SELECT count(*) FROM customer) AS line_cnt,
+        |  (SELECT count(*) FROM customer WHERE c_mktsegment = 'BUILDING')
+        |    AS seg_cnt,
+        |  least(7, (SELECT count(*) FROM customer)) AS limited_cnt,
+        |  (SELECT c_name FROM customer WHERE c_custkey = 42) AS point_name
+        |FROM customer
+        |WHERE c_name LIKE 'Customer#00000014%'
+        |  AND c_acctbal IS NOT NULL
+        |  AND c_mktsegment >= 'B'""".stripMargin,
+
+    // MutationBatch precedence replayed in SQL: deletes (key%101) remove
+    // rows, puts re-insert their keys (key%7 / key%14) with family cells
+    // merged LAST-WIN per qualifier, increments (key%11) add 1000 with
+    // missing-as-zero semantics (so nat is never NULL after the step on a
+    // row the increment touched OR that survived with a base value; put-
+    // reinserted untouched rows read 0 through the increment's coalesce).
+    "q250_mutation_batch" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS key,
+        |    cast(round(c_acctbal * 100) AS bigint) AS bal,
+        |    cast(c_nationkey AS bigint) AS nat0
+        |  FROM customer),
+        |kept AS (SELECT * FROM base WHERE key % 101 <> 0),
+        |mkeys AS (
+        |  SELECT key FROM kept
+        |  UNION SELECT key FROM base WHERE key % 7 = 0
+        |  UNION SELECT key FROM base WHERE key % 11 = 0),
+        |merged AS (
+        |  SELECT m.key,
+        |    CASE WHEN k.key IS NOT NULL THEN k.nat0 ELSE 0 END +
+        |    CASE WHEN m.key % 11 = 0 THEN 1000 ELSE 0 END AS nat,
+        |    k.bal, (k.key IS NOT NULL) AS has_base
+        |  FROM mkeys m LEFT JOIN kept k USING (key)),
+        |cells AS (
+        |  SELECT key, 'base' AS qual, bal AS cell FROM merged WHERE has_base
+        |  UNION ALL
+        |  SELECT key, 'd1',
+        |    CASE WHEN key % 14 = 0 THEN 200 ELSE 100 END
+        |  FROM merged WHERE key % 7 = 0
+        |  UNION ALL
+        |  SELECT key, 'd2', 5 FROM merged WHERE key % 14 = 0),
+        |buckets AS (
+        |  SELECT key % 10 AS bucket, count(*) AS n,
+        |    cast(sum(nat) AS bigint) AS nat_sum
+        |  FROM merged GROUP BY 1)
+        |SELECT c.key, c.qual, cast(c.cell AS bigint) AS cell, m.nat,
+        |  b.bucket, b.n, b.nat_sum,
+        |  (SELECT count(*) FROM base WHERE key % 101 = 0) AS n_del,
+        |  (SELECT count(*) FROM base WHERE key % 7 = 0) +
+        |    (SELECT count(*) FROM base WHERE key % 14 = 0) AS n_put,
+        |  (SELECT count(*) FROM base WHERE key % 11 = 0) AS n_inc
+        |FROM cells c
+        |JOIN merged m USING (key)
+        |JOIN buckets b ON c.key % 10 = b.bucket""".stripMargin,
+
+    // Keep-N undo, keyed store: two mutations back is the untouched base.
+    "q251_keyed_undo2" ->
+      "SELECT c_custkey AS key, c_name AS name FROM customer",
+
+    // Keep-N undo, manifest layout: two rewrites back is the original write.
+    "q252_manifest_undo2" ->
       "SELECT c_custkey AS key, c_name AS name FROM customer",
 
     // The streaming reservoir is a pure function of the id set: the

@@ -61,10 +61,14 @@ object KeyedStore {
     spark.read.format("graft").option("key", keyCol).load(path)
 
   /**
-   * The UNDO WINDOW on the keyed store: read the table as of just BEFORE
-   * the last mutation — the PREVIOUS retained index version's file set,
-   * which keep-one-back funds through exactly one cycle (its files stay on
-   * disk as strays until the next mutation's sweep). Completes the
+   * The UNDO WINDOW on the keyed store: read the table as of `back`
+   * mutations BEFORE the live snapshot — a retained index version's file
+   * set, whose files stay on disk as strays for as long as the version is
+   * retained. Depth is the `graft.keepVersions` session conf (default 2:
+   * live + one step; set N before mutating to fund N−1 steps — HBase
+   * time-range reads are the arbitrary-depth analogue). Served THROUGH the
+   * connector (`graft.asofVersion`), so as-of reads keep key pruning and
+   * pushdown. Completes the
    * takedown-audit / as-of parity across every persisted layout
    * ([[graft.store.ManifestTable.readPrevious]],
    * [[graft.ops.TextOps.bm25TopKFromIndexPrevious]],
@@ -75,19 +79,50 @@ object KeyedStore {
    * [[vacuumIndexed]]`(keepPrevious = false)`, or an advisory (v1) index.
    */
   def readKeyedPrevious(spark: SparkSession, path: String,
-      keyCol: String = "key"): Option[DataFrame] = {
+      keyCol: String = "key", back: Int = 1): Option[DataFrame] = {
     import org.apache.spark.sql.graft.GraftIndex
+    require(back >= 1, "back must be >= 1 (1 = just before the last mutation)")
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val conf = spark.sessionState.newHadoopConf()
-    GraftIndex.readAll(dirPath, conf)
-      .filter(ix => ix.keyCol == keyCol && ix.manifest)
-      .drop(1).headOption // the version just behind the live one
-      .map { prev =>
-        val files = prev.files.toSeq.sorted.map(n => s"$path/$n")
-        if (files.isEmpty) spark.read.parquet(path).limit(0)
-        else spark.read.parquet(files: _*)
-      }
+    GraftIndex.readAllVersioned(dirPath, conf)
+      .filter { case (_, ix) => ix.keyCol == keyCol && ix.manifest }
+      .drop(back).headOption // the version `back` mutations behind the live one
+      .map { case (v, _) => readKeyedVersion(spark, path, keyCol, v) }
   }
+
+  /** Read a RETAINED snapshot addressed by its index version seq (the
+    * numbers [[retainedVersions]] lists) — arbitrary-depth as-of within the
+    * `graft.keepVersions` window; None once vacuumed past it. */
+  def readKeyedAsOf(spark: SparkSession, path: String, version: Long,
+      keyCol: String = "key"): Option[DataFrame] = {
+    import org.apache.spark.sql.graft.GraftIndex
+    GraftIndex.readAllVersioned(new org.apache.hadoop.fs.Path(path),
+        spark.sessionState.newHadoopConf())
+      .find { case (v, ix) => v == version && ix.keyCol == keyCol && ix.manifest }
+      .map { case (v, _) => readKeyedVersion(spark, path, keyCol, v) }
+  }
+
+  /** The retained snapshots, newest first: (index version seq, total rows).
+    * Depth is funded by the `graft.keepVersions` session conf (default 2 =
+    * live + one undo step) — raise it BEFORE the mutations whose history
+    * you want; [[vacuumIndexed]] drains it. */
+  def retainedVersions(spark: SparkSession, path: String,
+      keyCol: String = "key"): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.graft.GraftIndex
+    GraftIndex.readAllVersioned(new org.apache.hadoop.fs.Path(path),
+        spark.sessionState.newHadoopConf())
+      .filter { case (_, ix) => ix.keyCol == keyCol && ix.manifest }
+      .map { case (v, ix) => v -> ix.totalRows }
+  }
+
+  /** Route an as-of read through the `graft` connector: a pinned past
+    * snapshot gets the same key-range pruning, pushdown and index-only
+    * aggregates as the live table — never an explicit-file-list parquet
+    * relation (which would forfeit all of them at 100 TB). */
+  private def readKeyedVersion(spark: SparkSession, path: String,
+      keyCol: String, version: Long): DataFrame =
+    spark.read.format("graft").option("key", keyCol)
+      .option("graft.asofVersion", version.toString).load(path)
 
   /**
    * Index-pruned merge — the write-side twin of the connector's split pruning,
@@ -464,7 +499,7 @@ object KeyedStore {
     * [[ManifestTable.vacuum]] drain rule), then data files no retained
     * version references are swept. Returns files deleted. */
   def vacuumIndexed(spark: SparkSession, path: String, keyCol: String = "key",
-      keepPrevious: Boolean = true): Int = {
+      keepPrevious: Boolean = true, keepVersions: Int = 0): Int = {
     import org.apache.spark.sql.graft.GraftIndex
     val dirPath = new org.apache.hadoop.fs.Path(path)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
@@ -473,9 +508,15 @@ object KeyedStore {
     GraftIndex.read(dirPath, fs.getConf).foreach(ix =>
       require(ix.keyCol == keyCol,
         s"vacuumIndexed: $path is indexed by '${ix.keyCol}', not '$keyCol'"))
-    if (!keepPrevious) {
+    // drain rule: keepVersions > 0 drains the retained history to exactly
+    // that many versions (1 = live only); else keepPrevious=false keeps
+    // just the live version. Only safe for the drained steps once scans
+    // planned against them have finished (the ManifestTable.vacuum rule).
+    val keep = if (keepVersions > 0) keepVersions
+      else if (keepPrevious) Int.MaxValue else 1
+    if (keep != Int.MaxValue) {
       val versions = GraftIndex.versionFiles(fs, dirPath)
-      versions.dropRight(1).foreach(v => fs.delete(v._2, false))
+      versions.dropRight(keep).foreach(v => fs.delete(v._2, false))
     }
     GraftIndex.sweepStrays(spark, path)
   }

@@ -65,6 +65,12 @@ object ManifestTable {
   private val ParentName = "_PARENT"
   private val NoParent = "-"
   private val Sealed = "#commit"
+  // retained-generation depth default (live + one undo step); the
+  // `graft.keepVersions` session conf raises it on BOTH graft layouts
+  private val KeepVersionsDefault = 2
+
+  private def keepVersionsOf(spark: SparkSession): Int =
+    org.apache.spark.sql.graft.GraftIndex.keepVersionsOf(spark)
 
   // ------------------------------------------------- fenced pointer commit
   // The MANIFEST pointer is VERSIONED (`MANIFEST.v<seq>`, newest parseable
@@ -333,16 +339,47 @@ object ManifestTable {
     * Orphaned newer-than-live generations (crash before a swap) are not
     * the undo window and are never returned. */
   def previousGen(spark: SparkSession, table: String): Option[String] =
+    genBack(spark, table, 1)
+
+  /** The generation live `back` rewrites ago — the arbitrary-depth undo
+    * pointer, resolved by walking `_PARENT` links from the live generation.
+    * Depth is funded by `graft.keepVersions` (set BEFORE the rewrites whose
+    * history you want); None once the chain leaves what retire/vacuum kept. */
+  def genBack(spark: SparkSession, table: String, back: Int): Option[String] = {
+    require(back >= 1, "back must be >= 1 (1 = just before the last rewrite)")
     liveGen(spark, table).flatMap { live =>
       val (fs, dir) = fsOf(spark, table)
-      readMetaLines(fs, new Path(dir, live), ParentName)
-        .map(_.headOption.getOrElse(NoParent)) match {
-        case Some(NoParent) => None // first incarnation: no undo window
-        case Some(parent) => // exact pointer; gone once retired/vacuumed
-          Some(parent).filter(g => fs.exists(new Path(dir, g)))
-        case None => // legacy generation (pre-_PARENT): positional fallback
-          generations(spark, table).filter(_ < live).lastOption
+      var cur = live
+      var i = 0
+      while (i < back) {
+        readMetaLines(fs, new Path(dir, cur), ParentName)
+          .map(_.headOption.getOrElse(NoParent)) match {
+          case Some(NoParent) => return None // incarnation start: no further
+          case Some(parent) => // exact pointer; gone once retired/vacuumed
+            if (!fs.exists(new Path(dir, parent))) return None
+            cur = parent
+          case None => // legacy generation (pre-_PARENT): positional fallback
+            generations(spark, table).filter(_ < cur).lastOption match {
+              case Some(g) => cur = g
+              case None => return None
+            }
+        }
+        i += 1
       }
+      Some(cur)
+    }
+  }
+
+  /** The `_PARENT` ancestor chain of `start`, nearest first, existing dirs
+    * only, at most `depth` links — the keep-N retention set's spine. */
+  private def parentChain(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      start: String, depth: Int): List[String] =
+    if (depth <= 0) Nil
+    else readMetaLines(fs, new Path(dir, start), ParentName)
+      .flatMap(_.headOption).filter(_ != NoParent)
+      .filter(g => fs.exists(new Path(dir, g))) match {
+      case Some(p) => p :: parentChain(fs, dir, p, depth - 1)
+      case None => Nil
     }
 
   /** Read the table as of just BEFORE the last rewrite — the audit/undo
@@ -351,9 +388,20 @@ object ManifestTable {
     * Appends land in the live generation, so the previous generation is a
     * genuine point-in-time snapshot: it also excludes rows appended since
     * the rewrite. None when no undo window exists ([[previousGen]]). */
-  def readPrevious(spark: SparkSession, table: String): Option[DataFrame] =
-    previousGen(spark, table).map(g =>
+  def readPrevious(spark: SparkSession, table: String,
+      back: Int = 1): Option[DataFrame] =
+    genBack(spark, table, back).map(g =>
       spark.read.parquet(pathsFor(spark, table, g): _*))
+
+  /** Read a RETAINED generation by name ([[generations]] lists them) —
+    * as-of within the keep-N window; None once retired/vacuumed. Retained
+    * by-reference files resolve like any snapshot read. */
+  def readAsOf(spark: SparkSession, table: String,
+      gen: String): Option[DataFrame] = {
+    val (fs, dir) = fsOf(spark, table)
+    Some(gen).filter(g => g.startsWith(GenPrefix) && fs.exists(new Path(dir, g)))
+      .map(g => spark.read.parquet(pathsFor(spark, table, g): _*))
+  }
 
   /** Point the manifest at `gen` — the FENCED commit point of every rewrite
     * (see the pointer-commit block comment above). `parent` is the
@@ -405,8 +453,12 @@ object ManifestTable {
     * by interrupted [[appendTagged]] attempts (maintenance ops are
     * externally serialized, so any stage dir visible here is dead). */
   private def retire(fs: org.apache.hadoop.fs.FileSystem, dir: Path, live: String,
-      prevLive: Option[String]): Unit = {
-    val keep = protectedGens(fs, dir, Set(live) ++ prevLive)
+      prevLive: Option[String], keepN: Int = KeepVersionsDefault): Unit = {
+    // keep-N: the live generation plus up to keepN-1 _PARENT ancestors (the
+    // keep-one-back default is keepN = 2); prevLive rides along as the
+    // explicit first ancestor for generations without a _PARENT yet
+    val keep = protectedGens(fs, dir,
+      Set(live) ++ prevLive ++ parentChain(fs, dir, live, keepN - 1))
     // a NEWER-than-live generation whose claim file is still present may be
     // a maintainer mid-staging (a race this sweep must not escalate from
     // loud-at-commit to bytes-deleted-mid-write): spared here; its claim
@@ -457,7 +509,7 @@ object ManifestTable {
     // the _TAGS marker directory (per-token files — see CommitTags)
     fs.delete(new Path(dir, TagsName), true): Unit
     commit(fs, dir, next, prevLive)
-    retire(fs, dir, next, prevLive)
+    retire(fs, dir, next, prevLive, keepVersionsOf(spark))
   }
 
   /** Append into the live generation — the ingest-loop fast path: one more
@@ -623,7 +675,7 @@ object ManifestTable {
       .write.mode("overwrite").parquet(s"$table/$next")
     writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
     commit(fs, dir, next, Some(live))
-    retire(fs, dir, next, Some(live))
+    retire(fs, dir, next, Some(live), keepVersionsOf(spark))
   }
 
   /** CLAIM the next generation dir name (current max + 1, create-exclusive
@@ -646,7 +698,7 @@ object ManifestTable {
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
     commit(fs, dir, gen, Some(parent))
-    retire(fs, dir, gen, Some(parent))
+    retire(fs, dir, gen, Some(parent), keepVersionsOf(spark))
   }
 
   /** The live snapshot's data files with sizes, as table-relative paths:
@@ -699,7 +751,7 @@ object ManifestTable {
     if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
     writeMetaLines(fs, nextPath, ParentName, Seq(live))
     commit(fs, dir, next, Some(live))
-    retire(fs, dir, next, Some(live))
+    retire(fs, dir, next, Some(live), keepVersionsOf(spark))
     small.length
   }
 
@@ -816,8 +868,11 @@ object ManifestTable {
       case None => 0 // legacy flat layout: nothing generation-shaped to sweep
       case Some(live) =>
         val gens = genDirs(fs, dir)
-        val prev = previousGen(spark, table).filter(_ => keepPrevious)
-        val keep = protectedGens(fs, dir, Set(live) ++ prev)
+        // keepPrevious keeps the whole funded undo chain (graft.keepVersions
+        // deep), not just one step; keepPrevious = false drains to live only
+        val chain = if (keepPrevious)
+          parentChain(fs, dir, live, keepVersionsOf(spark) - 1) else Nil
+        val keep = protectedGens(fs, dir, Set(live) ++ chain)
         // same claim-shield as retire: a claimed newer generation may be a
         // maintainer mid-staging — fsck (which asserts no writer in
         // flight) is the sweeper for that debris, not vacuum

@@ -310,8 +310,13 @@ class GraftScanBuilder(spark: SparkSession, dataSchema: StructType,
     val keyDt = dataSchema(keyIdx).dataType
     val path = GraftDataSource.pathOf(options)
     val hadoopConf = spark.sessionState.newHadoopConf()
-    val ix = GraftIndex.read(new Path(path), hadoopConf).filter(_.keyCol == keyCol)
-      .getOrElse(return None)
+    // as-of scans answer from the PINNED snapshot's index, never the live one
+    val resolved = Option(options.get("graft.asofVersion")).map(_.toLong) match {
+      case Some(v) => GraftIndex.readAllVersioned(new Path(path), hadoopConf)
+        .collectFirst { case (ver, i) if ver == v => i }
+      case None => GraftIndex.read(new Path(path), hadoopConf)
+    }
+    val ix = resolved.filter(_.keyCol == keyCol).getOrElse(return None)
     // every data file must be covered by the index, else counts are partial
     val p = new Path(path)
     val fs = p.getFileSystem(hadoopConf)
@@ -467,10 +472,27 @@ class GraftScan(spark: SparkSession, dataSchema: StructType, required: StructTyp
   private def keyBounds: KeyBounds =
     KeyBounds.fromFilters(pushed ++ runtimeFilters, keyCol)
 
-  /** The newest index version regardless of key column — the authority on
-    * WHICH files are live (manifest dialect). */
-  @transient private lazy val liveIndex: Option[GraftIndex] =
-    GraftIndex.read(new Path(path), hadoopConf)
+  /** As-of addressing: pin the scan to a RETAINED index version instead of
+    * the live one — the undo/audit read (`KeyedStore.readKeyedPrevious` /
+    * `readKeyedAsOf`) on the connector's own plan path, so a past snapshot
+    * gets the same key pruning and pushdown as the live table (reference
+    * analogue: HBase time-range reads, Query2.scala:345-359). */
+  private val asofVersion: Option[Long] =
+    Option(options.get("graft.asofVersion")).map(_.toLong)
+
+  /** The resolved index version regardless of key column — the authority on
+    * WHICH files are live (manifest dialect): the newest, or the as-of
+    * pinned one. */
+  @transient private lazy val liveIndex: Option[GraftIndex] = asofVersion match {
+    case Some(v) =>
+      Some(GraftIndex.readAllVersioned(new Path(path), hadoopConf)
+        .collectFirst { case (ver, ix) if ver == v => ix }
+        .getOrElse(throw new java.util.NoSuchElementException(
+          s"graft: no retained index version $v under $path — as-of reads " +
+            s"address versions inside the ${GraftIndex.KeepVersionsConf} " +
+            "window (vacuumed or never-committed versions are gone)")))
+    case None => GraftIndex.read(new Path(path), hadoopConf)
+  }
 
   /** The index as a PRUNING source: only usable when its key column is the
     * one this scan's predicates constrain. */
@@ -909,7 +931,7 @@ object GraftIndex {
     * graft layout (this index AND [[graft.store.ManifestTable]]). */
   val KeepVersionsConf = "graft.keepVersions"
 
-  private[graft] def keepVersionsOf(spark: SparkSession): Int =
+  def keepVersionsOf(spark: SparkSession): Int =
     math.max(2, spark.conf.getOption(KeepVersionsConf)
       .map(_.toInt).getOrElse(KeepVersions))
 
