@@ -94,6 +94,30 @@ object Bench {
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(3)
+    // CPU canary: a FIXED pure-compute query (no I/O, no shuffle variance —
+    // one codegen'd hash-reduce across all cores) measured median-of-3
+    // before the sweep and again before the isolated tier. It is the box's
+    // effective-throughput yardstick at that moment: round 13's adjudication
+    // found isolated medians moving +17-41% on UNCHANGED code (thermal /
+    // neighbor drift), which made the >25% isolated-regression rule fire on
+    // box state. Normalizing an isolated median by (canary_iso /
+    // canary_pinned) separates plan regressions from box drift — the rule's
+    // restated form lives in BASELINE.md.
+    def canary(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 400000000L, 1L, cpus.toInt)
+          // overflow-free under ANSI mode: nested hashes + a XOR aggregate
+          .selectExpr("bit_xor(xxhash64(id, xxhash64(id, 1), xxhash64(id, 2)))")
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseBlocks()
+        dt
+      }
+      once(): Unit // untimed: the canary's own codegen/JIT warm-up
+      Seq(once(), once(), once()).sorted.apply(1) // median of 3
+    }
+    val canaryPre = canary()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -127,6 +151,9 @@ object Bench {
         case v => scala.util.Try(v.stripPrefix("slowest").toInt).toOption
           .filter(_ >= 0).getOrElse(8)
       }.getOrElse(8)
+    // the canary re-measures JUST BEFORE the isolated tier: its ratio to the
+    // pre-sweep reading is the box-drift factor the isolated medians carry
+    val canaryIso = if (isoCount > 0) canary() else canaryPre
     val isolated = results.toSeq.sortBy { case (_, (m, _, _)) => -m }
       .take(isoCount).map { case (name, _) =>
         releaseBlocks()
@@ -173,18 +200,18 @@ object Bench {
     def isoJson(r: Double => Double) = isolated
       .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"reps":$reps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"reps":$reps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"reps":$reps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B
@@ -194,7 +221,7 @@ object Bench {
     val heavy =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"coverage":"slowest40_medians","queries":${
         top.map { case (k, (m, _, _)) => "\"" + shortKey(k) + "\":" + r2(m) }
-          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"reps":$reps,"sf":"$sfDir"}"""
+          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"reps":$reps,"sf":"$sfDir"}"""
     println(
       if (compact.length <= 1900) compact
       else if (tiny.length <= 1900) tiny

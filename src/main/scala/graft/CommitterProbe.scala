@@ -64,6 +64,13 @@ object CommitterProbe {
         (alg, math.rint(appendSec * 1000) / 1000,
           math.rint(minorSec * 1000) / 1000)
       }
+      // the measured decision, wired: with no override, slow-rename schemes
+      // default to v2 and local paths to v1
+      spark.conf.unset("graft.committer.algorithm")
+      require(graft.store.Compaction.committerFor(spark, "slowfs:/t") == "2",
+        "slow-rename scheme must default to the task-side v2 committer")
+      require(graft.store.Compaction.committerFor(spark, "/local/t") == "1",
+        "local paths must default to the v1 committer")
       val qs = results.map { case (a, ap, mi) =>
         s""""append_v$a":$ap,"minor_v$a":$mi""" }.mkString(",")
       println(s"""{"metric":"committer_probe_wall_sec","unit":"sec",""" +

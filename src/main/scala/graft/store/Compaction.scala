@@ -73,25 +73,33 @@ object Compaction {
       ManifestTable.resolvePaths(spark, p.toString).map((p.getName, _))).flatten
   }
 
-  /**
-   * The staged-write committer knob. Spark's default v1 file committer
-   * merges every task's output on the DRIVER at job commit — measured
-   * neutral-to-faster on local fs (PERF.md round-12 A/B), but on an object
-   * store where rename is a server-side copy that serial driver merge is
-   * the documented bottleneck. Set the session conf
-   * `graft.committer.algorithm` to `"2"` to route graft's staged
-   * partitioned writes through the task-side v2 committer (tasks commit
-   * their own files; job commit is O(1) on the driver). Both algorithms
-   * are exercised by the lifecycle specs; CommitterProbe measures the
-   * choice on a simulated slow-rename filesystem.
-   */
-  private def stagedWrite(df: DataFrame)
-      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
-    df.sparkSession.conf.getOption("graft.committer.algorithm") match {
-      case Some(v) => df.write
-        .option("mapreduce.fileoutputcommitter.algorithm.version", v)
-      case None => df.write
+  // ----- staged-write committer selection --------------------------------
+  // Spark's v1 file committer merges every task's output on the DRIVER at
+  // job commit; v2 commits task-side (job commit O(1) on the driver). The
+  // choice is auto-selected per write target from its fs scheme below;
+  // the session conf `graft.committer.algorithm` ("1"/"2") overrides.
+
+  /** Object-store schemes where rename is a server-side copy: there the v1
+    * committer's driver-side mergePaths is the measured bottleneck
+    * (CommitterProbe on the 25 ms/rename surrogate: v2 ≈ 2.9×/2.1× faster
+    * for append/minor) and v2 is the right default. On rename-cheap
+    * filesystems (local, HDFS) v1 measured neutral-to-faster, so it stays. */
+  private val SlowRenameSchemes = Set(
+    "s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss",
+    "cos", "swift", "slowfs")
+
+  private[graft] def committerFor(spark: SparkSession, target: String): String =
+    spark.conf.getOption("graft.committer.algorithm").getOrElse {
+      val scheme = Option(new Path(target).toUri.getScheme).getOrElse(
+        org.apache.hadoop.fs.FileSystem
+          .getDefaultUri(ManifestTable.cachedConf(spark)).getScheme)
+      if (SlowRenameSchemes.contains(scheme)) "2" else "1"
     }
+
+  private def stagedWrite(df: DataFrame, target: String)
+      : org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] =
+    df.write.option("mapreduce.fileoutputcommitter.algorithm.version",
+      committerFor(df.sparkSession, target))
 
   /** Order-preserving map over leaves on a bounded pool — every per-leaf
     * fs-metadata loop (resolve / migrate / vacuum) goes through this so no
@@ -259,7 +267,7 @@ object Compaction {
     // 200k rows across 1024 leaves, linear in leaf count), with it each
     // leaf's rows land in exactly one task → one staged file per leaf per
     // batch, which is also the file-count shape the manifest append wants
-    stagedWrite(df.repartition(col(partitionCol)))
+    stagedWrite(df.repartition(col(partitionCol)), stage.toString)
       .partitionBy(partitionCol).mode("overwrite").parquet(stage.toString)
     // the per-leaf file moves are INDEPENDENT driver-side fs metadata ops;
     // serialized they are the classic driver bottleneck at thousands of
@@ -427,13 +435,11 @@ object Compaction {
           .repartition(col(partitionCol), col("__salt"))
           .drop("__salt", "__nout")
       }
-    // committer: the v2 task-side commit was A/B-tested here and on the
-    // append stage — on local fs it measured NEUTRAL here and ~25% SLOWER
-    // for appends (v1's driver-side mergePaths is cheap locally), so the
-    // default stays v1; on an object store set the session conf
-    // `graft.committer.algorithm = 2` (see stagedWrite; CommitterProbe
-    // measures both on a simulated slow-rename fs).
-    stagedWrite(routed).partitionBy(partitionCol)
+    // committer: auto-selected from the target's fs scheme (see
+    // committerFor — v1 on rename-cheap local/HDFS where the A/B measured
+    // it neutral-to-faster, v2 on object stores where CommitterProbe
+    // measured ~2.9x/2.1x); `graft.committer.algorithm` overrides.
+    stagedWrite(routed, stage.toString).partitionBy(partitionCol)
       .mode("overwrite").parquet(stage.toString)
     lap(s"merge(${batchable.map(_.smallAbs.length).sum} files)")
     // ---- commit (pooled fs metadata: one rename + manifest swap per leaf)
@@ -596,7 +602,7 @@ object Compaction {
         .drop("__salt")
     val stage = new Path(rootPath,
       ".stage-rewrite-" + java.util.UUID.randomUUID().toString.take(12))
-    stagedWrite(routed).partitionBy(partitionCol)
+    stagedWrite(routed, stage.toString).partitionBy(partitionCol)
       .mode("overwrite").parquet(stage.toString)
     // a transform may only FILTER rows, never rewrite their partition
     // values: a rewritten value routes rows into a staged leaf outside the

@@ -236,30 +236,17 @@ object KeyedStore {
     }
     val tag = ix.get.keyTag
     val isNum = tag == "num"
-    // (name, lo, hi) sorted by lo — broadcast for a per-put binary search
+    // (name, lo, hi) sorted by lo — the router's binary-search table
     val ranges: Array[(String, (Any, Any, Long))] =
       if (isNum) ix.get.ranges.toArray.sortBy(_._2._1.asInstanceOf[BigDecimal])
       else ix.get.ranges.toArray.sortBy(_._2._1.toString)
-    val bcLos = spark.sparkContext.broadcast(ranges.map(_._2._1))
-    val bcHis = spark.sparkContext.broadcast(ranges.map(_._2._2))
-    // binary search: index of the unique file whose [lo, hi] contains k, or -1
-    val fileOf = udf { (ks: String) =>
-      if (ks == null) -1
-      else {
-        val k: Any = if (isNum) BigDecimal(ks) else ks
-        def le(a: Any, b: Any): Boolean =
-          if (isNum) a.asInstanceOf[BigDecimal] <= b.asInstanceOf[BigDecimal]
-          else a.toString <= b.toString
-        var lo = 0; var hi = bcLos.value.length - 1; var found = -1
-        while (lo <= hi) {
-          val mid = (lo + hi) >>> 1
-          if (le(bcLos.value(mid), k)) { found = mid; lo = mid + 1 } else hi = mid - 1
-        }
-        if (found >= 0 && le(k, bcHis.value(found))) found else -1
-      }
-    }
+    // key→file routing: a codegen'd binary search in the key's OWN value
+    // space (see routerColumn — exactness is load-bearing: a boundary
+    // mis-route leaves a duplicate row behind)
+    val fileOf = routerColumn(spark, batch.schema(keyCol).dataType,
+      keyCol, ranges, isNum)
     val affectedIdx = batch
-      .select(fileOf(col(keyCol).cast("string")).as("__f")).where(col("__f") >= 0)
+      .select(fileOf.as("__f")).where(col("__f") >= 0)
       .distinct().collect().map(_.getInt(0)).toSet
     val affectedNames = affectedIdx.toSeq.sorted.map(i => ranges(i)._1)
     if (affectedNames.isEmpty && !outsideKeysInsert) return // nothing to touch
@@ -314,6 +301,65 @@ object KeyedStore {
   /** Marker written into a completed staging dir by [[mergeIndexed]]'s
     * full-rewrite fallback so [[fsckIndexed]] can roll an interrupted dir
     * swap FORWARD (complete staging) instead of back (backup restore). */
+  /**
+   * The key→file router column for a sorted, non-overlapping range table —
+   * a native codegen'd binary search ([[org.apache.spark.sql.graft.RangeBucketSearch]])
+   * for long/int/short/byte, double/float and string keys; DecimalType and
+   * exotic key types keep the decimal-string UDF (exact, rare, and the only
+   * residual non-codegen router). Float bounds parse back to FLOAT first and
+   * widen — parsing the decimal string straight to double would land beside
+   * the widened float value and mis-route boundary keys.
+   */
+  private[graft] def routerColumn(spark: SparkSession, keyDt: DataType,
+      keyCol: String, ranges: Array[(String, (Any, Any, Long))],
+      isNum: Boolean): Column = {
+    import org.apache.spark.sql.graft.{Bridge, RangeBucketSearchDouble, RangeBucketSearchLong, RangeBucketSearchString}
+    def bd(v: Any): BigDecimal = v.asInstanceOf[BigDecimal]
+    keyDt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Bridge.column(RangeBucketSearchLong(
+          Bridge.expression(col(keyCol).cast("long")),
+          ranges.map(r => bd(r._2._1).toLong),
+          ranges.map(r => bd(r._2._2).toLong)))
+      case DoubleType =>
+        Bridge.column(RangeBucketSearchDouble(
+          Bridge.expression(col(keyCol)),
+          ranges.map(r => bd(r._2._1).toDouble),
+          ranges.map(r => bd(r._2._2).toDouble)))
+      case FloatType =>
+        Bridge.column(RangeBucketSearchDouble(
+          Bridge.expression(col(keyCol).cast("double")),
+          ranges.map(r => bd(r._2._1).toFloat.toDouble),
+          ranges.map(r => bd(r._2._2).toFloat.toDouble)))
+      case StringType =>
+        Bridge.column(RangeBucketSearchString(
+          Bridge.expression(col(keyCol)),
+          ranges.map(r => org.apache.spark.unsafe.types.UTF8String
+            .fromString(r._2._1.toString)),
+          ranges.map(r => org.apache.spark.unsafe.types.UTF8String
+            .fromString(r._2._2.toString))))
+      case _ =>
+        val bcLos = spark.sparkContext.broadcast(ranges.map(_._2._1))
+        val bcHis = spark.sparkContext.broadcast(ranges.map(_._2._2))
+        val fileOf = udf { (ks: String) =>
+          if (ks == null) -1
+          else {
+            val k: Any = if (isNum) BigDecimal(ks) else ks
+            def le(a: Any, b: Any): Boolean =
+              if (isNum) a.asInstanceOf[BigDecimal] <= b.asInstanceOf[BigDecimal]
+              else a.toString <= b.toString
+            var lo = 0; var hi = bcLos.value.length - 1; var found = -1
+            while (lo <= hi) {
+              val mid = (lo + hi) >>> 1
+              if (le(bcLos.value(mid), k)) { found = mid; lo = mid + 1 } else hi = mid - 1
+            }
+            if (found >= 0 && le(k, bcHis.value(found))) found else -1
+          }
+        }
+        fileOf(col(keyCol).cast("string"))
+    }
+  }
+
   private[graft] val CommittedMarker = "_GRAFT_COMMITTED"
   private[graft] val BackupSuffix = "__old"
 

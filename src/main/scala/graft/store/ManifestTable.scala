@@ -127,6 +127,21 @@ object ManifestTable {
     name
   }
 
+  /** Commit, and on a FENCED loss delete this attempt's own staged
+    * generation and claim before rethrowing — a loser leaves nothing
+    * behind (crash-before-commit debris still waits for fsck). Only for
+    * generations whose content is reproducible by a retry (every rewrite
+    * verb); migrateFlatDir commits raw — its generation holds the renamed
+    * ORIGINALS. */
+  private def commitOrCleanup(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String, parent: Option[String]): Unit =
+    try commit(fs, dir, gen, parent) catch {
+      case e: org.apache.spark.sql.graft.GraftConcurrentCommitException =>
+        fs.delete(new Path(dir, gen), true)
+        fs.delete(new Path(dir, ClaimPrefix + gen), false)
+        throw e
+    }
+
   private def claimFiles(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[(Int, Path)] =
     if (!fs.exists(dir)) Nil
@@ -459,13 +474,15 @@ object ManifestTable {
     // explicit first ancestor for generations without a _PARENT yet
     val keep = protectedGens(fs, dir,
       Set(live) ++ prevLive ++ parentChain(fs, dir, live, keepN - 1))
-    // a NEWER-than-live generation whose claim file is still present may be
-    // a maintainer mid-staging (a race this sweep must not escalate from
-    // loud-at-commit to bytes-deleted-mid-write): spared here; its claim
-    // retires once superseded (<= live) and fsck sweeps true debris
+    // any generation whose claim file is still extant may be a maintainer
+    // mid-staging — a race this sweep must not escalate from loud-at-commit
+    // to bytes-deleted-mid-write. (The claimed number can sit BELOW live:
+    // the racer claimed first but the winner committed first.) Claims are
+    // deleted only by their owner at commit, by the fenced loser's own
+    // cleanup, or by fsck; so are the gens they shield.
     val claimed = claimFiles(fs, dir).map(_._1).toSet
     genDirs(fs, dir).filterNot(keep)
-      .filterNot(g => genNum(g) > genNum(live) && claimed(genNum(g)))
+      .filterNot(g => claimed(genNum(g)))
       .foreach(g => fs.delete(new Path(dir, g), true))
     fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith(StagePrefix) ||
@@ -475,11 +492,9 @@ object ManifestTable {
       .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
         p.getName.startsWith(TagsName + ".tmp-"))
       .foreach(fs.delete(_, false))
-    // generation claims at or below the live number are settled (committed
-    // or superseded); claims ABOVE it may belong to a maintainer still
-    // staging — left for fsck, whose contract asserts no writer in flight
-    claimFiles(fs, dir).filter(_._1 <= genNum(live))
-      .foreach(c => fs.delete(c._2, false))
+    // claims are NEVER swept here: an extant claim may shield a maintainer
+    // mid-staging (owner deletes it at commit / fenced-loser cleanup; fsck
+    // sweeps crash-orphaned ones under its no-writer-in-flight contract)
   }
 
   /** Overwrite the table: write a fresh generation, swap, retire older
@@ -508,7 +523,7 @@ object ManifestTable {
       .foreach(fs.delete(_, false))
     // the _TAGS marker directory (per-token files — see CommitTags)
     fs.delete(new Path(dir, TagsName), true): Unit
-    commit(fs, dir, next, prevLive)
+    commitOrCleanup(fs, dir, next, prevLive)
     retire(fs, dir, next, prevLive, keepVersionsOf(spark))
   }
 
@@ -674,7 +689,7 @@ object ManifestTable {
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$table/$next")
     writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
-    commit(fs, dir, next, Some(live))
+    commitOrCleanup(fs, dir, next, Some(live))
     retire(fs, dir, next, Some(live), keepVersionsOf(spark))
   }
 
@@ -697,7 +712,7 @@ object ManifestTable {
     val genPath = new Path(dir, gen)
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
-    commit(fs, dir, gen, Some(parent))
+    commitOrCleanup(fs, dir, gen, Some(parent))
     retire(fs, dir, gen, Some(parent), keepVersionsOf(spark))
   }
 
@@ -750,7 +765,7 @@ object ManifestTable {
     val nextPath = new Path(dir, next)
     if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
     writeMetaLines(fs, nextPath, ParentName, Seq(live))
-    commit(fs, dir, next, Some(live))
+    commitOrCleanup(fs, dir, next, Some(live))
     retire(fs, dir, next, Some(live), keepVersionsOf(spark))
     small.length
   }
@@ -813,10 +828,15 @@ object ManifestTable {
     tornVersions.foreach(v => fs.delete(v._2, false))
     val pointed = readPointer(fs, dir).map(_._2)
     val pointedValid = pointed.exists(g => fs.exists(new Path(dir, g)))
+    // claimed generations were never committed (owners delete the claim at
+    // commit): crash debris or a fenced loser that died before its own
+    // cleanup — never a heal candidate
+    val claimedNums = claimFiles(fs, dir).map(_._1).toSet
     // a generation still holding Spark's _temporary dir died mid-write (a
     // double crash: the write AND the later commit) — never commit it
     val complete = gens.filterNot(g =>
-      fs.exists(new Path(new Path(dir, g), "_temporary")))
+      fs.exists(new Path(new Path(dir, g), "_temporary")) ||
+        claimedNums(genNum(g)))
     val healed =
       if (pointedValid) false
       else if (complete.nonEmpty) { commit(fs, dir, complete.last, pointed); true }
@@ -824,7 +844,11 @@ object ManifestTable {
         manifestVersionFiles(fs, dir).foreach(v => fs.delete(v._2, false)); true
       } else false
     val live = liveGen(spark, table)
-    val orphans = live.map(l => gens.filter(_ > l)).getOrElse(Nil)
+    // orphans: never-committed generations — newer than live, or still
+    // claim-marked (a fenced loser's stranded staging, possibly BELOW the
+    // live number when the winner claimed later but committed first)
+    val orphans = (live.map(l => gens.filter(_ > l)).getOrElse(Nil) ++
+      gens.filter(g => claimedNums(genNum(g)) && !live.contains(g))).distinct
     orphans.foreach(g => fs.delete(new Path(dir, g), true))
     val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith(StagePrefix) ||
@@ -873,12 +897,12 @@ object ManifestTable {
         val chain = if (keepPrevious)
           parentChain(fs, dir, live, keepVersionsOf(spark) - 1) else Nil
         val keep = protectedGens(fs, dir, Set(live) ++ chain)
-        // same claim-shield as retire: a claimed newer generation may be a
-        // maintainer mid-staging — fsck (which asserts no writer in
-        // flight) is the sweeper for that debris, not vacuum
+        // same claim-shield as retire: any claimed generation may be a
+        // maintainer mid-staging (the claimed number can sit below live) —
+        // fsck, which asserts no writer in flight, sweeps that debris
         val claimed = claimFiles(fs, dir).map(_._1).toSet
         val genVictims = gens.filterNot(keep)
-          .filterNot(g => genNum(g) > genNum(live) && claimed(genNum(g)))
+          .filterNot(g => claimed(genNum(g)))
         genVictims.foreach(g => fs.delete(new Path(dir, g), true))
         val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
           .filter(p => p.getName.startsWith(StagePrefix) ||

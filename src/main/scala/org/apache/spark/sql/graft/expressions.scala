@@ -8,11 +8,14 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Column <-> catalyst Expression bridge for graft code outside this package. */
 object Bridge {
@@ -205,4 +208,154 @@ case class HammingDistance64(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/**
+ * The key→file router of `graft.store.KeyedStore.mergeIndexed`: index of the
+ * unique sorted range `[los(i), his(i)]` containing the child key, or -1
+ * (null keys route to -1, never null — callers filter on `>= 0`). Replaces
+ * the round-13 Scala UDF (a per-row `BigDecimal(string)` parse with boxed
+ * comparisons that blocked whole-stage codegen — the serialization wall on a
+ * billion-row mutation batch). Typed variants keep the comparison exact in
+ * the key's own value space; bounds are ascending and non-overlapping (the
+ * writeIndexed layout invariant), so the binary search routes exactly —
+ * exactness is load-bearing here: a boundary mis-route would upsert a key
+ * into a file that does not hold its current row, leaving a duplicate.
+ */
+abstract class RangeBucketSearch extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+}
+
+case class RangeBucketSearchLong(child: Expression,
+    los: Array[Long], his: Array[Long]) extends RangeBucketSearch {
+  override def prettyName: String = "range_bucket_long"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1
+    else {
+      val k = v.asInstanceOf[Long]
+      var lo = 0; var hi = los.length - 1; var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (los(mid) <= k) { found = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (found >= 0 && k <= his(found)) found else -1
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val losRef = ctx.addReferenceObj("los", los, "long[]")
+    val hisRef = ctx.addReferenceObj("his", his, "long[]")
+    val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid"); val found = ctx.freshName("found")
+    val k = ctx.freshName("k")
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = -1;
+      if (!${c.isNull}) {
+        long $k = ${c.value};
+        int $lo = 0; int $hi = $losRef.length - 1; int $found = -1;
+        while ($lo <= $hi) {
+          int $mid = ($lo + $hi) >>> 1;
+          if ($losRef[$mid] <= $k) { $found = $mid; $lo = $mid + 1; }
+          else $hi = $mid - 1;
+        }
+        if ($found >= 0 && $k <= $hisRef[$found]) ${ev.value} = $found;
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RangeBucketSearchDouble(child: Expression,
+    los: Array[Double], his: Array[Double]) extends RangeBucketSearch {
+  override def prettyName: String = "range_bucket_double"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1
+    else {
+      val k = v.asInstanceOf[Double]
+      var lo = 0; var hi = los.length - 1; var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (los(mid) <= k) { found = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (found >= 0 && k <= his(found)) found else -1
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val losRef = ctx.addReferenceObj("los", los, "double[]")
+    val hisRef = ctx.addReferenceObj("his", his, "double[]")
+    val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid"); val found = ctx.freshName("found")
+    val k = ctx.freshName("k")
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = -1;
+      if (!${c.isNull}) {
+        double $k = ${c.value};
+        int $lo = 0; int $hi = $losRef.length - 1; int $found = -1;
+        while ($lo <= $hi) {
+          int $mid = ($lo + $hi) >>> 1;
+          if ($losRef[$mid] <= $k) { $found = $mid; $lo = $mid + 1; }
+          else $hi = $mid - 1;
+        }
+        if ($found >= 0 && $k <= $hisRef[$found]) ${ev.value} = $found;
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class RangeBucketSearchString(child: Expression,
+    los: Array[UTF8String], his: Array[UTF8String]) extends RangeBucketSearch {
+  override def prettyName: String = "range_bucket_string"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1
+    else {
+      val k = v.asInstanceOf[UTF8String]
+      var lo = 0; var hi = los.length - 1; var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (los(mid).compareTo(k) <= 0) { found = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (found >= 0 && k.compareTo(his(found)) <= 0) found else -1
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val losRef = ctx.addReferenceObj("los", los, cls)
+    val hisRef = ctx.addReferenceObj("his", his, cls)
+    val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid"); val found = ctx.freshName("found")
+    val k = ctx.freshName("k")
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = -1;
+      if (!${c.isNull}) {
+        org.apache.spark.unsafe.types.UTF8String $k = ${c.value};
+        int $lo = 0; int $hi = $losRef.length - 1; int $found = -1;
+        while ($lo <= $hi) {
+          int $mid = ($lo + $hi) >>> 1;
+          if ($losRef[$mid].compareTo($k) <= 0) { $found = $mid; $lo = $mid + 1; }
+          else $hi = $mid - 1;
+        }
+        if ($found >= 0 && $k.compareTo($hisRef[$found]) <= 0) ${ev.value} = $found;
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

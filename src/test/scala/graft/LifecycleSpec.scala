@@ -1269,6 +1269,20 @@ class LifecycleSpec extends SparkSpec {
       "refused rewrite must leave the layout byte-equivalent")
   }
 
+  test("committer auto-selection: object-store schemes default to v2, " +
+      "local to v1, and the session conf overrides both") {
+    import graft.store.Compaction
+    spark.conf.unset("graft.committer.algorithm")
+    assert(Compaction.committerFor(spark, "/tmp/x") == "1")
+    assert(Compaction.committerFor(spark, "file:/tmp/x") == "1")
+    Seq("s3a://b/t", "gs://b/t", "abfs://c@a/t", "slowfs:/t").foreach(p =>
+      assert(Compaction.committerFor(spark, p) == "2", p))
+    spark.conf.set("graft.committer.algorithm", "1")
+    try assert(Compaction.committerFor(spark, "s3a://b/t") == "1",
+      "the conf must override the scheme default")
+    finally spark.conf.unset("graft.committer.algorithm")
+  }
+
   test("staged writes are exact under the v2 task-side committer " +
       "(graft.committer.algorithm = 2, the object-store knob)") {
     val root = tmp("graft_committer_v2") + "/layout"
