@@ -4006,6 +4006,42 @@ object SparkEntry {
         case Some(v) => s.conf.set("graft.keepVersions", v)
         case None => s.conf.unset("graft.keepVersions")
       }
+    }),
+
+    // --- FENCED-RACE DEBRIS + FSCK (round 14's writer fencing behind an
+    //     oracle row): a losing maintainer's stranded state — a claimed
+    //     never-committed generation and a torn (unsealed) pointer version
+    //     — is invisible to readers BEFORE any heal, swept by fsck, and the
+    //     committed snapshot is untouched throughout ------------------------
+    "q253_fence_debris_fsck" -> ((s, dir) => {
+      import graft.store.ManifestTable
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q253_fence_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      ManifestTable.write(c, path)
+      ManifestTable.compact(s, path, 2,
+        df => df.where(pmod(col("c_custkey"), lit(7)) =!= 0))
+      // manufacture the loser's exact on-disk state through the Hadoop fs
+      // API (no local-fs assumption): a generation it claimed and staged
+      // but never committed, plus a pointer commit that died mid-write
+      // (sealed header missing — reads as absent)
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.mkdirs(new org.apache.hadoop.fs.Path(p, "gen-000000077")): Unit
+      org.apache.spark.sql.graft.GraftIndex.createExclusive(fs,
+        new org.apache.hadoop.fs.Path(p, ".genclaim-gen-000000077")).close()
+      val torn = fs.create(new org.apache.hadoop.fs.Path(p, "MANIFEST.v99"), true)
+      try torn.write("gen-000000077\n".getBytes("UTF-8")) finally torn.close()
+      // torn pointer + claimed orphan are INVISIBLE before any heal
+      val preN = ManifestTable.read(s, path).count()
+      val st = ManifestTable.fsck(s, path)
+      import s.implicits._
+      ManifestTable.read(s, path)
+        .select(col("c_custkey").as("key"), col("c_name").as("name"))
+        .crossJoin(broadcast(Seq((preN, st.healedManifest,
+            st.sweptOrphans.toLong, st.sweptTmpFiles.toLong, st.ok))
+          .toDF("pre_n", "healed", "swept_orphans", "swept_tmp", "all_ok")))
     })
   )
 
@@ -4354,6 +4390,20 @@ object SparkEntry {
     // Keep-N undo, manifest layout: two rewrites back is the original write.
     "q252_manifest_undo2" ->
       "SELECT c_custkey AS key, c_name AS name FROM customer",
+
+    // Fenced-race debris: reads exact before AND after the heal; fsck
+    // sweeps one claimed orphan generation and two dead artifacts (the
+    // torn pointer version + the stale claim) without touching the
+    // pointer (healed = false — the live pointer was never invalid).
+    "q253_fence_debris_fsck" ->
+      """SELECT c_custkey AS key, c_name AS name,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 7 <> 0) AS pre_n,
+        |  false AS healed,
+        |  cast(1 as bigint) AS swept_orphans,
+        |  cast(2 as bigint) AS swept_tmp,
+        |  true AS all_ok
+        |FROM customer
+        |WHERE c_custkey % 7 <> 0""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.
