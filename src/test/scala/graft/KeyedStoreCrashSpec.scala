@@ -251,6 +251,39 @@ class KeyedStoreCrashSpec extends SparkSpec {
     assert(noSuchCol.count() == expected.size.toLong)
   }
 
+  test("torn index VERSION (a fenced commit that died mid-write): readers " +
+      "unaffected, mutation verbs refuse loudly having applied nothing, " +
+      "fsck sweeps, a blind retry converges") {
+    import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
+    val dir = tmp("graft_ksc_tornfence") + "/t"
+    KeyedStore.writeIndexed(base(), dir, numRanges = 4)
+    val before = snapshot(dir)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val next = GraftIndex.versionFiles(fs, dirPath).last._1 + 1
+    // the torn commit: sealed header, no #commit trailer, newest on disk
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirPath,
+      GraftIndex.FileName + s".v$next"), true)
+    out.write("graft-index\tv2\tkey\tnum\tsealed\nghost.parquet\t1\t2\t3\n"
+      .getBytes("UTF-8"))
+    out.close()
+    assert(snapshot(dir) == before, "a torn version must be invisible to readers")
+    // the verb cannot tell crash debris from a live mid-commit writer:
+    // it must refuse, and must have applied nothing
+    intercept[GraftConcurrentCommitException] {
+      KeyedStore.upsertIndexed(spark, dir, puts())
+    }
+    assert(snapshot(dir) == before, "a fenced-off mutation must apply nothing")
+    val st = KeyedStore.fsckIndexed(spark, dir)
+    assert(st.ok && st.sweptTmpFiles >= 1, st.toString)
+    // blind retry after the heal converges to the clean-run result
+    KeyedStore.upsertIndexed(spark, dir, puts())
+    val twin = tmp("graft_ksc_tornfence_twin") + "/t"
+    KeyedStore.writeIndexed(base(), twin, numRanges = 4)
+    KeyedStore.upsertIndexed(spark, twin, puts())
+    assert(snapshot(dir) == snapshot(twin))
+  }
+
   test("compact crash before its index commit: staged c-files are invisible; " +
       "retry compacts cleanly") {
     val root = tmp("graft_ksc_compact")

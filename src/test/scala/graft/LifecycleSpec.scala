@@ -1269,6 +1269,35 @@ class LifecycleSpec extends SparkSpec {
       "refused rewrite must leave the layout byte-equivalent")
   }
 
+  test("torn MANIFEST version (a fenced pointer commit that died mid-write): " +
+      "readers unaffected, rewrites refuse loudly and clean up their own " +
+      "staging, fsck sweeps the debris, a retry converges") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val t = tmp("graft_torn_pointer") + "/t"
+    ManifestTable.write(spark.range(900).select($"id", ($"id" % 5).as("v")), t)
+    val before = multiset(ManifestTable.read(spark, t))
+    // the torn pointer commit: first line only, no #commit seal
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new org.apache.hadoop.fs.Path(t, "MANIFEST.v99"), true)
+    out.write("gen-000000077\n".getBytes("UTF-8")); out.close()
+    assert(multiset(ManifestTable.read(spark, t)) == before,
+      "a torn pointer version must be invisible to readers")
+    intercept[GraftConcurrentCommitException] {
+      ManifestTable.compact(spark, t, 1, df => df.where($"v" =!= 0))
+    }
+    assert(multiset(ManifestTable.read(spark, t)) == before,
+      "a fenced-off rewrite must apply nothing")
+    // the loser cleaned up its own staged generation and claim
+    assert(!new java.io.File(t).listFiles().exists(f =>
+      f.getName.startsWith(".genclaim-")), "loser must drop its claim")
+    val st = ManifestTable.fsck(spark, t)
+    assert(st.ok && st.sweptTmpFiles >= 1, st.toString)
+    ManifestTable.compact(spark, t, 1, df => df.where($"v" =!= 0))
+    assert(ManifestTable.read(spark, t).count() == 720,
+      "post-heal retry must apply the rewrite")
+  }
+
   test("committer auto-selection: object-store schemes default to v2, " +
       "local to v1, and the session conf overrides both") {
     import graft.store.Compaction
