@@ -81,6 +81,66 @@ class UndoDepthSpec extends SparkSpec {
     }
   }
 
+  test("keep-N x minor compaction: _RETAINS-referenced files pin their " +
+      "generations beyond the keep window, and deep undo reads stay exact") {
+    withKeep(3) {
+      val t = tmp("graft_undo_minor") + "/t"
+      val base = spark.range(60000).select($"id", md5($"id".cast("string")).as("v"))
+      ManifestTable.write(base.coalesce(1), t)
+      val bigLen = new java.io.File(ManifestTable.resolve(spark, t))
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).max
+      def addSmall(i: Long): Unit = ManifestTable.append(
+        Seq((900000L + i, s"s$i")).toDF("id", "v"), t)
+      addSmall(1); addSmall(2)
+      assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) == 2)
+      addSmall(3); addSmall(4)
+      assert(ManifestTable.minorCompact(spark, t, smallBytes = bigLen) >= 2)
+      val full = ManifestTable.read(spark, t).count()
+      assert(full == 60004L)
+      // back=1: the pre-second-minor generation — same multiset (minors
+      // only merge), INCLUDING the appends that landed while it was live
+      assert(ManifestTable.readPrevious(spark, t).get.count() == 60004L)
+      // back=2: the first incarnation's generation — the original write
+      // PLUS the two appends that landed in it before the first minor
+      // (appends go to the live generation; rewrites freeze it)
+      assert(ManifestTable.readPrevious(spark, t, back = 2).get.count() == 60002L)
+      // draining the conf does NOT break the snapshots a live _RETAINS
+      // still pins: the big file's generation survives vacuum even past
+      // the keep window, so the deep undo stays readable
+      spark.conf.set("graft.keepVersions", "2")
+      ManifestTable.vacuum(spark, t): Unit
+      assert(ManifestTable.read(spark, t).count() == 60004L)
+      assert(ManifestTable.readPrevious(spark, t, back = 2).get.count() == 60002L,
+        "a retains-pinned generation must stay readable past the keep window")
+    }
+  }
+
+  test("legacy single-file MANIFEST (pre-fencing layout) reads through the " +
+      "versioned resolver and upgrades on the next rewrite") {
+    val t = tmp("graft_legacy_pointer") + "/t"
+    ManifestTable.write(spark.range(500).select($"id", ($"id" % 3).as("v")), t)
+    val live = ManifestTable.liveGen(spark, t).get
+    // devolve to the round-13 layout: one un-suffixed MANIFEST, no versions
+    val dir = new java.io.File(t)
+    dir.listFiles().filter(f => f.getName.startsWith("MANIFEST"))
+      .foreach(f => assert(f.delete()))
+    java.nio.file.Files.write(java.nio.file.Paths.get(t, "MANIFEST"),
+      (live + "\n").getBytes("UTF-8")): Unit
+    assert(ManifestTable.read(spark, t).count() == 500,
+      "the legacy pointer must resolve as version 0")
+    // next rewrite commits a sealed version; the legacy file survives ONE
+    // cycle as the keep-one-back predecessor, then prunes
+    ManifestTable.compact(spark, t, 1, df => df.where($"v" =!= 0))
+    assert(ManifestTable.read(spark, t).count() == 333)
+    val names1 = dir.listFiles().map(_.getName).filter(_.startsWith("MANIFEST"))
+    assert(names1.exists(_.startsWith("MANIFEST.v")), names1.mkString(","))
+    ManifestTable.compact(spark, t, 1, df => df.where($"v" =!= 1))
+    assert(ManifestTable.read(spark, t).count() == 166)
+    val names2 = dir.listFiles().map(_.getName).filter(_.startsWith("MANIFEST"))
+    assert(!names2.contains("MANIFEST"),
+      "the legacy pointer prunes once out of the keep-one-back window")
+  }
+
   test("manifest table: keepVersions=4 retains the _PARENT chain through " +
       "rewrites; readPrevious(back)/readAsOf(gen) are exact; vacuum keeps " +
       "the funded chain and drains past it") {
