@@ -81,6 +81,24 @@ class UndoDepthSpec extends SparkSpec {
     }
   }
 
+  test("index-only COUNT on an as-of read answers from the PINNED snapshot's " +
+      "index, not the live one — still zero data I/O") {
+    withKeep(3) {
+      val dir = tmp("graft_undo_aggpush") + "/t"
+      KeyedStore.writeIndexed(
+        spark.range(0, 500).toDF("key").withColumn("v", $"key"), dir, numRanges = 4)
+      KeyedStore.deleteIndexed(spark, dir,
+        spark.range(0, 100).toDF("key"))
+      assert(KeyedStore.readKeyed(spark, dir).count() == 400L)
+      val prev = KeyedStore.readKeyedPrevious(spark, dir).get
+      assert(prev.count() == 500L,
+        "the as-of COUNT must be the snapshot's, not the live table's")
+      val plan = prev.groupBy().count().queryExecution.executedPlan.toString()
+      assert(plan.contains("GraftAggScan"),
+        s"the as-of COUNT must still answer from the index sidecar:\n$plan")
+    }
+  }
+
   test("keep-N x minor compaction: _RETAINS-referenced files pin their " +
       "generations beyond the keep window, and deep undo reads stay exact") {
     withKeep(3) {
