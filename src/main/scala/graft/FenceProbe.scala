@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.graft.GraftIndex
+
+/**
+ * Measures the fenced index-commit's driver-side cost against index size —
+ * the round-14 question "what does create-exclusive + seal + torn-check +
+ * basedOn cost at 100k files?" answered with numbers instead of assertion.
+ * Per table size: median-of-5 of a full `writeRanges` commit (serialize +
+ * fence checks + create-exclusive + prune) and of the `readAllVersioned`
+ * head parse a mutation pays at plan time. A 100 TB table at 1 GiB/file is
+ * ~100k index entries — the top size here.
+ *
+ * Run: `sbt "runMain graft.FenceProbe"`; numbers recorded in PERF.md.
+ */
+object FenceProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-fence-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val sizes = Seq(1000, 10000, 100000)
+      val cells = sizes.map { n =>
+        val dir = java.nio.file.Files.createTempDirectory(s"graft_fence_$n").toString
+        val ranges: Map[String, (Any, Any, Long)] = (0 until n).map { i =>
+          f"part-$i%06d.parquet" ->
+            ((BigDecimal(i * 1000), BigDecimal(i * 1000 + 999), 1000L): (Any, Any, Long))
+        }.toMap
+        var base = GraftIndex.writeRanges(spark, dir, "key", "num", ranges,
+          manifest = true)
+        def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+        val commitMs = med((1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          base = GraftIndex.writeRanges(spark, dir, "key", "num", ranges,
+            manifest = true, basedOn = Some(base))
+          (System.nanoTime() - t0) / 1e6
+        })
+        val conf = spark.sessionState.newHadoopConf()
+        val planMs = med((1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          require(GraftIndex.readAllVersioned(new Path(dir), conf)
+            .head._2.ranges.size == n)
+          (System.nanoTime() - t0) / 1e6
+        })
+        f""""commit_ms_$n":${math.rint(commitMs * 10) / 10},"plan_ms_$n":${math.rint(planMs * 10) / 10}"""
+      }
+      println(s"""{"metric":"fence_probe","unit":"ms",${cells.mkString(",")}}""")
+    } finally spark.stop()
+  }
+}
