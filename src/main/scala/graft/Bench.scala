@@ -117,7 +117,42 @@ object Bench {
       once(): Unit // untimed: the canary's own codegen/JIT warm-up
       Seq(once(), once(), once()).sorted.apply(1) // median of 3
     }
+    // Workload-matched I/O canary (round 15): the round-14 adjudication
+    // showed the pure-CPU canary can ANTI-correlate with the suite (the CPU
+    // yardstick read the box 24% faster while parquet-heavy isolated
+    // queries ran 2-17% slower raw) — a normalization that made the drift
+    // rule fire on a test-only diff. This second canary matches the
+    // queries' profile: a FROZEN parquet scan + hash shuffle + aggregate
+    // over the fixed sf0.01 lineitem slice (independent of the bench SF),
+    // fully codegen'd, no maintenance verbs. BASELINE.md's regression rule
+    // is bivariate since round 15: a pinned isolated median only flags
+    // when the RAW ratio AND the io-canary-normalized ratio both exceed
+    // the budget.
+    val ioCanaryDir = {
+      val fixed = Option(new java.io.File(sfDir).getAbsoluteFile.getParentFile)
+        .map(p => new java.io.File(p, "sf0.01")).filter(_.isDirectory)
+      fixed.map(_.getPath).getOrElse(sfDir)
+    }
+    def canaryIo(): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$ioCanaryDir/lineitem.parquet")
+          .selectExpr("l_orderkey", "l_quantity", "l_extendedprice")
+          .groupBy("l_orderkey")
+          .agg(org.apache.spark.sql.functions.expr("sum(l_quantity) as q"),
+            org.apache.spark.sql.functions.expr("sum(l_extendedprice) as p"),
+            org.apache.spark.sql.functions.expr("count(1) as n"))
+          .selectExpr("bit_xor(xxhash64(l_orderkey, q, p, n)) as h")
+          .write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        releaseBlocks()
+        dt
+      }
+      once(): Unit // untimed: parquet footer cache + codegen warm-up
+      Seq(once(), once(), once()).sorted.apply(1) // median of 3
+    }
     val canaryPre = canary()
+    val canaryIoPre = canaryIo()
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -151,13 +186,21 @@ object Bench {
         case v => scala.util.Try(v.stripPrefix("slowest").toInt).toOption
           .filter(_ >= 0).getOrElse(8)
       }.getOrElse(8)
-    // the canary re-measures JUST BEFORE the isolated tier: its ratio to the
-    // pre-sweep reading is the box-drift factor the isolated medians carry
+    // the canaries re-measure JUST BEFORE the isolated tier: their ratio to
+    // the pre-sweep reading is the box-drift factor the isolated medians carry
     val canaryIso = if (isoCount > 0) canary() else canaryPre
+    val canaryIoIso = if (isoCount > 0) canaryIo() else canaryIoPre
+    // isolated medians get MORE reps than the sweep (round-15 gate fix):
+    // median-of-3 of ~1 s queries carries ±10% noise — most of the 25%
+    // regression budget — so the tier that feeds the pinned rule runs
+    // median-of-5 by default (~90 s extra wall at 8 × ~6 s queries)
+    val isoReps = sys.env.get("SPARK_GRAFT_BENCH_ISO_REPS")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ >= 1).getOrElse(math.max(reps, 5))
     val isolated = results.toSeq.sortBy { case (_, (m, _, _)) => -m }
       .take(isoCount).map { case (name, _) =>
         releaseBlocks()
-        val times = (1 to reps).map { _ =>
+        val times = (1 to isoReps).map { _ =>
           val t0 = System.nanoTime()
           try selected(name)(spark, sfDir).write.format("noop")
             .mode("overwrite").save()
@@ -200,18 +243,18 @@ object Bench {
     def isoJson(r: Double => Double) = isolated
       .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"reps":$reps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B
@@ -221,7 +264,7 @@ object Bench {
     val heavy =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"coverage":"slowest40_medians","queries":${
         top.map { case (k, (m, _, _)) => "\"" + shortKey(k) + "\":" + r2(m) }
-          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"reps":$reps,"sf":"$sfDir"}"""
+          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     println(
       if (compact.length <= 1900) compact
       else if (tiny.length <= 1900) tiny

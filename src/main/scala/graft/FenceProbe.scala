@@ -38,14 +38,27 @@ object FenceProbe {
             manifest = true, basedOn = Some(base))
           (System.nanoTime() - t0) / 1e6
         })
+        // object-store dialect: the same commit with the verify-after-write
+        // read engaged (graft.commit.verify=always) — what a PUT store pays.
+        // The knob lives on the CACHED FileSystem instance's conf (that is
+        // what verifyAfterWrite consults), so set it there.
         val conf = spark.sessionState.newHadoopConf()
+        val fs = new Path(dir).getFileSystem(conf)
+        fs.getConf.set("graft.commit.verify", "always")
+        val commitVerifiedMs = med((1 to 5).map { _ =>
+          val t0 = System.nanoTime()
+          base = GraftIndex.writeRanges(spark, dir, "key", "num", ranges,
+            manifest = true, basedOn = Some(base))
+          (System.nanoTime() - t0) / 1e6
+        })
+        fs.getConf.set("graft.commit.verify", "auto")
         val planMs = med((1 to 5).map { _ =>
           val t0 = System.nanoTime()
           require(GraftIndex.readAllVersioned(new Path(dir), conf)
             .head._2.ranges.size == n)
           (System.nanoTime() - t0) / 1e6
         })
-        f""""commit_ms_$n":${math.rint(commitMs * 10) / 10},"plan_ms_$n":${math.rint(planMs * 10) / 10}"""
+        f""""commit_ms_$n":${math.rint(commitMs * 10) / 10},"commit_verified_ms_$n":${math.rint(commitVerifiedMs * 10) / 10},"plan_ms_$n":${math.rint(planMs * 10) / 10}"""
       }
       println(s"""{"metric":"fence_probe","unit":"ms",${cells.mkString(",")}}""")
     } finally spark.stop()

@@ -3076,25 +3076,26 @@ object SparkEntry {
     //     persist once; the new half mines only new×new and new×old pairs
     //     against the stored 8-byte postings (old text never re-read, old
     //     pairs never re-mined), then COMPACTED (write → append → compact,
-    //     the full lifecycle), uncapped so increment ≡ scratch exactly —
-    //     keep-best over the appended+compacted table must hash-match the
-    //     from-scratch mine of the union (quarter corpus keeps the
-    //     uncapped pair join small) -------------------------------------
+    //     the full lifecycle), with the PRODUCTION maxDf stop-shingle cap
+    //     active (round-15 fix: the bench must exercise the capped plan a
+    //     100 TB deployment runs; at this corpus max shingle df is 25, so
+    //     the cap provably drops nothing and increment ≡ scratch exactly —
+    //     the uncapped oracle stays verbatim) ---------------------------
     "q219_pair_append" -> ((s, dir) => {
       val docs = T(s, dir, "documents").where(col("doc_id") % 4 <= 1)
       val path = sys.props("java.io.tmpdir") + "/graft_q219_pairs_" +
         Integer.toHexString(dir.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
       Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
-        path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
       Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
-        path, shingleSize = 3, minJaccard = 0.2, maxDf = None,
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000),
         batchId = Some("day-1"))
       // the blind crash-retry a production loop will eventually do: the
       // per-table commit tags make it an exact no-op (a skipped FIRST
       // append or a re-mined double-append would both break the oracle)
       Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
-        path, shingleSize = 3, minJaccard = 0.2, maxDf = None,
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000),
         batchId = Some("day-1"))
       // compact the appended layout before reading: the report must be
       // oblivious to when compaction ran (same oracle either way)
@@ -3223,14 +3224,15 @@ object SparkEntry {
     //     delete a residue class (pairs naming a ghost on either side
     //     drop, ghost postings purge), keep-best over the survivors must
     //     hash-match a from-scratch mine of the surviving corpus (pair
-    //     evidence is pairwise, so uncapped rewrite ≡ scratch exactly) ---
+    //     evidence is pairwise, so the rewrite ≡ scratch exactly; maxDf
+    //     cap active and unreachable at this corpus, oracle verbatim) ---
     "q227_pair_delete" -> ((s, dir) => {
       val docs = T(s, dir, "documents").where(col("doc_id") % 4 <= 1)
       val path = sys.props("java.io.tmpdir") + "/graft_q227_pairs_" +
         Integer.toHexString(dir.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
       Dedup.writePairs(docs, "doc_id", "text", path,
-        shingleSize = 3, minJaccard = 0.2, maxDf = None)
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
       Dedup.removeFromPairs(s, path,
         docs.where(col("doc_id") % 8 === 1).select(col("doc_id")))
       val survivors = docs.where(col("doc_id") % 8 =!= 1)
@@ -3517,12 +3519,12 @@ object SparkEntry {
         Integer.toHexString(dir.hashCode) + "_" +
         java.lang.ProcessHandle.current().pid()
       Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
-        path, shingleSize = 3, minJaccard = 0.2, maxDf = None)
+        path, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
       def run(): Unit = graft.streaming.Streaming.ingestIntoPairs(
         graft.streaming.Streaming.docsReplay(s, dir, 2)
           .where(col("doc_id") % 4 === 1).select(col("doc_id"), col("text")),
         path, "doc_id", "text", shingleSize = 3, minJaccard = 0.2,
-        maxDf = None).awaitTermination()
+        maxDf = Some(1000)).awaitTermination()
       run()
       run() // full replay, same epoch tags: every batch short-circuits
       val scored = docs.select(col("doc_id"), col("lang"),
@@ -4082,8 +4084,11 @@ object SparkEntry {
         |FROM scored GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
-  // q219 / q237 share one oracle: append ≡ scratch (uncapped) over the
-  // quarter corpus — batch vs streamed-epoch ingest must be indistinguishable.
+  // q219 / q237 share one oracle: append ≡ scratch over the quarter corpus
+  // — batch vs streamed-epoch ingest must be indistinguishable. The Spark
+  // side mines WITH the production maxDf=1000 stop-shingle cap; max shingle
+  // df at sf0.01/sf0.1 is 7/25, so capped and uncapped mines are
+  // row-identical and this uncapped SQL stays exact.
   private val pairAppendScratchSql: String =
       """WITH RECURSIVE t AS (
         |  SELECT doc_id,

@@ -122,9 +122,47 @@ object ManifestTable {
     fs.mkdirs(dir): Unit
     val used = genDirs(fs, dir).map(genNum) ++ claimFiles(fs, dir).map(_._1)
     val name = f"$GenPrefix${used.maxOption.map(_ + 1).getOrElse(0)}%09d"
-    org.apache.spark.sql.graft.GraftIndex.createExclusive(
-      fs, new Path(dir, ClaimPrefix + name)).close()
+    // nonce body: on PUT-style stores where two racers pass the create
+    // check, writeCommitFile's verify read convicts the replaced claim —
+    // the loser throws instead of staging into the winner's gen dir. The
+    // nonce is remembered so [[commit]] can re-verify ownership after the
+    // (long) staging phase: a racer whose claim PUT landed inside the
+    // μs-wide claim-verify window is still caught before publishing.
+    val nonce = java.util.UUID.randomUUID().toString
+    org.apache.spark.sql.graft.GraftIndex.writeCommitFile(
+      fs, new Path(dir, ClaimPrefix + name), nonce.getBytes("UTF-8"))
+    claimNonces.put(claimKey(fs, dir, name), nonce)
     name
+  }
+
+  // this attempt's claim nonces, keyed by (fs, dir, gen) — each maintainer
+  // only ever needs its OWN nonce (cross-JVM racers each keep their own),
+  // so process-local state is sufficient. Entries are removed at commit,
+  // fenced-loser cleanup, or stay bounded by attempts-per-process.
+  private val claimNonces =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def claimKey(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String): String = s"${fs.getUri}${dir.toUri.getPath}/$gen"
+
+  /** Whether this attempt still owns `gen`'s claim file — true when no
+    * nonce was recorded (fsck re-commits claimless), the claim is already
+    * gone, or the claim body equals this attempt's nonce. False means a
+    * concurrent maintainer's claim PUT replaced ours on a non-atomic-create
+    * store: the staged gen dir may be SHARED and must not be published —
+    * or deleted — by this attempt. */
+  private def claimOwned(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String): Boolean = {
+    val mine = claimNonces.get(claimKey(fs, dir, gen))
+    if (mine == null) true
+    else {
+      val p = new Path(dir, ClaimPrefix + gen)
+      if (!fs.exists(p)) true // released/swept — nothing left to protect
+      else scala.util.Try {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      }.toOption.contains(mine)
+    }
   }
 
   /** Commit, and on a FENCED loss delete this attempt's own staged
@@ -137,8 +175,16 @@ object ManifestTable {
       gen: String, parent: Option[String]): Unit =
     try commit(fs, dir, gen, parent) catch {
       case e: org.apache.spark.sql.graft.GraftConcurrentCommitException =>
-        fs.delete(new Path(dir, gen), true)
-        fs.delete(new Path(dir, ClaimPrefix + gen), false)
+        // sweep our staging ONLY while we still own the claim: after a
+        // stolen claim (non-atomic-create store) the gen dir may hold the
+        // RACER's staged bytes — deleting it here would vaporize a commit
+        // the racer is about to (or already did) publish
+        if (!org.apache.spark.sql.graft.GraftIndex.verifyAfterWrite(fs) ||
+            claimOwned(fs, dir, gen)) {
+          fs.delete(new Path(dir, gen), true)
+          fs.delete(new Path(dir, ClaimPrefix + gen), false)
+        }
+        claimNonces.remove(claimKey(fs, dir, gen))
         throw e
     }
 
@@ -449,15 +495,32 @@ object ManifestTable {
             s"$cur is now live: a concurrent maintainer committed in " +
             "between; nothing was applied (retry from fresh state)")
     }
-    val out = GraftIndex.createExclusive(
-      fs, new Path(dir, s"$ManifestName.v${newestSeq + 1}"))
-    try out.write((gen + "\n" + Sealed + "\n").getBytes("UTF-8")) finally out.close()
+    // claim-ownership re-check (non-atomic-create stores only): a racer
+    // whose claim PUT landed inside claimNextGen's claim-verify window has
+    // been sharing this staged gen dir — catch it HERE, where the whole
+    // staging duration separates the claim from the commit, and publish
+    // nothing (the dir may hold the racer's bytes)
+    if (GraftIndex.verifyAfterWrite(fs) && !claimOwned(fs, dir, gen))
+      throw new GraftConcurrentCommitException(
+        s"ManifestTable: claim for $gen at $dir was overwritten by a " +
+          "concurrent maintainer (non-atomic-create store) — the staged " +
+          "generation may be shared; this commit was fenced off and " +
+          "applied nothing (serialize the maintainers and retry)")
+    // third line = attempt-unique nonce (readers tolerate trailing lines):
+    // on non-atomic-create stores the verify read inside writeCommitFile
+    // convicts a racer that replaced this pointer, and the loser throws
+    // here — before pruning or claim release (commitOrCleanup then sweeps
+    // the loser's own staged generation)
+    GraftIndex.writeCommitFile(fs, new Path(dir, s"$ManifestName.v${newestSeq + 1}"),
+      (gen + "\n" + Sealed + "\n" + java.util.UUID.randomUUID() + "\n")
+        .getBytes("UTF-8"))
     // prune pointer history: keep this commit plus one back (the pointer is
     // not the undo mechanism — generations and _PARENT are)
     versions.dropRight(1).foreach(v => fs.delete(v._2, false))
     // the committed generation's claim has served: an extant claim means
     // "possibly uncommitted" to the resolver fallback and the sweeps
     fs.delete(new Path(dir, ClaimPrefix + gen), false): Unit
+    claimNonces.remove(claimKey(fs, dir, gen)): Unit
   }
 
   /** Retire every generation except `live` and the generation that was
@@ -912,8 +975,13 @@ object ManifestTable {
           .filter(p => p.getName.startsWith(ManifestName + ".tmp-") ||
             p.getName.startsWith(TagsName + ".tmp-"))
           .foreach(fs.delete(_, false))
-        claimFiles(fs, dir).filter(_._1 <= genNum(live))
-          .foreach(c => fs.delete(c._2, false))
+        // claims are NEVER swept here (same rule as retire): a claim whose
+        // number sits at or below live may still shield a maintainer that
+        // claimed before the winner committed — claimNextGen never reuses a
+        // claimed number, so deleting the claim re-opens it for reuse (two
+        // writers staging into one gen dir). Claim cleanup belongs to the
+        // owner (at commit / loser cleanup) and to fsck, whose
+        // no-writer-in-flight contract makes the sweep safe.
         genVictims.length + stages.length
     }
   }

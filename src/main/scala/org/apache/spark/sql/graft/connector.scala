@@ -888,7 +888,10 @@ object KeyBounds {
  * seq produce exactly one winner; the loser throws
  * [[GraftConcurrentCommitException]] instead of silently replacing the
  * winner's commit (the lost-acked-write race the crash windows' fix left
- * open). The payload carries a `sealed` header and a `#commit <n>` trailer:
+ * open). The payload carries the sealed magic (`graft-index-sealed`, whose
+ * truncation prefixes match no accepted magic — a header-line cut can never
+ * demote a sealed file to a valid-but-empty legacy index) and a
+ * `#commit <n>` trailer:
  * readers treat a version without a matching trailer (a commit mid-write,
  * or a crash mid-commit) as absent and fall back to the previous version —
  * the same keep-one-back fallback that already protects in-flight readers,
@@ -899,8 +902,15 @@ object KeyBounds {
  * (reference HbaseTable.scala:373-423 never loses an acked write because
  * the region server owns the ordering; here the index version owns it).
  * Create-exclusive is namenode-atomic on HDFS and O_EXCL-atomic on local
- * fs (NIO reservation); object stores without conditional PUT keep the
- * documented single-maintainer contract.
+ * fs (NIO reservation). On object stores where create(overwrite = false)
+ * is check-then-create (no conditional PUT), every commit additionally
+ * VERIFIES AFTER WRITE ([[GraftIndex.writeCommitFile]]): the payload
+ * carries an attempt-unique nonce, the committed bytes are re-read and
+ * byte-compared, and a mismatch throws before any post-commit step — a
+ * racer that silently replaced this commit is detected and this writer
+ * loses LOUDLY. The residual window (a PUT landing after the verify read)
+ * is bounded by the PUT-to-verify latency; stores needing zero-window
+ * guarantees should serialize maintainers (the documented contract).
  *
  * Readers take the highest parseable version; the legacy un-suffixed
  * `_graft_index` file reads as version 0. Writers retain the newest
@@ -1013,6 +1023,61 @@ object GraftIndex {
     }
   }
 
+  // Schemes whose create(overwrite = false) is genuinely atomic — HDFS
+  // (namenode-serialized) and local fs (createExclusive takes the NIO
+  // O_EXCL path there). Everything else is assumed check-then-create
+  // (S3-style PUT stores) and pays the verify-after-write read below.
+  private val AtomicCreateSchemes = Set("file", "hdfs", "viewfs")
+
+  /** Whether commits through `fs` need the verify-after-write read —
+    * scheme-keyed capability probe (the [[graft.store.Compaction]]
+    * `committerFor` pattern), overridable via hadoop conf
+    * `graft.commit.verify` = `auto` (default) | `always` | `never`. */
+  def verifyAfterWrite(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.getConf.get("graft.commit.verify", "auto") match {
+      case "always" => true
+      case "never" => false
+      case _ => !AtomicCreateSchemes.contains(fs.getUri.getScheme)
+    }
+
+  /**
+   * Write a commit file fenced end-to-end: [[createExclusive]] on the
+   * final name, then — on stores where create(overwrite = false) is
+   * check-then-create rather than atomic ([[verifyAfterWrite]]) — re-read
+   * the target and require BYTE EQUALITY with the payload. Callers make
+   * every payload attempt-unique (a nonce rides in the index trailer, the
+   * manifest pointer body, and claim bodies), so on a PUT-style store
+   * where two racers both pass the create check, the verify read convicts
+   * every commit whose bytes were replaced: the loser throws
+   * [[GraftConcurrentCommitException]] BEFORE any post-commit step
+   * (pruning, claim release, data swaps) instead of returning success for
+   * a commit that no longer exists — the lost-acked-write hole a bare
+   * create-exclusive leaves open off-HDFS. Residual window: a racer whose
+   * PUT lands after this verify read still replaces the commit (only a
+   * conditional PUT closes that); verify-after-write bounds the silent
+   * window to the PUT-to-verify latency on any read-after-write-consistent
+   * store, vs. unbounded without it.
+   */
+  def writeCommitFile(fs: org.apache.hadoop.fs.FileSystem, target: Path,
+      payload: Array[Byte]): Unit = {
+    val out = createExclusive(fs, target)
+    try out.write(payload) finally out.close()
+    if (verifyAfterWrite(fs)) {
+      val in = fs.open(target)
+      val got = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toByteArray
+      } finally in.close()
+      if (!java.util.Arrays.equals(got, payload))
+        throw new GraftConcurrentCommitException(
+          s"graft: commit verification failed for $target — a concurrent " +
+            "maintainer's bytes replaced this commit after the non-atomic " +
+            "create: this commit LOST the race and was NOT applied (the " +
+            "surviving bytes are the winner's; retry from fresh state)")
+    }
+  }
+
   /**
    * Atomically publish a new index version — the COMMIT POINT of every
    * keyed-store mutation verb. Fenced (see class doc): the payload is
@@ -1028,14 +1093,23 @@ object GraftIndex {
       unranged: Map[String, Long] = Map.empty,
       manifest: Boolean = false, basedOn: Option[Long] = None): Long = {
     val version = if (manifest) "v2" else "v1"
-    val sb = new StringBuilder(s"graft-index\t$version\t${enc(keyCol)}\t$tag\tsealed\n")
+    // the sealed dialect lives in the MAGIC itself ([[SealedMagic]]): a
+    // crash that truncates inside the header line can only leave a strict
+    // prefix of "graft-index-sealed", which matches neither magic — it can
+    // never be mistaken for a legacy (trailer-optional) index with zero
+    // files, so torn commits always read as ABSENT, never as empty
+    val sb = new StringBuilder(s"$SealedMagic\t$version\t${enc(keyCol)}\t$tag\n")
     ranges.toSeq.sortBy(_._1).foreach { case (name, (lo, hi, n)) =>
       sb.append(s"${enc(name)}\t${enc(lo.toString)}\t${enc(hi.toString)}\t$n\n")
     }
     unranged.toSeq.sortBy(_._1).foreach { case (name, n) =>
       sb.append(s"${enc(name)}\t$NoBound\t$NoBound\t$n\n")
     }
-    sb.append(s"$Trailer\t${ranges.size + unranged.size}\n")
+    // attempt-unique nonce: lets writeCommitFile's verify read convict a
+    // lost race even when two attempts would otherwise serialize the same
+    // logical content (parsers ignore trailer fields past the count)
+    sb.append(s"$Trailer\t${ranges.size + unranged.size}\t" +
+      s"${java.util.UUID.randomUUID()}\n")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
     val existing = versionFiles(fs, dirPath)
@@ -1059,8 +1133,8 @@ object GraftIndex {
           "KeyedStore.fsckIndexed, then retry)")
     }
     val seq = current + 1
-    val out = createExclusive(fs, new Path(dirPath, s"$FileName.v$seq"))
-    try out.write(sb.toString.getBytes(UTF_8)) finally out.close()
+    writeCommitFile(fs, new Path(dirPath, s"$FileName.v$seq"),
+      sb.toString.getBytes(UTF_8))
     // prune: keep the newest graft.keepVersions (this one included)
     existing.dropRight(keepVersionsOf(spark) - 1).foreach(v => fs.delete(v._2, false))
     seq
@@ -1181,6 +1255,15 @@ object GraftIndex {
   // fenced-commit trailer marker: '#' is never produced by URLEncoder, so a
   // trailer line cannot collide with an encoded file-name column
   private val Trailer = "#commit"
+  // sealed-dialect magic (header field 0). The seal must be unforgeable by
+  // truncation: with the old layout ("graft-index\t...\tsealed") a crash
+  // cutting the file before the 5th header field parsed as a VALID legacy
+  // index with zero files — readers silently saw an empty table and the
+  // unsealed-newest commit fence never tripped. No strict prefix of this
+  // magic equals either accepted magic, so any header-line cut reads as
+  // torn (absent), keeping visibility all-or-nothing.
+  private val SealedMagic = "graft-index-sealed"
+  private val LegacyMagic = "graft-index"
 
   /** Delete index version files that fail to parse — the torn debris of a
     * fenced commit that died mid-write. Readers already treat them as
@@ -1206,7 +1289,10 @@ object GraftIndex {
     val lines = text.split('\n').filter(_.nonEmpty)
     if (lines.isEmpty) return None
     val header = lines.head.split('\t')
-    if (header.length < 4 || header(0) != "graft-index") return None
+    val sealedDialect = header(0) == SealedMagic ||
+      (header.length >= 5 && header(4) == "sealed") // pre-r15 sealed files
+    if (header.length < 4 ||
+      (header(0) != SealedMagic && header(0) != LegacyMagic)) return None
     val manifest = header(1) == "v2"
     val tag = header(3)
     val (trailerLines, entryLines) = lines.tail.partition(_.startsWith(Trailer))
@@ -1214,7 +1300,7 @@ object GraftIndex {
     // agree on the entry count, else the file is a commit mid-write or a
     // crash's torn debris — read as ABSENT so the previous retained version
     // keeps serving (visibility stays all-or-nothing without rename)
-    if (header.length >= 5 && header(4) == "sealed") {
+    if (sealedDialect) {
       val sealedOk = trailerLines.lastOption.map(_.split('\t')).exists(c =>
         c.length >= 2 && scala.util.Try(c(1).toLong).toOption
           .contains(entryLines.length.toLong))

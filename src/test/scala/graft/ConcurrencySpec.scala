@@ -311,4 +311,132 @@ class ConcurrencySpec extends SparkSpec {
     assert(ManifestTable.read(spark, table).count() == n,
       "fsck must not change the committed snapshot")
   }
+
+  test("object-store PUT semantics: two commits that BOTH pass the " +
+      "non-atomic create check are split by verify-after-write — exactly " +
+      "one winner, the loser throws, the survivor is byte-exact") {
+    import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
+    import org.apache.hadoop.fs.Path
+    val dir = "natomic:" + tmp("graft_race_put") + "/t"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    assert(GraftIndex.verifyAfterWrite(fs),
+      "the natomic scheme must engage the verify-after-write read")
+    def entry(i: Int) =
+      Map(s"f$i.parquet" -> ((BigDecimal(i), BigDecimal(i * 10), i.toLong)))
+    val isCommit = (p: Path) => p.getName.startsWith(GraftIndex.FileName)
+    // barrier 1: both racers pass the exists-check before either PUT lands
+    // (the exact interleaving an atomic create-exclusive forbids);
+    // barrier 2: both PUTs land before either runs its verify read — the
+    // ordering where a bare create-exclusive fence silently loses a commit
+    val checkGate = new java.util.concurrent.CyclicBarrier(2)
+    val putGate = new java.util.concurrent.CyclicBarrier(2)
+    NonAtomicCreateFileSystem.afterCreateCheck =
+      p => if (isCommit(p)) { checkGate.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit }
+    NonAtomicCreateFileSystem.afterPut =
+      p => if (isCommit(p)) { putGate.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit }
+    try {
+      val outcomes = race(
+        () => { GraftIndex.writeRanges(spark, dir, "key", "num", entry(1),
+          manifest = true, basedOn = Some(0L)): Unit },
+        () => { GraftIndex.writeRanges(spark, dir, "key", "num", entry(2),
+          manifest = true, basedOn = Some(0L)): Unit })
+      assert(outcomes.count(_.isEmpty) == 1,
+        s"exactly one racer must win, got $outcomes")
+      outcomes.flatten.foreach(t =>
+        assert(t.isInstanceOf[GraftConcurrentCommitException],
+          s"the loser must lose LOUDLY with the fence class: $t"))
+      // acked-write safety: the surviving index is EXACTLY the winner's
+      val winner = if (outcomes(0).isEmpty) "f1.parquet" else "f2.parquet"
+      val live = GraftIndex.read(new Path(dir), conf).get
+      assert(live.files == Set(winner),
+        s"survivor must be the winner's commit: ${live.files}")
+      // the loser's documented recovery — a blind retry from fresh state —
+      // converges without disturbing the winner's commit
+      NonAtomicCreateFileSystem.reset()
+      val loserEntry = if (outcomes(0).isEmpty) entry(2) else entry(1)
+      GraftIndex.writeRanges(spark, dir, "key", "num",
+        live.ranges ++ loserEntry.map { case (k, v) => k -> v }, manifest = true,
+        basedOn = Some(1L)): Unit
+      assert(GraftIndex.read(new Path(dir), conf).get.files.size == 2)
+    } finally NonAtomicCreateFileSystem.reset()
+  }
+
+  test("object-store PUT semantics: full ManifestTable rewrite race on the " +
+      "non-atomic fs — never a silent mixed state, fsck finds no damage") {
+    NonAtomicCreateFileSystem.reset()
+    val table = "natomic:" + tmp("graft_race_putm") + "/t"
+    ManifestTable.write(
+      spark.range(2000).select($"id", ($"id" % 7).as("v")), table)
+    // no barriers: every interleaving of claim PUT / claim verify / staging
+    // / pointer PUT is legal. On a PUT store two near-simultaneous claims
+    // can both pass their μs verify window and share a staging dir — the
+    // contract is then only that NOTHING silent happens: losers throw
+    // (fence class at a commit point, or an IO error from the trampled
+    // shared staging), and the surviving table is exactly a serial prefix
+    // of the successful calls — never a mix, never a torn generation.
+    val outcomes = race(
+      () => ManifestTable.compact(spark, table, targetFiles = 2,
+        df => df.where($"v" =!= 0)),
+      () => ManifestTable.compact(spark, table, targetFiles = 2,
+        df => df.where($"v" =!= 1)))
+    val n = ManifestTable.read(spark, table).count()
+    val dropped = 2000L / 7 + 1 // ids ≡ 0 (or ≡ 1) mod 7 in [0, 2000): 286
+    val legal = Set(2000L, 2000L - dropped, 2000L - 2 * dropped)
+    assert(legal.contains(n), s"post-race count $n is not any serial outcome")
+    assert(outcomes.count(_.isEmpty) >= (if (n == 2000L) 0 else 1),
+      "a changed table requires a successful commit")
+    // an acked (returned-success) rewrite must be visible
+    if (outcomes.forall(_.isEmpty)) assert(n == 2000L - 2 * dropped)
+    val st = ManifestTable.fsck(spark, table)
+    assert(st.ok, st.toString)
+    assert(ManifestTable.read(spark, table).count() == n,
+      "fsck must not change the committed snapshot")
+  }
+
+  test("stolen claim on a PUT store: the commit-time ownership re-check " +
+      "fences the victim LOUDLY, the victim leaves the (possibly shared) " +
+      "staging untouched, and fsck sweeps the debris") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    NonAtomicCreateFileSystem.reset()
+    val local = tmp("graft_claimsteal") + "/t"
+    val table = "natomic:" + local
+    ManifestTable.write(
+      spark.range(1000).select($"id", ($"id" % 5).as("v")), table)
+    val before = ManifestTable.read(spark, table).count()
+    def claims() = Option(new java.io.File(local).listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith(".genclaim-"))
+    // simulate a racer whose claim PUT lands just AFTER our claim-verify
+    // read (inside the window a plain PUT store leaves open): on the first
+    // data-file PUT into the staged generation, replace the claim body
+    val stole = new java.util.concurrent.atomic.AtomicBoolean(false)
+    NonAtomicCreateFileSystem.afterPut = p =>
+      if (p.getName.endsWith(".parquet") && p.toString.contains("/gen-") &&
+          stole.compareAndSet(false, true))
+        claims().foreach(f =>
+          java.nio.file.Files.write(f.toPath, "stolen-by-racer".getBytes): Unit)
+    try {
+      val e = intercept[GraftConcurrentCommitException] {
+        ManifestTable.compact(spark, table, targetFiles = 1)
+      }
+      assert(e.getMessage.contains("claim"), e.getMessage)
+      assert(stole.get(), "the steal hook must have fired")
+      assert(ManifestTable.read(spark, table).count() == before,
+        "the fenced commit must have applied nothing")
+      // the victim must NOT have swept the staging: the gen dir and claim
+      // may belong to the racer that stole the number
+      assert(claims().nonEmpty, "victim deleted the stolen claim")
+      val gens = new java.io.File(local).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+      assert(gens.length > 1, "victim deleted the possibly-shared staging dir")
+      // fsck (no-writer-in-flight contract) sweeps claim + orphan; exact
+      val st = ManifestTable.fsck(spark, table)
+      assert(st.ok, st.toString)
+      assert(claims().isEmpty, "fsck must sweep the dead claim")
+      assert(ManifestTable.read(spark, table).count() == before)
+      // and the healed table accepts the retried rewrite
+      ManifestTable.compact(spark, table, targetFiles = 1)
+      assert(ManifestTable.read(spark, table).count() == before)
+    } finally NonAtomicCreateFileSystem.reset()
+  }
 }

@@ -153,4 +153,55 @@ class GraftIndexPropSpec extends SparkSpec {
     }
     fs.delete(claim, false)
   }
+
+  test("the seal is unforgeable by truncation: EVERY byte-prefix of a " +
+      "committed version reads as absent (never as a valid empty legacy " +
+      "index) and trips the unsealed-newest commit fence") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixtorn").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val v1 = GraftIndex.writeRanges(spark, dir, "key", "num",
+      Map("f1.parquet" -> ((BigDecimal(1), BigDecimal(10), 100L))),
+      manifest = true)
+    val committed = new Path(dir, GraftIndex.FileName + s".v$v1")
+    val in = fs.open(committed)
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false); buf.toByteArray
+    } finally in.close()
+    // the pre-r15 hole: a cut inside the header line before the dialect
+    // marker parsed as a legacy index with ZERO files — readers silently
+    // saw an empty table. With the sealed magic in field 0, no prefix of
+    // the payload can match either accepted magic without its trailer.
+    (1 until bytes.length).foreach { cut =>
+      val torn = new Path(dir, GraftIndex.FileName + s".v${v1 + 1}")
+      val out = fs.create(torn, true)
+      out.write(bytes, 0, cut); out.close()
+      val got = GraftIndex.read(new Path(dir), conf)
+      assert(got.exists(_.files == Set("f1.parquet")),
+        s"prefix cut at $cut must read as absent (fall back to v$v1), got " +
+          s"${got.map(_.files)}")
+      fs.delete(torn, false)
+    }
+    // and the commit fence still trips on a mid-header cut
+    val torn = new Path(dir, GraftIndex.FileName + s".v${v1 + 1}")
+    val out = fs.create(torn, true)
+    out.write(bytes, 0, "graft-index-se".length); out.close()
+    intercept[GraftConcurrentCommitException] {
+      GraftIndex.writeRanges(spark, dir, "key", "num",
+        Map("f2.parquet" -> ((BigDecimal(2), BigDecimal(20), 2L))),
+        manifest = true)
+    }
+    assert(GraftIndex.sweepTornVersions(spark, dir) == 1)
+    // interop: a pre-r15 sealed file (dialect in header field 4) with a
+    // valid trailer still parses...
+    val legacySealed = new Path(dir, GraftIndex.FileName + s".v${v1 + 1}")
+    val out2 = fs.create(legacySealed, true)
+    out2.write(("graft-index\tv2\tkey\tnum\tsealed\n" +
+      "f9.parquet\t9\t90\t9\n#commit\t1\n").getBytes("UTF-8"))
+    out2.close()
+    assert(GraftIndex.read(new Path(dir), conf).get.files == Set("f9.parquet"),
+      "pre-r15 sealed files with trailers must keep parsing")
+  }
 }

@@ -274,6 +274,21 @@ class LifecycleSpec extends SparkSpec {
     // idempotent
     assert(ManifestTable.vacuum(spark, t, keepPrevious = false) == 0)
 
+    // claim-shield: vacuum must NEVER sweep generation-claim files, even
+    // with a number at/below live — a racer that claimed before the winner
+    // committed is shielded by exactly that claim (claimNextGen skips
+    // claimed numbers). Claim cleanup belongs to the owner and to fsck.
+    val liveNum = gens.head.stripPrefix("gen-").toInt
+    val staleClaim = new java.io.File(t, f".genclaim-gen-${liveNum - 1}%09d")
+    assert(staleClaim.createNewFile())
+    assert(ManifestTable.vacuum(spark, t, keepPrevious = false) == 0)
+    assert(staleClaim.exists,
+      "vacuum swept a claim file — claim-shield violated")
+    assert(multiset(ManifestTable.read(spark, t)) == rows)
+    // fsck (whose contract asserts no writer in flight) is the sweeper
+    ManifestTable.fsck(spark, t): Unit
+    assert(!staleClaim.exists, "fsck must sweep dead claims")
+
     // partitioned layout: per-leaf vacuum + root stage sweep, probe oblivious
     val docs = Seq(
       (1L, "spark window merge spark"), (2L, "window table scan"),

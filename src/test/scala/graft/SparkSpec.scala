@@ -14,6 +14,12 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
+    // object-store surrogates for race/committer specs (registered at
+    // session build so every cached hadoop conf resolves the schemes)
+    .config("spark.hadoop.fs.slowfs.impl",
+      classOf[graft.SlowRenameFileSystem].getName)
+    .config("spark.hadoop.fs.natomic.impl",
+      classOf[graft.NonAtomicCreateFileSystem].getName)
     .getOrCreate()
 
   def sf(dir: String = "sf0.001"): String = s"/root/testdata/$dir"
