@@ -4044,6 +4044,67 @@ object SparkEntry {
         .crossJoin(broadcast(Seq((preN, st.healedManifest,
             st.sweptOrphans.toLong, st.sweptTmpFiles.toLong, st.ok))
           .toDF("pre_n", "healed", "swept_orphans", "swept_tmp", "all_ok")))
+    }),
+
+    // --- S16 + G7/G8 + G12 + P12 composite: the DDL-driven MR job the
+    //     reference's schema tests run end-to-end (golden DDL,
+    //     ExampleSchema.scala:172-198; MR job + counter readback,
+    //     WebCrawlSchemaTest.scala:246-281). TableDef.createScript DDL
+    //     creates a real catalog table (S16, delete+create both executed);
+    //     a typed per-row mapper tokenizes (G7); Counters.observed metrics
+    //     ride the insert's plan and read back post-action (G12); a typed
+    //     mapGroups reducer folds per language (G8 — the MR-reducer
+    //     analogue, deliberately no partial agg; the Catalyst-agg twin is
+    //     q01); results INSERT OVERWRITE the DDL table and come back
+    //     through a GQuery family-selector projection (P12). Scale: one
+    //     typed shuffle of (lang, n_tokens) pairs — text never shuffles;
+    //     the counters are plan-riding metrics, not a second scan. -------
+    "q254_ddl_mr_counters" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val docs = T(s, dir, "documents")
+      val suffix = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val tdef = new graft.schema.TableDef(s"graft_q254_stats_$suffix", StringType)
+        .family("stats", ttlSeconds = 86400)
+        .col("stats", "n_docs", LongType)
+        .col("stats", "tok_sum", LongType)
+      val loc = sys.props("java.io.tmpdir") + s"/graft_q254_$suffix"
+      s.sql(tdef.deleteScript): Unit // S16 deleteScript, executed as-is
+      val script = tdef.createScript(loc) // S16 createScript, executed as-is
+      s.sql(script): Unit
+      val obs = org.apache.spark.sql.Observation(
+        "q254_" + java.util.UUID.randomUUID().toString.take(8))
+      // G7 mapper base: a typed per-row Dataset lambda
+      val mapped = docs.select(col("lang"), col("text")).as[(String, String)]
+        .map { case (lang, text) =>
+          (lang, text.split(' ').count(_.nonEmpty).toLong) }
+        .toDF("lang", "n_tokens")
+      // G12: counters ride the plan (one pass); read back after the action
+      val counted = graft.jobs.Counters.observed(mapped, obs,
+        count(lit(1)).as("mapper_rows"),
+        sum(col("n_tokens")).as("mapper_tokens"))
+      // G8 reducer base: typed mapGroups fold per language key
+      val reduced = counted.as[(String, Long)].groupByKey(_._1)
+        .mapGroups { (lang, it) =>
+          var n = 0L; var tok = 0L
+          it.foreach { case (_, t) => n += 1; tok += t }
+          (lang, n, tok)
+        }.toDF("key", "n_docs", "tok_sum")
+      reduced
+        .select(col("key"), struct(col("n_docs"), col("tok_sum")).as("stats"))
+        .write.mode("overwrite").insertInto(tdef.name) // the action: obs lands
+      val m = obs.get
+      // P12: family-selector projection over the catalog read-back
+      val back = graft.query.GQuery(s.table(tdef.name))
+        .withFamilies("stats").toDF
+      back.select(col("key").as("lang"),
+          col("stats.n_docs").as("n_docs"), col("stats.tok_sum").as("tok_sum"))
+        .crossJoin(broadcast(Seq((
+            m("mapper_rows").asInstanceOf[Long],
+            m("mapper_tokens").asInstanceOf[Long],
+            script.contains("'graft.family.stats.ttlSeconds'='86400'")))
+          .toDF("mapper_rows", "mapper_tokens", "ddl_has_ttl")))
     })
   )
 
@@ -4409,6 +4470,24 @@ object SparkEntry {
         |  true AS all_ok
         |FROM customer
         |WHERE c_custkey % 7 <> 0""".stripMargin,
+
+    // DDL + typed MR + counters composite: per-language token rollup must
+    // equal the direct SQL; the plan-riding counters must equal the global
+    // scan stats; the DDL round-trip is pinned by ddl_has_ttl (the Spark
+    // side computes it from the EMITTED script text).
+    "q254_ddl_mr_counters" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      as bigint) AS n
+        |  FROM documents),
+        |g AS (SELECT lang, count(*) AS n_docs,
+        |        cast(sum(n) as bigint) AS tok_sum FROM tok GROUP BY lang),
+        |c AS (SELECT count(*) AS mapper_rows,
+        |        cast(sum(n) as bigint) AS mapper_tokens FROM tok)
+        |SELECT g.lang, g.n_docs, g.tok_sum,
+        |  c.mapper_rows, c.mapper_tokens, true AS ddl_has_ttl
+        |FROM g CROSS JOIN c""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

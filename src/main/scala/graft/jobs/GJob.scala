@@ -125,4 +125,12 @@ object Counters {
 
   def observed(df: DataFrame, observationName: String, metrics: Column*): DataFrame =
     df.observe(observationName, metrics.head, metrics.tail: _*)
+
+  /** [[observed]] with a synchronous handle: the metrics land in `obs.get`
+    * after the frame's next action — the driver-side counter READBACK the
+    * reference's `job.getCounters` gives after a run
+    * (reference mapreduce2.scala:1014-1020). */
+  def observed(df: DataFrame, obs: org.apache.spark.sql.Observation,
+      metrics: Column*): DataFrame =
+    df.observe(obs, metrics.head, metrics.tail: _*)
 }

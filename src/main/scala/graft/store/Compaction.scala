@@ -809,6 +809,17 @@ object Compaction {
    * dead paths. Non-stale failures propagate immediately; stale failures
    * propagate once `attempts` is exhausted (a layout rewritten faster than
    * it can be scanned is a pacing bug, not a retry case).
+   *
+   * AS-OF reads are covered too (round 15): `readKeyedPrevious` /
+   * `readKeyedAsOf` / the `*Previous` family resolve a RETAINED version at
+   * plan time; a concurrent mutation or vacuum can retire that version
+   * mid-scan — the version file itself is pruned (the connector's loud
+   * `no retained index version`) or its unique files die under the reader
+   * (`FAILED_READ_FILE`). Both classes are stale-scan failures healed
+   * here, because the retried closure re-resolves against the now-live
+   * retention window. The funding rule: a retained version's files live
+   * EXACTLY until the version leaves the keep-N window — fund longer
+   * audits by raising `graft.keepVersions` BEFORE the mutations.
    */
   def retryingStaleScan[T](attempts: Int = 3)(body: => T): T = {
     def stale(t: Throwable, depth: Int = 0): Boolean = t match {
@@ -818,6 +829,9 @@ object Compaction {
       case e: org.apache.spark.SparkException
           if Option(e.getMessage).exists(_.contains(
             "FAILED_READ_FILE.FILE_NOT_EXIST")) => true
+      case e: java.util.NoSuchElementException
+          if Option(e.getMessage).exists(_.contains(
+            "no retained index version")) => true
       case _ => stale(t.getCause, depth + 1)
     }
     var left = math.max(1, attempts)

@@ -77,6 +77,18 @@ object KeyedStore {
    * reference analogue: HBase time-range reads, Query2.scala:345-359).
    * None when no undo window exists: a never-mutated table, a
    * [[vacuumIndexed]]`(keepPrevious = false)`, or an advisory (v1) index.
+   *
+   * RETENTION RACE (the funding rule): a retained version's files live
+   * EXACTLY until the version leaves the keep-N window — a concurrent
+   * mutation's version prune or a vacuum can retire the resolved version
+   * MID-SCAN. The read then fails LOUDLY (the connector's
+   * `no retained index version`, or `FAILED_READ_FILE` when the files die
+   * under the scan) — never wrong rows. Recovery: re-resolve and re-run —
+   * wrap the whole resolve-and-act closure in
+   * [[graft.store.Compaction.retryingStaleScan]], which recognizes both
+   * classes. Audits that must out-live many mutations raise
+   * `graft.keepVersions` BEFORE the mutations (depth is funded at
+   * mutation time, not read time).
    */
   def readKeyedPrevious(spark: SparkSession, path: String,
       keyCol: String = "key", back: Int = 1): Option[DataFrame] = {
@@ -92,7 +104,12 @@ object KeyedStore {
 
   /** Read a RETAINED snapshot addressed by its index version seq (the
     * numbers [[retainedVersions]] lists) — arbitrary-depth as-of within the
-    * `graft.keepVersions` window; None once vacuumed past it. */
+    * `graft.keepVersions` window; None once vacuumed past it. Subject to
+    * the same retention race as [[readKeyedPrevious]] (see its funding-rule
+    * paragraph): a concurrent mutation/vacuum retiring `version` mid-scan
+    * fails the read loudly, healed by
+    * [[graft.store.Compaction.retryingStaleScan]] around the whole
+    * resolve-and-act closure. */
   def readKeyedAsOf(spark: SparkSession, path: String, version: Long,
       keyCol: String = "key"): Option[DataFrame] = {
     import org.apache.spark.sql.graft.GraftIndex
@@ -209,6 +226,33 @@ object KeyedStore {
         s"mergeIndexed: $path carries a graft index, but none usable for " +
           s"key '$keyCol' — wrong key column, or a damaged index (run " +
           "KeyedStore.fsckIndexed / rebuild via writeIndexed)")
+      // FENCE the dir swap (round 15): unlike the indexed path, this
+      // fallback's commit point is a rename PAIR, which create-exclusive
+      // on an index version cannot arbitrate. A .swapclaim marker next to
+      // the table dir is claimed create-exclusive (verify-after-write on
+      // PUT stores — GraftIndex.writeCommitFile) BEFORE staging, and
+      // ownership is re-verified just before the renames: two racing
+      // full-rewrite maintainers produce exactly one winner, the loser
+      // throws GraftConcurrentCommitException having applied nothing. A
+      // crashed attempt leaves the claim behind, fencing further
+      // full-rewrites loudly until fsckIndexed sweeps it (its
+      // no-writer-in-flight contract makes the sweep safe).
+      val swapClaim = new org.apache.hadoop.fs.Path(path + SwapClaimSuffix)
+      val nonce = java.util.UUID.randomUUID().toString
+      try GraftIndex.writeCommitFile(fs, swapClaim, nonce.getBytes("UTF-8"))
+      catch {
+        case e: org.apache.spark.sql.graft.GraftConcurrentCommitException =>
+          throw new org.apache.spark.sql.graft.GraftConcurrentCommitException(
+            s"mergeIndexed: full-rewrite swap claim for $path is held — a " +
+              "concurrent maintainer is mid-rewrite, or a crashed rewrite " +
+              "left debris (run KeyedStore.fsckIndexed, then retry); " +
+              "nothing was applied", e)
+      }
+      def claimStillOurs(): Boolean = scala.util.Try {
+        val in = fs.open(swapClaim)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == nonce
+        finally in.close()
+      }.getOrElse(false)
       val merged = merge(read(spark, path), batch)
       val stamp = System.currentTimeMillis()
       // per-attempt staging name: two racing maintainers must never write
@@ -216,22 +260,41 @@ object KeyedStore {
       // bytes before the commit fence can even arbitrate)
       val staging = path + "__staging-" + java.util.UUID.randomUUID().toString.take(8)
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
-      // stage through the graft write so the new layout arrives WITH its
-      // manifest index; a _COMMITTED marker records job success so fsck can
-      // tell a complete staging from a dead one
-      merged.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
-        .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
-      fs.create(new org.apache.hadoop.fs.Path(stagingPath, CommittedMarker), true).close()
-      // dir swap with a backup instead of delete-then-rename: a crash
-      // between the renames leaves the table LOUDLY missing (both copies on
-      // disk), healed by fsckIndexed — never silently lost
-      val oldPath = new org.apache.hadoop.fs.Path(path + BackupSuffix + stamp)
-      if (fs.exists(dirPath) && !fs.rename(dirPath, oldPath))
-        throw new java.io.IOException(s"mergeIndexed: cannot back up $path")
-      if (!fs.rename(stagingPath, dirPath))
-        throw new java.io.IOException(s"mergeIndexed: cannot swap in $staging")
-      fs.delete(new org.apache.hadoop.fs.Path(dirPath, CommittedMarker), false)
-      fs.delete(oldPath, true)
+      try {
+        // stage through the graft write so the new layout arrives WITH its
+        // manifest index; a _COMMITTED marker records job success so fsck can
+        // tell a complete staging from a dead one
+        merged.repartitionByRange(col(keyCol)).sortWithinPartitions(keyCol)
+          .write.format("graft").option("key", keyCol).mode("overwrite").save(staging)
+        fs.create(new org.apache.hadoop.fs.Path(stagingPath, CommittedMarker), true).close()
+        // stolen-claim re-check (PUT stores): the staging phase separates
+        // the claim from the swap — a racer whose claim PUT landed inside
+        // the claim-verify window is caught here, before any rename
+        if (GraftIndex.verifyAfterWrite(fs) && !claimStillOurs()) {
+          fs.delete(stagingPath, true)
+          throw new org.apache.spark.sql.graft.GraftConcurrentCommitException(
+            s"mergeIndexed: swap claim for $path was overwritten by a " +
+              "concurrent maintainer mid-staging — fenced off, nothing " +
+              "applied (serialize the maintainers and retry)")
+        }
+        // dir swap with a backup instead of delete-then-rename: a crash
+        // between the renames leaves the table LOUDLY missing (both copies on
+        // disk), healed by fsckIndexed — never silently lost
+        val oldPath = new org.apache.hadoop.fs.Path(path + BackupSuffix + stamp)
+        if (fs.exists(dirPath) && !fs.rename(dirPath, oldPath))
+          throw new java.io.IOException(s"mergeIndexed: cannot back up $path")
+        if (!fs.rename(stagingPath, dirPath))
+          throw new java.io.IOException(s"mergeIndexed: cannot swap in $staging")
+        fs.delete(new org.apache.hadoop.fs.Path(dirPath, CommittedMarker), false)
+        fs.delete(oldPath, true)
+        fs.delete(swapClaim, false)
+      } catch {
+        case t: Throwable =>
+          // a SURVIVING loser releases its claim (a crash leaves it for
+          // fsck); never touch a claim a racer now owns
+          if (claimStillOurs()) fs.delete(swapClaim, false)
+          throw t
+      }
       return
     }
     val tag = ix.get.keyTag
@@ -304,11 +367,14 @@ object KeyedStore {
   /**
    * The key→file router column for a sorted, non-overlapping range table —
    * a native codegen'd binary search ([[org.apache.spark.sql.graft.RangeBucketSearch]])
-   * for long/int/short/byte, double/float and string keys; DecimalType and
-   * exotic key types keep the decimal-string UDF (exact, rare, and the only
-   * residual non-codegen router). Float bounds parse back to FLOAT first and
-   * widen — parsing the decimal string straight to double would land beside
-   * the widened float value and mis-route boundary keys.
+   * for EVERY indexable key type: long/int/short/byte, double/float,
+   * string, and (since round 15) DecimalType via `Decimal.compareTo` —
+   * no mutation plan carries a ScalaUDF (the string-parse fallback below
+   * survives only as defense for key types `GraftIndex.tagOf` does not
+   * index today, i.e. unreachable from any indexed layout). Float bounds
+   * parse back to FLOAT first and widen — parsing the decimal string
+   * straight to double would land beside the widened float value and
+   * mis-route boundary keys.
    */
   private[graft] def routerColumn(spark: SparkSession, keyDt: DataType,
       keyCol: String, ranges: Array[(String, (Any, Any, Long))],
@@ -338,6 +404,12 @@ object KeyedStore {
             .fromString(r._2._1.toString)),
           ranges.map(r => org.apache.spark.unsafe.types.UTF8String
             .fromString(r._2._2.toString))))
+      case _: DecimalType =>
+        import org.apache.spark.sql.graft.RangeBucketSearchDecimal
+        Bridge.column(RangeBucketSearchDecimal(
+          Bridge.expression(col(keyCol)),
+          ranges.map(r => org.apache.spark.sql.types.Decimal(bd(r._2._1))),
+          ranges.map(r => org.apache.spark.sql.types.Decimal(bd(r._2._2)))))
       case _ =>
         val bcLos = spark.sparkContext.broadcast(ranges.map(_._2._1))
         val bcHis = spark.sparkContext.broadcast(ranges.map(_._2._2))
@@ -362,6 +434,11 @@ object KeyedStore {
 
   private[graft] val CommittedMarker = "_GRAFT_COMMITTED"
   private[graft] val BackupSuffix = "__old"
+  /** Sibling marker fencing [[mergeIndexed]]'s full-rewrite dir swap —
+    * claimed create-exclusive (verify-after-write on PUT stores) before
+    * staging, re-verified before the renames, released on exit; a crashed
+    * attempt's claim is swept by [[fsckIndexed]]. */
+  private[graft] val SwapClaimSuffix = "__swapclaim"
 
   /**
    * MINOR compaction — the HBase compaction analogue for a log-structured
@@ -515,6 +592,11 @@ object KeyedStore {
       else fs.listStatus(dirPath).filter(_.isFile).map(_.getPath)
         .filter(_.getName.startsWith("." + GraftIndex.FileName + ".tmp-")).toSeq
     tmps.foreach(fs.delete(_, false))
+    // a swap claim visible to fsck is a crashed full-rewrite's debris (no
+    // writer can be in flight under this verb's contract) — sweep it so
+    // the next full-rewrite is unfenced again
+    val swapClaim = new org.apache.hadoop.fs.Path(path + SwapClaimSuffix)
+    if (fs.exists(swapClaim)) fs.delete(swapClaim, false): Unit
     // torn index versions (a fenced commit that died mid-write): invisible
     // to readers, but they fence off the next commit — sweep them here,
     // where the single-maintainer contract guarantees no writer is in flight

@@ -46,14 +46,21 @@ import org.apache.hadoop.fs.Path
  *    manifest layout.
  *  - **Single maintainer, FENCED**: READERS are the concurrent party this
  *    layout protects; writers ([[write]]/[[append]]/[[compact]]) are still
- *    externally serialized by contract — but a violated contract is now
- *    LOUD, not lossy: the generation number is claimed create-exclusive
- *    before staging, and the pointer commit is create-exclusive plus
- *    parent-fenced (see the fenced-pointer block below), so of two racing
- *    rewrites exactly one commits and the other throws
- *    [[org.apache.spark.sql.graft.GraftConcurrentCommitException]] having
- *    applied nothing. Plain [[append]]s write into the live generation
- *    dir under task-unique file names and need no fence.
+ *    externally serialized by contract — and for REWRITE verbs a violated
+ *    contract is LOUD, not lossy: the generation number is claimed
+ *    create-exclusive before staging, and the pointer commit is
+ *    create-exclusive plus parent-fenced (see the fenced-pointer block
+ *    below), so of two racing rewrites exactly one commits and the other
+ *    throws [[org.apache.spark.sql.graft.GraftConcurrentCommitException]]
+ *    having applied nothing. The loud-not-lossy guarantee is SCOPED TO
+ *    REWRITES: a plain [[append]] racing a rewrite is NOT fenced — the
+ *    appended file lands in the old live generation after the rewrite
+ *    snapshotted it and is retired a cycle later, silently. (A
+ *    post-append liveness re-check cannot close this: when the rewrite's
+ *    snapshot DID capture the appended files, the loud retry would
+ *    double-append — trading silent loss for silent duplication.) Ingest
+ *    loops that need a safe blind retry use [[appendTagged]] and keep
+ *    rule 1 (one maintainer per table) for append-vs-rewrite ordering.
  */
 object ManifestTable {
   private val ManifestName = "MANIFEST"
@@ -475,16 +482,32 @@ object ManifestTable {
   private def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String,
       parent: Option[String]): Unit = {
     import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
+    // inline self-heal (round 15): torn pointer versions (above the newest
+    // parseable one) OLDER than the debris lease are crash debris — a live
+    // commit writes its file in one small write+close — so sweep them here
+    // and keep routine crash recovery automatic; YOUNGER torn versions
+    // still fence loudly below (may be a maintainer mid-commit)
+    val lease = fs.getConf.getLong(GraftIndex.DebrisLeaseConf,
+      GraftIndex.DebrisLeaseDefaultMs)
+    val pointerSeq0 = readPointer(fs, dir).map(_._1).getOrElse(0L)
+    manifestVersionFiles(fs, dir).filter(_._1 > pointerSeq0).foreach {
+      case (_, p) =>
+        if (System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime > lease)
+          fs.delete(p, false): Unit
+    }
     val versions = manifestVersionFiles(fs, dir)
     val newestSeq = versions.lastOption.map(_._1).getOrElse(0L)
     val pointer = readPointer(fs, dir)
     // a newest version file that does not parse is a maintainer mid-commit
-    // or torn crash debris — refuse loudly either way (fsck sweeps debris)
+    // or fresh torn debris — refuse loudly either way (fsck sweeps debris;
+    // debris older than the lease already self-healed above)
     if (pointer.map(_._1).getOrElse(0L) != newestSeq)
       throw new GraftConcurrentCommitException(
         s"ManifestTable: unsealed manifest version under $dir — a " +
           "concurrent maintainer is mid-commit, or a crashed commit left " +
-          "debris (run ManifestTable.fsck, then retry)")
+          "debris (run ManifestTable.fsck, or wait out " +
+          s"${GraftIndex.DebrisLeaseConf}, then retry)")
     // OCC fence: the generation live NOW must be the one this rewrite
     // planned from (or the pointer must not exist yet / point at debris)
     pointer.map(_._2).filter(g => fs.exists(new Path(dir, g))).foreach { cur =>

@@ -1112,6 +1112,7 @@ object GraftIndex {
       s"${java.util.UUID.randomUUID()}\n")
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    sweepStaleTorn(fs, dirPath)
     val existing = versionFiles(fs, dirPath)
     val current = existing.lastOption.map(_._1).getOrElse(0L)
     basedOn.foreach { b =>
@@ -1265,12 +1266,42 @@ object GraftIndex {
   private val SealedMagic = "graft-index-sealed"
   private val LegacyMagic = "graft-index"
 
+  /** Hadoop-conf knob for the inline torn-debris lease (ms): a torn NEWEST
+    * version OLDER than this is treated as crash debris and swept by the
+    * next commit itself (routine crash recovery stays automatic); a
+    * younger one still fences loudly — it may be a maintainer mid-commit.
+    * A live commit writes its version file in one small write+close (ms),
+    * so the 15-minute default is conservative by orders of magnitude. */
+  val DebrisLeaseConf = "graft.commit.debrisLeaseMs"
+  val DebrisLeaseDefaultMs: Long = 15L * 60 * 1000
+
+  /** Inline self-heal at commit time (round 15 — the crash-recovery
+    * operational gap): sweep torn versions (seq above the newest PARSEABLE
+    * one) whose age exceeds the debris lease. Keeps the daily ingest loop
+    * self-healing after a crash without an operator fsck, while a racing
+    * mid-commit writer (always younger than the lease) still fences. */
+  private def sweepStaleTorn(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = {
+    val lease = fs.getConf.getLong(DebrisLeaseConf, DebrisLeaseDefaultMs)
+    val versions = versionFiles(fs, dir)
+    if (versions.isEmpty) return
+    val newestParseable = versions.reverse
+      .find { case (_, p) => scala.util.Try(parse(fs, p)).toOption.flatten.isDefined }
+      .map(_._1).getOrElse(-1L)
+    versions.filter(_._1 > newestParseable).foreach { case (_, p) =>
+      val age = System.currentTimeMillis() -
+        fs.getFileStatus(p).getModificationTime
+      if (age > lease) fs.delete(p, false): Unit
+    }
+  }
+
   /** Delete index version files that fail to parse — the torn debris of a
     * fenced commit that died mid-write. Readers already treat them as
     * absent; sweeping them unblocks the next commit, which refuses to
     * proceed past an unsealed NEWEST version (it cannot distinguish crash
-    * debris from a maintainer mid-commit). Only call when no writer can be
-    * in flight (fsck's single-maintainer contract). Returns files deleted. */
+    * debris from a maintainer mid-commit; debris older than
+    * [[DebrisLeaseConf]] self-heals inline). Only call when no writer can
+    * be in flight (fsck's single-maintainer contract). Returns files deleted. */
   def sweepTornVersions(spark: SparkSession, dir: String): Int = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())

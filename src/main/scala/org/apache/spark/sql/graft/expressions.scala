@@ -359,3 +359,52 @@ case class RangeBucketSearchString(child: Expression,
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Decimal-keyed router (round 15 — the last key type off the Scala-UDF
+  * fallback): bounds are [[Decimal]]s carrying the index's exact unscaled
+  * values; comparison is `Decimal.compareTo` (BigDecimal-exact across
+  * scales), in the key's own value space like every sibling variant. */
+case class RangeBucketSearchDecimal(child: Expression,
+    los: Array[Decimal], his: Array[Decimal]) extends RangeBucketSearch {
+  override def prettyName: String = "range_bucket_decimal"
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) -1
+    else {
+      val k = v.asInstanceOf[Decimal]
+      var lo = 0; var hi = los.length - 1; var found = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (los(mid).compareTo(k) <= 0) { found = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      if (found >= 0 && k.compareTo(his(found)) <= 0) found else -1
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = "org.apache.spark.sql.types.Decimal[]"
+    val losRef = ctx.addReferenceObj("los", los, cls)
+    val hisRef = ctx.addReferenceObj("his", his, cls)
+    val lo = ctx.freshName("lo"); val hi = ctx.freshName("hi")
+    val mid = ctx.freshName("mid"); val found = ctx.freshName("found")
+    val k = ctx.freshName("k")
+    ev.copy(code = code"""
+      ${c.code}
+      int ${ev.value} = -1;
+      if (!${c.isNull}) {
+        org.apache.spark.sql.types.Decimal $k = ${c.value};
+        int $lo = 0; int $hi = $losRef.length - 1; int $found = -1;
+        while ($lo <= $hi) {
+          int $mid = ($lo + $hi) >>> 1;
+          if ($losRef[$mid].compareTo($k) <= 0) { $found = $mid; $lo = $mid + 1; }
+          else $hi = $mid - 1;
+        }
+        if ($found >= 0 && $k.compareTo($hisRef[$found]) <= 0) ${ev.value} = $found;
+      }""", isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -312,6 +312,51 @@ class ConcurrencySpec extends SparkSpec {
       "fsck must not change the committed snapshot")
   }
 
+  test("as-of reads race retention: readKeyedPrevious(back=1) in a loop " +
+      "while a maintainer mutates at keepVersions=2 — every observation is " +
+      "exact or loudly stale (healed by retryingStaleScan), never wrong") {
+    import graft.store.KeyedStore
+    val dir = tmp("graft_conc_asof") + "/t"
+    val base = spark.range(0, 4000).toDF("key").withColumn("v", ($"key" * 7) % 101)
+    spark.conf.set("graft.keepVersions", "2") // the DEFAULT funding: live + 1
+    try {
+      KeyedStore.writeIndexed(base, dir, numRanges = 8)
+      // fund the first undo step so back=1 resolves from the storm's start
+      KeyedStore.upsertIndexed(spark, dir,
+        spark.range(1000000L, 1000005L).toDF("key").withColumn("v", lit(0L)))
+      // the maintainer re-puts base rows with IDENTICAL values and inserts
+      // fresh keys >= 10^6 only, so EVERY retained snapshot filtered to the
+      // stable range equals the baseline — any other observation is a torn
+      // read, exactly what the funding rule forbids
+      def readOnce() = {
+        val prev = KeyedStore.readKeyedPrevious(spark, dir, back = 1)
+          .getOrElse(sys.error("undo window vanished at keepVersions=2"))
+        cntSum(prev.where($"key" < 1000000L))
+      }
+      val baseline = cntSum(base)
+      assert(readOnce() == baseline)
+      val maintainer = new Thread(() => {
+        (0 until 8).foreach { i =>
+          val reput = base.where($"key" % 8 === i % 8)
+          val fresh = spark.range(1000010L + i * 10, 1000010L + i * 10 + 5)
+            .toDF("key").withColumn("v", lit(0L))
+          // each mutation prunes the version the CONCURRENT as-of reader
+          // may have just resolved, and sweeps its unique files as strays —
+          // manufacturing the race the funding rule is stated over
+          KeyedStore.upsertIndexed(spark, dir, reput.unionByName(fresh))
+          Thread.sleep(100)
+        }
+      })
+      val healed = storm(maintainer, Seq(
+        ("asof-a", () => readOnce(), baseline),
+        ("asof-b", () => readOnce(), baseline)))
+      info(s"as-of retention storm healed $healed stale scans")
+      // post-storm: the window is still exactly one step deep and exact
+      assert(readOnce() == baseline)
+      assert(KeyedStore.fsckIndexed(spark, dir).ok)
+    } finally spark.conf.unset("graft.keepVersions")
+  }
+
   test("object-store PUT semantics: two commits that BOTH pass the " +
       "non-atomic create check are split by verify-after-write — exactly " +
       "one winner, the loser throws, the survivor is byte-exact") {
@@ -392,6 +437,50 @@ class ConcurrencySpec extends SparkSpec {
     assert(st.ok, st.toString)
     assert(ManifestTable.read(spark, table).count() == n,
       "fsck must not change the committed snapshot")
+  }
+
+  test("two racing full-rewrite maintainers on an UNINDEXED dir: the swap " +
+      "claim fences the rename-pair — losers loud, no acked write lost, " +
+      "and a crashed claim is swept by fsckIndexed") {
+    import graft.store.KeyedStore
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val dir = tmp("graft_race_swap") + "/t"
+    val base = spark.range(0, 2000).toDF("key").withColumn("v", $"key" % 13)
+    base.write.parquet(dir) // PLAIN parquet: no index → the full-rewrite path
+    val putsA = spark.range(100, 120).toDF("key").withColumn("v", lit(-1L))
+    val putsB = spark.range(1100, 1120).toDF("key").withColumn("v", lit(-2L))
+    val outcomes = race(
+      () => KeyedStore.upsertIndexed(spark, dir, putsA),
+      () => KeyedStore.upsertIndexed(spark, dir, putsB))
+    outcomes.flatten.foreach(t =>
+      assert(t.isInstanceOf[GraftConcurrentCommitException],
+        s"loser failed with the wrong class: $t"))
+    assert(outcomes.exists(_.isEmpty), "at least one rewrite must commit")
+    def kv(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = kv(base) ++
+      (if (outcomes(0).isEmpty) kv(putsA) else Map.empty[Long, Long]) ++
+      (if (outcomes(1).isEmpty) kv(putsB) else Map.empty[Long, Long])
+    assert(kv(KeyedStore.readKeyed(spark, dir)) == expected,
+      "every acked rewrite must be visible, none lost")
+    assert(!new java.io.File(dir + "__swapclaim").exists,
+      "a successful rewrite must release its swap claim")
+    assert(KeyedStore.fsckIndexed(spark, dir).ok)
+    // crashed-claim debris fences the NEXT full-rewrite loudly until fsck
+    val dir2 = tmp("graft_race_swap2") + "/t"
+    base.write.parquet(dir2)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2 + "__swapclaim"), "dead".getBytes): Unit
+    val e = intercept[GraftConcurrentCommitException] {
+      KeyedStore.upsertIndexed(spark, dir2, putsA)
+    }
+    assert(e.getMessage.contains("swap claim"), e.getMessage)
+    assert(kv(KeyedStore.readKeyed(spark, dir2)) == kv(base),
+      "the fenced rewrite must have applied nothing")
+    KeyedStore.fsckIndexed(spark, dir2): Unit // sweeps the dead claim
+    assert(!new java.io.File(dir2 + "__swapclaim").exists)
+    KeyedStore.upsertIndexed(spark, dir2, putsA) // the blind retry converges
+    assert(kv(KeyedStore.readKeyed(spark, dir2)) == kv(base) ++ kv(putsA))
   }
 
   test("stolen claim on a PUT store: the commit-time ownership re-check " +

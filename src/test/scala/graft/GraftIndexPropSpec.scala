@@ -204,4 +204,37 @@ class GraftIndexPropSpec extends SparkSpec {
     assert(GraftIndex.read(new Path(dir), conf).get.files == Set("f9.parquet"),
       "pre-r15 sealed files with trailers must keep parsing")
   }
+
+  test("torn-debris lease: a STALE torn newest version self-heals inline at " +
+      "the next commit (no operator fsck); a FRESH one still fences loudly") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    val dir = java.nio.file.Files.createTempDirectory("graft_ixlease").toString
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    def entry(i: Int) =
+      Map(s"f$i.parquet" -> ((BigDecimal(i), BigDecimal(i * 10), i.toLong)))
+    val v1 = GraftIndex.writeRanges(spark, dir, "key", "num", entry(1),
+      manifest = true)
+    def plantTorn(seq: Long, ageMs: Long): Path = {
+      val p = new Path(dir, GraftIndex.FileName + s".v$seq")
+      val out = fs.create(p, true)
+      out.write("graft-index-se".getBytes("UTF-8")); out.close()
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    // stale debris (older than the 15-minute default lease): the next
+    // commit sweeps it inline and proceeds — the crashed daily ingest loop
+    // heals itself on its own retry
+    plantTorn(v1 + 1, ageMs = 16L * 60 * 1000)
+    val v2 = GraftIndex.writeRanges(spark, dir, "key", "num", entry(2),
+      manifest = true, basedOn = Some(v1))
+    assert(v2 == v1 + 1, "the swept stale debris frees its seq")
+    assert(GraftIndex.read(new Path(dir), conf).get.files == Set("f2.parquet"))
+    // fresh torn newest: could be a maintainer mid-commit — still fenced
+    plantTorn(v2 + 1, ageMs = 0L)
+    intercept[GraftConcurrentCommitException] {
+      GraftIndex.writeRanges(spark, dir, "key", "num", entry(3), manifest = true)
+    }
+    assert(GraftIndex.sweepTornVersions(spark, dir) == 1)
+  }
 }

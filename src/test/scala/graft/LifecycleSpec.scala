@@ -1311,6 +1311,16 @@ class LifecycleSpec extends SparkSpec {
     ManifestTable.compact(spark, t, 1, df => df.where($"v" =!= 0))
     assert(ManifestTable.read(spark, t).count() == 720,
       "post-heal retry must apply the rewrite")
+
+    // debris LEASE (round 15): torn debris OLDER than the lease self-heals
+    // inline at the next rewrite — the crashed daily loop needs no fsck
+    val stale = new org.apache.hadoop.fs.Path(t, "MANIFEST.v98")
+    val out2 = fs.create(stale, true)
+    out2.write("gen-000000078\n".getBytes("UTF-8")); out2.close()
+    fs.setTimes(stale, System.currentTimeMillis() - 16L * 60 * 1000, -1)
+    ManifestTable.compact(spark, t, 2) // succeeds: sweeps the stale debris
+    assert(!fs.exists(stale), "the stale torn version must be swept inline")
+    assert(ManifestTable.read(spark, t).count() == 720)
   }
 
   test("committer auto-selection: object-store schemes default to v2, " +

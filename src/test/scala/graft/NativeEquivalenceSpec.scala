@@ -208,9 +208,56 @@ class NativeEquivalenceSpec extends SparkSpec {
       val ref = refRoute(isNum = false, strRanges.map(_._2._1), strRanges.map(_._2._2))(k)
       assert(sgot(Option(k)) == ref, s"string key $k: native != udf $ref")
     }
-    // plan pin: the native router is an expression, never a ScalaUDF
-    val plan = longKeys.toDF("k").select(lc.as("f"))
-      .queryExecution.executedPlan.toString()
-    assert(!plan.contains("ScalaUDF"), s"router fell back to a UDF:\n$plan")
+    // DECIMAL keys (round 15 — the last type off the UDF): exact across
+    // scales, boundary-exact, null routes to -1
+    import org.apache.spark.sql.types.DecimalType
+    val decRanges: Array[(String, (Any, Any, Long))] = Array(
+      "a" -> ((BigDecimal("0.50"), BigDecimal("1.25"), 1L)),
+      "b" -> ((BigDecimal("2.75"), BigDecimal("9.12"), 1L)))
+    val decKeys = Seq("0.49", "0.50", "1.25", "1.26", "2.75", "9.12", "9.13")
+    val cc = KeyedStore.routerColumn(spark, DecimalType(20, 2), "k",
+      decRanges, isNum = true)
+    val cgot = decKeys.toDF("s")
+      .select(col("s").cast(DecimalType(20, 2)).as("k"))
+      .select(col("k").cast("string").as("ks"), cc.as("f")).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    decKeys.foreach { k =>
+      val ref = refRoute(isNum = true,
+        decRanges.map(_._2._1), decRanges.map(_._2._2))(k)
+      assert(cgot(k) == ref, s"decimal key $k: native ${cgot(k)} != udf $ref")
+    }
+    // plan pin: the native router is an expression, never a ScalaUDF —
+    // for EVERY key type (decimal included since round 15)
+    Seq(longKeys.toDF("k").select(lc.as("f")),
+      decKeys.toDF("s").select(col("s").cast(DecimalType(20, 2)).as("k"))
+        .select(cc.as("f"))).foreach { frame =>
+      val plan = frame.queryExecution.executedPlan.toString()
+      assert(!plan.contains("ScalaUDF"), s"router fell back to a UDF:\n$plan")
+    }
+  }
+
+  test("decimal-keyed indexed store: writeIndexed + upsertIndexed + compact " +
+      "route natively and stay exact through the full mutation lifecycle") {
+    import graft.store.KeyedStore
+    import org.apache.spark.sql.types.DecimalType
+    val dir = java.nio.file.Files.createTempDirectory("graft_deckey").toString + "/t"
+    val base = spark.range(0, 400)
+      .select(col("id").cast(DecimalType(20, 2)).as("key"),
+        (col("id") % 13).as("v"))
+    KeyedStore.writeIndexed(base, dir, numRanges = 8)
+    val puts = spark.range(100, 120)
+      .select(col("id").cast(DecimalType(20, 2)).as("key"), lit(-1L).as("v"))
+    KeyedStore.upsertIndexed(spark, dir, puts)
+    KeyedStore.deleteIndexed(spark, dir,
+      spark.range(390, 400).select(col("id").cast(DecimalType(20, 2)).as("key")))
+    KeyedStore.compact(spark, dir, smallFileBytes = 1L << 20): Unit
+    def kv(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+      df.select(col("key").cast("string"), col("v")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = (0 until 400).map(i =>
+      f"$i%d.00" -> (if (i >= 100 && i < 120) -1L else (i % 13).toLong))
+      .filterNot { case (k, _) => k.stripSuffix(".00").toInt >= 390 }.toMap
+    assert(kv(KeyedStore.readKeyed(spark, dir)) == expected)
+    assert(KeyedStore.fsckIndexed(spark, dir).ok)
   }
 }
