@@ -4105,6 +4105,38 @@ object SparkEntry {
             m("mapper_tokens").asInstanceOf[Long],
             script.contains("'graft.family.stats.ttlSeconds'='86400'")))
           .toDF("mapper_rows", "mapper_tokens", "ddl_has_ttl")))
+    }),
+
+    // --- PERSISTED cluster table + incremental maintenance (round 15):
+    //     day-0 mines + clusters + persists half the corpus; day-1's pair
+    //     increment folds in through the REP-GRAPH contraction
+    //     (appendToClusters clusters only touched-reps + new-docs and
+    //     upserts only rows whose representative changes — O(delta), not
+    //     O(corpus)); a blind retry of the same delta must be an exact
+    //     no-op (rides as retry_n = 0). Oracle = from-scratch transitive
+    //     clustering of the union pair set at the same threshold: the
+    //     maintained table must be indistinguishable from re-clustering
+    //     everything. ------------------------------------------------------
+    "q255_cluster_maintain" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").where(col("doc_id") % 4 <= 1)
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val pairsPath = sys.props("java.io.tmpdir") + s"/graft_q255_pairs_$salt"
+      val clustersPath =
+        sys.props("java.io.tmpdir") + s"/graft_q255_clusters_$salt"
+      Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
+        pairsPath, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      Dedup.writeClusters(s, pairsPath, clustersPath, threshold = 0.8)
+      Dedup.appendPairs(docs.where(col("doc_id") % 4 === 1), "doc_id", "text",
+        pairsPath, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000),
+        batchId = Some("day-1"))
+      val delta = Dedup.readPairs(s, pairsPath, threshold = 0.8)
+        .where(pmod(col("id_a"), lit(4)) === 1 || pmod(col("id_b"), lit(4)) === 1)
+      val n1 = Dedup.appendToClusters(s, clustersPath, delta)
+      val n2 = Dedup.appendToClusters(s, clustersPath, delta) // blind retry
+      import s.implicits._
+      Dedup.readClusters(s, clustersPath)
+        .crossJoin(broadcast(Seq((n1 > 0, n2)).toDF("applied", "retry_n")))
     })
   )
 
@@ -4488,6 +4520,47 @@ object SparkEntry {
         |SELECT g.lang, g.n_docs, g.tok_sum,
         |  c.mapper_rows, c.mapper_tokens, true AS ddl_has_ttl
         |FROM g CROSS JOIN c""".stripMargin,
+
+    // Persisted-cluster maintenance: the incrementally-maintained table
+    // must equal the from-scratch transitive clustering of the union pair
+    // set at threshold 0.8 (min-id representatives, sizes re-derived);
+    // the blind retry applied nothing (retry_n = 0).
+    "q255_cluster_maintain" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 4 <= 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+        |SELECT l.doc_id, l.rep, c.cluster_size,
+        |  true AS applied, cast(0 as bigint) AS retry_n
+        |FROM labels l JOIN csize c USING (rep)""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

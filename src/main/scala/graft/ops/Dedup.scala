@@ -1628,6 +1628,96 @@ object Dedup {
       maxIter = maxIter)
 
   /**
+   * PERSIST the transitive cluster assignment as a keyed store indexed on
+   * the doc id — the lifecycle home for [[clusterDuplicates]]'s output and
+   * the base table [[appendToClusters]] maintains incrementally. Only
+   * (doc_id, rep) persists: a merged cluster changes `cluster_size` for
+   * EVERY member but `rep` only for the non-minimum side, so storing the
+   * size would turn O(smaller side) maintenance into O(merged cluster);
+   * [[readClusters]] re-derives sizes with one small groupBy instead.
+   * Keep-one-back applies like every keyed store: `readKeyedPrevious` on
+   * the path is the pre-maintenance audit view.
+   */
+  def writeClusters(spark: org.apache.spark.sql.SparkSession,
+      pairsPath: String, clustersPath: String,
+      threshold: Double = 0.8): Unit =
+    graft.store.KeyedStore.writeIndexed(
+      clusterDuplicates(readPairs(spark, pairsPath, threshold))
+        .select(col("id").as("doc_id"), col("rep")),
+      clustersPath, keyCol = "doc_id")
+
+  /**
+   * Incremental maintenance of a PERSISTED cluster table — the 100 TB form
+   * of [[mergeClusterAssignments]]: where that verb re-clusters the WHOLE
+   * assignment ∪ delta (cost O(|all members| + |delta|) per batch), this
+   * one contracts the delta onto the REP GRAPH first — each delta
+   * endpoint maps through its stored representative, edges that collapse
+   * inside one component vanish — clusters only the touched-reps + new-docs
+   * graph (O(|delta| + |touched components|), independent of corpus size),
+   * and upserts ONLY the rows whose representative actually changes (the
+   * non-minimum sides of each merge, plus the new docs; the keyed store's
+   * index-pruned merge then rewrites only the files holding those keys).
+   *
+   * Exactness: [[clusterDuplicates]] converges to min-id representatives,
+   * and the merged component's minimum is the minimum over its parts'
+   * minima and the new ids — so after any sequence of appends the table is
+   * IDENTICAL to a from-scratch clustering of the union pair set (the
+   * q255 oracle asserts exactly this). Re-applying the same delta is an
+   * exact no-op (all endpoints already share reps ⇒ the rep graph is
+   * empty), so a blind crash-retry is safe without tags. Returns the
+   * number of rows upserted.
+   */
+  def appendToClusters(spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String, deltaPairs: DataFrame,
+      idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): Long = {
+    import graft.store.KeyedStore
+    val stored = KeyedStore.readKeyed(spark, clustersPath, "doc_id")
+      .select(col("doc_id"), col("rep"))
+    val repEdges = deltaPairs
+      .select(col(idA).as("a"), col(idB).as("b"))
+      .join(stored.select(col("doc_id").as("a"), col("rep").as("rep_a")),
+        Seq("a"), "left")
+      .join(stored.select(col("doc_id").as("b"), col("rep").as("rep_b")),
+        Seq("b"), "left")
+      .select(coalesce(col("rep_a"), col("a")).as("id_a"),
+        coalesce(col("rep_b"), col("b")).as("id_b"))
+      .where(col("id_a") =!= col("id_b"))
+    if (repEdges.isEmpty) return 0L // delta lands inside existing components
+    val remap = clusterDuplicates(repEdges, maxIter = maxIter)
+      .select(col("id").as("touched"), col("rep").as("new_rep"))
+    // members of touched components whose representative changes (the
+    // non-minimum sides of each merge)
+    val memberUpdates = stored
+      .join(remap, stored("rep") === remap("touched"))
+      .where(col("rep") =!= col("new_rep"))
+      .select(col("doc_id"), col("new_rep").as("rep"))
+    // delta endpoints never seen before (a stored rep is always also a
+    // stored doc_id — its own row — so anti-join isolates genuinely new ids)
+    val newDocs = remap
+      .join(stored.select(col("doc_id")), remap("touched") === col("doc_id"),
+        "left_anti")
+      .select(col("touched").as("doc_id"), col("new_rep").as("rep"))
+    val upserts = graft.Eager.materialize(
+      memberUpdates.unionByName(newDocs))
+    val n = upserts.count()
+    if (n > 0) KeyedStore.upsertIndexed(spark, clustersPath, upserts,
+      keyCol = "doc_id")
+    upserts.unpersist(blocking = false)
+    n
+  }
+
+  /** Read a [[writeClusters]] table back in the [[clusterDuplicates]]
+    * schema — (doc_id, rep, cluster_size), sizes re-derived with one
+    * groupBy over the (small) assignment table. */
+  def readClusters(spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String): DataFrame =
+    graft.store.KeyedStore.readKeyed(spark, clustersPath, "doc_id")
+      .select(col("doc_id"), col("rep"))
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
+
+  /**
    * Cluster provenance rollup — the compliance answer dedup must not
    * destroy: when near-duplicates collapse to one survivor, WHERE did the
    * cluster's members come from (sources, licenses, crawl snapshots)?

@@ -1539,4 +1539,63 @@ class OpsSpec extends SparkSpec {
       .map { case ((k, id), i) => (k, id, i + 1L) }.toSet
     assert(out.toSet == expected, "rank must equal global sort position")
   }
+
+  test("writeClusters + appendToClusters: the persisted assignment equals a " +
+      "from-scratch clustering of the union after incremental deltas, " +
+      "re-applying a delta is an exact no-op, and only changed rows upsert") {
+    import graft.store.KeyedStore
+    val base = java.nio.file.Files.createTempDirectory("graft_clust").toString
+    val pairsPath = base + "/pairs"
+    val clustersPath = base + "/clusters"
+    // three exact-dup groups: {1,2,3}=A, {10,11}=B, 20 unique
+    def doc(id: Long, t: String) = (id, t)
+    val day0 = Seq(doc(1, "alpha beta gamma delta epsilon"),
+      doc(2, "alpha beta gamma delta epsilon"),
+      doc(3, "alpha beta gamma delta epsilon"),
+      doc(10, "zeta eta theta iota kappa"),
+      doc(11, "zeta eta theta iota kappa"),
+      doc(20, "mu nu xi omicron pi")).toDF("doc_id", "text")
+    Dedup.writePairs(day0, "doc_id", "text", pairsPath)
+    Dedup.writeClusters(spark, pairsPath, clustersPath, threshold = 0.8)
+    def state(): Map[Long, (Long, Long)] =
+      Dedup.readClusters(spark, clustersPath).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state() == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L)),
+      "doc 20 has no pair and must not appear; reps are component minima")
+    // delta 1: 4 joins A, 12 joins B, {30,31} is a NEW component; one
+    // redundant old edge rides along and must cost nothing
+    val d1 = Seq((3L, 4L), (11L, 12L), (30L, 31L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    assert(Dedup.appendToClusters(spark, clustersPath, d1) == 4L,
+      "exactly the changed rows upsert: 4->1, 12->10, 30->30, 31->30")
+    assert(state() == Map(1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L),
+      4L -> (1L, 4L), 10L -> (10L, 3L), 11L -> (10L, 3L), 12L -> (10L, 3L),
+      30L -> (30L, 2L), 31L -> (30L, 2L)))
+    // blind retry of the same delta: exact no-op, zero rows touched
+    assert(Dedup.appendToClusters(spark, clustersPath, d1) == 0L)
+    // delta 2: one edge merges components A and B — only B\'s members (the
+    // non-minimum side) rewrite, A\'s rows are untouched
+    val d2 = Seq((4L, 12L)).toDF("id_a", "id_b")
+    assert(Dedup.appendToClusters(spark, clustersPath, d2) == 3L,
+      "only the non-minimum side (10, 11, 12) changes representative")
+    // scratch equality: the maintained table == clusterDuplicates over the
+    // union edge set
+    val allEdges = Dedup.readPairs(spark, pairsPath, 0.8)
+      .select(col("id_a"), col("id_b"))
+      .unionByName(d1.where(col("id_a") >= 30L || col("id_b") === 4L ||
+        col("id_b") === 12L))
+      .unionByName(d2)
+    val scratch = Dedup.clusterDuplicates(allEdges)
+      .select(col("id"), col("rep"), col("cluster_size")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state() == scratch,
+      "incremental maintenance must equal the from-scratch clustering")
+    // undo window: the previous snapshot is the pre-merge assignment
+    val prev = KeyedStore.readKeyedPrevious(spark, clustersPath,
+      keyCol = "doc_id").get.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prev(10L) == 10L && prev(12L) == 10L && prev(1L) == 1L,
+      "keep-one-back funds the pre-merge audit view")
+  }
 }
