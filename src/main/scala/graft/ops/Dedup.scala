@@ -1499,8 +1499,75 @@ object Dedup {
     // plans no second exchange: shuffle count is unchanged, only the width.
     val spark = edgesRaw.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
+    val edgeCount = edgesRaw.count()
+    // Small-graph fast path (round 15): the pointer-jumping loop pays
+    // per-round JOB overhead (join + checkpoint + convergence aggregate —
+    // ~0.5 s/round on a busy local session) that dwarfs the data work on
+    // the graphs this operator usually sees — near-dup pair graphs are
+    // orders of magnitude smaller than their corpus, and
+    // [[appendToClusters]]'s rep-contracted delta graphs are smaller
+    // still. Up to `graft.cc.smallGraphEdges` directed edges (default
+    // 200k ≈ a few MB — a BOUNDED collect, same budget class as the
+    // k-round-trip ANN loops) the components are solved exactly on the
+    // driver with union-find + a min-member pass: identical output
+    // (min-id representatives, sizes) with ZERO loop jobs. Larger graphs
+    // take the distributed loop unchanged; `DedupClusterSpec`'s
+    // equivalence case pins the two paths to each other by forcing the
+    // gate to 0.
+    val smallGate = spark.conf.getOption("graft.cc.smallGraphEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(200000L)
+    val smallOrd: Option[Ordering[Any]] = edgesRaw.schema("src").dataType match {
+      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte].toLong))
+      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short].toLong))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int].toLong))
+      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case StringType => Some(new Ordering[Any] {
+        // UTF-8 byte order — EXACTLY what the loop's least() compares
+        // (UTF8String), not Java's UTF-16 code-unit order, which diverges
+        // on supplementary characters
+        def compare(x: Any, y: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(y.asInstanceOf[String]))
+      })
+      case _ => None // exotic id types keep the type-agnostic loop
+    }
+    if (edgeCount <= smallGate && smallOrd.isDefined) {
+      implicit val ord: Ordering[Any] = smallOrd.get
+      val local = edgesRaw.collect() // bounded by the gate above
+      edgesRaw.unpersist(blocking = false)
+      val parent = new java.util.HashMap[Any, Any]()
+      def find(x: Any): Any = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
+        }
+        r
+      }
+      local.foreach { row =>
+        val (a, b) = (row.get(0), row.get(1))
+        parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      val members = parent.keySet().asScala.toSeq.groupBy(find)
+      val out = members.valuesIterator.flatMap { ms =>
+        val rep = ms.min
+        val size = ms.size.toLong
+        ms.iterator.map(m => org.apache.spark.sql.Row(m, rep, size))
+      }.toSeq
+      val dt = pairs.schema(idA).dataType
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, math.max(1, out.size / 500000)),
+        StructType(Seq(StructField("id", dt), StructField("rep", dt),
+          StructField("cluster_size", LongType))))
+    }
     val loopParts = math.max(1L, math.min(sessionParts.toLong,
-      edgesRaw.count() / 2000000L + 1L)).toInt
+      edgeCount / 2000000L + 1L)).toInt
     def part(df: DataFrame, c: String): DataFrame = df.repartition(loopParts, col(c))
     // One persisted copy of the edges, pre-partitioned on the join key: every
     // round's edge-side exchange is prepaid here; only the (small) labels
