@@ -131,6 +131,13 @@ object Bench {
     val ioCanaryDir = {
       val fixed = Option(new java.io.File(sfDir).getAbsoluteFile.getParentFile)
         .map(p => new java.io.File(p, "sf0.01")).filter(_.isDirectory)
+      if (fixed.isEmpty)
+        // LOUD fallback (no silent caps): a canary at the bench SF measures
+        // a different workload than the pinned sf0.01 slice — BASELINE.md's
+        // io-normalized arm is NOT comparable across this substitution
+        System.err.println(s"[bench] no sf0.01 sibling near $sfDir — " +
+          "canary_io_* falls back to the bench SF and is NOT comparable " +
+          "to pins measured on the fixed slice")
       fixed.map(_.getPath).getOrElse(sfDir)
     }
     def canaryIo(): Double = {

@@ -1741,6 +1741,9 @@ object Dedup {
     import graft.store.KeyedStore
     val stored = KeyedStore.readKeyed(spark, clustersPath, "doc_id")
       .select(col("doc_id"), col("rep"))
+    // persisted: the delta×stored double-join is the heaviest scan here and
+    // feeds the isEmpty probe AND both of clusterDuplicates' passes — one
+    // computation, three consumers
     val repEdges = deltaPairs
       .select(col(idA).as("a"), col(idB).as("b"))
       .join(stored.select(col("doc_id").as("a"), col("rep").as("rep_a")),
@@ -1750,28 +1753,31 @@ object Dedup {
       .select(coalesce(col("rep_a"), col("a")).as("id_a"),
         coalesce(col("rep_b"), col("b")).as("id_b"))
       .where(col("id_a") =!= col("id_b"))
-    if (repEdges.isEmpty) return 0L // delta lands inside existing components
-    val remap = clusterDuplicates(repEdges, maxIter = maxIter)
-      .select(col("id").as("touched"), col("rep").as("new_rep"))
-    // members of touched components whose representative changes (the
-    // non-minimum sides of each merge)
-    val memberUpdates = stored
-      .join(remap, stored("rep") === remap("touched"))
-      .where(col("rep") =!= col("new_rep"))
-      .select(col("doc_id"), col("new_rep").as("rep"))
-    // delta endpoints never seen before (a stored rep is always also a
-    // stored doc_id — its own row — so anti-join isolates genuinely new ids)
-    val newDocs = remap
-      .join(stored.select(col("doc_id")), remap("touched") === col("doc_id"),
-        "left_anti")
-      .select(col("touched").as("doc_id"), col("new_rep").as("rep"))
-    val upserts = graft.Eager.materialize(
-      memberUpdates.unionByName(newDocs))
-    val n = upserts.count()
-    if (n > 0) KeyedStore.upsertIndexed(spark, clustersPath, upserts,
-      keyCol = "doc_id")
-    upserts.unpersist(blocking = false)
-    n
+      .persist()
+    try {
+      if (repEdges.isEmpty) return 0L // delta lands inside existing components
+      val remap = clusterDuplicates(repEdges, maxIter = maxIter)
+        .select(col("id").as("touched"), col("rep").as("new_rep"))
+      // members of touched components whose representative changes (the
+      // non-minimum sides of each merge)
+      val memberUpdates = stored
+        .join(remap, stored("rep") === remap("touched"))
+        .where(col("rep") =!= col("new_rep"))
+        .select(col("doc_id"), col("new_rep").as("rep"))
+      // delta endpoints never seen before (a stored rep is always also a
+      // stored doc_id — its own row — so anti-join isolates genuinely new ids)
+      val newDocs = remap
+        .join(stored.select(col("doc_id")), remap("touched") === col("doc_id"),
+          "left_anti")
+        .select(col("touched").as("doc_id"), col("new_rep").as("rep"))
+      val upserts = graft.Eager.materialize(
+        memberUpdates.unionByName(newDocs))
+      val n = upserts.count()
+      if (n > 0) KeyedStore.upsertIndexed(spark, clustersPath, upserts,
+        keyCol = "doc_id")
+      upserts.unpersist(blocking = false)
+      n
+    } finally repEdges.unpersist(blocking = false)
   }
 
   /** Read a [[writeClusters]] table back in the [[clusterDuplicates]]

@@ -253,7 +253,6 @@ object KeyedStore {
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim == nonce
         finally in.close()
       }.getOrElse(false)
-      val merged = merge(read(spark, path), batch)
       val stamp = System.currentTimeMillis()
       // per-attempt staging name: two racing maintainers must never write
       // into the SAME staging dir (they would corrupt each other's staged
@@ -261,6 +260,10 @@ object KeyedStore {
       val staging = path + "__staging-" + java.util.UUID.randomUUID().toString.take(8)
       val stagingPath = new org.apache.hadoop.fs.Path(staging)
       try {
+        // plan construction INSIDE the try: an analysis error (missing key
+        // column, mismatched schema) must release the claim like any other
+        // surviving failure, not leak it and fence the table until fsck
+        val merged = merge(read(spark, path), batch)
         // stage through the graft write so the new layout arrives WITH its
         // manifest index; a _COMMITTED marker records job success so fsck can
         // tell a complete staging from a dead one

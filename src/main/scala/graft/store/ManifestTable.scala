@@ -142,28 +142,37 @@ object ManifestTable {
     name
   }
 
-  // this attempt's claim nonces, keyed by (fs, dir, gen) — each maintainer
-  // only ever needs its OWN nonce (cross-JVM racers each keep their own),
-  // so process-local state is sufficient. Entries are removed at commit,
-  // fenced-loser cleanup, or stay bounded by attempts-per-process.
+  // this ATTEMPT's claim nonces, keyed by (fs, dir, gen, claiming thread) —
+  // a maintainer verb runs claim→stage→commit synchronously on one driver
+  // thread, so the thread id is the attempt identity. Keying by (fs, dir,
+  // gen) alone let two same-JVM racers that both passed a PUT store's
+  // deferred claim check clobber each other's entry, defeating the
+  // stolen-claim detection entirely (round-15 review finding). Cross-JVM
+  // racers each keep their own map. Entries are removed at commit or
+  // fenced-loser cleanup, and stay bounded by attempts-per-process.
   private val claimNonces =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def claimKey(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      gen: String): String = s"${fs.getUri}${dir.toUri.getPath}/$gen"
+      gen: String): String =
+    s"${fs.getUri}${dir.toUri.getPath}/$gen#${Thread.currentThread().getId}"
 
-  /** Whether this attempt still owns `gen`'s claim file — true when no
-    * nonce was recorded (fsck re-commits claimless), the claim is already
-    * gone, or the claim body equals this attempt's nonce. False means a
-    * concurrent maintainer's claim PUT replaced ours on a non-atomic-create
-    * store: the staged gen dir may be SHARED and must not be published —
-    * or deleted — by this attempt. */
+  /** Whether this attempt still owns `gen`'s claim file. True when no
+    * nonce was recorded (fsck re-commits claimless — claim handling is not
+    * this attempt's concern) or the claim body equals this attempt's
+    * nonce. False when the body differs — a racer's claim PUT replaced
+    * ours on a non-atomic-create store — AND when the claim file is GONE
+    * despite a recorded nonce: this attempt did not release it, so a racer
+    * stole the claim and already committed (its commit deleted the claim).
+    * Either way the staged gen dir may be SHARED — or already be the
+    * racer's LIVE generation — and must not be published or deleted by
+    * this attempt (fsck owns the debris). */
   private def claimOwned(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       gen: String): Boolean = {
     val mine = claimNonces.get(claimKey(fs, dir, gen))
     if (mine == null) true
     else {
       val p = new Path(dir, ClaimPrefix + gen)
-      if (!fs.exists(p)) true // released/swept — nothing left to protect
+      if (!fs.exists(p)) false // we never released it: stolen-and-committed
       else scala.util.Try {
         val in = fs.open(p)
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim

@@ -483,6 +483,49 @@ class ConcurrencySpec extends SparkSpec {
     assert(kv(KeyedStore.readKeyed(spark, dir2)) == kv(base) ++ kv(putsA))
   }
 
+  test("stolen-AND-COMMITTED claim on a PUT store: a missing claim despite " +
+      "a recorded nonce means the racer already published — the victim is " +
+      "fenced and deletes NOTHING (the gen dir may be the racer's live " +
+      "generation)") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    NonAtomicCreateFileSystem.reset()
+    val local = tmp("graft_claimgone") + "/t"
+    val table = "natomic:" + local
+    ManifestTable.write(
+      spark.range(500).select($"id", ($"id" % 5).as("v")), table)
+    val before = ManifestTable.read(spark, table).count()
+    def claims() = Option(new java.io.File(local).listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith(".genclaim-"))
+    def gens() = Option(new java.io.File(local).listFiles()).getOrElse(Array())
+      .filter(f => f.isDirectory && f.getName.startsWith("gen-"))
+    // simulate the racer's full win landing mid-staging: its commit DELETED
+    // the (stolen) claim — the victim's view is simply "my claim is gone"
+    val stole = new java.util.concurrent.atomic.AtomicBoolean(false)
+    NonAtomicCreateFileSystem.afterPut = p =>
+      if (p.getName.endsWith(".parquet") && p.toString.contains("/gen-") &&
+          stole.compareAndSet(false, true))
+        claims().foreach(f => f.delete(): Unit)
+    try {
+      val nGensBefore = gens().length
+      val e = intercept[GraftConcurrentCommitException] {
+        ManifestTable.compact(spark, table, targetFiles = 1)
+      }
+      assert(e.getMessage.contains("claim"), e.getMessage)
+      assert(stole.get(), "the delete hook must have fired")
+      assert(ManifestTable.read(spark, table).count() == before,
+        "the fenced commit must have applied nothing")
+      // the victim must NOT have deleted the staged gen dir — in the real
+      // race it may be the racer's just-published live generation
+      assert(gens().length > nGensBefore,
+        "victim deleted the possibly-published staging dir")
+      // fsck (no writer in flight) sweeps the orphan; reads stay exact
+      assert(ManifestTable.fsck(spark, table).ok)
+      assert(ManifestTable.read(spark, table).count() == before)
+      ManifestTable.compact(spark, table, targetFiles = 1) // retry converges
+      assert(ManifestTable.read(spark, table).count() == before)
+    } finally NonAtomicCreateFileSystem.reset()
+  }
+
   test("stolen claim on a PUT store: the commit-time ownership re-check " +
       "fences the victim LOUDLY, the victim leaves the (possibly shared) " +
       "staging untouched, and fsck sweeps the debris") {

@@ -22,7 +22,10 @@ import org.apache.hadoop.util.Progressable
  * [[org.apache.spark.sql.graft.GraftIndex.writeCommitFile]] closes (the
  * reference never had the problem: HBase region servers serialize writes,
  * reference HbaseTable.scala:373-423). Used by `ConcurrencySpec`'s
- * two-maintainer races and by [[FenceProbe]] to price the verify read.
+ * two-maintainer races; test-tree only — the process-global hooks are a
+ * race-spec instrument, not a production filesystem. (`FenceProbe` prices
+ * the verify read separately, on the local fs via
+ * `graft.commit.verify=always`.)
  *
  * Register with `fs.natomic.impl = graft.NonAtomicCreateFileSystem` and
  * address paths as `natomic:/...` (mapped 1:1 onto the local fs). The
