@@ -250,18 +250,18 @@ object Bench {
     def isoJson(r: Double => Double) = isolated
       .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B

@@ -44,14 +44,18 @@ object FenceProbe {
         // what verifyAfterWrite consults), so set it there.
         val conf = spark.sessionState.newHadoopConf()
         val fs = new Path(dir).getFileSystem(conf)
+        // the knob lives on the JVM-cached FileSystem's conf — restore it in
+        // a finally so a thrown commit can't leave later cells (plan_ms,
+        // larger n) silently paying the verify read (round-15 advisory)
         fs.getConf.set("graft.commit.verify", "always")
-        val commitVerifiedMs = med((1 to 5).map { _ =>
-          val t0 = System.nanoTime()
-          base = GraftIndex.writeRanges(spark, dir, "key", "num", ranges,
-            manifest = true, basedOn = Some(base))
-          (System.nanoTime() - t0) / 1e6
-        })
-        fs.getConf.set("graft.commit.verify", "auto")
+        val commitVerifiedMs =
+          try med((1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            base = GraftIndex.writeRanges(spark, dir, "key", "num", ranges,
+              manifest = true, basedOn = Some(base))
+            (System.nanoTime() - t0) / 1e6
+          })
+          finally fs.getConf.set("graft.commit.verify", "auto")
         val planMs = med((1 to 5).map { _ =>
           val t0 = System.nanoTime()
           require(GraftIndex.readAllVersioned(new Path(dir), conf)

@@ -41,6 +41,12 @@ object Dedup {
   private def metricName(base: String): String =
     base + "_" + metricSeq.incrementAndGet()
 
+  /** Test-visible count of [[clusterDuplicates]] calls that took the
+    * small-graph driver fast path — lets specs assert WHICH path a gate
+    * configuration selected instead of inferring it from timing. */
+  private[graft] val smallGraphFastPathRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Exact dedup: keep the smallest id per distinct value of `contentCol`.
     * Returns (id, content, n_dups). One shuffle, partial-agg combined. */
   def exact(df: DataFrame, idCol: String, contentCol: String): DataFrame =
@@ -1499,7 +1505,18 @@ object Dedup {
     // plans no second exchange: shuffle count is unchanged, only the width.
     val spark = edgesRaw.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
-    val edgeCount = edgesRaw.count()
+    val isStringId = edgesRaw.schema("src").dataType == StringType
+    // One aggregate pass serves both gates below: the edge COUNT and — for
+    // string ids only — the average combined id width. Doc ids in web-crawl
+    // dedup are often URLs: 200k edges × 2 ids × ~300 chars is tens of MB
+    // of driver heap, not the "few MB" an edge-count gate alone assumes
+    // (round-15 verdict), so the fast path gates on estimated BYTES too.
+    val (edgeCount, avgIdChars) =
+      if (isStringId) {
+        val r = edgesRaw.agg(count(lit(1)),
+          avg(length(col("src")) + length(col("dst")))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+      } else (edgesRaw.count(), 0.0)
     // Small-graph fast path (round 15): the pointer-jumping loop pays
     // per-round JOB overhead (join + checkpoint + convergence aggregate —
     // ~0.5 s/round on a busy local session) that dwarfs the data work on
@@ -1507,7 +1524,8 @@ object Dedup {
     // orders of magnitude smaller than their corpus, and
     // [[appendToClusters]]'s rep-contracted delta graphs are smaller
     // still. Up to `graft.cc.smallGraphEdges` directed edges (default
-    // 200k ≈ a few MB — a BOUNDED collect, same budget class as the
+    // 200k) AND `graft.cc.smallGraphBytes` estimated driver bytes
+    // (default 64 MB — a BOUNDED collect, same budget class as the
     // k-round-trip ANN loops) the components are solved exactly on the
     // driver with union-find + a min-member pass: identical output
     // (min-id representatives, sizes) with ZERO loop jobs. Larger graphs
@@ -1516,6 +1534,16 @@ object Dedup {
     // gate to 0.
     val smallGate = spark.conf.getOption("graft.cc.smallGraphEdges")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(200000L)
+    // Byte ceiling (round 16): conservative driver-heap estimate per
+    // collected edge — Row + two boxed ids + union-find map entries ≈ 96 B
+    // fixed, plus 4 B per id char for strings (UTF-16 storage × the map's
+    // key duplication). Default budget 64 MB (`graft.cc.smallGraphBytes`):
+    // long/int-id graphs stay under it at the full 200k-edge gate, while
+    // wide URL-keyed graphs fall through to the distributed loop well
+    // before the driver heap is at risk — concurrent calls multiply.
+    val byteBudget = spark.conf.getOption("graft.cc.smallGraphBytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
+    val estBytes = edgeCount * 96L + (edgeCount * 4L * avgIdChars).toLong
     val smallOrd: Option[Ordering[Any]] = edgesRaw.schema("src").dataType match {
       case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte].toLong))
       case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short].toLong))
@@ -1533,7 +1561,8 @@ object Dedup {
       })
       case _ => None // exotic id types keep the type-agnostic loop
     }
-    if (edgeCount <= smallGate && smallOrd.isDefined) {
+    if (edgeCount <= smallGate && estBytes <= byteBudget && smallOrd.isDefined) {
+      smallGraphFastPathRuns.incrementAndGet(): Unit
       implicit val ord: Ordering[Any] = smallOrd.get
       val local = edgesRaw.collect() // bounded by the gate above
       edgesRaw.unpersist(blocking = false)
@@ -1803,16 +1832,26 @@ object Dedup {
    *
    * Scale shape: one equi-join on the doc id + one groupBy per rep;
    * collect_set is bounded by the attribute cardinality (sources,
-   * licenses — small by nature), never by cluster size.
+   * licenses — small by nature), never by cluster size. That bound is
+   * SELF-ENFORCING, not contractual (round-15 review): `attrs` lists only
+   * the first `maxAttrs` attributes in sorted order, so a caller who
+   * points this at a high-cardinality column (URLs, doc titles) gets a
+   * bounded string instead of a multi-MB row — `n_attrs` keeps the TRUE
+   * distinct count, so overflow is visible as `n_attrs > maxAttrs`
+   * (n_attrs − maxAttrs attributes were elided). Below the cap the output
+   * is byte-identical to the uncapped form (the q212 pin).
    */
   def clusterProvenance(assignments: DataFrame, meta: DataFrame,
-      idCol: String, attrCol: String): DataFrame =
+      idCol: String, attrCol: String, maxAttrs: Int = 64): DataFrame = {
+    require(maxAttrs > 0, "maxAttrs must be positive")
     assignments.select(col("id").as(idCol), col("rep"))
       .join(meta.select(col(idCol), col(attrCol).as("__attr")), Seq(idCol))
       .groupBy(col("rep"))
       .agg(count(lit(1)).as("n_docs"),
         size(collect_set(col("__attr"))).cast("long").as("n_attrs"),
-        array_join(array_sort(collect_set(col("__attr"))), ",").as("attrs"))
+        array_join(slice(array_sort(collect_set(col("__attr"))), 1, maxAttrs),
+          ",").as("attrs"))
+  }
 
   /**
    * Embedding near-dup: hyperplane-LSH bucket join + exact cosine verification.

@@ -189,4 +189,29 @@ class CorpusPipelineSpec extends SparkSpec {
       10L -> ((2L, 1L, "crawlC"))), s"$out")
     assert(run(meta.repartition(7)) == out)
   }
+
+  test("clusterProvenance: a high-cardinality attribute column cannot " +
+      "build unbounded strings — attrs caps at maxAttrs, n_attrs keeps " +
+      "the true count") {
+    import spark.implicits._
+    // one 10k-member cluster where EVERY member carries a distinct attr
+    val n = 10000
+    val pairs = (1L until n.toLong).map(i => (0L, i)).toDF("id_a", "id_b")
+    val meta = (0L until n.toLong).map(i => (i, f"https://host/$i%05d"))
+      .toDF("doc_id", "url")
+    val assign = Dedup.clusterDuplicates(pairs)
+    val row = Dedup.clusterProvenance(assign, meta, "doc_id", "url",
+      maxAttrs = 16).collect().head
+    assert(row.getLong(0) == 0L && row.getLong(1) == n.toLong)
+    assert(row.getLong(2) == n.toLong, "n_attrs must keep the TRUE count")
+    val attrs = row.getString(3).split(',')
+    assert(attrs.length == 16, s"attrs must cap at maxAttrs: ${attrs.length}")
+    // sorted prefix: the cap elides the tail, never reorders
+    assert(attrs.toSeq == (0 until 16).map(i => f"https://host/$i%05d"))
+    // below the cap the capped form is byte-identical to the wide default
+    val small = Dedup.clusterProvenance(assign,
+      meta.withColumn("url", concat(lit("s"), col("doc_id") % 3)),
+      "doc_id", "url", maxAttrs = 16).collect().head
+    assert(small.getLong(2) == 3L && small.getString(3) == "s0,s1,s2")
+  }
 }

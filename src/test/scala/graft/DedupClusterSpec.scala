@@ -52,6 +52,33 @@ class DedupClusterSpec extends SparkSpec {
     assert(fast.contains(("c", "a", 3L)))
   }
 
+  test("byte-aware gate: wide string ids force the distributed loop " +
+      "despite a small edge count, and both paths stay equivalent") {
+    // 60 edges of ~240-char URL-ish ids: far under the 200k EDGE gate, but
+    // ~4 B/char × ~480 chars/edge × 60 edges ≈ 115 KB estimated — over a
+    // 50 KB byte budget, so the loop must run (round-16 byte gate)
+    val pad = "x" * 230
+    val wide = (0 until 60).map { i =>
+      (f"https://host/$pad/${i / 2}%04d", f"https://host/$pad/${i / 2 + 30}%04d")
+    }.toDF("id_a", "id_b")
+    spark.conf.set("graft.cc.smallGraphBytes", "50000")
+    val (viaLoop, fastRunsDuring) =
+      try {
+        val before = Dedup.smallGraphFastPathRuns.get()
+        val out = canon(Dedup.clusterDuplicates(wide))
+        (out, Dedup.smallGraphFastPathRuns.get() - before)
+      } finally spark.conf.unset("graft.cc.smallGraphBytes")
+    assert(fastRunsDuring == 0L,
+      "wide ids under a tight byte budget must take the distributed loop")
+    // equivalence pin unchanged: the default budget (64 MB) admits this
+    // graph to the fast path, and the two paths agree exactly
+    val before = Dedup.smallGraphFastPathRuns.get()
+    val fast = canon(Dedup.clusterDuplicates(wide))
+    assert(Dedup.smallGraphFastPathRuns.get() - before == 1L,
+      "the default byte budget must admit a 60-edge graph")
+    assert(fast == viaLoop, s"paths diverged:\nfast=$fast\nloop=$viaLoop")
+  }
+
   test("the gate reads the session conf and large graphs still converge " +
       "through the loop (smoke: 3k-edge ring)") {
     val n = 3000L
