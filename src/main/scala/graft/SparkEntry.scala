@@ -4137,6 +4137,43 @@ object SparkEntry {
       import s.implicits._
       Dedup.readClusters(s, clustersPath)
         .crossJoin(broadcast(Seq((n1 > 0, n2)).toDF("applied", "retry_n")))
+    }),
+
+    // --- TAKEDOWN + content-fsck on the persisted cluster table (round
+    //     16): the corpus is the %4==2 slice plus an id-shifted MIRROR of
+    //     itself (every doc gains an exact twin, near-dup pairs become
+    //     4-clusters — so the takedown exercises rep RE-ELECTION, not just
+    //     deletes), clustered and persisted; removeFromClusters purges
+    //     doc_id%7==0 from pairs AND clusters, re-clustering only touched
+    //     components; repairClusters then verifies rep closure and must
+    //     heal NOTHING (an exact takedown leaves no debris — the counts
+    //     ride). Oracle = from-scratch transitive clustering of the
+    //     surviving corpus: the maintained-then-takendown table must be
+    //     indistinguishable from never having ingested the removed docs.
+    //     (Reference analogue: the delete-op surface, DeleteOp.scala:21-39.)
+    "q256_cluster_takedown" -> ((s, dir) => {
+      val base = T(s, dir, "documents").where(col("doc_id") % 4 === 2)
+        .select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + lit(10000000L)))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val pairsPath = sys.props("java.io.tmpdir") + s"/graft_q256_pairs_$salt"
+      val clustersPath =
+        sys.props("java.io.tmpdir") + s"/graft_q256_clusters_$salt"
+      Dedup.writePairs(corpus, "doc_id", "text", pairsPath,
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      Dedup.writeClusters(s, pairsPath, clustersPath, threshold = 0.8)
+      val removed = corpus.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"))
+      val (nDel, nUp) = Dedup.removeFromClusters(s, clustersPath, pairsPath,
+        removed, threshold = 0.8)
+      val st = Dedup.repairClusters(s, clustersPath)
+      import s.implicits._
+      Dedup.readClusters(s, clustersPath)
+        .crossJoin(broadcast(Seq((nDel > 0 && nUp > 0,
+            st.danglingReps, st.minRepViolations, st.healedRows))
+          .toDF("applied", "dangling", "min_viol", "healed")))
     })
   )
 
@@ -4560,6 +4597,55 @@ object SparkEntry {
         |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
         |SELECT l.doc_id, l.rep, c.cluster_size,
         |  true AS applied, cast(0 as bigint) AS retry_n
+        |FROM labels l JOIN csize c USING (rep)""".stripMargin,
+
+    // Cluster takedown: the maintained-then-takendown table must equal the
+    // from-scratch transitive clustering of the SURVIVING corpus (the
+    // %4==2 slice plus its id-shifted mirror, minus doc_id%7==0) — and an
+    // exact takedown leaves repairClusters nothing to heal (all-zero
+    // counts riding).
+    "q256_cluster_takedown" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 4 = 2),
+        |corpus AS (
+        |  SELECT doc_id, text FROM b
+        |  UNION ALL SELECT doc_id + 10000000, text FROM b),
+        |surv AS (SELECT doc_id, text FROM corpus WHERE doc_id % 7 <> 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM surv),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+        |SELECT l.doc_id, l.rep, c.cluster_size,
+        |  true AS applied, cast(0 as bigint) AS dangling,
+        |  cast(0 as bigint) AS min_viol, cast(0 as bigint) AS healed
         |FROM labels l JOIN csize c USING (rep)""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the

@@ -1820,6 +1820,158 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
 
   /**
+   * TAKEDOWN on a persisted cluster layout — the delete verb every other
+   * persisted layout pairs with its write path (near-dup index
+   * [[removeFromNearDupIndex]], pairs [[removeFromPairs]], BM25, IVF;
+   * reference analogue: the delete-op surface, DeleteOp.scala:21-39).
+   * Removes `ids` from BOTH halves of the layout: the pairs table first
+   * (the content-derived evidence must go too — that is what a takedown
+   * IS), then the clusters table, re-clustering ONLY the components a
+   * removed doc touched from the surviving pair evidence.
+   *
+   * Without this verb a raw `KeyedStore.deleteIndexed` on the clusters
+   * table leaves dangling representatives (members pointing at a removed
+   * rep — the min-id invariant silently breaks) and stale pair evidence
+   * that re-infects the next [[appendToClusters]].
+   *
+   * Exactness: untouched components cannot change (no pair crosses a
+   * component boundary by construction), so after the rewrite the table
+   * equals a from-scratch [[writeClusters]] of the surviving corpus —
+   * touched survivors re-cluster on their surviving pairs, survivors left
+   * with NO surviving pair drop out entirely (they are no longer
+   * duplicates of anything), and min-id representatives re-elect
+   * naturally (the q256 oracle asserts scratch-equality). The usual
+   * finite-`maxDf` caveat applies through [[removeFromPairs]]: a shingle
+   * whose df falls back under the cap only because removed docs carried
+   * it would add pairs in a scratch RE-MINE that the rewritten evidence
+   * lacks (capping under-mines by contract).
+   *
+   * Cost: O(|removed| + |touched components|) cluster work + the pairs
+   * rewrite — never O(corpus). Single-maintainer like every write verb.
+   * Returns (rows deleted, rows upserted) on the clusters table.
+   */
+  def removeFromClusters(spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String, pairsPath: String, ids: DataFrame,
+      threshold: Double = 0.8, maxIter: Int = 25,
+      targetFiles: Int = 8): (Long, Long) = {
+    import graft.store.KeyedStore
+    // snapshot the id list once — it may itself derive from readPairs/
+    // readClusters over the very layouts this verb rewrites
+    val rm = broadcast(graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("__rm"))))
+    val stored = KeyedStore.readKeyed(spark, clustersPath, "doc_id")
+      .select(col("doc_id"), col("rep"))
+    // components containing a removed doc — everything else is untouchable
+    val touchedReps = stored
+      .join(rm, col("doc_id") === col("__rm"), "left_semi")
+      .select(col("rep")).distinct()
+    val touchedSurvivors = stored
+      .join(rm, col("doc_id") === col("__rm"), "left_anti")
+      .join(touchedReps.withColumnRenamed("rep", "__tr"),
+        col("rep") === col("__tr"), "left_semi")
+      .select(col("doc_id"))
+    // rows to DELETE, part 1: removed ids present in the table (count them
+    // before any mutation — the plans read the pre-rewrite snapshots)
+    val removedRows = stored
+      .join(rm, col("doc_id") === col("__rm"), "left_semi")
+      .select(col("doc_id"))
+    // purge the pair evidence FIRST: readPairs below then serves exactly
+    // the surviving corpus's pairs
+    removeFromPairs(spark, pairsPath, rm.select(col("__rm")), targetFiles)
+    // surviving subgraph of the touched components only; endpoints of any
+    // pair share a component, but filter BOTH sides so an out-of-sync pair
+    // (appended to pairs but never folded into clusters) cannot smuggle an
+    // untouched doc into the re-cluster
+    val sp = readPairs(spark, pairsPath, threshold)
+    val ts = touchedSurvivors.withColumnRenamed("doc_id", "__ts")
+    val subPairs = sp
+      .join(ts, col("id_a") === col("__ts"), "left_semi")
+      .join(ts, col("id_b") === col("__ts"), "left_semi")
+      .select(col("id_a"), col("id_b"))
+    val newAssign = clusterDuplicates(subPairs, maxIter = maxIter)
+      .select(col("id").as("doc_id"), col("rep").as("new_rep"))
+    // rows to DELETE, part 2: touched survivors with no surviving pair —
+    // no longer near-duplicates of anything, exactly as a scratch
+    // clustering of the surviving corpus would drop them
+    val orphaned = touchedSurvivors
+      .join(newAssign.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val deletes = graft.Eager.materialize(
+      removedRows.unionByName(orphaned.select(col("doc_id"))))
+    // rows to UPSERT: touched survivors whose representative changed
+    val upserts = graft.Eager.materialize(
+      newAssign.join(stored, Seq("doc_id"))
+        .where(col("rep") =!= col("new_rep"))
+        .select(col("doc_id"), col("new_rep").as("rep")))
+    val (nDel, nUp) = (deletes.count(), upserts.count())
+    if (nDel > 0) KeyedStore.deleteIndexed(spark, clustersPath, deletes,
+      keyCol = "doc_id")
+    if (nUp > 0) KeyedStore.upsertIndexed(spark, clustersPath, upserts,
+      keyCol = "doc_id")
+    (nDel, nUp)
+  }
+
+  /** [[repairClusters]]' outcome: `danglingReps` = rep values with no row
+    * of their own (a removed rep still referenced), `minRepViolations` =
+    * rep-groups whose rep is not the group minimum, `healedRows` = rows
+    * upserted to restore the invariant. A second pass returns (0, 0, 0). */
+  final case class ClusterRepairStat(danglingReps: Long,
+      minRepViolations: Long, healedRows: Long) {
+    def ok: Boolean = danglingReps == 0 && minRepViolations == 0
+  }
+
+  /**
+   * Content-fsck for a [[writeClusters]] table — verify and heal REP
+   * CLOSURE, the invariant every reader of the layout leans on: each
+   * row's `rep` must itself be a stored row, a fixpoint (`rep(rep) =
+   * rep`), and the minimum id of its component. A crash between
+   * [[removeFromClusters]]' two mutations, or a raw
+   * `KeyedStore.deleteIndexed` takedown that skipped re-election, leaves
+   * dangling representatives and broken chains this verb repairs — the
+   * layout-content twin of [[graft.store.ManifestTable.fsck]]'s
+   * structural sweep (siblings: [[repairNearDupIndex]], the BM25 fsck).
+   *
+   * Heal rule: the stored (doc_id, rep) rows ARE edges, so connected
+   * components over them recover every chain and ghost link; each
+   * component re-elects the minimum EXISTING member as rep (a dangling
+   * ghost keeps the members it connected together — repair preserves
+   * grouping, it cannot consult pair evidence), and only rows whose rep
+   * changes are upserted. Violation-free tables return (0,0,0) without
+   * writing; the second pass after any heal is (0,0,0) by construction.
+   */
+  def repairClusters(spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String, maxIter: Int = 25): ClusterRepairStat = {
+    import graft.store.KeyedStore
+    val stored = graft.Eager.materialize(
+      KeyedStore.readKeyed(spark, clustersPath, "doc_id")
+        .select(col("doc_id"), col("rep")))
+    val docIds = stored.select(col("doc_id"))
+    val dangling = stored.select(col("rep")).distinct()
+      .join(docIds, col("rep") === col("doc_id"), "left_anti").count()
+    val minViol = stored.groupBy(col("rep"))
+      .agg(min(col("doc_id")).as("__mn"))
+      .where(col("rep") =!= col("__mn")).count()
+    if (dangling == 0 && minViol == 0)
+      return ClusterRepairStat(0L, 0L, 0L)
+    // components over assignment-as-edges (ghost reps ride as vertices and
+    // preserve the connectivity they provided) …
+    val cc = clusterDuplicates(
+      stored.select(col("doc_id").as("id_a"), col("rep").as("id_b")),
+      maxIter = maxIter)
+      .select(col("id").as("doc_id"), col("rep").as("__comp"))
+    // … but each component's new rep is its minimum EXISTING member
+    val newReps = cc.join(docIds, Seq("doc_id"), "left_semi")
+      .groupBy(col("__comp")).agg(min(col("doc_id")).as("__new_rep"))
+    val healed = graft.Eager.materialize(
+      stored.join(cc, Seq("doc_id")).join(newReps, Seq("__comp"))
+        .where(col("rep") =!= col("__new_rep"))
+        .select(col("doc_id"), col("__new_rep").as("rep")))
+    val n = healed.count()
+    if (n > 0) KeyedStore.upsertIndexed(spark, clustersPath, healed,
+      keyCol = "doc_id")
+    ClusterRepairStat(dangling, minViol, n)
+  }
+
+  /**
    * Cluster provenance rollup — the compliance answer dedup must not
    * destroy: when near-duplicates collapse to one survivor, WHERE did the
    * cluster's members come from (sources, licenses, crawl snapshots)?

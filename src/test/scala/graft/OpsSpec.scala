@@ -1598,4 +1598,86 @@ class OpsSpec extends SparkSpec {
     assert(prev(10L) == 10L && prev(12L) == 10L && prev(1L) == 1L,
       "keep-one-back funds the pre-merge audit view")
   }
+
+  test("removeFromClusters: takedown purges pair evidence, re-elects min " +
+      "reps, splits chains, drops orphaned survivors — scratch-equal to " +
+      "clustering the surviving corpus; repairClusters then heals nothing") {
+    import graft.store.KeyedStore
+    val base = java.nio.file.Files.createTempDirectory("graft_ctd").toString
+    val pairsPath = base + "/pairs"
+    val clustersPath = base + "/clusters"
+    // exact-dup groups {1,2,3} and {10,11}; a 4-doc sliding-window CHAIN
+    // 40~41~42~43 (consecutive jaccard 0.6, skip-one 1/3) — near-dup at
+    // threshold 0.5, and removing 41 genuinely SPLITS it
+    val w = (1 to 16).map(i => s"w$i")
+    def win(from: Int) = w.slice(from, from + 10).mkString(" ")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (10L, "zeta eta theta iota kappa"),
+      (11L, "zeta eta theta iota kappa"),
+      (40L, win(0)), (41L, win(2)), (42L, win(4)), (43L, win(6)))
+      .toDF("doc_id", "text")
+    Dedup.writePairs(docs, "doc_id", "text", pairsPath)
+    Dedup.writeClusters(spark, pairsPath, clustersPath, threshold = 0.5)
+    def state(): Map[Long, (Long, Long)] =
+      Dedup.readClusters(spark, clustersPath).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state() == Map(1L -> (1L, 3L), 2L -> (1L, 3L), 3L -> (1L, 3L),
+      10L -> (10L, 2L), 11L -> (10L, 2L),
+      40L -> (40L, 4L), 41L -> (40L, 4L), 42L -> (40L, 4L), 43L -> (40L, 4L)))
+    // takedown {1 (a rep), 10 (a rep whose partner orphans), 41 (a chain
+    // link whose removal splits the component and orphans 40)}
+    val (nDel, nUp) = Dedup.removeFromClusters(spark, clustersPath,
+      pairsPath, Seq(1L, 10L, 41L).toDF("doc_id"), threshold = 0.5)
+    assert(nDel == 5L, s"deletes = removed {1,10,41} + orphans {11,40}: $nDel")
+    assert(nUp == 4L, s"upserts = re-elected {2,3} + split {42,43}: $nUp")
+    assert(state() == Map(2L -> (2L, 2L), 3L -> (2L, 2L),
+      42L -> (42L, 2L), 43L -> (42L, 2L)),
+      "rep re-elected to the surviving minimum; the split tail re-clusters")
+    // the pair evidence is purged too: no surviving row names a removed id
+    val survivingPairs = Dedup.readPairs(spark, pairsPath, 0.2)
+      .select(col("id_a"), col("id_b")).collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(!survivingPairs.exists(Set(1L, 10L, 41L)),
+      "takedown must purge the content-derived pair evidence")
+    // scratch equality: a fresh mine+cluster of the surviving corpus
+    val scratchBase = java.nio.file.Files
+      .createTempDirectory("graft_ctd_scratch").toString
+    Dedup.writePairs(docs.where(!col("doc_id").isin(1L, 10L, 41L)),
+      "doc_id", "text", scratchBase + "/pairs")
+    Dedup.writeClusters(spark, scratchBase + "/pairs",
+      scratchBase + "/clusters", threshold = 0.5)
+    val scratch = Dedup.readClusters(spark, scratchBase + "/clusters")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(state() == scratch, "takedown must equal from-scratch clustering")
+    // an exact takedown leaves rep closure intact: repair finds nothing
+    assert(Dedup.repairClusters(spark, clustersPath) ==
+      Dedup.ClusterRepairStat(0L, 0L, 0L))
+  }
+
+  test("repairClusters: a raw keyed delete's dangling rep is detected and " +
+      "healed (min surviving member re-elected); second pass is (0,0,0)") {
+    import graft.store.KeyedStore
+    val clustersPath = java.nio.file.Files
+      .createTempDirectory("graft_crep").toString + "/clusters"
+    // persisted assignment {2,3,4} rep 2, {10,11} rep 10
+    KeyedStore.writeIndexed(Seq((2L, 2L), (3L, 2L), (4L, 2L),
+      (10L, 10L), (11L, 10L)).toDF("doc_id", "rep"),
+      clustersPath, keyCol = "doc_id")
+    // the misuse this verb exists for: a raw takedown deletes the REP row
+    // without re-electing — members 3,4 now point at a ghost
+    KeyedStore.deleteIndexed(spark, clustersPath,
+      Seq(2L).toDF("doc_id"), keyCol = "doc_id")
+    val st = Dedup.repairClusters(spark, clustersPath)
+    assert(st == Dedup.ClusterRepairStat(1L, 1L, 2L),
+      s"one dangling rep, one min violation, two rows healed: $st")
+    val healed = KeyedStore.readKeyed(spark, clustersPath, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(healed == Map(3L -> 3L, 4L -> 3L, 10L -> 10L, 11L -> 10L),
+      s"min surviving member re-elected; untouched group intact: $healed")
+    assert(Dedup.repairClusters(spark, clustersPath) ==
+      Dedup.ClusterRepairStat(0L, 0L, 0L), "idempotent second pass")
+  }
 }
