@@ -4174,6 +4174,36 @@ object SparkEntry {
         .crossJoin(broadcast(Seq((nDel > 0 && nUp > 0,
             st.danglingReps, st.minRepViolations, st.healedRows))
           .toDF("applied", "dangling", "min_viol", "healed")))
+    }),
+
+    // --- the production near-dup loop END-TO-END as a stream (round 16):
+    //     day-0 mines + clusters + persists the %4==0 corpus; the %4==1
+    //     docs arrive as TWO micro-batches whose foreachBatch mines pairs
+    //     under epoch tags AND folds each epoch's pairs into the persisted
+    //     cluster table (appendToClusters' O(delta) maintenance); the
+    //     whole stream then REPLAYS — every epoch must no-op (tag
+    //     short-circuit + empty rep graph). Oracle = q255's: from-scratch
+    //     transitive clustering of the union pair set; the twice-run
+    //     stream's table must be indistinguishable from it. ---------------
+    "q257_stream_cluster_ingest" -> ((s, dir) => {
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val pairsPath = sys.props("java.io.tmpdir") + s"/graft_q257_pairs_$salt"
+      val clustersPath =
+        sys.props("java.io.tmpdir") + s"/graft_q257_clusters_$salt"
+      val docs = T(s, dir, "documents")
+      Dedup.writePairs(docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
+        pairsPath, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      Dedup.writeClusters(s, pairsPath, clustersPath, threshold = 0.8)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoClusters(
+        graft.streaming.Streaming.docsReplay(s, dir, 2)
+          .where(col("doc_id") % 4 === 1).select(col("doc_id"), col("text")),
+        pairsPath, clustersPath, "doc_id", "text", shingleSize = 3,
+        minJaccard = 0.2, maxDf = Some(1000), threshold = 0.8)
+        .awaitTermination()
+      run()
+      run() // full replay: tags no-op the mines, the cluster folds are no-ops
+      Dedup.readClusters(s, clustersPath)
     })
   )
 
@@ -4646,6 +4676,45 @@ object SparkEntry {
         |SELECT l.doc_id, l.rep, c.cluster_size,
         |  true AS applied, cast(0 as bigint) AS dangling,
         |  cast(0 as bigint) AS min_viol, cast(0 as bigint) AS healed
+        |FROM labels l JOIN csize c USING (rep)""".stripMargin,
+
+    // Streamed cluster ingest replayed twice must be indistinguishable
+    // from one from-scratch clustering of the union pair set — q255's
+    // oracle without the riding columns.
+    "q257_stream_cluster_ingest" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 4 <= 1),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
+        |SELECT l.doc_id, l.rep, c.cluster_size
         |FROM labels l JOIN csize c USING (rep)""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the

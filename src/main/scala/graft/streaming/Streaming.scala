@@ -330,6 +330,53 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /**
+   * Streaming ingest into a PERSISTED CLUSTER layout — the production
+   * near-dup loop end-to-end: each micro-batch mines its pairs into the
+   * [[graft.ops.Dedup.writePairs]] table via [[ingestIntoPairs]]'
+   * epoch-tagged discipline, then folds THIS epoch's pairs into the
+   * [[graft.ops.Dedup.writeClusters]] table through
+   * [[graft.ops.Dedup.appendToClusters]]' rep-contracted O(delta)
+   * maintenance. The epoch's delta is re-derived as "surviving pairs that
+   * name a batch id" rather than carried in memory, so replay semantics
+   * compose from parts that are each idempotent: a replayed epoch's
+   * appendPairs no-ops on its tag, the SAME delta re-reads, and
+   * appendToClusters folds it as an exact no-op (all endpoints already
+   * share representatives — q255's proven blind-retry contract). However
+   * many times the stream restarts, the cluster table equals a
+   * from-scratch clustering of the union corpus (the q257 oracle).
+   *
+   * Both base layouts must exist ([[graft.ops.Dedup.writePairs]] +
+   * [[graft.ops.Dedup.writeClusters]] first); floors/caps must match the
+   * pairs layout's, `threshold` the clusters'.
+   */
+  def ingestIntoClusters(stream: DataFrame, pairsPath: String,
+      clustersPath: String, idCol: String, textCol: String,
+      shingleSize: Int = 3, minJaccard: Double = 0.2,
+      maxDf: Option[Int] = Some(1000), threshold: Double = 0.8,
+      tagPrefix: String = "stream"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        graft.ops.Dedup.appendPairs(batch.toDF(), idCol, textCol, pairsPath,
+          shingleSize, minJaccard, maxDf, batchId = Some(s"$tagPrefix-$id"))
+        val bids = broadcast(batch.toDF()
+          .select(col(idCol).as("__bid")).distinct())
+        val p = graft.ops.Dedup.readPairs(spark, pairsPath, threshold)
+        // pairs naming a batch id on EITHER side; the union may list a
+        // both-sides-new pair twice — appendToClusters' edge distinct
+        // absorbs that
+        val delta = p.join(bids, p("id_a") === col("__bid"), "left_semi")
+          .unionByName(p.join(bids, p("id_b") === col("__bid"), "left_semi"))
+          .select(col("id_a"), col("id_b"))
+        graft.ops.Dedup.appendToClusters(spark, clustersPath, delta): Unit
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   def incrementIntoTable(deltas: DataFrame, tablePath: String,
       keyCol: String = "key"): org.apache.spark.sql.streaming.StreamingQuery =
     deltas.writeStream

@@ -899,6 +899,51 @@ class StreamingSpec extends SparkSpec {
       "replay must not append a single posting")
   }
 
+  test("ingestIntoClusters: exactly-once across a FULL stream replay — " +
+      "the persisted cluster table scratch-equal to clustering a single " +
+      "mine of the union; replay leaves the table identical") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta zeta"),
+      (3L, "alpha beta gamma eta theta"),
+      (4L, "iota kappa lambda mu nu"),
+      (5L, "alpha beta gamma delta epsilon xi"),
+      (6L, "iota kappa lambda mu omicron")).toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_sclust").toString
+    val pairsPath = root + "/pairs"
+    val clustersPath = root + "/clusters"
+    Dedup.writePairs(docs.where(col("id") <= 2), "id", "text", pairsPath,
+      shingleSize = 3, minJaccard = 0.1, maxDf = None)
+    Dedup.writeClusters(spark, pairsPath, clustersPath, threshold = 0.1)
+    def run(): Unit = Streaming.ingestIntoClusters(
+      stagedStream(root, Seq(docs.where(col("id") === 3 || col("id") === 4),
+        docs.where(col("id") >= 5))),
+      pairsPath, clustersPath, "id", "text", shingleSize = 3,
+      minJaccard = 0.1, maxDf = None, threshold = 0.1).awaitTermination()
+    run()
+    def state(): Set[(Long, Long, Long)] =
+      Dedup.readClusters(spark, clustersPath).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = state()
+    // scratch twin: one mine of the union corpus, clustered from scratch
+    val fresh = root + "/fresh"
+    Dedup.writePairs(docs, "id", "text", fresh,
+      shingleSize = 3, minJaccard = 0.1, maxDf = None)
+    val scratch = Dedup.clusterDuplicates(
+        Dedup.readPairs(spark, fresh, threshold = 0.1)
+          .select(col("id_a"), col("id_b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == scratch,
+      s"streamed cluster table must equal the scratch clustering:\n" +
+        s"streamed=$streamed\nscratch=$scratch")
+    assert(streamed.nonEmpty, "the corpus plants near-dups — table non-empty")
+    run() // fresh checkpoint replays epochs 0..1 under the SAME tags
+    assert(state() == streamed,
+      "replay must leave the cluster table identical")
+  }
+
   test("ingestIntoIvfCorpus: exactly-once across a FULL stream replay — " +
       "every vector in exactly one cell row; probe sees the streamed batch") {
     import graft.ops.Similarity
