@@ -4204,6 +4204,96 @@ object SparkEntry {
       run()
       run() // full replay: tags no-op the mines, the cluster folds are no-ops
       Dedup.readClusters(s, clustersPath)
+    }),
+
+    // --- S16 alterScript EXECUTED against the live catalog (round 16 —
+    //     the one DDL verb q254 left spec-gated; reference golden strings
+    //     ExampleSchema.scala:172-198): a v1 table (stats family, TTL
+    //     86400) is created and populated; the v2 declaration adds a NEW
+    //     family and retunes the TTL to 3600; alterScript reconciles —
+    //     ADD COLUMNS + SET TBLPROPERTIES, executed statement by
+    //     statement. Proof obligations riding: the emitted script carries
+    //     both clauses, the catalog's TTL property reads back 3600, and
+    //     OLD files read through the WIDENED schema as nulls (the
+    //     readAligned semantics the scaladoc promises). Oracle replays the
+    //     per-lang rollup the altered table then serves. -------------------
+    "q258_ddl_alter" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val suffix = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val loc = sys.props("java.io.tmpdir") + s"/graft_q258_$suffix"
+      val v1 = new graft.schema.TableDef(s"graft_q258_stats_$suffix", StringType)
+        .family("stats", ttlSeconds = 86400)
+        .col("stats", "n_docs", LongType)
+      s.sql(v1.deleteScript): Unit
+      s.sql(v1.createScript(loc)): Unit
+      val perLang = T(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("size(filter(split(text, ' '), x -> x != ''))")
+            .cast("long")).as("tok_sum"))
+      perLang.select(col("lang").as("key"),
+          struct(col("n_docs")).as("stats"))
+        .write.mode("overwrite").insertInto(v1.name)
+      val v2 = new graft.schema.TableDef(v1.name, StringType)
+        .family("stats", ttlSeconds = 3600)
+        .col("stats", "n_docs", LongType)
+        .family("extra")
+        .col("extra", "tok_sum", LongType)
+      val script = v2.alterScript(s.table(v1.name).schema) // S16 alterScript
+      script.split(";\n").filter(_.trim.nonEmpty).foreach(st => s.sql(st): Unit)
+      // v1-written files read through the WIDENED schema with null extras
+      val nLangs = s.table(v1.name).count()
+      val nullsAfterAdd = s.table(v1.name)
+        .where(col("extra.tok_sum").isNull).count()
+      val ttlApplied = s.sql(s"SHOW TBLPROPERTIES ${v1.name}")
+        .where(col("key") === "graft.family.stats.ttlSeconds")
+        .collect().headOption.exists(_.getString(1) == "3600")
+      perLang.select(col("lang").as("key"),
+          struct(col("n_docs")).as("stats"),
+          struct(col("tok_sum")).as("extra"))
+        .write.mode("overwrite").insertInto(v1.name)
+      s.table(v1.name).select(col("key").as("lang"),
+          col("stats.n_docs").as("n_docs"), col("extra.tok_sum").as("tok_sum"))
+        .crossJoin(broadcast(Seq((
+            script.contains("ADD COLUMNS (extra"),
+            script.contains("'graft.family.stats.ttlSeconds'='3600'"),
+            ttlApplied, nullsAfterAdd == nLangs && nLangs > 0))
+          .toDF("alter_adds_family", "alter_sets_ttl", "ttl_applied",
+            "old_reads_null")))
+    }),
+
+    // --- decimal-keyed store lifecycle (round 16): the q62 twin on
+    //     decimal(12,2) keys — the one key family whose index router was
+    //     natived in round 15 (expressions.scala decimal router) but had
+    //     no oracle row writing/merging/deleting through it end-to-end.
+    //     Fractional keys (custkey + 0.25) exercise the decimal binary-
+    //     search path; the oracle replays the merge in SQL. ----------------
+    "q259_decimal_store" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q259_")
+        .resolve("t").toString
+      val c = T(s, dir, "customer")
+        .select((col("c_custkey").cast("decimal(12,2)") + lit(0.25))
+            .cast("decimal(12,2)").as("key"),
+          col("c_name"), col("c_mktsegment"))
+      KeyedStore.writeIndexed(c, tmp, "key", numRanges = 8)
+      val updates = c.where(pmod(col("key"), lit(97)) === lit(0.25))
+        .withColumn("c_name", concat(lit("UPD_"), col("c_name")))
+      val inserts = c.where(pmod(col("key"), lit(131)) === lit(0.25))
+        .withColumn("key",
+          (col("key") + lit(10000000)).cast("decimal(12,2)"))
+        .withColumn("c_name", concat(lit("NEW_"), col("c_name")))
+      KeyedStore.upsertIndexed(s, tmp, updates.unionByName(inserts), "key")
+      KeyedStore.deleteIndexed(s, tmp,
+        c.where(pmod(col("key"), lit(113)) === lit(0.25)).select(col("key")),
+        "key")
+      // the store holds decimal(12,2) keys end-to-end (the router's
+      // exercise); the OUTPUT casts to double only because the comparison
+      // harness normalizes floats but not Decimal objects
+      KeyedStore.readKeyed(s, tmp, "key")
+        .select(col("key").cast("double").as("key"), col("c_name").as("name"),
+          col("c_mktsegment").as("segment"))
     })
   )
 
@@ -4716,6 +4806,40 @@ object SparkEntry {
         |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
         |SELECT l.doc_id, l.rep, c.cluster_size
         |FROM labels l JOIN csize c USING (rep)""".stripMargin,
+
+    // DDL alter: the altered table serves the per-lang rollup through the
+    // widened schema; the three executed-DDL proofs ride as booleans the
+    // Spark side computes from the LIVE catalog and the emitted script.
+    "q258_ddl_alter" ->
+      """WITH tok AS (
+        |  SELECT lang,
+        |    cast(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      as bigint) AS n
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, cast(sum(n) as bigint) AS tok_sum,
+        |  true AS alter_adds_family, true AS alter_sets_ttl,
+        |  true AS ttl_applied, true AS old_reads_null
+        |FROM tok GROUP BY lang""".stripMargin,
+
+    // Decimal-keyed lifecycle: replay the upsert + insert + delete merge
+    // over decimal(12,2) keys in SQL.
+    "q259_decimal_store" ->
+      """WITH c AS (
+        |  SELECT cast(c_custkey as decimal(12,2)) + 0.25 AS key,
+        |         c_custkey, c_name, c_mktsegment FROM customer),
+        |upd AS (SELECT c_custkey, 'UPD_' || c_name AS c_name FROM c
+        |        WHERE c_custkey % 97 = 0),
+        |merged AS (
+        |  SELECT c.key, coalesce(u.c_name, c.c_name) AS name,
+        |         c.c_mktsegment AS segment, c.c_custkey
+        |  FROM c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+        |  UNION ALL
+        |  SELECT cast(c.key + 10000000 as decimal(12,2)) AS key,
+        |         'NEW_' || c_name AS name, c_mktsegment AS segment,
+        |         c_custkey + 10000000 AS c_custkey
+        |  FROM c WHERE c_custkey % 131 = 0)
+        |SELECT cast(key as double) AS key, name, segment FROM merged
+        |WHERE c_custkey % 113 <> 0 OR c_custkey > 10000000""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.
