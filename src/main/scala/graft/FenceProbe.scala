@@ -56,13 +56,38 @@ object FenceProbe {
             (System.nanoTime() - t0) / 1e6
           })
           finally fs.getConf.set("graft.commit.verify", "auto")
+        // conditional-PUT dialect: the same commit through a CAS arbiter
+        // (zero-window claim) — exists-check + exclusive create under a
+        // lock, the cost shape of an If-None-Match PUT minus the store's
+        // own round-trip
+        GraftIndex.registerArbiter("file",
+          new org.apache.spark.sql.graft.CommitArbiter {
+            private val lock = new Object
+            def commit(cfs: org.apache.hadoop.fs.FileSystem, target: Path,
+                payload: Array[Byte]): Unit = lock.synchronized {
+              if (cfs.exists(target))
+                throw new org.apache.spark.sql.graft
+                  .GraftConcurrentCommitException(
+                    s"conditional PUT precondition failed for $target")
+              val out = cfs.create(target, false)
+              try out.write(payload) finally out.close()
+            }
+          })
+        val commitArbiterMs =
+          try med((1 to 5).map { _ =>
+            val t0 = System.nanoTime()
+            base = GraftIndex.writeRanges(spark, dir, "key", "num", ranges,
+              manifest = true, basedOn = Some(base))
+            (System.nanoTime() - t0) / 1e6
+          })
+          finally GraftIndex.unregisterArbiter("file")
         val planMs = med((1 to 5).map { _ =>
           val t0 = System.nanoTime()
           require(GraftIndex.readAllVersioned(new Path(dir), conf)
             .head._2.ranges.size == n)
           (System.nanoTime() - t0) / 1e6
         })
-        f""""commit_ms_$n":${math.rint(commitMs * 10) / 10},"commit_verified_ms_$n":${math.rint(commitVerifiedMs * 10) / 10},"plan_ms_$n":${math.rint(planMs * 10) / 10}"""
+        f""""commit_ms_$n":${math.rint(commitMs * 10) / 10},"commit_verified_ms_$n":${math.rint(commitVerifiedMs * 10) / 10},"commit_arbiter_ms_$n":${math.rint(commitArbiterMs * 10) / 10},"plan_ms_$n":${math.rint(planMs * 10) / 10}"""
       }
       println(s"""{"metric":"fence_probe","unit":"ms",${cells.mkString(",")}}""")
     } finally spark.stop()

@@ -3102,10 +3102,24 @@ object SparkEntry {
       Dedup.compactPairs(s, path, targetFiles = 4)
       val scored = docs.select(col("doc_id"), col("lang"),
         TextOps.qualityScore(col("text")).as("q"))
+      // capped==uncapped exactness check (round-16 advisory): every capped
+      // mine's oracle is UNCAPPED SQL, valid only while no shingle's df
+      // reaches the cap. Measure the FULL corpus's max shingle df (a
+      // superset of every %4-slice corpus the pair queries mine) and ride
+      // the verdict: at a larger SF where the assumption breaks, this
+      // column flips false against the oracle's literal true — a named
+      // diagnostic instead of a confusing hash mismatch.
+      val maxDf = Dedup.hashedShingles(T(s, dir, "documents"),
+          "doc_id", "text", 3)
+        .select(explode(col("th")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
+      import s.implicits._
       Dedup.removeDuplicatesKeepBest(scored, "doc_id",
           Dedup.readPairs(s, path, threshold = 0.8), "q")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .crossJoin(broadcast(Seq(maxDf <= 1000L).toDF("df_cap_ok")))
     }),
 
     // --- the ingest loop WITH its compaction step: index the corpus, run
@@ -4169,11 +4183,18 @@ object SparkEntry {
       val (nDel, nUp) = Dedup.removeFromClusters(s, clustersPath, pairsPath,
         removed, threshold = 0.8)
       val st = Dedup.repairClusters(s, clustersPath)
+      // the mirrored corpus doubles every shingle's df — check the capped
+      // mine's exactness assumption on THIS corpus, not the base one
+      val maxDf = Dedup.hashedShingles(corpus, "doc_id", "text", 3)
+        .select(explode(col("th")).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+        .agg(coalesce(max(col("df")), lit(0L))).head().getLong(0)
       import s.implicits._
       Dedup.readClusters(s, clustersPath)
         .crossJoin(broadcast(Seq((nDel > 0 && nUp > 0,
-            st.danglingReps, st.minRepViolations, st.healedRows))
-          .toDF("applied", "dangling", "min_viol", "healed")))
+            st.danglingReps, st.minRepViolations, st.healedRows,
+            maxDf <= 1000L))
+          .toDF("applied", "dangling", "min_viol", "healed", "df_cap_ok")))
     }),
 
     // --- the production near-dup loop END-TO-END as a stream (round 16):
@@ -4537,7 +4558,10 @@ object SparkEntry {
 
     // q219: append ≡ scratch (uncapped) — q165's SQL over the quarter
     // corpus with the cap CTE removed.
-    "q219_pair_append" -> pairAppendScratchSql,
+    // q219 additionally rides the capped==uncapped assumption check: the
+    // oracle pins the LITERAL true, the Spark side measures the corpus
+    "q219_pair_append" ->
+      s"SELECT *, true AS df_cap_ok FROM (\n$pairAppendScratchSql\n)",
 
     // Streamed-epoch ingest with a full replay ≡ the same scratch mine:
     // q219's oracle verbatim.
@@ -4765,7 +4789,8 @@ object SparkEntry {
         |csize AS (SELECT rep, count(*) AS cluster_size FROM labels GROUP BY rep)
         |SELECT l.doc_id, l.rep, c.cluster_size,
         |  true AS applied, cast(0 as bigint) AS dangling,
-        |  cast(0 as bigint) AS min_viol, cast(0 as bigint) AS healed
+        |  cast(0 as bigint) AS min_viol, cast(0 as bigint) AS healed,
+        |  true AS df_cap_ok
         |FROM labels l JOIN csize c USING (rep)""".stripMargin,
 
     // Streamed cluster ingest replayed twice must be indistinguishable

@@ -125,7 +125,7 @@ object ManifestTable {
     * rename-into-existing-dir semantics of a shared name silently nest or
     * replace bytes). Crashed claims just skip a number: the next claim
     * counts them as used, and retire/fsck sweep them. */
-  private def claimNextGen(fs: org.apache.hadoop.fs.FileSystem, dir: Path): String = {
+  private[graft] def claimNextGen(fs: org.apache.hadoop.fs.FileSystem, dir: Path): String = {
     fs.mkdirs(dir): Unit
     val used = genDirs(fs, dir).map(genNum) ++ claimFiles(fs, dir).map(_._1)
     val name = f"$GenPrefix${used.maxOption.map(_ + 1).getOrElse(0)}%09d"
@@ -139,6 +139,7 @@ object ManifestTable {
     org.apache.spark.sql.graft.GraftIndex.writeCommitFile(
       fs, new Path(dir, ClaimPrefix + name), nonce.getBytes("UTF-8"))
     claimNonces.put(claimKey(fs, dir, name), nonce)
+    recordClaimThread(fs, dir, name)
     name
   }
 
@@ -154,7 +155,60 @@ object ManifestTable {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def claimKey(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
       gen: String): String =
-    s"${fs.getUri}${dir.toUri.getPath}/$gen#${Thread.currentThread().getId}"
+    s"${baseClaimKey(fs, dir, gen)}#${Thread.currentThread().getId}"
+  private def baseClaimKey(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String): String =
+    s"${fs.getUri}${dir.toUri.getPath}/$gen"
+  // which thread(s) claimed each gen this JVM — the thread id IS the
+  // attempt identity (claim→stage→commit runs synchronously on one driver
+  // thread), and this map makes that assumption LOUD instead of silent: a
+  // future verb that claims on one thread and commits on another would
+  // find no nonce at commit time and silently disable stolen-claim
+  // detection (round-15 advisory) — commit() asserts against this map.
+  private val claimThreads =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.Set[java.lang.Long]]()
+  private def recordClaimThread(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, gen: String): Unit =
+    claimThreads.computeIfAbsent(baseClaimKey(fs, dir, gen),
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]())
+      .add(Thread.currentThread().getId): Unit
+  private def releaseClaimThread(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, gen: String): Unit = {
+    val key = baseClaimKey(fs, dir, gen)
+    Option(claimThreads.get(key)).foreach { s =>
+      s.remove(Thread.currentThread().getId)
+      if (s.isEmpty) claimThreads.remove(key, s): Unit
+    }
+  }
+
+  // staged-generation attempt sentinel (round-15 advisory): on a PUT store
+  // two racers whose claim PUTs land inside each other's verify windows
+  // both stage into the SAME gen dir via mode("overwrite") — the claim
+  // re-check convicts the one whose claim file was replaced, but nothing
+  // validated the staged BYTES. Every staging verb stamps its claim nonce
+  // into <gen>/_ATTEMPT as its LAST staging write; commit() re-reads it on
+  // verify-after-write stores, so a commit can no longer publish a rival's
+  // (possibly still-writing) staged content.
+  private val AttemptName = "_ATTEMPT"
+  private[graft] def stampStaged(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String): Unit =
+    claimNonces.get(claimKey(fs, dir, gen)) match {
+      case null => ()
+      case nonce =>
+        val out = fs.create(new Path(new Path(dir, gen), AttemptName), true)
+        try out.write(nonce.getBytes("UTF-8")) finally out.close()
+    }
+  private def stagedAttemptMatches(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, gen: String, nonce: String): Boolean = {
+    val p = new Path(new Path(dir, gen), AttemptName)
+    // absent = external/legacy staging that never stamped — not a verdict
+    !fs.exists(p) || scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }.toOption.contains(nonce)
+  }
 
   /** Whether this attempt still owns `gen`'s claim file. True when no
     * nonce was recorded (fsck re-commits claimless — claim handling is not
@@ -201,6 +255,7 @@ object ManifestTable {
           fs.delete(new Path(dir, ClaimPrefix + gen), false)
         }
         claimNonces.remove(claimKey(fs, dir, gen))
+        releaseClaimThread(fs, dir, gen)
         throw e
     }
 
@@ -488,7 +543,7 @@ object ManifestTable {
     * as an orphan for retire/fsck to sweep, and its caller retries from
     * fresh state. Re-committing the already-live generation is allowed
     * (fsck's durable heal). */
-  private def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String,
+  private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String,
       parent: Option[String]): Unit = {
     import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
     // inline self-heal (round 15): torn pointer versions (above the newest
@@ -532,12 +587,40 @@ object ManifestTable {
     // been sharing this staged gen dir — catch it HERE, where the whole
     // staging duration separates the claim from the commit, and publish
     // nothing (the dir may hold the racer's bytes)
-    if (GraftIndex.verifyAfterWrite(fs) && !claimOwned(fs, dir, gen))
-      throw new GraftConcurrentCommitException(
-        s"ManifestTable: claim for $gen at $dir was overwritten by a " +
-          "concurrent maintainer (non-atomic-create store) — the staged " +
-          "generation may be shared; this commit was fenced off and " +
-          "applied nothing (serialize the maintainers and retry)")
+    if (GraftIndex.verifyAfterWrite(fs)) {
+      if (!claimOwned(fs, dir, gen))
+        throw new GraftConcurrentCommitException(
+          s"ManifestTable: claim for $gen at $dir was overwritten by a " +
+            "concurrent maintainer (non-atomic-create store) — the staged " +
+            "generation may be shared; this commit was fenced off and " +
+            "applied nothing (serialize the maintainers and retry)")
+      val mine = claimNonces.get(claimKey(fs, dir, gen))
+      // attempt-identity assertion (round-15 advisory): the nonce map is
+      // keyed by claiming thread; a verb that claimed on another thread
+      // would read null here and silently run with stolen-claim detection
+      // OFF — refuse loudly instead (fsck's claimless re-commit keeps
+      // working: nothing claimed that gen this JVM at all)
+      if (mine == null &&
+          Option(claimThreads.get(baseClaimKey(fs, dir, gen)))
+            .exists(!_.isEmpty))
+        throw new IllegalStateException(
+          s"ManifestTable: $gen at $dir was claimed on thread(s) " +
+            s"${claimThreads.get(baseClaimKey(fs, dir, gen))} but is being " +
+            s"committed on thread ${Thread.currentThread().getId} — the " +
+            "claim nonce cannot be resolved and stolen-claim detection " +
+            "would be silently disabled; run claim, stage, and commit on " +
+            "one thread (the attempt identity)")
+      // staged-bytes ownership: the last staging write stamped this
+      // attempt's nonce into the gen dir — a rival that re-staged the same
+      // dir (shared-claim sub-case) replaced the stamp and is caught here
+      if (mine != null && !stagedAttemptMatches(fs, dir, gen, mine))
+        throw new GraftConcurrentCommitException(
+          s"ManifestTable: staged generation $gen at $dir holds a rival " +
+            "attempt's bytes (the _ATTEMPT stamp does not match this " +
+            "claim's nonce) — two maintainers staged into one generation " +
+            "dir on a non-atomic-create store; this commit was fenced off " +
+            "and applied nothing (serialize the maintainers and retry)")
+    }
     // third line = attempt-unique nonce (readers tolerate trailing lines):
     // on non-atomic-create stores the verify read inside writeCommitFile
     // convicts a racer that replaced this pointer, and the loser throws
@@ -553,6 +636,7 @@ object ManifestTable {
     // "possibly uncommitted" to the resolver fallback and the sweeps
     fs.delete(new Path(dir, ClaimPrefix + gen), false): Unit
     claimNonces.remove(claimKey(fs, dir, gen)): Unit
+    releaseClaimThread(fs, dir, gen)
   }
 
   /** Retire every generation except `live` and the generation that was
@@ -607,6 +691,7 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(s"$table/$next")
     writeMetaLines(fs, new Path(dir, next), ParentName,
       Seq(prevLive.getOrElse(NoParent)))
+    stampStaged(fs, dir, next)
     // legacy flat data files (pre-manifest layout) are superseded by this
     // overwrite; MANIFEST does not exist yet in that case, so no reader
     // resolves to them after the commit below. The TAGS marker is swept
@@ -746,6 +831,7 @@ object ManifestTable {
     }
     // non-data markers from the flat write (_SUCCESS) stay behind harmlessly
     writeMetaLines(fs, genPath, ParentName, Seq(NoParent))
+    stampStaged(fs, dir, gen)
     commit(fs, dir, gen, parent = None)
   }
 
@@ -784,6 +870,7 @@ object ManifestTable {
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$table/$next")
     writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
+    stampStaged(fs, dir, next)
     commitOrCleanup(fs, dir, next, Some(live))
     retire(fs, dir, next, Some(live), keepVersionsOf(spark))
   }
@@ -807,6 +894,7 @@ object ManifestTable {
     val genPath = new Path(dir, gen)
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
+    stampStaged(fs, dir, gen)
     commitOrCleanup(fs, dir, gen, Some(parent))
     retire(fs, dir, gen, Some(parent), keepVersionsOf(spark))
   }
@@ -860,6 +948,7 @@ object ManifestTable {
     val nextPath = new Path(dir, next)
     if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
     writeMetaLines(fs, nextPath, ParentName, Seq(live))
+    stampStaged(fs, dir, next)
     commitOrCleanup(fs, dir, next, Some(live))
     retire(fs, dir, next, Some(live), keepVersionsOf(spark))
     small.length

@@ -909,8 +909,11 @@ object KeyBounds {
  * byte-compared, and a mismatch throws before any post-commit step — a
  * racer that silently replaced this commit is detected and this writer
  * loses LOUDLY. The residual window (a PUT landing after the verify read)
- * is bounded by the PUT-to-verify latency; stores needing zero-window
- * guarantees should serialize maintainers (the documented contract).
+ * is CLOSED when a [[CommitArbiter]] is registered for the store's scheme
+ * (a conditional-PUT/If-None-Match dialect — the arbiter's create is
+ * atomic, so no late PUT can exist), and bounded to the PUT-to-verify
+ * latency otherwise; arbiter-less stores needing zero-window guarantees
+ * should serialize maintainers (the documented contract).
  *
  * Readers take the highest parseable version; the legacy un-suffixed
  * `_graft_index` file reads as version 0. Writers retain the newest
@@ -1040,26 +1043,57 @@ object GraftIndex {
       case _ => !AtomicCreateSchemes.contains(fs.getUri.getScheme)
     }
 
+  // Scheme-keyed conditional-commit registry (the verifyAfterWrite pattern
+  // one step stronger): deployments whose object store offers a
+  // conditional PUT register an arbiter once per scheme and every commit
+  // file in the engine (index versions, manifest pointers, claim markers)
+  // publishes through it.
+  private val arbiters =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitArbiter]()
+
+  /** Register the conditional-commit dialect for a scheme (e.g. an
+    * If-None-Match PUT for an object store). Replaces any prior arbiter
+    * for the scheme; [[unregisterArbiter]] restores the default
+    * create-exclusive + verify-after-write dialect. */
+  def registerArbiter(scheme: String, arbiter: CommitArbiter): Unit =
+    arbiters.put(scheme, arbiter): Unit
+
+  def unregisterArbiter(scheme: String): Unit =
+    arbiters.remove(scheme): Unit
+
+  /** The arbiter for this store, if one is registered for its scheme. */
+  def arbiterFor(fs: org.apache.hadoop.fs.FileSystem): Option[CommitArbiter] =
+    Option(arbiters.get(fs.getUri.getScheme))
+
   /**
-   * Write a commit file fenced end-to-end: [[createExclusive]] on the
-   * final name, then — on stores where create(overwrite = false) is
-   * check-then-create rather than atomic ([[verifyAfterWrite]]) — re-read
-   * the target and require BYTE EQUALITY with the payload. Callers make
-   * every payload attempt-unique (a nonce rides in the index trailer, the
-   * manifest pointer body, and claim bodies), so on a PUT-style store
-   * where two racers both pass the create check, the verify read convicts
-   * every commit whose bytes were replaced: the loser throws
+   * Write a commit file fenced end-to-end. With a registered
+   * [[CommitArbiter]] for the store's scheme, publication IS the
+   * arbiter's atomic conditional create — a lost race throws, and no
+   * residual window exists (a racer's PUT is itself conditional and the
+   * store rejects it). Otherwise: [[createExclusive]] on the final name,
+   * then — on stores where create(overwrite = false) is check-then-create
+   * rather than atomic ([[verifyAfterWrite]]) — re-read the target and
+   * require BYTE EQUALITY with the payload. Callers make every payload
+   * attempt-unique (a nonce rides in the index trailer, the manifest
+   * pointer body, and claim bodies), so on a PUT-style store where two
+   * racers both pass the create check, the verify read convicts every
+   * commit whose bytes were replaced: the loser throws
    * [[GraftConcurrentCommitException]] BEFORE any post-commit step
    * (pruning, claim release, data swaps) instead of returning success for
    * a commit that no longer exists — the lost-acked-write hole a bare
-   * create-exclusive leaves open off-HDFS. Residual window: a racer whose
-   * PUT lands after this verify read still replaces the commit (only a
-   * conditional PUT closes that); verify-after-write bounds the silent
-   * window to the PUT-to-verify latency on any read-after-write-consistent
-   * store, vs. unbounded without it.
+   * create-exclusive leaves open off-HDFS. Residual window in the
+   * arbiter-less dialect: a racer whose PUT lands after this verify read
+   * still replaces the commit — CLOSED when an arbiter is available
+   * (conditional PUT), bounded to the PUT-to-verify latency otherwise
+   * (`ConcurrencySpec` drives both dialects through the exact
+   * interleaving).
    */
   def writeCommitFile(fs: org.apache.hadoop.fs.FileSystem, target: Path,
       payload: Array[Byte]): Unit = {
+    arbiterFor(fs) match {
+      case Some(a) => a.commit(fs, target, payload); return
+      case None => ()
+    }
     val out = createExclusive(fs, target)
     try out.write(payload) finally out.close()
     if (verifyAfterWrite(fs)) {
@@ -1356,6 +1390,27 @@ object GraftIndex {
   * mutation from fresh state, or serialize the maintainers. */
 class GraftConcurrentCommitException(msg: String, cause: Throwable = null)
   extends java.io.IOException(msg, cause)
+
+/**
+ * Pluggable CONDITIONAL-COMMIT capability — the zero-window commit
+ * dialect for stores with compare-and-swap publication (conditional PUT /
+ * If-None-Match / etag preconditions). Register per scheme via
+ * [[GraftIndex.registerArbiter]]; every commit file the engine writes
+ * (index versions, manifest pointers, claim markers) then publishes
+ * through it. The default (arbiter-less) dialect — create-exclusive plus
+ * verify-after-write on PUT stores — BOUNDS the silent-loss window to the
+ * PUT-to-verify latency; an arbiter CLOSES it, because a racer's PUT is
+ * itself conditional and the store rejects the second writer outright.
+ */
+trait CommitArbiter {
+  /** Atomically publish `payload` at `target` if and only if no object
+    * exists there. MUST throw [[GraftConcurrentCommitException]] on a
+    * lost race (the object already exists or the precondition failed) —
+    * never replace existing bytes, never return success without the
+    * payload durably published. */
+  def commit(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, payload: Array[Byte]): Unit
+}
 
 /** No-sidecar fallback: key min/max from parquet footer column statistics —
   * the same stats the row-group pruner uses, lifted to file granularity. */

@@ -571,4 +571,150 @@ class ConcurrencySpec extends SparkSpec {
       assert(ManifestTable.read(spark, table).count() == before)
     } finally NonAtomicCreateFileSystem.reset()
   }
+
+  test("commit arbiter closes the verify-after-write residual window: the " +
+      "racer-PUT-after-verify interleaving silently replaces an acked " +
+      "commit in the default dialect, and CANNOT exist through a " +
+      "conditional-PUT arbiter") {
+    import org.apache.spark.sql.graft.{CommitArbiter, GraftConcurrentCommitException, GraftIndex}
+    import org.apache.hadoop.fs.Path
+    NonAtomicCreateFileSystem.reset()
+    val dir = "natomic:" + tmp("graft_arbiter") + "/t"
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.mkdirs(new Path(dir)): Unit
+    def bytesOf(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    // --- DEFAULT dialect, the one interleaving verify-after-write cannot
+    // kill: both racers pass the create check; A PUTs, verifies (sees its
+    // own bytes), RETURNS SUCCESS; only then does B's late PUT land — and
+    // B's own verify sees B's bytes, so BOTH report success and A's acked
+    // commit is silently gone. This is the documented bounded residual.
+    val t1 = new Path(dir, "commit-1")
+    val checkGate = new java.util.concurrent.CyclicBarrier(2)
+    val aReturned = new java.util.concurrent.CountDownLatch(1)
+    NonAtomicCreateFileSystem.afterCreateCheck = p =>
+      if (p.getName == "commit-1") {
+        checkGate.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+        if (Thread.currentThread().getName == "late-racer")
+          aReturned.await(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+      }
+    val outcomes = new Array[Option[Throwable]](2)
+    val a = new Thread(() => {
+      outcomes(0) =
+        try { GraftIndex.writeCommitFile(fs, t1, "A".getBytes("UTF-8")); None }
+        catch { case t: Throwable => Some(t) }
+      aReturned.countDown() // A has been ACKED before B's PUT lands
+    })
+    val b = new Thread(() => {
+      outcomes(1) =
+        try { GraftIndex.writeCommitFile(fs, t1, "B".getBytes("UTF-8")); None }
+        catch { case t: Throwable => Some(t) }
+    }, "late-racer")
+    a.start(); b.start(); a.join(120000); b.join(120000)
+    NonAtomicCreateFileSystem.reset()
+    assert(outcomes(0).isEmpty && outcomes(1).isEmpty,
+      s"the documented residual: both commits report success: ${outcomes.toSeq}")
+    assert(bytesOf(t1) == "B",
+      "A's acked commit silently replaced — the window the arbiter closes")
+    // --- ARBITER dialect on the same store: publication is a conditional
+    // PUT, so a late racer is rejected BY THE STORE no matter when it lands
+    val cas = new CommitArbiter {
+      private val lock = new Object
+      def commit(cfs: org.apache.hadoop.fs.FileSystem, target: Path,
+          payload: Array[Byte]): Unit = lock.synchronized {
+        if (cfs.exists(target))
+          throw new GraftConcurrentCommitException(
+            s"conditional PUT precondition failed for $target — an object " +
+              "already exists (this commit lost the race and was NOT applied)")
+        val out = cfs.create(target, false)
+        try out.write(payload) finally out.close()
+      }
+    }
+    GraftIndex.registerArbiter("natomic", cas)
+    try {
+      val t2 = new Path(dir, "commit-2")
+      GraftIndex.writeCommitFile(fs, t2, "A".getBytes("UTF-8")) // acked
+      val lost = intercept[GraftConcurrentCommitException] {
+        GraftIndex.writeCommitFile(fs, t2, "B".getBytes("UTF-8")) // late racer
+      }
+      assert(lost.getMessage.contains("precondition"))
+      assert(bytesOf(t2) == "A", "the acked winner's bytes survive the racer")
+      // under a free-running concurrent schedule: exactly one winner,
+      // every loser loud, winner's bytes intact
+      val t3 = new Path(dir, "commit-3")
+      val oc = race(
+        () => GraftIndex.writeCommitFile(fs, t3, "A".getBytes("UTF-8")),
+        () => GraftIndex.writeCommitFile(fs, t3, "B".getBytes("UTF-8")))
+      assert(oc.count(_.isEmpty) == 1, s"exactly one winner: $oc")
+      oc.flatten.foreach(t =>
+        assert(t.isInstanceOf[GraftConcurrentCommitException], t.toString))
+      assert(bytesOf(t3) == (if (oc(0).isEmpty) "A" else "B"))
+    } finally GraftIndex.unregisterArbiter("natomic")
+  }
+
+  test("shared staged-generation fence: a commit whose staged dir was " +
+      "re-staged by a rival attempt (_ATTEMPT stamp differs) is fenced " +
+      "off before publishing; re-staging and retrying converges") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
+    import org.apache.hadoop.fs.Path
+    NonAtomicCreateFileSystem.reset()
+    val table = "natomic:" + tmp("graft_attempt") + "/t"
+    ManifestTable.write(
+      spark.range(100).select($"id", ($"id" % 5).as("v")), table)
+    val conf = spark.sessionState.newHadoopConf()
+    val dirPath = new Path(table)
+    val fs = dirPath.getFileSystem(conf)
+    val gen = ManifestTable.claimNextGen(fs, dirPath)
+    def stage(): Unit = {
+      spark.range(50).select($"id", lit(9L).as("v"))
+        .write.mode("overwrite").parquet(s"$table/$gen")
+      val out = fs.create(new Path(s"$table/$gen/_PARENT"), true)
+      try out.write("gen-000000000\n".getBytes("UTF-8")) finally out.close()
+      ManifestTable.stampStaged(fs, dirPath, gen)
+    }
+    stage()
+    // rival attempt re-staged the SAME gen dir: its last staging write
+    // replaced the _ATTEMPT stamp (simulated directly — the real rival is
+    // a racer whose claim PUT landed inside our claim-verify window)
+    val rogue = fs.create(new Path(s"$table/$gen/_ATTEMPT"), true)
+    try rogue.write("rival-nonce".getBytes("UTF-8")) finally rogue.close()
+    val ex = intercept[GraftConcurrentCommitException] {
+      ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"))
+    }
+    assert(ex.getMessage.contains("rival"), ex.getMessage)
+    assert(ManifestTable.read(spark, table).count() == 100,
+      "the fenced commit must not have moved the pointer")
+    // recovery: re-stage our own bytes (stamp included), retry, converge
+    stage()
+    ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"))
+    val healed = ManifestTable.read(spark, table)
+    assert(healed.count() == 50 &&
+      healed.agg(sum($"v")).head().getLong(0) == 450L)
+  }
+
+  test("claim/commit attempt identity: a gen claimed on one thread and " +
+      "committed on another refuses loudly instead of silently running " +
+      "with stolen-claim detection disabled") {
+    import org.apache.hadoop.fs.Path
+    NonAtomicCreateFileSystem.reset()
+    val table = "natomic:" + tmp("graft_xthread") + "/t"
+    ManifestTable.write(
+      spark.range(10).select($"id", ($"id" % 2).as("v")), table)
+    val dirPath = new Path(table)
+    val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
+    @volatile var gen: String = null
+    val t = new Thread(() => { gen = ManifestTable.claimNextGen(fs, dirPath) })
+    t.start(); t.join(60000)
+    assert(gen != null)
+    val ex = intercept[IllegalStateException] {
+      ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"))
+    }
+    assert(ex.getMessage.contains("thread"), ex.getMessage)
+    assert(ManifestTable.read(spark, table).count() == 10,
+      "the refused commit must not have moved the pointer")
+  }
 }
