@@ -1819,6 +1819,24 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("rep"))))
 
+  /** [[readClusters]] against the UNDO WINDOW — the assignment as of just
+    * before the last mutation, funded by the keyed store's keep-one-back
+    * index version: the maintenance audit view ("what did the last fold
+    * merge?"), available until the NEXT mutation retires it. None before
+    * any mutation ([[graft.store.KeyedStore.readKeyedPrevious]]). NOTE:
+    * [[removeFromClusters]] applies TWO mutations (delete, then the
+    * re-election upsert), so after a takedown this view is the
+    * post-delete intermediate; the full pre-takedown snapshot needs
+    * `graft.keepVersions >= 3` and
+    * `KeyedStore.readKeyedPrevious(back = 2)`. */
+  def readClustersPrevious(spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String): Option[DataFrame] =
+    graft.store.KeyedStore.readKeyedPrevious(spark, clustersPath,
+        keyCol = "doc_id")
+      .map(_.select(col("doc_id"), col("rep"))
+        .withColumn("cluster_size", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("rep")))))
+
   /**
    * TAKEDOWN on a persisted cluster layout — the delete verb every other
    * persisted layout pairs with its write path (near-dup index

@@ -1655,6 +1655,15 @@ class OpsSpec extends SparkSpec {
     // an exact takedown leaves rep closure intact: repair finds nothing
     assert(Dedup.repairClusters(spark, clustersPath) ==
       Dedup.ClusterRepairStat(0L, 0L, 0L))
+    // the undo window after a takedown is the POST-DELETE intermediate
+    // (removeFromClusters = delete, then the re-election upsert; the full
+    // pre-takedown snapshot needs keepVersions >= 3 — scaladoc'd): the
+    // survivors still carry their OLD representatives here
+    val prev = Dedup.readClustersPrevious(spark, clustersPath).get
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(prev == Map(2L -> ((1L, 2L)), 3L -> ((1L, 2L)),
+      42L -> ((40L, 2L)), 43L -> ((40L, 2L))),
+      s"previous view = post-delete, pre-re-election: $prev")
   }
 
   test("repairClusters: a raw keyed delete's dangling rep is detected and " +
