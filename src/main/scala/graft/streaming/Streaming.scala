@@ -354,7 +354,8 @@ object Streaming {
       clustersPath: String, idCol: String, textCol: String,
       shingleSize: Int = 3, minJaccard: Double = 0.2,
       maxDf: Option[Int] = Some(1000), threshold: Double = 0.8,
-      tagPrefix: String = "stream"):
+      tagPrefix: String = "stream",
+      afterBatch: Long => Unit = _ => ()):
       org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .outputMode(OutputMode.Append())
@@ -372,6 +373,14 @@ object Streaming {
           .unionByName(p.join(bids, p("id_b") === col("__bid"), "left_semi"))
           .select(col("id_a"), col("id_b"))
         graft.ops.Dedup.appendToClusters(spark, clustersPath, delta): Unit
+        // in-loop maintenance hook ([[ingestIntoBm25Index]]'s contract):
+        // runs AFTER the epoch's pair tags committed, so the
+        // single-maintainer rule holds by construction; replay-safe
+        // because every maintenance verb is multiset-preserving. NOTE:
+        // compactPairs folds tagged append files into anonymous rows —
+        // safe here exactly because it runs after this epoch's tags
+        // committed and before any retry could need the sweep.
+        afterBatch(id)
         ()
       }
       .trigger(Trigger.AvailableNow())

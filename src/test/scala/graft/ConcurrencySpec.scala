@@ -656,6 +656,50 @@ class ConcurrencySpec extends SparkSpec {
     } finally GraftIndex.unregisterArbiter("natomic")
   }
 
+  test("full ManifestTable rewrite race THROUGH a conditional-PUT " +
+      "arbiter: claims and pointers are store-serialized, so losers fence " +
+      "at claim time, staging is never shared, and the table stays exact") {
+    import org.apache.spark.sql.graft.{CommitArbiter, GraftConcurrentCommitException, GraftIndex}
+    import org.apache.hadoop.fs.Path
+    NonAtomicCreateFileSystem.reset()
+    val cas = new CommitArbiter {
+      private val lock = new Object
+      def commit(cfs: org.apache.hadoop.fs.FileSystem, target: Path,
+          payload: Array[Byte]): Unit = lock.synchronized {
+        if (cfs.exists(target))
+          throw new GraftConcurrentCommitException(
+            s"conditional PUT precondition failed for $target")
+        val out = cfs.create(target, false)
+        try out.write(payload) finally out.close()
+      }
+    }
+    GraftIndex.registerArbiter("natomic", cas)
+    try {
+      val table = "natomic:" + tmp("graft_race_arb") + "/t"
+      ManifestTable.write(
+        spark.range(2000).select($"id", ($"id" % 7).as("v")), table)
+      val before = ManifestTable.read(spark, table).count()
+      (1 to 3).foreach { _ =>
+        val outcomes = race(
+          () => ManifestTable.compact(spark, table, targetFiles = 2),
+          () => ManifestTable.compact(spark, table, targetFiles = 3))
+        // every loser is LOUD with the fence class (claim or pointer —
+        // both are arbiter-serialized commit files on this store); a
+        // lucky serial interleaving may have no loser at all
+        outcomes.flatten.foreach { t =>
+          def fence(c: Throwable): Boolean = c != null &&
+            (c.isInstanceOf[GraftConcurrentCommitException] || fence(c.getCause))
+          assert(fence(t), s"loser must carry the fence class: $t")
+        }
+        assert(ManifestTable.read(spark, table).count() == before,
+          "row multiset exact after every race round")
+      }
+      val st = ManifestTable.fsck(spark, table)
+      assert(st.ok, st.toString)
+      assert(ManifestTable.read(spark, table).count() == before)
+    } finally GraftIndex.unregisterArbiter("natomic")
+  }
+
   test("shared staged-generation fence: a commit whose staged dir was " +
       "re-staged by a rival attempt (_ATTEMPT stamp differs) is fenced " +
       "off before publishing; re-staging and retrying converges") {

@@ -917,12 +917,22 @@ class StreamingSpec extends SparkSpec {
     Dedup.writePairs(docs.where(col("id") <= 2), "id", "text", pairsPath,
       shingleSize = 3, minJaccard = 0.1, maxDf = None)
     Dedup.writeClusters(spark, pairsPath, clustersPath, threshold = 0.1)
+    // in-loop maintenance after every epoch (the q242 discipline on this
+    // layout pair): compact pairs+postings AND the cluster keyed store
+    var maintained = 0
     def run(): Unit = Streaming.ingestIntoClusters(
       stagedStream(root, Seq(docs.where(col("id") === 3 || col("id") === 4),
         docs.where(col("id") >= 5))),
       pairsPath, clustersPath, "id", "text", shingleSize = 3,
-      minJaccard = 0.1, maxDf = None, threshold = 0.1).awaitTermination()
+      minJaccard = 0.1, maxDf = None, threshold = 0.1,
+      afterBatch = { _ =>
+        graft.ops.Dedup.compactPairs(spark, pairsPath, targetFiles = 2)
+        graft.store.KeyedStore.compact(spark, clustersPath,
+          keyCol = "doc_id")
+        maintained += 1
+      }).awaitTermination()
     run()
+    assert(maintained == 2, "the maintenance hook must run once per epoch")
     def state(): Set[(Long, Long, Long)] =
       Dedup.readClusters(spark, clustersPath).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
