@@ -4315,6 +4315,48 @@ object SparkEntry {
       KeyedStore.readKeyed(s, tmp, "key")
         .select(col("key").cast("double").as("key"), col("c_name").as("name"),
           col("c_mktsegment").as("segment"))
+    }),
+
+    // --- LAZY takedown on the pairs layout (round 16): at 100 TB a GDPR
+    //     delete cannot afford removeFromPairs' synchronous full-table
+    //     rewrite — tombstonePairs appends the ids in O(|ids|), readPairs
+    //     is takedown-exact IMMEDIATELY (masked rows never surface), and
+    //     the next compactPairs applies the delete physically during the
+    //     rewrite it was doing anyway, draining the sidecar (the LSM
+    //     delete discipline). Mirrored corpus (every doc has an exact
+    //     twin) so the masking really changes reports. The keep-best
+    //     report is taken BOTH before and after the physical apply and
+    //     pinned equal; oracle = the same report from a scratch mine of
+    //     the survivors. -------------------------------------------------
+    "q260_pair_tombstone" -> ((s, dir) => {
+      val base = T(s, dir, "documents").where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val corpus = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + lit(20000000L)))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val path = sys.props("java.io.tmpdir") + s"/graft_q260_pairs_$salt"
+      Dedup.writePairs(corpus, "doc_id", "text", path,
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      val nTs = Dedup.tombstonePairs(s, path,
+        corpus.where(col("doc_id") % 9 === 0).select(col("doc_id")))
+      val scored = corpus.where(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          TextOps.qualityScore(col("text")).as("q"))
+      def report() = Dedup.removeDuplicatesKeepBest(scored, "doc_id",
+          Dedup.readPairs(s, path, threshold = 0.8), "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      val pre = report().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      Dedup.compactPairs(s, path, targetFiles = 4) // physical apply + drain
+      val drained = Dedup.pairTombstones(s, path).isEmpty
+      val post = report().collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      import s.implicits._
+      post.toSeq.toDF("lang", "n_docs", "id_sum")
+        .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
+          .toDF("tombstoned", "drained", "pre_post_equal")))
     })
   )
 
@@ -4865,6 +4907,81 @@ object SparkEntry {
         |  FROM c WHERE c_custkey % 131 = 0)
         |SELECT cast(key as double) AS key, name, segment FROM merged
         |WHERE c_custkey % 113 <> 0 OR c_custkey > 10000000""".stripMargin,
+
+    // Lazy pair takedown: the tombstone-masked (and then physically
+    // compacted) layout's keep-best report must equal the same report
+    // from a scratch mine of the SURVIVING corpus (mirrored %4==3 slice
+    // minus doc_id%9==0); the lifecycle proofs ride as literals.
+    "q260_pair_tombstone" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+        |corpus AS (
+        |  SELECT doc_id, lang, text FROM b
+        |  UNION ALL SELECT doc_id + 20000000, lang, text FROM b),
+        |surv AS (SELECT * FROM corpus WHERE doc_id % 9 <> 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM surv),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM surv)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(k.doc_id) AS bigint) AS id_sum,
+        |  true AS tombstoned, true AS drained, true AS pre_post_equal
+        |FROM kept k JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin,
 
     // The streaming reservoir is a pure function of the id set: the
     // oracle is simply the k smallest md5 priorities over the corpus.

@@ -745,16 +745,42 @@ object Dedup {
       path + "/pairs")
   }
 
+  private def tombstonesDir(path: String): String = path + "/tombstones"
+
+  /** The PENDING tombstone ids of a [[writePairs]] layout ([[
+    * tombstonePairs]]): one `id` column, None when no lazy takedown is
+    * outstanding (never tombstoned, or the last [[compactPairs]] drained
+    * the sidecar). Existence is an fs-metadata probe — the read path pays
+    * nothing while no takedown is pending. */
+  private[graft] def pairTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(graft.store.ManifestTable.read(spark, tombstonesDir(path)))
+  }
+
   /** Read a [[writePairs]] table back at `threshold`, reconstructing the
     * raw-quotient `jaccard` from the stored integer evidence — the same
     * IEEE division and ≥-filter as [[ngramJaccardPairs]], so downstream
-    * reports cannot diverge from the inline path. */
+    * reports cannot diverge from the inline path. Pending
+    * [[tombstonePairs]] ids are excluded here (rows naming a tombstoned
+    * endpoint never surface), so a lazy takedown is READ-COMPLETE the
+    * moment the tombstone append commits. */
   def readPairs(spark: org.apache.spark.sql.SparkSession, path: String,
-      threshold: Double = 0.8): DataFrame =
-    graft.store.ManifestTable.read(spark, path + "/pairs")
+      threshold: Double = 0.8): DataFrame = {
+    val base = graft.store.ManifestTable.read(spark, path + "/pairs")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .where(col("jaccard") >= threshold)
+    pairTombstones(spark, path) match {
+      case None => base
+      case Some(ts) =>
+        val t = ts.select(col("id").as("__ts_id"))
+        base.join(t, col("id_a") === col("__ts_id"), "left_anti")
+          .join(t, col("id_b") === col("__ts_id"), "left_anti")
+    }
+  }
 
   /** [[readPairs]] against the UNDO WINDOW — the pairs generation the last
     * maintenance rewrite ([[prunePairs]] / [[removeFromPairs]] /
@@ -823,12 +849,30 @@ object Dedup {
           "Rebuild via writePairs or removeFromPairs the batch ids.")
     // both writes consume the batch postings; persist so the batch text is
     // read and shingled once (writes are actions — no Eager wrapper needed)
+    // pending lazy-takedown tombstones gate the STORED side of the mine:
+    // removed docs' postings must not pair against the batch (the same
+    // ghost-mining hole removeFromPairs' postings rewrite closes eagerly).
+    // A tombstoned id RE-ARRIVING in the batch is refused loudly — its new
+    // pairs would be invisible behind its own tombstone; run compactPairs
+    // (the drain) before re-ingesting a previously removed id.
+    val tomb = pairTombstones(spark, path)
+      .map(t => graft.Eager.materialize(t.select(col("id").as("__ts_id"))))
+    tomb.foreach { t =>
+      val clash = df.select(col(idCol).as("__bid")).distinct()
+        .join(t, col("__bid") === col("__ts_id"), "left_semi").count()
+      if (clash > 0) throw new IllegalStateException(
+        s"appendPairs($path): $clash batch id(s) are pending tombstones — " +
+          "their new pairs would be hidden behind their own takedown; run " +
+          "compactPairs to drain the tombstones before re-ingesting")
+    }
     val np = hashedShingles(df, idCol, textCol, shingleSize)
       .select(col("id"), size(col("th")).as("n"), explode(col("th")).as("s"))
       .persist()
     try {
       if (!pairsDone) {
-        val all = graft.store.ManifestTable.read(spark, path + "/postings")
+        val storedPosts = graft.store.ManifestTable.read(spark, path + "/postings")
+        val all = tomb.fold(storedPosts)(t =>
+            storedPosts.join(t, col("id") === col("__ts_id"), "left_anti"))
           .withColumn("is_new", lit(false))
           .unionByName(np.withColumn("is_new", lit(true)))
         // only shingles the batch touches do any pair work; the combined-df
@@ -898,10 +942,59 @@ object Dedup {
    * ran.
    */
   def compactPairs(spark: org.apache.spark.sql.SparkSession, path: String,
-      targetFiles: Int = 8): Unit =
-    Seq("pairs", "postings").foreach { sub =>
-      graft.store.ManifestTable.compact(spark, s"$path/$sub", targetFiles)
+      targetFiles: Int = 8): Unit = {
+    // apply pending lazy-takedown tombstones PHYSICALLY while we are
+    // rewriting anyway (the LSM compaction-applies-deletes economics),
+    // then drain the sidecar. Order is crash-shaped: both rewrites commit
+    // BEFORE the drain, and a crash anywhere leaves the tombstones in
+    // place — filtering already-deleted rows is a no-op, so reads stay
+    // exact and a blind retry converges.
+    val tomb = pairTombstones(spark, path)
+      .map(t => graft.Eager.materialize(t.select(col("id").as("__ts_id"))))
+    val pairsFilter: DataFrame => DataFrame = tomb.fold(
+      (p: DataFrame) => p)(t => p =>
+        p.join(t, col("id_a") === col("__ts_id"), "left_anti")
+          .join(t, col("id_b") === col("__ts_id"), "left_anti"))
+    val postsFilter: DataFrame => DataFrame = tomb.fold(
+      (p: DataFrame) => p)(t => p =>
+        p.join(t, col("id") === col("__ts_id"), "left_anti"))
+    graft.store.ManifestTable.compact(spark, s"$path/pairs", targetFiles,
+      pairsFilter)
+    graft.store.ManifestTable.compact(spark, s"$path/postings", targetFiles,
+      postsFilter)
+    tomb.foreach { _ =>
+      val p = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
     }
+  }
+
+  /**
+   * LAZY takedown on a [[writePairs]] layout — the LSM delete discipline
+   * for the 100 TB regime where [[removeFromPairs]]' synchronous
+   * full-table rewrite is unaffordable: append `ids` to a tombstone
+   * sidecar (`<path>/tombstones`, a [[graft.store.ManifestTable]]) in
+   * O(|ids|) with ZERO data rewrite. The takedown is READ-COMPLETE
+   * immediately — [[readPairs]] excludes rows naming a tombstoned
+   * endpoint and [[appendPairs]] stops mining the batch against
+   * tombstoned postings — and becomes PHYSICAL at the next
+   * [[compactPairs]], which applies the filter during the rewrite it was
+   * doing anyway and drains the sidecar. Equivalence matches
+   * [[removeFromPairs]]' contract (with `maxDf = None`, reads ≡ a scratch
+   * mine of the survivors; under a finite cap the same under-mining
+   * caveat). Re-ingesting a tombstoned id before the drain is refused
+   * loudly by [[appendPairs]]. Single-maintainer like every write verb;
+   * [[readPairsPrevious]] deliberately shows the PRE-takedown evidence
+   * (it is the audit view, same as after an eager [[removeFromPairs]]).
+   * Returns the number of ids tombstoned.
+   */
+  def tombstonePairs(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame): Long = {
+    val rm = graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("id")).distinct())
+    val n = rm.count()
+    if (n > 0) graft.store.ManifestTable.append(rm, tombstonesDir(path))
+    n
+  }
 
   /**
    * Retention rewrite for a [[writePairs]] table — irreversible once the
@@ -1865,13 +1958,21 @@ object Dedup {
    * lacks (capping under-mines by contract).
    *
    * Cost: O(|removed| + |touched components|) cluster work + the pairs
-   * rewrite — never O(corpus). Single-maintainer like every write verb.
-   * Returns (rows deleted, rows upserted) on the clusters table.
+   * rewrite — never O(corpus) cluster work. With `purgePairs = true`
+   * (default) the pair evidence is purged EAGERLY ([[removeFromPairs]] —
+   * a full pairs-layout rewrite); `purgePairs = false` takes the LAZY
+   * path instead ([[tombstonePairs]]): O(|ids|) on the pairs side, the
+   * physical rewrite deferred to the next [[compactPairs]] — the shape a
+   * 100 TB pairs table needs. Either way the surviving pair set this verb
+   * re-clusters from is identical ([[readPairs]] is tombstone-exact), so
+   * the clusters-table outcome does not depend on the choice.
+   * Single-maintainer like every write verb. Returns (rows deleted, rows
+   * upserted) on the clusters table.
    */
   def removeFromClusters(spark: org.apache.spark.sql.SparkSession,
       clustersPath: String, pairsPath: String, ids: DataFrame,
       threshold: Double = 0.8, maxIter: Int = 25,
-      targetFiles: Int = 8): (Long, Long) = {
+      targetFiles: Int = 8, purgePairs: Boolean = true): (Long, Long) = {
     import graft.store.KeyedStore
     // snapshot the id list once — it may itself derive from readPairs/
     // readClusters over the very layouts this verb rewrites
@@ -1894,8 +1995,12 @@ object Dedup {
       .join(rm, col("doc_id") === col("__rm"), "left_semi")
       .select(col("doc_id"))
     // purge the pair evidence FIRST: readPairs below then serves exactly
-    // the surviving corpus's pairs
-    removeFromPairs(spark, pairsPath, rm.select(col("__rm")), targetFiles)
+    // the surviving corpus's pairs (eagerly rewritten or tombstone-masked
+    // — readPairs is exact either way)
+    if (purgePairs)
+      removeFromPairs(spark, pairsPath, rm.select(col("__rm")), targetFiles)
+    else
+      tombstonePairs(spark, pairsPath, rm.select(col("__rm"))): Unit
     // surviving subgraph of the touched components only; endpoints of any
     // pair share a component, but filter BOTH sides so an out-of-sync pair
     // (appended to pairs but never folded into clusters) cannot smuggle an

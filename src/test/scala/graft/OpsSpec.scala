@@ -1666,6 +1666,96 @@ class OpsSpec extends SparkSpec {
       s"previous view = post-delete, pre-re-election: $prev")
   }
 
+  test("tombstonePairs: lazy takedown is read-complete immediately, gates " +
+      "the incremental mine, refuses re-ingest of a pending id, and the " +
+      "next compactPairs applies it physically and drains the sidecar") {
+    import graft.store.ManifestTable
+    val base = java.nio.file.Files.createTempDirectory("graft_tomb").toString
+    val path = base + "/pairs_layout"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"),
+      (10L, "zeta eta theta iota kappa"),
+      (11L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    Dedup.writePairs(docs, "doc_id", "text", path, maxDf = None)
+    def pairSet(): Set[(Long, Long)] =
+      Dedup.readPairs(spark, path, threshold = 0.8)
+        .select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
+    // O(|ids|) takedown: no data rewrite, reads exclude doc 1 immediately
+    assert(Dedup.tombstonePairs(spark, path, Seq(1L).toDF("doc_id")) == 1L)
+    assert(pairSet() == Set((2L, 3L), (10L, 11L)),
+      "tombstoned endpoint must vanish from every read at once")
+    // the physical evidence is still on disk — masked, not rewritten
+    assert(ManifestTable.read(spark, path + "/pairs").count() == 4L)
+    // an incremental batch must NOT mine against the tombstoned postings:
+    // doc 4 is an exact copy of doc 1's text — only the live twins pair
+    Dedup.appendPairs(Seq((4L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text"), "doc_id", "text", path, maxDf = None)
+    assert(pairSet() == Set((2L, 3L), (2L, 4L), (3L, 4L), (10L, 11L)),
+      "no pair against the ghost; live twins still pair")
+    // re-ingesting the tombstoned id before the drain is refused loudly
+    val ex = intercept[IllegalStateException] {
+      Dedup.appendPairs(Seq((1L, "anything at all here now"))
+        .toDF("doc_id", "text"), "doc_id", "text", path, maxDf = None)
+    }
+    assert(ex.getMessage.contains("tombstone"), ex.getMessage)
+    // compaction applies the takedown physically and drains the sidecar
+    Dedup.compactPairs(spark, path, targetFiles = 2)
+    assert(Dedup.pairTombstones(spark, path).isEmpty, "sidecar drained")
+    assert(ManifestTable.read(spark, path + "/pairs").count() == 4L,
+      "rows naming doc 1 physically gone: (2,3),(2,4),(3,4),(10,11)")
+    assert(ManifestTable.read(spark, path + "/postings")
+      .where(col("id") === 1L).isEmpty, "ghost postings physically gone")
+    assert(pairSet() == Set((2L, 3L), (2L, 4L), (3L, 4L), (10L, 11L)))
+    // post-drain the id may re-ingest; idempotent second compact
+    Dedup.appendPairs(Seq((1L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text"), "doc_id", "text", path, maxDf = None)
+    assert(pairSet().contains((1L, 2L)), "post-drain re-ingest pairs again")
+    Dedup.compactPairs(spark, path, targetFiles = 2)
+    assert(pairSet().contains((1L, 2L)))
+  }
+
+  test("removeFromClusters(purgePairs = false): the lazy-takedown variant " +
+      "produces the identical clusters table (readPairs is " +
+      "tombstone-exact), with the pairs rewrite deferred") {
+    import graft.store.ManifestTable
+    def build(): (String, String) = {
+      val b = java.nio.file.Files.createTempDirectory("graft_ctdl").toString
+      val docs = Seq(
+        (1L, "alpha beta gamma delta epsilon"),
+        (2L, "alpha beta gamma delta epsilon"),
+        (3L, "alpha beta gamma delta epsilon"),
+        (10L, "zeta eta theta iota kappa"),
+        (11L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+      Dedup.writePairs(docs, "doc_id", "text", b + "/pairs")
+      Dedup.writeClusters(spark, b + "/pairs", b + "/clusters",
+        threshold = 0.8)
+      (b + "/pairs", b + "/clusters")
+    }
+    def state(cp: String): Map[Long, (Long, Long)] =
+      Dedup.readClusters(spark, cp).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rm = Seq(1L, 10L).toDF("doc_id")
+    val (pEager, cEager) = build()
+    val eagerCounts = Dedup.removeFromClusters(spark, cEager, pEager, rm)
+    val (pLazy, cLazy) = build()
+    val lazyCounts = Dedup.removeFromClusters(spark, cLazy, pLazy, rm,
+      purgePairs = false)
+    assert(eagerCounts == lazyCounts && state(cEager) == state(cLazy),
+      s"lazy and eager takedown must agree: $eagerCounts/$lazyCounts " +
+        s"${state(cEager)} vs ${state(cLazy)}")
+    // lazy: evidence still on disk behind the tombstone; drains on compact
+    assert(Dedup.pairTombstones(spark, pLazy).isDefined)
+    assert(ManifestTable.read(spark, pLazy + "/pairs").count() == 4L)
+    Dedup.compactPairs(spark, pLazy, targetFiles = 2)
+    assert(Dedup.pairTombstones(spark, pLazy).isEmpty)
+    assert(ManifestTable.read(spark, pLazy + "/pairs").count() == 1L,
+      "only (2,3) survives physically after the drain")
+  }
+
   test("repairClusters: a raw keyed delete's dangling rep is detected and " +
       "healed (min surviving member re-elected); second pass is (0,0,0)") {
     import graft.store.KeyedStore
