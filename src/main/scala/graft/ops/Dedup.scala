@@ -728,6 +728,11 @@ object Dedup {
       shingleSize: Int = 3, minJaccard: Double = 0.2,
       maxDf: Option[Int] = Some(1000)): Unit = {
     val spark = df.sparkSession
+    // a rebuild starts a NEW incarnation: pending lazy-takedown tombstones
+    // belong to the old corpus and must not mask the fresh mine (the same
+    // reason ManifestTable.write clears commit tags)
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true): Unit
     // ONE text scan: persist the postings first, then mine the pairs from
     // the PERSISTED copy — the shingle pass (the dominant cost) runs once,
     // and the postings sidecar [[appendPairs]] needs falls out of it.

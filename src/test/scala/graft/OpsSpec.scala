@@ -1716,6 +1716,14 @@ class OpsSpec extends SparkSpec {
     assert(pairSet().contains((1L, 2L)), "post-drain re-ingest pairs again")
     Dedup.compactPairs(spark, path, targetFiles = 2)
     assert(pairSet().contains((1L, 2L)))
+    // a writePairs REBUILD starts a new incarnation: stale tombstones from
+    // the old corpus must not mask the fresh mine
+    assert(Dedup.tombstonePairs(spark, path, Seq(2L).toDF("doc_id")) == 1L)
+    assert(!pairSet().exists(p => p._1 == 2L || p._2 == 2L))
+    Dedup.writePairs(docs, "doc_id", "text", path, maxDf = None)
+    assert(Dedup.pairTombstones(spark, path).isEmpty,
+      "rebuild clears the tombstone sidecar")
+    assert(pairSet() == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L)))
   }
 
   test("removeFromClusters(purgePairs = false): the lazy-takedown variant " +
