@@ -4357,6 +4357,44 @@ object SparkEntry {
       post.toSeq.toDF("lang", "n_docs", "id_sum")
         .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
           .toDF("tombstoned", "drained", "pre_post_equal")))
+    }),
+
+    // --- LAZY takedown on the ANN layout (round 16, q226's tombstone
+    //     twin): same planted-copy setup, but the delete is an O(|ids|)
+    //     tombstone append — the probe must stop surfacing the deleted
+    //     copies IMMEDIATELY (zero cell rewrites), and after the next
+    //     compactIvfCorpus (which applies the anti-join physically and
+    //     drains the sidecar) the same probe must be unchanged. Both
+    //     probes ride: pre==post pinned, drain pinned. ---------------------
+    "q261_ivf_tombstone" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q261_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base.unionByName(planted), "vec_id",
+        "embedding", path, cents)
+      val nTs = Similarity.tombstoneIvfCorpus(s, path,
+        s.range(4).select((col("id") * 2 + 9500L).as("vec_id")))
+      def probe() = Similarity.ivfTopKFromPartitioned(s, path, "vec_id",
+          "embedding", q, 3, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+      val pre = probe().collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      Similarity.compactIvfCorpus(s, path, targetFiles = 4): Unit
+      val drained = Similarity.ivfTombstones(s, path).isEmpty
+      val post = probe().collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      import s.implicits._
+      post.toSeq.toDF("vec_id", "cos")
+        .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
+          .toDF("tombstoned", "drained", "pre_post_equal")))
     })
   )
 
@@ -5189,6 +5227,13 @@ object SparkEntry {
     // grid); the four deleted ghosts must not surface.
     "q226_ivf_delete" ->
       """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos
+        |FROM range(3) t(i)""".stripMargin,
+
+    // q261: the lazy-takedown twin — same surviving planted copies at cos
+    // 1.0, with the tombstone-lifecycle proofs riding as literals.
+    "q261_ivf_tombstone" ->
+      """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos,
+        |  true AS tombstoned, true AS drained, true AS pre_post_equal
         |FROM range(3) t(i)""".stripMargin,
 
     // q227: q219's uncapped keep-best SQL over the SURVIVING half corpus —

@@ -342,10 +342,59 @@ object Similarity {
    * corpus once (and whenever the centroids are retrained), probe it
    * millions of times.
    */
+  private def ivfTombstonesDir(path: String): String = path + "/_tombstones"
+
+  /** The PENDING tombstone ids of a [[writeIvfCorpus]] layout
+    * ([[tombstoneIvfCorpus]]): one `id` column, None when no lazy takedown
+    * is outstanding. The `_tombstones` name keeps the sidecar invisible to
+    * leaf discovery (leaves are `cell=` dirs) and to parquet scans. */
+  private[graft] def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(graft.store.ManifestTable.read(spark, ivfTombstonesDir(path)))
+  }
+
+  /**
+   * LAZY takedown on a [[writeIvfCorpus]] layout — the LSM tombstone
+   * discipline ([[graft.ops.Dedup.tombstonePairs]]' ANN twin) for the
+   * 100 TB regime where [[removeFromIvfCorpus]]' every-cell rewrite is
+   * unaffordable synchronously: append `ids` to the `_tombstones` sidecar
+   * in O(|ids|) with ZERO cell rewrites. The takedown is PROBE-COMPLETE
+   * immediately — [[ivfTopKFromPartitioned]] excludes tombstoned ids
+   * before ranking — and becomes physical at the next
+   * [[compactIvfCorpus]], which (while tombstones are pending) rewrites
+   * every cell with the anti-join it would otherwise pay at takedown time
+   * and drains the sidecar. [[appendIvfCorpus]] refuses re-ingest of a
+   * pending id; [[retrainIvfCorpus]] excludes tombstoned rows from the
+   * blue/green rebuild (the new layout is born clean);
+   * [[ivfLayoutHealth]] and [[repairIvfCorpus]] stay PHYSICAL-layout
+   * verbs (masked rows still occupy cells until the drain — that is what
+   * they audit). The undo-window probe
+   * ([[ivfTopKFromPartitionedPrevious]]) deliberately shows the
+   * pre-takedown neighborhood — it is the audit view. Returns the number
+   * of ids tombstoned.
+   */
+  def tombstoneIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long = {
+    val rm = graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("id")).distinct())
+    val n = rm.count()
+    if (n > 0) graft.store.ManifestTable.append(rm, ivfTombstonesDir(path))
+    n
+  }
+
   def writeIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, cents: Array[Array[Double]],
       filesPerLeaf: Int = 4): Unit = {
     require(filesPerLeaf > 0, "filesPerLeaf must be positive")
+    // a rebuild starts a NEW incarnation: stale tombstones must not mask
+    // the fresh corpus (and a static-mode overwrite would wipe them anyway
+    // — make the semantics explicit rather than mode-dependent)
+    val tp = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
+    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .delete(tp, true): Unit
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
       // born at the compaction target: ≤ filesPerLeaf files per cell dir
       // instead of tasks × cells small ones (raise for huge cells)
@@ -384,6 +433,16 @@ object Similarity {
   def appendIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, cents: Array[Array[Double]],
       batchId: Option[String] = None): Unit = {
+    // a tombstoned id re-arriving would hide its new vector behind its own
+    // takedown — refuse loudly; compactIvfCorpus (the drain) first
+    ivfTombstones(df.sparkSession, path).foreach { t =>
+      val clash = df.select(col(idCol).as("__bid")).distinct()
+        .join(t.select(col("id").as("__ts_id")),
+          col("__bid") === col("__ts_id"), "left_semi").count()
+      if (clash > 0) throw new IllegalStateException(
+        s"appendIvfCorpus($path): $clash batch id(s) are pending " +
+          "tombstones — run compactIvfCorpus to drain before re-ingesting")
+    }
     val routed = df.select(col(idCol), col(vecCol),
       cellOf(col(vecCol), cents).as("cell"))
     graft.store.Compaction.appendPartitions(routed, path, "cell", batchId): Unit
@@ -403,7 +462,28 @@ object Similarity {
     * oblivious to when this ran (q216 + spec). Returns cells rewritten. */
   def compactIvfCorpus(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 4): Int =
-    graft.store.Compaction.compactPartitions(spark, path, targetFiles)
+    ivfTombstones(spark, path) match {
+      case None =>
+        graft.store.Compaction.compactPartitions(spark, path, targetFiles)
+      case Some(ts) =>
+        // pending lazy takedowns: apply them PHYSICALLY while rewriting —
+        // every cell rewrites (a tombstoned id can live anywhere; pruning
+        // by cellOf would trust caller-passed centroids), which is exactly
+        // the bill removeFromIvfCorpus pays eagerly, amortized here into
+        // the compaction. Drain LAST: a crash leaves tombstones in place,
+        // reads stay exact, a blind retry converges.
+        val t = broadcast(graft.Eager.materialize(
+          ts.select(col("id").as("__ts_id"))))
+        // the id column is structurally FIRST in every leaf (writeIvfCorpus
+        // and appendIvfCorpus both select (id, vec) before partitioning)
+        val n = graft.store.Compaction.rewritePartitions(spark, path,
+          targetFiles,
+          p => p.join(t, col(p.columns.head) === col("__ts_id"), "left_anti"))
+        val tp = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
+        tp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tp, true): Unit
+        n
+    }
 
   /** Delete vectors from a [[writeIvfCorpus]] layout — the takedown verb on
     * the ANN index ([[graft.ops.Dedup.removeFromNearDupIndex]]'s twin;
@@ -498,9 +578,17 @@ object Similarity {
       k: Int, iters: Int = 2): Array[Array[Double]] = {
     require(path != newPath,
       "retrainIvfCorpus is blue/green: newPath must differ from path")
-    val live = graft.store.Compaction.readPartitioned(spark, path, "cell")
+    val physical = graft.store.Compaction.readPartitioned(spark, path, "cell")
       .getOrElse(sys.error(s"retrainIvfCorpus: no cell leaves at $path"))
       .select(col(idCol), col(vecCol))
+    // the blue/green rebuild is a natural drain point: tombstoned rows are
+    // logically deleted — the NEW layout is born without them (and without
+    // a sidecar; the old path keeps masking until its own compaction)
+    val live = ivfTombstones(spark, path) match {
+      case None => physical
+      case Some(ts) => physical.join(ts.select(col("id").as("__ts_id")),
+        col(idCol) === col("__ts_id"), "left_anti")
+    }
     val cents = ivfCentroids(live, idCol, vecCol, k, iters)
     writeIvfCorpus(live, idCol, vecCol, newPath, cents)
     cents
@@ -533,7 +621,7 @@ object Similarity {
     ivfTopKOverDirs(spark, path, idCol, vecCol, query, k,
       probeCells => graft.store.Compaction.resolveLeafDirs(
         spark, path, "cell", probeCells.map(_.toString)),
-      cents, nProbe)
+      cents, nProbe, masked = true)
 
   /** The UNDO-WINDOW probe: [[ivfTopKFromPartitioned]] against each probed
     * cell's PREVIOUS generation — the index as of just before the last
@@ -550,12 +638,15 @@ object Similarity {
     ivfTopKOverDirs(spark, path, idCol, vecCol, query, k,
       probeCells => graft.store.Compaction.resolveLeafDirsPrevious(
         spark, path, "cell", probeCells.map(_.toString)),
-      cents, nProbe)
+      cents, nProbe,
+      // the undo/audit view deliberately shows the pre-takedown
+      // neighborhood — pending tombstones do not mask it
+      masked = false)
 
   private def ivfTopKOverDirs(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
       resolve: Seq[Int] => Seq[String],
-      cents: Array[Array[Double]], nProbe: Int): DataFrame = {
+      cents: Array[Array[Double]], nProbe: Int, masked: Boolean): DataFrame = {
     val qv = array(query.map(v => lit(v)): _*)
     val probeCells = ivfProbeCells(spark, query, cents, nProbe)
     val dirs = resolve(probeCells)
@@ -570,7 +661,14 @@ object Similarity {
           s"ivfTopKFromPartitioned: no cell leaves at $path")
         spark.read.parquet(leaves.head._2).where(lit(false))
       }
-    corpus
+    // pending lazy-takedown tombstones never surface in a LIVE probe
+    val visible = if (!masked) corpus
+      else ivfTombstones(spark, path) match {
+        case None => corpus
+        case Some(ts) => corpus.join(ts.select(col("id").as("__ts_id")),
+          col(idCol) === col("__ts_id"), "left_anti")
+      }
+    visible
       .select(col(idCol), cosine_sim(col(vecCol), qv).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

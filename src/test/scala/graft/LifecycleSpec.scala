@@ -1004,6 +1004,64 @@ class LifecycleSpec extends SparkSpec {
       "surviving rows and cell assignment must be untouched")
   }
 
+  test("tombstoneIvfCorpus: lazy ANN takedown is probe-complete " +
+      "immediately with zero rewrites, refuses re-ingest of a pending id, " +
+      "retrains born-clean, and the next compaction applies + drains") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", k = 3)
+    val root = tmp("graft_ivfts")
+    val full = root + "/full"
+    val fresh = root + "/fresh"
+    val rm = Seq(0L, 1L, 2L, 15L)
+    Similarity.writeIvfCorpus(vecs, "id", "vec", full, cents)
+    // one layout-wide rewrite funds the undo window for the audit probe
+    graft.store.Compaction.rewritePartitions(spark, full, 4, p => p): Unit
+    assert(Similarity.tombstoneIvfCorpus(spark, full,
+      rm.toDF("id")) == 4L)
+    Similarity.writeIvfCorpus(vecs.where(!col("id").isin(rm: _*)),
+      "id", "vec", fresh, cents)
+    val q = Seq(math.cos(0).toFloat, math.sin(0).toFloat)
+    def probe(p: String) = canon(Similarity.ivfTopKFromPartitioned(spark, p,
+      "id", "vec", q, 8, cents).select(col("id"), round(col("cos"), 5)))
+    // probe-complete IMMEDIATELY: equals the survivor scratch layout while
+    // every physical row is still on disk (zero cell rewrites paid)
+    assert(probe(full) == probe(fresh))
+    assert(readLayout(full, "cell").count() == 30, "masked, not rewritten")
+    // the undo/audit probe deliberately still shows the pre-takedown
+    // neighborhood (ids 0/1/2 sit at cos 1.0 of this query)
+    val audit = Similarity.ivfTopKFromPartitionedPrevious(spark, full,
+      "id", "vec", q, 8, cents).collect().map(_.getLong(0)).toSet
+    assert(rm.toSet.intersect(audit).nonEmpty,
+      s"audit view must keep the pre-takedown neighborhood: $audit")
+    // re-ingesting a pending id is refused loudly
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendIvfCorpus(Seq((15L, Seq(1f, 0f))).toDF("id", "vec"),
+        "id", "vec", full, cents)
+    }
+    assert(ex.getMessage.contains("tombstone"), ex.getMessage)
+    // blue/green retrain reads through the mask: the new layout is BORN
+    // without the tombstoned rows (and without a sidecar)
+    val retrained = root + "/retrained"
+    Similarity.retrainIvfCorpus(spark, full, retrained, "id", "vec", k = 3)
+    assert(readLayout(retrained, "cell").select(col("id")).collect()
+      .map(_.getLong(0)).toSet == (0 until 30).map(_.toLong).toSet -- rm,
+      "retrain must exclude tombstoned rows")
+    assert(Similarity.ivfTombstones(spark, retrained).isEmpty)
+    // compaction applies the takedown physically and drains the sidecar
+    Similarity.compactIvfCorpus(spark, full, targetFiles = 4): Unit
+    assert(Similarity.ivfTombstones(spark, full).isEmpty, "drained")
+    assert(multiset(readLayout(full, "cell")) ==
+      multiset(readLayout(fresh, "cell")),
+      "physical rows equal the survivor scratch layout after the drain")
+    assert(probe(full) == probe(fresh))
+    // post-drain the id may re-ingest
+    Similarity.appendIvfCorpus(Seq((15L, Seq(1f, 0f))).toDF("id", "vec"),
+      "id", "vec", full, cents)
+    assert(readLayout(full, "cell").where(col("id") === 15L).count() == 1L)
+  }
+
   test("removeFromPairs: uncapped rewritten table row-identical to a " +
       "from-scratch mine of the survivors; reports stop naming ghosts") {
     val docs = Seq(
