@@ -4395,6 +4395,35 @@ object SparkEntry {
       post.toSeq.toDF("vec_id", "cos")
         .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
           .toDF("tombstoned", "drained", "pre_post_equal")))
+    }),
+
+    // --- LAZY takedown on the search index (round 16, q225's tombstone
+    //     twin): O(|ids|) tombstone append + ONE stats generation — zero
+    //     posting-bucket and zero docs-row rewrites. The probe must be
+    //     survivor-exact IMMEDIATELY (masked postings shift every df, the
+    //     fresh stats generation shifts every idf), and after
+    //     compactBm25Index applies the delete physically and drains, the
+    //     same probe must be unchanged. Both probes ride. ------------------
+    "q262_bm25_tombstone" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val path = sys.props("java.io.tmpdir") + "/graft_q262_bm25_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      TextOps.writeBm25Index(docs, "doc_id", "text", path)
+      val nTs = TextOps.tombstoneBm25Index(s, path,
+        docs.where(col("doc_id") % 7 === 5).select(col("doc_id")))
+      def probe() = TextOps.bm25TopKFromIndex(s, path,
+        Seq("spark", "window", "merge"), 15)
+      val pre = probe().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      TextOps.compactBm25Index(s, path): Unit // physical apply + drain
+      val drained = TextOps.bm25Tombstones(s, path).isEmpty
+      val post = probe().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      import s.implicits._
+      post.toSeq.toDF("doc_id", "n_terms", "score")
+        .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
+          .toDF("tombstoned", "drained", "pre_post_equal")))
     })
   )
 
@@ -5235,6 +5264,40 @@ object SparkEntry {
       """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos,
         |  true AS tombstoned, true AS drained, true AS pre_post_equal
         |FROM range(3) t(i)""".stripMargin,
+
+    // q262: q225's lazy-takedown twin — q90's BM25 arithmetic verbatim
+    // over the surviving corpus (doc_id % 7 <> 5), with the
+    // tombstone-lifecycle proofs riding as literals.
+    "q262_bm25_tombstone" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 7 <> 5),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score,
+        |  true AS tombstoned, true AS drained, true AS pre_post_equal
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // q227: q219's uncapped keep-best SQL over the SURVIVING half corpus —
     // pair evidence is pairwise, so the post-delete table must replay the

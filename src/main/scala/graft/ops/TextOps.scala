@@ -669,6 +669,11 @@ object TextOps {
       path: String, nBuckets: Int = 64, filesPerLeaf: Int = 4): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(filesPerLeaf > 0, "filesPerLeaf must be positive")
+    // a rebuild starts a NEW incarnation: stale lazy-takedown tombstones
+    // must not mask the fresh corpus (the commit-tag rule)
+    val tp = new org.apache.hadoop.fs.Path(bm25TombstonesDir(path))
+    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .delete(tp, true): Unit
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
         explode(col("tk")).as("term"))
@@ -698,12 +703,65 @@ object TextOps {
       statsFromDocs(df.sparkSession, path), path + "/stats")
   }
 
-  /** The stats invariant: (n_docs, Σdl) aggregated from the `docs`
-    * membership sidecar — null dls (null-text docs) count in N, skip Σ. */
+  private def bm25TombstonesDir(path: String): String = path + "/tombstones"
+
+  /** The PENDING tombstone ids of a [[writeBm25Index]] layout
+    * ([[tombstoneBm25Index]]): one `id` column, None when no lazy takedown
+    * is outstanding. */
+  private[graft] def bm25Tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(bm25TombstonesDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else Some(graft.store.ManifestTable.read(spark, bm25TombstonesDir(path)))
+  }
+
+  /** The stats invariant: (n_docs, Σdl) aggregated from the LOGICAL
+    * membership — the `docs` sidecar minus pending [[tombstoneBm25Index]]
+    * ids (null dls — null-text docs — count in N, skip Σ). While no
+    * takedown is pending this is exactly aggregate(docs). */
   private def statsFromDocs(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    graft.store.ManifestTable.read(spark, path + "/docs")
+      path: String): DataFrame = {
+    val docs = graft.store.ManifestTable.read(spark, path + "/docs")
+    bm25Tombstones(spark, path).fold(docs)(ts =>
+        docs.join(ts.select(col("id").as("__ts_id")),
+          col("id") === col("__ts_id"), "left_anti"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+  }
+
+  /**
+   * LAZY takedown on a [[writeBm25Index]] layout — the LSM tombstone
+   * discipline ([[graft.ops.Dedup.tombstonePairs]] /
+   * [[graft.ops.Similarity.tombstoneIvfCorpus]]) on the search index,
+   * where [[removeFromBm25Index]]' every-bucket rewrite is the 100 TB
+   * pain point: append `ids` to the tombstone sidecar (O(|ids|)) and
+   * commit ONE new stats generation aggregated over the surviving
+   * membership — no postings bucket and no docs row rewrites. The
+   * takedown is QUERY-COMPLETE immediately: [[bm25TopKFromIndex]] masks
+   * tombstoned postings before scoring, and since per-term document
+   * frequencies are computed AT PROBE TIME from the (masked) postings,
+   * df/idf/stats all equal a from-scratch index of the survivors. The
+   * next [[compactBm25Index]] applies the delete physically (postings +
+   * docs) and drains the sidecar. [[appendBm25Index]] refuses re-ingest
+   * of a pending id; [[bm25TopKFromIndexPrevious]] deliberately scores
+   * the PRE-takedown index (previous postings generations with the
+   * previous — pre-takedown — stats generation): the takedown audit.
+   * Returns the number of ids tombstoned.
+   */
+  def tombstoneBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long = {
+    require(graft.store.ManifestTable.exists(spark, path + "/docs"),
+      s"tombstoneBm25Index needs the docs membership sidecar (round-11 " +
+        s"layout) — rebuild via writeBm25Index: $path")
+    val rm = graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("id")).distinct())
+    val n = rm.count()
+    if (n > 0) {
+      graft.store.ManifestTable.append(rm, bm25TombstonesDir(path))
+      rewriteStats(spark, path) // one tiny aggregate + sidecar generation
+    }
+    n
+  }
 
   /** Incremental maintenance for a [[writeBm25Index]] layout — the search
     * half of the persisted-index family ([[graft.ops.Dedup.writeNearDupIndex]],
@@ -753,6 +811,16 @@ object TextOps {
     require(graft.store.ManifestTable.exists(spark, path + "/docs"),
       s"appendBm25Index needs the docs membership sidecar (round-11 " +
         s"layout) — rebuild via writeBm25Index: $path")
+    // a tombstoned id re-arriving would hide its new postings behind its
+    // own takedown — refuse loudly; compactBm25Index (the drain) first
+    bm25Tombstones(spark, path).foreach { t =>
+      val clash = df.select(col(idCol).as("__bid")).distinct()
+        .join(t.select(col("id").as("__ts_id")),
+          col("__bid") === col("__ts_id"), "left_semi").count()
+      if (clash > 0) throw new IllegalStateException(
+        s"appendBm25Index($path): $clash batch id(s) are pending " +
+          "tombstones — run compactBm25Index to drain before re-ingesting")
+    }
     val docsDone = batchId.exists(t =>
       graft.store.ManifestTable.hasTag(spark, path + "/docs", t))
     val postsDone = batchId.exists(t =>
@@ -929,7 +997,28 @@ object TextOps {
     * oblivious to when this ran (q217 + spec). Returns buckets rewritten. */
   def compactBm25Index(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFiles: Int = 4): Int =
-    graft.store.Compaction.compactPartitions(spark, path + "/postings", targetFiles)
+    bm25Tombstones(spark, path) match {
+      case None =>
+        graft.store.Compaction.compactPartitions(spark, path + "/postings",
+          targetFiles)
+      case Some(ts) =>
+        // pending lazy takedowns: apply them PHYSICALLY while rewriting —
+        // removeFromBm25Index's three rewrites, amortized into the
+        // compaction. Drain LAST; a crash anywhere leaves the tombstones
+        // masking and a blind retry converges.
+        val rm = broadcast(graft.Eager.materialize(
+          ts.select(col("id").as("__ts_id"))))
+        val n = graft.store.Compaction.rewritePartitions(spark,
+          path + "/postings", targetFiles,
+          p => p.join(rm, p("id") === col("__ts_id"), "left_anti"))
+        graft.store.ManifestTable.compact(spark, path + "/docs", targetFiles,
+          d => d.join(rm, d("id") === col("__ts_id"), "left_anti"))
+        val tp = new org.apache.hadoop.fs.Path(bm25TombstonesDir(path))
+        tp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tp, true): Unit
+        rewriteStats(spark, path) // same value as the masked stats; durable
+        n
+    }
 
   /** BM25 top-k over a [[writeBm25Index]] layout. Each query term's bucket is
     * computed on the DRIVER (the md5_prefix60 twin) and resolved to that
@@ -949,7 +1038,8 @@ object TextOps {
     bm25TopKOverDirs(spark, path, terms, k, k1, b, nBuckets,
       buckets => graft.store.Compaction.resolveLeafDirs(spark,
         path + "/postings", "bucket", buckets),
-      Some(graft.store.ManifestTable.read(spark, path + "/stats")))
+      Some(graft.store.ManifestTable.read(spark, path + "/stats")),
+      masked = true)
 
   /** The UNDO-WINDOW probe: [[bm25TopKFromIndex]] against each probed
     * bucket's PREVIOUS postings generation, scored with the PREVIOUS stats
@@ -970,12 +1060,15 @@ object TextOps {
     bm25TopKOverDirs(spark, path, terms, k, k1, b, nBuckets,
       buckets => graft.store.Compaction.resolveLeafDirsPrevious(spark,
         path + "/postings", "bucket", buckets),
-      graft.store.ManifestTable.readPrevious(spark, path + "/stats"))
+      graft.store.ManifestTable.readPrevious(spark, path + "/stats"),
+      // the audit view: previous postings score with the previous —
+      // pre-takedown — stats generation; pending tombstones do not mask
+      masked = false)
 
   private def bm25TopKOverDirs(spark: org.apache.spark.sql.SparkSession,
       path: String, terms: Seq[String], k: Int, k1: Double, b: Double,
       nBuckets: Int, resolve: Seq[Long] => Seq[String],
-      statsOpt: Option[DataFrame]): DataFrame = {
+      statsOpt: Option[DataFrame], masked: Boolean): DataFrame = {
     require(terms.nonEmpty, "query terms must be non-empty")
     require(k > 0, "k must be positive")
     val t = terms.map(_.toLowerCase).distinct
@@ -993,9 +1086,18 @@ object TextOps {
         graft.store.ManifestTable.read(spark, path + "/docs")
           .select(col("id"), col("dl"), lit("").as("term"), lit(0L).as("tf"))
           .where(lit(false))
+    // pending lazy-takedown tombstones never post in a LIVE query; the
+    // per-term df windows below then count survivors only, so idf equals a
+    // from-scratch index of the survivors
+    val visible = if (!masked) base
+      else bm25Tombstones(spark, path) match {
+        case None => base
+        case Some(ts) => base.join(ts.select(col("id").as("__ts_id")),
+          col("id") === col("__ts_id"), "left_anti")
+      }
     val stats = statsOpt.getOrElse(
       graft.store.ManifestTable.read(spark, path + "/stats").where(lit(false)))
-    scoreBm25(base, stats, "id", k, k1, b)
+    scoreBm25(visible, stats, "id", k, k1, b)
   }
 
   /** Shared BM25 scorer over (id, dl, term, tf) + a one-row (n_docs, sum_dl).

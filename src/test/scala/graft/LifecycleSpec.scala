@@ -981,6 +981,71 @@ class LifecycleSpec extends SparkSpec {
       canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)))
   }
 
+  test("tombstoneBm25Index: lazy search takedown is query-complete " +
+      "immediately (masked postings + one stats generation, zero bucket " +
+      "rewrites), refuses re-ingest, audits via the previous view, and " +
+      "the next compaction applies + drains") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"),
+      (5L, "spark spark spark merge window"), (6L, ""))
+      .toDF("id", "text")
+    val full = tmp("graft_bmts") + "/full"
+    val fresh = tmp("graft_bmts") + "/fresh"
+    TextOps.writeBm25Index(docs, "id", "text", full, nBuckets = 4)
+    val q = Seq("spark", "window", "merge")
+    val preTakedown = canon(
+      TextOps.bm25TopKFromIndex(spark, full, q, 10, nBuckets = 4))
+    // tombstone a ranking doc (5) AND the token-less doc (6): O(|ids|) +
+    // one stats generation — no postings bucket and no docs row rewrites
+    assert(TextOps.tombstoneBm25Index(spark, full,
+      Seq(5L, 6L).toDF("id")) == 2L)
+    TextOps.writeBm25Index(docs.where(col("id") <= 4), "id", "text", fresh,
+      nBuckets = 4)
+    def probe(p: String) = canon(
+      TextOps.bm25TopKFromIndex(spark, p, q, 10, nBuckets = 4))
+    assert(probe(full) == probe(fresh),
+      "masked probe must equal the from-scratch survivor index (df, idf, " +
+        "stats all survivor-exact)")
+    assert(graft.store.ManifestTable.read(spark, full + "/docs")
+      .count() == 6L, "membership masked, not rewritten")
+    assert(multiset(graft.store.ManifestTable.read(spark, full + "/stats")) ==
+      multiset(graft.store.ManifestTable.read(spark, fresh + "/stats")),
+      "the tombstone-time stats generation decrements exactly, " +
+        "token-less doc included")
+    // the audit view: previous postings + the PRE-takedown stats
+    // generation reproduce the pre-takedown ranking... after a rewrite
+    // funds the postings undo window; here stats alone moved, so the
+    // previous-stats read must be the pre-takedown aggregate
+    val prevStats = graft.store.ManifestTable
+      .readPrevious(spark, full + "/stats").get.collect().head
+    assert(prevStats.getLong(0) == 6L,
+      s"previous stats generation = pre-takedown N: $prevStats")
+    // re-ingesting a pending id is refused loudly
+    val ex = intercept[IllegalStateException] {
+      TextOps.appendBm25Index(Seq((5L, "spark again")).toDF("id", "text"),
+        "id", "text", full, nBuckets = 4)
+    }
+    assert(ex.getMessage.contains("tombstone"), ex.getMessage)
+    // compaction applies the takedown physically and drains
+    TextOps.compactBm25Index(spark, full, targetFiles = 4): Unit
+    assert(TextOps.bm25Tombstones(spark, full).isEmpty, "drained")
+    assert(graft.store.ManifestTable.read(spark, full + "/docs")
+      .count() == 4L, "docs rows physically gone")
+    assert(multiset(readLayout(full + "/postings", "bucket")) ==
+      multiset(readLayout(fresh + "/postings", "bucket")),
+      "postings physically equal the survivor scratch index")
+    assert(probe(full) == probe(fresh))
+    assert(probe(full) != preTakedown,
+      "the takedown must have changed the ranking for this corpus")
+    // post-drain the ids may re-ingest; both layouts stay in lockstep
+    TextOps.appendBm25Index(Seq((5L, "spark merge")).toDF("id", "text"),
+      "id", "text", full, nBuckets = 4)
+    TextOps.appendBm25Index(Seq((5L, "spark merge")).toDF("id", "text"),
+      "id", "text", fresh, nBuckets = 4)
+    assert(probe(full) == probe(fresh))
+  }
+
   test("removeFromIvfCorpus: every cell rewritten; probe equals a " +
       "from-scratch layout of the survivors") {
     val vecs = (0 until 30).map(i =>
