@@ -728,11 +728,6 @@ object Dedup {
       shingleSize: Int = 3, minJaccard: Double = 0.2,
       maxDf: Option[Int] = Some(1000)): Unit = {
     val spark = df.sparkSession
-    // a rebuild starts a NEW incarnation: pending lazy-takedown tombstones
-    // belong to the old corpus and must not mask the fresh mine (the same
-    // reason ManifestTable.write clears commit tags)
-    val tp = new org.apache.hadoop.fs.Path(tombstonesDir(path))
-    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true): Unit
     // ONE text scan: persist the postings first, then mine the pairs from
     // the PERSISTED copy — the shingle pass (the dominant cost) runs once,
     // and the postings sidecar [[appendPairs]] needs falls out of it.
@@ -748,6 +743,16 @@ object Dedup {
           minJaccard, maxDf)
         .select(col("id_a"), col("n_a"), col("id_b"), col("n_b"), col("inter")),
       path + "/pairs")
+    // a rebuild starts a NEW incarnation: pending lazy-takedown tombstones
+    // belong to the old corpus and are cleared — but only AFTER the
+    // rebuild's final generation commits (drain-LAST, the same crash
+    // discipline as compactPairs): a crash mid-rebuild leaves the OLD
+    // corpus live with its GDPR tombstones intact, never a readable table
+    // whose taken-down rows resurfaced. A crash between the commit above
+    // and this drain over-masks the fresh mine conservatively and heals at
+    // the retry or the next compactPairs.
+    val tp = new org.apache.hadoop.fs.Path(tombstonesDir(path))
+    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true): Unit
   }
 
   private def tombstonesDir(path: String): String = path + "/tombstones"
@@ -762,7 +767,12 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(tombstonesDir(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else Some(graft.store.ManifestTable.read(spark, tombstonesDir(path)))
+    // a concurrent compaction's drain may delete the sidecar between the
+    // probe above and the read — a drained sidecar means "nothing pending",
+    // never a reader error (re-verified gone before mapping to None)
+    else try Some(graft.store.ManifestTable.read(spark, tombstonesDir(path)))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      if (!fs.exists(p)) None else throw e }
   }
 
   /** Read a [[writePairs]] table back at `threshold`, reconstructing the

@@ -353,7 +353,12 @@ object Similarity {
     val p = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else Some(graft.store.ManifestTable.read(spark, ivfTombstonesDir(path)))
+    // a concurrent compaction's drain may delete the sidecar between the
+    // probe above and the read — a drained sidecar means "nothing pending",
+    // never a reader error (re-verified gone before mapping to None)
+    else try Some(graft.store.ManifestTable.read(spark, ivfTombstonesDir(path)))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      if (!fs.exists(p)) None else throw e }
   }
 
   /**
@@ -389,12 +394,6 @@ object Similarity {
       path: String, cents: Array[Array[Double]],
       filesPerLeaf: Int = 4): Unit = {
     require(filesPerLeaf > 0, "filesPerLeaf must be positive")
-    // a rebuild starts a NEW incarnation: stale tombstones must not mask
-    // the fresh corpus (and a static-mode overwrite would wipe them anyway
-    // — make the semantics explicit rather than mode-dependent)
-    val tp = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
-    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      .delete(tp, true): Unit
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
       // born at the compaction target: ≤ filesPerLeaf files per cell dir
       // instead of tasks × cells small ones (raise for huge cells)
@@ -403,6 +402,16 @@ object Similarity {
     // each cell leaf becomes its own manifest table (pure fs metadata), so
     // every later rewrite is reader-concurrent — see graft.store.Compaction
     graft.store.Compaction.migrateLeaves(df.sparkSession, path)
+    // a rebuild starts a NEW incarnation: stale tombstones must not mask
+    // the fresh corpus. Drained LAST (round-16 advisory's ordering on the
+    // manifest rebuilds, applied here for symmetry): a crash BEFORE the
+    // overwrite starts leaves the old corpus readable with its GDPR
+    // tombstones intact. (A static-mode overwrite wipes the sidecar with
+    // the rest of the dir anyway — this delete makes the semantics
+    // explicit rather than mode-dependent.)
+    val tp = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
+    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .delete(tp, true): Unit
   }
 
   /** Incremental index maintenance for a [[writeIvfCorpus]] layout — the

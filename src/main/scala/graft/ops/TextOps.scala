@@ -669,11 +669,6 @@ object TextOps {
       path: String, nBuckets: Int = 64, filesPerLeaf: Int = 4): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     require(filesPerLeaf > 0, "filesPerLeaf must be positive")
-    // a rebuild starts a NEW incarnation: stale lazy-takedown tombstones
-    // must not mask the fresh corpus (the commit-tag rule)
-    val tp = new org.apache.hadoop.fs.Path(bm25TombstonesDir(path))
-    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      .delete(tp, true): Unit
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
         explode(col("tk")).as("term"))
@@ -694,6 +689,17 @@ object TextOps {
       df.select(col(idCol).as("id"),
         token_count(lower(col(textCol))).cast("bigint").as("dl")),
       path + "/docs")
+    // a rebuild starts a NEW incarnation: stale lazy-takedown tombstones
+    // must not mask the fresh corpus — but the drain happens only AFTER
+    // the fresh postings + docs commit (drain-LAST, the compactBm25Index
+    // crash discipline): deleting the sidecar first opened a window where
+    // a crash left the OLD corpus readable with its GDPR tombstones
+    // erased. It also precedes the stats write below so statsFromDocs
+    // aggregates the FULL fresh membership (stats ≡ aggregate(docs) with
+    // nothing pending).
+    val tp = new org.apache.hadoop.fs.Path(bm25TombstonesDir(path))
+    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .delete(tp, true): Unit
     // stats derive FROM the just-written membership table (a tiny (id, dl)
     // read, not a third tokenization pass over the corpus) — the invariant
     // every maintenance verb preserves: stats ≡ aggregate of docs. A
@@ -713,7 +719,12 @@ object TextOps {
     val p = new org.apache.hadoop.fs.Path(bm25TombstonesDir(path))
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
-    else Some(graft.store.ManifestTable.read(spark, bm25TombstonesDir(path)))
+    // a concurrent compaction's drain may delete the sidecar between the
+    // probe above and the read — a drained sidecar means "nothing pending",
+    // never a reader error (re-verified gone before mapping to None)
+    else try Some(graft.store.ManifestTable.read(spark, bm25TombstonesDir(path)))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      if (!fs.exists(p)) None else throw e }
   }
 
   /** The stats invariant: (n_docs, Σdl) aggregated from the LOGICAL
@@ -721,10 +732,12 @@ object TextOps {
     * ids (null dls — null-text docs — count in N, skip Σ). While no
     * takedown is pending this is exactly aggregate(docs). */
   private def statsFromDocs(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, alsoTombstoned: Option[DataFrame] = None): DataFrame = {
     val docs = graft.store.ManifestTable.read(spark, path + "/docs")
-    bm25Tombstones(spark, path).fold(docs)(ts =>
-        docs.join(ts.select(col("id").as("__ts_id")),
+    val pending = (bm25Tombstones(spark, path).toSeq ++ alsoTombstoned)
+      .map(_.select(col("id"))).reduceOption(_ unionByName _)
+    pending.fold(docs)(ts =>
+        docs.join(ts.select(col("id").as("__ts_id")).distinct(),
           col("id") === col("__ts_id"), "left_anti"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
   }
@@ -757,8 +770,16 @@ object TextOps {
       ids.select(col(ids.columns.head).as("id")).distinct())
     val n = rm.count()
     if (n > 0) {
+      // survivor stats commit FIRST (round-16 advisory): the moment the
+      // tombstone append below commits — when probes start masking — the
+      // stats generation already reflects docs-minus-ids, so no concurrent
+      // query ever scores masked postings against pre-takedown n_docs/Σdl.
+      // A crash between the two leaves survivor stats with not-yet-masked
+      // postings — the same stats-vs-docs crash residue every maintenance
+      // verb heals via its next rewriteStats.
+      graft.store.ManifestTable.write(
+        statsFromDocs(spark, path, alsoTombstoned = Some(rm)), path + "/stats")
       graft.store.ManifestTable.append(rm, bm25TombstonesDir(path))
-      rewriteStats(spark, path) // one tiny aggregate + sidecar generation
     }
     n
   }

@@ -325,9 +325,12 @@ object Compaction {
     rewritePartitions(spark, root, targetFiles, identity, onlyIfOverTarget = true)
 
   /** One leaf's planned minor compaction: which files merge, which carry
-    * by reference, and the pre-computed next generation name. */
-  private final case class MinorPlan(leaf: Path, live: String, next: String,
-      smallAbs: Seq[String], smallBytes: Long, bigRel: Seq[String])
+    * by reference, and the pre-claimed next generation (the claim token
+    * carries the attempt nonce from the plan pool's thread into the commit
+    * pool's — the two phases legitimately run on different threads). */
+  private final case class MinorPlan(leaf: Path, live: String,
+      next: ManifestTable.GenClaim, smallAbs: Seq[String], smallBytes: Long,
+      bigRel: Seq[String])
 
   /**
    * Size-tiered MINOR compaction over every leaf — each leaf's append
@@ -386,7 +389,7 @@ object Compaction {
         val (small, big) = ManifestTable.snapshotFiles(fs, p, live)
           .partition(_._2 < smallBytes)
         if (small.length < 2) None
-        else Some(MinorPlan(p, live, ManifestTable.nextGenName(spark, t),
+        else Some(MinorPlan(p, live, ManifestTable.claimGen(spark, t),
           small.map(r => s"$t/${r._1}"), small.map(_._2).sum, big.map(_._1)))
       }
     }.flatten
@@ -445,7 +448,7 @@ object Compaction {
     // ---- commit (pooled fs metadata: one rename + manifest swap per leaf)
     val outcomes = pooledMap(batchable)(pl => scala.util.Try {
       val stagedLeaf = new Path(stage, pl.leaf.getName)
-      val nextPath = new Path(pl.leaf, pl.next)
+      val nextPath = new Path(pl.leaf, pl.next.gen)
       if (fs.exists(stagedLeaf)) {
         if (!fs.rename(stagedLeaf, nextPath))
           throw new java.io.IOException(
@@ -564,7 +567,7 @@ object Compaction {
       ManifestTable.liveGen(spark, t).flatMap { live =>
         val files = ManifestTable.snapshotFiles(fs, p, live)
         if (files.isEmpty) None
-        else Some((p, live, ManifestTable.nextGenName(spark, t),
+        else Some((p, live, ManifestTable.claimGen(spark, t),
           files.map(r => s"$t/${r._1}")))
       }
     }.flatten
@@ -628,7 +631,7 @@ object Compaction {
     // exact (recoveredLeafValue), so it commits as an empty generation
     val outcomes = pooledMap(canonical)(pl => scala.util.Try {
       val stagedLeaf = new Path(stage, pl._1.getName)
-      val nextPath = new Path(pl._1, pl._3)
+      val nextPath = new Path(pl._1, pl._3.gen)
       if (fs.exists(stagedLeaf)) {
         if (!fs.rename(stagedLeaf, nextPath))
           throw new java.io.IOException(

@@ -120,66 +120,35 @@ object ManifestTable {
       }.toOption.flatten
     }.headOption
 
+  /** One rewrite attempt's claim on a generation: the dir name plus the
+    * create-exclusive claim file's nonce. The nonce IS the attempt
+    * identity and TRAVELS WITH THE PLAN — claim, stage, and commit may run
+    * on different threads (the batched leaf verbs claim in one pooled pass
+    * and commit in another), so it must never live in thread-keyed JVM
+    * state (round-16 advisory: the thread-keyed nonce map broke every
+    * >8-leaf batched rewrite on verify-after-write stores). */
+  private[graft] final case class GenClaim(gen: String, nonce: String)
+
   /** Claim the next generation NUMBER with a create-exclusive marker file —
     * racing maintainers must never stage into the same generation dir (the
     * rename-into-existing-dir semantics of a shared name silently nest or
     * replace bytes). Crashed claims just skip a number: the next claim
     * counts them as used, and retire/fsck sweep them. */
-  private[graft] def claimNextGen(fs: org.apache.hadoop.fs.FileSystem, dir: Path): String = {
+  private[graft] def claimNextGen(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): GenClaim = {
     fs.mkdirs(dir): Unit
     val used = genDirs(fs, dir).map(genNum) ++ claimFiles(fs, dir).map(_._1)
     val name = f"$GenPrefix${used.maxOption.map(_ + 1).getOrElse(0)}%09d"
     // nonce body: on PUT-style stores where two racers pass the create
     // check, writeCommitFile's verify read convicts the replaced claim —
     // the loser throws instead of staging into the winner's gen dir. The
-    // nonce is remembered so [[commit]] can re-verify ownership after the
+    // nonce is returned so [[commit]] can re-verify ownership after the
     // (long) staging phase: a racer whose claim PUT landed inside the
     // μs-wide claim-verify window is still caught before publishing.
     val nonce = java.util.UUID.randomUUID().toString
     org.apache.spark.sql.graft.GraftIndex.writeCommitFile(
       fs, new Path(dir, ClaimPrefix + name), nonce.getBytes("UTF-8"))
-    claimNonces.put(claimKey(fs, dir, name), nonce)
-    recordClaimThread(fs, dir, name)
-    name
-  }
-
-  // this ATTEMPT's claim nonces, keyed by (fs, dir, gen, claiming thread) —
-  // a maintainer verb runs claim→stage→commit synchronously on one driver
-  // thread, so the thread id is the attempt identity. Keying by (fs, dir,
-  // gen) alone let two same-JVM racers that both passed a PUT store's
-  // deferred claim check clobber each other's entry, defeating the
-  // stolen-claim detection entirely (round-15 review finding). Cross-JVM
-  // racers each keep their own map. Entries are removed at commit or
-  // fenced-loser cleanup, and stay bounded by attempts-per-process.
-  private val claimNonces =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def claimKey(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      gen: String): String =
-    s"${baseClaimKey(fs, dir, gen)}#${Thread.currentThread().getId}"
-  private def baseClaimKey(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      gen: String): String =
-    s"${fs.getUri}${dir.toUri.getPath}/$gen"
-  // which thread(s) claimed each gen this JVM — the thread id IS the
-  // attempt identity (claim→stage→commit runs synchronously on one driver
-  // thread), and this map makes that assumption LOUD instead of silent: a
-  // future verb that claims on one thread and commits on another would
-  // find no nonce at commit time and silently disable stolen-claim
-  // detection (round-15 advisory) — commit() asserts against this map.
-  private val claimThreads =
-    new java.util.concurrent.ConcurrentHashMap[String,
-      java.util.Set[java.lang.Long]]()
-  private def recordClaimThread(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, gen: String): Unit =
-    claimThreads.computeIfAbsent(baseClaimKey(fs, dir, gen),
-      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[java.lang.Long]())
-      .add(Thread.currentThread().getId): Unit
-  private def releaseClaimThread(fs: org.apache.hadoop.fs.FileSystem,
-      dir: Path, gen: String): Unit = {
-    val key = baseClaimKey(fs, dir, gen)
-    Option(claimThreads.get(key)).foreach { s =>
-      s.remove(Thread.currentThread().getId)
-      if (s.isEmpty) claimThreads.remove(key, s): Unit
-    }
+    GenClaim(name, nonce)
   }
 
   // staged-generation attempt sentinel (round-15 advisory): on a PUT store
@@ -192,13 +161,10 @@ object ManifestTable {
   // (possibly still-writing) staged content.
   private val AttemptName = "_ATTEMPT"
   private[graft] def stampStaged(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      gen: String): Unit =
-    claimNonces.get(claimKey(fs, dir, gen)) match {
-      case null => ()
-      case nonce =>
-        val out = fs.create(new Path(new Path(dir, gen), AttemptName), true)
-        try out.write(nonce.getBytes("UTF-8")) finally out.close()
-    }
+      claim: GenClaim): Unit = {
+    val out = fs.create(new Path(new Path(dir, claim.gen), AttemptName), true)
+    try out.write(claim.nonce.getBytes("UTF-8")) finally out.close()
+  }
   private def stagedAttemptMatches(fs: org.apache.hadoop.fs.FileSystem,
       dir: Path, gen: String, nonce: String): Boolean = {
     val p = new Path(new Path(dir, gen), AttemptName)
@@ -210,29 +176,23 @@ object ManifestTable {
     }.toOption.contains(nonce)
   }
 
-  /** Whether this attempt still owns `gen`'s claim file. True when no
-    * nonce was recorded (fsck re-commits claimless — claim handling is not
-    * this attempt's concern) or the claim body equals this attempt's
-    * nonce. False when the body differs — a racer's claim PUT replaced
-    * ours on a non-atomic-create store — AND when the claim file is GONE
-    * despite a recorded nonce: this attempt did not release it, so a racer
-    * stole the claim and already committed (its commit deleted the claim).
-    * Either way the staged gen dir may be SHARED — or already be the
-    * racer's LIVE generation — and must not be published or deleted by
+  /** Whether the attempt holding `claim` still owns its claim file: the
+    * claim body equals the attempt's nonce. False when the body differs —
+    * a racer's claim PUT replaced ours on a non-atomic-create store — AND
+    * when the claim file is GONE: this attempt did not release it, so a
+    * racer stole the claim and already committed (its commit deleted the
+    * claim). Either way the staged gen dir may be SHARED — or already be
+    * the racer's LIVE generation — and must not be published or deleted by
     * this attempt (fsck owns the debris). */
   private def claimOwned(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      gen: String): Boolean = {
-    val mine = claimNonces.get(claimKey(fs, dir, gen))
-    if (mine == null) true
-    else {
-      val p = new Path(dir, ClaimPrefix + gen)
-      if (!fs.exists(p)) false // we never released it: stolen-and-committed
-      else scala.util.Try {
-        val in = fs.open(p)
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        finally in.close()
-      }.toOption.contains(mine)
-    }
+      claim: GenClaim): Boolean = {
+    val p = new Path(dir, ClaimPrefix + claim.gen)
+    if (!fs.exists(p)) false // we never released it: stolen-and-committed
+    else scala.util.Try {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }.toOption.contains(claim.nonce)
   }
 
   /** Commit, and on a FENCED loss delete this attempt's own staged
@@ -242,20 +202,18 @@ object ManifestTable {
     * verb); migrateFlatDir commits raw — its generation holds the renamed
     * ORIGINALS. */
   private def commitOrCleanup(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
-      gen: String, parent: Option[String]): Unit =
-    try commit(fs, dir, gen, parent) catch {
+      claim: GenClaim, parent: Option[String]): Unit =
+    try commit(fs, dir, claim.gen, parent, Some(claim)) catch {
       case e: org.apache.spark.sql.graft.GraftConcurrentCommitException =>
         // sweep our staging ONLY while we still own the claim: after a
         // stolen claim (non-atomic-create store) the gen dir may hold the
         // RACER's staged bytes — deleting it here would vaporize a commit
         // the racer is about to (or already did) publish
         if (!org.apache.spark.sql.graft.GraftIndex.verifyAfterWrite(fs) ||
-            claimOwned(fs, dir, gen)) {
-          fs.delete(new Path(dir, gen), true)
-          fs.delete(new Path(dir, ClaimPrefix + gen), false)
+            claimOwned(fs, dir, claim)) {
+          fs.delete(new Path(dir, claim.gen), true)
+          fs.delete(new Path(dir, ClaimPrefix + claim.gen), false)
         }
-        claimNonces.remove(claimKey(fs, dir, gen))
-        releaseClaimThread(fs, dir, gen)
         throw e
     }
 
@@ -542,9 +500,13 @@ object ManifestTable {
     * LOUDLY before publishing — the loser's staged generation stays behind
     * as an orphan for retire/fsck to sweep, and its caller retries from
     * fresh state. Re-committing the already-live generation is allowed
-    * (fsck's durable heal). */
+    * (fsck's durable heal). `claim` is this attempt's claim token when the
+    * caller claimed the generation ([[claimNextGen]]) — it funds the
+    * stolen-claim and staged-bytes re-checks on verify-after-write stores;
+    * None means a claimless re-commit (fsck's heal of an already-complete
+    * generation), where claim handling is not this attempt's concern. */
   private[graft] def commit(fs: org.apache.hadoop.fs.FileSystem, dir: Path, gen: String,
-      parent: Option[String]): Unit = {
+      parent: Option[String], claim: Option[GenClaim] = None): Unit = {
     import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
     // inline self-heal (round 15): torn pointer versions (above the newest
     // parseable one) OLDER than the debris lease are crash debris — a live
@@ -587,33 +549,17 @@ object ManifestTable {
     // been sharing this staged gen dir — catch it HERE, where the whole
     // staging duration separates the claim from the commit, and publish
     // nothing (the dir may hold the racer's bytes)
-    if (GraftIndex.verifyAfterWrite(fs)) {
-      if (!claimOwned(fs, dir, gen))
+    if (GraftIndex.verifyAfterWrite(fs)) claim.foreach { c =>
+      if (!claimOwned(fs, dir, c))
         throw new GraftConcurrentCommitException(
           s"ManifestTable: claim for $gen at $dir was overwritten by a " +
             "concurrent maintainer (non-atomic-create store) — the staged " +
             "generation may be shared; this commit was fenced off and " +
             "applied nothing (serialize the maintainers and retry)")
-      val mine = claimNonces.get(claimKey(fs, dir, gen))
-      // attempt-identity assertion (round-15 advisory): the nonce map is
-      // keyed by claiming thread; a verb that claimed on another thread
-      // would read null here and silently run with stolen-claim detection
-      // OFF — refuse loudly instead (fsck's claimless re-commit keeps
-      // working: nothing claimed that gen this JVM at all)
-      if (mine == null &&
-          Option(claimThreads.get(baseClaimKey(fs, dir, gen)))
-            .exists(!_.isEmpty))
-        throw new IllegalStateException(
-          s"ManifestTable: $gen at $dir was claimed on thread(s) " +
-            s"${claimThreads.get(baseClaimKey(fs, dir, gen))} but is being " +
-            s"committed on thread ${Thread.currentThread().getId} — the " +
-            "claim nonce cannot be resolved and stolen-claim detection " +
-            "would be silently disabled; run claim, stage, and commit on " +
-            "one thread (the attempt identity)")
       // staged-bytes ownership: the last staging write stamped this
       // attempt's nonce into the gen dir — a rival that re-staged the same
       // dir (shared-claim sub-case) replaced the stamp and is caught here
-      if (mine != null && !stagedAttemptMatches(fs, dir, gen, mine))
+      if (!stagedAttemptMatches(fs, dir, gen, c.nonce))
         throw new GraftConcurrentCommitException(
           s"ManifestTable: staged generation $gen at $dir holds a rival " +
             "attempt's bytes (the _ATTEMPT stamp does not match this " +
@@ -635,8 +581,6 @@ object ManifestTable {
     // the committed generation's claim has served: an extant claim means
     // "possibly uncommitted" to the resolver fallback and the sweeps
     fs.delete(new Path(dir, ClaimPrefix + gen), false): Unit
-    claimNonces.remove(claimKey(fs, dir, gen)): Unit
-    releaseClaimThread(fs, dir, gen)
   }
 
   /** Retire every generation except `live` and the generation that was
@@ -688,8 +632,8 @@ object ManifestTable {
     val (fs, dir) = fsOf(spark, table)
     val prevLive = liveGen(spark, table)
     val next = claimNextGen(fs, dir)
-    df.write.mode("overwrite").parquet(s"$table/$next")
-    writeMetaLines(fs, new Path(dir, next), ParentName,
+    df.write.mode("overwrite").parquet(s"$table/${next.gen}")
+    writeMetaLines(fs, new Path(dir, next.gen), ParentName,
       Seq(prevLive.getOrElse(NoParent)))
     stampStaged(fs, dir, next)
     // legacy flat data files (pre-manifest layout) are superseded by this
@@ -704,7 +648,7 @@ object ManifestTable {
     // the _TAGS marker directory (per-token files — see CommitTags)
     fs.delete(new Path(dir, TagsName), true): Unit
     commitOrCleanup(fs, dir, next, prevLive)
-    retire(fs, dir, next, prevLive, keepVersionsOf(spark))
+    retire(fs, dir, next.gen, prevLive, keepVersionsOf(spark))
   }
 
   /** Append into the live generation — the ingest-loop fast path: one more
@@ -821,8 +765,8 @@ object ManifestTable {
     if (!fs.exists(dir) || liveGen(spark, table).isDefined) return
     val flat = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
       .filter(p => p.getName.endsWith(".parquet"))
-    val gen = claimNextGen(fs, dir)
-    val genPath = new Path(dir, gen)
+    val claim = claimNextGen(fs, dir)
+    val genPath = new Path(dir, claim.gen)
     fs.mkdirs(genPath): Unit
     flat.foreach { p =>
       if (!fs.rename(p, new Path(genPath, p.getName)))
@@ -831,8 +775,8 @@ object ManifestTable {
     }
     // non-data markers from the flat write (_SUCCESS) stay behind harmlessly
     writeMetaLines(fs, genPath, ParentName, Seq(NoParent))
-    stampStaged(fs, dir, gen)
-    commit(fs, dir, gen, parent = None)
+    stampStaged(fs, dir, claim)
+    commit(fs, dir, claim.gen, parent = None, claim = Some(claim))
   }
 
   /** Count the data files the live snapshot opens: the live generation's
@@ -868,35 +812,38 @@ object ManifestTable {
     val next = claimNextGen(fs, dir)
     transform(spark.read.parquet(pathsFor(spark, table, live): _*))
       .coalesce(targetFiles)
-      .write.mode("overwrite").parquet(s"$table/$next")
-    writeMetaLines(fs, new Path(dir, next), ParentName, Seq(live))
+      .write.mode("overwrite").parquet(s"$table/${next.gen}")
+    writeMetaLines(fs, new Path(dir, next.gen), ParentName, Seq(live))
     stampStaged(fs, dir, next)
     commitOrCleanup(fs, dir, next, Some(live))
-    retire(fs, dir, next, Some(live), keepVersionsOf(spark))
+    retire(fs, dir, next.gen, Some(live), keepVersionsOf(spark))
   }
 
-  /** CLAIM the next generation dir name (current max + 1, create-exclusive
-    * — see [[claimNextGen]]) — for maintenance verbs that stage a
-    * generation OUTSIDE this object (the batched layout-wide minor
-    * compaction) and commit it here afterwards. An abandoned claim (the
-    * stager crashed) just skips a number; retire/fsck sweep the marker. */
-  private[store] def nextGenName(spark: SparkSession, table: String): String = {
+  /** CLAIM the next generation (current max + 1, create-exclusive — see
+    * [[claimNextGen]]) — for maintenance verbs that stage a generation
+    * OUTSIDE this object (the batched layout-wide rewrites) and commit it
+    * via [[commitStagedGen]] afterwards. The returned claim token carries
+    * the attempt identity and must be passed back at commit — claim and
+    * commit may legitimately run on different pool threads. An abandoned
+    * claim (the stager crashed) just skips a number; retire/fsck sweep the
+    * marker. */
+  private[store] def claimGen(spark: SparkSession, table: String): GenClaim = {
     val (fs, dir) = fsOf(spark, table)
     claimNextGen(fs, dir)
   }
 
   /** Commit an externally-staged generation: write `_RETAINS`/`_PARENT`
     * markers, swap the MANIFEST pointer, retire per keep-one-back. The
-    * generation dir must already be fully populated at `table/gen`. */
+    * generation dir must already be fully populated at `table/<claim.gen>`. */
   private[store] def commitStagedGen(spark: SparkSession, table: String,
-      gen: String, parent: String, retainsRel: Seq[String]): Unit = {
+      claim: GenClaim, parent: String, retainsRel: Seq[String]): Unit = {
     val (fs, dir) = fsOf(spark, table)
-    val genPath = new Path(dir, gen)
+    val genPath = new Path(dir, claim.gen)
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
-    stampStaged(fs, dir, gen)
-    commitOrCleanup(fs, dir, gen, Some(parent))
-    retire(fs, dir, gen, Some(parent), keepVersionsOf(spark))
+    stampStaged(fs, dir, claim)
+    commitOrCleanup(fs, dir, claim, Some(parent))
+    retire(fs, dir, claim.gen, Some(parent), keepVersionsOf(spark))
   }
 
   /** The live snapshot's data files with sizes, as table-relative paths:
@@ -944,13 +891,13 @@ object ManifestTable {
     val next = claimNextGen(fs, dir)
     val nOut = math.max(1L, (small.map(_._2).sum + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(small.map(r => s"$table/${r._1}"): _*).coalesce(nOut)
-      .write.mode("overwrite").parquet(s"$table/$next")
-    val nextPath = new Path(dir, next)
+      .write.mode("overwrite").parquet(s"$table/${next.gen}")
+    val nextPath = new Path(dir, next.gen)
     if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
     writeMetaLines(fs, nextPath, ParentName, Seq(live))
     stampStaged(fs, dir, next)
     commitOrCleanup(fs, dir, next, Some(live))
-    retire(fs, dir, next, Some(live), keepVersionsOf(spark))
+    retire(fs, dir, next.gen, Some(live), keepVersionsOf(spark))
     small.length
   }
 

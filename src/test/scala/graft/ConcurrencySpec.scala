@@ -712,13 +712,14 @@ class ConcurrencySpec extends SparkSpec {
     val conf = spark.sessionState.newHadoopConf()
     val dirPath = new Path(table)
     val fs = dirPath.getFileSystem(conf)
-    val gen = ManifestTable.claimNextGen(fs, dirPath)
+    val claim = ManifestTable.claimNextGen(fs, dirPath)
+    val gen = claim.gen
     def stage(): Unit = {
       spark.range(50).select($"id", lit(9L).as("v"))
         .write.mode("overwrite").parquet(s"$table/$gen")
       val out = fs.create(new Path(s"$table/$gen/_PARENT"), true)
       try out.write("gen-000000000\n".getBytes("UTF-8")) finally out.close()
-      ManifestTable.stampStaged(fs, dirPath, gen)
+      ManifestTable.stampStaged(fs, dirPath, claim)
     }
     stage()
     // rival attempt re-staged the SAME gen dir: its last staging write
@@ -727,22 +728,24 @@ class ConcurrencySpec extends SparkSpec {
     val rogue = fs.create(new Path(s"$table/$gen/_ATTEMPT"), true)
     try rogue.write("rival-nonce".getBytes("UTF-8")) finally rogue.close()
     val ex = intercept[GraftConcurrentCommitException] {
-      ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"))
+      ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"), Some(claim))
     }
     assert(ex.getMessage.contains("rival"), ex.getMessage)
     assert(ManifestTable.read(spark, table).count() == 100,
       "the fenced commit must not have moved the pointer")
     // recovery: re-stage our own bytes (stamp included), retry, converge
     stage()
-    ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"))
+    ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"), Some(claim))
     val healed = ManifestTable.read(spark, table)
     assert(healed.count() == 50 &&
       healed.agg(sum($"v")).head().getLong(0) == 450L)
   }
 
-  test("claim/commit attempt identity: a gen claimed on one thread and " +
-      "committed on another refuses loudly instead of silently running " +
-      "with stolen-claim detection disabled") {
+  test("claim/commit attempt identity travels with the claim token: a gen " +
+      "claimed on one thread commits on another with stolen-claim " +
+      "detection still ARMED (the batched leaf-rewrite thread split), and " +
+      "a stolen claim still fences across the thread hop") {
+    import org.apache.spark.sql.graft.GraftConcurrentCommitException
     import org.apache.hadoop.fs.Path
     NonAtomicCreateFileSystem.reset()
     val table = "natomic:" + tmp("graft_xthread") + "/t"
@@ -750,15 +753,73 @@ class ConcurrencySpec extends SparkSpec {
       spark.range(10).select($"id", ($"id" % 2).as("v")), table)
     val dirPath = new Path(table)
     val fs = dirPath.getFileSystem(spark.sessionState.newHadoopConf())
-    @volatile var gen: String = null
-    val t = new Thread(() => { gen = ManifestTable.claimNextGen(fs, dirPath) })
+    // claim on a helper thread (the plan pool), stage+commit on this one
+    // (the commit pool) — the exact split Compaction's batched verbs use
+    @volatile var claim: ManifestTable.GenClaim = null
+    val t = new Thread(() => { claim = ManifestTable.claimNextGen(fs, dirPath) })
     t.start(); t.join(60000)
-    assert(gen != null)
-    val ex = intercept[IllegalStateException] {
-      ManifestTable.commit(fs, dirPath, gen, Some("gen-000000000"))
+    assert(claim != null)
+    spark.range(5).select($"id", lit(1L).as("v"))
+      .write.mode("overwrite").parquet(s"$table/${claim.gen}")
+    val out = fs.create(new Path(s"$table/${claim.gen}/_PARENT"), true)
+    try out.write("gen-000000000\n".getBytes("UTF-8")) finally out.close()
+    ManifestTable.stampStaged(fs, dirPath, claim)
+    ManifestTable.commit(fs, dirPath, claim.gen, Some("gen-000000000"),
+      Some(claim))
+    assert(ManifestTable.read(spark, table).count() == 5,
+      "cross-thread commit with the claim token succeeds")
+    // and detection is ARMED across the hop: a rival that replaces the
+    // claim file mid-staging still fences the cross-thread commit
+    @volatile var claim2: ManifestTable.GenClaim = null
+    val t2 = new Thread(() => { claim2 = ManifestTable.claimNextGen(fs, dirPath) })
+    t2.start(); t2.join(60000)
+    assert(claim2 != null)
+    spark.range(3).select($"id", lit(2L).as("v"))
+      .write.mode("overwrite").parquet(s"$table/${claim2.gen}")
+    val out2 = fs.create(new Path(s"$table/${claim2.gen}/_PARENT"), true)
+    try out2.write(s"${claim.gen}\n".getBytes("UTF-8")) finally out2.close()
+    ManifestTable.stampStaged(fs, dirPath, claim2)
+    val rogue = fs.create(new Path(s"$table/.genclaim-${claim2.gen}"), true)
+    try rogue.write("rival-nonce".getBytes("UTF-8")) finally rogue.close()
+    val ex = intercept[GraftConcurrentCommitException] {
+      ManifestTable.commit(fs, dirPath, claim2.gen, Some(claim.gen),
+        Some(claim2))
     }
-    assert(ex.getMessage.contains("thread"), ex.getMessage)
-    assert(ManifestTable.read(spark, table).count() == 10,
-      "the refused commit must not have moved the pointer")
+    assert(ex.getMessage.contains("overwritten"), ex.getMessage)
+    assert(ManifestTable.read(spark, table).count() == 5,
+      "the fenced cross-thread commit must not have moved the pointer")
+  }
+
+  test("batched >8-leaf rewrite AND minor compaction on a verify-after-" +
+      "write store: the claim token crosses the plan-pool → commit-pool " +
+      "thread split (round-16 advisory — the thread-keyed nonce map made " +
+      "every leaf commit throw IllegalStateException here)") {
+    NonAtomicCreateFileSystem.reset()
+    val root = "natomic:" + tmp("graft_batchleaf") + "/ivf"
+    spark.range(240).select($"id", ($"id" % 12).as("cell"))
+      .repartition($"cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(root)
+    Compaction.migrateLeaves(spark, root)
+    // 12 leaves > the pooledMap serial threshold (8): nextGen claims run on
+    // plan-pool threads, commitStagedGen on commit-pool threads
+    val n = Compaction.rewritePartitions(spark, root, 2,
+      p => p.where(col("id") % 2 === 1))
+    assert(n == 12, s"all 12 leaves must rewrite, got $n")
+    def readBack() = spark.read.parquet(
+      Compaction.resolveLeaves(spark, root).map(_._2): _*)
+    assert(readBack().count() == 120 &&
+      readBack().where(col("id") % 2 === 0).count() == 0,
+      "the takedown-shaped rewrite must be exact across every leaf")
+    // the batched MINOR path claims in its own plan pool too: manufacture
+    // small-file debris in every leaf, then merge it across the same split
+    Compaction.appendPartitions(
+      spark.range(240, 480).select($"id", ($"id" % 12).as("cell"))
+        .repartition($"cell"),
+      root, "cell", None): Unit
+    val merged = Compaction.minorCompactPartitions(spark, root,
+      smallBytes = 1L << 30, targetBytes = 1L << 30)
+    assert(merged > 0, "debris must merge")
+    assert(readBack().count() == 360,
+      "minor compaction across the thread split must keep every row")
   }
 }

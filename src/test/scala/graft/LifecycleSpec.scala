@@ -1159,6 +1159,59 @@ class LifecycleSpec extends SparkSpec {
       "post-delete append must equal the survivor-corpus append")
   }
 
+  test("rebuild drain-LAST (round-16 advisory): a writePairs/writeBm25Index " +
+      "rebuild that fails BEFORE its new generations commit leaves the OLD " +
+      "corpus readable with its GDPR tombstones still masking — taken-down " +
+      "rows never resurface through a crashed rebuild") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "a b c d e"), (4L, "a b c d zz")).toDF("id", "text")
+    // --- pairs layout: poison fails at RUNTIME, mid-mine (job submitted,
+    // old generations still live)
+    val ppath = tmp("graft_drainlast") + "/pairs"
+    Dedup.writePairs(docs, "id", "text", ppath, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    assert(Dedup.tombstonePairs(spark, ppath, Seq(1L).toDF("id")) == 1L)
+    def ghostRows() = Dedup.readPairs(spark, ppath, threshold = 0.2)
+      .where(col("id_a") === 1L || col("id_b") === 1L).count()
+    assert(ghostRows() == 0L, "takedown masks before the crash")
+    val poison = docs.select(col("id"),
+      when(expr("assert_true(id < 0)").isNull, col("text")).as("text"))
+    intercept[Exception] {
+      Dedup.writePairs(poison, "id", "text", ppath, shingleSize = 2,
+        minJaccard = 0.2, maxDf = None)
+    }
+    assert(Dedup.pairTombstones(spark, ppath).isDefined,
+      "the crashed rebuild must NOT have drained the sidecar")
+    assert(ghostRows() == 0L,
+      "the old corpus stays readable with the takedown still masking")
+    // --- bm25 layout: poison fails at ANALYSIS (before any write) — with
+    // the old drain-first ordering the sidecar was already erased here
+    val bpath = tmp("graft_drainlast") + "/bm25"
+    TextOps.writeBm25Index(docs, "id", "text", bpath, nBuckets = 4)
+    assert(TextOps.tombstoneBm25Index(spark, bpath, Seq(1L).toDF("id")) == 1L)
+    def topIds() = TextOps.bm25TopKFromIndex(spark, bpath,
+      Seq("w1", "w2"), 10, nBuckets = 4).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!topIds().contains(1L), "takedown masks before the crash")
+    intercept[Exception] {
+      TextOps.writeBm25Index(docs.drop("text"), "id", "text", bpath,
+        nBuckets = 4)
+    }
+    assert(TextOps.bm25Tombstones(spark, bpath).isDefined,
+      "the crashed rebuild must NOT have drained the sidecar")
+    assert(!topIds().contains(1L),
+      "the old index stays probe-able with the takedown still masking")
+    // a successful rebuild then drains: fresh incarnation, no stale masks
+    TextOps.writeBm25Index(docs, "id", "text", bpath, nBuckets = 4)
+    assert(TextOps.bm25Tombstones(spark, bpath).isEmpty, "rebuild drains")
+    assert(topIds().contains(1L), "the fresh corpus is unmasked")
+    Dedup.writePairs(docs, "id", "text", ppath, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    assert(Dedup.pairTombstones(spark, ppath).isEmpty, "rebuild drains")
+    assert(ghostRows() > 0L, "the fresh mine is unmasked")
+  }
+
   // ------------------------------------------------------------ tmp hygiene
 
   test("TmpHygiene: a stale-looking top-level dir with a RECENT nested file " +
