@@ -193,10 +193,6 @@ object Bench {
         case v => scala.util.Try(v.stripPrefix("slowest").toInt).toOption
           .filter(_ >= 0).getOrElse(8)
       }.getOrElse(8)
-    // the canaries re-measure JUST BEFORE the isolated tier: their ratio to
-    // the pre-sweep reading is the box-drift factor the isolated medians carry
-    val canaryIso = if (isoCount > 0) canary() else canaryPre
-    val canaryIoIso = if (isoCount > 0) canaryIo() else canaryIoPre
     // isolated medians get MORE reps than the sweep (round-15 gate fix):
     // median-of-3 of ~1 s queries carries ±10% noise — most of the 25%
     // regression budget — so the tier that feeds the pinned rule runs
@@ -204,8 +200,105 @@ object Bench {
     val isoReps = sys.env.get("SPARK_GRAFT_BENCH_ISO_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(math.max(reps, 5))
-    val isolated = results.toSeq.sortBy { case (_, (m, _, _)) => -m }
-      .take(isoCount).map { case (name, _) =>
+    val isoNames = results.toSeq.sortBy { case (_, (m, _, _)) => -m }
+      .take(isoCount).map(_._1)
+    // ---- process isolation (round-16 adjudication): the in-process tier
+    // inherits the whole 262-query × 3-rep sweep's heap — end-of-run GC
+    // pressure inflated q242's official read to 2.5× its clean pin, and
+    // only out-of-band triage runs could acquit it. The plan-quality tier
+    // now runs in a FRESH JVM: this process re-execs graft.Bench with
+    // SPARK_GRAFT_BENCH_ONLY=<tier> and ISOLATE=off, and adopts the
+    // child's medians (and its fresh-JVM canaries as the tier-moment box
+    // reading). SPARK_GRAFT_BENCH_ISO_MODE=inproc restores the legacy
+    // same-JVM tier; any fork failure falls back to it LOUDLY, and the
+    // artifact records which protocol produced the numbers ("iso_mode").
+    def jsonObjEntries(line: String, key: String): Option[Seq[(String, Double)]] = {
+      val k = "\"" + key + "\":{"
+      val i = line.indexOf(k)
+      if (i < 0) None else {
+        val start = i + k.length
+        val end = line.indexOf('}', start)
+        if (end < 0) None
+        else Some(line.substring(start, end).split(',').toSeq
+          .filter(_.contains(':')).flatMap { e =>
+            val Array(n, v) = e.split(':')
+            scala.util.Try(n.trim.stripPrefix("\"").stripSuffix("\"") ->
+              v.trim.toDouble).toOption
+          })
+      }
+    }
+    def jsonNum(line: String, key: String): Option[Double] = {
+      val k = "\"" + key + "\":"
+      val i = line.indexOf(k)
+      if (i < 0) None
+      else scala.util.Try(line.substring(i + k.length)
+        .takeWhile(c => c != ',' && c != '}').toDouble).toOption
+    }
+    def forkIsolatedTier(): Option[(Seq[(String, Double)], Double, Double)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_BENCH_ONLY", isoNames.mkString(","))
+        env.put("SPARK_GRAFT_BENCH_ISOLATE", "off") // the child IS the tier
+        env.put("SPARK_GRAFT_BENCH_REPS", isoReps.toString)
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_WARM_DIR", warmDir)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT) // loud child logs
+        val proc = pb.start()
+        // drain stdout to EOF BEFORE waitFor (pipe-full deadlock guard);
+        // the child writes only its two JSON lines here
+        val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+          .getLines().toList
+        val rc = proc.waitFor()
+        if (rc != 0) {
+          System.err.println(s"[bench] isolated-tier child exited rc=$rc")
+          return None
+        }
+        // the verbose total_detail line carries full query names at 3
+        // decimals; its FIRST "queries" object is the medians
+        val line = out.find(_.startsWith("{\"metric\":\"total_detail\""))
+          .orElse(out.reverse.find(_.startsWith("{\"metric\"")))
+          .getOrElse(return None)
+        for {
+          meds <- jsonObjEntries(line, "queries")
+          cIso <- jsonNum(line, "canary_pre")
+          cIoIso <- jsonNum(line, "canary_io_pre")
+          // preserve tier order (slowest first) and names, as before
+          ordered = isoNames.flatMap(n => meds.toMap.get(n).map(n -> _))
+          if ordered.nonEmpty
+        } yield (ordered, cIso, cIoIso)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] isolated-tier fork failed: $e")
+        None
+      }
+    val isoModeWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MODE", "fork")
+    val forkedTier =
+      if (isoCount == 0 || isoModeWanted == "inproc") None
+      else forkIsolatedTier()
+    if (isoCount > 0 && isoModeWanted != "inproc" && forkedTier.isEmpty)
+      System.err.println("[bench] isolated tier fell back to the SAME-JVM " +
+        "protocol — its medians carry end-of-sweep heap pressure and are " +
+        "NOT comparable to fresh-JVM pins")
+    val isoMode =
+      if (isoCount == 0) "none"
+      else if (forkedTier.isDefined) "fork" else "inproc"
+    // canary readings at the tier moment: the fresh-JVM child's own
+    // pre-run canaries under fork; re-measured here under the legacy path
+    val canaryIso = forkedTier.map(_._2)
+      .getOrElse(if (isoCount > 0) canary() else canaryPre)
+    val canaryIoIso = forkedTier.map(_._3)
+      .getOrElse(if (isoCount > 0) canaryIo() else canaryIoPre)
+    val isolated = forkedTier.map(_._1).getOrElse {
+      isoNames.map { name =>
         releaseBlocks()
         val times = (1 to isoReps).map { _ =>
           val t0 = System.nanoTime()
@@ -226,6 +319,7 @@ object Bench {
         TmpHygiene.sweepCurrentProcess()
         name -> m
       }
+    }
     // The driver's stdout capture is tail-anchored (~2 KB): whatever dict
     // ends the LAST line is what BENCH_r{N} records. Rounds 6-8 printed
     // queries -> queries_min -> queries_max on one line, so the official
@@ -250,18 +344,18 @@ object Bench {
     def isoJson(r: Double => Double) = isolated
       .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"iso_mode":"$isoMode","canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B
@@ -271,7 +365,7 @@ object Bench {
     val heavy =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"coverage":"slowest40_medians","queries":${
         top.map { case (k, (m, _, _)) => "\"" + shortKey(k) + "\":" + r2(m) }
-          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     println(
       if (compact.length <= 1900) compact
       else if (tiny.length <= 1900) tiny
