@@ -4424,6 +4424,44 @@ object SparkEntry {
       post.toSeq.toDF("doc_id", "n_terms", "score")
         .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
           .toDF("tombstoned", "drained", "pre_post_equal")))
+    }),
+
+    // --- LAZY takedown on the SRP bucketed layout (round 17, q246/q231's
+    //     tombstone twin — the last heavy persisted layout to gain it):
+    //     the delete is an O(|ids|) sidecar append with ZERO bucket-leaf
+    //     rewrites — the probe must stop surfacing the deleted planted
+    //     copies IMMEDIATELY, and after compactBucketedCorpus (which
+    //     applies the anti-join physically in every leaf and drains the
+    //     sidecar) the same probe must be unchanged. Pre==post pinned,
+    //     drain pinned. ----------------------------------------------------
+    "q263_srp_tombstone" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val path = sys.props("java.io.tmpdir") + "/graft_q263_srp_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeBucketedCorpus(base.unionByName(planted), "vec_id",
+        "embedding", path, nBits = 6)
+      val nTs = Similarity.tombstoneBucketedCorpus(s, path,
+        s.range(4).select((col("id") * 2 + 9500L).as("vec_id")))
+      def probe() = Similarity.annTopKFromBucketed(s, path, "vec_id",
+          "embedding", q, 3, nBits = 6)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+      val pre = probe().collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      Similarity.compactBucketedCorpus(s, path, targetFiles = 4): Unit
+      val drained = Similarity.srpTombstones(s, path).isEmpty
+      val post = probe().collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      import s.implicits._
+      post.toSeq.toDF("vec_id", "cos")
+        .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
+          .toDF("tombstoned", "drained", "pre_post_equal")))
     })
   )
 
@@ -5261,6 +5299,14 @@ object SparkEntry {
     // q261: the lazy-takedown twin — same surviving planted copies at cos
     // 1.0, with the tombstone-lifecycle proofs riding as literals.
     "q261_ivf_tombstone" ->
+      """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos,
+        |  true AS tombstoned, true AS drained, true AS pre_post_equal
+        |FROM range(3) t(i)""".stripMargin,
+
+    // q263: the SRP bucketed layout's lazy-takedown twin — same closed
+    // form (the three surviving planted copies at cos 1.0), with the
+    // tombstone-lifecycle proofs riding as literals.
+    "q263_srp_tombstone" ->
       """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos,
         |  true AS tombstoned, true AS drained, true AS pre_post_equal
         |FROM range(3) t(i)""".stripMargin,

@@ -117,6 +117,13 @@ object Similarity {
     // each bucket leaf becomes its own manifest table (pure fs metadata) so
     // every later rewrite is reader-concurrent — see graft.store.Compaction
     graft.store.Compaction.migrateLeaves(df.sparkSession, path)
+    // a rebuild starts a NEW incarnation: stale lazy-takedown tombstones
+    // must not mask the fresh corpus. Drained LAST (a crash before the
+    // overwrite starts leaves the old corpus readable with its GDPR
+    // tombstones intact — the round-16 drain ordering).
+    val tp = new org.apache.hadoop.fs.Path(srpTombstonesDir(path))
+    tp.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      .delete(tp, true): Unit
   }
 
   /** Incremental index maintenance for a [[writeBucketedCorpus]] layout —
@@ -137,18 +144,98 @@ object Similarity {
       path: String, nBits: Int = 8,
       scheme: SrpScheme = SrpScheme.xxh,
       batchId: Option[String] = None): Unit = {
+    // a tombstoned id re-arriving would hide its new vector behind its own
+    // takedown — refuse loudly; compactBucketedCorpus (the drain) first
+    srpTombstones(df.sparkSession, path).foreach { t =>
+      val clash = df.select(col(idCol).as("__bid")).distinct()
+        .join(t.select(col("id").as("__ts_id")),
+          col("__bid") === col("__ts_id"), "left_semi").count()
+      if (clash > 0) throw new IllegalStateException(
+        s"appendBucketedCorpus($path): $clash batch id(s) are pending " +
+          "tombstones — run compactBucketedCorpus to drain before re-ingesting")
+    }
     val routed = df.select(col(idCol), col(vecCol),
       scheme.bucketCol(col(vecCol), nBits).as("bucket"))
     graft.store.Compaction.appendPartitions(routed, path, "bucket", batchId): Unit
   }
 
+  private def srpTombstonesDir(path: String): String = path + "/_tombstones"
+
+  /** The PENDING tombstone ids of a [[writeBucketedCorpus]] layout
+    * ([[tombstoneBucketedCorpus]]): one `id` column, None when no lazy
+    * takedown is outstanding. The `_tombstones` name keeps the sidecar
+    * invisible to leaf discovery (leaves are `bucket=` dirs) and to
+    * parquet scans. */
+  private[graft] def srpTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(srpTombstonesDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    // a concurrent compaction's drain may delete the sidecar between the
+    // probe above and the read — a drained sidecar means "nothing pending",
+    // never a reader error (re-verified gone before mapping to None)
+    else try Some(graft.store.ManifestTable.read(spark, srpTombstonesDir(path)))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      if (!fs.exists(p)) None else throw e }
+  }
+
+  /**
+   * LAZY takedown on a [[writeBucketedCorpus]] layout — the last heavy
+   * persisted layout to gain the LSM tombstone discipline
+   * ([[tombstoneIvfCorpus]] / [[graft.ops.Dedup.tombstonePairs]] /
+   * [[graft.ops.TextOps.tombstoneBm25Index]]): where
+   * [[removeFromBucketedCorpus]] rewrites EVERY bucket leaf eagerly (the
+   * id list carries no vectors, so no leaf can be pruned — at 100 TB that
+   * is a full-layout rewrite per GDPR request), this appends `ids` to the
+   * `_tombstones` sidecar in O(|ids|) with ZERO leaf rewrites. The
+   * takedown is PROBE-COMPLETE immediately — [[annTopKFromBucketed]]
+   * excludes tombstoned ids before ranking — and becomes physical at the
+   * next [[compactBucketedCorpus]], which (while tombstones are pending)
+   * rewrites every leaf with the same anti-join and drains the sidecar.
+   * [[appendBucketedCorpus]] refuses re-ingest of a pending id;
+   * [[annTopKFromBucketedPrevious]] deliberately shows the pre-takedown
+   * neighborhood (the audit view); [[writeBucketedCorpus]] (a rebuild)
+   * drains the sidecar AFTER its fresh layout lands. Reference analogue:
+   * the delete-op surface, `DeleteOp.scala:21-39`. Returns the number of
+   * ids tombstoned.
+   */
+  def tombstoneBucketedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long = {
+    val rm = graft.Eager.materialize(
+      ids.select(col(ids.columns.head).as("id")).distinct())
+    val n = rm.count()
+    if (n > 0) graft.store.ManifestTable.append(rm, srpTombstonesDir(path))
+    n
+  }
+
   /** File-count compaction for a [[writeBucketedCorpus]] layout — the SRP
     * twin of [[compactIvfCorpus]], same reader-concurrent per-leaf
-    * manifest swaps, same oblivious probe results. Returns buckets
-    * rewritten. */
+    * manifest swaps, same oblivious probe results. While
+    * [[tombstoneBucketedCorpus]] ids are pending, the compaction applies
+    * them PHYSICALLY (every leaf rewrites through the anti-join — exactly
+    * the bill [[removeFromBucketedCorpus]] pays eagerly, amortized into
+    * the rewrite) and drains the sidecar LAST: a crash leaves tombstones
+    * in place, probes stay exact, a blind retry converges. Returns
+    * buckets rewritten. */
   def compactBucketedCorpus(spark: org.apache.spark.sql.SparkSession,
       path: String, targetFiles: Int = 4): Int =
-    graft.store.Compaction.compactPartitions(spark, path, targetFiles)
+    srpTombstones(spark, path) match {
+      case None =>
+        graft.store.Compaction.compactPartitions(spark, path, targetFiles)
+      case Some(ts) =>
+        val t = broadcast(graft.Eager.materialize(
+          ts.select(col("id").as("__ts_id"))))
+        // the id column is structurally FIRST in every leaf
+        // (writeBucketedCorpus and appendBucketedCorpus both select
+        // (id, vec) before partitioning)
+        val n = graft.store.Compaction.rewritePartitions(spark, path,
+          targetFiles,
+          p => p.join(t, col(p.columns.head) === col("__ts_id"), "left_anti"))
+        val tp = new org.apache.hadoop.fs.Path(srpTombstonesDir(path))
+        tp.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(tp, true): Unit
+        n
+    }
 
   /** Delete vectors from a [[writeBucketedCorpus]] layout — the SRP twin of
     * [[removeFromIvfCorpus]], completing the takedown verb across every
@@ -183,7 +270,7 @@ object Similarity {
       scheme: SrpScheme = SrpScheme.xxh): DataFrame =
     annTopKOverDirs(spark, path, idCol, vecCol, query, k, nBits, scheme,
       probes => graft.store.Compaction.resolveLeafDirs(
-        spark, path, "bucket", probes))
+        spark, path, "bucket", probes), masked = true)
 
   /** The UNDO-WINDOW probe: [[annTopKFromBucketed]] against each probed
     * bucket's PREVIOUS generation — the SRP index as of just before the
@@ -199,12 +286,15 @@ object Similarity {
       nBits: Int = 8, scheme: SrpScheme = SrpScheme.xxh): DataFrame =
     annTopKOverDirs(spark, path, idCol, vecCol, query, k, nBits, scheme,
       probes => graft.store.Compaction.resolveLeafDirsPrevious(
-        spark, path, "bucket", probes))
+        spark, path, "bucket", probes),
+      // the undo/audit view deliberately shows the pre-takedown
+      // neighborhood — pending tombstones do not mask it
+      masked = false)
 
   private def annTopKOverDirs(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String, vecCol: String, query: Seq[Float], k: Int,
       nBits: Int, scheme: SrpScheme,
-      resolve: Seq[Long] => Seq[String]): DataFrame = {
+      resolve: Seq[Long] => Seq[String], masked: Boolean): DataFrame = {
     val q = array(query.map(v => lit(v)): _*)
     val qBucket = scheme.compute(query.toArray, nBits)
     val probes = (qBucket +: (0 until nBits).map(b => qBucket ^ (1L << b))).distinct
@@ -216,7 +306,14 @@ object Similarity {
         require(leaves.nonEmpty, s"annTopKFromBucketed: no bucket leaves at $path")
         spark.read.parquet(leaves.head._2).where(lit(false))
       }
-    corpus
+    // pending lazy-takedown tombstones never surface in a LIVE probe
+    val visible = if (!masked) corpus
+      else srpTombstones(spark, path) match {
+        case None => corpus
+        case Some(ts) => corpus.join(ts.select(col("id").as("__ts_id")),
+          col(idCol) === col("__ts_id"), "left_anti")
+      }
+    visible
       .select(col(idCol), cosine_sim(col(vecCol), q).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)

@@ -1127,6 +1127,65 @@ class LifecycleSpec extends SparkSpec {
     assert(readLayout(full, "cell").where(col("id") === 15L).count() == 1L)
   }
 
+  test("tombstoneBucketedCorpus: lazy SRP takedown is probe-complete " +
+      "immediately with zero bucket rewrites, refuses re-ingest of a " +
+      "pending id, audits via the previous view, the next compaction " +
+      "applies + drains, and a rebuild clears the sidecar drain-LAST") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val root = tmp("graft_srpts")
+    val full = root + "/full"
+    val fresh = root + "/fresh"
+    val rm = Seq(0L, 1L, 2L, 15L)
+    Similarity.writeBucketedCorpus(vecs, "id", "vec", full, nBits = 4)
+    // one layout-wide rewrite funds the undo window for the audit probe
+    graft.store.Compaction.rewritePartitions(spark, full, 4, p => p): Unit
+    assert(Similarity.tombstoneBucketedCorpus(spark, full,
+      rm.toDF("id")) == 4L)
+    Similarity.writeBucketedCorpus(vecs.where(!col("id").isin(rm: _*)),
+      "id", "vec", fresh, nBits = 4)
+    val q = Seq(math.cos(0).toFloat, math.sin(0).toFloat)
+    def probe(p: String) = canon(Similarity.annTopKFromBucketed(spark, p,
+      "id", "vec", q, 8, nBits = 4).select(col("id"), round(col("cos"), 5)))
+    // probe-complete IMMEDIATELY: equals the survivor scratch layout while
+    // every physical row is still on disk (zero bucket rewrites paid)
+    assert(probe(full) == probe(fresh))
+    assert(readLayout(full, "bucket").count() == 30, "masked, not rewritten")
+    // the undo/audit probe deliberately still shows the pre-takedown
+    // neighborhood (ids 0/1/2 sit at cos 1.0 of this query)
+    val audit = Similarity.annTopKFromBucketedPrevious(spark, full,
+      "id", "vec", q, 8, nBits = 4).collect().map(_.getLong(0)).toSet
+    assert(rm.toSet.intersect(audit).nonEmpty,
+      s"audit view must keep the pre-takedown neighborhood: $audit")
+    // re-ingesting a pending id is refused loudly
+    val ex = intercept[IllegalStateException] {
+      Similarity.appendBucketedCorpus(Seq((15L, Seq(1f, 0f))).toDF("id", "vec"),
+        "id", "vec", full, nBits = 4)
+    }
+    assert(ex.getMessage.contains("tombstone"), ex.getMessage)
+    // compaction applies the takedown physically and drains the sidecar
+    Similarity.compactBucketedCorpus(spark, full, targetFiles = 4): Unit
+    assert(Similarity.srpTombstones(spark, full).isEmpty, "drained")
+    assert(multiset(readLayout(full, "bucket")) ==
+      multiset(readLayout(fresh, "bucket")),
+      "physical rows equal the survivor scratch layout after the drain")
+    assert(probe(full) == probe(fresh))
+    // post-drain the id may re-ingest
+    Similarity.appendBucketedCorpus(Seq((15L, Seq(1f, 0f))).toDF("id", "vec"),
+      "id", "vec", full, nBits = 4)
+    assert(readLayout(full, "bucket").where(col("id") === 15L).count() == 1L)
+    // rebuild clears a pending sidecar — but only after the fresh layout
+    // lands (drain-LAST): the new incarnation is unmasked
+    assert(Similarity.tombstoneBucketedCorpus(spark, full,
+      Seq(3L).toDF("id")) == 1L)
+    Similarity.writeBucketedCorpus(vecs, "id", "vec", full, nBits = 4)
+    assert(Similarity.srpTombstones(spark, full).isEmpty, "rebuild drains")
+    assert(probe(full).nonEmpty &&
+      readLayout(full, "bucket").where(col("id") === 3L).count() == 1L,
+      "the fresh corpus is unmasked")
+  }
+
   test("removeFromPairs: uncapped rewritten table row-identical to a " +
       "from-scratch mine of the survivors; reports stop naming ghosts") {
     val docs = Seq(
