@@ -594,6 +594,27 @@ class StreamingSpec extends SparkSpec {
     assert(a.nonEmpty, "replay should finalize at least one window")
     assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y },
       s"stream emitted ${a.length} windows, batch closed ${b.length}")
+    // the production-scale state-store knob: the RocksDB provider (off-heap
+    // state for key cardinalities that outgrow executor heaps) must engage
+    // per-query, produce IDENTICAL results, and restore the session conf
+    spark.conf.set("graft.streaming.stateStore", "rocksdb")
+    try {
+      val rocks = Streaming.runToTable(
+        Streaming.windowDistinct(Streaming.eventsReplay(spark, sf(),
+          nSplits = 4), "user_id"),
+        "t_window_distinct_rocks",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(4))
+      val c = rocks.orderBy("hour").collect().map(_.toSeq)
+      assert(c.length == a.length && c.zip(a).forall { case (x, y) => x == y },
+        "RocksDB state store must be result-identical to the default")
+      // getOption reports the registered DEFAULT for unset SQLConf entries,
+      // so "restored" reads as the default on-heap provider
+      assert(spark.conf.getOption(
+        "spark.sql.streaming.stateStore.providerClass")
+        .forall(_.contains("HDFSBackedStateStoreProvider")),
+        "the provider override must restore after the drain")
+    } finally spark.conf.unset("graft.streaming.stateStore")
   }
 
   test("cmsMaintainStream: the streamed sketch equals the batch sketch " +
