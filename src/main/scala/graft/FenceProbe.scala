@@ -56,23 +56,12 @@ object FenceProbe {
             (System.nanoTime() - t0) / 1e6
           })
           finally fs.getConf.set("graft.commit.verify", "auto")
-        // conditional-PUT dialect: the same commit through a CAS arbiter
-        // (zero-window claim) — exists-check + exclusive create under a
-        // lock, the cost shape of an If-None-Match PUT minus the store's
-        // own round-trip
-        GraftIndex.registerArbiter("file",
-          new org.apache.spark.sql.graft.CommitArbiter {
-            private val lock = new Object
-            def commit(cfs: org.apache.hadoop.fs.FileSystem, target: Path,
-                payload: Array[Byte]): Unit = lock.synchronized {
-              if (cfs.exists(target))
-                throw new org.apache.spark.sql.graft
-                  .GraftConcurrentCommitException(
-                    s"conditional PUT precondition failed for $target")
-              val out = cfs.create(target, false)
-              try out.write(payload) finally out.close()
-            }
-          })
+        // conditional-PUT dialect: the same commit through the S3-shape
+        // arbiter (org.apache.spark.sql.graft.ConditionalPut over its
+        // JVM-local reference store) — exists-check + exclusive create
+        // under a per-object lock, the cost shape of an If-None-Match PUT
+        // minus the store's own round-trip
+        org.apache.spark.sql.graft.ConditionalPut.registerJvmLocal("file")
         val commitArbiterMs =
           try med((1 to 5).map { _ =>
             val t0 = System.nanoTime()

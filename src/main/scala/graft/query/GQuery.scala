@@ -105,8 +105,24 @@ final case class GQuery(
     * driver memory, so it is bounded by the key count — intended for
     * point-get/multi-get fan-ins (up to ~10^4-10^5 keys). A million-key lookup
     * belongs in a distributed join: `withKeys(...).toDF` or a join on the key
-    * column keeps it on the executors. */
-  def multiMap(returnEmptyRows: Boolean = false): Map[Any, Option[Row]] = {
+    * column keeps it on the executors. `maxKeys` makes that boundary LOUD
+    * instead of an eventual driver OOM: the collect is capped by a cheap
+    * distributed count and refused over the cap (default 1,000,000 — generous
+    * for any fan-in the verb is meant for; raise it deliberately when the
+    * driver is provisioned for more). */
+  def multiMap(returnEmptyRows: Boolean = false,
+      maxKeys: Long = 1000000L): Map[Any, Option[Row]] = {
+    require(maxKeys > 0, "maxKeys must be positive")
+    // keyed fan-ins are bounded by their key list for free; open queries pay
+    // one distributed count before collecting (cheap next to the collect,
+    // and the only way to refuse BEFORE the driver heap takes the hit)
+    val n = keys.map(_.length.toLong).getOrElse(toDF.count())
+    if (n > maxKeys)
+      throw new IllegalArgumentException(
+        s"multiMap would collect $n rows to the driver (maxKeys=$maxKeys): " +
+          "a result this size belongs in a distributed join — use " +
+          "withKeys(...).toDF or join on the key column; raise maxKeys " +
+          "only when the driver is provisioned for it")
     val found = toDF.collect().map(r => r.getAs[Any](keyCol) -> Option(r)).toMap
     if (returnEmptyRows)
       keys.getOrElse(Nil).map(k => k -> found.getOrElse(k, None)).toMap

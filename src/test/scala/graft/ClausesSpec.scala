@@ -76,6 +76,21 @@ class ClausesSpec extends SparkSpec {
     assert(q.multiMap().size == 1)
   }
 
+  test("multiMap maxKeys guard: an over-cap collect is refused LOUDLY " +
+      "before the driver heap takes the hit — keyed fan-ins by key count, " +
+      "open queries by a distributed count") {
+    // keyed: the key list bounds the collect for free
+    val keyed = GQuery(df).withKeys(Seq("manny", "ghost", "jack"))
+    val ex1 = intercept[IllegalArgumentException] { keyed.multiMap(maxKeys = 2) }
+    assert(ex1.getMessage.contains("distributed join"), ex1.getMessage)
+    assert(keyed.multiMap(maxKeys = 3).size == 2) // at the cap: fine
+    // open query: one count() gates the collect
+    val open = GQuery(df)
+    val ex2 = intercept[IllegalArgumentException] { open.multiMap(maxKeys = 2) }
+    assert(ex2.getMessage.contains("maxKeys=2"), ex2.getMessage)
+    assert(open.multiMap().size == 3) // default cap is generous
+  }
+
   test("scan terminal forms: scan callback, scanToIterable, scanUntil, limit (S5, P14)") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("scanned")

@@ -621,20 +621,11 @@ class ConcurrencySpec extends SparkSpec {
     assert(bytesOf(t1) == "B",
       "A's acked commit silently replaced — the window the arbiter closes")
     // --- ARBITER dialect on the same store: publication is a conditional
-    // PUT, so a late racer is rejected BY THE STORE no matter when it lands
-    val cas = new CommitArbiter {
-      private val lock = new Object
-      def commit(cfs: org.apache.hadoop.fs.FileSystem, target: Path,
-          payload: Array[Byte]): Unit = lock.synchronized {
-        if (cfs.exists(target))
-          throw new GraftConcurrentCommitException(
-            s"conditional PUT precondition failed for $target — an object " +
-              "already exists (this commit lost the race and was NOT applied)")
-        val out = cfs.create(target, false)
-        try out.write(payload) finally out.close()
-      }
-    }
-    GraftIndex.registerArbiter("natomic", cas)
+    // PUT (the MAIN S3-shape dialect, org.apache.spark.sql.graft
+    // .ConditionalPut — If-None-Match semantics over the JVM-local
+    // reference store), so a late racer is rejected BY THE STORE no matter
+    // when it lands — killed by the precondition, not by a verify read
+    org.apache.spark.sql.graft.ConditionalPut.registerJvmLocal("natomic")
     try {
       val t2 = new Path(dir, "commit-2")
       GraftIndex.writeCommitFile(fs, t2, "A".getBytes("UTF-8")) // acked
@@ -659,21 +650,9 @@ class ConcurrencySpec extends SparkSpec {
   test("full ManifestTable rewrite race THROUGH a conditional-PUT " +
       "arbiter: claims and pointers are store-serialized, so losers fence " +
       "at claim time, staging is never shared, and the table stays exact") {
-    import org.apache.spark.sql.graft.{CommitArbiter, GraftConcurrentCommitException, GraftIndex}
-    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.graft.{GraftConcurrentCommitException, GraftIndex}
     NonAtomicCreateFileSystem.reset()
-    val cas = new CommitArbiter {
-      private val lock = new Object
-      def commit(cfs: org.apache.hadoop.fs.FileSystem, target: Path,
-          payload: Array[Byte]): Unit = lock.synchronized {
-        if (cfs.exists(target))
-          throw new GraftConcurrentCommitException(
-            s"conditional PUT precondition failed for $target")
-        val out = cfs.create(target, false)
-        try out.write(payload) finally out.close()
-      }
-    }
-    GraftIndex.registerArbiter("natomic", cas)
+    org.apache.spark.sql.graft.ConditionalPut.registerJvmLocal("natomic")
     try {
       val table = "natomic:" + tmp("graft_race_arb") + "/t"
       ManifestTable.write(

@@ -1218,6 +1218,57 @@ class LifecycleSpec extends SparkSpec {
       "post-delete append must equal the survivor-corpus append")
   }
 
+  test("keep-N bounds the generation chain under a LONG maintenance loop " +
+      "(50 epochs): on-disk generations never exceed the funded depth, the " +
+      "manifest prunes to two version files, the table dir stays O(1) " +
+      "entries (resolve never lists history), and the undo horizon is the " +
+      "funded depth — not the loop length") {
+    val table = tmp("graft_chain") + "/t"
+    (0 until 50).foreach { i =>
+      ManifestTable.write(
+        spark.range(i.toLong, i.toLong + 100).toDF("id"), table)
+      ManifestTable.append(
+        spark.range(1000L + i, 1010L + i).toDF("id"), table)
+    }
+    val entries = new java.io.File(table).listFiles().map(_.getName)
+    val gens = ManifestTable.generations(spark, table)
+    assert(gens.length <= 2, s"keep-one-back must cap the chain: $gens")
+    assert(entries.count(_.startsWith("MANIFEST")) <= 2,
+      s"pointer history must prune: ${entries.filter(_.startsWith("MANIFEST")).toSeq}")
+    assert(entries.length <= 6,
+      s"the table dir is what resolve lists — it must stay O(1) after 50 " +
+        s"epochs, got ${entries.length}: ${entries.sorted.toSeq}")
+    assert(ManifestTable.read(spark, table).count() == 110,
+      "epoch 49's write + its append")
+    // deeper funding keeps a DEEPER chain — still the conf, never the loop
+    spark.conf.set("graft.keepVersions", "4")
+    try {
+      (50 until 60).foreach(i => ManifestTable.write(
+        spark.range(i.toLong, i.toLong + 100).toDF("id"), table))
+      val deep = ManifestTable.generations(spark, table)
+      assert(deep.length <= 4, s"keepVersions=4 must cap at 4: $deep")
+      assert(ManifestTable.genBack(spark, table, 3).isDefined,
+        "the funded undo horizon reaches 3 rewrites back")
+      assert(ManifestTable.genBack(spark, table, 4).isEmpty,
+        "past the funded depth the chain is retired, not accumulated")
+    } finally spark.conf.unset("graft.keepVersions")
+    // the hottest tombstone-loop sidecar: every takedown epoch commits one
+    // fresh stats generation — 12 epochs must leave ≤ keep-one-back
+    // generations on the stats table, never 12
+    val docs = (1L to 40L).map(i => (i, s"w$i common spark text")).toDF("id", "text")
+    val bpath = tmp("graft_chain") + "/bm25"
+    TextOps.writeBm25Index(docs, "id", "text", bpath, nBuckets = 4)
+    (1 to 12).foreach { e =>
+      assert(TextOps.tombstoneBm25Index(spark, bpath,
+        Seq(e.toLong).toDF("id")) == 1L)
+    }
+    val statsGens = ManifestTable.generations(spark, bpath + "/stats")
+    assert(statsGens.length <= 2,
+      s"12 takedown epochs must leave ≤2 stats generations: $statsGens")
+    assert(ManifestTable.read(spark, bpath + "/stats").head().getLong(0) == 28L,
+      "stats generation = the 28 survivors")
+  }
+
   test("rebuild drain-LAST (round-16 advisory): a writePairs/writeBm25Index " +
       "rebuild that fails BEFORE its new generations commit leaves the OLD " +
       "corpus readable with its GDPR tombstones still masking — taken-down " +
