@@ -237,13 +237,15 @@ object Similarity {
         n
     }
 
-  /** Delete vectors from a [[writeBucketedCorpus]] layout — the SRP twin of
-    * [[removeFromIvfCorpus]], completing the takedown verb across every
-    * persisted layout: every bucket leaf rewrites through a broadcast
-    * anti-join on the removed ids (no leaf skipped — re-deriving the ids'
-    * buckets would need their VECTORS, which a takedown list does not
-    * carry). Survivors keep their bucket (the pure hash pins it), so the
-    * next [[annTopKFromBucketed]] probe equals one over a from-scratch
+  /** EAGER delete from a [[writeBucketedCorpus]] layout — the SRP twin of
+    * [[removeFromIvfCorpus]]: every bucket leaf rewrites through a
+    * broadcast anti-join on the removed ids (no leaf skipped — re-deriving
+    * the ids' buckets would need their VECTORS, which a takedown list does
+    * not carry). That makes this a FULL-LAYOUT rewrite per call — at
+    * 100 TB prefer [[tombstoneBucketedCorpus]] (O(|ids|), probe-complete
+    * immediately) and let [[compactBucketedCorpus]] apply it physically.
+    * Survivors keep their bucket (the pure hash pins it), so the next
+    * [[annTopKFromBucketed]] probe equals one over a from-scratch
     * [[writeBucketedCorpus]] of the survivors. READER-CONCURRENT per leaf;
     * ids not present are no-ops; a removal too large to broadcast is a
     * rebuild, not a delete. Returns buckets rewritten. */
