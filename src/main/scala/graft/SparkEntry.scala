@@ -4462,6 +4462,37 @@ object SparkEntry {
       post.toSeq.toDF("vec_id", "cos")
         .crossJoin(broadcast(Seq((nTs > 0, drained, post.toSet == pre))
           .toDF("tombstoned", "drained", "pre_post_equal")))
+    }),
+
+    // --- SNAPSHOT EXPORT (round 17 — HBase ExportSnapshot analogue): a
+    //     maintained table (write → append → minor compact, so the live
+    //     snapshot spans a merged output PLUS a retained-by-reference
+    //     file) exports file-level to an independent backup table; the
+    //     source is then OVERWRITTEN — the backup read must still equal
+    //     the pre-overwrite content exactly, with the copy-count and the
+    //     moved-on source row count riding as proof columns. ---------------
+    "q264_snapshot_clone" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val src = sys.props("java.io.tmpdir") + s"/graft_q264_src_$salt"
+      val dst = sys.props("java.io.tmpdir") + s"/graft_q264_dst_$salt"
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      dp.getFileSystem(s.sessionState.newHadoopConf()).delete(dp, true): Unit
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 3 === 0), src)
+      graft.store.ManifestTable.append(
+        c.where(col("c_custkey") % 3 === 1), src)
+      graft.store.ManifestTable.minorCompact(s, src): Unit
+      val nFiles = graft.store.ManifestTable.cloneSnapshot(s, src, dst)
+      // the source moves on: the backup must not
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 3 === 2), src)
+      val srcRows = graft.store.ManifestTable.read(s, src).count()
+      import s.implicits._
+      graft.store.ManifestTable.read(s, dst)
+        .crossJoin(broadcast(Seq((nFiles > 0, srcRows))
+          .toDF("copied", "src_rows")))
     })
   )
 
@@ -5310,6 +5341,15 @@ object SparkEntry {
       """SELECT cast(9501 + i * 2 as bigint) AS vec_id, 1.0 AS cos,
         |  true AS tombstoned, true AS drained, true AS pre_post_equal
         |FROM range(3) t(i)""".stripMargin,
+
+    // q264: the backup holds exactly the pre-overwrite content (%3 in 0,1)
+    // while the source moved on to the %3==2 slice — any stale pointer,
+    // dropped retained ref, or accidental share with the live table breaks
+    // either the row set or the rider.
+    "q264_snapshot_clone" ->
+      """SELECT c_custkey, c_acctbal, true AS copied,
+        |  (SELECT count(*) FROM customer WHERE c_custkey % 3 = 2) AS src_rows
+        |FROM customer WHERE c_custkey % 3 IN (0, 1)""".stripMargin,
 
     // q262: q225's lazy-takedown twin — q90's BM25 arithmetic verbatim
     // over the surviving corpus (doc_id % 7 <> 5), with the

@@ -901,6 +901,85 @@ object ManifestTable {
     small.length
   }
 
+  /**
+   * EXPORT a snapshot to `dest` as an independent manifest table — the
+   * backup / disaster-recovery / environment-promotion verb (reference
+   * analogue: HBase's snapshot + ExportSnapshot pipeline around
+   * `HbaseTable.scala`'s tables). `gen` selects WHICH snapshot: None =
+   * the live one; Some(g) = a retained generation ([[readAsOf]]'s
+   * domain — the as-of backup). The copy is FILE-LEVEL (pooled byte
+   * copies through the Hadoop fs API, cross-scheme capable, no Spark
+   * job, no decode/re-encode): the snapshot's data files — its
+   * generation dir plus any `_RETAINS` references, flattened — land in
+   * dest's first generation and a fresh MANIFEST commits, so dest is a
+   * SELF-CONTAINED single-generation table with no history, safe to
+   * append/compact/vacuum independently of the source. The source is
+   * untouched and stays readable throughout (the export is just another
+   * concurrent reader under the class contract). Refuses a non-empty
+   * dest loudly — backups never merge into existing data. A legacy flat
+   * source exports its flat files the same way. Returns data files
+   * copied; a crash mid-copy leaves dest without a committed MANIFEST
+   * (reads as empty/claim-shielded debris — delete and re-export).
+   */
+  def cloneSnapshot(spark: SparkSession, table: String, dest: String,
+      gen: Option[String] = None): Int = {
+    require(table != dest, "cloneSnapshot: dest must differ from the source")
+    val (fs, dir) = fsOf(spark, table)
+    val destPath = new Path(dest)
+    val destFs = destPath.getFileSystem(cachedConf(spark))
+    if (destFs.exists(destPath) && destFs.listStatus(destPath).nonEmpty)
+      throw new IllegalArgumentException(
+        s"cloneSnapshot: dest $dest is not empty — backups never merge; " +
+          "export to a fresh directory")
+    // the snapshot's data files, as (source path, dest file name): retained
+    // files from OLDER generations flatten in with a gen-prefixed name so
+    // two generations' part files can never collide in the single dest gen
+    val files: Seq[(Path, String)] = gen.orElse(liveGen(spark, table)) match {
+      case Some(g) =>
+        require(fs.exists(new Path(dir, g)),
+          s"cloneSnapshot: generation $g does not exist at $table " +
+            "(generations() lists what keep-N retained)")
+        val inGen = fs.listStatus(new Path(dir, g))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath, s.getPath.getName)).toSeq
+        val retained = retainedRelFs(fs, dir, g).map { r =>
+          (new Path(dir, r), r.replace('/', '-'))
+        }
+        inGen ++ retained
+      case None => // legacy flat layout (or absent → empty export refused)
+        val flat = if (!fs.exists(dir)) Nil
+          else fs.listStatus(dir)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(s => (s.getPath, s.getPath.getName)).toSeq
+        require(flat.nonEmpty, s"cloneSnapshot: nothing to export at $table")
+        flat
+    }
+    val claim = claimNextGen(destFs, destPath)
+    val genPath = new Path(destPath, claim.gen)
+    destFs.mkdirs(genPath): Unit
+    // pooled byte copies: cross-scheme capable, bounded parallelism — the
+    // same driver-side-fanout discipline as appendTagged's renames
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.length)))
+    val futures = files.map { case (src, name) =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit =
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, destFs,
+              new Path(genPath, name), false, cachedConf(spark)))
+            throw new java.io.IOException(
+              s"cloneSnapshot: cannot copy $src into $genPath")
+      })
+    }
+    val outcomes = futures.map(f => scala.util.Try(f.get()))
+    pool.shutdown()
+    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
+    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    writeMetaLines(destFs, genPath, ParentName, Seq(NoParent))
+    stampStaged(destFs, destPath, claim)
+    commit(destFs, destPath, claim.gen, parent = None, claim = Some(claim))
+    files.length
+  }
+
   /** One table's structural-fsck outcome — see [[fsck]]. `missingRetained`
     * is the one UNHEALABLE class (a referenced data file is gone: bytes
     * lost, surface it loudly instead of letting the next scan die);

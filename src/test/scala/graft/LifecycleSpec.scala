@@ -1218,6 +1218,48 @@ class LifecycleSpec extends SparkSpec {
       "post-delete append must equal the survivor-corpus append")
   }
 
+  test("cloneSnapshot: file-level export of live and as-of snapshots to an " +
+      "independent table — content exact with retained refs flattened in, " +
+      "the clone immune to later source rewrites, non-empty dest refused") {
+    val root = tmp("graft_clone")
+    val table = root + "/src"
+    ManifestTable.write(spark.range(0L, 500L).toDF("id").coalesce(1), table)
+    val baseLen = new java.io.File(ManifestTable.resolve(spark, table))
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length).max
+    ManifestTable.append(spark.range(500L, 520L).toDF("id").coalesce(1), table)
+    ManifestTable.append(spark.range(520L, 540L).toDF("id").coalesce(1), table)
+    // merge the two small appends; the big base file is RETAINED by
+    // reference — the clone must flatten it in
+    assert(ManifestTable.minorCompact(spark, table, smallBytes = baseLen) == 2)
+    val dest = root + "/backup"
+    val n = ManifestTable.cloneSnapshot(spark, table, dest)
+    assert(n >= 2, s"merged output + retained base must both copy, got $n")
+    assert(ManifestTable.read(spark, dest).collect().map(_.getLong(0)).toSet
+      == (0L until 540L).toSet, "clone content exact incl. retained refs")
+    assert(ManifestTable.generations(spark, dest).length == 1,
+      "the clone is a self-contained single-generation table")
+    // as-of export: the generation live before the compaction
+    val prev = ManifestTable.previousGen(spark, table).get
+    val destPrev = root + "/backup_asof"
+    ManifestTable.cloneSnapshot(spark, table, destPrev, Some(prev)): Unit
+    assert(ManifestTable.read(spark, destPrev).count() == 540L,
+      "the as-of clone exports the pre-compaction snapshot")
+    // the source moves on; the backup must not
+    ManifestTable.write(spark.range(9000L, 9010L).toDF("id"), table)
+    assert(ManifestTable.read(spark, dest).count() == 540L &&
+      ManifestTable.read(spark, table).count() == 10L,
+      "clone immune to later source rewrites")
+    // backups never merge
+    val ex = intercept[IllegalArgumentException] {
+      ManifestTable.cloneSnapshot(spark, table, dest)
+    }
+    assert(ex.getMessage.contains("not empty"), ex.getMessage)
+    // and the clone is a first-class table: append + compact independently
+    ManifestTable.append(spark.range(540L, 550L).toDF("id"), dest)
+    ManifestTable.compact(spark, dest, targetFiles = 1)
+    assert(ManifestTable.read(spark, dest).count() == 550L)
+  }
+
   test("keep-N bounds the generation chain under a LONG maintenance loop " +
       "(50 epochs): on-disk generations never exceed the funded depth, the " +
       "manifest prunes to two version files, the table dir stays O(1) " +
