@@ -4493,6 +4493,36 @@ object SparkEntry {
       graft.store.ManifestTable.read(s, dst)
         .crossJoin(broadcast(Seq((nFiles > 0, srcRows))
           .toDF("copied", "src_rows")))
+    }),
+
+    // --- LAYOUT-level snapshot export (round 17): a BM25 search index
+    //     with a PENDING lazy takedown is cloned whole — postings leaves,
+    //     docs, stats, AND the tombstone sidecar. The source then moves on
+    //     (physical drain + a second takedown); the probe runs against the
+    //     CLONE, which must still rank exactly like a from-scratch index
+    //     of the FIRST takedown's survivors: any dropped sidecar, stale
+    //     pointer, or share with the live layout moves a score. ------------
+    "q265_layout_clone" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val src = sys.props("java.io.tmpdir") + s"/graft_q265_src_$salt"
+      val dst = sys.props("java.io.tmpdir") + s"/graft_q265_dst_$salt"
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      dp.getFileSystem(s.sessionState.newHadoopConf()).delete(dp, true): Unit
+      TextOps.writeBm25Index(docs, "doc_id", "text", src)
+      TextOps.tombstoneBm25Index(s, src,
+        docs.where(col("doc_id") % 7 === 5).select(col("doc_id"))): Unit
+      val n = graft.store.Compaction.cloneLayout(s, src, dst)
+      // the source moves on: physical drain, then a SECOND takedown —
+      // neither may reach the backup
+      TextOps.compactBm25Index(s, src): Unit
+      TextOps.tombstoneBm25Index(s, src,
+        docs.where(col("doc_id") % 7 === 1).select(col("doc_id"))): Unit
+      import s.implicits._
+      TextOps.bm25TopKFromIndex(s, dst, Seq("spark", "window", "merge"), 15)
+        .withColumnRenamed("id", "doc_id")
+        .crossJoin(broadcast(Seq(n > 0).toDF("copied")))
     })
   )
 
@@ -5350,6 +5380,40 @@ object SparkEntry {
       """SELECT c_custkey, c_acctbal, true AS copied,
         |  (SELECT count(*) FROM customer WHERE c_custkey % 3 = 2) AS src_rows
         |FROM customer WHERE c_custkey % 3 IN (0, 1)""".stripMargin,
+
+    // q265: the CLONE still ranks like a from-scratch index of the first
+    // takedown's survivors (doc_id % 7 <> 5) — q262's BM25 arithmetic over
+    // that slice — even after the source drained and took down % 7 == 1.
+    "q265_layout_clone" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents WHERE doc_id % 7 <> 5),
+        |d AS (
+        |  SELECT doc_id, cast(len(toks) as bigint) AS dl,
+        |    list_filter(toks, x -> x IN ('spark', 'window', 'merge')) AS qt
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, dl, unnest(qt) AS term FROM d),
+        |tfs AS (
+        |  SELECT doc_id, dl, term, count(*) AS tf FROM g GROUP BY 1, 2, 3),
+        |stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM d),
+        |wdf AS (
+        |  SELECT tfs.*, count(*) OVER (PARTITION BY term) AS df FROM tfs),
+        |scored AS (
+        |  SELECT doc_id,
+        |    cast(round(
+        |      ln(1.0 + ((n_docs - df) + 0.5) / (df + 0.5)) *
+        |      ((tf * (1.2 + 1.0)) /
+        |       (tf + 1.2 * (1.0 - 0.75 +
+        |          0.75 * dl / (cast(sum_dl as double) / n_docs)))) *
+        |      1e9) as bigint) AS qs
+        |  FROM wdf CROSS JOIN stats)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  round(cast(sum(qs) as double) / 1e9, 6) AS score,
+        |  true AS copied
+        |FROM scored GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
     // q262: q225's lazy-takedown twin — q90's BM25 arithmetic verbatim
     // over the surviving corpus (doc_id % 7 <> 5), with the

@@ -746,6 +746,48 @@ object Compaction {
       ManifestTable.fsck(spark, p.toString))
   }
 
+  /**
+   * LAYOUT-LEVEL snapshot export — [[ManifestTable.cloneSnapshot]] walked
+   * over a whole persisted layout tree (IVF `cell=` leaves, BM25's
+   * `postings`/`docs`/`stats`, a pair table's `pairs`/`postings`, SRP
+   * `bucket=` leaves — AND every tombstone sidecar): the
+   * backup/DR/promotion verb for the heavy derived layouts. Each
+   * directory that IS a table (a live manifest generation, or loose flat
+   * parquet files) clones file-level into the mirrored path under `dest`;
+   * container directories recurse; dot-prefixed stage debris is skipped.
+   * Pending lazy-takedown tombstones are PRESERVED — the clone's probes
+   * mask exactly what the source's do, so a GDPR takedown survives its
+   * own backup (spec-pinned). Each leaf clones its OWN live snapshot:
+   * run under the single-maintainer contract (no concurrent maintenance)
+   * when the backup must be one consistent point in time. Refuses a
+   * non-empty dest; a crash mid-export leaves a partial dest with no
+   * committed manifests past the copied leaves — delete and re-export.
+   * Returns data files copied. Reference analogue: HBase snapshot +
+   * ExportSnapshot over a table's regions.
+   */
+  def cloneLayout(spark: SparkSession, root: String, dest: String): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
+    require(fs.exists(rootPath), s"cloneLayout: no layout at $root")
+    val destPath = new Path(dest)
+    val destFs = destPath.getFileSystem(ManifestTable.cachedConf(spark))
+    if (destFs.exists(destPath) && destFs.listStatus(destPath).nonEmpty)
+      throw new IllegalArgumentException(
+        s"cloneLayout: dest $dest is not empty — backups never merge")
+    def walk(src: Path, dst: Path): Int = {
+      val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
+        fs.listStatus(src).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (isTable)
+        ManifestTable.cloneSnapshot(spark, src.toString, dst.toString)
+      else fs.listStatus(src).filter(_.isDirectory).map(_.getPath)
+        .filterNot(p => p.getName.startsWith(".") ||
+          p.getName == "_temporary")
+        .map(p => walk(p, new Path(dst, p.getName))).sum
+    }
+    walk(rootPath, destPath)
+  }
+
   /** Migrate every flat leaf of a freshly-written layout to the manifest
     * shape — pure fs metadata ([[ManifestTable.migrateFlatDir]]), called by
     * the layout writers right after their partitioned overwrite so the

@@ -1260,6 +1260,49 @@ class LifecycleSpec extends SparkSpec {
     assert(ManifestTable.read(spark, dest).count() == 550L)
   }
 
+  test("cloneLayout: whole-layout snapshot export (leaves + every sidecar) " +
+      "— the clone probes identically to the source INCLUDING pending " +
+      "tombstone masks, survives source maintenance, and drains " +
+      "independently") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, "filter scan batch window"),
+      (5L, "spark spark spark merge window"), (6L, ""))
+      .toDF("id", "text")
+    val root = tmp("graft_clonelayout")
+    val src = root + "/src"
+    val dst = root + "/backup"
+    TextOps.writeBm25Index(docs, "id", "text", src, nBuckets = 4)
+    // a pending GDPR takedown must survive its own backup
+    assert(TextOps.tombstoneBm25Index(spark, src, Seq(5L).toDF("id")) == 1L)
+    val q = Seq("spark", "window", "merge")
+    def probe(p: String) = canon(TextOps.bm25TopKFromIndex(spark, p, q, 10,
+      nBuckets = 4))
+    val preClone = probe(src)
+    val n = graft.store.Compaction.cloneLayout(spark, src, dst)
+    assert(n > 0, "postings leaves + docs + stats + tombstones must copy")
+    assert(TextOps.bm25Tombstones(spark, dst).isDefined,
+      "the tombstone sidecar rides the backup")
+    assert(probe(dst) == preClone,
+      "the clone must probe exactly like the source — masks included")
+    // source maintenance cannot touch the backup
+    TextOps.compactBm25Index(spark, src): Unit // applies + drains on SOURCE
+    assert(TextOps.bm25Tombstones(spark, src).isEmpty)
+    assert(TextOps.bm25Tombstones(spark, dst).isDefined &&
+      probe(dst) == preClone,
+      "the backup keeps its own pending tombstones and its ranking")
+    // and the clone is a first-class layout: it drains independently
+    TextOps.compactBm25Index(spark, dst): Unit
+    assert(TextOps.bm25Tombstones(spark, dst).isEmpty)
+    assert(probe(dst) == preClone && probe(src) == preClone,
+      "after both drains the two indexes still agree (survivor-exact)")
+    // backups never merge
+    val ex = intercept[IllegalArgumentException] {
+      graft.store.Compaction.cloneLayout(spark, src, dst)
+    }
+    assert(ex.getMessage.contains("not empty"), ex.getMessage)
+  }
+
   test("keep-N bounds the generation chain under a LONG maintenance loop " +
       "(50 epochs): on-disk generations never exceed the funded depth, the " +
       "manifest prunes to two version files, the table dir stays O(1) " +
