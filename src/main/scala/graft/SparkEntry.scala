@@ -4523,6 +4523,35 @@ object SparkEntry {
       TextOps.bm25TopKFromIndex(s, dst, Seq("spark", "window", "merge"), 15)
         .withColumnRenamed("id", "doc_id")
         .crossJoin(broadcast(Seq(n > 0).toDF("copied")))
+    }),
+
+    // --- exactly-once STREAMING ingest into the SRP bucketed ANN layout
+    //     (round 17 — q234's SRP twin, completing streaming-ingest parity
+    //     across every persisted ANN layout): the odd half arrives as a
+    //     two-epoch stream, each micro-batch appended under its epoch
+    //     tag; the WHOLE stream re-runs from a fresh checkpoint — every
+    //     replayed epoch must be an exact no-op (a re-appended batch
+    //     doubles its vectors' copies; a skipped one loses them). ----------
+    "q266_stream_srp_ingest" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+        .where(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") % 2 === 0)
+      val path = sys.props("java.io.tmpdir") + "/graft_q266_srp_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeBucketedCorpus(base, "vec_id", "embedding", path,
+        nBits = 5)
+      def run(): Unit = graft.streaming.Streaming.ingestIntoBucketedCorpus(
+        graft.streaming.Streaming.tableReplay(s, dir, "embeddings",
+            "vec_id", 2)
+          .where(col("embedding").isNotNull && col("vec_id") % 2 === 1)
+          .select(col("vec_id"), col("embedding")),
+        path, "vec_id", "embedding", nBits = 5).awaitTermination()
+      run()
+      run() // full replay, same epoch tags: every batch short-circuits
+      graft.store.Compaction.readPartitioned(s, path, "bucket").get
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_copies"))
     })
   )
 
@@ -5696,6 +5725,12 @@ object SparkEntry {
     // sits in exactly one cell row — 2 betrays a replayed epoch that
     // re-appended, 0 a skipped one.
     "q234_stream_ivf_ingest" ->
+      """SELECT vec_id, cast(1 as bigint) AS n_copies
+        |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+
+    // q266: the same exactly-once audit on the streamed SRP bucketed
+    // layout — one copy per vector however many times the stream replays.
+    "q266_stream_srp_ingest" ->
       """SELECT vec_id, cast(1 as bigint) AS n_copies
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
 

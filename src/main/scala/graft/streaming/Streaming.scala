@@ -326,6 +326,31 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** EXACTLY-ONCE streaming ingest into a
+    * [[graft.ops.Similarity.writeBucketedCorpus]] SRP layout —
+    * [[ingestIntoIvfCorpus]]'s twin for the hash-bucketed ANN index
+    * (completing streaming-ingest parity across every persisted ANN
+    * layout): each micro-batch routes through the pure bucket function
+    * and lands under its epoch-id tag, so a replayed epoch is an exact
+    * no-op and a crashed partial attempt sweeps on retry
+    * ([[graft.store.Compaction.appendTaggedPartitions]] semantics).
+    * Probes see old + new through the identical path-pruned scan the
+    * moment a batch commits. The base layout must exist. */
+  def ingestIntoBucketedCorpus(stream: DataFrame, path: String,
+      idCol: String, vecCol: String, nBits: Int = 8,
+      scheme: graft.ops.Similarity.SrpScheme = graft.ops.Similarity.SrpScheme.xxh,
+      tagPrefix: String = "stream"):
+      org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.ops.Similarity.appendBucketedCorpus(batch.toDF(), idCol,
+          vecCol, path, nBits, scheme, batchId = Some(s"$tagPrefix-$id"))
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /**
    * EXACTLY-ONCE streaming ingest into a [[graft.ops.Dedup.writePairs]]
    * table — the pair-mining twin of [[ingestIntoNearDupIndex]]: each
