@@ -948,6 +948,36 @@ class LifecycleSpec extends SparkSpec {
       s"the scan must resolve through a generation dir:\n$rplan")
   }
 
+  test("plan pins (round 17): every lazy-takedown probe mask — SRP, IVF, " +
+      "BM25 — is a BROADCAST anti-join on the tiny tombstone sidecar, " +
+      "never a shuffle of the probed corpus") {
+    val vecs = (0 until 30).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val q = Seq(1f, 0f)
+    val root = tmp("graft_tsplan")
+    def assertMask(plan: String, what: String): Unit =
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"$what's tombstone mask must be a broadcast anti-join:\n$plan")
+    val spath = root + "/srp"
+    Similarity.writeBucketedCorpus(vecs, "id", "vec", spath, nBits = 4)
+    Similarity.tombstoneBucketedCorpus(spark, spath, Seq(1L).toDF("id")): Unit
+    assertMask(Similarity.annTopKFromBucketed(spark, spath, "id", "vec",
+      q, 5, nBits = 4).queryExecution.executedPlan.toString, "SRP probe")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", 3)
+    val ipath = root + "/ivf"
+    Similarity.writeIvfCorpus(vecs, "id", "vec", ipath, cents)
+    Similarity.tombstoneIvfCorpus(spark, ipath, Seq(1L).toDF("id")): Unit
+    assertMask(Similarity.ivfTopKFromPartitioned(spark, ipath, "id", "vec",
+      q, 5, cents).queryExecution.executedPlan.toString, "IVF probe")
+    val bpath = root + "/bm25"
+    TextOps.writeBm25Index(Seq((1L, "a b"), (2L, "a c"), (3L, "b c"))
+      .toDF("id", "text"), "id", "text", bpath, nBuckets = 2)
+    TextOps.tombstoneBm25Index(spark, bpath, Seq(1L).toDF("id")): Unit
+    assertMask(TextOps.bm25TopKFromIndex(spark, bpath, Seq("a", "b"), 5,
+      nBuckets = 2).queryExecution.executedPlan.toString, "BM25 probe")
+  }
+
   // ------------------------------------------- takedown across every layout
 
   test("removeFromBm25Index: probe equals a from-scratch index of the " +
