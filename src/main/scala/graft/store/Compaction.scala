@@ -775,15 +775,36 @@ object Compaction {
       throw new IllegalArgumentException(
         s"cloneLayout: dest $dest is not empty — backups never merge")
     def walk(src: Path, dst: Path): Int = {
-      val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
-        fs.listStatus(src).exists(s =>
-          s.isFile && s.getPath.getName.endsWith(".parquet"))
-      if (isTable)
-        ManifestTable.cloneSnapshot(spark, src.toString, dst.toString)
-      else fs.listStatus(src).filter(_.isDirectory).map(_.getPath)
-        .filterNot(p => p.getName.startsWith(".") ||
-          p.getName == "_temporary")
-        .map(p => walk(p, new Path(dst, p.getName))).sum
+      val entries = fs.listStatus(src)
+      // a KEYED INDEXED store (`_graft_index` sidecar + m-*.parquet data
+      // files — writeNearDupIndex's `docs`, any KeyedStore.writeIndexed
+      // table): its file NAMES are the contract (index versions reference
+      // them), so it clones VERBATIM — every live data file plus every
+      // sealed index version, undo window included — never re-manifested
+      if (entries.exists(s => s.isFile &&
+          s.getPath.getName.startsWith(
+            org.apache.spark.sql.graft.GraftIndex.FileName))) {
+        val files = entries.filter(s => s.isFile &&
+            !s.getPath.getName.startsWith(".")).map(_.getPath).toSeq
+        files.foreach { p =>
+          if (!org.apache.hadoop.fs.FileUtil.copy(fs, p, destFs,
+              new Path(dst, p.getName), false,
+              ManifestTable.cachedConf(spark)))
+            throw new java.io.IOException(
+              s"cloneLayout: cannot copy $p into $dst")
+        }
+        files.length
+      } else {
+        val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
+          entries.exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (isTable)
+          ManifestTable.cloneSnapshot(spark, src.toString, dst.toString)
+        else entries.filter(_.isDirectory).map(_.getPath)
+          .filterNot(p => p.getName.startsWith(".") ||
+            p.getName == "_temporary" || p.getName.endsWith("__staging"))
+          .map(p => walk(p, new Path(dst, p.getName))).sum
+      }
     }
     walk(rootPath, destPath)
   }

@@ -1333,6 +1333,37 @@ class LifecycleSpec extends SparkSpec {
     assert(ex.getMessage.contains("not empty"), ex.getMessage)
   }
 
+  test("cloneLayout on the near-dup index: the keyed indexed docs store " +
+      "clones VERBATIM (index versions + data-file names preserved), the " +
+      "cloned index vetoes exactly like the source, and source takedowns " +
+      "cannot reach the backup") {
+    val docs = docsDF
+    val root = tmp("graft_ndclone")
+    val src = root + "/idx"
+    val dst = root + "/backup"
+    Dedup.writeNearDupIndex(docs.where(col("id") <= 3), "id", "text", src,
+      shingleSize = 2)
+    val n = graft.store.Compaction.cloneLayout(spark, src, dst)
+    assert(n > 0)
+    def names(p: String) = Option(new java.io.File(p).listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names(src + "/docs") == names(dst + "/docs") &&
+      names(dst + "/docs").exists(_.startsWith("_graft_index")),
+      "the keyed store must clone verbatim — index versions included")
+    val probe = docs.where(col("id") >= 11)
+    def veto(p: String) = canon(Dedup.dedupeAgainstIndex(spark, probe, p,
+      "id", "text", shingleSize = 2))
+    val b = veto(dst)
+    assert(b == veto(src) && b.map(_.head) == Set(13L),
+      "the cloned index drops exactly the planted copies (11, 12)")
+    // source takedown cannot reach the backup
+    Dedup.removeFromNearDupIndex(spark, src, Seq(1L).toDF("id"))
+    assert(veto(src).map(_.head) == Set(11L, 13L),
+      "the source stops vetoing 1's copy after the takedown")
+    assert(veto(dst) == b, "the backup keeps the pre-takedown veto")
+  }
+
   test("keep-N bounds the generation chain under a LONG maintenance loop " +
       "(50 epochs): on-disk generations never exceed the funded depth, the " +
       "manifest prunes to two version files, the table dir stays O(1) " +
