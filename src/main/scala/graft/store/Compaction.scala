@@ -786,13 +786,13 @@ object Compaction {
             org.apache.spark.sql.graft.GraftIndex.FileName))) {
         val files = entries.filter(s => s.isFile &&
             !s.getPath.getName.startsWith(".")).map(_.getPath).toSeq
-        files.foreach { p =>
+        pooledMap(files) { p =>
           if (!org.apache.hadoop.fs.FileUtil.copy(fs, p, destFs,
               new Path(dst, p.getName), false,
               ManifestTable.cachedConf(spark)))
             throw new java.io.IOException(
               s"cloneLayout: cannot copy $p into $dst")
-        }
+        }: Unit
         files.length
       } else {
         val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
@@ -800,10 +800,17 @@ object Compaction {
             s.isFile && s.getPath.getName.endsWith(".parquet"))
         if (isTable)
           ManifestTable.cloneSnapshot(spark, src.toString, dst.toString)
-        else entries.filter(_.isDirectory).map(_.getPath)
-          .filterNot(p => p.getName.startsWith(".") ||
-            p.getName == "_temporary" || p.getName.endsWith("__staging"))
-          .map(p => walk(p, new Path(dst, p.getName))).sum
+        else {
+          // pooled like every other per-leaf maintenance loop: a
+          // 1024-leaf layout's export must not serialize 1024 clone
+          // round-trips on the driver (each leaf claims, copies, and
+          // commits into its OWN dest dir — no shared state to race)
+          val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+            .filterNot(p => p.getName.startsWith(".") ||
+              p.getName == "_temporary" || p.getName.endsWith("__staging"))
+            .toSeq
+          pooledMap(subdirs)(p => walk(p, new Path(dst, p.getName))).sum
+        }
       }
     }
     walk(rootPath, destPath)
