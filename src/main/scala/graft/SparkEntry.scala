@@ -4552,6 +4552,30 @@ object SparkEntry {
       run() // full replay, same epoch tags: every batch short-circuits
       graft.store.Compaction.readPartitioned(s, path, "bucket").get
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_copies"))
+    }),
+
+    // --- ROLLBACK (round 17): a bad overwrite is undone by PROMOTING the
+    //     undo window to live — one fenced pointer commit, zero data
+    //     movement (the previous restore path was a full rewrite of
+    //     readPrevious's content). The restored generation then takes an
+    //     append like any live table; the read must equal the v1 slice
+    //     plus the appended rows, with the restored-generation proof
+    //     riding. ----------------------------------------------------------
+    "q267_rollback" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q267_rb_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 2 === 0), path) // v1
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 2 === 1), path) // v2: the bad overwrite
+      val restored = graft.store.ManifestTable.rollback(s, path)
+      graft.store.ManifestTable.append(
+        c.where(col("c_custkey") % 4 === 1), path)
+      import s.implicits._
+      graft.store.ManifestTable.read(s, path)
+        .crossJoin(broadcast(Seq(restored.nonEmpty).toDF("rolled_back")))
     })
   )
 
@@ -5733,6 +5757,15 @@ object SparkEntry {
     "q266_stream_srp_ingest" ->
       """SELECT vec_id, cast(1 as bigint) AS n_copies
         |FROM embeddings WHERE embedding IS NOT NULL""".stripMargin,
+
+    // q267: the restored table is the v1 slice (even keys) plus the
+    // post-rollback append (%4==1 — disjoint from v1); any pointer that
+    // still sees the bad overwrite (odd keys outside %4==1) or lost the
+    // append breaks the row set.
+    "q267_rollback" ->
+      """SELECT c_custkey, c_name, true AS rolled_back
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 OR c_custkey % 4 = 1""".stripMargin,
 
     // Planted exact copies survive the retrain and surface through the NEW
     // pinned centroids — q216's closed form, shifted ids.

@@ -902,6 +902,52 @@ object ManifestTable {
   }
 
   /**
+   * ROLLBACK: re-commit a RETAINED generation as the live one — the undo
+   * window promoted from read-only ([[readPrevious]]/[[readAsOf]]) to an
+   * actual restore, at fs-METADATA cost (one fenced pointer commit, zero
+   * data movement — the O(table) alternative is rewriting
+   * [[readPrevious]]'s content through [[write]]). `back` counts rewrites
+   * ([[genBack]]'s domain): 1 = undo the last rewrite. Returns the now-
+   * live generation's name.
+   *
+   * Semantics and residue:
+   *  - The rolled-back-FROM generation stays on disk (the next rewrite
+   *    retires it), so a mistaken rollback can itself be undone until
+   *    then via [[rollbackTo]] with its name — BUT a [[fsck]] in between
+   *    cannot distinguish it from never-committed crash debris (it is
+   *    newer than live) and will sweep it: run fsck after a rollback only
+   *    once the redo window is no longer needed.
+   *  - [[genBack]] from the restored generation follows ITS original
+   *    `_PARENT` chain (older history), not the generation just rolled
+   *    back from — parent links record write-time lineage, never
+   *    rollback hops.
+   *  - Appends after the rollback land in the restored live generation,
+   *    as always. Single-maintainer like every write verb; fenced — a
+   *    concurrent rewrite's commit wins and the rollback throws loudly.
+   */
+  def rollback(spark: SparkSession, table: String, back: Int = 1): String = {
+    val target = genBack(spark, table, back).getOrElse(
+      throw new NoSuchElementException(
+        s"rollback: no retained generation $back rewrite(s) back at $table " +
+          "(the undo window is funded by graft.keepVersions — see " +
+          "generations())"))
+    rollbackTo(spark, table, target)
+  }
+
+  /** [[rollback]] by explicit generation name ([[generations]] lists the
+    * retained ones) — also the REDO verb: rolling back to the generation a
+    * mistaken rollback abandoned, while it is still on disk. */
+  def rollbackTo(spark: SparkSession, table: String, gen: String): String = {
+    val (fs, dir) = fsOf(spark, table)
+    require(gen.startsWith(GenPrefix) && fs.exists(new Path(dir, gen)),
+      s"rollbackTo: generation $gen does not exist at $table")
+    val live = liveGen(spark, table)
+    if (live.contains(gen)) return gen // already live: idempotent
+    commit(fs, dir, gen, parent = live)
+    gen
+  }
+
+  /**
    * EXPORT a snapshot to `dest` as an independent manifest table — the
    * backup / disaster-recovery / environment-promotion verb (reference
    * analogue: HBase's snapshot + ExportSnapshot pipeline around

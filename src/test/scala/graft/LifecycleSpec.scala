@@ -1248,6 +1248,39 @@ class LifecycleSpec extends SparkSpec {
       "post-delete append must equal the survivor-corpus append")
   }
 
+  test("rollback: the undo window promoted to an actual restore at " +
+      "fs-metadata cost — rollback, redo, append-into-restored, idempotent " +
+      "re-roll, unknown gen refused, and the next rewrite retires the " +
+      "abandoned future") {
+    val table = tmp("graft_rollback") + "/t"
+    ManifestTable.write(spark.range(0L, 100L).toDF("id"), table) // v1
+    val v1 = ManifestTable.liveGen(spark, table).get
+    ManifestTable.write(spark.range(200L, 250L).toDF("id"), table) // v2
+    val v2 = ManifestTable.liveGen(spark, table).get
+    assert(ManifestTable.rollback(spark, table) == v1)
+    assert(ManifestTable.read(spark, table).count() == 100,
+      "restore is the v1 content, zero data movement")
+    // redo: the rolled-back-from generation is still on disk
+    assert(ManifestTable.rollbackTo(spark, table, v2) == v2)
+    assert(ManifestTable.read(spark, table).count() == 50)
+    // back again; appends land in the restored live generation
+    ManifestTable.rollbackTo(spark, table, v1): Unit
+    ManifestTable.append(spark.range(100L, 110L).toDF("id"), table)
+    assert(ManifestTable.read(spark, table).count() == 110)
+    assert(ManifestTable.rollbackTo(spark, table, v1) == v1, "idempotent")
+    intercept[IllegalArgumentException] {
+      ManifestTable.rollbackTo(spark, table, "gen-000000099")
+    }
+    // the next rewrite retires the abandoned future (v2) and makes the
+    // restored generation the new undo window
+    ManifestTable.write(spark.range(0L, 5L).toDF("id"), table)
+    assert(!ManifestTable.generations(spark, table).contains(v2),
+      "the abandoned future generation retires at the next rewrite")
+    assert(ManifestTable.previousGen(spark, table).contains(v1))
+    assert(ManifestTable.readPrevious(spark, table).get.count() == 110,
+      "the undo window is the restored state, appends included")
+  }
+
   test("cloneSnapshot: file-level export of live and as-of snapshots to an " +
       "independent table — content exact with retained refs flattened in, " +
       "the clone immune to later source rewrites, non-empty dest refused") {
