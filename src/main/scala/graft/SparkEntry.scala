@@ -4576,6 +4576,37 @@ object SparkEntry {
       import s.implicits._
       graft.store.ManifestTable.read(s, path)
         .crossJoin(broadcast(Seq(restored.nonEmpty).toDF("rolled_back")))
+    }),
+
+    // --- TAKEDOWN WITHDRAWAL (round 17): the lazy-takedown inverse — a
+    //     tombstoned id set is fully withdrawn (the request filed in
+    //     error), which must leave every report indistinguishable from
+    //     never having filed it: q260's corpus and keep-best report, but
+    //     the oracle replays the FULL corpus (no survivor filter), with
+    //     the withdrawal proofs riding. ------------------------------------
+    "q268_untombstone" -> ((s, dir) => {
+      val base = T(s, dir, "documents").where(col("doc_id") % 4 === 3)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val corpus = base.unionByName(
+        base.withColumn("doc_id", col("doc_id") + lit(20000000L)))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val path = sys.props("java.io.tmpdir") + s"/graft_q268_pairs_$salt"
+      Dedup.writePairs(corpus, "doc_id", "text", path,
+        shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000))
+      val rm = corpus.where(col("doc_id") % 9 === 0).select(col("doc_id"))
+      val nTs = Dedup.tombstonePairs(s, path, rm)
+      val nBack = Dedup.untombstonePairs(s, path, rm)
+      val empty = Dedup.pairTombstones(s, path).isEmpty
+      val scored = corpus.select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("q"))
+      import s.implicits._
+      Dedup.removeDuplicatesKeepBest(scored, "doc_id",
+          Dedup.readPairs(s, path, threshold = 0.8), "q")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .crossJoin(broadcast(Seq((nTs > 0, nTs == nBack, empty))
+          .toDF("tombstoned", "withdrawn_all", "sidecar_empty")))
     })
   )
 
@@ -5199,6 +5230,80 @@ object SparkEntry {
         |SELECT q.lang, count(*) AS n_docs,
         |  cast(sum(k.doc_id) AS bigint) AS id_sum,
         |  true AS tombstoned, true AS drained, true AS pre_post_equal
+        |FROM kept k JOIN qual q USING (doc_id)
+        |GROUP BY q.lang""".stripMargin,
+
+    // q268: the withdrawal inverse — same report machinery as q260 but the
+    // oracle replays the FULL corpus: a fully-withdrawn takedown must be
+    // indistinguishable from never having filed it.
+    "q268_untombstone" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 4 = 3),
+        |corpus AS (
+        |  SELECT doc_id, lang, text FROM b
+        |  UNION ALL SELECT doc_id + 20000000, lang, text FROM b),
+        |surv AS (SELECT * FROM corpus),
+        |t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM surv),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks) - 2)] END) AS s
+        |  FROM t),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sizes na ON na.doc_id = id_a
+        |  JOIN sizes nb ON nb.doc_id = id_b
+        |  WHERE inter / cast(na.n + nb.n - inter as double) >= 0.8),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS rep
+        |  FROM reach GROUP BY src),
+        |qual AS (
+        |  SELECT doc_id, lang,
+        |    round(
+        |      least(length(text) / 500.0, 1.0) * 0.4 +
+        |      least(len(list_filter(tk, x -> x IN
+        |        ('the','a','of','and','to','der','die','das','und',
+        |         'le','la','les','et','el','los','y','que')))
+        |        / greatest(len(tk), 1.0) * 10.0, 1.0) * 0.3 +
+        |      (CASE WHEN len(tk) = 0 THEN 0.0
+        |            ELSE len(list_distinct(tk)) / cast(len(tk) as double)
+        |       END) * 0.3,
+        |    6) AS q
+        |  FROM (SELECT doc_id, lang, text,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |            AS tk
+        |        FROM surv)),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT q.doc_id,
+        |      row_number() OVER (PARTITION BY l.rep
+        |        ORDER BY q.q DESC, q.doc_id) AS rn
+        |    FROM qual q JOIN labels l USING (doc_id))
+        |  WHERE rn = 1),
+        |kept AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM labels)
+        |  UNION ALL SELECT doc_id FROM winners)
+        |SELECT q.lang, count(*) AS n_docs,
+        |  cast(sum(k.doc_id) AS bigint) AS id_sum,
+        |  true AS tombstoned, true AS withdrawn_all, true AS sidecar_empty
         |FROM kept k JOIN qual q USING (doc_id)
         |GROUP BY q.lang""".stripMargin,
 

@@ -1012,6 +1012,50 @@ object Dedup {
   }
 
   /**
+   * WITHDRAW a pending lazy takedown — [[tombstonePairs]]' inverse, for
+   * the request filed in error or legally withdrawn: remove `ids` from
+   * the tombstone sidecar, so [[readPairs]]/[[appendPairs]] stop masking
+   * them immediately. Only meaningful BEFORE the next [[compactPairs]]
+   * (the physical drain — after it the rows are gone and the path back
+   * is [[readPairsPrevious]]'s undo window or a rebuild); ids not
+   * pending are no-ops. The sidecar rewrites as one tiny generation
+   * swap (tombstone lists are |takedown-requests|-sized, never
+   * corpus-sized). Returns the number of ids un-tombstoned.
+   */
+  def untombstonePairs(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long =
+    withdrawTombstones(spark, tombstonesDir(path),
+      pairTombstones(spark, path), ids)
+
+  /** The shared withdrawal core for every lazy-takedown sidecar: rewrite
+    * the pending set minus `ids` as one tiny generation swap (or delete
+    * the sidecar when nothing remains — the "no takedown pending" state
+    * the readers fast-path on). Tombstone lists are
+    * |takedown-requests|-sized, never corpus-sized, so the rewrite is
+    * metadata-class however large the corpus. */
+  private[graft] def withdrawTombstones(
+      spark: org.apache.spark.sql.SparkSession, sidecarDir: String,
+      pendingOpt: Option[DataFrame], ids: DataFrame): Long =
+    pendingOpt match {
+      case None => 0L
+      case Some(ts) =>
+        val back = graft.Eager.materialize(
+          ids.select(col(ids.columns.head).as("__back_id")).distinct())
+        val pending = graft.Eager.materialize(ts.select(col("id")).distinct())
+        val keep = graft.Eager.materialize(pending.join(broadcast(back),
+          col("id") === col("__back_id"), "left_anti"))
+        val removed = pending.count() - keep.count()
+        if (removed > 0) {
+          if (keep.isEmpty) {
+            val tp = new org.apache.hadoop.fs.Path(sidecarDir)
+            tp.getFileSystem(spark.sessionState.newHadoopConf())
+              .delete(tp, true): Unit
+          } else graft.store.ManifestTable.write(keep, sidecarDir)
+        }
+        removed
+    }
+
+  /**
    * Retention rewrite for a [[writePairs]] table — irreversible once the
    * NEXT rewrite retires the undo window ([[readPairsPrevious]] serves the
    * pre-prune view until then): drop every

@@ -489,6 +489,24 @@ object Similarity {
     n
   }
 
+  /** WITHDRAW a pending lazy takedown on the IVF layout —
+    * [[tombstoneIvfCorpus]]' inverse ([[graft.ops.Dedup.untombstonePairs]]'
+    * ANN twin): probes stop masking the ids immediately; only meaningful
+    * before the next [[compactIvfCorpus]] drains (after it the rows are
+    * physically gone). Returns ids un-tombstoned. */
+  def untombstoneIvfCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long =
+    graft.ops.Dedup.withdrawTombstones(spark, ivfTombstonesDir(path),
+      ivfTombstones(spark, path), ids)
+
+  /** WITHDRAW a pending lazy takedown on the SRP layout —
+    * [[tombstoneBucketedCorpus]]' inverse; same contract as
+    * [[untombstoneIvfCorpus]]. */
+  def untombstoneBucketedCorpus(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long =
+    graft.ops.Dedup.withdrawTombstones(spark, srpTombstonesDir(path),
+      srpTombstones(spark, path), ids)
+
   def writeIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, cents: Array[Array[Double]],
       filesPerLeaf: Int = 4): Unit = {

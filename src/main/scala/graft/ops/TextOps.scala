@@ -784,6 +784,28 @@ object TextOps {
     n
   }
 
+  /**
+   * WITHDRAW a pending lazy takedown on the search index —
+   * [[tombstoneBm25Index]]' inverse ([[graft.ops.Dedup.untombstonePairs]]'
+   * search twin, for the request filed in error or legally withdrawn):
+   * shrink the tombstone sidecar by `ids`, then commit a fresh stats
+   * generation over the now-larger surviving membership — ordered
+   * sidecar-FIRST this time (the mirror of the takedown's stats-first):
+   * the moment masking stops, df/idf re-expand from the postings at probe
+   * time, and the stats generation lands right behind; a crash between
+   * the two leaves the takedown's stats-vs-docs residue every maintenance
+   * verb heals via its next stats rewrite. Only meaningful before the
+   * next [[compactBm25Index]] drains; ids not pending are no-ops. Returns
+   * the number of ids un-tombstoned.
+   */
+  def untombstoneBm25Index(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Long = {
+    val n = graft.ops.Dedup.withdrawTombstones(spark,
+      bm25TombstonesDir(path), bm25Tombstones(spark, path), ids)
+    if (n > 0) rewriteStats(spark, path)
+    n
+  }
+
   /** Incremental maintenance for a [[writeBm25Index]] layout — the search
     * half of the persisted-index family ([[graft.ops.Dedup.writeNearDupIndex]],
     * [[graft.ops.Similarity.appendBucketedCorpus]]/`appendIvfCorpus`): a NEW

@@ -1248,6 +1248,79 @@ class LifecycleSpec extends SparkSpec {
       "post-delete append must equal the survivor-corpus append")
   }
 
+  test("untombstone: a withdrawn takedown stops masking immediately on " +
+      "all four lazy layouts — partial withdrawal keeps the rest pending, " +
+      "full withdrawal removes the sidecar, BM25 stats re-expand exactly") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5"), (2L, "w1 w2 w3 w4 w5"),
+      (3L, "a b c d e"), (4L, "a b c d zz")).toDF("id", "text")
+    val root = tmp("graft_unts")
+    // --- pairs
+    val pp = root + "/pairs"
+    Dedup.writePairs(docs, "id", "text", pp, shingleSize = 2,
+      minJaccard = 0.2, maxDf = None)
+    val unmasked = multiset(Dedup.readPairs(spark, pp, threshold = 0.2))
+    assert(Dedup.tombstonePairs(spark, pp, Seq(1L, 3L).toDF("id")) == 2L)
+    def ghost(id: Long) = Dedup.readPairs(spark, pp, threshold = 0.2)
+      .where(col("id_a") === id || col("id_b") === id).count()
+    assert(ghost(1L) == 0 && ghost(3L) == 0)
+    // partial withdrawal; a never-pending id is a no-op
+    assert(Dedup.untombstonePairs(spark, pp, Seq(1L, 99L).toDF("id")) == 1L)
+    assert(ghost(1L) > 0 && ghost(3L) == 0,
+      "1 unmasks immediately, 3 stays pending")
+    assert(Dedup.pairTombstones(spark, pp).isDefined)
+    assert(Dedup.untombstonePairs(spark, pp, Seq(3L).toDF("id")) == 1L)
+    assert(Dedup.pairTombstones(spark, pp).isEmpty,
+      "an emptied sidecar is removed (readers fast-path on absence)")
+    assert(multiset(Dedup.readPairs(spark, pp, threshold = 0.2)) == unmasked,
+      "full withdrawal restores the unmasked reads exactly")
+    // --- IVF + SRP
+    val vecs = (0 until 12).map(i =>
+      (i.toLong, Seq(math.cos(i % 3).toFloat, math.sin(i % 3).toFloat)))
+      .toDF("id", "vec")
+    val q = Seq(1f, 0f)
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", 3)
+    val ip = root + "/ivf"
+    Similarity.writeIvfCorpus(vecs, "id", "vec", ip, cents)
+    Similarity.tombstoneIvfCorpus(spark, ip, Seq(0L).toDF("id")): Unit
+    assert(!Similarity.ivfTopKFromPartitioned(spark, ip, "id", "vec", q, 12,
+      cents, nProbe = 3).collect().map(_.getLong(0)).contains(0L))
+    assert(Similarity.untombstoneIvfCorpus(spark, ip, Seq(0L).toDF("id")) == 1L)
+    assert(Similarity.ivfTombstones(spark, ip).isEmpty &&
+      Similarity.ivfTopKFromPartitioned(spark, ip, "id", "vec", q, 12,
+        cents, nProbe = 3).collect().map(_.getLong(0)).contains(0L))
+    val sp = root + "/srp"
+    Similarity.writeBucketedCorpus(vecs, "id", "vec", sp, nBits = 4)
+    Similarity.tombstoneBucketedCorpus(spark, sp, Seq(0L).toDF("id")): Unit
+    assert(Similarity.untombstoneBucketedCorpus(spark, sp,
+      Seq(0L).toDF("id")) == 1L)
+    assert(Similarity.srpTombstones(spark, sp).isEmpty &&
+      Similarity.annTopKFromBucketed(spark, sp, "id", "vec", q, 12,
+        nBits = 4).collect().map(_.getLong(0)).contains(0L))
+    // --- BM25: stats must re-expand to the full aggregate
+    val bdocs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, "merge join spark"), (4L, ""), (5L, "spark merge"))
+      .toDF("id", "text")
+    val bp = root + "/bm25"
+    val bfresh = root + "/bm25_fresh"
+    TextOps.writeBm25Index(bdocs, "id", "text", bp, nBuckets = 2)
+    TextOps.writeBm25Index(bdocs, "id", "text", bfresh, nBuckets = 2)
+    val qterms = Seq("spark", "merge")
+    val before = canon(TextOps.bm25TopKFromIndex(spark, bp, qterms, 10,
+      nBuckets = 2))
+    TextOps.tombstoneBm25Index(spark, bp, Seq(1L, 4L).toDF("id")): Unit
+    assert(TextOps.untombstoneBm25Index(spark, bp,
+      Seq(1L, 4L).toDF("id")) == 2L)
+    assert(TextOps.bm25Tombstones(spark, bp).isEmpty)
+    assert(canon(TextOps.bm25TopKFromIndex(spark, bp, qterms, 10,
+      nBuckets = 2)) == before, "the ranking is restored exactly")
+    assert(multiset(graft.store.ManifestTable.read(spark, bp + "/stats")) ==
+      multiset(graft.store.ManifestTable.read(spark, bfresh + "/stats")),
+      "stats re-expand to the untouched twin's aggregate — token-less " +
+        "doc 4 included")
+  }
+
   test("rollback: the undo window promoted to an actual restore at " +
       "fs-metadata cost — rollback, redo, append-into-restored, idempotent " +
       "re-roll, unknown gen refused, and the next rewrite retires the " +
