@@ -4607,6 +4607,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
         .crossJoin(broadcast(Seq((nTs > 0, nTs == nBack, empty))
           .toDF("tombstoned", "withdrawn_all", "sidecar_empty")))
+    }),
+
+    // --- LAYOUT-WIDE ROLLBACK (round 17): a mistaken eager takedown on
+    //     the IVF layout (q226's setup — 4 of 7 planted copies deleted,
+    //     every cell rewritten) is undone by rollbackPartitions — one
+    //     fenced pointer commit per leaf, zero data movement. The LIVE
+    //     probe must surface all seven planted copies again (q238's
+    //     closed form, but on the live view, not the audit view). ----------
+    "q269_layout_rollback" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val q = emb.where(col("vec_id") === 7).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val planted = emb.where(col("vec_id") === 7)
+        .select(explode(sequence(lit(0), lit(6))).as("i"), col("embedding"))
+        .select((col("i") + 9500L).as("vec_id"), col("embedding"))
+      val base = emb.where(col("vec_id") =!= 7)
+      val cents = Similarity.ivfCentroids(base, "vec_id", "embedding", k = 8)
+      val path = sys.props("java.io.tmpdir") + "/graft_q269_ivf_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      Similarity.writeIvfCorpus(base.unionByName(planted), "vec_id",
+        "embedding", path, cents)
+      Similarity.removeFromIvfCorpus(s, path,
+        s.range(4).select((col("id") * 2 + 9500L).as("vec_id")),
+        idCol = "vec_id"): Unit
+      val moved = graft.store.Compaction.rollbackPartitions(s, path)
+      import s.implicits._
+      Similarity.ivfTopKFromPartitioned(s, path, "vec_id", "embedding",
+          q, 7, cents, nProbe = 2)
+        .select(col("vec_id"), round(col("cos"), 4).as("cos"))
+        .crossJoin(broadcast(Seq(moved > 0).toDF("rolled_back")))
     })
   )
 
@@ -5871,6 +5902,13 @@ object SparkEntry {
       """SELECT c_custkey, c_name, true AS rolled_back
         |FROM customer
         |WHERE c_custkey % 2 = 0 OR c_custkey % 4 = 1""".stripMargin,
+
+    // q269: after the layout-wide rollback the LIVE probe surfaces all
+    // seven planted copies again (q238's closed form on the live view).
+    "q269_layout_rollback" ->
+      """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos,
+        |  true AS rolled_back
+        |FROM range(7) t(i)""".stripMargin,
 
     // Planted exact copies survive the retrain and surface through the NEW
     // pinned centroids — q216's closed form, shifted ids.

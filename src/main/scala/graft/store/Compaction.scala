@@ -816,6 +816,58 @@ object Compaction {
     walk(rootPath, destPath)
   }
 
+  /**
+   * Resolve the LAYOUT-WIDE rollback plan: each leaf paired with the
+   * generation that was live before its last rewrite
+   * ([[ManifestTable.previousGen]]). The plan is one consistent pre-op
+   * snapshot exactly when the last maintenance op was layout-wide
+   * ([[rewritePartitions]] — takedowns and retention rewrite every leaf);
+   * refuses loudly when ANY leaf lacks an undo window (a partial
+   * rollback would mix two points in time silently). Pure read — apply
+   * it with [[rollbackPartitions]].
+   */
+  def rollbackPlanPartitions(spark: SparkSession,
+      root: String): Seq[(String, String)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
+    val leaves = leafDirs(fs, rootPath).map(_.toString)
+    require(leaves.nonEmpty, s"rollbackPlanPartitions: no leaves at $root")
+    val plan = pooledMap(leaves)(l =>
+      l -> ManifestTable.previousGen(spark, l))
+    val missing = plan.collect { case (l, None) => l }
+    require(missing.isEmpty,
+      s"rollbackPlanPartitions: ${missing.length} leaf(s) have no undo " +
+        s"window (e.g. ${missing.take(3).mkString(", ")}) — the layout " +
+        "cannot roll back to one consistent point (keep-N retention " +
+        "funds the window; per-leaf ops desynchronize it)")
+    plan.map { case (l, g) => (l, g.get) }
+  }
+
+  /**
+   * LAYOUT-WIDE rollback — [[ManifestTable.rollback]] applied across a
+   * partitioned layout: undo the last layout-wide rewrite (a mistaken
+   * takedown or retention pass) at fs-METADATA cost, one fenced pointer
+   * commit per leaf, zero data movement. `plan` defaults to
+   * [[rollbackPlanPartitions]] resolved NOW; pass an explicitly retained
+   * plan to RETRY a crashed application — per-leaf [[ManifestTable.rollbackTo]]
+   * is idempotent (target already live = no-op), so re-applying the SAME
+   * plan converges however many leaves the crash left rolled. (Do NOT
+   * blindly re-resolve after a partial application: already-rolled
+   * leaves' undo windows then point one step further back.) Same fsck
+   * caveat as single-table rollback: the rolled-back-from generations
+   * read as debris to fsck until the next rewrite retires them. Returns
+   * leaves whose pointer moved.
+   */
+  def rollbackPartitions(spark: SparkSession, root: String,
+      plan: Option[Seq[(String, String)]] = None): Int = {
+    val p = plan.getOrElse(rollbackPlanPartitions(spark, root))
+    pooledMap(p) { case (leaf, gen) =>
+      val already = ManifestTable.liveGen(spark, leaf).contains(gen)
+      ManifestTable.rollbackTo(spark, leaf, gen): Unit
+      if (already) 0 else 1
+    }.sum
+  }
+
   /** Migrate every flat leaf of a freshly-written layout to the manifest
     * shape — pure fs metadata ([[ManifestTable.migrateFlatDir]]), called by
     * the layout writers right after their partitioned overwrite so the

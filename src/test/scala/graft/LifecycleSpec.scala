@@ -1354,6 +1354,41 @@ class LifecycleSpec extends SparkSpec {
       "the undo window is the restored state, appends included")
   }
 
+  test("rollbackPartitions: a mistaken layout-wide takedown undone at " +
+      "fs-metadata cost; a retained plan retries a crashed application " +
+      "idempotently; a fresh layout refuses (no consistent window)") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Seq(math.cos(i % 5).toFloat, math.sin(i % 5).toFloat)))
+      .toDF("id", "vec")
+    val cents = Similarity.ivfCentroids(vecs, "id", "vec", 4)
+    val path = tmp("graft_rbparts") + "/ivf"
+    Similarity.writeIvfCorpus(vecs, "id", "vec", path, cents)
+    intercept[IllegalArgumentException] {
+      graft.store.Compaction.rollbackPlanPartitions(spark, path)
+    }
+    val q = Seq(1f, 0f)
+    def probe() = canon(Similarity.ivfTopKFromPartitioned(spark, path, "id",
+      "vec", q, 10, cents, nProbe = 4)
+      .select(col("id"), round(col("cos"), 5)))
+    val before = probe()
+    Similarity.removeFromIvfCorpus(spark, path,
+      Seq(0L, 5L, 10L).toDF("id")): Unit // the mistaken layout-wide rewrite
+    assert(probe() != before)
+    val plan = graft.store.Compaction.rollbackPlanPartitions(spark, path)
+    // crash simulation: half the plan already applied, then the SAME
+    // retained plan re-applied — converges, no double-undo
+    plan.take(plan.length / 2).foreach { case (l, g) =>
+      ManifestTable.rollbackTo(spark, l, g): Unit
+    }
+    val moved = graft.store.Compaction.rollbackPartitions(spark, path,
+      Some(plan))
+    assert(moved == plan.length - plan.length / 2,
+      s"only the not-yet-rolled leaves move: $moved of ${plan.length}")
+    assert(probe() == before, "the takedown is undone exactly")
+    assert(graft.store.Compaction.rollbackPartitions(spark, path,
+      Some(plan)) == 0, "re-applying the same plan is a no-op")
+  }
+
   test("cloneSnapshot: file-level export of live and as-of snapshots to an " +
       "independent table — content exact with retained refs flattened in, " +
       "the clone immune to later source rewrites, non-empty dest refused") {
