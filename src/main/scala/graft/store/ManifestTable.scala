@@ -924,6 +924,13 @@ object ManifestTable {
    *  - Appends after the rollback land in the restored live generation,
    *    as always. Single-maintainer like every write verb; fenced — a
    *    concurrent rewrite's commit wins and the rollback throws loudly.
+   *  - Commit tags ([[appendTagged]]) are TABLE-level and survive the
+   *    rollback — correct within one incarnation (a tagged batch's files
+   *    live in the generation they landed in). Rolling back ACROSS a
+   *    [[write]] boundary, however, crosses into an incarnation whose
+   *    tags that write already cleared: a pre-write batch's tag reads as
+   *    uncommitted and a blind retry would re-append it — don't straddle
+   *    a rollback with tagged-retry loops.
    */
   def rollback(spark: SparkSession, table: String, back: Int = 1): String = {
     val target = genBack(spark, table, back).getOrElse(
