@@ -66,22 +66,45 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    if (new java.io.File(warmDir).isDirectory) {
-      var failed = 0
-      selected.foreach { case (name, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case t: Throwable =>
-          failed += 1
-          System.err.println(s"[bench] warmup of $name failed on $warmDir: ${t.getClass.getSimpleName}: ${t.getMessage}")
+    // SWEEP ORDER is sorted-by-name (round 18): SparkEntry.queries is a
+    // hash Map whose iteration order reshuffles whenever a query is added,
+    // which moved every neighborhood's sweep medians between rounds (the
+    // round-17 q140 18.44→3.61 class of deltas on unchanged code). Sorted
+    // order makes a new query a LOCAL insertion instead of a global
+    // reshuffle, so sweep medians stay comparable round-to-round.
+    val sortedSel = selected.toSeq.sortBy(_._1)
+    // SWEEP CHUNKING (round-18 protocol): the full suite in one JVM
+    // accumulates heap/GC pressure that amplifies late queries up to ~5×
+    // their isolated cost. The sweep now runs as N fresh-JVM children over
+    // contiguous sorted chunks (default 4), each paying its own warmup, and
+    // the parent sums their medians — the capacity signal keeps its
+    // neighborhood pressure WITHIN a chunk but no longer compounds across
+    // the whole suite. =1 restores the legacy single-JVM sweep; children
+    // (SPARK_GRAFT_BENCH_ONLY set) never re-chunk.
+    val sweepChunks = if (only.isDefined) 1 else
+      sys.env.get("SPARK_GRAFT_BENCH_SWEEP_CHUNKS")
+        .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+        .filter(_ >= 1).getOrElse(4)
+    def warmupAll(): Unit =
+      if (new java.io.File(warmDir).isDirectory) {
+        var failed = 0
+        sortedSel.foreach { case (name, fn) =>
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case t: Throwable =>
+            failed += 1
+            System.err.println(s"[bench] warmup of $name failed on $warmDir: ${t.getClass.getSimpleName}: ${t.getMessage}")
+          }
+          releaseBlocks()
         }
-        releaseBlocks()
+        if (failed > 0) System.err.println(s"[bench] $failed warmup queries failed — steady-state timings may include first-run costs")
+      } else {
+        System.err.println(s"[bench] no warmup dir found near $sfDir — timings include first-run codegen/JIT costs")
+        try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+        catch { case _: Throwable => () }
       }
-      if (failed > 0) System.err.println(s"[bench] $failed warmup queries failed — steady-state timings may include first-run costs")
-    } else {
-      System.err.println(s"[bench] no warmup dir found near $sfDir — timings include first-run codegen/JIT costs")
-      try spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      catch { case _: Throwable => () }
-    }
+    // chunked runs warm up inside each child (its own subset, its own JVM);
+    // the single-JVM path (and the chunk-failure fallback below) warms here
+    if (sweepChunks <= 1) warmupAll()
     // Median-of-k per query: single-shot timing on a loaded box lets an
     // unrelated load spike masquerade as a query regression (round-7 driver
     // run reported q72 at 17.8 s vs 4.5 s on a clean re-run). Three timed
@@ -160,26 +183,133 @@ object Bench {
     }
     val canaryPre = canary()
     val canaryIoPre = canaryIo()
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        // noop sink: forces evaluation of EVERY output column (a bare count()
-        // would let Catalyst prune unconsumed projections and under-measure)
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        releaseBlocks() // outside the timed window; see scaladoc above
-        dt
-      }.sorted
-      val median =
-        if (times.length % 2 == 1) times(times.length / 2)
-        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-      // between QUERIES (never between reps — rep 2's tag-no-op fast path
-      // is measured semantics): drop this process's dead index dirs so 240
-      // queries of accumulated indexes don't pressure later timed windows
-      TmpHygiene.sweepCurrentProcess()
-      name -> (median, times.head, times.last)
+    def jsonObjEntriesEarly(line: String, key: String): Option[Seq[(String, Double)]] = {
+      val k = "\"" + key + "\":{"
+      val i = line.indexOf(k)
+      if (i < 0) None else {
+        val start = i + k.length
+        val end = line.indexOf('}', start)
+        if (end < 0) None
+        else Some(line.substring(start, end).split(',').toSeq
+          .filter(_.contains(':')).flatMap { e =>
+            val Array(n, v) = e.split(':')
+            scala.util.Try(n.trim.stripPrefix("\"").stripSuffix("\"") ->
+              v.trim.toDouble).toOption
+          })
+      }
     }
+    def jsonNumEarly(line: String, key: String): Option[Double] = {
+      val k = "\"" + key + "\":"
+      val i = line.indexOf(k)
+      if (i < 0) None
+      else scala.util.Try(line.substring(i + k.length)
+        .takeWhile(c => c != ',' && c != '}').toDouble).toOption
+    }
+    // ---- fresh-JVM child run over `names` (shared by the sweep chunks and
+    // the isolated tier): re-exec graft.Bench with BENCH_ONLY=<names> and
+    // ISOLATE=off, parse its verbose total_detail line, and REQUIRE full
+    // per-query coverage — a partial parse must fail loudly into the
+    // fallback, never silently adopt a subset (round-18 advisory).
+    def forkBench(names: Seq[String], repsN: Int)
+        : Option[(Seq[(String, (Double, Double, Double))], Double, Double)] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_BENCH_ONLY", names.mkString(","))
+        env.put("SPARK_GRAFT_BENCH_ISOLATE", "off") // the child IS the run
+        env.put("SPARK_GRAFT_BENCH_REPS", repsN.toString)
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_WARM_DIR", warmDir)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT) // loud child logs
+        val proc = pb.start()
+        // drain stdout to EOF BEFORE waitFor (pipe-full deadlock guard);
+        // the child writes only its two JSON lines here
+        val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
+          .getLines().toList
+        val rc = proc.waitFor()
+        if (rc != 0) {
+          System.err.println(s"[bench] forked child exited rc=$rc")
+          return None
+        }
+        // the verbose total_detail line carries full query names at 3
+        // decimals; its "queries"/"queries_min"/"queries_max" objects are
+        // the medians and spreads
+        val line = out.find(_.startsWith("{\"metric\":\"total_detail\""))
+          .getOrElse(return None)
+        for {
+          meds <- jsonObjEntriesEarly(line, "queries").map(_.toMap)
+          mins <- jsonObjEntriesEarly(line, "queries_min").map(_.toMap)
+          maxs <- jsonObjEntriesEarly(line, "queries_max").map(_.toMap)
+          cIso <- jsonNumEarly(line, "canary_pre")
+          cIoIso <- jsonNumEarly(line, "canary_io_pre")
+          ordered = names.flatMap(n =>
+            for (m <- meds.get(n); lo <- mins.get(n); hi <- maxs.get(n))
+              yield n -> (m, lo, hi))
+          // FULL coverage or nothing: a dropped entry means the child line
+          // was truncated or a query name failed to parse — adopting the
+          // subset would under-report coverage without any signal
+          if ordered.length == names.length
+        } yield (ordered, cIso, cIoIso)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fork failed: $e")
+        None
+      }
+    def sweepInProcess(sel: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+        : Seq[(String, (Double, Double, Double))] =
+      sel.map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          // noop sink: forces evaluation of EVERY output column (a bare
+          // count() would let Catalyst prune unconsumed projections and
+          // under-measure)
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          releaseBlocks() // outside the timed window; see scaladoc above
+          dt
+        }.sorted
+        val median =
+          if (times.length % 2 == 1) times(times.length / 2)
+          else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+        // between QUERIES (never between reps — rep 2's tag-no-op fast path
+        // is measured semantics): drop this process's dead index dirs so 270
+        // queries of accumulated indexes don't pressure later timed windows
+        TmpHygiene.sweepCurrentProcess()
+        name -> (median, times.head, times.last)
+      }
+    var sweepChunksUsed = 1
+    val results: Seq[(String, (Double, Double, Double))] =
+      if (sweepChunks <= 1) sweepInProcess(sortedSel)
+      else {
+        val names = sortedSel.map(_._1)
+        val per = math.max(1,
+          math.ceil(names.length.toDouble / sweepChunks).toInt)
+        val groups = names.grouped(per).toSeq
+        val parts = groups.zipWithIndex.map { case (g, i) =>
+          System.err.println(s"[bench] sweep chunk ${i + 1}/${groups.length}: " +
+            s"${g.length} queries in a fresh JVM")
+          forkBench(g, reps).map(_._1)
+        }
+        if (parts.forall(_.isDefined)) {
+          sweepChunksUsed = groups.length
+          parts.flatMap(_.get)
+        } else {
+          System.err.println("[bench] a sweep chunk failed — falling back " +
+            "to the legacy single-JVM sweep (its medians carry whole-suite " +
+            "heap pressure and are NOT comparable to chunked pins)")
+          warmupAll()
+          sweepInProcess(sortedSel)
+        }
+      }
     // Isolation tier (round-9 adjudication: the driver box runs the suite
     // heads 1.2–1.8× hot vs a clean box — q165 7.43 s mid-sweep vs 4.10 s
     // isolated; neighborhood pressure, not plan cost). After the full sweep
@@ -200,90 +330,23 @@ object Bench {
     val isoReps = sys.env.get("SPARK_GRAFT_BENCH_ISO_REPS")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ >= 1).getOrElse(math.max(reps, 5))
-    val isoNames = results.toSeq.sortBy { case (_, (m, _, _)) => -m }
+    val isoNames = results.sortBy { case (_, (m, _, _)) => -m }
       .take(isoCount).map(_._1)
     // ---- process isolation (round-16 adjudication): the in-process tier
-    // inherits the whole 262-query × 3-rep sweep's heap — end-of-run GC
-    // pressure inflated q242's official read to 2.5× its clean pin, and
-    // only out-of-band triage runs could acquit it. The plan-quality tier
-    // now runs in a FRESH JVM: this process re-execs graft.Bench with
-    // SPARK_GRAFT_BENCH_ONLY=<tier> and ISOLATE=off, and adopts the
-    // child's medians (and its fresh-JVM canaries as the tier-moment box
-    // reading). SPARK_GRAFT_BENCH_ISO_MODE=inproc restores the legacy
-    // same-JVM tier; any fork failure falls back to it LOUDLY, and the
-    // artifact records which protocol produced the numbers ("iso_mode").
-    def jsonObjEntries(line: String, key: String): Option[Seq[(String, Double)]] = {
-      val k = "\"" + key + "\":{"
-      val i = line.indexOf(k)
-      if (i < 0) None else {
-        val start = i + k.length
-        val end = line.indexOf('}', start)
-        if (end < 0) None
-        else Some(line.substring(start, end).split(',').toSeq
-          .filter(_.contains(':')).flatMap { e =>
-            val Array(n, v) = e.split(':')
-            scala.util.Try(n.trim.stripPrefix("\"").stripSuffix("\"") ->
-              v.trim.toDouble).toOption
-          })
-      }
-    }
-    def jsonNum(line: String, key: String): Option[Double] = {
-      val k = "\"" + key + "\":"
-      val i = line.indexOf(k)
-      if (i < 0) None
-      else scala.util.Try(line.substring(i + k.length)
-        .takeWhile(c => c != ',' && c != '}').toDouble).toOption
-    }
-    def forkIsolatedTier(): Option[(Seq[(String, Double)], Double, Double)] =
-      try {
-        import scala.jdk.CollectionConverters._
-        val javaBin = new java.io.File(new java.io.File(
-          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.toSeq
-          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
-        val cmd = Seq(javaBin) ++ jvmArgs ++
-          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
-        val pb = new ProcessBuilder(cmd: _*)
-        val env = pb.environment()
-        env.put("SPARK_GRAFT_BENCH_ONLY", isoNames.mkString(","))
-        env.put("SPARK_GRAFT_BENCH_ISOLATE", "off") // the child IS the tier
-        env.put("SPARK_GRAFT_BENCH_REPS", isoReps.toString)
-        env.put("SPARK_GRAFT_SF_DIR", sfDir)
-        env.put("SPARK_GRAFT_CPUS", cpus)
-        env.put("SPARK_GRAFT_WARM_DIR", warmDir)
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT) // loud child logs
-        val proc = pb.start()
-        // drain stdout to EOF BEFORE waitFor (pipe-full deadlock guard);
-        // the child writes only its two JSON lines here
-        val out = scala.io.Source.fromInputStream(proc.getInputStream, "UTF-8")
-          .getLines().toList
-        val rc = proc.waitFor()
-        if (rc != 0) {
-          System.err.println(s"[bench] isolated-tier child exited rc=$rc")
-          return None
-        }
-        // the verbose total_detail line carries full query names at 3
-        // decimals; its FIRST "queries" object is the medians
-        val line = out.find(_.startsWith("{\"metric\":\"total_detail\""))
-          .orElse(out.reverse.find(_.startsWith("{\"metric\"")))
-          .getOrElse(return None)
-        for {
-          meds <- jsonObjEntries(line, "queries")
-          cIso <- jsonNum(line, "canary_pre")
-          cIoIso <- jsonNum(line, "canary_io_pre")
-          // preserve tier order (slowest first) and names, as before
-          ordered = isoNames.flatMap(n => meds.toMap.get(n).map(n -> _))
-          if ordered.nonEmpty
-        } yield (ordered, cIso, cIoIso)
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] isolated-tier fork failed: $e")
-        None
-      }
+    // inherits the whole suite sweep's heap — end-of-run GC pressure
+    // inflated q242's official read to 2.5× its clean pin, and only
+    // out-of-band triage runs could acquit it. The plan-quality tier runs
+    // in a FRESH JVM via forkBench (the same machinery as the sweep
+    // chunks), adopting the child's medians and its fresh-JVM canaries as
+    // the tier-moment box reading. SPARK_GRAFT_BENCH_ISO_MODE=inproc
+    // restores the legacy same-JVM tier; any fork failure falls back to it
+    // LOUDLY, and the artifact records the protocol ("iso_mode").
     val isoModeWanted = sys.env.getOrElse("SPARK_GRAFT_BENCH_ISO_MODE", "fork")
     val forkedTier =
       if (isoCount == 0 || isoModeWanted == "inproc") None
-      else forkIsolatedTier()
+      else forkBench(isoNames, isoReps).map { case (triples, c, cIo) =>
+        (triples.map { case (n, (m, _, _)) => n -> m }, c, cIo)
+      }
     if (isoCount > 0 && isoModeWanted != "inproc" && forkedTier.isEmpty)
       System.err.println("[bench] isolated tier fell back to the SAME-JVM " +
         "protocol — its medians carry end-of-sweep heap pressure and are " +
@@ -340,30 +403,30 @@ object Bench {
       case -1 => name
       case i  => name.substring(0, i)
     }
-    val total = r3(results.values.map(_._1).sum)
+    val total = r3(results.map(_._2._1).sum)
     def isoJson(r: Double => Double) = isolated
       .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"iso_mode":"$isoMode","canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"iso_mode":"$isoMode","canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B
-    val top = results.toSeq.sortBy { case (_, (m, _, _)) => -m }.take(40)
+    val top = results.sortBy { case (_, (m, _, _)) => -m }.take(40)
     // the isolated medians ride every tier (~14 B/query, ≤ ~120 B at the
     // default 8): the artifact then carries capacity AND plan-quality
     val heavy =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"coverage":"slowest40_medians","queries":${
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"coverage":"slowest40_medians","queries":${
         top.map { case (k, (m, _, _)) => "\"" + shortKey(k) + "\":" + r2(m) }
           .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     println(

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Copy-engine probe for the clone/export verbs
+ * ([[graft.store.ManifestTable.cloneSnapshot]] /
+ * [[graft.store.Compaction.cloneLayout]], reference lifecycle analogue:
+ * HBase ExportSnapshot). The round-18 scale fix gives the verbs two
+ * engines — the driver-pooled byte copy (bounded 16-thread JVM-wide pool)
+ * and the executor-parallel Spark job ([[org.apache.spark.sql.graft
+ * .DistCopy]]), selected by `graft.clone.mode` (auto switches past
+ * `graft.clone.distributedMinBytes`). On one host the two engines share
+ * one disk and one NIC, so this probe CANNOT show the distributed win
+ * (bandwidth × executors — that is structural); what it pins down is the
+ * thing a single box can measure: the Spark engine's job overhead at the
+ * auto threshold, i.e. what the default `distributedMinBytes` trades
+ * away when it escalates. Measures, per size tier:
+ *
+ *  - `driver_sec`: cloneSnapshot wall time with `graft.clone.mode=driver`;
+ *  - `spark_sec`:  same snapshot with `graft.clone.mode=spark`;
+ *  - file count and total bytes (the tier's shape).
+ *
+ * Run: `sbt "runMain graft.CloneScaleProbe"`; numbers recorded in PERF.md.
+ */
+object CloneScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-clone-scale-probe")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.store.ManifestTable
+    try {
+      // ~55 B/row parquet after md5 payloads; tiers ≈ 60 MB / 600 MB
+      val results = Seq(1000000L, 10000000L).map { rows =>
+        val table = java.nio.file.Files
+          .createTempDirectory(s"graft_clonescale_$rows").toString + "/t"
+        ManifestTable.write(
+          spark.range(rows).toDF("id")
+            .withColumn("p1", md5(col("id").cast("string")))
+            .withColumn("p2", md5(concat(lit("x"), col("id").cast("string"))))
+            .repartition(32),
+          table)
+        val (fs, dir) = (new org.apache.hadoop.fs.Path(table))
+          .getFileSystem(spark.sessionState.newHadoopConf()) ->
+          new org.apache.hadoop.fs.Path(table)
+        val gen = ManifestTable.liveGen(spark, table).get
+        val stats = fs.listStatus(
+          new org.apache.hadoop.fs.Path(dir, gen))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        val bytes = stats.map(_.getLen).sum
+        def time(mode: String, dest: String): Double = {
+          spark.conf.set("graft.clone.mode", mode)
+          val t0 = System.nanoTime()
+          ManifestTable.cloneSnapshot(spark, table, dest): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+        val base = table.stripSuffix("/t")
+        val dSec = time("driver", s"$base/drv")
+        val sSec = time("spark", s"$base/spk")
+        spark.conf.unset("graft.clone.mode")
+        (rows, stats.length, bytes, dSec, sSec)
+      }
+      val js = results.map { case (rows, nf, by, d, s) =>
+        f"""{"rows":$rows,"files":$nf,"bytes":$by,""" +
+          f""""driver_sec":$d%.2f,"spark_sec":$s%.2f}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"clone_scale","tiers":$js}""")
+    } finally spark.stop()
+  }
+}

@@ -4638,6 +4638,77 @@ object SparkEntry {
           q, 7, cents, nProbe = 2)
         .select(col("vec_id"), round(col("cos"), 4).as("cos"))
         .crossJoin(broadcast(Seq(moved > 0).toDF("rolled_back")))
+    }),
+
+    // --- TAGGED REPLAY ACROSS A ROLLBACK (round 18): the exactly-once
+    //     ledger is INCARNATION-stamped, closing round 17's one
+    //     silent-duplication window. Two tagged epochs land and a
+    //     compaction FOLDS them (the retry sweep can no longer identify
+    //     them by file prefix); a bad overwrite starts a new incarnation;
+    //     rollback restores the old one; then the ingest loop blindly
+    //     replays ALL its epochs. Epochs 0/1 must no-op (their marker
+    //     matches the restored incarnation), epoch 2 must append — every
+    //     customer ends up in the table EXACTLY once, which the n_copies
+    //     audit (q234's shape) proves row-by-row. ---------------------------
+    "q270_tagged_replay_rollback" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val path = sys.props("java.io.tmpdir") + "/graft_q270_tags_" +
+        Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      // the first verb is an append: reset the dir so a bench rep or a
+      // re-run starts the lifecycle from scratch (tags persist on disk)
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true): Unit
+      val epoch = (i: Int) => c.where(col("c_custkey") % 3 === i)
+      graft.store.ManifestTable.appendTagged(epoch(0), path, "epoch-0"): Unit
+      graft.store.ManifestTable.appendTagged(epoch(1), path, "epoch-1"): Unit
+      graft.store.ManifestTable.compact(s, path) // folds the tagged files
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") < 0), path) // bad overwrite: new incarnation
+      graft.store.ManifestTable.rollback(s, path): Unit
+      // the blind replay loop, straddling the rollback
+      val r0 = graft.store.ManifestTable.appendTagged(epoch(0), path, "epoch-0")
+      val r1 = graft.store.ManifestTable.appendTagged(epoch(1), path, "epoch-1")
+      val r2 = graft.store.ManifestTable.appendTagged(epoch(2), path, "epoch-2")
+      import s.implicits._
+      graft.store.ManifestTable.read(s, path)
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_copies"))
+        .crossJoin(broadcast(Seq((!r0 && !r1, r2))
+          .toDF("replay_noop", "new_epoch_landed")))
+    }),
+
+    // --- DISTRIBUTED snapshot export (round 18): the same cloneSnapshot
+    //     verb with the copy engine FORCED to the executor-parallel Spark
+    //     job (graft.clone.mode=spark — the 100 TB backup path: copy
+    //     bandwidth scales with the executor count instead of one driver
+    //     host's NIC, HBase ExportSnapshot economics). Every copied file
+    //     is length-verified in-task; the backup must read exactly the
+    //     snapshot content (multi-generation: an overwrite plus an
+    //     append, minor-compacted so retained references flatten in). ------
+    "q271_distributed_clone" -> ((s, dir) => {
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val src = sys.props("java.io.tmpdir") + s"/graft_q271_src_$salt"
+      val dst = sys.props("java.io.tmpdir") + s"/graft_q271_dst_$salt"
+      val dp = new org.apache.hadoop.fs.Path(dst)
+      dp.getFileSystem(s.sessionState.newHadoopConf()).delete(dp, true): Unit
+      graft.store.ManifestTable.write(
+        o.where(col("o_orderkey") % 2 === 0), src)
+      graft.store.ManifestTable.append(
+        o.where(col("o_orderkey") % 2 === 1), src)
+      graft.store.ManifestTable.minorCompact(s, src): Unit
+      val prev = s.conf.getOption("graft.clone.mode")
+      s.conf.set("graft.clone.mode", "spark")
+      val nFiles =
+        try graft.store.ManifestTable.cloneSnapshot(s, src, dst)
+        finally prev match {
+          case Some(v) => s.conf.set("graft.clone.mode", v)
+          case None => s.conf.unset("graft.clone.mode")
+        }
+      import s.implicits._
+      graft.store.ManifestTable.read(s, dst)
+        .crossJoin(broadcast(Seq(nFiles > 0).toDF("copied")))
     })
   )
 
@@ -5909,6 +5980,22 @@ object SparkEntry {
       """SELECT cast(i + 9500 as bigint) AS vec_id, 1.0 AS cos,
         |  true AS rolled_back
         |FROM range(7) t(i)""".stripMargin,
+
+    // q270: the tagged replay straddling a rollback converges — every
+    // customer exactly once (a re-appended epoch would read 2, a wrongly
+    // no-op'd new epoch would drop its third of the keys), epochs 0/1
+    // no-op, epoch 2 lands.
+    "q270_tagged_replay_rollback" ->
+      """SELECT c_custkey, cast(1 as bigint) AS n_copies,
+        |  true AS replay_noop, true AS new_epoch_landed
+        |FROM customer""".stripMargin,
+
+    // q271: the executor-parallel clone is byte-faithful — the backup reads
+    // exactly the two-generation snapshot (every order, both parity
+    // slices), length-verified per file in-task.
+    "q271_distributed_clone" ->
+      """SELECT o_orderkey, o_totalprice, true AS copied
+        |FROM orders""".stripMargin,
 
     // Planted exact copies survive the retrain and surface through the NEW
     // pinned centroids — q216's closed form, shifted ids.

@@ -791,7 +791,9 @@ object Dedup {
     pairTombstones(spark, path) match {
       case None => base
       case Some(ts) =>
-        val t = ts.select(col("id").as("__ts_id"))
+        // explicit broadcast (round-18 advisory): an over-threshold takedown
+        // list fails loudly instead of silently shuffling the pair table
+        val t = broadcast(ts.select(col("id").as("__ts_id")))
         base.join(t, col("id_a") === col("__ts_id"), "left_anti")
           .join(t, col("id_b") === col("__ts_id"), "left_anti")
     }
@@ -887,7 +889,8 @@ object Dedup {
       if (!pairsDone) {
         val storedPosts = graft.store.ManifestTable.read(spark, path + "/postings")
         val all = tomb.fold(storedPosts)(t =>
-            storedPosts.join(t, col("id") === col("__ts_id"), "left_anti"))
+            storedPosts.join(broadcast(t),
+              col("id") === col("__ts_id"), "left_anti"))
           .withColumn("is_new", lit(false))
           .unionByName(np.withColumn("is_new", lit(true)))
         // only shingles the batch touches do any pair work; the combined-df
@@ -965,7 +968,8 @@ object Dedup {
     // place — filtering already-deleted rows is a no-op, so reads stay
     // exact and a blind retry converges.
     val tomb = pairTombstones(spark, path)
-      .map(t => graft.Eager.materialize(t.select(col("id").as("__ts_id"))))
+      .map(t => broadcast(graft.Eager.materialize(
+        t.select(col("id").as("__ts_id")))))
     val pairsFilter: DataFrame => DataFrame = tomb.fold(
       (p: DataFrame) => p)(t => p =>
         p.join(t, col("id_a") === col("__ts_id"), "left_anti")

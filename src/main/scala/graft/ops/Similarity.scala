@@ -225,12 +225,26 @@ object Similarity {
       case Some(ts) =>
         val t = broadcast(graft.Eager.materialize(
           ts.select(col("id").as("__ts_id"))))
+        val tsType = ts.schema("id").dataType
         // the id column is structurally FIRST in every leaf
         // (writeBucketedCorpus and appendBucketedCorpus both select
-        // (id, vec) before partitioning)
+        // (id, vec) before partitioning) — ASSERTED against the sidecar's
+        // id type (round-18 advisory): a leaf from an external writer or a
+        // reordered select must fail loudly, never anti-join the wrong
+        // column and silently delete the wrong rows
         val n = graft.store.Compaction.rewritePartitions(spark, path,
           targetFiles,
-          p => p.join(t, col(p.columns.head) === col("__ts_id"), "left_anti"))
+          { p =>
+            val head = p.schema.head
+            require(head.dataType == tsType,
+              s"compactBucketedCorpus($path): leaf head column " +
+                s"'${head.name}: ${head.dataType.catalogString}' does not " +
+                s"match the tombstone sidecar id type " +
+                s"(${tsType.catalogString}) — the leaf was not written by " +
+                "writeBucketedCorpus/appendBucketedCorpus; drain via " +
+                "removeFromBucketedCorpus with an explicit idCol instead")
+            p.join(t, col(head.name) === col("__ts_id"), "left_anti")
+          })
         val tp = new org.apache.hadoop.fs.Path(srpTombstonesDir(path))
         tp.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(tp, true): Unit
@@ -308,11 +322,15 @@ object Similarity {
         require(leaves.nonEmpty, s"annTopKFromBucketed: no bucket leaves at $path")
         spark.read.parquet(leaves.head._2).where(lit(false))
       }
-    // pending lazy-takedown tombstones never surface in a LIVE probe
+    // pending lazy-takedown tombstones never surface in a LIVE probe.
+    // EXPLICIT broadcast (round-18 advisory): a takedown list crossing the
+    // auto-broadcast threshold must fail loudly, never silently flip the
+    // probe to a sort-merge join that shuffles the whole corpus
     val visible = if (!masked) corpus
       else srpTombstones(spark, path) match {
         case None => corpus
-        case Some(ts) => corpus.join(ts.select(col("id").as("__ts_id")),
+        case Some(ts) => corpus.join(
+          broadcast(ts.select(col("id").as("__ts_id"))),
           col(idCol) === col("__ts_id"), "left_anti")
       }
     visible
@@ -600,11 +618,23 @@ object Similarity {
         // reads stay exact, a blind retry converges.
         val t = broadcast(graft.Eager.materialize(
           ts.select(col("id").as("__ts_id"))))
+        val tsType = ts.schema("id").dataType
         // the id column is structurally FIRST in every leaf (writeIvfCorpus
-        // and appendIvfCorpus both select (id, vec) before partitioning)
+        // and appendIvfCorpus both select (id, vec) before partitioning) —
+        // asserted against the sidecar's id type like the SRP twin
         val n = graft.store.Compaction.rewritePartitions(spark, path,
           targetFiles,
-          p => p.join(t, col(p.columns.head) === col("__ts_id"), "left_anti"))
+          { p =>
+            val head = p.schema.head
+            require(head.dataType == tsType,
+              s"compactIvfCorpus($path): leaf head column " +
+                s"'${head.name}: ${head.dataType.catalogString}' does not " +
+                s"match the tombstone sidecar id type " +
+                s"(${tsType.catalogString}) — the leaf was not written by " +
+                "writeIvfCorpus/appendIvfCorpus; drain via " +
+                "removeFromIvfCorpus with an explicit idCol instead")
+            p.join(t, col(head.name) === col("__ts_id"), "left_anti")
+          })
         val tp = new org.apache.hadoop.fs.Path(ivfTombstonesDir(path))
         tp.getFileSystem(spark.sessionState.newHadoopConf())
           .delete(tp, true): Unit
@@ -712,7 +742,8 @@ object Similarity {
     // a sidecar; the old path keeps masking until its own compaction)
     val live = ivfTombstones(spark, path) match {
       case None => physical
-      case Some(ts) => physical.join(ts.select(col("id").as("__ts_id")),
+      case Some(ts) => physical.join(
+        broadcast(ts.select(col("id").as("__ts_id"))),
         col(idCol) === col("__ts_id"), "left_anti")
     }
     val cents = ivfCentroids(live, idCol, vecCol, k, iters)
@@ -787,11 +818,15 @@ object Similarity {
           s"ivfTopKFromPartitioned: no cell leaves at $path")
         spark.read.parquet(leaves.head._2).where(lit(false))
       }
-    // pending lazy-takedown tombstones never surface in a LIVE probe
+    // pending lazy-takedown tombstones never surface in a LIVE probe.
+    // EXPLICIT broadcast (round-18 advisory): a takedown list crossing the
+    // auto-broadcast threshold must fail loudly, never silently flip the
+    // probe to a sort-merge join that shuffles the probed cells
     val visible = if (!masked) corpus
       else ivfTombstones(spark, path) match {
         case None => corpus
-        case Some(ts) => corpus.join(ts.select(col("id").as("__ts_id")),
+        case Some(ts) => corpus.join(
+          broadcast(ts.select(col("id").as("__ts_id"))),
           col(idCol) === col("__ts_id"), "left_anti")
       }
     visible

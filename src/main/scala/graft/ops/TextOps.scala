@@ -736,8 +736,10 @@ object TextOps {
     val docs = graft.store.ManifestTable.read(spark, path + "/docs")
     val pending = (bm25Tombstones(spark, path).toSeq ++ alsoTombstoned)
       .map(_.select(col("id"))).reduceOption(_ unionByName _)
+    // explicit broadcast (round-18 advisory): an over-threshold takedown
+    // list must fail loudly, never silently shuffle the membership table
     pending.fold(docs)(ts =>
-        docs.join(ts.select(col("id").as("__ts_id")).distinct(),
+        docs.join(broadcast(ts.select(col("id").as("__ts_id")).distinct()),
           col("id") === col("__ts_id"), "left_anti"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
   }
@@ -1132,10 +1134,14 @@ object TextOps {
     // pending lazy-takedown tombstones never post in a LIVE query; the
     // per-term df windows below then count survivors only, so idf equals a
     // from-scratch index of the survivors
+    // explicit broadcast (round-18 advisory): a takedown list crossing the
+    // auto-broadcast threshold must fail loudly, never silently flip the
+    // probe to a sort-merge join that shuffles the probed postings
     val visible = if (!masked) base
       else bm25Tombstones(spark, path) match {
         case None => base
-        case Some(ts) => base.join(ts.select(col("id").as("__ts_id")),
+        case Some(ts) => base.join(
+          broadcast(ts.select(col("id").as("__ts_id"))),
           col("id") === col("__ts_id"), "left_anti")
       }
     val stats = statsOpt.getOrElse(

@@ -113,13 +113,19 @@ final case class GQuery(
   def multiMap(returnEmptyRows: Boolean = false,
       maxKeys: Long = 1000000L): Map[Any, Option[Row]] = {
     require(maxKeys > 0, "maxKeys must be positive")
-    // keyed fan-ins are bounded by their key list for free; open queries pay
-    // one distributed count before collecting (cheap next to the collect,
-    // and the only way to refuse BEFORE the driver heap takes the hit)
-    val n = keys.map(_.length.toLong).getOrElse(toDF.count())
+    // keyed fan-ins are bounded by their DISTINCT key list for free (the
+    // result is a Map — duplicates collapse); open queries pay one BOUNDED
+    // probe before collecting: limit(maxKeys+1).count() stops scanning at
+    // the cap instead of counting the whole source, and on a source that
+    // grows between probe and collect the limit itself caps the check's
+    // cost (the only way to refuse BEFORE the driver heap takes the hit)
+    val cap = math.min(maxKeys, Int.MaxValue - 1L).toInt
+    val n = keys.map(_.distinct.length.toLong)
+      .getOrElse(toDF.limit(cap + 1).count())
     if (n > maxKeys)
       throw new IllegalArgumentException(
-        s"multiMap would collect $n rows to the driver (maxKeys=$maxKeys): " +
+        s"multiMap would collect over $maxKeys rows to the driver " +
+          s"(maxKeys=$maxKeys): " +
           "a result this size belongs in a distributed join — use " +
           "withKeys(...).toDF or join on the key column; raise maxKeys " +
           "only when the driver is provisioned for it")

@@ -24,6 +24,15 @@ import org.apache.hadoop.fs.Path
  * A crash mid-[[add]] leaves either no marker or the complete (empty)
  * marker — both exact. Legacy single-file `_TAGS` tables migrate to the
  * directory shape on their first [[add]].
+ *
+ * INCARNATION stamps (round 18): a marker may carry the table incarnation
+ * the batch committed under as a name suffix — `<tok>.<inc>` — written by
+ * [[ManifestTable.appendTagged]] ([[ManifestTable]] overwrites mint a new
+ * incarnation). A PLAIN `<tok>` marker (layout roots, pre-round-18 tables)
+ * carries no incarnation and reads as committed in ANY incarnation. The
+ * name is the whole record (content stays empty), so stamping keeps the
+ * per-marker crash-atomicity above: tokens are 32 lowercase hex chars, so
+ * the first `.` splits token from incarnation unambiguously.
  */
 private[store] object CommitTags {
   val TagsName = "_TAGS"
@@ -33,20 +42,35 @@ private[store] object CommitTags {
     md.digest(tag.getBytes("UTF-8")).map("%02x".format(_)).mkString
   }
 
-  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Set[String] = {
+  /** Committed tokens, incarnation-insensitive — the layout-root check
+    * ([[Compaction.appendPartitions]] stamps plain markers only). */
+  def read(fs: org.apache.hadoop.fs.FileSystem, dir: Path): Set[String] =
+    readStamped(fs, dir).keySet
+
+  /** Committed tokens with the incarnation set each committed under; ""
+    * marks a plain (incarnation-unknown) marker, honored in any
+    * incarnation. */
+  def readStamped(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Map[String, Set[String]] = {
     val f = new Path(dir, TagsName)
-    if (!fs.exists(f)) Set.empty
+    if (!fs.exists(f)) Map.empty
     else if (fs.getFileStatus(f).isDirectory)
-      fs.listStatus(f).filter(_.isFile).map(_.getPath.getName).toSet
+      fs.listStatus(f).filter(_.isFile).map(_.getPath.getName).toSeq
+        .map { n =>
+          val i = n.indexOf('.')
+          if (i < 0) (n, "") else (n.substring(0, i), n.substring(i + 1))
+        }
+        .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).toSet }
     else { // legacy single-file layout (pre round-12)
       val in = fs.open(f)
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty).toSet
+        .map(_.trim).filter(_.nonEmpty).map(_ -> Set("")).toMap
       finally in.close()
     }
   }
 
-  def add(fs: org.apache.hadoop.fs.FileSystem, dir: Path, tok: String): Unit = {
+  def add(fs: org.apache.hadoop.fs.FileSystem, dir: Path, tok: String,
+      inc: String = ""): Unit = {
     val f = new Path(dir, TagsName)
     if (fs.exists(f) && fs.getFileStatus(f).isFile) {
       // migrate a legacy single-file tag set to per-token markers through a
@@ -64,6 +88,6 @@ private[store] object CommitTags {
       if (!fs.rename(tmp, f))
         throw new java.io.IOException(s"CommitTags: cannot migrate $f")
     } else fs.mkdirs(f): Unit
-    fs.create(new Path(f, tok), true).close()
+    fs.create(new Path(f, if (inc.isEmpty) tok else s"$tok.$inc"), true).close()
   }
 }

@@ -785,14 +785,14 @@ object Compaction {
           s.getPath.getName.startsWith(
             org.apache.spark.sql.graft.GraftIndex.FileName))) {
         val files = entries.filter(s => s.isFile &&
-            !s.getPath.getName.startsWith(".")).map(_.getPath).toSeq
-        pooledMap(files) { p =>
-          if (!org.apache.hadoop.fs.FileUtil.copy(fs, p, destFs,
-              new Path(dst, p.getName), false,
-              ManifestTable.cachedConf(spark)))
-            throw new java.io.IOException(
-              s"cloneLayout: cannot copy $p into $dst")
-        }: Unit
+            !s.getPath.getName.startsWith(".")).toSeq
+        destFs.mkdirs(dst): Unit
+        // same engine selection (and the same JVM-wide bounded driver pool)
+        // as cloneSnapshot — see ManifestTable.copyFiles
+        ManifestTable.copyFiles(spark, fs, destFs,
+          files.map(s =>
+            (s.getPath, new Path(dst, s.getPath.getName), s.getLen)),
+          "cloneLayout")
         files.length
       } else {
         val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||

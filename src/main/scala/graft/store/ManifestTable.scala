@@ -70,6 +70,8 @@ object ManifestTable {
   private val StagePrefix = ".stage-"
   private val RetainsName = "_RETAINS"
   private val ParentName = "_PARENT"
+  private val IncName = "_INC"
+  private val CommittedName = "_COMMITTED"
   private val NoParent = "-"
   private val Sealed = "#commit"
   // retained-generation depth default (live + one undo step); the
@@ -289,6 +291,60 @@ object ManifestTable {
       keepDirect: Set[String]): Set[String] =
     keepDirect ++ keepDirect.flatMap(g =>
       retainedRelFs(fs, dir, g).map(_.takeWhile(_ != '/')))
+
+  // ------------------------------------------------- table incarnations
+  // An INCARNATION is the span of table history between overwrites: [[write]]
+  // (and [[migrateFlatDir]]) mint a fresh `_INC` id into the generation they
+  // commit; every in-place rewrite ([[compact]]/[[minorCompact]]/
+  // [[commitStagedGen]]) carries the live generation's id forward; appends
+  // land inside the live one. Tagged-append commit markers are STAMPED with
+  // the incarnation the batch landed in (CommitTags `<tok>.<inc>`), which
+  // closes the round-17 rollback straddle: a [[rollbackTo]] across a
+  // [[write]] boundary restores an old incarnation, and a blind tagged retry
+  // there finds its OWN incarnation's marker and no-ops instead of
+  // re-appending a batch whose rows that incarnation already holds.
+  // Generations without `_INC` (pre-round-18) read as incarnation "" and
+  // keep the legacy contract (plain markers, cleared at overwrite).
+
+  private def incarnationOf(fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      gen: String): String =
+    readMetaLines(fs, new Path(dir, gen), IncName)
+      .flatMap(_.headOption).getOrElse("")
+
+  private def mintInc(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+
+  /** An overwrite clears PLAIN (incarnation-unknown) tag markers — the
+    * legacy contract: a stale retry of a pre-overwrite batch re-appends
+    * into the fresh content rather than silently skipping. Stamped markers
+    * stay: they no-op only in their own incarnation (the straddle guard)
+    * and are pruned by [[pruneStaleTags]] once no on-disk generation
+    * carries their incarnation. */
+  private def clearPlainTags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = {
+    val f = new Path(dir, TagsName)
+    if (!fs.exists(f)) return
+    if (fs.getFileStatus(f).isFile) { fs.delete(f, false): Unit; return }
+    fs.listStatus(f).filter(_.isFile).map(_.getPath)
+      .filterNot(_.getName.contains('.')).foreach(fs.delete(_, false))
+  }
+
+  /** Drop stamped tag markers whose incarnation no generation on disk
+    * carries any more: [[rollbackTo]] requires an extant generation dir, so
+    * such a marker can never match a future live incarnation — pure ledger
+    * GC, run after retire/vacuum. Plain markers are never pruned here. */
+  private def pruneStaleTags(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Unit = {
+    val f = new Path(dir, TagsName)
+    if (!fs.exists(f) || fs.getFileStatus(f).isFile) return
+    val liveIncs = genDirs(fs, dir)
+      .map(g => incarnationOf(fs, dir, g)).filter(_.nonEmpty).toSet
+    fs.listStatus(f).filter(_.isFile).map(_.getPath).foreach { p =>
+      val i = p.getName.indexOf('.')
+      if (i >= 0 && !liveIncs.contains(p.getName.substring(i + 1)))
+        fs.delete(p, false): Unit
+    }
+  }
 
   // ------------------------------------------------- append schema guard
 
@@ -575,6 +631,13 @@ object ManifestTable {
     GraftIndex.writeCommitFile(fs, new Path(dir, s"$ManifestName.v${newestSeq + 1}"),
       (gen + "\n" + Sealed + "\n" + java.util.UUID.randomUUID() + "\n")
         .getBytes("UTF-8"))
+    // durable committed-generation record (round 18): written only AFTER the
+    // pointer publish succeeds, so a marked generation WAS live at some
+    // point — [[fsck]] uses it to tell a rollback's redo window (once-live,
+    // newer than live) from never-committed crash debris and retain it.
+    // Idempotent re-commits (rollbackTo, fsck's heal) find it extant.
+    val committedMark = new Path(new Path(dir, gen), CommittedName)
+    if (!fs.exists(committedMark)) fs.create(committedMark, true).close()
     // prune pointer history: keep this commit plus one back (the pointer is
     // not the undo mechanism — generations and _PARENT are)
     versions.dropRight(1).foreach(v => fs.delete(v._2, false))
@@ -623,10 +686,13 @@ object ManifestTable {
   /** Overwrite the table: write a fresh generation, swap, retire older
     * generations (keeping the previous live one for in-flight readers).
     * Migrating a legacy flat layout drops its flat data files — write has
-    * always meant overwrite. Starts a new table incarnation: committed
-    * append tags ([[appendTagged]]) are cleared by the flat-file sweep
-    * below, so a stale retry of a pre-overwrite batch re-appends rather
-    * than silently skipping. */
+    * always meant overwrite. Starts a new table INCARNATION (a fresh `_INC`
+    * id in the new generation): a stale tagged retry of a pre-overwrite
+    * batch re-appends rather than silently skipping — its marker is stamped
+    * with the OLD incarnation (plain pre-round-18 markers are cleared here
+    * instead) — while a retry after a later [[rollbackTo]] BACK into that
+    * old incarnation finds the stamped marker and correctly no-ops (the
+    * round-17 straddle window, closed). */
   def write(df: DataFrame, table: String): Unit = {
     val spark = df.sparkSession
     val (fs, dir) = fsOf(spark, table)
@@ -635,20 +701,23 @@ object ManifestTable {
     df.write.mode("overwrite").parquet(s"$table/${next.gen}")
     writeMetaLines(fs, new Path(dir, next.gen), ParentName,
       Seq(prevLive.getOrElse(NoParent)))
+    writeMetaLines(fs, new Path(dir, next.gen), IncName, Seq(mintInc()))
     stampStaged(fs, dir, next)
     // legacy flat data files (pre-manifest layout) are superseded by this
     // overwrite; MANIFEST does not exist yet in that case, so no reader
-    // resolves to them after the commit below. The TAGS marker is swept
-    // explicitly: an overwrite starts a new incarnation (see scaladoc).
+    // resolves to them after the commit below.
     fs.listStatus(dir).filter(_.isFile).map(_.getPath)
-      .filter(p => p.getName == TagsName ||
-        (!p.getName.startsWith(ManifestName) && !p.getName.startsWith(".") &&
-          !p.getName.startsWith("_")))
+      .filter(p => !p.getName.startsWith(ManifestName) &&
+        !p.getName.startsWith(".") && !p.getName.startsWith("_"))
       .foreach(fs.delete(_, false))
-    // the _TAGS marker directory (per-token files — see CommitTags)
-    fs.delete(new Path(dir, TagsName), true): Unit
+    // incarnation-unknown tag markers clear at an overwrite (see scaladoc);
+    // stamped ones survive as the rollback-straddle proof
+    clearPlainTags(fs, dir)
     commitOrCleanup(fs, dir, next, prevLive)
     retire(fs, dir, next.gen, prevLive, keepVersionsOf(spark))
+    // stamped markers whose incarnation no retained generation carries are
+    // unreachable by any rollback — GC the ledger
+    pruneStaleTags(fs, dir)
   }
 
   /** Append into the live generation — the ingest-loop fast path: one more
@@ -674,11 +743,18 @@ object ManifestTable {
 
   // ------------------------------------------------------- tagged appends
 
-  /** Has a [[appendTagged]] with this tag fully committed? (Overwriting the
-    * table via [[write]] starts a new incarnation and clears all tags.) */
+  /** Has a [[appendTagged]] with this tag fully committed IN THE LIVE
+    * incarnation? (An overwrite via [[write]] starts a new incarnation —
+    * old batches read as uncommitted there and a retry re-appends; a
+    * [[rollbackTo]] back into the batch's own incarnation reads it as
+    * committed again, so a straddling retry loop no-ops instead of
+    * duplicating.) */
   def hasTag(spark: SparkSession, table: String, tag: String): Boolean = {
     val (fs, dir) = fsOf(spark, table)
-    CommitTags.read(fs, dir).contains(CommitTags.token(tag))
+    val inc = liveGen(spark, table)
+      .map(g => incarnationOf(fs, dir, g)).getOrElse("")
+    CommitTags.readStamped(fs, dir).get(CommitTags.token(tag))
+      .exists(incs => incs.contains("") || incs.contains(inc))
   }
 
   /**
@@ -707,10 +783,20 @@ object ManifestTable {
     val spark = df.sparkSession
     val (fs, dir) = fsOf(spark, table)
     val tok = CommitTags.token(tag)
-    if (CommitTags.read(fs, dir).contains(tok)) return false
+    // committed check is INCARNATION-aware (round 18): a plain marker
+    // (layout/legacy) commits in any incarnation; a stamped one only in its
+    // own. The stamp is what makes a retry loop straddling a rollback exact:
+    // rolled back INTO the batch's incarnation → marker matches → no-op
+    // (the rows are in that generation, possibly folded by a compaction);
+    // rolled forward past a write() → fresh incarnation → re-append (the
+    // overwrite replaced the content).
+    def committedIn(inc: String): Boolean =
+      CommitTags.readStamped(fs, dir).get(tok)
+        .exists(incs => incs.contains("") || incs.contains(inc))
     liveGen(spark, table) match {
-      case Some(_) => ()
+      case Some(g) => if (committedIn(incarnationOf(fs, dir, g))) return false
       case None =>
+        if (committedIn("")) return false
         if (fs.exists(dir) && fs.listStatus(dir).exists(s =>
             s.isFile && s.getPath.getName.endsWith(".parquet")))
           compact(spark, table) // migrate a legacy flat layout first
@@ -745,7 +831,8 @@ object ManifestTable {
     pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
     outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     fs.delete(stage, true)
-    CommitTags.add(fs, dir, tok)
+    // stamped with the incarnation the batch landed in — see committedIn
+    CommitTags.add(fs, dir, tok, incarnationOf(fs, dir, gen))
     true
   }
 
@@ -775,6 +862,7 @@ object ManifestTable {
     }
     // non-data markers from the flat write (_SUCCESS) stay behind harmlessly
     writeMetaLines(fs, genPath, ParentName, Seq(NoParent))
+    writeMetaLines(fs, genPath, IncName, Seq(mintInc())) // first incarnation
     stampStaged(fs, dir, claim)
     commit(fs, dir, claim.gen, parent = None, claim = Some(claim))
   }
@@ -814,9 +902,15 @@ object ManifestTable {
       .coalesce(targetFiles)
       .write.mode("overwrite").parquet(s"$table/${next.gen}")
     writeMetaLines(fs, new Path(dir, next.gen), ParentName, Seq(live))
+    // an in-place rewrite stays in the live incarnation (tagged batches it
+    // folds stay committed-here); only write() starts a new one
+    val inc = incarnationOf(fs, dir, live)
+    if (inc.nonEmpty)
+      writeMetaLines(fs, new Path(dir, next.gen), IncName, Seq(inc))
     stampStaged(fs, dir, next)
     commitOrCleanup(fs, dir, next, Some(live))
     retire(fs, dir, next.gen, Some(live), keepVersionsOf(spark))
+    pruneStaleTags(fs, dir)
   }
 
   /** CLAIM the next generation (current max + 1, create-exclusive — see
@@ -841,6 +935,8 @@ object ManifestTable {
     val genPath = new Path(dir, claim.gen)
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
+    val inc = incarnationOf(fs, dir, parent) // in-place rewrite: same incarnation
+    if (inc.nonEmpty) writeMetaLines(fs, genPath, IncName, Seq(inc))
     stampStaged(fs, dir, claim)
     commitOrCleanup(fs, dir, claim, Some(parent))
     retire(fs, dir, claim.gen, Some(parent), keepVersionsOf(spark))
@@ -895,6 +991,8 @@ object ManifestTable {
     val nextPath = new Path(dir, next.gen)
     if (big.nonEmpty) writeMetaLines(fs, nextPath, RetainsName, big.map(_._1))
     writeMetaLines(fs, nextPath, ParentName, Seq(live))
+    val inc = incarnationOf(fs, dir, live) // in-place rewrite: same incarnation
+    if (inc.nonEmpty) writeMetaLines(fs, nextPath, IncName, Seq(inc))
     stampStaged(fs, dir, next)
     commitOrCleanup(fs, dir, next, Some(live))
     retire(fs, dir, next.gen, Some(live), keepVersionsOf(spark))
@@ -913,10 +1011,11 @@ object ManifestTable {
    * Semantics and residue:
    *  - The rolled-back-FROM generation stays on disk (the next rewrite
    *    retires it), so a mistaken rollback can itself be undone until
-   *    then via [[rollbackTo]] with its name — BUT a [[fsck]] in between
-   *    cannot distinguish it from never-committed crash debris (it is
-   *    newer than live) and will sweep it: run fsck after a rollback only
-   *    once the redo window is no longer needed.
+   *    then via [[rollbackTo]] with its name — the REDO window. [[fsck]]
+   *    and [[vacuum]] RETAIN it (round 18): every pointer commit stamps a
+   *    durable `_COMMITTED` record into its generation, so a once-live
+   *    generation newer than live reads as a redo window, not crash
+   *    debris. Only the next rewrite's retire ends it.
    *  - [[genBack]] from the restored generation follows ITS original
    *    `_PARENT` chain (older history), not the generation just rolled
    *    back from — parent links record write-time lineage, never
@@ -924,13 +1023,18 @@ object ManifestTable {
    *  - Appends after the rollback land in the restored live generation,
    *    as always. Single-maintainer like every write verb; fenced — a
    *    concurrent rewrite's commit wins and the rollback throws loudly.
-   *  - Commit tags ([[appendTagged]]) are TABLE-level and survive the
-   *    rollback — correct within one incarnation (a tagged batch's files
-   *    live in the generation they landed in). Rolling back ACROSS a
-   *    [[write]] boundary, however, crosses into an incarnation whose
-   *    tags that write already cleared: a pre-write batch's tag reads as
-   *    uncommitted and a blind retry would re-append it — don't straddle
-   *    a rollback with tagged-retry loops.
+   *  - Commit tags ([[appendTagged]]) are TABLE-level, survive the
+   *    rollback, and are INCARNATION-stamped (round 18): a batch's marker
+   *    speaks exactly for the incarnation its rows landed in. A tagged
+   *    retry loop straddling a rollback ACROSS a [[write]] boundary —
+   *    round 17's one silent-duplication window — now converges: rolled
+   *    back into the batch's own incarnation the retry no-ops (the rows
+   *    are there, possibly compaction-folded); in any other incarnation
+   *    it re-appends, which is the overwrite contract. One caveat
+   *    remains, unchanged: a rollback WITHIN an incarnation to a point
+   *    before a tagged batch landed leaves the tag committed while the
+   *    rows are in the (retained) rolled-back-from generation — redo
+   *    restores them; that is what the rollback asked for.
    */
   def rollback(spark: SparkSession, table: String, back: Int = 1): String = {
     val target = genBack(spark, table, back).getOrElse(
@@ -960,9 +1064,11 @@ object ManifestTable {
    * analogue: HBase's snapshot + ExportSnapshot pipeline around
    * `HbaseTable.scala`'s tables). `gen` selects WHICH snapshot: None =
    * the live one; Some(g) = a retained generation ([[readAsOf]]'s
-   * domain — the as-of backup). The copy is FILE-LEVEL (pooled byte
-   * copies through the Hadoop fs API, cross-scheme capable, no Spark
-   * job, no decode/re-encode): the snapshot's data files — its
+   * domain — the as-of backup). The copy is FILE-LEVEL (byte copies
+   * through the Hadoop fs API, cross-scheme capable, no decode/re-encode;
+   * engine picked by size — a shared driver pool for small snapshots, an
+   * executor-parallel Spark job past `graft.clone.distributedMinBytes`,
+   * see [[copyFiles]]): the snapshot's data files — its
    * generation dir plus any `_RETAINS` references, flattened — land in
    * dest's first generation and a fresh MANIFEST commits, so dest is a
    * SELF-CONTAINED single-generation table with no history, safe to
@@ -984,53 +1090,113 @@ object ManifestTable {
       throw new IllegalArgumentException(
         s"cloneSnapshot: dest $dest is not empty — backups never merge; " +
           "export to a fresh directory")
-    // the snapshot's data files, as (source path, dest file name): retained
-    // files from OLDER generations flatten in with a gen-prefixed name so
-    // two generations' part files can never collide in the single dest gen
-    val files: Seq[(Path, String)] = gen.orElse(liveGen(spark, table)) match {
+    // the snapshot's data files, as (source path, dest file name, bytes):
+    // retained files from OLDER generations flatten in with a gen-prefixed
+    // name so two generations' part files can never collide in the single
+    // dest gen; sizes feed the copy-engine selection (copyFiles)
+    val files: Seq[(Path, String, Long)] = gen.orElse(liveGen(spark, table)) match {
       case Some(g) =>
         require(fs.exists(new Path(dir, g)),
           s"cloneSnapshot: generation $g does not exist at $table " +
             "(generations() lists what keep-N retained)")
         val inGen = fs.listStatus(new Path(dir, g))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => (s.getPath, s.getPath.getName)).toSeq
+          .map(s => (s.getPath, s.getPath.getName, s.getLen)).toSeq
         val retained = retainedRelFs(fs, dir, g).map { r =>
-          (new Path(dir, r), r.replace('/', '-'))
+          val p = new Path(dir, r)
+          (p, r.replace('/', '-'), fs.getFileStatus(p).getLen)
         }
         inGen ++ retained
       case None => // legacy flat layout (or absent → empty export refused)
         val flat = if (!fs.exists(dir)) Nil
           else fs.listStatus(dir)
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .map(s => (s.getPath, s.getPath.getName)).toSeq
+            .map(s => (s.getPath, s.getPath.getName, s.getLen)).toSeq
         require(flat.nonEmpty, s"cloneSnapshot: nothing to export at $table")
         flat
     }
     val claim = claimNextGen(destFs, destPath)
     val genPath = new Path(destPath, claim.gen)
     destFs.mkdirs(genPath): Unit
-    // pooled byte copies: cross-scheme capable, bounded parallelism — the
-    // same driver-side-fanout discipline as appendTagged's renames
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, files.length)))
-    val futures = files.map { case (src, name) =>
-      pool.submit(new java.util.concurrent.Callable[Unit] {
-        def call(): Unit =
-          if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, destFs,
-              new Path(genPath, name), false, cachedConf(spark)))
-            throw new java.io.IOException(
-              s"cloneSnapshot: cannot copy $src into $genPath")
-      })
-    }
-    val outcomes = futures.map(f => scala.util.Try(f.get()))
-    pool.shutdown()
-    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
-    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    // byte copies, cross-scheme capable: the shared driver pool for small
+    // snapshots, an executor-parallel Spark job past the distributed-copy
+    // threshold (graft.clone.mode / graft.clone.distributedMinBytes)
+    copyFiles(spark, fs, destFs,
+      files.map { case (src, name, len) => (src, new Path(genPath, name), len) },
+      "cloneSnapshot")
     writeMetaLines(destFs, genPath, ParentName, Seq(NoParent))
     stampStaged(destFs, destPath, claim)
     commit(destFs, destPath, claim.gen, parent = None, claim = Some(claim))
     files.length
+  }
+
+  // ---------------------------------------------------- clone copy engine
+
+  /** ONE shared bounded pool for every driver-side clone byte copy in the
+    * JVM (round-18 advisory): [[Compaction.cloneLayout]] fans out per leaf
+    * and each leaf's [[cloneSnapshot]] used to open its own 16-thread pool —
+    * pool-per-leaf × 16 threads, hundreds of concurrent copies with no
+    * shared bound on filesystem round-trips. Copies from every leaf now
+    * funnel through this fixed pool, so layout-wide copy parallelism is
+    * capped at the pool size. Daemon threads: the pool lives for the JVM. */
+  private object CopyPool {
+    private lazy val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      16,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-clone-copy"); t.setDaemon(true); t
+      })
+    def run[A](items: Seq[A])(f: A => Unit): Unit = {
+      val futures = items.map(a =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = f(a)
+        }))
+      val outcomes = futures.map(fu => scala.util.Try(fu.get()))
+      outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
+    }
+  }
+
+  /** Copy `files` ((source, dest, bytes)) for a clone/export verb, picking
+    * the engine by the `graft.clone.mode` session conf:
+    *
+    *  - `driver` — pooled byte copies on the driver ([[CopyPool]], bounded
+    *    JVM-wide). Right for small snapshots: no job-submission latency.
+    *  - `spark`  — an executor-parallel Spark job
+    *    ([[org.apache.spark.sql.graft.DistCopy]]): copy bandwidth scales
+    *    with the cluster instead of one host's NIC — the 100 TB backup
+    *    path (HBase ExportSnapshot-as-MR-job economics).
+    *  - `auto` (default) — `spark` when the batch exceeds
+    *    `graft.clone.distributedMinBytes` (default 4 GiB), else `driver`.
+    *
+    * Either engine is all-or-throw per batch and leaves dest without a
+    * committed manifest on failure (the caller's crash contract). */
+  private[store] def copyFiles(spark: SparkSession,
+      srcFs: org.apache.hadoop.fs.FileSystem,
+      dstFs: org.apache.hadoop.fs.FileSystem,
+      files: Seq[(Path, Path, Long)], what: String): Unit = {
+    if (files.isEmpty) return
+    val mode = spark.conf.getOption("graft.clone.mode").getOrElse("auto")
+    require(Set("auto", "driver", "spark").contains(mode),
+      s"graft.clone.mode must be auto|driver|spark, got: $mode")
+    val minBytes = spark.conf.getOption("graft.clone.distributedMinBytes")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .getOrElse(4L << 30)
+    val distributed = mode == "spark" ||
+      (mode == "auto" && files.map(_._3).sum > minBytes)
+    if (distributed)
+      org.apache.spark.sql.graft.DistCopy.copy(spark,
+        files.map(f => (f._1.toString, f._2.toString)), cachedConf(spark))
+    else CopyPool.run(files) { case (src, dst, len) =>
+      if (!org.apache.hadoop.fs.FileUtil.copy(srcFs, src, dstFs, dst, false,
+          cachedConf(spark)))
+        throw new java.io.IOException(s"$what: cannot copy $src into $dst")
+      // backup integrity: a silently truncated copy must fail HERE, before
+      // the manifest commit publishes the backup as complete (one metadata
+      // round-trip per file — noise next to the bytes)
+      val got = dstFs.getFileStatus(dst).getLen
+      if (got != len)
+        throw new java.io.IOException(
+          s"$what: size mismatch after copy $src -> $dst ($got != $len)")
+    }
   }
 
   /** One table's structural-fsck outcome — see [[fsck]]. `missingRetained`
@@ -1040,7 +1206,7 @@ object ManifestTable {
     * damage). */
   final case class FsckStat(table: String, healedManifest: Boolean,
       sweptOrphans: Int, sweptStages: Int, sweptTmpFiles: Int,
-      missingRetained: Int, legacyFlat: Boolean) {
+      missingRetained: Int, legacyFlat: Boolean, keptRedo: Int = 0) {
     def ok: Boolean = missingRetained == 0
   }
 
@@ -1055,7 +1221,10 @@ object ManifestTable {
    *    crash-heal fallback DURABLE); a manifest with no generations at
    *    all is deleted (the table is flat or empty).
    *  - Orphaned generations NEWER than live (written, never committed —
-   *    a crash before the swap) → swept.
+   *    a crash before the swap) → swept. Once-COMMITTED generations newer
+   *    than live (a [[rollback]]'s redo window, `_COMMITTED`-stamped at
+   *    pointer publish) → RETAINED and counted (`keptRedo`): redo via
+   *    [[rollbackTo]] survives an fsck in between.
    *  - Dead stage dirs and MANIFEST/TAGS tmp files → swept.
    *  - Live or undo-window `_RETAINS` referencing a missing file →
    *    REPORTED (`missingRetained`), never healed silently: those bytes
@@ -1109,9 +1278,16 @@ object ManifestTable {
     val live = liveGen(spark, table)
     // orphans: never-committed generations — newer than live, or still
     // claim-marked (a fenced loser's stranded staging, possibly BELOW the
-    // live number when the winner claimed later but committed first)
-    val orphans = (live.map(l => gens.filter(_ > l)).getOrElse(Nil) ++
+    // live number when the winner claimed later but committed first).
+    // EXCEPT once-committed ones (`_COMMITTED`, stamped at every pointer
+    // publish): a generation newer than live that WAS live is a rollback's
+    // redo window, retained so rollbackTo can still reach it (round 18) —
+    // the next rewrite's retire ends it, not fsck.
+    def onceCommitted(g: String): Boolean =
+      fs.exists(new Path(new Path(dir, g), CommittedName))
+    val suspects = (live.map(l => gens.filter(_ > l)).getOrElse(Nil) ++
       gens.filter(g => claimedNums(genNum(g)) && !live.contains(g))).distinct
+    val (redo, orphans) = suspects.partition(onceCommitted)
     orphans.foreach(g => fs.delete(new Path(dir, g), true))
     val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
       .filter(p => p.getName.startsWith(StagePrefix) ||
@@ -1131,7 +1307,7 @@ object ManifestTable {
       .count(r => !fs.exists(new Path(dir, r)))
     FsckStat(table, healed, orphans.length, stages.length,
       tmps.length + tornVersions.length + claims.length,
-      missing, legacyFlat = live.isEmpty)
+      missing, legacyFlat = live.isEmpty, keptRedo = redo.length)
   }
 
   /**
@@ -1162,10 +1338,15 @@ object ManifestTable {
         val keep = protectedGens(fs, dir, Set(live) ++ chain)
         // same claim-shield as retire: any claimed generation may be a
         // maintainer mid-staging (the claimed number can sit below live) —
-        // fsck, which asserts no writer in flight, sweeps that debris
+        // fsck, which asserts no writer in flight, sweeps that debris.
+        // Once-committed generations NEWER than live are a rollback's redo
+        // window (same retention rule as fsck's): vacuum reclaims funded-out
+        // history, never the redo path — the next rewrite's retire ends it.
         val claimed = claimFiles(fs, dir).map(_._1).toSet
         val genVictims = gens.filterNot(keep)
           .filterNot(g => claimed(genNum(g)))
+          .filterNot(g => g > live &&
+            fs.exists(new Path(new Path(dir, g), CommittedName)))
         genVictims.foreach(g => fs.delete(new Path(dir, g), true))
         val stages = fs.listStatus(dir).filter(_.isDirectory).map(_.getPath)
           .filter(p => p.getName.startsWith(StagePrefix) ||
@@ -1182,6 +1363,7 @@ object ManifestTable {
         // writers staging into one gen dir). Claim cleanup belongs to the
         // owner (at commit / loser cleanup) and to fsck, whose
         // no-writer-in-flight contract makes the sweep safe.
+        pruneStaleTags(fs, dir) // ledger GC: markers no retained gen carries
         genVictims.length + stages.length
     }
   }

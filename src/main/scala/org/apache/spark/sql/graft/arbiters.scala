@@ -65,12 +65,16 @@ object ConditionalPut {
    * another process's lock.
    */
   object JvmLocalStore extends ConditionalStore {
-    private val locks =
-      new java.util.concurrent.ConcurrentHashMap[String, Object]()
+    // a FIXED stripe array, not a per-URI map: per-path lock identity is not
+    // required (only mutual exclusion), and one Object per committed target
+    // URI would leak for the JVM's life on long-lived drivers (commit files
+    // are one-per-generation per table). Two URIs sharing a stripe merely
+    // serialize — never miss — each other's check-and-create.
+    private val stripes = Array.fill(64)(new Object)
     def putIfAbsent(fs: FileSystem, target: Path,
         payload: Array[Byte]): Boolean = {
-      val lock = locks.computeIfAbsent(
-        s"${fs.getUri}${target.toUri.getPath}", _ => new Object)
+      val uri = s"${fs.getUri}${target.toUri.getPath}"
+      val lock = stripes((uri.hashCode & 0x7fffffff) % stripes.length)
       lock.synchronized {
         if (fs.exists(target)) false
         else {

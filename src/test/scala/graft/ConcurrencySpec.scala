@@ -801,4 +801,85 @@ class ConcurrencySpec extends SparkSpec {
     assert(readBack().count() == 360,
       "minor compaction across the thread split must keep every row")
   }
+
+  test("batched >8-leaf rewrites drive every pooled claim/stamp/commit " +
+      "through a REGISTERED conditional-PUT dialect end-to-end: " +
+      "compactIvfCorpus drains a lazy takedown over 12 arbitered cells and " +
+      "removeFromBm25Index rewrites 12 arbitered buckets, both " +
+      "survivor-exact (round 18: the claim-token refactor proven on the " +
+      "store shape it was written for)") {
+    import org.apache.spark.sql.graft.{ConditionalPut, GraftIndex}
+    import graft.ops.{Similarity, TextOps}
+    NonAtomicCreateFileSystem.reset()
+    // a counting wrapper over the JVM-local reference store proves the
+    // pooled commits actually flow through the dialect (a silently-default
+    // create-exclusive path would pass the data asserts but count zero)
+    val puts = new AtomicInteger(0)
+    GraftIndex.registerArbiter("natomic", new ConditionalPut.Arbiter(
+      new ConditionalPut.ConditionalStore {
+        def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+            target: org.apache.hadoop.fs.Path,
+            payload: Array[Byte]): Boolean = {
+          puts.incrementAndGet()
+          ConditionalPut.JvmLocalStore.putIfAbsent(fs, target, payload)
+        }
+      }))
+    try {
+      // --- IVF: 12 ring centroids pin one vector family per cell, so the
+      // layout has 12 leaves — past the pooledMap serial threshold (8), the
+      // compaction drain takes rewriteLeavesBatched: plan-pool claims,
+      // commit-pool commitStagedGen, every commit file store-arbitrated
+      val ivf = "natomic:" + tmp("graft_arb_ivf") + "/ivf"
+      val cents = (0 until 12).map(j =>
+        Array(math.cos(j * math.Pi / 6), math.sin(j * math.Pi / 6))).toArray
+      val vecs = (0 until 48).map { i =>
+        val a = (i % 12) * math.Pi / 6
+        (i.toLong, Seq(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("id", "vec")
+      Similarity.writeIvfCorpus(vecs, "id", "vec", ivf, cents)
+      Similarity.tombstoneIvfCorpus(spark, ivf,
+        Seq(3L, 17L, 31L).toDF("id")): Unit
+      val putsBefore = puts.get()
+      val n = Similarity.compactIvfCorpus(spark, ivf, targetFiles = 1)
+      assert(n == 12, s"all 12 cell leaves must rewrite in one batch, got $n")
+      assert(puts.get() - putsBefore >= 24,
+        "each leaf's claim and pointer commits must be store-arbitrated " +
+          s"(>=2 conditional PUTs x 12 leaves), saw ${puts.get() - putsBefore}")
+      val got = Similarity.ivfTopKFromPartitioned(spark, ivf, "id", "vec",
+          Seq(1f, 0f), 48, cents, nProbe = 12)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == ((0L until 48L).toSet -- Set(3L, 17L, 31L)),
+        s"survivor-exact probe after the arbitered physical drain: $got")
+
+      // --- BM25: 12 postings buckets (unique per-doc terms spread the md5
+      // routing), then the takedown verb's batched bucket rewrite + docs +
+      // stats swaps — all through the same registered dialect
+      val bm = "natomic:" + tmp("graft_arb_bm25") + "/bm"
+      val docs = (0 until 60).map(i =>
+        (i.toLong, s"common t${i} u${i} v${i % 7}")).toDF("id", "text")
+      TextOps.writeBm25Index(docs, "id", "text", bm, nBuckets = 12)
+      val bucketLeaves = graft.store.Compaction
+        .resolveLeaves(spark, bm + "/postings").length
+      assert(bucketLeaves > 8,
+        s"the batched path needs >8 bucket leaves, got $bucketLeaves")
+      val putsBm = puts.get()
+      TextOps.removeFromBm25Index(spark, bm,
+        Seq(7L, 20L, 41L).toDF("id"), targetFiles = 1)
+      assert(puts.get() - putsBm >= 2 * bucketLeaves,
+        "each bucket's claim and pointer commits must be store-arbitrated, " +
+          s"saw ${puts.get() - putsBm} for $bucketLeaves leaves")
+      // the probe equals a from-scratch build of the survivors (score
+      // arithmetic already rounds to the 1e-6 grid)
+      val fresh = tmp("graft_arb_bm25_fresh") + "/bm"
+      TextOps.writeBm25Index(docs.where(!col("id").isin(7L, 20L, 41L)),
+        "id", "text", fresh, nBuckets = 12)
+      val q = Seq("common", "v3", "t9")
+      def rows(p: String) = TextOps.bm25TopKFromIndex(spark, p, q, 60,
+        nBuckets = 12).collect().map(_.toSeq).toSet
+      assert(rows(bm) == rows(fresh),
+        "arbitered takedown must equal the from-scratch survivor index")
+      assert(!rows(bm).exists(r => Set(7L, 20L, 41L)(
+        r.head.asInstanceOf[Long])), "removed docs must not surface")
+    } finally GraftIndex.unregisterArbiter("natomic")
+  }
 }

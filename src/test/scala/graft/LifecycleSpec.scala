@@ -2233,4 +2233,127 @@ class LifecycleSpec extends SparkSpec {
         s"post-major stat: $r — references must fold back")
     }
   }
+
+  // ------------------- round 18: incarnation-stamped tags + redo windows
+
+  test("appendTagged × rollback straddle (round 18): a tagged retry across " +
+      "a write boundary no-ops after rolling back into the batch's own " +
+      "incarnation — even when a compaction folded the batch — and " +
+      "re-appends exactly once in a foreign incarnation") {
+    val t = tmp("graft_straddle") + "/t"
+    ManifestTable.write(Seq((1L, "base")).toDF("id", "v"), t)
+    assert(ManifestTable.appendTagged(Seq((2L, "b1")).toDF("id", "v"), t, "b1"))
+    // fold the tagged files into anonymous rows: after this the retry sweep
+    // can no longer identify the batch by file prefix — only the
+    // incarnation stamp protects it
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val incXContent = multiset(ManifestTable.read(spark, t))
+    val genX = ManifestTable.liveGen(spark, t).get
+    // the bad overwrite: a NEW incarnation, with its own tagged batch
+    ManifestTable.write(Seq((9L, "other")).toDF("id", "v"), t)
+    assert(ManifestTable.appendTagged(Seq((8L, "b2")).toDF("id", "v"), t, "b2"))
+    // roll back ACROSS the write boundary, into b1's incarnation
+    ManifestTable.rollbackTo(spark, t, genX): Unit
+    // THE round-17 window: the blind retry of b1 must no-op (its rows are
+    // in genX, compaction-folded), never re-append
+    assert(!ManifestTable.appendTagged(Seq((2L, "b1")).toDF("id", "v"), t, "b1"),
+      "retry of a batch committed in THIS incarnation must no-op")
+    assert(multiset(ManifestTable.read(spark, t)) == incXContent,
+      "the straddled retry must not duplicate the folded batch")
+    assert(ManifestTable.hasTag(spark, t, "b1"))
+    // b2 committed in the OTHER incarnation: here it reads uncommitted and
+    // re-appends — exactly once; the second retry no-ops
+    assert(!ManifestTable.hasTag(spark, t, "b2"))
+    assert(ManifestTable.appendTagged(Seq((8L, "b2")).toDF("id", "v"), t, "b2"))
+    assert(!ManifestTable.appendTagged(Seq((8L, "b2")).toDF("id", "v"), t, "b2"))
+    assert(multiset(ManifestTable.read(spark, t)) ==
+      incXContent + ((Seq(8L, "b2"): Seq[Any]) -> 1))
+    // ledger GC: the next rewrite retires the rolled-back-from generation,
+    // and with it every marker stamped with its (now unreachable)
+    // incarnation — b2's foreign-incarnation marker prunes, its local one
+    // and b1's stay committed
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    val markers = Option(new java.io.File(t, "_TAGS").listFiles())
+      .getOrElse(Array.empty).filter(_.isFile).map(_.getName)
+      .filterNot(_.startsWith(".")) // local-fs .crc sidecars are not markers
+    assert(markers.length == 2,
+      s"stale-incarnation markers must prune: ${markers.mkString(",")}")
+    assert(ManifestTable.hasTag(spark, t, "b1") &&
+      ManifestTable.hasTag(spark, t, "b2"))
+  }
+
+  test("fsck and vacuum retain a rollback's redo window (round 18): " +
+      "_COMMITTED marks once-live generations, genuine never-committed " +
+      "debris still sweeps, and the next rewrite ends the window") {
+    val t = tmp("graft_redo") + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), t) // gen A
+    ManifestTable.write(Seq((2L, "b")).toDF("id", "v"), t) // gen B
+    val vB = ManifestTable.liveGen(spark, t).get
+    val vA = ManifestTable.rollback(spark, t) // back to A; B = redo window
+    // genuine crash debris: a generation dir that never committed
+    val debris = new java.io.File(t, "gen-000000777")
+    assert(debris.mkdirs())
+    val st = ManifestTable.fsck(spark, t)
+    assert(st.keptRedo == 1, s"redo window must be retained: $st")
+    assert(st.sweptOrphans == 1, s"debris must still sweep: $st")
+    assert(new java.io.File(t, vB).exists, "redo gen must survive fsck")
+    assert(!debris.exists, "never-committed debris must not survive fsck")
+    // the redo verb still works AFTER the fsck — the round-17 gap
+    assert(ManifestTable.rollbackTo(spark, t, vB) == vB)
+    assert(canon(ManifestTable.read(spark, t)) == Set(Seq(2L, "b")))
+    // vacuum retains the window too
+    ManifestTable.rollbackTo(spark, t, vA): Unit
+    ManifestTable.vacuum(spark, t): Unit
+    assert(new java.io.File(t, vB).exists,
+      "vacuum must not sweep the redo window")
+    assert(canon(ManifestTable.readAsOf(spark, t, vB).get) == Set(Seq(2L, "b")))
+    // the next rewrite retires it — the documented end of the window
+    ManifestTable.compact(spark, t, targetFiles = 1)
+    assert(!new java.io.File(t, vB).exists,
+      "the next rewrite ends the redo window")
+    assert(canon(ManifestTable.read(spark, t)) == Set(Seq(1L, "a")))
+  }
+
+  test("cloneSnapshot/cloneLayout through the executor-parallel copy " +
+      "engine (graft.clone.mode=spark) equals the driver-pooled path; " +
+      "auto mode escalates past the byte threshold") {
+    val t = tmp("graft_dclone") + "/t"
+    ManifestTable.write(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(3), t)
+    ManifestTable.append(Seq((3L, "c")).toDF("id", "v"), t)
+    val base = tmp("graft_dclone")
+    spark.conf.set("graft.clone.mode", "driver")
+    try {
+      val n1 = ManifestTable.cloneSnapshot(spark, t, s"$base/drv")
+      spark.conf.set("graft.clone.mode", "spark")
+      val n2 = ManifestTable.cloneSnapshot(spark, t, s"$base/spk")
+      assert(n1 == n2, s"same file set either engine: $n1 vs $n2")
+      assert(multiset(ManifestTable.read(spark, s"$base/spk")) ==
+        multiset(ManifestTable.read(spark, s"$base/drv")))
+      assert(multiset(ManifestTable.read(spark, s"$base/spk")) ==
+        multiset(ManifestTable.read(spark, t)))
+      // auto mode: a 1-byte threshold forces the distributed engine; the
+      // clone is byte-identical either way
+      spark.conf.set("graft.clone.mode", "auto")
+      spark.conf.set("graft.clone.distributedMinBytes", "1")
+      val n3 = ManifestTable.cloneSnapshot(spark, t, s"$base/auto")
+      assert(n3 == n1)
+      assert(multiset(ManifestTable.read(spark, s"$base/auto")) ==
+        multiset(ManifestTable.read(spark, t)))
+      // layout-wide: a partitioned layout clones leaf-by-leaf through the
+      // same engine selection
+      val root = tmp("graft_dclone_l") + "/layout"
+      Compaction.appendPartitions((1 to 12).map(i =>
+        (i.toLong, (i % 3).toString, s"v$i")).toDF("id", "bucket", "v"),
+        root, "bucket", None)
+      spark.conf.set("graft.clone.mode", "spark")
+      val copied = Compaction.cloneLayout(spark, root, s"$base/layout_spk")
+      assert(copied > 0)
+      assert(multiset(readLayout(s"$base/layout_spk", "bucket")) ==
+        multiset(readLayout(root, "bucket")))
+    } finally {
+      spark.conf.unset("graft.clone.mode")
+      spark.conf.unset("graft.clone.distributedMinBytes")
+    }
+  }
 }
