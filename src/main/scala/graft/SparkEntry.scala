@@ -4709,6 +4709,42 @@ object SparkEntry {
       import s.implicits._
       graft.store.ManifestTable.read(s, dst)
         .crossJoin(broadcast(Seq(nFiles > 0).toDF("copied")))
+    }),
+
+    // --- INCREMENTAL backup (round 18): nightly backups of a 100 TB table
+    //     cannot re-copy everything — syncSnapshot moves only the delta
+    //     (new/changed files by immutable name+length identity), carries
+    //     the rest into the new backup generation by _RETAINS reference,
+    //     and no-ops entirely when the backup is current. The rider proves
+    //     the economics (full first, strictly-smaller delta, zero no-op)
+    //     and the rows prove the backup equals the synced snapshot even
+    //     after the source moved on. -------------------------------------
+    "q272_incremental_backup" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val src = sys.props("java.io.tmpdir") + s"/graft_q272_src_$salt"
+      val dst = sys.props("java.io.tmpdir") + s"/graft_q272_dst_$salt"
+      val hc = s.sessionState.newHadoopConf()
+      Seq(src, dst).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 3 === 0).repartition(4), src)
+      val full = graft.store.ManifestTable.syncSnapshot(s, src, dst)
+      graft.store.ManifestTable.append(
+        c.where(col("c_custkey") % 3 === 1).coalesce(1), src)
+      val delta = graft.store.ManifestTable.syncSnapshot(s, src, dst)
+      val noop = graft.store.ManifestTable.syncSnapshot(s, src, dst)
+      // the source moves on: the synced backup must not
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 3 === 2), src)
+      import s.implicits._
+      graft.store.ManifestTable.read(s, dst)
+        .crossJoin(broadcast(
+          Seq((full >= 4, delta > 0 && delta < full, noop == 0))
+            .toDF("full_copied", "delta_smaller", "noop_noop")))
     })
   )
 
@@ -5996,6 +6032,15 @@ object SparkEntry {
     "q271_distributed_clone" ->
       """SELECT o_orderkey, o_totalprice, true AS copied
         |FROM orders""".stripMargin,
+
+    // q272: the incremental backup equals the synced snapshot (%3 in 0,1)
+    // after the source moved on to %3==2, the delta sync moved strictly
+    // fewer files than the full one, and the current-backup sync was a
+    // true no-op.
+    "q272_incremental_backup" ->
+      """SELECT c_custkey, c_name, true AS full_copied,
+        |  true AS delta_smaller, true AS noop_noop
+        |FROM customer WHERE c_custkey % 3 IN (0, 1)""".stripMargin,
 
     // Planted exact copies survive the retrain and surface through the NEW
     // pinned centroids — q216's closed form, shifted ids.

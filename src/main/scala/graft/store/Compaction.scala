@@ -813,6 +813,107 @@ object Compaction {
         }
       }
     }
+    val copied = walk(rootPath, destPath)
+    // mark dest as a graft backup root so [[syncLayout]] can later
+    // mirror-prune it safely (the marker is the consent to delete)
+    destFs.create(new Path(destPath, BackupMarkerName), true).close()
+    copied
+  }
+
+  /** The consent-to-prune marker [[cloneLayout]]/[[syncLayout]] stamp at a
+    * backup root: [[syncLayout]] deletes dest entries the source no longer
+    * has, and must never do that to an arbitrary directory a caller
+    * mistyped — a non-empty unmarked dest refuses loudly. */
+  private[graft] val BackupMarkerName = "_GRAFT_BACKUP"
+
+  /**
+   * INCREMENTAL whole-layout backup — [[cloneLayout]]'s nightly twin
+   * ([[ManifestTable.syncSnapshot]] applied leaf-by-leaf, plus a verbatim
+   * mirror of keyed indexed stores): only files the backup does not
+   * already hold (immutable name + length identity) move; unchanged
+   * manifest-table content carries by `_RETAINS` reference into each
+   * leaf's new backup generation; leaves and files the SOURCE dropped are
+   * pruned from the backup so a restore cannot resurrect them. At 100 TB
+   * this is the difference between a backup cycle that costs O(delta
+   * since yesterday) and one that re-ships the corpus.
+   *
+   * Dest must be empty (first backup — equivalent to [[cloneLayout]]) or
+   * carry the backup marker a previous clone/sync stamped: mirror-PRUNE
+   * against an arbitrary non-backup directory refuses loudly. Keyed
+   * indexed stores mirror verbatim in copy-then-prune order (data files,
+   * then index versions, then deletes), so a backup reader mid-sync
+   * resolves only complete index versions. Returns files copied (the
+   * delta). Crash contract: per-leaf manifest syncs are atomic
+   * (claim/commit); a mid-sync crash leaves some leaves at yesterday's
+   * backup and some at today's — re-run to converge.
+   */
+  def syncLayout(spark: SparkSession, root: String, dest: String): Int = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
+    require(fs.exists(rootPath), s"syncLayout: no layout at $root")
+    val destPath = new Path(dest)
+    val destFs = destPath.getFileSystem(ManifestTable.cachedConf(spark))
+    val marker = new Path(destPath, BackupMarkerName)
+    if (destFs.exists(destPath) && destFs.listStatus(destPath).nonEmpty)
+      require(destFs.exists(marker),
+        s"syncLayout: dest $dest is non-empty and carries no " +
+          s"$BackupMarkerName marker — it is not a graft backup root, and " +
+          "mirror-prune against an arbitrary directory would delete its " +
+          "content; first backups go to an empty dest")
+    destFs.mkdirs(destPath): Unit
+    destFs.create(marker, true).close()
+    def keepName(n: String): Boolean =
+      !n.startsWith(".") && n != "_temporary" && !n.endsWith("__staging") &&
+        n != BackupMarkerName
+    def walk(src: Path, dst: Path): Int = {
+      val entries = fs.listStatus(src)
+      if (entries.exists(s => s.isFile &&
+          s.getPath.getName.startsWith(
+            org.apache.spark.sql.graft.GraftIndex.FileName))) {
+        // keyed indexed store: file names are the contract — mirror
+        // verbatim. Copy data files first, index versions second, prune
+        // last, so a backup reader never resolves a version whose files
+        // are not yet there.
+        val files = entries.filter(s => s.isFile &&
+          keepName(s.getPath.getName)).toSeq
+        destFs.mkdirs(dst): Unit
+        val have = destFs.listStatus(dst).filter(_.isFile)
+          .map(s => s.getPath.getName -> s.getLen).toMap
+        val (vers, data) = files.partition(_.getPath.getName.startsWith(
+          org.apache.spark.sql.graft.GraftIndex.FileName))
+        val toCopy = (data ++ vers).filterNot(s =>
+          have.get(s.getPath.getName).contains(s.getLen))
+        ManifestTable.copyFiles(spark, fs, destFs,
+          toCopy.map(s =>
+            (s.getPath, new Path(dst, s.getPath.getName), s.getLen)),
+          "syncLayout")
+        val want = files.map(_.getPath.getName).toSet
+        have.keys.filterNot(want).filter(keepName)
+          .foreach(n => destFs.delete(new Path(dst, n), false))
+        toCopy.length
+      } else {
+        val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
+          entries.exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (isTable)
+          ManifestTable.syncSnapshot(spark, src.toString, dst.toString)
+        else {
+          val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+            .filterNot(p => !keepName(p.getName)).toSeq
+          val copied = pooledMap(subdirs)(p =>
+            walk(p, new Path(dst, p.getName))).sum
+          // mirror-prune: dest children the source no longer has (dropped
+          // leaves, retired sidecars) — the marker above is the consent
+          if (destFs.exists(dst)) {
+            val srcNames = subdirs.map(_.getName).toSet
+            destFs.listStatus(dst).filter(_.isDirectory).map(_.getPath)
+              .filter(p => keepName(p.getName) && !srcNames(p.getName))
+              .foreach(p => destFs.delete(p, true))
+          }
+          copied
+        }
+      }
+    }
     walk(rootPath, destPath)
   }
 

@@ -1090,14 +1090,35 @@ object ManifestTable {
       throw new IllegalArgumentException(
         s"cloneSnapshot: dest $dest is not empty — backups never merge; " +
           "export to a fresh directory")
-    // the snapshot's data files, as (source path, dest file name, bytes):
-    // retained files from OLDER generations flatten in with a gen-prefixed
-    // name so two generations' part files can never collide in the single
-    // dest gen; sizes feed the copy-engine selection (copyFiles)
-    val files: Seq[(Path, String, Long)] = gen.orElse(liveGen(spark, table)) match {
+    val files = exportFiles(spark, fs, dir, table, gen)
+    val claim = claimNextGen(destFs, destPath)
+    val genPath = new Path(destPath, claim.gen)
+    destFs.mkdirs(genPath): Unit
+    // byte copies, cross-scheme capable: the shared driver pool for small
+    // snapshots, an executor-parallel Spark job past the distributed-copy
+    // threshold (graft.clone.mode / graft.clone.distributedMinBytes)
+    copyFiles(spark, fs, destFs,
+      files.map { case (src, name, len) => (src, new Path(genPath, name), len) },
+      "cloneSnapshot")
+    writeMetaLines(destFs, genPath, ParentName, Seq(NoParent))
+    stampStaged(destFs, destPath, claim)
+    commit(destFs, destPath, claim.gen, parent = None, claim = Some(claim))
+    files.length
+  }
+
+  /** A snapshot's exportable data files as (source path, exported file
+    * name, bytes) — the input to [[cloneSnapshot]] / [[syncSnapshot]].
+    * Retained files from OLDER generations flatten in with a gen-prefixed
+    * name so two generations' part files can never collide in one dest
+    * gen; sizes feed the copy-engine selection ([[copyFiles]]) and the
+    * sync delta match. */
+  private def exportFiles(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, table: String,
+      gen: Option[String]): Seq[(Path, String, Long)] =
+    gen.orElse(liveGen(spark, table)) match {
       case Some(g) =>
         require(fs.exists(new Path(dir, g)),
-          s"cloneSnapshot: generation $g does not exist at $table " +
+          s"snapshot export: generation $g does not exist at $table " +
             "(generations() lists what keep-N retained)")
         val inGen = fs.listStatus(new Path(dir, g))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -1112,22 +1133,77 @@ object ManifestTable {
           else fs.listStatus(dir)
             .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
             .map(s => (s.getPath, s.getPath.getName, s.getLen)).toSeq
-        require(flat.nonEmpty, s"cloneSnapshot: nothing to export at $table")
+        require(flat.nonEmpty, s"snapshot export: nothing to export at $table")
         flat
     }
-    val claim = claimNextGen(destFs, destPath)
-    val genPath = new Path(destPath, claim.gen)
-    destFs.mkdirs(genPath): Unit
-    // byte copies, cross-scheme capable: the shared driver pool for small
-    // snapshots, an executor-parallel Spark job past the distributed-copy
-    // threshold (graft.clone.mode / graft.clone.distributedMinBytes)
-    copyFiles(spark, fs, destFs,
-      files.map { case (src, name, len) => (src, new Path(genPath, name), len) },
-      "cloneSnapshot")
-    writeMetaLines(destFs, genPath, ParentName, Seq(NoParent))
-    stampStaged(destFs, destPath, claim)
-    commit(destFs, destPath, claim.gen, parent = None, claim = Some(claim))
-    files.length
+
+  /**
+   * INCREMENTAL backup — re-export a snapshot into an EXISTING backup,
+   * moving only the delta (the nightly-backup verb at 100 TB, where a
+   * full [[cloneSnapshot]] per cycle would re-copy the whole table;
+   * reference analogue: HBase ExportSnapshot over an existing backup
+   * root, which ships only missing HFiles). An empty/absent `dest`
+   * degenerates to [[cloneSnapshot]] exactly. Otherwise `dest` must be a
+   * manifest table (a previous clone/sync's output):
+   *
+   *  - Source files whose exported name AND byte length already exist in
+   *    dest's live snapshot are carried into the new backup generation BY
+   *    `_RETAINS` REFERENCE — fs metadata, zero bytes moved. Data files
+   *    are immutable and UUID-named, so name+length identity is content
+   *    identity.
+   *  - Everything else copies through the same engine selection
+   *    ([[copyFiles]]: pooled driver / executor-parallel DistCopy),
+   *    length-verified per file.
+   *  - Files present in dest but absent from the snapshot simply go
+   *    unreferenced: keep-N retire reclaims them with their generation —
+   *    which also means the PREVIOUS backup stays readable
+   *    ([[readPrevious]]/[[readAsOf]]) until then. Backups get the same
+   *    undo window as every other table.
+   *  - Already-identical content (no delta, nothing extra in dest) is a
+   *    true no-op: returns 0 with NO new generation committed, so a
+   *    nightly cron against an idle table costs two fs listings.
+   *
+   * Returns files COPIED (the delta; [[cloneSnapshot]]'s count on first
+   * sync). Crash mid-copy leaves a claim-marked uncommitted generation —
+   * dest still reads as the previous backup, fsck sweeps the debris, a
+   * retry converges. Single-maintainer per dest like every write verb.
+   */
+  def syncSnapshot(spark: SparkSession, table: String, dest: String,
+      gen: Option[String] = None): Int = {
+    require(table != dest, "syncSnapshot: dest must differ from the source")
+    liveGen(spark, dest) match {
+      case None => cloneSnapshot(spark, table, dest, gen)
+      case Some(destLive) =>
+        val (fs, dir) = fsOf(spark, table)
+        val (destFs, destPath) = fsOf(spark, dest)
+        val files = exportFiles(spark, fs, dir, table, gen)
+        // the backup's current content, exported-name -> (dest-relative
+        // path, bytes): the basename of each snapshot rel path is exactly
+        // the name the file was exported under (UUID part names make
+        // cross-generation basename collisions a non-event; the length
+        // check still guards the impossible case)
+        val existing: Map[String, (String, Long)] =
+          snapshotFiles(destFs, destPath, destLive).map { case (rel, len) =>
+            rel.substring(rel.indexOf('/') + 1) -> (rel, len)
+          }.toMap
+        val (carried, toCopy) = files.partition { case (_, name, len) =>
+          existing.get(name).exists(_._2 == len) }
+        if (toCopy.isEmpty && carried.map(_._2).toSet == existing.keySet)
+          return 0 // dest already IS this snapshot — no commit, no copy
+        val claim = claimNextGen(destFs, destPath)
+        val genPath = new Path(destPath, claim.gen)
+        destFs.mkdirs(genPath): Unit
+        copyFiles(spark, fs, destFs,
+          toCopy.map { case (src, name, len) =>
+            (src, new Path(genPath, name), len) },
+          "syncSnapshot")
+        // unchanged files ride as verbatim refs into the NEW backup
+        // generation (minorCompact's carry discipline — never chained,
+        // retire keeps the referenced generations alive)
+        commitStagedGen(spark, dest, claim, destLive,
+          carried.map { case (_, name, _) => existing(name)._1 })
+        toCopy.length
+    }
   }
 
   // ---------------------------------------------------- clone copy engine

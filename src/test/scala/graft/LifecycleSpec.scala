@@ -2314,6 +2314,97 @@ class LifecycleSpec extends SparkSpec {
     assert(canon(ManifestTable.read(spark, t)) == Set(Seq(1L, "a")))
   }
 
+  test("syncSnapshot (round 18): the incremental backup copies only the " +
+      "delta, carries unchanged files by _RETAINS reference, keeps the " +
+      "previous backup readable as the undo window, and no-ops (no new " +
+      "generation) when the backup is already current") {
+    val base = tmp("graft_sync")
+    val src = base + "/t"
+    val dst = base + "/backup"
+    ManifestTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v")
+        .repartition(4), src)
+    val full = ManifestTable.syncSnapshot(spark, src, dst)
+    assert(full >= 2, s"first sync is a full clone: $full")
+    assert(multiset(ManifestTable.read(spark, dst)) ==
+      multiset(ManifestTable.read(spark, src)))
+    // a delta lands; the next sync moves ONLY it
+    ManifestTable.append(Seq((5L, "e")).toDF("id", "v").coalesce(1), src)
+    val delta = ManifestTable.syncSnapshot(spark, src, dst)
+    assert(delta == 1, s"only the appended file may copy, got $delta")
+    assert(multiset(ManifestTable.read(spark, dst)) ==
+      multiset(ManifestTable.read(spark, src)))
+    // carried-by-reference, not copied: the new backup generation holds
+    // exactly the one delta file; the rest ride as _RETAINS refs
+    val liveDir = new java.io.File(dst,
+      ManifestTable.liveGen(spark, dst).get)
+    assert(liveDir.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+      "unchanged files must not re-copy into the new generation")
+    // the PREVIOUS backup is the undo window
+    assert(multiset(ManifestTable.readPrevious(spark, dst).get) ==
+      Map((Seq(1L, "a"): Seq[Any]) -> 1, (Seq(2L, "b"): Seq[Any]) -> 1,
+        (Seq(3L, "c"): Seq[Any]) -> 1, (Seq(4L, "d"): Seq[Any]) -> 1))
+    // already current: a true no-op — zero copies, NO new generation
+    val gensBefore = ManifestTable.generations(spark, dst)
+    assert(ManifestTable.syncSnapshot(spark, src, dst) == 0)
+    assert(ManifestTable.generations(spark, dst) == gensBefore,
+      "a current backup must not commit a new generation")
+    // a source overwrite replaces everything: full recopy, backup exact
+    ManifestTable.write(Seq((9L, "z")).toDF("id", "v").coalesce(1), src)
+    assert(ManifestTable.syncSnapshot(spark, src, dst) == 1)
+    assert(canon(ManifestTable.read(spark, dst)) == Set(Seq(9L, "z")))
+    assert(ManifestTable.fsck(spark, dst).ok)
+  }
+
+  test("syncLayout (round 18): the incremental whole-layout backup moves " +
+      "only the delta, prunes source-dropped leaves from the backup, " +
+      "refuses a non-empty unmarked dest, and the synced index probes " +
+      "exactly like the source") {
+    val docs = docsDF
+    val root = tmp("graft_synclay")
+    val src = root + "/bm"
+    val dst = root + "/backup"
+    TextOps.writeBm25Index(docs.where(col("id") <= 3), "id", "text", src,
+      nBuckets = 4)
+    val q = Seq("w1", "a2", "z3")
+    def probe(p: String) = canon(
+      TextOps.bm25TopKFromIndex(spark, p, q, 10, nBuckets = 4))
+    val full = graft.store.Compaction.syncLayout(spark, src, dst)
+    assert(full > 0, "first sync is the full clone")
+    assert(probe(dst) == probe(src))
+    // a small delta lands; the re-sync moves strictly less than the clone
+    TextOps.appendBm25Index(docs.where(col("id") === 13L), "id", "text",
+      src, nBuckets = 4)
+    val delta = graft.store.Compaction.syncLayout(spark, src, dst)
+    assert(delta > 0 && delta < full,
+      s"only the appended postings/docs/stats delta may move: $delta vs $full")
+    assert(probe(dst) == probe(src),
+      "the synced backup must rank exactly like the source")
+    // already current: a true no-op
+    assert(graft.store.Compaction.syncLayout(spark, src, dst) == 0)
+    // the source drops a leaf (an externally-retired bucket): the mirror
+    // prunes it from the backup — a restore must not resurrect it
+    val buckets = new java.io.File(src + "/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(del); f.delete(): Unit
+    }
+    del(buckets.head)
+    graft.store.Compaction.syncLayout(spark, src, dst): Unit
+    assert(!new java.io.File(dst + "/postings", buckets.head.getName).exists,
+      "the dropped bucket must prune from the backup")
+    // mirror-prune needs the consent marker: a non-empty dest that is not
+    // a graft backup root refuses loudly, nothing deleted
+    val other = root + "/not_backup"
+    assert(new java.io.File(other).mkdirs())
+    val bystander = new java.io.File(other, "precious.txt")
+    assert(bystander.createNewFile())
+    intercept[IllegalArgumentException] {
+      graft.store.Compaction.syncLayout(spark, src, other)
+    }
+    assert(bystander.exists, "refusal must not delete anything")
+  }
+
   test("cloneSnapshot/cloneLayout through the executor-parallel copy " +
       "engine (graft.clone.mode=spark) equals the driver-pooled path; " +
       "auto mode escalates past the byte threshold") {
