@@ -918,6 +918,66 @@ object Compaction {
   }
 
   /**
+   * AUDIT a whole-layout backup against its source — [[syncLayout]]'s
+   * read-only twin ([[ManifestTable.verifyBackup]] per manifest leaf,
+   * verbatim name+length compare per keyed indexed store, a source-less
+   * dest child counted as `extra`). Pure fs metadata, pooled like every
+   * per-leaf walk; run it after each sync cycle before trusting the
+   * backup for DR. `ok` = every source file restorable from dest.
+   */
+  def verifyBackupLayout(spark: SparkSession, root: String,
+      dest: String): ManifestTable.BackupStat = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(ManifestTable.cachedConf(spark))
+    require(fs.exists(rootPath), s"verifyBackupLayout: no layout at $root")
+    val destPath = new Path(dest)
+    val destFs = destPath.getFileSystem(ManifestTable.cachedConf(spark))
+    def keepName(n: String): Boolean =
+      !n.startsWith(".") && n != "_temporary" && !n.endsWith("__staging") &&
+        n != BackupMarkerName
+    def walk(src: Path, dst: Path): ManifestTable.BackupStat = {
+      val entries = fs.listStatus(src)
+      if (entries.exists(s => s.isFile &&
+          s.getPath.getName.startsWith(
+            org.apache.spark.sql.graft.GraftIndex.FileName))) {
+        val want = entries.filter(s => s.isFile && keepName(s.getPath.getName))
+          .map(s => s.getPath.getName -> s.getLen).toMap
+        val have = (if (destFs.exists(dst))
+            destFs.listStatus(dst).filter(_.isFile)
+          else Array.empty[org.apache.hadoop.fs.FileStatus])
+          .filter(s => keepName(s.getPath.getName))
+          .map(s => s.getPath.getName -> s.getLen).toMap
+        ManifestTable.BackupStat(src.toString, dst.toString, want.size,
+          want.keys.count(!have.contains(_)),
+          want.count { case (n, l) => have.get(n).exists(_ != l) },
+          (have.keySet -- want.keySet).size)
+      } else {
+        val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
+          entries.exists(s =>
+            s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (isTable)
+          ManifestTable.verifyBackup(spark, src.toString, dst.toString)
+        else {
+          val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+            .filter(p => keepName(p.getName)).toSeq
+          val parts = pooledMap(subdirs)(p => walk(p, new Path(dst, p.getName)))
+          val srcNames = subdirs.map(_.getName).toSet
+          val extraDirs = if (!destFs.exists(dst)) 0
+            else destFs.listStatus(dst).filter(_.isDirectory)
+              .map(_.getPath.getName).count(n => keepName(n) && !srcNames(n))
+          parts.foldLeft(ManifestTable.BackupStat(root, dest, 0, 0, 0,
+              extraDirs)) { (a, b) =>
+            a.copy(files = a.files + b.files, missing = a.missing + b.missing,
+              sizeMismatch = a.sizeMismatch + b.sizeMismatch,
+              extra = a.extra + b.extra)
+          }
+        }
+      }
+    }
+    walk(rootPath, destPath).copy(table = root, dest = dest)
+  }
+
+  /**
    * Resolve the LAYOUT-WIDE rollback plan: each leaf paired with the
    * generation that was live before its last rewrite
    * ([[ManifestTable.previousGen]]). The plan is one consistent pre-op

@@ -1107,11 +1107,14 @@ object ManifestTable {
   }
 
   /** A snapshot's exportable data files as (source path, exported file
-    * name, bytes) — the input to [[cloneSnapshot]] / [[syncSnapshot]].
-    * Retained files from OLDER generations flatten in with a gen-prefixed
-    * name so two generations' part files can never collide in one dest
-    * gen; sizes feed the copy-engine selection ([[copyFiles]]) and the
-    * sync delta match. */
+    * name, bytes) — the input to [[cloneSnapshot]] / [[syncSnapshot]] /
+    * [[verifyBackup]]. Retained files from OLDER generations flatten in
+    * under their BASENAME — part-file names carry job-unique UUIDs, so the
+    * name survives the export round-trip and keeps its identity across
+    * sync/restore chains (a minor-compaction carry must not read as
+    * "changed" to the next sync); the theoretical cross-generation
+    * collision falls back to a gen-prefixed name so two files can still
+    * never collide in one dest gen. */
   private def exportFiles(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: Path, table: String,
       gen: Option[String]): Seq[(Path, String, Long)] =
@@ -1123,9 +1126,15 @@ object ManifestTable {
         val inGen = fs.listStatus(new Path(dir, g))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .map(s => (s.getPath, s.getPath.getName, s.getLen)).toSeq
-        val retained = retainedRelFs(fs, dir, g).map { r =>
+        val retainedRel = retainedRelFs(fs, dir, g)
+        val names = (inGen.map(_._2) ++
+          retainedRel.map(r => r.substring(r.indexOf('/') + 1)))
+          .groupBy(identity).map { case (n, vs) => n -> vs.length }
+        val retained = retainedRel.map { r =>
           val p = new Path(dir, r)
-          (p, r.replace('/', '-'), fs.getFileStatus(p).getLen)
+          val base = r.substring(r.indexOf('/') + 1)
+          val name = if (names(base) > 1) r.replace('/', '-') else base
+          (p, name, fs.getFileStatus(p).getLen)
         }
         inGen ++ retained
       case None => // legacy flat layout (or absent → empty export refused)
@@ -1167,6 +1176,13 @@ object ManifestTable {
    * sync). Crash mid-copy leaves a claim-marked uncommitted generation —
    * dest still reads as the previous backup, fsck sweeps the debris, a
    * retry converges. Single-maintainer per dest like every write verb.
+   *
+   * The verb is DIRECTION-AGNOSTIC — `syncSnapshot(backup, table)` is the
+   * incremental RESTORE: files the live table still shares with the backup
+   * (by the same name+length identity) carry by reference, only what
+   * diverged since the backup copies back, and the pre-restore live
+   * generation stays as the undo window. Disaster recovery costs O(drift),
+   * not O(table).
    */
   def syncSnapshot(spark: SparkSession, table: String, dest: String,
       gen: Option[String] = None): Int = {
@@ -1177,15 +1193,7 @@ object ManifestTable {
         val (fs, dir) = fsOf(spark, table)
         val (destFs, destPath) = fsOf(spark, dest)
         val files = exportFiles(spark, fs, dir, table, gen)
-        // the backup's current content, exported-name -> (dest-relative
-        // path, bytes): the basename of each snapshot rel path is exactly
-        // the name the file was exported under (UUID part names make
-        // cross-generation basename collisions a non-event; the length
-        // check still guards the impossible case)
-        val existing: Map[String, (String, Long)] =
-          snapshotFiles(destFs, destPath, destLive).map { case (rel, len) =>
-            rel.substring(rel.indexOf('/') + 1) -> (rel, len)
-          }.toMap
+        val existing = backupContent(destFs, destPath, destLive)
         val (carried, toCopy) = files.partition { case (_, name, len) =>
           existing.get(name).exists(_._2 == len) }
         if (toCopy.isEmpty && carried.map(_._2).toSet == existing.keySet)
@@ -1204,6 +1212,67 @@ object ManifestTable {
           carried.map { case (_, name, _) => existing(name)._1 })
         toCopy.length
     }
+  }
+
+  /** A backup's current content as exported-name -> (dest-relative path,
+    * bytes) — what [[syncSnapshot]] delta-matches and [[verifyBackup]]
+    * audits. The basename of each snapshot rel path is exactly the name
+    * the file was exported under (UUID part names make cross-generation
+    * basename collisions a non-event; the length check still guards the
+    * impossible case). RESILIENT to a damaged backup: a retained ref whose
+    * file is gone reads as absent — so the audit reports it missing and
+    * the next sync re-copies it, instead of either verb crashing. */
+  private def backupContent(destFs: org.apache.hadoop.fs.FileSystem,
+      destPath: Path, destLive: String): Map[String, (String, Long)] = {
+    val inDir = destFs.listStatus(new Path(destPath, destLive))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s.getPath.getName ->
+        (s"$destLive/${s.getPath.getName}", s.getLen)).toSeq
+    val carried = retainedRelFs(destFs, destPath, destLive).flatMap { r =>
+      scala.util.Try(destFs.getFileStatus(new Path(destPath, r))).toOption
+        .map(st => r.substring(r.indexOf('/') + 1) -> (r, st.getLen))
+    }
+    (inDir ++ carried).toMap
+  }
+
+  /** One backup-verification outcome — see [[verifyBackup]]. `ok` means
+    * the backup can serve a full restore: every snapshot file is present
+    * at dest with the right length. `extra` alone does not fail it
+    * (unreferenced leftovers — a backup mid-retention, or dest content a
+    * sync will prune) but is surfaced for the audit trail. */
+  final case class BackupStat(table: String, dest: String, files: Int,
+      missing: Int, sizeMismatch: Int, extra: Int) {
+    def ok: Boolean = missing == 0 && sizeMismatch == 0
+  }
+
+  /**
+   * AUDIT a backup against its source snapshot — the read-only integrity
+   * check between [[cloneSnapshot]]/[[syncSnapshot]] cycles (reference
+   * analogue: verifying an ExportSnapshot landed whole before trusting it
+   * for DR). Compares the snapshot's exportable file set (immutable
+   * name + length identity, the same contract the sync delta uses)
+   * against dest's live backup content: `missing` files would make a
+   * restore lose rows (LOUD — the backup cannot serve its one purpose),
+   * `sizeMismatch` marks truncated/corrupt copies, `extra` counts dest
+   * files the snapshot no longer references. Pure fs metadata — two
+   * listings, no bytes read, safe to run from a cron after every sync.
+   */
+  def verifyBackup(spark: SparkSession, table: String, dest: String,
+      gen: Option[String] = None): BackupStat = {
+    val (fs, dir) = fsOf(spark, table)
+    val files = exportFiles(spark, fs, dir, table, gen)
+    val (destFs, destPath) = fsOf(spark, dest)
+    val existing: Map[String, Long] = liveGen(spark, dest) match {
+      case Some(destLive) =>
+        backupContent(destFs, destPath, destLive)
+          .map { case (name, (_, len)) => name -> len }
+      case None => Map.empty // absent/flat dest: everything reads missing
+    }
+    val missing = files.count { case (_, name, _) => !existing.contains(name) }
+    val mismatch = files.count { case (_, name, len) =>
+      existing.get(name).exists(_ != len) }
+    val extra = (existing.keySet -- files.map(_._2)).size
+    BackupStat(table, dest, files.length, missing, mismatch, extra)
   }
 
   // ---------------------------------------------------- clone copy engine

@@ -2356,6 +2356,66 @@ class LifecycleSpec extends SparkSpec {
     assert(ManifestTable.fsck(spark, dst).ok)
   }
 
+  test("verifyBackup + heal-by-resync + incremental restore (round 18): " +
+      "a synced backup audits ok; truncation and loss are reported " +
+      "(missing/sizeMismatch) not crashed on; the next sync re-copies " +
+      "exactly the damage; and syncSnapshot(backup, table) restores a " +
+      "diverged table at O(drift) with the divergence kept as undo") {
+    val base = tmp("graft_vbak")
+    val src = base + "/t"
+    val dst = base + "/backup"
+    ManifestTable.write(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v").repartition(3),
+      src)
+    val full = ManifestTable.syncSnapshot(spark, src, dst)
+    val v0 = ManifestTable.verifyBackup(spark, src, dst)
+    assert(v0.ok && v0.files == full && v0.missing == 0 && v0.extra == 0, v0.toString)
+    // damage the backup: one file truncated, one lost
+    val genDir = new java.io.File(dst, ManifestTable.liveGen(spark, dst).get)
+    val parqs = genDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(parqs.length >= 2, "need two files to damage")
+    val out = new java.io.FileOutputStream(parqs(0)); out.write(1); out.close()
+    assert(parqs(1).delete())
+    val v1 = ManifestTable.verifyBackup(spark, src, dst)
+    assert(!v1.ok && v1.sizeMismatch == 1 && v1.missing == 1, v1.toString)
+    // heal: the next sync re-copies exactly the damaged two
+    assert(ManifestTable.syncSnapshot(spark, src, dst) == 2,
+      "resync must move exactly the truncated + lost files")
+    assert(ManifestTable.verifyBackup(spark, src, dst).ok)
+    assert(multiset(ManifestTable.read(spark, dst)) ==
+      multiset(ManifestTable.read(spark, src)))
+    // restore: the table diverges; syncing FROM the backup carries every
+    // still-shared file by reference and drops the divergence, which
+    // stays readable as the undo window
+    ManifestTable.append(Seq((99L, "junk")).toDF("id", "v").coalesce(1), src)
+    val divergent = multiset(ManifestTable.read(spark, src))
+    val restored = ManifestTable.syncSnapshot(spark, dst, src)
+    assert(restored == 0,
+      s"restore of un-drifted files must move zero bytes, copied $restored")
+    assert(multiset(ManifestTable.read(spark, src)) ==
+      multiset(ManifestTable.read(spark, dst)))
+    assert(multiset(ManifestTable.readPrevious(spark, src).get) == divergent,
+      "the pre-restore state must stay as the undo window")
+    // layout level: audit ok after sync; loss reported; resync heals
+    val bm = base + "/bm"
+    val bak = base + "/bmbak"
+    TextOps.writeBm25Index(docsDF, "id", "text", bm, nBuckets = 4)
+    graft.store.Compaction.syncLayout(spark, bm, bak): Unit
+    assert(graft.store.Compaction.verifyBackupLayout(spark, bm, bak).ok)
+    val bucketDirs = new java.io.File(bak + "/postings").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("bucket="))
+    val victimGen = bucketDirs.head.listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("gen-"))
+      .maxBy(_.getName)
+    val victim = victimGen.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(victim.nonEmpty && victim.head.delete())
+    val vl = graft.store.Compaction.verifyBackupLayout(spark, bm, bak)
+    assert(!vl.ok && vl.missing >= 1, vl.toString)
+    assert(graft.store.Compaction.syncLayout(spark, bm, bak) >= 1)
+    assert(graft.store.Compaction.verifyBackupLayout(spark, bm, bak).ok)
+  }
+
   test("syncLayout (round 18): the incremental whole-layout backup moves " +
       "only the delta, prunes source-dropped leaves from the backup, " +
       "refuses a non-empty unmarked dest, and the synced index probes " +
