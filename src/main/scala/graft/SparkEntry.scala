@@ -4745,6 +4745,43 @@ object SparkEntry {
         .crossJoin(broadcast(
           Seq((full >= 4, delta > 0 && delta < full, noop == 0))
             .toDF("full_copied", "delta_smaller", "noop_noop")))
+    }),
+
+    // --- BACKUPS CARRY THE EXACTLY-ONCE LEDGER (round 18): a DR cutover
+    //     points the ingest loop at the backup, and the loop blindly
+    //     replays its epochs. The backup mirrors the source's
+    //     incarnation-stamped commit tags (and the incarnation itself), so
+    //     a committed epoch no-ops at the cutover target even after a
+    //     compaction FOLDED its files, while a new epoch lands — every
+    //     customer exactly once, proven row-by-row. --------------------------
+    "q273_backup_ledger_cutover" -> ((s, dir) => {
+      val c = T(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val salt = Integer.toHexString(dir.hashCode) + "_" +
+        java.lang.ProcessHandle.current().pid()
+      val src = sys.props("java.io.tmpdir") + s"/graft_q273_src_$salt"
+      val dst = sys.props("java.io.tmpdir") + s"/graft_q273_dst_$salt"
+      val hc = s.sessionState.newHadoopConf()
+      Seq(src, dst).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hc).delete(hp, true): Unit
+      }
+      graft.store.ManifestTable.write(
+        c.where(col("c_custkey") % 3 === 0), src)
+      graft.store.ManifestTable.appendTagged(
+        c.where(col("c_custkey") % 3 === 1), src, "epoch-1"): Unit
+      // fold the tagged files: only the mirrored ledger protects the replay
+      graft.store.ManifestTable.compact(s, src)
+      graft.store.ManifestTable.syncSnapshot(s, src, dst): Unit
+      // DR cutover: the blind replay loop runs against the BACKUP
+      val r1 = graft.store.ManifestTable.appendTagged(
+        c.where(col("c_custkey") % 3 === 1), dst, "epoch-1")
+      val r2 = graft.store.ManifestTable.appendTagged(
+        c.where(col("c_custkey") % 3 === 2), dst, "epoch-2")
+      import s.implicits._
+      graft.store.ManifestTable.read(s, dst)
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_copies"))
+        .crossJoin(broadcast(Seq((!r1, r2))
+          .toDF("replay_noop", "new_epoch_landed")))
     })
   )
 
@@ -6041,6 +6078,14 @@ object SparkEntry {
       """SELECT c_custkey, c_name, true AS full_copied,
         |  true AS delta_smaller, true AS noop_noop
         |FROM customer WHERE c_custkey % 3 IN (0, 1)""".stripMargin,
+
+    // q273: the cutover replay against the backup converges — every
+    // customer exactly once (epoch-1 no-ops on the mirrored ledger despite
+    // its files being compaction-folded; epoch-2 lands fresh).
+    "q273_backup_ledger_cutover" ->
+      """SELECT c_custkey, cast(1 as bigint) AS n_copies,
+        |  true AS replay_noop, true AS new_epoch_landed
+        |FROM customer""".stripMargin,
 
     // Planted exact copies survive the retrain and surface through the NEW
     // pinned centroids — q216's closed form, shifted ids.

@@ -90,4 +90,39 @@ private[store] object CommitTags {
     } else fs.mkdirs(f): Unit
     fs.create(new Path(f, if (inc.isEmpty) tok else s"$tok.$inc"), true).close()
   }
+
+  /** Raw marker names (`tok` or `tok.inc`) — the ledger as a mirrorable
+    * value for the backup verbs; a legacy single-file set reads as plain
+    * names. */
+  def markerNames(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Set[String] = {
+    val f = new Path(dir, TagsName)
+    if (!fs.exists(f)) Set.empty
+    else if (fs.getFileStatus(f).isDirectory)
+      fs.listStatus(f).filter(_.isFile).map(_.getPath.getName)
+        .filterNot(_.startsWith(".")).toSet
+    else {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Make `destDir`'s ledger exactly `want`: add missing markers, drop
+    * extras; an empty set removes the ledger dir. Idempotent, and each
+    * marker keeps its individual crash-atomicity — the backup verbs'
+    * ledger mirror. */
+  def mirror(destFs: org.apache.hadoop.fs.FileSystem, destDir: Path,
+      want: Set[String]): Unit = {
+    val f = new Path(destDir, TagsName)
+    if (want.isEmpty) { destFs.delete(f, true): Unit; return }
+    if (destFs.exists(f) && destFs.getFileStatus(f).isFile)
+      destFs.delete(f, false): Unit
+    destFs.mkdirs(f): Unit
+    val have = destFs.listStatus(f).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).toSet
+    (want -- have).foreach(n => destFs.create(new Path(f, n), true).close())
+    (have -- want).foreach(n => destFs.delete(new Path(f, n), false))
+  }
 }

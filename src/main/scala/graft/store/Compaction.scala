@@ -805,10 +805,19 @@ object Compaction {
           // 1024-leaf layout's export must not serialize 1024 clone
           // round-trips on the driver (each leaf claims, copies, and
           // commits into its OWN dest dir — no shared state to race)
-          val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+          val subdirs0 = entries.filter(_.isDirectory).map(_.getPath)
             .filterNot(p => p.getName.startsWith(".") ||
               p.getName == "_temporary" || p.getName.endsWith("__staging"))
             .toSeq
+          // a layout-root exactly-once ledger (appendTaggedPartitions'
+          // `_TAGS`) mirrors as markers, not as a walked table — ledger
+          // fidelity for DR cutovers, same as cloneSnapshot's table tags
+          val (tagsDir, subdirs) =
+            subdirs0.partition(_.getName == CommitTags.TagsName)
+          if (tagsDir.nonEmpty) {
+            destFs.mkdirs(dst): Unit
+            CommitTags.mirror(destFs, dst, CommitTags.markerNames(fs, src))
+          }
           pooledMap(subdirs)(p => walk(p, new Path(dst, p.getName))).sum
         }
       }
@@ -898,16 +907,29 @@ object Compaction {
         if (isTable)
           ManifestTable.syncSnapshot(spark, src.toString, dst.toString)
         else {
-          val subdirs = entries.filter(_.isDirectory).map(_.getPath)
-            .filterNot(p => !keepName(p.getName)).toSeq
+          val subdirs0 = entries.filter(_.isDirectory).map(_.getPath)
+            .filter(p => keepName(p.getName)).toSeq
+          val (tagsDir, subdirs) =
+            subdirs0.partition(_.getName == CommitTags.TagsName)
           val copied = pooledMap(subdirs)(p =>
             walk(p, new Path(dst, p.getName))).sum
+          // layout-root ledger mirrors as markers (see cloneLayout), AFTER
+          // the leaves so a crashed sync leaves the ledger behind the
+          // content, never ahead of it; an absent source ledger clears
+          // dest's via the same call
+          if (tagsDir.nonEmpty ||
+              destFs.exists(new Path(dst, CommitTags.TagsName))) {
+            destFs.mkdirs(dst): Unit
+            CommitTags.mirror(destFs, dst, CommitTags.markerNames(fs, src))
+          }
           // mirror-prune: dest children the source no longer has (dropped
-          // leaves, retired sidecars) — the marker above is the consent
+          // leaves, retired sidecars) — the marker above is the consent;
+          // the ledger dir is mirrored, never pruned as a leaf
           if (destFs.exists(dst)) {
-            val srcNames = subdirs.map(_.getName).toSet
+            val srcNames = subdirs0.map(_.getName).toSet
             destFs.listStatus(dst).filter(_.isDirectory).map(_.getPath)
-              .filter(p => keepName(p.getName) && !srcNames(p.getName))
+              .filter(p => keepName(p.getName) && !srcNames(p.getName) &&
+                p.getName != CommitTags.TagsName)
               .foreach(p => destFs.delete(p, true))
           }
           copied

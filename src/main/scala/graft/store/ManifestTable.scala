@@ -930,12 +930,15 @@ object ManifestTable {
     * markers, swap the MANIFEST pointer, retire per keep-one-back. The
     * generation dir must already be fully populated at `table/<claim.gen>`. */
   private[store] def commitStagedGen(spark: SparkSession, table: String,
-      claim: GenClaim, parent: String, retainsRel: Seq[String]): Unit = {
+      claim: GenClaim, parent: String, retainsRel: Seq[String],
+      incOverride: Option[String] = None): Unit = {
     val (fs, dir) = fsOf(spark, table)
     val genPath = new Path(dir, claim.gen)
     if (retainsRel.nonEmpty) writeMetaLines(fs, genPath, RetainsName, retainsRel)
     writeMetaLines(fs, genPath, ParentName, Seq(parent))
-    val inc = incarnationOf(fs, dir, parent) // in-place rewrite: same incarnation
+    // in-place rewrites stay in the parent's incarnation; a backup sync
+    // overrides with the SOURCE's (ledger fidelity — see syncSnapshot)
+    val inc = incOverride.getOrElse(incarnationOf(fs, dir, parent))
     if (inc.nonEmpty) writeMetaLines(fs, genPath, IncName, Seq(inc))
     stampStaged(fs, dir, claim)
     commitOrCleanup(fs, dir, claim, Some(parent))
@@ -1101,6 +1104,20 @@ object ManifestTable {
       files.map { case (src, name, len) => (src, new Path(genPath, name), len) },
       "cloneSnapshot")
     writeMetaLines(destFs, genPath, ParentName, Seq(NoParent))
+    // LEDGER fidelity (round 18): a LIVE export carries the source's
+    // incarnation id and its exactly-once commit tags, so a DR cutover to
+    // the backup continues a tagged ingest loop exactly-once — committed
+    // epochs no-op against the backup instead of re-appending (their
+    // stamped markers match the carried incarnation). Both land BEFORE the
+    // pointer commit: a crash leaves no committed backup at all. An AS-OF
+    // export (gen = Some) deliberately carries NEITHER — the ledger is
+    // current-state and would claim epochs the past content lacks.
+    if (gen.isEmpty) {
+      liveGen(spark, table).map(g => incarnationOf(fs, dir, g))
+        .filter(_.nonEmpty)
+        .foreach(i => writeMetaLines(destFs, genPath, IncName, Seq(i)))
+      CommitTags.mirror(destFs, destPath, CommitTags.markerNames(fs, dir))
+    }
     stampStaged(destFs, destPath, claim)
     commit(destFs, destPath, claim.gen, parent = None, claim = Some(claim))
     files.length
@@ -1196,8 +1213,19 @@ object ManifestTable {
         val existing = backupContent(destFs, destPath, destLive)
         val (carried, toCopy) = files.partition { case (_, name, len) =>
           existing.get(name).exists(_._2 == len) }
-        if (toCopy.isEmpty && carried.map(_._2).toSet == existing.keySet)
+        // LEDGER mirror (round 18, live syncs only — see cloneSnapshot):
+        // the backup's commit tags track the source's so a DR cutover
+        // replay stays exactly-once. Mirrored even on the content no-op
+        // below (the ledger can move without the content); mirrored AFTER
+        // the commit otherwise, so a crashed sync leaves the ledger at
+        // most one cycle behind the committed content — never claiming
+        // epochs the content lacks. verifyBackup audits the drift.
+        def mirrorLedger(): Unit = if (gen.isEmpty)
+          CommitTags.mirror(destFs, destPath, CommitTags.markerNames(fs, dir))
+        if (toCopy.isEmpty && carried.map(_._2).toSet == existing.keySet) {
+          mirrorLedger()
           return 0 // dest already IS this snapshot — no commit, no copy
+        }
         val claim = claimNextGen(destFs, destPath)
         val genPath = new Path(destPath, claim.gen)
         destFs.mkdirs(genPath): Unit
@@ -1207,9 +1235,15 @@ object ManifestTable {
           "syncSnapshot")
         // unchanged files ride as verbatim refs into the NEW backup
         // generation (minorCompact's carry discipline — never chained,
-        // retire keeps the referenced generations alive)
+        // retire keeps the referenced generations alive); the generation
+        // adopts the SOURCE's incarnation so the mirrored stamped markers
+        // keep speaking for it
+        val srcInc = gen.orElse(liveGen(spark, table))
+          .map(g => incarnationOf(fs, dir, g)).getOrElse("")
         commitStagedGen(spark, dest, claim, destLive,
-          carried.map { case (_, name, _) => existing(name)._1 })
+          carried.map { case (_, name, _) => existing(name)._1 },
+          incOverride = Some(srcInc))
+        mirrorLedger()
         toCopy.length
     }
   }
@@ -1241,7 +1275,7 @@ object ManifestTable {
     * (unreferenced leftovers — a backup mid-retention, or dest content a
     * sync will prune) but is surfaced for the audit trail. */
   final case class BackupStat(table: String, dest: String, files: Int,
-      missing: Int, sizeMismatch: Int, extra: Int) {
+      missing: Int, sizeMismatch: Int, extra: Int, tagDrift: Int = 0) {
     def ok: Boolean = missing == 0 && sizeMismatch == 0
   }
 
@@ -1272,7 +1306,17 @@ object ManifestTable {
     val mismatch = files.count { case (_, name, len) =>
       existing.get(name).exists(_ != len) }
     val extra = (existing.keySet -- files.map(_._2)).size
-    BackupStat(table, dest, files.length, missing, mismatch, extra)
+    // ledger drift (live audits only): markers present on one side and not
+    // the other — after a crashed sync the backup's ledger can lag its
+    // committed content by one cycle (the syncSnapshot ordering); a
+    // non-zero drift means "re-run the sync before a DR cutover", which is
+    // report-grade, not restore-blocking (ok ignores it)
+    val drift = if (gen.isDefined) 0
+      else (CommitTags.markerNames(fs, dir)
+        diff CommitTags.markerNames(destFs, destPath)).size +
+        (CommitTags.markerNames(destFs, destPath)
+          diff CommitTags.markerNames(fs, dir)).size
+    BackupStat(table, dest, files.length, missing, mismatch, extra, drift)
   }
 
   // ---------------------------------------------------- clone copy engine

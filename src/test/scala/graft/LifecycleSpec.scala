@@ -2356,6 +2356,55 @@ class LifecycleSpec extends SparkSpec {
     assert(ManifestTable.fsck(spark, dst).ok)
   }
 
+  test("backups carry the exactly-once ledger (round 18): live clone/sync " +
+      "mirror the incarnation-stamped commit tags, a DR cutover's blind " +
+      "epoch replay no-ops what the backup holds and lands what it lacks, " +
+      "verifyBackup reports ledger drift, and as-of exports carry none") {
+    val base = tmp("graft_ledger")
+    val src = base + "/t"
+    val bak = base + "/backup"
+    ManifestTable.write(Seq((1L, "base")).toDF("id", "v"), src)
+    assert(ManifestTable.appendTagged(Seq((2L, "e1")).toDF("id", "v"), src, "e1"))
+    ManifestTable.compact(spark, src, targetFiles = 1) // fold the tagged files
+    ManifestTable.syncSnapshot(spark, src, bak): Unit
+    // the ledger traveled: the FOLDED epoch reads committed at the backup
+    assert(ManifestTable.hasTag(spark, bak, "e1"))
+    assert(ManifestTable.verifyBackup(spark, src, bak).tagDrift == 0)
+    // DR cutover: the blind ingest loop replays against the backup
+    assert(!ManifestTable.appendTagged(Seq((2L, "e1")).toDF("id", "v"), bak, "e1"),
+      "a committed epoch must no-op at the cutover target")
+    assert(ManifestTable.appendTagged(Seq((3L, "e2")).toDF("id", "v"), bak, "e2"),
+      "a new epoch must land at the cutover target")
+    assert(multiset(ManifestTable.read(spark, bak)) ==
+      multiset(ManifestTable.read(spark, src)) + ((Seq(3L, "e2"): Seq[Any]) -> 1))
+    // between syncs the drift is visible; the next sync re-aligns BOTH
+    // content and ledger (the cutover-target divergence drops with its
+    // marker — the backup mirrors the source, as always)
+    assert(ManifestTable.appendTagged(Seq((4L, "e3")).toDF("id", "v"), src, "e3"))
+    assert(ManifestTable.verifyBackup(spark, src, bak).tagDrift >= 2)
+    ManifestTable.syncSnapshot(spark, src, bak): Unit
+    assert(ManifestTable.verifyBackup(spark, src, bak).tagDrift == 0)
+    assert(multiset(ManifestTable.read(spark, bak)) ==
+      multiset(ManifestTable.read(spark, src)))
+    assert(ManifestTable.hasTag(spark, bak, "e3") &&
+      !ManifestTable.hasTag(spark, bak, "e2"))
+    // as-of exports deliberately carry no ledger (current tags would claim
+    // epochs the past content lacks)
+    val asof = base + "/asof"
+    val g = ManifestTable.liveGen(spark, src).get
+    ManifestTable.cloneSnapshot(spark, src, asof, gen = Some(g)): Unit
+    assert(!ManifestTable.hasTag(spark, asof, "e1"))
+    // the layout-root ledger (appendTaggedPartitions) mirrors too
+    val lay = base + "/lay"
+    val lbak = base + "/lbak"
+    Compaction.appendTaggedPartitions(
+      Seq((1L, "a", "x")).toDF("id", "bucket", "v"), lay, "bucket", "ep-0"): Unit
+    Compaction.syncLayout(spark, lay, lbak): Unit
+    assert(!Compaction.appendTaggedPartitions(
+      Seq((1L, "a", "x")).toDF("id", "bucket", "v"), lbak, "bucket", "ep-0"),
+      "the layout cutover replay must no-op")
+  }
+
   test("verifyBackup + heal-by-resync + incremental restore (round 18): " +
       "a synced backup audits ok; truncation and loss are reported " +
       "(missing/sizeMismatch) not crashed on; the next sync re-copies " +
