@@ -63,11 +63,28 @@ object CloneScaleProbe {
         val dSec = time("driver", s"$base/drv")
         val sSec = time("spark", s"$base/spk")
         spark.conf.unset("graft.clone.mode")
-        (rows, stats.length, bytes, dSec, sSec)
+        // the INCREMENTAL path: a constant-size delta lands, and the
+        // re-sync must cost O(delta) — unchanged files carry by _RETAINS
+        // reference — while a fresh full clone re-pays O(table)
+        ManifestTable.append(
+          spark.range(rows, rows + 1000).toDF("id")
+            .withColumn("p1", md5(col("id").cast("string")))
+            .withColumn("p2", md5(concat(lit("x"), col("id").cast("string"))))
+            .coalesce(1),
+          table)
+        val t1 = System.nanoTime()
+        val deltaFiles = ManifestTable.syncSnapshot(spark, table, s"$base/drv")
+        val syncSec = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
+        ManifestTable.cloneSnapshot(spark, table, s"$base/full2"): Unit
+        val fullSec = (System.nanoTime() - t2) / 1e9
+        (rows, stats.length, bytes, dSec, sSec, deltaFiles, syncSec, fullSec)
       }
-      val js = results.map { case (rows, nf, by, d, s) =>
+      val js = results.map { case (rows, nf, by, d, s, df, ds, fs) =>
         f"""{"rows":$rows,"files":$nf,"bytes":$by,""" +
-          f""""driver_sec":$d%.2f,"spark_sec":$s%.2f}"""
+          f""""driver_sec":$d%.2f,"spark_sec":$s%.2f,""" +
+          f""""delta_files":$df,"sync_delta_sec":$ds%.2f,""" +
+          f""""full_reclone_sec":$fs%.2f}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"clone_scale","tiers":$js}""")
     } finally spark.stop()
