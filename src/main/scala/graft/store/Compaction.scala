@@ -980,18 +980,31 @@ object Compaction {
         if (isTable)
           ManifestTable.verifyBackup(spark, src.toString, dst.toString)
         else {
-          val subdirs = entries.filter(_.isDirectory).map(_.getPath)
+          val subdirs0 = entries.filter(_.isDirectory).map(_.getPath)
             .filter(p => keepName(p.getName)).toSeq
+          val (tagsDir, subdirs) =
+            subdirs0.partition(_.getName == CommitTags.TagsName)
           val parts = pooledMap(subdirs)(p => walk(p, new Path(dst, p.getName)))
-          val srcNames = subdirs.map(_.getName).toSet
+          val srcNames = subdirs0.map(_.getName).toSet
           val extraDirs = if (!destFs.exists(dst)) 0
             else destFs.listStatus(dst).filter(_.isDirectory)
-              .map(_.getPath.getName).count(n => keepName(n) && !srcNames(n))
+              .map(_.getPath.getName)
+              .count(n => keepName(n) && !srcNames(n) &&
+                n != CommitTags.TagsName)
+          // layout-root ledger drift (appendTaggedPartitions tags): the
+          // same cutover-readiness signal verifyBackup reports per table
+          val rootDrift = if (tagsDir.isEmpty &&
+              !destFs.exists(new Path(dst, CommitTags.TagsName))) 0
+            else {
+              val w = CommitTags.markerNames(fs, src)
+              val h = CommitTags.markerNames(destFs, dst)
+              (w diff h).size + (h diff w).size
+            }
           parts.foldLeft(ManifestTable.BackupStat(root, dest, 0, 0, 0,
-              extraDirs)) { (a, b) =>
+              extraDirs, rootDrift)) { (a, b) =>
             a.copy(files = a.files + b.files, missing = a.missing + b.missing,
               sizeMismatch = a.sizeMismatch + b.sizeMismatch,
-              extra = a.extra + b.extra)
+              extra = a.extra + b.extra, tagDrift = a.tagDrift + b.tagDrift)
           }
         }
       }

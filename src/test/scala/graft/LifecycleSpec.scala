@@ -2403,6 +2403,11 @@ class LifecycleSpec extends SparkSpec {
     assert(!Compaction.appendTaggedPartitions(
       Seq((1L, "a", "x")).toDF("id", "bucket", "v"), lbak, "bucket", "ep-0"),
       "the layout cutover replay must no-op")
+    assert(Compaction.verifyBackupLayout(spark, lay, lbak).tagDrift == 0)
+    Compaction.appendTaggedPartitions(
+      Seq((2L, "a", "y")).toDF("id", "bucket", "v"), lay, "bucket", "ep-1"): Unit
+    assert(Compaction.verifyBackupLayout(spark, lay, lbak).tagDrift >= 1,
+      "layout-root ledger drift must be auditable between syncs")
   }
 
   test("verifyBackup + heal-by-resync + incremental restore (round 18): " +
