@@ -4782,7 +4782,23 @@ object SparkEntry {
         .groupBy(col("c_custkey")).agg(count(lit(1)).as("n_copies"))
         .crossJoin(broadcast(Seq((!r1, r2))
           .toDF("replay_noop", "new_epoch_landed")))
-    })
+    }),
+
+    // --- CROSS-DOCUMENT duplicated-n-gram ratio (round 18): the
+    //     exact-substring dedup SIGNAL — per doc, the fraction of its
+    //     distinct word 3-grams appearing in ≥2 docs corpus-wide. One
+    //     hashing pass + two shuffles on the shingle hash; no all-pairs. --
+    "q274_ngram_dup_ratio" -> ((s, dir) =>
+      TextOps.crossDocNgramDupRatio(
+        T(s, dir, "documents"), "doc_id", "text", n = 3, minDocs = 2)),
+
+    // --- Corpus-wide CHUNK dedup (round 18): first-occurrence-wins exact
+    //     dedup at sub-document granularity (20-word windows) — the
+    //     tractable form of exact-substring dedup; repeated spans survive
+    //     exactly once corpus-wide, docs reassemble in position order. ----
+    "q275_chunk_dedup" -> ((s, dir) =>
+      TextOps.dedupeChunks(
+        T(s, dir, "documents"), "doc_id", "text", chunkWords = 20))
   )
 
   // =========================================================================
@@ -6086,6 +6102,49 @@ object SparkEntry {
       """SELECT c_custkey, cast(1 as bigint) AS n_copies,
         |  true AS replay_noop, true AS new_epoch_landed
         |FROM customer""".stripMargin,
+
+    // q274: per-doc duplicated-3-gram ratio vs the whole corpus (distinct
+    // shingles, whole-text shingle for short docs — q65's tokenization).
+    "q274_ngram_dup_ratio" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks,' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ')
+        |               FOR i IN generate_series(1, len(toks)-2)] END) AS s
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |dfreq AS (SELECT g, count(*) AS ndocs FROM g GROUP BY 1),
+        |j AS (SELECT doc_id, cast(count(*) as bigint) AS n_ngrams,
+        |        cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) as bigint)
+        |          AS n_duplicated
+        |      FROM g JOIN dfreq USING (g) GROUP BY 1)
+        |SELECT doc_id, n_ngrams, n_duplicated,
+        |  round(n_duplicated / cast(n_ngrams as double), 6) AS dup_ratio
+        |FROM j""".stripMargin,
+
+    // q275: 20-word-window corpus dedup, first occurrence (doc_id, pos)
+    // wins; survivors reassemble in position order.
+    "q275_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |c0 AS (SELECT doc_id,
+        |    [array_to_string(toks[(i*20+1):(i*20+20)], ' ')
+        |     FOR i IN generate_series(0,
+        |       cast(ceil(len(toks)/20.0) as int)-1)] AS cl
+        |  FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, unnest(cl) AS chunk,
+        |    unnest(generate_series(1, len(cl))) - 1 AS pos FROM c0),
+        |w AS (SELECT *, row_number() OVER
+        |    (PARTITION BY chunk ORDER BY doc_id, pos) AS rn FROM c)
+        |SELECT doc_id, cast(count(*) as bigint) AS n_chunks,
+        |  cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) as bigint)
+        |    AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+        |    ' ' ORDER BY pos), '') AS text_deduped
+        |FROM w GROUP BY 1""".stripMargin,
 
     // Planted exact copies survive the retrain and surface through the NEW
     // pinned centroids — q216's closed form, shifted ids.

@@ -2407,4 +2407,91 @@ object TextOps {
       .select(col("id").as(idCol), col("n_shingles"), col("n_contaminated"),
         round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
           .as("contamination_rate"))
+
+  // ------------------------------------ cross-document substring-level dedup
+
+  /**
+   * Cross-document duplicated-n-gram ratio — the exact-substring dedup
+   * SIGNAL of the training-data literature ("deduplicating training data
+   * makes language models better"): for each document, the fraction of its
+   * DISTINCT word n-grams that occur in at least `minDocs` documents
+   * corpus-wide (itself included — `minDocs = 2` means "appears in some
+   * OTHER doc too"). High-ratio documents are templated/mirrored/boiler-
+   * plate candidates for trimming or downweighting; unlike [[boilerplate]]
+   * (intra-doc repetition) the evidence here is CROSS-doc. Scale shape:
+   * one string-touching pass hashes shingles ([[shingle_hashes]], native),
+   * then two shuffles on the 64-bit shingle hash (document frequency +
+   * join back) — never all-pairs, never shuffling text. Returns
+   * (id, n_ngrams, n_duplicated, dup_ratio), short docs following the
+   * shingle contract (len < n ⇒ one whole-text shingle).
+   */
+  def crossDocNgramDupRatio(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(n > 0 && minDocs > 0, "n and minDocs must be positive")
+    val sh = df.select(col(idCol).as("id"),
+      explode(array_distinct(
+        shingle_hashes(split(col(textCol), " "), n))).as("g"))
+    // distinct per (id, g) by construction, so count(1) per g counts docs
+    val docFreq = sh.groupBy(col("g")).agg(count(lit(1)).as("__df_docs"))
+    sh.join(docFreq, Seq("g"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("bigint").as("n_ngrams"),
+        sum(when(col("__df_docs") >= minDocs, 1L).otherwise(0L))
+          .as("n_duplicated"))
+      .select(col("id").as(idCol), col("n_ngrams"), col("n_duplicated"),
+        round(col("n_duplicated").cast("double") / col("n_ngrams"), 6)
+          .as("dup_ratio"))
+  }
+
+  /**
+   * Corpus-wide CHUNK dedup — first-occurrence-wins exact dedup at
+   * sub-document granularity (the tractable form of exact-substring
+   * dedup real pipelines ship: fixed windows instead of suffix arrays).
+   * Each document splits into non-overlapping `chunkWords`-word chunks;
+   * a chunk whose exact text already occurred EARLIER in the corpus
+   * (global (doc, position) order — min (id, pos) wins) is DROPPED, and
+   * each document's survivors reassemble in position order. The repeated
+   * span is kept exactly once corpus-wide, where a doc-level dedup would
+   * either keep both documents or lose the non-shared content. Scale
+   * shape: chunks shuffle by their 64-bit hash (winner election + join
+   * back), reassembly is one per-doc aggregation — no all-pairs, and the
+   * only wide rows carry (id, pos, chunk). Returns
+   * (id, n_chunks, n_dropped, text_deduped); a fully-deduplicated
+   * document survives with empty text (the caller's drop rule, not ours).
+   */
+  def dedupeChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 20): DataFrame = {
+    require(chunkWords > 0, "chunkWords must be positive")
+    val chunks = df
+      .select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), t => t =!= "").as("__toks"))
+      .where(size(col("__toks")) > 0)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0),
+          ceil(size(col("__toks")).cast("double") / chunkWords)
+            .cast("int") - 1),
+        i => concat_ws(" ",
+          slice(col("__toks"), i * chunkWords + 1, lit(chunkWords))))))
+      .toDF("id", "pos", "chunk")
+    // winner election keys on the chunk TEXT, not a 64-bit hash: at
+    // billions of chunks a hash collision would silently drop a
+    // non-duplicate (the shuffle hashes the string internally either way)
+    val winners = chunks
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+    chunks
+      .join(winners, Seq("chunk"))
+      .select(col("id"), col("pos"), col("chunk"),
+        (col("__w.id") === col("id") && col("__w.pos") === col("pos"))
+          .as("__keep"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("bigint").as("n_chunks"),
+        sum(when(!col("__keep"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__keep"), struct(col("pos"), col("chunk"))))),
+          s => s("chunk")), " ").as("text_deduped"))
+      .select(col("id").as(idCol), col("n_chunks"), col("n_dropped"),
+        col("text_deduped"))
+  }
 }

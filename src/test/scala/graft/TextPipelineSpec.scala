@@ -979,4 +979,52 @@ class TextPipelineSpec extends SparkSpec {
     // "you are a helpful assistant": prefix len 5, 3 docs → 10 saved
     assert(out.toSeq == Seq((2L, 2L, 2L), (5L, 3L, 10L)), s"$out")
   }
+
+  test("crossDocNgramDupRatio: mirrored docs read fully duplicated, a " +
+      "novel doc reads clean, shared spans count exactly (round 18)") {
+    val docs = Seq(
+      (1L, "a b c d e f"),         // mirrored in 2
+      (2L, "a b c d e f"),         // exact copy
+      (3L, "x y z w q r"),         // novel: zero overlap
+      (4L, "a b c q q2 q3"))       // shares exactly the "a b c" 3-gram
+      .toDF("id", "text")
+    val out = TextOps.crossDocNgramDupRatio(docs, "id", "text", n = 3)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // 6 tokens -> 4 distinct 3-grams per doc
+    assert(out(0) == (1L, 4L, 4L, 1.0) && out(1) == (2L, 4L, 4L, 1.0),
+      s"mirrored docs are 100% duplicated: ${out.toSeq}")
+    assert(out(2) == (3L, 4L, 0L, 0.0), s"novel doc is clean: ${out.toSeq}")
+    assert(out(3) == (4L, 4L, 1L, 0.25),
+      s"exactly the shared 'a b c' 3-gram counts: ${out.toSeq}")
+  }
+
+  test("dedupeChunks: the FIRST corpus occurrence of a repeated chunk " +
+      "survives, later ones drop, survivors reassemble in order, and a " +
+      "fully-copied doc dedups to empty text (round 18)") {
+    val w = (1 to 8).map(i => s"w$i").mkString(" ")   // one full 8-word chunk
+    val docs = Seq(
+      (1L, s"$w u1 u2 u3"),        // chunk0 = w (first), chunk1 = "u1 u2 u3"
+      (2L, s"$w v1 v2 v3"),        // chunk0 duplicates doc 1's -> drops
+      (3L, w))                     // the whole doc duplicates -> empty
+      .toDF("id", "text")
+    val out = TextOps.dedupeChunks(docs, "id", "text", chunkWords = 8)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == (1L, 2L, 0L, s"$w u1 u2 u3"),
+      s"the first occurrence keeps everything: ${out.toSeq}")
+    assert(out(1) == (2L, 2L, 1L, "v1 v2 v3"),
+      s"the repeated span drops, the novel tail survives: ${out.toSeq}")
+    assert(out(2) == (3L, 1L, 1L, ""),
+      s"a fully-copied doc dedups to empty text: ${out.toSeq}")
+    // order-preservation under a repeated MIDDLE chunk
+    val mid = Seq(
+      (10L, s"$w"),
+      (11L, s"p1 p2 p3 p4 p5 p6 p7 p8 $w t1 t2"))
+      .toDF("id", "text")
+    val r11 = TextOps.dedupeChunks(mid, "id", "text", chunkWords = 8)
+      .where($"id" === 11L).collect().head
+    assert(r11.getString(3) == "p1 p2 p3 p4 p5 p6 p7 p8 t1 t2",
+      s"survivors must reassemble in position order: ${r11.getString(3)}")
+  }
 }
