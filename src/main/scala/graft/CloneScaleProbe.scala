@@ -87,6 +87,50 @@ object CloneScaleProbe {
           f""""full_reclone_sec":$fs%.2f}"""
       }.mkString("[", ",", "]")
       println(s"""{"metric":"clone_scale","tiers":$js}""")
+      // ---- LEAF scaling of the layout verbs: a 100 TB layout has
+      // hundreds-to-thousands of leaves, and the nightly cycle is
+      // syncLayout + verifyBackupLayout. Constant per-leaf content,
+      // growing leaf count — the no-delta sync and the audit must scale
+      // with fs metadata (pooled listings), never with data volume, and
+      // a constant-size delta must keep costing O(delta).
+      val leafTiers = Seq(64, 256, 1024).map { leaves =>
+        val root = java.nio.file.Files
+          .createTempDirectory(s"graft_synclay_$leaves").toString + "/layout"
+        val bak = root.stripSuffix("/layout") + "/backup"
+        graft.store.Compaction.appendPartitions(
+          spark.range(leaves.toLong * 20)
+            .select(col("id"), (col("id") % leaves).as("leaf"))
+            .withColumn("p", md5(col("id").cast("string")))
+            .repartition(col("leaf")),
+          root, "leaf"): Unit
+        val t0 = System.nanoTime()
+        graft.store.Compaction.syncLayout(spark, root, bak): Unit
+        val fullSec = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        val noopCopied = graft.store.Compaction.syncLayout(spark, root, bak)
+        val noopSec = (System.nanoTime() - t1) / 1e9
+        // constant-size delta: 3 leaves take one appended file each
+        graft.store.Compaction.appendPartitions(
+          spark.range(3).select(
+            (col("id") + leaves.toLong * 20).as("id"),
+            (col("id") % 3).as("leaf"),
+            md5(col("id").cast("string")).as("p")).repartition(1),
+          root, "leaf"): Unit
+        val t2 = System.nanoTime()
+        val deltaCopied = graft.store.Compaction.syncLayout(spark, root, bak)
+        val deltaSec = (System.nanoTime() - t2) / 1e9
+        val t3 = System.nanoTime()
+        val audit = graft.store.Compaction.verifyBackupLayout(spark, root, bak)
+        val auditSec = (System.nanoTime() - t3) / 1e9
+        require(audit.ok && noopCopied == 0,
+          s"probe invariant: $audit, noop=$noopCopied")
+        (leaves, fullSec, noopSec, deltaCopied, deltaSec, auditSec)
+      }
+      val lj = leafTiers.map { case (l, f, n, dc, d, a) =>
+        f"""{"leaves":$l,"full_sec":$f%.2f,"noop_sec":$n%.2f,""" +
+          f""""delta_files":$dc,"delta_sec":$d%.2f,"audit_sec":$a%.2f}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"sync_leaf_scale","tiers":$lj}""")
     } finally spark.stop()
   }
 }
