@@ -361,6 +361,11 @@ object Bench {
     val canaryIoIso = forkedTier.map(_._3)
       .getOrElse(if (isoCount > 0) canaryIo() else canaryIoPre)
     val isolated = forkedTier.map(_._1).getOrElse {
+      // under the chunked sweep the PARENT never ran a query: a fork
+      // failure would otherwise time the fallback tier in a stone-cold
+      // JVM (first-run codegen + parquet-footer misses inside the pinned
+      // medians) — pay the warmup this JVM skipped before timing anything
+      if (sweepChunksUsed > 1) warmupAll()
       isoNames.map { name =>
         releaseBlocks()
         val times = (1 to isoReps).map { _ =>

@@ -119,9 +119,14 @@ final case class GQuery(
     // the cap instead of counting the whole source, and on a source that
     // grows between probe and collect the limit itself caps the check's
     // cost (the only way to refuse BEFORE the driver heap takes the hit)
-    val cap = math.min(maxKeys, Int.MaxValue - 1L).toInt
-    val n = keys.map(_.distinct.length.toLong)
-      .getOrElse(toDF.limit(cap + 1).count())
+    // past Int.MaxValue the limit() probe can no longer witness an
+    // over-cap source (limit truncates below maxKeys) — fall back to the
+    // full count there; any driver raising maxKeys that far is already
+    // paying collect-scale costs, the probe must stay sound, not cheap
+    val n = keys.map(_.distinct.length.toLong).getOrElse {
+      if (maxKeys >= Int.MaxValue - 1L) toDF.count()
+      else toDF.limit(maxKeys.toInt + 1).count()
+    }
     if (n > maxKeys)
       throw new IllegalArgumentException(
         s"multiMap would collect over $maxKeys rows to the driver " +

@@ -814,7 +814,10 @@ object Compaction {
           // fidelity for DR cutovers, same as cloneSnapshot's table tags
           val (tagsDir, subdirs) =
             subdirs0.partition(_.getName == CommitTags.TagsName)
-          if (tagsDir.nonEmpty) {
+          // the ledger may also be the legacy single-FILE form (pre
+          // round-12) — markerNames reads both; mirror either shape
+          if (tagsDir.nonEmpty || entries.exists(s =>
+              s.isFile && s.getPath.getName == CommitTags.TagsName)) {
             destFs.mkdirs(dst): Unit
             CommitTags.mirror(destFs, dst, CommitTags.markerNames(fs, src))
           }
@@ -890,16 +893,24 @@ object Compaction {
           .map(s => s.getPath.getName -> s.getLen).toMap
         val (vers, data) = files.partition(_.getPath.getName.startsWith(
           org.apache.spark.sql.graft.GraftIndex.FileName))
-        val toCopy = (data ++ vers).filterNot(s =>
-          have.get(s.getPath.getName).contains(s.getLen))
-        ManifestTable.copyFiles(spark, fs, destFs,
-          toCopy.map(s =>
-            (s.getPath, new Path(dst, s.getPath.getName), s.getLen)),
-          "syncLayout")
+        def copyBatch(batch: Seq[org.apache.hadoop.fs.FileStatus]): Int = {
+          val toCopy = batch.filterNot(s =>
+            have.get(s.getPath.getName).contains(s.getLen))
+          ManifestTable.copyFiles(spark, fs, destFs,
+            toCopy.map(s =>
+              (s.getPath, new Path(dst, s.getPath.getName), s.getLen)),
+            "syncLayout")
+          toCopy.length
+        }
+        // TWO batches, strictly ordered: the data files must all be down
+        // before ANY index version lands (one concurrent batch could
+        // publish a version whose files are still in flight — a backup
+        // reader or crash would resolve a torn store)
+        val copied = copyBatch(data) + copyBatch(vers)
         val want = files.map(_.getPath.getName).toSet
         have.keys.filterNot(want).filter(keepName)
           .foreach(n => destFs.delete(new Path(dst, n), false))
-        toCopy.length
+        copied
       } else {
         val isTable = ManifestTable.liveGen(spark, src.toString).isDefined ||
           entries.exists(s =>
@@ -918,6 +929,8 @@ object Compaction {
           // content, never ahead of it; an absent source ledger clears
           // dest's via the same call
           if (tagsDir.nonEmpty ||
+              entries.exists(s =>  // legacy single-FILE ledger mirrors too
+                s.isFile && s.getPath.getName == CommitTags.TagsName) ||
               destFs.exists(new Path(dst, CommitTags.TagsName))) {
             destFs.mkdirs(dst): Unit
             CommitTags.mirror(destFs, dst, CommitTags.markerNames(fs, src))
@@ -994,6 +1007,8 @@ object Compaction {
           // layout-root ledger drift (appendTaggedPartitions tags): the
           // same cutover-readiness signal verifyBackup reports per table
           val rootDrift = if (tagsDir.isEmpty &&
+              !entries.exists(s =>  // legacy single-FILE ledger audits too
+                s.isFile && s.getPath.getName == CommitTags.TagsName) &&
               !destFs.exists(new Path(dst, CommitTags.TagsName))) 0
             else {
               val w = CommitTags.markerNames(fs, src)

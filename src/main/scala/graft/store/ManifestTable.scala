@@ -711,7 +711,15 @@ object ManifestTable {
         !p.getName.startsWith(".") && !p.getName.startsWith("_"))
       .foreach(fs.delete(_, false))
     // incarnation-unknown tag markers clear at an overwrite (see scaladoc);
-    // stamped ones survive as the rollback-straddle proof
+    // stamped ones survive as the rollback-straddle proof. The clear runs
+    // BEFORE the pointer commit: a fenced failure here leaves plain
+    // markers gone while the old content stays live, so a tagged retry of
+    // a pre-round-18 batch would re-append — covered by the
+    // single-maintainer contract (the failed write() is LOUD to the one
+    // maintainer; serialize tagged retries behind it). The reverse
+    // ordering's window is strictly worse: commit-then-clear crashing
+    // between the two leaves plain markers claiming epochs the fresh
+    // content LACKS — silent loss instead of loud duplication.
     clearPlainTags(fs, dir)
     commitOrCleanup(fs, dir, next, prevLive)
     retire(fs, dir, next.gen, prevLive, keepVersionsOf(spark))
@@ -1089,11 +1097,28 @@ object ManifestTable {
     val (fs, dir) = fsOf(spark, table)
     val destPath = new Path(dest)
     val destFs = destPath.getFileSystem(cachedConf(spark))
+    // a CRASHED first export's residue (claim-marked generation dirs, the
+    // claim files, a mirrored ledger — all with NO committed MANIFEST) must
+    // not deadlock the retry against the non-empty refusal below: sweep
+    // exactly the engine's own artifact classes and nothing else, so the
+    // refusal still protects any directory holding real content
+    if (destFs.exists(destPath) && liveGen(spark, dest).isEmpty) {
+      val entries = destFs.listStatus(destPath)
+      def debris(s: org.apache.hadoop.fs.FileStatus): Boolean = {
+        val n = s.getPath.getName
+        (s.isDirectory && (n.startsWith(GenPrefix) || n == TagsName)) ||
+          (s.isFile && (n.startsWith(ClaimPrefix) ||
+            n.startsWith(ManifestName) || n.startsWith(".")))
+      }
+      if (entries.forall(debris)) entries.foreach(s =>
+        destFs.delete(s.getPath, true))
+    }
     if (destFs.exists(destPath) && destFs.listStatus(destPath).nonEmpty)
       throw new IllegalArgumentException(
         s"cloneSnapshot: dest $dest is not empty — backups never merge; " +
           "export to a fresh directory")
-    val files = exportFiles(spark, fs, dir, table, gen)
+    // consistent (files, ledger, incarnation) view — see exportSnapshot
+    val (files, markers, srcInc) = exportSnapshot(spark, fs, dir, table, gen)
     val claim = claimNextGen(destFs, destPath)
     val genPath = new Path(destPath, claim.gen)
     destFs.mkdirs(genPath): Unit
@@ -1105,18 +1130,19 @@ object ManifestTable {
       "cloneSnapshot")
     writeMetaLines(destFs, genPath, ParentName, Seq(NoParent))
     // LEDGER fidelity (round 18): a LIVE export carries the source's
-    // incarnation id and its exactly-once commit tags, so a DR cutover to
-    // the backup continues a tagged ingest loop exactly-once — committed
-    // epochs no-op against the backup instead of re-appending (their
-    // stamped markers match the carried incarnation). Both land BEFORE the
-    // pointer commit: a crash leaves no committed backup at all. An AS-OF
-    // export (gen = Some) deliberately carries NEITHER — the ledger is
-    // current-state and would claim epochs the past content lacks.
+    // incarnation id and its exactly-once commit tags — the SAME captured
+    // view as the file list (exportSnapshot), so the backup can never
+    // claim an epoch its content lacks — and a DR cutover to the backup
+    // continues a tagged ingest loop exactly-once (committed epochs no-op,
+    // their stamped markers match the carried incarnation). Both land
+    // BEFORE the pointer commit: a crash leaves no committed backup at
+    // all. An AS-OF export (gen = Some) deliberately carries NEITHER —
+    // the ledger is current-state and would claim epochs the past content
+    // lacks.
     if (gen.isEmpty) {
-      liveGen(spark, table).map(g => incarnationOf(fs, dir, g))
-        .filter(_.nonEmpty)
-        .foreach(i => writeMetaLines(destFs, genPath, IncName, Seq(i)))
-      CommitTags.mirror(destFs, destPath, CommitTags.markerNames(fs, dir))
+      if (srcInc.nonEmpty)
+        writeMetaLines(destFs, genPath, IncName, Seq(srcInc))
+      CommitTags.mirror(destFs, destPath, markers)
     }
     stampStaged(destFs, destPath, claim)
     commit(destFs, destPath, claim.gen, parent = None, claim = Some(claim))
@@ -1134,8 +1160,8 @@ object ManifestTable {
     * never collide in one dest gen. */
   private def exportFiles(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, dir: Path, table: String,
-      gen: Option[String]): Seq[(Path, String, Long)] =
-    gen.orElse(liveGen(spark, table)) match {
+      resolvedGen: Option[String]): Seq[(Path, String, Long)] =
+    resolvedGen match {
       case Some(g) =>
         require(fs.exists(new Path(dir, g)),
           s"snapshot export: generation $g does not exist at $table " +
@@ -1162,6 +1188,40 @@ object ManifestTable {
         require(flat.nonEmpty, s"snapshot export: nothing to export at $table")
         flat
     }
+
+  /** A CONSISTENT (generation, files, ledger, incarnation) view of the
+    * source for the backup verbs — closes the listing's TOCTOU against a
+    * concurrent tagged ingest: the commit-tag markers are read before AND
+    * after the file listing, retried until the two reads (and the resolved
+    * live generation) agree. Markers commit AFTER their rows land
+    * ([[appendTagged]]'s order), so with a stable marker set every
+    * mirrored marker's rows are provably inside the exported files — the
+    * backup can never claim an epoch its content lacks. An epoch still
+    * in flight during the listing exports tag-prefixed partial files with
+    * NO marker — exactly a source crash's shape, owned by the backup-side
+    * retry sweep like at the source. Gives up loudly after 5 attempts
+    * (an ingest loop hot enough to move the ledger every listing needs
+    * quiescing, not silent inconsistency). */
+  private def exportSnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path, table: String,
+      gen: Option[String])
+      : (Seq[(Path, String, Long)], Set[String], String) = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val markersBefore = CommitTags.markerNames(fs, dir)
+      val g = gen.orElse(liveGen(spark, table))
+      val files = exportFiles(spark, fs, dir, table, g)
+      val inc = g.map(x => incarnationOf(fs, dir, x)).getOrElse("")
+      if (CommitTags.markerNames(fs, dir) == markersBefore &&
+          gen.orElse(liveGen(spark, table)) == g)
+        return (files, markersBefore, inc)
+    }
+    throw new IllegalStateException(
+      s"snapshot export: the ledger/live generation at $table kept moving " +
+        "across 5 listing attempts — quiesce the tagged ingest loop (or " +
+        "concurrent maintenance) and retry the backup")
+  }
 
   /**
    * INCREMENTAL backup — re-export a snapshot into an EXISTING backup,
@@ -1209,7 +1269,11 @@ object ManifestTable {
       case Some(destLive) =>
         val (fs, dir) = fsOf(spark, table)
         val (destFs, destPath) = fsOf(spark, dest)
-        val files = exportFiles(spark, fs, dir, table, gen)
+        // consistent (files, ledger, incarnation) view — see exportSnapshot:
+        // the mirrored marker set is CAPTURED WITH the file list, so the
+        // backup can never claim an epoch its content lacks
+        val (files, markers, srcInc) =
+          exportSnapshot(spark, fs, dir, table, gen)
         val existing = backupContent(destFs, destPath, destLive)
         val (carried, toCopy) = files.partition { case (_, name, len) =>
           existing.get(name).exists(_._2 == len) }
@@ -1218,10 +1282,10 @@ object ManifestTable {
         // replay stays exactly-once. Mirrored even on the content no-op
         // below (the ledger can move without the content); mirrored AFTER
         // the commit otherwise, so a crashed sync leaves the ledger at
-        // most one cycle behind the committed content — never claiming
-        // epochs the content lacks. verifyBackup audits the drift.
+        // most one cycle behind the committed content — never ahead of
+        // it. verifyBackup audits the drift.
         def mirrorLedger(): Unit = if (gen.isEmpty)
-          CommitTags.mirror(destFs, destPath, CommitTags.markerNames(fs, dir))
+          CommitTags.mirror(destFs, destPath, markers)
         if (toCopy.isEmpty && carried.map(_._2).toSet == existing.keySet) {
           mirrorLedger()
           return 0 // dest already IS this snapshot — no commit, no copy
@@ -1236,10 +1300,8 @@ object ManifestTable {
         // unchanged files ride as verbatim refs into the NEW backup
         // generation (minorCompact's carry discipline — never chained,
         // retire keeps the referenced generations alive); the generation
-        // adopts the SOURCE's incarnation so the mirrored stamped markers
-        // keep speaking for it
-        val srcInc = gen.orElse(liveGen(spark, table))
-          .map(g => incarnationOf(fs, dir, g)).getOrElse("")
+        // adopts the SOURCE's incarnation — captured with the same view —
+        // so the mirrored stamped markers keep speaking for it
         commitStagedGen(spark, dest, claim, destLive,
           carried.map { case (_, name, _) => existing(name)._1 },
           incOverride = Some(srcInc))
@@ -1294,7 +1356,7 @@ object ManifestTable {
   def verifyBackup(spark: SparkSession, table: String, dest: String,
       gen: Option[String] = None): BackupStat = {
     val (fs, dir) = fsOf(spark, table)
-    val files = exportFiles(spark, fs, dir, table, gen)
+    val (files, srcMarkers, _) = exportSnapshot(spark, fs, dir, table, gen)
     val (destFs, destPath) = fsOf(spark, dest)
     val existing: Map[String, Long] = liveGen(spark, dest) match {
       case Some(destLive) =>
@@ -1311,11 +1373,10 @@ object ManifestTable {
     // committed content by one cycle (the syncSnapshot ordering); a
     // non-zero drift means "re-run the sync before a DR cutover", which is
     // report-grade, not restore-blocking (ok ignores it)
+    val destMarkers = CommitTags.markerNames(destFs, destPath)
     val drift = if (gen.isDefined) 0
-      else (CommitTags.markerNames(fs, dir)
-        diff CommitTags.markerNames(destFs, destPath)).size +
-        (CommitTags.markerNames(destFs, destPath)
-          diff CommitTags.markerNames(fs, dir)).size
+      else (srcMarkers diff destMarkers).size +
+        (destMarkers diff srcMarkers).size
     BackupStat(table, dest, files.length, missing, mismatch, extra, drift)
   }
 

@@ -2356,6 +2356,50 @@ class LifecycleSpec extends SparkSpec {
     assert(ManifestTable.fsck(spark, dst).ok)
   }
 
+  test("round-18 review fixes: a crashed FIRST export's residue (claimed " +
+      "generation + mirrored ledger, no manifest) no longer deadlocks the " +
+      "clone retry — while real content still refuses; and a LEGACY " +
+      "single-file _TAGS ledger at a layout root mirrors and audits") {
+    val base = tmp("graft_rfix")
+    val src = base + "/t"
+    ManifestTable.write(Seq((1L, "a")).toDF("id", "v"), src)
+    // manufacture exactly a crashed first clone's residue at dest: a gen
+    // dir, its claim file, a mirrored _TAGS — and NO committed MANIFEST
+    val dst = base + "/backup"
+    assert(new java.io.File(dst, "gen-000000000").mkdirs())
+    assert(new java.io.File(dst, ".genclaim-gen-000000000").createNewFile())
+    assert(new java.io.File(dst, "_TAGS").mkdirs())
+    assert(new java.io.File(dst + "/_TAGS", "deadbeef").createNewFile())
+    assert(ManifestTable.syncSnapshot(spark, src, dst) > 0,
+      "the retry must sweep its own debris and converge")
+    assert(canon(ManifestTable.read(spark, dst)) == Set(Seq(1L, "a")))
+    // anything that is NOT engine debris still refuses, nothing deleted
+    val dst2 = base + "/notbackup"
+    assert(new java.io.File(dst2).mkdirs())
+    val precious = new java.io.File(dst2, "precious.txt")
+    assert(precious.createNewFile())
+    intercept[IllegalArgumentException] {
+      ManifestTable.cloneSnapshot(spark, src, dst2)
+    }
+    assert(precious.exists)
+    // legacy single-FILE ledger (pre round-12) at a layout root: the
+    // backup verbs must mirror and audit it, not skip it silently
+    val lay = base + "/lay"
+    val lbak = base + "/lbak"
+    Compaction.appendPartitions(
+      Seq((1L, "a", "x")).toDF("id", "bucket", "v"), lay, "bucket", None): Unit
+    val tok = java.security.MessageDigest.getInstance("MD5")
+      .digest("ep-0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = new java.io.FileOutputStream(new java.io.File(lay, "_TAGS"))
+    out.write((tok + "\n").getBytes("UTF-8")); out.close()
+    Compaction.syncLayout(spark, lay, lbak): Unit
+    assert(Compaction.verifyBackupLayout(spark, lay, lbak).tagDrift == 0,
+      "the mirrored legacy ledger must audit in sync")
+    assert(!Compaction.appendTaggedPartitions(
+      Seq((2L, "a", "y")).toDF("id", "bucket", "v"), lbak, "bucket", "ep-0"),
+      "the legacy-ledger epoch must no-op at the cutover target")
+  }
+
   test("backups carry the exactly-once ledger (round 18): live clone/sync " +
       "mirror the incarnation-stamped commit tags, a DR cutover's blind " +
       "epoch replay no-ops what the backup holds and lands what it lacks, " +
