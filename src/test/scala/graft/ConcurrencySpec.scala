@@ -882,4 +882,39 @@ class ConcurrencySpec extends SparkSpec {
         r.head.asInstanceOf[Long])), "removed docs must not surface")
     } finally GraftIndex.unregisterArbiter("natomic")
   }
+
+  test("the incremental backup cycle runs end-to-end through a REGISTERED " +
+      "conditional-PUT dialect (round 18): sync claims/commits are " +
+      "store-arbitrated on both source and backup, the delta carries, the " +
+      "ledger mirrors, and the audit reads clean") {
+    import org.apache.spark.sql.graft.GraftIndex
+    NonAtomicCreateFileSystem.reset()
+    org.apache.spark.sql.graft.ConditionalPut.registerJvmLocal("natomic")
+    try {
+      val base = tmp("graft_arb_sync")
+      val src = "natomic:" + base + "/t"
+      val bak = "natomic:" + base + "/backup"
+      ManifestTable.write(
+        spark.range(40).select($"id", ($"id" % 5).as("v")).repartition(2), src)
+      assert(ManifestTable.appendTagged(
+        spark.range(40, 50).select($"id", ($"id" % 5).as("v")).coalesce(1),
+        src, "arb-ep-0"))
+      val full = ManifestTable.syncSnapshot(spark, src, bak)
+      assert(full >= 3, s"first sync is the full clone: $full")
+      ManifestTable.append(
+        spark.range(50, 55).select($"id", ($"id" % 5).as("v")).coalesce(1), src)
+      val delta = ManifestTable.syncSnapshot(spark, src, bak)
+      assert(delta == 1, s"only the appended file may move: $delta")
+      val v = ManifestTable.verifyBackup(spark, src, bak)
+      assert(v.ok && v.tagDrift == 0, v.toString)
+      assert(ManifestTable.hasTag(spark, bak, "arb-ep-0"),
+        "the ledger must mirror through the dialect")
+      assert(!ManifestTable.appendTagged(
+        spark.range(40, 50).select($"id", ($"id" % 5).as("v")).coalesce(1),
+        bak, "arb-ep-0"), "the cutover replay must no-op on this store too")
+      assert(ManifestTable.read(spark, bak).count() ==
+        ManifestTable.read(spark, src).count())
+      assert(ManifestTable.fsck(spark, bak).ok)
+    } finally GraftIndex.unregisterArbiter("natomic")
+  }
 }
