@@ -106,13 +106,18 @@ object Similarity {
    */
   def writeBucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, nBits: Int = 8,
-      scheme: SrpScheme = SrpScheme.xxh, filesPerLeaf: Int = 4): Unit = {
-    require(filesPerLeaf > 0, "filesPerLeaf must be positive")
+      scheme: SrpScheme = SrpScheme.xxh, filesPerLeaf: Int = 0): Unit = {
+    require(filesPerLeaf >= 0, "filesPerLeaf must be non-negative (0 = auto)")
+    // 0 = size-adaptive (round-18 optimization, guide §2/§6): per-leaf
+    // writer count derived from the input size estimate (~512 MB/file)
+    // instead of a constant tuned for one scale.
+    val fpl = if (filesPerLeaf > 0) filesPerLeaf
+      else graft.store.Compaction.adaptiveFilesPerLeaf(df, 1 << nBits)
     df.select(col(idCol), col(vecCol),
         scheme.bucketCol(col(vecCol), nBits).as("bucket"))
-      // born at the compaction target: ≤ filesPerLeaf files per bucket dir
-      // instead of tasks × buckets small ones (raise for huge leaves)
-      .repartition(col("bucket"), pmod(hash(col(idCol)), lit(filesPerLeaf)))
+      // born at the compaction target: ≤ fpl files per bucket dir
+      // instead of tasks × buckets small ones
+      .repartition(col("bucket"), pmod(hash(col(idCol)), lit(fpl)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
     // each bucket leaf becomes its own manifest table (pure fs metadata) so
     // every later rewrite is reader-concurrent — see graft.store.Compaction
@@ -527,12 +532,16 @@ object Similarity {
 
   def writeIvfCorpus(df: DataFrame, idCol: String, vecCol: String,
       path: String, cents: Array[Array[Double]],
-      filesPerLeaf: Int = 4): Unit = {
-    require(filesPerLeaf > 0, "filesPerLeaf must be positive")
+      filesPerLeaf: Int = 0): Unit = {
+    require(filesPerLeaf >= 0, "filesPerLeaf must be non-negative (0 = auto)")
+    // 0 = size-adaptive (round-18 optimization, guide §2/§6): per-cell
+    // writer count derived from the input size estimate (~512 MB/file).
+    val fpl = if (filesPerLeaf > 0) filesPerLeaf
+      else graft.store.Compaction.adaptiveFilesPerLeaf(df, cents.length)
     df.select(col(idCol), col(vecCol), cellOf(col(vecCol), cents).as("cell"))
-      // born at the compaction target: ≤ filesPerLeaf files per cell dir
-      // instead of tasks × cells small ones (raise for huge cells)
-      .repartition(col("cell"), pmod(hash(col(idCol)), lit(filesPerLeaf)))
+      // born at the compaction target: ≤ fpl files per cell dir
+      // instead of tasks × cells small ones
+      .repartition(col("cell"), pmod(hash(col(idCol)), lit(fpl)))
       .write.partitionBy("cell").mode("overwrite").parquet(path)
     // each cell leaf becomes its own manifest table (pure fs metadata), so
     // every later rewrite is reader-concurrent — see graft.store.Compaction

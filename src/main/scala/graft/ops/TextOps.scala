@@ -666,9 +666,15 @@ object TextOps {
    * corpus text.
    */
   def writeBm25Index(df: DataFrame, idCol: String, textCol: String,
-      path: String, nBuckets: Int = 64, filesPerLeaf: Int = 4): Unit = {
+      path: String, nBuckets: Int = 64, filesPerLeaf: Int = 0): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
-    require(filesPerLeaf > 0, "filesPerLeaf must be positive")
+    require(filesPerLeaf >= 0, "filesPerLeaf must be non-negative (0 = auto)")
+    // 0 = size-adaptive (round-18 optimization, guide §2/§6): one writer per
+    // leaf per ~512 MB of estimated input — a small corpus gets one file per
+    // leaf instead of 4 tiny ones, a 100 TB corpus gets enough writers to
+    // keep files in the columnar sweet spot. Explicit values still win.
+    val fpl = if (filesPerLeaf > 0) filesPerLeaf
+      else graft.store.Compaction.adaptiveFilesPerLeaf(df, nBuckets)
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
         explode(col("tk")).as("term"))
@@ -677,10 +683,8 @@ object TextOps {
         pmod(graft.functions.GraftFunctions.md5_prefix60(col("term")),
           lit(nBuckets.toLong)))
       // born at the compaction target: group rows by (leaf, salt) so each
-      // bucket dir gets ≤ filesPerLeaf files instead of tasks × buckets
-      // small ones (raise filesPerLeaf when a leaf's slice outgrows what
-      // filesPerLeaf writers should each hold — ~leafBytes/1 GB)
-      .repartition(col("bucket"), pmod(hash(col("id")), lit(filesPerLeaf)))
+      // bucket dir gets ≤ fpl files instead of tasks × buckets small ones
+      .repartition(col("bucket"), pmod(hash(col("id")), lit(fpl)))
       .write.partitionBy("bucket").mode("overwrite").parquet(path + "/postings")
     // each bucket leaf becomes its own manifest table (pure fs metadata) so
     // every later rewrite is reader-concurrent — see graft.store.Compaction
@@ -707,6 +711,13 @@ object TextOps {
     // is no crash window in which stats are missing or torn
     graft.store.ManifestTable.write(
       statsFromDocs(df.sparkSession, path), path + "/stats")
+    // stamp the docs fingerprint the fresh stats derive from (round-18
+    // derived-sidecar skip — see rewriteStats): the tombstone sidecar was
+    // just drained, so stats ≡ aggregate(docs) holds here by construction
+    graft.store.ManifestTable.snapshotFingerprint(df.sparkSession,
+        path + "/docs")
+      .foreach(fp => graft.store.ManifestTable.writeDerivedFrom(
+        df.sparkSession, path + "/stats", fp))
   }
 
   private def bm25TombstonesDir(path: String): String = path + "/tombstones"
@@ -914,7 +925,26 @@ object TextOps {
     val staged = new org.apache.hadoop.fs.Path(path + "/stats__staged")
     val fs = staged.getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(staged, true): Unit
+    // Round-18 optimization (derived-sidecar skip): when no takedown mask is
+    // pending, stats ≡ aggregate(docs) — if the live stats generation
+    // already records the CURRENT docs snapshot fingerprint, recomputing
+    // would commit a byte-identical value. Skip the read-aggregate-write
+    // cycle (two Spark jobs + a manifest commit) for one fs listing — the
+    // convergence paths this serves (tagged replays, blind retries, the
+    // no-op append) are exactly the ones that re-run over unchanged docs.
+    // With tombstones pending stats ≠ aggregate(docs): always recompute and
+    // never stamp (a masked value must not claim the unmasked fingerprint).
+    val noTombstones = bm25Tombstones(spark, path).isEmpty
+    val docsFp =
+      if (noTombstones)
+        graft.store.ManifestTable.snapshotFingerprint(spark, path + "/docs")
+      else None
+    if (docsFp.isDefined && docsFp ==
+        graft.store.ManifestTable.readDerivedFrom(spark, path + "/stats"))
+      return
     graft.store.ManifestTable.write(statsFromDocs(spark, path), path + "/stats")
+    docsFp.foreach(fp =>
+      graft.store.ManifestTable.writeDerivedFrom(spark, path + "/stats", fp))
   }
 
   /**

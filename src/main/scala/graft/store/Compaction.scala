@@ -101,6 +101,29 @@ object Compaction {
     df.write.option("mapreduce.fileoutputcommitter.algorithm.version",
       committerFor(df.sparkSession, target))
 
+  /** Size-adaptive per-leaf writer fan-out for the born-at-compaction-target
+    * partitioned writers (BM25 postings, SRP buckets, IVF cells). Guide
+    * §2/§6 discipline: the per-leaf file count derives from the INPUT SIZE
+    * ESTIMATE (~512 MB per output file, the columnar-file sweet spot), not
+    * from a constant tuned for one scale — a 600 KB bench corpus gets one
+    * writer per leaf (64 files, not 256 tiny ones), a 100 TB corpus gets
+    * ~leafBytes/512 MB writers (the old constant 4 would emit multi-GB
+    * files there). Plans with no usable size estimate (Catalyst's unknown
+    * sentinel) keep the legacy fan-out of 4. `graft.filesPerLeaf` overrides
+    * for operators that know their layout better. */
+  private[graft] def adaptiveFilesPerLeaf(df: DataFrame, nLeaves: Int): Int = {
+    val conf = df.sparkSession.conf.getOption("graft.filesPerLeaf")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+    conf.getOrElse {
+      val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) 4 // unknown estimate
+      else {
+        val perLeaf = est / math.max(1, nLeaves)
+        ((perLeaf / BigInt(512L << 20)) + 1).min(1024).max(1).toInt
+      }
+    }
+  }
+
   /** Order-preserving map over leaves on a bounded pool — every per-leaf
     * fs-metadata loop (resolve / migrate / vacuum) goes through this so no
     * maintenance or read path is serial in leaf count (the driver-side
@@ -528,28 +551,20 @@ object Compaction {
     if (dirs.isEmpty) return 0
     if (!onlyIfOverTarget)
       return rewriteLeavesBatched(spark, rootPath, fs, dirs, targetFiles, transform)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, dirs.length))
-    val futures = dirs.map { p =>
-      pool.submit(new java.util.concurrent.Callable[Boolean] {
-        def call(): Boolean = {
-          val n = ManifestTable.dataFileCount(spark, p.toString)
-          if (n == 0 || n <= targetFiles) false
-          else {
-            ManifestTable.compact(spark, p.toString, targetFiles, transform)
-            true
-          }
-        }
-      })
-    }
-    // drain EVERY future before reporting or rethrowing: a caller reacting
-    // to one leaf's failure (recovery, next maintenance step) must not race
-    // rewrites still running in the background
-    val outcomes = futures.map(f => scala.util.Try(f.get()))
-    pool.shutdown()
-    pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS): Unit
-    outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
-    outcomes.count(_.getOrElse(false))
+    // compaction (round-18 optimization): decide over-target leaves from fs
+    // METADATA alone (pooled), then rewrite the selected leaves through the
+    // SAME batched one-job path as every other layout-wide rewrite. The
+    // per-leaf ManifestTable.compact loop this replaces paid one tiny Spark
+    // job per over-target leaf (pool of 8) — a 64-bucket BM25 compaction
+    // after a daily append has every leaf over target, i.e. 64 job
+    // round-trips ≈ the whole verb's cost at bench scale and the O(leaves)
+    // driver pattern at 100 TB. Skipped leaves still cost only a listing.
+    val over = pooledMap(dirs) { p =>
+      val n = ManifestTable.dataFileCount(spark, p.toString)
+      Option.when(n > 0 && n > targetFiles)(p)
+    }.flatten
+    if (over.isEmpty) 0
+    else rewriteLeavesBatched(spark, rootPath, fs, over, targetFiles, transform)
   }
 
   /** The batched every-leaf rewrite core — see [[rewritePartitions]]. */
@@ -557,6 +572,14 @@ object Compaction {
       fs: org.apache.hadoop.fs.FileSystem, dirs: Seq[Path], targetFiles: Int,
       transform: DataFrame => DataFrame): Int = {
     import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    val dbg = java.lang.Boolean.getBoolean("graft.debug.maintainTiming") ||
+      sys.env.contains("GRAFT_DEBUG_TIMING")
+    var tDbg = System.nanoTime()
+    def lap(what: String): Unit = if (dbg) {
+      val now = System.nanoTime()
+      System.err.println(f"[rewrite] $what ${(now - tDbg) / 1e9}%.2fs")
+      tDbg = now
+    }
     val partitionCol = dirs.head.getName.takeWhile(_ != '=')
     // plan (pooled fs metadata); flat leaves migrate first so every commit
     // below is a staged-generation swap
@@ -571,6 +594,7 @@ object Compaction {
           files.map(r => s"$t/${r._1}")))
       }
     }.flatten
+    lap(s"plan(${dirs.length} leaves)")
     if (plans.isEmpty) return 0
     // non-canonical leaf names (external tools only) would re-stage under a
     // DIFFERENT name and read as "transform emptied the leaf" — silent row
@@ -607,6 +631,7 @@ object Compaction {
       ".stage-rewrite-" + java.util.UUID.randomUUID().toString.take(12))
     stagedWrite(routed, stage.toString).partitionBy(partitionCol)
       .mode("overwrite").parquet(stage.toString)
+    lap("merge-job")
     // a transform may only FILTER rows, never rewrite their partition
     // values: a rewritten value routes rows into a staged leaf outside the
     // planned set, which the stage-dir delete below would silently destroy
@@ -640,6 +665,7 @@ object Compaction {
       ManifestTable.commitStagedGen(spark, pl._1.toString, pl._3, pl._2, Nil)
     })
     fs.delete(stage, true)
+    lap(s"commit(${canonical.length} leaves)")
     outcomes.collectFirst { case scala.util.Failure(e) => e }.foreach(throw _)
     nonCanonical.length + canonical.length
   }

@@ -278,6 +278,54 @@ object ManifestTable {
     retainedRelFs(fs, dir, gen)
   }
 
+  /** Content fingerprint of the live snapshot — the generation name plus
+    * every data file's (relative path, length), md5-hashed. Two reads of an
+    * unchanged table fingerprint identically; any append/rewrite/drain
+    * changes it (appends add files to the live dir, rewrites swap the
+    * generation). Pure fs metadata (one listing). None on a flat/absent
+    * layout — callers fall back to recomputing whatever the fingerprint
+    * would have gated. Powers the round-18 derived-sidecar skip (see
+    * [[writeDerivedFrom]]). */
+  private[graft] def snapshotFingerprint(spark: SparkSession,
+      table: String): Option[String] = {
+    val (fs, dir) = fsOf(spark, table)
+    liveGen(spark, table).map { live =>
+      val parts = snapshotFiles(fs, dir, live).sortBy(_._1)
+        .map { case (p, len) => s"$p:$len" }
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update((live +: parts).mkString("\n").getBytes("UTF-8"))
+      md.digest().map("%02x".format(_)).mkString
+    }
+  }
+
+  private val DerivesName = "_DERIVES"
+
+  /** Stamp the DERIVED table's live generation with the SOURCE snapshot
+    * fingerprint it was computed from (round-18 optimization): a derived
+    * sidecar rewrite (e.g. BM25 stats ≡ aggregate(docs)) that would
+    * recompute from an UNCHANGED source can skip the Spark job entirely —
+    * the retry/replay convergence paths pay one fs listing instead of a
+    * read-aggregate-write cycle. Written AFTER the derived generation
+    * commits: a crash between commit and stamp just loses the skip (the
+    * next rewrite recomputes), never correctness. */
+  private[graft] def writeDerivedFrom(spark: SparkSession, table: String,
+      sourceFp: String): Unit = {
+    val (fs, dir) = fsOf(spark, table)
+    liveGen(spark, table).foreach(g =>
+      writeMetaLines(fs, new Path(dir, g), DerivesName, Seq(sourceFp)))
+  }
+
+  /** The source fingerprint the live generation recorded at write time
+    * ([[writeDerivedFrom]]); None when never stamped (pre-round-18
+    * generations, crash between commit and stamp, flat layouts). */
+  private[graft] def readDerivedFrom(spark: SparkSession,
+      table: String): Option[String] = {
+    val (fs, dir) = fsOf(spark, table)
+    liveGen(spark, table)
+      .flatMap(g => readMetaLines(fs, new Path(dir, g), DerivesName))
+      .flatMap(_.headOption)
+  }
+
   /** Every path a scan of generation `gen` must open: its dir plus any
     * retained files. */
   private[store] def pathsFor(spark: SparkSession, table: String,
