@@ -187,6 +187,33 @@ object PhaseProbe {
               .repartition(col("bucket"))
               .write.partitionBy("bucket").mode("overwrite")
               .parquet(base + "/parted64"))
+        case "epoch" => // one ingestIntoClusters epoch, decomposed (no stream)
+          val salt = java.lang.ProcessHandle.current().pid() + "_" + rep
+          val pairsPath = sys.props("java.io.tmpdir") + s"/graft_probe_ep_pairs_$salt"
+          val clustersPath =
+            sys.props("java.io.tmpdir") + s"/graft_probe_ep_clusters_$salt"
+          phase("writePairs")(ops.Dedup.writePairs(
+            docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
+            pairsPath, shingleSize = 3, minJaccard = 0.2, maxDf = Some(1000)))
+          phase("writeClusters")(ops.Dedup.writeClusters(spark, pairsPath,
+            clustersPath, threshold = 0.8))
+          val batch = docs.where(col("doc_id") % 8 === 1)
+            .select(col("doc_id"), col("text"))
+          phase("appendPairs")(ops.Dedup.appendPairs(batch, "doc_id", "text",
+            pairsPath, 3, 0.2, Some(1000), batchId = Some("probe-0")))
+          val bids = org.apache.spark.sql.functions.broadcast(
+            batch.select(col("doc_id").as("__bid")).distinct())
+          val p = phase("readPairs-plan")(
+            ops.Dedup.readPairs(spark, pairsPath, 0.8))
+          val delta = p.join(bids, p("id_a") === col("__bid"), "left_semi")
+            .unionByName(p.join(bids, p("id_b") === col("__bid"), "left_semi"))
+            .select(col("id_a"), col("id_b"))
+          phase("appendToClusters")(ops.Dedup.appendToClusters(spark,
+            clustersPath, delta))
+          phase("appendPairs-replay")(ops.Dedup.appendPairs(batch, "doc_id",
+            "text", pairsPath, 3, 0.2, Some(1000), batchId = Some("probe-0")))
+          phase("fold-replay")(ops.Dedup.appendToClusters(spark,
+            clustersPath, delta))
         case other => sys.error(s"unknown probe target: $other")
       }
       spark.sparkContext.getPersistentRDDs.values

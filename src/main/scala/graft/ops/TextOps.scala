@@ -869,7 +869,8 @@ object TextOps {
         s"layout) — rebuild via writeBm25Index: $path")
     // a tombstoned id re-arriving would hide its new postings behind its
     // own takedown — refuse loudly; compactBm25Index (the drain) first
-    bm25Tombstones(spark, path).foreach { t =>
+    val tombs = bm25Tombstones(spark, path)
+    tombs.foreach { t =>
       val clash = df.select(col(idCol).as("__bid")).distinct()
         .join(t.select(col("id").as("__ts_id")),
           col("__bid") === col("__ts_id"), "left_semi").count()
@@ -881,14 +882,46 @@ object TextOps {
       graft.store.ManifestTable.hasTag(spark, path + "/docs", t))
     val postsDone = batchId.exists(t =>
       graft.store.Compaction.hasTag(spark, path + "/postings", t))
+    // Round-18 optimization (additive stats, guide §1.2/§2.3 "aggregate
+    // before you shuffle; don't recompute what you already know"): when the
+    // live stats generation provably derives from the CURRENT pre-append
+    // docs snapshot (the O3 fingerprint stamp) and no tombstone mask is
+    // pending, the post-append stats are EXACTLY old + batch — count and
+    // sum are decomposable aggregates — so the O(corpus) docs re-scan every
+    // append used to pay becomes O(batch): the batch's (n, Σdl) rides the
+    // docs-append job itself as an Observation (no second tokenization
+    // pass), and the stats rewrite folds it into the old one-row sidecar.
+    // Any out-of-sync state (crash residue, pre-round-18 generations,
+    // pending tombstones, tagged no-op retries) falls back to the full
+    // re-derive, which remains the convergence path.
+    val preSynced = tombs.isEmpty && !docsDone && {
+      val fp = graft.store.ManifestTable.snapshotFingerprint(
+        spark, path + "/docs")
+      fp.isDefined && fp ==
+        graft.store.ManifestTable.readDerivedFrom(spark, path + "/stats")
+    }
     val members = df.select(col(idCol).as("id"),
       token_count(lower(col(textCol))).cast("bigint").as("dl"))
-    if (!docsDone) batchId match {
-      case Some(t) =>
-        graft.store.ManifestTable.appendTagged(members,
-          path + "/docs", t): Unit
-      case None =>
-        graft.store.ManifestTable.append(members, path + "/docs")
+    var batchAgg: Option[(Long, Option[Long])] = None
+    if (!docsDone) {
+      val obs = new org.apache.spark.sql.Observation(
+        "graft_bm25_append_stats_" + java.util.UUID.randomUUID().toString)
+      val observed = members.observe(obs, count(lit(1)).as("n"),
+        sum(col("dl")).as("s"))
+      val wrote = batchId match {
+        case Some(t) =>
+          graft.store.ManifestTable.appendTagged(observed, path + "/docs", t)
+        case None =>
+          graft.store.ManifestTable.append(observed, path + "/docs"); true
+      }
+      // `wrote` is always true here (docsDone was checked above and writes
+      // are single-maintainer), but obs.get BLOCKS until its action runs —
+      // never wait on an observation whose job was skipped
+      if (wrote) {
+        val m = obs.get
+        batchAgg = Some((m("n").asInstanceOf[Long],
+          Option(m("s")).map(_.asInstanceOf[Long])))
+      }
     }
     if (!postsDone) {
       val toks = df.select(col(idCol).as("id"),
@@ -908,11 +941,32 @@ object TextOps {
       graft.store.Compaction.appendPartitions(posted,
         path + "/postings", "bucket", batchId): Unit
     }
-    // stats re-derive from the UPDATED membership table (tiny (id, dl)
-    // read — no second tokenization pass) and commit as a new stats
-    // generation. On a tagged retry this runs even when both appends
-    // already committed, converging the stats-behind-docs crash window.
-    rewriteStats(spark, path)
+    // stats: the additive path (see preSynced above) folds the observed
+    // batch aggregate into the old one-row sidecar — O(batch), no docs
+    // scan; every other state re-derives from the updated membership
+    // table (rewriteStats), which also converges the stats-behind-docs
+    // crash window on tagged retries.
+    (batchAgg, preSynced) match {
+      case (Some((bn, bs)), true) =>
+        val old = graft.store.ManifestTable.read(spark, path + "/stats")
+          .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
+          .head()
+        val oldN = if (old.isNullAt(0)) 0L else old.getLong(0)
+        val oldS = if (old.isNullAt(1)) None else Some(old.getLong(1))
+        // SQL sum semantics: null only when EVERY input is null
+        val newS: Option[Long] = (oldS, bs) match {
+          case (Some(a), Some(b)) => Some(a + b)
+          case (a, b) => a.orElse(b)
+        }
+        import spark.implicits._
+        val fresh = Seq((oldN + bn, newS))
+          .toDF("n_docs", "sum_dl")
+        graft.store.ManifestTable.write(fresh, path + "/stats")
+        graft.store.ManifestTable.snapshotFingerprint(spark, path + "/docs")
+          .foreach(fp => graft.store.ManifestTable.writeDerivedFrom(
+            spark, path + "/stats", fp))
+      case _ => rewriteStats(spark, path)
+    }
   }
 
   /** Commit `stats ≡ aggregate(docs)` as a new generation of the stats

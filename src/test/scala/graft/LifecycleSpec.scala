@@ -765,6 +765,42 @@ class LifecycleSpec extends SparkSpec {
       canon(TextOps.bm25TopKFromIndex(spark, fresh, q, 10, nBuckets = 4)))
   }
 
+  test("appendBm25Index additive stats (round-18): every append leaves " +
+      "stats == aggregate(docs) exactly, including null-text members, " +
+      "and an out-of-sync sidecar falls back to the full re-derive") {
+    val docs = Seq(
+      (1L, "spark window merge spark"), (2L, "window table scan"),
+      (3L, null.asInstanceOf[String]), (4L, "filter scan batch window"),
+      (5L, "merge join spark"), (6L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+    val path = tmp("graft_bm25_addstats") + "/bm25"
+    TextOps.writeBm25Index(docs.where(col("id") <= 2), "id", "text", path,
+      nBuckets = 4)
+    def scratchAgg() = multiset(
+      ManifestTable.read(spark, path + "/docs")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    def stats() = multiset(ManifestTable.read(spark, path + "/stats"))
+    // additive path: synced sidecar + fresh batch (null-text dl rides as
+    // null — counted in n_docs, skipped by the sum, exactly like scratch)
+    TextOps.appendBm25Index(docs.where(col("id") === 3L || col("id") === 4L),
+      "id", "text", path, nBuckets = 4, batchId = Some("add-1"))
+    assert(stats() == scratchAgg(), "additive stats must equal aggregate(docs)")
+    // second additive hop composes
+    TextOps.appendBm25Index(docs.where(col("id") === 5L || col("id") === 6L),
+      "id", "text", path, nBuckets = 4, batchId = Some("add-2"))
+    assert(stats() == scratchAgg(), "two additive hops must still be exact")
+    // out-of-sync sidecar (simulate a pre-round-18 generation / crash
+    // residue: stale stats with no usable fingerprint) — the next append
+    // must fall back to the full re-derive and still converge
+    import spark.implicits._
+    ManifestTable.write(Seq((999L, Some(999L))).toDF("n_docs", "sum_dl"),
+      path + "/stats") // no fingerprint stamp rides this write
+    TextOps.appendBm25Index(Seq((7L, "spark again")).toDF("id", "text"),
+      "id", "text", path, nBuckets = 4, batchId = Some("add-3"))
+    assert(stats() == scratchAgg(),
+      "an unsynced sidecar must re-derive from the docs membership")
+  }
+
   test("layout writers are born at the compaction target: every leaf holds " +
       "at most filesPerLeaf live files, not tasks x leaves small ones") {
     def leafCounts(root: String, prefix: String): Seq[Int] =
