@@ -1642,6 +1642,33 @@ object Dedup {
    * Returns (id, rep, cluster_size) for every vertex that appears in a pair —
    * rep is the cluster's minimum id, the member `removeDuplicates` keeps.
    */
+  /** The driver-side Ordering matching what the distributed loop's
+    * `least()`/`min()` compare for an id type — UTF8String byte order for
+    * strings (NOT Java's UTF-16 code-unit order, which diverges on
+    * supplementary characters), numeric order for the integral types. None
+    * for types the small-graph fast paths do not handle. */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte].toLong))
+      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short].toLong))
+      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int].toLong))
+      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
+      case StringType => Some(new Ordering[Any] {
+        // UTF-8 byte order — EXACTLY what the loop's least() compares
+        // (UTF8String), not Java's UTF-16 code-unit order, which diverges
+        // on supplementary characters
+        def compare(x: Any, y: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String
+            .fromString(x.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String
+              .fromString(y.asInstanceOf[String]))
+      })
+      case _ => None // exotic id types keep the type-agnostic loop
+    }
+  }
+
   def clusterDuplicates(pairs: DataFrame, idA: String = "id_a",
       idB: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.sql.types._
@@ -1662,17 +1689,6 @@ object Dedup {
     val spark = edgesRaw.sparkSession
     val sessionParts = spark.sessionState.conf.numShufflePartitions
     val isStringId = edgesRaw.schema("src").dataType == StringType
-    // One aggregate pass serves both gates below: the edge COUNT and — for
-    // string ids only — the average combined id width. Doc ids in web-crawl
-    // dedup are often URLs: 200k edges × 2 ids × ~300 chars is tens of MB
-    // of driver heap, not the "few MB" an edge-count gate alone assumes
-    // (round-15 verdict), so the fast path gates on estimated BYTES too.
-    val (edgeCount, avgIdChars) =
-      if (isStringId) {
-        val r = edgesRaw.agg(count(lit(1)),
-          avg(length(col("src")) + length(col("dst")))).head()
-        (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
-      } else (edgesRaw.count(), 0.0)
     // Small-graph fast path (round 15): the pointer-jumping loop pays
     // per-round JOB overhead (join + checkpoint + convergence aggregate —
     // ~0.5 s/round on a busy local session) that dwarfs the data work on
@@ -1699,28 +1715,38 @@ object Dedup {
     // before the driver heap is at risk — concurrent calls multiply.
     val byteBudget = spark.conf.getOption("graft.cc.smallGraphBytes")
       .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
+    val smallOrd: Option[Ordering[Any]] =
+      idOrdering(edgesRaw.schema("src").dataType)
+    // One aggregate pass serves both gates: the edge COUNT and — for
+    // string ids only — the average combined id width. Doc ids in web-crawl
+    // dedup are often URLs: 200k edges × 2 ids × ~300 chars is tens of MB
+    // of driver heap, not the "few MB" an edge-count gate alone assumes
+    // (round-15 verdict), so the fast path gates on estimated BYTES too.
+    // FIXED-WIDTH ids fuse the gate with the fast path's collect (round 19,
+    // guide §1.2): their byte estimate is a pure function of the edge count,
+    // so the row cap can fold BOTH gates up front and ONE bounded
+    // limit-collect both decides the gate and — when it passes — already
+    // holds every edge the fast path needs (previously: a count() job, then
+    // a collect() job). An over-cap graph falls back to count() for loop
+    // sizing; the probe's partitions land in the persisted cache either way.
+    val (edgeCount, avgIdChars, probed) =
+      if (isStringId) {
+        val r = edgesRaw.agg(count(lit(1)),
+          avg(length(col("src")) + length(col("dst")))).head()
+        (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1), None)
+      } else if (smallOrd.isDefined) {
+        val cap = math.min(smallGate, byteBudget / 96L)
+          .min(Int.MaxValue - 2L).max(0L).toInt
+        val rows = edgesRaw.limit(cap + 1).collect()
+        if (rows.length <= cap) (rows.length.toLong, 0.0, Some(rows))
+        else (edgesRaw.count(), 0.0, None)
+      } else (edgesRaw.count(), 0.0, None)
     val estBytes = edgeCount * 96L + (edgeCount * 4L * avgIdChars).toLong
-    val smallOrd: Option[Ordering[Any]] = edgesRaw.schema("src").dataType match {
-      case ByteType => Some(Ordering.by((a: Any) => a.asInstanceOf[Byte].toLong))
-      case ShortType => Some(Ordering.by((a: Any) => a.asInstanceOf[Short].toLong))
-      case IntegerType => Some(Ordering.by((a: Any) => a.asInstanceOf[Int].toLong))
-      case LongType => Some(Ordering.by((a: Any) => a.asInstanceOf[Long]))
-      case StringType => Some(new Ordering[Any] {
-        // UTF-8 byte order — EXACTLY what the loop's least() compares
-        // (UTF8String), not Java's UTF-16 code-unit order, which diverges
-        // on supplementary characters
-        def compare(x: Any, y: Any): Int =
-          org.apache.spark.unsafe.types.UTF8String
-            .fromString(x.asInstanceOf[String])
-            .compareTo(org.apache.spark.unsafe.types.UTF8String
-              .fromString(y.asInstanceOf[String]))
-      })
-      case _ => None // exotic id types keep the type-agnostic loop
-    }
-    if (edgeCount <= smallGate && estBytes <= byteBudget && smallOrd.isDefined) {
+    if (probed.isDefined ||
+        (edgeCount <= smallGate && estBytes <= byteBudget && smallOrd.isDefined)) {
       smallGraphFastPathRuns.incrementAndGet(): Unit
       implicit val ord: Ordering[Any] = smallOrd.get
-      val local = edgesRaw.collect() // bounded by the gate above
+      val local = probed.getOrElse(edgesRaw.collect()) // bounded by the gates
       edgesRaw.unpersist(blocking = false)
       val parent = new java.util.HashMap[Any, Any]()
       def find(x: Any): Any = {
@@ -1918,14 +1944,193 @@ object Dedup {
    * exact no-op (all endpoints already share reps ⇒ the rep graph is
    * empty), so a blind crash-retry is safe without tags. Returns the
    * number of rows upserted.
+   *
+   * Execution shape (round 19, guide §1.2/§2.4/§3.2): a delta within the
+   * `graft.cc.smallGraphEdges`/`smallGraphBytes` driver budget (the same
+   * gate class as [[clusterDuplicates]]' small-graph fast path) folds in
+   * THREE actions instead of the previous ~6 — one bounded collect of the
+   * delta edges, one FILE-PRUNED collect of the stored reps for just those
+   * endpoints (`In(doc_id, …)` rides the keyed store's key-range split
+   * pruning: O(touched files), never the full-assignment scan the old
+   * double-join paid per epoch), and one job building the member updates
+   * (a broadcast map join — only when some component's representative
+   * actually changes). The rep contraction and min-id union-find run on
+   * the driver under the SAME UTF8String/numeric ordering the distributed
+   * loop compares, so results are identical bit for bit
+   * (DedupClusterSpec pins the two paths to each other). Over-budget
+   * deltas take the distributed path unchanged.
    */
   def appendToClusters(spark: org.apache.spark.sql.SparkSession,
       clustersPath: String, deltaPairs: DataFrame,
       idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 25): Long = {
+    import org.apache.spark.sql.types._
     import graft.store.KeyedStore
     val stored = KeyedStore.readKeyed(spark, clustersPath, "doc_id")
       .select(col("doc_id"), col("rep"))
+    val edgesRaw = deltaPairs.select(col(idA).as("a"), col(idB).as("b"))
+    val dt = edgesRaw.schema("a").dataType
+    // the fused fold mixes raw delta ids and stored reps in one driver
+    // structure — only sound when all three columns share one type (they
+    // always do in practice; a widening delta falls back to the joins,
+    // whose implicit casts define the semantics)
+    val smallOrd: Option[Ordering[Any]] =
+      if (edgesRaw.schema("b").dataType == dt &&
+          stored.schema("doc_id").dataType == dt &&
+          stored.schema("rep").dataType == dt) idOrdering(dt)
+      else None
+    val smallGate = spark.conf.getOption("graft.cc.smallGraphEdges")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(200000L)
+    val byteBudget = spark.conf.getOption("graft.cc.smallGraphBytes")
+      .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(64L << 20)
+    // Bounded collect of the RAW delta edges. Fixed-width ids: the byte
+    // estimate is a pure function of the row count, so ONE limit-collect
+    // folds both gates and already holds every edge the fold needs. String
+    // ids byte-gate with one aggregate first (the round-15/16 driver-heap
+    // discipline — URL ids can be hundreds of bytes each), over a persisted
+    // projection so the delta computes once.
+    val collected: Option[Array[org.apache.spark.sql.Row]] =
+      if (smallOrd.isEmpty) None
+      else if (dt != StringType) {
+        val cap = math.min(smallGate, byteBudget / 96L)
+          .min(Int.MaxValue - 2L).max(0L).toInt
+        val rows = edgesRaw.limit(cap + 1).collect()
+        if (rows.length <= cap) Some(rows) else None
+      } else {
+        val p = edgesRaw.persist()
+        try {
+          val r = p.agg(count(lit(1)),
+            avg(length(col("a")) + length(col("b")))).head()
+          val nEdges = r.getLong(0)
+          val w = if (r.isNullAt(1)) 0.0 else r.getDouble(1)
+          if (nEdges <= smallGate &&
+              nEdges * 96L + (nEdges * 4L * w).toLong <= byteBudget)
+            Some(p.collect())
+          else None
+        } finally p.unpersist(blocking = false)
+      }
+    collected match {
+      case Some(rows) =>
+        foldClustersLocal(spark, clustersPath, stored, rows)(smallOrd.get)
+      case None =>
+        appendToClustersDistributed(spark, clustersPath, stored, deltaPairs,
+          idA, idB, maxIter)
+    }
+  }
+
+  /** Observable run counter for the fused driver fold — lets specs assert
+    * which path served a call without parsing plans. */
+  private[graft] val clusterFoldFastPathRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The fused driver-side epoch fold (see [[appendToClusters]]): rep
+    * contraction + min-id union-find over the collected delta, a
+    * file-pruned rep lookup instead of the full-table double-join, and at
+    * most one stored scan (member updates) when a representative changes.
+    * Result-identical to the distributed path by construction: same
+    * null/self-loop drops as the `=!=` filter, same min-id election under
+    * [[idOrdering]], same upsert row set and count. */
+  private def foldClustersLocal(spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String, stored: DataFrame,
+      edges: Array[org.apache.spark.sql.Row])(
+      implicit ord: Ordering[Any]): Long = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    import graft.store.KeyedStore
+    clusterFoldFastPathRuns.incrementAndGet(): Unit
+    // distinct non-null endpoints (a null side nulls the distributed
+    // path's =!= predicate — the edge is dropped there too)
+    val endpoints = new java.util.LinkedHashSet[Any]()
+    edges.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      if (a != null && b != null) { endpoints.add(a): Unit; endpoints.add(b): Unit }
+    }
+    if (endpoints.isEmpty) return 0L
+    // file-pruned rep lookup: In(doc_id, endpoints) pushes into the graft
+    // connector's key-range split pruning — the fold reads O(touched
+    // files) of the assignment table, not all of it
+    val repOf = new java.util.HashMap[Any, Any]()
+    stored.where(col("doc_id").isInCollection(endpoints.asScala))
+      .collect()
+      .foreach(r => repOf.put(r.get(0), r.get(1)): Unit)
+    // contract each edge onto the rep graph; edges that collapse inside
+    // one component vanish, exactly like the distributed =!= filter
+    val parent = new java.util.HashMap[Any, Any]()
+    val isNew = new java.util.HashSet[Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) {
+        val n = parent.get(c); parent.put(c, r); c = n
+      }
+      r
+    }
+    edges.foreach { r =>
+      val a0 = r.get(0); val b0 = r.get(1)
+      if (a0 != null && b0 != null) {
+        val a = if (repOf.containsKey(a0)) repOf.get(a0) else a0
+        val b = if (repOf.containsKey(b0)) repOf.get(b0) else b0
+        if (a != b) {
+          if (!repOf.containsKey(a0)) isNew.add(a0): Unit
+          if (!repOf.containsKey(b0)) isNew.add(b0): Unit
+          parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(ra, rb)
+        }
+      }
+    }
+    if (parent.isEmpty) return 0L // delta lands inside existing components
+    // min-id representative per touched component, under the same ordering
+    // the distributed least()/min() compare
+    val members = parent.keySet().asScala.toSeq.groupBy(find)
+    val remap: Seq[(Any, Any)] = members.valuesIterator.flatMap { ms =>
+      val rep = ms.min
+      ms.iterator.map(m => m -> rep)
+    }.toSeq
+    // a contracted vertex is either a stored rep (mapped through repOf — and
+    // a stored rep is always also a stored doc_id, its own row) or a
+    // genuinely new id (never found in stored): the anti-join the
+    // distributed path pays is a set lookup here
+    val newDocs = remap.filter { case (v, _) => isNew.contains(v) }
+    val changed = remap.filter { case (v, nr) => !isNew.contains(v) && v != nr }
+    val dt = stored.schema("doc_id").dataType
+    val pairSchema = StructType(Seq(
+      StructField("doc_id", dt), StructField("rep", dt)))
+    def local(rows: Seq[(Any, Any)], s: StructType): DataFrame =
+      spark.createDataFrame(
+        rows.map { case (x, y) => org.apache.spark.sql.Row(x, y) }.asJava, s)
+    val newDocsDf = local(newDocs, pairSchema)
+    var n = newDocs.size.toLong
+    val upserts =
+      if (changed.isEmpty) newDocsDf
+      else {
+        // members of touched components whose representative changes — ONE
+        // stored scan with a broadcast map join (never a shuffle of the
+        // assignment table), materialized so the upsert's router and merge
+        // jobs don't recompute it
+        val remapDf = broadcast(local(changed, StructType(Seq(
+          StructField("touched", dt), StructField("new_rep", dt)))))
+        val mu = graft.Eager.materialize(
+          stored.join(remapDf, stored("rep") === remapDf("touched"))
+            .select(col("doc_id"), col("new_rep").as("rep")))
+        n += mu.count()
+        mu.unionByName(newDocsDf)
+      }
+    if (n > 0) KeyedStore.upsertIndexed(spark, clustersPath, upserts,
+      keyCol = "doc_id")
+    n
+  }
+
+  /** The distributed epoch fold — [[appendToClusters]]' fallback for deltas
+    * over the driver budget: the delta×stored double-join feeds the isEmpty
+    * probe and [[clusterDuplicates]]; member updates and new docs come from
+    * joins against the full assignment table. */
+  private def appendToClustersDistributed(
+      spark: org.apache.spark.sql.SparkSession,
+      clustersPath: String, stored: DataFrame, deltaPairs: DataFrame,
+      idA: String, idB: String, maxIter: Int): Long = {
+    import graft.store.KeyedStore
     // persisted: the delta×stored double-join is the heaviest scan here and
     // feeds the isEmpty probe AND both of clusterDuplicates' passes — one
     // computation, three consumers

@@ -79,6 +79,85 @@ class DedupClusterSpec extends SparkSpec {
     assert(fast == viaLoop, s"paths diverged:\nfast=$fast\nloop=$viaLoop")
   }
 
+  // ---- round-19 fused epoch fold: appendToClusters' driver fast path ----
+
+  private def freshClusters(rows: Seq[(Any, Any)],
+      toDf: Seq[(Any, Any)] => org.apache.spark.sql.DataFrame): String = {
+    val path = java.nio.file.Files.createTempDirectory("graft_fold")
+      .toString + "/clusters"
+    graft.store.KeyedStore.writeIndexed(toDf(rows), path, keyCol = "doc_id")
+    path
+  }
+
+  private def clusterState(path: String): Set[(Any, Any)] =
+    graft.store.KeyedStore.readKeyed(spark, path, "doc_id")
+      .collect().map(r => (r.get(0), r.get(1))).toSet
+
+  /** Apply the SAME delta to two fresh copies of the SAME table — once via
+    * the fused driver fold (default gates; asserts the fold ran), once via
+    * the distributed path (gate forced to 0; asserts the fold did NOT run)
+    * — and require identical upsert counts and identical final tables. */
+  private def foldBothPaths(init: Seq[(Any, Any)],
+      toDf: Seq[(Any, Any)] => org.apache.spark.sql.DataFrame,
+      delta: org.apache.spark.sql.DataFrame): (Long, Set[(Any, Any)]) = {
+    val pFused = freshClusters(init, toDf)
+    val before = Dedup.clusterFoldFastPathRuns.get()
+    val nFused = Dedup.appendToClusters(spark, pFused, delta)
+    assert(Dedup.clusterFoldFastPathRuns.get() - before >= 1L,
+      "default gates must admit this delta to the fused driver fold")
+    val pLoop = freshClusters(init, toDf)
+    spark.conf.set("graft.cc.smallGraphEdges", "0")
+    val (nLoop, foldRuns) = try {
+      val b = Dedup.clusterFoldFastPathRuns.get()
+      val n = Dedup.appendToClusters(spark, pLoop, delta)
+      (n, Dedup.clusterFoldFastPathRuns.get() - b)
+    } finally spark.conf.unset("graft.cc.smallGraphEdges")
+    assert(foldRuns == 0L, "gate 0 must force the distributed path")
+    assert(nFused == nLoop, s"upsert counts diverged: fused=$nFused loop=$nLoop")
+    val (sFused, sLoop) = (clusterState(pFused), clusterState(pLoop))
+    assert(sFused == sLoop, s"tables diverged:\nfused=$sFused\nloop=$sLoop")
+    (nFused, sFused)
+  }
+
+  test("fused epoch fold == distributed fold: cross-component merge, " +
+      "member join, new docs, redundant edge, long ids") {
+    val longDf = (rs: Seq[(Any, Any)]) =>
+      rs.map { case (a, b) => (a.asInstanceOf[Long], b.asInstanceOf[Long]) }
+        .toDF("doc_id", "rep")
+    // components {1,2,3}→1, {10,11}→10
+    val init = Seq[(Any, Any)]((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    // 4 joins A via 3; 12 joins B via 11; {30,31} brand new; (1,2) redundant;
+    // (2,10) merges A and B — B's side must rewrite to rep 1
+    val delta = Seq((3L, 4L), (11L, 12L), (30L, 31L), (1L, 2L), (2L, 10L))
+      .toDF("id_a", "id_b")
+    val (n, state) = foldBothPaths(init, longDf, delta)
+    assert(n == 6L, s"4,12,30,31 new + members 10,11 re-repped = 6, got $n")
+    assert(state == Set[(Any, Any)]((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 1L), (11L, 1L), (12L, 1L), (30L, 30L), (31L, 30L)))
+    // blind replay of the same delta: exact no-op on both paths
+    val (n2, state2) = foldBothPaths(state.toSeq, longDf, delta)
+    assert(n2 == 0L && state2 == state, "replay must be an exact no-op")
+  }
+
+  test("fused epoch fold == distributed fold on string ids, including the " +
+      "UTF-8-vs-UTF-16 representative trap and a null endpoint") {
+    val strDf = (rs: Seq[(Any, Any)]) =>
+      rs.map { case (a, b) => (a.asInstanceOf[String], b.asInstanceOf[String]) }
+        .toDF("doc_id", "rep")
+    val smiley = new String(Character.toChars(0x1F600))
+    val init = Seq[(Any, Any)](("a", "a"), ("c", "a"), ("�", "�"), ("zz", "�"))
+    // the smiley joins the U+FFFD component: in UTF-8 byte order (what the
+    // distributed least() compares) U+FFFD < U+1F600, so the rep stays "�";
+    // a Java-UTF-16 comparison would elect the smiley and corrupt the table.
+    // The null edge must be dropped exactly like the =!= filter drops it.
+    val delta = Seq((smiley, "zz"), (null, "c")).asInstanceOf[Seq[(String, String)]]
+      .toDF("id_a", "id_b")
+    val (n, state) = foldBothPaths(init, strDf, delta)
+    assert(n == 1L, s"only the smiley row upserts, got $n")
+    assert(state.contains((smiley, "�")) && state.contains(("c", "a")),
+      s"UTF-8 min must stay the representative: $state")
+  }
+
   test("the gate reads the session conf and large graphs still converge " +
       "through the loop (smoke: 3k-edge ring)") {
     val n = 3000L
