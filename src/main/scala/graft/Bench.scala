@@ -15,6 +15,17 @@ object Bench {
       // millions of keys, so keep them in the hash path
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       .config("spark.sql.adaptive.enabled", "true")
+      // Let AQE coalesce to the advisory SIZE instead of stopping at the
+      // default-parallelism floor (round 19, guide §2.1/§2.2): with the
+      // default parallelismFirst=true every KB-scale maintenance shuffle
+      // still fans out to `cpus` reduce tasks, pure scheduling overhead that
+      // made 8 cores FASTER than 32 on the lifecycle queries (PERF_r18
+      // scaling ratios 0.56-0.98). =false coalesces tiny shuffles to one
+      // task while big shuffles keep targeting 64 MB partitions — the
+      // setting derives partitioning from DATA SIZE at every scale rather
+      // than from the local core count.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -287,6 +298,11 @@ object Bench {
         name -> (median, times.head, times.last)
       }
     var sweepChunksUsed = 1
+    // per-chunk-child canary readings (round 19, additive artifact field):
+    // each fresh-JVM sweep chunk reports its own pre-run cpu/io canaries, so
+    // a within-chunk pressure regression is adjudicable from the artifact
+    // alone instead of needing out-of-band re-runs
+    var chunkCanaries: Seq[(Double, Double)] = Nil
     val results: Seq[(String, (Double, Double, Double))] =
       if (sweepChunks <= 1) sweepInProcess(sortedSel)
       else {
@@ -297,11 +313,12 @@ object Bench {
         val parts = groups.zipWithIndex.map { case (g, i) =>
           System.err.println(s"[bench] sweep chunk ${i + 1}/${groups.length}: " +
             s"${g.length} queries in a fresh JVM")
-          forkBench(g, reps).map(_._1)
+          forkBench(g, reps)
         }
         if (parts.forall(_.isDefined)) {
           sweepChunksUsed = groups.length
-          parts.flatMap(_.get)
+          chunkCanaries = parts.map(p => (p.get._2, p.get._3))
+          parts.flatMap(_.get._1)
         } else {
           System.err.println("[bench] a sweep chunk failed — falling back " +
             "to the legacy single-JVM sweep (its medians carry whole-suite " +
@@ -412,18 +429,23 @@ object Bench {
     def isoJson(r: Double => Double) = isolated
       .map { case (k, m) => "\"" + shortKey(k) + "\":" + r(m) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"iso_mode":"$isoMode","canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
+    // additive (round 19): the chunk children's own canaries — ~8 B/chunk,
+    // empty under the single-JVM sweep
+    def chunkJson(f: ((Double, Double)) => Double) =
+      chunkCanaries.map(c => r2(f(c))).mkString("[", ",", "]")
+    val chunkFields = s""","chunk_canaries_cpu":${chunkJson(_._1)},"chunk_canaries_io":${chunkJson(_._2)}"""
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1)},"queries_min":${jmap(_._2)},"queries_max":${jmap(_._3)},"isolated":${isoJson(r3)},"iso_mode":"$isoMode","canary_pre":${r3(canaryPre)},"canary_iso":${r3(canaryIso)},"canary_io_pre":${r3(canaryIoPre)},"canary_io_iso":${r3(canaryIoIso)}$chunkFields,"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}""")
     // compact medians at 2 decimals (10 ms grid — ample at these
     // magnitudes): ~11.5 B/query keeps the line under the ~2 KB capture to
     // ~165 queries; past the guard, degrade to total-only rather than let
     // the capture truncate the line's HEAD and lose the total
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1, shortKey, r2)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)}$chunkFields,"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // degrade tier: bare-number keys + 1-decimal medians (~9 B/query keeps
     // per-query visibility to ~200 queries) before the heavy-hitter tier
     def r1(x: Double) = math.rint(x * 10) / 10
     val tiny =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"queries":${jmap(_._1, n => shortKey(n).stripPrefix("q"), r1)},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)}$chunkFields,"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     // final tier (past ~200 queries): per-query medians for the SLOWEST 40
     // only — the queries perf judgment actually needs — plus the exact
     // total and count; self-describing via "coverage", always ≲ 700 B
@@ -433,7 +455,7 @@ object Bench {
     val heavy =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sweep_chunks":$sweepChunksUsed,"coverage":"slowest40_medians","queries":${
         top.map { case (k, (m, _, _)) => "\"" + shortKey(k) + "\":" + r2(m) }
-          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)},"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
+          .mkString("{", ",", "}")},"isolated":${isoJson(r2)},"iso_mode":"$isoMode","canary_pre":${r2(canaryPre)},"canary_iso":${r2(canaryIso)},"canary_io_pre":${r2(canaryIoPre)},"canary_io_iso":${r2(canaryIoIso)}$chunkFields,"reps":$reps,"iso_reps":$isoReps,"sf":"$sfDir"}"""
     println(
       if (compact.length <= 1900) compact
       else if (tiny.length <= 1900) tiny

@@ -187,6 +187,27 @@ object PhaseProbe {
               .repartition(col("bucket"))
               .write.partitionBy("bucket").mode("overwrite")
               .parquet(base + "/parted64"))
+        case "expansion" => // postings bytes vs input estimate (O2 sizing)
+          val path = sys.props("java.io.tmpdir") + "/graft_probe_exp_" +
+            java.lang.ProcessHandle.current().pid() + "_" + rep
+          val in = docs.select(col("doc_id"), col("text"))
+          val est = in.queryExecution.optimizedPlan.stats.sizeInBytes
+          phase("writeBm25")(ops.TextOps.writeBm25Index(
+            docs, "doc_id", "text", path))
+          def dirBytes(d: String): Long = {
+            val p = new org.apache.hadoop.fs.Path(d)
+            val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+            val it = fs.listFiles(p, true)
+            var s = 0L
+            while (it.hasNext) {
+              val f = it.next()
+              if (f.getPath.getName.endsWith(".parquet")) s += f.getLen
+            }
+            s
+          }
+          val posted = dirBytes(path + "/postings")
+          System.err.println(s"[expansion] input_estimate=$est " +
+            s"postings_bytes=$posted ratio=${posted.toDouble / est.toDouble}")
         case "epoch" => // one ingestIntoClusters epoch, decomposed (no stream)
           val salt = java.lang.ProcessHandle.current().pid() + "_" + rep
           val pairsPath = sys.props("java.io.tmpdir") + s"/graft_probe_ep_pairs_$salt"

@@ -20,6 +20,12 @@ object Verify {
       // after 128 hash-map keys by default; posting-list builds (q24) group
       // millions of keys, so keep them in the hash path
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
+      // AQE coalescing honors the advisory SIZE (round 19, guide §2.1/§2.2):
+      // same settings as Bench so the oracle validates the exact execution
+      // config the bench measures — see the Bench.scala comment
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -670,11 +670,25 @@ object TextOps {
     require(nBuckets > 0, "nBuckets must be positive")
     require(filesPerLeaf >= 0, "filesPerLeaf must be non-negative (0 = auto)")
     // 0 = size-adaptive (round-18 optimization, guide §2/§6): one writer per
-    // leaf per ~512 MB of estimated input — a small corpus gets one file per
+    // leaf per ~512 MB of estimated OUTPUT — a small corpus gets one file per
     // leaf instead of 4 tiny ones, a 100 TB corpus gets enough writers to
     // keep files in the columnar sweet spot. Explicit values still win.
+    // What is WRITTEN is the exploded (id, term, tf, dl) postings table, not
+    // the raw docs, and Catalyst's estimate cannot see the token expansion —
+    // so the estimate runs on the PROJECTED input (id + text only; extra doc
+    // columns must not inflate it) scaled by a measured postings-expansion
+    // factor (round-19; `graft.bm25.postingsExpansion` overrides). Measured
+    // written-postings-bytes / input-estimate: 2.62 at sf0.1, 3.67 at
+    // sf0.01 (PhaseProbe `expansion`); default 3.0 sits in the band and
+    // errs toward MORE writers — files land under the 512 MB target rather
+    // than over it.
+    val expansion = df.sparkSession.conf
+      .getOption("graft.bm25.postingsExpansion")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption).filter(_ > 0)
+      .getOrElse(3.0)
     val fpl = if (filesPerLeaf > 0) filesPerLeaf
-      else graft.store.Compaction.adaptiveFilesPerLeaf(df, nBuckets)
+      else graft.store.Compaction.adaptiveFilesPerLeaf(
+        df.select(col(idCol), col(textCol)), nBuckets, expansion)
     val toks = df.select(col(idCol).as("id"), tokens(lower(col(textCol))).as("tk"))
       .select(col("id"), size(col("tk")).cast("bigint").as("dl"),
         explode(col("tk")).as("term"))
@@ -904,8 +918,23 @@ object TextOps {
       token_count(lower(col(textCol))).cast("bigint").as("dl"))
     var batchAgg: Option[(Long, Option[Long])] = None
     if (!docsDone) {
+      // pre-append file set: the additive branch cross-checks the observed
+      // row count against what the commit actually added (below)
+      val preFiles =
+        if (preSynced)
+          graft.store.ManifestTable.liveSnapshotPaths(spark, path + "/docs")
+        else Set.empty[String]
       val obs = new org.apache.spark.sql.Observation(
         "graft_bm25_append_stats_" + java.util.UUID.randomUUID().toString)
+      // SINGLE-ACTION requirement (round-19 hardening of a round-18
+      // advisory): the append below must stay the FIRST and ONLY action on
+      // `observed` — any earlier auxiliary action (a bootstrap limit(0)
+      // write, a debug count) would satisfy obs.get with that action's
+      // metrics and silently underfeed the additive fold. preSynced implies
+      // liveGen(docs) is defined, which keeps append()'s bootstrap branch
+      // unreachable on the additive path; the row-count audit below catches
+      // anything that still slips (plus the accumulator double-count class:
+      // stage retries / speculative duplicates at cluster scale).
       val observed = members.observe(obs, count(lit(1)).as("n"),
         sum(col("dl")).as("s"))
       val wrote = batchId match {
@@ -919,8 +948,27 @@ object TextOps {
       // never wait on an observation whose job was skipped
       if (wrote) {
         val m = obs.get
-        batchAgg = Some((m("n").asInstanceOf[Long],
-          Option(m("s")).map(_.asInstanceOf[Long])))
+        val bn = m("n").asInstanceOf[Long] + statsObservationSkew.get()
+        // TRUST BUT VERIFY the observation before it can poison the stats
+        // sidecar: the committed batch files' parquet footers record the
+        // true row count (pure fs/footer metadata — no Spark job, no table
+        // scan). A mismatch (stage retry double-count, speculative
+        // execution, an unnoticed extra action) falls back to the full
+        // re-derive instead of stamping a wrong (n, Σdl) that nothing
+        // would converge until the next out-of-sync event.
+        val committedN =
+          if (preSynced)
+            parquetFooterRows(spark,
+              (graft.store.ManifestTable.liveSnapshotPaths(spark,
+                path + "/docs") -- preFiles).toSeq)
+          else -1L
+        if (!preSynced || committedN == bn)
+          batchAgg = Some((bn, Option(m("s")).map(_.asInstanceOf[Long])))
+        else
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"appendBm25Index($path): observed batch count $bn != committed " +
+              s"row count $committedN — additive stats skipped, re-deriving " +
+              "from the membership table")
       }
     }
     if (!postsDone) {
@@ -948,6 +996,7 @@ object TextOps {
     // crash window on tagged retries.
     (batchAgg, preSynced) match {
       case (Some((bn, bs)), true) =>
+        statsAdditiveRuns.incrementAndGet(): Unit
         val old = graft.store.ManifestTable.read(spark, path + "/stats")
           .select(col("n_docs").cast("long"), col("sum_dl").cast("long"))
           .head()
@@ -968,6 +1017,35 @@ object TextOps {
       case _ => rewriteStats(spark, path)
     }
   }
+
+  /** Observable count of additive-stats folds taken (vs the full
+    * re-derive) — lets specs assert WHICH path served an append. */
+  private[graft] val statsAdditiveRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** TEST SEAM for the round-19 drift guard: added to the OBSERVED batch
+    * count before the committed-footer cross-check, so a spec can simulate
+    * the accumulator double-count class (stage retry, speculative
+    * execution) without needing a real stage failure. Always 0 outside
+    * tests. */
+  private[graft] val statsObservationSkew =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Sum of the parquet footer row counts of `paths` — driver-side
+    * metadata reads only (one footer per file, no Spark job). −1 when any
+    * footer is unreadable, so a caller auditing an expected count treats
+    * I/O trouble as a mismatch, never as agreement. */
+  private[graft] def parquetFooterRows(
+      spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): Long =
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.map { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+    } catch { case _: Exception => -1L }
 
   /** Commit `stats ≡ aggregate(docs)` as a new generation of the stats
     * ManifestTable — crash-safe (a crash leaves the previous generation

@@ -111,14 +111,23 @@ object Compaction {
     * files there). Plans with no usable size estimate (Catalyst's unknown
     * sentinel) keep the legacy fan-out of 4. `graft.filesPerLeaf` overrides
     * for operators that know their layout better. */
-  private[graft] def adaptiveFilesPerLeaf(df: DataFrame, nLeaves: Int): Int = {
+  /** Writers per leaf targeting ~512 MB output files, derived from the
+    * INPUT plan's Catalyst size estimate. The estimate is a PRE-TRANSFORM
+    * proxy: Catalyst cannot see row multiplication through explode/agg, so
+    * a writer whose output materially differs from its input passes
+    * `expansion` = measured (written bytes / input estimate) to correct it
+    * — e.g. the BM25 postings writer's token-expansion factor (round-19;
+    * ADVICE r18). `graft.filesPerLeaf` stays the caller's escape hatch. */
+  private[graft] def adaptiveFilesPerLeaf(df: DataFrame, nLeaves: Int,
+      expansion: Double = 1.0): Int = {
     val conf = df.sparkSession.conf.getOption("graft.filesPerLeaf")
       .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
     conf.getOrElse {
       val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
       if (est <= 0 || est >= BigInt(Long.MaxValue) / 4) 4 // unknown estimate
       else {
-        val perLeaf = est / math.max(1, nLeaves)
+        val scaled = (BigDecimal(est) * expansion).toBigInt.max(BigInt(1))
+        val perLeaf = scaled / math.max(1, nLeaves)
         ((perLeaf / BigInt(512L << 20)) + 1).min(1024).max(1).toInt
       }
     }
@@ -128,7 +137,13 @@ object Compaction {
     * fs-metadata loop (resolve / migrate / vacuum) goes through this so no
     * maintenance or read path is serial in leaf count (the driver-side
     * bottleneck pattern at object-store latencies). Serial below a handful
-    * of leaves to spare the pool churn. */
+    * of leaves to spare the pool churn.
+    *
+    * FAILURE SHAPE: rethrows the FIRST failure without awaiting the later
+    * tasks (`shutdown()` does not drain) — pass only side-effect-free `f`s
+    * (listings, resolves); a caller whose `f` mutates state must drain all
+    * outcomes before reacting to one failure (the appendPartitions pool
+    * does exactly that, inline). */
   private def pooledMap[A, B](items: Seq[A])(f: A => B): Seq[B] =
     if (items.length <= 8) items.map(f)
     else {
@@ -340,10 +355,11 @@ object Compaction {
     * returns leaves rewritten. READER-CONCURRENT per leaf (each leaf is a
     * [[ManifestTable]] — any probe concurrent with one rewrite keeps its
     * files); a legacy flat leaf migrates on this first rewrite under the
-    * old maintenance-window contract. The per-leaf rewrites are INDEPENDENT
-    * tiny jobs submitted concurrently (sequential submission made a
-    * 64-bucket compaction pay 64 job round-trips — measured 4.9 s → 2.6 s
-    * on q217's lifecycle at sf0.1). */
+    * old maintenance-window contract. Execution (round 18): a pooled fs
+    * metadata scan selects the over-target leaves, then ONE batched
+    * `rewriteLeavesBatched` Spark job rewrites them all with pooled
+    * per-leaf manifest commits — never a job per leaf (the pre-round-18
+    * loop paid 64 job round-trips on a 64-bucket BM25 compaction). */
   def compactPartitions(spark: SparkSession, root: String, targetFiles: Int = 4): Int =
     rewritePartitions(spark, root, targetFiles, identity, onlyIfOverTarget = true)
 
@@ -530,9 +546,12 @@ object Compaction {
    * round 13) against ~3 s batched; at 1024 leaves the loop shape is the
    * difference between one job and a thousand. `transform` must be
    * row-wise (filters/anti-joins — every graft takedown/retention is) and
-   * must keep the injected partition column; `onlyIfOverTarget = true`
-   * (compaction) keeps the per-leaf path, where most leaves are skipped
-   * for free and batching would read the whole layout for nothing.
+   * must keep the injected partition column. `onlyIfOverTarget = true`
+   * (compaction) first SELECTS the over-target leaves from pooled fs
+   * metadata alone ([[ManifestTable.dataFileCount]] listings) and then
+   * feeds ONLY those through the same batched one-job rewrite — skipped
+   * leaves cost a listing, never a read (round-18 shape; the per-leaf
+   * `ManifestTable.compact` job loop is gone).
    */
   def rewritePartitions(spark: SparkSession, root: String, targetFiles: Int,
       transform: DataFrame => DataFrame,

@@ -278,6 +278,22 @@ object ManifestTable {
     retainedRelFs(fs, dir, gen)
   }
 
+  /** The live snapshot's data-file paths, absolute — the file-set view of
+    * [[snapshotFingerprint]] (same listing, unhashed). Lets a caller that
+    * appends to the table identify exactly which files a just-committed
+    * batch added (post-set minus pre-set) and audit them, e.g. against an
+    * Observation's row count (the round-19 additive-stats drift guard).
+    * Empty on a flat/absent layout. */
+  private[graft] def liveSnapshotPaths(spark: SparkSession,
+      table: String): Set[String] = {
+    val (fs, dir) = fsOf(spark, table)
+    liveGen(spark, table) match {
+      case Some(live) =>
+        snapshotFiles(fs, dir, live).map(p => new Path(dir, p._1).toString).toSet
+      case None => Set.empty
+    }
+  }
+
   /** Content fingerprint of the live snapshot — the generation name plus
     * every data file's (relative path, length), md5-hashed. Two reads of an
     * unchanged table fingerprint identically; any append/rewrite/drain

@@ -801,6 +801,45 @@ class LifecycleSpec extends SparkSpec {
       "an unsynced sidecar must re-derive from the docs membership")
   }
 
+  test("appendBm25Index drift guard (round-19): an observation that " +
+      "disagrees with the committed row count falls back to the full " +
+      "re-derive instead of stamping a wrong additive sidecar") {
+    val path = tmp("graft_bm25_drift") + "/bm25"
+    TextOps.writeBm25Index(Seq((1L, "spark window"), (2L, "merge scan"))
+      .toDF("id", "text"), "id", "text", path, nBuckets = 4)
+    def scratchAgg() = multiset(
+      ManifestTable.read(spark, path + "/docs")
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")))
+    def stats() = multiset(ManifestTable.read(spark, path + "/stats"))
+    // positive control: a clean synced append passes the footer cross-check
+    // and takes the ADDITIVE path (the check must not be trivially false)
+    val before = TextOps.statsAdditiveRuns.get()
+    TextOps.appendBm25Index(Seq((3L, "window join")).toDF("id", "text"),
+      "id", "text", path, nBuckets = 4, batchId = Some("ok-1"))
+    assert(TextOps.statsAdditiveRuns.get() - before == 1L,
+      "a clean synced append must take the additive path")
+    assert(stats() == scratchAgg())
+    // drift injection: the observed count disagrees with what the commit
+    // actually added (the stage-retry / speculative double-count class) —
+    // the guard must SKIP the additive fold and re-derive exactly
+    TextOps.statsObservationSkew.set(1L)
+    try {
+      val b2 = TextOps.statsAdditiveRuns.get()
+      TextOps.appendBm25Index(Seq((4L, "batch filter")).toDF("id", "text"),
+        "id", "text", path, nBuckets = 4, batchId = Some("skew-1"))
+      assert(TextOps.statsAdditiveRuns.get() - b2 == 0L,
+        "a drifted observation must not take the additive path")
+      assert(stats() == scratchAgg(),
+        "the fallback re-derive must leave stats == aggregate(docs)")
+    } finally TextOps.statsObservationSkew.set(0L)
+    // and the layout has CONVERGED: the next clean append is additive again
+    val b3 = TextOps.statsAdditiveRuns.get()
+    TextOps.appendBm25Index(Seq((5L, "spark merge")).toDF("id", "text"),
+      "id", "text", path, nBuckets = 4, batchId = Some("ok-2"))
+    assert(TextOps.statsAdditiveRuns.get() - b3 == 1L && stats() == scratchAgg(),
+      "the guard must not wedge the additive path after one drift event")
+  }
+
   test("layout writers are born at the compaction target: every leaf holds " +
       "at most filesPerLeaf live files, not tasks x leaves small ones") {
     def leafCounts(root: String, prefix: String): Seq[Int] =
